@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.Column
+import graft.QueryDef
+import graft.sources.Tables._
+
+/** Event-stream (batch) operators: interval/theta join, as-of join,
+  * sessionization, tumbling window, pivot. The reference is batch-only
+  * with no time semantics at all (SURVEY.md §2.2 — streaming absent).
+  *
+  * `events.ts` is stored as parquet ns; both engines are normalized to
+  * microseconds (Spark truncates on read, the oracle casts TIMESTAMP_NS ->
+  * TIMESTAMP) so time comparisons agree exactly.
+  */
+object EventsOps {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(38, 10))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Theta/interval self-join: pairs of events of the same user within
+    // 5 minutes. The equi component (user_id) keys the shuffle; the range
+    // predicate filters inside each key group — no cross product across keys.
+    QueryDef(
+      "q_join_interval",
+      """SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |  a.event_type AS a_type, b.event_type AS b_type
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
+        | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+        |""".stripMargin) { (s, d) =>
+      val a = events(s, d).select(col("event_id").as("a_id"), col("user_id"),
+        col("ts").as("a_ts"), col("event_type").as("a_type"))
+      val b = events(s, d).select(col("event_id").as("b_id"),
+        col("user_id").as("b_user_id"), col("ts").as("b_ts"), col("event_type").as("b_type"))
+      a.join(b,
+          col("user_id") === col("b_user_id")
+            && col("b_ts") > col("a_ts")
+            && col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+        .select("a_id", "b_id", "a_type", "b_type")
+    },
+
+    // As-of join: each purchase matched to the user's most recent click at
+    // or before it. See AsOfJoin for the scalable union+window plan; the
+    // oracle states the same semantics as a rank-1 range join.
+    QueryDef(
+      "q_join_asof",
+      """SELECT p_id, click_id FROM (
+        |  SELECT p.event_id AS p_id, c.event_id AS click_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON c.user_id = p.user_id AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |) t WHERE rn = 1
+        |""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("ts"), col("event_id").as("left_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("key"), col("ts"), col("event_id").as("right_id"))
+      AsOfJoin.asOf(purchases, clicks)
+        .select(col("left_id").as("p_id"), col("asof_id").as("click_id"))
+    },
+
+    // Sessionization: a new session starts after >30 min of inactivity.
+    // lag + running sum = one shuffle on user_id; the same formulation runs
+    // verbatim at 100 TB (state never leaves the key's partition).
+    QueryDef(
+      "q_events_sessionize",
+      """SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(ts2) AS session_start
+        |FROM (
+        |  SELECT user_id, event_id, ts2,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts2 ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts2,
+        |      CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER
+        |          (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) IS NULL
+        |        OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER
+        |          (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+        |            > INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS is_new
+        |    FROM events) a) b
+        |GROUP BY user_id, session_id
+        |""".stripMargin) { (s, d) =>
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts2").asc, col("event_id").asc)
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts").as("ts2"))
+        .withColumn("prev_ts", lag(col("ts2"), 1).over(wOrd))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull
+            || unix_micros(col("ts2")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min(col("ts2")).as("session_start"))
+    },
+
+    // Tumbling 1-hour window aggregate (batch twin of the streaming demo).
+    QueryDef(
+      "q_events_tumbling",
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        |  count(*) AS n, sum(CAST(value AS DECIMAL(38,10))) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+    },
+
+    // Pivot: event counts per user x fixed event-type set. Explicit value
+    // list keeps the output schema static (required at scale — no extra
+    // pass to discover distinct values) and matches the oracle's columns.
+    QueryDef(
+      "q_events_pivot",
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY user_id
+        |""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("click", "view", "purchase", "signup", "error"))
+    }
+  )
+}

@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.Column
+import graft.QueryDef
+import graft.sources.Tables._
+
+/** Relational query suite — fills SURVEY.md §2.2's absent categories
+  * (projections/filters, joins, aggregations, sorts/limits, set ops) with
+  * idiomatic Catalyst-optimizable DataFrame plans. The reference has none of
+  * these as standalone operators (its only projection lives inside the app
+  * `map`, `app.py:10-11`); Spark supplies them natively.
+  */
+object Relational {
+
+  /** double -> exact decimal: identical rounding in Spark and DuckDB, and
+    * decimal addition is exact + commutative so aggregation order is moot. */
+  private def dec(c: Column): Column = c.cast(DecimalType(38, 10))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- scans / filters / projections -------------------------------
+    // Predicates + projection reach the parquet scan (PushedFilters /
+    // ReadSchema) — at 100 TB this is the difference between reading the
+    // table and reading a slice of 5 columns.
+    QueryDef(
+      "q_scan_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_quantity < 10 AND l_returnflag = 'R'
+        |""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp")
+          && col("l_quantity") < 10 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+    },
+
+    // ---- aggregations ------------------------------------------------
+    // TPC-H Q1-shaped pricing summary: partial (map-side) + final hash
+    // aggregation is automatic; the reference needed an explicit combiner
+    // thread for the same effect (datanode.py:449-496).
+    QueryDef(
+      "q_agg_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(38,10))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    },
+
+    QueryDef(
+      "q_agg_filtered_revenue",
+      """SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24
+        |""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.04, 0.08) && col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice") * col("l_discount"))).as("revenue"))
+    },
+
+    QueryDef(
+      "q_agg_multikey",
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(38,10))) AS sum_price,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderpriority, o_orderstatus
+        |""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).as("sum_price"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))
+    },
+
+    QueryDef(
+      "q_agg_distinct",
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer") { (s, d) =>
+      customer(s, d).select("c_mktsegment", "c_nationkey").distinct()
+    },
+
+    QueryDef(
+      "q_agg_count_distinct",
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag
+        |""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+    },
+
+    QueryDef(
+      "q_agg_rollup",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(CAST(l_quantity AS DECIMAL(38,10))) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("sum_qty"))
+    },
+
+    QueryDef(
+      "q_agg_cube",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // HLL sketch differs between engines by design -> rows-only check.
+    QueryDef.noOracle("q_agg_approx_distinct") { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+    },
+
+    // ---- joins -------------------------------------------------------
+    // Dimension-to-dimension: Catalyst broadcasts both sides' small tables
+    // (25 + 5 rows) — the shape to force-check in .explain at scale.
+    QueryDef(
+      "q_join_broadcast",
+      """SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        |""".stripMargin) { (s, d) =>
+      nation(s, d)
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")
+    },
+
+    // 3-way fact join with selective dimension filter: customer is
+    // broadcast-able; orders⋈lineitem shuffles on orderkey.
+    QueryDef(
+      "q_join_shuffle3",
+      """SELECT o_orderkey, o_orderdate,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |""".stripMargin) { (s, d) =>
+      customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(orders(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+    },
+
+    QueryDef(
+      "q_join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    },
+
+    QueryDef(
+      "q_join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
+    // Left outer join keeps order-less customers with n_orders = 0.
+    QueryDef(
+      "q_join_outer",
+      """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(38,10))) AS sum_price
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey AND o_orderstatus = 'F'
+        |GROUP BY c_custkey
+        |""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          sum(dec(col("o_totalprice"))).as("sum_price"))
+    },
+
+    // ---- sorts / limits / top-k -------------------------------------
+    // Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps,
+    // only k rows reach the driver, no full sort at 100 TB.
+    QueryDef(
+      "q_sort_limit",
+      """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        |""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+
+    // ---- set operations ---------------------------------------------
+    QueryDef(
+      "q_set_union",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey AS nationkey FROM supplier
+        |""".stripMargin) { (s, d) =>
+      customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+    },
+
+    QueryDef(
+      "q_set_intersect",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+        |""".stripMargin) { (s, d) =>
+      customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+    },
+
+    QueryDef(
+      "q_set_except",
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+        |""".stripMargin) { (s, d) =>
+      customer(s, d).select(col("c_custkey").as("custkey"))
+        .except(orders(s, d).filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("custkey")))
+    }
+  )
+}
