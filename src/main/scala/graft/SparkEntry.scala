@@ -18,7 +18,12 @@ object SparkEntry {
       operators.Relational.defs ++
       operators.Windows.defs ++
       operators.EventsOps.defs ++
-      functions.Scalars.defs
+      functions.Scalars.defs ++
+      functions.TextAnalysis.defs ++
+      operators.Dedup.defs ++
+      operators.Similarity.defs ++
+      operators.Multimodal.defs ++
+      streaming.Streaming.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * WordCount — the reference's one registered app, over documents.text. */

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+import graft.QueryDef
+import graft.sources.Tables._
+
+/** Text-analysis operators for a training-data pipeline: token/char stats,
+  * language-ID heuristic, quality scoring, document fingerprinting.
+  * Everything is built-in expressions (whole-stage codegen); the per-doc
+  * work is embarrassingly parallel — no shuffle except final aggregates.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** tokens of lower-cased text, whitespace split, empties dropped */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Token / char statistics. avg token length is int-exact division in
+    // double — identical across engines.
+    QueryDef(
+      "q_text_stats",
+      """SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |  length(text) AS n_chars_actual,
+        |  CAST(CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS DOUBLE)
+        |    / len(toks) AS avg_token_len
+        |FROM (SELECT doc_id, text,
+        |        list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+        |      FROM documents)
+        |""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          length(col("text")).as("n_chars_actual"),
+          (aggregate(transform(col("toks"), t => length(t)), lit(0L), (acc, x) => acc + x)
+            .cast("double") / size(col("toks"))).as("avg_token_len"))
+    },
+
+    // Language-ID heuristic: stopword hit-ratio against a tiny English
+    // list. (A production n-gram model is the same shape: per-doc map over
+    // tokens + a broadcast lookup — zero shuffle.)
+    QueryDef(
+      "q_text_langid",
+      s"""SELECT doc_id, lang,
+         |  CAST(len(list_filter(toks, t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+         |    / greatest(len(toks), 1) AS stop_ratio,
+         |  CASE WHEN CAST(len(list_filter(toks, t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+         |    / greatest(len(toks), 1) >= 0.05 THEN 'en' ELSE 'unk' END AS pred_lang
+         |FROM (SELECT doc_id, lang,
+         |        list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+         |      FROM documents)
+         |""".stripMargin) { (s, d) =>
+      val stopArr = stopwords.map(lit)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+        .withColumn("stop_ratio",
+          size(filter(col("toks"), t => t.isin(stopwords: _*))).cast("double")
+            / greatest(size(col("toks")), lit(1)))
+        .withColumn("pred_lang", when(col("stop_ratio") >= 0.05, "en").otherwise("unk"))
+        .select("doc_id", "lang", "stop_ratio", "pred_lang")
+    },
+
+    // Quality score: bounded-length check, stopword ratio, mean token
+    // length in a sane band — integer-derived double arithmetic only.
+    QueryDef(
+      "q_text_quality",
+      s"""SELECT doc_id,
+         |  CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1 ELSE 0 END AS len_ok,
+         |  CAST(len(list_filter(toks, t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+         |    / greatest(len(toks), 1) AS stop_ratio,
+         |  CASE WHEN CAST(CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS DOUBLE)
+         |      / greatest(len(toks), 1) BETWEEN 3 AND 8 THEN 1 ELSE 0 END AS tok_len_ok,
+         |  0.5 * (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1 ELSE 0 END)
+         |    + 0.25 * (CASE WHEN CAST(CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS DOUBLE)
+         |        / greatest(len(toks), 1) BETWEEN 3 AND 8 THEN 1 ELSE 0 END)
+         |    + 0.25 * least(CAST(len(list_filter(toks, t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+         |        / greatest(len(toks), 1) * 4, 1.0) AS quality
+         |FROM (SELECT doc_id, text,
+         |        list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+         |      FROM documents)
+         |""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .withColumn("len_ok",
+          when(length(col("text")).between(100, 2000), 1).otherwise(0))
+        .withColumn("stop_ratio",
+          size(filter(col("toks"), t => t.isin(stopwords: _*))).cast("double")
+            / greatest(size(col("toks")), lit(1)))
+        .withColumn("tok_len_ok",
+          when((aggregate(transform(col("toks"), t => length(t)), lit(0L), (acc, x) => acc + x)
+            .cast("double") / greatest(size(col("toks")), lit(1))).between(3, 8), 1).otherwise(0))
+        .withColumn("quality",
+          lit(0.5) * col("len_ok") + lit(0.25) * col("tok_len_ok")
+            + lit(0.25) * least(col("stop_ratio") * 4, lit(1.0)))
+        .select("doc_id", "len_ok", "stop_ratio", "tok_len_ok", "quality")
+    },
+
+    // Document fingerprint: md5 over the whitespace-normalized token
+    // stream — the canonical pre-step of exact dedup at scale (shuffle the
+    // 16-byte digest, never the document).
+    QueryDef(
+      "q_text_fingerprint",
+      """SELECT doc_id,
+        |  md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> ''), ' ')) AS fp
+        |FROM documents
+        |""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", tokens(col("text")))).as("fp"))
+    },
+
+    // Subword-ish counting: whitespace tokens + vowel-group segments (a
+    // cheap BPE proxy; RE2-compatible, no lookaround).
+    QueryDef(
+      "q_text_subwords",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS INT) AS n_tokens,
+        |  CAST(len(regexp_split_to_array(text, '[aeiou]+')) - 1 AS INT) AS n_vowel_groups,
+        |  length(regexp_replace(text, '[^aeiou]', '', 'g')) AS n_vowels
+        |FROM documents
+        |""".stripMargin) { (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        (size(split(col("text"), "[aeiou]+")) - 1).as("n_vowel_groups"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[aeiou]", ""))).as("n_vowels"))
+    }
+  )
+}

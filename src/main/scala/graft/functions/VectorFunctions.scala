@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built from codegen'd
+  * higher-order functions (no UDFs). All arithmetic is promoted to double
+  * before accumulating, left-to-right — matching DuckDB's
+  * `list_cosine_similarity(CAST(... AS DOUBLE[]), ...)` evaluation.
+  */
+object VectorFunctions {
+
+  def toDoubleArr(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDoubleArr(a), toDoubleArr(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column =
+    aggregate(toDoubleArr(a), lit(0.0), (acc, v) => acc + v * v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Deterministic pseudo-random hyperplane dot product for sign-LSH:
+    * plane j's component i is derived from xxhash64(j, i), uniform in
+    * [-1, 1]. No stored model, reproducible on any cluster. */
+  def planeDot(v: Column, j: Int): Column =
+    aggregate(
+      zip_with(toDoubleArr(v), sequence(lit(0), size(v) - 1),
+        (x, i) => x * ((pmod(xxhash64(lit(j), i), lit(1001)) - 500).cast("double") / 500.0)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** sign-LSH bucket id from `bits` hyperplanes (bit j = sign(v . plane_j)) */
+  def lshBucket(v: Column, bits: Int): Column =
+    (0 until bits).map(j => when(planeDot(v, j) > 0, 1L << j).otherwise(0L))
+      .reduce(_ + _)
+}

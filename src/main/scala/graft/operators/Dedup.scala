@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.QueryDef
+import graft.sources.Tables._
+
+/** Deduplication family for a 100 TB training-data pipeline:
+  *
+  *  - exact:          group on content digest (shuffle 16 bytes, not docs)
+  *  - n-gram Jaccard: inverted shingle index — NO all-pairs product;
+  *                    candidate pairs come from shared shingles only
+  *  - MinHash + LSH:  constant-size signatures, band-bucket join
+  *  - SimHash:        64-bit sketch, pigeonhole block join for hamming<=k
+  *  - embedding:      sign-LSH buckets + cosine verify (see Similarity)
+  *
+  * Scale design: every variant shuffles keys/signatures (bytes), never
+  * documents; candidate generation is equi-join-able so AQE can handle
+  * skewed hot buckets (hot shingles are additionally length-banded).
+  */
+object Dedup {
+
+  /** whitespace tokens of lowered text */
+  private def toks(c: Column): Column = filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  /** distinct 3-token shingles per doc (docs with <3 tokens drop out) */
+  def shingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), toks(col("text")).as("l"))
+      .filter(size(col("l")) >= 3)
+      .select(col("doc_id"), col("lang"), (floor(col("n_chars") / 100)).as("band"),
+        explode(transform(sequence(lit(1), size(col("l")) - 2),
+          i => concat_ws(" ", slice(col("l"), i, lit(3))))).as("shingle"))
+      .distinct()
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup on content digest. Keep-first semantics (min doc_id) is
+    // deterministic, unlike dropDuplicates' arbitrary row choice.
+    QueryDef(
+      "q_dedup_exact",
+      """SELECT sha256(array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> ''), ' ')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          sha2(concat_ws(" ", toks(col("text"))), 256).as("fp"))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // N-gram Jaccard near-dup via the inverted-index formulation:
+    // candidates = docs sharing >=1 shingle (plus lang + length band to
+    // tame hot shingles); jaccard = |inter| / (|A|+|B|-|inter|).
+    QueryDef(
+      "q_dedup_ngram_jaccard",
+      """WITH tok AS (
+        |  SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS band,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS l
+        |  FROM documents WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, lang, band, shingle FROM (
+        |    SELECT doc_id, lang, band,
+        |      unnest([array_to_string(l[i:i+2], ' ') for i in range(1, greatest(len(l) - 1, 1))]) AS shingle
+        |    FROM tok) u),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+        |    AND a.band = b.band AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i, j, CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) AS jac
+        |FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+        |WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5
+        |""".stripMargin) { (s, d) =>
+      val sh = shingles(s, d).cache()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val a = sh.select(col("doc_id").as("i"), col("lang"), col("band"), col("shingle"))
+      val b = sh.select(col("doc_id").as("j"), col("lang").as("lang_b"),
+        col("band").as("band_b"), col("shingle").as("shingle_b"))
+      val pairs = a.join(b,
+          col("shingle") === col("shingle_b") && col("lang") === col("lang_b")
+            && col("band") === col("band_b") && col("i") < col("j"))
+        .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+      pairs
+        .join(cnt.withColumnRenamed("doc_id", "i").withColumnRenamed("c", "ca"), "i")
+        .join(cnt.withColumnRenamed("doc_id", "j").withColumnRenamed("c", "cb"), "j")
+        .withColumn("jac", col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
+        .filter(col("jac") >= 0.5)
+        .select("i", "j", "jac")
+    },
+
+    // MinHash(16) + LSH(4 bands x 4 rows) + exact-Jaccard verify on the
+    // candidates only. xxhash64 signatures are Spark-native (no SQL twin;
+    // rows-only check). At scale: signature build is one pass + groupBy
+    // doc; candidates come from equi-joins on (band, bandhash).
+    QueryDef.noOracle("q_dedup_minhash") { (s, d) =>
+      val numHashes = 16
+      val bands = 4
+      val rows = numHashes / bands
+      val sh = shingles(s, d).select("doc_id", "shingle")
+      // signature: per doc, min of xxhash64(seed_i, shingle) for each i
+      val sig = sh.groupBy("doc_id").agg(
+        array((0 until numHashes).map(i =>
+          min(xxhash64(lit(i), col("shingle")))): _*).as("sig"))
+      // band hashes: hash the 4-slice of the signature per band
+      val banded = sig.select(col("doc_id"), posexplode(
+        array((0 until bands).map(bIdx =>
+          xxhash64(lit(bIdx) +: (0 until rows).map(r =>
+            element_at(col("sig"), bIdx * rows + r + 1)): _*)): _*)).as(Seq("band", "bandhash")))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bandhash") === col("y.bandhash")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+        .distinct()
+      // verify candidates with true jaccard over shingle sets
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("i"), col("shingle")), "i")
+        .join(sh.select(col("doc_id").as("j"), col("shingle").as("shingle_j")), "j")
+        .filter(col("shingle") === col("shingle_j"))
+        .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+      inter
+        .join(cnt.withColumnRenamed("doc_id", "i").withColumnRenamed("c", "ca"), "i")
+        .join(cnt.withColumnRenamed("doc_id", "j").withColumnRenamed("c", "cb"), "j")
+        .withColumn("jac", col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
+        .filter(col("jac") >= 0.5)
+        .select("i", "j", "jac")
+    },
+
+    // SimHash-64 near-dup: tf-weighted sign sketch over token hashes;
+    // hamming(simhash_i, simhash_j) <= 6 found via 4-block pigeonhole
+    // (any pair within distance 6 shares at least one exact 16-bit block).
+    QueryDef.noOracle("q_dedup_simhash") { (s, d) =>
+      val docs = documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .withColumn("h", xxhash64(col("tok")))
+      // weighted bit votes: for each bit b, sum(tf * (bit? +1 : -1))
+      val bitVotes = docs.select(col("doc_id"), col("tf"), col("h"),
+          explode(sequence(lit(0), lit(63))).as("bit"))
+        .withColumn("vote",
+          when(expr("shiftright(h, cast(bit as int)) & 1") === 1, col("tf"))
+            .otherwise(-col("tf")))
+        .groupBy("doc_id", "bit").agg(sum(col("vote")).as("v"))
+      val sim = bitVotes
+        .withColumn("bitval",
+          when(col("v") > 0, expr("shiftleft(1L, cast(bit as int))")).otherwise(0L))
+        .groupBy("doc_id").agg(sum(col("bitval")).as("simhash"))
+      // pigeonhole: 4 x 16-bit blocks; join on any equal block
+      val blocked = sim.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(blk =>
+          shiftright(col("simhash"), blk * 16).bitwiseAND(0xffffL)): _*)).as(Seq("blk", "blkval")))
+      blocked.as("x").join(blocked.as("y"),
+          col("x.blk") === col("y.blk") && col("x.blkval") === col("y.blkval")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+    }
+  )
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.QueryDef
+import graft.sources.Tables._
+
+/** Multimodal column plumbing: media as opaque `binary` + typed metadata,
+  * with decode / feature-extraction as a typed `mapPartitions` stage.
+  *
+  * The decode step is a clearly-marked deterministic STUB (no image/audio
+  * codecs in this container); everything around it — schema, encoders,
+  * partition-batched iteration, column pruning before the opaque stage —
+  * is the real production shape. Swap `decodeStub` for a real codec and
+  * nothing else changes.
+  *
+  * Scale notes: the binary column is projected as late as possible; the
+  * mapPartitions stage is narrow (no shuffle) and batch-friendly; feature
+  * rows (small, fixed-width) are what flows into downstream joins.
+  */
+object Multimodal {
+
+  /** binary payload + typed metadata (the multimodal "asset" row) */
+  final case class Asset(asset_id: Long, modality: String, data: Array[Byte])
+
+  /** fixed-width features extracted from the payload */
+  final case class MediaFeatures(asset_id: Long, modality: String,
+      n_bytes: Int, checksum: Long, width: Int, height: Int, frame: String)
+
+  /** Build the asset table: documents' text bytes stand in for media blobs;
+    * modality is derived deterministically so the oracle can reproduce it. */
+  def assets(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3).cast("int") + 1).as("modality"),
+      encode(col("text"), "UTF-8").as("data"))
+
+  /** STUB decode: a real implementation would parse the codec here. The
+    * fake derives every feature from the raw bytes deterministically. */
+  private def decodeStub(a: Asset): MediaFeatures = {
+    var sum = 0L
+    var i = 0
+    while (i < a.data.length) { sum += a.data(i) & 0xff; i += 1 }
+    MediaFeatures(
+      asset_id = a.asset_id,
+      modality = a.modality,
+      n_bytes = a.data.length,
+      checksum = sum,
+      width = (sum % 640).toInt + 1,
+      height = (sum % 480).toInt + 1,
+      frame = new String(a.data.take(8), "UTF-8"))
+  }
+
+  /** The typed decode stage: partition-batched, no shuffle. */
+  def extractFeatures(assets: DataFrame): DataFrame = {
+    val s = assets.sparkSession
+    import s.implicits._
+    assets.as[Asset].mapPartitions(_.map(decodeStub)).toDF()
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_multimodal_features",
+      """SELECT doc_id AS asset_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(length(text) AS INT) AS n_bytes,
+        |  CAST(list_sum(list_transform(split(text, ''), x -> unicode(x))) AS BIGINT) AS checksum,
+        |  CAST(CAST(list_sum(list_transform(split(text, ''), x -> unicode(x))) AS BIGINT) % 640 + 1 AS INT) AS width,
+        |  CAST(CAST(list_sum(list_transform(split(text, ''), x -> unicode(x))) AS BIGINT) % 480 + 1 AS INT) AS height,
+        |  substring(text, 1, 8) AS frame
+        |FROM documents
+        |""".stripMargin) { (s, d) => extractFeatures(assets(s, d)) }
+  )
+}
