@@ -31,8 +31,17 @@ object VectorFunctions {
         (x, i) => x * ((pmod(xxhash64(lit(j), i), lit(1001)) - 500).cast("double") / 500.0)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** sign-LSH bucket id from `bits` hyperplanes (bit j = sign(v . plane_j)) */
-  def lshBucket(v: Column, bits: Int): Column =
-    (0 until bits).map(j => when(planeDot(v, j) > 0, 1L << j).otherwise(0L))
+  /** sign-LSH bucket id from `bits` hyperplanes (bit j = sign(v . plane_j));
+    * `seedBase` shifts the plane family so several independent hash tables
+    * can be built (multi-table LSH = the recall lever). */
+  def lshBucket(v: Column, bits: Int, seedBase: Int = 0): Column =
+    (0 until bits).map(j => when(planeDot(v, seedBase + j) > 0, 1L << j).otherwise(0L))
       .reduce(_ + _)
+
+  /** One row per (table, bucket) membership: multi-table sign-LSH.
+    * Candidates = rows sharing (table, bucket) in ANY of the `tables`
+    * independent tables; P(candidate) = 1 - (1 - p^bits)^tables. */
+  def lshTables(v: Column, bits: Int, tables: Int): Column =
+    explode(array((0 until tables).map(t =>
+      struct(lit(t).as("t"), lshBucket(v, bits, t * bits).as("b"))): _*))
 }

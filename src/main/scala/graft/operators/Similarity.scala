@@ -45,19 +45,23 @@ object Similarity {
         .filter(col("rnk") <= kNeighbors)
     },
 
-    // ANN: score only same-bucket candidates. 6 hyperplane bits -> 64
-    // buckets; at 100 TB the bucket id is the shuffle key and each bucket
-    // is a small fraction of the corpus.
+    // ANN: multi-table sign-LSH (4 tables x 3 bits — coarse buckets since
+    // the synthetic vectors are near-random; clustered real embeddings
+    // would support more bits per table). Candidates = same
+    // (table, bucket) in any table — P(hit) = 1-(1-p^4)^3 per neighbor.
+    // At 100 TB the (table, bucket) pair is the shuffle key; each bucket
+    // holds ~corpus/2^bits rows and only candidates get scored.
     QueryDef.noOracle("q_knn_lsh") { (s, d) =>
-      val bits = 6
+      val (bits, tables) = (3, 4)
       val emb = embeddings(s, d)
-        .withColumn("bucket", lshBucket(col("embedding"), bits))
+        .withColumn("tb", lshTables(col("embedding"), bits, tables))
       val queries = emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("tb"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-      emb.select(col("vec_id").as("n_id"), col("embedding"), col("bucket"))
-        .join(broadcast(queries), Seq("bucket"))
+      emb.select(col("vec_id").as("n_id"), col("embedding"), col("tb"))
+        .join(broadcast(queries), Seq("tb"))
         .filter(col("n_id") =!= col("q_id"))
+        .dropDuplicates("q_id", "n_id")
         .withColumn("cos", cosine(col("q_emb"), col("embedding")))
         .select(col("q_id"), col("n_id"), row_number().over(w).as("rnk"))
         .filter(col("rnk") <= kNeighbors)

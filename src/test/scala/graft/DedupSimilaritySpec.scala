@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity: sketch-based candidates vs exact ground truth. */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash-verified pairs are exactly the high-jaccard pairs it can see") {
+    // every pair minhash reports passed an EXACT jaccard >= 0.5 verify, so
+    // it must be a subset of the exhaustive jaccard query's pairs ignoring
+    // the latter's lang/band candidate restriction
+    val mh = q("q_dedup_minhash").select("i", "j")
+      .as[(Long, Long)].collect().toSet
+    val shingleSets = graft.operators.Dedup.shingles(spark, sf)
+      .select("doc_id", "shingle").as[(Long, String)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    mh.foreach { case (i, j) =>
+      val (a, b) = (shingleSets(i), shingleSets(j))
+      val jac = a.intersect(b).size.toDouble / a.union(b).size
+      assert(jac >= 0.5, s"pair ($i,$j) jac=$jac below verify bar")
+    }
+  }
+
+  test("exact-jaccard query pairs are symmetric-free and above threshold") {
+    val rows = q("q_dedup_ngram_jaccard").collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.5)
+    }
+  }
+
+  test("simhash pairs have hamming <= 6 and i < j") {
+    q("q_dedup_simhash").collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) <= 6)
+    }
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq((1L, Array(0.5f, -0.25f, 0.125f))).toDF("id", "v")
+    val c = df.select(VectorFunctions.cosine(col("v"), col("v"))).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("LSH ANN hits a positive recall vs brute force") {
+    val brute = q("q_knn_brute").select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val lsh = q("q_knn_lsh").select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty)
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.2, s"recall $recall")
+  }
+
+  test("exact dedup: sum of copies = total docs") {
+    val total = q("q_dedup_exact").agg(sum("n_copies")).as[Long].head()
+    assert(total == graft.sources.Tables.documents(spark, sf).count())
+  }
+}

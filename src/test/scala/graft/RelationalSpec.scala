@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-query invariants on sf0.001 — independent of the DuckDB oracle. */
+class RelationalSpec extends SparkSpec {
+
+  test("entry (flagship wordcount) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("semi + anti partition the customer set") {
+    val semi = q("q_join_semi").count()
+    val anti = q("q_join_anti").count()
+    val all = graft.sources.Tables.customer(spark, sf).count()
+    assert(semi + anti == all)
+  }
+
+  test("rollup = grouped + per-flag subtotals + grand total") {
+    val grouped = q("q_agg_pricing_summary").count()         // 6 groups
+    val flags = q("q_agg_pricing_summary").select("l_returnflag").distinct().count()
+    assert(q("q_agg_rollup").count() == grouped + flags + 1)
+  }
+
+  test("cube row count = groups + both margins + total") {
+    val o = graft.sources.Tables.orders(spark, sf)
+    val st = o.select("o_orderstatus").distinct().count()
+    val pr = o.select("o_orderpriority").distinct().count()
+    val both = o.select("o_orderstatus", "o_orderpriority").distinct().count()
+    assert(q("q_agg_cube").count() == both + st + pr + 1)
+  }
+
+  test("set identities: |union| >= |intersect|; except disjoint from semi") {
+    assert(q("q_set_union").count() >= q("q_set_intersect").count())
+    val exceptKeys = q("q_set_except").collect().map(_.getLong(0)).toSet
+    val semiKeys = q("q_join_semi").collect().map(_.getLong(0)).toSet
+    assert(exceptKeys.intersect(semiKeys).isEmpty)
+  }
+
+  test("window top-k: rn bounded and per-group ordered") {
+    val rows = q("q_window_topk")
+      .select("l_suppkey", "rn", "l_extendedprice").collect()
+    assert(rows.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 3))
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRn = rs.sortBy(_.getInt(1)).map(_.getDouble(2))
+      assert(byRn.zip(byRn.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("sort_limit is the true global top-10 by price") {
+    val got = q("q_sort_limit").collect().map(_.getDouble(1))
+    val want = graft.sources.Tables.orders(spark, sf)
+      .select("o_totalprice").collect().map(_.getDouble(0))
+      .sorted(Ordering[Double].reverse).take(10)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("interval join rows all satisfy the 5-minute bound") {
+    // re-derive bound satisfaction from the ids by joining back to events
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"))
+    val pairs = q("q_join_interval")
+      .join(ev.withColumnRenamed("event_id", "a_id").withColumnRenamed("ts", "ta"), "a_id")
+      .join(ev.withColumnRenamed("event_id", "b_id").withColumnRenamed("ts", "tb"), "b_id")
+      .select(unix_micros(col("tb")) - unix_micros(col("ta")))
+      .collect().map(_.getLong(0))
+    assert(pairs.nonEmpty && pairs.forall(dt => dt > 0 && dt <= 300000000L))
+  }
+}
