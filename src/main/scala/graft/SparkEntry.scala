@@ -16,6 +16,7 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     operators.Parity.defs ++
       operators.Relational.defs ++
+      operators.Aggregates.defs ++
       operators.Windows.defs ++
       operators.EventsOps.defs ++
       functions.Scalars.defs ++

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.Column
+import graft.QueryDef
+import graft.sources.Tables._
+
+/** Advanced aggregation coverage: grouping sets, ordered collections,
+  * exact percentiles, argmax, moment statistics. The reference's only
+  * aggregate is the generic pairwise fold (`utilities.py:170-185`); these
+  * are the library aggregates a user would expect on top.
+  */
+object Aggregates {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_agg_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(CAST(l_quantity AS DECIMAL(38,10))) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(38, 10))).as("sum_qty"))
+    },
+
+    // Ordered collection aggregates: sort_array makes collect_set/list
+    // deterministic (bare collect_* order is partitioning-dependent).
+    QueryDef(
+      "q_agg_collect",
+      """SELECT c_nationkey, list_sort(list_distinct(list(c_mktsegment))) AS segments,
+        |  string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS seg_csv
+        |FROM customer GROUP BY c_nationkey
+        |""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(
+          sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+          concat_ws(",", sort_array(collect_list(col("c_mktsegment")))).as("seg_csv"))
+    },
+
+    // Exact interpolating median/percentiles (Spark `percentile` ==
+    // DuckDB `quantile_cont` on doubles).
+    QueryDef(
+      "q_agg_median",
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS med_qty,
+        |  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag
+        |""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("med_qty"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
+    },
+
+    // Argmax via max(struct(ord, value)) — deterministic under ties
+    // (custkey tie-break), one aggregation, no window shuffle.
+    QueryDef(
+      "q_agg_argmax",
+      """SELECT c_nationkey, c_custkey AS top_cust, c_acctbal AS top_bal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+        |  FROM customer) t WHERE rn = 1
+        |""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(max(struct(col("c_acctbal"), col("c_custkey"))).as("m"))
+        .select(col("c_nationkey"),
+          col("m.c_custkey").as("top_cust"), col("m.c_acctbal").as("top_bal"))
+    },
+
+    // Moment statistics, floor-scaled to integer micro-units so the two
+    // engines' accumulation-order ulp noise can't break the compare.
+    QueryDef(
+      "q_agg_stats_moments",
+      """SELECT l_returnflag,
+        |  CAST(floor(stddev_samp(l_quantity) * 1000000) AS BIGINT) AS stddev_qty_u,
+        |  CAST(floor(var_samp(l_quantity) * 1000000) AS BIGINT) AS var_qty_u,
+        |  CAST(floor(corr(l_quantity, l_extendedprice) * 1000000) AS BIGINT) AS corr_u
+        |FROM lineitem GROUP BY l_returnflag
+        |""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          floor(stddev_samp(col("l_quantity")) * 1000000).as("stddev_qty_u"),
+          floor(var_samp(col("l_quantity")) * 1000000).as("var_qty_u"),
+          floor(corr(col("l_quantity"), col("l_extendedprice")) * 1000000).as("corr_u"))
+    }
+  )
+}
