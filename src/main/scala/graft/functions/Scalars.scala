@@ -103,6 +103,28 @@ object Scalars {
           sum(col("value").cast("decimal(38,10)")).as("sum_value"))
     },
 
+    // Map construction + access: per-user event-type -> count map built
+    // from sorted entries (deterministic), then key lookup + cardinality.
+    QueryDef(
+      "q_scalar_map",
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(cardinality(map(list(event_type ORDER BY event_type),
+        |                       list(n ORDER BY event_type))) AS INT) AS n_types,
+        |  map(list(event_type ORDER BY event_type),
+        |      list(n ORDER BY event_type))['click'][1] AS clicks
+        |FROM c GROUP BY user_id
+        |""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(map_from_entries(array_sort(collect_list(struct(col("event_type"), col("n")))))
+          .as("m"))
+        .select(col("user_id"), size(col("m")).as("n_types"),
+          element_at(col("m"), "click").as("clicks"))
+    },
+
     QueryDef(
       "q_scalar_case",
       """SELECT CASE WHEN o_totalprice < 100000 THEN 'small'

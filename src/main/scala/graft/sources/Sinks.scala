@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Sink layer. The reference writes per-(datanode, partition) `repr` text
+  * files (`utilities.py:164-167`, `datanode.py:105-106`); the engine's
+  * durable format is Parquet, partitioned by a semantic column when the
+  * downstream reads are partition-pruned.
+  *
+  * Scale notes: `partitionBy` on a low-cardinality column gives pruned
+  * reads at 100 TB; `maxRecordsPerFile` caps file sizes; writers are
+  * task-parallel (one file per task per partition value).
+  */
+object Sinks {
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Hive-style partitioned layout, the engine's analog of the
+    * reference's `partition_<id>` output dirs. */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String],
+      maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(cols: _*)
+      .parquet(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+}
