@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Parity.defs ++
       operators.Relational.defs ++
       operators.Aggregates.defs ++
+      operators.TopK.defs ++
       operators.Windows.defs ++
       operators.EventsOps.defs ++
       functions.Scalars.defs ++

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.SkewJoin
+import graft.sources.Tables
+import graft.streaming.StatefulSessionize
+import org.apache.spark.sql.functions._
+
+/** Scale-path operators: salted join equivalence, typed top-k vs window
+  * top-k, stateful streaming sessionization across real micro-batches. */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join == plain join (inner, with duplicates on both sides)") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select("l_orderkey", "l_partkey", "o_totalprice")
+    val salted = SkewJoin.saltedJoin(li, o, "l_orderkey", "o_orderkey", salts = 7)
+      .select("l_orderkey", "l_partkey", "o_totalprice")
+    assert(plain.count() == salted.count())
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
+  test("typed top-k aggregator == window top-k") {
+    val viaAgg = q("q_topk_aggregator").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4))).toSet
+    val viaWindow = q("q_window_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("stateful sessionize: state carries across micro-batches, matches batch replay") {
+    val gapUs = 4L * 3600 * 1000000 // 4h
+    // events as (user_id, event_id, ts_us), split into 2 time-ordered files
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, Long)].collect().sortBy(e => (e._3, e._2))
+    val mid = ev(ev.length / 2)._3
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    ev.filter(_._3 <= mid).toSeq.toDF("user_id", "event_id", "ts_us")
+      .coalesce(1).write.parquet(s"$dir/batch=0")
+    ev.filter(_._3 > mid).toSeq.toDF("user_id", "event_id", "ts_us")
+      .coalesce(1).write.parquet(s"$dir/batch=1")
+    // flatten into one dir of two files (the stream reads files in order)
+    val flat = java.nio.file.Files.createTempDirectory("graft_sess_flat").toString
+    Seq(0, 1).foreach { b =>
+      val src = new java.io.File(s"$dir/batch=$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = java.nio.file.Paths.get(flat, f"part-$b%05d.parquet")
+      java.nio.file.Files.copy(src, dst)
+      // the file source replays in mod-time order; force batch 0 < batch 1
+      dst.toFile.setLastModified(1000000000000L + b * 60000L)
+    }
+
+    val got = StatefulSessionize.closedSessions(spark, flat, gapUs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    // expected: sessionize the full sorted list per user, drop each user's
+    // trailing (still-open) session
+    val want = ev.groupBy(_._1).flatMap { case (uid, evs) =>
+      val ts = evs.sortBy(e => (e._3, e._2)).map(_._3)
+      val sessions = ts.foldLeft(Vector.empty[Vector[Long]]) { (acc, t) =>
+        if (acc.isEmpty || t - acc.last.last > gapUs) acc :+ Vector(t)
+        else acc.init :+ (acc.last :+ t)
+      }
+      sessions.dropRight(1).zipWithIndex.map { case (sess, i) =>
+        (uid, (i + 1).toLong, sess.size.toLong, sess.head)
+      }
+    }.toSet
+    assert(got == want,
+      s"\nonly-got=${(got -- want).toSeq.sortBy(t => (t._1, t._2)).take(6)}" +
+        s"\nonly-want=${(want -- got).toSeq.sortBy(t => (t._1, t._2)).take(6)}")
+    assert(got.nonEmpty)
+  }
+}
