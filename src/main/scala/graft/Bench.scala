@@ -21,7 +21,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // untimed warm-up: one scan per table
+    // untimed warm-up: one scan per table (page cache + footers)
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
@@ -29,6 +29,21 @@ object Bench {
     }
     try graft.sources.Tables.events(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // untimed warm-up: JIT/codegen for agg + window + join shapes, so the
+    // first timed query doesn't absorb ~10 s of compiler cold start
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val r = spark.range(200000)
+        .select(col("id"), (col("id") % 7).as("k"), (col("id") % 1000).cast("double").as("v"))
+      r.groupBy("k").agg(sum(col("v").cast("decimal(38,10)")), count(lit(1)),
+        countDistinct(col("v"))).collect()
+      r.select(col("k"), row_number().over(
+        Window.partitionBy("k").orderBy(col("id"))).as("rn"))
+        .agg(max("rn")).collect()
+      r.join(broadcast(r.limit(100).withColumnRenamed("id", "id2")),
+        col("k") === col("id2") % 7).count()
+    } catch { case _: Throwable => () }
 
     val results = SparkEntry.defs.filter(_.bench).map { qd =>
       val t0 = System.nanoTime()

@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Relational.defs ++
       operators.Aggregates.defs ++
       operators.TopK.defs ++
+      operators.SqlSurface.defs ++
       operators.Windows.defs ++
       operators.EventsOps.defs ++
       functions.Scalars.defs ++

@@ -57,6 +57,11 @@ object AsciiSum {
   def asciiSum(c: Column): Column =
     Bridge.column(AsciiSum(Bridge.expression(c)))
 
+  /** expose to the SQL surface: SELECT graft_asciisum(word) */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_asciisum", exprs => AsciiSum(exprs.head), "built-in")
+
   /** Reference partition id: asciiSum(key) mod `partitions`
     * (`utilities.py:51-63`; `partition_number=100` per `config.py:25-27`). */
   def parityPartition(c: Column, partitions: Int = 100): Column =

@@ -139,17 +139,17 @@ object Dedup {
         .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         .withColumn("h", xxhash64(col("tok")))
-      // weighted bit votes: for each bit b, sum(tf * (bit? +1 : -1))
-      val bitVotes = docs.select(col("doc_id"), col("tf"), col("h"),
-          explode(sequence(lit(0), lit(63))).as("bit"))
-        .withColumn("vote",
-          when(expr("shiftright(h, cast(bit as int)) & 1") === 1, col("tf"))
-            .otherwise(-col("tf")))
-        .groupBy("doc_id", "bit").agg(sum(col("vote")).as("v"))
-      val sim = bitVotes
-        .withColumn("bitval",
-          when(col("v") > 0, expr("shiftleft(1L, cast(bit as int))")).otherwise(0L))
-        .groupBy("doc_id").agg(sum(col("bitval")).as("simhash"))
+      // weighted bit votes as 64 aggregate columns — one groupBy over the
+      // token rows, no 64x row explosion (a 64x shuffle at 100 TB).
+      val voteCols = (0 until 64).map(b =>
+        sum(when(expr(s"shiftright(h, $b) & 1") === 1, col("tf"))
+          .otherwise(-col("tf"))).as(s"v$b"))
+      val sim = docs.groupBy("doc_id")
+        .agg(voteCols.head, voteCols.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(b =>
+            when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
       // pigeonhole: 4 x 16-bit blocks; join on any equal block
       val blocked = sim.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(blk =>

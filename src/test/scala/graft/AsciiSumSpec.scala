@@ -30,6 +30,12 @@ class AsciiSumSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("asciiSum is callable from the SQL surface after register()") {
+    AsciiSum.register(spark)
+    val got = spark.sql("SELECT graft_asciisum('abc') AS s").as[Int].head()
+    assert(got == refAsciiSum("abc"))
+  }
+
   test("asciiSum survives both codegen and interpreted paths") {
     // wholestage off forces the interpreted/eval path
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
