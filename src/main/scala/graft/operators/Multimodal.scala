@@ -59,6 +59,27 @@ object Multimodal {
     assets.as[Asset].mapPartitions(_.map(decodeStub)).toDF()
   }
 
+  /** a sampled "frame" (byte window) of an asset's payload */
+  final case class Frame(asset_id: Long, frame_no: Int, frame: String)
+
+  /** Frame sampling: up to `maxFrames` fixed-stride byte windows per
+    * asset — the video-frame / audio-chunk sampling shape. Row-multiplying
+    * flatMap, still narrow (no shuffle); a real codec would emit decoded
+    * frames here instead of byte windows. */
+  def sampleFrames(assets: DataFrame, frameBytes: Int = 16, maxFrames: Int = 3): DataFrame = {
+    val s = assets.sparkSession
+    import s.implicits._
+    assets.as[Asset].flatMap { a =>
+      (1 to maxFrames).iterator
+        .filter(i => (i - 1) * frameBytes < a.data.length)
+        .map { i =>
+          val from = (i - 1) * frameBytes
+          val until = math.min(from + frameBytes, a.data.length)
+          Frame(a.asset_id, i, new String(a.data.slice(from, until), "UTF-8"))
+        }
+    }.toDF()
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_multimodal_features",
@@ -70,6 +91,14 @@ object Multimodal {
         |  CAST(CAST(list_sum(list_transform(split(text, ''), x -> unicode(x))) AS BIGINT) % 480 + 1 AS INT) AS height,
         |  substring(text, 1, 8) AS frame
         |FROM documents
-        |""".stripMargin) { (s, d) => extractFeatures(assets(s, d)) }
+        |""".stripMargin) { (s, d) => extractFeatures(assets(s, d)) },
+
+    QueryDef(
+      "q_multimodal_frames",
+      """SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_no,
+        |  substring(text, (i - 1) * 16 + 1, 16) AS frame
+        |FROM documents, unnest([1, 2, 3]) AS t(i)
+        |WHERE (i - 1) * 16 < length(text)
+        |""".stripMargin) { (s, d) => sampleFrames(assets(s, d)) }
   )
 }

@@ -5,8 +5,14 @@ import graft.sources.Tables
 
 /** The engine's SQL entry point: the same plans are reachable through
   * `spark.sql` over registered views — demonstrating that every operator
-  * family is SQL-surfaced, not only DataFrame-surfaced. */
+  * family is SQL-surfaced, not only DataFrame-surfaced. Thresholds built
+  * from averages use `decimal_sum :: double / count` so both engines
+  * compute the identical double (a bare avg() can differ in the last ulp
+  * and flip boundary rows). */
 object SqlSurface {
+
+  private def views(s: org.apache.spark.sql.SparkSession, d: String, ts: String*): Unit =
+    ts.foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -19,9 +25,7 @@ object SqlSurface {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |""".stripMargin) { (s, d) =>
-      Seq("lineitem", "orders", "customer", "nation").foreach { t =>
-        Tables.table(s, d, t).createOrReplaceTempView(t)
-      }
+      views(s, d, "lineitem", "orders", "customer", "nation")
       s.sql(
         """SELECT n_name,
           |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS revenue,
@@ -31,6 +35,40 @@ object SqlSurface {
           |JOIN customer ON o_custkey = c_custkey
           |JOIN nation ON c_nationkey = n_nationkey
           |GROUP BY n_name
+          |""".stripMargin)
+    },
+
+    // Scalar subquery: Catalyst evaluates the uncorrelated subquery once
+    // and broadcasts the scalar — no per-row re-evaluation.
+    QueryDef(
+      "q_sql_scalar_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 2 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE)
+        |                                 / count(*) FROM orders)
+        |""".stripMargin) { (s, d) =>
+      views(s, d, "orders")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice > 2 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE)
+          |                                 / count(*) FROM orders)
+          |""".stripMargin)
+    },
+
+    // Correlated subquery: decorrelated by Catalyst into aggregate + join
+    // (no nested-loop re-execution per outer row).
+    QueryDef(
+      "q_sql_correlated_subquery",
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE c_acctbal > 2 * (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
+        |                              / count(*)
+        |                       FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |""".stripMargin) { (s, d) =>
+      views(s, d, "customer")
+      s.sql(
+        """SELECT c_custkey, c_acctbal FROM customer c
+          |WHERE c_acctbal > 2 * (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
+          |                              / count(*)
+          |                       FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
           |""".stripMargin)
     }
   )

@@ -1,0 +1,78 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+
+/** The plans we'd want at 100 TB, asserted — not eyeballed.
+  * (Pushdown/pruning/broadcast/partial-agg shapes from the builder spec.) */
+class PlanShapeSpec extends SparkSpec {
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    df.collect() // materialize so AQE finalizes
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def planString(name: String): String =
+    executedPlan(q(name)).toString
+
+  test("scan query pushes filters and prunes columns at the parquet scan") {
+    val p = planString("q_scan_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)")
+      || p.contains("PushedFilters: ["), p)
+    assert(!p.contains("l_tax"), "unused column not pruned:\n" + p)
+  }
+
+  test("dim-dim join is a broadcast hash join") {
+    val p = planString("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("aggregations run partial before the exchange") {
+    // AQE query-stage wrappers hide children from collect(); assert on the
+    // rendered plan: a partial_sum below the Exchange, a final agg above
+    val p = planString("q_agg_pricing_summary")
+    assert(p.contains("partial_sum"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.indexOf("partial_sum") > p.indexOf("Exchange"),
+      "partial agg should be below the exchange:\n" + p)
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = planString("q_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("bucketed co-located join needs no shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    // a previous JVM's in-memory catalog leaves orphan dirs behind
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("li_b", "o_b").foreach { t =>
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => p.toFile.delete())
+      }
+    }
+    Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_b")
+    val joined = spark.table("li_b")
+      .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+    val plan = executedPlan(joined)
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.isEmpty,
+      "bucketed join should not shuffle:\n" + plan)
+    assert(joined.count() == Tables.lineitem(spark, sf).count())
+  }
+}
