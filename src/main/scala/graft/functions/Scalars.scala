@@ -103,6 +103,24 @@ object Scalars {
           sum(col("value").cast("decimal(38,10)")).as("sum_value"))
     },
 
+    // Null semantics: nullif/coalesce/null-safe equality/IS NULL.
+    QueryDef(
+      "q_scalar_nulls",
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'O') AS status_or_null,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+        |  (nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL) AS is_open_nullsafe,
+        |  (nullif(o_orderstatus, 'O') IS NULL) AS is_open_isnull
+        |FROM orders
+        |""".stripMargin) { (s, d) =>
+      orders(s, d).select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_filled"),
+        (nullif(col("o_orderstatus"), lit("O")) <=> lit(null)).as("is_open_nullsafe"),
+        nullif(col("o_orderstatus"), lit("O")).isNull.as("is_open_isnull"))
+    },
+
     // Map construction + access: per-user event-type -> count map built
     // from sorted entries (deterministic), then key lookup + cardinality.
     QueryDef(

@@ -86,6 +86,35 @@ object Windows {
           sum(dec(col("value"))).over(w).as("running_value"))
     },
 
+    // RANGE frame over event-time micros (value-based, peer-inclusive),
+    // ntile quartiles, first/nth value — the remaining window surface.
+    QueryDef(
+      "q_window_advanced",
+      """SELECT event_id, user_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour,
+        |  CAST(ntile(4) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS INT) AS qtile,
+        |  first_value(event_id) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_id,
+        |  nth_value(event_id, 2) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_id
+        |FROM events
+        |""".stripMargin) { (s, d) =>
+      val byTime = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val rowsAll = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rangeHour = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0)
+      events(s, d).select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(rangeHour).as("n_last_hour"),
+        ntile(4).over(byTime).as("qtile"),
+        first(col("event_id")).over(rowsAll).as("first_id"),
+        nth_value(col("event_id"), 2).over(rowsAll).as("second_id"))
+    },
+
     // Sliding ROWS frame: 3-event moving count per user (exact, bounded).
     QueryDef(
       "q_window_moving_frame",
