@@ -117,6 +117,24 @@ object EventsOps {
           col("n"), col("sum_value"))
     },
 
+    // Sliding 2h window every 1h: each event lands in two overlapping
+    // windows (the oracle states the same thing as an explicit 2-element
+    // unnest of window starts).
+    QueryDef(
+      "q_events_sliding",
+      """SELECT ws, event_type, count(*) AS n FROM (
+        |  SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)),
+        |                 date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR]) AS ws,
+        |    event_type
+        |  FROM events) t
+        |GROUP BY ws, event_type
+        |""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    },
+
     // Pivot: event counts per user x fixed event-type set. Explicit value
     // list keeps the output schema static (required at scale — no extra
     // pass to discover distinct values) and matches the oracle's columns.
