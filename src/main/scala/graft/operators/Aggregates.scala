@@ -22,12 +22,16 @@ object Aggregates {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
         |""".stripMargin) { (s, d) =>
+      // two-phase: pre-aggregate to base groups, then expand (see
+      // q_agg_rollup — avoids the Expand row-multiplication over the fact)
       lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("pn"),
+          sum(col("l_quantity").cast(DecimalType(38, 10))).as("ps"))
         .groupingSets(
           Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus")), Seq()),
           col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(DecimalType(38, 10))).as("sum_qty"))
+        .agg(sum(col("pn")).as("n"), sum(col("ps")).as("sum_qty"))
     },
 
     // Ordered collection aggregates: sort_array makes collect_set/list

@@ -110,6 +110,11 @@ object Relational {
           countDistinct(col("l_partkey")).as("n_parts"))
     },
 
+    // Rollup/cube run two-phase: pre-aggregate to the (few) base groups,
+    // THEN expand. Naively, Expand multiplies every fact row by the number
+    // of grouping sets before the partial agg — at 100 TB that's a 3-4x
+    // scan amplification; after pre-aggregation it expands 6-15 rows.
+    // Decimal sums and counts compose exactly, so results are identical.
     QueryDef(
       "q_agg_rollup",
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -117,8 +122,10 @@ object Relational {
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |""".stripMargin) { (s, d) =>
       lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("pn"), sum(dec(col("l_quantity"))).as("ps"))
         .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("sum_qty"))
+        .agg(sum(col("pn")).as("n"), sum(col("ps")).as("sum_qty"))
     },
 
     QueryDef(
@@ -127,8 +134,10 @@ object Relational {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |""".stripMargin) { (s, d) =>
       orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("pn"))
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("pn")).as("n"))
     },
 
     // HLL sketch differs between engines by design -> rows-only check.
