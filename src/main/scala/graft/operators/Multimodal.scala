@@ -80,6 +80,25 @@ object Multimodal {
     }.toDF()
   }
 
+  /** STUB resize: byte-stride downsampling stands in for image resize —
+    * a real codec would decode, scale, re-encode. Keeps the byte-in/
+    * byte-out narrow-transform shape. */
+  def resizeStub(data: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((data.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = data(i * factor); i += 1 }
+    out
+  }
+
+  /** Resize stage over the asset table (typed, narrow, no shuffle). */
+  def resizeAssets(assets: DataFrame, factor: Int): DataFrame = {
+    val s = assets.sparkSession
+    import s.implicits._
+    assets.as[Asset]
+      .mapPartitions(_.map(a => a.copy(data = resizeStub(a.data, factor))))
+      .toDF()
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_multimodal_features",

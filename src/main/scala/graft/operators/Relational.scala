@@ -219,6 +219,20 @@ object Relational {
           sum(dec(col("o_totalprice"))).as("sum_price"))
     },
 
+    // Pure theta join (no equi component) — plans as BroadcastNestedLoop
+    // with the 10-row supplier side broadcast; the only join shape where
+    // NLJ is the right answer (tiny side, non-equi predicate).
+    QueryDef(
+      "q_join_theta",
+      """SELECT n_nationkey, s_suppkey FROM nation JOIN supplier
+        |  ON s_nationkey < n_nationkey AND n_nationkey - s_nationkey <= 2
+        |""".stripMargin) { (s, d) =>
+      nation(s, d).join(broadcast(supplier(s, d)),
+          col("s_nationkey") < col("n_nationkey")
+            && col("n_nationkey") - col("s_nationkey") <= 2)
+        .select("n_nationkey", "s_suppkey")
+    },
+
     // ---- sorts / limits / top-k -------------------------------------
     // Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps,
     // only k rows reach the driver, no full sort at 100 TB.

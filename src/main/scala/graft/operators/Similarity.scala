@@ -67,6 +67,23 @@ object Similarity {
         .filter(col("rnk") <= kNeighbors)
     },
 
+    // IVF-style ANN: the label column is the coarse-quantizer cell (in a
+    // real IVF the cell comes from a k-means codebook; the synthetic data
+    // ships cluster ids). Search only the query's cell — the inverted-list
+    // shape: shuffle key = cell id, each probe scans corpus/cells rows.
+    QueryDef.noOracle("q_knn_ivf") { (s, d) =>
+      val emb = embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("label"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+      emb.select(col("vec_id").as("n_id"), col("embedding"), col("label"))
+        .join(broadcast(queries), Seq("label"))
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+        .select(col("q_id"), col("n_id"), row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= kNeighbors)
+    },
+
     // Embedding-cosine near-dup: same-bucket pairs above a cosine bar.
     // (Threshold 0.4 — the synthetic vectors top out near 0.51 pairwise,
     // so a production-style 0.95 bar would make the operator vacuous.)

@@ -23,6 +23,16 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(feats.select("modality").distinct().count() == 3)
   }
 
+  test("resize stub halves payloads; frames cover payload prefixes") {
+    val resized = Multimodal.resizeAssets(Multimodal.assets(spark, sf), 2)
+    val lens = resized.select(length(col("data")).as("n")).as[Int].collect()
+    val orig = graft.sources.Tables.documents(spark, sf)
+      .select(length(col("text"))).as[Int].collect()
+    assert(lens.sorted.toSeq == orig.map(n => (n + 1) / 2).sorted.toSeq)
+    val frames = Multimodal.sampleFrames(Multimodal.assets(spark, sf))
+    assert(frames.groupBy("asset_id").count().agg(max("count")).as[Long].head() <= 3)
+  }
+
   test("streaming tumbling agg equals batch tumbling agg") {
     val stream = Streaming.tumblingStream(spark, sf)
       .select("window_start", "event_type", "n", "sum_value")
