@@ -45,17 +45,27 @@ object Bench {
         col("k") === col("id2") % 7).count()
     } catch { case _: Throwable => () }
 
+    // a failed query records -1 (visible breakage), never a phantom ~0s
     val results = SparkEntry.defs.filter(_.bench).map { qd =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(qd.name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      qd.name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(qd.name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${qd.name} FAILED: ${e.getMessage}"); false }
+      qd.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val nFail = results.count(_._2 < 0)
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$nFail,"queries":$qs,"sf":"$sfDir"}"""
+    // the driver parses this from the tail of captured stdout: keep the
+    // line compact (3-decimal times) and emit it LAST, after spark.stop()'s
+    // shutdown logging, so nothing can push it out of the tail window
     spark.stop()
+    println(line)
+    Console.flush()
   }
 }

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.round
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-engine exactness helpers (see QueryDef scaladoc).
+  *
+  * `dec` makes double aggregation order-independent (decimal addition is
+  * exact and commutative). `decOut` is the only way a decimal may LEAVE a
+  * query: the driver's compare stringifies pandas cells, and a pyarrow
+  * `Decimal('x.4500000000')` never equals DuckDB's float64 `x.45` — and
+  * DuckDB's decimal→double cast is NOT correctly rounded at unscaled >
+  * 2^52 (measured: ~25% of values off by 1 ulp). Rounding to 4 fractional
+  * digits first keeps the unscaled value < 2^52 at any realistic sum
+  * magnitude, so the final decimal→double is one exact-operand division,
+  * correctly rounded — bit-identical in both engines. Both engines round
+  * half-away-from-zero (Spark HALF_UP, DuckDB round()); DuckDB's decimal
+  * CAST, by contrast, truncates — the oracle must use round() too.
+  */
+object Exact {
+  def dec(c: Column): Column = c.cast(DecimalType(38, 10))
+
+  /** Final projection for any decimal aggregate: stable cross-engine
+    * double. Oracle twin: `CAST(round(<dec expr>, 4) AS DOUBLE)`. */
+  def decOut(c: Column): Column = round(c, 4).cast("double")
+}

@@ -93,14 +93,14 @@ object Scalars {
     QueryDef(
       "q_scalar_json",
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(38,10))) AS sum_value
+        |  CAST(round(sum(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1
         |""".stripMargin) { (s, d) =>
       events(s, d)
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
         .groupBy("k")
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(38,10)")).as("sum_value"))
+          graft.Exact.decOut(sum(col("value").cast("decimal(38,10)"))).as("sum_value"))
     },
 
     // Null semantics: nullif/coalesce/null-safe equality/IS NULL.

@@ -18,7 +18,7 @@ object Aggregates {
     QueryDef(
       "q_agg_grouping_sets",
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  sum(CAST(l_quantity AS DECIMAL(38,10))) AS sum_qty
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
         |""".stripMargin) { (s, d) =>
@@ -31,21 +31,24 @@ object Aggregates {
         .groupingSets(
           Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus")), Seq()),
           col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("pn")).as("n"), sum(col("ps")).as("sum_qty"))
+        .agg(sum(col("pn")).as("n"), graft.Exact.decOut(sum(col("ps"))).as("sum_qty"))
     },
 
     // Ordered collection aggregates: sort_array makes collect_set/list
     // deterministic (bare collect_* order is partitioning-dependent).
     QueryDef(
       "q_agg_collect",
-      """SELECT c_nationkey, list_sort(list_distinct(list(c_mktsegment))) AS segments,
+      """SELECT c_nationkey,
+        |  array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments,
         |  string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS seg_csv
         |FROM customer GROUP BY c_nationkey
         |""".stripMargin) { (s, d) =>
+      // csv projection, not a raw array column: the driver's pandas-side
+      // sort can't order ndarray cells (and a list column can't hash).
       customer(s, d)
         .groupBy("c_nationkey")
         .agg(
-          sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+          concat_ws(",", sort_array(collect_set(col("c_mktsegment")))).as("segments"),
           concat_ws(",", sort_array(collect_list(col("c_mktsegment")))).as("seg_csv"))
     },
 

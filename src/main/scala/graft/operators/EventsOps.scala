@@ -107,12 +107,12 @@ object EventsOps {
     QueryDef(
       "q_events_tumbling",
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
-        |  count(*) AS n, sum(CAST(value AS DECIMAL(38,10))) AS sum_value
+        |  count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2
         |""".stripMargin) { (s, d) =>
       events(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
+        .agg(count(lit(1)).as("n"), graft.Exact.decOut(sum(dec(col("value")))).as("sum_value"))
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n"), col("sum_value"))
     },

@@ -16,7 +16,10 @@ object Relational {
 
   /** double -> exact decimal: identical rounding in Spark and DuckDB, and
     * decimal addition is exact + commutative so aggregation order is moot. */
-  private def dec(c: Column): Column = c.cast(DecimalType(38, 10))
+  private def dec(c: Column): Column = graft.Exact.dec(c)
+
+  /** final projection of a decimal aggregate (see graft.Exact.decOut) */
+  private def decOut(c: Column): Column = graft.Exact.decOut(c)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -43,26 +46,26 @@ object Relational {
     QueryDef(
       "q_agg_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(38,10))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS sum_disc_price,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) / count(*) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |""".stripMargin) { (s, d) =>
       lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          decOut(sum(dec(col("l_quantity")))).as("sum_qty"),
+          decOut(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          decOut(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("sum_disc_price"),
+          (decOut(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
     },
 
     QueryDef(
       "q_agg_filtered_revenue",
-      """SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))) AS revenue
+      """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24
@@ -71,13 +74,13 @@ object Relational {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
           && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
           && col("l_discount").between(0.04, 0.08) && col("l_quantity") < 24)
-        .agg(sum(dec(col("l_extendedprice") * col("l_discount"))).as("revenue"))
+        .agg(decOut(sum(dec(col("l_extendedprice") * col("l_discount")))).as("revenue"))
     },
 
     QueryDef(
       "q_agg_multikey",
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(38,10))) AS sum_price,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_price,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderpriority, o_orderstatus
         |""".stripMargin) { (s, d) =>
@@ -85,7 +88,7 @@ object Relational {
         .groupBy("o_orderpriority", "o_orderstatus")
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).as("sum_price"),
+          decOut(sum(dec(col("o_totalprice")))).as("sum_price"),
           min("o_totalprice").as("min_price"),
           max("o_totalprice").as("max_price"))
     },
@@ -118,14 +121,14 @@ object Relational {
     QueryDef(
       "q_agg_rollup",
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  sum(CAST(l_quantity AS DECIMAL(38,10))) AS sum_qty
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |""".stripMargin) { (s, d) =>
       lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("pn"), sum(dec(col("l_quantity"))).as("ps"))
         .rollup("l_returnflag", "l_linestatus")
-        .agg(sum(col("pn")).as("n"), sum(col("ps")).as("sum_qty"))
+        .agg(sum(col("pn")).as("n"), decOut(sum(col("ps"))).as("sum_qty"))
     },
 
     QueryDef(
@@ -164,7 +167,7 @@ object Relational {
     QueryDef(
       "q_join_shuffle3",
       """SELECT o_orderkey, o_orderdate,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
@@ -177,7 +180,7 @@ object Relational {
         .join(lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .agg(decOut(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"))
     },
 
     QueryDef(
@@ -206,7 +209,7 @@ object Relational {
     QueryDef(
       "q_join_outer",
       """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(38,10))) AS sum_price
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_price
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey AND o_orderstatus = 'F'
         |GROUP BY c_custkey
         |""".stripMargin) { (s, d) =>
@@ -216,7 +219,7 @@ object Relational {
         .groupBy("c_custkey")
         .agg(
           count(col("o_orderkey")).as("n_orders"),
-          sum(dec(col("o_totalprice"))).as("sum_price"))
+          decOut(sum(dec(col("o_totalprice")))).as("sum_price"))
     },
 
     // Pure theta join (no equi component) — plans as BroadcastNestedLoop

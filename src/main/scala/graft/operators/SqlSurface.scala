@@ -17,7 +17,8 @@ object SqlSurface {
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_sql_revenue_by_nation",
-      """SELECT n_name, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS revenue,
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -28,7 +29,7 @@ object SqlSurface {
       views(s, d, "lineitem", "orders", "customer", "nation")
       s.sql(
         """SELECT n_name,
-          |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS revenue,
+          |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue,
           |  count(*) AS n_items
           |FROM lineitem
           |JOIN orders ON l_orderkey = o_orderkey

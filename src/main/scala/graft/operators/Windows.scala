@@ -74,16 +74,16 @@ object Windows {
     QueryDef(
       "q_window_running_sum",
       """SELECT event_id, user_id,
-        |  sum(CAST(value AS DECIMAL(38,10))) OVER (PARTITION BY user_id
+        |  CAST(round(sum(CAST(value AS DECIMAL(38,10))) OVER (PARTITION BY user_id
         |    ORDER BY ts ASC, event_id ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS running_value
         |FROM events
         |""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       events(s, d)
         .select(col("event_id"), col("user_id"),
-          sum(dec(col("value"))).over(w).as("running_value"))
+          graft.Exact.decOut(sum(dec(col("value"))).over(w)).as("running_value"))
     },
 
     // RANGE frame over event-time micros (value-based, peer-inclusive),

@@ -27,7 +27,8 @@ object Streaming {
       .option("pathGlobFilter", "events.parquet").parquet(d)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(38,10)")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.decOut(sum(col("value").cast("decimal(38,10)"))).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
     val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
@@ -39,7 +40,7 @@ object Streaming {
     QueryDef(
       "q_events_tumbling_stream",
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
-        |  count(*) AS n, sum(CAST(value AS DECIMAL(38,10))) AS sum_value
+        |  count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2
         |""".stripMargin) { (s, d) => tumblingStream(s, d) }
   )
