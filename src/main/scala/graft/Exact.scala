@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.round
+import org.apache.spark.sql.functions.{conv, md5, round, substring}
 import org.apache.spark.sql.types.DecimalType
 
 /** Cross-engine exactness helpers (see QueryDef scaladoc).
@@ -24,4 +24,13 @@ object Exact {
   /** Final projection for any decimal aggregate: stable cross-engine
     * double. Oracle twin: `CAST(round(<dec expr>, 4) AS DOUBLE)`. */
   def decOut(c: Column): Column = round(c, 4).cast("double")
+
+  /** Portable 60-bit hash: the first 15 hex chars of md5, as a positive
+    * BIGINT. The sketch operators (minhash / simhash / sign-LSH) hang off
+    * this instead of xxhash64 so the DuckDB oracle can mirror candidate
+    * generation exactly: `('0x' || substr(md5(s), 1, 15))::BIGINT`.
+    * 60 bits keeps the value positive in a signed 64-bit long on both
+    * sides (and `% m` == pmod for positive inputs). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 }

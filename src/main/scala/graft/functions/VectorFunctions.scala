@@ -23,12 +23,15 @@ object VectorFunctions {
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
   /** Deterministic pseudo-random hyperplane dot product for sign-LSH:
-    * plane j's component i is derived from xxhash64(j, i), uniform in
-    * [-1, 1]. No stored model, reproducible on any cluster. */
+    * plane j's component i is derived from the portable md5-60 hash of
+    * "j_i", uniform in [-1, 1]. No stored model, reproducible on any
+    * cluster — and exactly mirrorable in the DuckDB oracle
+    * (`('0x'||substr(md5(j||'_'||i),1,15))::BIGINT % 1001`). */
   def planeDot(v: Column, j: Int): Column =
     aggregate(
       zip_with(toDoubleArr(v), sequence(lit(0), size(v) - 1),
-        (x, i) => x * ((pmod(xxhash64(lit(j), i), lit(1001)) - 500).cast("double") / 500.0)),
+        (x, i) => x * ((graft.Exact.h60(concat(lit(j.toString), lit("_"), i.cast("string")))
+          % 1001 - 500).cast("double") / 500.0)),
       lit(0.0), (acc, x) => acc + x)
 
   /** sign-LSH bucket id from `bits` hyperplanes (bit j = sign(v . plane_j));

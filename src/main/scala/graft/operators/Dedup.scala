@@ -94,25 +94,58 @@ object Dedup {
     },
 
     // MinHash(16) + LSH(4 bands x 4 rows) + exact-Jaccard verify on the
-    // candidates only. xxhash64 signatures are Spark-native (no SQL twin;
-    // rows-only check). At scale: signature build is one pass + groupBy
-    // doc; candidates come from equi-joins on (band, bandhash).
-    QueryDef.noOracle("q_dedup_minhash") { (s, d) =>
+    // candidates only. Signatures/band keys are portable md5-60 hashes, so
+    // the oracle mirrors candidate generation EXACTLY (same sigs, same
+    // band buckets, same verify) — hash-checked, not rows-only. At scale:
+    // signature build is one pass + groupBy doc; candidates come from
+    // equi-joins on (band, bandkey).
+    QueryDef(
+      "q_dedup_minhash",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS l
+        |  FROM documents
+        |  WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest([array_to_string(l[i:i+2], ' ') for i in range(1, greatest(len(l) - 1, 1))]) AS shingle
+        |    FROM tok) u),
+        |hv AS (
+        |  SELECT doc_id, i, min(('0x' || substr(md5(i::VARCHAR || ':' || shingle), 1, 15))::BIGINT) AS mh
+        |  FROM sh, range(16) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hv GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bandkey
+        |  FROM sig, range(4) r2(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+        |  FROM banded x JOIN banded y
+        |    ON x.b = y.b AND x.bandkey = y.bandkey AND x.doc_id < y.doc_id),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.i, c.j, count(*) AS n FROM cand c
+        |  JOIN sh a ON a.doc_id = c.i
+        |  JOIN sh b ON b.doc_id = c.j AND b.shingle = a.shingle
+        |  GROUP BY 1, 2)
+        |SELECT i, j, CAST(n AS DOUBLE) / (ca.c + cb.c - n) AS jac
+        |FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+        |WHERE CAST(n AS DOUBLE) / (ca.c + cb.c - n) >= 0.5
+        |""".stripMargin) { (s, d) =>
       val numHashes = 16
       val bands = 4
       val rows = numHashes / bands
       val sh = shingles(s, d).select("doc_id", "shingle")
-      // signature: per doc, min of xxhash64(seed_i, shingle) for each i
+      // signature: per doc, min over shingles of h60(i ':' shingle)
       val sig = sh.groupBy("doc_id").agg(
         array((0 until numHashes).map(i =>
-          min(xxhash64(lit(i), col("shingle")))): _*).as("sig"))
-      // band hashes: hash the 4-slice of the signature per band
+          min(graft.Exact.h60(concat(lit(i.toString), lit(":"), col("shingle"))))): _*).as("sig"))
+      // band key: md5 of the comma-joined 4-slice of the signature
       val banded = sig.select(col("doc_id"), posexplode(
         array((0 until bands).map(bIdx =>
-          xxhash64(lit(bIdx) +: (0 until rows).map(r =>
-            element_at(col("sig"), bIdx * rows + r + 1)): _*)): _*)).as(Seq("band", "bandhash")))
+          md5(concat_ws(",", (0 until rows).map(r =>
+            element_at(col("sig"), bIdx * rows + r + 1).cast("string")): _*))): _*))
+        .as(Seq("band", "bandkey")))
       val cand = banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") && col("x.bandhash") === col("y.bandhash")
+          col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey")
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
         .distinct()
@@ -131,36 +164,55 @@ object Dedup {
         .select("i", "j", "jac")
     },
 
-    // SimHash-64 near-dup: tf-weighted sign sketch over token hashes;
-    // hamming(simhash_i, simhash_j) <= 6 found via 4-block pigeonhole
-    // (any pair within distance 6 shares at least one exact 16-bit block).
-    QueryDef.noOracle("q_dedup_simhash") { (s, d) =>
+    // SimHash-60 near-dup: tf-weighted sign sketch over portable md5-60
+    // token hashes; hamming <= 3 (the Manku et al. 64-bit dedup standard)
+    // found via 4-block pigeonhole — with 4 blocks of 15 bits, any pair
+    // within distance 3 provably shares at least one exact block, so
+    // recall is 100% and the all-pairs oracle is an exact twin.
+    QueryDef(
+      "q_dedup_simhash",
+      """WITH tok AS (
+        |  SELECT doc_id, t AS tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS t
+        |    FROM documents) u GROUP BY 1, 2),
+        |h AS (SELECT doc_id, tf, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS v
+        |  FROM h, range(60) r(b) GROUP BY 1, 2),
+        |sim AS (
+        |  SELECT doc_id, sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS simhash
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS i, b.doc_id AS j,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |""".stripMargin) { (s, d) =>
       val docs = documents(s, d)
         .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        .withColumn("h", xxhash64(col("tok")))
-      // weighted bit votes as 64 aggregate columns — one groupBy over the
-      // token rows, no 64x row explosion (a 64x shuffle at 100 TB).
-      val voteCols = (0 until 64).map(b =>
+        .withColumn("h", graft.Exact.h60(col("tok")))
+      // weighted bit votes as 60 aggregate columns — one groupBy over the
+      // token rows, no 60x row explosion (a 60x shuffle at 100 TB).
+      val voteCols = (0 until 60).map(b =>
         sum(when(expr(s"shiftright(h, $b) & 1") === 1, col("tf"))
           .otherwise(-col("tf"))).as(s"v$b"))
       val sim = docs.groupBy("doc_id")
         .agg(voteCols.head, voteCols.tail: _*)
         .select(col("doc_id"),
-          (0 until 64).map(b =>
+          (0 until 60).map(b =>
             when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
             .reduce(_ + _).as("simhash"))
-      // pigeonhole: 4 x 16-bit blocks; join on any equal block
+      // pigeonhole: 4 x 15-bit blocks; join on any equal block
       val blocked = sim.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(blk =>
-          shiftright(col("simhash"), blk * 16).bitwiseAND(0xffffL)): _*)).as(Seq("blk", "blkval")))
+          shiftright(col("simhash"), blk * 15).bitwiseAND(0x7fffL)): _*)).as(Seq("blk", "blkval")))
       blocked.as("x").join(blocked.as("y"),
           col("x.blk") === col("y.blk") && col("x.blkval") === col("y.blkval")
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
-          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int").as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 6)
+        .filter(col("hamming") <= 3)
     }
   )
 }

@@ -100,16 +100,28 @@ object Multimodal {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    // Oracle is UTF-8 BYTE-based like the engine: strlen() counts octets
+    // and the checksum expands each codepoint to its encoded byte sum —
+    // exact for any input, not just ASCII. (The `frame` byte-window is the
+    // one remaining char-sliced oracle expression: a multibyte char
+    // straddling a window edge has no SQL twin; the synthetic documents
+    // are ASCII so the two slicings coincide there.)
     QueryDef(
       "q_multimodal_features",
       """SELECT doc_id AS asset_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-        |  CAST(length(text) AS INT) AS n_bytes,
-        |  CAST(list_sum(list_transform(split(text, ''), x -> unicode(x))) AS BIGINT) AS checksum,
-        |  CAST(CAST(list_sum(list_transform(split(text, ''), x -> unicode(x))) AS BIGINT) % 640 + 1 AS INT) AS width,
-        |  CAST(CAST(list_sum(list_transform(split(text, ''), x -> unicode(x))) AS BIGINT) % 480 + 1 AS INT) AS height,
+        |  CAST(strlen(text) AS INT) AS n_bytes,
+        |  bsum AS checksum,
+        |  CAST(bsum % 640 + 1 AS INT) AS width,
+        |  CAST(bsum % 480 + 1 AS INT) AS height,
         |  substring(text, 1, 8) AS frame
-        |FROM documents
+        |FROM (
+        |  SELECT *, CAST(list_sum(list_transform(split(text, ''), x -> CASE
+        |    WHEN unicode(x) < 128 THEN unicode(x)
+        |    WHEN unicode(x) < 2048 THEN 320 + (unicode(x) // 64) + (unicode(x) % 64)
+        |    WHEN unicode(x) < 65536 THEN 480 + (unicode(x) // 4096) + ((unicode(x) // 64) % 64) + (unicode(x) % 64)
+        |    ELSE 624 + (unicode(x) // 262144) + ((unicode(x) // 4096) % 64) + ((unicode(x) // 64) % 64) + (unicode(x) % 64)
+        |  END)) AS BIGINT) AS bsum FROM documents) d
         |""".stripMargin) { (s, d) => extractFeatures(assets(s, d)) },
 
     QueryDef(
@@ -117,7 +129,7 @@ object Multimodal {
       """SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_no,
         |  substring(text, (i - 1) * 16 + 1, 16) AS frame
         |FROM documents, unnest([1, 2, 3]) AS t(i)
-        |WHERE (i - 1) * 16 < length(text)
+        |WHERE (i - 1) * 16 < strlen(text)
         |""".stripMargin) { (s, d) => sampleFrames(assets(s, d)) }
   )
 }

@@ -29,13 +29,20 @@ object Parity {
         .agg(count(lit(1)).as("cnt"))
     },
 
-    // The reference's hash partitioner (`utilities.py:59-61`): ASCII-byte
+    // The reference's hash partitioner (`utilities.py:59-61`): UTF-8 byte
     // sum mod 100, via the native codegen AsciiSum expression. Exposed as a
-    // query so the oracle pins the exact partition-id semantics.
+    // query so the oracle pins the exact partition-id semantics. The oracle
+    // sums UTF-8 OCTETS (each codepoint expanded to its encoded byte sum),
+    // matching the reference's sum(bytearray(key.encode())) for non-ASCII
+    // tokens too — not codepoints, which would diverge outside ASCII.
     QueryDef(
       "q_parity_partition",
-      """SELECT word, CAST(list_sum(list_transform(split(word, ''), x -> unicode(x))) % 100 AS INT)
-        |    AS partition_id,
+      """SELECT word, CAST(list_sum(list_transform(split(word, ''), x -> CASE
+        |    WHEN unicode(x) < 128 THEN unicode(x)
+        |    WHEN unicode(x) < 2048 THEN 320 + (unicode(x) // 64) + (unicode(x) % 64)
+        |    WHEN unicode(x) < 65536 THEN 480 + (unicode(x) // 4096) + ((unicode(x) // 64) % 64) + (unicode(x) % 64)
+        |    ELSE 624 + (unicode(x) // 262144) + ((unicode(x) // 4096) % 64) + ((unicode(x) // 64) % 64) + (unicode(x) % 64)
+        |  END)) % 100 AS INT) AS partition_id,
         |  count(*) AS cnt
         |FROM (
         |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word FROM documents

@@ -143,11 +143,23 @@ object Relational {
         .agg(sum(col("pn")).as("n"))
     },
 
-    // HLL sketch differs between engines by design -> rows-only check.
-    QueryDef.noOracle("q_agg_approx_distinct") { (s, d) =>
+    // HLL sketch values differ between engines by design, so the CHECKED
+    // output is the approximation CONTRACT: the exact distinct count plus
+    // a bool asserting the HLL estimate landed within 10% (2x the default
+    // rsd=0.05) — the oracle states the bound must hold.
+    QueryDef(
+      "q_agg_approx_distinct",
+      """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  true AS approx_within_10pct
+        |FROM lineitem GROUP BY l_returnflag
+        |""".stripMargin) { (s, d) =>
       lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .select(col("l_returnflag"), col("n_parts"),
+          (abs(col("approx_parts") - col("n_parts"))
+            <= col("n_parts") * 0.10).as("approx_within_10pct"))
     },
 
     // ---- joins -------------------------------------------------------

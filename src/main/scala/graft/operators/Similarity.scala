@@ -48,10 +48,34 @@ object Similarity {
     // ANN: multi-table sign-LSH (4 tables x 3 bits — coarse buckets since
     // the synthetic vectors are near-random; clustered real embeddings
     // would support more bits per table). Candidates = same
-    // (table, bucket) in any table — P(hit) = 1-(1-p^4)^3 per neighbor.
+    // (table, bucket) in any table — P(hit) = 1-(1-p^3)^4 per neighbor.
     // At 100 TB the (table, bucket) pair is the shuffle key; each bucket
     // holds ~corpus/2^bits rows and only candidates get scored.
-    QueryDef.noOracle("q_knn_lsh") { (s, d) =>
+    // The md5-60-derived planes let the oracle replicate bucketing
+    // bit-for-bit, so even this approximate operator is hash-checked.
+    QueryDef(
+      "q_knn_lsh",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |dots AS (
+         |  SELECT vec_id, p,
+         |    list_reduce([v[i+1] * ((('0x' || substr(md5(p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT % 1001 - 500) / 500.0)
+         |                 for i in range(0, len(v))], (acc, x) -> acc + x) AS dp
+         |  FROM e, range(12) r(p)),
+         |bk AS (
+         |  SELECT vec_id, p // 3 AS t,
+         |    sum(CASE WHEN dp > 0 THEN 1::BIGINT << (p % 3) ELSE 0::BIGINT END) AS b
+         |  FROM dots GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+         |  FROM bk q JOIN bk n ON q.t = n.t AND q.b = n.b AND n.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $nQueries)
+         |SELECT q_id, n_id, rnk FROM (
+         |  SELECT c.q_id, c.n_id,
+         |    CAST(row_number() OVER (PARTITION BY c.q_id ORDER BY
+         |      list_cosine_similarity(eq.v, en.v) DESC, c.n_id ASC) AS INT) AS rnk
+         |  FROM cand c JOIN e eq ON eq.vec_id = c.q_id JOIN e en ON en.vec_id = c.n_id) t
+         |WHERE rnk <= $kNeighbors
+         |""".stripMargin) { (s, d) =>
       val (bits, tables) = (3, 4)
       val emb = embeddings(s, d)
         .withColumn("tb", lshTables(col("embedding"), bits, tables))
@@ -71,7 +95,19 @@ object Similarity {
     // real IVF the cell comes from a k-means codebook; the synthetic data
     // ships cluster ids). Search only the query's cell — the inverted-list
     // shape: shuffle key = cell id, each probe scans corpus/cells rows.
-    QueryDef.noOracle("q_knn_ivf") { (s, d) =>
+    // The probe set is deterministic (the data's own cell id), so the
+    // oracle is the same label-restricted rank query.
+    QueryDef(
+      "q_knn_ivf",
+      s"""SELECT q_id, n_id, rnk FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
+         |      e.vec_id ASC) AS INT) AS rnk
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id AND e.label = q.label
+         |  WHERE q.vec_id < $nQueries) t
+         |WHERE rnk <= $kNeighbors
+         |""".stripMargin) { (s, d) =>
       val emb = embeddings(s, d)
       val queries = emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("label"))
@@ -87,7 +123,31 @@ object Similarity {
     // Embedding-cosine near-dup: same-bucket pairs above a cosine bar.
     // (Threshold 0.4 — the synthetic vectors top out near 0.51 pairwise,
     // so a production-style 0.95 bar would make the operator vacuous.)
-    QueryDef.noOracle("q_dedup_embedding") { (s, d) =>
+    // The oracle mirrors bucketing AND the cosine fold exactly (same
+    // multiply/add sequence left-to-right, dot/(sqrt(n1)*sqrt(n2))) so
+    // the emitted double is bit-identical.
+    QueryDef(
+      "q_dedup_embedding",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |    list_reduce([v[i+1] * ((('0x' || substr(md5(p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT % 1001 - 500) / 500.0)
+        |                 for i in range(0, len(v))], (acc, x) -> acc + x) AS dp
+        |  FROM e, range(6) r(p)),
+        |bk AS (
+        |  SELECT vec_id, sum(CASE WHEN dp > 0 THEN 1::BIGINT << p ELSE 0::BIGINT END) AS bucket
+        |  FROM dots GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j
+        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT i, j,
+        |    list_reduce([ea.v[k+1] * eb.v[k+1] for k in range(0, len(ea.v))], (acc, x) -> acc + x)
+        |      / (sqrt(list_reduce([x * x for x in ea.v], (acc, y) -> acc + y))
+        |         * sqrt(list_reduce([x * x for x in eb.v], (acc, y) -> acc + y))) AS cos
+        |  FROM pairs JOIN e ea ON ea.vec_id = i JOIN e eb ON eb.vec_id = j)
+        |SELECT i, j, cos FROM scored WHERE cos >= 0.4
+        |""".stripMargin) { (s, d) =>
       val bits = 6
       val emb = embeddings(s, d)
         .withColumn("bucket", lshBucket(col("embedding"), bits))

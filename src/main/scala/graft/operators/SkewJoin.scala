@@ -11,12 +11,22 @@ import org.apache.spark.sql.{Column, DataFrame}
   * 10% of the table). The left (large, skewed) side gets a deterministic
   * salt in [0, salts); the right side is replicated `salts` times; the
   * join key becomes (key, salt), spreading each hot key over `salts`
-  * reducers. Result is row-identical to the unsalted join.
+  * reducers. Result is row-identical to the unsalted join for inner and
+  * left-side join types ONLY: replicating the right side would emit each
+  * unmatched right row once per salt under right/full outer, so those
+  * types are rejected.
   */
 object SkewJoin {
 
+  private val supportedTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "cross")
+
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, salts: Int, joinType: String = "inner"): DataFrame = {
+    require(supportedTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left-side join types only, got '$joinType' " +
+        "(right/full outer would duplicate unmatched right rows per salt)")
     // deterministic salt: spread rows by a hash of the whole left row
     val leftCols = left.columns.map(col)
     val salted = left.withColumn("__salt",
