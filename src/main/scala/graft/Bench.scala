@@ -45,16 +45,25 @@ object Bench {
         col("k") === col("id2") % 7).count()
     } catch { case _: Throwable => () }
 
-    // a failed query records -1 (visible breakage), never a phantom ~0s
-    val results = SparkEntry.defs.filter(_.bench).map { qd =>
+    // Two timed passes, min per query: pass 1 absorbs per-query codegen/
+    // JIT cold cost (observed 1.5-10x run-to-run swings on identical
+    // plans), pass 2 measures warm throughput — the number comparable
+    // across rounds. A failed query records -1 (visible breakage), never
+    // a phantom ~0s.
+    val benchDefs = SparkEntry.defs.filter(_.bench)
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (_ <- 1 to 2; qd <- benchDefs) {
       val t0 = System.nanoTime()
-      val ok =
+      val t =
         try { SparkEntry.queries(qd.name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save(); true }
+          .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] ${qd.name} FAILED: ${e.getMessage}"); false }
-      qd.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          System.err.println(s"[bench] ${qd.name} FAILED: ${e.getMessage}"); -1.0 }
+      val prev = best.getOrElse(qd.name, Double.MaxValue)
+      best(qd.name) = if (t < 0 || prev < 0) -1.0 else math.min(prev, t)
     }
+    val results = best.toSeq
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")

@@ -23,16 +23,22 @@ object VectorFunctions {
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
   /** Deterministic pseudo-random hyperplane dot product for sign-LSH:
-    * plane j's component i is derived from the portable md5-60 hash of
-    * "j_i", uniform in [-1, 1]. No stored model, reproducible on any
-    * cluster — and exactly mirrorable in the DuckDB oracle
-    * (`('0x'||substr(md5(j||'_'||i),1,15))::BIGINT % 1001`). */
-  def planeDot(v: Column, j: Int): Column =
+    * plane j's component i is Kirsch-Mitzenmacher-derived from two
+    * md5-60 seeds of the plane id — (a + (i+1)*b) mod 2^60, mod 1001,
+    * scaled to [-1, 1]. The seeds are literals, so Catalyst constant-folds
+    * the md5s at plan time and the per-element work is pure arithmetic.
+    * No stored model, reproducible on any cluster, and exactly mirrorable
+    * in the DuckDB oracle (same formula; b is masked to 56 bits so
+    * (i+1)*b never overflows a signed 64-bit long). */
+  def planeDot(v: Column, j: Int): Column = {
+    val a = graft.Exact.h60(lit(s"plane_a_$j"))
+    val b = graft.Exact.h60(lit(s"plane_b_$j")) % lit(1L << 56)
     aggregate(
       zip_with(toDoubleArr(v), sequence(lit(0), size(v) - 1),
-        (x, i) => x * ((graft.Exact.h60(concat(lit(j.toString), lit("_"), i.cast("string")))
+        (x, i) => x * ((((a + (i.cast("long") + 1) * b) % lit(1L << 60))
           % 1001 - 500).cast("double") / 500.0)),
       lit(0.0), (acc, x) => acc + x)
+  }
 
   /** sign-LSH bucket id from `bits` hyperplanes (bit j = sign(v . plane_j));
     * `seedBase` shifts the plane family so several independent hash tables

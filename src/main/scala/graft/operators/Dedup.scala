@@ -109,9 +109,14 @@ object Dedup {
         |  SELECT DISTINCT doc_id, shingle FROM (
         |    SELECT doc_id, unnest([array_to_string(l[i:i+2], ' ') for i in range(1, greatest(len(l) - 1, 1))]) AS shingle
         |    FROM tok) u),
+        |h2 AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS ha,
+        |    ('0x' || substr(md5(shingle), 16, 15))::BIGINT % 72057594037927936 AS hb
+        |  FROM sh),
         |hv AS (
-        |  SELECT doc_id, i, min(('0x' || substr(md5(i::VARCHAR || ':' || shingle), 1, 15))::BIGINT) AS mh
-        |  FROM sh, range(16) r(i) GROUP BY 1, 2),
+        |  SELECT doc_id, i, min((ha + i * hb) % 1152921504606846976) AS mh
+        |  FROM h2, range(16) r(i) GROUP BY 1, 2),
         |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hv GROUP BY 1),
         |banded AS (
         |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bandkey
@@ -134,10 +139,17 @@ object Dedup {
       val bands = 4
       val rows = numHashes / bands
       val sh = shingles(s, d).select("doc_id", "shingle")
-      // signature: per doc, min over shingles of h60(i ':' shingle)
-      val sig = sh.groupBy("doc_id").agg(
+      // signature: ONE md5 per shingle, 16 Kirsch-Mitzenmacher-derived
+      // hash fns h_i = (ha + i*hb) mod 2^60 (hb masked to 56 bits so
+      // 15*hb can't overflow a signed long) — 16x fewer digests than
+      // hashing per-fn, same minwise-independence class.
+      val hx = md5(col("shingle"))
+      val ha = conv(substring(hx, 1, 15), 16, 10).cast("long")
+      val hb = conv(substring(hx, 16, 15), 16, 10).cast("long") % lit(1L << 56)
+      val hashed = sh.select(col("doc_id"), ha.as("ha"), hb.as("hb"))
+      val sig = hashed.groupBy("doc_id").agg(
         array((0 until numHashes).map(i =>
-          min(graft.Exact.h60(concat(lit(i.toString), lit(":"), col("shingle"))))): _*).as("sig"))
+          min((col("ha") + lit(i.toLong) * col("hb")) % lit(1L << 60))): _*).as("sig"))
       // band key: md5 of the comma-joined 4-slice of the signature
       val banded = sig.select(col("doc_id"), posexplode(
         array((0 until bands).map(bIdx =>

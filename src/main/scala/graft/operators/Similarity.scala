@@ -58,7 +58,9 @@ object Similarity {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |dots AS (
          |  SELECT vec_id, p,
-         |    list_reduce([v[i+1] * ((('0x' || substr(md5(p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT % 1001 - 500) / 500.0)
+         |    list_reduce([v[i+1] * ((((('0x' || substr(md5('plane_a_' || p::VARCHAR), 1, 15))::BIGINT
+         |                             + (i+1) * (('0x' || substr(md5('plane_b_' || p::VARCHAR), 1, 15))::BIGINT % 72057594037927936))
+         |                            % 1152921504606846976) % 1001 - 500) / 500.0)
          |                 for i in range(0, len(v))], (acc, x) -> acc + x) AS dp
          |  FROM e, range(12) r(p)),
          |bk AS (
@@ -131,7 +133,9 @@ object Similarity {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |dots AS (
         |  SELECT vec_id, p,
-        |    list_reduce([v[i+1] * ((('0x' || substr(md5(p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT % 1001 - 500) / 500.0)
+        |    list_reduce([v[i+1] * ((((('0x' || substr(md5('plane_a_' || p::VARCHAR), 1, 15))::BIGINT
+        |                             + (i+1) * (('0x' || substr(md5('plane_b_' || p::VARCHAR), 1, 15))::BIGINT % 72057594037927936))
+        |                            % 1152921504606846976) % 1001 - 500) / 500.0)
         |                 for i in range(0, len(v))], (acc, x) -> acc + x) AS dp
         |  FROM e, range(6) r(p)),
         |bk AS (
