@@ -23,6 +23,7 @@ object SparkEntry {
       operators.EventsOps.defs ++
       functions.Scalars.defs ++
       functions.TextAnalysis.defs ++
+      operators.Sampling.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs ++

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Exact.h60
+import graft.QueryDef
+import graft.sources.Tables._
+
+/** Dataset-management operators for a training-data pipeline: tf-idf term
+  * ranking, deterministic hash sampling, stratified per-class subsampling,
+  * and reproducible train/val/test splits.
+  *
+  * The reference has no sampling or weighting of any kind (SURVEY.md §2.2);
+  * these are the standard corpus-curation steps between its WordCount-style
+  * token statistics and model training.
+  *
+  * Scale design: every sampler is a pure per-row hash predicate — no
+  * coordination, no RNG state, no second pass; identical output on any
+  * cluster layout, any partitioning, any retry (h60 is the portable md5-60
+  * hash, so the DuckDB oracles state the same predicate). The stratified
+  * sampler is the only shuffle (one window per class); tf-idf shuffles
+  * (doc, term) pairs once for tf and once on term for the df join.
+  */
+object Sampling {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // tf-idf top-3 terms per document. The score is the RATIONAL form
+    // tf * N / df (monotone in tf * idf for a fixed corpus; log() would
+    // drag libm cross-engine ulp differences into the ordering) computed
+    // as exact-int product then one correctly-rounded double division —
+    // bit-identical in both engines. Ranks are emitted, full (score desc,
+    // term asc) tie-break.
+    QueryDef(
+      "q_text_tfidf",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, term, rnk FROM (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.term ASC) AS INT) AS rnk
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n) t
+        |WHERE rnk <= 3
+        |""".stripMargin) { (s, d) =>
+      val tok = documents(s, d).select(col("doc_id"),
+        explode(graft.functions.TextAnalysis.tokens(col("text"))).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val n = documents(s, d).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(df, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+        .select(col("doc_id"), col("term"), row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= 3)
+    },
+
+    // Systematic 1-in-20 sample: pure hash predicate, no RNG, no
+    // coordination — the same rows are kept on any cluster and any rerun.
+    QueryDef(
+      "q_sample_systematic",
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT % 20 = 0
+        |""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .filter(h60(concat(lit("sample:"), col("doc_id").cast("string"))) % 20 === 0)
+        .select("doc_id", "lang", "source")
+    },
+
+    // Stratified per-class subsample: up to 20 docs per lang, chosen by
+    // hash order (deterministic "random") — the class-balancing step of a
+    // training-set build. One shuffle, keyed by the strata column.
+    QueryDef(
+      "q_sample_stratified",
+      """SELECT lang, doc_id, rnk FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 15))::BIGINT ASC,
+        |               doc_id ASC) AS INT) AS rnk
+        |  FROM documents) t
+        |WHERE rnk <= 20
+        |""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("lang")
+        .orderBy(h60(concat(lit("strat:"), col("doc_id").cast("string"))).asc,
+          col("doc_id").asc)
+      documents(s, d)
+        .select(col("lang"), col("doc_id"), row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= 20)
+    },
+
+    // Reproducible 80/10/10 train/val/test split by hash bucket; emitted
+    // as per-(split, lang) counts. The split of a row is a pure function
+    // of its id — stable across reruns, machines, and engine versions.
+    QueryDef(
+      "q_split_train",
+      """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |  lang, count(*) AS n
+        |FROM (SELECT lang, ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+        |      FROM documents) t
+        |GROUP BY 1, 2
+        |""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .withColumn("b", h60(concat(lit("split:"), col("doc_id").cast("string"))) % 100)
+        .withColumn("split",
+          when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"))
+    }
+  )
+}

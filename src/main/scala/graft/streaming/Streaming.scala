@@ -36,7 +36,78 @@ object Streaming {
     s.table(name)
   }
 
+  /** Stateful streaming sessionization over the REAL events table: the
+    * raw nanos `ts` is converted inside the stream, per-user state carries
+    * open sessions across micro-batches, and only CLOSED sessions are
+    * emitted (append mode) — the batch oracle is therefore sessionization
+    * minus each user's trailing session. 30-minute gap, same as
+    * q_events_sessionize. */
+  def sessionStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val name = "stream_sessions_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val gapUs = 1800000000L
+
+    def step(uid: Long, evs: Iterator[SessEv],
+        state: GroupState[SessState]): Iterator[ClosedSession] = {
+      val sorted = evs.toVector.sortBy(e => (e.ts_us, e.event_id))
+      var st = state.getOption.orNull
+      val out = Vector.newBuilder[ClosedSession]
+      sorted.foreach { e =>
+        st match {
+          case null =>
+            st = SessState(e.ts_us, e.ts_us, 1L, 1L)
+          case SessState(start, last, n, idx) if e.ts_us - last > gapUs =>
+            out += ClosedSession(uid, idx, n, start)
+            st = SessState(e.ts_us, e.ts_us, 1L, idx + 1)
+          case SessState(start, _, n, idx) =>
+            st = SessState(start, e.ts_us, n + 1, idx)
+        }
+      }
+      if (st != null) state.update(st)
+      out.result().iterator
+    }
+
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+      .as[SessEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_start_us"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_events_session_stream",
+      """WITH base AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked),
+        |agg AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |    count(*) AS n_events, min(ts_us) AS session_start_us,
+        |    max(session_id) OVER (PARTITION BY user_id) AS max_sid
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT user_id, session_id, n_events, session_start_us
+        |FROM agg WHERE session_id < max_sid
+        |""".stripMargin) { (s, d) => sessionStream(s, d) },
+
     QueryDef(
       "q_events_tumbling_stream",
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
