@@ -48,6 +48,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("hash samplers are scan + filter only — no shuffle, no RNG") {
+    val p = planString("q_sample_systematic")
+    assert(!p.contains("Exchange"), "sampler must not shuffle:\n" + p)
+    assert(!p.toLowerCase.contains("rand"), "sampler must be RNG-free:\n" + p)
+  }
+
+  test("train/val/test split shuffles only for the final count aggregate") {
+    val p = planString("q_split_train")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "split counts need map-side partial agg:\n" + p)
+  }
+
+  test("simhash builds votes in ONE aggregation — no 60x row explosion") {
+    val p = planString("q_dedup_simhash")
+    // the 60 bit-votes are aggregate columns over (doc, tok) rows; an
+    // Expand/explode of 60 rows per token would be a 60x shuffle at scale
+    assert(!p.contains("Expand"), "bit votes must not Expand rows:\n" + p)
+  }
+
+  test("tf-idf: corpus size N is a broadcast, not a shuffle key") {
+    val p = planString("q_text_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("knn probes broadcast the query set against the corpus") {
+    val p = planString("q_knn_ivf")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("bucketed co-located join needs no shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Functional properties of the sampling/split/tf-idf operators (their
+  * value-level correctness is oracle-checked by Verify; these pin the
+  * pipeline-level contracts a training-data build relies on). */
+class SamplingSpec extends SparkSpec {
+
+  test("systematic sample is deterministic and a subset of the corpus") {
+    val s1 = q("q_sample_systematic").collect().map(_.getLong(0)).sorted
+    val s2 = q("q_sample_systematic").collect().map(_.getLong(0)).sorted
+    assert(s1.sameElements(s2), "same rows on every run")
+    val all = sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1.forall(all.contains))
+    assert(s1.nonEmpty && s1.length < all.size)
+  }
+
+  test("stratified sample caps every class at 20") {
+    val byLang = q("q_sample_stratified").groupBy("lang").count().collect()
+    assert(byLang.nonEmpty)
+    byLang.foreach(r => assert(r.getLong(1) <= 20, r.toString))
+  }
+
+  test("every document lands in exactly one split, roughly 80/10/10") {
+    val splits = q("q_split_train").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = splits.values.sum
+    val n = sources.Tables.documents(spark, sf).count()
+    assert(total == n, s"split counts $splits must cover all $n docs once")
+    val trainFrac = splits.getOrElse("train", 0L).toDouble / total
+    assert(trainFrac > 0.65 && trainFrac < 0.92, s"train fraction $trainFrac")
+  }
+
+  test("tf-idf emits ranks 1..3 per document with no duplicate terms") {
+    val rows = q("q_text_tfidf").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      val rnks = rs.map(_.getInt(2)).sorted
+      assert(rnks.sameElements(1 to rnks.length), s"doc $doc ranks $rnks")
+      assert(rnks.length <= 3)
+      val terms = rs.map(_.getString(1))
+      assert(terms.distinct.length == terms.length, s"doc $doc dup terms")
+    }
+  }
+
+  test("streaming sessions equal batch sessions minus each user's tail") {
+    val streamed = streaming.Streaming.sessionStream(spark, sf)
+      .select("user_id", "session_id", "n_events", "session_start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch twin: q_events_sessionize without the max session per user
+    val batch = q("q_events_sessionize")
+      .withColumn("max_sid", max(col("session_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .filter(col("session_id") < col("max_sid"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        unix_micros(col("session_start")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+  }
+}
