@@ -19,7 +19,13 @@ object VectorFunctions {
   def norm2(a: Column): Column =
     aggregate(toDoubleArr(a), lit(0.0), (acc, v) => acc + v * v)
 
-  def cosine(a: Column, b: Column): Column =
+  /** Cosine via the native codegen'd CosineSim expression (one fused array
+    * walk); `cosineHof` keeps the pure higher-order-function formulation —
+    * both produce bit-identical doubles (same IEEE op sequence, asserted
+    * in DedupSimilaritySpec). */
+  def cosine(a: Column, b: Column): Column = CosineSim.cosineSim(a, b)
+
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
   /** Deterministic pseudo-random hyperplane dot product for sign-LSH:

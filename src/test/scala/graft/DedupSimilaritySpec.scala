@@ -31,10 +31,10 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
-  test("simhash pairs have hamming <= 6 and i < j") {
+  test("simhash pairs have hamming <= 3 and i < j") {
     q("q_dedup_simhash").collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
-      assert(r.getInt(2) <= 6)
+      assert(r.getInt(2) <= 3)
     }
   }
 
@@ -42,6 +42,19 @@ class DedupSimilaritySpec extends SparkSpec {
     val df = Seq((1L, Array(0.5f, -0.25f, 0.125f))).toDF("id", "v")
     val c = df.select(VectorFunctions.cosine(col("v"), col("v"))).as[Double].head()
     assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("native CosineSim is bit-identical to the HOF fold on real embeddings") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val a = e.select(col("vec_id").as("i"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("i") < col("j")).limit(2000)
+    val diffs = pairs.select(
+        VectorFunctions.cosine(col("va"), col("vb")).as("native"),
+        VectorFunctions.cosineHof(col("va"), col("vb")).as("hof"))
+      .filter(col("native") =!= col("hof")) // exact double comparison
+      .count()
+    assert(diffs == 0, s"$diffs pairs differ between native and HOF cosine")
   }
 
   test("LSH ANN hits a positive recall vs brute force") {
