@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{AsciiSum, CosineSim}
+
+/** Library entry point for Spark's extension mechanism: register the
+  * engine's native Catalyst expressions on any session via
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *
+  * so `graft_asciisum` / `graft_cosine` resolve in plain SQL on a cluster
+  * that has the graft jar on its classpath — no per-session registration
+  * calls. (The reference wires its extension point, the app registry
+  * `app_route.py:4-6`, by editing source; this is the Spark-native
+  * equivalent surface.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_asciisum"),
+      info("graft_asciisum",
+        "graft_asciisum(str) - sum of the UTF-8 bytes of str (the reference partitioner hash)"),
+      (exprs: Seq[Expression]) => AsciiSum(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      info("graft_cosine",
+        "graft_cosine(a, b) - cosine similarity of two float/double arrays"),
+      (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
+  }
+}

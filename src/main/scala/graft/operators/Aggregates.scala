@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.Column
@@ -66,6 +67,36 @@ object Aggregates {
         .agg(
           expr("percentile(l_quantity, 0.5)").as("med_qty"),
           expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
+    },
+
+    // Scalable EXACT quantiles by rank selection: one window shuffle per
+    // group, O(1) memory per row — unlike `percentile` (q_agg_median),
+    // which accumulates a value->count map per group and cannot survive a
+    // billion-distinct-value group at 100 TB. Discrete (type-1) quantiles:
+    // rank ceil(p*n) via integer arithmetic, no float interpolation, so
+    // both engines select the identical element.
+    QueryDef(
+      "q_agg_quantile_rank",
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity ASC) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_vals,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN l_quantity END) AS median_disc,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN l_quantity END) AS p90_disc
+        |FROM r GROUP BY 1
+        |""".stripMargin) { (s, d) =>
+      val byVal = Window.partitionBy("l_returnflag").orderBy(col("l_quantity").asc)
+      val all = Window.partitionBy("l_returnflag")
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"))
+        .withColumn("rn", row_number().over(byVal))
+        .withColumn("n", count(lit(1)).over(all))
+        .groupBy("l_returnflag")
+        .agg(max(col("n")).as("n_vals"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("l_quantity"))).as("median_disc"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("l_quantity"))).as("p90_disc"))
     },
 
     // Argmax via max(struct(ord, value)) — deterministic under ties

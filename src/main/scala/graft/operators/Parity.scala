@@ -66,13 +66,28 @@ object Parity {
         |  SELECT DISTINCT unnest(regexp_split_to_array(lower(text), '\s+')) AS word FROM documents
         |) t WHERE word <> ''
         |""".stripMargin) { (s, d) =>
-      // distinct first (vocabulary is small); the global row_number window
-      // then runs over the reduced set — not over raw tokens.
-      documents(s, d)
+      // Scalable global ranking — NOT a bare row_number() over an
+      // unpartitioned window (which funnels every row through one task):
+      // range-partition the vocabulary, count each range, convert counts
+      // to prefix offsets (one row per PARTITION, driver-bounded), then
+      // pos = range offset + rank within the range. Any range boundary
+      // choice yields the same global ranks, so AQE coalescing and
+      // sampling-based boundaries can't perturb the result.
+      val words = documents(s, d)
         .select(explode(split(lower(col("text")), "\\s+")).as("word"))
         .filter(col("word") =!= "")
         .distinct()
-        .withColumn("pos", row_number().over(Window.orderBy(col("word").asc)))
+      val ranged = words.repartitionByRange(32, col("word").asc)
+        .withColumn("pid", spark_partition_id())
+      val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("pid").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("pid", "off")
+      ranged.join(broadcast(offsets), "pid")
+        .withColumn("pos", (col("off") + row_number().over(
+          Window.partitionBy("pid").orderBy(col("word").asc))).cast("int"))
+        .select("word", "pos")
     }
   )
 }
