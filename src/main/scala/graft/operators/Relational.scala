@@ -234,6 +234,49 @@ object Relational {
           decOut(sum(dec(col("o_totalprice")))).as("sum_price"))
     },
 
+    // Full outer join over two key sets with partial overlap: customers
+    // with big orders vs suppliers sharing the nation key space. Output
+    // coalesces the join key and flags each side's presence (no raw NULL
+    // floats to stringify differently).
+    QueryDef(
+      "q_join_full",
+      """SELECT coalesce(c.k, s.k) AS nationkey,
+        |  CAST(c.k IS NOT NULL AS INT) AS has_cust,
+        |  CAST(s.k IS NOT NULL AS INT) AS has_supp,
+        |  coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer
+        |      WHERE c_acctbal > 9000 GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
+        |  ON c.k = s.k
+        |""".stripMargin) { (s, d) =>
+      val c = customer(s, d).filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("n_cust"))
+      val sp = supplier(s, d)
+        .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+      c.join(sp, col("ck") === col("sk"), "full_outer")
+        .select(
+          coalesce(col("ck"), col("sk")).as("nationkey"),
+          col("ck").isNotNull.cast("int").as("has_cust"),
+          col("sk").isNotNull.cast("int").as("has_supp"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    },
+
+    // Cross join (explicit cartesian): the 5x25 region-nation grid with a
+    // same-region indicator — the only safe cartesian shape (both sides
+    // tiny and broadcast).
+    QueryDef(
+      "q_join_cross",
+      """SELECT r_regionkey, n_nationkey,
+        |  CAST(n_regionkey = r_regionkey AS INT) AS same_region
+        |FROM region CROSS JOIN nation
+        |""".stripMargin) { (s, d) =>
+      region(s, d).select("r_regionkey")
+        .crossJoin(broadcast(nation(s, d).select("n_nationkey", "n_regionkey")))
+        .select(col("r_regionkey"), col("n_nationkey"),
+          (col("n_regionkey") === col("r_regionkey")).cast("int").as("same_region"))
+    },
+
     // Pure theta join (no equi component) — plans as BroadcastNestedLoop
     // with the 10-row supplier side broadcast; the only join shape where
     // NLJ is the right answer (tiny side, non-equi predicate).
