@@ -115,6 +115,75 @@ object TextAnalysis {
           md5(concat_ws(" ", tokens(col("text")))).as("fp"))
     },
 
+    // Content filter: regex safety/PII flags per doc (email-shaped and
+    // url-shaped spans) plus the clean verdict. Patterns are RE2-safe so
+    // Java regex (Spark) and RE2 (DuckDB) agree; the shape is the
+    // production one — per-row regex, zero shuffle, codegen'd.
+    QueryDef(
+      "q_text_filter",
+      """SELECT doc_id,
+        |  CAST(regexp_matches(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+') AS INT) AS has_email,
+        |  CAST(regexp_matches(lower(text), 'https?://') AS INT) AS has_url,
+        |  CAST(NOT (regexp_matches(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')
+        |            OR regexp_matches(lower(text), 'https?://')) AS INT) AS is_clean
+        |FROM documents
+        |""".stripMargin) { (s, d) =>
+      val email = lower(col("text"))
+        .rlike("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+")
+      val url = lower(col("text")).rlike("https?://")
+      documents(s, d).select(
+        col("doc_id"),
+        email.cast("int").as("has_email"),
+        url.cast("int").as("has_url"),
+        (!(email || url)).cast("int").as("is_clean"))
+    },
+
+    // Repetition signal: share of the document taken by its single most
+    // frequent token — the cheap boilerplate/spam detector. Exact rational
+    // (max count / token count) as one double division.
+    QueryDef(
+      "q_text_repetition",
+      """SELECT doc_id, CAST(max(c) AS BIGINT) AS top_tok,
+        |  CAST(max(c) AS DOUBLE) / sum(c) AS rep_ratio,
+        |  CAST(CAST(max(c) AS DOUBLE) / sum(c) > 0.2 AS INT) AS is_repetitive
+        |FROM (
+        |  SELECT doc_id, tok, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+        |    FROM documents) u GROUP BY 1, 2) t
+        |GROUP BY doc_id
+        |""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as("top_tok"),
+          (max(col("c")).cast("double") / sum(col("c"))).as("rep_ratio"),
+          (max(col("c")).cast("double") / sum(col("c")) > 0.2).cast("int").as("is_repetitive"))
+    },
+
+    // Decontamination: drop training docs whose normalized-text digest
+    // appears in the held-out eval set (stand-in: doc_id % 50 = 0). The
+    // scale shape: fingerprints (16 bytes) broadcast/anti-joined — the
+    // documents themselves never shuffle. Content-based, so an eval doc's
+    // byte-identical twin under a different id is caught too.
+    QueryDef(
+      "q_dedup_decontaminate",
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> ''), ' ')) AS fp
+        |  FROM documents)
+        |SELECT t.doc_id, t.fp FROM fp t
+        |WHERE t.doc_id % 50 <> 0
+        |  AND NOT EXISTS (SELECT 1 FROM fp e WHERE e.doc_id % 50 = 0 AND e.fp = t.fp)
+        |""".stripMargin) { (s, d) =>
+      val fp = documents(s, d).select(col("doc_id"),
+        md5(concat_ws(" ", tokens(col("text")))).as("fp"))
+      val eval_ = fp.filter(col("doc_id") % 50 === 0).select("fp")
+      fp.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(eval_), Seq("fp"), "left_anti")
+        .select("doc_id", "fp")
+    },
+
     // Subword-ish counting: whitespace tokens + vowel-group segments (a
     // cheap BPE proxy; RE2-compatible, no lookaround).
     QueryDef(
