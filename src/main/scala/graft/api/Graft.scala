@@ -1,0 +1,213 @@
+package graft.api
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import graft.Exact.h60
+import graft.functions.VectorFunctions.cosine
+
+/** The engine's user-facing library surface: every pipeline operator as a
+  * composable `DataFrame => DataFrame` function with explicit column
+  * parameters — what a user of the reference system calls instead of its
+  * job-name registry (`app_route.py:4-6`). The `SparkEntry.queries`
+  * entries are thin bindings of these onto the driver's fixture tables.
+  *
+  * Conventions:
+  *  - `id` must be a unique long column; pair outputs emit `i < j`.
+  *  - tokenization = lower + whitespace split, the reference's
+  *    `datanode.py:598-603` semantics.
+  *  - all hashing is the portable md5-60 family (graft.Exact.h60) —
+  *    deterministic on any cluster, reproducible across engines.
+  */
+object Graft {
+
+  /** lower-cased whitespace tokens, empties dropped */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  // ---- parity --------------------------------------------------------
+
+  /** WordCount — the reference's registered app (`app.py:6-14`). */
+  def wordCount(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  // ---- dedup family --------------------------------------------------
+
+  /** Exact dedup on the content digest of the normalized token stream:
+    * keep-first (min id) per fingerprint. Shuffles 16-byte digests, never
+    * documents. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        sha2(concat_ws(" ", tokens(col(textCol))), 256).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** distinct word n-gram shingles per doc (docs with < n tokens drop) */
+  def shingleSet(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("l"))
+      .filter(size(col("l")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("l")) - (n - 1)),
+          i => concat_ws(" ", slice(col("l"), i, lit(n))))).as("shingle"))
+      .distinct()
+
+  /** Exact n-gram Jaccard pairs >= `threshold` via the inverted shingle
+    * index (candidates share >= 1 shingle; no all-pairs product). Callers
+    * with skew-prone corpora should pre-band (see operators.Dedup). */
+  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val a = sh.select(col("doc_id").as("i"), col("shingle"))
+    val b = sh.select(col("doc_id").as("j"), col("shingle").as("shingle_b"))
+    a.join(b, col("shingle") === col("shingle_b") && col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+      .join(cnt.withColumnRenamed("doc_id", "i").withColumnRenamed("c", "ca"), "i")
+      .join(cnt.withColumnRenamed("doc_id", "j").withColumnRenamed("c", "cb"), "j")
+      .withColumn("jac", col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select("i", "j", "jac")
+  }
+
+  /** MinHash signatures (Kirsch-Mitzenmacher from one md5 per shingle) +
+    * LSH band buckets + exact-Jaccard verification of candidates. */
+  def minhashPairs(sh: DataFrame, threshold: Double,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "bands must divide numHashes")
+    val hx = md5(col("shingle"))
+    val ha = conv(substring(hx, 1, 15), 16, 10).cast("long")
+    val hb = conv(substring(hx, 16, 15), 16, 10).cast("long") % lit(1L << 56)
+    val hashed = sh.select(col("doc_id"), ha.as("ha"), hb.as("hb"))
+    val sig = hashed.groupBy("doc_id").agg(
+      array((0 until numHashes).map(i =>
+        min((col("ha") + lit(i.toLong) * col("hb")) % lit(1L << 60))): _*).as("sig"))
+    val banded = sig.select(col("doc_id"), posexplode(
+      array((0 until bands).map(bIdx =>
+        md5(concat_ws(",", (0 until rows).map(r =>
+          element_at(col("sig"), bIdx * rows + r + 1).cast("string")): _*))): _*))
+      .as(Seq("band", "bandkey")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    cand
+      .join(sh.select(col("doc_id").as("i"), col("shingle")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("shingle").as("shingle_j")), "j")
+      .filter(col("shingle") === col("shingle_j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+      .join(cnt.withColumnRenamed("doc_id", "i").withColumnRenamed("c", "ca"), "i")
+      .join(cnt.withColumnRenamed("doc_id", "j").withColumnRenamed("c", "cb"), "j")
+      .withColumn("jac", col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select("i", "j", "jac")
+  }
+
+  /** SimHash-60 sketch per doc (tf-weighted sign votes over md5-60 token
+    * hashes). */
+  def simhashSketch(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokTf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("h", h60(col("tok")))
+    val voteCols = (0 until 60).map(b =>
+      sum(when(expr(s"shiftright(h, $b) & 1") === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"v$b"))
+    tokTf.groupBy("doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming <= maxHamming (must be <= 3 for
+    * the 4-block pigeonhole to guarantee 100% recall). */
+  def simhashPairs(sketches: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4 blocks of 15 bits guarantee recall only for hamming <= 3")
+    val blocked = sketches.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(blk =>
+        shiftright(col("simhash"), blk * 15).bitwiseAND(0x7fffL)): _*))
+        .as(Seq("blk", "blkval")))
+    blocked.as("x").join(blocked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.blkval") === col("y.blkval")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Decontamination: drop rows whose content digest appears in `eval`.
+    * Fingerprints are anti-joined (broadcast when small); documents never
+    * shuffle. */
+  def decontaminate(train: DataFrame, eval_ : DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def fp(df: DataFrame) = df.select(col(idCol),
+      md5(concat_ws(" ", tokens(col(textCol)))).as("fp"))
+    fp(train).join(broadcast(fp(eval_).select("fp")), Seq("fp"), "left_anti")
+  }
+
+  // ---- similarity ----------------------------------------------------
+
+  /** Brute-force top-k cosine neighbors of `queries` within `corpus`
+    * (both `(id, vec)`-shaped). Queries are broadcast; ranks carry a full
+    * tie-break. */
+  def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    corpus.select(col("id").as("n_id"), col("vec"))
+      .join(broadcast(queries.select(col("id").as("q_id"), col("vec").as("q_vec"))),
+        col("n_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("vec")))
+      .select(col("q_id"), col("n_id"), row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+
+  // ---- sampling / splits ---------------------------------------------
+
+  /** Deterministic 1-in-`rate` systematic sample by id hash. */
+  def systematicSample(df: DataFrame, idCol: String, rate: Int,
+      seed: String = "sample"): DataFrame =
+    df.filter(h60(concat(lit(s"$seed:"), col(idCol).cast("string"))) % rate === 0)
+
+  /** Up to `perClass` rows per `strataCol` value, in deterministic hash
+    * order. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      perClass: Int, seed: String = "strat"): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(h60(concat(lit(s"$seed:"), col(idCol).cast("string"))).asc,
+        col(idCol).asc)
+    df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= perClass)
+  }
+
+  /** Reproducible percentage split: adds a `split` column (e.g. 80/10/10
+    * => train/val/test) as a pure function of the id. */
+  def trainValTestSplit(df: DataFrame, idCol: String, trainPct: Int = 80,
+      valPct: Int = 10, seed: String = "split"): DataFrame =
+    df.withColumn("b", h60(concat(lit(s"$seed:"), col(idCol).cast("string"))) % 100)
+      .withColumn("split",
+        when(col("b") < trainPct, "train")
+          .when(col("b") < trainPct + valPct, "val").otherwise("test"))
+      .drop("b")
+
+  /** tf-idf top-`k` terms per doc, ranked by the rational tf*N/df score
+    * (libm-free ordering), (score desc, term asc) tie-break. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+      .select(col("doc_id"), col("term"), row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -176,11 +176,10 @@ object TextAnalysis {
         |WHERE t.doc_id % 50 <> 0
         |  AND NOT EXISTS (SELECT 1 FROM fp e WHERE e.doc_id % 50 = 0 AND e.fp = t.fp)
         |""".stripMargin) { (s, d) =>
-      val fp = documents(s, d).select(col("doc_id"),
-        md5(concat_ws(" ", tokens(col("text")))).as("fp"))
-      val eval_ = fp.filter(col("doc_id") % 50 === 0).select("fp")
-      fp.filter(col("doc_id") % 50 =!= 0)
-        .join(broadcast(eval_), Seq("fp"), "left_anti")
+      val docs = documents(s, d)
+      graft.api.Graft.decontaminate(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text")
         .select("doc_id", "fp")
     },
 

@@ -45,11 +45,7 @@ object Dedup {
         |FROM documents
         |GROUP BY 1
         |""".stripMargin) { (s, d) =>
-      documents(s, d)
-        .select(col("doc_id"),
-          sha2(concat_ws(" ", toks(col("text"))), 256).as("fp"))
-        .groupBy("fp")
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      graft.api.Graft.exactDedup(documents(s, d), "doc_id", "text")
     },
 
     // N-gram Jaccard near-dup via the inverted-index formulation:
@@ -135,45 +131,8 @@ object Dedup {
         |FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
         |WHERE CAST(n AS DOUBLE) / (ca.c + cb.c - n) >= 0.5
         |""".stripMargin) { (s, d) =>
-      val numHashes = 16
-      val bands = 4
-      val rows = numHashes / bands
-      val sh = shingles(s, d).select("doc_id", "shingle")
-      // signature: ONE md5 per shingle, 16 Kirsch-Mitzenmacher-derived
-      // hash fns h_i = (ha + i*hb) mod 2^60 (hb masked to 56 bits so
-      // 15*hb can't overflow a signed long) — 16x fewer digests than
-      // hashing per-fn, same minwise-independence class.
-      val hx = md5(col("shingle"))
-      val ha = conv(substring(hx, 1, 15), 16, 10).cast("long")
-      val hb = conv(substring(hx, 16, 15), 16, 10).cast("long") % lit(1L << 56)
-      val hashed = sh.select(col("doc_id"), ha.as("ha"), hb.as("hb"))
-      val sig = hashed.groupBy("doc_id").agg(
-        array((0 until numHashes).map(i =>
-          min((col("ha") + lit(i.toLong) * col("hb")) % lit(1L << 60))): _*).as("sig"))
-      // band key: md5 of the comma-joined 4-slice of the signature
-      val banded = sig.select(col("doc_id"), posexplode(
-        array((0 until bands).map(bIdx =>
-          md5(concat_ws(",", (0 until rows).map(r =>
-            element_at(col("sig"), bIdx * rows + r + 1).cast("string")): _*))): _*))
-        .as(Seq("band", "bandkey")))
-      val cand = banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-        .distinct()
-      // verify candidates with true jaccard over shingle sets
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-      val inter = cand
-        .join(sh.select(col("doc_id").as("i"), col("shingle")), "i")
-        .join(sh.select(col("doc_id").as("j"), col("shingle").as("shingle_j")), "j")
-        .filter(col("shingle") === col("shingle_j"))
-        .groupBy("i", "j").agg(count(lit(1)).as("inter"))
-      inter
-        .join(cnt.withColumnRenamed("doc_id", "i").withColumnRenamed("c", "ca"), "i")
-        .join(cnt.withColumnRenamed("doc_id", "j").withColumnRenamed("c", "cb"), "j")
-        .withColumn("jac", col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
-        .filter(col("jac") >= 0.5)
-        .select("i", "j", "jac")
+      graft.api.Graft.minhashPairs(
+        shingles(s, d).select("doc_id", "shingle"), threshold = 0.5)
     },
 
     // SimHash-60 near-dup: tf-weighted sign sketch over portable md5-60
@@ -199,32 +158,8 @@ object Dedup {
         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |""".stripMargin) { (s, d) =>
-      val docs = documents(s, d)
-        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        .withColumn("h", graft.Exact.h60(col("tok")))
-      // weighted bit votes as 60 aggregate columns — one groupBy over the
-      // token rows, no 60x row explosion (a 60x shuffle at 100 TB).
-      val voteCols = (0 until 60).map(b =>
-        sum(when(expr(s"shiftright(h, $b) & 1") === 1, col("tf"))
-          .otherwise(-col("tf"))).as(s"v$b"))
-      val sim = docs.groupBy("doc_id")
-        .agg(voteCols.head, voteCols.tail: _*)
-        .select(col("doc_id"),
-          (0 until 60).map(b =>
-            when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
-            .reduce(_ + _).as("simhash"))
-      // pigeonhole: 4 x 15-bit blocks; join on any equal block
-      val blocked = sim.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(blk =>
-          shiftright(col("simhash"), blk * 15).bitwiseAND(0x7fffL)): _*)).as(Seq("blk", "blkval")))
-      blocked.as("x").join(blocked.as("y"),
-          col("x.blk") === col("y.blk") && col("x.blkval") === col("y.blkval")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
-          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
+      graft.api.Graft.simhashPairs(
+        graft.api.Graft.simhashSketch(documents(s, d), "doc_id", "text"))
     }
   )
 }

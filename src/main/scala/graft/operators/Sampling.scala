@@ -46,18 +46,7 @@ object Sampling {
         |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n) t
         |WHERE rnk <= 3
         |""".stripMargin) { (s, d) =>
-      val tok = documents(s, d).select(col("doc_id"),
-        explode(graft.functions.TextAnalysis.tokens(col("text"))).as("term"))
-      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-      val n = documents(s, d).agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("term").asc)
-      tf.join(df, "term")
-        .crossJoin(broadcast(n))
-        .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
-        .select(col("doc_id"), col("term"), row_number().over(w).as("rnk"))
-        .filter(col("rnk") <= 3)
+      graft.api.Graft.tfidfTopTerms(documents(s, d), "doc_id", "text", k = 3)
     },
 
     // Systematic 1-in-20 sample: pure hash predicate, no RNG, no
@@ -67,8 +56,7 @@ object Sampling {
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT % 20 = 0
         |""".stripMargin) { (s, d) =>
-      documents(s, d)
-        .filter(h60(concat(lit("sample:"), col("doc_id").cast("string"))) % 20 === 0)
+      graft.api.Graft.systematicSample(documents(s, d), "doc_id", rate = 20)
         .select("doc_id", "lang", "source")
     },
 
@@ -85,12 +73,9 @@ object Sampling {
         |  FROM documents) t
         |WHERE rnk <= 20
         |""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy("lang")
-        .orderBy(h60(concat(lit("strat:"), col("doc_id").cast("string"))).asc,
-          col("doc_id").asc)
-      documents(s, d)
-        .select(col("lang"), col("doc_id"), row_number().over(w).as("rnk"))
-        .filter(col("rnk") <= 20)
+      graft.api.Graft.stratifiedSample(documents(s, d), "doc_id", "lang",
+          perClass = 20)
+        .select("lang", "doc_id", "rnk")
     },
 
     // Reproducible 80/10/10 train/val/test split by hash bucket; emitted
@@ -104,10 +89,7 @@ object Sampling {
         |      FROM documents) t
         |GROUP BY 1, 2
         |""".stripMargin) { (s, d) =>
-      documents(s, d)
-        .withColumn("b", h60(concat(lit("split:"), col("doc_id").cast("string"))) % 100)
-        .withColumn("split",
-          when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+      graft.api.Graft.trainValTestSplit(documents(s, d), "doc_id")
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n"))
     }

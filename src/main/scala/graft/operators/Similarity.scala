@@ -35,14 +35,8 @@ object Similarity {
          |WHERE rnk <= $kNeighbors
          |""".stripMargin) { (s, d) =>
       val emb = embeddings(s, d)
-      val queries = emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-      emb.select(col("vec_id").as("n_id"), col("embedding"))
-        .join(broadcast(queries), col("n_id") =!= col("q_id"))
-        .withColumn("cos", cosine(col("q_emb"), col("embedding")))
-        .select(col("q_id"), col("n_id"), row_number().over(w).as("rnk"))
-        .filter(col("rnk") <= kNeighbors)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.api.Graft.knnBrute(emb, emb.filter(col("id") < nQueries), kNeighbors)
     },
 
     // ANN: multi-table sign-LSH (4 tables x 3 bits — coarse buckets since
