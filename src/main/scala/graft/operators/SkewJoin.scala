@@ -28,7 +28,7 @@ object SkewJoin {
       s"saltedJoin supports inner/left-side join types only, got '$joinType' " +
         "(right/full outer would duplicate unmatched right rows per salt)")
     // deterministic salt: spread rows by a hash of the whole left row
-    val leftCols = left.columns.map(col)
+    val leftCols = left.columns.toIndexedSeq.map(col)
     val salted = left.withColumn("__salt",
       pmod(xxhash64(leftCols: _*), lit(salts)).cast("int"))
     val replicated = right.withColumn("__salt",

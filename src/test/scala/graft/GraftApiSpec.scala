@@ -1,0 +1,85 @@
+package graft
+
+import graft.api.Graft
+import org.apache.spark.sql.functions._
+
+/** The library facade on NON-fixture data: column parameters and
+  * semantics hold for arbitrary schemas, not just the driver tables. */
+class GraftApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog", "a"),
+    (11L, "the quick brown fox jumps over the lazy dog", "a"), // exact dup
+    (12L, "the quick brown fox leaps over the lazy dog", "b"), // near dup
+    (13L, "entirely different content with no overlap here", "b"),
+    (14L, "spam spam spam spam spam ham", "c")
+  ).toDF("id", "body", "cls")
+
+  test("exactDedup groups byte-identical docs under min id") {
+    val rows = Graft.exactDedup(corpus, "id", "body").collect()
+    assert(rows.length == 4)
+    val dup = rows.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 10L, "keep-first = min id")
+  }
+
+  test("minhashPairs finds the near-dup pair and verifies its jaccard") {
+    val sh = Graft.shingleSet(corpus, "id", "body")
+    val pairs = Graft.minhashPairs(sh, threshold = 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 11L)), s"exact dup pair, got $pairs")
+    pairs.foreach { case (i, j) => assert(i < j) }
+  }
+
+  test("simhash sketch of identical docs is identical; pairs respect the bound") {
+    val sk = Graft.simhashSketch(corpus, "id", "body")
+      .as[(Long, Long)].collect().toMap
+    assert(sk(10L) == sk(11L))
+    val pairs = Graft.simhashPairs(Graft.simhashSketch(corpus, "id", "body"))
+    pairs.collect().foreach(r => assert(r.getInt(2) <= 3))
+    assertThrows[IllegalArgumentException] {
+      Graft.simhashPairs(Graft.simhashSketch(corpus, "id", "body"), maxHamming = 6)
+    }
+  }
+
+  test("decontaminate drops content matches against the eval set") {
+    val eval_ = Seq((99L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "body")
+    val kept = Graft.decontaminate(corpus, eval_, "id", "body")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(12L, 13L, 14L), s"10/11 are eval twins, got $kept")
+  }
+
+  test("trainValTestSplit covers every row exactly once, deterministically") {
+    val out = Graft.trainValTestSplit(corpus, "id")
+    assert(out.count() == corpus.count())
+    assert(out.select("split").distinct().as[String].collect()
+      .forall(Set("train", "val", "test")))
+    val twice = Graft.trainValTestSplit(corpus, "id")
+      .select("id", "split").as[(Long, String)].collect().toSet
+    assert(twice == out.select("id", "split").as[(Long, String)].collect().toSet)
+  }
+
+  test("stratifiedSample caps per class; systematicSample is a pure predicate") {
+    val strat = Graft.stratifiedSample(corpus, "id", "cls", perClass = 1)
+    assert(strat.groupBy("cls").count().collect().forall(_.getLong(1) == 1L))
+    val sys1 = Graft.systematicSample(corpus, "id", rate = 2).count()
+    assert(sys1 <= corpus.count())
+  }
+
+  test("tfidfTopTerms ranks a doc's distinguishing term first") {
+    val top1 = Graft.tfidfTopTerms(corpus, "id", "body", k = 1)
+      .filter(col("doc_id") === 14L).select("term").as[String].head()
+    assert(top1 == "spam", s"tf=5 rare term should win, got $top1")
+  }
+
+  test("knnBrute returns k ranked neighbors per query") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))
+    ).toDF("id", "vec")
+    val nn = Graft.knnBrute(vecs, vecs.filter(col("id") === 0L), k = 2)
+      .orderBy("rnk").select("n_id").as[Long].collect()
+    assert(nn.sameElements(Array(1L, 2L)), nn.mkString(","))
+  }
+}
