@@ -99,6 +99,25 @@ object Aggregates {
           max(when(col("rn") === expr("(9 * n + 9) div 10"), col("l_quantity"))).as("p90_disc"))
     },
 
+    // Approximate percentile, checked via its rank contract (like the HLL
+    // query): the t-digest result's rank share must sit inside a generous
+    // band around 0.5. The approximate value itself never leaves the
+    // query — only the exact count and the contract verdict.
+    QueryDef(
+      "q_agg_approx_percentile",
+      """SELECT l_returnflag, count(*) AS n, true AS median_rank_ok
+        |FROM lineitem GROUP BY 1
+        |""".stripMargin) { (s, d) =>
+      val ap = lineitem(s, d).groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("amed"))
+      lineitem(s, d).select("l_returnflag", "l_quantity")
+        .join(broadcast(ap), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          (sum(when(col("l_quantity") <= col("amed"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1))).between(0.45, 0.55).as("median_rank_ok"))
+    },
+
     // Argmax via max(struct(ord, value)) — deterministic under ties
     // (custkey tie-break), one aggregation, no window shuffle.
     QueryDef(

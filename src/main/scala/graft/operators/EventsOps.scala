@@ -135,6 +135,54 @@ object EventsOps {
         .select(col("window.start").as("ws"), col("event_type"), col("n"))
     },
 
+    // Native session_window aggregation (the built-in twin of the manual
+    // lag+running-sum sessionize): window.start = first event,
+    // window.end = last event + gap. Note the boundary: an event at
+    // EXACTLY gap distance starts a new session (half-open window), so
+    // the oracle's split predicate is >=, not >.
+    QueryDef(
+      "q_events_session_window",
+      """WITH base AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts2 FROM events),
+        |marked AS (
+        |  SELECT user_id, ts2,
+        |    CASE WHEN lag(ts2) OVER w IS NULL
+        |           OR ts2 - lag(ts2) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+        |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts2 ASC, event_id ASC)),
+        |sess AS (
+        |  SELECT user_id, ts2,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts2 ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts2) AS session_start,
+        |  max(ts2) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"))
+    },
+
+    // Unpivot (melt): the wide per-user counts back to long form — the
+    // inverse of q_events_pivot, dropping the absent combinations.
+    QueryDef(
+      "q_events_unpivot",
+      """SELECT user_id, event_type, count(*) AS n FROM events
+        |WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+        |GROUP BY 1, 2
+        |""".stripMargin) { (s, d) =>
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0, types)
+        .unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+        .filter(col("n") > 0)
+    },
+
     // Pivot: event counts per user x fixed event-type set. Explicit value
     // list keeps the output schema static (required at scale — no extra
     // pass to discover distinct values) and matches the oracle's columns.
