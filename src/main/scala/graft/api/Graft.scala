@@ -194,6 +194,24 @@ object Graft {
           .when(col("b") < trainPct + valPct, "val").otherwise("test"))
       .drop("b")
 
+  /** Fixed-window token chunking: split each doc's token stream into
+    * consecutive `chunkTokens`-token sequences — the context-length prep
+    * step before training. Narrow flatMap shape (no shuffle); documents
+    * chunk independently so the operator parallelizes per row. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("l"))
+      .filter(size(col("l")) > 0)
+      .select(col("doc_id"), col("l"),
+        explode(sequence(lit(0),
+          expr(s"(size(l) + ${chunkTokens - 1}) div $chunkTokens - 1").cast("int")))
+          .as("chunk_no"))
+      .select(col("doc_id"), col("chunk_no").cast("int").as("chunk_no"),
+        least(size(col("l")) - col("chunk_no") * chunkTokens, lit(chunkTokens))
+          .as("n_tokens"),
+        concat_ws(" ", slice(col("l"), col("chunk_no") * chunkTokens + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+
   /** tf-idf top-`k` terms per doc, ranked by the rational tf*N/df score
     * (libm-free ordering), (score desc, term asc) tie-break. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,

@@ -49,6 +49,25 @@ object Sampling {
       graft.api.Graft.tfidfTopTerms(documents(s, d), "doc_id", "text", k = 3)
     },
 
+    // Context-length chunking: each doc's token stream cut into
+    // consecutive 64-token sequences (the pre-training sequence prep).
+    QueryDef(
+      "q_text_chunk",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS l
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, unnest([{'cn': i, 'nt': least(len(l) - i*64, 64),
+        |                          'tx': array_to_string(l[i*64+1 : i*64+64], ' ')}
+        |                         for i in range(0, (len(l) + 63) // 64)]) AS c
+        |  FROM tok WHERE len(l) > 0)
+        |SELECT doc_id, CAST(c.cn AS INT) AS chunk_no, CAST(c.nt AS INT) AS n_tokens,
+        |  c.tx AS chunk_text
+        |FROM ch
+        |""".stripMargin) { (s, d) =>
+      graft.api.Graft.chunkTokens(documents(s, d), "doc_id", "text", 64)
+    },
+
     // Systematic 1-in-20 sample: pure hash predicate, no RNG, no
     // coordination — the same rows are kept on any cluster and any rerun.
     QueryDef(
