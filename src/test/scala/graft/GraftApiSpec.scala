@@ -73,6 +73,18 @@ class GraftApiSpec extends SparkSpec {
     assert(top1 == "spam", s"tf=5 rare term should win, got $top1")
   }
 
+  test("chunkTokens covers the token stream exactly, in order") {
+    val chunks = Graft.chunkTokens(corpus, "id", "body", chunkTokens = 3)
+      .orderBy("doc_id", "chunk_no").collect()
+    val rebuilt = chunks.groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getString(3)).mkString(" ")).toMap
+    corpus.collect().foreach { r =>
+      val want = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt(r.getLong(0)) == want, s"doc ${r.getLong(0)}")
+    }
+    chunks.foreach(r => assert(r.getInt(2) >= 1 && r.getInt(2) <= 3))
+  }
+
   test("knnBrute returns k ranked neighbors per query") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
