@@ -87,12 +87,13 @@ object Aggregates {
         |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN l_quantity END) AS p90_disc
         |FROM r GROUP BY 1
         |""".stripMargin) { (s, d) =>
+      // group sizes via a tiny pre-aggregate + broadcast join, not a
+      // second whole-partition window pass over the fact rows
       val byVal = Window.partitionBy("l_returnflag").orderBy(col("l_quantity").asc)
-      val all = Window.partitionBy("l_returnflag")
-      lineitem(s, d)
-        .select(col("l_returnflag"), col("l_quantity"))
+      val li = lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
+      val sizes = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      li.join(broadcast(sizes), "l_returnflag")
         .withColumn("rn", row_number().over(byVal))
-        .withColumn("n", count(lit(1)).over(all))
         .groupBy("l_returnflag")
         .agg(max(col("n")).as("n_vals"),
           max(when(col("rn") === expr("(n + 1) div 2"), col("l_quantity"))).as("median_disc"),

@@ -1,0 +1,62 @@
+package graft
+
+import graft.api.Graft
+import org.apache.spark.sql.functions._
+import org.scalacheck.Prop.forAll
+import org.scalacheck.{Gen, Test => ScTest}
+
+/** ScalaCheck properties of the curation operators — the invariants a
+  * training-data build depends on, over generated corpora. */
+class GraftPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(1, 40)
+    texts <- Gen.listOfN(n,
+      Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "the", "Ω"))
+        .map(_.mkString(" ")))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private def check(p: org.scalacheck.Prop): Unit = {
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: exactDedup copy counts always sum to the corpus size") {
+    check(forAll(docGen) { docs =>
+      val df = docs.toDF("id", "body")
+      Graft.exactDedup(df, "id", "body")
+        .agg(sum("n_copies")).as[Long].head() == docs.size.toLong
+    })
+  }
+
+  test("property: trainValTestSplit is a partition of the ids") {
+    check(forAll(docGen) { docs =>
+      val out = Graft.trainValTestSplit(docs.toDF("id", "body"), "id")
+        .select("id", "split").as[(Long, String)].collect()
+      out.length == docs.size && out.map(_._1).distinct.length == docs.size &&
+        out.forall(r => Set("train", "val", "test")(r._2))
+    })
+  }
+
+  test("property: systematicSample keeps a deterministic subset") {
+    check(forAll(docGen, Gen.choose(2, 10)) { (docs, rate) =>
+      val df = docs.toDF("id", "body")
+      val a = Graft.systematicSample(df, "id", rate).select("id").as[Long].collect().toSet
+      val b = Graft.systematicSample(df, "id", rate).select("id").as[Long].collect().toSet
+      a == b && a.subsetOf(docs.map(_._1).toSet)
+    })
+  }
+
+  test("property: chunkTokens n_tokens sums to the doc's token count") {
+    check(forAll(docGen, Gen.oneOf(2, 3, 5)) { (docs, w) =>
+      val got = Graft.chunkTokens(docs.toDF("id", "body"), "id", "body", w)
+        .groupBy("doc_id").agg(sum("n_tokens").as("s"))
+        .as[(Long, Long)].collect().toMap
+      docs.forall { case (id, body) =>
+        val n = body.split("\\s+").count(_.nonEmpty).toLong
+        got.getOrElse(id, 0L) == n
+      }
+    })
+  }
+}
