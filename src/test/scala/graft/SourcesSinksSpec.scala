@@ -45,6 +45,17 @@ class SourcesSinksSpec extends SparkSpec {
       == o.agg(sum("o_orderkey")).head().getLong(0))
   }
 
+  test("orc sink round-trips with schema and values intact") {
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val orcPath = tmp("orc")
+    Sinks.writeOrc(o, orcPath)
+    val back = spark.read.orc(orcPath)
+    assert(back.schema == o.schema)
+    assert(back.agg(sum("o_orderkey")).head().getLong(0)
+      == o.agg(sum("o_orderkey")).head().getLong(0))
+  }
+
   test("text-dir source reads line-per-row like the reference input format") {
     val dir = java.nio.file.Files.createTempDirectory("graft_text").toFile
     java.nio.file.Files.writeString(new java.io.File(dir, "a.txt").toPath, "l1\nl2\n")
