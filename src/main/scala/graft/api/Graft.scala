@@ -142,6 +142,49 @@ object Graft {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over an undirected near-dup pair list
+    * ((i, j) rows): returns (doc_id, cluster_id) where cluster_id is the
+    * MIN doc id in the component — the canonical-representative step that
+    * turns pairwise matches into dedup groups. Iterative min-label
+    * propagation to the exact fixpoint; rounds = component diameter
+    * (near-dup clusters are tiny, so 2-4 in practice), each round one
+    * equi-join + min-aggregate — the standard large-graph CC shape. */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    // localCheckpoint (eager) after every step: an iterative algorithm
+    // re-plans its whole upstream lineage each round otherwise — the
+    // candidate-generation pipeline would re-execute once per round. On a
+    // cluster with lossy executors use reliable checkpoint() instead.
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .union(pairs.select(col("j").as("a"), col("i").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      // min over self + neighbor labels (one hop)...
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("b"), col("lbl")), "b")
+        .select(col("a").as("id"), col("lbl"))
+      val hop = labels.union(viaNeighbor)
+        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      // ...then pointer-jump through the representative's own label, which
+      // makes convergence logarithmic in component diameter instead of
+      // linear (a representative's label only ever decreases, so the
+      // jumped label is always <= the hopped one)
+      val reps = hop.select(col("id").as("rep"), col("lbl").as("replbl"))
+      val next = hop.join(reps, hop("lbl") === reps("rep"))
+        .select(hop("id"), col("replbl").as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") < col("old")).count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** Decontamination: drop rows whose content digest appears in `eval`.
     * Fingerprints are anti-joined (broadcast when small); documents never
     * shuffle. */

@@ -135,6 +135,58 @@ object Dedup {
         shingles(s, d).select("doc_id", "shingle"), threshold = 0.5)
     },
 
+    // Dedup clusters: connected components over the minhash pair list —
+    // (doc, canonical representative = min doc id in the component). The
+    // oracle walks the same graph with a recursive CTE; both sides reach
+    // the exact min-label fixpoint, so results match row-for-row.
+    QueryDef(
+      "q_dedup_clusters",
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS l
+        |  FROM documents
+        |  WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest([array_to_string(l[i:i+2], ' ') for i in range(1, greatest(len(l) - 1, 1))]) AS shingle
+        |    FROM tok) u),
+        |h2 AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS ha,
+        |    ('0x' || substr(md5(shingle), 16, 15))::BIGINT % 72057594037927936 AS hb
+        |  FROM sh),
+        |hv AS (
+        |  SELECT doc_id, i, min((ha + i * hb) % 1152921504606846976) AS mh
+        |  FROM h2, range(16) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hv GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bandkey
+        |  FROM sig, range(4) r2(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+        |  FROM banded x JOIN banded y
+        |    ON x.b = y.b AND x.bandkey = y.bandkey AND x.doc_id < y.doc_id),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.i, c.j, count(*) AS n FROM cand c
+        |  JOIN sh a ON a.doc_id = c.i
+        |  JOIN sh b ON b.doc_id = c.j AND b.shingle = a.shingle
+        |  GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT i, j FROM inter
+        |  JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+        |  WHERE CAST(n AS DOUBLE) / (ca.c + cb.c - n) >= 0.5),
+        |ed AS (SELECT i AS a, j AS b FROM pr UNION SELECT j AS a, i AS b FROM pr),
+        |walk(id, lbl) AS (
+        |  SELECT DISTINCT a, a FROM ed
+        |  UNION
+        |  SELECT e.a, w.lbl FROM walk w JOIN ed e ON e.b = w.id)
+        |SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id
+        |""".stripMargin) { (s, d) =>
+      graft.api.Graft.dedupClusters(
+        graft.api.Graft.minhashPairs(
+          shingles(s, d).select("doc_id", "shingle"), threshold = 0.5))
+    },
+
     // SimHash-60 near-dup: tf-weighted sign sketch over portable md5-60
     // token hashes; hamming <= 3 (the Manku et al. 64-bit dedup standard)
     // found via 4-block pigeonhole — with 4 blocks of 15 bits, any pair

@@ -15,7 +15,10 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tc = System.nanoTime()
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    println(f"construction: ${(System.nanoTime() - tc) / 1e9}%.2f s" +
+      " (eager operators run their loops here)")
     df.explain("formatted")
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()

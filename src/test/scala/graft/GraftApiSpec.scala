@@ -73,6 +73,14 @@ class GraftApiSpec extends SparkSpec {
     assert(top1 == "spam", s"tf=5 rare term should win, got $top1")
   }
 
+  test("dedupClusters labels every node with its component minimum") {
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round) + pair 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L)).toDF("i", "j")
+    val got = Graft.dedupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("chunkTokens covers the token stream exactly, in order") {
     val chunks = Graft.chunkTokens(corpus, "id", "body", chunkTokens = 3)
       .orderBy("doc_id", "chunk_no").collect()
