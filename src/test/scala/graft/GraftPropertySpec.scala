@@ -48,6 +48,35 @@ class GraftPropertySpec extends SparkSpec {
     })
   }
 
+  test("property: dedupClusters == union-find on random graphs") {
+    val edgeGen = for {
+      n <- Gen.choose(2, 30)
+      m <- Gen.choose(1, 25)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es.distinct
+    check(forAll(edgeGen) { es =>
+      es.isEmpty || {
+        val got = Graft.dedupClusters(es.toDF("i", "j"))
+          .as[(Long, Long)].collect().toMap
+        // reference union-find
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(k => k -> find(k)).toMap
+        got == want
+      }
+    })
+  }
+
   test("property: chunkTokens n_tokens sums to the doc's token count") {
     check(forAll(docGen, Gen.oneOf(2, 3, 5)) { (docs, w) =>
       val got = Graft.chunkTokens(docs.toDF("id", "body"), "id", "body", w)
