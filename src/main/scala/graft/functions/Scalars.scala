@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.sources.Tables._
@@ -101,6 +102,25 @@ object Scalars {
         .groupBy("k")
         .agg(count(lit(1)).as("n"),
           graft.Exact.decOut(sum(col("value").cast("decimal(38,10)"))).as("sum_value"))
+    },
+
+    // Fuzzy matching: Levenshtein edit distance over the (tiny) nation x
+    // region name grid, with a best-match rank per nation — the
+    // string-similarity primitive of fuzzy record linkage. Both engines
+    // implement classic Wagner-Fischer, so distances are identical ints.
+    QueryDef(
+      "q_scalar_editdist",
+      """SELECT n_name, r_name, CAST(levenshtein(n_name, r_name) AS INT) AS dist,
+        |  CAST(row_number() OVER (PARTITION BY n_name
+        |    ORDER BY levenshtein(n_name, r_name) ASC, r_name ASC) AS INT) AS rnk
+        |FROM nation CROSS JOIN region
+        |""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("n_name").orderBy(col("dist").asc, col("r_name").asc)
+      nation(s, d).select("n_name")
+        .crossJoin(broadcast(region(s, d).select("r_name")))
+        .withColumn("dist", levenshtein(col("n_name"), col("r_name")))
+        .select(col("n_name"), col("r_name"), col("dist"),
+          row_number().over(w).as("rnk"))
     },
 
     // Null semantics: nullif/coalesce/null-safe equality/IS NULL.
