@@ -210,6 +210,39 @@ object Graft {
       .filter(col("rnk") <= k)
   }
 
+  /** IVF multi-probe ANN: compute one centroid per `cell` (per-dimension
+    * decimal-exact mean, so both engines build the identical codebook),
+    * probe the `nprobe` nearest centroids per query by cosine, then rank
+    * only the vectors in the probed cells. corpus/queries are
+    * (id, vec, cell)-shaped. The scale shape of real IVF: the codebook
+    * broadcasts (cells << corpus), candidates shuffle on the cell key,
+    * and each query scores ~nprobe/cells of the corpus. */
+  def ivfProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    val comp = corpus
+      .select(col("cell"), posexplode(col("vec")).as(Seq("i", "x")))
+      .groupBy("cell", "i")
+      .agg((graft.Exact.decOut(sum(col("x").cast("double").cast(
+        org.apache.spark.sql.types.DecimalType(38, 10)))) / count(lit(1))).as("c"))
+    val centroids = comp.groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell").asc)
+    val probes = queries.select(col("id").as("q_id"), col("vec").as("q_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col("q_vec"), col("cvec")))
+      .select(col("q_id"), col("q_vec"), col("cell"),
+        row_number().over(wProbe).as("pr"))
+      .filter(col("pr") <= nprobe)
+    val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    corpus.select(col("id").as("n_id"), col("vec"), col("cell"))
+      .join(broadcast(probes.select("q_id", "q_vec", "cell")), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("vec")))
+      .select(col("q_id"), col("n_id"), row_number().over(wRank).as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+
   // ---- sampling / splits ---------------------------------------------
 
   /** Deterministic 1-in-`rate` systematic sample by id hash. */

@@ -116,6 +116,43 @@ object Similarity {
         .filter(col("rnk") <= kNeighbors)
     },
 
+    // IVF multi-probe: a computed codebook (per-cell, per-dimension
+    // decimal-exact means — both engines build the identical centroids),
+    // nprobe=3 nearest cells per query, candidates ranked only inside
+    // probed cells. The full production IVF shape: codebook broadcasts,
+    // candidates shuffle on the cell key, each query scores ~nprobe/cells
+    // of the corpus.
+    QueryDef(
+      "q_knn_ivf_probe",
+      s"""WITH e AS (SELECT vec_id, label AS cell, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ex AS (SELECT cell, unnest([{'i': i, 'x': v[i+1]} for i in range(0, len(v))]) AS st FROM e),
+         |comp AS (
+         |  SELECT cell, st.i AS i,
+         |    CAST(round(sum(CAST(st.x AS DECIMAL(38,10))), 4) AS DOUBLE) / count(*) AS c
+         |  FROM ex GROUP BY cell, st.i),
+         |cent AS (SELECT cell, list(c ORDER BY i) AS cvec FROM comp GROUP BY cell),
+         |qs AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQueries),
+         |probe AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY list_cosine_similarity(q.qv, c.cvec) DESC, c.cell ASC) AS pr
+         |    FROM qs q CROSS JOIN cent c) t
+         |  WHERE pr <= 3)
+         |SELECT q_id, n_id, rnk FROM (
+         |  SELECT p.q_id, n.vec_id AS n_id,
+         |    CAST(row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY list_cosine_similarity(q.qv, n.v) DESC, n.vec_id ASC) AS INT) AS rnk
+         |  FROM probe p JOIN qs q ON q.q_id = p.q_id JOIN e n ON n.cell = p.cell
+         |  WHERE n.vec_id <> p.q_id) t
+         |WHERE rnk <= $kNeighbors
+         |""".stripMargin) { (s, d) =>
+      val emb = embeddings(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"), col("label").as("cell"))
+      graft.api.Graft.ivfProbe(emb, emb.filter(col("id") < nQueries),
+        k = kNeighbors, nprobe = 3)
+    },
+
     // Embedding-cosine near-dup: same-bucket pairs above a cosine bar.
     // (Threshold 0.4 — the synthetic vectors top out near 0.51 pairwise,
     // so a production-style 0.95 bar would make the operator vacuous.)
