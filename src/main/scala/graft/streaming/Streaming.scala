@@ -84,7 +84,46 @@ object Streaming {
         col("session_start_us"))
   }
 
+  /** Stream-stream inner join: purchases joined to the same user's
+    * clicks within the preceding 5 minutes, both sides watermarked (the
+    * event-time constraint bounds join state on a real cluster; in the
+    * bounded replay it just reproduces the batch interval join). */
+  def purchaseClickJoin(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val name = "stream_ssj_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    def src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES")
+        && col("c_ts") <= col("p_ts"))
+    val q = joined.select("p_id", "c_id")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_join_stream_stream",
+      """SELECT p.event_id AS p_id, c.event_id AS c_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 5 MINUTE
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |""".stripMargin) { (s, d) => purchaseClickJoin(s, d) },
+
     QueryDef(
       "q_events_session_stream",
       """WITH base AS (
