@@ -104,6 +104,29 @@ object Scalars {
           graft.Exact.decOut(sum(col("value").cast("decimal(38,10)"))).as("sum_value"))
     },
 
+    // Bitwise surface: and/or/xor/shifts/popcount on integer keys —
+    // exact in both engines by construction.
+    QueryDef(
+      "q_scalar_bitwise",
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey & 255 AS lo_byte,
+        |  l_orderkey | 4096 AS with_flag,
+        |  xor(l_orderkey, l_partkey) AS key_mix,
+        |  l_linenumber << 4 AS shifted,
+        |  l_orderkey >> 2 AS quartered,
+        |  CAST(bit_count(l_orderkey) AS INT) AS popcount
+        |FROM lineitem
+        |""".stripMargin) { (s, d) =>
+      lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").bitwiseAND(lit(255L)).as("lo_byte"),
+        col("l_orderkey").bitwiseOR(lit(4096L)).as("with_flag"),
+        col("l_orderkey").bitwiseXOR(col("l_partkey")).as("key_mix"),
+        shiftleft(col("l_linenumber"), 4).as("shifted"),
+        shiftright(col("l_orderkey"), 2).as("quartered"),
+        bit_count(col("l_orderkey")).cast("int").as("popcount"))
+    },
+
     // Fuzzy matching: Levenshtein edit distance over the (tiny) nation x
     // region name grid, with a best-match rank per nation — the
     // string-similarity primitive of fuzzy record linkage. Both engines
