@@ -288,6 +288,18 @@ object Graft {
         concat_ws(" ", slice(col("l"), col("chunk_no") * chunkTokens + 1, lit(chunkTokens)))
           .as("chunk_text"))
 
+  /** Z-order (Morton) key: interleave the low `bits` bits of two
+    * non-negative int columns. Sorting/range-partitioning the table by
+    * this key co-locates rows that are close in BOTH dimensions, so
+    * min/max file statistics prune 2-D range predicates — the data-layout
+    * lever for multi-dimensional scans at 100 TB. Pure integer
+    * arithmetic, identical in any engine. */
+  def zorderKey(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map(i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+      .reduce(_ + _)
+
   /** tf-idf top-`k` terms per doc, ranked by the rational tf*N/df score
     * (libm-free ordering), (score desc, term asc) tie-break. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,

@@ -49,6 +49,33 @@ object Sampling {
       graft.api.Graft.tfidfTopTerms(documents(s, d), "doc_id", "text", k = 3)
     },
 
+    // Z-order layout key over (orderkey, partkey) low bits: rows sorted by
+    // this key cluster in both dimensions at once, so file-level min/max
+    // stats prune 2-D range scans. The oracle states the identical bit
+    // interleave (generated term-by-term, pure integer arithmetic).
+    QueryDef(
+      "q_layout_zorder", {
+        val terms = (0 until 10).map(i =>
+          s"((xk >> $i) & 1) * ${1L << (2 * i)} + ((yk >> $i) & 1) * ${1L << (2 * i + 1)}")
+          .mkString(" + ")
+        s"""WITH k AS (
+           |  SELECT l_orderkey, l_linenumber,
+           |    l_orderkey % 1024 AS xk, l_partkey % 1024 AS yk
+           |  FROM lineitem WHERE l_orderkey < 2000)
+           |SELECT l_orderkey, l_linenumber, xk, yk, $terms AS zkey,
+           |  ($terms) // 16384 AS zbucket
+           |FROM k
+           |""".stripMargin
+      }) { (s, d) =>
+      val withKeys = lineitem(s, d)
+        .filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_orderkey") % 1024).as("xk"), (col("l_partkey") % 1024).as("yk"))
+      withKeys
+        .withColumn("zkey", graft.api.Graft.zorderKey(col("xk"), col("yk"), 10))
+        .withColumn("zbucket", expr("zkey div 16384"))
+    },
+
     // Context-length chunking: each doc's token stream cut into
     // consecutive 64-token sequences (the pre-training sequence prep).
     QueryDef(

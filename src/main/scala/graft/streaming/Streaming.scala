@@ -92,7 +92,9 @@ object Streaming {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val name = "stream_ssj_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    def src = s.readStream.schema(schema)
+    // one streaming source, two filter branches (stream self-join) — the
+    // file source is scanned once per micro-batch, not once per side
+    val src = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val purchases = src.filter(col("event_type") === "purchase")

@@ -45,6 +45,21 @@ class SourcesSinksSpec extends SparkSpec {
       == o.agg(sum("o_orderkey")).head().getLong(0))
   }
 
+  test("parquet schema evolution: mergeSchema unions old and new columns") {
+    import spark.implicits._
+    val dir = tmp("evolve")
+    Seq((1L, "a")).toDF("id", "v1")
+      .write.parquet(s"$dir/part=old")
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2")
+      .write.parquet(s"$dir/part=new")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v1", "v2", "part"))
+    // old rows surface the new column as null, values preserved
+    val old = merged.filter(col("part") === "old").head()
+    assert(old.getAs[Long]("id") == 1L && old.isNullAt(old.fieldIndex("v2")))
+    assert(merged.count() == 2)
+  }
+
   test("orc sink round-trips with schema and values intact") {
     val o = Tables.orders(spark, sf)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
