@@ -119,6 +119,23 @@ object Aggregates {
             / count(lit(1))).between(0.45, 0.55).as("median_rank_ok"))
     },
 
+    // Fixed-width histogram per group: bucket = floor(v / width) clamped —
+    // the distribution-profiling aggregate. floor of one correctly-rounded
+    // division is engine-exact.
+    QueryDef(
+      "q_agg_histogram",
+      """SELECT l_returnflag,
+        |  CAST(least(greatest(floor(l_quantity / 5.0), 0), 9) AS INT) AS bucket,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2
+        |""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          least(greatest(floor(col("l_quantity") / 5.0), lit(0)), lit(9))
+            .cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // Argmax via max(struct(ord, value)) — deterministic under ties
     // (custkey tie-break), one aggregation, no window shuffle.
     QueryDef(

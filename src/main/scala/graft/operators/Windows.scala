@@ -115,6 +115,25 @@ object Windows {
         nth_value(col("event_id"), 2).over(rowsAll).as("second_id"))
     },
 
+    // Distribution functions: percent_rank ((rank-1)/(n-1)) and cume_dist
+    // (peers-inclusive rank / n) — both integer-derived double divisions,
+    // engine-exact. Unique tie-break on the rank ordering NOT needed:
+    // ties share the same rank value by definition.
+    QueryDef(
+      "q_window_distribution",
+      """SELECT o_orderkey, o_orderpriority,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC)
+        |""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").asc)
+      orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+    },
+
     // Sliding ROWS frame: 3-event moving count per user (exact, bounded).
     QueryDef(
       "q_window_moving_frame",
