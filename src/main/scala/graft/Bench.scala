@@ -64,7 +64,7 @@ object Bench {
       best(qd.name) = if (t < 0 || prev < 0) -1.0 else math.min(prev, t)
     }
     val results = best.toSeq
-    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def r3(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
