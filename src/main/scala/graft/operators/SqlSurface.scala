@@ -39,6 +39,41 @@ object SqlSurface {
           |""".stripMargin)
     },
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE): per nation, the smallest
+    // nationkey reachable by walking consecutive keys within its region,
+    // plus the walk length. Edges form chains (each node has at most one
+    // predecessor), so UNION ALL derivations are unique and both engines
+    // terminate at the same fixpoint with identical counts.
+    QueryDef(
+      "q_sql_recursive",
+      """WITH RECURSIVE ed AS (
+        |  SELECT a.n_nationkey AS i, b.n_nationkey AS j
+        |  FROM nation a JOIN nation b
+        |    ON b.n_nationkey = a.n_nationkey + 1 AND b.n_regionkey = a.n_regionkey),
+        |walk(id, lbl) AS (
+        |  SELECT n_nationkey, n_nationkey FROM nation
+        |  UNION ALL
+        |  SELECT e.j, w.lbl FROM walk w JOIN ed e ON e.i = w.id)
+        |SELECT id AS n_nationkey, min(lbl) AS chain_root,
+        |  count(*) AS chain_len
+        |FROM walk GROUP BY id
+        |""".stripMargin) { (s, d) =>
+      views(s, d, "nation")
+      s.sql(
+        """WITH RECURSIVE ed AS (
+          |  SELECT a.n_nationkey AS i, b.n_nationkey AS j
+          |  FROM nation a JOIN nation b
+          |    ON b.n_nationkey = a.n_nationkey + 1 AND b.n_regionkey = a.n_regionkey),
+          |walk(id, lbl) AS (
+          |  SELECT n_nationkey, n_nationkey FROM nation
+          |  UNION ALL
+          |  SELECT e.j, w.lbl FROM walk w JOIN ed e ON e.i = w.id)
+          |SELECT id AS n_nationkey, min(lbl) AS chain_root,
+          |  count(*) AS chain_len
+          |FROM walk GROUP BY id
+          |""".stripMargin)
+    },
+
     // Scalar subquery: Catalyst evaluates the uncorrelated subquery once
     // and broadcasts the scalar — no per-row re-evaluation.
     QueryDef(
