@@ -95,6 +95,74 @@ object Sampling {
       graft.api.Graft.chunkTokens(documents(s, d), "doc_id", "text", 64)
     },
 
+    // END-TO-END curation pipeline: length + cleanliness + repetition
+    // quality gates, exact-dedup keep-first, eval-set decontamination,
+    // then reproducible split assignment — the whole library composed in
+    // one flow, reported as per-(split, lang) doc/token counts. Every
+    // stage is a pattern proven by its standalone query.
+    QueryDef(
+      "q_pipeline_curate",
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS l
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, lang, CAST(len(l) AS BIGINT) AS n_tokens, length(text) AS n_chars,
+        |    md5(array_to_string(l, ' ')) AS fp,
+        |    CASE WHEN regexp_matches(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')
+        |           OR regexp_matches(lower(text), 'https?://') THEN 0 ELSE 1 END AS clean
+        |  FROM t),
+        |rep AS (
+        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS rr FROM (
+        |    SELECT doc_id, tok, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(l) AS tok FROM t) u GROUP BY 1, 2) g
+        |  GROUP BY 1),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY fp),
+        |evalfp AS (SELECT fp FROM base WHERE doc_id % 50 = 0),
+        |surv AS (
+        |  SELECT b.doc_id, b.lang, b.n_tokens,
+        |    ('0x' || substr(md5('split:' || b.doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bkt
+        |  FROM base b
+        |  JOIN rep r ON r.doc_id = b.doc_id
+        |  JOIN keep k ON k.doc_id = b.doc_id
+        |  WHERE b.n_chars BETWEEN 100 AND 2000 AND b.clean = 1 AND r.rr <= 0.2
+        |    AND b.doc_id % 50 <> 0
+        |    AND NOT EXISTS (SELECT 1 FROM evalfp e WHERE e.fp = b.fp))
+        |SELECT CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM surv GROUP BY 1, 2
+        |""".stripMargin) { (s, d) =>
+      import graft.api.Graft
+      val docs = documents(s, d)
+      val toks = Graft.tokens(col("text"))
+      val email = lower(col("text"))
+        .rlike("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+")
+      val url = lower(col("text")).rlike("https?://")
+      val base = docs.select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"), length(col("text")).as("n_chars"),
+        md5(concat_ws(" ", toks)).as("fp"),
+        (!(email || url)).cast("int").as("clean"))
+      val rep = docs
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg((max(col("c")).cast("double") / sum(col("c"))).as("rr"))
+      val keep = base.groupBy("fp").agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val evalFp = base.filter(col("doc_id") % 50 === 0).select("fp")
+      base
+        .join(rep, "doc_id")
+        .join(keep, Seq("doc_id"), "left_semi")
+        .filter(col("n_chars").between(100, 2000) && col("clean") === 1
+          && col("rr") <= 0.2 && col("doc_id") % 50 =!= 0)
+        .join(broadcast(evalFp), Seq("fp"), "left_anti")
+        .withColumn("bkt",
+          graft.Exact.h60(concat(lit("split:"), col("doc_id").cast("string"))) % 100)
+        .withColumn("split",
+          when(col("bkt") < 80, "train").when(col("bkt") < 90, "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    },
+
     // Systematic 1-in-20 sample: pure hash predicate, no RNG, no
     // coordination — the same rows are kept on any cluster and any rerun.
     QueryDef(
