@@ -165,6 +165,39 @@ object EventsOps {
           col("session_window.end").as("session_end"), col("n_events"))
     },
 
+    // Time-series gap filling: densify each user's activity to EVERY hour
+    // between their first and last event, zero-filling silent hours — the
+    // step before any windowed rate/trend computation. Hour ids are
+    // integer epoch-micros (exact in both engines); the grid explodes
+    // from per-user spans, so a user's rows stay in one task.
+    QueryDef(
+      "q_events_gap_fill",
+      """WITH h AS (
+        |  SELECT user_id,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS hour_us,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT user_id, min(hour_us) AS lo, max(hour_us) AS hi FROM h GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest([lo + i * 3600000000 for i in range(0, CAST((hi - lo) // 3600000000 AS BIGINT) + 1)]) AS hour_us
+        |  FROM sp)
+        |SELECT g.user_id, g.hour_us, coalesce(h.n, 0) AS n
+        |FROM grid g LEFT JOIN h ON h.user_id = g.user_id AND h.hour_us = g.hour_us
+        |""".stripMargin) { (s, d) =>
+      val hourly = events(s, d)
+        .select(col("user_id"),
+          (expr("unix_micros(ts) div 3600000000") * 3600000000L).as("hour_us"))
+        .groupBy("user_id", "hour_us").agg(count(lit(1)).as("n"))
+      val spans = hourly.groupBy("user_id")
+        .agg(min("hour_us").as("lo"), max("hour_us").as("hi"))
+      spans
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), lit(3600000000L))).as("hour_us"))
+        .join(hourly, Seq("user_id", "hour_us"), "left")
+        .na.fill(0, Seq("n"))
+    },
+
     // Unpivot (melt): the wide per-user counts back to long form — the
     // inverse of q_events_pivot, dropping the absent combinations.
     QueryDef(
