@@ -119,6 +119,22 @@ object Aggregates {
             / count(lit(1))).between(0.45, 0.55).as("median_rank_ok"))
     },
 
+    // Weighted average: decimal-exact numerator and denominator, one
+    // final double division — the quantity-weighted price per flag.
+    QueryDef(
+      "q_agg_weighted_avg",
+      """SELECT l_returnflag,
+        |  CAST(round(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE)
+        |    / CAST(round(sum(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS wavg_price
+        |FROM lineitem GROUP BY 1
+        |""".stripMargin) { (s, d) =>
+      import graft.Exact.{dec, decOut}
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg((decOut(sum(dec(col("l_extendedprice") * col("l_quantity"))))
+          / decOut(sum(dec(col("l_quantity"))))).as("wavg_price"))
+    },
+
     // Fixed-width histogram per group: bucket = floor(v / width) clamped —
     // the distribution-profiling aggregate. floor of one correctly-rounded
     // division is engine-exact.

@@ -124,6 +124,23 @@ object Multimodal {
         |  END)) AS BIGINT) AS bsum FROM documents) d
         |""".stripMargin) { (s, d) => extractFeatures(assets(s, d)) },
 
+    // Resize stage surfaced as a query: stride-2 downsample of each
+    // payload, reporting the output size and the strided bytes. (Same
+    // ASCII caveat as `frame`: the oracle strides characters.)
+    QueryDef(
+      "q_multimodal_resize",
+      """SELECT doc_id AS asset_id,
+        |  CAST((strlen(text) + 1) // 2 AS INT) AS n_out,
+        |  array_to_string([text[i*2+1] for i in range(0, CAST((strlen(text) + 1) // 2 AS BIGINT))], '') AS strided
+        |FROM documents
+        |""".stripMargin) { (s, d) =>
+      val s2 = s
+      import s2.implicits._
+      resizeAssets(assets(s, d), 2).as[Asset]
+        .map(a => (a.asset_id, a.data.length, new String(a.data, "UTF-8")))
+        .toDF("asset_id", "n_out", "strided")
+    },
+
     QueryDef(
       "q_multimodal_frames",
       """SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_no,
