@@ -61,7 +61,7 @@ object StatefulSessionize {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
       .writeStream.outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Streaming.drain(q)
     s.table(name)
   }
 }

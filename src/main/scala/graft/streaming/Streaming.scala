@@ -17,6 +17,22 @@ import graft.QueryDef
   */
 object Streaming {
 
+  /** Drain a bounded-replay stream with a hard timeout: a wedged
+    * micro-batch must fail ONE query, not hang the whole Verify run (the
+    * driver's correctness gate dumps nothing if the JVM never exits). */
+  def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long = 180000L): Unit =
+    try {
+      val t = new Thread(() => try q.processAllAvailable()
+        catch { case _: Throwable => () })
+      t.setDaemon(true)
+      t.start()
+      t.join(timeoutMs)
+      if (t.isAlive)
+        throw new java.util.concurrent.TimeoutException(
+          s"stream did not drain within ${timeoutMs}ms")
+    } finally q.stop()
+
   def tumblingStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
@@ -32,7 +48,7 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
     val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    drain(q)
     s.table(name)
   }
 
@@ -78,7 +94,7 @@ object Streaming {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
       .writeStream.outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    drain(q)
     s.table(name)
       .select(col("user_id"), col("session_id"), col("n_events"),
         col("session_start_us"))
@@ -111,7 +127,7 @@ object Streaming {
         && col("c_ts") <= col("p_ts"))
     val q = joined.select("p_id", "c_id")
       .writeStream.outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    drain(q)
     s.table(name)
   }
 
