@@ -52,7 +52,12 @@ object Bench {
     // a phantom ~0s.
     val benchDefs = SparkEntry.defs.filter(_.bench)
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
-    for (_ <- 1 to 2; qd <- benchDefs) {
+    // pass 2 is skipped if pass 1 already burned the time budget — a
+    // slammed box must still emit the JSON line, never time out silently
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "240").toDouble
+    val tStart = System.nanoTime()
+    def elapsedS = (System.nanoTime() - tStart) / 1e9
+    for (pass <- 1 to 2; qd <- benchDefs; if pass == 1 || elapsedS < budgetS) {
       val t0 = System.nanoTime()
       val t =
         try { SparkEntry.queries(qd.name)(spark, sfDir)
