@@ -183,6 +183,48 @@ object TextAnalysis {
         .select("doc_id", "fp")
     },
 
+    // Bigram language-model statistics: the most likely next token after
+    // each of the 20 most frequent tokens, with its conditional count —
+    // the n-gram LM building block. Ranks carry full tie-breaks.
+    // bench=false: correctness-only breadth.
+    QueryDef(
+      "q_text_bigrams",
+      (s: org.apache.spark.sql.SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("l"))
+          .filter(size(col("l")) >= 2)
+        val bigrams = toks.select(col("doc_id"),
+            explode(expr("transform(sequence(1, size(l) - 1), i -> struct(l[i-1] AS w1, l[i] AS w2))")).as("b"))
+          .select(col("b.w1"), col("b.w2"))
+        val uni = bigrams.groupBy("w1").agg(count(lit(1)).as("n1"))
+        val wTop = Window.orderBy(col("n1").desc, col("w1").asc)
+        val top = uni.withColumn("r1", row_number().over(wTop)).filter(col("r1") <= 20)
+        val cond = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+        val wBest = Window.partitionBy("w1").orderBy(col("n12").desc, col("w2").asc)
+        cond.join(broadcast(top.select("w1", "n1", "r1")), "w1")
+          .withColumn("rb", row_number().over(wBest))
+          .filter(col("rb") === 1)
+          .select(col("w1"), col("w2").as("best_next"), col("n12"), col("n1"),
+            col("r1").cast("int").as("rank"))
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS l
+        |  FROM documents WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) >= 2),
+        |bg AS (
+        |  SELECT u.b.w1 AS w1, u.b.w2 AS w2 FROM (
+        |    SELECT unnest([{'w1': l[i], 'w2': l[i+1]} for i in range(1, len(l))]) AS b FROM t) u),
+        |uni AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
+        |top AS (
+        |  SELECT w1, n1, CAST(row_number() OVER (ORDER BY n1 DESC, w1 ASC) AS INT) AS rank
+        |  FROM uni QUALIFY rank <= 20),
+        |cond AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2)
+        |SELECT c.w1, c.w2 AS best_next, c.n12, tp.n1, tp.rank FROM cond c
+        |JOIN top tp ON tp.w1 = c.w1
+        |QUALIFY row_number() OVER (PARTITION BY c.w1 ORDER BY c.n12 DESC, c.w2 ASC) = 1
+        |""".stripMargin),
+      bench = false),
+
     // Subword-ish counting: whitespace tokens + vowel-group segments (a
     // cheap BPE proxy; RE2-compatible, no lookaround).
     QueryDef(

@@ -119,6 +119,29 @@ object Aggregates {
             / count(lit(1))).between(0.45, 0.55).as("median_rank_ok"))
     },
 
+    // Mode (most frequent value) per group, deterministic under ties via
+    // max(struct(count, value)) — one extra aggregation, no window.
+    // bench=false: correctness-only breadth (keeps the bench line small).
+    QueryDef(
+      "q_agg_mode",
+      (s: org.apache.spark.sql.SparkSession, d: String) => {
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("l_returnflag")
+          .agg(max(struct(col("c"), col("l_quantity"))).as("m"))
+          .select(col("l_returnflag"), col("m.l_quantity").as("mode_qty"),
+            col("m.c").as("mode_count"))
+      },
+      Some("""SELECT l_returnflag, mode_qty, mode_count FROM (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, count(*) AS mode_count,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY count(*) DESC, l_quantity DESC) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity) t
+        |WHERE rn = 1
+        |""".stripMargin),
+      bench = false),
+
     // Weighted average: decimal-exact numerator and denominator, one
     // final double division — the quantity-weighted price per flag.
     QueryDef(
