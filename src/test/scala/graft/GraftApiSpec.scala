@@ -93,6 +93,21 @@ class GraftApiSpec extends SparkSpec {
     chunks.foreach(r => assert(r.getInt(2) >= 1 && r.getInt(2) <= 3))
   }
 
+  test("ivfProbe probing every cell equals brute force") {
+    val emb = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label").as("cell"))
+    val queries = emb.filter(col("id") < 3)
+    val nCells = emb.select("cell").distinct().count().toInt
+    val ivf = Graft.ivfProbe(emb, queries, k = 5, nprobe = nCells)
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = Graft.knnBrute(
+        emb.select("id", "vec"), queries.select("id", "vec"), k = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ivf == brute,
+      s"ivf-only=${(ivf -- brute).take(3)} brute-only=${(brute -- ivf).take(3)}")
+  }
+
   test("knnBrute returns k ranked neighbors per query") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
