@@ -76,7 +76,7 @@ object Bench {
     val nFail = results.count(_._2 < 0)
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$nFail,"queries":$qs,"sf":"$sfDir"}"""
     // the driver parses this from the tail of captured stdout: keep the
-    // line compact (3-decimal times) and emit it LAST, after spark.stop()'s
+    // line compact (2-decimal times) and emit it LAST, after spark.stop()'s
     // shutdown logging, so nothing can push it out of the tail window
     spark.stop()
     println(line)

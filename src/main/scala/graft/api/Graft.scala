@@ -25,6 +25,31 @@ object Graft {
   def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => t =!= "")
 
+  /** RE2-safe content-filter patterns — ONE definition feeds the Spark
+    * predicates AND (interpolated) the DuckDB oracles of every query
+    * that filters content (q_text_filter, q_pipeline_curate). */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+  val UrlRe = "https?://"
+
+  /** 1 when the text has neither an email- nor a url-shaped span */
+  def cleanFlag(text: Column): Column =
+    (!(lower(text).rlike(EmailRe) || lower(text).rlike(UrlRe))).cast("int")
+
+  /** md5 digest of the whitespace-normalized token stream — the content
+    * identity used by fingerprinting, decontamination, and the curation
+    * pipeline's keep-first dedup. */
+  def contentFp(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** per-doc repetition stats: most-frequent-token count and its share
+    * of all tokens (the boilerplate/spam signal) */
+  def repetitionRatio(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_tok"),
+        (max(col("c")).cast("double") / sum(col("c"))).as("rep_ratio"))
+
   // ---- parity --------------------------------------------------------
 
   /** WordCount — the reference's registered app (`app.py:6-14`). */
@@ -163,13 +188,16 @@ object Graft {
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      // min over self + neighbor labels (one hop)...
+      // min over self + neighbor labels (one hop); cached (not
+      // checkpointed) because it is consumed twice within THIS round and
+      // can be dropped as soon as `next` materializes — per-round
+      // checkpoints would pile up in storage memory for the session
       val viaNeighbor = edges
         .join(labels.select(col("id").as("b"), col("lbl")), "b")
         .select(col("a").as("id"), col("lbl"))
       val hop = labels.union(viaNeighbor)
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .cache()
       // ...then pointer-jump through the representative's own label, which
       // makes convergence logarithmic in component diameter instead of
       // linear (a representative's label only ever decreases, so the
@@ -180,7 +208,10 @@ object Graft {
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") < col("old")).count()
+      hop.unpersist()
       labels = next
+      // superseded `next` checkpoints are unreferenced after this rebind
+      // and reclaimed by the ContextCleaner on GC
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
@@ -190,8 +221,7 @@ object Graft {
     * shuffle. */
   def decontaminate(train: DataFrame, eval_ : DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    def fp(df: DataFrame) = df.select(col(idCol),
-      md5(concat_ws(" ", tokens(col(textCol)))).as("fp"))
+    def fp(df: DataFrame) = df.select(col(idCol), contentFp(col(textCol)).as("fp"))
     fp(train).join(broadcast(fp(eval_).select("fp")), Seq("fp"), "left_anti")
   }
 

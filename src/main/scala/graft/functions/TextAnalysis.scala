@@ -111,8 +111,7 @@ object TextAnalysis {
         |FROM documents
         |""".stripMargin) { (s, d) =>
       documents(s, d)
-        .select(col("doc_id"),
-          md5(concat_ws(" ", tokens(col("text")))).as("fp"))
+        .select(col("doc_id"), graft.api.Graft.contentFp(col("text")).as("fp"))
     },
 
     // Content filter: regex safety/PII flags per doc (email-shaped and
@@ -121,21 +120,19 @@ object TextAnalysis {
     // production one — per-row regex, zero shuffle, codegen'd.
     QueryDef(
       "q_text_filter",
-      """SELECT doc_id,
-        |  CAST(regexp_matches(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+') AS INT) AS has_email,
-        |  CAST(regexp_matches(lower(text), 'https?://') AS INT) AS has_url,
-        |  CAST(NOT (regexp_matches(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')
-        |            OR regexp_matches(lower(text), 'https?://')) AS INT) AS is_clean
-        |FROM documents
-        |""".stripMargin) { (s, d) =>
-      val email = lower(col("text"))
-        .rlike("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+")
-      val url = lower(col("text")).rlike("https?://")
+      s"""SELECT doc_id,
+         |  CAST(regexp_matches(lower(text), '${graft.api.Graft.EmailRe}') AS INT) AS has_email,
+         |  CAST(regexp_matches(lower(text), '${graft.api.Graft.UrlRe}') AS INT) AS has_url,
+         |  CAST(NOT (regexp_matches(lower(text), '${graft.api.Graft.EmailRe}')
+         |            OR regexp_matches(lower(text), '${graft.api.Graft.UrlRe}')) AS INT) AS is_clean
+         |FROM documents
+         |""".stripMargin) { (s, d) =>
+      import graft.api.Graft.{EmailRe, UrlRe, cleanFlag}
       documents(s, d).select(
         col("doc_id"),
-        email.cast("int").as("has_email"),
-        url.cast("int").as("has_url"),
-        (!(email || url)).cast("int").as("is_clean"))
+        lower(col("text")).rlike(EmailRe).cast("int").as("has_email"),
+        lower(col("text")).rlike(UrlRe).cast("int").as("has_url"),
+        cleanFlag(col("text")).as("is_clean"))
     },
 
     // Repetition signal: share of the document taken by its single most
@@ -152,13 +149,8 @@ object TextAnalysis {
         |    FROM documents) u GROUP BY 1, 2) t
         |GROUP BY doc_id
         |""".stripMargin) { (s, d) =>
-      documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(max(col("c")).as("top_tok"),
-          (max(col("c")).cast("double") / sum(col("c"))).as("rep_ratio"),
-          (max(col("c")).cast("double") / sum(col("c")) > 0.2).cast("int").as("is_repetitive"))
+      graft.api.Graft.repetitionRatio(documents(s, d), "doc_id", "text")
+        .withColumn("is_repetitive", (col("rep_ratio") > 0.2).cast("int"))
     },
 
     // Decontamination: drop training docs whose normalized-text digest

@@ -34,11 +34,12 @@ object VectorFunctions {
     * scaled to [-1, 1]. The seeds are literals, so Catalyst constant-folds
     * the md5s at plan time and the per-element work is pure arithmetic.
     * No stored model, reproducible on any cluster, and exactly mirrorable
-    * in the DuckDB oracle (same formula; b is masked to 56 bits so
-    * (i+1)*b never overflows a signed 64-bit long). */
+    * in the DuckDB oracle (same formula; b is masked to 48 bits so
+    * (i+1)*b stays below 2^63 for any dimension up to 32768 — a 56-bit
+    * mask would overflow a signed long from dim 128 up). */
   def planeDot(v: Column, j: Int): Column = {
     val a = graft.Exact.h60(lit(s"plane_a_$j"))
-    val b = graft.Exact.h60(lit(s"plane_b_$j")) % lit(1L << 56)
+    val b = graft.Exact.h60(lit(s"plane_b_$j")) % lit(1L << 48)
     aggregate(
       zip_with(toDoubleArr(v), sequence(lit(0), size(v) - 1),
         (x, i) => x * ((((a + (i.cast("long") + 1) * b) % lit(1L << 60))

@@ -145,13 +145,13 @@ object EventsOps {
       """WITH base AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts2 FROM events),
         |marked AS (
-        |  SELECT user_id, ts2,
+        |  SELECT user_id, event_id, ts2,
         |    CASE WHEN lag(ts2) OVER w IS NULL
         |           OR ts2 - lag(ts2) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
         |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts2 ASC, event_id ASC)),
         |sess AS (
         |  SELECT user_id, ts2,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts2 ASC
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts2 ASC, event_id ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM marked)
         |SELECT user_id, min(ts2) AS session_start,

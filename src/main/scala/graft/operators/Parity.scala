@@ -77,8 +77,13 @@ object Parity {
         .select(explode(split(lower(col("text")), "\\s+")).as("word"))
         .filter(col("word") =!= "")
         .distinct()
+      // localCheckpoint pins ONE physical range partitioning: both the
+      // offsets branch and the join branch below must see the same
+      // boundaries, which plan-level exchange reuse suggests but does not
+      // guarantee (RangePartitioner samples per-exchange otherwise)
       val ranged = words.repartitionByRange(32, col("word").asc)
         .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
       val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
         .withColumn("off", coalesce(sum(col("cnt")).over(
           Window.orderBy(col("pid").asc)

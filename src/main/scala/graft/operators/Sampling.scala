@@ -102,15 +102,15 @@ object Sampling {
     // stage is a pattern proven by its standalone query.
     QueryDef(
       "q_pipeline_curate",
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, lang, text,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS l
+        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS l
         |  FROM documents),
         |base AS (
         |  SELECT doc_id, lang, CAST(len(l) AS BIGINT) AS n_tokens, length(text) AS n_chars,
         |    md5(array_to_string(l, ' ')) AS fp,
-        |    CASE WHEN regexp_matches(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')
-        |           OR regexp_matches(lower(text), 'https?://') THEN 0 ELSE 1 END AS clean
+        |    CASE WHEN regexp_matches(lower(text), '${graft.api.Graft.EmailRe}')
+        |           OR regexp_matches(lower(text), '${graft.api.Graft.UrlRe}') THEN 0 ELSE 1 END AS clean
         |  FROM t),
         |rep AS (
         |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS rr FROM (
@@ -135,18 +135,12 @@ object Sampling {
       import graft.api.Graft
       val docs = documents(s, d)
       val toks = Graft.tokens(col("text"))
-      val email = lower(col("text"))
-        .rlike("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+")
-      val url = lower(col("text")).rlike("https?://")
       val base = docs.select(col("doc_id"), col("lang"),
         size(toks).cast("long").as("n_tokens"), length(col("text")).as("n_chars"),
-        md5(concat_ws(" ", toks)).as("fp"),
-        (!(email || url)).cast("int").as("clean"))
-      val rep = docs
-        .select(col("doc_id"), explode(toks).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg((max(col("c")).cast("double") / sum(col("c"))).as("rr"))
+        Graft.contentFp(col("text")).as("fp"),
+        Graft.cleanFlag(col("text")).as("clean"))
+      val rep = Graft.repetitionRatio(docs, "doc_id", "text")
+        .select(col("doc_id"), col("rep_ratio").as("rr"))
       val keep = base.groupBy("fp").agg(min(col("doc_id")).as("doc_id")).select("doc_id")
       val evalFp = base.filter(col("doc_id") % 50 === 0).select("fp")
       base

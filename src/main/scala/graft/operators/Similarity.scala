@@ -12,9 +12,11 @@ import graft.sources.Tables._
   *    corpus — one scan, no shuffle of the corpus; ranks are oracle-checked
   *    (ranks, not float scores, so last-ulp engine differences can't bite).
   *  - LSH-bucketed ANN: sign-LSH bucket equi-join — the 100 TB path, where
-  *    only same-bucket pairs are scored. Checked rows-only (bucketing has
-  *    no SQL twin) + recall-tested against brute force in ScalaTest.
-  *  - embedding near-dup: same buckets, cosine >= 0.95 pair filter.
+  *    only same-bucket pairs are scored. The md5-60-derived planes let the
+  *    oracle replicate bucketing bit-for-bit (hash-checked), and recall is
+  *    additionally tested against brute force in ScalaTest.
+  *  - IVF: cell probe and multi-probe over a computed codebook.
+  *  - embedding near-dup: same buckets, cosine-threshold pair filter.
   */
 object Similarity {
 
@@ -53,7 +55,7 @@ object Similarity {
          |dots AS (
          |  SELECT vec_id, p,
          |    list_reduce([v[i+1] * ((((('0x' || substr(md5('plane_a_' || p::VARCHAR), 1, 15))::BIGINT
-         |                             + (i+1) * (('0x' || substr(md5('plane_b_' || p::VARCHAR), 1, 15))::BIGINT % 72057594037927936))
+         |                             + (i+1) * (('0x' || substr(md5('plane_b_' || p::VARCHAR), 1, 15))::BIGINT % 281474976710656))
          |                            % 1152921504606846976) % 1001 - 500) / 500.0)
          |                 for i in range(0, len(v))], (acc, x) -> acc + x) AS dp
          |  FROM e, range(12) r(p)),
@@ -165,7 +167,7 @@ object Similarity {
         |dots AS (
         |  SELECT vec_id, p,
         |    list_reduce([v[i+1] * ((((('0x' || substr(md5('plane_a_' || p::VARCHAR), 1, 15))::BIGINT
-        |                             + (i+1) * (('0x' || substr(md5('plane_b_' || p::VARCHAR), 1, 15))::BIGINT % 72057594037927936))
+        |                             + (i+1) * (('0x' || substr(md5('plane_b_' || p::VARCHAR), 1, 15))::BIGINT % 281474976710656))
         |                            % 1152921504606846976) % 1001 - 500) / 500.0)
         |                 for i in range(0, len(v))], (acc, x) -> acc + x) AS dp
         |  FROM e, range(6) r(p)),

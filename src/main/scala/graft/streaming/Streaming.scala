@@ -23,14 +23,17 @@ object Streaming {
   def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
       timeoutMs: Long = 180000L): Unit =
     try {
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
       val t = new Thread(() => try q.processAllAvailable()
-        catch { case _: Throwable => () })
+        catch { case e: Throwable => failure.set(e) })
       t.setDaemon(true)
       t.start()
       t.join(timeoutMs)
       if (t.isAlive)
         throw new java.util.concurrent.TimeoutException(
           s"stream did not drain within ${timeoutMs}ms")
+      // a failed stream must FAIL its query, not return a partial table
+      if (failure.get() != null) throw failure.get()
     } finally q.stop()
 
   def tumblingStream(s: SparkSession, d: String): DataFrame = {
