@@ -119,6 +119,30 @@ object Aggregates {
             / count(lit(1))).between(0.45, 0.55).as("median_rank_ok"))
     },
 
+    // Bivariate statistics: sample covariance and least-squares slope/
+    // intercept, floor-scaled to micro-units like q_agg_stats_moments.
+    // bench=false: correctness-only breadth.
+    QueryDef(
+      "q_agg_regression",
+      (s: org.apache.spark.sql.SparkSession, d: String) => {
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            floor(covar_samp(col("l_quantity"), col("l_extendedprice")) / 1000 * 1000000)
+              .as("covar_mu"),
+            floor(regr_slope(col("l_extendedprice"), col("l_quantity")) * 1000000)
+              .as("slope_u"),
+            floor(regr_intercept(col("l_extendedprice"), col("l_quantity")) * 1000000)
+              .as("icept_u"))
+      },
+      Some("""SELECT l_returnflag,
+        |  CAST(floor(covar_samp(l_quantity, l_extendedprice) / 1000 * 1000000) AS BIGINT) AS covar_mu,
+        |  CAST(floor(regr_slope(l_extendedprice, l_quantity) * 1000000) AS BIGINT) AS slope_u,
+        |  CAST(floor(regr_intercept(l_extendedprice, l_quantity) * 1000000) AS BIGINT) AS icept_u
+        |FROM lineitem GROUP BY 1
+        |""".stripMargin),
+      bench = false),
+
     // Mode (most frequent value) per group, deterministic under ties via
     // max(struct(count, value)) — one extra aggregation, no window.
     // bench=false: correctness-only breadth (keeps the bench line small).
