@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-cutting engine invariants. */
+class InvariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registry: q_-prefixed unique names; every query has an oracle") {
+    val names = SparkEntry.defs.map(_.name)
+    assert(names.distinct.length == names.length, "duplicate query names")
+    assert(names.forall(_.startsWith("q_")), names.filterNot(_.startsWith("q_")))
+    val noOracle = SparkEntry.defs.filter(_.oracle.isEmpty).map(_.name)
+    assert(noOracle.isEmpty, s"rows-only checks remain: $noOracle")
+  }
+
+  test("h60 is always in [0, 2^60) — positive in a signed long") {
+    val vals = sources.Tables.documents(spark, sf)
+      .select(Exact.h60(col("text")).as("h"))
+      .agg(min("h"), max("h")).head()
+    assert(vals.getLong(0) >= 0L)
+    assert(vals.getLong(1) < (1L << 60))
+  }
+
+  test("SQL-registered graft_cosine equals the column-API CosineSim") {
+    functions.CosineSim.register(spark)
+    sources.Tables.embeddings(spark, sf).limit(50)
+      .createOrReplaceTempView("inv_emb")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, b.vec_id, graft_cosine(a.embedding, b.embedding) AS c
+        |FROM inv_emb a JOIN inv_emb b ON a.vec_id < b.vec_id""".stripMargin)
+      .as[(Long, Long, Double)].collect().toMap2
+    val viaApi = sources.Tables.embeddings(spark, sf).limit(50).as("a")
+      .join(sources.Tables.embeddings(spark, sf).limit(50).as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(viaSql == viaApi)
+  }
+
+  private implicit class Tup3Ops(rows: Array[(Long, Long, Double)]) {
+    def toMap2: Map[(Long, Long), Double] =
+      rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+}
