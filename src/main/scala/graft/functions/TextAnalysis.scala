@@ -14,6 +14,13 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
+  /** RE2-compatible PII patterns (no lookaround/backrefs): identical
+    * match semantics under Java regex (engine) and RE2 (DuckDB oracle).
+    * Defined before `defs` — the oracle strings interpolate them at
+    * object-initialization time. */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val PiiPhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
   /** tokens of lower-cased text, whitespace split, empties dropped */
   def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => t =!= "")
@@ -232,6 +239,75 @@ object TextAnalysis {
         size(tokens(col("text"))).as("n_tokens"),
         (size(split(col("text"), "[aeiou]+")) - 1).as("n_vowel_groups"),
         (length(col("text")) - length(regexp_replace(col("text"), "[aeiou]", ""))).as("n_vowels"))
+    },
+
+    // PII redaction: scrub emails and phone numbers before training. The
+    // fixture text carries no PII, so the query first INJECTS deterministic
+    // PII (an email on every 5th doc, a phone on every 7th — mirrored in
+    // the oracle), then redacts with RE2-compatible patterns (no
+    // lookaround; identical semantics in Java regex and DuckDB/RE2).
+    // Per-doc narrow transform — zero shuffle, codegen regex.
+    QueryDef(
+      "q_text_pii_redact",
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(enriched, '$PiiEmailRe', '<EMAIL>', 'g'),
+         |                 '$PiiPhoneRe', '<PHONE>', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(enriched, '$PiiEmailRe')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(enriched, '$PiiPhoneRe')) AS INT) AS n_phones
+         |FROM (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' ELSE '' END
+         |    AS enriched
+         |  FROM documents) t
+         |""".stripMargin) { (s, d) =>
+      val enriched = documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(""),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+              lit("-0199"))).otherwise("")).as("enriched"))
+      enriched.select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(col("enriched"), PiiEmailRe, "<EMAIL>"),
+          PiiPhoneRe, "<PHONE>").as("redacted"),
+        size(regexp_extract_all(col("enriched"), lit(PiiEmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("enriched"), lit(PiiPhoneRe), lit(0))).as("n_phones"))
+    },
+
+    // Sequence packing for training: concatenate documents into fixed
+    // L-token context windows, next-fit with straddle (how pretraining
+    // packers actually batch: docs are laid end-to-end per bucket and cut
+    // at L boundaries). Each doc gets (bucket, bin, offset). The bucket
+    // hash-spreads the fold so packing is embarrassingly parallel across
+    // buckets — per-bucket window cumsum, one shuffle on bucket, no
+    // global sequential state (the 100 TB version partitions identically).
+    QueryDef(
+      "q_text_pack",
+      """SELECT doc_id, bucket, n_tokens,
+        |  CAST(cum_before // 256 AS INT) AS bin,
+        |  CAST(cum_before % 256 AS INT) AS bin_offset
+        |FROM (
+        |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS bucket, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+        |    FROM documents) t) p
+        |""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 16).cast("int").as("bucket"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .select(col("doc_id"), col("bucket"), col("n_tokens"),
+          floor(col("cum_before") / 256).cast("int").as("bin"),
+          (col("cum_before") % 256).cast("int").as("bin_offset"))
     }
   )
 }

@@ -134,6 +134,59 @@ object Streaming {
     s.table(name)
   }
 
+  /** Stream-stream LEFT OUTER join with watermark expiry: same
+    * purchases-to-clicks shape as [[purchaseClickJoin]], but unmatched
+    * purchases are emitted (with a -1 click id) once the watermark proves
+    * no click can still match. In a bounded replay the final watermark is
+    * `min(max p_ts, max c_ts) - 1h`, so purchases after that cutoff that
+    * never matched are withheld forever — the batch oracle applies the
+    * same cutoff. The -1 sentinel (instead of NULL) keeps the column
+    * int64 on both compare paths (a NULL would coerce pandas to float64).
+    */
+  def purchaseClickLeftJoin(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val name = "stream_ssjl_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES")
+        && col("c_ts") <= col("p_ts"),
+      "left_outer")
+    val q = joined.select(col("p_id"), coalesce(col("c_id"), lit(-1L)).as("c_id"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    drain(q)
+    s.table(name)
+  }
+
+  /** Streaming deduplication: first-arrival keep on (user_id, event_type).
+    * Bounded replay keeps full key state (the production variant is
+    * dropDuplicatesWithinWatermark, which bounds state by event time);
+    * emitting only the key columns makes the result order-insensitive —
+    * exactly SELECT DISTINCT in batch. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val name = "stream_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    drain(q)
+    s.table(name)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_join_stream_stream",
@@ -167,6 +220,32 @@ object Streaming {
         |SELECT user_id, session_id, n_events, session_start_us
         |FROM agg WHERE session_id < max_sid
         |""".stripMargin) { (s, d) => sessionStream(s, d) },
+
+    QueryDef(
+      "q_join_stream_left",
+      (s: SparkSession, d: String) => purchaseClickLeftJoin(s, d),
+      Some("""WITH p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+        |      FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT least((SELECT (epoch_us(max(p_ts)) // 1000) * 1000 FROM p),
+        |                    (SELECT (epoch_us(max(c_ts)) // 1000) * 1000 FROM c))
+        |              - 3600000000 AS w_us),
+        |m AS (SELECT p.p_id, c.c_id FROM p JOIN c
+        |      ON c.user_id = p.user_id
+        |     AND c_ts >= p_ts - INTERVAL 5 MINUTE AND c_ts <= p_ts)
+        |SELECT p_id, c_id FROM m
+        |UNION ALL
+        |SELECT p.p_id, -1 AS c_id FROM p, wm
+        |WHERE epoch_us(p.p_ts) < wm.w_us
+        |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.p_id = p.p_id)
+        |""".stripMargin),
+      bench = false),
+
+    QueryDef(
+      "q_stream_dedup",
+      "SELECT DISTINCT user_id, event_type FROM events") { (s, d) =>
+      streamDedup(s, d) },
 
     QueryDef(
       "q_events_tumbling_stream",
