@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.BloomJoin
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-3 operators: bloom-filter join (no false negatives, exact FP
+  * accounting), sequence packing (bin invariants), PII redaction
+  * (clean output), stream left-outer join (superset of inner + sentinel
+  * rows only below the watermark cutoff). */
+class BloomPackSpec extends SparkSpec {
+
+  test("bloom join: zero false negatives, candidates = true ∪ false-pos") {
+    val rows = q("q_join_bloom").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, cand, tru, fp) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(cand >= tru, "bloom must never drop a true match (no false negatives)")
+      assert(cand - tru == fp, "candidate set must be exactly true matches + false positives")
+      assert(cand <= n)
+    }
+  }
+
+  test("bloom mightContain: every inserted key probes true") {
+    val dim = Tables.supplier(spark, sf).filter(col("s_nationkey") < 5)
+      .select(col("s_suppkey").cast("string").as("k"))
+    val bloom = BloomJoin.build(dim, "k")
+    val probed = dim.crossJoin(broadcast(bloom))
+      .withColumn("hit", BloomJoin.mightContain(col("k"), col("bloom")))
+    assert(probed.filter(!col("hit")).isEmpty)
+  }
+
+  test("sequence packing: offsets stay in [0, 256) and bins fill contiguously per bucket") {
+    val rows = q("q_text_pack")
+      .select("bucket", "bin", "bin_offset", "n_tokens", "doc_id").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(2) >= 0 && r.getInt(2) < 256)
+      assert(r.getInt(1) >= 0)
+    }
+    // within a bucket, docs ordered by doc_id have non-decreasing bins
+    rows.groupBy(_.getInt(0)).values.foreach { grp =>
+      val bins = grp.sortBy(_.getLong(4)).map(_.getInt(1)).toSeq
+      assert(bins == bins.sorted, "next-fit packing must fill bins in order")
+    }
+  }
+
+  test("pii redact: redacted text has no residual email/phone; counts match injection rule") {
+    val rows = q("q_text_pii_redact").collect()
+    val emailRe = graft.functions.TextAnalysis.PiiEmailRe.r
+    val phoneRe = graft.functions.TextAnalysis.PiiPhoneRe.r
+    rows.foreach { r =>
+      val (id, red, ne, np) = (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))
+      assert(emailRe.findFirstIn(red).isEmpty, s"doc $id still has an email")
+      assert(phoneRe.findFirstIn(red).isEmpty, s"doc $id still has a phone")
+      assert(ne == (if (id % 5 == 0) 1 else 0))
+      assert(np == (if (id % 7 == 0) 1 else 0))
+    }
+    assert(rows.exists(_.getInt(2) == 1) && rows.exists(_.getInt(3) == 1))
+  }
+
+  test("stream left-outer join ⊇ stream inner join; sentinel rows are pre-cutoff only") {
+    val inner = q("q_join_stream_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val left = q("q_join_stream_left").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inner.subsetOf(left), "left-outer must contain every inner match")
+    val extras = left -- inner
+    assert(extras.forall(_._2 == -1L), "extra rows must be watermark-expired non-matches")
+    // an expired unmatched purchase appears exactly once, and never ALSO
+    // with a real match
+    val matchedIds = inner.map(_._1)
+    assert(extras.forall { case (pid, _) => !matchedIds.contains(pid) })
+  }
+}
