@@ -232,6 +232,34 @@ object Aggregates {
           floor(stddev_samp(col("l_quantity")) * 1000000).as("stddev_qty_u"),
           floor(var_samp(col("l_quantity")) * 1000000).as("var_qty_u"),
           floor(corr(col("l_quantity"), col("l_extendedprice")) * 1000000).as("corr_u"))
+    },
+
+    // Mergeable HLL sketches — the property that makes distinct-counting
+    // work at 100 TB: per-partition/per-group sketches combine losslessly
+    // (hll_union_agg), so a rollup never rescans raw data. Here sketches
+    // built per (returnflag, linestatus) are UNIONED up to returnflag and
+    // the merged estimate must land within 5% of exact (DataSketches HLL,
+    // lgK=12 → ~1.6% rsd; the oracle states the contract, as with
+    // q_agg_approx_distinct — sketch binaries themselves are not portable
+    // across engines by design).
+    QueryDef(
+      "q_agg_hll_merge",
+      """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  true AS merge_within_5pct
+        |FROM lineitem GROUP BY l_returnflag
+        |""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d)
+      val merged = li
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+        .groupBy("l_returnflag")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"))
+      merged.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("n_parts"),
+          (abs(col("est") - col("n_parts")) <= col("n_parts") * 0.05)
+            .as("merge_within_5pct"))
     }
   )
 }

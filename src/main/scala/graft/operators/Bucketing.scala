@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-layout co-located joins — the 100 TB answer to "this join
+  * shuffles the fact table every single run".
+  *
+  * Writing both sides bucketed (and sorted) by the join key fixes their
+  * physical partitioning at WRITE time: a later equi-join on that key
+  * reads matching buckets pairwise, so the sort-merge join needs NO
+  * Exchange on either side (asserted in PlanShapeSpec, with broadcast
+  * disabled so the shuffle-free shape is proven, not lucky). At scale the
+  * shuffle this removes is the dominant cost of every fact-to-fact join
+  * on the same key — pay it once at ingest, never again per query.
+  *
+  * The reference pins partition count at config level
+  * (`config.py:25-27`, 100 partitions) and co-locates reduces with map
+  * output via its schedule plans (`namenode.py:176-341`); bucketing is
+  * the declarative Spark equivalent: layout carries the partitioning,
+  * the optimizer proves it, no scheduler logic required.
+  */
+object Bucketing {
+
+  /** Write `df` as a managed parquet table bucketed+sorted by `key` —
+    * one shuffle now, zero on every future join/agg on `key`. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+
+  /** Equi-join two tables previously written with [[writeBucketed]] on the
+    * same key and bucket count. Spark's bucketing rules line the buckets
+    * up — the plan is a zip of per-bucket sort-merge joins. */
+  def colocatedJoin(s: SparkSession, left: String, right: String,
+      leftKey: String, rightKey: String): DataFrame =
+    s.table(left).join(s.table(right),
+      s.table(left)(leftKey) === s.table(right)(rightKey))
+}

@@ -78,6 +78,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("bloom join: sketch is broadcast, probe side never shuffles before the agg") {
+    val p = planString("q_join_bloom")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the one-row bloom array must broadcast:\n" + p)
+    // probe pass is narrow: the only shuffles are the tiny build-side agg
+    // (512 words) and the final per-flag agg — never the lineitem scan
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
   test("bucketed co-located join needs no shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
@@ -91,14 +100,14 @@ class PlanShapeSpec extends SparkSpec {
           .forEach(p => p.toFile.delete())
       }
     }
-    Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("li_b")
-    Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("o_b")
-    val joined = spark.table("li_b")
-      .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+    operators.Bucketing.writeBucketed(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+      "li_b", "l_orderkey", buckets = 8)
+    operators.Bucketing.writeBucketed(
+      Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+      "o_b", "o_orderkey", buckets = 8)
+    val joined = operators.Bucketing.colocatedJoin(
+      spark, "li_b", "o_b", "l_orderkey", "o_orderkey")
     val plan = executedPlan(joined)
     val exchanges = plan.collect { case e: Exchange => e }
     assert(exchanges.isEmpty,
