@@ -36,7 +36,20 @@ object Streaming {
       if (failure.get() != null) throw failure.get()
     } finally q.stop()
 
-  def tumblingStream(s: SparkSession, d: String): DataFrame = {
+  /** Run `body` with a bounded-replay-sized shuffle-partition count, then
+    * restore. A streaming query spins up one state-store instance per
+    * shuffle partition per stateful operator, and that count is baked
+    * into the checkpoint at start — 32 stores for a replay whose state
+    * fits in one is pure per-micro-batch overhead (measured ~2x on the
+    * stream-stream join). Production sizes this to throughput at stream
+    * START; the batch queries around these are untouched. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  def tumblingStream(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val name = "stream_tumbling_" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -61,7 +74,7 @@ object Streaming {
     * emitted (append mode) — the batch oracle is therefore sessionization
     * minus each user's trailing session. 30-minute gap, same as
     * q_events_sessionize. */
-  def sessionStream(s: SparkSession, d: String): DataFrame = {
+  def sessionStream(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -107,7 +120,7 @@ object Streaming {
     * clicks within the preceding 5 minutes, both sides watermarked (the
     * event-time constraint bounds join state on a real cluster; in the
     * bounded replay it just reproduces the batch interval join). */
-  def purchaseClickJoin(s: SparkSession, d: String): DataFrame = {
+  def purchaseClickJoin(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val name = "stream_ssj_" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -143,7 +156,7 @@ object Streaming {
     * same cutoff. The -1 sentinel (instead of NULL) keeps the column
     * int64 on both compare paths (a NULL would coerce pandas to float64).
     */
-  def purchaseClickLeftJoin(s: SparkSession, d: String): DataFrame = {
+  def purchaseClickLeftJoin(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val name = "stream_ssjl_" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -174,7 +187,7 @@ object Streaming {
     * dropDuplicatesWithinWatermark, which bounds state by event time);
     * emitting only the key columns makes the result order-insensitive —
     * exactly SELECT DISTINCT in batch. */
-  def streamDedup(s: SparkSession, d: String): DataFrame = {
+  def streamDedup(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val name = "stream_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
