@@ -300,6 +300,40 @@ object Graft {
           .when(col("b") < trainPct + valPct, "val").otherwise("test"))
       .drop("b")
 
+  /** Domain-mixture resampling: re-weight classes to target rates, where
+    * `ratesPct(class)` is copies-per-100-rows — 25 keeps a quarter of the
+    * class, 100 passes it through, 150 emits every row once and every
+    * second row twice (epoch-style oversampling). Copy counts are a pure
+    * hash function of the row id, so the mixture is identical on any
+    * cluster and any rerun; the op is a narrow generate (no shuffle). */
+  def mixtureResample(df: DataFrame, idCol: String, classCol: String,
+      ratesPct: Map[String, Int], seed: String = "mix"): DataFrame = {
+    val rate = ratesPct.foldLeft(lit(0)) { case (acc, (cls, r)) =>
+      when(col(classCol) === cls, lit(r)).otherwise(acc) }
+    val h = h60(concat(lit(s"$seed:"), col(idCol).cast("string"))) % 100
+    val copies = (rate / lit(100)).cast("int") +
+      when(h < rate % 100, 1).otherwise(0)
+    // sequence(1, 0) would DESCEND in Spark — guard the empty case
+    df.withColumn("copy",
+      explode(when(copies >= 1, sequence(lit(1), copies))
+        .otherwise(array().cast("array<int>"))))
+  }
+
+  /** Deterministic global training-order shuffle, two-level so no single
+    * task ever sees the whole dataset: rows hash into `buckets` shuffle
+    * buckets, then rank by (hash, id) inside each bucket. Reading buckets
+    * in (bucket, pos) order replays the exact same permutation anywhere;
+    * one exchange on bucket, per-bucket window state only. */
+  def shuffleOrder(df: DataFrame, idCol: String, buckets: Int,
+      seed: String = "shuf"): DataFrame = {
+    val h = h60(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    val w = Window.partitionBy("bucket").orderBy(col("h").asc, col(idCol).asc)
+    df.withColumn("h", h)
+      .withColumn("bucket", (col("h") % buckets).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("h")
+  }
+
   /** Fixed-window token chunking: split each doc's token stream into
     * consecutive `chunkTokens`-token sequences — the context-length prep
     * step before training. Narrow flatMap shape (no shuffle); documents

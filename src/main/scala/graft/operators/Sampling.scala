@@ -200,6 +200,43 @@ object Sampling {
       graft.api.Graft.trainValTestSplit(documents(s, d), "doc_id")
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n"))
+    },
+
+    // Domain-mixture resampling — the data-mixing step of a training-set
+    // build: per-language target rates in copies-per-100-rows (en 150 =
+    // 1.5 epochs oversampled, de 100 pass-through, fr 50 half, es 25
+    // quarter, zh 10 tenth). Copy counts are a pure hash of the doc id:
+    // the mixture is bit-identical on any cluster, and the op is a
+    // narrow generate — no shuffle at any scale.
+    QueryDef(
+      "q_sample_mixture",
+      """SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy FROM (
+        |  SELECT doc_id, lang,
+        |    (r // 100) + CASE WHEN ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < r % 100
+        |      THEN 1 ELSE 0 END AS n_copies
+        |  FROM (SELECT doc_id, lang,
+        |          CASE lang WHEN 'en' THEN 150 WHEN 'de' THEN 100 WHEN 'fr' THEN 50
+        |                    WHEN 'es' THEN 25 ELSE 10 END AS r
+        |        FROM documents) t) c
+        |""".stripMargin) { (s, d) =>
+      graft.api.Graft.mixtureResample(documents(s, d), "doc_id", "lang",
+          Map("en" -> 150, "de" -> 100, "fr" -> 50, "es" -> 25, "zh" -> 10))
+        .select(col("doc_id"), col("lang"), col("copy"))
+    },
+
+    // Deterministic global training-order shuffle: two-level (hash bucket,
+    // in-bucket rank) so no task ever needs the full dataset — reading in
+    // (bucket, pos) order replays the same permutation on any cluster.
+    QueryDef(
+      "q_sample_shuffle",
+      """SELECT doc_id, bucket, CAST(pos AS INT) AS pos FROM (
+        |  SELECT doc_id, CAST(h % 64 AS INT) AS bucket,
+        |    row_number() OVER (PARTITION BY h % 64 ORDER BY h ASC, doc_id ASC) AS pos
+        |  FROM (SELECT doc_id, ('0x' || substr(md5('shuf:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |        FROM documents) t) o
+        |""".stripMargin) { (s, d) =>
+      graft.api.Graft.shuffleOrder(documents(s, d), "doc_id", buckets = 64)
+        .select(col("doc_id"), col("bucket"), col("pos"))
     }
   )
 }

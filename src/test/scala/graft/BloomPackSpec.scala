@@ -59,6 +59,34 @@ class BloomPackSpec extends SparkSpec {
     assert(rows.exists(_.getInt(2) == 1) && rows.exists(_.getInt(3) == 1))
   }
 
+  test("mixture resample: copy counts follow the per-class rate contract") {
+    val rows = q("q_sample_mixture").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // pass-through class: exactly one copy per doc
+    val base = Tables.documents(spark, sf)
+    val deDocs = base.filter(col("lang") === "de").count()
+    assert(rows.count(_._2 == "de") == deDocs)
+    // oversampled class emits at least one copy per doc, max 2
+    val enDocs = base.filter(col("lang") === "en").count()
+    val enCopies = rows.count(_._2 == "en")
+    assert(enCopies >= enDocs && enCopies <= 2 * enDocs)
+    assert(rows.filter(_._2 == "en").forall(r => r._3 == 1 || r._3 == 2))
+    // downsampled class emits at most one copy per doc, fewer docs than base
+    val zhDocs = base.filter(col("lang") === "zh").count()
+    assert(rows.count(_._2 == "zh") <= zhDocs)
+    assert(rows.filter(_._2 == "zh").forall(_._3 == 1))
+  }
+
+  test("shuffle order: (bucket, pos) is a permutation — dense ranks, no duplicates") {
+    val rows = q("q_sample_shuffle").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.map(_._1).distinct.length == rows.length, "each doc appears once")
+    rows.groupBy(_._2).values.foreach { grp =>
+      assert(grp.map(_._3).sorted.toSeq == (1 to grp.length),
+        "in-bucket positions must be dense 1..n")
+    }
+  }
+
   test("stream left-outer join ⊇ stream inner join; sentinel rows are pre-cutoff only") {
     val inner = q("q_join_stream_stream").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
