@@ -83,8 +83,10 @@ object Bench {
       best(name) = if (t < 0 || prev < 0) -1.0 else math.min(prev, t)
     }
     for (qd <- benchDefs) timeOne(qd.name)
+    // failed queries (-1) stay failed — re-running them cannot improve the
+    // min and a wedged stream would eat the whole budget via its timeout
     for (pass <- 2 to 3;
-         name <- best.toSeq.sortBy(-_._2).map(_._1);
+         name <- best.toSeq.filter(_._2 >= 0).sortBy(-_._2).map(_._1);
          if elapsedS < budgetS) timeOne(name)
 
     val results = best.toSeq
@@ -112,10 +114,13 @@ object Bench {
     // full detail: printed early + persisted (the driver commits stray
     // repo files at round end, so the judge can read it either way)
     println(fullLine)
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "/root/repo/bench_full.json")
     try {
-      val w = new java.io.PrintWriter("/root/repo/bench_full.json")
+      val w = new java.io.PrintWriter(fullPath)
       try w.println(fullLine) finally w.close()
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
     // the driver parses the LAST JSON line in its stdout tail: emit the
     // compact family summary after spark.stop()'s shutdown logging so
     // nothing can push it out of the window

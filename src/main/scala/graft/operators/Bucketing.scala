@@ -33,9 +33,17 @@ object Bucketing {
 
   /** Equi-join two tables previously written with [[writeBucketed]] on the
     * same key and bucket count. Spark's bucketing rules line the buckets
-    * up — the plan is a zip of per-bucket sort-merge joins. */
+    * up — the plan is a zip of per-bucket sort-merge joins. The join
+    * condition is built from the SAME Dataset instances that become the
+    * join children (fresh `s.table()` lookups only resolve while the
+    * relation cache returns identical attribute ids); a self-join gets
+    * aliases so Spark's ambiguity detection can tell the sides apart. */
   def colocatedJoin(s: SparkSession, left: String, right: String,
-      leftKey: String, rightKey: String): DataFrame =
-    s.table(left).join(s.table(right),
-      s.table(left)(leftKey) === s.table(right)(rightKey))
+      leftKey: String, rightKey: String): DataFrame = {
+    val (l, r) =
+      if (left == right)
+        (s.table(left).alias("l"), s.table(right).alias("r"))
+      else (s.table(left), s.table(right))
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

@@ -216,7 +216,7 @@ object Sampling {
         |      THEN 1 ELSE 0 END AS n_copies
         |  FROM (SELECT doc_id, lang,
         |          CASE lang WHEN 'en' THEN 150 WHEN 'de' THEN 100 WHEN 'fr' THEN 50
-        |                    WHEN 'es' THEN 25 ELSE 10 END AS r
+        |                    WHEN 'es' THEN 25 WHEN 'zh' THEN 10 ELSE 0 END AS r
         |        FROM documents) t) c
         |""".stripMargin) { (s, d) =>
       graft.api.Graft.mixtureResample(documents(s, d), "doc_id", "lang",

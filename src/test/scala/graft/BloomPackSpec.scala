@@ -94,6 +94,8 @@ class BloomPackSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(inner.subsetOf(left), "left-outer must contain every inner match")
     val extras = left -- inner
+    assert(extras.nonEmpty,
+      "watermark expiry must emit sentinel rows (no-data batch ran)")
     assert(extras.forall(_._2 == -1L), "extra rows must be watermark-expired non-matches")
     // an expired unmatched purchase appears exactly once, and never ALSO
     // with a real match

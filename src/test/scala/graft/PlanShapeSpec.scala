@@ -79,12 +79,40 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("bloom join: sketch is broadcast, probe side never shuffles before the agg") {
-    val p = planString("q_join_bloom")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val plan = executedPlan(q("q_join_bloom"))
+    val p = plan.toString
     assert(p.contains("BroadcastNestedLoopJoin"),
       "the one-row bloom array must broadcast:\n" + p)
-    // probe pass is narrow: the only shuffles are the tiny build-side agg
-    // (512 words) and the final per-flag agg — never the lineitem scan
-    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    // probe pass is narrow: the only SHUFFLES allowed are the bloom
+    // build (word agg + single-partition array assembly, both over <=512
+    // rows) and the final per-flag agg — never the lineitem probe scan
+    // (walk query-stage subtrees too: AQE hides materialized stages from
+    // a plain collect)
+    def shuffles(sp: org.apache.spark.sql.execution.SparkPlan): Int =
+      (sp match {
+        case _: ShuffleExchangeLike => 1
+        case _ => 0
+      }) + sp.children.map(shuffles).sum + (sp match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          shuffles(q.plan)
+        case _ => 0
+      })
+    assert(shuffles(plan) <= 3,
+      "only build-side (2) + final agg (1) may shuffle:\n" + p)
+    // ...and the probe path itself: the BNLJ's streamed (left) side is
+    // the lineitem scan with NO exchange in between
+    def findBnlj(sp: org.apache.spark.sql.execution.SparkPlan)
+        : Option[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec] =
+      sp match {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => Some(b)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findBnlj(q.plan)
+        case other => other.children.view.flatMap(findBnlj).headOption
+      }
+    val bnlj = findBnlj(plan)
+    assert(bnlj.nonEmpty, "bloom probe BNLJ missing:\n" + p)
+    assert(shuffles(bnlj.get.left) == 0,
+      "probe scan must feed the bloom BNLJ with no shuffle:\n" + p)
   }
 
   test("bucketed co-located join needs no shuffle exchange") {
