@@ -25,7 +25,7 @@ object Multimodal {
 
   /** fixed-width features extracted from the payload */
   final case class MediaFeatures(asset_id: Long, modality: String,
-      n_bytes: Int, checksum: Long, width: Int, height: Int, frame: String)
+      n_bytes: Int, checksum: Long, width: Int, height: Int, frame_hex: String)
 
   /** Build the asset table: documents' text bytes stand in for media blobs;
     * modality is derived deterministically so the oracle can reproduce it. */
@@ -49,7 +49,9 @@ object Multimodal {
       checksum = sum,
       width = (sum % 640).toInt + 1,
       height = (sum % 480).toInt + 1,
-      frame = new String(a.data.take(8), "UTF-8"))
+      // hex of raw bytes, not a decoded string: exact for ANY payload (a
+      // multibyte char straddling the window has no charset-safe twin)
+      frame_hex = a.data.take(8).map(b => f"${b & 0xff}%02X").mkString)
   }
 
   /** The typed decode stage: partition-batched, no shuffle. */
@@ -59,8 +61,8 @@ object Multimodal {
     assets.as[Asset].mapPartitions(_.map(decodeStub)).toDF()
   }
 
-  /** a sampled "frame" (byte window) of an asset's payload */
-  final case class Frame(asset_id: Long, frame_no: Int, frame: String)
+  /** a sampled "frame" (byte window) of an asset's payload, as hex */
+  final case class Frame(asset_id: Long, frame_no: Int, frame_hex: String)
 
   /** Frame sampling: up to `maxFrames` fixed-stride byte windows per
     * asset — the video-frame / audio-chunk sampling shape. Row-multiplying
@@ -75,7 +77,8 @@ object Multimodal {
         .map { i =>
           val from = (i - 1) * frameBytes
           val until = math.min(from + frameBytes, a.data.length)
-          Frame(a.asset_id, i, new String(a.data.slice(from, until), "UTF-8"))
+          Frame(a.asset_id, i,
+            a.data.slice(from, until).map(b => f"${b & 0xff}%02X").mkString)
         }
     }.toDF()
   }
@@ -100,12 +103,11 @@ object Multimodal {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    // Oracle is UTF-8 BYTE-based like the engine: strlen() counts octets
-    // and the checksum expands each codepoint to its encoded byte sum —
-    // exact for any input, not just ASCII. (The `frame` byte-window is the
-    // one remaining char-sliced oracle expression: a multibyte char
-    // straddling a window edge has no SQL twin; the synthetic documents
-    // are ASCII so the two slicings coincide there.)
+    // Oracle is UTF-8 BYTE-based like the engine everywhere: strlen()
+    // counts octets, the checksum expands each codepoint to its encoded
+    // byte sum, and every byte-window output is HEX of the bytes — one
+    // hex char pair per octet, so slicing the hex string with char
+    // functions IS byte slicing. Exact for any input, ASCII or not.
     QueryDef(
       "q_multimodal_features",
       """SELECT doc_id AS asset_id,
@@ -114,7 +116,7 @@ object Multimodal {
         |  bsum AS checksum,
         |  CAST(bsum % 640 + 1 AS INT) AS width,
         |  CAST(bsum % 480 + 1 AS INT) AS height,
-        |  substring(text, 1, 8) AS frame
+        |  substring(hex(encode(text)), 1, 16) AS frame_hex
         |FROM (
         |  SELECT *, CAST(list_sum(list_transform(split(text, ''), x -> CASE
         |    WHEN unicode(x) < 128 THEN unicode(x)
@@ -125,26 +127,24 @@ object Multimodal {
         |""".stripMargin) { (s, d) => extractFeatures(assets(s, d)) },
 
     // Resize stage surfaced as a query: stride-2 downsample of each
-    // payload, reporting the output size and the strided bytes. (Same
-    // ASCII caveat as `frame`: the oracle strides characters.)
+    // payload, reporting the output size and the strided bytes as hex
+    // (byte 2i = hex chars 4i+1..4i+2 of the full hex string).
     QueryDef(
       "q_multimodal_resize",
       """SELECT doc_id AS asset_id,
         |  CAST((strlen(text) + 1) // 2 AS INT) AS n_out,
-        |  array_to_string([text[i*2+1] for i in range(0, CAST((strlen(text) + 1) // 2 AS BIGINT))], '') AS strided
+        |  array_to_string([substring(hex(encode(text)), i*4+1, 2) for i in range(0, CAST((strlen(text) + 1) // 2 AS BIGINT))], '') AS strided_hex
         |FROM documents
         |""".stripMargin) { (s, d) =>
-      val s2 = s
-      import s2.implicits._
-      resizeAssets(assets(s, d), 2).as[Asset]
-        .map(a => (a.asset_id, a.data.length, new String(a.data, "UTF-8")))
-        .toDF("asset_id", "n_out", "strided")
+      resizeAssets(assets(s, d), 2)
+        .select(col("asset_id"), length(col("data")).as("n_out"),
+          hex(col("data")).as("strided_hex"))
     },
 
     QueryDef(
       "q_multimodal_frames",
       """SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_no,
-        |  substring(text, (i - 1) * 16 + 1, 16) AS frame
+        |  substring(hex(encode(text)), (i - 1) * 32 + 1, 32) AS frame_hex
         |FROM documents, unnest([1, 2, 3]) AS t(i)
         |WHERE (i - 1) * 16 < strlen(text)
         |""".stripMargin) { (s, d) => sampleFrames(assets(s, d)) }

@@ -17,7 +17,8 @@ class MultimodalStreamingSpec extends SparkSpec {
       val r = byId(id)
       assert(r.getInt(2) == text.getBytes("UTF-8").length)           // n_bytes
       assert(r.getLong(3) == text.getBytes("UTF-8").map(_ & 0xff).map(_.toLong).sum) // checksum
-      assert(r.getString(6) == text.take(8))                          // frame
+      assert(r.getString(6) == text.getBytes("UTF-8").take(8)
+        .map(b => f"${b & 0xff}%02X").mkString)                       // frame_hex
     }
     // modality partitioning is total
     assert(feats.select("modality").distinct().count() == 3)
