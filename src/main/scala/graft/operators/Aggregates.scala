@@ -260,6 +260,35 @@ object Aggregates {
         .select(col("l_returnflag"), col("n_parts"),
           (abs(col("est") - col("n_parts")) <= col("n_parts") * 0.05)
             .as("merge_within_5pct"))
+    },
+
+    // Misra-Gries heavy hitters (typed mergeable Aggregator, capacity 2):
+    // bounded state per group no matter how many distinct keys stream by.
+    // The fixture is deliberately uniform, so the key stream is given a
+    // deterministic geometric skew — key = lowest set bit of l_partkey
+    // (50% / 25% / 12.5% / ...), pure integer math in both engines. The
+    // checked CONTRACT is the MG guarantee: every key with true frequency
+    // > n/(capacity+1) is IN the sketch, so `ok` (non-heavy OR present)
+    // is provably true for every key, whatever merge order the cluster
+    // used. The sketch itself stays engine-side (like the HLL binaries).
+    QueryDef(
+      "q_agg_heavy_hitters",
+      """SELECT k, n, true AS ok FROM (
+        |  SELECT CAST(l_partkey & -l_partkey AS VARCHAR) AS k, count(*) AS n
+        |  FROM lineitem GROUP BY 1) t
+        |""".stripMargin) { (s, d) =>
+      val s2 = s
+      import s2.implicits._
+      val keyed = lineitem(s, d)
+        .select(col("l_partkey").bitwiseAND(-col("l_partkey"))
+          .cast("string").as("k"))
+      val sketch: Map[String, Long] = keyed.as[String]
+        .select(new graft.functions.HeavyHitters(2).toColumn).head()
+      val total = keyed.count()
+      keyed.groupBy("k").agg(count(lit(1)).as("n"))
+        .select(col("k"), col("n"),
+          (col("n") * 3 <= total || col("k").isin(sketch.keys.toSeq: _*))
+            .as("ok"))
     }
   )
 }

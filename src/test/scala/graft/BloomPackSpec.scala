@@ -87,6 +87,26 @@ class BloomPackSpec extends SparkSpec {
     }
   }
 
+  test("misra-gries: heavy keys always survive, any merge order; bound holds") {
+    val mg = new graft.functions.HeavyHitters(2)
+    // 100 items: 60x a, 25x b, 15 singletons — a (60%) and b (25%) vs
+    // threshold 100/3: only a is guaranteed, b may or may not survive
+    val stream = Seq.fill(60)("a") ++ Seq.fill(25)("b") ++
+      (1 to 15).map(i => s"x$i")
+    // three different groupings/orders of the same multiset
+    val perms = Seq(stream, stream.reverse,
+      new scala.util.Random(42).shuffle(stream))
+    perms.foreach { p =>
+      val chunks = p.grouped(7).toSeq
+      val sketch = chunks.map(_.foldLeft(mg.zero)(mg.reduce))
+        .reduce(mg.merge)
+      assert(sketch.contains("a"), s"guaranteed heavy hitter lost: $sketch")
+      assert(sketch.size <= 2)
+      // undercount bound: est >= exact - n/(cap+1)
+      assert(sketch.getOrElse("a", 0L) >= 60L - 100L / 3)
+    }
+  }
+
   test("stream left-outer join ⊇ stream inner join; sentinel rows are pre-cutoff only") {
     val inner = q("q_join_stream_stream").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
