@@ -24,19 +24,62 @@ object AsOfJoin {
     * Column requirements: both frames expose `key` and `ts`; `left` has
     * `left_id`, `right` has `right_id`.
     */
+  private def tag(left: DataFrame, right: DataFrame): DataFrame =
+    right.select(col("key"), col("ts"), lit(null).cast("long").as("left_id"),
+        col("right_id"), lit(0).as("side"))
+      .unionByName(
+        left.select(col("key"), col("ts"), col("left_id"),
+          lit(null).cast("long").as("right_id"), lit(1).as("side")))
+
   def asOf(left: DataFrame, right: DataFrame): DataFrame = {
-    val tagged =
-      right.select(col("key"), col("ts"), lit(null).cast("long").as("left_id"),
-          col("right_id"), lit(0).as("side"))
-        .unionByName(
-          left.select(col("key"), col("ts"), col("left_id"),
-            lit(null).cast("long").as("right_id"), lit(1).as("side")))
     val w = Window.partitionBy("key")
       .orderBy(col("ts").asc, col("side").asc, coalesce(col("right_id"), col("left_id")).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged
+    tag(left, right)
       .withColumn("asof_id", last(col("right_id"), ignoreNulls = true).over(w))
       .filter(col("side") === 1)
+      .select(col("key"), col("ts"), col("left_id"), col("asof_id"))
+  }
+
+  /** Forward as-of: the single EARLIEST right row with `right.ts >=
+    * left.ts` per key — the same union+window shape over a descending
+    * sort. Equal-ts right rows are visible (matching >=); ties pick the
+    * smallest right id. */
+  def asOfForward(left: DataFrame, right: DataFrame): DataFrame = {
+    val w = Window.partitionBy("key")
+      .orderBy(col("ts").desc, col("side").asc, coalesce(col("right_id"), col("left_id")).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tag(left, right)
+      .withColumn("asof_id", last(col("right_id"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("key"), col("ts"), col("left_id"), col("asof_id"))
+  }
+
+  /** Nearest as-of: whichever of the backward/forward matches is closer
+    * in time (ties -> backward). Two window passes over the SAME
+    * key-partitioning — Catalyst reuses one exchange and sorts twice;
+    * still no pair blow-up, still linear. `ts` must be a timestamp. */
+  def asOfNearest(left: DataFrame, right: DataFrame): DataFrame = {
+    val rightTs = when(col("side") === 0, unix_micros(col("ts")))
+    val idOrd = coalesce(col("right_id"), col("left_id"))
+    val wB = Window.partitionBy("key")
+      .orderBy(col("ts").asc, col("side").asc, idOrd.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("key")
+      .orderBy(col("ts").desc, col("side").asc, idOrd.desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tag(left, right)
+      .withColumn("b_id", last(col("right_id"), ignoreNulls = true).over(wB))
+      .withColumn("b_ts", last(rightTs, ignoreNulls = true).over(wB))
+      .withColumn("f_id", last(col("right_id"), ignoreNulls = true).over(wF))
+      .withColumn("f_ts", last(rightTs, ignoreNulls = true).over(wF))
+      .filter(col("side") === 1)
+      .withColumn("asof_id",
+        when(col("b_id").isNull, col("f_id"))
+          .when(col("f_id").isNull, col("b_id"))
+          .when(unix_micros(col("ts")) - col("b_ts")
+            <= col("f_ts") - unix_micros(col("ts")), col("b_id"))
+          .otherwise(col("f_id")))
       .select(col("key"), col("ts"), col("left_id"), col("asof_id"))
   }
 }

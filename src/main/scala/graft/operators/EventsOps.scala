@@ -67,6 +67,58 @@ object EventsOps {
         .select(col("left_id").as("p_id"), col("asof_id").as("click_id"))
     },
 
+    // Forward as-of: the FIRST click at-or-after each purchase (the
+    // attribution mirror image). Same union+window plan, descending sort.
+    QueryDef(
+      "q_join_asof_fwd",
+      """SELECT p_id, click_id FROM (
+        |  SELECT p.event_id AS p_id, c.event_id AS click_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.ts ASC, c.event_id ASC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON c.user_id = p.user_id AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+        |) t WHERE rn = 1
+        |""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("ts"), col("event_id").as("left_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("key"), col("ts"), col("event_id").as("right_id"))
+      AsOfJoin.asOfForward(purchases, clicks)
+        .select(col("left_id").as("p_id"), col("asof_id").as("click_id"))
+    },
+
+    // Nearest as-of: the click closest in time to each purchase, either
+    // direction, ties backward — one exchange, two in-partition sorts.
+    QueryDef(
+      "q_join_asof_near",
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click'),
+        |b AS (SELECT p_id, click_id AS b_id, c_us AS b_us FROM (
+        |  SELECT p.event_id AS p_id, c.event_id AS click_id, epoch_us(c.ts) AS c_us,
+        |    row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts) t WHERE rn = 1),
+        |f AS (SELECT p_id, click_id AS f_id, c_us AS f_us FROM (
+        |  SELECT p.event_id AS p_id, c.event_id AS click_id, epoch_us(c.ts) AS c_us,
+        |    row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts ASC, c.event_id ASC) AS rn
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts) t WHERE rn = 1)
+        |SELECT p.event_id AS p_id,
+        |  CASE WHEN b_id IS NULL THEN f_id
+        |       WHEN f_id IS NULL THEN b_id
+        |       WHEN epoch_us(p.ts) - b_us <= f_us - epoch_us(p.ts) THEN b_id
+        |       ELSE f_id END AS click_id
+        |FROM p JOIN b ON b.p_id = p.event_id JOIN f ON f.p_id = p.event_id
+        |""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("ts"), col("event_id").as("left_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("key"), col("ts"), col("event_id").as("right_id"))
+      AsOfJoin.asOfNearest(purchases, clicks)
+        .select(col("left_id").as("p_id"), col("asof_id").as("click_id"))
+    },
+
     // Sessionization: a new session starts after >30 min of inactivity.
     // lag + running sum = one shuffle on user_id; the same formulation runs
     // verbatim at 100 TB (state never leaves the key's partition).
