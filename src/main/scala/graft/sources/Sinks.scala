@@ -33,4 +33,22 @@ object Sinks {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** Compact a small-files directory into ~`targetRecordsPerFile`-row
+    * files — the maintenance pass every long-lived 100 TB table needs
+    * (streaming sinks and over-parallel writers accrete tiny files; scan
+    * cost then goes per-file, not per-byte). One count + one shuffle-free
+    * coalesce when shrinking, repartition when growing. Writes to a new
+    * path: compaction must never destroy its input on failure. */
+  def compactTo(spark: org.apache.spark.sql.SparkSession, src: String,
+      dst: String, targetRecordsPerFile: Long = 1000000L): Unit = {
+    val df = spark.read.parquet(src)
+    val n = df.count()
+    val files = math.max(1, ((n + targetRecordsPerFile - 1) /
+      targetRecordsPerFile).toInt)
+    val current = df.rdd.getNumPartitions
+    val sized = if (files < current) df.coalesce(files)
+      else df.repartition(files)
+    sized.write.mode(SaveMode.Overwrite).parquet(dst)
+  }
 }

@@ -72,4 +72,34 @@ class ScaleOpsSpec extends SparkSpec {
         s"\nonly-want=${(want -- got).toSeq.sortBy(t => (t._1, t._2)).take(6)}")
     assert(got.nonEmpty)
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // one key holds 75% of the left side — the AQE answer to skew that
+    // SkewJoin.saltedJoin solves manually. Thresholds are lowered so the
+    // tiny test dataset crosses them; on a real cluster the defaults
+    // (256 MB / factor 5) play the same role.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000)
+        .select(when(col("id") < 150000, 0L).otherwise(col("id") % 100).as("k"),
+          col("id").as("v"))
+      val right = spark.range(100).select(col("id").as("k2"), col("id").as("w"))
+      val joined = left.join(right, col("k") === col("k2"))
+      // execute THIS dataframe: count() would plan a separate query and
+      // leave joined's adaptive plan unexecuted (isFinalPlan=false)
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "AQE should have split the hot partition:\n" + plan)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

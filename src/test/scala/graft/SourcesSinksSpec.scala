@@ -77,4 +77,17 @@ class SourcesSinksSpec extends SparkSpec {
     java.nio.file.Files.writeString(new java.io.File(dir, "b.txt").toPath, "l3\n")
     assert(Tables.textDir(spark, dir.getAbsolutePath).count() == 3)
   }
+
+  test("compaction collapses a small-files directory, preserving every row") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val small = tmp("small")
+    li.repartition(37).write.parquet(small) // simulate small-files accretion
+    def parquetFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(small) == 37)
+    val compacted = tmp("compacted")
+    Sinks.compactTo(spark, small, compacted, targetRecordsPerFile = 1000000L)
+    assert(parquetFiles(compacted) == 1)
+    assert(spark.read.parquet(compacted).count() == li.count())
+  }
 }
