@@ -88,4 +88,31 @@ class GraftPropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("property: mixtureResample copy counts bracket the rate for every class") {
+    val rateGen = Gen.choose(0, 300)
+    check(forAll(docGen, rateGen) { (docs, rate) =>
+      val df = docs.toDF("id", "body")
+        .withColumn("cls", (col("id") % 2).cast("string"))
+      val out = Graft.mixtureResample(df, "id", "cls",
+        Map("0" -> rate, "1" -> 100))
+        .groupBy("id").count().as[(Long, Long)].collect().toMap
+      docs.forall { case (id, _) =>
+        val copies = out.getOrElse(id, 0L)
+        if (id % 2 == 1) copies == 1L
+        else copies == rate / 100 || copies == rate / 100 + 1
+      }
+    })
+  }
+
+  test("property: shuffleOrder is a permutation with dense per-bucket ranks") {
+    check(forAll(docGen, Gen.oneOf(2, 7, 64)) { (docs, b) =>
+      val out = Graft.shuffleOrder(docs.toDF("id", "body"), "id", buckets = b)
+        .select("id", "bucket", "pos").as[(Long, Int, Int)].collect()
+      out.length == docs.size &&
+        out.map(_._1).distinct.length == docs.size &&
+        out.groupBy(_._2).values.forall { grp =>
+          grp.map(_._3).sorted.toSeq == (1 to grp.length) }
+    })
+  }
 }
