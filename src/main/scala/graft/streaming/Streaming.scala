@@ -200,7 +200,37 @@ object Streaming {
     s.table(name)
   }
 
+  /** Streaming sliding-window aggregation: each event lands in two
+    * overlapping 2h windows (1h slide) — same shape as the tumbling
+    * stream, ~2x the state keys; shares the batch twin's oracle. */
+  def slidingStream(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val name = "stream_sliding_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    drain(q)
+    s.table(name)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_events_sliding_stream",
+      (s: SparkSession, d: String) => slidingStream(s, d),
+      Some("""SELECT ws, event_type, count(*) AS n FROM (
+        |  SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)),
+        |                 date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR]) AS ws,
+        |    event_type
+        |  FROM events) t
+        |GROUP BY ws, event_type
+        |""".stripMargin),
+      bench = false),
+
     QueryDef(
       "q_join_stream_stream",
       """SELECT p.event_id AS p_id, c.event_id AS c_id
