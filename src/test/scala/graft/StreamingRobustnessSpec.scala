@@ -1,0 +1,61 @@
+package graft
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.functions._
+
+/** Production streaming behaviors beyond result correctness: the RocksDB
+  * state backend (what a real cluster runs for large state) and
+  * stop/restart recovery from a checkpoint (state + source progress
+  * survive the restart). */
+class StreamingRobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RocksDB state store backend produces identical streaming results") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val viaRocks = Streaming.tumblingStream(spark, sf)
+        .collect().map(_.toSeq).toSet
+      val batch = q("q_events_tumbling").collect().map(_.toSeq).toSet
+      assert(viaRocks == batch,
+        "RocksDB-backed stream must equal the batch twin")
+      assert(viaRocks.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("stream restarts from checkpoint: source progress and agg state survive") {
+    // two files of (event_type) rows; phase 1 sees only file A, phase 2
+    // starts a NEW query on the SAME checkpoint after file B appears. If
+    // state/progress did not recover, the final complete-mode counts
+    // would cover only file B.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    def writeFile(n: Int, rows: Seq[String]): Unit =
+      rows.toDF("event_type").coalesce(1).write
+        .mode("append").parquet(dir)
+
+    writeFile(0, Seq.fill(70)("click") ++ Seq.fill(30)("view"))
+    val schema = spark.read.parquet(dir).schema
+    def start(name: String) = spark.readStream.schema(schema).parquet(dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(name).option("checkpointLocation", ckpt).start()
+
+    val q1 = start("ckpt_phase1")
+    Streaming.drain(q1) // drain() also stops the query
+    val phase1 = spark.table("ckpt_phase1").as[(String, Long)].collect().toMap
+    assert(phase1 == Map("click" -> 70L, "view" -> 30L))
+
+    writeFile(1, Seq.fill(5)("click") ++ Seq.fill(25)("purchase"))
+    val q2 = start("ckpt_phase2")
+    Streaming.drain(q2)
+    val phase2 = spark.table("ckpt_phase2").as[(String, Long)].collect().toMap
+    assert(phase2 == Map("click" -> 75L, "view" -> 30L, "purchase" -> 25L),
+      s"state must carry phase-1 counts across the restart, got $phase2")
+  }
+}
