@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
+import org.apache.spark.sql.types.{BinaryType, LongType}
 import graft.functions.{AsciiSum, CosineSim}
 
 /** Library entry point for Spark's extension mechanism: register the
@@ -32,5 +33,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_cosine",
         "graft_cosine(a, b) - cosine similarity of two float/double arrays"),
       (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
+    // the portable 60-bit hash every sketch/sampler hangs off
+    // (graft.Exact.h60) — exposed in SQL as a composition of built-ins,
+    // so its DuckDB twin ('0x'||substr(md5(s),1,15))::BIGINT stays a
+    // provable mirror of what SQL users call
+    ext.injectFunction((
+      FunctionIdentifier("graft_h60"),
+      info("graft_h60",
+        "graft_h60(str) - portable 60-bit hash: first 15 md5 hex chars as a positive bigint"),
+      (exprs: Seq[Expression]) => Cast(
+        Conv(Substring(Md5(Cast(exprs.head, BinaryType)),
+          Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)))
   }
 }
