@@ -224,6 +224,59 @@ object Sampling {
         .select(col("doc_id"), col("lang"), col("copy"))
     },
 
+    // Second end-to-end pipeline: the TRAINING-PREP chain (inject/redact
+    // PII -> re-tokenize the redacted text -> quality floor -> next-fit
+    // sequence packing). Composes q_text_pii_redact and q_text_pack
+    // verbatim; everything narrow except the one per-bucket pack window.
+    QueryDef(
+      "q_pipeline_train_prep", {
+        import graft.functions.TextAnalysis.{PiiEmailRe, PiiPhoneRe}
+        s"""WITH red AS (
+           |  SELECT doc_id, lang,
+           |    regexp_replace(regexp_replace(text
+           |      || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+           |      || CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' ELSE '' END,
+           |      '$PiiEmailRe', '<EMAIL>', 'g'), '$PiiPhoneRe', '<PHONE>', 'g') AS rt
+           |  FROM documents),
+           |tok AS (
+           |  SELECT doc_id, lang,
+           |    CAST(len(list_filter(regexp_split_to_array(lower(rt), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+           |  FROM red),
+           |kept AS (SELECT * FROM tok WHERE n_tokens >= 20)
+           |SELECT doc_id, lang, CAST(doc_id % 16 AS INT) AS bucket, n_tokens,
+           |  CAST(cb // 256 AS INT) AS bin, CAST(cb % 256 AS INT) AS bin_offset
+           |FROM (
+           |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           |  FROM kept) p
+           |""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextAnalysis.{PiiEmailRe, PiiPhoneRe}
+      val toks = graft.functions.TextAnalysis.tokens _
+      val red = documents(s, d).select(col("doc_id"), col("lang"),
+        regexp_replace(regexp_replace(
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(""),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" call 555-"),
+                lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+                lit("-0199"))).otherwise("")),
+          PiiEmailRe, "<EMAIL>"), PiiPhoneRe, "<PHONE>").as("rt"))
+      val kept = red
+        .select(col("doc_id"), col("lang"),
+          size(toks(col("rt"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= 20)
+        .withColumn("bucket", (col("doc_id") % 16).cast("int"))
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      kept.withColumn("cb", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("bucket"), col("n_tokens"),
+          floor(col("cb") / 256).cast("int").as("bin"),
+          (col("cb") % 256).cast("int").as("bin_offset"))
+    },
+
     // Deterministic global training-order shuffle: two-level (hash bucket,
     // in-bucket rank) so no task ever needs the full dataset — reading in
     // (bucket, pos) order replays the same permutation on any cluster.
