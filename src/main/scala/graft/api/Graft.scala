@@ -334,6 +334,21 @@ object Graft {
       .drop("h")
   }
 
+  /** Next-fit sequence packing: lay rows end-to-end per hash bucket and
+    * cut at `binTokens` boundaries (straddle allowed — how pretraining
+    * packers batch). Adds bucket/bin/bin_offset; embarrassingly parallel
+    * across buckets, one shuffle on bucket, no global sequential state. */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      buckets: Int = 16, binTokens: Int = 256): DataFrame = {
+    val w = Window.partitionBy("bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("bucket", (col(idCol) % buckets).cast("int"))
+      .withColumn("__cb", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("bin", floor(col("__cb") / binTokens).cast("int"))
+      .withColumn("bin_offset", (col("__cb") % binTokens).cast("int"))
+      .drop("__cb")
+  }
+
   /** Fixed-window token chunking: split each doc's token stream into
     * consecutive `chunkTokens`-token sequences — the context-length prep
     * step before training. Narrow flatMap shape (no shuffle); documents

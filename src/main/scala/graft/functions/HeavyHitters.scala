@@ -28,8 +28,11 @@ class HeavyHitters(capacity: Int)
     else {
       // decrement every counter by the (capacity+1)-th largest count and
       // drop the non-positive ones — removes at least one key, preserves
-      // the undercount bound
-      val cut = m.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+      // the undercount bound. The per-element reduce path overflows by
+      // exactly one, where that cut IS the minimum — skip the sort there.
+      val cut =
+        if (m.size == capacity + 1) m.values.min
+        else m.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
       m.flatMap { case (k, v) =>
         if (v - cut > 0) Some(k -> (v - cut)) else None }
     }

@@ -21,6 +21,31 @@ object TextAnalysis {
   val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
   val PiiPhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
+  /** Deterministic PII injection (the fixture text has none): an email on
+    * every 5th doc, a phone on every 7th. Shared by q_text_pii_redact and
+    * q_pipeline_train_prep so engine and pipeline can't drift. */
+  def injectPii(text: Column, id: Column): Column =
+    concat(text,
+      when(id % 5 === 0,
+        concat(lit(" contact user"), id, lit("@example.com"))).otherwise(""),
+      when(id % 7 === 0,
+        concat(lit(" call 555-"), lpad((id % 1000).cast("string"), 3, "0"),
+          lit("-0199"))).otherwise(""))
+
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, PiiEmailRe, "<EMAIL>"),
+      PiiPhoneRe, "<PHONE>")
+
+  /** DuckDB twins of [[injectPii]]/[[redactPii]], parameterized on the
+    * inner SQL expressions. Single-line on purpose: these interpolate
+    * into stripMargin templates, where a line starting with `||` would be
+    * eaten up to its first `|`. */
+  def piiEnrichSql(text: String, id: String): String =
+    s"$text || CASE WHEN $id % 5 = 0 THEN ' contact user' || CAST($id AS VARCHAR) || '@example.com' ELSE '' END" +
+      s" || CASE WHEN $id % 7 = 0 THEN ' call 555-' || lpad(CAST($id % 1000 AS VARCHAR), 3, '0') || '-0199' ELSE '' END"
+  def piiRedactSql(inner: String): String =
+    s"regexp_replace(regexp_replace($inner, '$PiiEmailRe', '<EMAIL>', 'g'), '$PiiPhoneRe', '<PHONE>', 'g')"
+
   /** tokens of lower-cased text, whitespace split, empties dropped */
   def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => t =!= "")
@@ -250,31 +275,22 @@ object TextAnalysis {
     QueryDef(
       "q_text_pii_redact",
       s"""SELECT doc_id,
-         |  regexp_replace(regexp_replace(enriched, '$PiiEmailRe', '<EMAIL>', 'g'),
-         |                 '$PiiPhoneRe', '<PHONE>', 'g') AS redacted,
+         |  ${piiRedactSql("enriched")} AS redacted,
          |  CAST(len(regexp_extract_all(enriched, '$PiiEmailRe')) AS INT) AS n_emails,
          |  CAST(len(regexp_extract_all(enriched, '$PiiPhoneRe')) AS INT) AS n_phones
          |FROM (
-         |  SELECT doc_id, text
-         |    || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
-         |    || CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' ELSE '' END
+         |  SELECT doc_id, ${piiEnrichSql("text", "doc_id")}
          |    AS enriched
          |  FROM documents) t
          |""".stripMargin) { (s, d) =>
-      val enriched = documents(s, d).select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 5 === 0,
-            concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(""),
-          when(col("doc_id") % 7 === 0,
-            concat(lit(" call 555-"),
-              lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
-              lit("-0199"))).otherwise("")).as("enriched"))
-      enriched.select(
-        col("doc_id"),
-        regexp_replace(regexp_replace(col("enriched"), PiiEmailRe, "<EMAIL>"),
-          PiiPhoneRe, "<PHONE>").as("redacted"),
-        size(regexp_extract_all(col("enriched"), lit(PiiEmailRe), lit(0))).as("n_emails"),
-        size(regexp_extract_all(col("enriched"), lit(PiiPhoneRe), lit(0))).as("n_phones"))
+      documents(s, d)
+        .select(col("doc_id"),
+          injectPii(col("text"), col("doc_id")).as("enriched"))
+        .select(
+          col("doc_id"),
+          redactPii(col("enriched")).as("redacted"),
+          size(regexp_extract_all(col("enriched"), lit(PiiEmailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("enriched"), lit(PiiPhoneRe), lit(0))).as("n_phones"))
     },
 
     // Sequence packing for training: concatenate documents into fixed
@@ -298,16 +314,11 @@ object TextAnalysis {
         |      CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
         |    FROM documents) t) p
         |""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("bucket").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      documents(s, d)
-        .select(col("doc_id"), (col("doc_id") % 16).cast("int").as("bucket"),
-          size(tokens(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
-        .select(col("doc_id"), col("bucket"), col("n_tokens"),
-          floor(col("cum_before") / 256).cast("int").as("bin"),
-          (col("cum_before") % 256).cast("int").as("bin_offset"))
+      graft.api.Graft.packSequences(
+          documents(s, d).select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens")
+        .select("doc_id", "bucket", "n_tokens", "bin", "bin_offset")
     }
   )
 }

@@ -31,9 +31,17 @@ object AsOfJoin {
         left.select(col("key"), col("ts"), col("left_id"),
           lit(null).cast("long").as("right_id"), lit(1).as("side")))
 
-  def asOf(left: DataFrame, right: DataFrame): DataFrame = {
+  /** Backward (asc) and forward (desc) share one directional kernel: the
+    * running last-right-row over a (ts, side, id) sort; equal-ts right
+    * rows sort before left either way so <= / >= semantics hold. */
+  private def asOfDirectional(left: DataFrame, right: DataFrame,
+      backward: Boolean): DataFrame = {
+    val idOrd = coalesce(col("right_id"), col("left_id"))
     val w = Window.partitionBy("key")
-      .orderBy(col("ts").asc, col("side").asc, coalesce(col("right_id"), col("left_id")).asc)
+      .orderBy(
+        (if (backward) col("ts").asc else col("ts").desc) +:
+          col("side").asc +:
+          Seq(if (backward) idOrd.asc else idOrd.desc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tag(left, right)
       .withColumn("asof_id", last(col("right_id"), ignoreNulls = true).over(w))
@@ -41,19 +49,15 @@ object AsOfJoin {
       .select(col("key"), col("ts"), col("left_id"), col("asof_id"))
   }
 
+  def asOf(left: DataFrame, right: DataFrame): DataFrame =
+    asOfDirectional(left, right, backward = true)
+
   /** Forward as-of: the single EARLIEST right row with `right.ts >=
     * left.ts` per key — the same union+window shape over a descending
     * sort. Equal-ts right rows are visible (matching >=); ties pick the
     * smallest right id. */
-  def asOfForward(left: DataFrame, right: DataFrame): DataFrame = {
-    val w = Window.partitionBy("key")
-      .orderBy(col("ts").desc, col("side").asc, coalesce(col("right_id"), col("left_id")).desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tag(left, right)
-      .withColumn("asof_id", last(col("right_id"), ignoreNulls = true).over(w))
-      .filter(col("side") === 1)
-      .select(col("key"), col("ts"), col("left_id"), col("asof_id"))
-  }
+  def asOfForward(left: DataFrame, right: DataFrame): DataFrame =
+    asOfDirectional(left, right, backward = false)
 
   /** Nearest as-of: whichever of the backward/forward matches is closer
     * in time (ties -> backward). Two window passes over the SAME

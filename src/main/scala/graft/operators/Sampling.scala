@@ -230,13 +230,10 @@ object Sampling {
     // verbatim; everything narrow except the one per-bucket pack window.
     QueryDef(
       "q_pipeline_train_prep", {
-        import graft.functions.TextAnalysis.{PiiEmailRe, PiiPhoneRe}
+        import graft.functions.TextAnalysis.{piiEnrichSql, piiRedactSql}
         s"""WITH red AS (
            |  SELECT doc_id, lang,
-           |    regexp_replace(regexp_replace(text
-           |      || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
-           |      || CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' ELSE '' END,
-           |      '$PiiEmailRe', '<EMAIL>', 'g'), '$PiiPhoneRe', '<PHONE>', 'g') AS rt
+           |    ${piiRedactSql(piiEnrichSql("text", "doc_id"))} AS rt
            |  FROM documents),
            |tok AS (
            |  SELECT doc_id, lang,
@@ -251,30 +248,16 @@ object Sampling {
            |  FROM kept) p
            |""".stripMargin
       }) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      import graft.functions.TextAnalysis.{PiiEmailRe, PiiPhoneRe}
-      val toks = graft.functions.TextAnalysis.tokens _
+      import graft.functions.TextAnalysis
       val red = documents(s, d).select(col("doc_id"), col("lang"),
-        regexp_replace(regexp_replace(
-          concat(col("text"),
-            when(col("doc_id") % 5 === 0,
-              concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(""),
-            when(col("doc_id") % 7 === 0,
-              concat(lit(" call 555-"),
-                lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
-                lit("-0199"))).otherwise("")),
-          PiiEmailRe, "<EMAIL>"), PiiPhoneRe, "<PHONE>").as("rt"))
+        TextAnalysis.redactPii(
+          TextAnalysis.injectPii(col("text"), col("doc_id"))).as("rt"))
       val kept = red
         .select(col("doc_id"), col("lang"),
-          size(toks(col("rt"))).cast("long").as("n_tokens"))
+          size(TextAnalysis.tokens(col("rt"))).cast("long").as("n_tokens"))
         .filter(col("n_tokens") >= 20)
-        .withColumn("bucket", (col("doc_id") % 16).cast("int"))
-      val w = Window.partitionBy("bucket").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      kept.withColumn("cb", coalesce(sum("n_tokens").over(w), lit(0L)))
-        .select(col("doc_id"), col("lang"), col("bucket"), col("n_tokens"),
-          floor(col("cb") / 256).cast("int").as("bin"),
-          (col("cb") % 256).cast("int").as("bin_offset"))
+      graft.api.Graft.packSequences(kept, "doc_id", "n_tokens")
+        .select("doc_id", "lang", "bucket", "n_tokens", "bin", "bin_offset")
     },
 
     // Deterministic global training-order shuffle: two-level (hash bucket,
