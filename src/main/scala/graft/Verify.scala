@@ -15,12 +15,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query hard timeout: ONE wedged query must cost one FAIL line,
+    // never the whole round's correctness artifact (the driver gets
+    // nothing if this main never exits). The query runs under a job
+    // group so a timeout can actually cancel its Spark jobs before the
+    // next query starts.
+    val timeoutMs =
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_S", "300").toLong * 1000L
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val t = new Thread(() =>
+        try {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable => failure.set(e) }
+        finally spark.sparkContext.clearJobGroup())
+      t.setDaemon(true)
+      t.start()
+      t.join(timeoutMs)
+      if (t.isAlive) {
+        spark.sparkContext.cancelJobGroup(name)
+        System.err.println(s"[verify] $name failed: timeout after ${timeoutMs}ms")
+      } else if (failure.get() != null)
+        System.err.println(s"[verify] $name failed: ${failure.get().getMessage}")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -188,15 +188,19 @@ object Graft {
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      // min over self + neighbor labels (one hop); cached (not
-      // checkpointed) because it is consumed twice within THIS round and
+      // min over self + neighbor labels (one hop); the self rows carry
+      // the round's OLD label through the aggregation (min over the
+      // single side=0 row), so convergence is checked on `next` alone —
+      // no per-round join back against `labels`. Cached (not
+      // checkpointed) because hop is consumed twice within THIS round and
       // can be dropped as soon as `next` materializes — per-round
       // checkpoints would pile up in storage memory for the session
       val viaNeighbor = edges
         .join(labels.select(col("id").as("b"), col("lbl")), "b")
-        .select(col("a").as("id"), col("lbl"))
-      val hop = labels.union(viaNeighbor)
-        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .select(col("a").as("id"), col("lbl"), lit(null).cast("long").as("old"))
+      val hop = labels.select(col("id"), col("lbl"), col("lbl").as("old"))
+        .union(viaNeighbor)
+        .groupBy("id").agg(min(col("lbl")).as("lbl"), min(col("old")).as("old"))
         .cache()
       // ...then pointer-jump through the representative's own label, which
       // makes convergence logarithmic in component diameter instead of
@@ -204,12 +208,11 @@ object Graft {
       // jumped label is always <= the hopped one)
       val reps = hop.select(col("id").as("rep"), col("lbl").as("replbl"))
       val next = hop.join(reps, hop("lbl") === reps("rep"))
-        .select(hop("id"), col("replbl").as("lbl"))
+        .select(hop("id"), col("replbl").as("lbl"), hop("old"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") < col("old")).count()
+      changed = next.filter(col("lbl") < col("old")).count()
       hop.unpersist()
-      labels = next
+      labels = next.select("id", "lbl")
       // superseded `next` checkpoints are unreferenced after this rebind
       // and reclaimed by the ContextCleaner on GC
     }
