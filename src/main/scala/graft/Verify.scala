@@ -4,6 +4,35 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Run `body` under a named job group with a hard timeout: on timeout
+    * the group's Spark jobs are cancelled (so the NEXT query starts on a
+    * quiet scheduler) and Some(message) is returned; same for a thrown
+    * error. None = success. The session stays usable either way.
+    *
+    * Cancellation caveat: interruptOnCancel reaches tasks at interruption
+    * points (blocking I/O, sleeps, shuffle fetches, iterator boundaries).
+    * A tight whole-stage-codegen loop (e.g. a runaway cartesian count)
+    * may burn its cores to completion even though this call returns —
+    * the timeout bounds VERIFY's wall clock, not the zombie's CPU. */
+  def runBounded(spark: SparkSession, name: String, timeoutMs: Long)(
+      body: => Unit): Option[String] = {
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val t = new Thread(() =>
+      try {
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        body
+      } catch { case e: Throwable => failure.set(e) }
+      finally spark.sparkContext.clearJobGroup())
+    t.setDaemon(true)
+    t.start()
+    t.join(timeoutMs)
+    if (t.isAlive) {
+      spark.sparkContext.cancelJobGroup(name)
+      Some(s"timeout after ${timeoutMs}ms")
+    } else Option(failure.get()).map(_.getMessage)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,28 +46,17 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // per-query hard timeout: ONE wedged query must cost one FAIL line,
     // never the whole round's correctness artifact (the driver gets
-    // nothing if this main never exits). The query runs under a job
-    // group so a timeout can actually cancel its Spark jobs before the
-    // next query starts.
+    // nothing if this main never exits).
     val timeoutMs =
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_S", "300").toLong * 1000L
     SparkEntry.queries.foreach { case (name, fn) =>
-      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
-      val t = new Thread(() =>
-        try {
-          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-        } catch { case e: Throwable => failure.set(e) }
-        finally spark.sparkContext.clearJobGroup())
-      t.setDaemon(true)
-      t.start()
-      t.join(timeoutMs)
-      if (t.isAlive) {
-        spark.sparkContext.cancelJobGroup(name)
-        System.err.println(s"[verify] $name failed: timeout after ${timeoutMs}ms")
-      } else if (failure.get() != null)
-        System.err.println(s"[verify] $name failed: ${failure.get().getMessage}")
+      runBounded(spark, name, timeoutMs) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } match {
+        case None => ()
+        case Some(msg) => System.err.println(s"[verify] $name failed: $msg")
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

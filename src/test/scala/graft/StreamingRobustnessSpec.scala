@@ -28,6 +28,26 @@ class StreamingRobustnessSpec extends SparkSpec {
     }
   }
 
+  test("Verify.runBounded cancels a wedged query and the session stays usable") {
+    // tasks wedged in an INTERRUPTIBLE wait (the realistic hang: a stuck
+    // source/sink, not a spinning codegen loop — see runBounded's caveat)
+    val t0 = System.nanoTime()
+    val res = Verify.runBounded(spark, "wedge_test", timeoutMs = 2000) {
+      spark.range(8).repartition(8).mapPartitions { it =>
+        Thread.sleep(600000); it
+      }(org.apache.spark.sql.Encoders.LONG).count(): Unit
+    }
+    val elapsedS = (System.nanoTime() - t0) / 1e9
+    assert(res.exists(_.contains("timeout")), s"expected timeout, got $res")
+    assert(elapsedS < 30, s"cancel must not linger (took $elapsedS s)")
+    // cancelled tasks die on interrupt; the scheduler is usable again
+    assert(spark.range(10).count() == 10)
+    // ...and a healthy body returns None
+    assert(Verify.runBounded(spark, "ok_test", 30000) {
+      spark.range(5).count(): Unit
+    }.isEmpty)
+  }
+
   test("stream restarts from checkpoint: source progress and agg state survive") {
     // two files of (event_type) rows; phase 1 sees only file A, phase 2
     // starts a NEW query on the SAME checkpoint after file B appears. If
