@@ -21,6 +21,9 @@ object TextAnalysis {
   val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
   val PiiPhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
+  /** capture group 1 = the host of an http(s) URL; RE2-compatible */
+  val UrlDomainRe = "https?://([A-Za-z0-9.-]+)"
+
   /** Deterministic PII injection (the fixture text has none): an email on
     * every 5th doc, a phone on every 7th. Shared by q_text_pii_redact and
     * q_pipeline_train_prep so engine and pipeline can't drift. */
@@ -291,6 +294,40 @@ object TextAnalysis {
           redactPii(col("enriched")).as("redacted"),
           size(regexp_extract_all(col("enriched"), lit(PiiEmailRe), lit(0))).as("n_emails"),
           size(regexp_extract_all(col("enriched"), lit(PiiPhoneRe), lit(0))).as("n_phones"))
+    },
+
+    // URL/domain extraction + blocklist flag — the corpus-hygiene stage
+    // that drops documents from known-bad hosts. Fixture text has no
+    // URLs, so they are injected deterministically (every 4th doc links
+    // to one of 20 hosts, mirrored in the oracle); extraction is one
+    // codegen regex, the rollup one shuffle on domain. Both engines
+    // return '' from regexp_extract on no match.
+    QueryDef(
+      "q_text_urls",
+      s"""SELECT domain, count(*) AS n_docs,
+         |  domain IN ('site3.example.org', 'site7.example.org') AS blocked
+         |FROM (
+         |  SELECT regexp_extract(
+         |    text || CASE WHEN doc_id % 4 = 0
+         |      THEN ' see https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/path' ELSE '' END,
+         |    '$UrlDomainRe', 1) AS domain
+         |  FROM documents) t
+         |WHERE domain <> ''
+         |GROUP BY domain
+         |""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(regexp_extract(
+          concat(col("text"),
+            when(col("doc_id") % 4 === 0,
+              concat(lit(" see https://site"), (col("doc_id") % 20),
+                lit(".example.org/path"))).otherwise("")),
+          UrlDomainRe, 1).as("domain"))
+        .filter(col("domain") =!= "")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("blocked",
+          col("domain").isin("site3.example.org", "site7.example.org"))
+        .select("domain", "n_docs", "blocked")
     },
 
     // Sequence packing for training: concatenate documents into fixed
