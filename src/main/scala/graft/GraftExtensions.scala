@@ -41,8 +41,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_h60"),
       info("graft_h60",
         "graft_h60(str) - portable 60-bit hash: first 15 md5 hex chars as a positive bigint"),
-      (exprs: Seq[Expression]) => Cast(
-        Conv(Substring(Md5(Cast(exprs.head, BinaryType)),
-          Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)))
+      GraftExtensions.h60Builder))
   }
+}
+
+object GraftExtensions {
+  /** The exact expression tree graft_h60 registers — public so tests
+    * evaluate THIS builder (registration drift would otherwise go
+    * unnoticed: a hand-copied tree in the test would keep passing). */
+  val h60Builder: Seq[Expression] => Expression = exprs =>
+    Cast(Conv(Substring(Md5(Cast(exprs.head, BinaryType)),
+      Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
 }

@@ -14,7 +14,11 @@ object Verify {
     * points (blocking I/O, sleeps, shuffle fetches, iterator boundaries).
     * A tight whole-stage-codegen loop (e.g. a runaway cartesian count)
     * may burn its cores to completion even though this call returns —
-    * the timeout bounds VERIFY's wall clock, not the zombie's CPU. */
+    * the timeout bounds VERIFY's wall clock, not the zombie's CPU.
+    * Streaming queries are not cancellable from here either (micro-batch
+    * jobs run under the stream's own job group); their guard is
+    * Streaming.drain's 180s timeout + the session's
+    * spark.sql.streaming.stopTimeout, both below this timeout. */
   def runBounded(spark: SparkSession, name: String, timeoutMs: Long)(
       body: => Unit): Option[String] = {
     val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
@@ -40,6 +44,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // a hung stream's stop() must throw, not wait forever — otherwise a
+      // wedged streaming query pins its withStatePartitions conf restore
+      .config("spark.sql.streaming.stopTimeout", "30s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -50,11 +57,23 @@ object Verify {
     val timeoutMs =
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_S", "300").toLong * 1000L
     SparkEntry.queries.foreach { case (name, fn) =>
+      // write to a scratch dir, promote on success: a timeout/kill
+      // mid-write must leave either a complete artifact or none — never
+      // _temporary debris where the driver's compare expects parquet
+      val tmp = new java.io.File(outDir, s".tmp_$name")
+      val dst = new java.io.File(outDir, name)
       runBounded(spark, name, timeoutMs) {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+          .parquet(tmp.getPath)
       } match {
-        case None => ()
+        case None =>
+          if (dst.exists()) {
+            java.nio.file.Files.walk(dst.toPath)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => p.toFile.delete())
+          }
+          if (!tmp.renameTo(dst))
+            System.err.println(s"[verify] $name failed: could not promote artifact")
         case Some(msg) => System.err.println(s"[verify] $name failed: $msg")
       }
     }

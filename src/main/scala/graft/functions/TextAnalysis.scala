@@ -298,10 +298,12 @@ object TextAnalysis {
 
     // URL/domain extraction + blocklist flag — the corpus-hygiene stage
     // that drops documents from known-bad hosts. Fixture text has no
-    // URLs, so they are injected deterministically (every 4th doc links
-    // to one of 20 hosts, mirrored in the oracle); extraction is one
-    // codegen regex, the rollup one shuffle on domain. Both engines
-    // return '' from regexp_extract on no match.
+    // URLs, so they are injected deterministically: every 4th doc links
+    // to host (doc_id/4) % 20 — the /4 keeps the host index coprime with
+    // the injection stride, so all 20 hosts (including the blocklisted
+    // ones) actually occur. Extraction is one codegen regex, the rollup
+    // one shuffle on domain. Both engines return '' from regexp_extract
+    // on no match.
     QueryDef(
       "q_text_urls",
       s"""SELECT domain, count(*) AS n_docs,
@@ -309,7 +311,7 @@ object TextAnalysis {
          |FROM (
          |  SELECT regexp_extract(
          |    text || CASE WHEN doc_id % 4 = 0
-         |      THEN ' see https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/path' ELSE '' END,
+         |      THEN ' see https://site' || CAST((doc_id // 4) % 20 AS VARCHAR) || '.example.org/path' ELSE '' END,
          |    '$UrlDomainRe', 1) AS domain
          |  FROM documents) t
          |WHERE domain <> ''
@@ -319,7 +321,8 @@ object TextAnalysis {
         .select(regexp_extract(
           concat(col("text"),
             when(col("doc_id") % 4 === 0,
-              concat(lit(" see https://site"), (col("doc_id") % 20),
+              concat(lit(" see https://site"),
+                (floor(col("doc_id") / 4) % 20).cast("long"),
                 lit(".example.org/path"))).otherwise("")),
           UrlDomainRe, 1).as("domain"))
         .filter(col("domain") =!= "")

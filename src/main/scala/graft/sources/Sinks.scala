@@ -34,20 +34,25 @@ object Sinks {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
-  /** Compact a small-files directory into ~`targetRecordsPerFile`-row
-    * files — the maintenance pass every long-lived 100 TB table needs
-    * (streaming sinks and over-parallel writers accrete tiny files; scan
-    * cost then goes per-file, not per-byte). One count + one shuffle-free
-    * coalesce when shrinking, repartition when growing. Writes to a new
-    * path: compaction must never destroy its input on failure. */
+  /** Compact a small-files directory into ~`targetBytesPerFile` files —
+    * the maintenance pass every long-lived 100 TB table needs (streaming
+    * sinks and over-parallel writers accrete tiny files; scan cost then
+    * goes per-file, not per-byte). The output file count comes from the
+    * SOURCE FILE LISTING (metadata only), so the data is read exactly
+    * once — a count()-based sizing would scan the table twice. Coalesce
+    * when shrinking (shuffle-free), repartition when growing. Writes to
+    * a new path: compaction must never destroy its input on failure. */
   def compactTo(spark: org.apache.spark.sql.SparkSession, src: String,
-      dst: String, targetRecordsPerFile: Long = 1000000L): Unit = {
+      dst: String, targetBytesPerFile: Long = 128L * 1024 * 1024): Unit = {
+    val path = new org.apache.hadoop.fs.Path(src)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(path).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val files = math.max(1L,
+      (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
     val df = spark.read.parquet(src)
-    val n = df.count()
-    val files = math.max(1, ((n + targetRecordsPerFile - 1) /
-      targetRecordsPerFile).toInt)
-    val current = df.rdd.getNumPartitions
-    val sized = if (files < current) df.coalesce(files)
+    val sized = if (files < df.rdd.getNumPartitions) df.coalesce(files)
       else df.repartition(files)
     sized.write.mode(SaveMode.Overwrite).parquet(dst)
   }

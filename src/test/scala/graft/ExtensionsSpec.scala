@@ -34,15 +34,12 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("graft_h60 (injector expression) == Exact.h60 == the DuckDB oracle hash") {
-    val ext = new SparkSessionExtensions
-    new GraftExtensions().apply(ext)
-    // evaluate the injected expression tree directly against Exact.h60
+    // evaluate the REGISTERED builder (not a hand-copied tree, which
+    // would keep passing if the registration drifted)
     val viaCol = Seq("hello graft").toDF("s")
       .select(Exact.h60(col("s")).as("h")).as[Long].head()
-    import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.types.{BinaryType, LongType}
-    val tree = Cast(Conv(Substring(Md5(Cast(Literal("hello graft"), BinaryType)),
-      Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
+    val tree = GraftExtensions.h60Builder(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal("hello graft")))
     assert(tree.eval(null) == viaCol)
     assert(viaCol > 0L && viaCol < (1L << 60))
   }

@@ -86,7 +86,7 @@ class SourcesSinksSpec extends SparkSpec {
       new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
     assert(parquetFiles(small) == 37)
     val compacted = tmp("compacted")
-    Sinks.compactTo(spark, small, compacted, targetRecordsPerFile = 1000000L)
+    Sinks.compactTo(spark, small, compacted) // 37 tiny files << 128 MB target
     assert(parquetFiles(compacted) == 1)
     assert(spark.read.parquet(compacted).count() == li.count())
   }

@@ -55,11 +55,11 @@ class StreamingRobustnessSpec extends SparkSpec {
     // would cover only file B.
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_src").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    def writeFile(n: Int, rows: Seq[String]): Unit =
+    def writeFile(rows: Seq[String]): Unit =
       rows.toDF("event_type").coalesce(1).write
         .mode("append").parquet(dir)
 
-    writeFile(0, Seq.fill(70)("click") ++ Seq.fill(30)("view"))
+    writeFile(Seq.fill(70)("click") ++ Seq.fill(30)("view"))
     val schema = spark.read.parquet(dir).schema
     def start(name: String) = spark.readStream.schema(schema).parquet(dir)
       .groupBy("event_type").agg(count(lit(1)).as("n"))
@@ -71,7 +71,7 @@ class StreamingRobustnessSpec extends SparkSpec {
     val phase1 = spark.table("ckpt_phase1").as[(String, Long)].collect().toMap
     assert(phase1 == Map("click" -> 70L, "view" -> 30L))
 
-    writeFile(1, Seq.fill(5)("click") ++ Seq.fill(25)("purchase"))
+    writeFile(Seq.fill(5)("click") ++ Seq.fill(25)("purchase"))
     val q2 = start("ckpt_phase2")
     Streaming.drain(q2)
     val phase2 = spark.table("ckpt_phase2").as[(String, Long)].collect().toMap
