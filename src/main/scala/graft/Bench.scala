@@ -22,6 +22,40 @@ import org.apache.spark.sql.SparkSession
   *      totals it should be compared against.
   */
 object Bench {
+
+  def r2(v: Double): String =
+    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+  def jmap(kvs: Seq[(String, Double)]): String =
+    kvs.map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+  /** family rollup: q_<family>_rest -> family (q_wordcount -> wordcount) */
+  def family(n: String): String = {
+    val s = n.stripPrefix("q_")
+    val i = s.indexOf('_')
+    if (i < 0) s else s.substring(0, i)
+  }
+
+  def fullLine(results: Seq[(String, Double)], nFail: Int,
+      sfDir: String): String = {
+    val total = results.map(_._2).filter(_ >= 0).sum
+    s"""{"metric":"total","value":${r2(total)},"unit":"sec","failed":$nFail,"queries":${jmap(results)},"sf":"$sfDir"}"""
+  }
+
+  /** The line the driver parses out of its bounded stdout tail — MUST
+    * stay well under ~2.5k chars (rounds 1-2 lost their bench artifact
+    * to an oversized line; BenchLineSpec guards the budget as the
+    * registry grows). */
+  def compactLine(results: Seq[(String, Double)], nFail: Int,
+      sfDir: String): String = {
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val famTotals: Seq[(String, Double)] = results
+      .groupBy { case (n, _) => family(n) }
+      .map { case (f, qs) =>
+        f -> (if (qs.exists(_._2 < 0)) -1.0 else qs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(3)
+    s"""{"metric":"total","value":${r2(total)},"unit":"sec","failed":$nFail,"nq":${results.size},"queries":${jmap(famTotals)},"slowest":${jmap(slowest)},"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -91,42 +125,24 @@ object Bench {
          if elapsedS < budgetS) timeOne(name)
 
     val results = best.toSeq
-    def r2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val total = results.map(_._2).filter(_ >= 0).sum
     val nFail = results.count(_._2 < 0)
-    def jmap(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${r2(total)},"unit":"sec","failed":$nFail,"queries":${jmap(results)},"sf":"$sfDir"}"""
-
-    // family rollup: q_<family>_rest -> family (q_wordcount -> wordcount)
-    def family(n: String): String = {
-      val s = n.stripPrefix("q_")
-      val i = s.indexOf('_')
-      if (i < 0) s else s.substring(0, i)
-    }
-    val famTotals: Seq[(String, Double)] = results
-      .groupBy { case (n, _) => family(n) }
-      .map { case (f, qs) =>
-        f -> (if (qs.exists(_._2 < 0)) -1.0 else qs.map(_._2).sum) }
-      .toSeq.sortBy(_._1)
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(3)
-    val compactLine = s"""{"metric":"total","value":${r2(total)},"unit":"sec","failed":$nFail,"nq":${results.size},"queries":${jmap(famTotals)},"slowest":${jmap(slowest)},"sf":"$sfDir"}"""
+    val full = fullLine(results, nFail, sfDir)
 
     // full detail: printed early + persisted (the driver commits stray
     // repo files at round end, so the judge can read it either way)
-    println(fullLine)
+    println(full)
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "/root/repo/bench_full.json")
     try {
       val w = new java.io.PrintWriter(fullPath)
-      try w.println(fullLine) finally w.close()
+      try w.println(full) finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
     // the driver parses the LAST JSON line in its stdout tail: emit the
     // compact family summary after spark.stop()'s shutdown logging so
     // nothing can push it out of the window
     spark.stop()
-    println(compactLine)
+    println(compactLine(results, nFail, sfDir))
     Console.flush()
   }
 }

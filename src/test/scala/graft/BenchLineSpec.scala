@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench output contract that cost rounds 1-2 their artifact: the
+  * LAST stdout line must fit the driver's bounded tail (~2.9k chars
+  * observed) with the trailing sbt status line still behind it. Checked
+  * against the REAL registry so adding queries can't silently regrow the
+  * line past the window. */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val names = SparkEntry.defs.filter(_.bench).map(_.name)
+  // worst-case widths: three-digit seconds for every query
+  private val results = names.map(_ -> 999.99)
+
+  test("compact line stays far inside the driver's stdout tail window") {
+    val line = Bench.compactLine(results, nFail = 0, "/root/testdata/sf0.1")
+    assert(line.length < 2000,
+      s"compact bench line is ${line.length} chars — approaching the " +
+        "~2.9k tail window that swallowed rounds 1-2; trim families or times")
+    assert(line.startsWith("{\"metric\":\"total\""))
+  }
+
+  test("compact line survives failed queries (family -1, failed count)") {
+    val withFail = results.updated(0, names.head -> -1.0)
+    val line = Bench.compactLine(withFail, nFail = 1, "/x")
+    assert(line.contains("\"failed\":1"))
+    assert(line.contains(":-1"))
+  }
+
+  test("family extraction groups q_-prefixed names as intended") {
+    assert(Bench.family("q_agg_median") == "agg")
+    assert(Bench.family("q_wordcount") == "wordcount")
+    assert(Bench.family("q_join_stream_stream") == "join")
+  }
+}
