@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt runMain graft.Bench` and parses the LAST JSON
+// line from a bounded stdout tail. Two sbt behaviors broke that in rounds
+// 1-3 (BENCH_r0*.json all show parsed:null):
+//   1. forked-run output is routed through sbt's logger by default, so
+//      every program line gets an "[info] " prefix — not valid JSON;
+//   2. sbt prints "[success] Total time: ..." AFTER the program exits,
+//      so the program's JSON line is never the last stdout line.
+// StdoutOutput sends the forked JVM's stdout straight through unprefixed,
+// and showSuccess=false drops the trailing [success] line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
