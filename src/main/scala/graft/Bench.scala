@@ -43,17 +43,27 @@ object Bench {
   /** The line the driver parses out of its bounded stdout tail — MUST
     * stay well under ~2.5k chars (rounds 1-2 lost their bench artifact
     * to an oversized line; BenchLineSpec guards the budget as the
-    * registry grows). */
+    * registry grows). Family values are the sum of the family's
+    * SUCCESSFUL queries' seconds, so they always reconcile with "value";
+    * breakage shows up in "failed" and the "failed_qs" name list, never
+    * as a -1 that swallows the family's valid samples. */
   def compactLine(results: Seq[(String, Double)], nFail: Int,
       sfDir: String): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
     val famTotals: Seq[(String, Double)] = results
       .groupBy { case (n, _) => family(n) }
-      .map { case (f, qs) =>
-        f -> (if (qs.exists(_._2 < 0)) -1.0 else qs.map(_._2).sum) }
+      .map { case (f, qs) => f -> qs.map(_._2).filter(_ >= 0).sum }
       .toSeq.sortBy(_._1)
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(3)
-    s"""{"metric":"total","value":${r2(total)},"unit":"sec","failed":$nFail,"nq":${results.size},"queries":${jmap(famTotals)},"slowest":${jmap(slowest)},"sf":"$sfDir"}"""
+    val failedQs = results.filter(_._2 < 0).map(_._1)
+    val failedPart =
+      if (failedQs.isEmpty) ""
+      else {
+        val shown = failedQs.take(3).map("\"" + _ + "\"")
+        val more = if (failedQs.size > 3) s","+ "\"+" + (failedQs.size - 3) + " more\"" else ""
+        s""","failed_qs":[${shown.mkString(",")}$more]"""
+      }
+    s"""{"metric":"total","value":${r2(total)},"unit":"sec","failed":$nFail$failedPart,"nq":${results.size},"queries":${jmap(famTotals)},"slowest":${jmap(slowest)},"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -106,6 +116,7 @@ object Bench {
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "360").toDouble
     val tStart = System.nanoTime()
     def elapsedS = (System.nanoTime() - tStart) / 1e9
+    var rerunFails = 0
     def timeOne(name: String): Unit = {
       val t0 = System.nanoTime()
       val t =
@@ -114,8 +125,16 @@ object Bench {
           (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
-      val prev = best.getOrElse(name, Double.MaxValue)
-      best(name) = if (t < 0 || prev < 0) -1.0 else math.min(prev, t)
+      best.get(name) match {
+        case None => best(name) = t // pass 1: failure (-1) is the record
+        case Some(p) if p < 0 => () // failed stays failed (never re-run anyway)
+        case Some(p) if t < 0 =>
+          // transient rerun failure (loaded box): keep the valid pass-1
+          // sample — one flaky re-measure must not read as breakage
+          rerunFails += 1
+          System.err.println(s"[bench] $name rerun failed; keeping ${r2(p)}s")
+        case Some(p) => best(name) = math.min(p, t)
+      }
     }
     for (qd <- benchDefs) timeOne(qd.name)
     // failed queries (-1) stay failed — re-running them cannot improve the
@@ -126,6 +145,8 @@ object Bench {
 
     val results = best.toSeq
     val nFail = results.count(_._2 < 0)
+    if (rerunFails > 0)
+      System.err.println(s"[bench] $rerunFails rerun failure(s) absorbed (pass-1 samples kept)")
     val full = fullLine(results, nFail, sfDir)
 
     // full detail: printed early + persisted (the driver commits stray

@@ -32,10 +32,35 @@ object Verify {
     t.start()
     t.join(timeoutMs)
     if (t.isAlive) {
+      // One cancel only reaches jobs active at this instant; an iterative
+      // driver-side query (e.g. a connected-components loop) keeps
+      // submitting NEW jobs under the same group afterwards. Interrupt the
+      // body thread and keep re-cancelling from a reaper until it dies, so
+      // a zombie can't compete with every subsequent query.
+      t.interrupt()
       spark.sparkContext.cancelJobGroup(name)
+      val reaper = new Thread(() => {
+        var live = true
+        while (live && t.isAlive) {
+          try spark.sparkContext.cancelJobGroup(name)
+          catch { case _: Throwable => () }
+          try Thread.sleep(2000)
+          catch { case _: InterruptedException => live = false }
+        }
+      }, s"verify-reaper-$name")
+      reaper.setDaemon(true)
+      reaper.start()
       Some(s"timeout after ${timeoutMs}ms")
     } else Option(failure.get()).map(_.getMessage)
   }
+
+  /** Delete a directory tree if it exists (quietly). */
+  private def rmTree(f: java.io.File): Unit =
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => p.toFile.delete())
+    }
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -51,6 +76,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // stale scratch dirs from a previous timed-out/killed run must not
+    // accumulate (or be mistaken for output by a directory listing)
+    Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".tmp_"))
+      .foreach(rmTree)
     // per-query hard timeout: ONE wedged query must cost one FAIL line,
     // never the whole round's correctness artifact (the driver gets
     // nothing if this main never exits).
@@ -67,14 +97,14 @@ object Verify {
           .parquet(tmp.getPath)
       } match {
         case None =>
-          if (dst.exists()) {
-            java.nio.file.Files.walk(dst.toPath)
-              .sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => p.toFile.delete())
-          }
+          rmTree(dst)
           if (!tmp.renameTo(dst))
             System.err.println(s"[verify] $name failed: could not promote artifact")
-        case Some(msg) => System.err.println(s"[verify] $name failed: $msg")
+        case Some(msg) =>
+          System.err.println(s"[verify] $name failed: $msg")
+          // a timed-out write may still be appending to tmp from the zombie
+          // thread; best-effort delete now, startup sweep catches the rest
+          try rmTree(tmp) catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

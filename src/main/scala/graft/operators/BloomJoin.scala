@@ -51,8 +51,10 @@ object BloomJoin {
           (col("pos") % WordBits).cast("int")).as("bit"))
       .groupBy("word").agg(bit_or(col("bit")).as("bits"))
       .agg(map_from_entries(collect_list(struct(col("word"), col("bits")))).as("m"))
+      // try_element_at pins null-on-missing-key semantics: plain
+      // element_at on a map is error-raising under some ANSI configs
       .select(transform(sequence(lit(0), lit(Bits / WordBits - 1)),
-        i => coalesce(element_at(col("m"), i), lit(0L))).as("bloom"))
+        i => coalesce(try_element_at(col("m"), i), lit(0L))).as("bloom"))
   }
 
   /** True iff all K positions of `key` are set in the broadcast `bloom`

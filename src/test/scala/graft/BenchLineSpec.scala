@@ -21,11 +21,21 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.startsWith("{\"metric\":\"total\""))
   }
 
-  test("compact line survives failed queries (family -1, failed count)") {
+  test("compact line survives failed queries (failure named, family keeps valid samples)") {
     val withFail = results.updated(0, names.head -> -1.0)
     val line = Bench.compactLine(withFail, nFail = 1, "/x")
     assert(line.contains("\"failed\":1"))
-    assert(line.contains(":-1"))
+    assert(line.contains("\"failed_qs\":[\"" + names.head + "\"]"))
+    assert(!line.contains(":-1"), "a failure must not swallow its family's valid samples")
+    assert(line.length < 2000)
+  }
+
+  test("family values reconcile with the total even when a family has a failure") {
+    val rs = Seq("q_agg_a" -> 2.0, "q_agg_b" -> -1.0, "q_join_c" -> 3.0)
+    val line = Bench.compactLine(rs, nFail = 1, "/x")
+    assert(line.contains("\"value\":5.00"))
+    assert(line.contains("\"agg\":2.00"))
+    assert(line.contains("\"join\":3.00"))
   }
 
   test("family extraction groups q_-prefixed names as intended") {
