@@ -1,29 +1,42 @@
-// scratch profiler — run via: sbt "runMain graft.tools.Profile <query> [sfdir]"
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
+/** Dev tool: time ONE registered query repeatedly (same session config as
+  * graft.Bench) and optionally dump its formatted plan — the feedback loop
+  * for "is this the plan I'd want at 100 TB", per query instead of per
+  * bench run.
+  *
+  * Usage: runMain graft.tools.Profile <queryName> [reps] [explain]
+  * Env:   SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 4)
+  */
 object Profile {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val doExplain = args.contains("explain")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.streaming.stopTimeout", "30s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val tc = System.nanoTime()
-    val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    println(f"construction: ${(System.nanoTime() - tc) / 1e9}%.2f s" +
-      " (eager operators run their loops here)")
-    df.explain("formatted")
-    (1 to 3).foreach { i =>
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
+    if (doExplain) graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    for (r <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[profile] $name rep $r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }
