@@ -226,6 +226,28 @@ object Graft {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** CDC merge (upsert): apply a change batch onto a base table by key —
+    * the MERGE INTO shape that keeps a continuously-refreshed corpus
+    * current. `changes` carries the base's payload columns plus an `op`
+    * column ('I' insert, 'U' update with full payload, 'D' delete). One
+    * full-outer equi-join on the key (Catalyst broadcasts it when the
+    * change batch is small); never a driver-side loop. Emits the merged
+    * rows with an `op` audit column ('=' for untouched base rows). */
+  def merge(base: DataFrame, changes: DataFrame, keyCol: String): DataFrame = {
+    val payload = base.columns.toSeq.filterNot(_ == keyCol)
+    val b = base.alias("b")
+    val c = changes.alias("c")
+    val outCols =
+      coalesce(col(s"c.$keyCol"), col(s"b.$keyCol")).as(keyCol) +:
+        payload.map(p =>
+          coalesce(when(col("c.op").isin("U", "I"), col(s"c.$p")),
+            col(s"b.$p")).as(p)) :+
+        coalesce(col("c.op"), lit("=")).as("op")
+    b.join(c, col(s"b.$keyCol") === col(s"c.$keyCol"), "full_outer")
+      .filter(coalesce(col("c.op"), lit("")) =!= "D")
+      .select(outCols: _*)
+  }
+
   /** Decontamination: drop rows whose content digest appears in `eval`.
     * Fingerprints are anti-joined (broadcast when small); documents never
     * shuffle. */

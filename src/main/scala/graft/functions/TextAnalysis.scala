@@ -210,6 +210,78 @@ object TextAnalysis {
         .select("doc_id", "fp")
     },
 
+    // N-gram-overlap decontamination (the GPT-3 appendix-C shape): a train
+    // doc is contaminated if it shares ANY 13-token n-gram with the eval
+    // set — catches partial/embedded overlap the digest check misses. The
+    // scale shape: eval 13-gram keys broadcast (eval sets are tiny next to
+    // the corpus); train shingles semi-join them; documents never shuffle.
+    // Short docs (<13 tokens) have no 13-grams and pass through clean.
+    QueryDef(
+      "q_dedup_decontaminate_ngram",
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS l
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest([array_to_string(l[i:i+12], ' ') for i in range(1, greatest(len(l) - 11, 1))]) AS shingle
+        |    FROM t WHERE len(l) >= 13) u),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+        |shared AS (
+        |  SELECT doc_id, count(*) AS n_shared FROM sh
+        |  WHERE doc_id % 50 <> 0 AND shingle IN (SELECT shingle FROM ev)
+        |  GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CAST(coalesce(s.n_shared, 0) > 0 AS INT) AS contaminated
+        |FROM documents d LEFT JOIN shared s ON s.doc_id = d.doc_id
+        |WHERE d.doc_id % 50 <> 0
+        |""".stripMargin) { (s, d) =>
+      import graft.api.Graft
+      val docs = documents(s, d)
+      val sh = Graft.shingleSet(docs, "doc_id", "text", n = 13)
+      val evalSh = sh.filter(col("doc_id") % 50 === 0).select("shingle").distinct()
+      val shared = sh.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(evalSh), Seq("shingle"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      docs.filter(col("doc_id") % 50 =!= 0).select("doc_id")
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).cast("int").as("contaminated"))
+    },
+
+    // Novelty scoring: share of a doc's distinct trigrams that occur in NO
+    // other document (corpus df = 1) — high novelty marks fresh content,
+    // low novelty marks boilerplate worth down-weighting in a training
+    // mix. Shuffles trigram keys only; the ratio is one exact int/int
+    // division. Docs under 3 tokens have no trigrams and drop out (same
+    // domain in both engines).
+    QueryDef(
+      "q_text_novelty",
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS l
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest([array_to_string(l[i:i+2], ' ') for i in range(1, greatest(len(l) - 1, 1))]) AS shingle
+        |    FROM t WHERE len(l) >= 3) u),
+        |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  CAST(CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / count(*) AS rare_ratio
+        |FROM sh JOIN dfreq f ON f.shingle = sh.shingle
+        |GROUP BY 1
+        |""".stripMargin) { (s, d) =>
+      import graft.api.Graft
+      val sh = Graft.shingleSet(documents(s, d), "doc_id", "text", n = 3)
+      val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_rare"))
+        .withColumn("rare_ratio", col("n_rare").cast("double") / col("n_shingles"))
+    },
+
     // Bigram language-model statistics: the most likely next token after
     // each of the 20 most frequent tokens, with its conditional count —
     // the n-gram LM building block. Ranks carry full tie-breaks.

@@ -273,6 +273,49 @@ object Sampling {
         |""".stripMargin) { (s, d) =>
       graft.api.Graft.shuffleOrder(documents(s, d), "doc_id", buckets = 64)
         .select(col("doc_id"), col("bucket"), col("pos"))
+    },
+
+    // CDC merge (upsert): apply a deterministic change batch — deletes
+    // (key % 17 = 3), resegmenting updates (% 10 = 0), and copied-row
+    // inserts under fresh keys (% 25 = 7) — onto the customer base via
+    // graft.api.Graft.merge, the MERGE INTO shape (one full-outer
+    // equi-join on the key). Keeping a continuously-refreshed corpus
+    // current is the pipeline's freshness op; at 100 TB the change batch
+    // broadcasts and the base never rewrites more than the touched rows.
+    QueryDef(
+      "q_pipeline_upsert",
+      """WITH chg AS (
+        |  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, CAST(NULL AS INTEGER) AS c_nationkey,
+        |    CAST(NULL AS DOUBLE) AS c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment, 'D' AS op
+        |  FROM customer WHERE c_custkey % 17 = 3
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0, 'RESEGMENTED', 'U'
+        |  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name || ' (copy)', c_nationkey, c_acctbal, c_mktsegment, 'I'
+        |  FROM customer WHERE c_custkey % 25 = 7)
+        |SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
+        |  CASE WHEN c.op IN ('U', 'I') THEN c.c_name ELSE b.c_name END AS c_name,
+        |  CASE WHEN c.op IN ('U', 'I') THEN c.c_nationkey ELSE b.c_nationkey END AS c_nationkey,
+        |  CASE WHEN c.op IN ('U', 'I') THEN c.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+        |  CASE WHEN c.op IN ('U', 'I') THEN c.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
+        |  coalesce(c.op, '=') AS op
+        |FROM customer b FULL OUTER JOIN chg c ON c.c_custkey = b.c_custkey
+        |WHERE coalesce(c.op, '') <> 'D'
+        |""".stripMargin) { (s, d) =>
+      val base = customer(s, d)
+      val k = col("c_custkey")
+      val del = base.filter(k % 17 === 3).select(k.as("c_custkey"),
+        lit(null).cast("string").as("c_name"), lit(null).cast("int").as("c_nationkey"),
+        lit(null).cast("double").as("c_acctbal"), lit(null).cast("string").as("c_mktsegment"),
+        lit("D").as("op"))
+      val upd = base.filter(k % 10 === 0 && k % 17 =!= 3).select(k.as("c_custkey"),
+        col("c_name"), col("c_nationkey"), (col("c_acctbal") + 100.0).as("c_acctbal"),
+        lit("RESEGMENTED").as("c_mktsegment"), lit("U").as("op"))
+      val ins = base.filter(k % 25 === 7).select((k + 1000000L).as("c_custkey"),
+        concat(col("c_name"), lit(" (copy)")).as("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"), lit("I").as("op"))
+      graft.api.Graft.merge(base, del.union(upd).union(ins), "c_custkey")
     }
   )
 }

@@ -50,6 +50,20 @@ class GraftApiSpec extends SparkSpec {
     assert(kept == Set(12L, 13L, 14L), s"10/11 are eval twins, got $kept")
   }
 
+  test("merge applies inserts, updates, deletes; untouched rows pass through") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (2L, "b2", 25.0, "U"),
+      (3L, null.asInstanceOf[String], 0.0, "D"),
+      (9L, "new", 90.0, "I")
+    ).toDF("k", "name", "bal", "op")
+    val out = Graft.merge(base, changes, "k")
+      .as[(Long, String, Double, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "a", 10.0, "="), (2L, "b2", 25.0, "U"), (9L, "new", 90.0, "I")))
+  }
+
   test("trainValTestSplit covers every row exactly once, deterministically") {
     val out = Graft.trainValTestSplit(corpus, "id")
     assert(out.count() == corpus.count())
