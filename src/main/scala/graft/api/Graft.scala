@@ -230,9 +230,10 @@ object Graft {
     * the MERGE INTO shape that keeps a continuously-refreshed corpus
     * current. `changes` carries the base's payload columns plus an `op`
     * column ('I' insert, 'U' update with full payload, 'D' delete). One
-    * full-outer equi-join on the key (Catalyst broadcasts it when the
-    * change batch is small); never a driver-side loop. Emits the merged
-    * rows with an `op` audit column ('=' for untouched base rows). */
+    * full-outer equi-join on the key — both sides shuffle once (full
+    * outer cannot broadcast), which is the Delta/Iceberg MERGE shape;
+    * never a driver-side loop. Emits the merged rows with an `op` audit
+    * column ('=' for untouched base rows). */
   def merge(base: DataFrame, changes: DataFrame, keyCol: String): DataFrame = {
     val payload = base.columns.toSeq.filterNot(_ == keyCol)
     val b = base.alias("b")

@@ -280,8 +280,9 @@ object Sampling {
     // inserts under fresh keys (% 25 = 7) — onto the customer base via
     // graft.api.Graft.merge, the MERGE INTO shape (one full-outer
     // equi-join on the key). Keeping a continuously-refreshed corpus
-    // current is the pipeline's freshness op; at 100 TB the change batch
-    // broadcasts and the base never rewrites more than the touched rows.
+    // current is the pipeline's freshness op; at 100 TB both sides
+    // shuffle once on the key (full outer cannot broadcast) — with the
+    // base bucketed on the key, only the change batch moves.
     QueryDef(
       "q_pipeline_upsert",
       """WITH chg AS (
