@@ -105,6 +105,32 @@ class GraftPropertySpec extends SparkSpec {
     })
   }
 
+  test("property: merge with an empty change batch is the identity (op '=')") {
+    check(forAll(docGen) { docs =>
+      val base = docs.toDF("k", "body")
+      val changes = Seq.empty[(Long, String, String)].toDF("k", "body", "op")
+      val out = Graft.merge(base, changes, "k")
+        .select("k", "body", "op").as[(Long, String, String)].collect()
+      out.length == docs.size && out.forall(_._3 == "=") &&
+        out.map(r => (r._1, r._2)).toSet == docs.toSet
+    })
+  }
+
+  test("property: merge deletes+inserts preserve count; keys stay unique") {
+    check(forAll(docGen) { docs =>
+      val base = docs.toDF("k", "body")
+      // delete every even key, re-insert it under key+10000
+      val del = docs.filter(_._1 % 2 == 0)
+        .map { case (k, _) => (k, null.asInstanceOf[String], "D") }
+      val ins = docs.filter(_._1 % 2 == 0)
+        .map { case (k, b) => (k + 10000L, b, "I") }
+      val out = Graft.merge(base, (del ++ ins).toDF("k", "body", "op"), "k")
+        .select("k").as[Long].collect()
+      out.length == docs.size && out.distinct.length == out.length &&
+        docs.filter(_._1 % 2 == 0).forall(d => out.contains(d._1 + 10000L))
+    })
+  }
+
   test("property: shuffleOrder is a permutation with dense per-bucket ranks") {
     check(forAll(docGen, Gen.oneOf(2, 7, 64)) { (docs, b) =>
       val out = Graft.shuffleOrder(docs.toDF("id", "body"), "id", buckets = b)
