@@ -139,16 +139,19 @@ object Graft {
   }
 
   /** SimHash-60 sketch per doc (tf-weighted sign votes over md5-60 token
-    * hashes). */
+    * hashes). Votes are summed per token OCCURRENCE (±1 each), which
+    * equals the tf-weighted sum over distinct tokens but needs no
+    * (doc, token, tf) pre-aggregation — the exploded tokens partial-
+    * aggregate map-side straight into 60 accumulators, so the only
+    * exchange carries one 61-column row per doc per input partition. */
   def simhashSketch(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokTf = docs
+    val tokh = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .withColumn("h", h60(col("tok")))
     val voteCols = (0 until 60).map(b =>
-      sum(when(expr(s"shiftright(h, $b) & 1") === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"v$b"))
-    tokTf.groupBy("doc_id")
+      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1L)
+        .otherwise(-1L)).as(s"v$b"))
+    tokh.groupBy("doc_id")
       .agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"),
         (0 until 60).map(b =>
