@@ -72,7 +72,12 @@ object Dedup {
         |FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
         |WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5
         |""".stripMargin) { (s, d) =>
-      val sh = shingles(s, d).cache()
+      // localCheckpoint, not cache(): materializes once for the three
+      // consumers below, is reclaimed by the ContextCleaner when the plan
+      // goes unreferenced, and — unlike a CacheManager entry, which lives
+      // until someone unpersists it — doesn't make bench re-measure
+      // passes silently skip the shingle build
+      val sh = shingles(s, d).localCheckpoint()
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
       val a = sh.select(col("doc_id").as("i"), col("lang"), col("band"), col("shingle"))
       val b = sh.select(col("doc_id").as("j"), col("lang").as("lang_b"),
