@@ -35,9 +35,19 @@ object Bench {
   }
 
   def fullLine(results: Seq[(String, Double)], nFail: Int,
-      sfDir: String): String = {
+      sfDir: String, passes: Map[String, Int] = Map.empty): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
-    s"""{"metric":"total","value":${r2(total)},"unit":"sec","failed":$nFail,"queries":${jmap(results)},"sf":"$sfDir"}"""
+    // "passes" records how many timed samples each query's min is over —
+    // under a tight budget fast queries win min-of-3 while slow ones get
+    // 1, so cross-round per-query deltas are only honest with the count
+    val passesPart =
+      if (passes.isEmpty) ""
+      else {
+        val m = results.map { case (n, _) =>
+          "\"" + n + "\":" + passes.getOrElse(n, 0) }.mkString("{", ",", "}")
+        s""","passes":$m"""
+      }
+    s"""{"metric":"total","value":${r2(total)},"unit":"sec","failed":$nFail,"queries":${jmap(results)}$passesPart,"sf":"$sfDir"}"""
   }
 
   /** The line the driver parses out of its bounded stdout tail — MUST
@@ -59,9 +69,13 @@ object Bench {
     val failedPart =
       if (failedQs.isEmpty) ""
       else {
+        // overflow count is a separate numeric field, never a sentinel
+        // string inside the name array (consumers iterate failed_qs as
+        // query names)
         val shown = failedQs.take(3).map("\"" + _ + "\"")
-        val more = if (failedQs.size > 3) s","+ "\"+" + (failedQs.size - 3) + " more\"" else ""
-        s""","failed_qs":[${shown.mkString(",")}$more]"""
+        val more = if (failedQs.size > 3)
+          s""","failed_more":${failedQs.size - 3}""" else ""
+        s""","failed_qs":[${shown.mkString(",")}]$more"""
       }
     s"""{"metric":"total","value":${r2(total)},"unit":"sec","failed":$nFail$failedPart,"nq":${results.size},"queries":${jmap(famTotals)},"slowest":${jmap(slowest)},"sf":"$sfDir"}"""
   }
@@ -113,6 +127,7 @@ object Bench {
     // a single inflated pass distorts most) get their second sample first.
     val benchDefs = SparkEntry.defs.filter(_.bench)
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val passes = scala.collection.mutable.HashMap[String, Int]()
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "360").toDouble
     val tStart = System.nanoTime()
     def elapsedS = (System.nanoTime() - tStart) / 1e9
@@ -125,6 +140,7 @@ object Bench {
           (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
+      if (t >= 0) passes(name) = passes.getOrElse(name, 0) + 1
       best.get(name) match {
         case None => best(name) = t // pass 1: failure (-1) is the record
         case Some(p) if p < 0 => () // failed stays failed (never re-run anyway)
@@ -147,7 +163,7 @@ object Bench {
     val nFail = results.count(_._2 < 0)
     if (rerunFails > 0)
       System.err.println(s"[bench] $rerunFails rerun failure(s) absorbed (pass-1 samples kept)")
-    val full = fullLine(results, nFail, sfDir)
+    val full = fullLine(results, nFail, sfDir, passes.toMap)
 
     // full detail: printed early + persisted (the driver commits stray
     // repo files at round end, so the judge can read it either way)

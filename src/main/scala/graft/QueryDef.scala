@@ -38,6 +38,10 @@ object QueryDef {
       fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, Some(oracle))
 
+  def apply(name: String, oracle: String, bench: Boolean)(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Some(oracle), bench)
+
   /** non-SQL-expressible op: driver records a weaker rows-only check */
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)

@@ -86,7 +86,13 @@ object Verify {
     // nothing if this main never exits).
     val timeoutMs =
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_S", "300").toLong * 1000L
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-loop subset: SPARK_GRAFT_VERIFY_ONLY=q_a,q_b runs just those
+    // (unset — the driver's path — runs everything)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       // write to a scratch dir, promote on success: a timeout/kill
       // mid-write must leave either a complete artifact or none — never
       // _temporary debris where the driver's compare expects parquet

@@ -181,10 +181,16 @@ object Graft {
     * ((i, j) rows): returns (doc_id, cluster_id) where cluster_id is the
     * MIN doc id in the component — the canonical-representative step that
     * turns pairwise matches into dedup groups. Iterative min-label
-    * propagation to the exact fixpoint; rounds = component diameter
-    * (near-dup clusters are tiny, so 2-4 in practice), each round one
-    * equi-join + min-aggregate — the standard large-graph CC shape. */
-  def dedupClusters(pairs: DataFrame): DataFrame = {
+    * propagation to the exact fixpoint; pointer jumping makes the round
+    * count logarithmic in component diameter (DedupSimilaritySpec proves
+    * ~log2(k) rounds on a length-k chain), each round one equi-join +
+    * min-aggregate — the standard large-graph CC shape. */
+  def dedupClusters(pairs: DataFrame): DataFrame =
+    dedupClustersCounted(pairs)._1
+
+  /** [[dedupClusters]] plus the number of label-propagation rounds run —
+    * exposed so tests can pin the log-diameter convergence claim. */
+  private[graft] def dedupClustersCounted(pairs: DataFrame): (DataFrame, Int) = {
     // localCheckpoint (eager) after every step: an iterative algorithm
     // re-plans its whole upstream lineage each round otherwise — the
     // candidate-generation pipeline would re-execute once per round. On a
@@ -197,7 +203,9 @@ object Graft {
       .withColumn("lbl", col("id"))
       .localCheckpoint()
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
       // min over self + neighbor labels (one hop); the self rows carry
       // the round's OLD label through the aggregation (min over the
       // single side=0 row), so convergence is checked on `next` alone —
@@ -226,7 +234,7 @@ object Graft {
       // superseded `next` checkpoints are unreferenced after this rebind
       // and reclaimed by the ContextCleaner on GC
     }
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    (labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id")), rounds)
   }
 
   /** CDC merge (upsert): apply a change batch onto a base table by key —
@@ -244,8 +252,11 @@ object Graft {
     val outCols =
       coalesce(col(s"c.$keyCol"), col(s"b.$keyCol")).as(keyCol) +:
         payload.map(p =>
-          coalesce(when(col("c.op").isin("U", "I"), col(s"c.$p")),
-            col(s"b.$p")).as(p)) :+
+          // when/otherwise, NOT coalesce: an update/insert whose payload is
+          // legitimately NULL must propagate the NULL (MERGE semantics),
+          // not silently keep the base value
+          when(col("c.op").isin("U", "I"), col(s"c.$p"))
+            .otherwise(col(s"b.$p")).as(p)) :+
         coalesce(col("c.op"), lit("=")).as("op")
     b.join(c, col(s"b.$keyCol") === col(s"c.$keyCol"), "full_outer")
       .filter(coalesce(col("c.op"), lit("")) =!= "D")

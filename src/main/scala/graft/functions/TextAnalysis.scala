@@ -297,8 +297,20 @@ object TextAnalysis {
             explode(expr("transform(sequence(1, size(l) - 1), i -> struct(l[i-1] AS w1, l[i] AS w2))")).as("b"))
           .select(col("b.w1"), col("b.w2"))
         val uni = bigrams.groupBy("w1").agg(count(lit(1)).as("n1"))
-        val wTop = Window.orderBy(col("n1").desc, col("w1").asc)
-        val top = uni.withColumn("r1", row_number().over(wTop)).filter(col("r1") <= 20)
+        // Top-20 via orderBy+limit (plans as TakeOrderedAndProject), NOT a
+        // row_number() over an unpartitioned window — that funnels the whole
+        // vocabulary (hundreds of millions of tokens at web-corpus scale)
+        // through one task. (n1 DESC, w1 ASC) is a total order (w1 is a
+        // group key, hence unique), so the limit is deterministic and both
+        // sides of the rank self-join below resolve to the same 20 rows.
+        val top20 = uni.orderBy(col("n1").desc, col("w1").asc).limit(20)
+        // rank = 1 + rows strictly ahead, via a 20x20 broadcast theta-join —
+        // no window node anywhere near unbounded input
+        val ahead = col("b.n1") > col("a.n1") ||
+          (col("b.n1") === col("a.n1") && col("b.w1") < col("a.w1"))
+        val top = top20.as("a").join(broadcast(top20.as("b")), ahead, "left")
+          .groupBy(col("a.w1").as("w1"), col("a.n1").as("n1"))
+          .agg((count(col("b.w1")) + 1L).as("r1"))
         val cond = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
         val wBest = Window.partitionBy("w1").orderBy(col("n12").desc, col("w2").asc)
         cond.join(broadcast(top.select("w1", "n1", "r1")), "w1")

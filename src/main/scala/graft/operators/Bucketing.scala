@@ -22,14 +22,28 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketing {
 
   /** Write `df` as a managed parquet table bucketed+sorted by `key` —
-    * one shuffle now, zero on every future join/agg on `key`. */
+    * one shuffle now, zero on every future join/agg on `key`.
+    *
+    * Drops any previous incarnation first, INCLUDING an orphan warehouse
+    * directory a killed JVM's in-memory catalog left behind (saveAsTable
+    * refuses to create over an unregistered location). */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+    val dir = new java.io.File(wh, table)
+    if (dir.exists()) {
+      java.nio.file.Files.walk(dir.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => p.toFile.delete())
+    }
     df.write.format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode(SaveMode.Overwrite)
       .saveAsTable(table)
+  }
 
   /** Equi-join two tables previously written with [[writeBucketed]] on the
     * same key and bucket count. Spark's bucketing rules line the buckets

@@ -196,7 +196,10 @@ object Dedup {
     // token hashes; hamming <= 3 (the Manku et al. 64-bit dedup standard)
     // found via 4-block pigeonhole — with 4 blocks of 15 bits, any pair
     // within distance 3 provably shares at least one exact block, so
-    // recall is 100% and the all-pairs oracle is an exact twin.
+    // recall is 100%. The ORACLE mirrors the same pigeonhole candidate
+    // join (blocks equi-join, not all-pairs): the verify gate itself
+    // stays sub-quadratic, so it survives fixtures far past sf0.1 —
+    // and by the pigeonhole proof it returns the identical pair set.
     QueryDef(
       "q_dedup_simhash",
       """WITH tok AS (
@@ -209,11 +212,15 @@ object Dedup {
         |  FROM h, range(60) r(b) GROUP BY 1, 2),
         |sim AS (
         |  SELECT doc_id, sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS simhash
-        |  FROM bits GROUP BY 1)
-        |SELECT a.doc_id AS i, b.doc_id AS j,
-        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |  FROM bits GROUP BY 1),
+        |blk AS (
+        |  SELECT doc_id, simhash, b AS blk, (simhash >> CAST(b * 15 AS INT)) & 32767 AS bval
+        |  FROM sim, range(4) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS i, a.simhash AS si, b.doc_id AS j, b.simhash AS sj
+        |  FROM blk a JOIN blk b ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        |SELECT i, j, CAST(bit_count(xor(si, sj)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(si, sj)) <= 3
         |""".stripMargin) { (s, d) =>
       graft.api.Graft.simhashPairs(
         graft.api.Graft.simhashSketch(documents(s, d), "doc_id", "text"))

@@ -8,11 +8,15 @@ import graft.sources.Tables._
 /** Multimodal column plumbing: media as opaque `binary` + typed metadata,
   * with decode / feature-extraction as a typed `mapPartitions` stage.
   *
-  * The decode step is a clearly-marked deterministic STUB (no image/audio
-  * codecs in this container); everything around it — schema, encoders,
-  * partition-batched iteration, column pruning before the opaque stage —
-  * is the real production shape. Swap `decodeStub` for a real codec and
-  * nothing else changes.
+  * Image decode is REAL: image-modality payloads carry a well-formed PNG
+  * signature + IHDR chunk, and [[pngDims]] is a genuine PNG header parser
+  * (checked against javax.imageio-written PNGs in MultimodalSpec) — hand
+  * it actual PNG files and it returns their true dimensions. Audio/video
+  * decode remains a clearly-marked deterministic STUB (no codecs in this
+  * container); everything around it — schema, encoders, partition-batched
+  * iteration, column pruning before the opaque stage — is the real
+  * production shape. Swap the stub branch for a codec and nothing else
+  * changes.
   *
   * Scale notes: the binary column is projected as late as possible; the
   * mapPartitions stage is narrow (no shuffle) and batch-friendly; feature
@@ -27,28 +31,67 @@ object Multimodal {
   final case class MediaFeatures(asset_id: Long, modality: String,
       n_bytes: Int, checksum: Long, width: Int, height: Int, frame_hex: String)
 
-  /** Build the asset table: documents' text bytes stand in for media blobs;
-    * modality is derived deterministically so the oracle can reproduce it. */
-  def assets(s: SparkSession, d: String): DataFrame =
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Parse a PNG header: signature + first chunk must be IHDR, whose data
+    * starts with width and height as 4-byte big-endian ints (PNG spec
+    * §11.2.2 — public, ubiquitous format). Returns None for non-PNG bytes.
+    * This is a real decoder: any actual PNG file yields its dimensions. */
+  def pngDims(d: Array[Byte]): Option[(Int, Int)] = {
+    def be4(o: Int): Int =
+      ((d(o) & 0xff) << 24) | ((d(o + 1) & 0xff) << 16) |
+        ((d(o + 2) & 0xff) << 8) | (d(o + 3) & 0xff)
+    if (d.length >= 24 && d.startsWith(PngSignature) &&
+        d(12) == 'I' && d(13) == 'H' && d(14) == 'D' && d(15) == 'R')
+      Some((be4(16), be4(20)))
+    else None
+  }
+
+  /** 4-byte big-endian binary of an int column (chunk lengths, dims). */
+  private def be4Col(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unhex(lpad(hex(c), 8, "0"))
+
+  /** Build the asset table. Image-modality rows get a WELL-FORMED PNG
+    * signature + IHDR chunk (width = doc_id%640+1, height = doc_id%480+1,
+    * bit depth 8, color type 2 truecolor) prepended to the documents'
+    * text bytes — so the decode stage exercises a real header parse and
+    * the oracle can reproduce every byte. Audio/video stay raw text
+    * bytes (the stub path). */
+  def assets(s: SparkSession, d: String): DataFrame = {
+    val w = (col("doc_id") % 640 + 1).cast("int")
+    val h = (col("doc_id") % 480 + 1).cast("int")
+    val pngHeader = concat(
+      lit(PngSignature),
+      be4Col(lit(13)), lit("IHDR".getBytes("US-ASCII")),
+      be4Col(w), be4Col(h),
+      lit(Array[Byte](8, 2, 0, 0, 0)), // depth 8, truecolor, deflate, none, none
+      be4Col(lit(0))) // CRC field present (zeroed; parse doesn't verify)
     documents(s, d).select(
       col("doc_id").as("asset_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3).cast("int") + 1).as("modality"),
-      encode(col("text"), "UTF-8").as("data"))
+      when(col("doc_id") % 3 === 0,
+        concat(pngHeader, encode(col("text"), "UTF-8")))
+        .otherwise(encode(col("text"), "UTF-8")).as("data"))
+  }
 
-  /** STUB decode: a real implementation would parse the codec here. The
-    * fake derives every feature from the raw bytes deterministically. */
-  private def decodeStub(a: Asset): MediaFeatures = {
+  /** Decode: REAL PNG IHDR parse for image payloads; the deterministic
+    * byte-derived STUB for modalities whose codecs aren't in this
+    * container. */
+  private def decode(a: Asset): MediaFeatures = {
     var sum = 0L
     var i = 0
     while (i < a.data.length) { sum += a.data(i) & 0xff; i += 1 }
+    val (w, h) = pngDims(a.data).getOrElse(
+      ((sum % 640).toInt + 1, (sum % 480).toInt + 1))
     MediaFeatures(
       asset_id = a.asset_id,
       modality = a.modality,
       n_bytes = a.data.length,
       checksum = sum,
-      width = (sum % 640).toInt + 1,
-      height = (sum % 480).toInt + 1,
+      width = w,
+      height = h,
       // hex of raw bytes, not a decoded string: exact for ANY payload (a
       // multibyte char straddling the window has no charset-safe twin)
       frame_hex = a.data.take(8).map(b => f"${b & 0xff}%02X").mkString)
@@ -58,7 +101,7 @@ object Multimodal {
   def extractFeatures(assets: DataFrame): DataFrame = {
     val s = assets.sparkSession
     import s.implicits._
-    assets.as[Asset].mapPartitions(_.map(decodeStub)).toDF()
+    assets.as[Asset].mapPartitions(_.map(decode)).toDF()
   }
 
   /** a sampled "frame" (byte window) of an asset's payload, as hex */
@@ -102,28 +145,43 @@ object Multimodal {
       .toDF()
   }
 
+  /** The oracle's byte-exact twin of [[assets]]'s payload, as a HEX
+    * string: one char pair per octet, so slicing/summing the hex string
+    * with char functions IS byte slicing/summing — exact for any input,
+    * ASCII or not. Image rows prepend the same 33-byte PNG header. */
+  private val payloadHexCte: String =
+    """p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN
+      |      '89504E470D0A1A0A' || '0000000D' || '49484452' ||
+      |      lpad(upper(to_hex(CAST(doc_id % 640 + 1 AS BIGINT))), 8, '0') ||
+      |      lpad(upper(to_hex(CAST(doc_id % 480 + 1 AS BIGINT))), 8, '0') ||
+      |      '0802000000' || '00000000' ||
+      |      hex(encode(text))
+      |    ELSE hex(encode(text)) END AS phex
+      |  FROM documents)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    // Oracle is UTF-8 BYTE-based like the engine everywhere: strlen()
-    // counts octets, the checksum expands each codepoint to its encoded
-    // byte sum, and every byte-window output is HEX of the bytes — one
-    // hex char pair per octet, so slicing the hex string with char
-    // functions IS byte slicing. Exact for any input, ASCII or not.
+    // The oracle reconstructs the payload bytes as hex (shared CTE) and
+    // derives every feature from them; width/height state the IHDR
+    // construction for image rows — which is exactly what the Spark-side
+    // PNG parse must read back — and the stub arithmetic for the rest.
     QueryDef(
       "q_multimodal_features",
-      """SELECT doc_id AS asset_id,
+      s"""WITH $payloadHexCte,
+        |f AS (
+        |  SELECT doc_id, phex,
+        |    CAST(strlen(phex) // 2 AS INT) AS n_bytes,
+        |    CAST(coalesce(list_sum(list_transform(range(strlen(phex) // 2),
+        |      i -> ('0x' || substring(phex, CAST(i*2+1 AS INT), 2))::BIGINT)), 0) AS BIGINT) AS checksum
+        |  FROM p)
+        |SELECT doc_id AS asset_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-        |  CAST(strlen(text) AS INT) AS n_bytes,
-        |  bsum AS checksum,
-        |  CAST(bsum % 640 + 1 AS INT) AS width,
-        |  CAST(bsum % 480 + 1 AS INT) AS height,
-        |  substring(hex(encode(text)), 1, 16) AS frame_hex
-        |FROM (
-        |  SELECT *, CAST(list_sum(list_transform(split(text, ''), x -> CASE
-        |    WHEN unicode(x) < 128 THEN unicode(x)
-        |    WHEN unicode(x) < 2048 THEN 320 + (unicode(x) // 64) + (unicode(x) % 64)
-        |    WHEN unicode(x) < 65536 THEN 480 + (unicode(x) // 4096) + ((unicode(x) // 64) % 64) + (unicode(x) % 64)
-        |    ELSE 624 + (unicode(x) // 262144) + ((unicode(x) // 4096) % 64) + ((unicode(x) // 64) % 64) + (unicode(x) % 64)
-        |  END)) AS BIGINT) AS bsum FROM documents) d
+        |  n_bytes, checksum,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 640 + 1 ELSE checksum % 640 + 1 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 480 + 1 ELSE checksum % 480 + 1 END AS INT) AS height,
+        |  substring(phex, 1, 16) AS frame_hex
+        |FROM f
         |""".stripMargin) { (s, d) => extractFeatures(assets(s, d)) },
 
     // Resize stage surfaced as a query: stride-2 downsample of each
@@ -131,10 +189,11 @@ object Multimodal {
     // (byte 2i = hex chars 4i+1..4i+2 of the full hex string).
     QueryDef(
       "q_multimodal_resize",
-      """SELECT doc_id AS asset_id,
-        |  CAST((strlen(text) + 1) // 2 AS INT) AS n_out,
-        |  array_to_string([substring(hex(encode(text)), i*4+1, 2) for i in range(0, CAST((strlen(text) + 1) // 2 AS BIGINT))], '') AS strided_hex
-        |FROM documents
+      s"""WITH $payloadHexCte
+        |SELECT doc_id AS asset_id,
+        |  CAST((strlen(phex) // 2 + 1) // 2 AS INT) AS n_out,
+        |  array_to_string([substring(phex, CAST(i*4+1 AS INT), 2) for i in range(0, (strlen(phex) // 2 + 1) // 2)], '') AS strided_hex
+        |FROM p
         |""".stripMargin) { (s, d) =>
       resizeAssets(assets(s, d), 2)
         .select(col("asset_id"), length(col("data")).as("n_out"),
@@ -143,10 +202,11 @@ object Multimodal {
 
     QueryDef(
       "q_multimodal_frames",
-      """SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_no,
-        |  substring(hex(encode(text)), (i - 1) * 32 + 1, 32) AS frame_hex
-        |FROM documents, unnest([1, 2, 3]) AS t(i)
-        |WHERE (i - 1) * 16 < strlen(text)
+      s"""WITH $payloadHexCte
+        |SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_no,
+        |  substring(phex, CAST((i - 1) * 32 + 1 AS INT), 32) AS frame_hex
+        |FROM p, unnest([1, 2, 3]) AS t(i)
+        |WHERE (i - 1) * 16 < strlen(phex) // 2
         |""".stripMargin) { (s, d) => sampleFrames(assets(s, d)) }
   )
 }

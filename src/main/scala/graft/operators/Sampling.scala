@@ -293,7 +293,7 @@ object Sampling {
         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0, 'RESEGMENTED', 'U'
         |  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 3
         |  UNION ALL
-        |  SELECT c_custkey + 1000000, c_name || ' (copy)', c_nationkey, c_acctbal, c_mktsegment, 'I'
+        |  SELECT -c_custkey, c_name || ' (copy)', c_nationkey, c_acctbal, c_mktsegment, 'I'
         |  FROM customer WHERE c_custkey % 25 = 7)
         |SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
         |  CASE WHEN c.op IN ('U', 'I') THEN c.c_name ELSE b.c_name END AS c_name,
@@ -305,18 +305,68 @@ object Sampling {
         |WHERE coalesce(c.op, '') <> 'D'
         |""".stripMargin) { (s, d) =>
       val base = customer(s, d)
-      val k = col("c_custkey")
-      val del = base.filter(k % 17 === 3).select(k.as("c_custkey"),
-        lit(null).cast("string").as("c_name"), lit(null).cast("int").as("c_nationkey"),
-        lit(null).cast("double").as("c_acctbal"), lit(null).cast("string").as("c_mktsegment"),
-        lit("D").as("op"))
-      val upd = base.filter(k % 10 === 0 && k % 17 =!= 3).select(k.as("c_custkey"),
-        col("c_name"), col("c_nationkey"), (col("c_acctbal") + 100.0).as("c_acctbal"),
-        lit("RESEGMENTED").as("c_mktsegment"), lit("U").as("op"))
-      val ins = base.filter(k % 25 === 7).select((k + 1000000L).as("c_custkey"),
-        concat(col("c_name"), lit(" (copy)")).as("c_name"), col("c_nationkey"),
-        col("c_acctbal"), col("c_mktsegment"), lit("I").as("op"))
-      graft.api.Graft.merge(base, del.union(upd).union(ins), "c_custkey")
+      graft.api.Graft.merge(base, upsertChanges(base), "c_custkey")
+    },
+
+    // Same merge, base pre-bucketed on the key (Bucketing.writeBucketed):
+    // the 100 TB shape where the corpus is written bucketed at ingest so a
+    // per-batch MERGE shuffles ONLY the change batch — the base's bucket
+    // layout already satisfies the join's distribution (PlanShapeSpec
+    // asserts zero Exchange on the base side). Results are identical to
+    // q_pipeline_upsert (layout never changes semantics), so the oracle is
+    // the same SQL. bench=false: the timed variant is q_pipeline_upsert;
+    // this one pays a one-off bucketed ingest inside the query body.
+    QueryDef(
+      "q_pipeline_upsert_bucketed",
+      """WITH chg AS (
+        |  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, CAST(NULL AS INTEGER) AS c_nationkey,
+        |    CAST(NULL AS DOUBLE) AS c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment, 'D' AS op
+        |  FROM customer WHERE c_custkey % 17 = 3
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0, 'RESEGMENTED', 'U'
+        |  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 3
+        |  UNION ALL
+        |  SELECT -c_custkey, c_name || ' (copy)', c_nationkey, c_acctbal, c_mktsegment, 'I'
+        |  FROM customer WHERE c_custkey % 25 = 7)
+        |SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
+        |  CASE WHEN c.op IN ('U', 'I') THEN c.c_name ELSE b.c_name END AS c_name,
+        |  CASE WHEN c.op IN ('U', 'I') THEN c.c_nationkey ELSE b.c_nationkey END AS c_nationkey,
+        |  CASE WHEN c.op IN ('U', 'I') THEN c.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+        |  CASE WHEN c.op IN ('U', 'I') THEN c.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
+        |  coalesce(c.op, '=') AS op
+        |FROM customer b FULL OUTER JOIN chg c ON c.c_custkey = b.c_custkey
+        |WHERE coalesce(c.op, '') <> 'D'
+        |""".stripMargin,
+      bench = false) { (s, d) =>
+      val plain = customer(s, d)
+      Bucketing.writeBucketed(plain, "customer_mergebase", "c_custkey",
+        buckets = 8)
+      // change batch derives from the PLAIN parquet base (narrow scans);
+      // only the merge's base side reads the bucketed layout
+      graft.api.Graft.merge(s.table("customer_mergebase"),
+        upsertChanges(plain), "c_custkey")
     }
   )
+
+  /** The deterministic CDC change batch both upsert queries apply: deletes
+    * (key % 17 = 3), resegmenting updates (% 10 = 0), copied-row inserts
+    * under fresh keys (% 25 = 7). */
+  private def upsertChanges(
+      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val k = col("c_custkey")
+    val del = base.filter(k % 17 === 3).select(k.as("c_custkey"),
+      lit(null).cast("string").as("c_name"), lit(null).cast("int").as("c_nationkey"),
+      lit(null).cast("double").as("c_acctbal"), lit(null).cast("string").as("c_mktsegment"),
+      lit("D").as("op"))
+    val upd = base.filter(k % 10 === 0 && k % 17 =!= 3).select(k.as("c_custkey"),
+      col("c_name"), col("c_nationkey"), (col("c_acctbal") + 100.0).as("c_acctbal"),
+      lit("RESEGMENTED").as("c_mktsegment"), lit("U").as("op"))
+    // fresh keys from the NEGATIVE key space: base keys are >= 1 at any
+    // SF, so -k can never collide with an existing or changed key
+    // (k + 1000000 collides once custkey exceeds 1M, i.e. SF >= ~7)
+    val ins = base.filter(k % 25 === 7).select((-k).as("c_custkey"),
+      concat(col("c_name"), lit(" (copy)")).as("c_name"), col("c_nationkey"),
+      col("c_acctbal"), col("c_mktsegment"), lit("I").as("op"))
+    del.union(upd).union(ins)
+  }
 }

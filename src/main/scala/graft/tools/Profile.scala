@@ -13,7 +13,9 @@ import org.apache.spark.sql.SparkSession
 object Profile {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val reps = if (args.length > 1) args(1).toInt else 3
+    // both optionals work alone: "Profile q_x explain" must not NPE on
+    // args(1).toInt — take the first arg that parses as an int
+    val reps = args.drop(1).flatMap(_.toIntOption).headOption.getOrElse(3)
     val doExplain = args.contains("explain")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -65,6 +65,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("dedupClusters: length-k chain converges in ~log2(k) rounds, exact labels") {
+    // the log-diameter claim on Graft.dedupClusters, proven: a chain
+    // 0-1-2-...-k is the worst case for min-label propagation (diameter
+    // k); plain propagation needs k rounds, pointer jumping needs O(log k)
+    val k = 256
+    val pairs = (0L until k).map(i => (i, i + 1)).toDF("i", "j")
+    val (out, rounds) = graft.api.Graft.dedupClustersCounted(pairs)
+    val labels = out.as[(Long, Long)].collect()
+    assert(labels.length == k + 1)
+    assert(labels.forall(_._2 == 0L),
+      s"every chain node must label to min id 0: ${labels.filter(_._2 != 0L).take(5).toSeq}")
+    val bound = 2 * (math.log(k.toDouble) / math.log(2)).ceil.toInt + 2
+    assert(rounds <= bound,
+      s"chain of $k took $rounds rounds — not logarithmic (bound $bound)")
+    assert(rounds < k / 4, s"rounds=$rounds looks linear in diameter")
+  }
+
+  test("dedupClusters: star converges in O(1) rounds; disjoint components stay disjoint") {
+    // star: hub 0 with 100 leaves (diameter 2), plus a far-away triangle
+    val star = (1L to 100L).map(l => (0L, l))
+    val tri = Seq((1000L, 1001L), (1001L, 1002L), (1000L, 1002L))
+    val (out, rounds) = graft.api.Graft.dedupClustersCounted(
+      (star ++ tri).toDF("i", "j"))
+    val byCluster = out.as[(Long, Long)].collect().groupBy(_._2)
+    assert(byCluster.keySet == Set(0L, 1000L))
+    assert(byCluster(0L).length == 101 && byCluster(1000L).length == 3)
+    assert(rounds <= 4, s"star+triangle took $rounds rounds")
+  }
+
   test("exact dedup: sum of copies = total docs") {
     val total = q("q_dedup_exact").agg(sum("n_copies")).as[Long].head()
     assert(total == graft.sources.Tables.documents(spark, sf).count())

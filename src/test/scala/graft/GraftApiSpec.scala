@@ -64,6 +64,17 @@ class GraftApiSpec extends SparkSpec {
       (1L, "a", 10.0, "="), (2L, "b2", 25.0, "U"), (9L, "new", 90.0, "I")))
   }
 
+  test("merge propagates a NULL update payload (MERGE semantics, not coalesce)") {
+    val base = Seq((1L, "a", 10.0)).toDF("k", "name", "bal")
+    val changes = Seq((1L, null.asInstanceOf[String], 11.0, "U"))
+      .toDF("k", "name", "bal", "op")
+    val row = Graft.merge(base, changes, "k").collect().head
+    assert(row.isNullAt(row.fieldIndex("name")),
+      "an update whose payload is legitimately NULL must yield NULL, " +
+        "not silently keep the base value")
+    assert(row.getDouble(row.fieldIndex("bal")) == 11.0)
+  }
+
   test("trainValTestSplit covers every row exactly once, deterministically") {
     val out = Graft.trainValTestSplit(corpus, "id")
     assert(out.count() == corpus.count())

@@ -8,6 +8,24 @@ import org.apache.spark.sql.functions._
 class MultimodalStreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  /** the 33-byte PNG header assets() prepends to image-modality payloads */
+  private def pngHeader(id: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(33) // big-endian by default
+    bb.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    bb.putInt(13)
+    bb.put("IHDR".getBytes("US-ASCII"))
+    bb.putInt((id % 640 + 1).toInt)
+    bb.putInt((id % 480 + 1).toInt)
+    bb.put(Array[Byte](8, 2, 0, 0, 0))
+    bb.putInt(0)
+    bb.array()
+  }
+
+  private def payloadOf(id: Long, text: String): Array[Byte] = {
+    val t = text.getBytes("UTF-8")
+    if (id % 3 == 0) pngHeader(id) ++ t else t
+  }
+
   test("multimodal features are deterministic byte-derived values") {
     val feats = Multimodal.extractFeatures(Multimodal.assets(spark, sf))
     val byId = feats.collect().map(r => r.getLong(0) -> r).toMap
@@ -15,21 +33,46 @@ class MultimodalStreamingSpec extends SparkSpec {
       .select("doc_id", "text").as[(Long, String)].collect().toMap
     docs.take(20).foreach { case (id, text) =>
       val r = byId(id)
-      assert(r.getInt(2) == text.getBytes("UTF-8").length)           // n_bytes
-      assert(r.getLong(3) == text.getBytes("UTF-8").map(_ & 0xff).map(_.toLong).sum) // checksum
-      assert(r.getString(6) == text.getBytes("UTF-8").take(8)
+      val payload = payloadOf(id, text)
+      val sum = payload.map(_ & 0xff).map(_.toLong).sum
+      assert(r.getInt(2) == payload.length)                           // n_bytes
+      assert(r.getLong(3) == sum)                                     // checksum
+      // image rows: REAL IHDR parse recovers the constructed dims;
+      // others: the documented stub arithmetic
+      if (id % 3 == 0) {
+        assert(r.getInt(4) == (id % 640 + 1).toInt, s"width of image $id")
+        assert(r.getInt(5) == (id % 480 + 1).toInt, s"height of image $id")
+      } else {
+        assert(r.getInt(4) == (sum % 640).toInt + 1)
+        assert(r.getInt(5) == (sum % 480).toInt + 1)
+      }
+      assert(r.getString(6) == payload.take(8)
         .map(b => f"${b & 0xff}%02X").mkString)                       // frame_hex
     }
     // modality partitioning is total
     assert(feats.select("modality").distinct().count() == 3)
   }
 
+  test("pngDims reads genuine PNG files (javax.imageio round-trip)") {
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    assert(Multimodal.pngDims(baos.toByteArray).contains((7, 5)),
+      "a real ImageIO-written PNG must parse to its true dimensions")
+    assert(Multimodal.pngDims("not a png at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.pngDims(Array.emptyByteArray).isEmpty)
+  }
+
   test("resize stub halves payloads; frames cover payload prefixes") {
     val resized = Multimodal.resizeAssets(Multimodal.assets(spark, sf), 2)
     val lens = resized.select(length(col("data")).as("n")).as[Int].collect()
     val orig = graft.sources.Tables.documents(spark, sf)
-      .select(length(col("text"))).as[Int].collect()
-    assert(lens.sorted.toSeq == orig.map(n => (n + 1) / 2).sorted.toSeq)
+      .select(col("doc_id"), length(col("text")).as("n")).as[(Long, Int)].collect()
+    val expected = orig.map { case (id, n) =>
+      ((if (id % 3 == 0) n + 33 else n) + 1) / 2
+    }
+    assert(lens.sorted.toSeq == expected.sorted.toSeq)
     val frames = Multimodal.sampleFrames(Multimodal.assets(spark, sf))
     assert(frames.groupBy("asset_id").count().agg(max("count")).as[Long].head() <= 3)
   }

@@ -142,4 +142,67 @@ class PlanShapeSpec extends SparkSpec {
       "bucketed join should not shuffle:\n" + plan)
     assert(joined.count() == Tables.lineitem(spark, sf).count())
   }
+
+  test("bucketed CDC merge: base side feeds the full-outer join with no shuffle") {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plan = executedPlan(q("q_pipeline_upsert_bucketed"))
+    def findSmj(sp: SparkPlan): Option[SortMergeJoinExec] = sp match {
+      case s: SortMergeJoinExec => Some(s)
+      case qs: QueryStageExec => findSmj(qs.plan)
+      case other => other.children.view.flatMap(findSmj).headOption
+    }
+    def shuffles(sp: SparkPlan): Int =
+      (sp match { case _: ShuffleExchangeLike => 1; case _ => 0 }) +
+        sp.children.map(shuffles).sum + (sp match {
+          case qs: QueryStageExec => shuffles(qs.plan)
+          case _ => 0
+        })
+    val smj = findSmj(plan)
+    assert(smj.nonEmpty, "full-outer merge should be a sort-merge join:\n" + plan)
+    assert(shuffles(smj.get.left) == 0,
+      "bucketed base must reach the merge join without an Exchange — " +
+        "only the change batch may move:\n" + plan)
+    assert(shuffles(smj.get.right) >= 1,
+      "change batch shuffles into the base's bucket layout:\n" + plan)
+  }
+
+  test("registry invariant: no query plan contains an unpartitioned Window") {
+    // A Window with an empty partitionSpec funnels its entire input through
+    // ONE task — the canonical single-node scale-killer. Sweep every
+    // registered query's optimized logical plan (cheap: no execution needed
+    // for the plan walk; lazily-built DataFrames stay lazy).
+    //
+    // Allowlist = windows whose input is provably bounded by the PARTITION
+    // COUNT, not the data size (the ranged-ranking pattern):
+    val allow = Map(
+      // prefix offsets: one row per range partition (<= 32 rows at any SF)
+      "q_parity_sort" -> "offsets window over one row per range partition"
+    )
+    // Streaming-replay queries are excluded: building their DataFrame RUNS
+    // the whole micro-batch replay (minutes of wall clock), and the value
+    // they return is a memory-sink table scan in which a Window cannot
+    // appear; their internal plans are pinned by WatermarkSpec /
+    // StreamingRobustnessSpec.
+    val isStreamReplay = (n: String) => n.endsWith("_stream") ||
+      n.startsWith("q_stream_") || n == "q_join_stream_left"
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allow.contains).filterNot(isStreamReplay)
+      .flatMap { name =>
+        val t0 = System.nanoTime()
+        val df = q(name)
+        val bad = df.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        val ms = (System.nanoTime() - t0) / 1000000
+        if (ms > 2000) info(s"slow plan build: $name ${ms}ms")
+        if (bad.nonEmpty) Some(s"$name (${bad.size} unpartitioned Window)")
+        else None
+      }
+    assert(offenders.isEmpty,
+      "unpartitioned Window nodes — single-task sorts at scale:\n  "
+        + offenders.mkString("\n  "))
+  }
 }
