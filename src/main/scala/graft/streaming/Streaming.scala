@@ -44,8 +44,13 @@ object Streaming {
     * stream-stream join). Production sizes this to throughput at stream
     * START; the batch queries around these are untouched. */
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    // SPARK_GRAFT_STREAM_PARTS overrides the replay's state-partition
+    // sizing (dev knob for measuring store-count overhead; production
+    // sizes this to stream throughput at start)
+    val parts = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+      .flatMap(_.toIntOption).getOrElse(n)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -120,7 +125,12 @@ object Streaming {
     * clicks within the preceding 5 minutes, both sides watermarked (the
     * event-time constraint bounds join state on a real cluster; in the
     * bounded replay it just reproduces the batch interval join). */
-  def purchaseClickJoin(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
+  // 4 state partitions, not 8: a stream-stream join runs FOUR state
+  // stores per partition (two sides x keyToNumValues/keyWithIndexToValue)
+  // so its per-micro-batch fixed cost scales steeper than the windowed
+  // aggs'; measured warm 2.7 s at 4 vs 5.2 s at 8 (and worse at 2 — the
+  // join itself still wants parallelism) on the sf0.1 replay.
+  def purchaseClickJoin(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 4) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val name = "stream_ssj_" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -156,7 +166,7 @@ object Streaming {
     * same cutoff. The -1 sentinel (instead of NULL) keeps the column
     * int64 on both compare paths (a NULL would coerce pandas to float64).
     */
-  def purchaseClickLeftJoin(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
+  def purchaseClickLeftJoin(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 4) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val name = "stream_ssjl_" + java.util.UUID.randomUUID.toString.replace("-", "")
