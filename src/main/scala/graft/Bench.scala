@@ -35,7 +35,8 @@ object Bench {
   }
 
   def fullLine(results: Seq[(String, Double)], nFail: Int,
-      sfDir: String, passes: Map[String, Int] = Map.empty): String = {
+      sfDir: String, passes: Map[String, Int] = Map.empty,
+      load: String = "null"): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
     // "passes" records how many timed samples each query's min is over —
     // under a tight budget fast queries win min-of-3 while slow ones get
@@ -47,7 +48,7 @@ object Bench {
           "\"" + n + "\":" + passes.getOrElse(n, 0) }.mkString("{", ",", "}")
         s""","passes":$m"""
       }
-    s"""{"metric":"total","value":${r2(total)},"unit":"sec","failed":$nFail,"queries":${jmap(results)}$passesPart,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${r2(total)},"unit":"sec","failed":$nFail,"queries":${jmap(results)}$passesPart,"load":$load,"sf":"$sfDir"}"""
   }
 
   /** The line the driver parses out of its bounded stdout tail — MUST
@@ -58,7 +59,7 @@ object Bench {
     * breakage shows up in "failed" and the "failed_qs" name list, never
     * as a -1 that swallows the family's valid samples. */
   def compactLine(results: Seq[(String, Double)], nFail: Int,
-      sfDir: String): String = {
+      sfDir: String, load: String = "null"): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
     val famTotals: Seq[(String, Double)] = results
       .groupBy { case (n, _) => family(n) }
@@ -77,7 +78,7 @@ object Bench {
           s""","failed_more":${failedQs.size - 3}""" else ""
         s""","failed_qs":[${shown.mkString(",")}]$more"""
       }
-    s"""{"metric":"total","value":${r2(total)},"unit":"sec","failed":$nFail$failedPart,"nq":${results.size},"queries":${jmap(famTotals)},"slowest":${jmap(slowest)},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${r2(total)},"unit":"sec","failed":$nFail$failedPart,"nq":${results.size},"queries":${jmap(famTotals)},"slowest":${jmap(slowest)},"load":$load,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -161,9 +162,17 @@ object Bench {
 
     val results = best.toSeq
     val nFail = results.count(_._2 < 0)
+    // 1-min loadavg at end of run: co-tenant CPU weather inflates totals
+    // 2-13x run-to-run (BASELINE.md's noise band); recording it in the
+    // artifact lets a reader separate environment from regression
+    val load = try {
+      val mx = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      BigDecimal(mx.getSystemLoadAverage)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    } catch { case _: Throwable => "null" }
     if (rerunFails > 0)
       System.err.println(s"[bench] $rerunFails rerun failure(s) absorbed (pass-1 samples kept)")
-    val full = fullLine(results, nFail, sfDir, passes.toMap)
+    val full = fullLine(results, nFail, sfDir, passes.toMap, load)
 
     // full detail: printed early + persisted (the driver commits stray
     // repo files at round end, so the judge can read it either way)
@@ -179,7 +188,7 @@ object Bench {
     // compact family summary after spark.stop()'s shutdown logging so
     // nothing can push it out of the window
     spark.stop()
-    println(compactLine(results, nFail, sfDir))
+    println(compactLine(results, nFail, sfDir, load))
     Console.flush()
   }
 }
