@@ -14,6 +14,33 @@ class InvariantsSpec extends SparkSpec {
     assert(noOracle.isEmpty, s"rows-only checks remain: $noOracle")
   }
 
+  test("source hygiene: no driver-side collect loops or Scala UDFs in engine code") {
+    // the two anti-patterns that silently de-distribute an operator:
+    // .collect() (driver-side iteration) and udf() (kills codegen).
+    // Allowlist: Bench's untimed JIT warm-up is the only sanctioned
+    // collect in src/main. Count()-style aggregates-to-driver stay legal
+    // (a single scalar, not data).
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val collectAllow = Set("Bench.scala")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val name = p.getFileName.toString
+        java.nio.file.Files.readAllLines(p).asScala.zipWithIndex.flatMap {
+          case (line, i) =>
+            val l = line.trim
+            if (l.startsWith("//") || l.startsWith("*")) None
+            else if (l.contains(".collect()") && !collectAllow(name))
+              Some(s"$p:${i + 1} .collect() — driver-side loop in engine code")
+            else if (l.matches(""".*\budf\s*\(.*"""))
+              Some(s"$p:${i + 1} Scala UDF — use a builtin or Catalyst expression")
+            else None
+        }
+      }.toList
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("h60 is always in [0, 2^60) — positive in a signed long") {
     val vals = sources.Tables.documents(spark, sf)
       .select(Exact.h60(col("text")).as("h"))
