@@ -168,7 +168,7 @@ class PlanShapeSpec extends SparkSpec {
       "change batch shuffles into the base's bucket layout:\n" + plan)
   }
 
-  test("registry invariant: no query plan contains an unpartitioned Window") {
+  test("registry invariant: no unpartitioned Window or CartesianProduct in any query plan") {
     // A Window with an empty partitionSpec funnels its entire input through
     // ONE task — the canonical single-node scale-killer. Sweep every
     // registered query's optimized logical plan (cheap: no execution needed
@@ -192,17 +192,32 @@ class PlanShapeSpec extends SparkSpec {
       .flatMap { name =>
         val t0 = System.nanoTime()
         val df = q(name)
-        val bad = df.queryExecution.optimizedPlan.collect {
+        val badWin = df.queryExecution.optimizedPlan.collect {
           case w: org.apache.spark.sql.catalyst.plans.logical.Window
               if w.partitionSpec.isEmpty => w
         }
+        // physical INITIAL plan (no execution): a CartesianProductExec is
+        // the non-broadcast NxM join — never acceptable; a cross of a
+        // genuinely tiny side must plan as BroadcastNestedLoopJoin
+        def cartesians(sp: org.apache.spark.sql.execution.SparkPlan): Int =
+          (sp match {
+            case _: org.apache.spark.sql.execution.joins.CartesianProductExec => 1
+            case _ => 0
+          }) + sp.children.map(cartesians).sum
+        val physical = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.initialPlan
+          case p => p
+        }
+        val nCart = cartesians(physical)
         val ms = (System.nanoTime() - t0) / 1000000
         if (ms > 2000) info(s"slow plan build: $name ${ms}ms")
-        if (bad.nonEmpty) Some(s"$name (${bad.size} unpartitioned Window)")
-        else None
+        (if (badWin.nonEmpty)
+           Seq(s"$name (${badWin.size} unpartitioned Window)") else Nil) ++
+          (if (nCart > 0) Seq(s"$name ($nCart CartesianProduct)") else Nil)
       }
     assert(offenders.isEmpty,
-      "unpartitioned Window nodes — single-task sorts at scale:\n  "
+      "single-task sorts / NxM joins — scale-killers:\n  "
         + offenders.mkString("\n  "))
   }
 }
