@@ -27,9 +27,12 @@ object Multimodal {
   /** binary payload + typed metadata (the multimodal "asset" row) */
   final case class Asset(asset_id: Long, modality: String, data: Array[Byte])
 
-  /** fixed-width features extracted from the payload */
+  /** fixed-width features extracted from the payload; width/height are
+    * image dims (PNG parse), sample_rate/channels are audio format (WAV
+    * parse) — 0 where the modality has no such notion */
   final case class MediaFeatures(asset_id: Long, modality: String,
-      n_bytes: Int, checksum: Long, width: Int, height: Int, frame_hex: String)
+      n_bytes: Int, checksum: Long, width: Int, height: Int,
+      sample_rate: Int, channels: Int, frame_hex: String)
 
   private val PngSignature: Array[Byte] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
@@ -48,16 +51,48 @@ object Multimodal {
     else None
   }
 
+  /** Parse a WAV/RIFF header: `RIFF....WAVE` with an `fmt ` chunk whose
+    * data starts at offset 20 — channels at 22 and sample rate at 24,
+    * both little-endian (RIFF spec; public, ubiquitous). Returns
+    * (sample_rate, channels), or None for non-WAV bytes. A real decoder:
+    * any actual PCM WAV file yields its true format. */
+  def wavMeta(d: Array[Byte]): Option[(Int, Int)] = {
+    def le2(o: Int): Int = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+    def le4(o: Int): Int =
+      (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) |
+        ((d(o + 2) & 0xff) << 16) | ((d(o + 3) & 0xff) << 24)
+    def tag(o: Int, t: String): Boolean =
+      t.zipWithIndex.forall { case (c, i) => d(o + i) == c.toByte }
+    if (d.length >= 28 && tag(0, "RIFF") && tag(8, "WAVE") && tag(12, "fmt "))
+      Some((le4(24), le2(22)))
+    else None
+  }
+
   /** 4-byte big-endian binary of an int column (chunk lengths, dims). */
   private def be4Col(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     unhex(lpad(hex(c), 8, "0"))
 
+  /** little-endian twins (RIFF/WAV is LE throughout) */
+  private def le4Col(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = lpad(hex(c), 8, "0")
+    unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2)))
+  }
+  private def le2Col(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = lpad(hex(c), 4, "0")
+    unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+  }
+
   /** Build the asset table. Image-modality rows get a WELL-FORMED PNG
     * signature + IHDR chunk (width = doc_id%640+1, height = doc_id%480+1,
-    * bit depth 8, color type 2 truecolor) prepended to the documents'
-    * text bytes — so the decode stage exercises a real header parse and
-    * the oracle can reproduce every byte. Audio/video stay raw text
-    * bytes (the stub path). */
+    * bit depth 8, color type 2 truecolor); audio-modality rows get a
+    * WELL-FORMED 44-byte canonical PCM WAV header (sample rate =
+    * 8000 + doc_id%8 * 1000, channels = 1 + doc_id%2, 16-bit, correct
+    * chunk sizes for the trailing "sample data" = the documents' text
+    * bytes). Both are prepended to the text bytes so the decode stage
+    * exercises real header parses and the oracle can reproduce every
+    * byte. Video stays raw text bytes (the stub path — no pure-JVM
+    * container parse worth faking). */
   def assets(s: SparkSession, d: String): DataFrame = {
     val w = (col("doc_id") % 640 + 1).cast("int")
     val h = (col("doc_id") % 480 + 1).cast("int")
@@ -67,24 +102,38 @@ object Multimodal {
       be4Col(w), be4Col(h),
       lit(Array[Byte](8, 2, 0, 0, 0)), // depth 8, truecolor, deflate, none, none
       be4Col(lit(0))) // CRC field present (zeroed; parse doesn't verify)
+    val dataLen = length(encode(col("text"), "UTF-8")).cast("int")
+    val rate = (col("doc_id") % 8 * 1000 + 8000).cast("int")
+    val ch = (col("doc_id") % 2 + 1).cast("int")
+    val wavHeader = concat(
+      lit("RIFF".getBytes("US-ASCII")), le4Col(dataLen + 36),
+      lit("WAVE".getBytes("US-ASCII")),
+      lit("fmt ".getBytes("US-ASCII")), le4Col(lit(16)),
+      le2Col(lit(1)), le2Col(ch), le4Col(rate), // PCM, channels, rate
+      le4Col(rate * ch * 2), le2Col(ch * 2), le2Col(lit(16)), // byteRate, align, bits
+      lit("data".getBytes("US-ASCII")), le4Col(dataLen))
     documents(s, d).select(
       col("doc_id").as("asset_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3).cast("int") + 1).as("modality"),
       when(col("doc_id") % 3 === 0,
         concat(pngHeader, encode(col("text"), "UTF-8")))
+        .when(col("doc_id") % 3 === 1,
+          concat(wavHeader, encode(col("text"), "UTF-8")))
         .otherwise(encode(col("text"), "UTF-8")).as("data"))
   }
 
-  /** Decode: REAL PNG IHDR parse for image payloads; the deterministic
-    * byte-derived STUB for modalities whose codecs aren't in this
-    * container. */
+  /** Decode: REAL PNG IHDR parse for image payloads and REAL WAV fmt
+    * parse for audio payloads; the deterministic byte-derived STUB for
+    * video (no pure-JVM container parse). */
   private def decode(a: Asset): MediaFeatures = {
     var sum = 0L
     var i = 0
     while (i < a.data.length) { sum += a.data(i) & 0xff; i += 1 }
     val (w, h) = pngDims(a.data).getOrElse(
-      ((sum % 640).toInt + 1, (sum % 480).toInt + 1))
+      if (wavMeta(a.data).isDefined) (0, 0)
+      else ((sum % 640).toInt + 1, (sum % 480).toInt + 1))
+    val (rate, ch) = wavMeta(a.data).getOrElse((0, 0))
     MediaFeatures(
       asset_id = a.asset_id,
       modality = a.modality,
@@ -92,6 +141,8 @@ object Multimodal {
       checksum = sum,
       width = w,
       height = h,
+      sample_rate = rate,
+      channels = ch,
       // hex of raw bytes, not a decoded string: exact for ANY payload (a
       // multibyte char straddling the window has no charset-safe twin)
       frame_hex = a.data.take(8).map(b => f"${b & 0xff}%02X").mkString)
@@ -145,18 +196,40 @@ object Multimodal {
       .toDF()
   }
 
+  /** SQL for the little-endian hex of a 4-/2-byte int expression (RIFF is
+    * LE throughout; the pairs-swap of the BE hex). */
+  private def le4Sql(e: String): String = {
+    val h = s"lpad(upper(to_hex(CAST($e AS BIGINT))), 8, '0')"
+    s"(substring($h, 7, 2) || substring($h, 5, 2) || substring($h, 3, 2) || substring($h, 1, 2))"
+  }
+  private def le2Sql(e: String): String = {
+    val h = s"lpad(upper(to_hex(CAST($e AS BIGINT))), 4, '0')"
+    s"(substring($h, 3, 2) || substring($h, 1, 2))"
+  }
+
   /** The oracle's byte-exact twin of [[assets]]'s payload, as a HEX
     * string: one char pair per octet, so slicing/summing the hex string
     * with char functions IS byte slicing/summing — exact for any input,
-    * ASCII or not. Image rows prepend the same 33-byte PNG header. */
+    * ASCII or not. Image rows prepend the same 33-byte PNG header; audio
+    * rows the same 44-byte canonical WAV header ('RIFF' len+36 'WAVE'
+    * 'fmt ' 16 PCM ch rate byteRate align 16 'data' len, all LE). */
   private val payloadHexCte: String =
-    """p AS (
+    s"""p AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 3 = 0 THEN
       |      '89504E470D0A1A0A' || '0000000D' || '49484452' ||
       |      lpad(upper(to_hex(CAST(doc_id % 640 + 1 AS BIGINT))), 8, '0') ||
       |      lpad(upper(to_hex(CAST(doc_id % 480 + 1 AS BIGINT))), 8, '0') ||
       |      '0802000000' || '00000000' ||
+      |      hex(encode(text))
+      |    WHEN doc_id % 3 = 1 THEN
+      |      '52494646' || ${le4Sql("strlen(text) + 36")} ||
+      |      '57415645' || '666D7420' || '10000000' || '0100' ||
+      |      ${le2Sql("doc_id % 2 + 1")} ||
+      |      ${le4Sql("doc_id % 8 * 1000 + 8000")} ||
+      |      ${le4Sql("(doc_id % 8 * 1000 + 8000) * (doc_id % 2 + 1) * 2")} ||
+      |      ${le2Sql("(doc_id % 2 + 1) * 2")} || '1000' || '64617461' ||
+      |      ${le4Sql("strlen(text)")} ||
       |      hex(encode(text))
       |    ELSE hex(encode(text)) END AS phex
       |  FROM documents)""".stripMargin
@@ -178,8 +251,10 @@ object Multimodal {
         |SELECT doc_id AS asset_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
         |  n_bytes, checksum,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 640 + 1 ELSE checksum % 640 + 1 END AS INT) AS width,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 480 + 1 ELSE checksum % 480 + 1 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 640 + 1 WHEN doc_id % 3 = 1 THEN 0 ELSE checksum % 640 + 1 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 480 + 1 WHEN doc_id % 3 = 1 THEN 0 ELSE checksum % 480 + 1 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN doc_id % 8 * 1000 + 8000 ELSE 0 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN doc_id % 2 + 1 ELSE 0 END AS INT) AS channels,
         |  substring(phex, 1, 16) AS frame_hex
         |FROM f
         |""".stripMargin) { (s, d) => extractFeatures(assets(s, d)) },

@@ -21,9 +21,27 @@ class MultimodalStreamingSpec extends SparkSpec {
     bb.array()
   }
 
+  /** the 44-byte canonical PCM WAV header assets() prepends to
+    * audio-modality payloads */
+  private def wavHeader(id: Long, dataLen: Int): Array[Byte] = {
+    val rate = (id % 8 * 1000 + 8000).toInt
+    val ch = (id % 2 + 1).toInt
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(dataLen + 36)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(ch.toShort).putInt(rate)
+    bb.putInt(rate * ch * 2).putShort((ch * 2).toShort).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.array()
+  }
+
   private def payloadOf(id: Long, text: String): Array[Byte] = {
     val t = text.getBytes("UTF-8")
-    if (id % 3 == 0) pngHeader(id) ++ t else t
+    if (id % 3 == 0) pngHeader(id) ++ t
+    else if (id % 3 == 1) wavHeader(id, t.length) ++ t
+    else t
   }
 
   test("multimodal features are deterministic byte-derived values") {
@@ -38,19 +56,40 @@ class MultimodalStreamingSpec extends SparkSpec {
       assert(r.getInt(2) == payload.length)                           // n_bytes
       assert(r.getLong(3) == sum)                                     // checksum
       // image rows: REAL IHDR parse recovers the constructed dims;
-      // others: the documented stub arithmetic
+      // audio rows: REAL WAV fmt parse recovers rate/channels;
+      // video: the documented stub arithmetic
       if (id % 3 == 0) {
         assert(r.getInt(4) == (id % 640 + 1).toInt, s"width of image $id")
         assert(r.getInt(5) == (id % 480 + 1).toInt, s"height of image $id")
+        assert(r.getInt(6) == 0 && r.getInt(7) == 0)
+      } else if (id % 3 == 1) {
+        assert(r.getInt(4) == 0 && r.getInt(5) == 0)
+        assert(r.getInt(6) == (id % 8 * 1000 + 8000).toInt, s"rate of audio $id")
+        assert(r.getInt(7) == (id % 2 + 1).toInt, s"channels of audio $id")
       } else {
         assert(r.getInt(4) == (sum % 640).toInt + 1)
         assert(r.getInt(5) == (sum % 480).toInt + 1)
+        assert(r.getInt(6) == 0 && r.getInt(7) == 0)
       }
-      assert(r.getString(6) == payload.take(8)
+      assert(r.getString(8) == payload.take(8)
         .map(b => f"${b & 0xff}%02X").mkString)                       // frame_hex
     }
     // modality partitioning is total
     assert(feats.select("modality").distinct().count() == 3)
+  }
+
+  test("wavMeta reads genuine WAV files (javax.sound round-trip)") {
+    val fmt = new javax.sound.sampled.AudioFormat(44100f, 16, 2, true, false)
+    val pcm = new Array[Byte](1764) // ~10ms of silence, 2ch 16-bit
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / fmt.getFrameSize)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    assert(Multimodal.wavMeta(baos.toByteArray).contains((44100, 2)),
+      "a real AudioSystem-written WAV must parse to its true format")
+    assert(Multimodal.wavMeta("definitely not RIFF".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.wavMeta(Array.emptyByteArray).isEmpty)
   }
 
   test("pngDims reads genuine PNG files (javax.imageio round-trip)") {
@@ -70,7 +109,8 @@ class MultimodalStreamingSpec extends SparkSpec {
     val orig = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), length(col("text")).as("n")).as[(Long, Int)].collect()
     val expected = orig.map { case (id, n) =>
-      ((if (id % 3 == 0) n + 33 else n) + 1) / 2
+      val full = if (id % 3 == 0) n + 33 else if (id % 3 == 1) n + 44 else n
+      (full + 1) / 2
     }
     assert(lens.sorted.toSeq == expected.sorted.toSeq)
     val frames = Multimodal.sampleFrames(Multimodal.assets(spark, sf))
