@@ -29,10 +29,11 @@ object Multimodal {
 
   /** fixed-width features extracted from the payload; width/height are
     * image dims (PNG parse), sample_rate/channels are audio format (WAV
-    * parse) — 0 where the modality has no such notion */
+    * parse), duration_ms is video length (MP4 mvhd parse) — 0 where the
+    * modality has no such notion */
   final case class MediaFeatures(asset_id: Long, modality: String,
       n_bytes: Int, checksum: Long, width: Int, height: Int,
-      sample_rate: Int, channels: Int, frame_hex: String)
+      sample_rate: Int, channels: Int, duration_ms: Long, frame_hex: String)
 
   private val PngSignature: Array[Byte] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
@@ -68,6 +69,55 @@ object Multimodal {
     else None
   }
 
+  /** Parse an MP4/ISO-BMFF header for the movie duration: walk the
+    * top-level boxes ([4-byte BE size][4-byte type]...), descend into
+    * `moov`, read `mvhd` — version 0 carries timescale/duration as
+    * 32-bit at offsets 20/24 into the box, version 1 as 32/64-bit at
+    * 28/32 (ISO 14496-12; public, ubiquitous). Returns duration in
+    * MILLISECONDS (duration * 1000 / timescale, integer division), or
+    * None for non-MP4 bytes. A real parser: it walks arbitrary box
+    * layouts, not just the canonical header this engine synthesizes. */
+  def mp4DurationMs(d: Array[Byte]): Option[Long] = {
+    def be4(o: Int): Long =
+      ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+        ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+    def be8(o: Int): Long = (be4(o) << 32) | be4(o + 4)
+    def tag(o: Int): String = new String(d, o + 4, 4, "US-ASCII")
+    var off = 0L
+    var sawFtyp = false
+    while (off + 8 <= d.length) {
+      val o = off.toInt
+      val size = be4(o)
+      if (size < 8) return None // malformed / not a box stream
+      tag(o) match {
+        case "ftyp" => sawFtyp = true
+        case "moov" if sawFtyp =>
+          var c = o + 8L
+          val end = math.min(off + size, d.length.toLong)
+          while (c + 8 <= end) {
+            val ci = c.toInt
+            val csize = be4(ci)
+            if (csize < 8) return None
+            if (tag(ci) == "mvhd") {
+              val ver = d(ci + 8) & 0xff
+              if (ver == 1 && c + 40 <= end) {
+                val ts = be4(ci + 28)
+                return if (ts > 0) Some(be8(ci + 32) * 1000L / ts) else None
+              } else if (ver == 0 && c + 28 <= end) {
+                val ts = be4(ci + 20)
+                return if (ts > 0) Some(be4(ci + 24) * 1000L / ts) else None
+              } else return None
+            }
+            c += csize
+          }
+          return None
+        case _ => ()
+      }
+      off += size
+    }
+    None
+  }
+
   /** 4-byte big-endian binary of an int column (chunk lengths, dims). */
   private def be4Col(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     unhex(lpad(hex(c), 8, "0"))
@@ -91,8 +141,11 @@ object Multimodal {
     * chunk sizes for the trailing "sample data" = the documents' text
     * bytes). Both are prepended to the text bytes so the decode stage
     * exercises real header parses and the oracle can reproduce every
-    * byte. Video stays raw text bytes (the stub path — no pure-JVM
-    * container parse worth faking). */
+    * byte. Video-modality rows get a WELL-FORMED MP4 header — `ftyp` +
+    * `moov`/`mvhd` (timescale 1000, duration_ms = doc_id%3600000+1000) —
+    * so all three modalities exercise real header parses; the
+    * byte-derived stub remains only as decode's fallback for payloads no
+    * parser recognizes. */
   def assets(s: SparkSession, d: String): DataFrame = {
     val w = (col("doc_id") % 640 + 1).cast("int")
     val h = (col("doc_id") % 480 + 1).cast("int")
@@ -112,6 +165,9 @@ object Multimodal {
       le2Col(lit(1)), le2Col(ch), le4Col(rate), // PCM, channels, rate
       le4Col(rate * ch * 2), le2Col(ch * 2), le2Col(lit(16)), // byteRate, align, bits
       lit("data".getBytes("US-ASCII")), le4Col(dataLen))
+    val durMs = (col("doc_id") % 3600000 + 1000).cast("int")
+    val mp4Header = concat(
+      unhex(lit(Mp4PrefixHex)), be4Col(durMs), unhex(lit(Mp4SuffixHex)))
     documents(s, d).select(
       col("doc_id").as("asset_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -120,20 +176,25 @@ object Multimodal {
         concat(pngHeader, encode(col("text"), "UTF-8")))
         .when(col("doc_id") % 3 === 1,
           concat(wavHeader, encode(col("text"), "UTF-8")))
-        .otherwise(encode(col("text"), "UTF-8")).as("data"))
+        .otherwise(concat(mp4Header, encode(col("text"), "UTF-8"))).as("data"))
   }
 
-  /** Decode: REAL PNG IHDR parse for image payloads and REAL WAV fmt
-    * parse for audio payloads; the deterministic byte-derived STUB for
-    * video (no pure-JVM container parse). */
-  private def decode(a: Asset): MediaFeatures = {
+  /** Decode: REAL header parses for all three constructed modalities —
+    * PNG IHDR (dims), WAV fmt (rate/channels), MP4 mvhd (duration).
+    * Payloads no parser recognizes fall back to the deterministic
+    * byte-derived STUB dims (documented; exercised by unit test, not by
+    * the fixture). */
+  private[operators] def decode(a: Asset): MediaFeatures = {
     var sum = 0L
     var i = 0
     while (i < a.data.length) { sum += a.data(i) & 0xff; i += 1 }
-    val (w, h) = pngDims(a.data).getOrElse(
-      if (wavMeta(a.data).isDefined) (0, 0)
+    val png = pngDims(a.data)
+    val wav = wavMeta(a.data)
+    val mp4 = mp4DurationMs(a.data)
+    val (w, h) = png.getOrElse(
+      if (wav.isDefined || mp4.isDefined) (0, 0)
       else ((sum % 640).toInt + 1, (sum % 480).toInt + 1))
-    val (rate, ch) = wavMeta(a.data).getOrElse((0, 0))
+    val (rate, ch) = wav.getOrElse((0, 0))
     MediaFeatures(
       asset_id = a.asset_id,
       modality = a.modality,
@@ -143,6 +204,7 @@ object Multimodal {
       height = h,
       sample_rate = rate,
       channels = ch,
+      duration_ms = mp4.getOrElse(0L),
       // hex of raw bytes, not a decoded string: exact for ANY payload (a
       // multibyte char straddling the window has no charset-safe twin)
       frame_hex = a.data.take(8).map(b => f"${b & 0xff}%02X").mkString)
@@ -196,6 +258,22 @@ object Multimodal {
       .toDF()
   }
 
+  /** Canonical MP4 header (132 bytes), as hex, shared verbatim by the
+    * Spark construction and the oracle: `ftyp`(isom) + `moov` containing
+    * a version-0 `mvhd` with timescale 1000 — so duration IS
+    * milliseconds. Split around the one variable field (4-byte BE
+    * duration). */
+  private[operators] val Mp4PrefixHex: String =
+    "00000010" + "66747970" + "69736F6D" + "00000000" + // ftyp 'isom'
+      "00000074" + "6D6F6F76" + // moov, size 116
+      "0000006C" + "6D766864" + "00000000" + // mvhd, size 108, version 0
+      "00000000" + "00000000" + "000003E8" // ctime, mtime, timescale 1000
+  private[operators] val Mp4SuffixHex: String =
+    "00010000" + "0100" + "0000" + ("0" * 16) + // rate 1.0, volume, reserved(10)
+      "000100000000000000000000" + "000000000001000000000000" +
+      "000000000000000040000000" + // unity matrix
+      ("0" * 48) + "00000001" // pre_defined(24), next_track_id
+
   /** SQL for the little-endian hex of a 4-/2-byte int expression (RIFF is
     * LE throughout; the pairs-swap of the BE hex). */
   private def le4Sql(e: String): String = {
@@ -231,7 +309,11 @@ object Multimodal {
       |      ${le2Sql("(doc_id % 2 + 1) * 2")} || '1000' || '64617461' ||
       |      ${le4Sql("strlen(text)")} ||
       |      hex(encode(text))
-      |    ELSE hex(encode(text)) END AS phex
+      |    ELSE
+      |      '$Mp4PrefixHex' ||
+      |      lpad(upper(to_hex(CAST(doc_id % 3600000 + 1000 AS BIGINT))), 8, '0') ||
+      |      '$Mp4SuffixHex' ||
+      |      hex(encode(text)) END AS phex
       |  FROM documents)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
@@ -251,10 +333,11 @@ object Multimodal {
         |SELECT doc_id AS asset_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
         |  n_bytes, checksum,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 640 + 1 WHEN doc_id % 3 = 1 THEN 0 ELSE checksum % 640 + 1 END AS INT) AS width,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 480 + 1 WHEN doc_id % 3 = 1 THEN 0 ELSE checksum % 480 + 1 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 640 + 1 ELSE 0 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 480 + 1 ELSE 0 END AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 1 THEN doc_id % 8 * 1000 + 8000 ELSE 0 END AS INT) AS sample_rate,
         |  CAST(CASE WHEN doc_id % 3 = 1 THEN doc_id % 2 + 1 ELSE 0 END AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 3600000 + 1000 ELSE 0 END AS BIGINT) AS duration_ms,
         |  substring(phex, 1, 16) AS frame_hex
         |FROM f
         |""".stripMargin) { (s, d) => extractFeatures(assets(s, d)) },

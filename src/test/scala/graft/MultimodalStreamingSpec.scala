@@ -37,11 +37,28 @@ class MultimodalStreamingSpec extends SparkSpec {
     bb.array()
   }
 
+  /** the 132-byte canonical MP4 ftyp+moov/mvhd header assets() prepends
+    * to video-modality payloads (timescale 1000, v0 mvhd) */
+  private def mp4Header(id: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(132) // big-endian by default
+    bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+    bb.putInt(116).put("moov".getBytes)
+    bb.putInt(108).put("mvhd".getBytes).putInt(0) // v0 + flags
+    bb.putInt(0).putInt(0) // ctime, mtime
+    bb.putInt(1000).putInt((id % 3600000 + 1000).toInt) // timescale, duration
+    bb.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume, res
+    bb.putLong(0L) // reserved
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+    (1 to 6).foreach(_ => bb.putInt(0)) // pre_defined
+    bb.putInt(1) // next_track_id
+    bb.array()
+  }
+
   private def payloadOf(id: Long, text: String): Array[Byte] = {
     val t = text.getBytes("UTF-8")
     if (id % 3 == 0) pngHeader(id) ++ t
     else if (id % 3 == 1) wavHeader(id, t.length) ++ t
-    else t
+    else mp4Header(id) ++ t
   }
 
   test("multimodal features are deterministic byte-derived values") {
@@ -55,27 +72,54 @@ class MultimodalStreamingSpec extends SparkSpec {
       val sum = payload.map(_ & 0xff).map(_.toLong).sum
       assert(r.getInt(2) == payload.length)                           // n_bytes
       assert(r.getLong(3) == sum)                                     // checksum
-      // image rows: REAL IHDR parse recovers the constructed dims;
-      // audio rows: REAL WAV fmt parse recovers rate/channels;
-      // video: the documented stub arithmetic
+      // every modality exercises a REAL header parse: PNG IHDR dims,
+      // WAV fmt rate/channels, MP4 mvhd duration
       if (id % 3 == 0) {
         assert(r.getInt(4) == (id % 640 + 1).toInt, s"width of image $id")
         assert(r.getInt(5) == (id % 480 + 1).toInt, s"height of image $id")
-        assert(r.getInt(6) == 0 && r.getInt(7) == 0)
+        assert(r.getInt(6) == 0 && r.getInt(7) == 0 && r.getLong(8) == 0L)
       } else if (id % 3 == 1) {
-        assert(r.getInt(4) == 0 && r.getInt(5) == 0)
+        assert(r.getInt(4) == 0 && r.getInt(5) == 0 && r.getLong(8) == 0L)
         assert(r.getInt(6) == (id % 8 * 1000 + 8000).toInt, s"rate of audio $id")
         assert(r.getInt(7) == (id % 2 + 1).toInt, s"channels of audio $id")
       } else {
-        assert(r.getInt(4) == (sum % 640).toInt + 1)
-        assert(r.getInt(5) == (sum % 480).toInt + 1)
+        assert(r.getInt(4) == 0 && r.getInt(5) == 0)
         assert(r.getInt(6) == 0 && r.getInt(7) == 0)
+        assert(r.getLong(8) == id % 3600000 + 1000, s"duration of video $id")
       }
-      assert(r.getString(8) == payload.take(8)
+      assert(r.getString(9) == payload.take(8)
         .map(b => f"${b & 0xff}%02X").mkString)                       // frame_hex
     }
     // modality partitioning is total
     assert(feats.select("modality").distinct().count() == 3)
+  }
+
+  test("mp4DurationMs walks real-world box layouts (leading box, v1 mvhd, siblings)") {
+    // not the canonical header assets() writes: a free box BEFORE ftyp's
+    // moov, a sibling child before mvhd, and a VERSION 1 (64-bit) mvhd
+    // with a non-trivial timescale — the layouts real muxers emit
+    val bb = java.nio.ByteBuffer.allocate(16 + 16 + 8 + 16 + 120)
+    bb.putInt(16).put("ftyp".getBytes).put("mp42".getBytes).putInt(0)
+    bb.putInt(16).put("free".getBytes).putLong(0L)
+    bb.putInt(8 + 16 + 120).put("moov".getBytes)
+    bb.putInt(16).put("udta".getBytes).putLong(0L) // sibling before mvhd
+    bb.putInt(120).put("mvhd".getBytes).put(1.toByte).put(Array[Byte](0, 0, 0))
+    bb.putLong(0L).putLong(0L) // ctime, mtime (64-bit in v1)
+    bb.putInt(90000).putLong(90000L * 7 + 45000) // timescale, duration -> 7500 ms
+    while (bb.hasRemaining) bb.put(0.toByte)
+    assert(Multimodal.mp4DurationMs(bb.array()).contains(7500L))
+    assert(Multimodal.mp4DurationMs("not an mp4 either".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.mp4DurationMs(Array.emptyByteArray).isEmpty)
+  }
+
+  test("decode falls back to the documented stub for unrecognized payloads") {
+    val junk = "no header of any kind".getBytes("UTF-8")
+    val df = Seq((7L, "blob", junk)).toDF("asset_id", "modality", "data")
+    val r = Multimodal.extractFeatures(df).collect().head
+    val sum = junk.map(_ & 0xff).map(_.toLong).sum
+    assert(r.getInt(4) == (sum % 640).toInt + 1)
+    assert(r.getInt(5) == (sum % 480).toInt + 1)
+    assert(r.getInt(6) == 0 && r.getInt(7) == 0 && r.getLong(8) == 0L)
   }
 
   test("wavMeta reads genuine WAV files (javax.sound round-trip)") {
@@ -109,7 +153,8 @@ class MultimodalStreamingSpec extends SparkSpec {
     val orig = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), length(col("text")).as("n")).as[(Long, Int)].collect()
     val expected = orig.map { case (id, n) =>
-      val full = if (id % 3 == 0) n + 33 else if (id % 3 == 1) n + 44 else n
+      val full =
+        if (id % 3 == 0) n + 33 else if (id % 3 == 1) n + 44 else n + 132
       (full + 1) / 2
     }
     assert(lens.sorted.toSeq == expected.sorted.toSeq)
