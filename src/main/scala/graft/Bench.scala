@@ -153,12 +153,30 @@ object Bench {
         case Some(p) => best(name) = math.min(p, t)
       }
     }
+    // checkpoint the full artifact after every pass: a run killed mid-pass
+    // (driver timeout on a slammed box) still leaves the latest complete
+    // state on disk instead of losing the whole bench
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "/root/repo/bench_full.json")
+    def writeFull(line: String): Unit =
+      try {
+        val w = new java.io.PrintWriter(fullPath)
+        try w.println(line) finally w.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
+    def checkpoint(): Unit = {
+      val rs = best.toSeq
+      writeFull(fullLine(rs, rs.count(_._2 < 0), sfDir, passes.toMap))
+    }
     for (qd <- benchDefs) timeOne(qd.name)
+    checkpoint()
     // failed queries (-1) stay failed — re-running them cannot improve the
     // min and a wedged stream would eat the whole budget via its timeout
-    for (pass <- 2 to 3;
-         name <- best.toSeq.filter(_._2 >= 0).sortBy(-_._2).map(_._1);
-         if elapsedS < budgetS) timeOne(name)
+    for (pass <- 2 to 3) {
+      for (name <- best.toSeq.filter(_._2 >= 0).sortBy(-_._2).map(_._1);
+           if elapsedS < budgetS) timeOne(name)
+      checkpoint()
+    }
 
     val results = best.toSeq
     val nFail = results.count(_._2 < 0)
@@ -177,13 +195,7 @@ object Bench {
     // full detail: printed early + persisted (the driver commits stray
     // repo files at round end, so the judge can read it either way)
     println(full)
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      "/root/repo/bench_full.json")
-    try {
-      val w = new java.io.PrintWriter(fullPath)
-      try w.println(full) finally w.close()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
+    writeFull(full)
     // the driver parses the LAST JSON line in its stdout tail: emit the
     // compact family summary after spark.stop()'s shutdown logging so
     // nothing can push it out of the window
