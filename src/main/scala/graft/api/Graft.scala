@@ -125,14 +125,24 @@ object Graft {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    // Exact-Jaccard verify on the candidates: one groupBy collapses the
+    // shingle table to a per-doc shingle array (bounded by document
+    // length, so the row stays small at any corpus scale), then the
+    // intersection is computed IN-ROW with array_intersect. This replaces
+    // the earlier formulation — exploding every candidate pair back
+    // against the shingle table and re-counting matches — which shuffled
+    // the full shingle relation twice more (on i, then on (j, shingle));
+    // now the only post-candidate shuffles carry the candidate list
+    // itself. `sh` is distinct per (doc_id, shingle), so
+    // size(array_intersect) is exactly |A ∩ B|.
+    val docSets = sh.groupBy("doc_id").agg(
+      collect_list(col("shingle")).as("shset"), count(lit(1)).as("c"))
     cand
-      .join(sh.select(col("doc_id").as("i"), col("shingle")), "i")
-      .join(sh.select(col("doc_id").as("j"), col("shingle").as("shingle_j")), "j")
-      .filter(col("shingle") === col("shingle_j"))
-      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
-      .join(cnt.withColumnRenamed("doc_id", "i").withColumnRenamed("c", "ca"), "i")
-      .join(cnt.withColumnRenamed("doc_id", "j").withColumnRenamed("c", "cb"), "j")
+      .join(docSets.select(col("doc_id").as("i"),
+        col("shset").as("sa"), col("c").as("ca")), "i")
+      .join(docSets.select(col("doc_id").as("j"),
+        col("shset").as("sb"), col("c").as("cb")), "j")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jac", col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
       .filter(col("jac") >= threshold)
       .select("i", "j", "jac")
