@@ -273,12 +273,23 @@ object TextAnalysis {
         |GROUP BY 1
         |""".stripMargin) { (s, d) =>
       import graft.api.Graft
+      // A df==1 shingle has exactly ONE owning doc, so per-doc rare counts
+      // fall out of the shingle-side aggregate directly (min(doc_id) is
+      // that owner) — no need to join the document-frequency table back
+      // against the full shingle relation and re-group by doc, which
+      // shuffled |sh| rows twice. Post-aggregate, only (doc, count) rows
+      // move. localCheckpoint: sh feeds both aggregates; without it the
+      // tokenize+explode+distinct pipeline runs twice.
       val sh = Graft.shingleSet(documents(s, d), "doc_id", "text", n = 3)
-      val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      sh.join(dfreq, "shingle")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_rare"))
+        .localCheckpoint()
+      val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val rare = sh.groupBy("shingle")
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+        .filter(col("df") === 1)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_rare_nn"))
+      tot.join(rare, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_rare_nn"), lit(0L)).as("n_rare"))
         .withColumn("rare_ratio", col("n_rare").cast("double") / col("n_shingles"))
     },
 
