@@ -442,8 +442,14 @@ object Graft {
       k: Int): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
+    // tf rows are distinct (doc, term), so df = row count per term OVER
+    // TF — deriving it there (instead of a second countDistinct pass over
+    // the raw token stream) drops one full tokenize+explode scan and the
+    // distinct-expansion shuffle. localCheckpoint: tf feeds both the df
+    // aggregate and the score join.
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      .localCheckpoint()
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
     tf.join(df, "term")
