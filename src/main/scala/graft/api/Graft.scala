@@ -101,12 +101,13 @@ object Graft {
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
-    // The shingle set feeds FOUR branches (signatures, per-doc counts, and
-    // both sides of the verify join); without materialization each branch
-    // re-scans the corpus and re-explodes shingles. localCheckpoint also
-    // truncates lineage, so the verify join's plan stays shallow. At
-    // cluster scale this is the standard "build the index once" step —
-    // storage is the distinct shingle list (keys), never documents.
+    // The shingle set feeds TWO branches (signatures and the per-doc
+    // shingle arrays the verify step intersects); without materialization
+    // each branch re-scans the corpus and re-explodes shingles.
+    // localCheckpoint also truncates lineage, so the verify join's plan
+    // stays shallow. At cluster scale this is the standard "build the
+    // index once" step — storage is the distinct shingle list (keys),
+    // never documents.
     val sh = shRaw.localCheckpoint()
     val hx = md5(col("shingle"))
     val ha = conv(substring(hx, 1, 15), 16, 10).cast("long")
