@@ -10,15 +10,19 @@ class DedupSimilaritySpec extends SparkSpec {
   test("minhash-verified pairs are exactly the high-jaccard pairs it can see") {
     // every pair minhash reports passed an EXACT jaccard >= 0.5 verify, so
     // it must be a subset of the exhaustive jaccard query's pairs ignoring
-    // the latter's lang/band candidate restriction
-    val mh = q("q_dedup_minhash").select("i", "j")
-      .as[(Long, Long)].collect().toSet
+    // the latter's lang/band candidate restriction — and the reported jac
+    // VALUE must equal the driver-side set-arithmetic truth bit-for-bit
+    // (guards the in-row array_intersect verify path)
+    val mh = q("q_dedup_minhash").select("i", "j", "jac")
+      .as[(Long, Long, Double)].collect()
+    assert(mh.nonEmpty, "fixture should contain at least one near-dup pair")
     val shingleSets = graft.operators.Dedup.shingles(spark, sf)
       .select("doc_id", "shingle").as[(Long, String)].collect()
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-    mh.foreach { case (i, j) =>
+    mh.foreach { case (i, j, jac) =>
       val (a, b) = (shingleSets(i), shingleSets(j))
-      val jac = a.intersect(b).size.toDouble / a.union(b).size
+      val truth = a.intersect(b).size.toDouble / a.union(b).size
+      assert(jac == truth, s"pair ($i,$j) jac=$jac, brute-force=$truth")
       assert(jac >= 0.5, s"pair ($i,$j) jac=$jac below verify bar")
     }
   }
