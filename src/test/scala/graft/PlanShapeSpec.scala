@@ -73,6 +73,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("minhash verify intersects per-doc shingle arrays in-row") {
+    // the exact-Jaccard verify must not re-shuffle the exploded shingle
+    // relation against the candidate pairs — the intersection happens in
+    // a projection over per-doc arrays
+    val p = planString("q_dedup_minhash")
+    assert(p.contains("array_intersect"), p)
+  }
+
   test("knn probes broadcast the query set against the corpus") {
     val p = planString("q_knn_ivf")
     assert(p.contains("BroadcastHashJoin"), p)
