@@ -296,7 +296,8 @@ object TextAnalysis {
     // Bigram language-model statistics: the most likely next token after
     // each of the 20 most frequent tokens, with its conditional count —
     // the n-gram LM building block. Ranks carry full tie-breaks.
-    // bench=false: correctness-only breadth.
+    // Benched since r6: the r4 weak plan (unpartitioned-window top-20) is
+    // gone — top-20 is TakeOrderedAndProject, rank a 20x20 broadcast join.
     QueryDef(
       "q_text_bigrams",
       (s: org.apache.spark.sql.SparkSession, d: String) => {
@@ -344,8 +345,7 @@ object TextAnalysis {
         |SELECT c.w1, c.w2 AS best_next, c.n12, tp.n1, tp.rank FROM cond c
         |JOIN top tp ON tp.w1 = c.w1
         |QUALIFY row_number() OVER (PARTITION BY c.w1 ORDER BY c.n12 DESC, c.w2 ASC) = 1
-        |""".stripMargin),
-      bench = false),
+        |""".stripMargin)),
 
     // Subword-ish counting: whitespace tokens + vowel-group segments (a
     // cheap BPE proxy; RE2-compatible, no lookaround).

@@ -99,6 +99,9 @@ object Multimodal {
             val csize = be4(ci)
             if (csize < 8) return None
             if (tag(ci) == "mvhd") {
+              // version byte is the 9th of the box: a buffer truncated
+              // exactly at the mvhd header must parse as None, not throw
+              if (c + 9 > end) return None
               val ver = d(ci + 8) & 0xff
               if (ver == 1 && c + 40 <= end) {
                 val ts = be4(ci + 28)
@@ -188,9 +191,14 @@ object Multimodal {
     var sum = 0L
     var i = 0
     while (i < a.data.length) { sum += a.data(i) & 0xff; i += 1 }
-    val png = pngDims(a.data)
-    val wav = wavMeta(a.data)
-    val mp4 = mp4DurationMs(a.data)
+    // one malformed payload must degrade to the stub features, never fail
+    // the whole mapPartitions task — parsers are total over their own
+    // checks, but a Try fence keeps the stage robust to adversarial bytes
+    def safe[T](p: => Option[T]): Option[T] =
+      try p catch { case _: RuntimeException | _: IndexOutOfBoundsException => None }
+    val png = safe(pngDims(a.data))
+    val wav = safe(wavMeta(a.data))
+    val mp4 = safe(mp4DurationMs(a.data))
     val (w, h) = png.getOrElse(
       if (wav.isDefined || mp4.isDefined) (0, 0)
       else ((sum % 640).toInt + 1, (sum % 480).toInt + 1))
@@ -239,23 +247,95 @@ object Multimodal {
     }.toDF()
   }
 
-  /** STUB resize: byte-stride downsampling stands in for image resize —
-    * a real codec would decode, scale, re-encode. Keeps the byte-in/
-    * byte-out narrow-transform shape. */
-  def resizeStub(data: Array[Byte], factor: Int): Array[Byte] = {
+  /** Average-pool resize of a row-major single-byte-per-pixel raster:
+    * the REAL image-scaling kernel (box filter / area interpolation, what
+    * OpenCV's INTER_AREA computes for integer factors). Output dims are
+    * ceil(w/f) x ceil(h/f); each output pixel is the floor-mean of the
+    * input pixels its f x f block covers (edge blocks are partial). A
+    * trailing partial input row is dropped, as a decoder drops a
+    * truncated scanline. Hand it any decoded raster and it scales it. */
+  def avgPool(raster: Array[Byte], w: Int, f: Int): Array[Byte] = {
+    require(f >= 1, s"pool factor must be >= 1, got $f")
+    if (w <= 0) return Array.empty
+    val h = raster.length / w
+    if (h == 0) return Array.empty
+    val wOut = (w + f - 1) / f
+    val hOut = (h + f - 1) / f
+    val out = new Array[Byte](wOut * hOut)
+    var oy = 0
+    while (oy < hOut) {
+      val y0 = oy * f
+      val y1 = math.min(y0 + f, h)
+      var ox = 0
+      while (ox < wOut) {
+        val x0 = ox * f
+        val x1 = math.min(x0 + f, w)
+        var sum = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += raster(y * w + x) & 0xff; x += 1 }
+          y += 1
+        }
+        out(oy * wOut + ox) = (sum / ((y1 - y0) * (x1 - x0))).toByte
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  /** sig + IHDR chunk, 33 bytes — the same header shape [[assets]] emits,
+    * with the given dims (re-encode step of the resize path) */
+  private[operators] def pngHeaderBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(33)
+    bb.put(PngSignature)
+    bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    bb.putInt(w).putInt(h)
+    bb.put(Array[Byte](8, 2, 0, 0, 0))
+    bb.putInt(0)
+    bb.array()
+  }
+
+  /** Byte offset of the raster inside this engine's synthetic PNG
+    * payloads: sig(8) + IHDR length/type/data/crc(4+4+13+4). A full
+    * decoder would locate IDAT chunks and inflate; the synthetic
+    * payloads store the raster raw after IHDR (no zlib in the oracle),
+    * so the raster begins right after the header. The POOLING kernel
+    * above is codec-independent either way. */
+  private val PngRasterOffset = 33
+
+  /** Non-image fallback: byte-stride decimation (audio sample-rate
+    * halving shape for the WAV/MP4 payloads — a codec-aware pipeline
+    * would resample; the stride keeps the byte-in/byte-out narrow
+    * transform honest for modalities with no raster). */
+  def strideDecimate(data: Array[Byte], factor: Int): Array[Byte] = {
     val out = new Array[Byte]((data.length + factor - 1) / factor)
     var i = 0
     while (i < out.length) { out(i) = data(i * factor); i += 1 }
     out
   }
 
-  /** Resize stage over the asset table (typed, narrow, no shuffle). */
+  /** Resize stage over the asset table (typed, narrow, no shuffle).
+    * Image payloads take the REAL path: parse IHDR dims, average-pool the
+    * raster by `factor`, re-encode with an updated header — the output is
+    * a well-formed (synthetic) PNG of the scaled image. Non-raster
+    * modalities take the stride-decimation fallback. */
   def resizeAssets(assets: DataFrame, factor: Int): DataFrame = {
     val s = assets.sparkSession
     import s.implicits._
-    assets.as[Asset]
-      .mapPartitions(_.map(a => a.copy(data = resizeStub(a.data, factor))))
-      .toDF()
+    assets.as[Asset].mapPartitions(_.map { a =>
+      val resized = pngDims(a.data) match {
+        case Some((w, _)) =>
+          val pooled = avgPool(a.data.drop(PngRasterOffset), w, factor)
+          val h = (a.data.length - PngRasterOffset) / math.max(w, 1)
+          val wOut = if (pooled.isEmpty) 0 else (w + factor - 1) / factor
+          val hOut = if (pooled.isEmpty) 0 else (h + factor - 1) / factor
+          pngHeaderBytes(wOut, hOut) ++ pooled
+        case None => strideDecimate(a.data, factor)
+      }
+      a.copy(data = resized)
+    }).toDF()
   }
 
   /** Canonical MP4 header (132 bytes), as hex, shared verbatim by the
@@ -342,20 +422,49 @@ object Multimodal {
         |FROM f
         |""".stripMargin) { (s, d) => extractFeatures(assets(s, d)) },
 
-    // Resize stage surfaced as a query: stride-2 downsample of each
-    // payload, reporting the output size and the strided bytes as hex
-    // (byte 2i = hex chars 4i+1..4i+2 of the full hex string).
+    // Resize stage surfaced as a query. Image rows take the REAL path —
+    // factor-2 average-pool of the post-IHDR raster at the parsed width,
+    // re-encoded under an updated header — and the oracle recomputes every
+    // pooled pixel from the same hex string: pixel (y,x) is hex chars
+    // 67+(y*w+x)*2 .. +2 (raster starts at byte 33), each output pixel the
+    // floor-mean of its 2x2 block (edge blocks partial, trailing partial
+    // row dropped). Non-raster modalities report the stride-2 decimation.
     QueryDef(
       "q_multimodal_resize",
-      s"""WITH $payloadHexCte
+      s"""WITH $payloadHexCte,
+        |img AS (
+        |  SELECT doc_id, phex, CAST(doc_id % 640 + 1 AS INT) AS w,
+        |    CAST((strlen(phex) // 2 - 33) // (doc_id % 640 + 1) AS INT) AS h
+        |  FROM p WHERE doc_id % 3 = 0),
+        |img2 AS (
+        |  SELECT doc_id, phex, w, h,
+        |    CAST(CASE WHEN h = 0 THEN 0 ELSE (w + 1) // 2 END AS INT) AS wout,
+        |    CAST(CASE WHEN h = 0 THEN 0 ELSE (h + 1) // 2 END AS INT) AS hout
+        |  FROM img)
+        |SELECT doc_id AS asset_id, CAST(33 + wout * hout AS INT) AS n_out,
+        |  '89504E470D0A1A0A' || '0000000D' || '49484452' ||
+        |  lpad(upper(to_hex(CAST(wout AS BIGINT))), 8, '0') ||
+        |  lpad(upper(to_hex(CAST(hout AS BIGINT))), 8, '0') ||
+        |  '0802000000' || '00000000' ||
+        |  coalesce(array_to_string([lpad(upper(to_hex(CAST(
+        |      list_sum(flatten([[('0x' || substring(phex, CAST(67 + (y * w + x) * 2 AS INT), 2))::INT
+        |        for x in range(CAST((i % wout) * 2 AS INT), CAST(least((i % wout) * 2 + 2, w) AS INT))]
+        |        for y in range(CAST((i // wout) * 2 AS INT), CAST(least((i // wout) * 2 + 2, h) AS INT))]))
+        |      // ((least((i // wout) * 2 + 2, h) - (i // wout) * 2)
+        |         * (least((i % wout) * 2 + 2, w) - (i % wout) * 2))
+        |    AS BIGINT))), 2, '0')
+        |    for i in range(0, wout * hout)], ''), '') AS out_hex
+        |FROM img2
+        |UNION ALL
         |SELECT doc_id AS asset_id,
         |  CAST((strlen(phex) // 2 + 1) // 2 AS INT) AS n_out,
-        |  array_to_string([substring(phex, CAST(i*4+1 AS INT), 2) for i in range(0, (strlen(phex) // 2 + 1) // 2)], '') AS strided_hex
-        |FROM p
+        |  array_to_string([substring(phex, CAST(i * 4 + 1 AS INT), 2)
+        |    for i in range(0, (strlen(phex) // 2 + 1) // 2)], '') AS out_hex
+        |FROM p WHERE doc_id % 3 <> 0
         |""".stripMargin) { (s, d) =>
       resizeAssets(assets(s, d), 2)
         .select(col("asset_id"), length(col("data")).as("n_out"),
-          hex(col("data")).as("strided_hex"))
+          hex(col("data")).as("out_hex"))
     },
 
     QueryDef(

@@ -43,4 +43,35 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.family("q_wordcount") == "wordcount")
     assert(Bench.family("q_join_stream_stream") == "join")
   }
+
+  // --- promote-only-if-better artifact guard (BENCH_r05: an all-cold
+  // passes=1 overrun run clobbered a valid min-of-3 artifact) ---
+
+  private def line(passes: Map[String, Int]): String =
+    Bench.fullLine(passes.keys.toSeq.map(_ -> 1.0), 0, "/x", passes)
+
+  test("minPasses reads the minimum sample count over successful queries") {
+    assert(Bench.minPasses(line(Map("a" -> 3, "b" -> 2, "c" -> 3))) == 2)
+    assert(Bench.minPasses(line(Map("a" -> 1, "b" -> 1))) == 1)
+  }
+
+  test("minPasses ignores failed queries (0 passes) and defaults legacy lines to 1") {
+    assert(Bench.minPasses(line(Map("a" -> 3, "dead" -> 0))) == 3)
+    // a line with no passes map at all = single-sample
+    assert(Bench.minPasses(Bench.fullLine(Seq("a" -> 1.0), 0, "/x")) == 1)
+  }
+
+  test("an all-cold run must not replace a min-of-3 artifact") {
+    val good = line(Map("a" -> 3, "b" -> 2))
+    val cold = line(Map("a" -> 1, "b" -> 1))
+    assert(!Bench.shouldReplace(Some(good), cold))
+    assert(Bench.shouldReplace(Some(cold), good))
+  }
+
+  test("equally-measured checkpoints still replace (crash safety), and a missing file always writes") {
+    val a = line(Map("a" -> 2, "b" -> 2))
+    val b = line(Map("a" -> 2, "b" -> 3))
+    assert(Bench.shouldReplace(Some(a), b))
+    assert(Bench.shouldReplace(None, line(Map("a" -> 1))))
+  }
 }

@@ -147,17 +147,40 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(Multimodal.pngDims(Array.emptyByteArray).isEmpty)
   }
 
-  test("resize stub halves payloads; frames cover payload prefixes") {
+  test("avgPool is a correct box-filter: floor-means, partial edge blocks, dropped partial row") {
+    // 4-wide raster, bytes 0..11 = 3 full rows; byte 12 is a truncated
+    // scanline and must be dropped
+    val raster = (0 to 12).map(_.toByte).toArray
+    val out = Multimodal.avgPool(raster, w = 4, f = 2)
+    // blocks: {0,1,4,5}->2  {2,3,6,7}->4  {8,9}->8  {10,11}->10
+    assert(out.toSeq == Seq[Byte](2, 4, 8, 10))
+    assert(Multimodal.avgPool(Array.emptyByteArray, 4, 2).isEmpty)
+    assert(Multimodal.avgPool(Array[Byte](1, 2), 4, 2).isEmpty) // < one row
+    // factor 1 is identity on full rows
+    assert(Multimodal.avgPool(raster, 4, 1).toSeq == raster.take(12).toSeq)
+  }
+
+  test("resize: image payloads are re-encoded PNGs with pooled dims; others stride-decimate") {
     val resized = Multimodal.resizeAssets(Multimodal.assets(spark, sf), 2)
-    val lens = resized.select(length(col("data")).as("n")).as[Int].collect()
+      .select(col("asset_id"), col("modality"), col("data")).as[(Long, String, Array[Byte])]
+      .collect()
     val orig = graft.sources.Tables.documents(spark, sf)
-      .select(col("doc_id"), length(col("text")).as("n")).as[(Long, Int)].collect()
-    val expected = orig.map { case (id, n) =>
-      val full =
-        if (id % 3 == 0) n + 33 else if (id % 3 == 1) n + 44 else n + 132
-      (full + 1) / 2
+      .select(col("doc_id"), length(col("text")).as("n")).as[(Long, Int)]
+      .collect().toMap
+    resized.foreach { case (id, modality, data) =>
+      val n = orig(id)
+      if (modality == "image") {
+        val w = (id % 640 + 1).toInt
+        val h = n / w
+        val (wOut, hOut) = if (h == 0) (0, 0) else ((w + 1) / 2, (h + 1) / 2)
+        assert(Multimodal.pngDims(data).contains((wOut, hOut)),
+          s"asset $id: resized payload must be a parseable PNG with pooled dims")
+        assert(data.length == 33 + wOut * hOut)
+      } else {
+        val full = if (modality == "audio") n + 44 else n + 132
+        assert(data.length == (full + 1) / 2)
+      }
     }
-    assert(lens.sorted.toSeq == expected.sorted.toSeq)
     val frames = Multimodal.sampleFrames(Multimodal.assets(spark, sf))
     assert(frames.groupBy("asset_id").count().agg(max("count")).as[Long].head() <= 3)
   }
