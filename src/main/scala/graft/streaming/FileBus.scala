@@ -1,0 +1,234 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A message-bus emulation with Kafka's CONTRACT — a topic of N
+  * append-only partitions, each record addressed by (partition, offset),
+  * consumed via explicit offset ranges that a checkpoint can replay
+  * deterministically — implemented as a DataSource V2 `MicroBatchStream`
+  * over plain files (one `p<i>.log` per partition, offset = line number).
+  *
+  * This is the partitioned/replayable rung of the ingestion ladder above
+  * the at-most-once `socket` source (see [[Streaming.socketIngest]]): the
+  * reference's framed-socket ingest (`robust_socket_io.py:16-112`,
+  * `tools.py:71-99`) has neither partitions nor offsets, so a crashed
+  * reader loses in-flight records; here the source's `initialOffset` /
+  * `latestOffset` / `planInputPartitions(start, end)` are pure functions
+  * of the log, so any batch can be re-planned bit-identically after a
+  * crash — exactly-once end-to-end with a checkpointed sink. Swap
+  * `format(classOf[FileBusProvider].getName)` for `format("kafka")` and
+  * the query is production Kafka ingestion unchanged.
+  *
+  * Supported options:
+  *  - `path` (required): topic directory
+  *  - `startingOffsets`: `earliest` (default) or a JSON map
+  *    `{"0":12,"1":5}` of first offset to read per partition
+  *  - `maxRecordsPerTrigger`: admission control — cap on new records per
+  *    micro-batch, allocated to partitions in index order (deterministic)
+  *
+  * Scale design: one `InputPartition` per bus partition, so read
+  * parallelism is the topic's partition count (Kafka's own model); the
+  * driver holds only the O(partitions) offset map, never records. A real
+  * deployment points the same scan at object-store segment files.
+  */
+object FileBus {
+  val schema: StructType = new StructType()
+    .add("partition", IntegerType, nullable = false)
+    .add("offset", LongType, nullable = false)
+    .add("value", StringType, nullable = false)
+
+  def createTopic(dir: String, partitions: Int): Unit = {
+    require(partitions >= 1, s"need >=1 partition, got $partitions")
+    Files.createDirectories(Paths.get(dir))
+    (0 until partitions).foreach { p =>
+      val f = Paths.get(dir, s"p$p.log")
+      if (!Files.exists(f)) Files.createFile(f)
+    }
+  }
+
+  /** Append records to one partition (newline-framed; a record must not
+    * itself contain a newline). Returns the base offset of the appended
+    * range. */
+  def append(dir: String, partition: Int, records: Seq[String]): Long = {
+    require(records.forall(!_.contains('\n')), "records are newline-framed")
+    val f = Paths.get(dir, s"p$partition.log")
+    val base = lineCount(f)
+    val payload = records.map(_ + "\n").mkString
+    Files.write(f, payload.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    base
+  }
+
+  def partitions(dir: String): Seq[Int] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Seq.empty
+    Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("p") && s.endsWith(".log") =>
+        s.stripPrefix("p").stripSuffix(".log").toInt }
+      .toSeq.sorted
+  }
+
+  private[streaming] def lineCount(f: java.nio.file.Path): Long = {
+    if (!Files.exists(f)) return 0L
+    val in = Files.newInputStream(f)
+    try {
+      var n = 0L
+      val buf = new Array[Byte](64 * 1024)
+      var read = in.read(buf)
+      while (read > 0) {
+        var i = 0
+        while (i < read) { if (buf(i) == '\n') n += 1; i += 1 }
+        read = in.read(buf)
+      }
+      n
+    } finally in.close()
+  }
+
+  /** current end offsets (exclusive) per partition */
+  def endOffsets(dir: String): Map[Int, Long] =
+    partitions(dir).map(p => p -> lineCount(Paths.get(dir, s"p$p.log"))).toMap
+}
+
+/** Offset = end-exclusive line position per partition, stable JSON with
+  * numerically-sorted keys so equal offsets serialize identically (the
+  * offset log compares serialized forms). */
+case class FileBusOffset(counts: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    counts.toSeq.sortBy(_._1)
+      .map { case (p, n) => "\"" + p + "\":" + n }.mkString("{", ",", "}")
+}
+
+object FileBusOffset {
+  def parse(json: String): FileBusOffset = FileBusOffset(
+    "\"(\\d+)\":(\\d+)".r.findAllMatchIn(json)
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
+}
+
+class FileBusProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = FileBus.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new FileBusTable(Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("filebus: option 'path' is required")))
+}
+
+class FileBusTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"filebus:$dir"
+  override def schema(): StructType = FileBus.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new FileBusScan(dir, options.asCaseSensitiveMap().asScala.toMap)
+    }
+}
+
+class FileBusScan(dir: String, options: Map[String, String]) extends Scan {
+  private def opt(k: String): Option[String] =
+    options.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
+  override def readSchema(): StructType = FileBus.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new FileBusMicroBatchStream(dir,
+      opt("startingOffsets").getOrElse("earliest"),
+      opt("maxRecordsPerTrigger").map(_.toLong))
+  /** batch parity: the full log as a static table (start-to-end scan) */
+  override def toBatch(): Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      FileBus.endOffsets(dir).toSeq.sortBy(_._1)
+        .map { case (p, n) => FileBusRange(s"$dir/p$p.log", p, 0L, n): InputPartition }
+        .toArray
+    override def createReaderFactory(): PartitionReaderFactory = FileBusReaderFactory
+  }
+}
+
+class FileBusMicroBatchStream(dir: String, startingOffsets: String,
+    maxRecordsPerTrigger: Option[Long])
+  extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset =
+    if (startingOffsets.equalsIgnoreCase("earliest"))
+      FileBusOffset(FileBus.partitions(dir).map(_ -> 0L).toMap)
+    else FileBusOffset.parse(startingOffsets)
+
+  override def latestOffset(): Offset = FileBusOffset(FileBus.endOffsets(dir))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRecordsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  /** Admission control: advance each partition toward its end, spending
+    * the row quota in partition-index order — deterministic, so a
+    * replayed trigger plans the identical range. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[FileBusOffset].counts
+    val end = FileBus.endOffsets(dir)
+    limit match {
+      case mr: ReadMaxRows =>
+        var quota = mr.maxRows()
+        FileBusOffset(end.toSeq.sortBy(_._1).map { case (p, e) =>
+          val s = from.getOrElse(p, 0L)
+          val take = math.min(e - s, quota)
+          quota -= take
+          p -> (s + take)
+        }.toMap)
+      case _ => FileBusOffset(end)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FileBusOffset].counts
+    val e = end.asInstanceOf[FileBusOffset].counts
+    e.toSeq.sortBy(_._1).flatMap { case (p, eo) =>
+      val so = s.getOrElse(p, 0L)
+      if (eo > so) Some(FileBusRange(s"$dir/p$p.log", p, so, eo): InputPartition)
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = FileBusReaderFactory
+  override def deserializeOffset(json: String): Offset = FileBusOffset.parse(json)
+  override def commit(end: Offset): Unit = () // log retention is external
+  override def stop(): Unit = ()
+}
+
+/** one bus partition's [start, end) line range — the unit of parallelism */
+case class FileBusRange(path: String, partition: Int, start: Long, end: Long)
+  extends InputPartition
+
+object FileBusReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[FileBusRange]
+    new PartitionReader[InternalRow] {
+      private val reader = Files.newBufferedReader(
+        Paths.get(r.path), StandardCharsets.UTF_8)
+      private var pos = 0L
+      // skip to the range start; a bus segment read is sequential anyway
+      while (pos < r.start && reader.readLine() != null) pos += 1
+      private var line: String = null
+      override def next(): Boolean = {
+        if (pos >= r.end) return false
+        line = reader.readLine()
+        if (line == null) return false // log truncated under us: stop cleanly
+        pos += 1
+        true
+      }
+      override def get(): InternalRow =
+        InternalRow(r.partition, pos - 1, UTF8String.fromString(line))
+      override def close(): Unit = reader.close()
+    }
+  }
+}

@@ -130,7 +130,23 @@ object Streaming {
   // so its per-micro-batch fixed cost scales steeper than the windowed
   // aggs'; measured warm 2.7 s at 4 vs 5.2 s at 8 (and worse at 2 — the
   // join itself still wants parallelism) on the sf0.1 replay.
+  //
+  // No-data micro-batches are disabled for THIS query only: after the
+  // data batch, the advanced watermark otherwise triggers a rows=0 batch
+  // whose sole job is evicting expired join state — measured ~0.9-1.4 s
+  // (16 state-store commits) of the replay's ~3.7 s wall. An INNER
+  // join's OUTPUT never depends on that eviction pass, so skipping it is
+  // semantics-preserving here; the left-outer twin below keeps it ON
+  // (its unmatched-row emission happens exactly in that batch).
   def purchaseClickJoin(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 4) {
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = s.conf.get(ndKey)
+    s.conf.set(ndKey, "false")
+    try purchaseClickJoinInner(s, d)
+    finally s.conf.set(ndKey, ndPrev)
+  }
+
+  private def purchaseClickJoinInner(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val name = "stream_ssj_" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -241,22 +257,46 @@ object Streaming {
     * demo/dev rung of that ladder, stated honestly.
     *
     * Line format: `epoch_us,event_type,value`. Returns the UNSTARTED
-    * windowed aggregation; the caller owns sink + lifecycle. */
+    * windowed aggregation; the caller owns sink + lifecycle — and
+    * therefore the state-partition sizing: Structured Streaming resolves
+    * `spark.sql.shuffle.partitions` at query START (first micro-batch
+    * planning), so set it BEFORE `.start()`; a wrapper around
+    * construction alone is silently ineffective. */
   def socketIngest(s: SparkSession, host: String, port: Int): DataFrame =
-    withStatePartitions(s, 4) {
+    ingestAgg(
       s.readStream.format("socket")
         .option("host", host).option("port", port).load()
-        .select(split(col("value"), ",").as("f"))
-        .select(
-          timestamp_micros(col("f").getItem(0).cast("long")).as("ts"),
-          col("f").getItem(1).as("event_type"),
-          col("f").getItem(2).cast("double").as("v"))
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          graft.Exact.decOut(sum(col("v").cast("decimal(38,10)"))).as("sum_value"))
-        .select(col("window.start").as("window_start"), col("event_type"),
-          col("n"), col("sum_value"))
-    }
+        .select(col("value")))
+
+  /** The same watermark-ready windowed aggregation over ANY line feed
+    * (`epoch_us,event_type,value`): socket (at-most-once dev rung) and
+    * [[FileBus]] (partitioned, offset-replayable rung) both land here —
+    * the ingestion ladder shares one query body. */
+  def ingestAgg(lines: DataFrame): DataFrame =
+    lines
+      .select(split(col("value"), ",").as("f"))
+      .select(
+        timestamp_micros(col("f").getItem(0).cast("long")).as("ts"),
+        col("f").getItem(1).as("event_type"),
+        col("f").getItem(2).cast("double").as("v"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.decOut(sum(col("v").cast("decimal(38,10)"))).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Partitioned, offset-replayable ingestion: the [[FileBus]] topic at
+    * `dir` fed through the same windowed aggregation as [[socketIngest]].
+    * Unstarted — caller owns sink, checkpoint, and state sizing (set
+    * `spark.sql.shuffle.partitions` before `.start()`). `extraOptions`
+    * passes through `startingOffsets` / `maxRecordsPerTrigger`. */
+  def busIngest(s: SparkSession, dir: String,
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    val reader = s.readStream.format(classOf[FileBusProvider].getName)
+      .option("path", dir)
+    extraOptions.foreach { case (k, v) => reader.option(k, v) }
+    ingestAgg(reader.load().select(col("value")))
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(

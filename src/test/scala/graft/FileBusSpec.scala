@@ -1,0 +1,146 @@
+package graft
+
+import graft.streaming.{FileBus, FileBusMicroBatchStream, FileBusOffset, FileBusProvider, Streaming}
+import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+/** The partitioned/replayable ingestion rung: a FileBus topic consumed
+  * through the shared windowed aggregation, proving (1) per-partition
+  * offset ranges with admission control split the replay into multiple
+  * deterministic micro-batches, (2) explicit startingOffsets replay a
+  * suffix bit-identically, (3) a checkpointed restart resumes from the
+  * committed offset and lands exactly-once totals — the three properties
+  * the socket source (at-most-once, offsetless) cannot give. */
+class FileBusSpec extends SparkSpec {
+
+  private def mkTopic(parts: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("filebus_").toString
+    FileBus.createTopic(dir, parts)
+    dir
+  }
+
+  private val H0 = 0L
+  private val H1 = 3600L * 1000000L
+
+  /** records: (partition, line); aggregate expectation computed in-test */
+  private def rec(hourUs: Long, minute: Int, tpe: String, v: Double): String =
+    s"${hourUs + minute * 60000000L},$tpe,$v"
+
+  private def expectedAgg(lines: Seq[String]): Set[(Long, String, Long, Double)] =
+    lines.map(_.split(',')).groupBy(f =>
+        (f(0).toLong / H1 * 3600000L, f(1)))
+      .map { case ((ws, tpe), fs) =>
+        (ws, tpe, fs.size.toLong,
+          fs.map(f => BigDecimal(f(2))).sum
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+
+  private def collectAgg(table: String): Set[(Long, String, Long, Double)] =
+    spark.table(table).collect().map(r =>
+      (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+  test("offset json round-trips with stable ordering; admission control is deterministic") {
+    val o = FileBusOffset(Map(2 -> 7L, 0 -> 3L, 1 -> 0L))
+    assert(o.json() == """{"0":3,"1":0,"2":7}""")
+    assert(FileBusOffset.parse(o.json()) == o)
+
+    val dir = mkTopic(3)
+    FileBus.append(dir, 0, (1 to 5).map(i => s"$i"))
+    FileBus.append(dir, 1, (1 to 5).map(i => s"$i"))
+    FileBus.append(dir, 2, (1 to 5).map(i => s"$i"))
+    val stream = new FileBusMicroBatchStream(dir, "earliest", Some(7L))
+    val start = stream.initialOffset().asInstanceOf[FileBusOffset]
+    assert(start == FileBusOffset(Map(0 -> 0L, 1 -> 0L, 2 -> 0L)))
+    // quota 7 spends in partition-index order: p0 all 5, p1 first 2
+    val step1 = stream.latestOffset(start, ReadLimit.maxRows(7L)).asInstanceOf[FileBusOffset]
+    assert(step1 == FileBusOffset(Map(0 -> 5L, 1 -> 2L, 2 -> 0L)))
+    val step2 = stream.latestOffset(step1, ReadLimit.maxRows(7L)).asInstanceOf[FileBusOffset]
+    assert(step2 == FileBusOffset(Map(0 -> 5L, 1 -> 5L, 2 -> 4L)))
+    // re-planning the same range is bit-identical (replay determinism)
+    val plan1 = stream.planInputPartitions(start, step1).toSeq
+    val plan2 = stream.planInputPartitions(start, step1).toSeq
+    assert(plan1 == plan2 && plan1.size == 2)
+  }
+
+  test("batch parity: the full log reads as a static table with per-partition offsets") {
+    val dir = mkTopic(2)
+    FileBus.append(dir, 0, Seq("a", "b", "c"))
+    FileBus.append(dir, 1, Seq("d"))
+    val df = spark.read.format(classOf[FileBusProvider].getName)
+      .option("path", dir).load()
+    val rows = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set((0, 0L, "a"), (0, 1L, "b"), (0, 2L, "c"), (1, 0L, "d")))
+  }
+
+  test("admission control splits a partitioned topic into multiple micro-batches; agg is exact") {
+    val dir = mkTopic(3)
+    val lines = (0 until 3).flatMap { p =>
+      val ls = (0 until 10).map(i =>
+        rec(if (i % 2 == 0) H0 else H1, i, if (i % 3 == 0) "purchase" else "click", i + 0.5))
+      FileBus.append(dir, p, ls)
+      ls
+    }
+    val name = "bus_agg_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = Streaming.busIngest(spark, dir, Map("maxRecordsPerTrigger" -> "10"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(collectAgg(name) == expectedAgg(lines))
+      // 30 records at 10/trigger = at least 3 data batches
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3, s"expected >=3 data micro-batches, saw $dataBatches")
+    } finally q.stop()
+  }
+
+  test("explicit startingOffsets replays exactly the suffix") {
+    val dir = mkTopic(2)
+    val skipped = Seq(rec(H0, 0, "click", 100.0), rec(H0, 1, "click", 200.0))
+    val kept = Seq(rec(H0, 2, "click", 1.0), rec(H1, 0, "purchase", 2.0))
+    FileBus.append(dir, 0, skipped :+ kept.head)
+    FileBus.append(dir, 1, Seq(kept(1)))
+    val name = "bus_suffix_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = Streaming.busIngest(spark, dir,
+        Map("startingOffsets" -> """{"0":2,"1":0}"""))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(collectAgg(name) == expectedAgg(kept),
+        "the two skipped records must not appear in any aggregate")
+    } finally q.stop()
+  }
+
+  test("checkpointed restart resumes from committed offsets: exactly-once totals, delta-only reads") {
+    val dir = mkTopic(2)
+    val ckpt = java.nio.file.Files.createTempDirectory("filebus_ckpt_").toString
+    val first = Seq(rec(H0, 0, "click", 1.0), rec(H0, 1, "click", 2.0),
+      rec(H1, 0, "purchase", 3.0))
+    FileBus.append(dir, 0, first.take(2))
+    FileBus.append(dir, 1, first.drop(2))
+
+    val n1 = "bus_ck1_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q1 = Streaming.busIngest(spark, dir)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(n1).option("checkpointLocation", ckpt).start()
+    try {
+      q1.processAllAvailable()
+      assert(collectAgg(n1) == expectedAgg(first))
+    } finally q1.stop()
+
+    val delta = Seq(rec(H0, 3, "click", 4.0), rec(H1, 2, "click", 5.0))
+    FileBus.append(dir, 0, delta.take(1))
+    FileBus.append(dir, 1, delta.drop(1))
+
+    val n2 = "bus_ck2_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q2 = Streaming.busIngest(spark, dir)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(n2).option("checkpointLocation", ckpt).start()
+    try {
+      q2.processAllAvailable()
+      // exactly-once: restored state + delta == batch over everything
+      assert(collectAgg(n2) == expectedAgg(first ++ delta))
+      // and the restart read ONLY the delta records, not the whole log
+      val readRows = q2.recentProgress.map(_.numInputRows).sum
+      assert(readRows == delta.size,
+        s"restart must resume from committed offsets; read $readRows rows, want ${delta.size}")
+    } finally q2.stop()
+  }
+}
