@@ -200,8 +200,19 @@ object Dedup {
     // join (blocks equi-join, not all-pairs): the verify gate itself
     // stays sub-quadratic, so it survives fixtures far past sf0.1 —
     // and by the pigeonhole proof it returns the identical pair set.
-    // (Measured: the whole dedup+knn family verifies hash-green against
-    // DuckDB at sf0.1, 10x the driver's gate fixture, in ~8 min wall.)
+    // (Measured r6 on a 2.5x-stretched sf0.1 fixture — sf0.25-equivalent
+    // rows with a HARSHER dup mix (every doc gets a one-token-off
+    // near-dup replica, half get an exact replica, so candidate buckets
+    // are denser than uniform scale-up): the whole dedup+knn family
+    // verifies hash-green in ~70 s Spark + ~30 s DuckDB/compare. The
+    // binding constraint is NOT any candidate join — it is
+    // q_dedup_clusters' recursive `walk` CTE, 16.4 s of the oracle's
+    // 23.8 s family total at 2.5x vs 3.1 s at 1x: the recursive UNION
+    // enumerates every (node, reachable-label) pair, O(sum n_c^2) in
+    // component sizes, so merged clusters grow it super-linearly while
+    // every other oracle scales ~linearly. Past sf0.5-ish, cap the
+    // oracle's cluster verify to sampled components or verify labels
+    // against the Spark side's own fixpoint invariant instead.)
     QueryDef(
       "q_dedup_simhash",
       """WITH tok AS (

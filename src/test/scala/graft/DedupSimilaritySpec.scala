@@ -98,6 +98,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rounds <= 4, s"star+triangle took $rounds rounds")
   }
 
+  test("dedupClusters: high-degree star dragged through a long chain stays logarithmic") {
+    // adversarial mix for pointer jumping: the min id (0) sits at one end
+    // of a length-k chain; a high-degree star hangs off the FAR end (hub
+    // k, leaves k+1..k+m) and another off the middle — every leaf's label
+    // must be rewritten each time its hub's label improves, and the hub's
+    // label improves only as the chain's min-propagation front reaches it.
+    // Plain propagation would need ~k rounds and rewrite the big star's m
+    // leaves repeatedly; pointer jumping must stay ~log2(k+2).
+    val k = 128L
+    val m = 256L
+    val chain = (0L until k).map(i => (i, i + 1))
+    val endStar = (1L to m).map(l => (k, k + l))
+    val midStar = (1L to m).map(l => (k / 2, k + m + l))
+    // far-away disjoint pair guards against label bleed across components
+    val far = Seq((900000L, 900001L))
+    val pairs = (chain ++ endStar ++ midStar ++ far).toDF("i", "j")
+    val (out, rounds) = graft.api.Graft.dedupClustersCounted(pairs)
+    val byCluster = out.as[(Long, Long)].collect().groupBy(_._2)
+    assert(byCluster.keySet == Set(0L, 900000L), s"clusters: ${byCluster.keySet}")
+    assert(byCluster(0L).length == (k + 1 + 2 * m).toInt,
+      s"connected component size ${byCluster(0L).length}")
+    assert(byCluster(900000L).length == 2)
+    val diameter = k + 2 // chain + one star hop
+    val bound = 2 * (math.log(diameter.toDouble) / math.log(2)).ceil.toInt + 2
+    assert(rounds <= bound,
+      s"star-chain mix took $rounds rounds — not logarithmic (bound $bound)")
+    assert(rounds < diameter / 4, s"rounds=$rounds looks linear in diameter")
+  }
+
   test("exact dedup: sum of copies = total docs") {
     val total = q("q_dedup_exact").agg(sum("n_copies")).as[Long].head()
     assert(total == graft.sources.Tables.documents(spark, sf).count())

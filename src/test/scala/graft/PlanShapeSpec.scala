@@ -179,8 +179,12 @@ class PlanShapeSpec extends SparkSpec {
   test("registry invariant: no unpartitioned Window or CartesianProduct in any query plan") {
     // A Window with an empty partitionSpec funnels its entire input through
     // ONE task — the canonical single-node scale-killer. Sweep every
-    // registered query's optimized logical plan (cheap: no execution needed
-    // for the plan walk; lazily-built DataFrames stay lazy).
+    // registered query's optimized logical plan. The plan WALK itself needs
+    // no execution, but CONSTRUCTION is not free for every query: the
+    // iterative dedup queries run eager localCheckpoint jobs and the
+    // bucketed-upsert query writes its base table while building — this
+    // sweep deliberately pays that (~tens of seconds at sf0.001) to keep
+    // the invariant registry-wide rather than allowlist a moving subset.
     //
     // Allowlist = windows whose input is provably bounded by the PARTITION
     // COUNT, not the data size (the ranged-ranking pattern):
