@@ -58,6 +58,30 @@ object Bench {
   def shouldReplace(existing: Option[String], candidate: String): Boolean =
     existing.forall(e => minPasses(e) <= minPasses(candidate))
 
+  /** Write `line` to `path` under the [[shouldReplace]] guard. A refused
+    * candidate is persisted to `<path>.rejected` instead so the
+    * under-measured run still leaves inspectable evidence ON DISK (the
+    * stderr notice alone isn't part of the committed artifact trail) —
+    * without that file, a reader of a stale-looking bench_full.json
+    * can't tell a refused slammed-box run from no run at all. */
+  def writeArtifact(path: String, line: String): Boolean = {
+    val existing =
+      try {
+        val f = new java.io.File(path)
+        if (f.exists) {
+          val src = scala.io.Source.fromFile(f)
+          try Some(src.mkString.trim) finally src.close()
+        } else None
+      } catch { case _: Throwable => None }
+    val ok = shouldReplace(existing, line)
+    val target = if (ok) path else path + ".rejected"
+    val w = new java.io.PrintWriter(target)
+    try w.println(line) finally w.close()
+    // a promoted artifact supersedes any earlier refusal evidence
+    if (ok) new java.io.File(path + ".rejected").delete()
+    ok
+  }
+
   def fullLine(results: Seq[(String, Double)], nFail: Int,
       sfDir: String, passes: Map[String, Int] = Map.empty,
       load: String = "null"): String = {
@@ -191,19 +215,10 @@ object Bench {
       "/root/repo/bench_full.json")
     def writeFull(line: String): Unit =
       try {
-        val existing =
-          try {
-            val f = new java.io.File(fullPath)
-            if (f.exists) Some(scala.io.Source.fromFile(f).mkString.trim)
-            else None
-          } catch { case _: Throwable => None }
-        if (shouldReplace(existing, line)) {
-          val w = new java.io.PrintWriter(fullPath)
-          try w.println(line) finally w.close()
-        } else
+        if (!writeArtifact(fullPath, line))
           System.err.println(s"[bench] NOT replacing $fullPath: existing artifact " +
-            s"has min ${existing.map(minPasses)} passes vs this run's ${minPasses(line)} " +
-            "(promote-only-if-better; finish more passes to overwrite)")
+            s"is better-measured than this run's min ${minPasses(line)} passes " +
+            s"(promote-only-if-better; candidate saved to $fullPath.rejected)")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
     def checkpoint(): Unit = {

@@ -195,7 +195,7 @@ object Multimodal {
     // the whole mapPartitions task — parsers are total over their own
     // checks, but a Try fence keeps the stage robust to adversarial bytes
     def safe[T](p: => Option[T]): Option[T] =
-      try p catch { case _: RuntimeException | _: IndexOutOfBoundsException => None }
+      try p catch { case scala.util.control.NonFatal(_) => None }
     val png = safe(pngDims(a.data))
     val wav = safe(wavMeta(a.data))
     val mp4 = safe(mp4DurationMs(a.data))

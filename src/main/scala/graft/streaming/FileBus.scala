@@ -59,10 +59,12 @@ object FileBus {
   }
 
   /** Append records to one partition (newline-framed; a record must not
-    * itself contain a newline). Returns the base offset of the appended
-    * range. */
+    * contain '\n' OR '\r' — BufferedReader.readLine splits on both, so a
+    * stray CR would desync offset accounting and break the bit-identical
+    * replay contract). Returns the base offset of the appended range. */
   def append(dir: String, partition: Int, records: Seq[String]): Long = {
-    require(records.forall(!_.contains('\n')), "records are newline-framed")
+    require(records.forall(r => !r.contains('\n') && !r.contains('\r')),
+      "records are line-framed: no \\n or \\r inside a record")
     val f = Paths.get(dir, s"p$partition.log")
     val base = lineCount(f)
     val payload = records.map(_ + "\n").mkString
@@ -74,11 +76,16 @@ object FileBus {
   def partitions(dir: String): Seq[Int] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return Seq.empty
-    Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("p") && s.endsWith(".log") =>
-        s.stripPrefix("p").stripSuffix(".log").toInt }
-      .toSeq.sorted
+    val ls = Files.list(d) // must close: this runs on EVERY trigger
+    try
+      ls.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(s => s.startsWith("p") && s.endsWith(".log"))
+        // non-numeric p*.log (e.g. a stray "pending.log") is not a
+        // partition — skip it rather than crash-loop the stream
+        .flatMap(_.stripPrefix("p").stripSuffix(".log").toIntOption)
+        .toSeq.sorted
+    finally ls.close()
   }
 
   private[streaming] def lineCount(f: java.nio.file.Path): Long = {
@@ -112,9 +119,19 @@ case class FileBusOffset(counts: Map[Int, Long]) extends Offset {
 }
 
 object FileBusOffset {
-  def parse(json: String): FileBusOffset = FileBusOffset(
-    "\"(\\d+)\":(\\d+)".r.findAllMatchIn(json)
-      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
+  /** Strict: a malformed offset map must fail the query at start, not
+    * silently parse to {} (= replay everything from 0 — the opposite of
+    * what a typo'd `startingOffsets` asked for). */
+  def parse(json: String): FileBusOffset = {
+    val t = json.trim
+    require(t.startsWith("{") && t.endsWith("}"),
+      s"filebus offsets must be a JSON object like {\"0\":12}, got: $json")
+    val entries = "\"(\\d+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(t)
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+    require(entries.nonEmpty || t.replaceAll("\\s", "") == "{}",
+      s"filebus offsets object has no \"<partition>\":<offset> entries: $json")
+    FileBusOffset(entries)
+  }
 }
 
 class FileBusProvider extends TableProvider {
@@ -161,6 +178,8 @@ class FileBusMicroBatchStream(dir: String, startingOffsets: String,
   override def initialOffset(): Offset =
     if (startingOffsets.equalsIgnoreCase("earliest"))
       FileBusOffset(FileBus.partitions(dir).map(_ -> 0L).toMap)
+    else if (startingOffsets.equalsIgnoreCase("latest"))
+      FileBusOffset(FileBus.endOffsets(dir)) // only records appended after start
     else FileBusOffset.parse(startingOffsets)
 
   override def latestOffset(): Offset = FileBusOffset(FileBus.endOffsets(dir))
@@ -177,13 +196,21 @@ class FileBusMicroBatchStream(dir: String, startingOffsets: String,
     limit match {
       case mr: ReadMaxRows =>
         var quota = mr.maxRows()
-        FileBusOffset(end.toSeq.sortBy(_._1).map { case (p, e) =>
+        FileBusOffset((end.keySet ++ from.keySet).toSeq.sorted.map { p =>
+          val e = end.getOrElse(p, 0L)
           val s = from.getOrElse(p, 0L)
-          val take = math.min(e - s, quota)
+          // clamp at 0: a startingOffset past the log end must not go
+          // NEGATIVE (which would both inflate the remaining quota and
+          // regress the stored offset below its start)
+          val take = math.max(0L, math.min(e - s, quota))
           quota -= take
           p -> (s + take)
         }.toMap)
-      case _ => FileBusOffset(end)
+      case _ =>
+        // monotone even if a start offset sits past the current log end
+        FileBusOffset((end.keySet ++ from.keySet).map { p =>
+          p -> math.max(end.getOrElse(p, 0L), from.getOrElse(p, 0L))
+        }.toMap)
     }
   }
 

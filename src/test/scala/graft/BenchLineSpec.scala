@@ -74,4 +74,23 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.shouldReplace(Some(a), b))
     assert(Bench.shouldReplace(None, line(Map("a" -> 1))))
   }
+
+  test("writeArtifact: refused candidates persist to .rejected; a promoted write clears it") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_art_").toString
+    val path = s"$dir/bench_full.json"
+    def read(p: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))).trim
+    val good = line(Map("a" -> 3))
+    val cold = line(Map("a" -> 1))
+    assert(Bench.writeArtifact(path, good))
+    assert(!Bench.writeArtifact(path, cold), "all-cold must be refused")
+    assert(read(path) == good, "artifact must keep the better run")
+    assert(read(path + ".rejected") == cold,
+      "the refused run must leave on-disk evidence, not just stderr")
+    val better = line(Map("a" -> 3, "b" -> 3))
+    assert(Bench.writeArtifact(path, better))
+    assert(read(path) == better)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".rejected")),
+      "a promoted artifact supersedes stale refusal evidence")
+  }
 }

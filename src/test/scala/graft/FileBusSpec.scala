@@ -61,6 +61,32 @@ class FileBusSpec extends SparkSpec {
     assert(plan1 == plan2 && plan1.size == 2)
   }
 
+  test("hostile inputs: CR records rejected, stray files skipped, bad offsets fail fast, no negative admission") {
+    val dir = mkTopic(2)
+    // \r would desync readLine-based offset accounting — must be rejected
+    intercept[IllegalArgumentException](FileBus.append(dir, 0, Seq("a\rb")))
+    intercept[IllegalArgumentException](FileBus.append(dir, 0, Seq("a\nb")))
+    // a stray non-numeric p*.log is not a partition and must not crash
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "pending.log"), "junk\n")
+    assert(FileBus.partitions(dir) == Seq(0, 1))
+    // malformed startingOffsets must fail at start, not replay-from-0
+    intercept[IllegalArgumentException](FileBusOffset.parse("latestt"))
+    intercept[IllegalArgumentException](FileBusOffset.parse("{bad json}"))
+    assert(FileBusOffset.parse("{}") == FileBusOffset(Map.empty))
+    assert(FileBusOffset.parse("""{ "0" : 3 }""") == FileBusOffset(Map(0 -> 3L)))
+    // a start offset past the log end: takes clamp at 0 (no quota
+    // inflation), offsets never regress
+    FileBus.append(dir, 0, Seq("x", "y"))
+    FileBus.append(dir, 1, (1 to 5).map(_.toString))
+    val stream = new FileBusMicroBatchStream(dir, """{"0":100,"1":0}""", Some(3L))
+    val step = stream.latestOffset(stream.initialOffset(), ReadLimit.maxRows(3L))
+      .asInstanceOf[FileBusOffset]
+    assert(step == FileBusOffset(Map(0 -> 100L, 1 -> 3L)),
+      s"p0 must hold at 100 (not regress to 2) and p1 must admit exactly 3: $step")
+    val all = stream.latestOffset(step, ReadLimit.allAvailable()).asInstanceOf[FileBusOffset]
+    assert(all == FileBusOffset(Map(0 -> 100L, 1 -> 5L)))
+  }
+
   test("batch parity: the full log reads as a static table with per-partition offsets") {
     val dir = mkTopic(2)
     FileBus.append(dir, 0, Seq("a", "b", "c"))
