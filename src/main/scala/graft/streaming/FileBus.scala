@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -173,7 +173,24 @@ class FileBusScan(dir: String, options: Map[String, String]) extends Scan {
 
 class FileBusMicroBatchStream(dir: String, startingOffsets: String,
     maxRecordsPerTrigger: Option[Long])
-  extends MicroBatchStream with SupportsAdmissionControl {
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow: the end offsets are SNAPSHOTTED at query start
+  // and every admission decision is bounded by that snapshot, so the
+  // query drains exactly the records that existed at start (in
+  // rate-limited micro-batches) and terminates — records appended during
+  // the drain wait for the next run. Null when running under a normal
+  // trigger.
+  @volatile private var availableNowCap: Map[Int, Long] = null
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = FileBus.endOffsets(dir)
+  private def currentEnd(): Map[Int, Long] = {
+    val end = FileBus.endOffsets(dir)
+    val cap = availableNowCap
+    if (cap == null) end
+    else end.map { case (p, e) => p -> math.min(e, cap.getOrElse(p, 0L)) }
+  }
 
   override def initialOffset(): Offset =
     if (startingOffsets.equalsIgnoreCase("earliest"))
@@ -182,7 +199,7 @@ class FileBusMicroBatchStream(dir: String, startingOffsets: String,
       FileBusOffset(FileBus.endOffsets(dir)) // only records appended after start
     else FileBusOffset.parse(startingOffsets)
 
-  override def latestOffset(): Offset = FileBusOffset(FileBus.endOffsets(dir))
+  override def latestOffset(): Offset = FileBusOffset(currentEnd())
 
   override def getDefaultReadLimit: ReadLimit =
     maxRecordsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
@@ -192,7 +209,7 @@ class FileBusMicroBatchStream(dir: String, startingOffsets: String,
     * replayed trigger plans the identical range. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[FileBusOffset].counts
-    val end = FileBus.endOffsets(dir)
+    val end = currentEnd()
     limit match {
       case mr: ReadMaxRows =>
         var quota = mr.maxRows()

@@ -134,6 +134,33 @@ class FileBusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the start-time snapshot in rate-limited batches, then terminates") {
+    val dir = mkTopic(2)
+    val ckpt = java.nio.file.Files.createTempDirectory("filebus_an_").toString
+    val lines = (0 until 12).map(i =>
+      rec(if (i % 2 == 0) H0 else H1, i, if (i % 4 == 0) "purchase" else "click", i * 1.5))
+    FileBus.append(dir, 0, lines.take(6))
+    FileBus.append(dir, 1, lines.drop(6))
+    def drainOnce(name: String): Long = {
+      val q = Streaming.busIngest(spark, dir, Map("maxRecordsPerTrigger" -> "5"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    val n1 = "bus_an1_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    assert(drainOnce(n1) == 12L)
+    assert(collectAgg(n1) == expectedAgg(lines))
+    // records appended after the first drain are picked up by the NEXT
+    // AvailableNow run from the same checkpoint — and only they are read
+    val extra = Seq(rec(H0, 20, "click", 99.0))
+    FileBus.append(dir, 1, extra)
+    val n2 = "bus_an2_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    assert(drainOnce(n2) == 1L, "second drain must read only the delta")
+    assert(collectAgg(n2) == expectedAgg(lines ++ extra))
+  }
+
   test("checkpointed restart resumes from committed offsets: exactly-once totals, delta-only reads") {
     val dir = mkTopic(2)
     val ckpt = java.nio.file.Files.createTempDirectory("filebus_ckpt_").toString
