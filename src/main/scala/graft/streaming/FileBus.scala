@@ -36,7 +36,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `startingOffsets`: `earliest` (default) or a JSON map
   *    `{"0":12,"1":5}` of first offset to read per partition
   *  - `maxRecordsPerTrigger`: admission control — cap on new records per
-  *    micro-batch, allocated to partitions in index order (deterministic)
+  *    micro-batch, allocated lag-proportionally across partitions
+  *    (deterministic; no partition starves while others have backlog)
   *
   * Scale design: one `InputPartition` per bus partition, so read
   * parallelism is the topic's partition count (Kafka's own model); the
@@ -61,16 +62,30 @@ object FileBus {
   /** Append records to one partition (newline-framed; a record must not
     * contain '\n' OR '\r' — BufferedReader.readLine splits on both, so a
     * stray CR would desync offset accounting and break the bit-identical
-    * replay contract). Returns the base offset of the appended range. */
+    * replay contract). Returns the base offset of the appended range.
+    *
+    * Writer contract (Kafka's model — ONE leader owns a partition's log):
+    * within this JVM, appends to the same partition are serialized by a
+    * per-file lock, so concurrent producers get disjoint offset ranges;
+    * ACROSS processes the contract is single-writer-per-partition — two
+    * processes appending to one p*.log would interleave bytes and offsets
+    * exactly as two rogue brokers would. */
   def append(dir: String, partition: Int, records: Seq[String]): Long = {
     require(records.forall(r => !r.contains('\n') && !r.contains('\r')),
       "records are line-framed: no \\n or \\r inside a record")
     val f = Paths.get(dir, s"p$partition.log")
-    val base = lineCount(f)
-    val payload = records.map(_ + "\n").mkString
-    Files.write(f, payload.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    base
+    val key = f.toAbsolutePath.toString
+    val lock = appendLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val base = lineCount(f)
+      val payload = records.map(_ + "\n").mkString
+      Files.write(f, payload.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      // the appended byte/line counts are known exactly — keep the
+      // (size -> lines) cache current without re-reading anything
+      countCache.put(key, (Files.size(f), base + records.size))
+      base
+    }
   }
 
   def partitions(dir: String): Seq[Int] = {
@@ -88,20 +103,49 @@ object FileBus {
     finally ls.close()
   }
 
+  private val appendLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** path -> (file length, newline count up to that length). Logs are
+    * append-only, so a cached prefix count is EXACT: newline counting is
+    * position-independent (count[0,size) = count[0,len) + count[len,size))
+    * and needs no line-boundary alignment. Keeps `endOffsets` — which the
+    * driver calls on EVERY trigger — at O(new bytes) instead of O(log). */
+  private val countCache = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  /** instrumentation: total bytes scanned by [[lineCount]] (FileBusSpec
+    * asserts a no-append trigger scans zero bytes) */
+  private[graft] val scanBytes = new java.util.concurrent.atomic.AtomicLong
+
   private[streaming] def lineCount(f: java.nio.file.Path): Long = {
     if (!Files.exists(f)) return 0L
-    val in = Files.newInputStream(f)
+    val key = f.toAbsolutePath.toString
+    val size = Files.size(f)
+    val cached = countCache.get(key)
+    if (cached != null && cached._1 == size) return cached._2
+    // truncation (cached len > size) voids the cache: full rescan
+    val (from, base) =
+      if (cached != null && cached._1 < size) cached else (0L, 0L)
+    val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
     try {
-      var n = 0L
-      val buf = new Array[Byte](64 * 1024)
-      var read = in.read(buf)
-      while (read > 0) {
-        var i = 0
-        while (i < read) { if (buf(i) == '\n') n += 1; i += 1 }
-        read = in.read(buf)
+      ch.position(from)
+      // scan exactly [from, size): a writer racing past the snapshot must
+      // not leak extra lines into a count cached as "size"
+      var remaining = size - from
+      val buf = java.nio.ByteBuffer.allocate(64 * 1024)
+      var n = base
+      while (remaining > 0) {
+        buf.clear()
+        if (remaining < buf.capacity()) buf.limit(remaining.toInt)
+        val read = ch.read(buf)
+        if (read <= 0) remaining = 0
+        else {
+          scanBytes.addAndGet(read)
+          var i = 0
+          while (i < read) { if (buf.get(i) == '\n') n += 1; i += 1 }
+          remaining -= read
+        }
       }
+      countCache.put(key, (size, n))
       n
-    } finally in.close()
+    } finally ch.close()
   }
 
   /** current end offsets (exclusive) per partition */
@@ -126,11 +170,20 @@ object FileBusOffset {
     val t = json.trim
     require(t.startsWith("{") && t.endsWith("}"),
       s"filebus offsets must be a JSON object like {\"0\":12}, got: $json")
-    val entries = "\"(\\d+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(t)
-      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
-    require(entries.nonEmpty || t.replaceAll("\\s", "") == "{}",
-      s"filebus offsets object has no \"<partition>\":<offset> entries: $json")
-    FileBusOffset(entries)
+    val pair = "\"(\\d+)\"\\s*:\\s*(\\d+)".r
+    val entries = pair.findAllMatchIn(t)
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toSeq
+    // strictness is all-or-nothing: stripping every well-formed
+    // "<digits>":<digits> pair (plus commas/whitespace) must leave bare
+    // braces — otherwise {"0":1,"oops":x} would silently parse to {0:1}
+    // and replay partition "oops"'s typo'd twin from 0, the exact
+    // failure fail-fast exists to prevent
+    val residue = pair.replaceAllIn(t, "").replaceAll("[,\\s]", "")
+    require(residue == "{}",
+      s"filebus offsets contain malformed entries (want \"<partition>\":<offset>): $json")
+    require(entries.map(_._1).distinct.size == entries.size,
+      s"filebus offsets repeat a partition key: $json")
+    FileBusOffset(entries.toMap)
   }
 }
 
@@ -204,30 +257,61 @@ class FileBusMicroBatchStream(dir: String, startingOffsets: String,
   override def getDefaultReadLimit: ReadLimit =
     maxRecordsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
 
-  /** Admission control: advance each partition toward its end, spending
-    * the row quota in partition-index order — deterministic, so a
-    * replayed trigger plans the identical range. */
+  /** Admission control: advance each partition toward its end, allocating
+    * the row quota PROPORTIONALLY to per-partition lag (Kafka's
+    * `maxOffsetsPerTrigger` model) — index-order spending would drain
+    * partition 0 fully before partition 1 saw a row, so a sustained
+    * backlog larger than the cap starves the high-index tail forever.
+    *
+    * Allocation is a pure function of (start, end, quota), so a replayed
+    * trigger plans the identical range:
+    *  1. min-1 pre-pass in index order — whenever quota >= the number of
+    *     lagging partitions, EVERY lagging partition admits >= 1 record
+    *     (no starvation);
+    *  2. floor-proportional share of the remaining quota by remaining lag
+    *     (BigInt math — no overflow for any quota x lag);
+    *  3. the leftover (< #lagging, from the floors) lands 1-at-a-time in
+    *     index order on partitions with headroom, cycling until spent. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[FileBusOffset].counts
     val end = currentEnd()
+    val parts = (end.keySet ++ from.keySet).toSeq.sorted
+    // clamp at 0: a startingOffset past the log end must not go NEGATIVE
+    // (which would inflate the quota and regress the offset below start)
+    val lag = parts.map { p =>
+      p -> math.max(0L, end.getOrElse(p, 0L) - from.getOrElse(p, 0L))
+    }.toMap
+    def advanceBy(take: Map[Int, Long]): FileBusOffset =
+      FileBusOffset(parts.map { p =>
+        p -> (math.max(end.getOrElse(p, 0L), from.getOrElse(p, 0L))
+          - lag(p) + take.getOrElse(p, 0L))
+      }.toMap)
     limit match {
-      case mr: ReadMaxRows =>
-        var quota = mr.maxRows()
-        FileBusOffset((end.keySet ++ from.keySet).toSeq.sorted.map { p =>
-          val e = end.getOrElse(p, 0L)
-          val s = from.getOrElse(p, 0L)
-          // clamp at 0: a startingOffset past the log end must not go
-          // NEGATIVE (which would both inflate the remaining quota and
-          // regress the stored offset below its start)
-          val take = math.max(0L, math.min(e - s, quota))
-          quota -= take
-          p -> (s + take)
-        }.toMap)
+      case mr: ReadMaxRows if lag.valuesIterator.sum > mr.maxRows() =>
+        val quota = mr.maxRows()
+        val lagging = parts.filter(lag(_) > 0)
+        val alloc = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+        var q = quota
+        lagging.foreach { p => if (q > 0) { alloc(p) = 1L; q -= 1 } }
+        val rem = lagging.map(p => p -> (lag(p) - alloc(p))).filter(_._2 > 0)
+        val remTotal = rem.iterator.map(_._2).sum
+        if (q > 0 && remTotal > 0) {
+          val q0 = q
+          rem.foreach { case (p, l) =>
+            val share = math.min((BigInt(q0) * l / remTotal).toLong, l)
+            alloc(p) += share
+            q -= share
+          }
+          while (q > 0) // total headroom >= q, so this terminates
+            lagging.foreach { p =>
+              if (q > 0 && alloc(p) < lag(p)) { alloc(p) += 1; q -= 1 }
+            }
+        }
+        advanceBy(alloc.toMap)
       case _ =>
-        // monotone even if a start offset sits past the current log end
-        FileBusOffset((end.keySet ++ from.keySet).map { p =>
-          p -> math.max(end.getOrElse(p, 0L), from.getOrElse(p, 0L))
-        }.toMap)
+        // allAvailable, or a cap the whole backlog fits under: take it all
+        // (monotone even if a start offset sits past the current log end)
+        advanceBy(lag)
     }
   }
 

@@ -375,6 +375,31 @@ object Streaming {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
         |  count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2
-        |""".stripMargin) { (s, d) => tumblingStream(s, d) }
+        |""".stripMargin) { (s, d) => tumblingStream(s, d) },
+
+    // Bus ingestion end-to-end under the hard gate: a deterministic
+    // FileBus topic (events rows keyed to 4 partitions — see
+    // FileBusFixture for the producer-role framing) read back through the
+    // DSv2 batch scan and the SAME ingestAgg body the socket and
+    // micro-batch rungs run, oracled by DuckDB over the very same p*.log
+    // files. The oracle path is fixed to the sf0.01 topic because the
+    // driver's correctness gate always verifies at sf0.01 (its contract);
+    // each sf keeps its own topic dir so bench runs at other scales can't
+    // clobber the one the oracle reads. Completes the reference residue:
+    // framed-socket record ingestion (`robust_socket_io.py:16-112`,
+    // `tools.py:71-99`) as a replayable partitioned log.
+    QueryDef(
+      "q_bus_ingest",
+      """SELECT date_trunc('hour', make_timestamp(ts_us)) AS window_start, event_type,
+        |  count(*) AS n, CAST(round(sum(CAST(v AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value
+        |FROM read_csv('/tmp/graft_bus_topic_sf0.01/p*.log',
+        |  columns={'ts_us': 'BIGINT', 'event_type': 'VARCHAR', 'v': 'DOUBLE'},
+        |  header=false, auto_detect=false)
+        |GROUP BY 1, 2
+        |""".stripMargin) { (s, d) =>
+      val topic = FileBusFixture.ensureTopic(s, d)
+      ingestAgg(s.read.format(classOf[FileBusProvider].getName)
+        .option("path", topic).load().select(col("value")))
+    }
   )
 }

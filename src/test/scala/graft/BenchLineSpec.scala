@@ -80,8 +80,8 @@ class BenchLineSpec extends AnyFunSuite {
     val path = s"$dir/bench_full.json"
     def read(p: String) = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))).trim
-    val good = line(Map("a" -> 3))
-    val cold = line(Map("a" -> 1))
+    val good = line(Map("a" -> 3, "b" -> 2))
+    val cold = line(Map("a" -> 1, "b" -> 1))
     assert(Bench.writeArtifact(path, good))
     assert(!Bench.writeArtifact(path, cold), "all-cold must be refused")
     assert(read(path) == good, "artifact must keep the better run")
@@ -92,5 +92,48 @@ class BenchLineSpec extends AnyFunSuite {
     assert(read(path) == better)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".rejected")),
       "a promoted artifact supersedes stale refusal evidence")
+  }
+
+  // --- same-benchmark guard: sf dir + query set (a better-measured run
+  // of a DIFFERENT experiment must not replace this one's artifact) ---
+
+  private def lineAt(sf: String, passes: Map[String, Int]): String =
+    Bench.fullLine(passes.keys.toSeq.map(_ -> 1.0), 0, sf, passes)
+
+  test("a run against a different sf fixture never replaces, however well-measured") {
+    val committed = lineAt("/root/testdata/sf0.1", Map("a" -> 3, "b" -> 3))
+    val otherSf = lineAt("/root/testdata/sf0.01", Map("a" -> 3, "b" -> 3))
+    assert(!Bench.shouldReplace(Some(committed), otherSf))
+    assert(Bench.shouldReplace(Some(committed),
+      lineAt("/root/testdata/sf0.1", Map("a" -> 3, "b" -> 3))))
+  }
+
+  test("a changed query registry never replaces silently (escape hatch: delete the artifact)") {
+    val committed = line(Map("a" -> 3, "b" -> 3))
+    val grown = line(Map("a" -> 3, "b" -> 3, "c" -> 3))
+    val shrunk = line(Map("a" -> 3))
+    assert(!Bench.shouldReplace(Some(committed), grown))
+    assert(!Bench.shouldReplace(Some(committed), shrunk))
+    assert(Bench.shouldReplace(None, grown), "after deleting the artifact, anything writes")
+  }
+
+  test("an existing-but-unreadable artifact refuses promotion (unreadable != absent)") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_art_").toString
+    val path = s"$dir/bench_full.json"
+    // a directory at the artifact path makes the read throw, not 'absent'
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(path))
+    assert(!Bench.writeArtifact(path, line(Map("a" -> 3))),
+      "an IO error reading the artifact must refuse, not clobber")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".rejected")))
+  }
+
+  test("compact line carries the minp validity marker") {
+    val rs = Seq("q_agg_a" -> 2.0, "q_agg_b" -> 1.0)
+    val cold = Bench.compactLine(rs, 0, "/x", "null", Map("q_agg_a" -> 1, "q_agg_b" -> 1))
+    assert(cold.contains("\"minp\":1"))
+    val warm = Bench.compactLine(rs, 0, "/x", "null", Map("q_agg_a" -> 3, "q_agg_b" -> 2))
+    assert(warm.contains("\"minp\":2"))
+    // legacy call without a passes map: marker defaults to 1 (single-sample)
+    assert(Bench.compactLine(rs, 0, "/x").contains("\"minp\":1"))
   }
 }

@@ -50,15 +50,94 @@ class FileBusSpec extends SparkSpec {
     val stream = new FileBusMicroBatchStream(dir, "earliest", Some(7L))
     val start = stream.initialOffset().asInstanceOf[FileBusOffset]
     assert(start == FileBusOffset(Map(0 -> 0L, 1 -> 0L, 2 -> 0L)))
-    // quota 7 spends in partition-index order: p0 all 5, p1 first 2
+    // quota 7 over equal lags {5,5,5}: min-1 pass gives each 1, floors of
+    // the remaining 4 give each +1, the leftover 1 lands on p0 (index
+    // order) — every partition advances, nobody drains alone
     val step1 = stream.latestOffset(start, ReadLimit.maxRows(7L)).asInstanceOf[FileBusOffset]
-    assert(step1 == FileBusOffset(Map(0 -> 5L, 1 -> 2L, 2 -> 0L)))
+    assert(step1 == FileBusOffset(Map(0 -> 3L, 1 -> 2L, 2 -> 2L)))
     val step2 = stream.latestOffset(step1, ReadLimit.maxRows(7L)).asInstanceOf[FileBusOffset]
     assert(step2 == FileBusOffset(Map(0 -> 5L, 1 -> 5L, 2 -> 4L)))
+    val step3 = stream.latestOffset(step2, ReadLimit.maxRows(7L)).asInstanceOf[FileBusOffset]
+    assert(step3 == FileBusOffset(Map(0 -> 5L, 1 -> 5L, 2 -> 5L)))
     // re-planning the same range is bit-identical (replay determinism)
     val plan1 = stream.planInputPartitions(start, step1).toSeq
     val plan2 = stream.planInputPartitions(start, step1).toSeq
-    assert(plan1 == plan2 && plan1.size == 2)
+    assert(plan1 == plan2 && plan1.size == 3)
+  }
+
+  test("proportional admission: cap respected, lag-proportional, no starvation, deterministic") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 50) {
+      val nParts = 1 + rnd.nextInt(6)
+      val lags = (0 until nParts).map(p => p -> rnd.nextInt(1000).toLong).toMap
+      val quota = 1L + rnd.nextInt(500)
+      val dir = mkTopic(nParts)
+      lags.foreach { case (p, l) => if (l > 0) FileBus.append(dir, p, (1L to l).map(_.toString)) }
+      val stream = new FileBusMicroBatchStream(dir, "earliest", Some(quota))
+      val start = stream.initialOffset()
+      val step = stream.latestOffset(start, ReadLimit.maxRows(quota)).asInstanceOf[FileBusOffset]
+      val take = step.counts.map { case (p, o) => p -> o } // start is all-0
+      val total = take.values.sum
+      // (a) per-trigger admission never exceeds the cap (and fills it
+      //     exactly while backlog remains)
+      assert(total == math.min(quota, lags.values.sum), s"lags=$lags quota=$quota take=$take")
+      take.foreach { case (p, t) => assert(t >= 0 && t <= lags(p)) }
+      // (b) allocation is replay-deterministic
+      val again = stream.latestOffset(start, ReadLimit.maxRows(quota)).asInstanceOf[FileBusOffset]
+      assert(again == step)
+      // (c) no starvation: whenever quota >= #lagging partitions, every
+      //     lagging partition admits at least one record
+      val lagging = lags.filter(_._2 > 0).keySet
+      if (quota >= lagging.size) lagging.foreach { p =>
+        assert(take(p) >= 1, s"partition $p starved: lags=$lags quota=$quota take=$take")
+      }
+      // (d) proportionality: a partition with k-fold the lag admits at
+      //     least its floor-share (min-1 pass skews only by 1 per part)
+      if (lags.values.sum > quota) {
+        val sumLag = lags.values.sum
+        lagging.foreach { p =>
+          val floorShare = quota * lags(p) / sumLag
+          assert(take(p) + lagging.size >= floorShare,
+            s"partition $p under-served: lags=$lags quota=$quota take=$take")
+        }
+      }
+    }
+  }
+
+  test("lineCount memoizes by (path, length): a no-append trigger scans zero bytes") {
+    val dir = mkTopic(2)
+    FileBus.append(dir, 0, (1 to 100).map(_.toString))
+    FileBus.append(dir, 1, (1 to 50).map(_.toString))
+    // append() primes the cache itself; endOffsets after appends must not
+    // re-read the logs at all
+    val b0 = FileBus.scanBytes.get()
+    assert(FileBus.endOffsets(dir) == Map(0 -> 100L, 1 -> 50L))
+    assert(FileBus.scanBytes.get() == b0,
+      "no-append endOffsets must be served from the (path, length) cache")
+    // a foreign append (bytes written behind the cache's back) costs
+    // exactly the new bytes, never a full-log rescan
+    val extra = "x1\nx2\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "p0.log"),
+      extra.getBytes("UTF-8"), java.nio.file.StandardOpenOption.APPEND)
+    val b1 = FileBus.scanBytes.get()
+    assert(FileBus.endOffsets(dir) == Map(0 -> 102L, 1 -> 50L))
+    assert(FileBus.scanBytes.get() - b1 == extra.length.toLong,
+      s"delta scan must cost only the appended bytes, scanned ${FileBus.scanBytes.get() - b1}")
+  }
+
+  test("concurrent same-partition appends are serialized: disjoint offset ranges") {
+    val dir = mkTopic(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val bases = (1 to 40).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = FileBus.append(dir, 0, Seq(s"a$i", s"b$i"))
+        })
+      }.map(_.get())
+      // 40 appends x 2 records: base offsets must be exactly {0,2,...,78}
+      assert(bases.sorted == (0 until 40).map(_ * 2L))
+      assert(FileBus.endOffsets(dir) == Map(0 -> 80L))
+    } finally pool.shutdown()
   }
 
   test("hostile inputs: CR records rejected, stray files skipped, bad offsets fail fast, no negative admission") {
@@ -72,6 +151,11 @@ class FileBusSpec extends SparkSpec {
     // malformed startingOffsets must fail at start, not replay-from-0
     intercept[IllegalArgumentException](FileBusOffset.parse("latestt"))
     intercept[IllegalArgumentException](FileBusOffset.parse("{bad json}"))
+    // a typo'd entry BESIDE well-formed ones must fail, not drop silently
+    // (dropping would replay the typo'd partition from 0)
+    intercept[IllegalArgumentException](FileBusOffset.parse("""{"0":1,"oops":2}"""))
+    intercept[IllegalArgumentException](FileBusOffset.parse("""{"0":1,"1":x}"""))
+    intercept[IllegalArgumentException](FileBusOffset.parse("""{"0":1,"0":2}"""))
     assert(FileBusOffset.parse("{}") == FileBusOffset(Map.empty))
     assert(FileBusOffset.parse("""{ "0" : 3 }""") == FileBusOffset(Map(0 -> 3L)))
     // a start offset past the log end: takes clamp at 0 (no quota
@@ -159,6 +243,53 @@ class FileBusSpec extends SparkSpec {
     val n2 = "bus_an2_" + java.util.UUID.randomUUID.toString.replace("-", "")
     assert(drainOnce(n2) == 1L, "second drain must read only the delta")
     assert(collectAgg(n2) == expectedAgg(lines ++ extra))
+  }
+
+  test("AvailableNow killed mid-ladder restarts exactly-once, with appends racing the drain") {
+    val dir = mkTopic(2)
+    val ckpt = java.nio.file.Files.createTempDirectory("filebus_ankill_").toString
+    val lines = (0 until 12).map(i =>
+      rec(if (i % 2 == 0) H0 else H1, i, if (i % 4 == 0) "purchase" else "click", i * 1.5))
+    FileBus.append(dir, 0, lines.take(6))
+    FileBus.append(dir, 1, lines.drop(6))
+
+    // run 1: cap 2 -> a 6-batch drain ladder; kill as soon as the first
+    // batch lands (wherever the stop actually falls, exactly-once must
+    // hold — the assertion below is valid for ANY kill point)
+    val n1 = "bus_kill1_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q1 = Streaming.busIngest(spark, dir, Map("maxRecordsPerTrigger" -> "2"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(n1).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val deadline = System.nanoTime() + 60e9.toLong
+    while (q1.isActive && q1.recentProgress.map(_.numInputRows).sum < 2 &&
+      System.nanoTime() < deadline) Thread.sleep(20)
+    q1.stop()
+    assert(q1.recentProgress.map(_.numInputRows).sum < 12,
+      "kill must land mid-ladder for this test to exercise the restart")
+
+    // records appended WHILE the first drain was dying: the restarted run
+    // snapshots its own start-time end offsets, so they are drained too
+    val extra = Seq(rec(H0, 30, "click", 7.0), rec(H1, 30, "purchase", 8.0))
+    FileBus.append(dir, 0, extra.take(1))
+    FileBus.append(dir, 1, extra.drop(1))
+
+    val n2 = "bus_kill2_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q2 = Streaming.busIngest(spark, dir, Map("maxRecordsPerTrigger" -> "2"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(n2).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      assert(q2.awaitTermination(60000), "restarted AvailableNow drain must self-terminate")
+      // exactly-once across the kill: every record counted once — the
+      // replayed uncommitted batch lands identically, committed batches
+      // are not re-read, racing appends are neither lost nor doubled
+      assert(collectAgg(n2) == expectedAgg(lines ++ extra))
+      // and the restart resumed from the checkpoint rather than replaying
+      // the whole topic: committed run-1 rows are not re-read
+      val committed1 = 12 + extra.size - q2.recentProgress.map(_.numInputRows).sum
+      assert(committed1 >= 0, "run 2 must not read more than the uncommitted remainder")
+    } finally q2.stop()
   }
 
   test("checkpointed restart resumes from committed offsets: exactly-once totals, delta-only reads") {
