@@ -9,9 +9,12 @@ import graft.sources.Tables._
   * with decode / feature-extraction as a typed `mapPartitions` stage.
   *
   * Image decode is REAL: image-modality payloads carry a well-formed PNG
-  * signature + IHDR chunk, and [[pngDims]] is a genuine PNG header parser
-  * (checked against javax.imageio-written PNGs in MultimodalSpec) — hand
-  * it actual PNG files and it returns their true dimensions. Audio/video
+  * signature + IHDR chunk, [[pngDims]] is a genuine PNG header parser
+  * (checked against javax.imageio-written PNGs in the spec), and
+  * [[pngRasterDecode]] is a full 8-bit PNG decoder — zlib IDAT inflate +
+  * complete scanline-filter undo — so hand the resize path an arbitrary
+  * compressed PNG and it decodes, pools, and re-encodes a real PNG
+  * ([[pngEncode]], correct CRCs and deflated scanlines). Audio/video
   * decode remains a clearly-marked deterministic STUB (no codecs in this
   * container); everything around it — schema, encoders, partition-batched
   * iteration, column pruning before the opaque stage — is the real
@@ -285,6 +288,171 @@ object Multimodal {
     out
   }
 
+  /** Full raster decode for REAL (zlib-compressed) PNGs: walk the chunk
+    * stream, concatenate the IDAT payloads, inflate with
+    * `java.util.zip.Inflater`, and undo the per-scanline filters — the
+    * COMPLETE filter set (None/Sub/Up/Average/Paeth, PNG spec §9) — to
+    * recover `(width, height, bytesPerPixel, raster)` where `raster` is
+    * `h` rows of `w*bpp` unfiltered bytes in pixel order. Handles the
+    * 8-bit non-interlaced color types (gray 0, truecolor 2, gray+alpha 4,
+    * RGBA 6). Returns None for anything else — including this engine's
+    * synthetic payloads, which carry no IDAT chunk at all and take the
+    * raw-raster path in [[resizeAssets]]. Everything here is the public
+    * PNG spec + java.util.zip; no image library. */
+  def pngRasterDecode(d: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    val dims = pngDims(d)
+    if (dims.isEmpty || d.length < 33) return None
+    val (w, h) = dims.get
+    val depth = d(24) & 0xff
+    val colorType = d(25) & 0xff
+    val interlace = d(28) & 0xff
+    val bpp = colorType match {
+      case 0 => 1 case 2 => 3 case 4 => 2 case 6 => 4 case _ => return None
+    }
+    if (depth != 8 || interlace != 0 || w <= 0 || h <= 0) return None
+    def be4(o: Int): Long =
+      ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+        ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+    // chunk walk: [len][type][data][crc] from after the signature
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 8L
+    var done = false
+    while (!done && off + 8 <= d.length) {
+      val o = off.toInt
+      val len = be4(o)
+      if (len < 0 || o + 12 + len > d.length) return None // malformed
+      new String(d, o + 4, 4, "US-ASCII") match {
+        case "IDAT" => idat.write(d, o + 8, len.toInt)
+        case "IEND" => done = true
+        case _ => ()
+      }
+      off += 12 + len
+    }
+    if (idat.size() == 0) return None
+    // inflate to exactly h filtered scanlines of (1 + w*bpp) bytes
+    val rowBytes = w * bpp
+    val filtered = new Array[Byte](h * (1 + rowBytes))
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < filtered.length && !inf.finished()) {
+        val n = inf.inflate(filtered, got, filtered.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got < filtered.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // unfilter (PNG spec §9.2): left = x-bpp in this row, up = prior row
+    val out = new Array[Byte](h * rowBytes)
+    var y = 0
+    while (y < h) {
+      val f = filtered(y * (1 + rowBytes)) & 0xff
+      val src = y * (1 + rowBytes) + 1
+      val dst = y * rowBytes
+      var x = 0
+      while (x < rowBytes) {
+        val raw = filtered(src + x) & 0xff
+        val left = if (x >= bpp) out(dst + x - bpp) & 0xff else 0
+        val up = if (y > 0) out(dst - rowBytes + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp) out(dst - rowBytes + x - bpp) & 0xff else 0
+        val recon = f match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + (left + up) / 2
+          case 4 => // Paeth predictor
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => return None // not a defined filter type
+        }
+        out(dst + x) = recon.toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, bpp, out))
+  }
+
+  /** [[avgPool]] generalized to an interleaved multi-channel raster:
+    * each channel pools independently over its f x f block (edge blocks
+    * partial) — the factor-f box filter on an RGB(A)/gray+alpha image. */
+  def avgPoolInterleaved(raster: Array[Byte], w: Int, h: Int, bpp: Int, f: Int): Array[Byte] = {
+    require(f >= 1 && bpp >= 1, s"pool factor/bpp must be >= 1, got $f/$bpp")
+    if (w <= 0 || h <= 0) return Array.empty
+    val wOut = (w + f - 1) / f
+    val hOut = (h + f - 1) / f
+    val out = new Array[Byte](wOut * hOut * bpp)
+    var oy = 0
+    while (oy < hOut) {
+      val y0 = oy * f
+      val y1 = math.min(y0 + f, h)
+      var ox = 0
+      while (ox < wOut) {
+        val x0 = ox * f
+        val x1 = math.min(x0 + f, w)
+        var c = 0
+        while (c < bpp) {
+          var sum = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { sum += raster((y * w + x) * bpp + c) & 0xff; x += 1 }
+            y += 1
+          }
+          out((oy * wOut + ox) * bpp + c) =
+            (sum / ((y1 - y0) * (x1 - x0))).toByte
+          c += 1
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  /** Encode a REAL standards-compliant PNG: IHDR/IDAT/IEND with correct
+    * CRC32s and zlib-deflated filter-0 scanlines (public java.util.zip).
+    * Any PNG reader decodes the output — the re-encode leg of the real
+    * resize path, as [[pngHeaderBytes]] is of the synthetic leg. */
+  def pngEncode(raster: Array[Byte], w: Int, h: Int, bpp: Int): Array[Byte] = {
+    val colorType = bpp match {
+      case 1 => 0 case 2 => 4 case 3 => 2 case 4 => 6
+      case _ => throw new IllegalArgumentException(s"unsupported bpp $bpp")
+    }
+    require(raster.length == w * h * bpp, "raster/dim mismatch")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSignature, 0, PngSignature.length)
+    def chunk(tpe: String, data: Array[Byte]): Unit = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 4 + data.length + 4)
+      bb.putInt(data.length).put(tpe.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bb.array(), 4, 4 + data.length)
+      bb.putInt(crc.getValue.toInt)
+      out.write(bb.array(), 0, bb.capacity())
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    val rowBytes = w * bpp
+    val filtered = new Array[Byte](h * (1 + rowBytes))
+    var y = 0
+    while (y < h) { // filter 0 per row: raw bytes behind a 0x00 tag
+      System.arraycopy(raster, y * rowBytes, filtered, y * (1 + rowBytes) + 1, rowBytes)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    val dos = new java.io.ByteArrayOutputStream()
+    val def2 = new java.util.zip.DeflaterOutputStream(dos, deflater)
+    def2.write(filtered); def2.finish(); def2.close(); deflater.end()
+    chunk("IDAT", dos.toByteArray)
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
   /** sig + IHDR chunk, 33 bytes — the same header shape [[assets]] emits,
     * with the given dims (re-encode step of the resize path) */
   private[operators] def pngHeaderBytes(w: Int, h: Int): Array[Byte] = {
@@ -297,13 +465,21 @@ object Multimodal {
     bb.array()
   }
 
-  /** Byte offset of the raster inside this engine's synthetic PNG
-    * payloads: sig(8) + IHDR length/type/data/crc(4+4+13+4). A full
-    * decoder would locate IDAT chunks and inflate; the synthetic
-    * payloads store the raster raw after IHDR (no zlib in the oracle),
-    * so the raster begins right after the header. The POOLING kernel
-    * above is codec-independent either way. */
+  /** Byte offset of the raster inside this engine's SYNTHETIC PNG
+    * payloads: sig(8) + IHDR length/type/data/crc(4+4+13+4). The
+    * synthetic payloads store the raster raw after IHDR (no zlib in the
+    * oracle — DuckDB can't inflate); real compressed PNGs instead take
+    * [[pngRasterDecode]]. The POOLING kernel is codec-independent. */
   private val PngRasterOffset = 33
+
+  /** This engine's synthetic image payloads are distinguishable from any
+    * real PNG by construction: the IHDR CRC field is ZEROED (bytes
+    * 29..32) and no IDAT chunk follows — a real encoder always writes
+    * the (nonzero) IHDR CRC. Gates the raw-raster-at-33 path so a real
+    * PNG that fails full decode can never be "pooled" over its
+    * compressed bytes. */
+  private[graft] def isSyntheticPng(d: Array[Byte]): Boolean =
+    d.length >= 33 && d(29) == 0 && d(30) == 0 && d(31) == 0 && d(32) == 0
 
   /** Non-image fallback: byte-stride decimation (audio sample-rate
     * halving shape for the WAV/MP4 payloads — a codec-aware pipeline
@@ -317,16 +493,30 @@ object Multimodal {
   }
 
   /** Resize stage over the asset table (typed, narrow, no shuffle).
-    * Image payloads take the REAL path: parse IHDR dims, average-pool the
-    * raster by `factor`, re-encode with an updated header — the output is
-    * a well-formed (synthetic) PNG of the scaled image. Non-raster
-    * modalities take the stride-decimation fallback. */
+    * Three rungs, most-real first:
+    *  1. a REAL compressed PNG (zlib IDAT) is fully decoded
+    *     ([[pngRasterDecode]]: inflate + unfilter), per-channel
+    *     average-pooled, and re-encoded as a REAL standards-compliant
+    *     PNG ([[pngEncode]]) — decode -> pool -> re-encode holds for
+    *     arbitrary PNGs from the outside world;
+    *  2. this engine's SYNTHETIC image payloads (zeroed IHDR CRC, no
+    *     IDAT — see [[isSyntheticPng]]) pool the raw raster stored after
+    *     the 33-byte header, the byte-exact shape the DuckDB oracle
+    *     recomputes (no zlib on the oracle side);
+    *  3. everything else — non-raster modalities AND any image payload
+    *     neither rung can honestly decode — takes stride decimation,
+    *     never a garbage pool over compressed bytes. */
   def resizeAssets(assets: DataFrame, factor: Int): DataFrame = {
     val s = assets.sparkSession
     import s.implicits._
     assets.as[Asset].mapPartitions(_.map { a =>
-      val resized = pngDims(a.data) match {
-        case Some((w, _)) =>
+      val resized = pngRasterDecode(a.data) match {
+        case Some((w, h, bpp, raster)) =>
+          val pooled = avgPoolInterleaved(raster, w, h, bpp, factor)
+          pngEncode(pooled, (w + factor - 1) / factor,
+            (h + factor - 1) / factor, bpp)
+        case None if pngDims(a.data).isDefined && isSyntheticPng(a.data) =>
+          val w = pngDims(a.data).get._1
           val pooled = avgPool(a.data.drop(PngRasterOffset), w, factor)
           val h = (a.data.length - PngRasterOffset) / math.max(w, 1)
           val wOut = if (pooled.isEmpty) 0 else (w + factor - 1) / factor
