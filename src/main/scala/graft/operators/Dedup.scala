@@ -142,11 +142,21 @@ object Dedup {
 
     // Dedup clusters: connected components over the minhash pair list —
     // (doc, canonical representative = min doc id in the component). The
-    // oracle walks the same graph with a recursive CTE; both sides reach
-    // the exact min-label fixpoint, so results match row-for-row.
+    // oracle reaches the same min-label fixpoint by ITERATIVE DOUBLING
+    // (12 propagate+pointer-jump stages, each MATERIALIZED so DuckDB
+    // cannot inline the chain into an exponential scan tree): reach at
+    // least doubles per stage, so labels are exact for any component of
+    // diameter < 2^12 — far past any dedup graph these fixtures or their
+    // stretches produce. This replaced the recursive `walk` CTE, which
+    // materialized every (node, reachable-label) pair — O(sum n_c^2) in
+    // component sizes, the measured verify ceiling of the whole dedup
+    // family (BASELINE.md): on the 2.5x harsh-dup stretch the doubling
+    // oracle runs 3.6 s vs walk's 11.5 s with identical output, and its
+    // per-stage work is linear in nodes+edges, so the sf0.5+ wall moves
+    // to the candidate joins where it belongs.
     QueryDef(
       "q_dedup_clusters",
-      """WITH RECURSIVE tok AS (
+      """WITH tok AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS l
         |  FROM documents
         |  WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) >= 3),
@@ -180,13 +190,20 @@ object Dedup {
         |  SELECT i, j FROM inter
         |  JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
         |  WHERE CAST(n AS DOUBLE) / (ca.c + cb.c - n) >= 0.5),
-        |ed AS (SELECT i AS a, j AS b FROM pr UNION SELECT j AS a, i AS b FROM pr),
-        |walk(id, lbl) AS (
-        |  SELECT DISTINCT a, a FROM ed
-        |  UNION
-        |  SELECT e.a, w.lbl FROM walk w JOIN ed e ON e.b = w.id)
-        |SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id
-        |""".stripMargin) { (s, d) =>
+        |ed AS MATERIALIZED (SELECT i AS a, j AS b FROM pr UNION SELECT j AS a, i AS b FROM pr),
+        |l0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS l FROM ed),
+        |""".stripMargin +
+        (1 to 12).map { k =>
+          s"""p$k AS MATERIALIZED (
+             |  SELECT n.v, least(n.l, coalesce(min(m.l), n.l)) AS l
+             |  FROM l${k - 1} n LEFT JOIN ed e ON e.a = n.v
+             |  LEFT JOIN l${k - 1} m ON m.v = e.b
+             |  GROUP BY n.v, n.l),
+             |l$k AS MATERIALIZED (
+             |  SELECT p.v, least(p.l, q.l) AS l
+             |  FROM p$k p JOIN p$k q ON q.v = p.l)""".stripMargin
+        }.mkString(",\n") +
+        "\nSELECT v AS doc_id, l AS cluster_id FROM l12\n") { (s, d) =>
       graft.api.Graft.dedupClusters(
         graft.api.Graft.minhashPairs(
           shingles(s, d).select("doc_id", "shingle"), threshold = 0.5))
@@ -204,15 +221,14 @@ object Dedup {
     // rows with a HARSHER dup mix (every doc gets a one-token-off
     // near-dup replica, half get an exact replica, so candidate buckets
     // are denser than uniform scale-up): the whole dedup+knn family
-    // verifies hash-green in ~70 s Spark + ~30 s DuckDB/compare. The
-    // binding constraint is NOT any candidate join — it is
-    // q_dedup_clusters' recursive `walk` CTE, 16.4 s of the oracle's
-    // 23.8 s family total at 2.5x vs 3.1 s at 1x: the recursive UNION
-    // enumerates every (node, reachable-label) pair, O(sum n_c^2) in
-    // component sizes, so merged clusters grow it super-linearly while
-    // every other oracle scales ~linearly. Past sf0.5-ish, cap the
-    // oracle's cluster verify to sampled components or verify labels
-    // against the Spark side's own fixpoint invariant instead.)
+    // verifies hash-green in ~70 s Spark + ~30 s DuckDB/compare. The r6
+    // binding constraint — q_dedup_clusters' recursive `walk` CTE,
+    // O(sum n_c^2) in component sizes — was replaced in r7 by the
+    // iterative-doubling oracle above (3.6 s vs 11.5 s at the 2.5x
+    // stretch, identical output, linear per-stage work), so the family
+    // ceiling now scales with the candidate equi-joins like every other
+    // oracle. Numbers and rationale: BASELINE.md "dedup-family oracle
+    // verify ceiling".)
     QueryDef(
       "q_dedup_simhash",
       """WITH tok AS (
