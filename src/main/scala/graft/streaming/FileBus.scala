@@ -45,10 +45,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * deployment points the same scan at object-store segment files.
   */
 object FileBus {
+  // fields are declared nullable (values are never null in practice) so
+  // AppendData's by-name resolution accepts ordinary nullable projections
+  // on the WRITE side — the sink validates actual nulls per record
   val schema: StructType = new StructType()
-    .add("partition", IntegerType, nullable = false)
-    .add("offset", LongType, nullable = false)
-    .add("value", StringType, nullable = false)
+    .add("partition", IntegerType)
+    .add("offset", LongType)
+    .add("value", StringType)
 
   def createTopic(dir: String, partitions: Int): Unit = {
     require(partitions >= 1, s"need >=1 partition, got $partitions")
@@ -84,6 +87,25 @@ object FileBus {
       // the appended byte/line counts are known exactly — keep the
       // (size -> lines) cache current without re-reading anything
       countCache.put(key, (Files.size(f), base + records.size))
+      base
+    }
+  }
+
+  /** Append pre-framed bytes (each record already '\n'-terminated, count
+    * known by the caller) to one partition under the same per-partition
+    * lock and cache discipline as [[append]] — the sink's commit path,
+    * which moves staged task output into the log without re-parsing it.
+    * Returns the base offset of the appended range. */
+  private[streaming] def appendRaw(dir: String, partition: Int,
+      payload: Array[Byte], nRecords: Long): Long = {
+    val f = Paths.get(dir, s"p$partition.log")
+    val key = f.toAbsolutePath.toString
+    val lock = appendLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val base = lineCount(f)
+      Files.write(f, payload,
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      countCache.put(key, (Files.size(f), base + nRecords))
       base
     }
   }
@@ -195,15 +217,21 @@ class FileBusProvider extends TableProvider {
       throw new IllegalArgumentException("filebus: option 'path' is required")))
 }
 
-class FileBusTable(dir: String) extends Table with SupportsRead {
+class FileBusTable(dir: String) extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"filebus:$dir"
   override def schema(): StructType = FileBus.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new FileBusScan(dir, options.asCaseSensitiveMap().asScala.toMap)
     }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    : org.apache.spark.sql.connector.write.WriteBuilder =
+    new FileBusWriteBuilder(dir, info)
 }
 
 class FileBusScan(dir: String, options: Map[String, String]) extends Scan {

@@ -49,6 +49,17 @@ object FileBusFixture {
     finally walk.close()
   }
 
+  /** A fresh, empty sink topic for round-trip checks: deleted and
+    * re-created on every call so the producer path under test starts
+    * from offset 0 deterministically. Per-sf dir for the same
+    * no-clobber reason as [[topicDir]]. */
+  def freshSinkTopic(sfDir: String, name: String): String = synchronized {
+    val dir = "/tmp/graft_bus_" + name + "_" + Paths.get(sfDir).getFileName.toString
+    deleteRecursively(Paths.get(dir))
+    FileBus.createTopic(dir, Partitions)
+    dir
+  }
+
   /** Build (or reuse) the topic for `sfDir`; returns the topic dir. */
   def ensureTopic(s: SparkSession, sfDir: String): String = synchronized {
     val dir = topicDir(sfDir)

@@ -400,6 +400,37 @@ object Streaming {
     // clobber the one the oracle reads. Completes the reference residue:
     // framed-socket record ingestion (`robust_socket_io.py:16-112`,
     // `tools.py:71-99`) as a replayable partitioned log.
+    // The SINK half of the bus contract under the same hard gate: read
+    // the deterministic topic, filter to purchase/click records, WRITE
+    // them through the DSv2 FileBus sink (task-staged files, broker-role
+    // driver commit) into a fresh topic, then read THAT topic back and
+    // aggregate. The oracle recomputes the aggregate from the ORIGINAL
+    // p*.log files with the same filter — any record the producer path
+    // dropped, duplicated, or mangled breaks the hash. The supplied
+    // offset column is ignored by the sink (the log assigns offsets),
+    // exactly as Kafka's producer contract.
+    QueryDef(
+      "q_bus_roundtrip",
+      """SELECT date_trunc('hour', make_timestamp(ts_us)) AS window_start, event_type,
+        |  count(*) AS n, CAST(round(sum(CAST(v AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value
+        |FROM read_csv('/tmp/graft_bus_topic_sf0.01/p*.log',
+        |  columns={'ts_us': 'BIGINT', 'event_type': 'VARCHAR', 'v': 'DOUBLE'},
+        |  header=false, auto_detect=false)
+        |WHERE event_type IN ('purchase', 'click')
+        |GROUP BY 1, 2
+        |""".stripMargin) { (s, d) =>
+      val topic = FileBusFixture.ensureTopic(s, d)
+      val sink = FileBusFixture.freshSinkTopic(d, "roundtrip")
+      s.read.format(classOf[FileBusProvider].getName)
+        .option("path", topic).load()
+        .filter(split(col("value"), ",").getItem(1).isin("purchase", "click"))
+        .select(col("partition"), lit(0L).as("offset"), col("value"))
+        .write.format(classOf[FileBusProvider].getName)
+        .option("path", sink).mode("append").save()
+      ingestAgg(s.read.format(classOf[FileBusProvider].getName)
+        .option("path", sink).load().select(col("value")))
+    },
+
     QueryDef(
       "q_bus_ingest",
       """SELECT date_trunc('hour', make_timestamp(ts_us)) AS window_start, event_type,

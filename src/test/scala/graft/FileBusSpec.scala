@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{FileBus, FileBusMicroBatchStream, FileBusOffset, FileBusProvider, Streaming}
+import graft.streaming.{FileBus, FileBusMicroBatchStream, FileBusOffset, FileBusProvider, FileBusStaged, FileBusStreamingWrite, Streaming}
 import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
 /** The partitioned/replayable ingestion rung: a FileBus topic consumed
@@ -290,6 +290,93 @@ class FileBusSpec extends SparkSpec {
       val committed1 = 12 + extra.size - q2.recentProgress.map(_.numInputRows).sum
       assert(committed1 >= 0, "run 2 must not read more than the uncommitted remainder")
     } finally q2.stop()
+  }
+
+  test("sink: batch write appends through staged files; per-partition content survives the round trip") {
+    val a = mkTopic(3)
+    val b = mkTopic(3)
+    (0 until 3).foreach { p =>
+      FileBus.append(a, p, (0 until 7).map(i => s"p$p-r$i"))
+    }
+    val src = spark.read.format(classOf[FileBusProvider].getName)
+      .option("path", a).load()
+    src.select(org.apache.spark.sql.functions.col("partition"),
+        org.apache.spark.sql.functions.lit(0L).as("offset"),
+        org.apache.spark.sql.functions.col("value"))
+      .write.format(classOf[FileBusProvider].getName)
+      .option("path", b).mode("append").save()
+    def contents(dir: String): Map[Int, Set[String]] =
+      spark.read.format(classOf[FileBusProvider].getName).option("path", dir).load()
+        .collect().groupBy(_.getInt(0))
+        .map { case (p, rs) => p -> rs.map(_.getString(2)).toSet }
+    assert(contents(b) == contents(a),
+      "every record must land in its own partition, none lost or duplicated")
+    // staged dir is cleaned up after commit; the source never lists it
+    assert(FileBus.partitions(b) == Seq(0, 1, 2))
+    val staged = java.nio.file.Paths.get(b, ".staged")
+    assert(!java.nio.file.Files.exists(staged) ||
+      !java.nio.file.Files.list(staged).iterator().hasNext)
+  }
+
+  test("sink: bad write schemas and CR/LF records are rejected") {
+    val b = mkTopic(1)
+    import org.apache.spark.sql.functions._
+    // missing partition column fails at plan time
+    intercept[Exception] {
+      spark.range(1).select(lit("x").as("value"))
+        .write.format(classOf[FileBusProvider].getName)
+        .option("path", b).mode("append").save()
+    }
+    // a CR inside a record fails the task (framing contract), nothing commits
+    intercept[Exception] {
+      spark.range(1).select(lit(0).as("partition"), lit(0L).as("offset"),
+          lit("bad\rrecord").as("value"))
+        .write.format(classOf[FileBusProvider].getName)
+        .option("path", b).mode("append").save()
+    }
+    assert(FileBus.endOffsets(b) == Map(0 -> 0L), "aborted writes must not append")
+  }
+
+  test("sink: streaming write is exactly-once across checkpointed restart; replayed epoch commit is a no-op") {
+    val a = mkTopic(2)
+    val b = mkTopic(2)
+    val ckpt = java.nio.file.Files.createTempDirectory("filebus_sink_").toString
+    FileBus.append(a, 0, Seq("a0", "a1"))
+    FileBus.append(a, 1, Seq("a2"))
+    def pump(): Unit = {
+      import org.apache.spark.sql.functions.col
+      val q = spark.readStream.format(classOf[FileBusProvider].getName)
+        .option("path", a).load()
+        .select(col("partition"), col("value"))
+        .writeStream.format(classOf[FileBusProvider].getName)
+        .option("path", b).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    pump()
+    FileBus.append(a, 0, Seq("a3"))
+    FileBus.append(a, 1, Seq("a4", "a5"))
+    pump() // restart from the same checkpoint: must write ONLY the delta
+    def all(dir: String): Map[Int, Seq[String]] =
+      spark.read.format(classOf[FileBusProvider].getName).option("path", dir).load()
+        .collect().groupBy(_.getInt(0))
+        .map { case (p, rs) => p -> rs.sortBy(_.getLong(1)).map(_.getString(2)).toSeq }
+    assert(all(b) == Map(0 -> Seq("a0", "a1", "a3"), 1 -> Seq("a2", "a4", "a5")),
+      "restart must append exactly the unseen records, in offset order")
+
+    // Spark's contract: commit(epochId) may be REPLAYED after recovery —
+    // the epoch marker must make the second commit a whole-epoch no-op
+    val w = new FileBusStreamingWrite(b, "qtest", "wtest", 0, 1)
+    val stagedFile = java.nio.file.Files.createTempFile("staged_", ".log")
+    java.nio.file.Files.writeString(stagedFile, "x0\nx1\n")
+    val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+      Array(FileBusStaged(0, stagedFile.toString, 0L, 2L))
+    val before = FileBus.endOffsets(b)(0)
+    w.commit(99L, msgs)
+    java.nio.file.Files.writeString(stagedFile, "x0\nx1\n") // re-staged replay
+    w.commit(99L, msgs)
+    assert(FileBus.endOffsets(b)(0) == before + 2,
+      "replaying a committed epoch must append nothing")
   }
 
   test("checkpointed restart resumes from committed offsets: exactly-once totals, delta-only reads") {
