@@ -61,36 +61,58 @@ object FileBusFixture {
   }
 
   /** Build (or reuse) the topic for `sfDir`; returns the topic dir. */
-  def ensureTopic(s: SparkSession, sfDir: String): String = synchronized {
-    val dir = topicDir(sfDir)
-    val evs = graft.sources.Tables.events(s, sfDir)
-    val n = evs.count()
-    val manifest = Paths.get(dir, "manifest.txt")
-    val want = s"$sfDir\n$n\n"
-    val current = Files.exists(manifest) &&
-      new String(Files.readAllBytes(manifest), UTF_8) == want
-    if (!current) {
-      deleteRecursively(Paths.get(dir))
-      FileBus.createTopic(dir, Partitions)
-      val lines = evs.select(
-        pmod(col("user_id"), lit(Partitions)).cast("int").as("p"),
-        col("event_id"),
-        concat_ws(",", unix_micros(col("ts")), col("event_type"),
-          col("value")).as("line"))
-      (0 until Partitions).foreach { p =>
-        // toLocalIterator, not collect: the producer streams one sorted
-        // partition at a time; driver memory holds one append chunk
-        val it = lines.filter(col("p") === p)
-          .orderBy("event_id").select("line").toLocalIterator()
-        val buf = new scala.collection.mutable.ArrayBuffer[String](8192)
-        while (it.hasNext) {
-          buf += it.next().getString(0)
-          if (buf.size == 8192) { FileBus.append(dir, p, buf.toSeq); buf.clear() }
+  def ensureTopic(s: SparkSession, sfDir: String): String =
+    ensureEventsTopic(s, sfDir, topicDir(sfDir),
+      evs => concat_ws(",", unix_micros(col("ts")), col("event_type"),
+        col("value")))
+
+  /** Deterministic KEYED topic for the compaction check
+    * (`q_bus_compact`): one record per event, `user_id,event_id,value`
+    * framing — user_id is the compaction key, event_id the producer
+    * sequence. Partitioning and in-partition order are the same as
+    * [[ensureTopic]] (user-hash partitions, event_id ascending), so
+    * offset order IS event_id order and the DuckDB oracle can state
+    * "latest record by offset" as `max(event_id)` per user without ever
+    * seeing line numbers. */
+  def ensureKeyedTopic(s: SparkSession, sfDir: String): String =
+    ensureEventsTopic(s, sfDir,
+      "/tmp/graft_bus_keyed_" + Paths.get(sfDir).getFileName.toString,
+      _ => concat_ws(",", col("user_id"), col("event_id"), col("value")))
+
+  /** Shared builder: events rows framed by `line`, partitioned by
+    * `user_id mod` [[Partitions]] (Kafka-style key hashing — one user's
+    * records stay ordered within one partition), event_id ascending
+    * within a partition. */
+  private def ensureEventsTopic(s: SparkSession, sfDir: String, dir: String,
+      line: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column): String =
+    synchronized {
+      val evs = graft.sources.Tables.events(s, sfDir)
+      val n = evs.count()
+      val manifest = Paths.get(dir, "manifest.txt")
+      val want = s"$sfDir\n$n\n"
+      val current = Files.exists(manifest) &&
+        new String(Files.readAllBytes(manifest), UTF_8) == want
+      if (!current) {
+        deleteRecursively(Paths.get(dir))
+        FileBus.createTopic(dir, Partitions)
+        val lines = evs.select(
+          pmod(col("user_id"), lit(Partitions)).cast("int").as("p"),
+          col("event_id"),
+          line(evs).as("line"))
+        (0 until Partitions).foreach { p =>
+          // toLocalIterator, not collect: the producer streams one sorted
+          // partition at a time; driver memory holds one append chunk
+          val it = lines.filter(col("p") === p)
+            .orderBy("event_id").select("line").toLocalIterator()
+          val buf = new scala.collection.mutable.ArrayBuffer[String](8192)
+          while (it.hasNext) {
+            buf += it.next().getString(0)
+            if (buf.size == 8192) { FileBus.append(dir, p, buf.toSeq); buf.clear() }
+          }
+          if (buf.nonEmpty) FileBus.append(dir, p, buf.toSeq)
         }
-        if (buf.nonEmpty) FileBus.append(dir, p, buf.toSeq)
+        Files.write(manifest, want.getBytes(UTF_8))
       }
-      Files.write(manifest, want.getBytes(UTF_8))
+      dir
     }
-    dir
-  }
 }

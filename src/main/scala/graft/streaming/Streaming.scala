@@ -238,6 +238,34 @@ object Streaming {
     s.table(name)
   }
 
+  /** Streaming decontamination — the stream-static rung of the LLM-data
+    * pipeline: documents arriving as a stream are fingerprinted in-flight
+    * and anti-joined against the STATIC eval-set fingerprint index, so a
+    * contaminated doc is dropped at ingest, before it ever lands in the
+    * corpus. A stream-static left-anti join is STATELESS in Structured
+    * Streaming — each micro-batch probes the static side independently,
+    * no watermark, no state store — so the cost is a per-batch broadcast
+    * hash anti-join whose build side is fingerprints only (16 bytes per
+    * eval doc), exactly the batch twin's (`q_dedup_decontaminate`)
+    * broadcast shape; the streamed documents never shuffle. Emits
+    * (doc_id, fp) of the surviving docs and shares the batch twin's
+    * oracle: arrival batching cannot change an anti-join's output. */
+  def decontaminateStream(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
+    import graft.api.Graft
+    val docs = graft.sources.Tables.documents(s, d)
+    val evalFp = docs.filter(col("doc_id") % 50 === 0)
+      .select(Graft.contentFp(col("text")).as("fp")).distinct()
+    val name = "stream_decon_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = s.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), Graft.contentFp(col("text")).as("fp"))
+      .join(broadcast(evalFp), Seq("fp"), "left_anti")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    drain(q)
+    s.table(name).select("doc_id", "fp")
+  }
+
   /** Streaming sliding-window aggregation: each event lands in two
     * overlapping 2h windows (1h slide) — same shape as the tumbling
     * stream, ~2x the state keys; shares the batch twin's oracle. */
@@ -443,6 +471,54 @@ object Streaming {
       val topic = FileBusFixture.ensureTopic(s, d)
       ingestAgg(s.read.format(classOf[FileBusProvider].getName)
         .option("path", topic).load().select(col("value")))
-    }
+    },
+
+    // Kafka-style log compaction under the hard gate: compact the keyed
+    // topic (latest record per user_id, per partition, source order
+    // preserved) into a fresh topic through the DSv2 sink, read THAT back
+    // and emit (part, off, user_id, event_id, v). The oracle recomputes
+    // latest-per-key from the ORIGINAL p*.log files — and re-derives the
+    // compacted topic's dense offsets from the preserved order, so a
+    // survivor that is dropped, duplicated, or written out of order
+    // breaks the hash. The fixture sorts each partition by event_id, so
+    // source-offset order IS event_id order and the oracle can state
+    // "latest by offset" as max(event_id) without seeing line numbers.
+    QueryDef(
+      "q_bus_compact",
+      """WITH r AS (
+        |  SELECT user_id, event_id, v
+        |  FROM read_csv('/tmp/graft_bus_keyed_sf0.01/p*.log',
+        |    columns={'user_id': 'BIGINT', 'event_id': 'BIGINT', 'v': 'DOUBLE'},
+        |    header=false, auto_detect=false)),
+        |latest AS (
+        |  SELECT CAST(user_id % 4 AS INT) AS part, user_id,
+        |    max(event_id) AS event_id, arg_max(v, event_id) AS v
+        |  FROM r GROUP BY user_id)
+        |SELECT part,
+        |  CAST(row_number() OVER (PARTITION BY part ORDER BY event_id) - 1 AS BIGINT) AS off,
+        |  user_id, event_id, v
+        |FROM latest
+        |""".stripMargin) { (s, d) =>
+      val topic = FileBusFixture.ensureKeyedTopic(s, d)
+      val out = FileBusFixture.freshSinkTopic(d, "compact")
+      FileBusCompact.compact(s, topic, out)
+      s.read.format(classOf[FileBusProvider].getName)
+        .option("path", out).load()
+        .select(col("partition").as("part"), col("offset").as("off"),
+          split(col("value"), ",").getItem(0).cast("long").as("user_id"),
+          split(col("value"), ",").getItem(1).cast("long").as("event_id"),
+          split(col("value"), ",").getItem(2).cast("double").as("v"))
+    },
+
+    QueryDef(
+      "q_stream_decontaminate",
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> ''), ' ')) AS fp
+        |  FROM documents)
+        |SELECT t.doc_id, t.fp FROM fp t
+        |WHERE t.doc_id % 50 <> 0
+        |  AND NOT EXISTS (SELECT 1 FROM fp e WHERE e.doc_id % 50 = 0 AND e.fp = t.fp)
+        |""".stripMargin) { (s, d) => decontaminateStream(s, d) }
   )
 }
