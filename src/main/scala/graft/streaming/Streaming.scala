@@ -325,6 +325,67 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming CDC upsert — the foreachBatch MERGE pattern: a keyed
+    * change feed consumed from the bus in MULTIPLE admission-controlled
+    * micro-batches, each batch reduced to its per-key latest change and
+    * applied onto the evolving state through [[graft.api.Graft.merge]]
+    * (the same full-outer MERGE INTO shape as `q_pipeline_upsert`).
+    * Delete semantics ride the feed deterministically: a change whose
+    * event_id % 29 == 0 is a tombstone ('D'), everything else an upsert
+    * ('U') — so the final state is "latest change per key, minus keys
+    * whose latest change is a tombstone", which is exactly what the
+    * oracle states over the raw log.
+    *
+    * Correct under ANY batching: a key's records live in one bus
+    * partition (key-hash producing) and are consumed in offset order, so
+    * the last batch containing a key applies that key's global latest
+    * change — per-batch reduction then sequential merge is a fold that
+    * always converges to latest-wins. The per-round `localCheckpoint`
+    * caps lineage exactly like the CC iteration.
+    *
+    * Scale shape: each trigger shuffles ONLY the change batch plus the
+    * state's join side — at 100 TB the state is the key-bucketed base of
+    * `q_pipeline_upsert_bucketed`, where the base reaches the merge with
+    * zero exchange and the per-trigger cost is the batch alone.
+    * foreachBatch is at-least-once by contract; a real deployment makes
+    * the apply idempotent (MERGE is) or transactional — stated, not
+    * papered over. Returns (final state, micro-batches applied). */
+  private[graft] def streamUpsertCounted(s: SparkSession, d: String,
+      batches: Int = 3): (DataFrame, Int) = withStatePartitions(s, 4) {
+    import s.implicits._
+    val topic = FileBusFixture.ensureKeyedTopic(s, d)
+    val total = FileBus.endOffsets(topic).values.sum
+    val cap = math.max(1L, total / batches + 1L)
+    var state: DataFrame = Seq.empty[(Long, Long, Double)]
+      .toDF("user_id", "event_id", "v")
+    var applied = 0
+    val q = s.readStream.format(classOf[FileBusProvider].getName)
+      .option("path", topic)
+      .option("maxRecordsPerTrigger", cap.toString)
+      .load()
+      .select(split(col("value"), ",").getItem(0).cast("long").as("user_id"),
+        split(col("value"), ",").getItem(1).cast("long").as("event_id"),
+        split(col("value"), ",").getItem(2).cast("double").as("v"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val changes = batch
+          .groupBy(col("user_id"))
+          .agg(max(col("event_id")).as("event_id"),
+            max_by(col("v"), col("event_id")).as("v"))
+          .withColumn("op",
+            when(col("event_id") % 29 === 0, lit("D")).otherwise(lit("U")))
+        state = graft.api.Graft.merge(state, changes, "user_id")
+          .drop("op").localCheckpoint()
+        applied += 1
+      }
+      .start()
+    drain(q)
+    (state, applied)
+  }
+
+  def streamUpsert(s: SparkSession, d: String): DataFrame =
+    streamUpsertCounted(s, d)._1
+
   /** Partitioned, offset-replayable ingestion: the [[FileBus]] topic at
     * `dir` fed through the same windowed aggregation as [[socketIngest]].
     * Unstarted — caller owns sink, checkpoint, and state sizing (set
@@ -519,6 +580,23 @@ object Streaming {
         |SELECT t.doc_id, t.fp FROM fp t
         |WHERE t.doc_id % 50 <> 0
         |  AND NOT EXISTS (SELECT 1 FROM fp e WHERE e.doc_id % 50 = 0 AND e.fp = t.fp)
-        |""".stripMargin) { (s, d) => decontaminateStream(s, d) }
+        |""".stripMargin) { (s, d) => decontaminateStream(s, d) },
+
+    // Streaming CDC upsert: the bus change feed folded through the MERGE
+    // shape batch-by-batch (foreachBatch). The oracle ignores batching
+    // entirely and states the fixpoint over the raw log — latest change
+    // per key, minus keys whose latest change is a tombstone — so a
+    // batching bug (lost batch, reordered apply, tombstone resurrection)
+    // breaks the hash.
+    QueryDef(
+      "q_stream_upsert",
+      """SELECT user_id, event_id, v FROM (
+        |  SELECT user_id, max(event_id) AS event_id, arg_max(v, event_id) AS v
+        |  FROM read_csv('/tmp/graft_bus_keyed_sf0.01/p*.log',
+        |    columns={'user_id': 'BIGINT', 'event_id': 'BIGINT', 'v': 'DOUBLE'},
+        |    header=false, auto_detect=false)
+        |  GROUP BY user_id) t
+        |WHERE event_id % 29 <> 0
+        |""".stripMargin) { (s, d) => streamUpsert(s, d) }
   )
 }

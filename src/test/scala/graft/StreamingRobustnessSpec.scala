@@ -78,4 +78,20 @@ class StreamingRobustnessSpec extends SparkSpec {
     assert(phase2 == Map("click" -> 75L, "view" -> 30L, "purchase" -> 25L),
       s"state must carry phase-1 counts across the restart, got $phase2")
   }
+
+  test("streamUpsert folds the change feed over MULTIPLE micro-batches") {
+    // the oracle can't see batching — this asserts the foreachBatch fold
+    // actually ran >1 admission-controlled batch AND still converged to
+    // the batch fixpoint (latest change per key, tombstones dropped)
+    val (state, applied) = Streaming.streamUpsertCounted(spark, sf, batches = 3)
+    assert(applied >= 2, s"expected a multi-batch fold, got $applied batch(es)")
+    val expected = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(max(col("event_id")).as("event_id"),
+        max_by(col("value"), col("event_id")).as("v"))
+      .filter(col("event_id") % 29 =!= 0)
+    assert(state.count() > 0)
+    assert(state.exceptAll(expected).isEmpty && expected.exceptAll(state).isEmpty,
+      "streamed fold must equal the batch fixpoint")
+  }
 }
