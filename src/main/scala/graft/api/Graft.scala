@@ -96,7 +96,18 @@ object Graft {
   }
 
   /** MinHash signatures (Kirsch-Mitzenmacher from one md5 per shingle) +
-    * LSH band buckets + exact-Jaccard verification of candidates. */
+    * LSH band buckets + exact-Jaccard verification of candidates.
+    *
+    * Formulation note (measured r7): an all-in-row variant — per-doc
+    * shingle ARRAYS with signatures via `transform` + `array_min`, no
+    * explode, zero pre-band shuffles — was built and REJECTED: 8.4 s vs
+    * 1.4 s warm at sf0.1. Spark evaluates higher-order-function lambdas
+    * interpreted (outside whole-stage codegen), and the k per-hash
+    * `array_min(transform(...))` projections re-evaluate the md5
+    * transform per hash row, so the shuffle it saves is repaid ~6x in
+    * CPU. The exploded relation below shuffles (doc_id, ha, hb) = ~24
+    * bytes/row into a fully codegen'd min-aggregate — cheaper at every
+    * scale where CPU, not network, is the dedup bottleneck. */
   def minhashPairs(shRaw: DataFrame, threshold: Double,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
