@@ -79,6 +79,32 @@ object Graft {
           i => concat_ws(" ", slice(col("l"), i, lit(n))))).as("shingle"))
       .distinct()
 
+  /** MinHash LSH band keys from an exploded `(doc_id, shingle)` relation
+    * (distinct per pair): `bands` rows per doc of `(doc_id, band,
+    * bandkey)`, where bandkey is the md5 of that band's signature slice.
+    * Two docs sharing any (band, bandkey) are LSH candidates. This is the
+    * shared index kernel: [[minhashPairs]] self-joins it for offline
+    * dedup; ingest-time filters build it ONCE over the corpus and
+    * semi-join each arriving batch against it. Portable md5-60 hashes —
+    * an oracle can restate every value exactly. */
+  def minhashBandKeys(sh: DataFrame, numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "bands must divide numHashes")
+    val hx = md5(col("shingle"))
+    val ha = conv(substring(hx, 1, 15), 16, 10).cast("long")
+    val hb = conv(substring(hx, 16, 15), 16, 10).cast("long") % lit(1L << 56)
+    val sig = sh.select(col("doc_id"), ha.as("ha"), hb.as("hb"))
+      .groupBy("doc_id").agg(
+        array((0 until numHashes).map(i =>
+          min((col("ha") + lit(i.toLong) * col("hb")) % lit(1L << 60))): _*).as("sig"))
+    sig.select(col("doc_id"), posexplode(
+      array((0 until bands).map(bIdx =>
+        md5(concat_ws(",", (0 until rows).map(r =>
+          element_at(col("sig"), bIdx * rows + r + 1).cast("string")): _*))): _*))
+      .as(Seq("band", "bandkey")))
+  }
+
   /** Exact n-gram Jaccard pairs >= `threshold` via the inverted shingle
     * index (candidates share >= 1 shingle; no all-pairs product). Callers
     * with skew-prone corpora should pre-band (see operators.Dedup). */
@@ -110,8 +136,6 @@ object Graft {
     * scale where CPU, not network, is the dedup bottleneck. */
   def minhashPairs(shRaw: DataFrame, threshold: Double,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val rows = numHashes / bands
-    require(bands * rows == numHashes, "bands must divide numHashes")
     // The shingle set feeds TWO branches (signatures and the per-doc
     // shingle arrays the verify step intersects); without materialization
     // each branch re-scans the corpus and re-explodes shingles.
@@ -120,18 +144,7 @@ object Graft {
     // index once" step — storage is the distinct shingle list (keys),
     // never documents.
     val sh = shRaw.localCheckpoint()
-    val hx = md5(col("shingle"))
-    val ha = conv(substring(hx, 1, 15), 16, 10).cast("long")
-    val hb = conv(substring(hx, 16, 15), 16, 10).cast("long") % lit(1L << 56)
-    val hashed = sh.select(col("doc_id"), ha.as("ha"), hb.as("hb"))
-    val sig = hashed.groupBy("doc_id").agg(
-      array((0 until numHashes).map(i =>
-        min((col("ha") + lit(i.toLong) * col("hb")) % lit(1L << 60))): _*).as("sig"))
-    val banded = sig.select(col("doc_id"), posexplode(
-      array((0 until bands).map(bIdx =>
-        md5(concat_ws(",", (0 until rows).map(r =>
-          element_at(col("sig"), bIdx * rows + r + 1).cast("string")): _*))): _*))
-      .as(Seq("band", "bandkey")))
+    val banded = minhashBandKeys(sh, numHashes, bands)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey")
           && col("x.doc_id") < col("y.doc_id"))

@@ -386,6 +386,51 @@ object Streaming {
   def streamUpsert(s: SparkSession, d: String): DataFrame =
     streamUpsertCounted(s, d)._1
 
+  /** Ingest-time near-dup filter: arriving documents are MinHash-LSH
+    * checked against a STATIC corpus index and dropped on any band
+    * collision — the standard architecture for keeping near-copies of an
+    * existing corpus out of a training set as data flows in.
+    *
+    * Build once / probe per batch: the corpus's `(band, bandkey)` index
+    * (docs with `doc_id % 3 == 0`) is computed a single time
+    * (localCheckpoint) before the stream starts; each micro-batch
+    * computes its own band keys with the SAME codegen'd kernel
+    * ([[graft.api.Graft.minhashBandKeys]] — batch semantics inside
+    * foreachBatch) and left-anti semi-joins the index. Stateless and
+    * batching-invariant: a doc's verdict depends only on its own text
+    * and the fixed index, so ANY admission schedule converges to the
+    * same kept set — which is exactly the fixpoint the oracle states.
+    *
+    * Scale shape: at 100 TB the index is bands x |corpus| short rows
+    * (hashes, never documents) — bucket-joinable, AQE-skew-splittable;
+    * arriving docs shuffle only their own (doc_id, ha, hb) triples for
+    * the per-batch signature aggregate. Docs too short to shingle (<3
+    * tokens) have no bands and pass through, stated in the oracle. */
+  def streamNearDup(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
+    import graft.api.Graft
+    val docs = graft.sources.Tables.documents(s, d)
+    val corpusIdx = Graft.minhashBandKeys(
+        Graft.shingleSet(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text"))
+      .select("band", "bandkey").distinct().localCheckpoint()
+    var kept: DataFrame = null
+    val q = s.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .filter(col("doc_id") % 3 =!= 0)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val hit = Graft.minhashBandKeys(Graft.shingleSet(batch, "doc_id", "text"))
+          .join(corpusIdx, Seq("band", "bandkey"), "left_semi")
+          .select("doc_id").distinct()
+        val keep = batch.select("doc_id").join(hit, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        kept = if (kept == null) keep else kept.union(keep).localCheckpoint()
+      }
+      .start()
+    drain(q)
+    if (kept == null) s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+    else kept
+  }
+
   /** Partitioned, offset-replayable ingestion: the [[FileBus]] topic at
     * `dir` fed through the same windowed aggregation as [[socketIngest]].
     * Unstarted — caller owns sink, checkpoint, and state sizing (set
@@ -597,6 +642,42 @@ object Streaming {
         |    header=false, auto_detect=false)
         |  GROUP BY user_id) t
         |WHERE event_id % 29 <> 0
-        |""".stripMargin) { (s, d) => streamUpsert(s, d) }
+        |""".stripMargin) { (s, d) => streamUpsert(s, d) },
+
+    // Ingest-time near-dup filter: stream docs dropped on any LSH band
+    // collision with the static corpus index. The oracle restates the
+    // whole minhash kernel (same CTEs as q_dedup_minhash) and the
+    // batching-free fixpoint: kept = stream docs with no (band, bandkey)
+    // shared with a corpus doc; too-short docs have no bands and pass.
+    QueryDef(
+      "q_stream_neardup",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS l
+        |  FROM documents
+        |  WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest([array_to_string(l[i:i+2], ' ') for i in range(1, greatest(len(l) - 1, 1))]) AS shingle
+        |    FROM tok) u),
+        |h2 AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS ha,
+        |    ('0x' || substr(md5(shingle), 16, 15))::BIGINT % 72057594037927936 AS hb
+        |  FROM sh),
+        |hv AS (
+        |  SELECT doc_id, i, min((ha + i * hb) % 1152921504606846976) AS mh
+        |  FROM h2, range(16) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hv GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bandkey
+        |  FROM sig, range(4) r2(b)),
+        |hits AS (
+        |  SELECT DISTINCT s.doc_id
+        |  FROM banded s JOIN banded c ON c.b = s.b AND c.bandkey = s.bandkey
+        |  WHERE s.doc_id % 3 <> 0 AND c.doc_id % 3 = 0)
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id % 3 <> 0
+        |  AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)
+        |""".stripMargin) { (s, d) => streamNearDup(s, d) }
   )
 }

@@ -94,4 +94,21 @@ class StreamingRobustnessSpec extends SparkSpec {
     assert(state.exceptAll(expected).isEmpty && expected.exceptAll(state).isEmpty,
       "streamed fold must equal the batch fixpoint")
   }
+
+  test("streamNearDup equals the batch LSH filter against the corpus index") {
+    import graft.api.Graft
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpusIdx = Graft.minhashBandKeys(
+        Graft.shingleSet(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text"))
+      .select("band", "bandkey").distinct()
+    val streamDocs = docs.filter(col("doc_id") % 3 =!= 0)
+    val hit = Graft.minhashBandKeys(Graft.shingleSet(streamDocs, "doc_id", "text"))
+      .join(corpusIdx, Seq("band", "bandkey"), "left_semi")
+      .select("doc_id").distinct()
+    val expected = streamDocs.select("doc_id").join(hit, Seq("doc_id"), "left_anti")
+    val got = Streaming.streamNearDup(spark, sf)
+    assert(got.count() > 0)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "ingest-time filter must equal the batch fixpoint")
+  }
 }
