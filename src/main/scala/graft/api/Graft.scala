@@ -355,6 +355,58 @@ object Graft {
       .filter(col("rnk") <= k)
   }
 
+  /** Distributed spherical k-means (Lloyd): train the coarse-quantizer
+    * codebook [[ivfProbe]] consumes, and the clustering a curation
+    * pipeline uses for domain discovery / mixture balancing.
+    *
+    * Deterministic end-to-end — no RNG, no model file: seeds are the `k`
+    * vectors with smallest md5-60 of their id (k-means++-style spread via
+    * hash pseudo-randomness, `orderBy(h60).limit(k)` =
+    * TakeOrderedAndProject, per-partition heaps — never a global sort);
+    * each round assigns every vector to its max-cosine centroid
+    * (broadcast k-row codebook, partitioned-window rank with a full
+    * tie-break) and recomputes centroids as per-(cell, dim) means with
+    * decimal(38,10) accumulation — bit-identical on any cluster layout
+    * AND in the DuckDB oracle, which replays every round as materialized
+    * CTE stages. A cell that loses all members dies (standard Lloyd);
+    * both engines drop it identically.
+    *
+    * Scale shape per round: one broadcast join (codebook is k rows), one
+    * shuffle of (cell, dim, x) triples for the mean — never documents or
+    * pairwise products; `localCheckpoint` truncates the k-row codebook
+    * lineage so the plan stays shallow at any iteration count.
+    *
+    * Returns the assignment after `iters` update+assign rounds:
+    * `(id, cell)` where cell is the seed vector's id. */
+  def kmeans(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val v = vecs.select(col("id"), col("vec"))
+    val seedKey = h60(concat(lit("km:"), col("id").cast("string")))
+    var cents = v.orderBy(seedKey.asc, col("id").asc).limit(k)
+      .select(col("id").as("cell"), col("vec").as("cvec"))
+      .localCheckpoint()
+    val wA = Window.partitionBy("id").orderBy(col("cos").desc, col("cell").asc)
+    def assign(cs: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cs))
+        .withColumn("cos", cosine(col("vec"), col("cvec")))
+        .select(col("id"), col("vec"), col("cell"),
+          row_number().over(wA).as("rn"))
+        .filter(col("rn") === 1)
+    var assigned = assign(cents)
+    (1 to iters).foreach { _ =>
+      val comp = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("i", "x")))
+        .groupBy("cell", "i")
+        .agg((graft.Exact.decOut(sum(graft.Exact.dec(col("x").cast("double"))))
+          / count(lit(1))).as("c"))
+      cents = comp.groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          s => s.getField("c")).as("cvec"))
+        .localCheckpoint()
+      assigned = assign(cents)
+    }
+    assigned.select(col("id"), col("cell"))
+  }
+
   // ---- sampling / splits ---------------------------------------------
 
   /** Deterministic 1-in-`rate` systematic sample by id hash. */

@@ -195,6 +195,54 @@ object Similarity {
         .withColumn("cos", cosine(col("emb_i"), col("emb_j")))
         .filter(col("cos") >= 0.4)
         .select("i", "j", "cos")
+    },
+
+    // Distributed spherical k-means (Lloyd, 3 rounds, k=8): the codebook
+    // trainer for IVF and the clustering a curation pipeline balances
+    // mixtures with. Fully deterministic (h60 seeds, decimal-exact
+    // centroid means, full tie-breaks), so the oracle replays EVERY round
+    // as materialized CTE stages — seeds, assign, re-center, assign... —
+    // and the final assignment must match hash-exactly. Scale: per round
+    // one k-row broadcast + one (cell, dim, x) shuffle; never pairwise.
+    QueryDef(
+      "q_cluster_kmeans",
+      kmeansOracle(k = 8, iters = 3)) { (s, d) =>
+      graft.api.Graft.kmeans(
+        embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 8, iters = 3)
     }
   )
+
+  /** DuckDB mirror of [[graft.api.Graft.kmeans]]: seeds by md5-60 of the
+    * id, then `iters` rounds of (decimal-exact per-(cell, dim) means ->
+    * max-cosine re-assignment), each stage MATERIALIZED. Same cosine
+    * (list_cosine_similarity == the codegen'd CosineSim fold), same
+    * rounding, same tie-breaks. */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    def assign(t: Int, cents: String): String =
+      s"""a$t AS MATERIALIZED (
+         |  SELECT id, cell FROM (
+         |    SELECT e.id, c.cell, row_number() OVER (PARTITION BY e.id
+         |      ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cell ASC) AS rn
+         |    FROM e CROSS JOIN $cents c) t WHERE rn = 1)""".stripMargin
+    def center(t: Int): String =
+      s"""ex$t AS (
+         |  SELECT a.cell, unnest([{'i': i, 'x': e.v[i+1]} for i in range(0, len(e.v))]) AS st
+         |  FROM a${t - 1} a JOIN e ON e.id = a.id),
+         |comp$t AS (
+         |  SELECT cell, st.i AS i,
+         |    CAST(round(sum(CAST(st.x AS DECIMAL(38,10))), 4) AS DOUBLE) / count(*) AS c
+         |  FROM ex$t GROUP BY cell, st.i),
+         |c$t AS MATERIALIZED (SELECT cell, list(c ORDER BY i) AS cvec FROM comp$t GROUP BY cell)""".stripMargin
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT id AS cell, v AS cvec FROM e
+       |  ORDER BY ('0x' || substr(md5('km:' || id::VARCHAR), 1, 15))::BIGINT ASC, id ASC
+       |  LIMIT $k),
+       |""".stripMargin +
+      assign(0, "seeds") + ",\n" +
+      (1 to iters).map(t => center(t) + ",\n" + assign(t, s"c$t"))
+        .mkString(",\n") +
+      s"\nSELECT id, cell FROM a$iters\n"
+  }
 }

@@ -61,7 +61,9 @@ object Plans {
     "q_multimodal_resize" ->
       "real avg-pool image resize at the sanctioned opaque boundary: one narrow typed MapPartitions (decode->pool->re-encode), zero exchanges — payload bytes never shuffle",
     "q_bus_ingest" ->
-      "bus ingestion: DSv2 BatchScan with ONE InputPartition per bus partition (read parallelism = topic partition count, Kafka's own model), then the shared partial/final windowed agg — records never touch the driver"
+      "bus ingestion: DSv2 BatchScan with ONE InputPartition per bus partition (read parallelism = topic partition count, Kafka's own model), then the shared partial/final windowed agg — records never touch the driver",
+    "q_cluster_kmeans" ->
+      "k-means final assignment: k-row codebook broadcast (BroadcastNestedLoopJoin over checkpointed centroids), max-cosine rank window partitioned by vector id — per-round plans read the checkpointed codebook, never the accumulated training lineage; re-center rounds shuffle (cell, dim) pairs only"
   )
 
   def main(args: Array[String]): Unit = {

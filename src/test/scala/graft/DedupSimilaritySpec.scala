@@ -131,4 +131,21 @@ class DedupSimilaritySpec extends SparkSpec {
     val total = q("q_dedup_exact").agg(sum("n_copies")).as[Long].head()
     assert(total == graft.sources.Tables.documents(spark, sf).count())
   }
+
+  test("kmeans: total assignment, <= k live cells, cells are seed ids, deterministic") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val n = emb.count()
+    val out = graft.api.Graft.kmeans(emb, k = 8, iters = 2)
+      .as[(Long, Long)].collect()
+    assert(out.length == n, "every vector assigned exactly once")
+    val cells = out.map(_._2).toSet
+    assert(cells.size <= 8 && cells.size > 1, s"degenerate clustering: $cells")
+    val ids = emb.select("id").as[Long].collect().toSet
+    assert(cells.subsetOf(ids), "cell labels must be seed vector ids")
+    // pure function of the input — a re-run must agree exactly
+    val again = graft.api.Graft.kmeans(emb, k = 8, iters = 2)
+      .as[(Long, Long)].collect()
+    assert(out.sorted.sameElements(again.sorted), "kmeans must be deterministic")
+  }
 }
