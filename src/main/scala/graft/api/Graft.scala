@@ -407,6 +407,114 @@ object Graft {
     assigned.select(col("id"), col("cell"))
   }
 
+  /** Product-quantization codebooks: an independent spherical k-means per
+    * subspace over the sliced vectors, trained in ONE DataFrame program
+    * (all subspaces iterate together — the per-round shuffles carry
+    * (m, cell, dim) keys, never vectors pairwise). `sub` is the sliced
+    * relation `(m, id, subvec)`. Seeds per subspace are the k smallest
+    * md5-60 ids, selected with M small TakeOrderedAndProject jobs (never
+    * a fat per-m window — at corpus scale a rank over 1/M of all rows
+    * per partition is the wrong shape; a production trainer would seed
+    * from a sample, stated honestly). Returns (codes `(m, id, cell)`,
+    * codebooks `(m, cell, cvec)`) after `iters` update+assign rounds —
+    * deterministic end-to-end, same guarantees as [[kmeans]]. */
+  def pqCodebooks(sub: DataFrame, subspaces: Int, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    val seedKey = h60(concat(lit("pq:"), col("m").cast("string"),
+      lit(":"), col("id").cast("string")))
+    var books = (0 until subspaces).map { m =>
+      sub.filter(col("m") === m)
+        .orderBy(seedKey.asc, col("id").asc).limit(k)
+        .select(col("m"), col("id").as("cell"), col("subvec").as("cvec"))
+    }.reduce(_ unionAll _).localCheckpoint()
+    val wA = Window.partitionBy("m", "id").orderBy(col("cos").desc, col("cell").asc)
+    def assign(bs: DataFrame): DataFrame =
+      sub.join(broadcast(bs), Seq("m"))
+        .withColumn("cos", cosine(col("subvec"), col("cvec")))
+        .select(col("m"), col("id"), col("subvec"), col("cell"),
+          row_number().over(wA).as("rn"))
+        .filter(col("rn") === 1)
+    var codes = assign(books)
+    (1 to iters).foreach { _ =>
+      val comp = codes
+        .select(col("m"), col("cell"), posexplode(col("subvec")).as(Seq("i", "x")))
+        .groupBy("m", "cell", "i")
+        .agg((graft.Exact.decOut(sum(graft.Exact.dec(col("x").cast("double"))))
+          / count(lit(1))).as("c"))
+      books = comp.groupBy("m", "cell")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          s => s.getField("c")).as("cvec"))
+        .localCheckpoint()
+      codes = assign(books)
+    }
+    (codes.select("m", "id", "cell"), books)
+  }
+
+  /** Product-quantization ANN (ADC): corpus vectors compress to
+    * `subspaces` one-byte codes (the 100 TB memory story — a 64-float
+    * embedding becomes 4 codewords); queries score candidates through a
+    * broadcast lookup table, so the per-candidate cost is `subspaces`
+    * table lookups and fixed-order adds — NO float vector math per
+    * corpus row at search time.
+    *
+    * approx_cos(q, x) = (sum_m dot(q_m, c_m(x))) / (|q| * sqrt(sum_m
+    * |c_m(x)|^2)) with all M-term sums folded in FIXED subspace order
+    * (m=0..M-1), so the double is reproducible on any cluster layout and
+    * restatable by the oracle. Ranks carry a full tie-break; output is
+    * ranks only, so last-ulp engine drift cannot surface even in
+    * principle.
+    *
+    * Two-stage, the production PQ shape: the ADC score ranks a
+    * `shortlist` of candidates per query (cheap lookups over the whole
+    * corpus), then ONLY the shortlist is re-scored with exact cosine
+    * against the true vectors and the final `topK` re-ranked. The
+    * shortlist is a constant per query, so the exact-math fraction
+    * SHRINKS as the corpus grows — at sf0.01 it is 100/500, at 100 TB it
+    * is 100/billions. */
+  def pqSearch(vecs: DataFrame, queries: DataFrame, subspaces: Int,
+      subDim: Int, k: Int, iters: Int, topK: Int,
+      shortlist: Int = 100): DataFrame = {
+    def sliced(df: DataFrame): DataFrame =
+      df.select(col("id"), posexplode(
+        array((0 until subspaces).map(m =>
+          slice(col("vec"), m * subDim + 1, subDim)): _*)).as(Seq("m", "subvec")))
+    val (codes, books) = pqCodebooks(sliced(vecs), subspaces, k, iters)
+    val booksN = books.withColumn("cn2",
+      graft.functions.VectorFunctions.norm2(col("cvec")))
+    val qn = queries.select(col("id").as("q_id"),
+      sqrt(graft.functions.VectorFunctions.norm2(col("vec"))).as("qn"))
+    val lut = sliced(queries).select(col("id").as("q_id"), col("m"), col("subvec"))
+      .join(booksN, Seq("m"))
+      .select(col("q_id"), col("m"), col("cell"),
+        graft.functions.VectorFunctions.dot(col("subvec"), col("cvec")).as("dotv"),
+        col("cn2"))
+    // per (query, doc): M lookup rows pivot to fixed-order columns so the
+    // float adds associate identically in both engines
+    val dcols = (0 until subspaces).map(m =>
+      max(when(col("m") === m, col("dotv"))).as(s"d$m"))
+    val ncols = (0 until subspaces).map(m =>
+      max(when(col("m") === m, col("cn2"))).as(s"n$m"))
+    val scored = codes.join(broadcast(lut), Seq("m", "cell"))
+      .groupBy(col("q_id"), col("id").as("n_id"))
+      .agg(dcols.head, (dcols.tail ++ ncols): _*)
+      .join(broadcast(qn), Seq("q_id"))
+      .withColumn("score",
+        (0 until subspaces).map(m => col(s"d$m")).reduce(_ + _)
+          / (col("qn") * sqrt((0 until subspaces).map(m => col(s"n$m")).reduce(_ + _))))
+    val wShort = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id").asc)
+    val short = scored.filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), row_number().over(wShort).as("prnk"))
+      .filter(col("prnk") <= shortlist)
+    val wFinal = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    short
+      .join(vecs.select(col("id").as("n_id"), col("vec")), Seq("n_id"))
+      .join(broadcast(queries.select(col("id").as("q_id"), col("vec").as("q_vec"))),
+        Seq("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("vec")))
+      .select(col("q_id"), col("n_id"), row_number().over(wFinal).as("rnk"))
+      .filter(col("rnk") <= topK)
+  }
+
   // ---- sampling / splits ---------------------------------------------
 
   /** Deterministic 1-in-`rate` systematic sample by id hash. */

@@ -132,6 +132,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(total == graft.sources.Tables.documents(spark, sf).count())
   }
 
+  test("PQ two-stage search: positive recall vs brute force, exact shortlist rerank") {
+    val brute = q("q_knn_brute").select("q_id", "n_id")
+      .as[(Long, Long)].collect().toSet
+    val pq = q("q_knn_pq").select("q_id", "n_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pq.nonEmpty && pq.map(_._1) == brute.map(_._1),
+      "every query must get PQ neighbors")
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    // 32 codewords x 4 subspaces + exact rerank of a 100-candidate
+    // shortlist: measured 0.8 at sf0.01 on structureless synthetic
+    // vectors (the ANN worst case); floor leaves noise margin
+    assert(recall >= 0.5, s"PQ recall@5 collapsed: $recall")
+  }
+
   test("kmeans: total assignment, <= k live cells, cells are seed ids, deterministic") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
