@@ -481,6 +481,66 @@ object Multimodal {
   private[graft] def isSyntheticPng(d: Array[Byte]): Boolean =
     d.length >= 33 && d(29) == 0 && d(30) == 0 && d(31) == 0 && d(32) == 0
 
+  /** REAL audio resample for canonical 16-bit PCM WAV: average each
+    * group of `factor` consecutive frames per channel (signed int16,
+    * floor division — the box filter, audio's avg-pool twin), halve the
+    * sample rate, and re-emit a well-formed WAV (RIFF/byteRate/data
+    * sizes all updated). Strict layout gate — RIFF/WAVE, 16-byte `fmt `,
+    * PCM format 1, 16-bit, `data` chunk at offset 36; anything else
+    * (compressed audio, odd bit depths, extension chunks) returns None
+    * and takes the honest stride fallback, never a garbage pool over
+    * non-PCM bytes. A trailing partial frame (payload not frame-aligned)
+    * is dropped — resampled audio has no tail bytes. */
+  private[graft] def wavResample(d: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    def le2(o: Int): Int = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+    def le4(o: Int): Long =
+      ((d(o) & 0xffL) | ((d(o + 1) & 0xffL) << 8) |
+        ((d(o + 2) & 0xffL) << 16) | ((d(o + 3) & 0xffL) << 24))
+    def tag(o: Int, t: String): Boolean =
+      t.zipWithIndex.forall { case (c, i) => d(o + i) == c.toByte }
+    if (!(d.length >= 44 && tag(0, "RIFF") && tag(8, "WAVE") &&
+        tag(12, "fmt ") && le4(16) == 16 && le2(20) == 1 &&
+        le2(34) == 16 && tag(36, "data") && factor >= 1))
+      return None
+    val ch = le2(22)
+    val rate = le4(24).toInt
+    if (ch < 1 || ch > 8 || rate < 1) return None
+    val align = ch * 2
+    val avail = math.min(le4(40), (d.length - 44).toLong).toInt
+    val nFrames = avail / align
+    val nOut = (nFrames + factor - 1) / factor
+    val outRate = rate / factor
+    val out = new Array[Byte](44 + nOut * align)
+    def w2(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def w4(o: Int, v: Int): Unit = { w2(o, v & 0xffff); w2(o + 2, v >>> 16) }
+    System.arraycopy(d, 0, out, 0, 44) // copy tags/format, then fix fields
+    w4(4, 36 + nOut * align)
+    w4(24, outRate)
+    w4(28, outRate * align)
+    w4(40, nOut * align)
+    var g = 0
+    while (g < nOut) {
+      val from = g * factor
+      val until = math.min(from + factor, nFrames)
+      var c = 0
+      while (c < ch) {
+        var sum = 0L
+        var f = from
+        while (f < until) {
+          sum += le2(44 + f * align + c * 2).toShort.toLong // sign-extend
+          f += 1
+        }
+        val avg = Math.floorDiv(sum, (until - from).toLong).toInt
+        w2(44 + g * align + c * 2, avg & 0xffff)
+        c += 1
+      }
+      g += 1
+    }
+    Some(out)
+  }
+
   /** Non-image fallback: byte-stride decimation (audio sample-rate
     * halving shape for the WAV/MP4 payloads — a codec-aware pipeline
     * would resample; the stride keeps the byte-in/byte-out narrow
@@ -503,9 +563,13 @@ object Multimodal {
     *     IDAT — see [[isSyntheticPng]]) pool the raw raster stored after
     *     the 33-byte header, the byte-exact shape the DuckDB oracle
     *     recomputes (no zlib on the oracle side);
-    *  3. everything else — non-raster modalities AND any image payload
-    *     neither rung can honestly decode — takes stride decimation,
-    *     never a garbage pool over compressed bytes. */
+    *  3. canonical 16-bit PCM WAV gets a REAL resample
+    *     ([[wavResample]]: per-channel frame-group averaging + rate/size
+    *     header rewrite — holds for arbitrary PCM files, ImageIO-style
+    *     round-trip proven in spec, and byte-exact in the oracle);
+    *  4. everything else — MP4 and any payload no rung can honestly
+    *     decode — takes stride decimation, never a garbage transform
+    *     over compressed bytes. */
   def resizeAssets(assets: DataFrame, factor: Int): DataFrame = {
     val s = assets.sparkSession
     import s.implicits._
@@ -522,7 +586,8 @@ object Multimodal {
           val wOut = if (pooled.isEmpty) 0 else (w + factor - 1) / factor
           val hOut = if (pooled.isEmpty) 0 else (h + factor - 1) / factor
           pngHeaderBytes(wOut, hOut) ++ pooled
-        case None => strideDecimate(a.data, factor)
+        case None =>
+          wavResample(a.data, factor).getOrElse(strideDecimate(a.data, factor))
       }
       a.copy(data = resized)
     }).toDF()
@@ -630,7 +695,14 @@ object Multimodal {
         |  SELECT doc_id, phex, w, h,
         |    CAST(CASE WHEN h = 0 THEN 0 ELSE (w + 1) // 2 END AS INT) AS wout,
         |    CAST(CASE WHEN h = 0 THEN 0 ELSE (h + 1) // 2 END AS INT) AS hout
-        |  FROM img)
+        |  FROM img),
+        |aud AS (
+        |  SELECT doc_id, phex, CAST(1 + doc_id % 2 AS INT) AS ch,
+        |    CAST(8000 + doc_id % 8 * 1000 AS INT) AS rate,
+        |    CAST((1 + doc_id % 2) * 2 AS INT) AS align,
+        |    CAST((strlen(phex) // 2 - 44) // ((1 + doc_id % 2) * 2) AS INT) AS nf,
+        |    CAST(((strlen(phex) // 2 - 44) // ((1 + doc_id % 2) * 2) + 1) // 2 AS INT) AS nout
+        |  FROM p WHERE doc_id % 3 = 1)
         |SELECT doc_id AS asset_id, CAST(33 + wout * hout AS INT) AS n_out,
         |  '89504E470D0A1A0A' || '0000000D' || '49484452' ||
         |  lpad(upper(to_hex(CAST(wout AS BIGINT))), 8, '0') ||
@@ -647,10 +719,29 @@ object Multimodal {
         |FROM img2
         |UNION ALL
         |SELECT doc_id AS asset_id,
+        |  CAST(44 + nout * align AS INT) AS n_out,
+        |  '52494646' || ${le4Sql("36 + nout * align")} || '57415645' ||
+        |  '666D7420' || '10000000' || '0100' || ${le2Sql("ch")} ||
+        |  ${le4Sql("rate // 2")} || ${le4Sql("(rate // 2) * align")} ||
+        |  ${le2Sql("align")} || '1000' || '64617461' || ${le4Sql("nout * align")} ||
+        |  coalesce(array_to_string(list_transform(
+        |    flatten(list_transform(range(0, nout), g ->
+        |      list_transform(range(0, ch), c ->
+        |        ((list_sum(list_transform(range(g * 2, least(g * 2 + 2, nf)), f ->
+        |            (('0x' || substring(phex, CAST(2 * (44 + f * align + c * 2) + 3 AS INT), 2)
+        |                   || substring(phex, CAST(2 * (44 + f * align + c * 2) + 1 AS INT), 2))::INT
+        |             + 32768) % 65536 - 32768))
+        |          // (least(g * 2 + 2, nf) - g * 2)
+        |         ) % 65536 + 65536) % 65536))),
+        |    uv -> lpad(upper(to_hex(uv % 256)), 2, '0') ||
+        |          lpad(upper(to_hex(uv // 256)), 2, '0')), ''), '') AS out_hex
+        |FROM aud
+        |UNION ALL
+        |SELECT doc_id AS asset_id,
         |  CAST((strlen(phex) // 2 + 1) // 2 AS INT) AS n_out,
         |  array_to_string([substring(phex, CAST(i * 4 + 1 AS INT), 2)
         |    for i in range(0, (strlen(phex) // 2 + 1) // 2)], '') AS out_hex
-        |FROM p WHERE doc_id % 3 <> 0
+        |FROM p WHERE doc_id % 3 = 2
         |""".stripMargin) { (s, d) =>
       resizeAssets(assets(s, d), 2)
         .select(col("asset_id"), length(col("data")).as("n_out"),

@@ -136,6 +136,34 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(Multimodal.wavMeta(Array.emptyByteArray).isEmpty)
   }
 
+  test("wavResample halves a genuine WAV: rate, frames, floor-averaged samples") {
+    val samples = Array[Short](1000, 2000, -3, -4, 7, 8, 9) // 7 mono frames
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(44100f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val out = Multimodal.wavResample(baos.toByteArray, 2)
+      .getOrElse(fail("AudioSystem-written PCM WAV must take the resample path"))
+    assert(Multimodal.wavMeta(out).contains((22050, 1)), "halved rate in header")
+    // floor averages incl. the negative-odd case: floor(-7/2) = -4, and
+    // the odd trailing frame passes through alone
+    val got = (0 until 4).map(i =>
+      ((out(44 + 2 * i) & 0xff) | (out(45 + 2 * i) << 8)).toShort)
+    assert(got == Seq[Short](1500, -4, 7, 9), s"got $got")
+    // ...and the output is a genuine WAV a real decoder accepts
+    val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(out))
+    assert(back.getFormat.getSampleRate == 22050f && back.getFrameLength == 4)
+    // non-PCM / malformed payloads refuse the rung
+    assert(Multimodal.wavResample("RIFFnope".getBytes("US-ASCII"), 2).isEmpty)
+  }
+
   test("pngDims reads genuine PNG files (javax.imageio round-trip)") {
     val img = new java.awt.image.BufferedImage(7, 5,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -307,9 +335,20 @@ class MultimodalStreamingSpec extends SparkSpec {
         assert(Multimodal.pngDims(data).contains((wOut, hOut)),
           s"asset $id: resized payload must be a parseable PNG with pooled dims")
         assert(data.length == 33 + wOut * hOut)
+      } else if (modality == "audio") {
+        // r7: canonical PCM payloads take the REAL resample — halved
+        // rate in a well-formed header, ceil(nf/2) frames, partial
+        // trailing frame dropped
+        val ch = (id % 2 + 1).toInt
+        val align = ch * 2
+        val nOut = (n / align + 1) / 2
+        assert(data.length == 44 + nOut * align,
+          s"asset $id: resampled WAV length")
+        assert(Multimodal.wavMeta(data)
+          .contains(((8000 + (id % 8) * 1000).toInt / 2, ch)),
+          s"asset $id: resampled WAV must carry the halved rate")
       } else {
-        val full = if (modality == "audio") n + 44 else n + 132
-        assert(data.length == (full + 1) / 2)
+        assert(data.length == (n + 132 + 1) / 2)
       }
     }
     val frames = Multimodal.sampleFrames(Multimodal.assets(spark, sf))
