@@ -63,7 +63,9 @@ object Plans {
     "q_bus_ingest" ->
       "bus ingestion: DSv2 BatchScan with ONE InputPartition per bus partition (read parallelism = topic partition count, Kafka's own model), then the shared partial/final windowed agg — records never touch the driver",
     "q_cluster_kmeans" ->
-      "k-means final assignment: k-row codebook broadcast (BroadcastNestedLoopJoin over checkpointed centroids), max-cosine rank window partitioned by vector id — per-round plans read the checkpointed codebook, never the accumulated training lineage; re-center rounds shuffle (cell, dim) pairs only"
+      "k-means final assignment: k-row codebook broadcast (BroadcastNestedLoopJoin over checkpointed centroids), max-cosine rank window partitioned by vector id — per-round plans read the checkpointed codebook, never the accumulated training lineage; re-center rounds shuffle (cell, dim) pairs only",
+    "q_knn_pq" ->
+      "product-quantization ANN: per-subspace codebooks and the query ADC lookup table both broadcast (M*k rows); the corpus scan scores codes against the LUT with no shuffle, TakeOrderedAndProject keeps the shortlist, and only the constant-size shortlist joins back for the exact-cosine rerank — corpus vectors never leave their partitions"
   )
 
   def main(args: Array[String]): Unit = {
