@@ -378,7 +378,14 @@ object Graft {
     *
     * Returns the assignment after `iters` update+assign rounds:
     * `(id, cell)` where cell is the seed vector's id. */
-  def kmeans(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeans(vecs: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansFit(vecs, k, iters)._1
+
+  /** [[kmeans]] exposing the trained model too: returns
+    * (assignment `(id, cell)`, centroids `(cell, cvec)`) — the centroids
+    * are what [[semanticDedup]] ranks centrality against, and what a
+    * caller would persist as the IVF codebook. */
+  def kmeansFit(vecs: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val v = vecs.select(col("id"), col("vec"))
     val seedKey = h60(concat(lit("km:"), col("id").cast("string")))
     var cents = v.orderBy(seedKey.asc, col("id").asc).limit(k)
@@ -404,7 +411,43 @@ object Graft {
         .localCheckpoint()
       assigned = assign(cents)
     }
-    assigned.select(col("id"), col("cell"))
+    (assigned.select(col("id"), col("cell")), cents)
+  }
+
+  /** Semantic (embedding-space) dedup, the SemDeDup shape: cluster the
+    * corpus with [[kmeansFit]], rank each cluster's members by centrality
+    * (cosine to their centroid, id tie-break), and DROP any member that
+    * has a strictly more-central same-cell neighbor with pairwise cosine
+    * >= `tau` — near-meaning-duplicates collapse to their most central
+    * representative, without any text overlap signal. The drop rule is a
+    * pure EXISTS over ranked pairs (not a sequential greedy scan), so it
+    * is order-independent and fully parallel.
+    *
+    * Scale shape: candidate pairs come from an equi-join on the cell key
+    * only — within-cell all-pairs is O(sum cell_i^2), which a production
+    * run bounds by scaling k with the corpus (SemDeDup trains ~N/avgCell
+    * clusters precisely so cells stay constant-size); centroids broadcast
+    * (k rows), members shuffle once on cell, and the pairwise cosine is
+    * the codegen'd [[graft.functions.CosineSim]] — no interpreted HOF in
+    * the hot loop. Returns kept rows `(id, cell)`. */
+  def semanticDedup(vecs: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
+    val (assigned, cents) = kmeansFit(vecs, k, iters)
+    val wR = Window.partitionBy("cell").orderBy(col("central").desc, col("id").asc)
+    val ranked = vecs.select(col("id"), col("vec"))
+      .join(assigned, Seq("id"))
+      .join(broadcast(cents), Seq("cell"))
+      .withColumn("central", cosine(col("vec"), col("cvec")))
+      .select(col("cell"), col("id"), col("vec"),
+        row_number().over(wR).as("kr"))
+    val more = ranked.select(col("cell"), col("id").as("i"),
+      col("vec").as("vi"), col("kr").as("ki"))
+    val less = ranked.select(col("cell"), col("id").as("j"),
+      col("vec").as("vj"), col("kr").as("kj"))
+    val dropped = more.join(less, Seq("cell"))
+      .filter(col("ki") < col("kj") &&
+        cosine(col("vi"), col("vj")) >= tau)
+      .select(col("j").as("id")).distinct()
+    ranked.select("id", "cell").join(dropped, Seq("id"), "left_anti")
   }
 
   /** Product-quantization codebooks: an independent spherical k-means per

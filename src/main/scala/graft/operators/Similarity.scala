@@ -231,6 +231,26 @@ object Similarity {
       graft.api.Graft.kmeans(
         embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
         k = 8, iters = 3)
+    },
+
+    // Semantic dedup (the SemDeDup shape): k-means cells, then within
+    // each cell drop every member that has a strictly more-central
+    // neighbor (cosine-to-centroid rank, id tie-break) with pairwise
+    // cosine >= tau — near-MEANING duplicates collapse to their most
+    // central representative with zero text-overlap signal. tau = 0.35:
+    // the synthetic embeddings are near-random (pairwise cosine tops out
+    // ~0.51), so a production-style 0.95 bar would be vacuous; 0.35
+    // drops a measured ~100 of 500 docs at sf0.01. Candidate pairs come
+    // from the cell equi-join only; k scales with the corpus so cells
+    // stay constant-size (the SemDeDup recipe), keeping within-cell
+    // pairs linear overall. The oracle replays the training rounds as
+    // materialized stages, then states the same EXISTS drop rule.
+    QueryDef(
+      "q_dedup_semantic",
+      semanticOracle(k = 8, iters = 2, tau = 0.35)) { (s, d) =>
+      graft.api.Graft.semanticDedup(
+        embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 8, iters = 2, tau = 0.35)
     }
   )
 
@@ -311,12 +331,14 @@ object Similarity {
          |""".stripMargin
   }
 
-  /** DuckDB mirror of [[graft.api.Graft.kmeans]]: seeds by md5-60 of the
-    * id, then `iters` rounds of (decimal-exact per-(cell, dim) means ->
-    * max-cosine re-assignment), each stage MATERIALIZED. Same cosine
-    * (list_cosine_similarity == the codegen'd CosineSim fold), same
-    * rounding, same tie-breaks. */
-  private def kmeansOracle(k: Int, iters: Int): String = {
+  /** The WITH-chain replaying [[graft.api.Graft.kmeansFit]] round by
+    * round: seeds by md5-60 of the id, then `iters` rounds of
+    * (decimal-exact per-(cell, dim) means -> max-cosine re-assignment),
+    * each stage MATERIALIZED. Same cosine (list_cosine_similarity == the
+    * codegen'd CosineSim fold), same rounding, same tie-breaks. Leaves
+    * `a$iters` (id, cell) and `c$iters` (cell, cvec) defined for the
+    * caller's tail; ends WITHOUT a trailing comma. */
+  private def kmeansStages(k: Int, iters: Int): String = {
     def assign(t: Int, cents: String): String =
       s"""a$t AS MATERIALIZED (
          |  SELECT id, cell FROM (
@@ -340,7 +362,31 @@ object Similarity {
        |""".stripMargin +
       assign(0, "seeds") + ",\n" +
       (1 to iters).map(t => center(t) + ",\n" + assign(t, s"c$t"))
-        .mkString(",\n") +
-      s"\nSELECT id, cell FROM a$iters\n"
+        .mkString(",\n")
   }
+
+  /** DuckDB mirror of [[graft.api.Graft.kmeans]]. */
+  private def kmeansOracle(k: Int, iters: Int): String =
+    kmeansStages(k, iters) + s"\nSELECT id, cell FROM a$iters\n"
+
+  /** DuckDB mirror of [[graft.api.Graft.semanticDedup]]: the kmeans
+    * stage replay, then centrality ranks against the final centroids and
+    * the same EXISTS drop rule over within-cell ranked pairs. `rk` is
+    * referenced twice -> MATERIALIZED. */
+  private def semanticOracle(k: Int, iters: Int, tau: Double): String =
+    kmeansStages(k, iters) + ",\n" +
+      s"""mem AS (
+         |  SELECT a.id, a.cell, e.v,
+         |    list_cosine_similarity(e.v, c.cvec) AS central
+         |  FROM a$iters a JOIN e ON e.id = a.id JOIN c$iters c ON c.cell = a.cell),
+         |rk AS MATERIALIZED (
+         |  SELECT id, cell, v, row_number() OVER (PARTITION BY cell
+         |    ORDER BY central DESC, id ASC) AS kr
+         |  FROM mem)
+         |SELECT id, cell FROM rk r
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM rk a
+         |  WHERE a.cell = r.cell AND a.kr < r.kr
+         |    AND list_cosine_similarity(a.v, r.v) >= $tau)
+         |""".stripMargin
 }

@@ -65,7 +65,9 @@ object Plans {
     "q_cluster_kmeans" ->
       "k-means final assignment: k-row codebook broadcast (BroadcastNestedLoopJoin over checkpointed centroids), max-cosine rank window partitioned by vector id — per-round plans read the checkpointed codebook, never the accumulated training lineage; re-center rounds shuffle (cell, dim) pairs only",
     "q_knn_pq" ->
-      "product-quantization ANN: per-subspace codebooks and the query ADC lookup table both broadcast (M*k rows); the corpus scan scores codes against the LUT with no shuffle, TakeOrderedAndProject keeps the shortlist, and only the constant-size shortlist joins back for the exact-cosine rerank — corpus vectors never leave their partitions"
+      "product-quantization ANN: per-subspace codebooks and the query ADC lookup table both broadcast (M*k rows); the corpus scan scores codes against the LUT with no shuffle, TakeOrderedAndProject keeps the shortlist, and only the constant-size shortlist joins back for the exact-cosine rerank — corpus vectors never leave their partitions",
+    "q_dedup_semantic" ->
+      "semantic dedup: trained centroids broadcast (k rows) for the centrality rank; the ONLY non-broadcast join is the within-cell pair equi-join on the cell key (cells stay constant-size when k scales with the corpus); every window is partitioned by cell — no global sort, no cartesian"
   )
 
   def main(args: Array[String]): Unit = {

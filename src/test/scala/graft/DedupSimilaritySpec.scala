@@ -162,4 +162,25 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(out.sorted.sameElements(again.sorted), "kmeans must be deterministic")
   }
+
+  test("semanticDedup: identical vectors collapse to one per cell; tau above max keeps all") {
+    // two groups of 3 identical vectors along orthogonal axes: identical
+    // vectors always share a cell (same cosine profile -> same argmax),
+    // pairwise cos = 1 within a group and 0 across, so at tau = 0.9
+    // exactly one representative per group survives — regardless of
+    // which ids the hash-seeding picks
+    val vecs = Seq(
+      1L -> Array(1f, 0f), 2L -> Array(1f, 0f), 3L -> Array(1f, 0f),
+      10L -> Array(0f, 1f), 11L -> Array(0f, 1f), 12L -> Array(0f, 1f)
+    ).toDF("id", "vec")
+    val kept = graft.api.Graft.semanticDedup(vecs, k = 2, iters = 1, tau = 0.9)
+      .select("id").as[Long].collect().toSet
+    assert(kept.size == 2, s"one survivor per identical group, got $kept")
+    assert(kept.count(_ < 10) == 1 && kept.count(_ >= 10) == 1,
+      s"one survivor from EACH group, got $kept")
+    // an unreachable threshold must drop nothing
+    val all = graft.api.Graft.semanticDedup(vecs, k = 2, iters = 1, tau = 1.1)
+      .count()
+    assert(all == 6, "tau above max cosine must keep every vector")
+  }
 }
