@@ -686,4 +686,71 @@ object Graft {
       .select(col("doc_id"), col("term"), row_number().over(w).as("rnk"))
       .filter(col("rnk") <= k)
   }
+
+  /** Greedy left-to-right single-pass BPE merge of adjacent pair
+    * (`lhs`,`rhs`) columns into each row's `syms` array — the inner step
+    * of [[bpeTrain]]. A fold where the merged symbol replaces the
+    * accumulator's tail is exactly the greedy scan: an overlapping match
+    * can only occur when lhs == rhs (a run of equal symbols), and after a
+    * merge the new tail is lhs||rhs != lhs, so the fold never re-merges a
+    * symbol it just produced — alternate pairs of the run merge, as
+    * greedy does. Property-tested against a reference scan in
+    * GraftPropertySpec. Narrow per-row op, no shuffle. */
+  private def bpeMergeExpr: Column = expr(
+    "aggregate(syms, cast(array() AS array<string>), (acc, x) -> " +
+      "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = lhs AND x = rhs " +
+      "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(lhs, rhs))) " +
+      "ELSE concat(acc, array(x)) END)")
+
+  /** [[bpeTrain]]'s merge step exposed for the property test: applies
+    * one (`lhs`, `rhs`) rule to a `syms` array column. */
+  def bpeMergeOnce(words: DataFrame, lhs: String, rhs: String): DataFrame =
+    words.withColumn("lhs", lit(lhs)).withColumn("rhs", lit(rhs))
+      .withColumn("syms", bpeMergeExpr).drop("lhs", "rhs")
+
+  /** Distributed byte-pair-encoding vocabulary trainer (the
+    * Sennrich-2016 merge loop): from a word-frequency table
+    * `(w, cnt)`, learn `merges` merge rules. Each round counts all
+    * adjacent symbol pairs weighted by word frequency, picks the most
+    * frequent pair ((freq desc, lhs asc, rhs asc) full tie-break), and
+    * merges it greedily left-to-right in every word. Returns
+    * (rules `(step, lhs, rhs, freq)`, final segmentation
+    * `(w, cnt, syms)`).
+    *
+    * Scale shape: the corpus is scanned ONCE (the caller's word-count
+    * aggregate); the training loop runs on the distinct-vocab table —
+    * bounded by vocabulary, not corpus size. Per round: one
+    * pair-count shuffle on (lhs, rhs), a TakeOrdered(1) for the best
+    * rule, and the rule broadcast back into a narrow per-word fold —
+    * the driver holds no data, and `localCheckpoint` cuts the
+    * per-round lineage exactly as [[kmeansFit]] does. At 100 TB the
+    * vocab table is millions of rows and every stage stays keyed on
+    * word or pair. */
+  def bpeTrain(wordCounts: DataFrame, merges: Int): (DataFrame, DataFrame) = {
+    var words = wordCounts.select(col("w"), col("cnt"),
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"))
+      .localCheckpoint()
+    var learned = Vector.empty[DataFrame]
+    (1 to merges).foreach { t =>
+      val best = words
+        .select(col("cnt"), explode(expr(
+          "transform(slice(syms, 1, size(syms) - 1), " +
+            "(x, i) -> struct(x AS lhs, element_at(syms, i + 2) AS rhs))"))
+          .as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("cnt").as("freq"))
+        .orderBy(col("freq").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .localCheckpoint()
+      learned :+= best.withColumn("step", lit(t))
+      words = words.crossJoin(broadcast(best.select("lhs", "rhs")))
+        .withColumn("syms", bpeMergeExpr)
+        .drop("lhs", "rhs")
+        .localCheckpoint()
+    }
+    (learned.reduce(_.unionByName(_)).select("step", "lhs", "rhs", "freq"),
+      words)
+  }
+
 }

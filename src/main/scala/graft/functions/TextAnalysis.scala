@@ -53,6 +53,12 @@ object TextAnalysis {
   def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => t =!= "")
 
+  /** Rounds of the BPE trainer replayed by [[bpeOracle]]. 8 reaches
+    * multi-char recursion on the fixture corpus (step 8 merges p+ar).
+    * Declared before `defs` — the oracle string interpolates it at
+    * object-initialization time. */
+  private val BpeMerges = 8
+
   val defs: Seq[QueryDef] = Seq(
 
     // Token / char statistics. avg token length is int-exact division in
@@ -454,6 +460,97 @@ object TextAnalysis {
             size(tokens(col("text"))).cast("long").as("n_tokens")),
           "doc_id", "n_tokens")
         .select("doc_id", "bucket", "n_tokens", "bin", "bin_offset")
+    },
+
+    // BPE vocabulary training — the tokenizer-fitting stage of a
+    // pretraining pipeline, as a distributed merge loop (Graft.bpeTrain).
+    // Integer-exact end to end: pair frequencies are BIGINT sums, the
+    // rule choice carries a full (freq desc, lhs, rhs) tie-break, so the
+    // oracle replay is hash-exact with zero float caveats. The oracle
+    // replays each round as materialized CTE stages; its merge step uses
+    // an independent FORMULATION (window-function run-parity: overlapping
+    // matches only occur in runs of equal symbols, where greedy takes
+    // alternate positions) — agreement of two formulations is the check.
+    QueryDef("q_text_bpe_train", bpeOracle(BpeMerges)) { (s, d) =>
+      graft.api.Graft.bpeTrain(
+        documents(s, d)
+          .select(explode(tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt")),
+        BpeMerges)._1
+    },
+
+    // The apply side of the tokenizer: encode every document with the
+    // trained segmentation — per-doc whitespace-token and BPE-token
+    // counts. The trained vocab (final `syms` per distinct word) joins
+    // back against the per-doc word stream; the vocab side is bounded by
+    // vocabulary so AQE broadcasts it — the corpus never shuffles. At
+    // 100 TB this is THE hot path (one pass, one broadcast); training
+    // cost amortizes to zero against it.
+    QueryDef("q_text_bpe_encode",
+      bpeStages(BpeMerges) +
+        s"""SELECT d.doc_id, count(*)::BIGINT AS n_words,
+           |  SUM(len(f.syms))::BIGINT AS n_bpe_tokens
+           |FROM (
+           |  SELECT doc_id,
+           |    unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS w
+           |  FROM documents) d
+           |JOIN w${BpeMerges + 1} f USING (w)
+           |GROUP BY d.doc_id
+           |""".stripMargin) { (s, d) =>
+      val docWords = documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      val vocab = graft.api.Graft.bpeTrain(
+        docWords.groupBy("w").agg(count(lit(1)).as("cnt")), BpeMerges)._2
+      docWords
+        .join(vocab.select(col("w"), size(col("syms")).cast("long").as("n")), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n").as("n_bpe_tokens"))
     }
   )
+
+  /** DuckDB mirror of [[graft.api.Graft.bpeTrain]]: word counts, then
+    * per round — positions with lead() pairs, the best rule (same full
+    * tie-break), greedy-merge via run-parity (i - row_number() groups
+    * consecutive matched positions; offsets 0,2,4… within a run are the
+    * pairs greedy takes — overlap is only possible when lhs = rhs), and
+    * the rebuilt symbol list (positions consumed as a merge's right side
+    * drop out via the anti-join on k at i-1). Every stage a CTE,
+    * multiply-referenced ones MATERIALIZED. Leaves b1..b$m (the rules)
+    * and w${m+1} (the final segmentation) defined for the caller's
+    * tail. */
+  private def bpeStages(m: Int): String = {
+    val base =
+      """wc AS MATERIALIZED (SELECT w, count(*)::BIGINT AS cnt FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS w
+        |    FROM documents) GROUP BY w),
+        |w1 AS MATERIALIZED (SELECT w, cnt,
+        |  list_transform(range(1, length(w) + 1), i -> substr(w, i::INT, 1)) AS syms FROM wc)""".stripMargin
+    val rounds = (1 to m).map { t =>
+      s"""p$t AS MATERIALIZED (SELECT w, cnt, i, sym,
+         |  lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt FROM (
+         |    SELECT w, cnt, i, syms[i::INT] AS sym
+         |    FROM w$t, UNNEST(range(1, len(syms) + 1)) AS u(i))),
+         |b$t AS MATERIALIZED (SELECT sym AS lhs, nxt AS rhs, SUM(cnt)::BIGINT AS freq
+         |  FROM p$t WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY freq DESC, lhs, rhs LIMIT 1),
+         |k$t AS MATERIALIZED (SELECT w, i FROM (
+         |    SELECT w, i, i - min(i) OVER (PARTITION BY w, grp) AS off FROM (
+         |      SELECT p.w, p.i, p.i - row_number() OVER (PARTITION BY p.w ORDER BY p.i) AS grp
+         |      FROM p$t p, b$t b WHERE p.sym = b.lhs AND p.nxt = b.rhs))
+         |  WHERE off % 2 = 0),
+         |w${t + 1} AS MATERIALIZED (SELECT p.w, any_value(p.cnt) AS cnt,
+         |  list(CASE WHEN k.i IS NOT NULL THEN b.lhs || b.rhs ELSE p.sym END ORDER BY p.i) AS syms
+         |  FROM p$t p CROSS JOIN b$t b
+         |  LEFT JOIN k$t k ON k.w = p.w AND k.i = p.i
+         |  LEFT JOIN k$t k2 ON k2.w = p.w AND k2.i = p.i - 1
+         |  WHERE k2.i IS NULL GROUP BY p.w)""".stripMargin
+    }
+    "WITH " + (base +: rounds).mkString(",\n") + "\n"
+  }
+
+  /** DuckDB mirror of `Graft.bpeTrain(...)._1` — the learned rules. */
+  private def bpeOracle(m: Int): String =
+    bpeStages(m) + (1 to m)
+      .map(t => s"SELECT $t AS step, lhs, rhs, freq FROM b$t")
+      .mkString("\nUNION ALL ") + "\n"
 }

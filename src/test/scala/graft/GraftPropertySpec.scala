@@ -131,6 +131,33 @@ class GraftPropertySpec extends SparkSpec {
     })
   }
 
+  test("property: BPE fold merge equals the greedy left-to-right scan") {
+    // Reference: the scan bpeMergeOnce's fold must equal. The generator
+    // draws from a 3-symbol alphabet that includes the rule's own sides
+    // and multi-char symbols, so runs of equal symbols (the only
+    // overlapping-match case) and already-merged symbols both occur.
+    def greedy(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    val ruleGen = Gen.oneOf(("a", "a"), ("a", "b"), ("ab", "a"), ("a", "ab"))
+    val wordGen = Gen.listOf(Gen.oneOf("a", "b", "ab"))
+    check(forAll(Gen.listOfN(8, wordGen), ruleGen) { (words, rule) =>
+      val df = words.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("id", "syms")
+      val got = Graft.bpeMergeOnce(df, rule._1, rule._2)
+        .select("id", "syms").as[(Long, Seq[String])].collect()
+        .sortBy(_._1).map(_._2.toList).toList
+      got == words.map(greedy(_, rule._1, rule._2))
+    })
+  }
+
   test("property: shuffleOrder is a permutation with dense per-bucket ranks") {
     check(forAll(docGen, Gen.oneOf(2, 7, 64)) { (docs, b) =>
       val out = Graft.shuffleOrder(docs.toDF("id", "body"), "id", buckets = b)
