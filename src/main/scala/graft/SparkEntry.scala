@@ -25,6 +25,7 @@ object SparkEntry {
       functions.TextAnalysis.defs ++
       operators.Sampling.defs ++
       operators.Dedup.defs ++
+      operators.Graph.defs ++
       operators.BloomJoin.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs ++

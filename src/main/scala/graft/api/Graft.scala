@@ -753,4 +753,36 @@ object Graft {
       words)
   }
 
+  /** Fixed-point integer PageRank over an arbitrary edge list — the
+    * canonical iterative MapReduce workload, in the deterministic
+    * arithmetic this engine uses everywhere: ranks are BIGINTs scaled by
+    * `scale`, every division is floor division, so any cluster (and the
+    * DuckDB oracle) reproduces the ranks bit-for-bit — no float
+    * accumulation order to pin. Update rule per round, damping 17/20:
+    * `r'(v) = (3*scale) div 20 + (17 * sum_{u->v}(r(u) div deg(u))) div 20`.
+    *
+    * Scale shape: edges join degrees ONCE, get repartitioned by src and
+    * checkpointed — each round then shuffles only the rank table (node-
+    * sized) to the edge partitioning, aggregates contributions in one
+    * edge-sized shuffle on dst (map-side partial sums first), and left-
+    * joins back onto the checkpointed node list. Per-round lineage is
+    * cut exactly as [[kmeansFit]] does; the driver holds no data. */
+  def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int,
+      scale: Long): DataFrame = {
+    val tele = 3 * scale / 20
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "src").repartition(col("src")).localCheckpoint()
+    val nv = nodes.select(col("v")).repartition(col("v")).localCheckpoint()
+    var r = nv.select(col("v"), lit(scale).as("r"))
+    (1 to iters).foreach { _ =>
+      val inc = e.join(r, e("src") === r("v"))
+        .select(col("dst").as("v"), expr("r div deg").as("contrib"))
+        .groupBy("v").agg(sum("contrib").as("c"))
+      r = nv.join(inc, Seq("v"), "left")
+        .select(col("v"),
+          (lit(tele) + expr("(17 * coalesce(c, 0L)) div 20")).as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("v"), col("r").as("rank"))
+  }
 }

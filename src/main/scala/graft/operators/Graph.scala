@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.Exact.h60
+import graft.sources.Tables._
+
+/** Graph analytics over the corpus — the iterative-algorithm family next
+  * to connected components (operators.Dedup): PageRank, the canonical
+  * MapReduce-era workload, in the engine's deterministic fixed-point
+  * arithmetic (graft.api.Graft.pagerank).
+  *
+  * The fixture tables carry no edge list, so the query derives a
+  * deterministic 4-regular link graph from the documents table itself:
+  * doc i links to h60("pr:i:k") mod N for k in 1..4 (the same
+  * inject-then-process precedent as q_text_pii_redact's PII and
+  * q_text_urls' URLs — the oracle restates the derivation verbatim).
+  * Every node has out-degree exactly 4, so no dangling-mass term is
+  * needed; self-loops and parallel edges are legal PageRank inputs and
+  * both occur.
+  */
+object Graph {
+
+  /** Rank-update rounds replayed by the oracle. */
+  private val PrIters = 5
+
+  /** Fixed-point scale: ranks start at 10^12 per node — wide enough that
+    * five rounds of floor division keep ~9 significant digits, small
+    * enough that 17 * sum(contribs) stays far from BIGINT overflow. */
+  private val PrScale = 1000000000000L
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // PageRank over the derived link graph. Integer-exact: BIGINT ranks,
+    // floor division everywhere (Spark `div` == DuckDB `//`), damping
+    // 17/20 — any cluster and the oracle reproduce the ranks
+    // bit-for-bit, with no float accumulation order to pin.
+    QueryDef("q_graph_pagerank", pagerankOracle(PrIters, PrScale)) { (s, d) =>
+      val docs = documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(1), lit(4))).as("k"), col("n"))
+        .select(col("src"),
+          (h60(concat(lit("pr:"), col("src").cast("string"), lit(":"),
+            col("k").cast("string"))) % col("n")).as("dst"))
+      graft.api.Graft.pagerank(
+          docs.select(col("doc_id").as("v")), edges, PrIters, PrScale)
+        .select(col("v").as("doc_id"), col("rank"))
+    }
+  )
+
+  /** DuckDB mirror of the q_graph_pagerank pipeline: the same derived
+    * edge list, degrees, and `iters` materialized rank stages — floor
+    * division (`//`) and BIGINT arithmetic throughout, so the replay is
+    * bit-exact. */
+  private def pagerankOracle(iters: Int, scale: Long): String = {
+    val tele = 3 * scale / 20
+    val base =
+      s"""n AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |e AS MATERIALIZED (SELECT doc_id AS src,
+         |  ('0x' || substr(md5('pr:' || doc_id::VARCHAR || ':' || k::VARCHAR), 1, 15))::BIGINT % n.n AS dst
+         |  FROM documents, n, UNNEST([1, 2, 3, 4]) AS u(k)),
+         |deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+         |r0 AS MATERIALIZED (SELECT doc_id AS v, $scale::BIGINT AS r FROM documents)""".stripMargin
+    val rounds = (0 until iters).map { t =>
+      s"""r${t + 1} AS MATERIALIZED (SELECT allv.v, $tele + (17 * coalesce(inc.c, 0)) // 20 AS r
+         |  FROM (SELECT v FROM r0) allv LEFT JOIN (
+         |    SELECT e.dst AS v, SUM(r.r // d.deg)::BIGINT AS c
+         |    FROM e JOIN r$t r ON r.v = e.src JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) inc USING (v))""".stripMargin
+    }
+    "WITH " + (base +: rounds).mkString(",\n") +
+      s"\nSELECT v AS doc_id, r AS rank FROM r$iters\n"
+  }
+}

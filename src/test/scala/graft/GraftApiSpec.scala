@@ -142,4 +142,26 @@ class GraftApiSpec extends SparkSpec {
       .orderBy("rnk").select("n_id").as[Long].collect()
     assert(nn.sameElements(Array(1L, 2L)), nn.mkString(","))
   }
+
+  test("pagerank matches the hand-rolled fixed-point iteration on an arbitrary graph") {
+    // 0 -> 1, 0 -> 2, 1 -> 2, 2 -> 0, 3 -> 2 (node 3 has no in-edges,
+    // mixed out-degrees 1 and 2, so degree division and the
+    // teleport-only path are both exercised).
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L))
+    val nodes = (0L to 3L).map(Tuple1(_)).toDF("v")
+    val scale = 1000000L
+    val iters = 3
+    // reference: same floor-division update rule, in plain Scala
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = (0L to 3L).map(_ -> scale).toMap
+    (1 to iters).foreach { _ =>
+      val inc = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+      r = r.keys.map(v =>
+        v -> (3 * scale / 20 + 17 * inc.getOrElse(v, 0L) / 20)).toMap
+    }
+    val got = Graft.pagerank(nodes, edges.toDF("src", "dst"), iters, scale)
+      .as[(Long, Long)].collect().toMap
+    assert(got == r, s"got $got expected $r")
+  }
 }
