@@ -57,7 +57,12 @@ object TextAnalysis {
     * multi-char recursion on the fixture corpus (step 8 merges p+ar).
     * Declared before `defs` — the oracle string interpolates it at
     * object-initialization time. */
-  private val BpeMerges = 8
+  private[graft] val BpeMerges = 8
+
+  /** Gram width for q_text_dupspans — GPT-3's 13-gram decontamination
+    * window, reused as the duplicated-span granularity. Declared before
+    * `defs` (interpolated at object-initialization time). */
+  private val DupN = 13
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -462,6 +467,63 @@ object TextAnalysis {
         .select("doc_id", "bucket", "n_tokens", "bin", "bin_offset")
     },
 
+    // Duplicated-span detection — the within-corpus repeated-substring
+    // signal (the n-gram-granular shape of Lee et al.'s exact-substring
+    // dedup): every 13-token gram that occurs more than once ANYWHERE in
+    // the corpus (other docs or the same doc) marks its 13 positions as
+    // duplicated; per doc, report the duplicated-start count, the union
+    // coverage, and the covered-token fraction. Scale shape: grams
+    // shuffle as 8-byte h60 keys (never the 13-word strings), the
+    // duplicate check is one count aggregate, and coverage is a bounded
+    // 13x explode of dup STARTS only (rare) into a distinct-position
+    // count — no per-token state, no windows.
+    QueryDef(
+      "q_text_dupspans",
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS l FROM documents),
+         |grams AS MATERIALIZED (
+         |  SELECT doc_id, p,
+         |    ('0x' || substr(md5(array_to_string(list_slice(l, p::INT, (p + $DupN - 1)::INT), ' ')), 1, 15))::BIGINT AS g
+         |  FROM tok, UNNEST(range(1, len(l) - $DupN + 2)) AS u(p)),
+         |gc AS MATERIALIZED (SELECT g, count(*)::BIGINT AS c FROM grams GROUP BY g),
+         |dup AS MATERIALIZED (SELECT doc_id, p FROM grams JOIN gc USING (g) WHERE gc.c > 1),
+         |cov AS (SELECT doc_id, count(DISTINCT d.p + o)::BIGINT AS n_covered
+         |  FROM dup d, UNNEST(range(0, $DupN)) AS v(o) GROUP BY doc_id),
+         |st AS (SELECT doc_id, count(*)::BIGINT AS n_dup_starts FROM dup GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.l)::BIGINT AS n_tokens,
+         |  coalesce(st.n_dup_starts, 0) AS n_dup_starts,
+         |  coalesce(cov.n_covered, 0) AS n_covered,
+         |  coalesce(cov.n_covered, 0)::DOUBLE / len(t.l) AS dup_frac
+         |FROM tok t LEFT JOIN st USING (doc_id) LEFT JOIN cov USING (doc_id)
+         |""".stripMargin) { (s, d) =>
+      val tok = documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("l"))
+        .localCheckpoint() // feeds grams AND the final per-doc join
+      // the size guard mirrors the oracle's empty range(): Spark's
+      // sequence(1, n) with n < 1 would count DOWN, not produce []
+      val grams = tok.filter(size(col("l")) >= DupN)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(l) - ${DupN - 1}), " +
+            s"p -> struct(p AS p, concat_ws(' ', slice(l, p, $DupN)) AS gtxt))"))
+          .as("e"))
+        .select(col("doc_id"), col("e.p").as("p"),
+          graft.Exact.h60(col("e.gtxt")).as("g"))
+      val gc = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      val dup = grams.join(gc, "g").filter(col("c") > 1)
+        .select("doc_id", "p").localCheckpoint() // feeds cov AND st
+      val cov = dup
+        .select(col("doc_id"),
+          explode(expr(s"sequence(p, p + ${DupN - 1})")).as("q"))
+        .groupBy("doc_id").agg(countDistinct("q").as("n_covered"))
+      val st = dup.groupBy("doc_id").agg(count(lit(1)).as("n_dup_starts"))
+      tok.join(st, Seq("doc_id"), "left").join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), size(col("l")).cast("long").as("n_tokens"),
+          coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
+          coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+          (coalesce(col("n_covered"), lit(0L)).cast("double") /
+            size(col("l"))).as("dup_frac"))
+    },
+
     // BPE vocabulary training — the tokenizer-fitting stage of a
     // pretraining pipeline, as a distributed merge loop (Graft.bpeTrain).
     // Integer-exact end to end: pair frequencies are BIGINT sums, the
@@ -486,17 +548,7 @@ object TextAnalysis {
     // vocabulary so AQE broadcasts it — the corpus never shuffles. At
     // 100 TB this is THE hot path (one pass, one broadcast); training
     // cost amortizes to zero against it.
-    QueryDef("q_text_bpe_encode",
-      bpeStages(BpeMerges) +
-        s"""SELECT d.doc_id, count(*)::BIGINT AS n_words,
-           |  SUM(len(f.syms))::BIGINT AS n_bpe_tokens
-           |FROM (
-           |  SELECT doc_id,
-           |    unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS w
-           |  FROM documents) d
-           |JOIN w${BpeMerges + 1} f USING (w)
-           |GROUP BY d.doc_id
-           |""".stripMargin) { (s, d) =>
+    QueryDef("q_text_bpe_encode", bpeEncodeOracle) { (s, d) =>
       val docWords = documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       val vocab = graft.api.Graft.bpeTrain(
@@ -547,6 +599,23 @@ object TextAnalysis {
     }
     "WITH " + (base +: rounds).mkString(",\n") + "\n"
   }
+
+  /** DuckDB mirror of the bpe-encode pipeline (train, then count BPE
+    * tokens per doc under the final segmentation). Shared by
+    * q_text_bpe_encode and its streaming twin q_stream_bpe_encode —
+    * the stream is stateless+complete-mode, so batching can't change
+    * the fixpoint. */
+  private[graft] def bpeEncodeOracle: String =
+    bpeStages(BpeMerges) +
+      s"""SELECT d.doc_id, count(*)::BIGINT AS n_words,
+         |  SUM(len(f.syms))::BIGINT AS n_bpe_tokens
+         |FROM (
+         |  SELECT doc_id,
+         |    unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS w
+         |  FROM documents) d
+         |JOIN w${BpeMerges + 1} f USING (w)
+         |GROUP BY d.doc_id
+         |""".stripMargin
 
   /** DuckDB mirror of `Graft.bpeTrain(...)._1` — the learned rules. */
   private def bpeOracle(m: Int): String =

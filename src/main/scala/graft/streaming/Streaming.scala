@@ -266,6 +266,32 @@ object Streaming {
     s.table(name).select("doc_id", "fp")
   }
 
+  /** The q_stream_bpe_encode body: batch-train the BPE vocab, stream
+    * the corpus through a broadcast vocab join and a complete-mode
+    * per-doc token-count aggregate. At 100 TB this is how a tokenizer
+    * meets an ingest firehose: train offline on the static corpus,
+    * apply per micro-batch with nothing but a broadcast — no state
+    * store beyond the running aggregate. */
+  def bpeEncodeStream(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
+    import graft.api.Graft
+    val docs = graft.sources.Tables.documents(s, d)
+    val vocab = Graft.bpeTrain(
+        docs.select(explode(Graft.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt")),
+        graft.functions.TextAnalysis.BpeMerges)._2
+      .select(col("w"), size(col("syms")).cast("long").as("n"))
+    val name = "stream_bpe_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = s.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .select(col("doc_id"), explode(Graft.tokens(col("text"))).as("w"))
+      .join(broadcast(vocab), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n").as("n_bpe_tokens"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    drain(q)
+    s.table(name)
+  }
+
   /** Streaming sliding-window aggregation: each event lands in two
     * overlapping 2h windows (1h slide) — same shape as the tumbling
     * stream, ~2x the state keys; shares the batch twin's oracle. */
@@ -678,6 +704,17 @@ object Streaming {
         |SELECT d.doc_id FROM documents d
         |WHERE d.doc_id % 3 <> 0
         |  AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)
-        |""".stripMargin) { (s, d) => streamNearDup(s, d) }
+        |""".stripMargin) { (s, d) => streamNearDup(s, d) },
+
+    // Streaming tokenizer application: the BPE vocab is trained ONCE on
+    // the static corpus (Graft.bpeTrain), then every arriving micro-batch
+    // is encoded by a broadcast stream-static join — stateless per row;
+    // the complete-mode per-doc aggregate makes the result
+    // batching-invariant, so the oracle is the batch twin's
+    // (q_text_bpe_encode), training replay included.
+    QueryDef("q_stream_bpe_encode",
+      graft.functions.TextAnalysis.bpeEncodeOracle) { (s, d) =>
+      bpeEncodeStream(s, d)
+    }
   )
 }
