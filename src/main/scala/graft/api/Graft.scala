@@ -753,6 +753,25 @@ object Graft {
       words)
   }
 
+  /** Token-budget-capped mixture: per `classCol` value, documents are
+    * admitted in the deterministic h60("bud:"||id) shuffle order until
+    * the class's `budget` of `weightCol` (e.g. token counts) fills; the
+    * first document that would overflow the budget — and everything
+    * after it — is marked not kept. Emits every row with its
+    * `cum_before` running weight and the `kept` flag, so callers can
+    * audit how full each class ran. One shuffle on the class key, no
+    * RNG, reproducible on any cluster layout. */
+  def budgetCap(docs: DataFrame, idCol: String, classCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    val key = h60(concat(lit("bud:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(key.asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), col(classCol), col(weightCol))
+      .withColumn("cum_before", coalesce(sum(col(weightCol)).over(w), lit(0L)))
+      .withColumn("kept", col("cum_before") + col(weightCol) <= budget)
+  }
+
   /** Fixed-point integer PageRank over an arbitrary edge list — the
     * canonical iterative MapReduce workload, in the deterministic
     * arithmetic this engine uses everywhere: ranks are BIGINTs scaled by

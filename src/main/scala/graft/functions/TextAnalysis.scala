@@ -553,8 +553,12 @@ object TextAnalysis {
         .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       val vocab = graft.api.Graft.bpeTrain(
         docWords.groupBy("w").agg(count(lit(1)).as("cnt")), BpeMerges)._2
+      // broadcast is FORCED on the vocab side: at fixture scale Catalyst
+      // would happily broadcast the (locally tiny) corpus token stream
+      // instead — exactly the side that is 100 TB in production
       docWords
-        .join(vocab.select(col("w"), size(col("syms")).cast("long").as("n")), "w")
+        .join(broadcast(
+          vocab.select(col("w"), size(col("syms")).cast("long").as("n"))), "w")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"), sum("n").as("n_bpe_tokens"))
     }

@@ -224,6 +224,33 @@ object Sampling {
         .select(col("doc_id"), col("lang"), col("copy"))
     },
 
+    // Token-budget-capped mixture — the OTHER half of data mixing: each
+    // domain contributes documents, in the deterministic h60 shuffle
+    // order, only until its token budget fills (epoch-rate mixing says
+    // HOW OFTEN a domain repeats; the budget cap says HOW MUCH of it
+    // enters at all). Pure window cumsum per class — one shuffle on the
+    // class key, no RNG, bit-identical on any cluster; the selection is
+    // a random-looking but reproducible subset, not an id prefix.
+    QueryDef(
+      "q_sample_budget",
+      """SELECT doc_id, lang, n_tokens, cum_before,
+        |  cum_before + n_tokens <= 2000 AS kept
+        |FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5('bud:' || doc_id::VARCHAR), 1, 15))::BIGINT ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+        |    FROM documents) t) c
+        |""".stripMargin) { (s, d) =>
+      graft.api.Graft.budgetCap(
+        documents(s, d).select(col("doc_id"), col("lang"),
+          size(graft.api.Graft.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "lang", "n_tokens", budget = 2000L)
+    },
+
     // Second end-to-end pipeline: the TRAINING-PREP chain (inject/redact
     // PII -> re-tokenize the redacted text -> quality floor -> next-fit
     // sequence packing). Composes q_text_pii_redact and q_text_pack

@@ -67,7 +67,15 @@ object Plans {
     "q_knn_pq" ->
       "product-quantization ANN: per-subspace codebooks and the query ADC lookup table both broadcast (M*k rows); the corpus scan scores codes against the LUT with no shuffle, TakeOrderedAndProject keeps the shortlist, and only the constant-size shortlist joins back for the exact-cosine rerank — corpus vectors never leave their partitions",
     "q_dedup_semantic" ->
-      "semantic dedup: trained centroids broadcast (k rows) for the centrality rank; the ONLY non-broadcast join is the within-cell pair equi-join on the cell key (cells stay constant-size when k scales with the corpus); every window is partitioned by cell — no global sort, no cartesian"
+      "semantic dedup: trained centroids broadcast (k rows) for the centrality rank; the ONLY non-broadcast join is the within-cell pair equi-join on the cell key (cells stay constant-size when k scales with the corpus); every window is partitioned by cell — no global sort, no cartesian",
+    "q_text_bpe_train" ->
+      "BPE training: the final round's plan reads ONLY checkpointed vocab-table RDDs (corpus scanned once, rounds truncated by localCheckpoint); the best rule enters as a 1-row broadcast (BroadcastNestedLoopJoin), the merge itself is a narrow project — no per-round corpus rescans in any plan",
+    "q_text_bpe_encode" ->
+      "BPE encode (the 100 TB hot path): the trained vocab joins the per-doc token stream as a BroadcastHashJoin — the corpus-side explode never shuffles; the only exchange is the final per-doc count aggregate, partial below it",
+    "q_graph_pagerank" ->
+      "PageRank round: edges+degrees enter checkpointed and pre-partitioned by src, so each round's plan shuffles only the node-sized rank table to the edge partitioning plus one map-side-combined contribution aggregate on dst — edge relation never re-shuffles across rounds",
+    "q_text_dupspans" ->
+      "duplicated-span detection: grams shuffle as 8-byte h60 keys (never 13-word strings) into one count aggregate; coverage explodes dup STARTS only (rare) into a distinct-position count — per-token work stays narrow, no windows"
   )
 
   def main(args: Array[String]): Unit = {

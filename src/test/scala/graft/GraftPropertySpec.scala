@@ -131,6 +131,25 @@ class GraftPropertySpec extends SparkSpec {
     })
   }
 
+  test("property: budgetCap keeps an order-prefix per class and never overflows") {
+    check(forAll(docGen, Gen.choose(1L, 30L)) { (docs, budget) =>
+      val df = docs.toDF("id", "body")
+        .withColumn("cls", (col("id") % 3).cast("string"))
+        .withColumn("wt", length(col("body")).cast("long") % 7 + 1)
+      val out = Graft.budgetCap(df, "id", "cls", "wt", budget)
+        .select("id", "cls", "wt", "cum_before", "kept")
+        .as[(Long, String, Long, Long, Boolean)].collect()
+      out.length == docs.size && out.groupBy(_._2).values.forall { grp =>
+        val kept = grp.filter(_._5)
+        // kept weight fits the budget, and the kept set is exactly the
+        // longest admissible prefix of the deterministic order
+        kept.map(_._3).sum <= budget &&
+          grp.forall(r => r._5 == (r._4 + r._3 <= budget)) &&
+          kept.forall(r => r._4 == grp.filter(_._4 < r._4).map(_._3).sum)
+      }
+    })
+  }
+
   test("property: BPE fold merge equals the greedy left-to-right scan") {
     // Reference: the scan bpeMergeOnce's fold must equal. The generator
     // draws from a 3-symbol alphabet that includes the rule's own sides

@@ -86,6 +86,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("bpe encode broadcasts the VOCAB side, never the corpus token stream") {
+    // At fixture scale Catalyst would broadcast the (locally tiny)
+    // corpus explode — the side that is 100 TB in production. The query
+    // forces the build side; this pins it.
+    val p = planString("q_text_bpe_encode")
+    assert(p.contains("BroadcastHashJoin") && p.contains("BuildRight")
+        && !p.contains("BuildLeft"),
+      "vocab must be the broadcast build side:\n" + p)
+  }
+
   test("bloom join: sketch is broadcast, probe side never shuffles before the agg") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val plan = executedPlan(q("q_join_bloom"))
