@@ -479,38 +479,17 @@ object TextAnalysis {
     // count — no per-token state, no windows.
     QueryDef(
       "q_text_dupspans",
-      s"""WITH tok AS MATERIALIZED (
-         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS l FROM documents),
-         |grams AS MATERIALIZED (
-         |  SELECT doc_id, p,
-         |    ('0x' || substr(md5(array_to_string(list_slice(l, p::INT, (p + $DupN - 1)::INT), ' ')), 1, 15))::BIGINT AS g
-         |  FROM tok, UNNEST(range(1, len(l) - $DupN + 2)) AS u(p)),
-         |gc AS MATERIALIZED (SELECT g, count(*)::BIGINT AS c FROM grams GROUP BY g),
-         |dup AS MATERIALIZED (SELECT doc_id, p FROM grams JOIN gc USING (g) WHERE gc.c > 1),
-         |cov AS (SELECT doc_id, count(DISTINCT d.p + o)::BIGINT AS n_covered
-         |  FROM dup d, UNNEST(range(0, $DupN)) AS v(o) GROUP BY doc_id),
-         |st AS (SELECT doc_id, count(*)::BIGINT AS n_dup_starts FROM dup GROUP BY doc_id)
-         |SELECT t.doc_id, len(t.l)::BIGINT AS n_tokens,
-         |  coalesce(st.n_dup_starts, 0) AS n_dup_starts,
-         |  coalesce(cov.n_covered, 0) AS n_covered,
-         |  coalesce(cov.n_covered, 0)::DOUBLE / len(t.l) AS dup_frac
-         |FROM tok t LEFT JOIN st USING (doc_id) LEFT JOIN cov USING (doc_id)
-         |""".stripMargin) { (s, d) =>
-      val tok = documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("l"))
-        .localCheckpoint() // feeds grams AND the final per-doc join
-      // the size guard mirrors the oracle's empty range(): Spark's
-      // sequence(1, n) with n < 1 would count DOWN, not produce []
-      val grams = tok.filter(size(col("l")) >= DupN)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, size(l) - ${DupN - 1}), " +
-            s"p -> struct(p AS p, concat_ws(' ', slice(l, p, $DupN)) AS gtxt))"))
-          .as("e"))
-        .select(col("doc_id"), col("e.p").as("p"),
-          graft.Exact.h60(col("e.gtxt")).as("g"))
-      val gc = grams.groupBy("g").agg(count(lit(1)).as("c"))
-      val dup = grams.join(gc, "g").filter(col("c") > 1)
-        .select("doc_id", "p").localCheckpoint() // feeds cov AND st
+      dupStages +
+        s"""cov AS (SELECT doc_id, count(DISTINCT d.p + o)::BIGINT AS n_covered
+           |  FROM dup d, UNNEST(range(0, $DupN)) AS v(o) GROUP BY doc_id),
+           |st AS (SELECT doc_id, count(*)::BIGINT AS n_dup_starts FROM dup GROUP BY doc_id)
+           |SELECT t.doc_id, len(t.l)::BIGINT AS n_tokens,
+           |  coalesce(st.n_dup_starts, 0) AS n_dup_starts,
+           |  coalesce(cov.n_covered, 0) AS n_covered,
+           |  coalesce(cov.n_covered, 0)::DOUBLE / len(t.l) AS dup_frac
+           |FROM tok t LEFT JOIN st USING (doc_id) LEFT JOIN cov USING (doc_id)
+           |""".stripMargin) { (s, d) =>
+      val (tok, dup) = dupGramStarts(s, d)
       val cov = dup
         .select(col("doc_id"),
           explode(expr(s"sequence(p, p + ${DupN - 1})")).as("q"))
@@ -522,6 +501,40 @@ object TextAnalysis {
           coalesce(col("n_covered"), lit(0L)).as("n_covered"),
           (coalesce(col("n_covered"), lit(0L)).cast("double") /
             size(col("l"))).as("dup_frac"))
+    },
+
+    // The act-on-signal twin of q_text_dupspans: CUT every duplicated
+    // 13-gram span out of the text (the cleaning step of exact-substring
+    // dedup). The span cut itself is IN-ROW: each doc's (rare) dup-start
+    // list joins back doc-keyed, and a filter-with-exists lambda drops
+    // covered positions — the corpus token stream never shuffles, only
+    // 8-byte gram keys and dup starts do.
+    QueryDef(
+      "q_text_despan",
+      dupStages +
+        s"""st AS (SELECT doc_id, list(p ORDER BY p) AS starts FROM dup GROUP BY doc_id),
+           |cut AS (
+           |  SELECT t.doc_id, t.l,
+           |    [t.l[p::INT] for p in range(1, len(t.l) + 1)
+           |      if len(list_filter(coalesce(st.starts, []::BIGINT[]), s -> s <= p AND p <= s + ${DupN - 1})) = 0] AS kept
+           |  FROM tok t LEFT JOIN st ON st.doc_id = t.doc_id)
+           |SELECT doc_id, len(l)::BIGINT AS n_tokens,
+           |  (len(l) - len(kept))::BIGINT AS n_removed,
+           |  coalesce(array_to_string(kept, ' '), '') AS clean_text
+           |FROM cut
+           |""".stripMargin) { (s, d) =>
+      val (tok, dup) = dupGramStarts(s, d)
+      val st = dup.groupBy("doc_id").agg(collect_list(col("p")).as("starts"))
+      tok.join(st, Seq("doc_id"), "left")
+        .withColumn("starts",
+          coalesce(col("starts"), expr("cast(array() AS array<int>)")))
+        .withColumn("keptE", expr(
+          "filter(transform(l, (x, i) -> struct(x AS x, i + 1 AS p)), " +
+            s"e -> NOT exists(starts, s -> s <= e.p AND e.p <= s + ${DupN - 1}))"))
+        .select(col("doc_id"),
+          size(col("l")).cast("long").as("n_tokens"),
+          (size(col("l")) - size(col("keptE"))).cast("long").as("n_removed"),
+          array_join(expr("transform(keptE, e -> e.x)"), " ").as("clean_text"))
     },
 
     // BPE vocabulary training — the tokenizer-fitting stage of a
@@ -603,6 +616,44 @@ object TextAnalysis {
     }
     "WITH " + (base +: rounds).mkString(",\n") + "\n"
   }
+
+  /** The duplicated-13-gram kernel shared by q_text_dupspans (measure)
+    * and q_text_despan (cut): tokenized docs (checkpointed — they feed
+    * the gram explode AND the final per-doc join) and the (doc_id, p)
+    * start positions of grams occurring more than once corpus-wide.
+    * Grams shuffle as 8-byte h60 keys, never 13-word strings. */
+  private def dupGramStarts(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("l"))
+      .localCheckpoint()
+    // the size guard mirrors the oracle's empty range(): Spark's
+    // sequence(1, n) with n < 1 would count DOWN, not produce []
+    val grams = tok.filter(size(col("l")) >= DupN)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(l) - ${DupN - 1}), " +
+          s"p -> struct(p AS p, concat_ws(' ', slice(l, p, $DupN)) AS gtxt))"))
+        .as("e"))
+      .select(col("doc_id"), col("e.p").as("p"),
+        graft.Exact.h60(col("e.gtxt")).as("g"))
+    val gc = grams.groupBy("g").agg(count(lit(1)).as("c"))
+    val dup = grams.join(gc, "g").filter(col("c") > 1)
+      .select("doc_id", "p").localCheckpoint() // feeds both query tails
+    (tok, dup)
+  }
+
+  /** Oracle twin of [[dupGramStarts]]: the tok/grams/gc/dup CTE prefix
+    * both dup-span oracles extend (ends with a trailing comma). */
+  private def dupStages: String =
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS l FROM documents),
+       |grams AS MATERIALIZED (
+       |  SELECT doc_id, p,
+       |    ('0x' || substr(md5(array_to_string(list_slice(l, p::INT, (p + $DupN - 1)::INT), ' ')), 1, 15))::BIGINT AS g
+       |  FROM tok, UNNEST(range(1, len(l) - $DupN + 2)) AS u(p)),
+       |gc AS MATERIALIZED (SELECT g, count(*)::BIGINT AS c FROM grams GROUP BY g),
+       |dup AS MATERIALIZED (SELECT doc_id, p FROM grams JOIN gc USING (g) WHERE gc.c > 1),
+       |""".stripMargin
 
   /** DuckDB mirror of the bpe-encode pipeline (train, then count BPE
     * tokens per doc under the final segmentation). Shared by
