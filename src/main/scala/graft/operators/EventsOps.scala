@@ -286,6 +286,56 @@ object EventsOps {
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
         .agg(count(lit(1)))
         .na.fill(0, Seq("click", "view", "purchase", "signup", "error"))
+    },
+
+    // Ordered funnel analysis: how far does each user get through
+    // view -> click -> purchase, with steps required IN ORDER (a click
+    // before the first view doesn't count)? Each step's earliest
+    // position is a conditional min over the user's (ts, event_id)-ranked
+    // stream, computed stage by stage — step k's min is constrained past
+    // step k-1's. All three stages are partial-agg shuffles keyed on
+    // user_id over the ONE checkpointed rank relation (pre-partitioned
+    // by user, so the stage joins and aggregates reuse the exchange) —
+    // no per-user state beyond three ints, no regex/sequence scan.
+    QueryDef(
+      "q_events_funnel",
+      """WITH pos AS MATERIALIZED (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS pos
+        |  FROM events),
+        |s1 AS MATERIALIZED (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN pos END) AS p1
+        |  FROM pos GROUP BY user_id),
+        |s2 AS MATERIALIZED (SELECT p.user_id,
+        |    min(CASE WHEN p.event_type = 'click' AND p.pos > s1.p1 THEN p.pos END) AS p2
+        |  FROM pos p JOIN s1 ON s1.user_id = p.user_id GROUP BY p.user_id),
+        |s3 AS (SELECT p.user_id,
+        |    min(CASE WHEN p.event_type = 'purchase' AND p.pos > s2.p2 THEN p.pos END) AS p3
+        |  FROM pos p JOIN s2 ON s2.user_id = p.user_id GROUP BY p.user_id)
+        |SELECT s1.user_id,
+        |  CASE WHEN s3.p3 IS NOT NULL THEN 3 WHEN s2.p2 IS NOT NULL THEN 2
+        |       WHEN s1.p1 IS NOT NULL THEN 1 ELSE 0 END AS reached
+        |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+        |""".stripMargin) { (s, d) =>
+      val wp = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val pos = events(s, d)
+        .select(col("user_id"), col("event_type"),
+          row_number().over(wp).as("pos"))
+        .repartition(col("user_id"))
+        .localCheckpoint() // feeds all three stage aggregates
+      val s1 = pos.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("pos"))).as("p1"))
+      val s2 = pos.join(s1, "user_id").groupBy("user_id")
+        .agg(min(when(col("event_type") === "click" && col("pos") > col("p1"),
+          col("pos"))).as("p2"))
+      val s3 = pos.join(s2, "user_id").groupBy("user_id")
+        .agg(min(when(col("event_type") === "purchase" && col("pos") > col("p2"),
+          col("pos"))).as("p3"))
+      s1.join(s2, "user_id").join(s3, "user_id")
+        .select(col("user_id"),
+          when(col("p3").isNotNull, 3).when(col("p2").isNotNull, 2)
+            .when(col("p1").isNotNull, 1).otherwise(0).as("reached"))
     }
   )
 }
