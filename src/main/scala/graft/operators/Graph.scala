@@ -47,8 +47,82 @@ object Graph {
       graft.api.Graft.pagerank(
           docs.select(col("doc_id").as("v")), edges, PrIters, PrScale)
         .select(col("v").as("doc_id"), col("rank"))
+    },
+
+    // Triangle counting over the same derived graph (undirected, self-
+    // loops dropped) — per-node triangle memberships. Degree-ordered
+    // orientation (each edge directed toward the higher (deg, id)) is
+    // the classic MapReduce trick: it bounds every node's out-degree by
+    // ~sqrt(m), so the wedge self-join on the center node can't blow up
+    // on hubs. Each triangle is enumerated exactly once from its lowest-
+    // ordered vertex; the closure check is a pure EQUI-join on the
+    // canonical (least, greatest) edge key — no OR-condition join, no
+    // nested loop. Integer counts, bit-exact oracle.
+    QueryDef("q_graph_triangles", trianglesOracle) { (s, d) =>
+      val docs = documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n"))
+      val raw = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("a"),
+          explode(sequence(lit(1), lit(4))).as("k"), col("n"))
+        .select(col("a"),
+          (h60(concat(lit("pr:"), col("a").cast("string"), lit(":"),
+            col("k").cast("string"))) % col("n")).as("b"))
+        .filter(col("a") =!= col("b"))
+      val und = raw
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .distinct().localCheckpoint() // feeds deg, orient, the closure join
+      val deg = und.select(col("a").as("v"))
+        .unionAll(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val lowFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val orient = und
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+        .select(when(lowFirst, col("a")).otherwise(col("b")).as("s"),
+          when(lowFirst, col("b")).otherwise(col("a")).as("t"))
+        .localCheckpoint() // feeds both sides of the wedge self-join
+      val wedges = orient.as("e1").join(orient.as("e2"),
+          col("e1.s") === col("e2.s") && col("e2.t") > col("e1.t"))
+        .select(col("e1.s").as("u"), col("e1.t").as("v"), col("e2.t").as("w"))
+      val tris = wedges.join(und,
+          und("a") === least(col("v"), col("w")) &&
+            und("b") === greatest(col("v"), col("w")))
+        .select("u", "v", "w").localCheckpoint() // feeds the 3-way union
+      tris.select(col("u").as("node"))
+        .unionAll(tris.select(col("v").as("node")))
+        .unionAll(tris.select(col("w").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
     }
   )
+
+  /** DuckDB mirror of q_graph_triangles: same derived graph, same
+    * (deg, id) orientation, same once-per-triangle wedge + canonical-
+    * pair closure equi-join. */
+  private def trianglesOracle: String =
+    """WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |raw AS (SELECT doc_id AS a,
+      |  ('0x' || substr(md5('pr:' || doc_id::VARCHAR || ':' || k::VARCHAR), 1, 15))::BIGINT % n.n AS b
+      |  FROM documents, n, UNNEST([1, 2, 3, 4]) AS u(k)),
+      |und AS MATERIALIZED (
+      |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM raw WHERE a <> b),
+      |deg AS MATERIALIZED (
+      |  SELECT v, count(*)::BIGINT AS deg FROM (
+      |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
+      |orient AS MATERIALIZED (
+      |  SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS s,
+      |         CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS t
+      |  FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+      |tris AS MATERIALIZED (
+      |  SELECT w.u, w.v, w.w FROM (
+      |    SELECT e1.s AS u, e1.t AS v, e2.t AS w
+      |    FROM orient e1 JOIN orient e2 ON e2.s = e1.s AND e2.t > e1.t) w
+      |  JOIN und e3 ON e3.a = least(w.v, w.w) AND e3.b = greatest(w.v, w.w))
+      |SELECT node, count(*)::BIGINT AS n_tri FROM (
+      |  SELECT u AS node FROM tris UNION ALL SELECT v FROM tris UNION ALL SELECT w FROM tris)
+      |GROUP BY node
+      |""".stripMargin
 
   /** DuckDB mirror of the q_graph_pagerank pipeline: the same derived
     * edge list, degrees, and `iters` materialized rank stages — floor

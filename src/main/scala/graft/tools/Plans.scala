@@ -75,7 +75,11 @@ object Plans {
     "q_graph_pagerank" ->
       "PageRank round: edges+degrees enter checkpointed and pre-partitioned by src, so each round's plan shuffles only the node-sized rank table to the edge partitioning plus one map-side-combined contribution aggregate on dst — edge relation never re-shuffles across rounds",
     "q_text_dupspans" ->
-      "duplicated-span detection: grams shuffle as 8-byte h60 keys (never 13-word strings) into one count aggregate; coverage explodes dup STARTS only (rare) into a distinct-position count — per-token work stays narrow, no windows"
+      "duplicated-span detection: grams shuffle as 8-byte h60 keys (never 13-word strings) into ONE gram-partitioned count window (single md5 pass — the groupBy+join formulation derived grams twice, measured 2x slower); coverage explodes dup STARTS only (rare) into a distinct-position count",
+    "q_events_funnel" ->
+      "ordered funnel: three stage aggregates over ONE checkpointed user-ranked relation, pre-partitioned by user_id — the stage joins and partial/final aggs all reuse that exchange; per-user state is three ints",
+    "q_graph_triangles" ->
+      "triangle counting: degree-ordered orientation bounds hub out-degrees (~sqrt m) before the wedge self-join on the center node; the closure check is a pure equi-join on the canonical (least, greatest) pair — every join an equi-join, no nested loop"
   )
 
   def main(args: Array[String]): Unit = {
