@@ -753,6 +753,80 @@ object Graft {
       words)
   }
 
+  /** Ordered funnel: how far does each user get through `steps`, with
+    * steps required IN ORDER (step k counts only strictly after the
+    * user's earliest completion of step k-1)? Each step's earliest
+    * position is a conditional min over the user's ranked event stream
+    * (ordered by `orderCols` — pass a full unique tie-break), computed
+    * stage by stage. Returns `(user, reached)` with reached in
+    * 0..steps.length.
+    *
+    * Scale shape: ONE rank relation, pre-partitioned by user and
+    * checkpointed; every stage is a partial-agg shuffle on the user key
+    * that reuses that exchange, and per-user state is `steps.length`
+    * ints — no sequence scan, no per-user arrays. */
+  def funnel(ev: DataFrame, userCol: String, typeCol: String,
+      steps: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val wp = Window.partitionBy(col(userCol)).orderBy(orderCols: _*)
+    val pos = ev
+      .select(col(userCol).as("user"), col(typeCol).as("etype"),
+        row_number().over(wp).as("pos"))
+      .repartition(col("user"))
+      .localCheckpoint() // feeds every stage aggregate
+    var stages = Vector(pos.groupBy("user")
+      .agg(min(when(col("etype") === steps.head, col("pos"))).as("p1")))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      stages :+= pos.join(stages.last, "user").groupBy("user")
+        .agg(min(when(col("etype") === st && col("pos") > col(s"p$i"),
+          col("pos"))).as(s"p${i + 1}"))
+    }
+    var reached: Column = lit(0)
+    steps.indices.foreach { i =>
+      reached = when(col(s"p${i + 1}").isNotNull, i + 1).otherwise(reached)
+    }
+    stages.reduce(_.join(_, "user")).select(col("user"), reached.as("reached"))
+  }
+
+  /** Per-node triangle counts over an arbitrary edge list (any
+    * direction, duplicates and self-loops tolerated — edges are
+    * canonicalized first). Degree-ordered orientation (each edge
+    * directed toward its higher (deg, id) endpoint) bounds every node's
+    * out-degree near sqrt(m), so the wedge self-join on the center node
+    * cannot blow up on hubs; each triangle is enumerated exactly once
+    * from its lowest-ordered vertex, and the closure check is a pure
+    * EQUI-join on the canonical (least, greatest) pair. Returns
+    * `(node, n_tri)` for nodes in at least one triangle. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint() // feeds deg, orient, the closure join
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val orient = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(when(lowFirst, col("a")).otherwise(col("b")).as("s"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("t"))
+      .localCheckpoint() // feeds both sides of the wedge self-join
+    val wedges = orient.as("e1").join(orient.as("e2"),
+        col("e1.s") === col("e2.s") && col("e2.t") > col("e1.t"))
+      .select(col("e1.s").as("u"), col("e1.t").as("v"), col("e2.t").as("w"))
+    val tris = wedges.join(und,
+        und("a") === least(col("v"), col("w")) &&
+          und("b") === greatest(col("v"), col("w")))
+      .select("u", "v", "w").localCheckpoint() // feeds the 3-way union
+    tris.select(col("u").as("node"))
+      .unionAll(tris.select(col("v").as("node")))
+      .unionAll(tris.select(col("w").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
   /** Token-budget-capped mixture: per `classCol` value, documents are
     * admitted in the deterministic h60("bud:"||id) shuffle order until
     * the class's `budget` of `weightCol` (e.g. token counts) fills; the

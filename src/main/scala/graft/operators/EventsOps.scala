@@ -317,25 +317,10 @@ object EventsOps {
         |       WHEN s1.p1 IS NOT NULL THEN 1 ELSE 0 END AS reached
         |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
         |""".stripMargin) { (s, d) =>
-      val wp = Window.partitionBy("user_id")
-        .orderBy(col("ts").asc, col("event_id").asc)
-      val pos = events(s, d)
-        .select(col("user_id"), col("event_type"),
-          row_number().over(wp).as("pos"))
-        .repartition(col("user_id"))
-        .localCheckpoint() // feeds all three stage aggregates
-      val s1 = pos.groupBy("user_id")
-        .agg(min(when(col("event_type") === "view", col("pos"))).as("p1"))
-      val s2 = pos.join(s1, "user_id").groupBy("user_id")
-        .agg(min(when(col("event_type") === "click" && col("pos") > col("p1"),
-          col("pos"))).as("p2"))
-      val s3 = pos.join(s2, "user_id").groupBy("user_id")
-        .agg(min(when(col("event_type") === "purchase" && col("pos") > col("p2"),
-          col("pos"))).as("p3"))
-      s1.join(s2, "user_id").join(s3, "user_id")
-        .select(col("user_id"),
-          when(col("p3").isNotNull, 3).when(col("p2").isNotNull, 2)
-            .when(col("p1").isNotNull, 1).otherwise(0).as("reached"))
+      graft.api.Graft.funnel(events(s, d), "user_id", "event_type",
+          Seq("view", "click", "purchase"),
+          Seq(col("ts").asc, col("event_id").asc))
+        .select(col("user").as("user_id"), col("reached"))
     }
   )
 }

@@ -67,33 +67,7 @@ object Graph {
         .select(col("a"),
           (h60(concat(lit("pr:"), col("a").cast("string"), lit(":"),
             col("k").cast("string"))) % col("n")).as("b"))
-        .filter(col("a") =!= col("b"))
-      val und = raw
-        .select(least(col("a"), col("b")).as("a"),
-          greatest(col("a"), col("b")).as("b"))
-        .distinct().localCheckpoint() // feeds deg, orient, the closure join
-      val deg = und.select(col("a").as("v"))
-        .unionAll(und.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
-      val lowFirst = col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b"))
-      val orient = und
-        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
-        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
-        .select(when(lowFirst, col("a")).otherwise(col("b")).as("s"),
-          when(lowFirst, col("b")).otherwise(col("a")).as("t"))
-        .localCheckpoint() // feeds both sides of the wedge self-join
-      val wedges = orient.as("e1").join(orient.as("e2"),
-          col("e1.s") === col("e2.s") && col("e2.t") > col("e1.t"))
-        .select(col("e1.s").as("u"), col("e1.t").as("v"), col("e2.t").as("w"))
-      val tris = wedges.join(und,
-          und("a") === least(col("v"), col("w")) &&
-            und("b") === greatest(col("v"), col("w")))
-        .select("u", "v", "w").localCheckpoint() // feeds the 3-way union
-      tris.select(col("u").as("node"))
-        .unionAll(tris.select(col("v").as("node")))
-        .unionAll(tris.select(col("w").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      graft.api.Graft.triangleCounts(raw)
     }
   )
 

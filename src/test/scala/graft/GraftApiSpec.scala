@@ -143,6 +143,35 @@ class GraftApiSpec extends SparkSpec {
     assert(nn.sameElements(Array(1L, 2L)), nn.mkString(","))
   }
 
+  test("triangleCounts handles K4, a diagonal square, and messy edge input") {
+    // K4: every node sits in C(3,2) = 3 triangles. The input is
+    // deliberately messy — reversed directions, duplicates, a self-loop.
+    val k4 = Seq((0L, 1L), (1L, 0L), (0L, 2L), (0L, 3L), (1L, 2L),
+      (3L, 1L), (2L, 3L), (2L, 2L), (0L, 1L)).toDF("a", "b")
+    val got = Graft.triangleCounts(k4).as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), got.toString)
+    // square 0-1-2-3 with diagonal 0-2: triangles (0,1,2) and (0,2,3)
+    val sq = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L)).toDF("a", "b")
+    val got2 = Graft.triangleCounts(sq).as[(Long, Long)].collect().toMap
+    assert(got2 == Map(0L -> 2L, 2L -> 2L, 1L -> 1L, 3L -> 1L), got2.toString)
+  }
+
+  test("funnel requires steps strictly in order") {
+    // u1 completes all three in order; u2 clicks BEFORE its first view
+    // (that click must not count) and never purchases -> reached 1;
+    // u3 has click+purchase but no view -> reached 0; u4 views only.
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (2L, 1L, "click"), (2L, 2L, "view"), (2L, 3L, "signup"),
+      (3L, 1L, "click"), (3L, 2L, "purchase"),
+      (4L, 1L, "view")
+    ).toDF("u", "seq", "etype")
+    val got = Graft.funnel(ev, "u", "etype", Seq("view", "click", "purchase"),
+        Seq(col("seq").asc))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 0, 4L -> 1), got.toString)
+  }
+
   test("pagerank matches the hand-rolled fixed-point iteration on an arbitrary graph") {
     // 0 -> 1, 0 -> 2, 1 -> 2, 2 -> 0, 3 -> 2 (node 3 has no in-edges,
     // mixed out-degrees 1 and 2, so degree division and the
