@@ -412,6 +412,80 @@ object Streaming {
   def streamUpsert(s: SparkSession, d: String): DataFrame =
     streamUpsertCounted(s, d)._1
 
+  /** Incremental view maintenance (the q_stream_ivm body): a per-cohort
+    * aggregate view (`count` of live keys, decimal-exact `sum` of their
+    * current v) maintained INCREMENTALLY from the keyed CDC feed —
+    * never recomputed from the key table. Each batch's per-key latest
+    * change retracts the key's OLD contribution (looked up in the
+    * maintained key table) and inserts the new one; tombstones retract
+    * only. A missed retraction, double-applied delta, or lost batch
+    * leaves the view permanently off the fixpoint the oracle states —
+    * that is the invariant under test. Decimal(38,10) running sums make
+    * the additions exact and order/batching-independent.
+    *
+    * Scale shape: per batch, deltas aggregate map-side to at most
+    * |cohorts| rows before the full-outer view merge; the key table
+    * sees the same MERGE shape as q_stream_upsert. View size is the
+    * rollup's, not the corpus's. */
+  private[graft] def streamIvmCounted(s: SparkSession, d: String,
+      batches: Int = 3): (DataFrame, Int) = withStatePartitions(s, 4) {
+    import s.implicits._
+    import graft.Exact
+    val topic = FileBusFixture.ensureKeyedTopic(s, d)
+    val total = FileBus.endOffsets(topic).values.sum
+    val cap = math.max(1L, total / batches + 1L)
+    val zeroDec = Exact.dec(lit(0.0))
+    var keyState: DataFrame = Seq.empty[(Long, Long, Double)]
+      .toDF("user_id", "event_id", "v")
+    var view: DataFrame = Seq.empty[(Long, Long)].toDF("cohort", "n_users")
+      .withColumn("sum_v", zeroDec)
+    var applied = 0
+    val q = s.readStream.format(classOf[FileBusProvider].getName)
+      .option("path", topic)
+      .option("maxRecordsPerTrigger", cap.toString)
+      .load()
+      .select(split(col("value"), ",").getItem(0).cast("long").as("user_id"),
+        split(col("value"), ",").getItem(1).cast("long").as("event_id"),
+        split(col("value"), ",").getItem(2).cast("double").as("v"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val changes = batch
+          .groupBy(col("user_id"))
+          .agg(max(col("event_id")).as("event_id"),
+            max_by(col("v"), col("event_id")).as("v"))
+          .withColumn("op",
+            when(col("event_id") % 29 === 0, lit("D")).otherwise(lit("U")))
+          .localCheckpoint() // feeds retraction, insertion, key merge
+        val retract = keyState
+          .join(changes.select("user_id"), Seq("user_id"), "left_semi")
+          .select((col("user_id") % 10).as("cohort"),
+            lit(-1L).as("dn"), (zeroDec - Exact.dec(col("v"))).as("dv"))
+        val insert = changes.filter(col("op") === "U")
+          .select((col("user_id") % 10).as("cohort"),
+            lit(1L).as("dn"), Exact.dec(col("v")).as("dv"))
+        val delta = retract.unionByName(insert)
+          .groupBy("cohort").agg(sum("dn").as("dn"), sum("dv").as("dv"))
+        view = view.join(delta, Seq("cohort"), "full_outer")
+          .select(col("cohort"),
+            (coalesce(col("n_users"), lit(0L)) +
+              coalesce(col("dn"), lit(0L))).as("n_users"),
+            (coalesce(col("sum_v"), zeroDec) +
+              coalesce(col("dv"), zeroDec)).as("sum_v"))
+          .localCheckpoint()
+        keyState = graft.api.Graft.merge(keyState, changes, "user_id")
+          .drop("op").localCheckpoint()
+        applied += 1
+      }
+      .start()
+    drain(q)
+    (view.filter(col("n_users") > 0)
+      .select(col("cohort"), col("n_users"),
+        graft.Exact.decOut(col("sum_v")).as("sum_v")), applied)
+  }
+
+  def streamIvm(s: SparkSession, d: String): DataFrame =
+    streamIvmCounted(s, d)._1
+
   /** Ingest-time near-dup filter: arriving documents are MinHash-LSH
     * checked against a STATIC corpus index and dropped on any band
     * collision — the standard architecture for keeping near-copies of an
@@ -705,6 +779,26 @@ object Streaming {
         |WHERE d.doc_id % 3 <> 0
         |  AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)
         |""".stripMargin) { (s, d) => streamNearDup(s, d) },
+
+    // Incremental view maintenance: a per-cohort (count, decimal-sum)
+    // rollup of the CDC feed's CURRENT state, maintained by retraction +
+    // insertion deltas batch by batch — never recomputed. The oracle
+    // states the batching-free fixpoint (rollup over latest-per-key
+    // minus tombstoned keys): a missed retraction or double-applied
+    // delta breaks the hash.
+    QueryDef(
+      "q_stream_ivm",
+      """SELECT user_id % 10 AS cohort, count(*)::BIGINT AS n_users,
+        |  CAST(round(sum(CAST(v AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_v
+        |FROM (
+        |  SELECT user_id, max(event_id) AS event_id, arg_max(v, event_id) AS v
+        |  FROM read_csv('/tmp/graft_bus_keyed_sf0.01/p*.log',
+        |    columns={'user_id': 'BIGINT', 'event_id': 'BIGINT', 'v': 'DOUBLE'},
+        |    header=false, auto_detect=false)
+        |  GROUP BY user_id) t
+        |WHERE event_id % 29 <> 0
+        |GROUP BY cohort
+        |""".stripMargin) { (s, d) => streamIvm(s, d) },
 
     // Streaming tokenizer application: the BPE vocab is trained ONCE on
     // the static corpus (Graft.bpeTrain), then every arriving micro-batch

@@ -95,6 +95,26 @@ class StreamingRobustnessSpec extends SparkSpec {
       "streamed fold must equal the batch fixpoint")
   }
 
+  test("streamIvm maintains the rollup by retraction across MULTIPLE batches") {
+    // Incremental view maintenance is only incremental if >1 batch ran —
+    // and only correct if every update RETRACTED the key's old
+    // contribution before adding the new one (keys mutate across
+    // batches: each user has ~10 feed records split over >= 2 batches).
+    val (view, applied) = Streaming.streamIvmCounted(spark, sf, batches = 3)
+    assert(applied >= 2, s"expected a multi-batch fold, got $applied batch(es)")
+    val expected = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(max(col("event_id")).as("event_id"),
+        max_by(col("value"), col("event_id")).as("v"))
+      .filter(col("event_id") % 29 =!= 0)
+      .groupBy((col("user_id") % 10).as("cohort"))
+      .agg(count(lit(1)).as("n_users"),
+        graft.Exact.decOut(sum(graft.Exact.dec(col("v")))).as("sum_v"))
+    assert(view.count() > 0)
+    assert(view.exceptAll(expected).isEmpty && expected.exceptAll(view).isEmpty,
+      "incrementally maintained view must equal the batch rollup")
+  }
+
   test("streamNearDup equals the batch LSH filter against the corpus index") {
     import graft.api.Graft
     val docs = graft.sources.Tables.documents(spark, sf)
