@@ -861,19 +861,42 @@ object Graft {
     * joins back onto the checkpointed node list. Per-round lineage is
     * cut exactly as [[kmeansFit]] does; the driver holds no data. */
   def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int,
-      scale: Long): DataFrame = {
-    val tele = 3 * scale / 20
+      scale: Long): DataFrame =
+    pagerankLoop(
+      nodes.select(col("v"), lit(3 * scale / 20).as("tele"),
+        lit(scale).as("r0")),
+      edges, iters)
+
+  /** Personalized (seeded) PageRank: same fixed-point loop, but the
+    * teleport mass lands ONLY on the rows of `nodes` whose boolean
+    * `seed` column is true (and the walk starts there: r0 = scale on
+    * seeds, 0 elsewhere) — ranks measure proximity to the seed set
+    * rather than global centrality. Identical scale shape to
+    * [[pagerank]]. */
+  def pagerankSeeded(nodes: DataFrame, edges: DataFrame, iters: Int,
+      scale: Long): DataFrame =
+    pagerankLoop(
+      nodes.select(col("v"),
+        when(col("seed"), lit(3 * scale / 20)).otherwise(lit(0L)).as("tele"),
+        when(col("seed"), lit(scale)).otherwise(lit(0L)).as("r0")),
+      edges, iters)
+
+  /** The shared fixed-point rank loop: `nv` carries per-node teleport
+    * mass and initial rank as columns, so uniform and personalized
+    * variants are the same plan. */
+  private def pagerankLoop(nodesTele: DataFrame, edges: DataFrame,
+      iters: Int): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val e = edges.join(deg, "src").repartition(col("src")).localCheckpoint()
-    val nv = nodes.select(col("v")).repartition(col("v")).localCheckpoint()
-    var r = nv.select(col("v"), lit(scale).as("r"))
+    val nv = nodesTele.repartition(col("v")).localCheckpoint()
+    var r = nv.select(col("v"), col("r0").as("r"))
     (1 to iters).foreach { _ =>
       val inc = e.join(r, e("src") === r("v"))
         .select(col("dst").as("v"), expr("r div deg").as("contrib"))
         .groupBy("v").agg(sum("contrib").as("c"))
       r = nv.join(inc, Seq("v"), "left")
         .select(col("v"),
-          (lit(tele) + expr("(17 * coalesce(c, 0L)) div 20")).as("r"))
+          (col("tele") + expr("(17 * coalesce(c, 0L)) div 20")).as("r"))
         .localCheckpoint()
     }
     r.select(col("v"), col("r").as("rank"))

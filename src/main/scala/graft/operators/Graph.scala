@@ -49,6 +49,27 @@ object Graph {
         .select(col("v").as("doc_id"), col("rank"))
     },
 
+    // Personalized PageRank: teleport mass concentrated on a seed set
+    // (every 17th doc) — ranks measure proximity to the seeds, the
+    // "similar pages / related documents" primitive. Same bit-exact
+    // fixed-point loop; only the teleport/init vectors change.
+    QueryDef("q_graph_pagerank_seeded",
+      pagerankSeededOracle(PrIters, PrScale)) { (s, d) =>
+      val docs = documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(1), lit(4))).as("k"), col("n"))
+        .select(col("src"),
+          (h60(concat(lit("pr:"), col("src").cast("string"), lit(":"),
+            col("k").cast("string"))) % col("n")).as("dst"))
+      graft.api.Graft.pagerankSeeded(
+          docs.select(col("doc_id").as("v"),
+            (col("doc_id") % 17 === 0).as("seed")),
+          edges, PrIters, PrScale)
+        .select(col("v").as("doc_id"), col("rank"))
+    },
+
     // Triangle counting over the same derived graph (undirected, self-
     // loops dropped) — per-node triangle memberships. Degree-ordered
     // orientation (each edge directed toward the higher (deg, id)) is
@@ -70,6 +91,30 @@ object Graph {
       graft.api.Graft.triangleCounts(raw)
     }
   )
+
+  /** DuckDB mirror of the personalized variant: identical stages, with
+    * the teleport/init masses gated by the seed predicate. */
+  private def pagerankSeededOracle(iters: Int, scale: Long): String = {
+    val tele = 3 * scale / 20
+    val base =
+      s"""n AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |e AS MATERIALIZED (SELECT doc_id AS src,
+         |  ('0x' || substr(md5('pr:' || doc_id::VARCHAR || ':' || k::VARCHAR), 1, 15))::BIGINT % n.n AS dst
+         |  FROM documents, n, UNNEST([1, 2, 3, 4]) AS u(k)),
+         |deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+         |r0 AS MATERIALIZED (SELECT doc_id AS v,
+         |  CASE WHEN doc_id % 17 = 0 THEN $scale ELSE 0 END::BIGINT AS r FROM documents)""".stripMargin
+    val rounds = (0 until iters).map { t =>
+      s"""r${t + 1} AS MATERIALIZED (SELECT allv.v,
+         |  CASE WHEN allv.v % 17 = 0 THEN $tele ELSE 0 END + (17 * coalesce(inc.c, 0)) // 20 AS r
+         |  FROM (SELECT v FROM r0) allv LEFT JOIN (
+         |    SELECT e.dst AS v, SUM(r.r // d.deg)::BIGINT AS c
+         |    FROM e JOIN r$t r ON r.v = e.src JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) inc USING (v))""".stripMargin
+    }
+    "WITH " + (base +: rounds).mkString(",\n") +
+      s"\nSELECT v AS doc_id, r AS rank FROM r$iters\n"
+  }
 
   /** DuckDB mirror of q_graph_triangles: same derived graph, same
     * (deg, id) orientation, same once-per-triangle wedge + canonical-
