@@ -172,6 +172,18 @@ class GraftApiSpec extends SparkSpec {
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 0, 4L -> 1), got.toString)
   }
 
+  test("pagerankSeeded with every node seeded degenerates to uniform pagerank") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L))
+      .toDF("src", "dst")
+    val nodes = (0L to 3L).map(Tuple1(_)).toDF("v")
+    val uni = Graft.pagerank(nodes, edges, 3, 1000000L)
+      .as[(Long, Long)].collect().toMap
+    val all = Graft.pagerankSeeded(nodes.withColumn("seed", lit(true)),
+        edges, 3, 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(uni == all, s"uniform $uni vs all-seeded $all")
+  }
+
   test("pagerank matches the hand-rolled fixed-point iteration on an arbitrary graph") {
     // 0 -> 1, 0 -> 2, 1 -> 2, 2 -> 0, 3 -> 2 (node 3 has no in-edges,
     // mixed out-degrees 1 and 2, so degree division and the
