@@ -753,6 +753,36 @@ object Graft {
       words)
   }
 
+  /** Systematic probability-proportional-to-size sampling: items are
+    * laid out in a deterministic h60 order inside `buckets` hash
+    * buckets, their weights cumulated, and an item is picked iff its
+    * weight interval crosses a multiple of `step` — so selection
+    * probability is proportional to weight (a doc twice as long is
+    * twice as likely picked), with integer-exact floor-division
+    * crossing tests. Per bucket, picked counts equal the bucket's
+    * weight total div step (when weights stay below step). Emits every
+    * row with `bucket`, `cum_before`, and the `picked` flag.
+    *
+    * Scale shape: the bucket hash spreads the cumsum windows so no
+    * global ordering exists anywhere — the same two-level pattern as
+    * [[packSequences]]/[[shuffleOrder]]; one shuffle on the bucket key,
+    * no RNG, reproducible on any cluster layout. */
+  def ppsSample(docs: DataFrame, idCol: String, weightCol: String,
+      buckets: Int, step: Long): DataFrame = {
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("ok").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), col(weightCol),
+        (h60(concat(lit("pps:"), col(idCol).cast("string"))) % buckets)
+          .as("bucket"),
+        h60(concat(lit("ppso:"), col(idCol).cast("string"))).as("ok"))
+      .withColumn("cum_before",
+        coalesce(sum(col(weightCol)).over(w), lit(0L)))
+      .withColumn("picked", expr(
+        s"(cum_before + $weightCol) div $step > cum_before div $step"))
+      .drop("ok")
+  }
+
   /** Ordered funnel: how far does each user get through `steps`, with
     * steps required IN ORDER (step k counts only strictly after the
     * user's earliest completion of step k-1)? Each step's earliest

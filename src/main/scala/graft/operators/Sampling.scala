@@ -251,6 +251,35 @@ object Sampling {
         "doc_id", "lang", "n_tokens", budget = 2000L)
     },
 
+    // Systematic PPS (probability-proportional-to-size) sampling — the
+    // weighted rung of the sampler family: docs are picked with
+    // probability proportional to their token count (one pick per 1000
+    // tokens of cumulative weight), the eval-set construction that
+    // weights long documents fairly. Deterministic h60 layout inside 16
+    // hash buckets, integer floor-division crossing tests — no RNG, no
+    // global window, bit-identical on any cluster.
+    QueryDef(
+      "q_sample_pps",
+      """SELECT doc_id, n_tokens, bucket, cum_before,
+        |  (cum_before + n_tokens) // 1000 > cum_before // 1000 AS picked
+        |FROM (
+        |  SELECT doc_id, n_tokens, bucket,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
+        |      ORDER BY ok ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+        |      ('0x' || substr(md5('pps:' || doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS bucket,
+        |      ('0x' || substr(md5('ppso:' || doc_id::VARCHAR), 1, 15))::BIGINT AS ok
+        |    FROM documents) t) c
+        |""".stripMargin) { (s, d) =>
+      graft.api.Graft.ppsSample(
+        documents(s, d).select(col("doc_id"),
+          size(graft.api.Graft.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", buckets = 16, step = 1000L)
+    },
+
     // Second end-to-end pipeline: the TRAINING-PREP chain (inject/redact
     // PII -> re-tokenize the redacted text -> quality floor -> next-fit
     // sequence packing). Composes q_text_pii_redact and q_text_pack

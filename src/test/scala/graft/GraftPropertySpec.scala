@@ -131,6 +131,21 @@ class GraftPropertySpec extends SparkSpec {
     })
   }
 
+  test("property: ppsSample picks exactly total-div-step per bucket (weights < step)") {
+    check(forAll(docGen, Gen.choose(5L, 40L)) { (docs, step) =>
+      val df = docs.toDF("id", "body")
+        .withColumn("wt", length(col("body")).cast("long") % (step - 1) + 1)
+      val out = Graft.ppsSample(df, "id", "wt", buckets = 4, step = step)
+        .select("id", "wt", "bucket", "cum_before", "picked")
+        .as[(Long, Long, Long, Long, Boolean)].collect()
+      out.length == docs.size && out.groupBy(_._3).values.forall { grp =>
+        val total = grp.map(_._2).sum
+        grp.count(_._5) == total / step &&
+          grp.forall(r => r._5 == ((r._4 + r._2) / step > r._4 / step))
+      }
+    })
+  }
+
   test("property: budgetCap keeps an order-prefix per class and never overflows") {
     check(forAll(docGen, Gen.choose(1L, 30L)) { (docs, budget) =>
       val df = docs.toDF("id", "body")
