@@ -21,16 +21,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by
-    * default. Read it as nanos-since-epoch long and floor-divide to a
-    * microsecond timestamp — identical to DuckDB's `CAST(ts AS TIMESTAMP)`
-    * (TIMESTAMP_NS -> TIMESTAMP truncation), so oracle time comparisons
-    * agree exactly. */
+  /** The driver's `events.ts` storage type has varied across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark reads as a nanos-since-
+    * epoch BIGINT under the legacy flag set in [[events]]) vs plain
+    * TIMESTAMP(MICROS) without UTC adjustment (which Spark reads as
+    * TIMESTAMP_NTZ). Normalize either encoding of a `ts` column to the
+    * session-zone TimestampType — every engine session pins the session
+    * zone to UTC, so all three paths denote the same microsecond instant
+    * and match DuckDB's `CAST(ts AS TIMESTAMP)` (naive micros) exactly.
+    * Works on batch and streaming frames alike (schema-only dispatch). */
+  def withEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    withEventTs(table(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

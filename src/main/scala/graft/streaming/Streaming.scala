@@ -62,7 +62,7 @@ object Streaming {
     // down to the events table
     val agg = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.withEventTs)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         graft.Exact.decOut(sum(col("value").cast("decimal(38,10)"))).as("sum_value"))
@@ -109,8 +109,9 @@ object Streaming {
 
     val q = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
+      .transform(graft.sources.Tables.withEventTs)
       .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("ts_us"))
+        unix_micros(col("ts")).as("ts_us"))
       .as[SessEv]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
@@ -166,7 +167,7 @@ object Streaming {
     // file source is scanned once per micro-batch, not once per side
     val src = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.withEventTs)
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))
@@ -200,7 +201,7 @@ object Streaming {
     val name = "stream_ssjl_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val src = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.withEventTs)
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))
@@ -301,7 +302,7 @@ object Streaming {
     val name = "stream_sliding_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.withEventTs)
       .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
