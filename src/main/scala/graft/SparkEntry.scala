@@ -26,6 +26,8 @@ object SparkEntry {
       operators.Sampling.defs ++
       operators.Dedup.defs ++
       operators.Graph.defs ++
+      operators.Quality.defs ++
+      operators.Sketches.defs ++
       operators.BloomJoin.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs ++

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.Exact.{dec, decOut}
+import graft.sources.Tables._
+
+/** Data-quality operators — the validation layer every large-scale
+  * training-data pipeline runs before (and after) curation: per-column
+  * profiling and declarative constraint checks (the Deequ/Great-
+  * Expectations shape). The reference has no notion of data validation
+  * (its inputs are trusted text dirs, `tools.py:132-163` only checks the
+  * directory is non-empty) — this is north-star surface.
+  *
+  * Scale design: profiling is ONE pass over the table — every metric is
+  * an algebraic aggregate (count/min/max/sum-of-length), so the whole
+  * profile is a single partial+final HashAggregate with no shuffle of row
+  * data; distinct counts ride the same pass as exact `count_distinct`
+  * (Spark expands multi-distinct into one Expand + two-stage agg, still
+  * one scan). Constraints are scalar aggregates unioned after the scan;
+  * the referential check is the only one that shuffles, and it shuffles
+  * KEYS ONLY (anti-join on the key column, both sides pre-projected).
+  */
+object Quality {
+
+  /** One profile row per column: nulls, exact distinct, numeric min/max
+    * (timestamps as epoch micros — exact in a double up to 2^53), and
+    * mean string length for text columns. */
+  private def profileRow(
+      colName: String,
+      nulls: Column,
+      distinct: Column,
+      minNum: Column,
+      maxNum: Column,
+      avgLen: Column): Column =
+    struct(
+      lit(colName).as("col_name"),
+      nulls.as("n_nulls"),
+      distinct.as("n_distinct"),
+      minNum.as("min_num"),
+      maxNum.as("max_num"),
+      avgLen.as("avg_len"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- per-column profiling ---------------------------------------
+    // The "describe the table" primitive: one aggregate pass computes
+    // every per-column metric; the single result row is exploded into
+    // one output row per column. At 100 TB this reads the table once and
+    // moves only constant-size aggregate buffers.
+    QueryDef(
+      "q_quality_profile",
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS k_nul,
+        |    count(DISTINCT o_orderkey) AS k_dis,
+        |    min(o_orderkey) AS k_min, max(o_orderkey) AS k_max,
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS c_nul,
+        |    count(DISTINCT o_custkey) AS c_dis,
+        |    min(o_custkey) AS c_min, max(o_custkey) AS c_max,
+        |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT AS s_nul,
+        |    count(DISTINCT o_orderstatus) AS s_dis,
+        |    CAST(round(sum(CAST(length(o_orderstatus) AS DECIMAL(38,10))), 4) AS DOUBLE) / count(o_orderstatus) AS s_len,
+        |    sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS p_nul,
+        |    count(DISTINCT o_totalprice) AS p_dis,
+        |    min(o_totalprice) AS p_min, max(o_totalprice) AS p_max,
+        |    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS d_nul,
+        |    count(DISTINCT o_orderdate) AS d_dis,
+        |    epoch_us(min(o_orderdate)) AS d_min, epoch_us(max(o_orderdate)) AS d_max,
+        |    sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT AS r_nul,
+        |    count(DISTINCT o_orderpriority) AS r_dis,
+        |    CAST(round(sum(CAST(length(o_orderpriority) AS DECIMAL(38,10))), 4) AS DOUBLE) / count(o_orderpriority) AS r_len
+        |  FROM orders)
+        |SELECT u.col_name, a.n AS n_rows, u.n_nulls, u.n_distinct, u.min_num, u.max_num, u.avg_len
+        |FROM a, (
+        |  SELECT 'o_orderkey' AS col_name, k_nul AS n_nulls, k_dis AS n_distinct,
+        |    CAST(k_min AS DOUBLE) AS min_num, CAST(k_max AS DOUBLE) AS max_num, CAST(NULL AS DOUBLE) AS avg_len FROM a
+        |  UNION ALL SELECT 'o_custkey', c_nul, c_dis, CAST(c_min AS DOUBLE), CAST(c_max AS DOUBLE), NULL FROM a
+        |  UNION ALL SELECT 'o_orderstatus', s_nul, s_dis, NULL, NULL, s_len FROM a
+        |  UNION ALL SELECT 'o_totalprice', p_nul, p_dis, p_min, p_max, NULL FROM a
+        |  UNION ALL SELECT 'o_orderdate', d_nul, d_dis, CAST(d_min AS DOUBLE), CAST(d_max AS DOUBLE), NULL FROM a
+        |  UNION ALL SELECT 'o_orderpriority', r_nul, r_dis, NULL, NULL, r_len FROM a) u
+        |""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+      val agg = o.agg(
+        count(lit(1)).as("n"),
+        nulls("o_orderkey").as("k_nul"), count_distinct(col("o_orderkey")).as("k_dis"),
+        min("o_orderkey").as("k_min"), max("o_orderkey").as("k_max"),
+        nulls("o_custkey").as("c_nul"), count_distinct(col("o_custkey")).as("c_dis"),
+        min("o_custkey").as("c_min"), max("o_custkey").as("c_max"),
+        nulls("o_orderstatus").as("s_nul"), count_distinct(col("o_orderstatus")).as("s_dis"),
+        (decOut(sum(dec(length(col("o_orderstatus"))))) / count(col("o_orderstatus"))).as("s_len"),
+        nulls("o_totalprice").as("p_nul"), count_distinct(col("o_totalprice")).as("p_dis"),
+        min("o_totalprice").as("p_min"), max("o_totalprice").as("p_max"),
+        nulls("o_orderdate").as("d_nul"), count_distinct(col("o_orderdate")).as("d_dis"),
+        unix_micros(min(col("o_orderdate").cast("timestamp"))).as("d_min"),
+        unix_micros(max(col("o_orderdate").cast("timestamp"))).as("d_max"),
+        nulls("o_orderpriority").as("r_nul"), count_distinct(col("o_orderpriority")).as("r_dis"),
+        (decOut(sum(dec(length(col("o_orderpriority"))))) / count(col("o_orderpriority"))).as("r_len"))
+      agg.select(col("n"), explode(array(
+          profileRow("o_orderkey", col("k_nul"), col("k_dis"),
+            col("k_min").cast("double"), col("k_max").cast("double"), lit(null).cast("double")),
+          profileRow("o_custkey", col("c_nul"), col("c_dis"),
+            col("c_min").cast("double"), col("c_max").cast("double"), lit(null).cast("double")),
+          profileRow("o_orderstatus", col("s_nul"), col("s_dis"),
+            lit(null).cast("double"), lit(null).cast("double"), col("s_len")),
+          profileRow("o_totalprice", col("p_nul"), col("p_dis"),
+            col("p_min"), col("p_max"), lit(null).cast("double")),
+          profileRow("o_orderdate", col("d_nul"), col("d_dis"),
+            col("d_min").cast("double"), col("d_max").cast("double"), lit(null).cast("double")),
+          profileRow("o_orderpriority", col("r_nul"), col("r_dis"),
+            lit(null).cast("double"), lit(null).cast("double"), col("r_len")))).as("p"))
+        .select(col("p.col_name"), col("n").as("n_rows"), col("p.n_nulls"),
+          col("p.n_distinct"), col("p.min_num"), col("p.max_num"), col("p.avg_len"))
+    },
+
+    // ---- declarative constraint validation --------------------------
+    // A check suite over orders: uniqueness, completeness, referential
+    // integrity, range, domain membership, and format. Output is one row
+    // per constraint with the violation count — some pass and some fail
+    // on the fixtures, proving detection. Every check except refint is a
+    // scalar aggregate off one scan; refint anti-joins KEYS only.
+    QueryDef(
+      "q_quality_constraints",
+      """SELECT 'orderkey_unique' AS constraint_name,
+        |  (count(*) - count(DISTINCT o_orderkey))::BIGINT AS violations,
+        |  count(*) - count(DISTINCT o_orderkey) = 0 AS pass FROM orders
+        |UNION ALL
+        |SELECT 'custkey_complete', sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 FROM orders
+        |UNION ALL
+        |SELECT 'custkey_refint', count(*)::BIGINT, count(*) = 0 FROM orders o
+        |  WHERE o.o_custkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'totalprice_range', sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 OR o_totalprice > 400000 THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 OR o_totalprice > 400000 THEN 1 ELSE 0 END) = 0 FROM orders
+        |UNION ALL
+        |SELECT 'status_domain', sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) = 0 FROM orders
+        |UNION ALL
+        |SELECT 'priority_format', sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 ELSE 0 END) = 0 FROM orders
+        |UNION ALL
+        |SELECT 'orderdate_window', sum(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' OR o_orderdate >= TIMESTAMP '2001-01-01' THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' OR o_orderdate >= TIMESTAMP '2001-01-01' THEN 1 ELSE 0 END) = 0 FROM orders
+        |""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      checks(s, o, customer(s, d))
+    }
+  )
+
+  /** The constraint suite as a reusable library call (graft.api surface
+    * uses the query above as its registry face). */
+  private[graft] def checks(
+      s: SparkSession, o: DataFrame, cust: DataFrame): DataFrame = {
+    def viol(name: String, violations: Column): DataFrame =
+      o.agg(violations.cast("long").as("violations"))
+        .select(lit(name).as("constraint_name"), col("violations"),
+          (col("violations") === 0L).as("pass"))
+    val unique = viol("orderkey_unique",
+      count(lit(1)) - count_distinct(col("o_orderkey")))
+    val complete = viol("custkey_complete",
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)))
+    // referential integrity: keys-only anti join — at scale both sides
+    // project to the key before the shuffle
+    val refint = o.filter(col("o_custkey").isNotNull).select("o_custkey")
+      .join(cust.select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("custkey_refint").as("constraint_name"), col("violations"),
+        (col("violations") === 0L).as("pass"))
+    val range = viol("totalprice_range",
+      sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0
+        || col("o_totalprice") > 400000, 1L).otherwise(0L)))
+    val domain = viol("status_domain",
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)))
+    val format = viol("priority_format",
+      sum(when(!col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$"), 1L).otherwise(0L)))
+    val window = viol("orderdate_window",
+      sum(when(col("o_orderdate") < lit("1995-01-01").cast("timestamp")
+        || col("o_orderdate") >= lit("2001-01-01").cast("timestamp"), 1L)
+        .otherwise(0L)))
+    unique.union(complete).union(refint).union(range).union(domain)
+      .union(format).union(window)
+  }
+}

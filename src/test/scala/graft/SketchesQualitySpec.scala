@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Contracts of the sketch trio (count-min, KMV, bitmap) and the
+  * data-quality layer (profile, constraints) beyond the oracle's exact
+  * replay: the one-sided count-min error bound, KMV's exact-below-k
+  * degeneracy, bitmap == count_distinct exactness, profile-vs-direct
+  * metric agreement, and constraint detection on planted violations. */
+class SketchesQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- count-min ----------------------------------------------------
+
+  test("count-min estimates are one-sided: est >= true count, always") {
+    val rows = q("q_agg_countmin").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cnt, est) = (r.getAs[Long]("cnt"), r.getAs[Long]("est"))
+      assert(est >= cnt, s"count-min under-counted ${r.getAs[String]("word")}: est=$est < cnt=$cnt")
+    }
+  }
+
+  test("count-min is tight for the heavy tokens at this scale") {
+    // depth 4 x width 1024 cells vs a few thousand distinct tokens:
+    // collisions exist, but min-over-rows should keep the top-20 within
+    // 2x of truth — a regression here means a broken hash or bucket map
+    val rows = q("q_agg_countmin").collect()
+    val loose = rows.count(r => r.getAs[Long]("est") > 2 * r.getAs[Long]("cnt"))
+    assert(loose == 0, s"$loose of ${rows.length} top tokens off by >2x")
+  }
+
+  // ---- KMV ----------------------------------------------------------
+
+  test("KMV: groups below k report exactly, others within 3x") {
+    val rows = q("q_agg_kmv").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("n_exact"), r.getAs[Long]("est"))
+      if (exact < 8) assert(est == exact, s"below-k group must be exact: $r")
+      else {
+        // k=8 is a deliberately tiny sketch (keeps (k-1)*2^60 in a long);
+        // its relative error ~ 1/sqrt(k-2) is large, so the contract is
+        // an order-of-magnitude fence, not a tight bound
+        assert(est >= exact / 3 && est <= exact * 3, s"KMV estimate off >3x: $r")
+      }
+    }
+  }
+
+  // ---- bitmap -------------------------------------------------------
+
+  test("bitmap distinct == count_distinct on every group") {
+    val rows = q("q_agg_bitmap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bitmap") == r.getAs[Long]("n_distinct"),
+        s"bitmap popcount diverged from exact distinct: $r")
+    }
+  }
+
+  test("bitmap segments merge associatively: union of halves == whole") {
+    // split events in two, build segment bitmaps per half, OR-merge,
+    // popcount — must equal the single-pass distinct (the mergeability
+    // claim that makes the sketch a valid partial aggregate at scale)
+    val ev = Tables.events(spark, sf).select("event_type", "user_id")
+    def segs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), expr("user_id div 63").as("seg"),
+        expr("shiftleft(1L, cast(user_id % 63 as int))").as("m"))
+      .groupBy("event_type", "seg").agg(expr("bit_or(m)").as("bits"))
+    val h1 = segs(ev.filter(col("user_id") % 2 === 0))
+    val h2 = segs(ev.filter(col("user_id") % 2 =!= 0))
+    val merged = h1.unionAll(h2)
+      .groupBy("event_type", "seg").agg(expr("bit_or(bits)").as("bits"))
+      .groupBy("event_type").agg(sum(bit_count(col("bits"))).as("n"))
+    val exact = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n"))
+    assert(merged.exceptAll(exact).isEmpty && exact.exceptAll(merged).isEmpty)
+  }
+
+  // ---- quality profile ---------------------------------------------
+
+  test("profile row count and metric agreement with direct queries") {
+    val prof = q("q_quality_profile").collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(prof.size == 6)
+    val o = Tables.orders(spark, sf)
+    val n = o.count()
+    prof.values.foreach(r => assert(r.getAs[Long]("n_rows") == n))
+    val keyRow = prof("o_orderkey")
+    assert(keyRow.getAs[Long]("n_nulls") == 0L)
+    assert(keyRow.getAs[Long]("n_distinct") == n) // primary key
+    val statusDistinct = o.select(count_distinct(col("o_orderstatus"))).as[Long].head()
+    assert(prof("o_orderstatus").getAs[Long]("n_distinct") == statusDistinct)
+    val priceMax = o.agg(max("o_totalprice")).as[Double].head()
+    assert(prof("o_totalprice").getAs[Double]("max_num") == priceMax)
+  }
+
+  test("constraints: fixture suite detects status/format states correctly") {
+    val rows = q("q_quality_constraints").collect()
+      .map(r => r.getAs[String]("constraint_name") ->
+        (r.getAs[Long]("violations"), r.getAs[Boolean]("pass"))).toMap
+    assert(rows.size == 7)
+    // invariants of the generated fixtures: orderkey is a key, custkey
+    // is complete and referentially intact
+    assert(rows("orderkey_unique") == ((0L, true)))
+    assert(rows("custkey_complete") == ((0L, true)))
+    assert(rows("custkey_refint") == ((0L, true)))
+    // pass flag must equal violations==0 on every row
+    rows.values.foreach { case (v, p) => assert(p == (v == 0L)) }
+  }
+
+  test("constraints detect planted violations") {
+    // corrupt a copy of orders: a null custkey, an out-of-domain status,
+    // and a dangling custkey — each must flip its constraint to fail
+    val o = Tables.orders(spark, sf)
+    val bad = o.limit(1).select(
+      col("o_orderkey") + 1000000000L,
+      lit(null).cast("long").as("o_custkey"),
+      lit("X").as("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    val dangling = o.limit(1).select(
+      col("o_orderkey") + 2000000000L,
+      lit(-42L).as("o_custkey"),
+      col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    val corrupted = o.select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      .unionAll(bad).unionAll(dangling)
+    val rows = graft.operators.Quality
+      .checks(spark, corrupted, Tables.customer(spark, sf)).collect()
+      .map(r => r.getAs[String]("constraint_name") ->
+        (r.getAs[Long]("violations"), r.getAs[Boolean]("pass"))).toMap
+    assert(rows("custkey_complete") == ((1L, false)))
+    assert(rows("status_domain") == ((1L, false)))
+    assert(rows("custkey_refint") == ((1L, false)))
+    assert(rows("orderkey_unique")._2) // still unique
+  }
+}
