@@ -931,4 +931,35 @@ object Graft {
     }
     r.select(col("v"), col("r").as("rank"))
   }
+
+  /** Multi-source BFS: exact hop distance from the nearest seed, bounded
+    * at `maxDepth` (unreached nodes are absent from the output). `nodes`
+    * carries (v, seed: boolean); `edges` (src, dst), directed.
+    *
+    * Frontier-join rounds, the level-synchronous BFS that scales: round
+    * d joins ONLY the frontier (nodes first discovered at d-1) against
+    * the edge list — work per round is O(frontier out-edges), and the
+    * anti-join against the discovered set keeps every node's distance
+    * final the moment it is set (no min-relaxation rounds needed, unlike
+    * Bellman-Ford). The discovered set grows monotonically and is
+    * re-checkpointed per round so plans stay flat; the driver holds
+    * DataFrame handles only, never node sets. Deterministic — no RNG,
+    * no tie to break (hop counts are unique per node). */
+  def bfs(nodes: DataFrame, edges: DataFrame, maxDepth: Int): DataFrame = {
+    val e = edges.repartition(col("src")).localCheckpoint()
+    var dist = nodes.filter(col("seed"))
+      .select(col("v"), lit(0L).as("dist"))
+      .repartition(col("v")).localCheckpoint()
+    var frontier = dist
+    (1 to maxDepth).foreach { depth =>
+      val next = e.join(frontier.select("v"), e("src") === col("v"))
+        .select(col("dst").as("v")).distinct()
+        .join(dist, Seq("v"), "left_anti")
+        .select(col("v"), lit(depth.toLong).as("dist"))
+        .localCheckpoint()
+      dist = dist.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    dist
+  }
 }

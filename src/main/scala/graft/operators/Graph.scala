@@ -24,6 +24,11 @@ object Graph {
   /** Rank-update rounds replayed by the oracle. */
   private val PrIters = 5
 
+  /** BFS depth bound replayed by the oracle. Declared BEFORE `defs`:
+    * oracle strings are built eagerly at object init, and a val defined
+    * after `defs` would interpolate as its uninitialized default. */
+  private val BfsDepth = 4
+
   /** Fixed-point scale: ranks start at 10^12 per node — wide enough that
     * five rounds of floor division keep ~9 significant digits, small
     * enough that 17 * sum(contribs) stays far from BIGINT overflow. */
@@ -89,8 +94,49 @@ object Graph {
           (h60(concat(lit("pr:"), col("a").cast("string"), lit(":"),
             col("k").cast("string"))) % col("n")).as("b"))
       graft.api.Graft.triangleCounts(raw)
+    },
+
+    // Multi-source BFS over the same derived graph: exact hop distance
+    // from the nearest seed (every 17th doc, the pagerank_seeded seed
+    // set), depth-bounded at 4. Level-synchronous frontier joins — each
+    // round touches only the newly-discovered frontier's out-edges, and
+    // the anti-join against the discovered set makes distances final on
+    // first touch. The oracle walks the same graph with a depth-bounded
+    // recursive CTE (UNION, so the frontier dedups per level) and takes
+    // min(dist); hop counts are integers, so the replay is bit-exact.
+    QueryDef("q_graph_bfs", bfsOracle(BfsDepth)) { (s, d) =>
+      val docs = documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(1), lit(4))).as("k"), col("n"))
+        .select(col("src"),
+          (h60(concat(lit("pr:"), col("src").cast("string"), lit(":"),
+            col("k").cast("string"))) % col("n")).as("dst"))
+      graft.api.Graft.bfs(
+          docs.select(col("doc_id").as("v"),
+            (col("doc_id") % 17 === 0).as("seed")),
+          edges, BfsDepth)
+        .select(col("v").as("doc_id"), col("dist"))
     }
   )
+
+  /** DuckDB mirror of q_graph_bfs: same derived edges and seed set; a
+    * depth-bounded recursive CTE (UNION dedups (v, dist) rows per level,
+    * so the walk can't blow up on the 4-regular fan-out) then min(dist)
+    * per node. */
+  private def bfsOracle(depth: Int): String =
+    s"""WITH RECURSIVE n AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |e AS MATERIALIZED (SELECT doc_id AS src,
+       |  ('0x' || substr(md5('pr:' || doc_id::VARCHAR || ':' || k::VARCHAR), 1, 15))::BIGINT % n.n AS dst
+       |  FROM documents, n, UNNEST([1, 2, 3, 4]) AS u(k)),
+       |walk(v, dist) AS (
+       |  SELECT doc_id, 0::BIGINT FROM documents WHERE doc_id % 17 = 0
+       |  UNION
+       |  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.v
+       |  WHERE w.dist < $depth)
+       |SELECT v AS doc_id, min(dist)::BIGINT AS dist FROM walk GROUP BY v
+       |""".stripMargin
 
   /** DuckDB mirror of the personalized variant: identical stages, with
     * the teleport/init masses gated by the seed predicate. */

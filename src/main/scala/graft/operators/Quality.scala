@@ -149,8 +149,78 @@ object Quality {
         |""".stripMargin) { (s, d) =>
       val o = orders(s, d)
       checks(s, o, customer(s, d))
+    },
+
+    // ---- robust anomaly detection -----------------------------------
+    // Median/MAD outlier flagging on document length per language — the
+    // robust-z filter a curation pipeline runs to drop truncated or
+    // runaway documents. The fixtures are uniform (no natural outliers),
+    // so the query follows the repo's inject-then-detect precedent
+    // (q_text_pii_redact): every 97th doc's length is deterministically
+    // boosted 9x, and the detector must flag exactly that planted set.
+    // Discrete (type-1) medians by rank selection keep every quantity an
+    // integer — median, MAD, and the 5*MAD fence replay bit-exact, and
+    // the rank-window shape is the one exact-quantile plan that survives
+    // a billion-row group (see q_agg_quantile_rank).
+    QueryDef(
+      "q_quality_anomaly",
+      """WITH obs AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 97 = 0 THEN n_chars * 9 ELSE n_chars END AS len
+        |  FROM documents),
+        |r AS (
+        |  SELECT obs.*,
+        |    row_number() OVER (PARTITION BY lang ORDER BY len, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM obs),
+        |med AS (SELECT lang, max(CASE WHEN rn = (n + 1) // 2 THEN len END) AS med
+        |  FROM r GROUP BY lang),
+        |dev AS (
+        |  SELECT obs.doc_id, obs.lang, obs.len, med.med,
+        |    abs(obs.len - med.med) AS dev
+        |  FROM obs JOIN med USING (lang)),
+        |dr AS (
+        |  SELECT dev.*,
+        |    row_number() OVER (PARTITION BY lang ORDER BY dev, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM dev),
+        |mad AS (SELECT lang, max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+        |  FROM dr GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.len, d.med, mad.mad
+        |FROM dev d JOIN mad USING (lang)
+        |WHERE d.dev > 5 * mad.mad
+        |""".stripMargin) { (s, d) =>
+      anomalies(documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 97 === 0, col("n_chars") * 9)
+            .otherwise(col("n_chars")).as("len")))
     }
   )
+
+  /** Median/MAD robust outlier detection on (doc_id, lang, len): rows
+    * whose deviation from the per-lang discrete median exceeds 5x the
+    * discrete median absolute deviation. Group sizes come from a tiny
+    * broadcast pre-aggregate, so each metric costs ONE rank window over
+    * the fact rows (never a second whole-partition window pass). */
+  private[graft] def anomalies(obs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = obs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val med = obs.join(broadcast(sizes), "lang")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("len"), col("doc_id"))))
+      .groupBy("lang")
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("len"))).as("med"))
+    val dev = obs.join(broadcast(med), "lang")
+      .withColumn("dev", abs(col("len") - col("med")))
+    val mad = dev.join(broadcast(sizes), "lang")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("dev"), col("doc_id"))))
+      .groupBy("lang")
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("dev"))).as("mad"))
+    dev.join(broadcast(mad), "lang")
+      .filter(col("dev") > lit(5) * col("mad"))
+      .select("doc_id", "lang", "len", "med", "mad")
+  }
 
   /** The constraint suite as a reusable library call (graft.api surface
     * uses the query above as its registry face). */

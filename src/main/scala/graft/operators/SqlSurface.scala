@@ -44,6 +44,75 @@ object SqlSurface {
     // plus the walk length. Edges form chains (each node has at most one
     // predecessor), so UNION ALL derivations are unique and both engines
     // terminate at the same fixpoint with identical counts.
+    // TPC-H Q3 shape (shipping priority): segment-filtered customer x
+    // date-bracketed orders x lineitem, revenue per open order, top 10.
+    // The filters sit on three different tables, so this is the plan-
+    // quality probe for pushdown-through-join: both predicates reach
+    // their scans, customer (segment-pruned, ~300 rows) broadcasts, and
+    // the ORDER BY ... LIMIT becomes TakeOrderedAndProject — no global
+    // sort. Revenue is the exact-decimal sum; doubles leave via round().
+    QueryDef(
+      "q_sql_shipping_priority",
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND l_shipdate > TIMESTAMP '1997-07-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10
+        |""".stripMargin) { (s, d) =>
+      views(s, d, "customer", "orders", "lineitem")
+      s.sql(
+        """SELECT l_orderkey, o_orderdate, o_orderpriority,
+          |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1997-07-01'
+          |  AND l_shipdate > TIMESTAMP '1997-07-01'
+          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          |ORDER BY revenue DESC, l_orderkey LIMIT 10
+          |""".stripMargin)
+    },
+
+    // TPC-H Q10 shape (returned items): per-customer lost revenue from
+    // returned lineitems, nation attached, top 20 accounts. The return-
+    // flag filter prunes lineitem at the scan to a third; nation is a
+    // broadcast dim; the two fact joins shuffle on their keys and the
+    // revenue tie-breaks by unique custkey so the LIMIT is stable in
+    // both engines.
+    QueryDef(
+      "q_sql_returned_items",
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20
+        |""".stripMargin) { (s, d) =>
+      views(s, d, "customer", "orders", "lineitem", "nation")
+      s.sql(
+        """SELECT c_custkey, c_name, n_name,
+          |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue,
+          |  count(*) AS n_items
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE l_returnflag = 'R'
+          |GROUP BY c_custkey, c_name, n_name
+          |ORDER BY revenue DESC, c_custkey LIMIT 20
+          |""".stripMargin)
+    },
+
     QueryDef(
       "q_sql_recursive",
       """WITH RECURSIVE ed AS (

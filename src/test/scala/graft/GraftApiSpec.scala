@@ -205,4 +205,32 @@ class GraftApiSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == r, s"got $got expected $r")
   }
+
+  test("bfs computes exact hop distances on a known graph, bounded by maxDepth") {
+    // chain 0->1->2->3->4 plus shortcut 0->3 and an unreachable node 9;
+    // a back-edge 3->0 must not shorten anything (distances are final on
+    // first discovery).
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L), (3L, 0L))
+      .toDF("src", "dst")
+    val nodes = (Seq(0L, 1L, 2L, 3L, 4L, 9L)).map(v => (v, v == 0L))
+      .toDF("v", "seed")
+    val got = Graft.bfs(nodes, edges, maxDepth = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L),
+      s"got $got")
+    // depth bound honored: maxDepth=1 discovers only seeds + direct succ
+    val shallow = Graft.bfs(nodes, edges, maxDepth = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(shallow == Map(0L -> 0L, 1L -> 1L, 3L -> 1L), s"got $shallow")
+  }
+
+  test("bfs multi-source: each node gets the distance to its NEAREST seed") {
+    val edges = Seq((0L, 1L), (1L, 2L), (5L, 2L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 5L).map(v => (v, v == 0L || v == 5L))
+      .toDF("v", "seed")
+    val got = Graft.bfs(nodes, edges, maxDepth = 3)
+      .as[(Long, Long)].collect().toMap
+    // node 2 is 2 hops from seed 0 but 1 hop from seed 5
+    assert(got == Map(0L -> 0L, 5L -> 0L, 1L -> 1L, 2L -> 1L), s"got $got")
+  }
 }

@@ -110,6 +110,22 @@ class SketchesQualitySpec extends SparkSpec {
     rows.values.foreach { case (v, p) => assert(p == (v == 0L)) }
   }
 
+  test("anomaly detector flags exactly the planted outlier set") {
+    val flagged = q("q_quality_anomaly").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 === 0).select("doc_id")
+      .as[Long].collect().toSet
+    assert(flagged == planted,
+      s"flagged ${flagged.size} != planted ${planted.size}: " +
+        s"missed=${planted -- flagged} spurious=${flagged -- planted}")
+    // and every flagged row's deviation actually clears the 5*MAD fence
+    q("q_quality_anomaly").collect().foreach { r =>
+      val dev = math.abs(r.getAs[Long]("len") - r.getAs[Long]("med"))
+      assert(dev > 5 * r.getAs[Long]("mad"), s"under-fence row: $r")
+    }
+  }
+
   test("constraints detect planted violations") {
     // corrupt a copy of orders: a null custkey, an out-of-domain status,
     // and a dangling custkey — each must flip its constraint to fail
