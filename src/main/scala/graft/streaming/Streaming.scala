@@ -487,6 +487,71 @@ object Streaming {
   def streamIvm(s: SparkSession, d: String): DataFrame =
     streamIvmCounted(s, d)._1
 
+  /** Streaming data-quality monitor (the q_stream_quality body): the
+    * row-local half of the batch constraint suite (operators.Quality)
+    * run against the live bus feed — per-micro-batch violation counts
+    * accumulated into a running totals view, the monitor a pipeline
+    * hangs alerts off. Only ROW-LOCAL constraints (domain, expectation,
+    * range, window) ride the stream: each is a per-row predicate, so
+    * counts are additive and the accumulated totals are batching-
+    * invariant — the fixpoint the oracle states over the same topic
+    * logs. (Cross-row constraints like uniqueness stay in the batch
+    * suite; counting them per batch would under-report by construction.)
+    *
+    * Scale shape: each batch reduces to FOUR longs before the totals
+    * merge (constant-size partial aggregate, map-side combined); the
+    * totals view is four rows. Nothing about the corpus accumulates. */
+  private[graft] def streamQualityCounted(s: SparkSession, d: String,
+      batches: Int = 3): (DataFrame, Int) = withStatePartitions(s, 4) {
+    import s.implicits._
+    val topic = FileBusFixture.ensureTopic(s, d)
+    val total = FileBus.endOffsets(topic).values.sum
+    val cap = math.max(1L, total / batches + 1L)
+    val janStartUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val febStartUs = 1706745600000000L // 2024-02-01T00:00:00Z
+    var totals: DataFrame = Seq.empty[(String, Long)]
+      .toDF("constraint_name", "violations")
+    var applied = 0
+    val q = s.readStream.format(classOf[FileBusProvider].getName)
+      .option("path", topic)
+      .option("maxRecordsPerTrigger", cap.toString)
+      .load()
+      .select(split(col("value"), ",").getItem(0).cast("long").as("ts_us"),
+        split(col("value"), ",").getItem(1).as("event_type"),
+        split(col("value"), ",").getItem(2).cast("double").as("v"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        def viol(p: org.apache.spark.sql.Column) =
+          sum(when(p, 1L).otherwise(0L))
+        val delta = batch.agg(
+            viol(!col("event_type").isin(
+              "click", "view", "purchase", "signup", "error")).as("type_domain"),
+            viol(col("event_type") === "error").as("no_error_events"),
+            viol(col("v") <= 0.0 || col("v") > 400.0).as("value_range"),
+            viol(col("ts_us") < janStartUs || col("ts_us") >= febStartUs)
+              .as("ts_window"))
+          .select(expr(
+            """stack(4,
+              |  'type_domain', type_domain,
+              |  'no_error_events', no_error_events,
+              |  'value_range', value_range,
+              |  'ts_window', ts_window) AS (constraint_name, d)""".stripMargin))
+        totals = totals.join(delta, Seq("constraint_name"), "full_outer")
+          .select(col("constraint_name"),
+            (coalesce(col("violations"), lit(0L)) +
+              coalesce(col("d"), lit(0L))).as("violations"))
+          .localCheckpoint()
+        applied += 1
+      }
+      .start()
+    drain(q)
+    (totals.select(col("constraint_name"), col("violations"),
+      (col("violations") === 0L).as("pass")), applied)
+  }
+
+  def streamQuality(s: SparkSession, d: String): DataFrame =
+    streamQualityCounted(s, d)._1
+
   /** Ingest-time near-dup filter: arriving documents are MinHash-LSH
     * checked against a STATIC corpus index and dropped on any band
     * collision — the standard architecture for keeping near-copies of an
@@ -800,6 +865,35 @@ object Streaming {
         |WHERE event_id % 29 <> 0
         |GROUP BY cohort
         |""".stripMargin) { (s, d) => streamIvm(s, d) },
+
+    // Streaming quality monitor: row-local constraint violations counted
+    // per micro-batch and accumulated — additive predicates, so the
+    // totals are batching-invariant and the oracle states them over the
+    // topic logs directly. One constraint fails on the fixtures (error
+    // events exist), proving detection; the rest hold.
+    QueryDef(
+      "q_stream_quality",
+      """WITH t AS (
+        |  SELECT ts_us, event_type, v
+        |  FROM read_csv('/tmp/graft_bus_topic_sf0.01/p*.log',
+        |    columns={'ts_us': 'BIGINT', 'event_type': 'VARCHAR', 'v': 'DOUBLE'},
+        |    header=false, auto_detect=false))
+        |SELECT 'type_domain' AS constraint_name,
+        |  sum(CASE WHEN event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error') THEN 1 ELSE 0 END)::BIGINT AS violations,
+        |  sum(CASE WHEN event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error') THEN 1 ELSE 0 END) = 0 AS pass FROM t
+        |UNION ALL
+        |SELECT 'no_error_events',
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 0 FROM t
+        |UNION ALL
+        |SELECT 'value_range',
+        |  sum(CASE WHEN v <= 0 OR v > 400 THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(CASE WHEN v <= 0 OR v > 400 THEN 1 ELSE 0 END) = 0 FROM t
+        |UNION ALL
+        |SELECT 'ts_window',
+        |  sum(CASE WHEN ts_us < 1704067200000000 OR ts_us >= 1706745600000000 THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(CASE WHEN ts_us < 1704067200000000 OR ts_us >= 1706745600000000 THEN 1 ELSE 0 END) = 0 FROM t
+        |""".stripMargin) { (s, d) => streamQuality(s, d) },
 
     // Streaming tokenizer application: the BPE vocab is trained ONCE on
     // the static corpus (Graft.bpeTrain), then every arriving micro-batch

@@ -115,6 +115,26 @@ class StreamingRobustnessSpec extends SparkSpec {
       "incrementally maintained view must equal the batch rollup")
   }
 
+  test("streamQuality accumulates row-local violations across MULTIPLE batches") {
+    // additive constraints: the accumulated totals must equal one batch
+    // pass over the whole feed, whatever the admission schedule
+    val (totals, applied) = Streaming.streamQualityCounted(spark, sf, batches = 3)
+    assert(applied >= 2, s"expected a multi-batch fold, got $applied batch(es)")
+    val rows = totals.collect()
+      .map(r => r.getAs[String]("constraint_name") ->
+        (r.getAs[Long]("violations"), r.getAs[Boolean]("pass"))).toMap
+    assert(rows.size == 4)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val nErrors = ev.filter(col("event_type") === "error").count()
+    assert(nErrors > 0 && rows("no_error_events") == ((nErrors, false)),
+      s"error-event detection: expected $nErrors, got ${rows("no_error_events")}")
+    assert(rows("type_domain") == ((0L, true)))
+    val nTs = ev.filter(unix_micros(col("ts")) < 1704067200000000L ||
+      unix_micros(col("ts")) >= 1706745600000000L).count()
+    assert(rows("ts_window") == ((nTs, nTs == 0L)))
+    rows.values.foreach { case (v, p) => assert(p == (v == 0L)) }
+  }
+
   test("streamNearDup equals the batch LSH filter against the corpus index") {
     import graft.api.Graft
     val docs = graft.sources.Tables.documents(spark, sf)
