@@ -79,7 +79,17 @@ object Plans {
     "q_events_funnel" ->
       "ordered funnel: three stage aggregates over ONE checkpointed user-ranked relation, pre-partitioned by user_id — the stage joins and partial/final aggs all reuse that exchange; per-user state is three ints",
     "q_graph_triangles" ->
-      "triangle counting: degree-ordered orientation bounds hub out-degrees (~sqrt m) before the wedge self-join on the center node; the closure check is a pure equi-join on the canonical (least, greatest) pair — every join an equi-join, no nested loop"
+      "triangle counting: degree-ordered orientation bounds hub out-degrees (~sqrt m) before the wedge self-join on the center node; the closure check is a pure equi-join on the canonical (least, greatest) pair — every join an equi-join, no nested loop",
+    "q_sql_shipping_priority" ->
+      "TPC-H Q3 shape: all three filters pushed to their own scans (PushedFilters on customer/orders/lineitem), pruned dims broadcast, top-10 via TakeOrderedAndProject — the partial agg's exchange is the only shuffle",
+    "q_quality_profile" ->
+      "whole-table profile: ONE parquet scan feeds every per-column metric (Expand for multi-distinct, two-stage HashAggregate); the result explodes from a single row — no row data in any exchange",
+    "q_quality_anomaly" ->
+      "median/MAD outlier fence: group sizes from a tiny broadcast pre-aggregate, then ONE rank window per metric, both partitioned by lang — never a second whole-partition pass over the fact rows",
+    "q_agg_countmin" ->
+      "count-min sketch: cells built from the token-count AGGREGATE (distinct tokens shuffle once; instances never shuffle twice) into a constant 4x1024 table; top-k probe via TakeOrderedAndProject + equi-join on (row, bucket)",
+    "q_graph_bfs" ->
+      "level-synchronous BFS: each round's plan joins only the checkpointed frontier to the src-partitioned edge relation and anti-joins the checkpointed discovered set — work per round is frontier out-edges, not O(V), and no round re-plans prior rounds' lineage"
   )
 
   def main(args: Array[String]): Unit = {
