@@ -194,8 +194,98 @@ object Quality {
         .select(col("doc_id"), col("lang"),
           when(col("doc_id") % 97 === 0, col("n_chars") * 9)
             .otherwise(col("n_chars")).as("len")))
+    },
+
+    // ---- distribution drift detection -------------------------------
+    // Snapshot-vs-snapshot drift: per-column histogram L1 distance
+    // between a reference and a current view of orders — the monitor
+    // that catches a pipeline silently changing its input distribution.
+    // The fixture is one snapshot, so the current view plants drift
+    // deterministically (inject-then-detect): every 3rd order's price is
+    // boosted 25% (numeric shift) and every 5th URGENT order is
+    // remapped to 5-LOW (categorical shift); o_custkey is untouched (a
+    // no-drift control that must NOT flag). Numeric columns bin into
+    // fixed-width buckets (floor of an IEEE division — identical in
+    // both engines), categoricals bin by value hash; counts and the L1
+    // distance are integers, so the replay is bit-exact. One aggregate
+    // pass per snapshot, histogram rows (not row data) in the exchange.
+    QueryDef(
+      "q_quality_drift",
+      """WITH ref AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders),
+        |cur AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.25 ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 5 = 0 AND o_orderpriority = '1-URGENT' THEN '5-LOW' ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders),
+        |bins AS (
+        |  SELECT 'o_totalprice' AS col_name, CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+        |    count(*)::BIGINT AS c, 0 AS side FROM ref GROUP BY 1, 2, 4
+        |  UNION ALL SELECT 'o_totalprice', CAST(floor(o_totalprice / 50000) AS BIGINT), count(*)::BIGINT, 1 FROM cur GROUP BY 1, 2, 4
+        |  UNION ALL SELECT 'o_custkey', o_custkey % 16, count(*)::BIGINT, 0 FROM ref GROUP BY 1, 2, 4
+        |  UNION ALL SELECT 'o_custkey', o_custkey % 16, count(*)::BIGINT, 1 FROM cur GROUP BY 1, 2, 4
+        |  UNION ALL SELECT 'o_orderpriority',
+        |    ('0x' || substr(md5(o_orderpriority), 1, 15))::BIGINT % 16, count(*)::BIGINT, 0 FROM ref GROUP BY 1, 2, 4
+        |  UNION ALL SELECT 'o_orderpriority',
+        |    ('0x' || substr(md5(o_orderpriority), 1, 15))::BIGINT % 16, count(*)::BIGINT, 1 FROM cur GROUP BY 1, 2, 4),
+        |l1 AS (
+        |  SELECT col_name, bin,
+        |    abs(coalesce(sum(CASE WHEN side = 0 THEN c END), 0)
+        |      - coalesce(sum(CASE WHEN side = 1 THEN c END), 0)) AS l1
+        |  FROM bins GROUP BY col_name, bin)
+        |SELECT col_name, sum(l1)::BIGINT AS l1_dist,
+        |  sum(l1) > 100 AS drifted
+        |FROM l1 GROUP BY col_name
+        |""".stripMargin) { (s, d) =>
+      val ref = orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      val cur = orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 1.25)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        when(col("o_orderkey") % 5 === 0 && col("o_orderpriority") === "1-URGENT",
+          lit("5-LOW")).otherwise(col("o_orderpriority")).as("o_orderpriority"))
+      drift(ref, cur, numeric = Map("o_totalprice" -> 50000.0),
+        modular = Seq("o_custkey"),
+        categorical = Seq("o_orderpriority"), threshold = 100L)
     }
   )
+
+  /** Histogram-L1 drift between two snapshots of the same schema: each
+    * snapshot reduces to (column, bin, count) histogram rows in one
+    * aggregate pass — row data never shuffles; the L1 fold runs over
+    * 2 x |bins| rows. Numeric columns use fixed-width buckets, modular
+    * integer columns bucket by `% 16`, categoricals by `h60 % 16`. */
+  private[graft] def drift(ref: DataFrame, cur: DataFrame,
+      numeric: Map[String, Double], modular: Seq[String],
+      categorical: Seq[String], threshold: Long): DataFrame = {
+    import graft.Exact.h60
+    def hist(df: DataFrame, side: Int): DataFrame = {
+      val parts = numeric.toSeq.map { case (c, w) =>
+        df.groupBy(floor(col(c) / w).cast("long").as("bin"))
+          .agg(count(lit(1)).as("c"))
+          .select(lit(c).as("col_name"), col("bin"), col("c"),
+            lit(side).as("side"))
+      } ++ modular.map { c =>
+        df.groupBy((col(c) % 16).as("bin")).agg(count(lit(1)).as("c"))
+          .select(lit(c).as("col_name"), col("bin"), col("c"),
+            lit(side).as("side"))
+      } ++ categorical.map { c =>
+        df.groupBy((h60(col(c)) % 16).as("bin")).agg(count(lit(1)).as("c"))
+          .select(lit(c).as("col_name"), col("bin"), col("c"),
+            lit(side).as("side"))
+      }
+      parts.reduce(_ unionAll _)
+    }
+    hist(ref, 0).unionAll(hist(cur, 1))
+      .groupBy("col_name", "bin")
+      .agg(abs(coalesce(sum(when(col("side") === 0, col("c"))), lit(0L)) -
+        coalesce(sum(when(col("side") === 1, col("c"))), lit(0L))).as("l1"))
+      .groupBy("col_name")
+      .agg(sum("l1").as("l1_dist"))
+      .select(col("col_name"), col("l1_dist"),
+        (col("l1_dist") > threshold).as("drifted"))
+  }
 
   /** Median/MAD robust outlier detection on (doc_id, lang, len): rows
     * whose deviation from the per-lang discrete median exceeds 5x the

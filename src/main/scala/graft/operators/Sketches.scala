@@ -32,7 +32,8 @@ object Sketches {
   /** KMV sketch size: the 8th-smallest hash bounds the estimate;
     * (k-1) * 2^60 stays inside a signed 64-bit long only for k <= 8. */
   private val KmvK = 8
-  private val KmvNum = 7L * 1152921504606846976L // (k-1) * 2^60
+  private val Kmv60 = 1152921504606846976L // 2^60, the h60 hash space
+  private val KmvNum = 7L * Kmv60 // (k-1) * 2^60
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -117,6 +118,122 @@ object Sketches {
         .select(col("event_type"), col("n_exact"),
           when(col("th").isNull, col("n_exact"))
             .otherwise(expr(s"$KmvNum div th")).as("est"))
+    },
+
+    // Theta-sketch SET ALGEBRA: union and intersection cardinality of
+    // every event-type pair estimated purely from the per-type KMV
+    // sketches (q_agg_kmv's k=8 sketches — 8 hashes per type, never the
+    // key sets). Union: the k smallest hashes of sk_a ∪ sk_b give a new
+    // theta; est = (k-1) * 2^60 // theta_u. Intersection: hashes present
+    // in BOTH sketches below theta = least(th_a, th_b), scaled by
+    // 2^60 // theta (floor-before-multiply keeps every term in a signed
+    // long; the estimator's floor bias is < 1 part in 2^60 per unit and
+    // both engines replay it bit-for-bit). Exact twins ride along for
+    // inspection, union-exact via inclusion-exclusion — no second join.
+    // At scale only the constant-size sketches cross partitions; the
+    // pair grid is |types|^2 broadcast rows.
+    QueryDef(
+      "q_agg_kmv_setops",
+      s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+         |h AS (SELECT event_type, user_id,
+         |  ('0x' || substr(md5('kmv:' || user_id::VARCHAR), 1, 15))::BIGINT AS h FROM du),
+         |r AS (SELECT event_type, h,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rn FROM h),
+         |sk AS (SELECT event_type, h FROM r WHERE rn <= $KmvK),
+         |theta AS (SELECT event_type, h AS th FROM r WHERE rn = $KmvK),
+         |ex AS (SELECT event_type, count(*)::BIGINT AS n FROM du GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    a.th AS th_a, b.th AS th_b
+         |  FROM theta a JOIN theta b ON a.event_type < b.event_type),
+         |inter AS (
+         |  SELECT p.type_a, p.type_b,
+         |    sum(CASE WHEN sa.h < least(p.th_a, p.th_b) THEN 1 ELSE 0 END)::BIGINT AS c
+         |  FROM pairs p
+         |  JOIN sk sa ON sa.event_type = p.type_a
+         |  JOIN sk sb ON sb.event_type = p.type_b AND sb.h = sa.h
+         |  GROUP BY 1, 2),
+         |uh AS (
+         |  SELECT type_a, type_b, h,
+         |    row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+         |  FROM (
+         |    SELECT DISTINCT p.type_a, p.type_b, s.h
+         |    FROM pairs p JOIN sk s
+         |      ON s.event_type = p.type_a OR s.event_type = p.type_b)),
+         |tu AS (SELECT type_a, type_b, h AS th_u FROM uh WHERE rn = $KmvK),
+         |exi AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    count(*)::BIGINT AS n_inter
+         |  FROM du a JOIN du b
+         |    ON b.user_id = a.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2)
+         |SELECT p.type_a, p.type_b,
+         |  coalesce(exi.n_inter, 0) AS n_inter_exact,
+         |  coalesce(i.c, 0) * ($Kmv60 // least(p.th_a, p.th_b)) AS inter_est,
+         |  ea.n + eb.n - coalesce(exi.n_inter, 0) AS n_union_exact,
+         |  $KmvNum // tu.th_u AS union_est
+         |FROM pairs p
+         |JOIN tu ON tu.type_a = p.type_a AND tu.type_b = p.type_b
+         |JOIN ex ea ON ea.event_type = p.type_a
+         |JOIN ex eb ON eb.event_type = p.type_b
+         |LEFT JOIN exi ON exi.type_a = p.type_a AND exi.type_b = p.type_b
+         |LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
+         |""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val du = events(s, d).select("event_type", "user_id").distinct()
+        .localCheckpoint()
+      val h = du.select(col("event_type"), col("user_id"),
+        h60(concat(lit("kmv:"), col("user_id"))).as("h"))
+      val rn = row_number().over(
+        Window.partitionBy("event_type").orderBy(col("h"), col("user_id")))
+      val ranked = h.withColumn("rn", rn).localCheckpoint() // 5 sketches
+      val sk = ranked.filter(col("rn") <= KmvK).select("event_type", "h")
+      val theta = ranked.filter(col("rn") === KmvK)
+        .select(col("event_type"), col("h").as("th"))
+      val ex = du.groupBy("event_type").agg(count(lit(1)).as("n"))
+      // |types|^2 grid of constant-size sketch summaries — broadcast-tiny
+      val pairs = theta.select(col("event_type").as("type_a"), col("th").as("th_a"))
+        .crossJoin(broadcast(
+          theta.select(col("event_type").as("type_b"), col("th").as("th_b"))))
+        .filter(col("type_a") < col("type_b"))
+      val inter = pairs
+        .join(sk.select(col("event_type").as("type_a"), col("h")), Seq("type_a"))
+        .join(sk.select(col("event_type").as("type_b"), col("h")),
+          Seq("type_b", "h"))
+        .groupBy("type_a", "type_b")
+        .agg(sum(when(col("h") < least(col("th_a"), col("th_b")), 1L)
+          .otherwise(0L)).as("c"))
+      // union sketch: pair-tag each side's hashes by equi-join, then rank
+      val skA = pairs.select("type_a", "type_b")
+        .join(sk.select(col("event_type").as("type_a"), col("h")), Seq("type_a"))
+      val skB = pairs.select("type_a", "type_b")
+        .join(sk.select(col("event_type").as("type_b"), col("h")), Seq("type_b"))
+      val thetaU = skA.select("type_a", "type_b", "h")
+        .unionByName(skB.select("type_a", "type_b", "h")).distinct()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("type_a", "type_b").orderBy(col("h"))))
+        .filter(col("rn") === KmvK)
+        .select(col("type_a"), col("type_b"), col("h").as("th_u"))
+      val exInter = du.select(col("event_type").as("type_a"), col("user_id"))
+        .join(du.select(col("event_type").as("type_b"), col("user_id")),
+          Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_inter"))
+      pairs
+        .join(thetaU, Seq("type_a", "type_b"))
+        .join(ex.select(col("event_type").as("type_a"), col("n").as("n_a")),
+          Seq("type_a"))
+        .join(ex.select(col("event_type").as("type_b"), col("n").as("n_b")),
+          Seq("type_b"))
+        .join(exInter, Seq("type_a", "type_b"), "left")
+        .join(inter, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter_exact"),
+          (coalesce(col("c"), lit(0L)) *
+            expr(s"$Kmv60 div least(th_a, th_b)")).as("inter_est"),
+          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L)))
+            .as("n_union_exact"),
+          expr(s"$KmvNum div th_u").as("union_est"))
     },
 
     // Exact distinct counting via bitmap segments: users bucketed into

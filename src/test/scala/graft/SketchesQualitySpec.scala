@@ -78,6 +78,63 @@ class SketchesQualitySpec extends SparkSpec {
     assert(merged.exceptAll(exact).isEmpty && exact.exceptAll(merged).isEmpty)
   }
 
+  // ---- KMV set algebra ----------------------------------------------
+
+  test("kmv setops: identities hold on every pair") {
+    val rows = q("q_agg_kmv_setops").collect()
+    assert(rows.length == 10) // C(5,2) event-type pairs
+    rows.foreach { r =>
+      val (nI, eI) = (r.getAs[Long]("n_inter_exact"), r.getAs[Long]("inter_est"))
+      val (nU, eU) = (r.getAs[Long]("n_union_exact"), r.getAs[Long]("union_est"))
+      assert(nI <= nU, s"exact inter > union: $r")
+      assert(eI >= 0 && eU > 0, s"degenerate estimate: $r")
+      // inclusion-exclusion on the exact side was computed as a+b-inter;
+      // fixtures put every user in every type, so inter == union exactly
+      assert(nI == nU, s"fixture property changed: $r")
+    }
+  }
+
+  test("kmv setops: identical sets give union_est == the single-set estimate") {
+    // every user hits every event type in the fixtures, so each pair's
+    // union sketch IS each side's sketch — union_est must equal the
+    // per-type KMV estimate from q_agg_kmv for both members of the pair
+    val perType = q("q_agg_kmv").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("est")).toMap
+    q("q_agg_kmv_setops").collect().foreach { r =>
+      val eU = r.getAs[Long]("union_est")
+      assert(eU == perType(r.getAs[String]("type_a")) &&
+        eU == perType(r.getAs[String]("type_b")),
+        s"union of identical sets must match the set's own estimate: $r")
+    }
+  }
+
+  // ---- drift ---------------------------------------------------------
+
+  test("drift: planted numeric + categorical shifts flag, control does not") {
+    val rows = q("q_quality_drift").collect()
+      .map(r => r.getAs[String]("col_name") ->
+        (r.getAs[Long]("l1_dist"), r.getAs[Boolean]("drifted"))).toMap
+    assert(rows.size == 3)
+    assert(rows("o_totalprice")._2, s"price shift undetected: $rows")
+    assert(rows("o_orderpriority")._2, s"priority remap undetected: $rows")
+    assert(!rows("o_custkey")._2, s"control column flagged: $rows")
+    assert(rows("o_custkey")._1 == 0L, "untouched column must have L1 = 0")
+  }
+
+  test("drift of a snapshot against itself is zero everywhere") {
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    val rows = graft.operators.Quality.drift(o, o,
+        numeric = Map("o_totalprice" -> 50000.0), modular = Seq("o_custkey"),
+        categorical = Seq("o_orderpriority"), threshold = 100L)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("l1_dist") == 0L && !r.getAs[Boolean]("drifted"),
+        s"self-drift must be zero: $r")
+    }
+  }
+
   // ---- quality profile ---------------------------------------------
 
   test("profile row count and metric agreement with direct queries") {
