@@ -76,6 +76,35 @@ object Sampling {
         .withColumn("zbucket", expr("zkey div 16384"))
     },
 
+    // Hive-style partitioned layout + partition-pruned read: orders
+    // written partitionBy(o_orderstatus), read back with a status filter
+    // — the scan's PartitionFilters skip 2 of 3 directory trees BEFORE
+    // any file opens (directory-level pruning, the coarsest and cheapest
+    // skip lever at 100 TB; file min/max zonemaps refine below it, see
+    // q_layout_zorder). The pruned-scan property is asserted in
+    // PlanShapeSpec; the oracle states the same aggregate over the
+    // unpartitioned source, so a write that dropped or duplicated rows
+    // across partition dirs breaks the hash too.
+    QueryDef(
+      "q_layout_partition_prune",
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority
+        |""".stripMargin) { (s, d) =>
+      val dir = "/tmp/graft_part_orders_" +
+        java.nio.file.Paths.get(d).getFileName.toString
+      orders(s, d).write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          graft.Exact.decOut(sum(graft.Exact.dec(col("o_totalprice"))))
+            .as("revenue"))
+    },
+
     // Context-length chunking: each doc's token stream cut into
     // consecutive 64-token sequences (the pre-training sequence prep).
     QueryDef(

@@ -186,6 +186,13 @@ class PlanShapeSpec extends SparkSpec {
       "change batch shuffles into the base's bucket layout:\n" + plan)
   }
 
+  test("partitioned layout read prunes partition directories at the scan") {
+    val p = planString("q_layout_partition_prune")
+    assert(p.contains("PartitionFilters: ") &&
+      """PartitionFilters: \[[^\]]*o_orderstatus""".r.findFirstIn(p).isDefined,
+      "status filter must prune at the DIRECTORY level, not post-scan:\n" + p)
+  }
+
   test("registry invariant: no unpartitioned Window or CartesianProduct in any query plan") {
     // A Window with an empty partitionSpec funnels its entire input through
     // ONE task — the canonical single-node scale-killer. Sweep every
