@@ -89,7 +89,11 @@ object Plans {
     "q_agg_countmin" ->
       "count-min sketch: cells built from the token-count AGGREGATE (distinct tokens shuffle once; instances never shuffle twice) into a constant 4x1024 table; top-k probe via TakeOrderedAndProject + equi-join on (row, bucket)",
     "q_graph_bfs" ->
-      "level-synchronous BFS: each round's plan joins only the checkpointed frontier to the src-partitioned edge relation and anti-joins the checkpointed discovered set — work per round is frontier out-edges, not O(V), and no round re-plans prior rounds' lineage"
+      "level-synchronous BFS: each round's plan joins only the checkpointed frontier to the src-partitioned edge relation and anti-joins the checkpointed discovered set — work per round is frontier out-edges, not O(V), and no round re-plans prior rounds' lineage",
+    "q_layout_partition_prune" ->
+      "hive-partitioned layout: the status predicate lands in the scan's PartitionFilters — 2 of 3 directory trees skipped before any file opens (the skip rung above zorder's file zonemaps)",
+    "q_quality_drift" ->
+      "snapshot drift: each snapshot reduces to (column, bin, count) histogram rows in one aggregate pass — the L1 fold runs over histogram rows only, row data never reaches an exchange"
   )
 
   def main(args: Array[String]): Unit = {
