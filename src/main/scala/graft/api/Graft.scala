@@ -962,4 +962,31 @@ object Graft {
     }
     dist
   }
+
+  /** Bounded-round Bellman-Ford: cheapest weighted distance from the
+    * seed set over paths of at most `rounds` edges. `nodes` carries
+    * (v, seed: boolean); `edges` (src, dst, w: long), directed, parallel
+    * edges legal (the min-fold absorbs them).
+    *
+    * Unlike [[bfs]] (hop metric — distances final on first discovery),
+    * weighted distances can IMPROVE after discovery, so each round
+    * relaxes every known distance through the edge list and min-folds:
+    * one equi-join on src + one aggregate on dst per round, the same
+    * shuffle shape as a pagerank round. The distance table is node-
+    * sized; edges enter checkpointed and src-partitioned once. All-
+    * integer weights — replay is bit-exact on any cluster. */
+  def sssp(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.repartition(col("src")).localCheckpoint()
+    var dist = nodes.filter(col("seed"))
+      .select(col("v"), lit(0L).as("dist"))
+      .repartition(col("v")).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val relax = e.join(dist, e("src") === dist("v"))
+        .select(e("dst").as("v"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relax)
+        .groupBy("v").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
 }

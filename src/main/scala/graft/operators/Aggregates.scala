@@ -199,6 +199,36 @@ object Aggregates {
         .agg(count(lit(1)).as("n"))
     },
 
+    // Equi-DEPTH histogram (the optimizer-statistics primitive, next to
+    // q_agg_histogram's equi-width buckets): ntile(8) over a fully
+    // tie-broken order splits each group into near-equal-count tiles;
+    // per tile count/lo/hi summarize the distribution with bounded
+    // error regardless of skew. One rank window per group (the exact-
+    // quantile shape that survives billion-row groups) + one aggregate.
+    // ntile's front-loaded remainder split is deterministic given a
+    // total order — the unique (quantity, orderkey, linenumber) key
+    // makes both engines cut identical tiles.
+    QueryDef(
+      "q_agg_histogram_eqdepth",
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    ntile(8) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS tile
+        |  FROM lineitem)
+        |SELECT l_returnflag, tile, count(*)::BIGINT AS n,
+        |  min(l_quantity) AS lo, max(l_quantity) AS hi
+        |FROM r GROUP BY 1, 2
+        |""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"),
+          ntile(8).over(Window.partitionBy("l_returnflag")
+            .orderBy(col("l_quantity"), col("l_orderkey"),
+              col("l_linenumber"))).as("tile"))
+        .groupBy("l_returnflag", "tile")
+        .agg(count(lit(1)).as("n"),
+          min("l_quantity").as("lo"), max("l_quantity").as("hi"))
+    },
+
     // Argmax via max(struct(ord, value)) — deterministic under ties
     // (custkey tie-break), one aggregation, no window shuffle.
     QueryDef(

@@ -118,8 +118,55 @@ object Graph {
             (col("doc_id") % 17 === 0).as("seed")),
           edges, BfsDepth)
         .select(col("v").as("doc_id"), col("dist"))
+    },
+
+    // Weighted single-source (multi-seed) shortest paths: bounded-round
+    // Bellman-Ford over the derived graph with deterministic integer
+    // edge weights 1..5 (h60 of the edge slot). Bounded at 4 relaxation
+    // rounds == cheapest path using at most 4 edges; the oracle walks
+    // the same graph in a recursive CTE carrying an explicit hop count
+    // (UNION dedups (v, dist, hops) states per level) and min-folds.
+    // Weighted distances can improve after discovery — the min-fold per
+    // round is what distinguishes this from q_graph_bfs's anti-join
+    // finality; both shapes cost one src equi-join + one dst aggregate
+    // per round.
+    QueryDef("q_graph_sssp", ssspOracle(BfsDepth)) { (s, d) =>
+      val docs = documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(1), lit(4))).as("k"), col("n"))
+        .select(col("src"),
+          (h60(concat(lit("pr:"), col("src").cast("string"), lit(":"),
+            col("k").cast("string"))) % col("n")).as("dst"),
+          (h60(concat(lit("wt:"), col("src").cast("string"), lit(":"),
+            col("k").cast("string"))) % 5 + 1).as("w"))
+      graft.api.Graft.sssp(
+          docs.select(col("doc_id").as("v"),
+            (col("doc_id") % 17 === 0).as("seed")),
+          edges, BfsDepth)
+        .select(col("v").as("doc_id"), col("dist"))
     }
   )
+
+  /** DuckDB mirror of q_graph_sssp: derived edges with the same h60
+    * weight derivation; the walk carries (v, dist, hops) with hops
+    * bounding path length at `rounds` edges — exactly the reach of
+    * `rounds` Bellman-Ford relaxations — and UNION dedups repeated
+    * states per level before the min-fold. */
+  private def ssspOracle(rounds: Int): String =
+    s"""WITH RECURSIVE n AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |e AS MATERIALIZED (SELECT doc_id AS src,
+       |  ('0x' || substr(md5('pr:' || doc_id::VARCHAR || ':' || k::VARCHAR), 1, 15))::BIGINT % n.n AS dst,
+       |  ('0x' || substr(md5('wt:' || doc_id::VARCHAR || ':' || k::VARCHAR), 1, 15))::BIGINT % 5 + 1 AS w
+       |  FROM documents, n, UNNEST([1, 2, 3, 4]) AS u(k)),
+       |walk(v, dist, hops) AS (
+       |  SELECT doc_id, 0::BIGINT, 0 FROM documents WHERE doc_id % 17 = 0
+       |  UNION
+       |  SELECT e.dst, w.dist + e.w, w.hops + 1 FROM walk w JOIN e ON e.src = w.v
+       |  WHERE w.hops < $rounds)
+       |SELECT v AS doc_id, min(dist)::BIGINT AS dist FROM walk GROUP BY v
+       |""".stripMargin
 
   /** DuckDB mirror of q_graph_bfs: same derived edges and seed set; a
     * depth-bounded recursive CTE (UNION dedups (v, dist) rows per level,

@@ -224,6 +224,23 @@ class GraftApiSpec extends SparkSpec {
     assert(shallow == Map(0L -> 0L, 1L -> 1L, 3L -> 1L), s"got $shallow")
   }
 
+  test("sssp relaxes distances that IMPROVE after discovery, within the round bound") {
+    // 0->1 (w=10), 0->2 (w=1), 2->1 (w=1), 1->3 (w=1): node 1 is found at
+    // cost 10 in round 1, then improves to 2 via node 2 — the min-fold
+    // behavior BFS's first-touch finality cannot express.
+    val edges = Seq((0L, 1L, 10L), (0L, 2L, 1L), (2L, 1L, 1L), (1L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val nodes = Seq(0L, 1L, 2L, 3L).map(v => (v, v == 0L)).toDF("v", "seed")
+    val d3 = Graft.sssp(nodes, edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d3 == Map(0L -> 0L, 1L -> 2L, 2L -> 1L, 3L -> 3L), s"got $d3")
+    // at 2 rounds, only paths of <= 2 edges count: node 3 is reachable
+    // solely via the expensive direct route 0->1->3
+    val d2 = Graft.sssp(nodes, edges, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(d2 == Map(0L -> 0L, 1L -> 2L, 2L -> 1L, 3L -> 11L), s"got $d2")
+  }
+
   test("bfs multi-source: each node gets the distance to its NEAREST seed") {
     val edges = Seq((0L, 1L), (1L, 2L), (5L, 2L)).toDF("src", "dst")
     val nodes = Seq(0L, 1L, 2L, 5L).map(v => (v, v == 0L || v == 5L))
