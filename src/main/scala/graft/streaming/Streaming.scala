@@ -552,6 +552,75 @@ object Streaming {
   def streamQuality(s: SparkSession, d: String): DataFrame =
     streamQualityCounted(s, d)._1
 
+  /** Streaming drift monitor (the q_stream_drift body): the live feed's
+    * value histogram accumulated per micro-batch and L1-compared against
+    * the static reference histogram at the end — the ingest-time twin of
+    * operators.Quality's snapshot drift. Histogram counts are additive,
+    * so the accumulated current-side histogram is batching-invariant and
+    * the comparison equals the batch fixpoint the oracle states.
+    *
+    * Drift is PLANTED in-flight (inject-then-detect, the repo precedent):
+    * click values are scaled 1.5x before binning, so the click row must
+    * flag against the reference built from the same topic unscaled while
+    * every other event type is its own no-drift control. Each batch
+    * reduces to (event_type, bin, count) rows — constant-size state, the
+    * corpus never accumulates. */
+  private[graft] def streamDriftCounted(s: SparkSession, d: String,
+      batches: Int = 3): (DataFrame, Int) = withStatePartitions(s, 4) {
+    import s.implicits._
+    val topic = FileBusFixture.ensureTopic(s, d)
+    val total = FileBus.endOffsets(topic).values.sum
+    val cap = math.max(1L, total / batches + 1L)
+    def parse(df: DataFrame): DataFrame = df
+      .select(split(col("value"), ",").getItem(1).as("event_type"),
+        split(col("value"), ",").getItem(2).cast("double").as("v"))
+    def bins(df: DataFrame, planted: Boolean): DataFrame = df
+      .select(col("event_type"),
+        floor((if (planted)
+            when(col("event_type") === "click", col("v") * 1.5)
+              .otherwise(col("v"))
+          else col("v")) / 50.0).cast("long").as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+    // reference histogram: the same topic read as a batch, unscaled
+    val ref = bins(parse(s.read.format(classOf[FileBusProvider].getName)
+      .option("path", topic).load().select(col("value"))), planted = false)
+      .localCheckpoint()
+    var curHist: DataFrame = Seq.empty[(String, Long, Long)]
+      .toDF("event_type", "bin", "c")
+    var applied = 0
+    val q = s.readStream.format(classOf[FileBusProvider].getName)
+      .option("path", topic)
+      .option("maxRecordsPerTrigger", cap.toString)
+      .load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        curHist = curHist
+          .unionByName(bins(parse(batch), planted = true))
+          .groupBy("event_type", "bin").agg(sum("c").as("c"))
+          .localCheckpoint()
+        applied += 1
+      }
+      .start()
+    drain(q)
+    // scale-free fence: drifted when L1 exceeds 5% of the type's row
+    // count (sum of reference bin counts) — integer arithmetic, holds at
+    // any sf; an absolute threshold would silently stop firing at small
+    // scales and saturate at large ones
+    val l1 = ref.select(col("event_type"), col("bin"), col("c").as("rc"))
+      .join(curHist.select(col("event_type"), col("bin"), col("c").as("cc")),
+        Seq("event_type", "bin"), "full_outer")
+      .groupBy("event_type")
+      .agg(sum(abs(coalesce(col("rc"), lit(0L)) - coalesce(col("cc"), lit(0L))))
+        .as("l1_dist"),
+        sum(coalesce(col("rc"), lit(0L))).as("n"))
+      .select(col("event_type"), col("l1_dist"),
+        (col("l1_dist") * 20L > col("n")).as("drifted"))
+    (l1, applied)
+  }
+
+  def streamDrift(s: SparkSession, d: String): DataFrame =
+    streamDriftCounted(s, d)._1
+
   /** Ingest-time near-dup filter: arriving documents are MinHash-LSH
     * checked against a STATIC corpus index and dropped on any band
     * collision — the standard architecture for keeping near-copies of an
@@ -894,6 +963,38 @@ object Streaming {
         |  sum(CASE WHEN ts_us < 1704067200000000 OR ts_us >= 1706745600000000 THEN 1 ELSE 0 END)::BIGINT,
         |  sum(CASE WHEN ts_us < 1704067200000000 OR ts_us >= 1706745600000000 THEN 1 ELSE 0 END) = 0 FROM t
         |""".stripMargin) { (s, d) => streamQuality(s, d) },
+
+    // Streaming drift monitor: the feed's value histogram accumulated
+    // per micro-batch, L1-compared against the static reference built
+    // from the same topic — click values planted 1.5x hot in-flight, so
+    // the click row must drift and every other type is its own control.
+    // Additive bins make the totals batching-invariant; the oracle
+    // recomputes both histograms and the fold from the log files.
+    // bench=false: breadth entry — the timing story for per-batch
+    // histogram accumulation is already carried by q_stream_quality
+    // (same admission schedule, same constant-size per-batch reduce).
+    QueryDef(
+      "q_stream_drift",
+      """WITH t AS (
+        |  SELECT event_type, v
+        |  FROM read_csv('/tmp/graft_bus_topic_sf0.01/p*.log',
+        |    columns={'ts_us': 'BIGINT', 'event_type': 'VARCHAR', 'v': 'DOUBLE'},
+        |    header=false, auto_detect=false)),
+        |ref AS (
+        |  SELECT event_type, CAST(floor(v / 50.0) AS BIGINT) AS bin, count(*)::BIGINT AS rc
+        |  FROM t GROUP BY 1, 2),
+        |cur AS (
+        |  SELECT event_type,
+        |    CAST(floor(CASE WHEN event_type = 'click' THEN v * 1.5 ELSE v END / 50.0) AS BIGINT) AS bin,
+        |    count(*)::BIGINT AS cc
+        |  FROM t GROUP BY 1, 2)
+        |SELECT event_type,
+        |  sum(abs(coalesce(rc, 0) - coalesce(cc, 0)))::BIGINT AS l1_dist,
+        |  sum(abs(coalesce(rc, 0) - coalesce(cc, 0))) * 20 > sum(coalesce(rc, 0)) AS drifted
+        |FROM ref FULL OUTER JOIN cur USING (event_type, bin)
+        |GROUP BY event_type
+        |""".stripMargin,
+      bench = false) { (s, d) => streamDrift(s, d) },
 
     // Streaming tokenizer application: the BPE vocab is trained ONCE on
     // the static corpus (Graft.bpeTrain), then every arriving micro-batch

@@ -93,7 +93,11 @@ object Plans {
     "q_layout_partition_prune" ->
       "hive-partitioned layout: the status predicate lands in the scan's PartitionFilters — 2 of 3 directory trees skipped before any file opens (the skip rung above zorder's file zonemaps)",
     "q_quality_drift" ->
-      "snapshot drift: each snapshot reduces to (column, bin, count) histogram rows in one aggregate pass — the L1 fold runs over histogram rows only, row data never reaches an exchange"
+      "snapshot drift: each snapshot reduces to (column, bin, count) histogram rows in one aggregate pass — the L1 fold runs over histogram rows only, row data never reaches an exchange",
+    "q_graph_sssp" ->
+      "bounded Bellman-Ford round: src equi-join against the checkpointed weighted edge relation + one min-fold aggregate on dst — the pagerank shuffle shape, needed because weighted distances improve after discovery (BFS's anti-join finality would lock in the first, possibly costlier, path)",
+    "q_agg_histogram_eqdepth" ->
+      "equi-depth histogram: ONE rank window partitioned by the group key feeds the per-tile aggregate — the exact-quantile shape that survives billion-row groups, no value->count map accumulation"
   )
 
   def main(args: Array[String]): Unit = {

@@ -135,6 +135,19 @@ class StreamingRobustnessSpec extends SparkSpec {
     rows.values.foreach { case (v, p) => assert(p == (v == 0L)) }
   }
 
+  test("streamDrift: planted click scaling drifts, other types are controls") {
+    val (l1, applied) = Streaming.streamDriftCounted(spark, sf, batches = 3)
+    assert(applied >= 2, s"expected a multi-batch fold, got $applied batch(es)")
+    val rows = l1.collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("l1_dist"), r.getAs[Boolean]("drifted"))).toMap
+    assert(rows.size == 5)
+    assert(rows("click")._2, s"planted 1.5x scaling undetected: $rows")
+    rows.filterNot(_._1 == "click").foreach { case (t, (d, flag)) =>
+      assert(!flag && d == 0L, s"control type $t drifted: l1=$d")
+    }
+  }
+
   test("streamNearDup equals the batch LSH filter against the corpus index") {
     import graft.api.Graft
     val docs = graft.sources.Tables.documents(spark, sf)
