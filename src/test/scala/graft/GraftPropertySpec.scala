@@ -202,4 +202,55 @@ class GraftPropertySpec extends SparkSpec {
           grp.map(_._3).sorted.toSeq == (1 to grp.length) }
     })
   }
+
+  private val wEdgeGen: Gen[(Int, List[(Long, Long, Long)])] = for {
+    n <- Gen.choose(2, 12)
+    m <- Gen.choose(1, 24)
+    es <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n.toLong - 1)
+      b <- Gen.choose(0L, n.toLong - 1)
+      w <- Gen.choose(1L, 9L)
+    } yield (a, b, w))
+  } yield (n, es)
+
+  /** reference: driver-side bounded Bellman-Ford over the same rounds */
+  private def refSssp(n: Int, es: List[(Long, Long, Long)], seeds: Set[Long],
+      rounds: Int): Map[Long, Long] = {
+    var d: Map[Long, Long] = seeds.map(_ -> 0L).toMap
+    (1 to rounds).foreach { _ =>
+      val relax = es.flatMap { case (a, b, w) => d.get(a).map(da => b -> (da + w)) }
+      d = (d.toSeq ++ relax).groupBy(_._1).map { case (v, xs) =>
+        v -> xs.map(_._2).min }
+    }
+    d
+  }
+
+  test("property: sssp == driver-side Bellman-Ford on random weighted graphs") {
+    check(forAll(wEdgeGen) { case (n, es) =>
+      val seeds = Set(0L, (n - 1).toLong)
+      val nodes = (0 until n).map(v => (v.toLong, seeds(v.toLong)))
+        .toDF("v", "seed")
+      val got =
+        if (es.isEmpty) seeds.map(_ -> 0L).toMap
+        else Graft.sssp(nodes, es.toDF("src", "dst", "w"), rounds = 3)
+          .as[(Long, Long)].collect().toMap
+      got == refSssp(n, es, seeds, rounds = 3)
+    })
+  }
+
+  test("property: bfs == sssp under unit weights") {
+    check(forAll(wEdgeGen) { case (n, es) =>
+      val nodes = (0 until n).map(v => (v.toLong, v == 0)).toDF("v", "seed")
+      val unit = es.map { case (a, b, _) => (a, b, 1L) }.distinct
+      val viaBfs =
+        if (unit.isEmpty) Map(0L -> 0L)
+        else Graft.bfs(nodes, unit.map(e => (e._1, e._2)).toDF("src", "dst"),
+          maxDepth = 3).as[(Long, Long)].collect().toMap
+      val viaSssp =
+        if (unit.isEmpty) Map(0L -> 0L)
+        else Graft.sssp(nodes, unit.toDF("src", "dst", "w"), rounds = 3)
+          .as[(Long, Long)].collect().toMap
+      viaBfs == viaSssp
+    })
+  }
 }
