@@ -298,6 +298,39 @@ object Graft {
       .select(outCols: _*)
   }
 
+  /** SCD Type-2 apply: fold one change batch (rows carrying the same
+    * payload columns plus `op` in U/I/D) into a HISTORY table at
+    * `version`. The history schema is the payload plus (valid_from,
+    * valid_to: nullable, is_current); updates and deletes CLOSE the
+    * key's current row (valid_to = version) and updates/inserts open a
+    * new current one (valid_from = version) — deletes close without a
+    * successor, so full lineage survives (the warehouse twin of
+    * [[merge]], which keeps only the fixpoint).
+    *
+    * Scale shape: prior history passes through untouched; the current
+    * slice is split by ONE semi + ONE anti join on the key (both
+    * broadcastable for batch-sized change sets), and the new rows are a
+    * projection of the batch — the base never shuffles its payload. */
+  def scdApply(base: DataFrame, changes: DataFrame, keyCol: String,
+      version: Long): DataFrame = {
+    val payload = base.columns.toSeq
+      .filterNot(Set(keyCol, "valid_from", "valid_to", "is_current"))
+    val affectedKeys = changes.select(keyCol)
+    val current = base.filter(col("is_current"))
+    val closed = current
+      .join(affectedKeys, Seq(keyCol), "left_semi")
+      .withColumn("valid_to", lit(version))
+      .withColumn("is_current", lit(false))
+    val untouched = current.join(affectedKeys, Seq(keyCol), "left_anti")
+    val opened = changes.filter(col("op") =!= "D")
+      .select((col(keyCol) +: payload.map(col)) :_*)
+      .withColumn("valid_from", lit(version))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+    base.filter(!col("is_current"))
+      .unionByName(closed).unionByName(untouched).unionByName(opened)
+  }
+
   /** Decontamination: drop rows whose content digest appears in `eval`.
     * Fingerprints are anti-joined (broadcast when small); documents never
     * shuffle. */

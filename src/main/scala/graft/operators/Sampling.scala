@@ -430,6 +430,60 @@ object Sampling {
       // only the merge's base side reads the bucketed layout
       graft.api.Graft.merge(s.table("customer_mergebase"),
         upsertChanges(plain), "c_custkey")
+    },
+
+    // SCD Type-2 apply: the same deterministic CDC batch folded as
+    // HISTORY rather than fixpoint — updates/deletes close the current
+    // row at version 1 (valid_to set, is_current dropped), updates and
+    // inserts open a new current row, deletes leave no successor. Full
+    // lineage survives, which is what the upsert queries deliberately
+    // discard. One semi + one anti join on the key split the current
+    // slice; the base payload never shuffles. bench=false: breadth
+    // entry — the MERGE-class timing story is q_pipeline_upsert's.
+    QueryDef(
+      "q_pipeline_scd2",
+      """WITH chg AS (
+        |  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+        |    CAST(NULL AS DOUBLE) AS c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment, 'D' AS op
+        |  FROM customer WHERE c_custkey % 17 = 3
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal + 100.0, 'RESEGMENTED', 'U'
+        |  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 3
+        |  UNION ALL
+        |  SELECT -c_custkey, c_name || ' (copy)', c_acctbal, c_mktsegment, 'I'
+        |  FROM customer WHERE c_custkey % 25 = 7)
+        |SELECT b.c_custkey, b.c_name, b.c_acctbal, b.c_mktsegment,
+        |  0::BIGINT AS valid_from,
+        |  CASE WHEN c.c_custkey IS NULL THEN CAST(NULL AS BIGINT) ELSE 1::BIGINT END AS valid_to,
+        |  c.c_custkey IS NULL AS is_current
+        |FROM customer b LEFT JOIN chg c ON c.c_custkey = b.c_custkey
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |  1::BIGINT AS valid_from, CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+        |FROM chg WHERE op <> 'D'
+        |""".stripMargin,
+      bench = false) { (s, d) =>
+      val cust = customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val base0 = cust
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+        .withColumn("is_current", lit(true))
+      val k = col("c_custkey")
+      val del = cust.filter(k % 17 === 3).select(k.as("c_custkey"),
+        lit(null).cast("string").as("c_name"),
+        lit(null).cast("double").as("c_acctbal"),
+        lit(null).cast("string").as("c_mktsegment"), lit("D").as("op"))
+      val upd = cust.filter(k % 10 === 0 && k % 17 =!= 3)
+        .select(k.as("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"),
+          lit("RESEGMENTED").as("c_mktsegment"), lit("U").as("op"))
+      val ins = cust.filter(k % 25 === 7)
+        .select((-k).as("c_custkey"),
+          concat(col("c_name"), lit(" (copy)")).as("c_name"),
+          col("c_acctbal"), col("c_mktsegment"), lit("I").as("op"))
+      graft.api.Graft.scdApply(base0,
+        del.unionByName(upd).unionByName(ins), "c_custkey", version = 1L)
     }
   )
 

@@ -206,6 +206,37 @@ class GraftApiSpec extends SparkSpec {
     assert(got == r, s"got $got expected $r")
   }
 
+  test("scdApply keeps full lineage: chains close contiguously, one current row per live key") {
+    val base0 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "nm", "bal")
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+    // v1: update key 1, delete key 2, insert key 9
+    val chg1 = Seq((1L, "a2", 11.0, "U"), (2L, null.asInstanceOf[String], 0.0, "D"),
+      (9L, "i", 90.0, "I")).toDF("id", "nm", "bal", "op")
+    val v1 = Graft.scdApply(base0, chg1, "id", version = 1L)
+    // v2: update key 1 again
+    val chg2 = Seq((1L, "a3", 12.0, "U")).toDF("id", "nm", "bal", "op")
+    val v2 = Graft.scdApply(v1, chg2, "id", version = 2L)
+    val rows = v2.select("id", "nm", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect()
+    // one current row per live key; deleted key 2 has none
+    val current = rows.filter(_._5)
+    assert(current.map(_._1).sorted.toSeq == Seq(1L, 3L, 9L), current.toSeq.toString)
+    assert(current.find(_._1 == 1L).get._2 == "a3")
+    // key 1's lineage: three versions, contiguous validity, all names kept
+    val k1 = rows.filter(_._1 == 1L).sortBy(_._3)
+    assert(k1.map(_._2).toSeq == Seq("a", "a2", "a3"))
+    assert(k1.map(r => (r._3, r._4)).toSeq ==
+      Seq((0L, Some(1L)), (1L, Some(2L)), (2L, None)))
+    // deleted key 2: closed at v1, no successor
+    val k2 = rows.filter(_._1 == 2L)
+    assert(k2.toSeq == Seq((2L, "b", 0L, Some(1L), false)))
+    // every row: current iff open-ended
+    rows.foreach(r => assert(r._5 == r._4.isEmpty, r.toString))
+  }
+
   test("bfs computes exact hop distances on a known graph, bounded by maxDepth") {
     // chain 0->1->2->3->4 plus shortcut 0->3 and an unreachable node 9;
     // a back-edge 3->0 must not shorten anything (distances are final on
