@@ -321,6 +321,38 @@ object EventsOps {
           Seq("view", "click", "purchase"),
           Seq(col("ts").asc, col("event_id").asc))
         .select(col("user").as("user_id"), col("reached"))
+    },
+
+    // Cohort retention: users bucketed by their first-activity week,
+    // counted at each later week they return — the product-analytics
+    // triangle. Weeks are integer epoch-µs floor-divisions from a fixed
+    // origin (2024-01-01), so bucketing replays bit-exact. Two key-only
+    // shuffles: distinct (user, week) activity, then the cohort lookup
+    // joins on user_id before the (cohort, offset) count — user activity
+    // payload never moves, and cohorts (weeks) stay low-cardinality at
+    // any corpus size. offset 0 rows equal cohort sizes by construction
+    // (asserted in RelationalSpec).
+    QueryDef(
+      "q_events_retention",
+      """WITH w AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000) // 604800000000 AS week
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1)
+        |SELECT c.cohort_week, w.week - c.cohort_week AS offset_weeks,
+        |  count(*)::BIGINT AS n_users
+        |FROM w JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2
+        |""".stripMargin) { (s, d) =>
+      val w = events(s, d)
+        .select(col("user_id"),
+          expr("(unix_micros(ts) - 1704067200000000L) div 604800000000L")
+            .as("week"))
+        .distinct()
+      val cohort = w.groupBy("user_id").agg(min("week").as("cohort_week"))
+      w.join(cohort, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("offset_weeks"))
+        .agg(count(lit(1)).as("n_users"))
     }
   )
 }

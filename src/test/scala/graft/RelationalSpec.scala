@@ -66,4 +66,18 @@ class RelationalSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(pairs.nonEmpty && pairs.forall(dt => dt > 0 && dt <= 300000000L))
   }
+
+  test("retention: offset-0 rows equal cohort sizes; counts never exceed them") {
+    val rows = q("q_events_retention").collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("offset_weeks")) ->
+        r.getAs[Long]("n_users")).toMap
+    assert(rows.nonEmpty)
+    val cohortSizes = rows.collect { case ((c, 0L), n) => c -> n }
+    assert(cohortSizes.nonEmpty, "every cohort must have its offset-0 row")
+    rows.foreach { case ((c, off), n) =>
+      assert(off >= 0, s"negative offset: cohort $c offset $off")
+      // a later week can never retain more users than the cohort holds
+      assert(n <= rows((c, 0L)), s"retention above cohort size: ($c, $off) -> $n")
+    }
+  }
 }
