@@ -312,12 +312,19 @@ object Aggregates {
       val keyed = lineitem(s, d)
         .select(col("l_partkey").bitwiseAND(-col("l_partkey"))
           .cast("string").as("k"))
-      val sketch: Map[String, Long] = keyed.as[String]
-        .select(new graft.functions.HeavyHitters(2).toColumn).head()
-      val total = keyed.count()
-      keyed.groupBy("k").agg(count(lit(1)).as("n"))
+      // Single distributed plan: the MG sketch stays a 1-row Dataset whose
+      // keys (at most `capacity` of them) are flattened and broadcast into
+      // a left join; the total rides along as a broadcast 1-row aggregate.
+      // No driver-side materialization anywhere in the query body.
+      val sketchKeys = keyed.as[String]
+        .select(new graft.functions.HeavyHitters(2).toColumn)
+        .flatMap(_.keys).toDF("hh_k")
+      val agged = keyed.groupBy("k").agg(count(lit(1)).as("n"))
+      val total = agged.agg(sum("n").as("total"))
+      agged.crossJoin(broadcast(total))
+        .join(broadcast(sketchKeys), col("k") === col("hh_k"), "left")
         .select(col("k"), col("n"),
-          (col("n") * 3 <= total || col("k").isin(sketch.keys.toSeq: _*))
+          (col("n") * 3 <= col("total") || col("hh_k").isNotNull)
             .as("ok"))
     }
   )

@@ -23,6 +23,10 @@ class InvariantsSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val collectAllow = Set("Bench.scala")
+    // .take( on Scala collections (not Datasets) is fine; these files use
+    // it on Array[Byte]/Seq only. A Dataset .take anywhere else fails.
+    val takeAllow = Set("Bench.scala", "Multimodal.scala",
+      "TopKAggregator.scala")
     val offenders = java.nio.file.Files.walk(root).iterator().asScala
       .filter(_.toString.endsWith(".scala"))
       .flatMap { p =>
@@ -33,6 +37,12 @@ class InvariantsSpec extends SparkSpec {
             if (l.startsWith("//") || l.startsWith("*")) None
             else if (l.contains(".collect()") && !collectAllow(name))
               Some(s"$p:${i + 1} .collect() — driver-side loop in engine code")
+            else if ((l.contains(".head()") || l.contains(".first()")) &&
+              !collectAllow(name))
+              Some(s"$p:${i + 1} .head()/.first() — driver-side materialization")
+            else if (l.contains(".take(") && !takeAllow(name))
+              Some(s"$p:${i + 1} .take( — driver-side materialization " +
+                "(Scala-collection .take needs a takeAllow entry)")
             else if (l.matches(""".*\budf\s*\(.*"""))
               Some(s"$p:${i + 1} Scala UDF — use a builtin or Catalyst expression")
             else None
