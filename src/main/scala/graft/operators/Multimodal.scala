@@ -124,6 +124,124 @@ object Multimodal {
     None
   }
 
+  /** Walk an MP4/ISO-BMFF sample table to the per-sample byte ranges:
+    * descend `moov` > first `trak` > `mdia` > `minf` > `stbl`, read
+    * `stsz` (per-sample sizes, or the fixed-size shortcut), `stco`/`co64`
+    * (absolute chunk offsets) and `stsc` (samples-per-chunk runs), then
+    * lay samples into chunks exactly as ISO 14496-12 §8.7 prescribes:
+    * sample i of chunk c starts at chunk_offset(c) plus the sizes of the
+    * chunk's earlier samples. Returns `(offset, size)` per sample in
+    * decode order, or None when any of the three boxes is absent or
+    * malformed (including the 64-bit `size==1` largesize form, which
+    * this engine's synthesizer never emits) — the caller falls back to
+    * stride decimation. A real walker: arbitrary box order and run
+    * layouts, not just the canonical header synthesized here. */
+  def mp4SampleRanges(d: Array[Byte]): Option[Seq[(Long, Long)]] = {
+    def be4(o: Int): Long =
+      ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+        ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+    def be8(o: Int): Long = (be4(o) << 32) | be4(o + 4)
+    def tag(o: Int): String = new String(d, o + 4, 4, "US-ASCII")
+    // find the first child box with `t` inside [from, end); None if the
+    // child stream is malformed or the type absent
+    def child(from: Long, end: Long, t: String): Option[(Long, Long)] = {
+      var c = from
+      while (c + 8 <= end) {
+        val ci = c.toInt
+        val csize = be4(ci)
+        if (csize < 8) return None
+        if (tag(ci) == t) return Some((c, math.min(c + csize, end)))
+        c += csize
+      }
+      None
+    }
+    var off = 0L
+    var sawFtyp = false
+    while (off + 8 <= d.length) {
+      val o = off.toInt
+      val size = be4(o)
+      if (size < 8) return None
+      if (tag(o) == "ftyp") sawFtyp = true
+      else if (tag(o) == "moov" && sawFtyp) {
+        val end = math.min(off + size, d.length.toLong)
+        val stbl = for {
+          trak <- child(off + 8, end, "trak")
+          mdia <- child(trak._1 + 8, trak._2, "mdia")
+          minf <- child(mdia._1 + 8, mdia._2, "minf")
+          s <- child(minf._1 + 8, minf._2, "stbl")
+        } yield s
+        return stbl.flatMap { case (sb, se) =>
+          def full(t: String): Option[Int] = // body offset past version/flags
+            child(sb + 8, se, t).collect {
+              case (b, e) if b + 12 <= e => b.toInt + 12 }
+          val sizes: Option[IndexedSeq[Long]] = full("stsz").flatMap { b =>
+            if (b + 8 > se) None
+            else {
+              val fixed = be4(b)
+              val n = be4(b + 4)
+              if (n < 0 || n > (se - b) / 4 + 1) None
+              else if (fixed > 0) Some(IndexedSeq.fill(n.toInt)(fixed))
+              else if (b + 8 + 4L * n <= se)
+                Some((0 until n.toInt).map(i => be4(b + 8 + 4 * i)))
+              else None
+            }
+          }
+          val chunkOffs: Option[IndexedSeq[Long]] =
+            full("stco").flatMap { b =>
+              if (b + 4 > se) None
+              else {
+                val n = be4(b)
+                if (n >= 0 && b + 4 + 4L * n <= se)
+                  Some((0 until n.toInt).map(i => be4(b + 4 + 4 * i)))
+                else None
+              }
+            }.orElse(full("co64").flatMap { b =>
+              if (b + 4 > se) None
+              else {
+                val n = be4(b)
+                if (n >= 0 && b + 4 + 8L * n <= se)
+                  Some((0 until n.toInt).map(i => be8(b + 4 + 8 * i)))
+                else None
+              }
+            })
+          val runs: Option[IndexedSeq[(Long, Long)]] = full("stsc").flatMap { b =>
+            if (b + 4 > se) None
+            else {
+              val n = be4(b)
+              if (n >= 0 && b + 4 + 12L * n <= se)
+                Some((0 until n.toInt).map(i =>
+                  (be4(b + 4 + 12 * i), be4(b + 4 + 12 * i + 4))))
+              else None
+            }
+          }
+          for (sz <- sizes; co <- chunkOffs; rn <- runs; if rn.nonEmpty) yield {
+            // samples-per-chunk for chunk c = the last run with
+            // first_chunk <= c; chunks consume samples in order
+            val out = IndexedSeq.newBuilder[(Long, Long)]
+            var si = 0
+            var c = 0
+            while (c < co.length && si < sz.length) {
+              val perChunk = rn.reverse.find(_._1 <= c + 1).map(_._2)
+                .getOrElse(rn.head._2)
+              var within = 0L
+              var j = 0L
+              while (j < perChunk && si < sz.length) {
+                out += ((co(c) + within, sz(si)))
+                within += sz(si)
+                si += 1
+                j += 1
+              }
+              c += 1
+            }
+            out.result()
+          }
+        }
+      }
+      off += size
+    }
+    None
+  }
+
   /** 4-byte big-endian binary of an int column (chunk lengths, dims). */
   private def be4Col(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     unhex(lpad(hex(c), 8, "0"))
@@ -172,8 +290,16 @@ object Multimodal {
       le4Col(rate * ch * 2), le2Col(ch * 2), le2Col(lit(16)), // byteRate, align, bits
       lit("data".getBytes("US-ASCII")), le4Col(dataLen))
     val durMs = (col("doc_id") % 3600000 + 1000).cast("int")
+    // sample table: 3 variable-size frames (sizes a function of doc_id so
+    // a stride fallback CANNOT reproduce them), one chunk at offset 252
     val mp4Header = concat(
-      unhex(lit(Mp4PrefixHex)), be4Col(durMs), unhex(lit(Mp4SuffixHex)))
+      unhex(lit(Mp4PrefixHex)), be4Col(durMs), unhex(lit(Mp4SuffixHex)),
+      unhex(lit(Mp4TrakPrefixHex)),
+      be4Col((col("doc_id") % 13 + 4).cast("int")),
+      be4Col((col("doc_id") % 11 + 5).cast("int")),
+      be4Col((col("doc_id") % 7 + 6).cast("int")),
+      unhex(lit(Mp4StcoHex)),
+      be4Col(dataLen + 8), lit("mdat".getBytes("US-ASCII")))
     documents(s, d).select(
       col("doc_id").as("asset_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -231,22 +357,40 @@ object Multimodal {
   /** a sampled "frame" (byte window) of an asset's payload, as hex */
   final case class Frame(asset_id: Long, frame_no: Int, frame_hex: String)
 
-  /** Frame sampling: up to `maxFrames` fixed-stride byte windows per
-    * asset — the video-frame / audio-chunk sampling shape. Row-multiplying
-    * flatMap, still narrow (no shuffle); a real codec would emit decoded
-    * frames here instead of byte windows. */
+  /** Frame sampling: assets whose payload carries an MP4 sample table
+    * get their TRUE per-frame byte ranges — [[mp4SampleRanges]] walks
+    * `stsc`/`stsz`/`stco` and each frame is the exact `(offset, size)`
+    * slice the container declares. Everything else (images, audio,
+    * payloads no parser recognizes) falls back to up to `maxFrames`
+    * fixed-stride byte windows — the audio-chunk sampling shape.
+    * Row-multiplying flatMap, still narrow (no shuffle); a real codec
+    * would decode the extracted sample bytes here. */
   def sampleFrames(assets: DataFrame, frameBytes: Int = 16, maxFrames: Int = 3): DataFrame = {
     val s = assets.sparkSession
     import s.implicits._
     assets.as[Asset].flatMap { a =>
-      (1 to maxFrames).iterator
-        .filter(i => (i - 1) * frameBytes < a.data.length)
-        .map { i =>
-          val from = (i - 1) * frameBytes
-          val until = math.min(from + frameBytes, a.data.length)
-          Frame(a.asset_id, i,
-            a.data.slice(from, until).map(b => f"${b & 0xff}%02X").mkString)
-        }
+      def safe[T](p: => Option[T]): Option[T] =
+        try p catch { case scala.util.control.NonFatal(_) => None }
+      safe(mp4SampleRanges(a.data)) match {
+        case Some(ranges) =>
+          ranges.iterator.take(maxFrames).zipWithIndex
+            .filter { case ((off, _), _) => off >= 0 && off < a.data.length }
+            .map { case ((off, size), i) =>
+              val until = math.min(off + size, a.data.length.toLong).toInt
+              Frame(a.asset_id, i + 1,
+                a.data.slice(off.toInt, until)
+                  .map(b => f"${b & 0xff}%02X").mkString)
+            }
+        case None =>
+          (1 to maxFrames).iterator
+            .filter(i => (i - 1) * frameBytes < a.data.length)
+            .map { i =>
+              val from = (i - 1) * frameBytes
+              val until = math.min(from + frameBytes, a.data.length)
+              Frame(a.asset_id, i,
+                a.data.slice(from, until).map(b => f"${b & 0xff}%02X").mkString)
+            }
+      }
     }.toDF()
   }
 
@@ -593,14 +737,17 @@ object Multimodal {
     }).toDF()
   }
 
-  /** Canonical MP4 header (132 bytes), as hex, shared verbatim by the
-    * Spark construction and the oracle: `ftyp`(isom) + `moov` containing
-    * a version-0 `mvhd` with timescale 1000 — so duration IS
-    * milliseconds. Split around the one variable field (4-byte BE
-    * duration). */
+  /** Canonical MP4 header, as hex, shared verbatim by the Spark
+    * construction and the oracle: `ftyp`(isom) + `moov` containing a
+    * version-0 `mvhd` with timescale 1000 — so duration IS
+    * milliseconds — followed by a `trak`/`mdia`/`minf`/`stbl` chain
+    * whose sample table ([[Mp4TrakPrefixHex]]..[[Mp4StcoHex]]) describes
+    * 3 variable-size samples in one chunk of the trailing `mdat`. Split
+    * around the variable fields (4-byte BE duration here; the three
+    * stsz entries and the mdat size downstream). */
   private[operators] val Mp4PrefixHex: String =
     "00000010" + "66747970" + "69736F6D" + "00000000" + // ftyp 'isom'
-      "00000074" + "6D6F6F76" + // moov, size 116
+      "000000E4" + "6D6F6F76" + // moov, size 228 (mvhd 108 + trak 112)
       "0000006C" + "6D766864" + "00000000" + // mvhd, size 108, version 0
       "00000000" + "00000000" + "000003E8" // ctime, mtime, timescale 1000
   private[operators] val Mp4SuffixHex: String =
@@ -608,6 +755,25 @@ object Multimodal {
       "000100000000000000000000" + "000000000001000000000000" +
       "000000000000000040000000" + // unity matrix
       ("0" * 48) + "00000001" // pre_defined(24), next_track_id
+
+  /** `trak` > `mdia` > `minf` > `stbl` container headers, then a full
+    * `stsc` (one run: chunk 1 carries 3 samples) and the `stsz` header
+    * up to its per-sample size table — the three 4-byte BE entries
+    * follow as the variable fields. */
+  private[operators] val Mp4TrakPrefixHex: String =
+    "00000070" + "7472616B" + // trak, size 112
+      "00000068" + "6D646961" + // mdia, size 104
+      "00000060" + "6D696E66" + // minf, size 96
+      "00000058" + "7374626C" + // stbl, size 88
+      "0000001C" + "73747363" + "00000000" + // stsc, size 28, version 0
+      "00000001" + "00000001" + "00000003" + "00000001" + // 1 run: chunk 1, 3 samples
+      "00000020" + "7374737A" + "00000000" + // stsz, size 32, version 0
+      "00000000" + "00000003" // sample_size 0 (per-sample table), count 3
+
+  /** `stco` with the single chunk at absolute file offset 252 =
+    * ftyp(16) + moov(228) + mdat header(8) — where the payload begins. */
+  private[operators] val Mp4StcoHex: String =
+    "00000014" + "7374636F" + "00000000" + "00000001" + "000000FC"
 
   /** SQL for the little-endian hex of a 4-/2-byte int expression (RIFF is
     * LE throughout; the pairs-swap of the BE hex). */
@@ -648,6 +814,13 @@ object Multimodal {
       |      '$Mp4PrefixHex' ||
       |      lpad(upper(to_hex(CAST(doc_id % 3600000 + 1000 AS BIGINT))), 8, '0') ||
       |      '$Mp4SuffixHex' ||
+      |      '$Mp4TrakPrefixHex' ||
+      |      lpad(upper(to_hex(CAST(doc_id % 13 + 4 AS BIGINT))), 8, '0') ||
+      |      lpad(upper(to_hex(CAST(doc_id % 11 + 5 AS BIGINT))), 8, '0') ||
+      |      lpad(upper(to_hex(CAST(doc_id % 7 + 6 AS BIGINT))), 8, '0') ||
+      |      '$Mp4StcoHex' ||
+      |      lpad(upper(to_hex(CAST(strlen(text) + 8 AS BIGINT))), 8, '0') ||
+      |      '6D646174' ||
       |      hex(encode(text)) END AS phex
       |  FROM documents)""".stripMargin
 
@@ -748,13 +921,41 @@ object Multimodal {
           hex(col("data")).as("out_hex"))
     },
 
+    // Video rows: the oracle PARSES the sample table back out of the
+    // payload hex — it locates the stsz/stco boxes by their type tags,
+    // reads the per-sample sizes and the chunk offset from the hex
+    // itself (not from the doc_id arithmetic that constructed them), and
+    // slices each declared (offset, size) range. Frame sizes vary per
+    // document, so a stride decimation CANNOT reproduce these rows — the
+    // walk is what's checked. Image/audio rows keep the stride contract.
     QueryDef(
       "q_multimodal_frames",
-      s"""WITH $payloadHexCte
+      s"""WITH $payloadHexCte,
+        |vid AS (
+        |  SELECT doc_id, phex,
+        |    CAST(strlen(phex) // 2 AS BIGINT) AS flen,
+        |    position('7374737A' IN phex) AS szp,
+        |    position('7374636F' IN phex) AS cop
+        |  FROM p WHERE doc_id % 3 = 2),
+        |vid2 AS (
+        |  SELECT doc_id, phex, flen,
+        |    ('0x' || substring(phex, CAST(szp + 24 AS INT), 8))::BIGINT AS cnt,
+        |    [('0x' || substring(phex, CAST(szp + 32 + i * 8 AS INT), 8))::BIGINT
+        |      for i in range(0, 3)] AS sizes,
+        |    ('0x' || substring(phex, CAST(cop + 24 AS INT), 8))::BIGINT AS choff
+        |  FROM vid WHERE szp > 0 AND cop > 0)
         |SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_no,
         |  substring(phex, CAST((i - 1) * 32 + 1 AS INT), 32) AS frame_hex
         |FROM p, unnest([1, 2, 3]) AS t(i)
-        |WHERE (i - 1) * 16 < strlen(phex) // 2
+        |WHERE doc_id % 3 <> 2 AND (i - 1) * 16 < strlen(phex) // 2
+        |UNION ALL
+        |SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_no,
+        |  substring(phex,
+        |    CAST(2 * (choff + coalesce(list_sum(sizes[1:CAST(i - 1 AS INT)]), 0)) + 1 AS INT),
+        |    CAST(2 * sizes[CAST(i AS INT)] AS INT)) AS frame_hex
+        |FROM vid2, unnest([1, 2, 3]) AS t(i)
+        |WHERE i <= cnt
+        |  AND choff + coalesce(list_sum(sizes[1:CAST(i - 1 AS INT)]), 0) < flen
         |""".stripMargin) { (s, d) => sampleFrames(assets(s, d)) }
   )
 }

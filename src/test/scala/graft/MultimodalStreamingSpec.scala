@@ -37,12 +37,14 @@ class MultimodalStreamingSpec extends SparkSpec {
     bb.array()
   }
 
-  /** the 132-byte canonical MP4 ftyp+moov/mvhd header assets() prepends
-    * to video-modality payloads (timescale 1000, v0 mvhd) */
-  private def mp4Header(id: Long): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(132) // big-endian by default
+  /** the 252-byte canonical MP4 header assets() prepends to
+    * video-modality payloads: ftyp + moov(mvhd v0 timescale 1000 +
+    * trak/mdia/minf/stbl with a 3-sample stsc/stsz/stco table) + the
+    * mdat box header */
+  private def mp4Header(id: Long, dataLen: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(252) // big-endian by default
     bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
-    bb.putInt(116).put("moov".getBytes)
+    bb.putInt(228).put("moov".getBytes)
     bb.putInt(108).put("mvhd".getBytes).putInt(0) // v0 + flags
     bb.putInt(0).putInt(0) // ctime, mtime
     bb.putInt(1000).putInt((id % 3600000 + 1000).toInt) // timescale, duration
@@ -51,6 +53,17 @@ class MultimodalStreamingSpec extends SparkSpec {
     Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
     (1 to 6).foreach(_ => bb.putInt(0)) // pre_defined
     bb.putInt(1) // next_track_id
+    bb.putInt(112).put("trak".getBytes)
+    bb.putInt(104).put("mdia".getBytes)
+    bb.putInt(96).put("minf".getBytes)
+    bb.putInt(88).put("stbl".getBytes)
+    bb.putInt(28).put("stsc".getBytes).putInt(0)
+    bb.putInt(1).putInt(1).putInt(3).putInt(1) // one run: chunk 1, 3 samples
+    bb.putInt(32).put("stsz".getBytes).putInt(0).putInt(0).putInt(3)
+    bb.putInt((id % 13 + 4).toInt).putInt((id % 11 + 5).toInt)
+    bb.putInt((id % 7 + 6).toInt)
+    bb.putInt(20).put("stco".getBytes).putInt(0).putInt(1).putInt(252)
+    bb.putInt(dataLen + 8).put("mdat".getBytes)
     bb.array()
   }
 
@@ -58,7 +71,7 @@ class MultimodalStreamingSpec extends SparkSpec {
     val t = text.getBytes("UTF-8")
     if (id % 3 == 0) pngHeader(id) ++ t
     else if (id % 3 == 1) wavHeader(id, t.length) ++ t
-    else mp4Header(id) ++ t
+    else mp4Header(id, t.length) ++ t
   }
 
   test("multimodal features are deterministic byte-derived values") {
@@ -110,6 +123,50 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(Multimodal.mp4DurationMs(bb.array()).contains(7500L))
     assert(Multimodal.mp4DurationMs("not an mp4 either".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.mp4DurationMs(Array.emptyByteArray).isEmpty)
+  }
+
+  test("mp4SampleRanges walks stsc/stsz/stco across chunks, runs, and co64") {
+    def box(t: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length).put(t.getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    def full(t: String, body: Array[Byte]): Array[Byte] =
+      box(t, Array[Byte](0, 0, 0, 0) ++ body)
+    def ints(vs: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(bb.putInt); bb.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ ints(0))
+    def movie(stbl: Array[Byte]): Array[Byte] =
+      ftyp ++ box("moov", box("trak", box("mdia", box("minf", box("stbl", stbl)))))
+
+    // two chunks, two stsc runs (chunk 1 takes 2 samples, chunk 2 one),
+    // per-sample sizes — the layout real muxers emit
+    val multi = movie(
+      full("stsc", ints(2, 1, 2, 1, 2, 1, 1)) ++
+        full("stsz", ints(0, 3, 3, 4, 5)) ++
+        full("stco", ints(2, 100, 200)))
+    assert(Multimodal.mp4SampleRanges(multi)
+      .contains(Seq((100L, 3L), (103L, 4L), (200L, 5L))))
+
+    // fixed-size stsz shortcut + 64-bit co64 chunk offsets
+    val longOff = java.nio.ByteBuffer.allocate(8).putLong(50L).array()
+    val fixed = movie(
+      full("stsc", ints(1, 1, 2, 1)) ++
+        full("stsz", ints(7, 2)) ++
+        full("co64", ints(1) ++ longOff))
+    assert(Multimodal.mp4SampleRanges(fixed)
+      .contains(Seq((50L, 7L), (57L, 7L))))
+
+    // any missing table, truncation, or garbage degrades to None (stride
+    // fallback), never a throw
+    val noStco = movie(
+      full("stsc", ints(1, 1, 1, 1)) ++ full("stsz", ints(0, 1, 9)))
+    assert(Multimodal.mp4SampleRanges(noStco).isEmpty)
+    assert(Multimodal.mp4SampleRanges(multi.dropRight(6)).isEmpty)
+    assert(Multimodal.mp4SampleRanges("plain bytes".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.mp4SampleRanges(Array.emptyByteArray).isEmpty)
   }
 
   test("decode falls back to the documented stub for unrecognized payloads") {
@@ -348,11 +405,36 @@ class MultimodalStreamingSpec extends SparkSpec {
           .contains(((8000 + (id % 8) * 1000).toInt / 2, ch)),
           s"asset $id: resampled WAV must carry the halved rate")
       } else {
-        assert(data.length == (n + 132 + 1) / 2)
+        assert(data.length == (n + 252 + 1) / 2)
       }
     }
     val frames = Multimodal.sampleFrames(Multimodal.assets(spark, sf))
     assert(frames.groupBy("asset_id").count().agg(max("count")).as[Long].head() <= 3)
+  }
+
+  test("sampleFrames: video frames are the stsz/stco-declared slices, clamped at EOF") {
+    val text = "0123456789abcdefghijklmnopqrstuvwxyz"
+    val id = 5L // id%3==2 (video); sizes 9, 10, 11 from the doc_id arithmetic
+    val payload = payloadOf(id, text)
+    val df = Seq((id, "video", payload)).toDF("asset_id", "modality", "data")
+    val got = Multimodal.sampleFrames(df).orderBy("frame_no")
+      .as[(Long, Int, String)].collect()
+    val sizes = Seq((id % 13 + 4).toInt, (id % 11 + 5).toInt, (id % 7 + 6).toInt)
+    val offs = sizes.scanLeft(252)(_ + _)
+    val want = sizes.indices.filter(i => offs(i) < payload.length).map { i =>
+      (id, i + 1, payload.slice(offs(i), math.min(offs(i) + sizes(i), payload.length))
+        .map(b => f"${b & 0xff}%02X").mkString)
+    }
+    assert(got.toSeq == want)
+    assert(want.nonEmpty && want.head._3 != payload.take(16)
+      .map(b => f"${b & 0xff}%02X").mkString, "table walk must differ from stride")
+    // a short payload truncates the tail frame and drops past-EOF frames
+    val shortP = payloadOf(id, text.take(10))
+    val shortGot = Multimodal.sampleFrames(
+      Seq((id, "video", shortP)).toDF("asset_id", "modality", "data"))
+      .as[(Long, Int, String)].collect()
+    assert(shortGot.map(_._2).toSeq == Seq(1, 2) &&
+      shortGot.last._3.length == 2 * (shortP.length - 252 - sizes.head))
   }
 
   test("streaming tumbling agg equals batch tumbling agg") {
