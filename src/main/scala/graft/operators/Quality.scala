@@ -116,6 +116,101 @@ object Quality {
           col("p.n_distinct"), col("p.min_num"), col("p.max_num"), col("p.avg_len"))
     },
 
+    // The 100 TB profile: identical shape, but n_distinct comes from
+    // approx_count_distinct (HLL++) — every metric in the ONE aggregate
+    // pass is then algebraic, so the plan has NO Expand node (exact
+    // multi-distinct expands the scan ~7x before partial agg; see
+    // q_quality_profile). This one-pass approx aggregate IS the
+    // production operator. The exact distinct counts appear here only as
+    // the oracle-checkable contract twin: six single-distinct mini
+    // aggregations (each a two-stage agg — a single DISTINCT column
+    // never Expands) broadcast onto the approx row, asserting every HLL
+    // estimate lands within 10% (2x the default 5% rsd) of truth. The
+    // output carries the exact value + the bound flag, the
+    // q_agg_approx_distinct precedent.
+    QueryDef(
+      "q_quality_profile_approx",
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS k_nul,
+        |    count(DISTINCT o_orderkey) AS k_dis,
+        |    min(o_orderkey) AS k_min, max(o_orderkey) AS k_max,
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS c_nul,
+        |    count(DISTINCT o_custkey) AS c_dis,
+        |    min(o_custkey) AS c_min, max(o_custkey) AS c_max,
+        |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT AS s_nul,
+        |    count(DISTINCT o_orderstatus) AS s_dis,
+        |    CAST(round(sum(CAST(length(o_orderstatus) AS DECIMAL(38,10))), 4) AS DOUBLE) / count(o_orderstatus) AS s_len,
+        |    sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS p_nul,
+        |    count(DISTINCT o_totalprice) AS p_dis,
+        |    min(o_totalprice) AS p_min, max(o_totalprice) AS p_max,
+        |    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS d_nul,
+        |    count(DISTINCT o_orderdate) AS d_dis,
+        |    epoch_us(min(o_orderdate)) AS d_min, epoch_us(max(o_orderdate)) AS d_max,
+        |    sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT AS r_nul,
+        |    count(DISTINCT o_orderpriority) AS r_dis,
+        |    CAST(round(sum(CAST(length(o_orderpriority) AS DECIMAL(38,10))), 4) AS DOUBLE) / count(o_orderpriority) AS r_len
+        |  FROM orders)
+        |SELECT u.col_name, a.n AS n_rows, u.n_nulls, u.n_distinct,
+        |  true AS nd_within_10pct, u.min_num, u.max_num, u.avg_len
+        |FROM a, (
+        |  SELECT 'o_orderkey' AS col_name, k_nul AS n_nulls, k_dis AS n_distinct,
+        |    CAST(k_min AS DOUBLE) AS min_num, CAST(k_max AS DOUBLE) AS max_num, CAST(NULL AS DOUBLE) AS avg_len FROM a
+        |  UNION ALL SELECT 'o_custkey', c_nul, c_dis, CAST(c_min AS DOUBLE), CAST(c_max AS DOUBLE), NULL FROM a
+        |  UNION ALL SELECT 'o_orderstatus', s_nul, s_dis, NULL, NULL, s_len FROM a
+        |  UNION ALL SELECT 'o_totalprice', p_nul, p_dis, p_min, p_max, NULL FROM a
+        |  UNION ALL SELECT 'o_orderdate', d_nul, d_dis, CAST(d_min AS DOUBLE), CAST(d_max AS DOUBLE), NULL FROM a
+        |  UNION ALL SELECT 'o_orderpriority', r_nul, r_dis, NULL, NULL, r_len FROM a) u
+        |""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+      // the production pass: one scan, all-algebraic, Expand-free
+      val approx = o.agg(
+        count(lit(1)).as("n"),
+        nulls("o_orderkey").as("k_nul"), approx_count_distinct(col("o_orderkey")).as("k_apx"),
+        min("o_orderkey").as("k_min"), max("o_orderkey").as("k_max"),
+        nulls("o_custkey").as("c_nul"), approx_count_distinct(col("o_custkey")).as("c_apx"),
+        min("o_custkey").as("c_min"), max("o_custkey").as("c_max"),
+        nulls("o_orderstatus").as("s_nul"), approx_count_distinct(col("o_orderstatus")).as("s_apx"),
+        (decOut(sum(dec(length(col("o_orderstatus"))))) / count(col("o_orderstatus"))).as("s_len"),
+        nulls("o_totalprice").as("p_nul"), approx_count_distinct(col("o_totalprice")).as("p_apx"),
+        min("o_totalprice").as("p_min"), max("o_totalprice").as("p_max"),
+        nulls("o_orderdate").as("d_nul"), approx_count_distinct(col("o_orderdate")).as("d_apx"),
+        unix_micros(min(col("o_orderdate").cast("timestamp"))).as("d_min"),
+        unix_micros(max(col("o_orderdate").cast("timestamp"))).as("d_max"),
+        nulls("o_orderpriority").as("r_nul"), approx_count_distinct(col("o_orderpriority")).as("r_apx"),
+        (decOut(sum(dec(length(col("o_orderpriority"))))) / count(col("o_orderpriority"))).as("r_len"))
+      // contract twin: exact counts, one single-distinct agg per column
+      val wide = Seq("o_orderkey" -> "k", "o_custkey" -> "c",
+          "o_orderstatus" -> "s", "o_totalprice" -> "p",
+          "o_orderdate" -> "d", "o_orderpriority" -> "r")
+        .foldLeft(approx) { case (acc, (cn, p)) =>
+          acc.crossJoin(broadcast(
+            o.agg(count_distinct(col(cn)).as(s"${p}_dis"))))
+        }
+      def row(name: String, p: String, minC: Column, maxC: Column,
+          lenC: Column): Column =
+        struct(lit(name).as("col_name"), col(s"${p}_nul").as("n_nulls"),
+          col(s"${p}_dis").as("n_distinct"),
+          (abs(col(s"${p}_apx") - col(s"${p}_dis"))
+            <= col(s"${p}_dis") * 0.10).as("nd_ok"),
+          minC.as("min_num"), maxC.as("max_num"), lenC.as("avg_len"))
+      val nullD = lit(null).cast("double")
+      wide.select(col("n"), explode(array(
+          row("o_orderkey", "k", col("k_min").cast("double"),
+            col("k_max").cast("double"), nullD),
+          row("o_custkey", "c", col("c_min").cast("double"),
+            col("c_max").cast("double"), nullD),
+          row("o_orderstatus", "s", nullD, nullD, col("s_len")),
+          row("o_totalprice", "p", col("p_min"), col("p_max"), nullD),
+          row("o_orderdate", "d", col("d_min").cast("double"),
+            col("d_max").cast("double"), nullD),
+          row("o_orderpriority", "r", nullD, nullD, col("r_len")))).as("p"))
+        .select(col("p.col_name"), col("n").as("n_rows"), col("p.n_nulls"),
+          col("p.n_distinct"), col("p.nd_ok").as("nd_within_10pct"),
+          col("p.min_num"), col("p.max_num"), col("p.avg_len"))
+    },
+
     // ---- declarative constraint validation --------------------------
     // A check suite over orders: uniqueness, completeness, referential
     // integrity, range, domain membership, and format. Output is one row

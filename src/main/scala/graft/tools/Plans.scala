@@ -92,6 +92,8 @@ object Plans {
       "level-synchronous BFS: each round's plan joins only the checkpointed frontier to the src-partitioned edge relation and anti-joins the checkpointed discovered set — work per round is frontier out-edges, not O(V), and no round re-plans prior rounds' lineage",
     "q_layout_partition_prune" ->
       "hive-partitioned layout: the status predicate lands in the scan's PartitionFilters — 2 of 3 directory trees skipped before any file opens (the skip rung above zorder's file zonemaps)",
+    "q_quality_profile_approx" ->
+      "the 100 TB profile: the production aggregate is ONE all-algebraic pass (HLL n_distinct) with NO Expand node anywhere in the plan — the exact-distinct contract twins ride as six broadcast 1-row single-distinct aggs, droppable in production",
     "q_quality_drift" ->
       "snapshot drift: each snapshot reduces to (column, bin, count) histogram rows in one aggregate pass — the L1 fold runs over histogram rows only, row data never reaches an exchange",
     "q_graph_sssp" ->

@@ -68,6 +68,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Expand"), "bit votes must not Expand rows:\n" + p)
   }
 
+  test("approx profile has NO Expand — the exact profile's multi-distinct does") {
+    val approx = planString("q_quality_profile_approx")
+    assert(!approx.contains("Expand"),
+      "approx profile must stay all-algebraic (no multi-distinct Expand):\n" + approx)
+    // and the exact twin genuinely pays the Expand this query avoids
+    assert(planString("q_quality_profile").contains("Expand"))
+  }
+
   test("tf-idf: corpus size N is a broadcast, not a shuffle key") {
     val p = planString("q_text_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
