@@ -310,7 +310,13 @@ object Graft {
     * Scale shape: prior history passes through untouched; the current
     * slice is split by ONE semi + ONE anti join on the key (both
     * broadcastable for batch-sized change sets), and the new rows are a
-    * projection of the batch — the base never shuffles its payload. */
+    * projection of the batch — the base never shuffles its payload.
+    *
+    * PRECONDITION: at most one change row per key per batch (the CDC
+    * contract — a batch is a keyed snapshot of deltas). Duplicate keys
+    * in one batch would open multiple `is_current` rows for the same
+    * key; pre-reduce the batch (latest-wins on your CDC ordering
+    * column) before calling, as every caller in this repo does. */
   def scdApply(base: DataFrame, changes: DataFrame, keyCol: String,
       version: Long): DataFrame = {
     val payload = base.columns.toSeq
@@ -330,6 +336,21 @@ object Graft {
     base.filter(!col("is_current"))
       .unionByName(closed).unionByName(untouched).unionByName(opened)
   }
+
+  /** Point-in-time read over [[scdApply]] history: the table exactly as
+    * it stood after the batch at `version` — rows whose validity
+    * interval covers it (`valid_from <= version` and `valid_to` either
+    * open or strictly later). At the latest applied version this is the
+    * MERGE fixpoint ([[merge]]); at earlier versions it reconstructs
+    * states MERGE has already discarded — the read half of the SCD2
+    * write/read pair.
+    *
+    * Scale shape: a pure narrow filter over the history scan — no
+    * shuffle, and under a `valid_from`/`valid_to`-partitioned or
+    * zone-mapped layout the interval predicate prunes at the scan. */
+  def scdAsOf(history: DataFrame, version: Long): DataFrame =
+    history.filter(col("valid_from") <= version &&
+      (col("valid_to").isNull || col("valid_to") > version))
 
   /** Decontamination: drop rows whose content digest appears in `eval`.
     * Fingerprints are anti-joined (broadcast when small); documents never

@@ -465,27 +465,104 @@ object Sampling {
       bench = false) { (s, d) =>
       val cust = customer(s, d)
         .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
-      val base0 = cust
-        .withColumn("valid_from", lit(0L))
-        .withColumn("valid_to", lit(null).cast("long"))
-        .withColumn("is_current", lit(true))
-      val k = col("c_custkey")
-      val del = cust.filter(k % 17 === 3).select(k.as("c_custkey"),
-        lit(null).cast("string").as("c_name"),
-        lit(null).cast("double").as("c_acctbal"),
-        lit(null).cast("string").as("c_mktsegment"), lit("D").as("op"))
-      val upd = cust.filter(k % 10 === 0 && k % 17 =!= 3)
-        .select(k.as("c_custkey"), col("c_name"),
-          (col("c_acctbal") + 100.0).as("c_acctbal"),
-          lit("RESEGMENTED").as("c_mktsegment"), lit("U").as("op"))
-      val ins = cust.filter(k % 25 === 7)
-        .select((-k).as("c_custkey"),
-          concat(col("c_name"), lit(" (copy)")).as("c_name"),
-          col("c_acctbal"), col("c_mktsegment"), lit("I").as("op"))
-      graft.api.Graft.scdApply(base0,
-        del.unionByName(upd).unionByName(ins), "c_custkey", version = 1L)
+      graft.api.Graft.scdApply(scd2Base(cust), scd2Batch1(cust),
+        "c_custkey", version = 1L)
+    },
+
+    // The read half of the SCD2 pair: apply TWO batches (versions 1 and
+    // 2), then reconstruct the table as it stood at version 1 — rows
+    // whose validity interval covers the version, i.e. including rows
+    // batch 2 has since closed, excluding rows batch 1 closed or batch 2
+    // opened. The mid-chain read is exactly what MERGE cannot answer
+    // (its fixpoint discards superseded states); RelationalSpec pins the
+    // complementary invariant that the as-of read AT the latest version
+    // equals the MERGE fixpoint. Narrow filter over the history scan —
+    // at 100 TB the interval predicate prunes a valid_from-partitioned
+    // layout. bench=false: breadth entry, same class as q_pipeline_scd2.
+    QueryDef(
+      "q_pipeline_scd2_asof",
+      """WITH chg AS (
+        |  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+        |    CAST(NULL AS DOUBLE) AS c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment, 'D' AS op
+        |  FROM customer WHERE c_custkey % 17 = 3
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal + 100.0, 'RESEGMENTED', 'U'
+        |  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 3
+        |  UNION ALL
+        |  SELECT -c_custkey, c_name || ' (copy)', c_acctbal, c_mktsegment, 'I'
+        |  FROM customer WHERE c_custkey % 25 = 7),
+        |h1 AS (
+        |  SELECT b.c_custkey, b.c_name, b.c_acctbal, b.c_mktsegment,
+        |    0::BIGINT AS valid_from,
+        |    CASE WHEN c.c_custkey IS NULL THEN CAST(NULL AS BIGINT) ELSE 1::BIGINT END AS valid_to,
+        |    c.c_custkey IS NULL AS is_current
+        |  FROM customer b LEFT JOIN chg c ON c.c_custkey = b.c_custkey
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |    1::BIGINT, CAST(NULL AS BIGINT), TRUE
+        |  FROM chg WHERE op <> 'D'),
+        |chg2 AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 107.5 AS c_acctbal,
+        |    'ROUND2' AS c_mktsegment, 'U' AS op
+        |  FROM customer WHERE c_custkey % 4 = 2),
+        |h2 AS (
+        |  SELECT h.c_custkey, h.c_name, h.c_acctbal, h.c_mktsegment, h.valid_from,
+        |    CASE WHEN h.is_current AND c2.c_custkey IS NOT NULL THEN 2::BIGINT
+        |         ELSE h.valid_to END AS valid_to,
+        |    h.is_current AND c2.c_custkey IS NULL AS is_current
+        |  FROM h1 h LEFT JOIN chg2 c2 ON h.c_custkey = c2.c_custkey
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |    2::BIGINT, CAST(NULL AS BIGINT), TRUE
+        |  FROM chg2)
+        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |  valid_from, valid_to, is_current
+        |FROM h2
+        |WHERE valid_from <= 1 AND (valid_to IS NULL OR valid_to > 1)
+        |""".stripMargin,
+      bench = false) { (s, d) =>
+      val cust = customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val b2 = cust.filter(col("c_custkey") % 4 === 2)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 107.5).as("c_acctbal"),
+          lit("ROUND2").as("c_mktsegment"), lit("U").as("op"))
+      val history = graft.api.Graft.scdApply(
+        graft.api.Graft.scdApply(scd2Base(cust), scd2Batch1(cust),
+          "c_custkey", version = 1L),
+        b2, "c_custkey", version = 2L)
+      graft.api.Graft.scdAsOf(history, 1L)
     }
   )
+
+  /** version-0 SCD2 history seed: every customer row open and current */
+  private def scd2Base(
+      cust: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cust.withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+
+  /** the deterministic version-1 SCD2 change batch (4-column payload
+    * twin of [[upsertChanges]]): deletes (key % 17 = 3), resegmenting
+    * updates (% 10 = 0), copied-row inserts under negative keys
+    * (% 25 = 7) — one change row per key by construction. */
+  private def scd2Batch1(
+      cust: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val k = col("c_custkey")
+    val del = cust.filter(k % 17 === 3).select(k.as("c_custkey"),
+      lit(null).cast("string").as("c_name"),
+      lit(null).cast("double").as("c_acctbal"),
+      lit(null).cast("string").as("c_mktsegment"), lit("D").as("op"))
+    val upd = cust.filter(k % 10 === 0 && k % 17 =!= 3)
+      .select(k.as("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"),
+        lit("RESEGMENTED").as("c_mktsegment"), lit("U").as("op"))
+    val ins = cust.filter(k % 25 === 7)
+      .select((-k).as("c_custkey"),
+        concat(col("c_name"), lit(" (copy)")).as("c_name"),
+        col("c_acctbal"), col("c_mktsegment"), lit("I").as("op"))
+    del.unionByName(upd).unionByName(ins)
+  }
 
   /** The deterministic CDC change batch both upsert queries apply: deletes
     * (key % 17 = 3), resegmenting updates (% 10 = 0), copied-row inserts

@@ -80,4 +80,36 @@ class RelationalSpec extends SparkSpec {
       assert(n <= rows((c, 0L)), s"retention above cohort size: ($c, $off) -> $n")
     }
   }
+
+  test("SCD2 as-of read at the latest version equals the MERGE fixpoint") {
+    // the write/read pair closes: reconstructing "now" from full history
+    // (q_pipeline_scd2's apply) must agree row-for-row with the fixpoint
+    // MERGE keeps (q_pipeline_upsert's shape on the same 4-col payload)
+    val hist = q("q_pipeline_scd2")
+    val asOfLatest = graft.api.Graft.scdAsOf(hist, 1L)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .collect().map(_.toSeq).toSet
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val k = col("c_custkey")
+    val batch = cust.filter(k % 17 === 3).select(k.as("c_custkey"),
+        lit(null).cast("string").as("c_name"),
+        lit(null).cast("double").as("c_acctbal"),
+        lit(null).cast("string").as("c_mktsegment"), lit("D").as("op"))
+      .unionByName(cust.filter(k % 10 === 0 && k % 17 =!= 3)
+        .select(k.as("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"),
+          lit("RESEGMENTED").as("c_mktsegment"), lit("U").as("op")))
+      .unionByName(cust.filter(k % 25 === 7)
+        .select((-k).as("c_custkey"),
+          concat(col("c_name"), lit(" (copy)")).as("c_name"),
+          col("c_acctbal"), col("c_mktsegment"), lit("I").as("op")))
+    val fixpoint = graft.api.Graft.merge(cust, batch, "c_custkey")
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .collect().map(_.toSeq).toSet
+    assert(asOfLatest.nonEmpty && asOfLatest == fixpoint)
+    // and every as-of row at the latest version is flagged current
+    assert(graft.api.Graft.scdAsOf(hist, 1L)
+      .filter(!col("is_current")).isEmpty)
+  }
 }
