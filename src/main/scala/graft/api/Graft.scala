@@ -1043,4 +1043,39 @@ object Graft {
     }
     dist
   }
+
+  /** [[sssp]] run to CONVERGENCE: Bellman-Ford rounds until no distance
+    * is discovered or improved — the exact shortest-path fixpoint, for
+    * when the path-length bound isn't known up front. Per round one
+    * changed-count materializes on the driver (a scalar, the
+    * [[dedupClusters]] precedent); each round's labels localCheckpoint
+    * so no round re-plans prior rounds' lineage. Requires NON-NEGATIVE
+    * weights (a negative cycle would improve forever — the classic
+    * Bellman-Ford caveat; use the bounded [[sssp]] to probe such
+    * graphs). Terminates in at most diameter+1 rounds, work per round
+    * proportional to the reached set's out-edges. */
+  def ssspConverged(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.repartition(col("src")).localCheckpoint()
+    var dist = nodes.filter(col("seed"))
+      .select(col("v"), lit(0L).as("dist"))
+      .repartition(col("v")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val relax = e.join(dist, e("src") === dist("v"))
+        .select(e("dst").as("v"), (col("dist") + col("w")).as("dist"),
+          lit(null).cast("long").as("old"))
+      // self rows carry the previous distance through the min-fold, so
+      // "changed" falls out of `next` alone: improved (dist < old) or
+      // newly discovered (old null — no self row existed)
+      val next = dist
+        .select(col("v"), col("dist"), col("dist").as("old"))
+        .unionAll(relax)
+        .groupBy("v").agg(min("dist").as("dist"), min("old").as("old"))
+        .localCheckpoint()
+      changed = next.filter(col("old").isNull || col("dist") < col("old"))
+        .count()
+      dist = next.select("v", "dist")
+    }
+    dist
+  }
 }

@@ -238,6 +238,21 @@ class GraftPropertySpec extends SparkSpec {
     })
   }
 
+  test("property: ssspConverged == exact Bellman-Ford fixpoint on random graphs") {
+    check(forAll(wEdgeGen) { case (n, es) =>
+      val seeds = Set(0L, (n - 1).toLong)
+      val nodes = (0 until n).map(v => (v.toLong, seeds(v.toLong)))
+        .toDF("v", "seed")
+      val got =
+        if (es.isEmpty) seeds.map(_ -> 0L).toMap
+        else Graft.ssspConverged(nodes, es.toDF("src", "dst", "w"))
+          .as[(Long, Long)].collect().toMap
+      // n rounds of the reference reach the fixpoint: weights are
+      // positive, so shortest paths have at most n-1 edges
+      got == refSssp(n, es, seeds, rounds = n)
+    })
+  }
+
   test("property: bfs == sssp under unit weights") {
     check(forAll(wEdgeGen) { case (n, es) =>
       val nodes = (0 until n).map(v => (v.toLong, v == 0)).toDF("v", "seed")
