@@ -23,6 +23,22 @@ import graft.sources.Tables._
   */
 object Sampling {
 
+  /** Register `dir` for recursive deletion at JVM exit, once per path —
+    * the partitioned-layout scratch dirs are per-session (app id in the
+    * name), so nothing outlives the session that wrote it. */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def deleteOnExit(dir: String): Unit =
+    if (cleanupRegistered.add(dir)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+      }))
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // tf-idf top-3 terms per document. The score is the RATIONAL form
@@ -93,8 +109,13 @@ object Sampling {
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority
         |""".stripMargin) { (s, d) =>
+      // per-session directory (app id is unique per SparkSession): two
+      // concurrent sessions on the same SF — e.g. bench and verify —
+      // must not race one overwrite against the other's read-back
       val dir = "/tmp/graft_part_orders_" +
-        java.nio.file.Paths.get(d).getFileName.toString
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
       orders(s, d).write.mode("overwrite")
         .partitionBy("o_orderstatus").parquet(dir)
       s.read.parquet(dir)

@@ -19,8 +19,9 @@ import graft.sources.Tables._
   * by partial+final aggregation over (row, bucket) keys derived from the
   * per-token count aggregate (distinct tokens shuffle, never token
   * instances); KMV shuffles one 60-bit hash per distinct key and keeps k
-  * per group; bitmap segments cap state at one long per 63-key range per
-  * group (63, not 64 — the sign bit stays untouched, see the query note) — all three are algebraic, so map-side combine does the heavy
+  * per group; bitmap segments cap state at one long per 63-key range
+  * per group (63, not 64 — the sign bit stays untouched, see the query
+  * note). All three are algebraic, so map-side combine does the heavy
   * lifting and the final reduce sees bounded state.
   */
 object Sketches {
@@ -179,9 +180,53 @@ object Sketches {
          |LEFT JOIN exi ON exi.type_a = p.type_a AND exi.type_b = p.type_b
          |LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
          |""".stripMargin) { (s, d) =>
+      kmvSetOps(events(s, d).select("event_type", "user_id").distinct())
+    },
+
+
+    // Exact distinct counting via bitmap segments: users bucketed into
+    // 64-wide ranges, each range's presence OR-ed into one long, distinct
+    // count = sum of popcounts. The roaring-bitmap shape: mergeable,
+    // constant per-segment state, exact — the middle ground between
+    // count_distinct's full shuffle of keys and HLL's approximation.
+    // Output carries the count_distinct twin; equality proves exactness.
+    // Segments are 63 keys wide, not 64: bit 63 is the sign bit, and the
+    // overflow-checked oracle rejects 1::BIGINT << 63 (Spark's shiftleft
+    // would wrap silently — staying off the sign bit keeps both engines
+    // on defined, identical arithmetic).
+    QueryDef(
+      "q_agg_bitmap",
+      """WITH b AS (
+        |  SELECT event_type, user_id // 63 AS seg,
+        |    bit_or(1::BIGINT << (user_id % 63)::INTEGER) AS bits
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, sum(bit_count(bits))::BIGINT AS n_bitmap FROM b GROUP BY 1),
+        |e AS (SELECT event_type, count(DISTINCT user_id) AS n_distinct FROM events GROUP BY 1)
+        |SELECT e.event_type, e.n_distinct, c.n_bitmap FROM e JOIN c USING (event_type)
+        |""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val bits = ev
+        .select(col("event_type"), expr("user_id div 63").as("seg"),
+          expr("shiftleft(1L, cast(user_id % 63 as int))").as("m"))
+        .groupBy("event_type", "seg").agg(expr("bit_or(m)").as("bits"))
+      val viaBitmap = bits.groupBy("event_type")
+        .agg(sum(bit_count(col("bits"))).as("n_bitmap"))
+      val exact = ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("n_distinct"))
+      exact.join(viaBitmap, Seq("event_type"))
+        .select("event_type", "n_distinct", "n_bitmap")
+    }
+  )
+
+  /** The theta-sketch set-algebra kernel behind q_agg_kmv_setops,
+    * factored over any (event_type, user_id) distinct-pair relation so
+    * tests can drive it on synthetic, PARTIALLY overlapping key sets
+    * (the fixture's event-type key sets are identical — a degenerate
+    * case the unit suite notes explicitly). */
+  private[graft] def kmvSetOps(
+      du0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val du = events(s, d).select("event_type", "user_id").distinct()
-        .localCheckpoint()
+      val du = du0.localCheckpoint()
       val h = du.select(col("event_type"), col("user_id"),
         h60(concat(lit("kmv:"), col("user_id"))).as("h"))
       val rn = row_number().over(
@@ -234,39 +279,5 @@ object Sketches {
           (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L)))
             .as("n_union_exact"),
           expr(s"$KmvNum div th_u").as("union_est"))
-    },
-
-    // Exact distinct counting via bitmap segments: users bucketed into
-    // 64-wide ranges, each range's presence OR-ed into one long, distinct
-    // count = sum of popcounts. The roaring-bitmap shape: mergeable,
-    // constant per-segment state, exact — the middle ground between
-    // count_distinct's full shuffle of keys and HLL's approximation.
-    // Output carries the count_distinct twin; equality proves exactness.
-    // Segments are 63 keys wide, not 64: bit 63 is the sign bit, and the
-    // overflow-checked oracle rejects 1::BIGINT << 63 (Spark's shiftleft
-    // would wrap silently — staying off the sign bit keeps both engines
-    // on defined, identical arithmetic).
-    QueryDef(
-      "q_agg_bitmap",
-      """WITH b AS (
-        |  SELECT event_type, user_id // 63 AS seg,
-        |    bit_or(1::BIGINT << (user_id % 63)::INTEGER) AS bits
-        |  FROM events GROUP BY 1, 2),
-        |c AS (SELECT event_type, sum(bit_count(bits))::BIGINT AS n_bitmap FROM b GROUP BY 1),
-        |e AS (SELECT event_type, count(DISTINCT user_id) AS n_distinct FROM events GROUP BY 1)
-        |SELECT e.event_type, e.n_distinct, c.n_bitmap FROM e JOIN c USING (event_type)
-        |""".stripMargin) { (s, d) =>
-      val ev = events(s, d)
-      val bits = ev
-        .select(col("event_type"), expr("user_id div 63").as("seg"),
-          expr("shiftleft(1L, cast(user_id % 63 as int))").as("m"))
-        .groupBy("event_type", "seg").agg(expr("bit_or(m)").as("bits"))
-      val viaBitmap = bits.groupBy("event_type")
-        .agg(sum(bit_count(col("bits"))).as("n_bitmap"))
-      val exact = ev.groupBy("event_type")
-        .agg(count_distinct(col("user_id")).as("n_distinct"))
-      exact.join(viaBitmap, Seq("event_type"))
-        .select("event_type", "n_distinct", "n_bitmap")
-    }
-  )
+  }
 }

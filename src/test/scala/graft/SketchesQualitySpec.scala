@@ -88,8 +88,11 @@ class SketchesQualitySpec extends SparkSpec {
       val (nU, eU) = (r.getAs[Long]("n_union_exact"), r.getAs[Long]("union_est"))
       assert(nI <= nU, s"exact inter > union: $r")
       assert(eI >= 0 && eU > 0, s"degenerate estimate: $r")
-      // inclusion-exclusion on the exact side was computed as a+b-inter;
-      // fixtures put every user in every type, so inter == union exactly
+      // FIXTURE COINCIDENCE, not an estimator property: the current
+      // testdata puts every user in every event type, so inter == union.
+      // If a testdata regeneration breaks this, delete the assertion (the
+      // estimators are validated on genuinely differing sets in the
+      // synthetic-overlap test below), don't chase a code defect.
       assert(nI == nU, s"fixture property changed: $r")
     }
   }
@@ -97,7 +100,9 @@ class SketchesQualitySpec extends SparkSpec {
   test("kmv setops: identical sets give union_est == the single-set estimate") {
     // every user hits every event type in the fixtures, so each pair's
     // union sketch IS each side's sketch — union_est must equal the
-    // per-type KMV estimate from q_agg_kmv for both members of the pair
+    // per-type KMV estimate from q_agg_kmv for both members of the pair.
+    // (Fixture coincidence, like the inter == union assertion above: a
+    // regenerated testdata set may break this without any code defect.)
     val perType = q("q_agg_kmv").collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("est")).toMap
     q("q_agg_kmv_setops").collect().foreach { r =>
@@ -106,6 +111,41 @@ class SketchesQualitySpec extends SparkSpec {
         eU == perType(r.getAs[String]("type_b")),
         s"union of identical sets must match the set's own estimate: $r")
     }
+  }
+
+  test("kmv setops: partially overlapping synthetic sets replay the estimator") {
+    // the non-degenerate case the fixtures cannot exercise: A = 1..300,
+    // B = 201..500 — 100 shared keys, 500 in the union. The expected
+    // estimates are recomputed DRIVER-side from first principles (md5
+    // prefix hashes, k-th order statistic, floor arithmetic) — agreement
+    // of the two formulations is the check, bit for bit.
+    val aUsers = (1L to 300L).toSeq
+    val bUsers = (201L to 500L).toSeq
+    val du = (aUsers.map(("A", _)) ++ bUsers.map(("B", _)))
+      .toDF("event_type", "user_id")
+    val rows = graft.operators.Sketches.kmvSetOps(du).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_inter_exact") == 100L)
+    assert(r.getAs[Long]("n_union_exact") == 500L)
+    def h60(u: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"kmv:$u".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val k = 8
+    val kmv60 = 1L << 60
+    val skA = aUsers.map(h60).sorted.take(k)
+    val skB = bUsers.map(h60).sorted.take(k)
+    val thMin = math.min(skA.last, skB.last)
+    val unionEst = 7L * kmv60 / (skA ++ skB).distinct.sorted.apply(k - 1)
+    val interEst =
+      skA.toSet.intersect(skB.toSet).count(_ < thMin) * (kmv60 / thMin)
+    assert(r.getAs[Long]("union_est") == unionEst)
+    assert(r.getAs[Long]("inter_est") == interEst)
+    // and the overlap genuinely separates the two estimates
+    assert(r.getAs[Long]("n_inter_exact") < r.getAs[Long]("n_union_exact"))
   }
 
   // ---- drift ---------------------------------------------------------
