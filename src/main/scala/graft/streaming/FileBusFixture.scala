@@ -83,8 +83,21 @@ object FileBusFixture {
     * `user_id mod` [[Partitions]] (Kafka-style key hashing — one user's
     * records stay ordered within one partition), event_id ascending
     * within a partition. */
+  /** Deterministic RETENTION topic: `user_id,ts_us` framing, produced
+    * in DESCENDING event_id order — late records carry EARLIER
+    * activity, so a consumer maintaining first-activity cohorts must
+    * retract and re-cohort mid-stream (the q_stream_retention path; an
+    * ascending feed would never move a cohort). The fixpoint over the
+    * whole topic is order-free, so the DuckDB oracle is unaffected. */
+  def ensureRetentionTopic(s: SparkSession, sfDir: String): String =
+    ensureEventsTopic(s, sfDir,
+      "/tmp/graft_bus_ret_" + Paths.get(sfDir).getFileName.toString,
+      evs => concat_ws(",", col("user_id"), unix_micros(col("ts"))),
+      ascending = false)
+
   private def ensureEventsTopic(s: SparkSession, sfDir: String, dir: String,
-      line: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column): String =
+      line: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column,
+      ascending: Boolean = true): String =
     synchronized {
       val evs = graft.sources.Tables.events(s, sfDir)
       val n = evs.count()
@@ -103,7 +116,8 @@ object FileBusFixture {
           // toLocalIterator, not collect: the producer streams one sorted
           // partition at a time; driver memory holds one append chunk
           val it = lines.filter(col("p") === p)
-            .orderBy("event_id").select("line").toLocalIterator()
+            .orderBy(if (ascending) col("event_id").asc else col("event_id").desc)
+            .select("line").toLocalIterator()
           val buf = new scala.collection.mutable.ArrayBuffer[String](8192)
           while (it.hasNext) {
             buf += it.next().getString(0)

@@ -487,6 +487,99 @@ object Streaming {
   def streamIvm(s: SparkSession, d: String): DataFrame =
     streamIvmCounted(s, d)._1
 
+  /** Cohort retention maintained INCREMENTALLY at stream ingest (the
+    * q_stream_retention body) — the [[streamIvmCounted]] retraction
+    * pattern applied to the one view whose key assignment can CHANGE
+    * retroactively: a user's cohort is their MIN activity week, so a
+    * late record carrying an earlier week re-cohorts the user and every
+    * triangle cell they ever contributed must move. Per batch: the
+    * genuinely new (user, week) pairs are found by one anti-join
+    * against the maintained pair state; users whose cohort improves
+    * retract all their existing cells under the old cohort and reinsert
+    * under the new one; new pairs insert under the (possibly moved)
+    * cohort; the per-cell deltas then merge into the view by the same
+    * full-outer fold as IVM. The retention fixture feeds event_ids in
+    * DESCENDING order precisely so re-cohorting fires mid-stream — the
+    * oracle states the batching-free fixpoint and a missed retraction
+    * leaves dead cells under stale cohorts.
+    *
+    * Scale shape: per batch the anti-join and cohort lookup shuffle
+    * keys only (user_id / (user, week) pairs, never payloads); deltas
+    * aggregate map-side to at most |touched cells| rows before the view
+    * merge; pair state is the distinct activity relation — the same
+    * asymptotic state the batch triangle scans, held incrementally. */
+  private[graft] def streamRetentionCounted(s: SparkSession, d: String,
+      batches: Int = 3): (DataFrame, Int) = withStatePartitions(s, 4) {
+    import s.implicits._
+    val topic = FileBusFixture.ensureRetentionTopic(s, d)
+    val total = FileBus.endOffsets(topic).values.sum
+    val cap = math.max(1L, total / batches + 1L)
+    val WeekUs = 604800000000L
+    val OriginUs = 1704067200000000L // 2024-01-01, the batch query's origin
+    var pairState: DataFrame = Seq.empty[(Long, Long)].toDF("user_id", "week")
+    var cohortState: DataFrame =
+      Seq.empty[(Long, Long)].toDF("user_id", "cohort_week")
+    var view: DataFrame =
+      Seq.empty[(Long, Long, Long)].toDF("cohort_week", "offset_weeks", "n_users")
+    var applied = 0
+    val q = s.readStream.format(classOf[FileBusProvider].getName)
+      .option("path", topic)
+      .option("maxRecordsPerTrigger", cap.toString)
+      .load()
+      .select(split(col("value"), ",").getItem(0).cast("long").as("user_id"),
+        split(col("value"), ",").getItem(1).cast("long").as("ts_us"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val batchW = batch
+          .select(col("user_id"),
+            expr(s"(ts_us - ${OriginUs}L) div ${WeekUs}L").as("week"))
+          .distinct()
+        val newPairs = batchW
+          .join(pairState, Seq("user_id", "week"), "left_anti")
+          .localCheckpoint() // feeds cohort move, insertion, state union
+        // per touched user: old cohort (if any) vs min incoming week
+        val affected = newPairs.groupBy("user_id")
+          .agg(min("week").as("new_min"))
+          .join(cohortState, Seq("user_id"), "left")
+          .select(col("user_id"), col("cohort_week").as("old_c"),
+            when(col("cohort_week").isNull ||
+              col("new_min") < col("cohort_week"), col("new_min"))
+              .otherwise(col("cohort_week")).as("new_c"))
+          .localCheckpoint() // feeds retraction, insertion, cohort merge
+        // movers: every EXISTING cell migrates old cohort -> new cohort
+        val moverPairs = pairState.join(
+          affected.filter(col("old_c").isNotNull && col("new_c") < col("old_c")),
+          Seq("user_id"))
+        val retract = moverPairs.select(col("old_c").as("cohort_week"),
+          (col("week") - col("old_c")).as("offset_weeks"), lit(-1L).as("dn"))
+        val reinsert = moverPairs.select(col("new_c").as("cohort_week"),
+          (col("week") - col("new_c")).as("offset_weeks"), lit(1L).as("dn"))
+        val insert = newPairs.join(affected.select("user_id", "new_c"), "user_id")
+          .select(col("new_c").as("cohort_week"),
+            (col("week") - col("new_c")).as("offset_weeks"), lit(1L).as("dn"))
+        val delta = retract.unionByName(reinsert).unionByName(insert)
+          .groupBy("cohort_week", "offset_weeks").agg(sum("dn").as("dn"))
+        view = view.join(delta, Seq("cohort_week", "offset_weeks"), "full_outer")
+          .select(col("cohort_week"), col("offset_weeks"),
+            (coalesce(col("n_users"), lit(0L)) +
+              coalesce(col("dn"), lit(0L))).as("n_users"))
+          .localCheckpoint()
+        pairState = pairState.unionByName(newPairs).localCheckpoint()
+        cohortState = cohortState
+          .join(affected.select("user_id"), Seq("user_id"), "left_anti")
+          .unionByName(
+            affected.select(col("user_id"), col("new_c").as("cohort_week")))
+          .localCheckpoint()
+        applied += 1
+      }
+      .start()
+    drain(q)
+    (view.filter(col("n_users") > 0), applied)
+  }
+
+  def streamRetention(s: SparkSession, d: String): DataFrame =
+    streamRetentionCounted(s, d)._1
+
   /** Streaming data-quality monitor (the q_stream_quality body): the
     * row-local half of the batch constraint suite (operators.Quality)
     * run against the live bus feed — per-micro-batch violation counts
@@ -934,6 +1027,29 @@ object Streaming {
         |WHERE event_id % 29 <> 0
         |GROUP BY cohort
         |""".stripMargin) { (s, d) => streamIvm(s, d) },
+
+    // Cohort retention at stream ingest: the triangle maintained
+    // incrementally via the IVM retraction pattern — the descending
+    // fixture feed forces mid-stream re-cohorting, so stale cells must
+    // be retracted and migrated, not just accumulated. The oracle is
+    // the batching-free fixpoint (the batch triangle over the whole
+    // topic); a missed retraction strands counts under dead cohorts and
+    // breaks the hash. Batching-invariance (1 vs 4 batches) is pinned
+    // in StreamingRobustnessSpec.
+    QueryDef(
+      "q_stream_retention",
+      """WITH w AS (
+        |  SELECT DISTINCT user_id,
+        |    (ts_us - 1704067200000000) // 604800000000 AS week
+        |  FROM read_csv('/tmp/graft_bus_ret_sf0.01/p*.log',
+        |    columns={'user_id': 'BIGINT', 'ts_us': 'BIGINT'},
+        |    header=false, auto_detect=false)),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1)
+        |SELECT c.cohort_week, w.week - c.cohort_week AS offset_weeks,
+        |  count(*)::BIGINT AS n_users
+        |FROM w JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2
+        |""".stripMargin) { (s, d) => streamRetention(s, d) },
 
     // Streaming quality monitor: row-local constraint violations counted
     // per micro-batch and accumulated — additive predicates, so the

@@ -115,6 +115,23 @@ class StreamingRobustnessSpec extends SparkSpec {
       "incrementally maintained view must equal the batch rollup")
   }
 
+  test("streamRetention re-cohorts by retraction across MULTIPLE batches") {
+    // the fixture feeds event_ids DESCENDING, so later batches carry
+    // EARLIER activity: users' min-week cohorts move mid-stream and the
+    // triangle is only correct if every move retracted the user's cells
+    // under the old cohort. The check is the batch triangle fixpoint —
+    // and batching-invariance: one mega-batch and four batches agree.
+    val (view, applied) = Streaming.streamRetentionCounted(spark, sf, batches = 4)
+    assert(applied >= 2, s"expected a multi-batch fold, got $applied batch(es)")
+    val expected = q("q_events_retention")
+    assert(view.count() > 0)
+    assert(view.exceptAll(expected).isEmpty && expected.exceptAll(view).isEmpty,
+      "incrementally maintained triangle must equal the batch fixpoint")
+    val (oneShot, _) = Streaming.streamRetentionCounted(spark, sf, batches = 1)
+    assert(oneShot.exceptAll(view).isEmpty && view.exceptAll(oneShot).isEmpty,
+      "result must be batching-invariant")
+  }
+
   test("streamQuality accumulates row-local violations across MULTIPLE batches") {
     // additive constraints: the accumulated totals must equal one batch
     // pass over the whole feed, whatever the admission schedule
