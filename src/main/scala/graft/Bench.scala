@@ -148,7 +148,8 @@ object Bench {
     * as a -1 that swallows the family's valid samples. */
   def compactLine(results: Seq[(String, Double)], nFail: Int,
       sfDir: String, load: String = "null",
-      passes: Map[String, Int] = Map.empty): String = {
+      passes: Map[String, Int] = Map.empty,
+      committed: Option[Double] = None): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
     // "minp" makes the DRIVER-side artifact self-describing about
     // measurement validity: min timed-sample count over successful
@@ -177,7 +178,13 @@ object Bench {
           s""","failed_more":${failedQs.size - 3}""" else ""
         s""","failed_qs":[${shown.mkString(",")}]$more"""
       }
-    s"""{"metric":"total","value":${r2(total)},"unit":"sec","failed":$nFail$failedPart,"nq":${results.size},"minp":$minp,"queries":${jmap(famTotals)},"slowest":${jmap(slowest)},"load":$load,"sf":"$sfDir"}"""
+    // "committed": the total of the bench_full.json that was ON DISK at
+    // process start (i.e. the repo's committed artifact of record), so a
+    // driver-run line and the committed number adjudicate side by side
+    // without reading git history
+    val committedPart =
+      committed.map(c => s""","committed":${r2(c)}""").getOrElse("")
+    s"""{"metric":"total","value":${r2(total)},"unit":"sec","failed":$nFail$failedPart,"nq":${results.size},"minp":$minp$committedPart,"queries":${jmap(famTotals)},"slowest":${jmap(slowest)},"load":$load,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -264,6 +271,20 @@ object Bench {
     // state on disk instead of losing the whole bench
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "/root/repo/bench_full.json")
+    // snapshot the committed artifact's total BEFORE any checkpoint can
+    // overwrite the file — this is what "committed" in the compact line
+    // refers to
+    val committedTotal: Option[Double] =
+      try {
+        val f = new java.io.File(fullPath)
+        if (!f.exists) None
+        else {
+          val src = scala.io.Source.fromFile(f)
+          val line = try src.mkString.trim finally src.close()
+          """"value":([0-9.]+)""".r.findFirstMatchIn(line)
+            .map(_.group(1).toDouble)
+        }
+      } catch { case _: Throwable => None }
     def writeFull(line: String): Unit =
       try {
         if (!writeArtifact(fullPath, line))
@@ -309,7 +330,8 @@ object Bench {
     // compact family summary after spark.stop()'s shutdown logging so
     // nothing can push it out of the window
     spark.stop()
-    println(compactLine(results, nFail, sfDir, load, passes.toMap))
+    println(compactLine(results, nFail, sfDir, load, passes.toMap,
+      committedTotal))
     Console.flush()
   }
 }

@@ -136,4 +136,12 @@ class BenchLineSpec extends AnyFunSuite {
     // legacy call without a passes map: marker defaults to 1 (single-sample)
     assert(Bench.compactLine(rs, 0, "/x").contains("\"minp\":1"))
   }
+
+  test("compact line states the committed artifact total when one was on disk") {
+    val rs = Seq("q_agg_a" -> 2.0, "q_agg_b" -> 1.0)
+    val line = Bench.compactLine(rs, 0, "/x", "null", Map.empty, Some(97.222))
+    assert(line.contains("\"committed\":97.22"), line)
+    // no artifact on disk at start -> no field, not a null placeholder
+    assert(!Bench.compactLine(rs, 0, "/x").contains("committed"))
+  }
 }
