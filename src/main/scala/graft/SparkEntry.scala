@@ -28,6 +28,7 @@ object SparkEntry {
       operators.Graph.defs ++
       operators.Quality.defs ++
       operators.Sketches.defs ++
+      operators.Mining.defs ++
       operators.BloomJoin.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs ++

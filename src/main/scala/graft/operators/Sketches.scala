@@ -32,9 +32,9 @@ object Sketches {
 
   /** KMV sketch size: the 8th-smallest hash bounds the estimate;
     * (k-1) * 2^60 stays inside a signed 64-bit long only for k <= 8. */
-  private val KmvK = 8
-  private val Kmv60 = 1152921504606846976L // 2^60, the h60 hash space
-  private val KmvNum = 7L * Kmv60 // (k-1) * 2^60
+  private[graft] val KmvK = 8
+  private[graft] val Kmv60 = 1152921504606846976L // 2^60, the h60 hash space
+  private[graft] val KmvNum = 7L * Kmv60 // (k-1) * 2^60
 
   val defs: Seq[QueryDef] = Seq(
 

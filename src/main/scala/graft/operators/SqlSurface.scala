@@ -143,6 +143,140 @@ object SqlSurface {
           |""".stripMargin)
     },
 
+    // TPC-H Q4 shape (order priority checking): orders in a one-year
+    // bracket with at least one line shipped after the order date,
+    // counted per priority. The EXISTS decorrelates to a LEFT SEMI join
+    // on l_orderkey — lineitem contributes at most one match per order
+    // and only its join key + predicate columns cross the exchange; the
+    // date filter prunes the orders scan before the join.
+    QueryDef(
+      "q_sql_order_priority",
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |""".stripMargin) { (s, d) =>
+      views(s, d, "orders", "lineitem")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_orders
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+          |GROUP BY o_orderpriority
+          |""".stripMargin)
+    },
+
+    // TPC-H Q12 shape (line priority by status): lines shipped in a
+    // one-year bracket, split per linestatus into urgent/high vs other
+    // order priorities — the conditional-count shape (Q12 keys on
+    // l_shipmode, which this schema lacks; l_linestatus carries the
+    // same plan: ship-date filter at the lineitem scan, one shuffle
+    // join to orders, two CASE-guarded sums in one aggregate pass).
+    QueryDef(
+      "q_sql_line_priority",
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus
+        |""".stripMargin) { (s, d) =>
+      views(s, d, "lineitem", "orders")
+      s.sql(
+        """SELECT l_linestatus,
+          |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01'
+          |GROUP BY l_linestatus
+          |""".stripMargin)
+    },
+
+    // TPC-H Q14 shape (promo revenue): the share of one month's revenue
+    // from PROMO-typed parts. part (2k rows/sf) broadcasts into the
+    // date-pruned lineitem scan; both sums accumulate as exact decimal
+    // in ONE aggregate pass and the ratio is a single double division
+    // of the two rounded doubles — identical in both engines.
+    QueryDef(
+      "q_sql_promo_revenue",
+      """WITH s AS (
+        |  SELECT
+        |    CAST(round(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))
+        |        ELSE CAST(0 AS DECIMAL(38,10)) END), 4) AS DOUBLE) AS promo_revenue,
+        |    CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01')
+        |SELECT promo_revenue, total_revenue,
+        |  100.0 * promo_revenue / total_revenue AS promo_pct
+        |FROM s
+        |""".stripMargin) { (s, d) =>
+      views(s, d, "lineitem", "part")
+      s.sql(
+        """WITH s AS (
+          |  SELECT
+          |    CAST(round(sum(CASE WHEN p_type = 'PROMO'
+          |        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))
+          |        ELSE CAST(0 AS DECIMAL(38,10)) END), 4) AS DOUBLE) AS promo_revenue,
+          |    CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_revenue
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          |    AND l_shipdate < TIMESTAMP '1997-10-01')
+          |SELECT promo_revenue, total_revenue,
+          |  100.0 * promo_revenue / total_revenue AS promo_pct
+          |FROM s
+          |""".stripMargin)
+    },
+
+    // TPC-H Q18 shape (large-volume customers): orders whose total
+    // quantity clears a threshold (~p99 of the per-order distribution),
+    // with customer attached and quantity re-aggregated on the survivor
+    // set. The HAVING subquery is a self-contained aggregate over
+    // lineitem whose survivors (≈1% of orders) semi-join back — both
+    // engines see a keys-only IN, and the final ORDER BY ... LIMIT is
+    // TakeOrderedAndProject with o_orderkey as the unique tie-break.
+    QueryDef(
+      "q_sql_large_orders",
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(38,10))) > 250)
+        |GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        |""".stripMargin) { (s, d) =>
+      views(s, d, "customer", "orders", "lineitem")
+      s.sql(
+        """SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+          |  CAST(round(sum(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_qty
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE o_orderkey IN (
+          |  SELECT l_orderkey FROM lineitem
+          |  GROUP BY l_orderkey
+          |  HAVING sum(CAST(l_quantity AS DECIMAL(38,10))) > 250)
+          |GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+          |""".stripMargin)
+    },
+
     // Scalar subquery: Catalyst evaluates the uncorrelated subquery once
     // and broadcasts the scalar — no per-row re-evaluation.
     QueryDef(

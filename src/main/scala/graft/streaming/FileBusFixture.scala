@@ -95,6 +95,16 @@ object FileBusFixture {
       evs => concat_ws(",", col("user_id"), unix_micros(col("ts"))),
       ascending = false)
 
+  /** Deterministic CARDINALITY topic: `event_type,user_id` framing —
+    * the feed for the streaming distinct-count monitor
+    * (q_stream_cardinality), whose per-type KMV state needs the key
+    * universe on the wire. Same partitioning/order contract as
+    * [[ensureTopic]]. */
+  def ensureCardinalityTopic(s: SparkSession, sfDir: String): String =
+    ensureEventsTopic(s, sfDir,
+      "/tmp/graft_bus_card_" + Paths.get(sfDir).getFileName.toString,
+      _ => concat_ws(",", col("event_type"), col("user_id")))
+
   private def ensureEventsTopic(s: SparkSession, sfDir: String, dir: String,
       line: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column,
       ascending: Boolean = true): String =

@@ -714,6 +714,68 @@ object Streaming {
   def streamDrift(s: SparkSession, d: String): DataFrame =
     streamDriftCounted(s, d)._1
 
+  /** Streaming cardinality monitor (the q_stream_cardinality body): a
+    * per-event-type KMV (theta) sketch maintained across micro-batches —
+    * the ingest-time twin of q_agg_kmv. Each batch reduces its records to
+    * distinct (event_type, h60) pairs, unions them into the running
+    * sketch, and keeps only the k smallest hashes per type: state is AT
+    * MOST k longs per type, forever. Keep-k-smallest of a union is a
+    * semilattice merge (associative, commutative, idempotent), so the
+    * final sketch — and the estimate — is batching-invariant, which is
+    * exactly the fixpoint the oracle replays over the whole topic.
+    *
+    * Scale shape: at 100 TB the per-batch reduce is a map-side-combined
+    * distinct on (type, hash) — record payloads never cross the
+    * exchange — and the rank window runs over |types| * (k + batch
+    * distinct) short rows. The monitor never holds the key universe. */
+  private[graft] def streamCardinalityCounted(s: SparkSession, d: String,
+      batches: Int = 3): (DataFrame, Int) = withStatePartitions(s, 4) {
+    import org.apache.spark.sql.expressions.Window
+    import graft.Exact.h60
+    import graft.operators.Sketches.{KmvK, KmvNum}
+    import s.implicits._
+    val topic = FileBusFixture.ensureCardinalityTopic(s, d)
+    val total = FileBus.endOffsets(topic).values.sum
+    val cap = math.max(1L, total / batches + 1L)
+    var sk: DataFrame = Seq.empty[(String, Long)].toDF("event_type", "h")
+    var applied = 0
+    val q = s.readStream.format(classOf[FileBusProvider].getName)
+      .option("path", topic)
+      .option("maxRecordsPerTrigger", cap.toString)
+      .load()
+      .select(split(col("value"), ",").getItem(0).as("event_type"),
+        split(col("value"), ",").getItem(1).cast("long").as("user_id"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bh = batch.select(col("event_type"),
+            h60(concat(lit("kmv:"), col("user_id"))).as("h"))
+          .distinct()
+        sk = sk.unionByName(bh).distinct()
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("event_type").orderBy("h")))
+          .filter(col("rn") <= KmvK)
+          .select("event_type", "h")
+          .localCheckpoint()
+        applied += 1
+      }
+      .start()
+    drain(q)
+    // theta = the k-th smallest retained hash; types that never reached
+    // k distinct keys report their sketch size (exact by construction)
+    val ranked = sk.withColumn("rn", row_number().over(
+      Window.partitionBy("event_type").orderBy("h")))
+    val out = ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n_sketch"),
+        max(when(col("rn") === KmvK, col("h"))).as("th"))
+      .select(col("event_type"), col("n_sketch"),
+        when(col("n_sketch") < KmvK, col("n_sketch"))
+          .otherwise(expr(s"$KmvNum div th")).as("est"))
+    (out, applied)
+  }
+
+  def streamCardinality(s: SparkSession, d: String): DataFrame =
+    streamCardinalityCounted(s, d)._1
+
   /** Ingest-time near-dup filter: arriving documents are MinHash-LSH
     * checked against a STATIC corpus index and dropped on any band
     * collision — the standard architecture for keeping near-copies of an
@@ -1111,6 +1173,32 @@ object Streaming {
         |GROUP BY event_type
         |""".stripMargin,
       bench = false) { (s, d) => streamDrift(s, d) },
+
+    // Streaming cardinality monitor: per-type distinct-user estimates
+    // maintained as constant-size KMV sketches across micro-batches.
+    // Keep-k-smallest of unions is a semilattice merge, so the estimate
+    // is batching-invariant and the oracle replays the identical sketch
+    // (same h60 hashes, same rank, same floor division) over the topic
+    // logs as one batch. Batching-invariance (1 vs 3 batches) is pinned
+    // in StreamingRobustnessSpec.
+    QueryDef(
+      "q_stream_cardinality",
+      s"""WITH du AS (
+         |  SELECT DISTINCT event_type, user_id
+         |  FROM read_csv('/tmp/graft_bus_card_sf0.01/p*.log',
+         |    columns={'event_type': 'VARCHAR', 'user_id': 'BIGINT'},
+         |    header=false, auto_detect=false)),
+         |hd AS (SELECT DISTINCT event_type,
+         |  ('0x' || substr(md5('kmv:' || user_id::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM du),
+         |r AS (SELECT event_type, h,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM hd),
+         |sk AS (SELECT event_type, h, rn FROM r WHERE rn <= ${graft.operators.Sketches.KmvK})
+         |SELECT event_type, count(*)::BIGINT AS n_sketch,
+         |  CASE WHEN count(*) < ${graft.operators.Sketches.KmvK} THEN count(*)::BIGINT
+         |       ELSE ${graft.operators.Sketches.KmvNum} // max(CASE WHEN rn = ${graft.operators.Sketches.KmvK} THEN h END) END AS est
+         |FROM sk GROUP BY event_type
+         |""".stripMargin) { (s, d) => streamCardinality(s, d) },
 
     // Streaming tokenizer application: the BPE vocab is trained ONCE on
     // the static corpus (Graft.bpeTrain), then every arriving micro-batch

@@ -132,6 +132,26 @@ class StreamingRobustnessSpec extends SparkSpec {
       "result must be batching-invariant")
   }
 
+  test("streamCardinality: KMV estimates are batching-invariant and match the batch sketch") {
+    // keep-k-smallest of unions is a semilattice merge: one mega-batch
+    // and three batches must land on the identical sketch, and the
+    // sketch equals the batch KMV built from the same key sets.
+    val (est3, applied) = Streaming.streamCardinalityCounted(spark, sf, batches = 3)
+    assert(applied >= 2, s"expected a multi-batch fold, got $applied batch(es)")
+    val r3 = est3.collect()
+    assert(r3.nonEmpty)
+    val (est1, _) = Streaming.streamCardinalityCounted(spark, sf, batches = 1)
+    assert(est1.exceptAll(est3).isEmpty && est3.exceptAll(est1).isEmpty,
+      "KMV monitor must be batching-invariant")
+    // against the batch twin: q_agg_kmv's est column on the same events
+    val batchEst = q("q_agg_kmv").select("event_type", "est").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("est")).toMap
+    r3.foreach { r =>
+      assert(r.getAs[Long]("est") == batchEst(r.getAs[String]("event_type")),
+        s"stream KMV diverged from batch KMV for ${r.getAs[String]("event_type")}")
+    }
+  }
+
   test("streamQuality accumulates row-local violations across MULTIPLE batches") {
     // additive constraints: the accumulated totals must equal one batch
     // pass over the whole feed, whatever the admission schedule
