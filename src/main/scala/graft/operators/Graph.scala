@@ -146,6 +146,37 @@ object Graph {
             (col("doc_id") % 17 === 0).as("seed")),
           edges, BfsDepth)
         .select(col("v").as("doc_id"), col("dist"))
+    },
+
+    // In-degree distribution of the derived graph: out-degree is 4 by
+    // construction, so the in-degree histogram (≈ Poisson(4) for the
+    // hash-target derivation, zeros included) is the structural summary
+    // a graph pipeline checks before running traversals. The edge list
+    // aggregates to per-target counts BEFORE the node join — map-side
+    // combined, the join carries one short row per distinct target —
+    // and isolated nodes enter via the left join's coalesce(0).
+    QueryDef(
+      "q_graph_degrees",
+      """WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |e AS (SELECT doc_id AS src,
+        |  ('0x' || substr(md5('pr:' || doc_id::VARCHAR || ':' || k::VARCHAR), 1, 15))::BIGINT % n.n AS dst
+        |  FROM documents, n, UNNEST([1, 2, 3, 4]) AS u(k)),
+        |ind AS (SELECT d.doc_id, count(e.dst)::BIGINT AS in_deg
+        |  FROM documents d LEFT JOIN e ON e.dst = d.doc_id GROUP BY d.doc_id)
+        |SELECT in_deg, count(*)::BIGINT AS n_nodes FROM ind GROUP BY in_deg
+        |""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(1), lit(4))).as("k"), col("n"))
+        .select((h60(concat(lit("pr:"), col("src").cast("string"), lit(":"),
+          col("k").cast("string"))) % col("n")).as("dst"))
+      val inCounts = edges.groupBy("dst").agg(count(lit(1)).as("c"))
+      docs.select(col("doc_id"))
+        .join(inCounts, col("doc_id") === col("dst"), "left")
+        .select(coalesce(col("c"), lit(0L)).as("in_deg"))
+        .groupBy("in_deg").agg(count(lit(1)).as("n_nodes"))
     }
   )
 

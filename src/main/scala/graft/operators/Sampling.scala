@@ -92,6 +92,66 @@ object Sampling {
         .withColumn("zbucket", expr("zkey div 16384"))
     },
 
+    // Zone-map data skipping over the z-order-clustered layout: rows
+    // bucketed into chunks by z-key range (the file/row-group boundary a
+    // range-partitioned write would produce), one min/max zone row per
+    // chunk on BOTH clustered dimensions, and a 2-D range predicate
+    // evaluated against the zones — chunks whose zones can't overlap are
+    // skipped before any "file" is read. The one summary row proves the
+    // mechanic end to end: kept chunks ≪ total, scanned rows ≪ table,
+    // and (zone soundness) every matching row lives in a kept chunk, so
+    // the matched count over kept chunks equals the true count. This is
+    // the file-stat pruning lever under q_layout_partition_prune's
+    // directory pruning — at 100 TB the zones table is the only thing
+    // the planner reads (chunks, not rows), and it aggregates map-side.
+    QueryDef(
+      "q_layout_zonemap", {
+        val terms = (0 until 10).map(i =>
+          s"((xk >> $i) & 1) * ${1L << (2 * i)} + ((yk >> $i) & 1) * ${1L << (2 * i + 1)}")
+          .mkString(" + ")
+        s"""WITH k AS (
+           |  SELECT l_partkey % 1024 AS xk, l_suppkey % 1024 AS yk
+           |  FROM lineitem),
+           |c AS (SELECT xk, yk, ($terms) // 4096 AS chunk FROM k),
+           |z AS (
+           |  SELECT chunk, min(xk) AS min_xk, max(xk) AS max_xk,
+           |    min(yk) AS min_yk, max(yk) AS max_yk,
+           |    count(*)::BIGINT AS n_rows,
+           |    sum(CASE WHEN xk BETWEEN 96 AND 159 AND yk BETWEEN 2 AND 5
+           |             THEN 1 ELSE 0 END)::BIGINT AS n_match
+           |  FROM c GROUP BY chunk),
+           |kz AS (SELECT *,
+           |  NOT (max_xk < 96 OR min_xk > 159 OR max_yk < 2 OR min_yk > 5) AS kept
+           |  FROM z)
+           |SELECT count(*)::BIGINT AS n_chunks,
+           |  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_chunks_kept,
+           |  sum(n_rows)::BIGINT AS n_rows,
+           |  sum(CASE WHEN kept THEN n_rows ELSE 0 END)::BIGINT AS n_rows_scanned,
+           |  sum(CASE WHEN kept THEN n_match ELSE 0 END)::BIGINT AS n_rows_matched
+           |FROM kz
+           |""".stripMargin
+      }) { (s, d) =>
+      val k = lineitem(s, d).select(
+        (col("l_partkey") % 1024).as("xk"), (col("l_suppkey") % 1024).as("yk"))
+      val matched = col("xk").between(96, 159) && col("yk").between(2, 5)
+      val zones = k
+        .withColumn("zkey", graft.api.Graft.zorderKey(col("xk"), col("yk"), 10))
+        .withColumn("chunk",
+          expr("zkey div 4096") /* chunk = z-key range bucket */)
+        .groupBy("chunk")
+        .agg(min("xk").as("min_xk"), max("xk").as("max_xk"),
+          min("yk").as("min_yk"), max("yk").as("max_yk"),
+          count(lit(1)).as("n_rows"),
+          sum(when(matched, 1L).otherwise(0L)).as("n_match"))
+      val kept = !(col("max_xk") < 96 || col("min_xk") > 159 ||
+        col("max_yk") < 2 || col("min_yk") > 5)
+      zones.agg(count(lit(1)).as("n_chunks"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_chunks_kept"),
+        sum(col("n_rows")).as("n_rows"),
+        sum(when(kept, col("n_rows")).otherwise(0L)).as("n_rows_scanned"),
+        sum(when(kept, col("n_match")).otherwise(0L)).as("n_rows_matched"))
+    },
+
     // Hive-style partitioned layout + partition-pruned read: orders
     // written partitionBy(o_orderstatus), read back with a status filter
     // — the scan's PartitionFilters skip 2 of 3 directory trees BEFORE

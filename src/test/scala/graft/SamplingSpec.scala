@@ -7,6 +7,32 @@ import org.apache.spark.sql.functions._
   * pipeline-level contracts a training-data build relies on). */
 class SamplingSpec extends SparkSpec {
 
+  test("zone-map skipping is sound and actually prunes") {
+    val r = q("q_layout_zonemap").collect().head
+    val (chunks, kept) = (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_chunks_kept"))
+    assert(kept < chunks, "zone map pruned nothing — clustering or zones broken")
+    assert(r.getAs[Long]("n_rows_scanned") < r.getAs[Long]("n_rows"))
+    // soundness: the matched count found inside kept chunks must equal
+    // the true predicate count over the whole table (a matching row
+    // outside a kept chunk would have widened its chunk's zones)
+    val truth = graft.sources.Tables.lineitem(spark, sf)
+      .filter((col("l_partkey") % 1024).between(96, 159) &&
+        (col("l_suppkey") % 1024).between(2, 5))
+      .count()
+    assert(r.getAs[Long]("n_rows_matched") == truth,
+      s"zone-kept matches ${r.getAs[Long]("n_rows_matched")} != truth $truth")
+  }
+
+  test("in-degree distribution accounts for every node and every edge") {
+    val rows = q("q_graph_degrees").collect()
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == n, "nodes dropped from the histogram")
+    // the derived graph has exactly 4 out-edges per node, so the
+    // in-degree mass must be 4N
+    val mass = rows.map(r => r.getAs[Long]("in_deg") * r.getAs[Long]("n_nodes")).sum
+    assert(mass == 4 * n, s"in-degree mass $mass != ${4 * n}")
+  }
+
   test("systematic sample is deterministic and a subset of the corpus") {
     val s1 = q("q_sample_systematic").collect().map(_.getLong(0)).sorted
     val s2 = q("q_sample_systematic").collect().map(_.getLong(0)).sorted
