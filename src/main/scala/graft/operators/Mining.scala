@@ -33,9 +33,11 @@ object Mining {
   private def baskets(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
 
-  /** Frequent part pairs with support ≥ [[MinSupport]]. */
+  /** Frequent part pairs with support ≥ [[MinSupport]]. The basket
+    * relation feeds BOTH sides of the self-join — checkpointed so the
+    * scan+distinct runs once, not once per side. */
   private def copairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val ip = baskets(s, d)
+    val ip = baskets(s, d).localCheckpoint()
     ip.select(col("l_orderkey"), col("l_partkey").as("part_a"))
       .join(ip.select(col("l_orderkey"), col("l_partkey").as("part_b")),
         Seq("l_orderkey"))
@@ -146,10 +148,13 @@ object Mining {
         lead(col("event_type"), 1).over(
           Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
           .as("next_type"))
+      // 25-cell table checkpointed: the totals derive from it without
+      // re-running the window pass over the events
       val t = seq.filter(col("next_type").isNotNull)
         .groupBy(col("event_type").as("from_type"),
           col("next_type").as("to_type"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
       val tot = t.groupBy("from_type").agg(sum("n").as("tot"))
       t.join(broadcast(tot), Seq("from_type"))
         .select(col("from_type"), col("to_type"), col("n"),

@@ -99,7 +99,19 @@ object Plans {
     "q_graph_sssp" ->
       "bounded Bellman-Ford round: src equi-join against the checkpointed weighted edge relation + one min-fold aggregate on dst — the pagerank shuffle shape, needed because weighted distances improve after discovery (BFS's anti-join finality would lock in the first, possibly costlier, path)",
     "q_agg_histogram_eqdepth" ->
-      "equi-depth histogram: ONE rank window partitioned by the group key feeds the per-tile aggregate — the exact-quantile shape that survives billion-row groups, no value->count map accumulation"
+      "equi-depth histogram: ONE rank window partitioned by the group key feeds the per-tile aggregate — the exact-quantile shape that survives billion-row groups, no value->count map accumulation",
+    "q_sql_order_priority" ->
+      "TPC-H Q4 shape: the EXISTS decorrelates to a left-semi SortMergeJoin on l_orderkey — lineitem contributes keys+predicate columns only, and the orders date filter is pushed to its scan before the join",
+    "q_sql_large_orders" ->
+      "TPC-H Q18 shape: the HAVING subquery's ~1% survivors semi-join back into the fact joins (keys only), and the final ORDER BY ... LIMIT is TakeOrderedAndProject — no global sort at any stage",
+    "q_mine_copairs" ->
+      "market-basket pairs: a self-EQUI-join on the basket key (bounded baskets => O(rows x basket) candidates, AQE-splittable), never a cartesian; both join sides read the ONE checkpointed basket relation (scan+distinct runs once), support threshold after one partial/final aggregate",
+    "q_mine_transitions" ->
+      "transition matrix: ONE lag window partitioned by user_id (state = a user's own stream) materialized once via localCheckpoint into the 25-cell count table; per-source totals derive from those 25 rows and broadcast back — the window pass never runs twice",
+    "q_layout_zonemap" ->
+      "zone-map skipping: chunk zones from one map-side-combined aggregate over z-key range buckets; the planner-side decision reads zones only (chunks, not rows) — 2 of 32 chunks survive the 2-D predicate at sf0.01",
+    "q_graph_degrees" ->
+      "degree distribution: edges aggregate to per-target counts BEFORE the node join (map-side combine), isolated nodes via left join — the histogram never shuffles edge-sized data twice"
   )
 
   def main(args: Array[String]): Unit = {
