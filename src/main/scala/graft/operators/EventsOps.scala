@@ -44,6 +44,39 @@ object EventsOps {
         .select("a_id", "b_id", "a_type", "b_type")
     },
 
+    // Range join WITHOUT any natural equi key: the cross-user temporal
+    // co-occurrence matrix — pairs of events (any users) where b follows
+    // a within 60 s, counted per (a_type, b_type). A bare range predicate
+    // is a nested-loop cross product in any engine; the scalable shape
+    // MANUFACTURES the equi key: b keys by its 60 s time bucket, a probes
+    // its own bucket AND the next (the two buckets that can contain a
+    // successor within 60 s), so the join is a plain bucket equi-join and
+    // each (a, b) pair arises exactly once (b's bucket is unique). At
+    // 100 TB candidates are bounded by events-per-bucket density, the
+    // shuffle keys on the bucket, and AQE splits any hot bucket. The
+    // oracle states the naive range join — same result, quadratic plan it
+    // can afford at sf0.01; RelationalSpec pins bucketed == naive.
+    QueryDef(
+      "q_join_range_bucket",
+      """WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events)
+        |SELECT a.event_type AS a_type, b.event_type AS b_type,
+        |  count(*)::BIGINT AS n_pairs
+        |FROM e a JOIN e b ON b.us > a.us AND b.us <= a.us + 60000000
+        |GROUP BY 1, 2
+        |""".stripMargin) { (s, d) =>
+      val e = events(s, d).select(col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      val probe = e.select(col("us").as("a_us"), col("event_type").as("a_type"),
+        explode(array(expr("us div 60000000"), expr("us div 60000000") + 1))
+          .as("bkt"))
+      val build = e.select(col("us").as("b_us"), col("event_type").as("b_type"),
+        expr("us div 60000000").as("bkt"))
+      probe.join(build, Seq("bkt"))
+        .filter(col("b_us") > col("a_us") &&
+          col("b_us") <= col("a_us") + 60000000L)
+        .groupBy("a_type", "b_type").agg(count(lit(1)).as("n_pairs"))
+    },
+
     // As-of join: each purchase matched to the user's most recent click at
     // or before it. See AsOfJoin for the scalable union+window plan; the
     // oracle states the same semantics as a rank-1 range join.

@@ -55,6 +55,23 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("bucketed range join equals the naive theta join") {
+    // the manufactured-equi-key plan must reproduce the bare range
+    // predicate exactly: compute the naive pair counts directly and
+    // compare cell by cell
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    val a = ev.select(col("us").as("a_us"), col("event_type").as("a_type"))
+    val b = ev.select(col("us").as("b_us"), col("event_type").as("b_type"))
+    val naive = a.join(b, col("b_us") > col("a_us") &&
+        col("b_us") <= col("a_us") + 60000000L)
+      .groupBy("a_type", "b_type").agg(count(lit(1)).as("n_pairs"))
+    val bucketed = q("q_join_range_bucket")
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty,
+      "bucketed range join diverged from the naive theta join")
+    assert(bucketed.agg(sum("n_pairs")).head.getLong(0) > 0)
+  }
+
   test("interval join rows all satisfy the 5-minute bound") {
     // re-derive bound satisfaction from the ids by joining back to events
     val ev = graft.sources.Tables.events(spark, sf)
