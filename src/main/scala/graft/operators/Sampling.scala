@@ -613,6 +613,76 @@ object Sampling {
           "c_custkey", version = 1L),
         b2, "c_custkey", version = 2L)
       graft.api.Graft.scdAsOf(history, 1L)
+    },
+
+    // Anti-entropy table reconciliation (the Merkle/Cassandra repair
+    // shape): two replicas of a table are compared by exchanging
+    // PER-BUCKET digests — count + bit_xor of a row hash — and only the
+    // buckets whose summaries disagree are re-scanned at row grain. At
+    // 100 TB the replicas ship B constant-size summary rows instead of
+    // the table, and the drill-down joins touch only flagged buckets'
+    // rows (a semi join against the broadcast flagged set). Divergence
+    // is PLANTED (inject-then-detect, the repo precedent): the replica
+    // drops every 997th key and flips every 991st key's priority, and
+    // the report must name exactly those keys with the right verdicts.
+    // bit_xor is order-free and self-inverse, so bucket summaries are
+    // partitioning-invariant and a matching pair cancels exactly.
+    QueryDef(
+      "q_pipeline_tablediff",
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |    o_orderkey // 64 AS bkt,
+        |    ('0x' || substr(md5('td:' || o_orderkey::VARCHAR || '|' || o_orderstatus || '|' || o_orderpriority), 1, 15))::BIGINT AS dg
+        |  FROM orders),
+        |replica AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 991 = 0 THEN 'X-MOD' ELSE o_orderpriority END AS o_orderpriority,
+        |    o_orderkey // 64 AS bkt,
+        |    ('0x' || substr(md5('td:' || o_orderkey::VARCHAR || '|' || o_orderstatus || '|' ||
+        |      CASE WHEN o_orderkey % 991 = 0 THEN 'X-MOD' ELSE o_orderpriority END), 1, 15))::BIGINT AS dg
+        |  FROM orders WHERE o_orderkey % 997 <> 0),
+        |sb AS (SELECT bkt, count(*)::BIGINT AS n, bit_xor(dg) AS x FROM base GROUP BY bkt),
+        |sr AS (SELECT bkt, count(*)::BIGINT AS n, bit_xor(dg) AS x FROM replica GROUP BY bkt),
+        |flagged AS (
+        |  SELECT coalesce(sb.bkt, sr.bkt) AS bkt
+        |  FROM sb FULL OUTER JOIN sr ON sb.bkt = sr.bkt
+        |  WHERE sb.n IS DISTINCT FROM sr.n OR sb.x IS DISTINCT FROM sr.x)
+        |SELECT b.o_orderkey,
+        |  CASE WHEN r.o_orderkey IS NULL THEN 'missing_in_replica'
+        |       ELSE 'modified' END AS status
+        |FROM base b
+        |JOIN flagged f ON b.bkt = f.bkt
+        |LEFT JOIN replica r ON r.o_orderkey = b.o_orderkey
+        |WHERE r.o_orderkey IS NULL OR r.dg <> b.dg
+        |""".stripMargin) { (s, d) =>
+      import graft.Exact.h60
+      def digest(pri: org.apache.spark.sql.Column) =
+        h60(concat(lit("td:"), col("o_orderkey").cast("string"), lit("|"),
+          col("o_orderstatus"), lit("|"), pri))
+      val base = orders(s, d)
+        .select(col("o_orderkey"), expr("o_orderkey div 64").as("bkt"),
+          digest(col("o_orderpriority")).as("dg"))
+      val replica = orders(s, d)
+        .filter(col("o_orderkey") % 997 =!= 0)
+        .select(col("o_orderkey"), expr("o_orderkey div 64").as("bkt"),
+          digest(when(col("o_orderkey") % 991 === 0, lit("X-MOD"))
+            .otherwise(col("o_orderpriority"))).as("dg"))
+      def summary(t: org.apache.spark.sql.DataFrame) = t.groupBy("bkt")
+        .agg(count(lit(1)).as("n"), expr("bit_xor(dg)").as("x"))
+      val flagged = summary(base).withColumnRenamed("n", "nb")
+        .withColumnRenamed("x", "xb")
+        .join(summary(replica).withColumnRenamed("n", "nr")
+          .withColumnRenamed("x", "xr"), Seq("bkt"), "full_outer")
+        .filter(!(col("nb") <=> col("nr")) || !(col("xb") <=> col("xr")))
+        .select("bkt")
+      // drill-down: only flagged buckets' rows re-enter at row grain
+      base.join(broadcast(flagged), Seq("bkt"))
+        .join(replica.select(col("o_orderkey"),
+          col("dg").as("dg_r")), Seq("o_orderkey"), "left")
+        .filter(col("dg_r").isNull || col("dg_r") =!= col("dg"))
+        .select(col("o_orderkey"),
+          when(col("dg_r").isNull, "missing_in_replica")
+            .otherwise("modified").as("status"))
     }
   )
 

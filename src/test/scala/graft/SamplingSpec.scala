@@ -33,6 +33,20 @@ class SamplingSpec extends SparkSpec {
     assert(mass == 4 * n, s"in-degree mass $mass != ${4 * n}")
   }
 
+  test("table diff recovers exactly the planted divergence with the right verdicts") {
+    val report = q("q_pipeline_tablediff").collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[String]("status")).toMap
+    val keys = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val wantMissing = keys.filter(_ % 997 == 0).toSet
+    val wantModified = keys.filter(k => k % 991 == 0 && k % 997 != 0).toSet
+    assert(report.filter(_._2 == "missing_in_replica").keySet == wantMissing,
+      "missing-key set diverged from the planted drops")
+    assert(report.filter(_._2 == "modified").keySet == wantModified,
+      "modified-key set diverged from the planted flips")
+    assert(report.size == wantMissing.size + wantModified.size)
+  }
+
   test("systematic sample is deterministic and a subset of the corpus") {
     val s1 = q("q_sample_systematic").collect().map(_.getLong(0)).sorted
     val s2 = q("q_sample_systematic").collect().map(_.getLong(0)).sorted
