@@ -1078,4 +1078,75 @@ object Graft {
     }
     dist
   }
+
+  /** Canonical undirected edge list for the core routines: (least,
+    * greatest) pairs, self-loops dropped, duplicates collapsed,
+    * checkpointed because every peel round joins it twice. */
+  private def undirected(edges: DataFrame): DataFrame =
+    edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+
+  /** One synchronous peel: edges with both endpoints alive, degrees over
+    * their endpoint multiset, survivors with degree — callers filter. */
+  private def liveDegrees(und: DataFrame, alive: DataFrame): DataFrame = {
+    val live = und
+      .join(alive.select(col("v").as("a")), Seq("a"), "left_semi")
+      .join(alive.select(col("v").as("b")), Seq("b"), "left_semi")
+    live.select(col("a").as("v")).unionAll(live.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+  }
+
+  /** Bounded k-core peel: `rounds` synchronous rounds of "drop every
+    * node with fewer than k neighbors among the still-alive", starting
+    * from all of `nodes` (column v). Returns the survivors with their
+    * degree RESTRICTED to the survivor set (`core_deg`, 0 for a survivor
+    * whose neighbors all dropped this round). Deterministic integer
+    * arithmetic — a fixed round count replays bit-exactly anywhere,
+    * which is what the oracle-checked registry entry uses; [[kcore]] is
+    * the run-to-fixpoint variant.
+    *
+    * Scale shape: each round is two semi-joins of the (checkpointed)
+    * edge list against the node-sized alive set plus one map-side-
+    * combined degree aggregate — work per round is proportional to the
+    * still-live edge set, which only shrinks. The alive set re-
+    * checkpoints per round so no round re-plans prior lineage; the
+    * driver holds DataFrame handles only. */
+  def kcorePeel(nodes: DataFrame, edges: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    val und = undirected(edges)
+    var alive = nodes.select("v").repartition(col("v")).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      alive = liveDegrees(und, alive).filter(col("deg") >= k)
+        .select("v").localCheckpoint()
+    }
+    alive.join(liveDegrees(und, alive), Seq("v"), "left")
+      .select(col("v"), coalesce(col("deg"), lit(0L)).as("core_deg"))
+  }
+
+  /** [[kcorePeel]] run to CONVERGENCE: peel until no node drops — the
+    * exact k-core (maximal subgraph of minimum degree k; empty when the
+    * graph erodes completely). Per round one alive-count materializes on
+    * the driver (a scalar — the [[ssspConverged]] precedent); terminates
+    * in at most |V| rounds, in practice the peel depth of the degeneracy
+    * ordering. Every survivor's `core_deg` is >= k by definition of the
+    * fixpoint (spec-asserted). */
+  def kcore(nodes: DataFrame, edges: DataFrame, k: Int): DataFrame = {
+    val und = undirected(edges)
+    var alive = nodes.select("v").repartition(col("v")).localCheckpoint()
+    var n = alive.count()
+    var done = false
+    while (!done && n > 0) {
+      val next = liveDegrees(und, alive).filter(col("deg") >= k)
+        .select("v").localCheckpoint()
+      val m = next.count()
+      done = m == n
+      alive = next
+      n = m
+    }
+    alive.join(liveDegrees(und, alive), Seq("v"), "left")
+      .select(col("v"), coalesce(col("deg"), lit(0L)).as("core_deg"))
+  }
 }

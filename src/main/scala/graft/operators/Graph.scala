@@ -34,6 +34,16 @@ object Graph {
     * enough that 17 * sum(contribs) stays far from BIGINT overflow. */
   private val PrScale = 1000000000000L
 
+  /** k-core threshold and bounded peel rounds replayed by the oracle.
+    * K=6 sits just above the derived graph's ~2*4 mean undirected degree
+    * erosion point, so every peel round does real work (the sf0.01
+    * survivor sequence is 500 -> 448 -> 418 -> 395 -> 380); 4 rounds
+    * keeps the unrolled oracle cheap while leaving a nontrivial
+    * survivor set at every sf. The run-to-fixpoint variant is
+    * [[graft.api.Graft.kcore]] (property-pinned in GraftPropertySpec). */
+  private val KcoreK = 6
+  private val KcoreRounds = 4
+
   val defs: Seq[QueryDef] = Seq(
 
     // PageRank over the derived link graph. Integer-exact: BIGINT ranks,
@@ -177,8 +187,63 @@ object Graph {
         .join(inCounts, col("doc_id") === col("dst"), "left")
         .select(coalesce(col("c"), lit(0L)).as("in_deg"))
         .groupBy("in_deg").agg(count(lit(1)).as("n_nodes"))
+    },
+
+    // Bounded k-core peel over the derived graph (undirected, self-loops
+    // dropped): 4 synchronous rounds of "drop nodes with < 6 still-alive
+    // neighbors", survivors reported with their degree inside the
+    // survivor set. The dense-subgraph primitive next to triangles: what
+    // remains after peeling is the graph's cohesive interior (spam/bot
+    // cluster detection, community cores). Work per round is two
+    // semi-joins + one degree aggregate over the ever-shrinking live
+    // edge set; integer degrees make the bounded replay bit-exact, and
+    // the oracle unrolls the same 4 stages. Fixpoint variant:
+    // Graft.kcore, property-pinned against a driver-side reference.
+    QueryDef("q_graph_kcore", kcoreOracle(KcoreK, KcoreRounds)) { (s, d) =>
+      val docs = documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n"))
+      val raw = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("a"),
+          explode(sequence(lit(1), lit(4))).as("k"), col("n"))
+        .select(col("a"),
+          (h60(concat(lit("pr:"), col("a").cast("string"), lit(":"),
+            col("k").cast("string"))) % col("n")).as("b"))
+      graft.api.Graft.kcorePeel(
+          docs.select(col("doc_id").as("v")), raw, KcoreK, KcoreRounds)
+        .select(col("v").as("doc_id"), col("core_deg"))
     }
   )
+
+  /** DuckDB mirror of q_graph_kcore: the same derived undirected edge
+    * list and `rounds` unrolled peel stages (the pagerank-oracle
+    * unrolling pattern); the final degree is recomputed inside the last
+    * survivor set, with edge-less survivors entering via coalesce(0). */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    def liveDeg(stage: String): String =
+      s"""SELECT v, count(*)::BIGINT AS deg FROM (
+         |    SELECT u.a AS v FROM und u JOIN $stage x ON x.v = u.a JOIN $stage y ON y.v = u.b
+         |    UNION ALL
+         |    SELECT u.b AS v FROM und u JOIN $stage x ON x.v = u.a JOIN $stage y ON y.v = u.b) e
+         |  GROUP BY v""".stripMargin
+    val base =
+      s"""n AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |raw AS (SELECT doc_id AS a,
+         |  ('0x' || substr(md5('pr:' || doc_id::VARCHAR || ':' || k::VARCHAR), 1, 15))::BIGINT % n.n AS b
+         |  FROM documents, n, UNNEST([1, 2, 3, 4]) AS u(k)),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM raw WHERE a <> b),
+         |s0 AS MATERIALIZED (SELECT doc_id AS v FROM documents)""".stripMargin
+    val stages = (0 until rounds).map { t =>
+      s"""s${t + 1} AS MATERIALIZED (SELECT v FROM (
+         |  ${liveDeg(s"s$t")}) d WHERE deg >= $k)""".stripMargin
+    }
+    "WITH " + (base +: stages).mkString(",\n") +
+      s"""
+         |SELECT s.v AS doc_id, coalesce(d.deg, 0)::BIGINT AS core_deg
+         |FROM s$rounds s LEFT JOIN (
+         |  ${liveDeg(s"s$rounds")}) d ON d.v = s.v
+         |""".stripMargin
+  }
 
   /** DuckDB mirror of q_graph_sssp: derived edges with the same h60
     * weight derivation; the walk carries (v, dist, hops) with hops

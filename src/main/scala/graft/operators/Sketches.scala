@@ -26,9 +26,11 @@ import graft.sources.Tables._
   */
 object Sketches {
 
-  /** Count-min width (buckets per hash row) and depth (hash rows). */
-  private val CmW = 1024
-  private val CmD = 4
+  /** Count-min width (buckets per hash row) and depth (hash rows).
+    * private[graft]: the streaming monitor (q_stream_countmin) maintains
+    * the SAME cell geometry across micro-batches. */
+  private[graft] val CmW = 1024
+  private[graft] val CmD = 4
 
   /** KMV sketch size: the 8th-smallest hash bounds the estimate;
     * (k-1) * 2^60 stays inside a signed 64-bit long only for k <= 8. */

@@ -14,6 +14,12 @@ object SqlSurface {
   private def views(s: org.apache.spark.sql.SparkSession, d: String, ts: String*): Unit =
     ts.foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
 
+  /** Dialect-shared query: the SAME ANSI text runs as `spark.sql` over
+    * the registered views and as the DuckDB oracle — the strongest form
+    * of the SQL-surface claim (one string, two engines, equal hashes). */
+  private def sqlBoth(name: String, tables: Seq[String])(sql: String): QueryDef =
+    QueryDef(name, sql) { (s, d) => views(s, d, tables: _*); s.sql(sql) }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_sql_revenue_by_nation",
@@ -309,6 +315,188 @@ object SqlSurface {
           |                              / count(*)
           |                       FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
           |""".stripMargin)
-    }
+    },
+
+    // TPC-H Q7 shape (volume shipping): bilateral trade between two
+    // nations per ship year. Five joins, but only two carry volume —
+    // supplier (100 rows/sf), customer (segment of 1.5k), and both
+    // nation instances broadcast; the nation-pair disjunction reaches
+    // the join output before the aggregate, and the lineitem date
+    // bracket prunes its scan. The two nation roles need two aliased
+    // instances of the same dim — the self-alias probe of the surface.
+    sqlBoth("q_sql_volume_shipping",
+      Seq("lineitem", "supplier", "orders", "customer", "nation"))(
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS INT)
+        |""".stripMargin),
+
+    // TPC-H Q8 shape (national market share): one nation's share of a
+    // region's order volume per year. The deepest join tree in the
+    // registry — 7 tables — where every dim (part/supplier/nation x2/
+    // region) broadcasts and only lineitem->orders shuffles; the share
+    // is a guarded-sum / total-sum ratio computed in ONE aggregate pass
+    // (both sums exact decimal, divided as the two rounded doubles —
+    // the q_sql_promo_revenue discipline).
+    sqlBoth("q_sql_market_share",
+      Seq("lineitem", "part", "supplier", "orders", "customer", "nation", "region"))(
+      """WITH flows AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)) AS volume,
+        |    n1.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n2.n_regionkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT o_year,
+        |  CAST(round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(38,10)) END), 4) AS DOUBLE) AS nation_volume,
+        |  CAST(round(sum(volume), 4) AS DOUBLE) AS total_volume,
+        |  CAST(round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(38,10)) END), 4) AS DOUBLE)
+        |    / CAST(round(sum(volume), 4) AS DOUBLE) AS mkt_share
+        |FROM flows GROUP BY o_year
+        |""".stripMargin),
+
+    // TPC-H Q9 shape (product-type profit): revenue minus an input-cost
+    // term (this schema has no partsupp, so cost = 0.1 * p_retailprice *
+    // l_quantity — same columns-from-two-tables arithmetic), grouped by
+    // supplier nation x ship year. The p_name LIKE filter prunes part
+    // BEFORE its broadcast; profit subtracts one exact decimal from
+    // another inside the sum, so accumulation order still cannot matter.
+    sqlBoth("q_sql_profit_by_nation",
+      Seq("lineitem", "part", "supplier", "nation"))(
+      """SELECT n_name, CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))
+        |    - CAST(0.1 * p_retailprice * l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY n_name, CAST(year(l_shipdate) AS INT)
+        |""".stripMargin),
+
+    // TPC-H Q13 shape (customer order-count distribution): how many
+    // customers placed 0, 1, 2, ... qualifying orders. The LEFT join
+    // keeps zero-order customers (count(o_orderkey) counts only matched
+    // rows — the null-skipping count is the point of the shape), and the
+    // filter lives in the JOIN condition, NOT the WHERE — pushed to the
+    // orders scan but never turning the join inner. Two stacked
+    // aggregations; the second runs over |customers| short rows.
+    sqlBoth("q_sql_customer_distribution", Seq("customer", "orders"))(
+      """SELECT n_orders, count(*) AS n_custs
+        |FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |      GROUP BY c_custkey) AS c_orders
+        |GROUP BY n_orders
+        |""".stripMargin),
+
+    // TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    // then the argmax via a scalar subquery over the SAME CTE — the
+    // probe for CTE reuse (rev is referenced twice; Catalyst either
+    // reuses the exchange or recomputes a 100-row aggregate, both
+    // fine) and for scalar-subquery broadcast. Revenue leaves the CTE
+    // already rounded, so the equality against max() compares doubles
+    // produced by identical arithmetic in both engines.
+    sqlBoth("q_sql_top_supplier", Seq("lineitem", "supplier"))(
+      """WITH rev AS (
+        |  SELECT l_suppkey AS suppkey,
+        |    CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |""".stripMargin),
+
+    // TPC-H Q17 shape (small-quantity revenue): lines at less than half
+    // their part's average quantity. The correlated average decorrelates
+    // to a per-part aggregate joined back on p_partkey (NOT a per-row
+    // rescan); the threshold is (0.5 * decimal-sum-as-double) / count —
+    // the identical-arithmetic discipline for comparisons, since a bare
+    // avg() can differ in the last ulp and flip boundary rows.
+    sqlBoth("q_sql_small_qty_revenue", Seq("lineitem", "part"))(
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 4) AS DOUBLE) / 7 AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3'
+        |  AND l_quantity < (SELECT (0.5 * CAST(sum(CAST(l2.l_quantity AS DECIMAL(38,10))) AS DOUBLE)) / count(*)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |""".stripMargin),
+
+    // TPC-H Q19 shape (disjunctive predicate pushdown): three OR'd
+    // conjunct groups spanning both join sides. The plan probe: Catalyst
+    // extracts the common per-table implications (p_brand IN (...),
+    // p_size/l_quantity ranges) and pushes them to BOTH scans, leaving
+    // the cross-table residual on the join — the classic OR-predicate
+    // factoring test. One output row, exact decimal revenue.
+    sqlBoth("q_sql_disjunctive_pushdown", Seq("lineitem", "part"))(
+      """SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 30)
+        |""".stripMargin),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the sole late
+    // supplier on a finished multi-supplier order ("late" = shipped >90
+    // days after the order date; this schema has no receipt/commit
+    // dates). Stated in TPC-H as EXISTS + NOT EXISTS with inequality
+    // correlation; written here PRE-decorrelated as one per-order
+    // aggregate (distinct-supplier count, late-supplier count, the late
+    // supplier itself via null-skipping max) — the form that shuffles
+    // lineitem ONCE instead of rescanning it per correlated branch,
+    // which is how the shape survives 100 TB.
+    sqlBoth("q_sql_waiting_orders", Seq("lineitem", "orders", "supplier"))(
+      """WITH lo AS (
+        |  SELECT l_orderkey,
+        |    count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN l_suppkey END) AS n_late,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN l_suppkey END) AS late_supp
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY l_orderkey)
+        |SELECT s_name, count(*) AS numwait
+        |FROM lo JOIN supplier ON s_suppkey = late_supp
+        |WHERE n_supp > 1 AND n_late = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 10
+        |""".stripMargin),
+
+    // TPC-H Q22 shape (dormant accounts): above-average-balance
+    // customers with no recent orders, rolled up per nation. Scalar
+    // subquery (the positive-balance mean, evaluated once) + a
+    // conditional NOT EXISTS that decorrelates to a left-anti join
+    // against the date-pruned orders scan — keys only cross the
+    // exchange. TPC-H keys this on phone prefixes; nation carries the
+    // same rollup with this schema.
+    sqlBoth("q_sql_dormant_accounts", Seq("customer", "nation", "orders"))(
+      """SELECT n_name, count(*) AS numcust,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,10))), 4) AS DOUBLE) AS totacctbal
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |WHERE c_acctbal > (SELECT (CAST(sum(CAST(c2.c_acctbal AS DECIMAL(38,10))) AS DOUBLE)) / count(*)
+        |                   FROM customer c2 WHERE c2.c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY n_name
+        |""".stripMargin)
   )
 }

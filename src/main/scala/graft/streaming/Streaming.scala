@@ -776,6 +776,73 @@ object Streaming {
   def streamCardinality(s: SparkSession, d: String): DataFrame =
     streamCardinalityCounted(s, d)._1
 
+  /** Streaming frequency monitor (the q_stream_countmin body): a
+    * count-min sketch over per-user event counts maintained across
+    * micro-batches — the ingest-time twin of q_agg_countmin, and the
+    * remaining classic sketch without a streaming twin (KMV has
+    * q_stream_cardinality, histograms q_stream_drift). Each batch
+    * pre-aggregates its user counts (map-side combine), hashes them
+    * into the fixed depth-4 x width-1024 cell grid, and cell-wise ADDS
+    * into the running sketch: state is at most 4096 longs, forever.
+    * Cell addition commutes and associates, so the final cells — and
+    * every estimate — are batching-invariant (pinned 1-vs-3 batches in
+    * StreamingRobustnessSpec), which is exactly what the oracle replays
+    * over the whole topic as one batch. The report joins the sketch's
+    * min-over-rows estimate against the exact counts for the 20
+    * heaviest users; est >= cnt always (collisions only inflate).
+    *
+    * Scale shape: at 100 TB each batch shuffles its DISTINCT user
+    * counts (not event instances) into a constant-size aggregate; the
+    * monitor never holds the key universe, and merging sketches from
+    * any number of ingest sites is the same cell-wise sum. */
+  private[graft] def streamCountminCounted(s: SparkSession, d: String,
+      batches: Int = 3): (DataFrame, Int) = withStatePartitions(s, 4) {
+    import graft.Exact.h60
+    import graft.operators.Sketches.{CmD, CmW}
+    import s.implicits._
+    val topic = FileBusFixture.ensureCardinalityTopic(s, d)
+    val total = FileBus.endOffsets(topic).values.sum
+    val cap = math.max(1L, total / batches + 1L)
+    var cells: DataFrame = Seq.empty[(Int, Long, Long)].toDF("j", "b", "c")
+    var applied = 0
+    val q = s.readStream.format(classOf[FileBusProvider].getName)
+      .option("path", topic)
+      .option("maxRecordsPerTrigger", cap.toString)
+      .load()
+      .select(split(col("value"), ",").getItem(1).cast("long").as("user_id"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bc = batch.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+          .select(col("cnt"),
+            explode(sequence(lit(0), lit(CmD - 1))).as("j"), col("user_id"))
+          .select(col("j"),
+            (h60(concat(lit("cm"), col("j"), lit(":"), col("user_id"))) % CmW)
+              .as("b"),
+            col("cnt"))
+          .groupBy("j", "b").agg(sum("cnt").as("c"))
+        cells = cells.unionByName(bc)
+          .groupBy("j", "b").agg(sum("c").as("c"))
+          .localCheckpoint()
+        applied += 1
+      }
+      .start()
+    drain(q)
+    val cnts = graft.sources.Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val top = cnts.orderBy(col("cnt").desc, col("user_id").asc).limit(20)
+    val out = top.select(col("user_id"), col("cnt"),
+        explode(sequence(lit(0), lit(CmD - 1))).as("j"))
+      .withColumn("b",
+        h60(concat(lit("cm"), col("j"), lit(":"), col("user_id"))) % CmW)
+      .join(cells, Seq("j", "b"))
+      .groupBy("user_id", "cnt").agg(min("c").as("est"))
+      .select("user_id", "cnt", "est")
+    (out, applied)
+  }
+
+  def streamCountmin(s: SparkSession, d: String): DataFrame =
+    streamCountminCounted(s, d)._1
+
   /** Ingest-time near-dup filter: arriving documents are MinHash-LSH
     * checked against a STATIC corpus index and dropped on any band
     * collision — the standard architecture for keeping near-copies of an
@@ -1199,6 +1266,34 @@ object Streaming {
          |       ELSE ${graft.operators.Sketches.KmvNum} // max(CASE WHEN rn = ${graft.operators.Sketches.KmvK} THEN h END) END AS est
          |FROM sk GROUP BY event_type
          |""".stripMargin) { (s, d) => streamCardinality(s, d) },
+
+    // Streaming frequency monitor: a count-min sketch over per-user
+    // event counts folded cell-wise across micro-batches (constant
+    // 4x1024 state). Cell addition is commutative/associative, so the
+    // sketch is batching-invariant and the oracle replays the identical
+    // construction (same h60 cells, same min-over-rows read) over the
+    // topic log as one batch; est >= cnt one-sided error by
+    // construction. Batching-invariance is pinned in
+    // StreamingRobustnessSpec.
+    QueryDef(
+      "q_stream_countmin",
+      s"""WITH ev AS (
+         |  SELECT user_id
+         |  FROM read_csv('/tmp/graft_bus_card_sf0.01/p*.log',
+         |    columns={'event_type': 'VARCHAR', 'user_id': 'BIGINT'},
+         |    header=false, auto_detect=false)),
+         |cnts AS (SELECT user_id, count(*)::BIGINT AS cnt FROM ev GROUP BY user_id),
+         |cells AS (
+         |  SELECT j, ('0x' || substr(md5('cm' || j::VARCHAR || ':' || user_id::VARCHAR), 1, 15))::BIGINT % ${graft.operators.Sketches.CmW} AS b,
+         |    sum(cnt)::BIGINT AS c
+         |  FROM cnts, UNNEST([0, 1, 2, 3]) u(j) GROUP BY 1, 2),
+         |top AS (SELECT user_id, cnt FROM cnts ORDER BY cnt DESC, user_id LIMIT 20)
+         |SELECT t.user_id, t.cnt, min(cl.c) AS est
+         |FROM top t, UNNEST([0, 1, 2, 3]) u(j)
+         |JOIN cells cl ON cl.j = u.j
+         |  AND cl.b = ('0x' || substr(md5('cm' || u.j::VARCHAR || ':' || t.user_id::VARCHAR), 1, 15))::BIGINT % ${graft.operators.Sketches.CmW}
+         |GROUP BY t.user_id, t.cnt
+         |""".stripMargin) { (s, d) => streamCountmin(s, d) },
 
     // Streaming tokenizer application: the BPE vocab is trained ONCE on
     // the static corpus (Graft.bpeTrain), then every arriving micro-batch

@@ -111,7 +111,17 @@ object Plans {
     "q_layout_zonemap" ->
       "zone-map skipping: chunk zones from one map-side-combined aggregate over z-key range buckets; the planner-side decision reads zones only (chunks, not rows) — 2 of 32 chunks survive the 2-D predicate at sf0.01",
     "q_graph_degrees" ->
-      "degree distribution: edges aggregate to per-target counts BEFORE the node join (map-side combine), isolated nodes via left join — the histogram never shuffles edge-sized data twice"
+      "degree distribution: edges aggregate to per-target counts BEFORE the node join (map-side combine), isolated nodes via left join — the histogram never shuffles edge-sized data twice",
+    "q_sql_disjunctive_pushdown" ->
+      "TPC-H Q19 shape: Catalyst factors the OR of three conjunct groups into per-table implications pushed to BOTH scans (p_brand IN (...) + p_size/l_quantity ranges in PushedFilters), leaving only the cross-table residual on the join",
+    "q_sql_market_share" ->
+      "TPC-H Q8 shape: the deepest join tree in the registry — part/supplier/both nations/region ALL broadcast, lineitem->orders is the only shuffle join, and the share ratio folds into ONE partial/final aggregate pass",
+    "q_sql_waiting_orders" ->
+      "TPC-H Q21 shape, pre-decorrelated: the EXISTS/NOT-EXISTS pair is ONE per-order aggregate (distinct-supplier count, late count, null-skipping max) — lineitem shuffles once on l_orderkey instead of being rescanned per correlated branch",
+    "q_sql_customer_distribution" ->
+      "TPC-H Q13 shape: the priority filter stays in the LEFT join's ON clause (pushed to the orders scan, join stays outer); the second aggregate runs over |customers| short rows from the first",
+    "q_graph_kcore" ->
+      "k-core peel round: two left-semi joins of the checkpointed undirected edge list against the node-sized alive set + one map-side-combined degree aggregate — the final round's plan reads only checkpointed RDDs, and per-round work shrinks with the live edge set"
   )
 
   def main(args: Array[String]): Unit = {

@@ -253,6 +253,49 @@ class GraftPropertySpec extends SparkSpec {
     })
   }
 
+  /** reference: driver-side synchronous k-core peel (bounded or, with
+    * rounds >= n, the exact fixpoint — a converged round is a no-op, so
+    * early termination is equivalent). */
+  private def refKcore(n: Int, es: List[(Long, Long)], k: Int,
+      rounds: Int): Map[Long, Long] = {
+    val und = es.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.distinct
+    def degs(s: Set[Long]): Map[Long, Long] =
+      und.filter { case (a, b) => s(a) && s(b) }
+        .flatMap { case (a, b) => List(a, b) }
+        .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    var alive = (0 until n).map(_.toLong).toSet
+    (1 to rounds).foreach { _ =>
+      val d = degs(alive)
+      alive = alive.filter(v => d.getOrElse(v, 0L) >= k)
+    }
+    val fd = degs(alive)
+    alive.map(v => v -> fd.getOrElse(v, 0L)).toMap
+  }
+
+  test("property: kcorePeel == driver-side synchronous peel on random graphs") {
+    check(forAll(wEdgeGen) { case (n, es) =>
+      val nodes = (0 until n).map(_.toLong).toDF("v")
+      val raw = es.map { case (a, b, _) => (a, b) }
+      val got = Graft.kcorePeel(nodes, raw.toDF("a", "b"), k = 2, rounds = 2)
+        .as[(Long, Long)].collect().toMap
+      got == refKcore(n, raw, k = 2, rounds = 2)
+    })
+  }
+
+  test("property: kcore == the peel fixpoint, and every survivor keeps >= k neighbors") {
+    check(forAll(wEdgeGen) { case (n, es) =>
+      val nodes = (0 until n).map(_.toLong).toDF("v")
+      val raw = es.map { case (a, b, _) => (a, b) }
+      val got = Graft.kcore(nodes, raw.toDF("a", "b"), k = 2)
+        .as[(Long, Long)].collect().toMap
+      // n rounds of the reference reach the fixpoint: each non-converged
+      // round drops at least one node
+      got == refKcore(n, raw, k = 2, rounds = n) &&
+        got.values.forall(_ >= 2L)
+    })
+  }
+
   test("property: bfs == sssp under unit weights") {
     check(forAll(wEdgeGen) { case (n, es) =>
       val nodes = (0 until n).map(v => (v.toLong, v == 0)).toDF("v", "seed")

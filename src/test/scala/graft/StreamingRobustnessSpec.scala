@@ -152,6 +152,24 @@ class StreamingRobustnessSpec extends SparkSpec {
     }
   }
 
+  test("streamCountmin: cells fold additively, so estimates are batching-invariant") {
+    // cell-wise addition commutes and associates: one mega-batch and
+    // three batches must land on the identical sketch, and est >= cnt
+    // for every reported user (collisions only ever inflate)
+    val (est3, applied) = Streaming.streamCountminCounted(spark, sf, batches = 3)
+    assert(applied >= 2, s"expected a multi-batch fold, got $applied batch(es)")
+    val r3 = est3.collect()
+    // top-20 report, capped by the fixture's distinct-user count
+    assert(r3.nonEmpty && r3.length <= 20)
+    r3.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("cnt"),
+        s"count-min under-counted user ${r.getAs[Long]("user_id")}")
+    }
+    val (est1, _) = Streaming.streamCountminCounted(spark, sf, batches = 1)
+    assert(est1.exceptAll(est3).isEmpty && est3.exceptAll(est1).isEmpty,
+      "count-min monitor must be batching-invariant")
+  }
+
   test("streamQuality accumulates row-local violations across MULTIPLE batches") {
     // additive constraints: the accumulated totals must equal one batch
     // pass over the whole feed, whatever the admission schedule
