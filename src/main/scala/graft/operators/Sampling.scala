@@ -152,6 +152,204 @@ object Sampling {
         sum(when(kept, col("n_match")).otherwise(0L)).as("n_rows_matched"))
     },
 
+    // Bloom-filter data skipping — the EQUALITY rung of the skip ladder
+    // (zonemaps prune ranges, partition dirs prune categories; a point
+    // lookup on a high-cardinality scattered key defeats both, which is
+    // why Parquet column blooms and Iceberg puffin files exist). Rows
+    // chunk by ingestion order (l_orderkey div 64 ~ the row-group
+    // boundary); each chunk summarizes its DISTINCT partkeys into a
+    // 16x63-bit bloom (k=3 h60 hashes — 1008 positions for a ~250-key
+    // chunk budget; at 100 TB the words-per-chunk constant scales with
+    // the row-group's distinct budget, the shape doesn't change). A
+    // probe key scans only chunks whose bloom holds ALL THREE of its
+    // bits: candidates ~3-4x fewer than the table, and never a false
+    // negative (n_true_chunks/n_hits count inside candidates only — a
+    // missed true chunk would break the hash against the oracle's
+    // bit-for-bit replay). Build = one distinct + one map-side-combined
+    // bit_or aggregate; probe = 12 broadcast rows against the
+    // chunk-sized bloom table — the planner reads blooms, never rows.
+    QueryDef(
+      "q_layout_bloomskip",
+      """WITH ch AS (
+        |  SELECT l_orderkey // 64 AS chunk, l_partkey FROM lineitem),
+        |keys AS (SELECT DISTINCT chunk, l_partkey FROM ch),
+        |pos AS (
+        |  SELECT chunk,
+        |    ('0x' || substr(md5('bl' || i::VARCHAR || ':' || l_partkey::VARCHAR), 1, 15))::BIGINT % 1008 AS p
+        |  FROM keys, UNNEST([0, 1, 2]) u(i)),
+        |bloom AS (
+        |  SELECT chunk, p // 63 AS word, bit_or(1::BIGINT << (p % 63)::INTEGER) AS bits
+        |  FROM pos GROUP BY 1, 2),
+        |nrows AS (SELECT chunk, count(*)::BIGINT AS n_rows FROM ch GROUP BY chunk),
+        |probe AS (SELECT unnest([7, 501, 1203, 1999]) AS pk),
+        |ppos AS (
+        |  SELECT pk, i,
+        |    ('0x' || substr(md5('bl' || i::VARCHAR || ':' || pk::VARCHAR), 1, 15))::BIGINT % 1008 AS p
+        |  FROM probe, UNNEST([0, 1, 2]) u(i)),
+        |cand AS (
+        |  SELECT pk, chunk FROM (
+        |    SELECT pp.pk, b.chunk, count(*) AS hits3
+        |    FROM ppos pp JOIN bloom b ON b.word = pp.p // 63
+        |    WHERE (b.bits >> (pp.p % 63)::INTEGER) & 1 = 1
+        |    GROUP BY pp.pk, b.chunk) x WHERE hits3 = 3),
+        |truth AS (
+        |  SELECT pk, chunk, count(*)::BIGINT AS n_hits
+        |  FROM probe JOIN ch ON ch.l_partkey = pk GROUP BY pk, chunk)
+        |SELECT c.pk AS probe_key,
+        |  (SELECT count(*) FROM nrows)::BIGINT AS n_chunks,
+        |  count(*)::BIGINT AS n_cand_chunks,
+        |  count(t.chunk)::BIGINT AS n_true_chunks,
+        |  sum(nr.n_rows)::BIGINT AS n_rows_scanned,
+        |  coalesce(sum(t.n_hits), 0)::BIGINT AS n_hits
+        |FROM cand c
+        |JOIN nrows nr ON nr.chunk = c.chunk
+        |LEFT JOIN truth t ON t.pk = c.pk AND t.chunk = c.chunk
+        |GROUP BY c.pk
+        |""".stripMargin) { (s, d) =>
+      val ch = lineitem(s, d)
+        .select(expr("l_orderkey div 64").as("chunk"), col("l_partkey"))
+      val pos = ch.distinct()
+        .select(col("chunk"), explode(sequence(lit(0), lit(2))).as("i"),
+          col("l_partkey"))
+        .select(col("chunk"),
+          (h60(concat(lit("bl"), col("i"), lit(":"), col("l_partkey"))) % 1008)
+            .as("p"))
+      val bloom = pos
+        .select(col("chunk"), expr("p div 63").as("word"),
+          expr("shiftleft(1L, cast(p % 63 as int))").as("m"))
+        .groupBy("chunk", "word").agg(expr("bit_or(m)").as("bits"))
+      val nrows = ch.groupBy("chunk").agg(count(lit(1)).as("n_rows"))
+      val nchunks = nrows.agg(count(lit(1)).as("n_chunks"))
+      val probe = s.range(1)
+        .select(explode(array(lit(7L), lit(501L), lit(1203L), lit(1999L)))
+          .as("pk"))
+      val ppos = probe
+        .select(col("pk"), explode(sequence(lit(0), lit(2))).as("i"))
+        .select(col("pk"),
+          (h60(concat(lit("bl"), col("i"), lit(":"), col("pk"))) % 1008)
+            .as("p"))
+      val cand = broadcast(ppos)
+        .join(bloom, expr("word = p div 63") &&
+          expr("((bits >> cast(p % 63 as int)) & 1) = 1"))
+        .groupBy("pk", "chunk").agg(count(lit(1)).as("hits3"))
+        .filter(col("hits3") === 3)
+        .select("pk", "chunk")
+      val truth = broadcast(probe).join(ch, col("l_partkey") === col("pk"))
+        .groupBy("pk", "chunk").agg(count(lit(1)).as("n_hits"))
+      cand.join(nrows, "chunk")
+        .join(truth, Seq("pk", "chunk"), "left")
+        .groupBy("pk")
+        .agg(count(lit(1)).as("n_cand_chunks"),
+          count(col("n_hits")).as("n_true_chunks"),
+          sum(col("n_rows")).as("n_rows_scanned"),
+          sum(coalesce(col("n_hits"), lit(0L))).as("n_hits"))
+        .crossJoin(broadcast(nchunks))
+        .select(col("pk").as("probe_key"), col("n_chunks"),
+          col("n_cand_chunks"), col("n_true_chunks"),
+          col("n_rows_scanned"), col("n_hits"))
+    },
+
+    // Storage-encoding advisor — the decision a columnar writer (Parquet
+    // dict/RLE_DICTIONARY, ORC RLE) makes per column, surfaced as a
+    // query: profile each column's cardinality and run structure in the
+    // table's natural order and size PLAIN vs DICT vs RLE-on-dict-codes
+    // with explicit integer cost models (64-bit cells, code width =
+    // ceil(log2(n_distinct)) via length(bin(n-1)), 32-bit run lengths).
+    // Five columns ride ONE unpivoted pass: runs come from a single lag
+    // window partitioned by (column, chunk) — never an unpartitioned
+    // window; chunk seams start a fresh run, exactly as row groups do,
+    // and the oracle states the same seam rule. The fixture shows both
+    // outcomes: scattered columns (partkey/quantity/flags) pick dict,
+    // the clustered l_orderkey picks RLE. At 100 TB this is the
+    // files-statistics pass a layout optimizer runs before rewriting a
+    // table — per-column state in the exchange is (column, chunk)
+    // run-start bits, already partially aggregated map-side.
+    QueryDef(
+      "q_layout_encoding_advisor",
+      """WITH base AS (
+        |  SELECT l_orderkey // 64 AS chunk, l_orderkey AS o1, l_linenumber AS o2,
+        |    l_returnflag::VARCHAR AS v_returnflag, l_linestatus::VARCHAR AS v_linestatus,
+        |    l_quantity::VARCHAR AS v_quantity, l_partkey::VARCHAR AS v_partkey,
+        |    l_orderkey::VARCHAR AS v_orderkey
+        |  FROM lineitem),
+        |long AS (
+        |  SELECT chunk, o1, o2, 'l_returnflag' AS col_name, v_returnflag AS val FROM base
+        |  UNION ALL SELECT chunk, o1, o2, 'l_linestatus', v_linestatus FROM base
+        |  UNION ALL SELECT chunk, o1, o2, 'l_quantity', v_quantity FROM base
+        |  UNION ALL SELECT chunk, o1, o2, 'l_partkey', v_partkey FROM base
+        |  UNION ALL SELECT chunk, o1, o2, 'l_orderkey', v_orderkey FROM base),
+        |runs AS (
+        |  SELECT col_name, val,
+        |    CASE WHEN lag(val) OVER (PARTITION BY col_name, chunk ORDER BY o1, o2, val)
+        |              IS DISTINCT FROM val
+        |         THEN 1 ELSE 0 END AS run_start
+        |  FROM long),
+        |agg AS (
+        |  SELECT col_name, count(*)::BIGINT AS n_rows,
+        |    count(DISTINCT val)::BIGINT AS n_distinct,
+        |    sum(run_start)::BIGINT AS n_runs
+        |  FROM runs GROUP BY col_name),
+        |sized AS (
+        |  SELECT col_name, n_rows, n_distinct, n_runs,
+        |    greatest(1, length(bin(n_distinct - 1)))::BIGINT AS code_bits,
+        |    (n_rows * 64)::BIGINT AS est_plain_bits
+        |  FROM agg),
+        |est AS (
+        |  SELECT col_name, n_rows, n_distinct, n_runs, est_plain_bits,
+        |    (n_distinct * 64 + n_rows * code_bits)::BIGINT AS est_dict_bits,
+        |    (n_distinct * 64 + n_runs * (code_bits + 32))::BIGINT AS est_rle_bits
+        |  FROM sized)
+        |SELECT col_name, n_rows, n_distinct, n_runs, est_plain_bits, est_dict_bits, est_rle_bits,
+        |  CASE WHEN est_rle_bits <= est_dict_bits AND est_rle_bits <= est_plain_bits THEN 'rle_dict'
+        |       WHEN est_dict_bits <= est_plain_bits THEN 'dict'
+        |       ELSE 'plain' END AS recommended
+        |FROM est
+        |""".stripMargin) { (s, d) =>
+      val base = lineitem(s, d).select(
+        expr("l_orderkey div 64").as("chunk"),
+        col("l_orderkey").as("o1"), col("l_linenumber").as("o2"),
+        col("l_returnflag").cast("string").as("v_returnflag"),
+        col("l_linestatus").cast("string").as("v_linestatus"),
+        col("l_quantity").cast("string").as("v_quantity"),
+        col("l_partkey").cast("string").as("v_partkey"),
+        col("l_orderkey").cast("string").as("v_orderkey"))
+        .localCheckpoint() // five unpivot legs read one materialization
+      val long = Seq("l_returnflag", "l_linestatus", "l_quantity",
+          "l_partkey", "l_orderkey")
+        .map(c => base.select(col("chunk"), col("o1"), col("o2"),
+          lit(c).as("col_name"), col("v_" + c.stripPrefix("l_")).as("val")))
+        .reduce(_.unionAll(_))
+      // (o1, o2) is NOT unique in the fixture; appending val makes the
+      // order unique UP TO interchangeable equal values, which is exactly
+      // the invariance run counting needs (the registry's tie-break rule)
+      val w = Window.partitionBy("col_name", "chunk").orderBy("o1", "o2", "val")
+      val runs = long.select(col("col_name"), col("val"),
+        when(not(lag(col("val"), 1).over(w) <=> col("val")), 1L)
+          .otherwise(0L).as("run_start"))
+      val agg = runs.groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("val")).as("n_distinct"),
+          sum("run_start").as("n_runs"))
+      val sized = agg.select(col("col_name"), col("n_rows"),
+        col("n_distinct"), col("n_runs"),
+        greatest(lit(1), length(bin(col("n_distinct") - 1))).cast("long")
+          .as("code_bits"),
+        (col("n_rows") * 64).as("est_plain_bits"))
+      val est = sized.select(col("col_name"), col("n_rows"),
+        col("n_distinct"), col("n_runs"), col("est_plain_bits"),
+        (col("n_distinct") * 64 + col("n_rows") * col("code_bits"))
+          .as("est_dict_bits"),
+        (col("n_distinct") * 64 + col("n_runs") * (col("code_bits") + 32))
+          .as("est_rle_bits"))
+      est.select(col("col_name"), col("n_rows"), col("n_distinct"),
+        col("n_runs"), col("est_plain_bits"), col("est_dict_bits"),
+        col("est_rle_bits"),
+        when(col("est_rle_bits") <= col("est_dict_bits") &&
+            col("est_rle_bits") <= col("est_plain_bits"), "rle_dict")
+          .when(col("est_dict_bits") <= col("est_plain_bits"), "dict")
+          .otherwise("plain").as("recommended"))
+    },
+
     // Hive-style partitioned layout + partition-pruned read: orders
     // written partitionBy(o_orderstatus), read back with a status filter
     // — the scan's PartitionFilters skip 2 of 3 directory trees BEFORE

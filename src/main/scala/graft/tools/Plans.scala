@@ -121,7 +121,11 @@ object Plans {
     "q_sql_customer_distribution" ->
       "TPC-H Q13 shape: the priority filter stays in the LEFT join's ON clause (pushed to the orders scan, join stays outer); the second aggregate runs over |customers| short rows from the first",
     "q_graph_kcore" ->
-      "k-core peel round: two left-semi joins of the checkpointed undirected edge list against the node-sized alive set + one map-side-combined degree aggregate — the final round's plan reads only checkpointed RDDs, and per-round work shrinks with the live edge set"
+      "k-core peel round: two left-semi joins of the checkpointed undirected edge list against the node-sized alive set + one map-side-combined degree aggregate — the final round's plan reads only checkpointed RDDs, and per-round work shrinks with the live edge set",
+    "q_layout_bloomskip" ->
+      "bloom skipping: the 12-row probe-position table broadcasts (BroadcastHashJoin) against the chunk-sized bloom table — the planner-side decision reads blooms, never rows; bloom build is one distinct + one map-side-combined bit_or aggregate",
+    "q_layout_encoding_advisor" ->
+      "encoding advisor: five columns ride ONE checkpointed unpivot; runs come from a single lag window partitioned by (column, chunk) — no unpartitioned window, per-column stats partially aggregate map-side"
   )
 
   def main(args: Array[String]): Unit = {

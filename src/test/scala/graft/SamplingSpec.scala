@@ -23,6 +23,55 @@ class SamplingSpec extends SparkSpec {
       s"zone-kept matches ${r.getAs[Long]("n_rows_matched")} != truth $truth")
   }
 
+  test("bloom skipping never misses a true chunk and actually prunes") {
+    val probes = Seq(7L, 501L, 1203L, 1999L)
+    val rows = q("q_layout_bloomskip").collect()
+      .map(r => r.getAs[Long]("probe_key") -> r).toMap
+    assert(rows.nonEmpty)
+    // truth computed independently: the chunks really containing each key
+    // (at the small test sf some probe keys don't occur at all)
+    val truthChunks = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_partkey").isin(probes: _*))
+      .select(col("l_partkey"), expr("l_orderkey div 64").as("chunk"))
+      .distinct().groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getAs[Long]("l_partkey") -> r.getAs[Long]("c")).toMap
+    probes.foreach { pk =>
+      rows.get(pk) match {
+        case Some(r) =>
+          // no false negatives: every chunk that truly holds the key is a
+          // candidate, so the true-chunk count inside candidates equals
+          // the independent truth (a bloom can't clear a bit it set)
+          assert(r.getAs[Long]("n_true_chunks") == truthChunks.getOrElse(pk, 0L),
+            s"bloom missed a true chunk for $pk")
+          // and it prunes: candidates are a strict subset of all chunks
+          assert(r.getAs[Long]("n_cand_chunks") < r.getAs[Long]("n_chunks"),
+            s"bloom pruned nothing for $pk")
+        case None =>
+          // a key with no candidate chunks anywhere must truly be absent
+          assert(!truthChunks.contains(pk),
+            s"bloom dropped present key $pk entirely")
+      }
+    }
+  }
+
+  test("encoding advisor: totals reconcile and the clustered column picks RLE") {
+    val rows = q("q_layout_encoding_advisor").collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows.size == 5)
+    val n = graft.sources.Tables.lineitem(spark, sf).count()
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == n)
+      // runs are bounded by rows and can't undercut the distinct count
+      // spread across chunks; plain is the ceiling by construction
+      assert(r.getAs[Long]("n_runs") <= n)
+      assert(r.getAs[Long]("est_dict_bits") > 0L)
+    }
+    // the column clustered by the natural order compresses as RLE; the
+    // scattered high-cardinality column stays dict
+    assert(rows("l_orderkey").getAs[String]("recommended") == "rle_dict")
+    assert(rows("l_partkey").getAs[String]("recommended") == "dict")
+  }
+
   test("in-degree distribution accounts for every node and every edge") {
     val rows = q("q_graph_degrees").collect()
     val n = graft.sources.Tables.documents(spark, sf).count()
