@@ -42,7 +42,57 @@ object Quality {
       maxNum.as("max_num"),
       avgLen.as("avg_len"))
 
+  /** The FD candidates q_quality_fd checks, as (name, lhs, rhs) over the
+    * denormalized lineitem x orders x customer view. Declared before
+    * `defs` (oracle strings build at object init). */
+  private val FdCands: Seq[(String, String, String)] = Seq(
+    ("l_orderkey->o_custkey", "l_orderkey", "o_custkey"),
+    ("o_custkey->c_nationkey", "o_custkey", "c_nationkey"),
+    ("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"),
+    ("l_partkey->l_suppkey", "l_partkey", "l_suppkey"),
+    ("c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"))
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Functional-dependency discovery — the data-profiling primitive
+    // under schema normalization and key detection (the TANE/Metanome
+    // check, one candidate at a time): A -> B holds iff no A value maps
+    // to two B values. Five candidates over the denormalized
+    // lineitem x orders x customer view, two genuine FDs (key -> its
+    // row's attribute through the join) and three violations. Each
+    // check is a keys-only two-stage aggregate — per-A distinct-B
+    // count, then one row of (lhs count, violating-lhs count) — so a
+    // candidate costs one (A, B)-pair distinct shuffle and nothing
+    // row-sized; at 100 TB that is exactly the profile pass a schema
+    // advisor runs per candidate edge. Integer counts, bit-exact
+    // oracle.
+    QueryDef(
+      "q_quality_fd",
+      FdCands.map { case (nm, a, b) =>
+        s"""SELECT '$nm' AS fd, n_lhs, n_violating_lhs,
+           |  n_violating_lhs = 0 AS holds FROM (
+           |  SELECT count(*)::BIGINT AS n_lhs,
+           |    sum(CASE WHEN ndb > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating_lhs
+           |  FROM (SELECT $a, count(DISTINCT $b) AS ndb
+           |        FROM lineitem
+           |        JOIN orders ON o_orderkey = l_orderkey
+           |        JOIN customer ON c_custkey = o_custkey
+           |        GROUP BY $a) g) s""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\n")) { (s, d) =>
+      val view = lineitem(s, d)
+        .join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(customer(s, d), col("c_custkey") === col("o_custkey"))
+        .select("l_orderkey", "o_custkey", "c_nationkey", "o_orderpriority",
+          "l_partkey", "l_suppkey", "c_mktsegment")
+        .localCheckpoint() // five candidate checks read one materialization
+      FdCands.map { case (nm, a, b) =>
+        view.groupBy(a).agg(count_distinct(col(b)).as("ndb"))
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(when(col("ndb") > 1, 1L).otherwise(0L)).as("n_violating_lhs"))
+          .select(lit(nm).as("fd"), col("n_lhs"), col("n_violating_lhs"),
+            (col("n_violating_lhs") === 0L).as("holds"))
+      }.reduce(_.unionAll(_))
+    },
 
     // ---- per-column profiling ---------------------------------------
     // The "describe the table" primitive: one aggregate pass computes

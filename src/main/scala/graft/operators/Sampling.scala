@@ -255,40 +255,32 @@ object Sampling {
     // table's natural order and size PLAIN vs DICT vs RLE-on-dict-codes
     // with explicit integer cost models (64-bit cells, code width =
     // ceil(log2(n_distinct)) via length(bin(n-1)), 32-bit run lengths).
-    // Five columns ride ONE unpivoted pass: runs come from a single lag
-    // window partitioned by (column, chunk) — never an unpartitioned
-    // window; chunk seams start a fresh run, exactly as row groups do,
-    // and the oracle states the same seam rule. The fixture shows both
-    // outcomes: scattered columns (partkey/quantity/flags) pick dict,
+    // One NATIVE-TYPED leg per column (a stringified unpivot was the
+    // first cut — 3M cast rows through one giant window, measured ~3x
+    // slower): each leg is a lag window partitioned by chunk — never an
+    // unpartitioned window — plus one partial-agg pass; chunk seams
+    // start a fresh run, exactly as row groups do, and the oracle
+    // states the same seam rule and the same (o1, o2, value) tie-break
+    // per leg (the fixture's (orderkey, linenumber) is not unique).
+    // The fixture shows both outcomes: scattered columns pick dict,
     // the clustered l_orderkey picks RLE. At 100 TB this is the
     // files-statistics pass a layout optimizer runs before rewriting a
-    // table — per-column state in the exchange is (column, chunk)
-    // run-start bits, already partially aggregated map-side.
+    // table — runs partially aggregate map-side per chunk.
     QueryDef(
       "q_layout_encoding_advisor",
-      """WITH base AS (
-        |  SELECT l_orderkey // 64 AS chunk, l_orderkey AS o1, l_linenumber AS o2,
-        |    l_returnflag::VARCHAR AS v_returnflag, l_linestatus::VARCHAR AS v_linestatus,
-        |    l_quantity::VARCHAR AS v_quantity, l_partkey::VARCHAR AS v_partkey,
-        |    l_orderkey::VARCHAR AS v_orderkey
-        |  FROM lineitem),
-        |long AS (
-        |  SELECT chunk, o1, o2, 'l_returnflag' AS col_name, v_returnflag AS val FROM base
-        |  UNION ALL SELECT chunk, o1, o2, 'l_linestatus', v_linestatus FROM base
-        |  UNION ALL SELECT chunk, o1, o2, 'l_quantity', v_quantity FROM base
-        |  UNION ALL SELECT chunk, o1, o2, 'l_partkey', v_partkey FROM base
-        |  UNION ALL SELECT chunk, o1, o2, 'l_orderkey', v_orderkey FROM base),
-        |runs AS (
-        |  SELECT col_name, val,
-        |    CASE WHEN lag(val) OVER (PARTITION BY col_name, chunk ORDER BY o1, o2, val)
-        |              IS DISTINCT FROM val
-        |         THEN 1 ELSE 0 END AS run_start
-        |  FROM long),
-        |agg AS (
-        |  SELECT col_name, count(*)::BIGINT AS n_rows,
-        |    count(DISTINCT val)::BIGINT AS n_distinct,
-        |    sum(run_start)::BIGINT AS n_runs
-        |  FROM runs GROUP BY col_name),
+      """WITH agg AS (""" + "\n" +
+        Seq("l_returnflag", "l_linestatus", "l_quantity", "l_partkey",
+          "l_orderkey").map { c =>
+          s"""  SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+             |    count(DISTINCT $c)::BIGINT AS n_distinct,
+             |    sum(run_start)::BIGINT AS n_runs
+             |  FROM (
+             |    SELECT CASE WHEN lag($c) OVER (PARTITION BY l_orderkey // 64
+             |                  ORDER BY l_orderkey, l_linenumber, $c)
+             |                IS DISTINCT FROM $c THEN 1 ELSE 0 END AS run_start, $c
+             |    FROM lineitem) r""".stripMargin
+        }.mkString("\nUNION ALL\n") +
+      """),
         |sized AS (
         |  SELECT col_name, n_rows, n_distinct, n_runs,
         |    greatest(1, length(bin(n_distinct - 1)))::BIGINT AS code_bits,
@@ -305,31 +297,27 @@ object Sampling {
         |       ELSE 'plain' END AS recommended
         |FROM est
         |""".stripMargin) { (s, d) =>
-      val base = lineitem(s, d).select(
-        expr("l_orderkey div 64").as("chunk"),
-        col("l_orderkey").as("o1"), col("l_linenumber").as("o2"),
-        col("l_returnflag").cast("string").as("v_returnflag"),
-        col("l_linestatus").cast("string").as("v_linestatus"),
-        col("l_quantity").cast("string").as("v_quantity"),
-        col("l_partkey").cast("string").as("v_partkey"),
-        col("l_orderkey").cast("string").as("v_orderkey"))
-        .localCheckpoint() // five unpivot legs read one materialization
-      val long = Seq("l_returnflag", "l_linestatus", "l_quantity",
+      val li = lineitem(s, d)
+      // one native-typed leg per column: the column's own lag window
+      // partitioned by chunk with the (o1, o2, value) tie-break —
+      // equal-value tie orders are interchangeable for run counting,
+      // which is the invariance the registry's tie-break rule needs
+      val agg = Seq("l_returnflag", "l_linestatus", "l_quantity",
           "l_partkey", "l_orderkey")
-        .map(c => base.select(col("chunk"), col("o1"), col("o2"),
-          lit(c).as("col_name"), col("v_" + c.stripPrefix("l_")).as("val")))
+        .map { c =>
+          val w = Window.partitionBy(expr("l_orderkey div 64"))
+            .orderBy(col("l_orderkey"), col("l_linenumber"), col(c))
+          li.select(col("l_orderkey"), col("l_linenumber"), col(c))
+            .select(col(c),
+              when(not(lag(col(c), 1).over(w) <=> col(c)), 1L)
+                .otherwise(0L).as("run_start"))
+            .agg(count(lit(1)).as("n_rows"),
+              count_distinct(col(c)).as("n_distinct"),
+              sum("run_start").as("n_runs"))
+            .select(lit(c).as("col_name"), col("n_rows"),
+              col("n_distinct"), col("n_runs"))
+        }
         .reduce(_.unionAll(_))
-      // (o1, o2) is NOT unique in the fixture; appending val makes the
-      // order unique UP TO interchangeable equal values, which is exactly
-      // the invariance run counting needs (the registry's tie-break rule)
-      val w = Window.partitionBy("col_name", "chunk").orderBy("o1", "o2", "val")
-      val runs = long.select(col("col_name"), col("val"),
-        when(not(lag(col("val"), 1).over(w) <=> col("val")), 1L)
-          .otherwise(0L).as("run_start"))
-      val agg = runs.groupBy("col_name")
-        .agg(count(lit(1)).as("n_rows"),
-          count_distinct(col("val")).as("n_distinct"),
-          sum("run_start").as("n_runs"))
       val sized = agg.select(col("col_name"), col("n_rows"),
         col("n_distinct"), col("n_runs"),
         greatest(lit(1), length(bin(col("n_distinct") - 1))).cast("long")
@@ -382,6 +370,74 @@ object Sampling {
         .agg(count(lit(1)).as("n_orders"),
           graft.Exact.decOut(sum(graft.Exact.dec(col("o_totalprice"))))
             .as("revenue"))
+    },
+
+    // CSV interchange round-trip: a lineitem projection exported to CSV
+    // (header, per-session scratch dir) and read back under an EXPLICIT
+    // schema — never inference, which at 100 TB means a second full
+    // pass and type drift — then aggregated. The oracle computes the
+    // same aggregate from the parquet source, so any row lost, value
+    // mangled (timestamp format, double round-trip), or type weakened
+    // by the export/import breaks the hash. Doubles survive because
+    // both writers emit round-trip-exact representations; the revenue
+    // sum still goes through exact decimal per the repo rule.
+    QueryDef(
+      "q_source_csv_roundtrip",
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue,
+        |  CAST(max(l_shipdate) AS VARCHAR) AS max_shipdate
+        |FROM lineitem WHERE l_quantity >= 25
+        |GROUP BY l_returnflag
+        |""".stripMargin) { (s, d) =>
+      val dir = "/tmp/graft_csv_lineitem_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      lineitem(s, d)
+        .filter(col("l_quantity") >= 25)
+        .select("l_returnflag", "l_extendedprice", "l_discount", "l_shipdate")
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      s.read
+        .schema("l_returnflag STRING, l_extendedprice DOUBLE, " +
+          "l_discount DOUBLE, l_shipdate TIMESTAMP_NTZ")
+        .option("header", "true").csv(dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"),
+          graft.Exact.decOut(sum(graft.Exact.dec(
+            col("l_extendedprice") * (lit(1) - col("l_discount")))))
+            .as("revenue"),
+          max(col("l_shipdate")).cast("string").as("max_shipdate"))
+    },
+
+    // JSON-lines interchange round-trip: the same contract for the
+    // other ubiquitous export format (and the one LLM corpora actually
+    // ship as — jsonl). Explicit schema on read; the oracle aggregates
+    // the parquet source directly, so the JSON writer/parser pair must
+    // preserve every row and value bit-for-bit to hash-match.
+    QueryDef(
+      "q_source_json_roundtrip",
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue,
+        |  max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority
+        |""".stripMargin) { (s, d) =>
+      val dir = "/tmp/graft_json_orders_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      orders(s, d)
+        .filter(col("o_orderstatus") === "O")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").json(dir)
+      s.read
+        .schema("o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE")
+        .json(dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          graft.Exact.decOut(sum(graft.Exact.dec(col("o_totalprice"))))
+            .as("revenue"),
+          max("o_orderkey").as("max_key"))
     },
 
     // Context-length chunking: each doc's token stream cut into

@@ -38,7 +38,76 @@ object Sketches {
   private[graft] val Kmv60 = 1152921504606846976L // 2^60, the h60 hash space
   private[graft] val KmvNum = 7L * Kmv60 // (k-1) * 2^60
 
+  /** Join-cardinality sketch width: wider than the frequency sketch's
+    * CmW because the inner-product estimator's bias is |A|*|B|/width —
+    * the contract the spec asserts against. */
+  private[graft] val JcW = 4096
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Join-size estimation from count-min inner products — the
+    // optimizer-statistics primitive (AMS/count-min sketched join
+    // cardinality): |A JOIN B on k| is SUM_k cntA(k)*cntB(k), and the
+    // sketched estimate is min over hash rows j of SUM_b A(j,b)*B(j,b).
+    // One-sided (collisions only add mass: est >= truth always) with
+    // expected excess ~ |A|*|B|/width, emitted as bias_bound so the
+    // consumer sees the estimator's contract next to its answer; the
+    // spec asserts truth <= est <= truth + 3*bias. At scale both inputs
+    // reduce to their per-key count aggregates (map-side combined) and
+    // then to constant 4x4096 cell tables — the two tables never meet
+    // in a row-level join, which is the point: the planner prices the
+    // join without running it. Oracle replays cells and products
+    // bit-for-bit (integer arithmetic throughout).
+    QueryDef(
+      "q_agg_join_cardinality",
+      s"""WITH ca AS (SELECT user_id AS k, count(*)::BIGINT AS cnt FROM events GROUP BY 1),
+         |cb AS (SELECT o_custkey AS k, count(*)::BIGINT AS cnt FROM orders GROUP BY 1),
+         |cea AS (
+         |  SELECT j, ('0x' || substr(md5('jc' || j::VARCHAR || ':' || k::VARCHAR), 1, 15))::BIGINT % $JcW AS b,
+         |    sum(cnt)::BIGINT AS c
+         |  FROM ca, UNNEST([0, 1, 2, 3]) u(j) GROUP BY 1, 2),
+         |ceb AS (
+         |  SELECT j, ('0x' || substr(md5('jc' || j::VARCHAR || ':' || k::VARCHAR), 1, 15))::BIGINT % $JcW AS b,
+         |    sum(cnt)::BIGINT AS c
+         |  FROM cb, UNNEST([0, 1, 2, 3]) u(j) GROUP BY 1, 2),
+         |ests AS (
+         |  SELECT a.j, sum(a.c * b.c)::BIGINT AS e
+         |  FROM cea a JOIN ceb b ON a.j = b.j AND a.b = b.b GROUP BY a.j),
+         |truth AS (
+         |  SELECT coalesce(sum(ca.cnt * cb.cnt), 0)::BIGINT AS true_size
+         |  FROM ca JOIN cb ON ca.k = cb.k)
+         |SELECT (SELECT min(e) FROM ests) AS est_size, t.true_size,
+         |  ((SELECT sum(cnt) FROM ca) * (SELECT sum(cnt) FROM cb) // $JcW)::BIGINT AS bias_bound,
+         |  (SELECT count(*) FROM ca)::BIGINT AS n_keys_a,
+         |  (SELECT count(*) FROM cb)::BIGINT AS n_keys_b
+         |FROM truth t
+         |""".stripMargin) { (s, d) =>
+      val ca = events(s, d).groupBy(col("user_id").as("k"))
+        .agg(count(lit(1)).as("cnt"))
+      val cb = orders(s, d).groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("cnt"))
+      def cells(cnts: org.apache.spark.sql.DataFrame) = cnts
+        .select(col("cnt"), explode(sequence(lit(0), lit(3))).as("j"), col("k"))
+        .select(col("j"),
+          (h60(concat(lit("jc"), col("j"), lit(":"), col("k"))) % JcW).as("b"),
+          col("cnt"))
+        .groupBy("j", "b").agg(sum("cnt").as("c"))
+      val ests = cells(ca).withColumnRenamed("c", "ca")
+        .join(cells(cb).withColumnRenamed("c", "cb"), Seq("j", "b"))
+        .groupBy("j").agg(sum(col("ca") * col("cb")).as("e"))
+        .agg(min("e").as("est_size"))
+      val truth = ca.select(col("k"), col("cnt").as("na"))
+        .join(cb.select(col("k"), col("cnt").as("nb")), "k")
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("true_size"))
+      val bias = ca.agg(sum("cnt").as("sa"))
+        .crossJoin(cb.agg(sum("cnt").as("sb")))
+        .select(expr(s"(sa * sb) div $JcW").as("bias_bound"))
+      val nk = ca.agg(count(lit(1)).as("n_keys_a"))
+        .crossJoin(cb.agg(count(lit(1)).as("n_keys_b")))
+      broadcast(ests).crossJoin(broadcast(truth))
+        .crossJoin(broadcast(bias)).crossJoin(broadcast(nk))
+        .select("est_size", "true_size", "bias_bound", "n_keys_a", "n_keys_b")
+    },
 
     // Count-min sketch over the wordcount token stream: depth 4, width
     // 1024, cell(j, b) = total count of tokens hashing to b under row

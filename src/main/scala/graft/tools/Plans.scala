@@ -125,7 +125,11 @@ object Plans {
     "q_layout_bloomskip" ->
       "bloom skipping: the 12-row probe-position table broadcasts (BroadcastHashJoin) against the chunk-sized bloom table — the planner-side decision reads blooms, never rows; bloom build is one distinct + one map-side-combined bit_or aggregate",
     "q_layout_encoding_advisor" ->
-      "encoding advisor: five columns ride ONE checkpointed unpivot; runs come from a single lag window partitioned by (column, chunk) — no unpartitioned window, per-column stats partially aggregate map-side"
+      "encoding advisor: one native-typed leg per column, each a chunk-partitioned lag window + one aggregate — no unpartitioned window, no stringified union (the 3M-row unpivot formulation measured ~3x slower)",
+    "q_agg_join_cardinality" ->
+      "join-size estimation: both inputs reduce to per-key count aggregates then constant 4x4096 cell tables; the estimate is a cells-only equi-join — the two row-level tables never meet",
+    "q_quality_fd" ->
+      "FD discovery: each candidate is a keys-only two-stage aggregate (per-LHS distinct-RHS count, then one row) over the checkpointed denormalized view — nothing row-sized crosses a per-candidate exchange"
   )
 
   def main(args: Array[String]): Unit = {

@@ -33,6 +33,36 @@ class SketchesQualitySpec extends SparkSpec {
 
   // ---- KMV ----------------------------------------------------------
 
+  test("join-cardinality sketch: one-sided and inside the bias contract") {
+    val r = q("q_agg_join_cardinality").collect().head
+    val (est, truth, bias) = (r.getAs[Long]("est_size"),
+      r.getAs[Long]("true_size"), r.getAs[Long]("bias_bound"))
+    // collisions only ever ADD cross products: the estimate can never
+    // undercut the true join size
+    assert(est >= truth, s"join-size sketch undercut: est $est < truth $truth")
+    // expected excess is |A|*|B|/width per row; min over 4 independent
+    // rows sits well inside 3x that on this deterministic fixture
+    assert(est <= truth + 3 * bias,
+      s"est $est blew past truth $truth + 3*bias $bias")
+    assert(r.getAs[Long]("n_keys_a") > 0 && r.getAs[Long]("n_keys_b") > 0)
+  }
+
+  test("FD discovery: the join-key dependencies hold, the attribute ones fail") {
+    val rows = q("q_quality_fd").collect()
+      .map(r => r.getAs[String]("fd") ->
+        (r.getAs[Boolean]("holds"), r.getAs[Long]("n_violating_lhs"))).toMap
+    assert(rows.size == 5)
+    // genuine FDs: an order has one customer; a customer one nation
+    assert(rows("l_orderkey->o_custkey") == ((true, 0L)))
+    assert(rows("o_custkey->c_nationkey") == ((true, 0L)))
+    // violations: customers place orders at many priorities, parts ship
+    // from many suppliers, nations span segments
+    Seq("o_custkey->o_orderpriority", "l_partkey->l_suppkey",
+      "c_nationkey->c_mktsegment").foreach { fd =>
+      assert(!rows(fd)._1 && rows(fd)._2 > 0L, s"$fd unexpectedly held")
+    }
+  }
+
   test("KMV: groups below k report exactly, others within 3x") {
     val rows = q("q_agg_kmv").collect()
     assert(rows.nonEmpty)
