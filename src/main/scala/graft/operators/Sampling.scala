@@ -372,6 +372,62 @@ object Sampling {
             .as("revenue"))
     },
 
+    // Partition backfill under DYNAMIC partition overwrite — the
+    // idempotent-reprocessing primitive every batch pipeline needs
+    // (Airflow-style backfills, INSERT OVERWRITE PARTITION): the full
+    // aggregate lands partitioned by event_type, then ONE partition is
+    // recomputed under a corrected rule and rewritten with
+    // partitionOverwriteMode=dynamic — only the partitions present in
+    // the backfill frame are replaced, every other partition's files
+    // stay untouched. The read-back aggregate is oracled against the
+    // expected final state, so BOTH failure modes break the hash: a
+    // static overwrite (wipes the untouched partitions) and a
+    // non-overwrite append (double-counts the corrected one). At
+    // 100 TB this is the only sane repair shape: the rewrite cost is
+    // one partition, not the table.
+    QueryDef(
+      "q_pipeline_backfill",
+      """WITH base AS (
+        |  SELECT * FROM events WHERE event_type <> 'click' OR value >= 1.0),
+        |g AS (
+        |  SELECT event_type, user_id % 100 AS bucket, count(*)::BIGINT AS n_events,
+        |    sum(CAST(value AS DECIMAL(38,10))) AS sv
+        |  FROM base GROUP BY 1, 2)
+        |SELECT event_type, count(*)::BIGINT AS n_buckets,
+        |  sum(n_events)::BIGINT AS n_events,
+        |  CAST(round(sum(sv), 4) AS DOUBLE) AS total_value
+        |FROM g GROUP BY event_type
+        |""".stripMargin) { (s, d) =>
+      val dir = "/tmp/graft_backfill_events_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      def agg(src: org.apache.spark.sql.DataFrame) = src
+        .groupBy(col("event_type"), (col("user_id") % 100).as("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(graft.Exact.dec(col("value"))).as("sv"))
+      val ev = events(s, d)
+      // initial load: every partition
+      agg(ev).write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      // backfill: ONE partition recomputed under the corrected rule,
+      // dynamic overwrite so untouched partitions survive the rewrite
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "dynamic")
+      try
+        agg(ev.filter(col("event_type") === "click" && col("value") >= 1.0))
+          .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      s.read.parquet(dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum("n_events").as("n_events"),
+          graft.Exact.decOut(sum(col("sv"))).as("total_value"))
+    },
+
     // CSV interchange round-trip: a lineitem projection exported to CSV
     // (header, per-session scratch dir) and read back under an EXPLICIT
     // schema — never inference, which at 100 TB means a second full
@@ -941,7 +997,7 @@ object Sampling {
   )
 
   /** version-0 SCD2 history seed: every customer row open and current */
-  private def scd2Base(
+  private[graft] def scd2Base(
       cust: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     cust.withColumn("valid_from", lit(0L))
       .withColumn("valid_to", lit(null).cast("long"))
@@ -951,7 +1007,7 @@ object Sampling {
     * twin of [[upsertChanges]]): deletes (key % 17 = 3), resegmenting
     * updates (% 10 = 0), copied-row inserts under negative keys
     * (% 25 = 7) — one change row per key by construction. */
-  private def scd2Batch1(
+  private[graft] def scd2Batch1(
       cust: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val k = col("c_custkey")
     val del = cust.filter(k % 17 === 3).select(k.as("c_custkey"),

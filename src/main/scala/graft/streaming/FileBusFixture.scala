@@ -105,6 +105,16 @@ object FileBusFixture {
       "/tmp/graft_bus_card_" + Paths.get(sfDir).getFileName.toString,
       _ => concat_ws(",", col("event_type"), col("user_id")))
 
+  /** Deterministic VALUE topic: `event_id,user_id,value` framing — the
+    * feed for the point-in-time dimension-lookup monitor
+    * (q_stream_dimlookup), which derives its epoch from event_id and
+    * its join key from user_id. Doubles round-trip exactly through
+    * their string form (Java Double.toString / cast are inverses). */
+  def ensureValueTopic(s: SparkSession, sfDir: String): String =
+    ensureEventsTopic(s, sfDir,
+      "/tmp/graft_bus_val_" + Paths.get(sfDir).getFileName.toString,
+      _ => concat_ws(",", col("event_id"), col("user_id"), col("value")))
+
   private def ensureEventsTopic(s: SparkSession, sfDir: String, dir: String,
       line: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column,
       ascending: Boolean = true): String =

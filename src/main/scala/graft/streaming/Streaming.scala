@@ -843,6 +843,79 @@ object Streaming {
   def streamCountmin(s: SparkSession, d: String): DataFrame =
     streamCountminCounted(s, d)._1
 
+  /** Point-in-time dimension lookup at STREAM ingest (the
+    * q_stream_dimlookup body): every arriving event is enriched with
+    * the SCD2 dimension row valid AT ITS OWN EPOCH — the feature-store
+    * rule ("features as of example time") that prevents training-time
+    * leakage from later dimension versions. The history (customer base
+    * + one applied change batch, graft.api.Graft.scdApply) is built
+    * ONCE and broadcast; each micro-batch inner-joins it on the key
+    * with the validity-interval predicate (events on keys deleted at
+    * v1 enrich only in epoch 0 — the interval does the right thing),
+    * then folds per-(segment, epoch) counts and exact-decimal value
+    * sums into the running totals. Enrichment is stateless and the
+    * fold is additive, so the result is batching-invariant; the oracle
+    * states the identical history, key/epoch mapping, and aggregate
+    * over the whole events table as one batch.
+    *
+    * Scale shape: at 100 TB the dimension history is keys x versions
+    * (broadcastable or bucket-joinable); events never shuffle — each
+    * batch reduces map-side to |segments| x |epochs| rows before the
+    * totals fold. */
+  private[graft] def streamDimLookupCounted(s: SparkSession, d: String,
+      batches: Int = 3): (DataFrame, Int) = withStatePartitions(s, 4) {
+    import graft.Exact.{dec, decOut}
+    import s.implicits._
+    val cust = graft.sources.Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val hist = graft.api.Graft.scdApply(
+        graft.operators.Sampling.scd2Base(cust),
+        graft.operators.Sampling.scd2Batch1(cust),
+        "c_custkey", version = 1L)
+      .select("c_custkey", "c_mktsegment", "valid_from", "valid_to")
+      .localCheckpoint()
+    var acc: DataFrame = Seq.empty[(String, Long, Long)]
+      .toDF("c_mktsegment", "epoch", "n_events")
+      .withColumn("val_sum", lit(0).cast("decimal(38,10)"))
+      .filter(lit(false))
+    var applied = 0
+    val topic = FileBusFixture.ensureValueTopic(s, d)
+    val total = FileBus.endOffsets(topic).values.sum
+    val cap = math.max(1L, total / batches + 1L)
+    val q = s.readStream.format(classOf[FileBusProvider].getName)
+      .option("path", topic)
+      .option("maxRecordsPerTrigger", cap.toString)
+      .load()
+      .select(split(col("value"), ",").getItem(0).cast("long").as("event_id"),
+        split(col("value"), ",").getItem(1).cast("long").as("user_id"),
+        split(col("value"), ",").getItem(2).cast("double").as("v"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val enriched = batch
+          .select((col("event_id") % 2).as("epoch"),
+            (col("user_id") % 1500 + 1).as("ck"), col("v").as("value"))
+          .join(broadcast(hist),
+            col("c_custkey") === col("ck") &&
+              col("valid_from") <= col("epoch") &&
+              (col("valid_to").isNull || col("valid_to") > col("epoch")))
+          .groupBy("c_mktsegment", "epoch")
+          .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("val_sum"))
+        acc = acc.unionByName(enriched)
+          .groupBy("c_mktsegment", "epoch")
+          .agg(sum("n_events").as("n_events"),
+            sum("val_sum").cast("decimal(38,10)").as("val_sum"))
+          .localCheckpoint()
+        applied += 1
+      }
+      .start()
+    drain(q)
+    (acc.select(col("c_mktsegment"), col("epoch"), col("n_events"),
+      decOut(col("val_sum")).as("total_value")), applied)
+  }
+
+  def streamDimLookup(s: SparkSession, d: String): DataFrame =
+    streamDimLookupCounted(s, d)._1
+
   /** Ingest-time near-dup filter: arriving documents are MinHash-LSH
     * checked against a STATIC corpus index and dropped on any band
     * collision — the standard architecture for keeping near-copies of an
@@ -1294,6 +1367,42 @@ object Streaming {
          |  AND cl.b = ('0x' || substr(md5('cm' || u.j::VARCHAR || ':' || t.user_id::VARCHAR), 1, 15))::BIGINT % ${graft.operators.Sketches.CmW}
          |GROUP BY t.user_id, t.cnt
          |""".stripMargin) { (s, d) => streamCountmin(s, d) },
+
+    // Point-in-time dimension lookup at ingest: events enriched with
+    // the SCD2 dimension row valid at their own epoch (feature-store
+    // "as of example time" semantics — no leakage from later versions),
+    // then folded into per-(segment, epoch) totals. Stateless broadcast
+    // enrichment + additive fold = batching-invariant; the oracle
+    // restates the history build, the key/epoch mapping, and the
+    // interval join over the whole events table.
+    QueryDef(
+      "q_stream_dimlookup",
+      """WITH chg AS (
+        |  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+        |    CAST(NULL AS DOUBLE) AS c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment, 'D' AS op
+        |  FROM customer WHERE c_custkey % 17 = 3
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal + 100.0, 'RESEGMENTED', 'U'
+        |  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 3
+        |  UNION ALL
+        |  SELECT -c_custkey, c_name || ' (copy)', c_acctbal, c_mktsegment, 'I'
+        |  FROM customer WHERE c_custkey % 25 = 7),
+        |h1 AS (
+        |  SELECT b.c_custkey, b.c_mktsegment,
+        |    0::BIGINT AS valid_from,
+        |    CASE WHEN c.c_custkey IS NULL THEN CAST(NULL AS BIGINT) ELSE 1::BIGINT END AS valid_to
+        |  FROM customer b LEFT JOIN chg c ON c.c_custkey = b.c_custkey
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, 1::BIGINT, CAST(NULL AS BIGINT)
+        |  FROM chg WHERE op <> 'D'),
+        |ev AS (SELECT event_id % 2 AS epoch, user_id % 1500 + 1 AS ck, value FROM events)
+        |SELECT h.c_mktsegment, ev.epoch, count(*) AS n_events,
+        |  CAST(round(sum(CAST(ev.value AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_value
+        |FROM ev JOIN h1 h ON h.c_custkey = ev.ck
+        |  AND h.valid_from <= ev.epoch
+        |  AND (h.valid_to IS NULL OR h.valid_to > ev.epoch)
+        |GROUP BY h.c_mktsegment, ev.epoch
+        |""".stripMargin) { (s, d) => streamDimLookup(s, d) },
 
     // Streaming tokenizer application: the BPE vocab is trained ONCE on
     // the static corpus (Graft.bpeTrain), then every arriving micro-batch

@@ -170,6 +170,19 @@ class StreamingRobustnessSpec extends SparkSpec {
       "count-min monitor must be batching-invariant")
   }
 
+  test("streamDimLookup: stateless enrichment + additive fold is batching-invariant") {
+    val (est3, applied) = Streaming.streamDimLookupCounted(spark, sf, batches = 3)
+    assert(applied >= 2, s"expected a multi-batch fold, got $applied batch(es)")
+    val r3 = est3.collect()
+    assert(r3.nonEmpty)
+    // epoch-0 events on v1-deleted keys must still enrich from the base
+    // row; epoch-1 ones must not — both epochs appear in the output
+    assert(r3.map(_.getAs[Long]("epoch")).toSet == Set(0L, 1L))
+    val (est1, _) = Streaming.streamDimLookupCounted(spark, sf, batches = 1)
+    assert(est1.exceptAll(est3).isEmpty && est3.exceptAll(est1).isEmpty,
+      "dimension lookup monitor must be batching-invariant")
+  }
+
   test("streamQuality accumulates row-local violations across MULTIPLE batches") {
     // additive constraints: the accumulated totals must equal one batch
     // pass over the whole feed, whatever the admission schedule
