@@ -1149,4 +1149,64 @@ object Graft {
     alive.join(liveDegrees(und, alive), Seq("v"), "left")
       .select(col("v"), coalesce(col("deg"), lit(0L)).as("core_deg"))
   }
+
+  /** Functional-dependency candidate check (the TANE/Metanome profiling
+    * primitive): for each `(lhs, rhs)` candidate over `df`, whether
+    * lhs -> rhs holds — no lhs value maps to two distinct rhs values —
+    * plus the lhs cardinality and how many lhs values violate. Each
+    * candidate costs one keys-only two-stage aggregate (per-lhs
+    * distinct-rhs count, then one row); nothing row-sized crosses an
+    * exchange, so candidates price by their distinct-pair count, not
+    * the table. Checkpoint `df` first when checking many candidates
+    * over a computed view. */
+  def fdCheck(df: DataFrame, cands: Seq[(String, String)]): DataFrame =
+    cands.map { case (a, b) =>
+      df.groupBy(a).agg(count_distinct(col(b)).as("ndb"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("ndb") > 1, 1L).otherwise(0L)).as("n_violating_lhs"))
+        .select(lit(s"$a->$b").as("fd"), col("n_lhs"),
+          col("n_violating_lhs"), (col("n_violating_lhs") === 0L).as("holds"))
+    }.reduce(_.unionAll(_))
+
+  /** Per-chunk bloom index over `keyCol` (the Parquet-column-bloom /
+    * Iceberg-puffin shape): each chunk's DISTINCT keys hash into a
+    * `words` x 63-bit filter under `k` h60 hash functions, returning
+    * `(chunk, word, bits)` rows — at most `words` longs per chunk,
+    * built by one distinct + one map-side-combined bit_or aggregate.
+    * Size `words` to the chunk's distinct-key budget (~1.5 bits/key/
+    * hash keeps the false-positive rate useful). */
+  def bloomChunkIndex(df: DataFrame, chunkCol: Column, keyCol: Column,
+      words: Int = 16, k: Int = 3): DataFrame = {
+    val positions = words * 63
+    df.select(chunkCol.as("chunk"), keyCol.as("key")).distinct()
+      .select(col("chunk"), explode(sequence(lit(0), lit(k - 1))).as("i"),
+        col("key"))
+      .select(col("chunk"),
+        (h60(concat(lit("bl"), col("i"), lit(":"), col("key"))) % positions)
+          .as("p"))
+      .select(col("chunk"), expr("p div 63").as("word"),
+        expr("shiftleft(1L, cast(p % 63 as int))").as("m"))
+      .groupBy("chunk", "word").agg(expr("bit_or(m)").as("bits"))
+  }
+
+  /** Probe a [[bloomChunkIndex]]: the chunks that may contain each of
+    * `probes`' keys (column `pk`) — every true chunk is returned (a
+    * bloom cannot clear a bit it set), false positives are possible.
+    * The probe-position table is tiny (|probes| * k rows) and
+    * broadcasts against the chunk-sized index. */
+  def bloomCandidates(index: DataFrame, probes: DataFrame,
+      words: Int = 16, k: Int = 3): DataFrame = {
+    val positions = words * 63
+    val ppos = probes
+      .select(col("pk"), explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .select(col("pk"),
+        (h60(concat(lit("bl"), col("i"), lit(":"), col("pk"))) % positions)
+          .as("p"))
+    broadcast(ppos)
+      .join(index, expr("word = p div 63") &&
+        expr("((bits >> cast(p % 63 as int)) & 1) = 1"))
+      .groupBy("pk", "chunk").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === k)
+      .select("pk", "chunk")
+  }
 }

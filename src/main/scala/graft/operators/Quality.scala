@@ -85,13 +85,7 @@ object Quality {
         .select("l_orderkey", "o_custkey", "c_nationkey", "o_orderpriority",
           "l_partkey", "l_suppkey", "c_mktsegment")
         .localCheckpoint() // five candidate checks read one materialization
-      FdCands.map { case (nm, a, b) =>
-        view.groupBy(a).agg(count_distinct(col(b)).as("ndb"))
-          .agg(count(lit(1)).as("n_lhs"),
-            sum(when(col("ndb") > 1, 1L).otherwise(0L)).as("n_violating_lhs"))
-          .select(lit(nm).as("fd"), col("n_lhs"), col("n_violating_lhs"),
-            (col("n_violating_lhs") === 0L).as("holds"))
-      }.reduce(_.unionAll(_))
+      graft.api.Graft.fdCheck(view, FdCands.map { case (_, a, b) => (a, b) })
     },
 
     // ---- per-column profiling ---------------------------------------

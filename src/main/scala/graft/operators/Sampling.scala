@@ -208,32 +208,14 @@ object Sampling {
         |""".stripMargin) { (s, d) =>
       val ch = lineitem(s, d)
         .select(expr("l_orderkey div 64").as("chunk"), col("l_partkey"))
-      val pos = ch.distinct()
-        .select(col("chunk"), explode(sequence(lit(0), lit(2))).as("i"),
-          col("l_partkey"))
-        .select(col("chunk"),
-          (h60(concat(lit("bl"), col("i"), lit(":"), col("l_partkey"))) % 1008)
-            .as("p"))
-      val bloom = pos
-        .select(col("chunk"), expr("p div 63").as("word"),
-          expr("shiftleft(1L, cast(p % 63 as int))").as("m"))
-        .groupBy("chunk", "word").agg(expr("bit_or(m)").as("bits"))
+      val bloom = graft.api.Graft.bloomChunkIndex(
+        ch, col("chunk"), col("l_partkey"))
       val nrows = ch.groupBy("chunk").agg(count(lit(1)).as("n_rows"))
       val nchunks = nrows.agg(count(lit(1)).as("n_chunks"))
       val probe = s.range(1)
         .select(explode(array(lit(7L), lit(501L), lit(1203L), lit(1999L)))
           .as("pk"))
-      val ppos = probe
-        .select(col("pk"), explode(sequence(lit(0), lit(2))).as("i"))
-        .select(col("pk"),
-          (h60(concat(lit("bl"), col("i"), lit(":"), col("pk"))) % 1008)
-            .as("p"))
-      val cand = broadcast(ppos)
-        .join(bloom, expr("word = p div 63") &&
-          expr("((bits >> cast(p % 63 as int)) & 1) = 1"))
-        .groupBy("pk", "chunk").agg(count(lit(1)).as("hits3"))
-        .filter(col("hits3") === 3)
-        .select("pk", "chunk")
+      val cand = graft.api.Graft.bloomCandidates(bloom, probe)
       val truth = broadcast(probe).join(ch, col("l_partkey") === col("pk"))
         .groupBy("pk", "chunk").agg(count(lit(1)).as("n_hits"))
       cand.join(nrows, "chunk")

@@ -481,6 +481,48 @@ object SqlSurface {
         |ORDER BY numwait DESC, s_name LIMIT 10
         |""".stripMargin),
 
+    // TPC-H Q2 shape (min-cost supplier): for each part in a slice, the
+    // supplier offering it at the minimum unit cost. This schema has no
+    // partsupp; the OBSERVED supply relation (distinct (part, supplier)
+    // pairs in lineitem, unit cost = shipped value / shipped quantity)
+    // carries the same plan: a correlated min subquery over the shared
+    // ps CTE that Catalyst decorrelates to a per-part aggregate joined
+    // back — never a per-row rescan — with the part slice pruned at its
+    // scan before the join. The unit-cost double divides two rounded
+    // exact decimals, so the min-equality comparison is bit-identical
+    // in both engines.
+    sqlBoth("q_sql_min_cost_supplier", Seq("part", "supplier", "lineitem"))(
+      """WITH ps AS (
+        |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 4) AS DOUBLE)
+        |      / CAST(round(sum(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS unit_cost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT p_partkey, s_suppkey, s_name, ps.unit_cost
+        |FROM part
+        |JOIN ps ON ps.partkey = p_partkey
+        |JOIN supplier ON s_suppkey = ps.suppkey
+        |WHERE p_size = 11 AND p_type = 'SMALL'
+        |  AND ps.unit_cost = (SELECT min(ps2.unit_cost) FROM ps ps2 WHERE ps2.partkey = p_partkey)
+        |ORDER BY p_partkey, s_suppkey
+        |""".stripMargin),
+
+    // TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    // counts per (brand, type, size) over a sliced part set, with a
+    // NOT IN supplier exclusion. The exclusion list (negative-balance
+    // suppliers) decorrelates to a broadcast anti-join; the distinct
+    // count shuffles (attrs, suppkey) pairs once; the top-25 is
+    // TakeOrderedAndProject under the full tie-break.
+    sqlBoth("q_sql_parts_supplier_relationship",
+      Seq("lineitem", "part", "supplier"))(
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_size IN (1, 7, 14, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 25
+        |""".stripMargin),
+
     // TPC-H Q22 shape (dormant accounts): above-average-balance
     // customers with no recent orders, rolled up per nation. Scalar
     // subquery (the positive-balance mean, evaluated once) + a

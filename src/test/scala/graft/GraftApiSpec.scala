@@ -16,6 +16,36 @@ class GraftApiSpec extends SparkSpec {
     (14L, "spam spam spam spam spam ham", "c")
   ).toDF("id", "body", "cls")
 
+  test("fdCheck separates a held dependency from a violated one") {
+    val df = Seq(
+      (1L, "x", "p"), (1L, "x", "q"), // a=1 -> b=x (held); c varies
+      (2L, "y", "p"), (2L, "y", "p"),
+      (3L, "x", "r"), (3L, "z", "r")  // a=3 maps to two b values
+    ).toDF("a", "b", "c")
+    val rows = Graft.fdCheck(df, Seq(("a", "b"), ("a", "c"), ("b", "a")))
+      .collect().map(r => r.getAs[String]("fd") ->
+        (r.getAs[Boolean]("holds"), r.getAs[Long]("n_violating_lhs"))).toMap
+    assert(rows("a->b") == ((false, 1L))) // only a=3 violates
+    assert(rows("a->c") == ((false, 1L))) // a=1 maps to c=p and c=q
+    assert(rows("b->a") == ((false, 1L))) // b=x maps to a=1 and a=3
+    val held = Graft.fdCheck(df.filter(col("a") =!= 3L), Seq(("a", "b")))
+      .collect().head
+    assert(held.getAs[Boolean]("holds") && held.getAs[Long]("n_lhs") == 2L)
+  }
+
+  test("bloom index: candidates always cover the true chunks") {
+    val data = (0L until 400L).map(i => (i / 50L, i % 97L)).toDF("chunk", "key")
+    val idx = Graft.bloomChunkIndex(data, col("chunk"), col("key"))
+    val probes = Seq(3L, 96L, 500L).toDF("pk") // 500 occurs nowhere
+    val cand = Graft.bloomCandidates(idx, probes)
+      .collect().map(r => (r.getAs[Long]("pk"), r.getAs[Long]("chunk"))).toSet
+    val truth = data.as[(Long, Long)].collect()
+      .filter(t => Set(3L, 96L, 500L)(t._2)).map(t => (t._2, t._1)).toSet
+    assert(truth.subsetOf(cand), "bloom missed a true (key, chunk) pair")
+    // and the absent key yields candidates only by (rare) false positives
+    assert(truth.nonEmpty)
+  }
+
   test("exactDedup groups byte-identical docs under min id") {
     val rows = Graft.exactDedup(corpus, "id", "body").collect()
     assert(rows.length == 4)
