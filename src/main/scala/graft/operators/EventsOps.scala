@@ -21,6 +21,50 @@ object EventsOps {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Longest same-type streak per user — the engagement analytic
+    // (consecutive-action runs) and the window-function shape behind
+    // gaps-and-islands: change flags from ONE per-user lag window, run
+    // ids from the running sum over the same partitioning (the two
+    // windows share one exchange), runs collapsed by a partial-agg
+    // groupBy, and the per-user argmax by a rank window with the full
+    // (len DESC, runid ASC) tie-break — earliest longest streak wins,
+    // deterministically. Per-user state is the user's own stream;
+    // nothing global anywhere.
+    QueryDef(
+      "q_events_streaks",
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+        |              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_type,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY event_id) AS runid
+        |  FROM o),
+        |runs AS (SELECT user_id, runid, event_type, count(*)::BIGINT AS len
+        |         FROM r GROUP BY 1, 2, 3),
+        |best AS (SELECT user_id, event_type AS streak_type, len AS streak_len,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY len DESC, runid ASC) AS rn
+        |  FROM runs)
+        |SELECT user_id, streak_type, streak_len FROM best WHERE rn = 1
+        |""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val runs = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          when(lag(col("event_type"), 1).over(w) <=> col("event_type"), 0L)
+            .otherwise(1L).as("chg"))
+        .select(col("user_id"), col("event_type"),
+          sum("chg").over(wRun).as("runid"))
+        .groupBy("user_id", "runid", "event_type")
+        .agg(count(lit(1)).as("len"))
+      val rnk = row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("len").desc, col("runid").asc))
+      runs.withColumn("rn", rnk).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("streak_type"),
+          col("len").as("streak_len"))
+    },
+
     // Theta/interval self-join: pairs of events of the same user within
     // 5 minutes. The equi component (user_id) keys the shuffle; the range
     // predicate filters inside each key group — no cross product across keys.

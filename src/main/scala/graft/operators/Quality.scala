@@ -88,6 +88,66 @@ object Quality {
       graft.api.Graft.fdCheck(view, FdCands.map { case (_, a, b) => (a, b) })
     },
 
+    // Pairwise Pearson correlation matrix — the feature-profiling pass
+    // before model training (collinearity screening, leakage checks),
+    // in ONE algebraic aggregate: a single scan accumulates every sum /
+    // square / cross-product as exact decimal, and all 6 pairwise
+    // correlations derive from that one broadcast row. corr =
+    // decOut(n*Sxy - Sx*Sy) / (sqrt(decOut(n*Sxx - Sx^2)) *
+    // sqrt(decOut(n*Syy - Sy^2))) — the numerator/denominators are
+    // exact decimals rounded once to doubles, and sqrt is IEEE-exact,
+    // so both engines produce the identical double. Columns are the
+    // small-magnitude measures (quantity/discount/tax/linenumber): the
+    // decimal differences stay far below the 2^52-unscaled bound the
+    // decOut contract needs. At 100 TB this is one map-side-combined
+    // pass over the table; the matrix math costs nothing.
+    QueryDef(
+      "q_quality_corr", {
+        val names = Seq("quantity" -> "l_quantity", "discount" -> "l_discount",
+          "tax" -> "l_tax", "linenumber" -> "l_linenumber")
+        val sums = names.map { case (n, c) =>
+          s"sum(CAST($c AS DECIMAL(38,10))) AS s_$n" } ++
+          (for { i <- names.indices; j <- i until names.size } yield {
+            val (ni, ci) = names(i); val (nj, cj) = names(j)
+            s"sum(CAST($ci * $cj AS DECIMAL(38,10))) AS s_${ni}_$nj"
+          })
+        val pairs = for { i <- names.indices; j <- (i + 1) until names.size }
+          yield (names(i)._1, names(j)._1)
+        val sel = pairs.map { case (a, b) =>
+          s"""  SELECT '$a~$b' AS pair,
+             |    CAST(round(n * s_${a}_$b - s_$a * s_$b, 4) AS DOUBLE)
+             |      / (sqrt(CAST(round(n * s_${a}_$a - s_$a * s_$a, 4) AS DOUBLE))
+             |         * sqrt(CAST(round(n * s_${b}_$b - s_$b * s_$b, 4) AS DOUBLE))) AS corr
+             |  FROM s""".stripMargin
+        }
+        s"""WITH s AS (
+           |  SELECT count(*)::BIGINT AS n,
+           |    ${sums.mkString(",\n    ")}
+           |  FROM lineitem)
+           |${sel.mkString("\nUNION ALL\n")}
+           |""".stripMargin
+      }) { (s, d) =>
+      val names = Seq("quantity" -> "l_quantity", "discount" -> "l_discount",
+        "tax" -> "l_tax", "linenumber" -> "l_linenumber")
+      val aggs =
+        names.map { case (n, c) => sum(dec(col(c))).as(s"s_$n") } ++
+          (for { i <- names.indices; j <- i until names.size } yield {
+            val (ni, ci) = names(i); val (nj, cj) = names(j)
+            sum(dec(col(ci) * col(cj))).as(s"s_${ni}_$nj")
+          })
+      val s1 = lineitem(s, d)
+        .agg(count(lit(1)).as("n"), aggs: _*)
+      val pairs = for { i <- names.indices; j <- (i + 1) until names.size }
+        yield (names(i)._1, names(j)._1)
+      pairs.map { case (a, b) =>
+        broadcast(s1).select(lit(s"$a~$b").as("pair"),
+          (decOut(col("n") * col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+            (sqrt(decOut(col("n") * col(s"s_${a}_$a") - col(s"s_$a") * col(s"s_$a"))) *
+              sqrt(decOut(col("n") * col(s"s_${b}_$b") - col(s"s_$b") * col(s"s_$b"))))
+            ).as("corr"))
+      }.reduce(_.unionAll(_))
+    },
+
     // ---- per-column profiling ---------------------------------------
     // The "describe the table" primitive: one aggregate pass computes
     // every per-column metric; the single result row is exploded into
