@@ -478,6 +478,80 @@ object Sampling {
           max("o_orderkey").as("max_key"))
     },
 
+    // ORC interchange round-trip — the third warehouse format, same
+    // contract as the CSV/JSON pair: export, read back, aggregate
+    // against an oracle computed from the parquet source. ORC carries
+    // its own schema (unlike CSV) and its own encodings, so this is
+    // the no-inference path where only value fidelity is on trial.
+    QueryDef(
+      "q_source_orc_roundtrip",
+      """SELECT c_mktsegment, count(*) AS n_custs,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_bal,
+        |  max(c_custkey) AS max_key
+        |FROM customer WHERE c_acctbal > 0
+        |GROUP BY c_mktsegment
+        |""".stripMargin) { (s, d) =>
+      val dir = "/tmp/graft_orc_customer_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      customer(s, d)
+        .filter(col("c_acctbal") > 0)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_custs"),
+          graft.Exact.decOut(sum(graft.Exact.dec(col("c_acctbal"))))
+            .as("total_bal"),
+          max("c_custkey").as("max_key"))
+    },
+
+    // Schema evolution under mergeSchema — the lake-table reality that
+    // files written in different eras carry different columns: a v1
+    // batch lands without o_totalprice, a v2 batch lands with it, and
+    // the merged read must surface the union schema with NULLs for the
+    // v1 rows (count vs count(col) makes the distinction observable).
+    // The oracle states the same union semantics over the source, so a
+    // reader that dropped v1 rows, failed the merge, or zero-filled
+    // instead of null-filling breaks the hash. At 100 TB schema
+    // evolution is a metadata concern — the merged read prunes and
+    // pushes down exactly like a uniform one (footgun is requiring a
+    // full-footer scan: production tables pin the union schema in the
+    // catalog, which is what the explicit-schema read would model).
+    QueryDef(
+      "q_source_schema_evolution",
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderpriority, CAST(NULL AS DOUBLE) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |v2 AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 1),
+        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |SELECT o_orderpriority, count(*) AS n_rows,
+        |  count(o_totalprice) AS n_priced,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+        |FROM u GROUP BY o_orderpriority
+        |""".stripMargin) { (s, d) =>
+      val dir = "/tmp/graft_evo_orders_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      val ords = orders(s, d)
+      ords.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").parquet(dir + "/v=1")
+      ords.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").parquet(dir + "/v=2")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_totalprice")).as("n_priced"),
+          graft.Exact.decOut(sum(graft.Exact.dec(col("o_totalprice"))))
+            .as("revenue"))
+    },
+
     // Context-length chunking: each doc's token stream cut into
     // consecutive 64-token sequences (the pre-training sequence prep).
     QueryDef(
