@@ -523,6 +523,72 @@ object SqlSurface {
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 25
         |""".stripMargin),
 
+    // TPC-H Q6 shape (forecast revenue change): the no-join scan-dominated
+    // member of the suite — a one-year date bracket, a discount band, and
+    // a quantity cap, all three pushable to the lineitem scan, then one
+    // exact-decimal sum of the forgone-discount revenue. At 100 TB this
+    // query IS its scan: every predicate lands in PushedFilters and only
+    // three columns leave the reader. The discount literals parse to the
+    // identical IEEE doubles in both engines, so the band edges agree.
+    sqlBoth("q_sql_forecast_revenue", Seq("lineitem"))(
+      """SELECT
+        |  CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |""".stripMargin),
+
+    // TPC-H Q11 shape (important stock): parts whose supply value from
+    // one nation's suppliers clears a fraction of that nation's total.
+    // This schema has no partsupp; observed supply value = shipped
+    // extendedprice (the q_sql_min_cost_supplier convention). The probe
+    // is the GROUP BY ... HAVING-against-a-scalar-over-the-same-CTE
+    // shape: ps is referenced twice (per-part rows + the global
+    // threshold) and the nation filter arrives via its own scalar
+    // subquery. All comparison arithmetic stays in exact decimal
+    // (1000 * val > sum(val) — no double ever enters the predicate);
+    // doubles appear only in the rounded output projection.
+    sqlBoth("q_sql_important_stock", Seq("lineitem", "supplier", "nation"))(
+      """WITH ps AS (
+        |  SELECT l_partkey AS partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS val
+        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |  WHERE s_nationkey = (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+        |  GROUP BY l_partkey)
+        |SELECT partkey, CAST(round(val, 4) AS DOUBLE) AS supply_value
+        |FROM ps
+        |WHERE 1000 * val > (SELECT sum(val) FROM ps)
+        |ORDER BY supply_value DESC, partkey LIMIT 100
+        |""".stripMargin),
+
+    // TPC-H Q20 shape (potential part promotion): suppliers who dominate
+    // the flow of some sliced part — shipped more than half of its
+    // bracketed-year volume. TPC-H states this as supplier IN (partsupp
+    // with a correlated half-of-shipments threshold); here the observed
+    // (part, supplier) quantity relation q feeds a per-part total CTE and
+    // the dominance predicate is 2 * qty > tot in PURE decimal — the IN
+    // decorrelates to a left-semi join, supplier never duplicates, and
+    // the name-sliced part dim prunes before anything joins. qty stays
+    // decimal inside the CTEs (never summed as double), which is what
+    // makes the > comparison bit-identical across engines.
+    sqlBoth("q_sql_part_promotion", Seq("lineitem", "part", "supplier"))(
+      """WITH q AS (
+        |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |    sum(CAST(l_quantity AS DECIMAL(38,10))) AS qty
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE '%gear%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT partkey, sum(qty) AS tot FROM q GROUP BY partkey)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT suppkey FROM q JOIN pt ON pt.partkey = q.partkey
+        |  WHERE 2 * q.qty > pt.tot)
+        |ORDER BY s_suppkey
+        |""".stripMargin),
+
     // TPC-H Q22 shape (dormant accounts): above-average-balance
     // customers with no recent orders, rolled up per nation. Scalar
     // subquery (the positive-balance mean, evaluated once) + a
