@@ -1209,4 +1209,102 @@ object Graft {
       .filter(col("hits") === k)
       .select("pk", "chunk")
   }
+
+  /** 2-D skyline (Pareto frontier, both dimensions maximized): the rows
+    * no other row dominates, where q dominates p iff q >= p in both
+    * columns and q > p in at least one. Vector-equal duplicates all
+    * survive (neither dominates the other).
+    *
+    * Scale shape — NO pairwise comparison and NO global window:
+    *  1. grain reduction: per distinct `x`, the max `y` (one map-side-
+    *     combined shuffle on x) — a row can only be in the skyline if it
+    *     holds its x's maximum, and dominance between rows reduces to
+    *     dominance between (x, ymax) points;
+    *  2. the (x, ymax) table (bounded by distinct-x, e.g. days) range-
+    *     buckets on x, and "max y over all strictly-greater x" is the
+    *     two-level suffix max: a per-bucket exclusive running max under
+    *     a bucket-partitioned window PLUS the carry from higher buckets
+    *     (a `buckets`²-row self-theta-join on the per-bucket maxes —
+    *     constant-size, broadcast);
+    *  3. a day survives iff no strictly-later x reaches its ymax; the
+    *     survivors (a handful) broadcast-semi-join back to the input on
+    *     (x, y = ymax) to emit the original rows.
+    * Everything shuffles on x or on the constant bucket key; the input
+    * is scanned twice (grain agg + final semi-join) and never sorted
+    * globally. Timestamp `xCol`s bucket via their microsecond epoch;
+    * anything else must be castable to long. */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String,
+      buckets: Int = 64): DataFrame = {
+    val grain = df.groupBy(col(xCol).as("sx"))
+      .agg(max(col(yCol)).as("ymax"))
+      .localCheckpoint() // feeds bounds, bucket maxes, and the scan below
+    // order-preserving numeric image of x for range bucketing
+    val xnum = grain.schema("sx").dataType match {
+      case _: org.apache.spark.sql.types.TimestampType => unix_micros(col("sx"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("sx").cast("timestamp"))
+      case _ => col("sx").cast("long")
+    }
+    // range-bucket bounds: one tiny aggregate, broadcast by crossJoin
+    val bounds = grain.agg(min(xnum).as("xlo"), max(xnum).as("xhi"))
+    val bucketed = grain.crossJoin(broadcast(bounds))
+      .withColumn("xn", xnum)
+      .withColumn("b",
+        expr(s"cast(((xn - xlo) * $buckets) div (xhi - xlo + 1) as int)"))
+      .drop("xlo", "xhi", "xn")
+    // carry(b) = max ymax over buckets strictly above b (theta join on
+    // the buckets-sized per-bucket max table; left join keeps the top
+    // bucket with a null carry)
+    val bmax = bucketed.groupBy("b").agg(max("ymax").as("bymax"))
+    val carry = bmax.select(col("b").as("cb"))
+      .join(bmax.select(col("b").as("hb"), col("bymax")), col("hb") > col("cb"), "left")
+      .groupBy("cb").agg(max("bymax").as("carry"))
+    // within-bucket exclusive suffix max over x desc + the cross-bucket
+    // carry; survive iff nothing strictly later reaches ymax
+    val wSuffix = Window.partitionBy("b")
+      .orderBy(col("sx").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val survivors = bucketed
+      .join(broadcast(carry), col("b") === col("cb"), "left")
+      .withColumn("later", greatest(
+        max(col("ymax")).over(wSuffix), col("carry")))
+      .filter(col("later").isNull || col("later") < col("ymax"))
+      .select(col("sx"), col("ymax"))
+    df.join(broadcast(survivors),
+      col(xCol) === col("sx") && col(yCol) === col("ymax"), "leftsemi")
+  }
+
+  /** Edit-distance-1 similarity join (FastSS / symmetric-delete
+    * blocking): all pairs with Levenshtein distance <= 1, emitted as
+    * `(id_a, id_b, dist)` with id_a < id_b. Complete by construction:
+    * two strings at distance <= 1 always share a blocking key — equal
+    * strings share the string itself; a substitution at position i
+    * makes both sides' delete-at-i variants equal; an insertion's
+    * delete-at-the-inserted-position variant IS the shorter string,
+    * which carries itself as a key. Levenshtein re-verifies every
+    * candidate, so blocking false positives never reach the output.
+    *
+    * Scale shape: keys per string = length + 1 (bounded), candidates
+    * arise from ONE equi self-join on the key — never a cross join —
+    * and the verify step is a codegen'd levenshtein on the candidate
+    * set only. The classic typo-dedup primitive for a curation
+    * pipeline. */
+  def editNeighbors(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val keyed = df
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .select(col("id"), col("s"), explode(concat(
+        array(col("s")),
+        expr("transform(sequence(1, length(s)), i -> " +
+          "concat(substring(s, 1, i - 1), substring(s, i + 1, length(s) - i)))")))
+        .as("k"))
+      .localCheckpoint() // both sides of the self-join, one scan
+    keyed.select(col("k"), col("id").as("id_a"), col("s").as("s_a"))
+      .join(keyed.select(col("k"), col("id").as("id_b"), col("s").as("s_b")),
+        Seq("k"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "s_a", "s_b").distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
 }

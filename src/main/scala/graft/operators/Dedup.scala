@@ -253,6 +253,25 @@ object Dedup {
         |""".stripMargin) { (s, d) =>
       graft.api.Graft.simhashPairs(
         graft.api.Graft.simhashSketch(documents(s, d), "doc_id", "text"))
+    },
+
+    // Edit-distance-1 similarity join (FastSS / symmetric-delete
+    // blocking) — the typo-dedup primitive: every customer-name pair
+    // within one edit. Graft.editNeighbors generates candidates from ONE
+    // equi self-join on the deletion-variant key set (length+1 keys per
+    // string, complete for dist <= 1 by the pigeonhole on the edited
+    // position) and re-verifies with levenshtein, so blocking is an
+    // optimization, never a semantics change. The oracle is the full
+    // quadratic scan — brute force vs blocked agreeing on all ~19.5k
+    // pairs at sf0.01 is exactly the recall proof the blocking claims.
+    QueryDef(
+      "q_dedup_editdist",
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |""".stripMargin) { (s, d) =>
+      graft.api.Graft.editNeighbors(customer(s, d), "c_custkey", "c_name")
     }
   )
 }

@@ -430,6 +430,48 @@ object EventsOps {
       w.join(cohort, "user_id")
         .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("offset_weeks"))
         .agg(count(lit(1)).as("n_users"))
+    },
+
+    // Last-touch attribution: every purchase credited to the user's most
+    // recent click within a 7-day lookback — the marketing-attribution
+    // pipeline stage, composed from the as-of kernel. The as-of match is
+    // the unconstrained latest click (one union+window pass, no range
+    // blow-up); the lookback then NULLs out-of-window credits, which is
+    // equivalent to constraining the join (the latest click being stale
+    // implies every older one is too). Latency is exact integer
+    // microseconds (unix_micros both sides), and ties at the same ts
+    // credit the largest click id in BOTH engines.
+    QueryDef(
+      "q_events_attribution",
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts FROM events
+        |      WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.purchase_id, p.user_id, c.click_id,
+        |    epoch_us(p.ts) - epoch_us(c.ts) AS us_since,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY c.ts DESC, c.click_id DESC) AS rn
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+        |    AND c.ts >= p.ts - INTERVAL 7 DAY)
+        |SELECT purchase_id, user_id, click_id, us_since
+        |FROM j WHERE rn = 1
+        |""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("ts"), col("event_id").as("left_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("key"), col("ts"), col("event_id").as("right_id"))
+      AsOfJoin.asOf(purchases, clicks)
+        .join(clicks.select(col("right_id").as("asof_id"),
+          col("ts").as("click_ts")), Seq("asof_id"), "left")
+        .withColumn("in_window",
+          col("click_ts") >= col("ts") - expr("INTERVAL 7 DAY"))
+        .select(col("left_id").as("purchase_id"), col("key").as("user_id"),
+          when(col("in_window"), col("asof_id")).as("click_id"),
+          when(col("in_window"),
+            unix_micros(col("ts")) - unix_micros(col("click_ts")))
+            .as("us_since"))
     }
   )
 }

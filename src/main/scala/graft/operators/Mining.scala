@@ -159,6 +159,34 @@ object Mining {
       t.join(broadcast(tot), Seq("from_type"))
         .select(col("from_type"), col("to_type"), col("n"),
           (col("n").cast("double") / col("tot")).as("prob"))
+    },
+
+    // 2-D skyline (Pareto frontier): the orders no other order beats on
+    // BOTH recency and value — the multi-objective "best offers" shape.
+    // Graft.skyline2d avoids every pairwise comparison: grain-reduce to
+    // per-day maxima (a skyline row must hold its day's max), then "max
+    // over strictly-later days" via the two-level suffix max (bucket-
+    // partitioned window + a constant-size cross-bucket carry) — no
+    // global sort, no cartesian, input scanned twice. The oracle states
+    // dominance directly as NOT EXISTS over the day-max grain (the
+    // grain reduction is semantics-preserving: a dominated day-max is
+    // dominated by a later day-max) — agreement of the scan-based and
+    // the quantified formulations is the check.
+    QueryDef(
+      "q_mine_skyline",
+      """WITH dm AS (
+        |  SELECT o_orderdate AS dt, max(o_totalprice) AS mp
+        |  FROM orders GROUP BY 1),
+        |sky AS (
+        |  SELECT dt, mp FROM dm d1
+        |  WHERE NOT EXISTS (SELECT 1 FROM dm d2
+        |                    WHERE d2.dt > d1.dt AND d2.mp >= d1.mp))
+        |SELECT o_orderkey, o_orderdate, o_totalprice
+        |FROM orders JOIN sky ON o_orderdate = sky.dt AND o_totalprice = sky.mp
+        |""".stripMargin) { (s, d) =>
+      graft.api.Graft.skyline2d(
+        orders(s, d).select("o_orderkey", "o_orderdate", "o_totalprice"),
+        "o_orderdate", "o_totalprice")
     }
   )
 }

@@ -311,4 +311,51 @@ class GraftPropertySpec extends SparkSpec {
       viaBfs == viaSssp
     })
   }
+
+  test("property: skyline2d == brute-force dominance filter") {
+    val ptsGen: Gen[List[(Long, Long, Double)]] = for {
+      n <- Gen.choose(1, 60)
+      xs <- Gen.listOfN(n, Gen.choose(0L, 20L))
+      ys <- Gen.listOfN(n, Gen.choose(0, 9).map(_.toDouble))
+    } yield xs.zip(ys).zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    check(forAll(ptsGen) { pts =>
+      val df = pts.toDF("id", "x", "y")
+      val got = Graft.skyline2d(df, "x", "y", buckets = 4)
+        .as[(Long, Long, Double)].collect().toSet
+      val ref = pts.filter { case (_, x, y) =>
+        !pts.exists { case (_, qx, qy) =>
+          qx >= x && qy >= y && (qx > x || qy > y)
+        }
+      }.toSet
+      got == ref
+    })
+  }
+
+  test("property: editNeighbors == brute-force levenshtein<=1 pairs") {
+    // short strings over a 2-letter alphabet force dense near-neighbor
+    // structure (equal, substitution, insert/delete all arise)
+    val strGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(1, 25)
+      ss <- Gen.listOfN(n,
+        Gen.choose(1, 4).flatMap(l =>
+          Gen.listOfN(l, Gen.oneOf('a', 'b')).map(_.mkString)))
+    } yield ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    check(forAll(strGen) { ss =>
+      val got = Graft.editNeighbors(ss.toDF("id", "s"), "id", "s")
+        .as[(Long, Long, Long)].collect().toSet
+      val ref = (for {
+        (ia, sa) <- ss; (ib, sb) <- ss
+        if ia < ib && lev(sa, sb) <= 1
+      } yield (ia, ib, lev(sa, sb).toLong)).toSet
+      got == ref
+    })
+  }
 }
