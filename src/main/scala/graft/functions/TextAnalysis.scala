@@ -574,6 +574,55 @@ object TextAnalysis {
           vocab.select(col("w"), size(col("syms")).cast("long").as("n"))), "w")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"), sum("n").as("n_bpe_tokens"))
+    },
+
+    // Cross-source n-gram overlap matrix — the mixture diagnostic a
+    // pretraining pipeline runs before weighting sources: pairwise
+    // Jaccard over each source's DISTINCT token-trigram set. Candidate
+    // generation is the trigram equi self-join: per trigram the work is
+    // |sources containing it|² <= S², so the whole matrix costs
+    // O(distinct trigrams x S²) with S a handful — never a doc-level
+    // comparison. Set sizes broadcast back (S rows); Jaccard is one
+    // double division of exact longs.
+    QueryDef(
+      "q_text_source_overlap",
+      """WITH tok AS (
+        |  SELECT source, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS l
+        |  FROM documents),
+        |tg AS (
+        |  SELECT DISTINCT source,
+        |    unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        |            for i in range(1, len(l) - 1)]) AS tg
+        |  FROM tok WHERE len(l) >= 3),
+        |sz AS (SELECT source, count(*) AS n FROM tg GROUP BY 1),
+        |ov AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+        |  FROM tg a JOIN tg b ON a.tg = b.tg AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_inter,
+        |  sa.n + sb.n - n_inter AS n_union,
+        |  CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+        |FROM ov JOIN sz sa ON sa.source = src_a JOIN sz sb ON sb.source = src_b
+        |""".stripMargin) { (s, d) =>
+      val tg = documents(s, d)
+        .select(col("source"), tokens(col("text")).as("l"))
+        .filter(size(col("l")) >= 3)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(l) - 2), " +
+            "i -> concat_ws(' ', l[i-1], l[i], l[i+1]))")).as("tg"))
+        .distinct()
+        .localCheckpoint() // sizes + both join sides from one distinct pass
+      val sz = tg.groupBy("source").agg(count(lit(1)).as("n"))
+      tg.select(col("source").as("src_a"), col("tg"))
+        .join(tg.select(col("source").as("src_b"), col("tg")), Seq("tg"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+        .join(broadcast(sz.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+        .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_inter"),
+          (col("na") + col("nb") - col("n_inter")).as("n_union"),
+          (col("n_inter").cast("double") /
+            (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
     }
   )
 

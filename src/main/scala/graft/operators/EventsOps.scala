@@ -472,6 +472,37 @@ object EventsOps {
           when(col("in_window"),
             unix_micros(col("ts")) - unix_micros(col("click_ts")))
             .as("us_since"))
+    },
+
+    // Per-user EWMA (exponentially weighted moving average, α = 0.5) of
+    // event values — the order-dependent recursive analytic no window
+    // frame expresses: acc ← α·x + (1−α)·acc, seeded by the first value.
+    // Both engines run the IDENTICAL left fold (Spark `aggregate` with a
+    // null-seed CASE == DuckDB `list_reduce`, which seeds from the first
+    // element) over the IDENTICAL order (sort_array on (ts, event_id,
+    // value) structs == list(value ORDER BY ts, event_id)), and α = 0.5
+    // is exactly representable — so the output double is bit-identical
+    // with no decimal detour. Per-user state is the user's own history
+    // (the sessionize class): one shuffle on user_id, arrays bounded by
+    // per-key cardinality, nothing global.
+    QueryDef(
+      "q_events_ewma",
+      """SELECT user_id, count(*) AS n_events,
+        |  list_reduce(list(value ORDER BY ts, event_id),
+        |              (acc, x) -> 0.5 * acc + 0.5 * x) AS ewma_value
+        |FROM events GROUP BY user_id
+        |""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          expr("""aggregate(
+            transform(
+              array_sort(collect_list(struct(ts, event_id, value))),
+              e -> e.value),
+            cast(null as double),
+            (acc, x) -> CASE WHEN acc IS NULL THEN x
+                             ELSE 0.5 * acc + 0.5 * x END)""")
+            .as("ewma_value"))
     }
   )
 }

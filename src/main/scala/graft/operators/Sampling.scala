@@ -552,6 +552,49 @@ object Sampling {
             .as("revenue"))
     },
 
+    // Bad-record quarantine on JSON ingest — the PERMISSIVE-mode
+    // corrupt-record routing every production feed needs: a jsonl batch
+    // where a deterministic slice of lines (o_orderkey % 97 = 0) is
+    // malformed, read back under an explicit schema with
+    // _corrupt_record, good rows aggregated and broken rows COUNTED,
+    // never dropped — the quarantine contract is that nothing silently
+    // disappears (n_good + n_quarantined = the batch). The read
+    // materializes via localCheckpoint before touching the corrupt
+    // column (Spark disallows filters over the internal corrupt column
+    // on the streaming-in parse). The oracle derives both populations
+    // from the same % 97 predicate on the parquet source.
+    QueryDef(
+      "q_source_quarantine",
+      """SELECT
+        |  count(CASE WHEN o_orderkey % 97 <> 0 THEN 1 END) AS n_good,
+        |  count(CASE WHEN o_orderkey % 97 = 0 THEN 1 END) AS n_quarantined,
+        |  CAST(round(sum(CASE WHEN o_orderkey % 97 <> 0
+        |    THEN CAST(o_totalprice AS DECIMAL(38,10)) END), 4) AS DOUBLE) AS revenue
+        |FROM orders
+        |""".stripMargin) { (s, d) =>
+      val dir = "/tmp/graft_quar_orders_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      orders(s, d)
+        .select(when(col("o_orderkey") % 97 === 0,
+            concat(lit("{broken "), col("o_orderkey").cast("string")))
+          .otherwise(to_json(struct(col("o_orderkey"), col("o_totalprice"))))
+          .as("value"))
+        .write.mode("overwrite").text(dir)
+      s.read
+        .schema("o_orderkey BIGINT, o_totalprice DOUBLE, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir)
+        .localCheckpoint()
+        .agg(
+          count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+          count(when(col("_corrupt_record").isNotNull, 1)).as("n_quarantined"),
+          graft.Exact.decOut(sum(when(col("_corrupt_record").isNull,
+            graft.Exact.dec(col("o_totalprice"))))).as("revenue"))
+    },
+
     // Context-length chunking: each doc's token stream cut into
     // consecutive 64-token sequences (the pre-training sequence prep).
     QueryDef(
