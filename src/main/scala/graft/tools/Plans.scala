@@ -129,7 +129,21 @@ object Plans {
     "q_agg_join_cardinality" ->
       "join-size estimation: both inputs reduce to per-key count aggregates then constant 4x4096 cell tables; the estimate is a cells-only equi-join — the two row-level tables never meet",
     "q_quality_fd" ->
-      "FD discovery: each candidate is a keys-only two-stage aggregate (per-LHS distinct-RHS count, then one row) over the checkpointed denormalized view — nothing row-sized crosses a per-candidate exchange"
+      "FD discovery: each candidate is a keys-only two-stage aggregate (per-LHS distinct-RHS count, then one row) over the checkpointed denormalized view — nothing row-sized crosses a per-candidate exchange",
+    "q_sql_forecast_revenue" ->
+      "TPC-H Q6 shape: the scan-dominated member — date bracket, discount band, and quantity cap ALL land in PushedFilters and ReadSchema carries exactly three columns; at 100 TB this query IS its scan",
+    "q_sql_part_promotion" ->
+      "TPC-H Q20 shape: the nested IN decorrelates to a left-semi join chain; the name-sliced part dim prunes at its scan before anything joins, and the all-decimal dominance predicate (2*qty > tot) rides the per-part aggregate, never a per-row rescan",
+    "q_mine_skyline" ->
+      "2-D skyline with no pairwise comparison: per-day grain aggregate, bucket-partitioned suffix-max window, constant-size cross-bucket carry (broadcast), survivors broadcast-semi-joined back — no CartesianProduct, no unpartitioned window, input scanned twice",
+    "q_dedup_editdist" ->
+      "edit-distance-1 join: candidates from ONE equi self-join on the deletion-variant key of the checkpointed keyed relation (never a cross join); levenshtein verify runs on candidates only",
+    "q_events_attribution" ->
+      "last-touch attribution: the as-of kernel's single union+window exchange on user_id, then a keys-only left join fetches click timestamps — no range-join blow-up anywhere",
+    "q_text_source_overlap" ->
+      "source-overlap matrix: distinct (source, trigram) relation checkpointed once and equi-self-joined on the trigram key — per-trigram work bounded by sources², set sizes broadcast back",
+    "q_events_ewma" ->
+      "per-user EWMA: ONE shuffle on user_id into a single hash aggregate; the recursive fold runs in-row over the per-key sorted array — no window, no second exchange"
   )
 
   def main(args: Array[String]): Unit = {
