@@ -352,6 +352,29 @@ object Graft {
     history.filter(col("valid_from") <= version &&
       (col("valid_to").isNull || col("valid_to") > version))
 
+  /** Temporal join against [[scdApply]] history: each fact row enriched
+    * with the dimension version valid AT ITS OWN version stamp —
+    * `valid_from <= v < valid_to` (open intervals unbounded). History
+    * intervals per key are disjoint by construction, so at most one
+    * version matches; facts whose key had no valid version at `v`
+    * (not yet inserted, or deleted) survive with NULL payload — the
+    * warehouse convention that late or orphaned facts are visible, not
+    * dropped.
+    *
+    * Scale shape: ONE equi join on the natural key (the interval test
+    * rides the join as a residual predicate — per-key history is a few
+    * versions, so the residual prunes a handful of rows, never a range
+    * blow-up); history is dimension-sized and broadcasts when small. */
+  def temporalJoin(facts: DataFrame, factKey: String, versionCol: String,
+      history: DataFrame, histKey: String): DataFrame = {
+    val h = history.alias("h")
+    facts.alias("f").join(h,
+      col(s"h.$histKey") === col(s"f.$factKey") &&
+        col("h.valid_from") <= col(s"f.$versionCol") &&
+        (col("h.valid_to").isNull || col("h.valid_to") > col(s"f.$versionCol")),
+      "left")
+  }
+
   /** Decontamination: drop rows whose content digest appears in `eval`.
     * Fingerprints are anti-joined (broadcast when small); documents never
     * shuffle. */

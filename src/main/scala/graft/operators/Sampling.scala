@@ -1024,6 +1024,82 @@ object Sampling {
       graft.api.Graft.scdAsOf(history, 1L)
     },
 
+    // Temporal join over SCD2 history — the warehouse enrichment the
+    // lineage exists FOR: every order joined to the customer version
+    // valid at the order's own version stamp (o_orderkey % 3 spreads
+    // facts across the three history epochs). One equi join on the
+    // natural key with the interval test as a residual predicate (per-
+    // key history is a few disjoint versions — never a range blow-up);
+    // facts whose key had no valid version (pre-insert or deleted)
+    // surface with NULL segment rather than vanishing. Rolled up per
+    // (epoch, segment) so the hash pins both the version routing and
+    // the orphan handling. bench=false: breadth entry, same class as
+    // q_pipeline_scd2/scd2_asof.
+    QueryDef(
+      "q_pipeline_scd2_temporal",
+      """WITH chg AS (
+        |  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+        |    CAST(NULL AS DOUBLE) AS c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment, 'D' AS op
+        |  FROM customer WHERE c_custkey % 17 = 3
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal + 100.0, 'RESEGMENTED', 'U'
+        |  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 3
+        |  UNION ALL
+        |  SELECT -c_custkey, c_name || ' (copy)', c_acctbal, c_mktsegment, 'I'
+        |  FROM customer WHERE c_custkey % 25 = 7),
+        |h1 AS (
+        |  SELECT b.c_custkey, b.c_name, b.c_acctbal, b.c_mktsegment,
+        |    0::BIGINT AS valid_from,
+        |    CASE WHEN c.c_custkey IS NULL THEN CAST(NULL AS BIGINT) ELSE 1::BIGINT END AS valid_to,
+        |    c.c_custkey IS NULL AS is_current
+        |  FROM customer b LEFT JOIN chg c ON c.c_custkey = b.c_custkey
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |    1::BIGINT, CAST(NULL AS BIGINT), TRUE
+        |  FROM chg WHERE op <> 'D'),
+        |chg2 AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 107.5 AS c_acctbal,
+        |    'ROUND2' AS c_mktsegment, 'U' AS op
+        |  FROM customer WHERE c_custkey % 4 = 2),
+        |h2 AS (
+        |  SELECT h.c_custkey, h.c_name, h.c_acctbal, h.c_mktsegment, h.valid_from,
+        |    CASE WHEN h.is_current AND c2.c_custkey IS NOT NULL THEN 2::BIGINT
+        |         ELSE h.valid_to END AS valid_to,
+        |    h.is_current AND c2.c_custkey IS NULL AS is_current
+        |  FROM h1 h LEFT JOIN chg2 c2 ON h.c_custkey = c2.c_custkey
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |    2::BIGINT, CAST(NULL AS BIGINT), TRUE
+        |  FROM chg2),
+        |f AS (SELECT o_orderkey, o_custkey, o_orderkey % 3 AS as_of_v FROM orders),
+        |j AS (
+        |  SELECT f.as_of_v, h.c_mktsegment
+        |  FROM f LEFT JOIN h2 h ON h.c_custkey = f.o_custkey
+        |    AND h.valid_from <= f.as_of_v
+        |    AND (h.valid_to IS NULL OR h.valid_to > f.as_of_v))
+        |SELECT as_of_v, c_mktsegment, count(*) AS n_orders
+        |FROM j GROUP BY 1, 2
+        |""".stripMargin,
+      bench = false) { (s, d) =>
+      val cust = customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val b2 = cust.filter(col("c_custkey") % 4 === 2)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 107.5).as("c_acctbal"),
+          lit("ROUND2").as("c_mktsegment"), lit("U").as("op"))
+      val history = graft.api.Graft.scdApply(
+        graft.api.Graft.scdApply(scd2Base(cust), scd2Batch1(cust),
+          "c_custkey", version = 1L),
+        b2, "c_custkey", version = 2L)
+      val facts = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        (col("o_orderkey") % 3).as("as_of_v"))
+      graft.api.Graft.temporalJoin(facts, "o_custkey", "as_of_v",
+          history.select("c_custkey", "c_mktsegment", "valid_from", "valid_to"),
+          "c_custkey")
+        .groupBy("as_of_v", "c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"))
+    },
+
     // Anti-entropy table reconciliation (the Merkle/Cassandra repair
     // shape): two replicas of a table are compared by exchanging
     // PER-BUCKET digests — count + bit_xor of a row hash — and only the

@@ -267,6 +267,28 @@ class GraftApiSpec extends SparkSpec {
     rows.foreach(r => assert(r._5 == r._4.isEmpty, r.toString))
   }
 
+  test("temporalJoin routes each fact to the ONE version valid at its stamp; orphans keep NULL") {
+    val base0 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "nm", "bal")
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+    val chg1 = Seq((1L, "a2", 11.0, "U"), (2L, null.asInstanceOf[String], 0.0, "D"),
+      (9L, "i", 90.0, "I")).toDF("id", "nm", "bal", "op")
+    val history = Graft.scdApply(base0, chg1, "id", version = 1L)
+    // facts: key 1 at both epochs (routes to a then a2); key 2 after its
+    // delete (orphan); key 9 before its insert (orphan) and after (i)
+    val facts = Seq((100L, 1L, 0L), (101L, 1L, 1L), (102L, 2L, 1L),
+      (103L, 9L, 0L), (104L, 9L, 1L)).toDF("fid", "key", "v")
+    val got = Graft.temporalJoin(facts, "key", "v",
+        history.select("id", "nm", "valid_from", "valid_to"), "id")
+      .select("fid", "nm").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(100L -> Some("a"), 101L -> Some("a2"),
+      102L -> None, 103L -> None, 104L -> Some("i")), got.toString)
+    // disjoint intervals => exactly one output row per fact, orphans included
+    assert(got.size == 5)
+  }
+
   test("bfs computes exact hop distances on a known graph, bounded by maxDepth") {
     // chain 0->1->2->3->4 plus shortcut 0->3 and an unreachable node 9;
     // a back-edge 3->0 must not shorten anything (distances are final on
