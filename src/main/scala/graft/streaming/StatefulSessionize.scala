@@ -14,6 +14,15 @@ final case class SessState(startUs: Long, lastUs: Long, n: Long, idx: Long)
 final case class ClosedSession(user_id: Long, session_id: Long,
     n_events: Long, session_start_us: Long)
 
+/** keyed-feed row flowing into the streaming EWMA */
+final case class EwmaEv(user_id: Long, event_id: Long, value: Double)
+
+/** per-user EWMA accumulator carried across micro-batches */
+final case class EwmaState(acc: Double, n: Long)
+
+/** per-user running EWMA emitted each touched trigger */
+final case class EwmaOut(user_id: Long, n_events: Long, ewma_value: Double)
+
 /** Stateful Structured Streaming: sessionization with
   * `flatMapGroupsWithState`, the engine's custom-state surface
   * (SURVEY.md §2.2 — entirely absent from the batch-only reference).

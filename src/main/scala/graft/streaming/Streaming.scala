@@ -413,6 +413,69 @@ object Streaming {
   def streamUpsert(s: SparkSession, d: String): DataFrame =
     streamUpsertCounted(s, d)._1
 
+  /** Streaming EWMA (the q_stream_ewma body): the per-user recursive
+    * fold `acc ← α·x + (1−α)·acc` maintained across micro-batches with
+    * `mapGroupsWithState` in Update mode — the engine's numeric-state
+    * surface beside the sessionizer's session-state one. Order
+    * discipline: the keyed topic is per-user event_id-ascending (the
+    * fixture's Kafka-style contract), per-user `ts` is monotone in
+    * event_id, offsets preserve log order across triggers, and each
+    * batch's group slice re-sorts locally — so the streamed fold runs in
+    * the EXACT order of the batch analytic (q_events_ewma) and, α = 0.5
+    * being exactly representable, lands the bit-identical double. The
+    * memory sink accumulates one update row per touched group per
+    * trigger; the final read keeps each user's last state via
+    * (max n_events, max_by ewma). Multi-batch agreement with the batch
+    * fold is pinned in StreamingRobustnessSpec.
+    *
+    * Scale shape: state is TWO scalars per user; each trigger touches
+    * only arriving users' groups and shuffles batch-sized rows on the
+    * user key. */
+  private[graft] def streamEwmaCounted(s: SparkSession, d: String,
+      batches: Int = 1): (DataFrame, Int) = withStatePartitions(s, 4) {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val topic = FileBusFixture.ensureKeyedTopic(s, d)
+    val total = FileBus.endOffsets(topic).values.sum
+    val cap = math.max(1L, total / batches + 1L)
+    val name = "stream_ewma_" + java.util.UUID.randomUUID.toString.replace("-", "")
+
+    def step(uid: Long, evs: Iterator[EwmaEv],
+        state: GroupState[EwmaState]): EwmaOut = {
+      val sorted = evs.toVector.sortBy(_.event_id)
+      var st = state.getOption.getOrElse(EwmaState(0.0, 0L))
+      sorted.foreach { e =>
+        st = EwmaState(
+          if (st.n == 0L) e.value else 0.5 * st.acc + 0.5 * e.value,
+          st.n + 1L)
+      }
+      state.update(st)
+      EwmaOut(uid, st.n, st.acc)
+    }
+
+    val q = s.readStream.format(classOf[FileBusProvider].getName)
+      .option("path", topic)
+      .option("maxRecordsPerTrigger", cap.toString)
+      .load()
+      .select(split(col("value"), ",").getItem(0).cast("long").as("user_id"),
+        split(col("value"), ",").getItem(1).cast("long").as("event_id"),
+        split(col("value"), ",").getItem(2).cast("double").as("value"))
+      .as[EwmaEv]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
+      .writeStream.outputMode("update").format("memory").queryName(name)
+      .start()
+    drain(q)
+    val applied = q.recentProgress.count(_.numInputRows > 0)
+    (s.table(name).groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        max_by(col("ewma_value"), col("n_events")).as("ewma_value")),
+      applied)
+  }
+
+  def streamEwma(s: SparkSession, d: String): DataFrame =
+    streamEwmaCounted(s, d)._1
+
   /** Incremental view maintenance (the q_stream_ivm body): a per-cohort
     * aggregate view (`count` of live keys, decimal-exact `sum` of their
     * current v) maintained INCREMENTALLY from the keyed CDC feed —
@@ -1173,6 +1236,25 @@ object Streaming {
         |  GROUP BY user_id) t
         |WHERE event_id % 29 <> 0
         |""".stripMargin) { (s, d) => streamUpsert(s, d) },
+
+    // Streaming EWMA: the order-dependent per-user recursive fold
+    // maintained as two scalars of mapGroupsWithState state (Update
+    // mode — the numeric-state twin of the sessionizer's). The keyed
+    // feed is per-user event_id-ascending and per-user ts is monotone in
+    // event_id, so the streamed fold replays the batch analytic's exact
+    // order and the oracle (the identical list_reduce over the topic
+    // log) hash-matches on raw doubles. Multi-batch state carry is
+    // pinned in StreamingRobustnessSpec.
+    QueryDef(
+      "q_stream_ewma",
+      """SELECT user_id, count(*) AS n_events,
+        |  list_reduce(list(value ORDER BY event_id),
+        |              (acc, x) -> 0.5 * acc + 0.5 * x) AS ewma_value
+        |FROM read_csv('/tmp/graft_bus_keyed_sf0.01/p*.log',
+        |  columns={'user_id': 'BIGINT', 'event_id': 'BIGINT', 'value': 'DOUBLE'},
+        |  header=false, auto_detect=false)
+        |GROUP BY user_id
+        |""".stripMargin) { (s, d) => streamEwma(s, d) },
 
     // Ingest-time near-dup filter: stream docs dropped on any LSH band
     // collision with the static corpus index. The oracle restates the

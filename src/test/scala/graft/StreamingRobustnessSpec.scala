@@ -152,6 +152,23 @@ class StreamingRobustnessSpec extends SparkSpec {
     }
   }
 
+  test("streamEwma: the sequential fold carries state across MULTIPLE batches bit-exactly") {
+    // EWMA is NOT order-free — this is the one monitor where batching
+    // correctness rests on the feed's per-user order contract plus the
+    // state carry, so the multi-batch run must equal both the one-batch
+    // run and the batch analytic (same fold, same order) to the last bit
+    val (e3, applied) = Streaming.streamEwmaCounted(spark, sf, batches = 3)
+    assert(applied >= 2, s"expected a multi-batch fold, got $applied batch(es)")
+    val got3 = e3.collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got3.nonEmpty)
+    val (e1, _) = Streaming.streamEwmaCounted(spark, sf, batches = 1)
+    val got1 = e1.collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got3 == got1, "EWMA state carry must make batching invisible")
+    val batch = q("q_events_ewma").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got3 == batch, "streamed fold must equal the batch analytic bit-exactly")
+  }
+
   test("streamCountmin: cells fold additively, so estimates are batching-invariant") {
     // cell-wise addition commutes and associates: one mega-batch and
     // three batches must land on the identical sketch, and est >= cnt
