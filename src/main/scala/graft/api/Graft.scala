@@ -1173,6 +1173,43 @@ object Graft {
       .select(col("v"), coalesce(col("deg"), lit(0L)).as("core_deg"))
   }
 
+  /** Synchronous label propagation (community detection): every node
+    * starts in its own community; each round every node adopts the most
+    * frequent label among its distinct undirected neighbors (ties →
+    * smallest label; isolated nodes keep their own). Deterministic by
+    * construction — the synchronous schedule plus the total (count desc,
+    * label asc) tie-break remove the order-dependence that makes
+    * asynchronous LPA non-reproducible, so an oracle can replay the
+    * rounds exactly.
+    *
+    * Scale shape: per round ONE equi join of the checkpointed neighbor
+    * relation against the node-sized label table, a map-side-combined
+    * (node, label) count, and a node-partitioned argmax window — work is
+    * edge-linear per round, labels re-checkpoint so no round re-plans
+    * prior lineage. */
+  def labelProp(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    // neighbor relation: both directions of the distinct undirected set
+    val und = undirected(edges)
+    val nbr = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var lab = nodes.select(col("v"), col("v").as("lbl"))
+      .repartition(col("v")).localCheckpoint()
+    val w = Window.partitionBy("v").orderBy(col("c").desc, col("lbl").asc)
+    (1 to rounds).foreach { _ =>
+      val best = nbr
+        .join(lab.select(col("v").as("b"), col("lbl")), Seq("b"))
+        .groupBy(col("a").as("v"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v"), col("lbl").as("nlbl"))
+      lab = lab.join(best, Seq("v"), "left")
+        .select(col("v"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    lab
+  }
+
   /** Functional-dependency candidate check (the TANE/Metanome profiling
     * primitive): for each `(lhs, rhs)` candidate over `df`, whether
     * lhs -> rhs holds — no lhs value maps to two distinct rhs values —

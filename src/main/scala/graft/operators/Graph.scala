@@ -44,6 +44,10 @@ object Graph {
   private val KcoreK = 6
   private val KcoreRounds = 4
 
+  /** Label-propagation rounds replayed by the oracle (declared before
+    * `defs` — the BfsDepth eager-init rule). */
+  private val LpRounds = 3
+
   val defs: Seq[QueryDef] = Seq(
 
     // PageRank over the derived link graph. Integer-exact: BIGINT ranks,
@@ -211,8 +215,61 @@ object Graph {
       graft.api.Graft.kcorePeel(
           docs.select(col("doc_id").as("v")), raw, KcoreK, KcoreRounds)
         .select(col("v").as("doc_id"), col("core_deg"))
+    },
+
+    // Synchronous label propagation (community detection) over the same
+    // derived graph: every node starts in its own community and adopts
+    // its neighborhood's majority label each round (count desc, label
+    // asc tie-break; isolated nodes keep their own). The synchronous
+    // schedule + total tie-break make LPA — notoriously order-dependent
+    // in its asynchronous form — exactly replayable: the oracle unrolls
+    // the same rounds as count/argmax/left-join CTE stages. Per round:
+    // one equi join of the checkpointed neighbor relation against the
+    // node-sized label table + a node-partitioned argmax window — edge-
+    // linear work, the CC/kcore iteration discipline.
+    QueryDef("q_graph_labelprop", labelPropOracle(LpRounds)) { (s, d) =>
+      val docs = documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n"))
+      val raw = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("a"),
+          explode(sequence(lit(1), lit(4))).as("k"), col("n"))
+        .select(col("a"),
+          (h60(concat(lit("pr:"), col("a").cast("string"), lit(":"),
+            col("k").cast("string"))) % col("n")).as("b"))
+      graft.api.Graft.labelProp(
+          docs.select(col("doc_id").as("v")), raw, LpRounds)
+        .select(col("v").as("doc_id"), col("lbl").as("community"))
     }
   )
+
+  /** DuckDB mirror of q_graph_labelprop: the same derived undirected
+    * neighbor relation and `rounds` unrolled majority-vote stages —
+    * count per (node, neighbor label), argmax under the (count desc,
+    * label asc) tie-break, isolated nodes carried by the left join. */
+  private def labelPropOracle(rounds: Int): String = {
+    val base =
+      s"""n AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |raw AS (SELECT doc_id AS a,
+         |  ('0x' || substr(md5('pr:' || doc_id::VARCHAR || ':' || k::VARCHAR), 1, 15))::BIGINT % n.n AS b
+         |  FROM documents, n, UNNEST([1, 2, 3, 4]) AS u(k)),
+         |umin AS MATERIALIZED (
+         |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM raw WHERE a <> b),
+         |nbr AS MATERIALIZED (
+         |  SELECT a, b FROM umin UNION ALL SELECT b, a FROM umin),
+         |l0 AS MATERIALIZED (SELECT doc_id AS v, doc_id AS lbl FROM documents)""".stripMargin
+    val stages = (0 until rounds).map { t =>
+      s"""c$t AS (SELECT u.a AS v, l.lbl, count(*) AS c
+         |  FROM nbr u JOIN l$t l ON l.v = u.b GROUP BY 1, 2),
+         |m$t AS (SELECT v, lbl FROM (
+         |  SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
+         |  FROM c$t) WHERE rn = 1),
+         |l${t + 1} AS MATERIALIZED (
+         |  SELECT l.v, coalesce(m.lbl, l.lbl) AS lbl
+         |  FROM l$t l LEFT JOIN m$t m ON m.v = l.v)""".stripMargin
+    }
+    "WITH " + (base +: stages).mkString(",\n") +
+      s"\nSELECT v AS doc_id, lbl AS community FROM l$rounds\n"
+  }
 
   /** DuckDB mirror of q_graph_kcore: the same derived undirected edge
     * list and `rounds` unrolled peel stages (the pagerank-oracle

@@ -324,6 +324,26 @@ class GraftApiSpec extends SparkSpec {
     assert(d2 == Map(0L -> 0L, 1L -> 2L, 2L -> 1L, 3L -> 11L), s"got $d2")
   }
 
+  test("labelProp: a clique absorbs its pendant, components never mix, isolated keeps its own") {
+    // clique {0,1,2} + pendant 3-2; separate pair {10,11}; isolated 20
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 2L), (10L, 11L))
+      .toDF("a", "b")
+    val nodes = Seq(0L, 1L, 2L, 3L, 10L, 11L, 20L).toDF("v")
+    val got = Graft.labelProp(nodes, edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // round-by-round by hand: clique settles on min label 0 and pulls the
+    // pendant in; the pair oscillates? no — (10,11): each adopts the
+    // other's label every round (sole neighbor), so after 3 rounds
+    // 10 has 11's r2 label (=10) and 11 has 10's r2 label (=11)... the
+    // SYNCHRONOUS schedule makes the 2-cycle oscillate; what is pinned
+    // here is determinism + no cross-component leakage, not convergence
+    assert(Set(0L, 1L, 2L, 3L).map(got) == Set(0L),
+      s"clique+pendant must land on label 0, got $got")
+    assert(Set(10L, 11L).map(got).subsetOf(Set(10L, 11L)),
+      "pair labels stay within the component")
+    assert(got(20L) == 20L, "isolated node keeps its own label")
+  }
+
   test("bfs multi-source: each node gets the distance to its NEAREST seed") {
     val edges = Seq((0L, 1L), (1L, 2L), (5L, 2L)).toDF("src", "dst")
     val nodes = Seq(0L, 1L, 2L, 5L).map(v => (v, v == 0L || v == 5L))
