@@ -38,6 +38,10 @@ object Multimodal {
       n_bytes: Int, checksum: Long, width: Int, height: Int,
       sample_rate: Int, channels: Int, duration_ms: Long, frame_hex: String)
 
+  /** perceptual-hash row emitted by [[imageAHash]] */
+  final case class AHashRow(asset_id: Long, width: Int, height: Int,
+      ahash_bits: String, n_bright: Long)
+
   private val PngSignature: Array[Byte] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
@@ -797,6 +801,59 @@ object Multimodal {
     }).toDF()
   }
 
+  /** 64-bit perceptual average-hash (aHash) per image asset — the image
+    * near-dup primitive: the raster average-pools onto an 8x8 grid
+    * (pixel (y, x) lands in block (y*8 div h, x*8 div w) — no bounds
+    * arithmetic, every pixel assigned exactly once), block means floor-
+    * divide, and each block turns on iff its mean exceeds the floor-mean
+    * of the 64 block means. Emitted as a 64-char '0'/'1' string (no
+    * sign-bit trap, trivially bandable into pigeonhole blocks for a
+    * hamming join — the q_dedup_simhash pattern). Images must be at
+    * least 8x8 (every block nonempty); real PNGs hash channel 0 of the
+    * decoded raster, synthetic fixture payloads the raw stored raster.
+    * All-integer arithmetic, so the oracle replays it exactly.
+    *
+    * Scale shape: narrow mapPartitions over the late-projected binary
+    * column; constant 128 longs of state per image; output rows are
+    * fixed-width — the dedup join downstream never touches payloads. */
+  def imageAHash(assets: DataFrame): DataFrame = {
+    val s = assets.sparkSession
+    import s.implicits._
+    assets.as[Asset].mapPartitions(_.flatMap { a =>
+      val raster: Option[(Int, Int, Array[Byte])] = pngRasterDecode(a.data) match {
+        case Some((w, h, bpp, r)) =>
+          Some((w, h, Array.tabulate(w * h)(i => r(i * bpp))))
+        case None if pngDims(a.data).isDefined && isSyntheticPng(a.data) =>
+          val w = pngDims(a.data).get._1
+          val body = a.data.drop(PngRasterOffset)
+          val h = body.length / math.max(w, 1)
+          Some((w, h, body.take(w * h)))
+        case None => None
+      }
+      raster.filter { case (w, h, _) => w >= 8 && h >= 8 }
+        .map { case (w, h, px) =>
+          val sums = new Array[Long](64)
+          val cnts = new Array[Long](64)
+          var y = 0
+          while (y < h) {
+            val by = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val i = by * 8 + x * 8 / w
+              sums(i) += px(y * w + x) & 0xff
+              cnts(i) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val means = Array.tabulate(64)(i => sums(i) / cnts(i))
+          val g = means.sum / 64
+          val bits = means.map(m => if (m > g) '1' else '0').mkString
+          AHashRow(a.asset_id, w, h, bits, bits.count(_ == '1').toLong)
+        }
+    }).toDF()
+  }
+
   /** Canonical MP4 header, as hex, shared verbatim by the Spark
     * construction and the oracle: `ftyp`(isom) + `moov` containing a
     * version-0 `mvhd` with timescale 1000 — so duration IS
@@ -1054,6 +1111,43 @@ object Multimodal {
         |FROM vid2, unnest([1, 2, 3]) AS t(i)
         |WHERE i <= cnt
         |  AND choff + coalesce(list_sum(sizes[1:CAST(i - 1 AS INT)]), 0) < flen
-        |""".stripMargin) { (s, d) => sampleFrames(assets(s, d)) }
+        |""".stripMargin) { (s, d) => sampleFrames(assets(s, d)) },
+
+    // Perceptual average-hash per image asset — the image near-dup
+    // primitive (the pHash family's simplest member): 8x8 block means
+    // thresholded at their own floor-mean, emitted as a 64-char
+    // bitstring. All-integer (floor divisions only), so the oracle
+    // recomputes every block from the raster hex — pixel i lands in
+    // block ((i div w)*8 div h)*8 + (i mod w)*8 div w, the same
+    // assignment the Scala loop makes — and the hash matches bit for
+    // bit. Images below 8x8 (some block empty) are out of hash domain
+    // in both engines.
+    QueryDef(
+      "q_multimodal_ahash",
+      """WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS rhex
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |img AS (
+        |  SELECT doc_id, rhex, CAST(doc_id % 640 + 1 AS INT) AS w,
+        |    CAST((strlen(rhex) // 2) // (doc_id % 640 + 1) AS INT) AS h
+        |  FROM p),
+        |pix AS (
+        |  SELECT doc_id,
+        |    ((i // w) * 8) // h * 8 + ((i % w) * 8) // w AS blk,
+        |    ('0x' || substring(rhex, CAST(1 + i * 2 AS INT), 2))::BIGINT AS v
+        |  FROM img, UNNEST(range(0, CAST(w AS BIGINT) * h)) AS t(i)
+        |  WHERE w >= 8 AND h >= 8),
+        |b AS (SELECT doc_id, blk, CAST(sum(v) // count(*) AS BIGINT) AS m
+        |      FROM pix GROUP BY 1, 2),
+        |g AS (SELECT doc_id, CAST(sum(m) // 64 AS BIGINT) AS g FROM b GROUP BY 1),
+        |hsh AS (
+        |  SELECT b.doc_id,
+        |    string_agg(CASE WHEN m > g THEN '1' ELSE '0' END, '' ORDER BY blk) AS ahash_bits,
+        |    sum(CASE WHEN m > g THEN 1 ELSE 0 END)::BIGINT AS n_bright
+        |  FROM b JOIN g USING (doc_id) GROUP BY b.doc_id)
+        |SELECT i.doc_id AS asset_id, i.w AS width, i.h AS height,
+        |  ahash_bits, n_bright
+        |FROM hsh JOIN img i USING (doc_id)
+        |""".stripMargin) { (s, d) => imageAHash(assets(s, d)) }
   )
 }

@@ -327,6 +327,43 @@ class MultimodalStreamingSpec extends SparkSpec {
       assert((graster(y * 6 + x) & 0xff) == (x * 40 + y * 9) % 256)
   }
 
+  test("imageAHash: real PNG hashes match the reference block loop; sub-8x8 out of domain") {
+    // a real compressed PNG with a deterministic gradient; reference
+    // aHash computed by an independent per-block double loop
+    val (w, h) = (13, 11)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 37 + y * 17) % 256) << 16)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    // reference: channel 0 of the decoded raster, pixel->block assignment
+    val Some((dw, dh, bpp, raster)) = Multimodal.pngRasterDecode(png)
+    val sums = Array.fill(64)(0L); val cnts = Array.fill(64)(0L)
+    for (y <- 0 until dh; x <- 0 until dw) {
+      val i = (y * 8 / dh) * 8 + (x * 8 / dw)
+      sums(i) += raster((y * dw + x) * bpp) & 0xff; cnts(i) += 1
+    }
+    val means = (0 until 64).map(i => sums(i) / cnts(i))
+    val g = means.sum / 64
+    val want = means.map(m => if (m > g) '1' else '0').mkString
+    import spark.implicits._
+    val tiny = { // 7x5 < 8x8: out of hash domain
+      val im = new java.awt.image.BufferedImage(7, 5,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", b); b.toByteArray
+    }
+    val out = Multimodal.imageAHash(
+      Seq(Multimodal.Asset(1L, "image", png),
+        Multimodal.Asset(2L, "image", tiny)).toDF())
+      .as[Multimodal.AHashRow].collect()
+    assert(out.map(_.asset_id).toSeq == Seq(1L), "tiny image must be skipped")
+    assert(out.head.ahash_bits == want, s"got ${out.head.ahash_bits}, want $want")
+    assert(out.head.n_bright == want.count(_ == '1').toLong)
+  }
+
   test("pngRasterDecode undoes every scanline filter type (hand-filtered stream)") {
     // 4x5 grayscale raster; one row per filter type 1..4 plus a None row
     val w = 4
