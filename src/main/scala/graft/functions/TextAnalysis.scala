@@ -576,6 +576,54 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_words"), sum("n").as("n_bpe_tokens"))
     },
 
+    // Phrase search over a positional inverted index — the search-engine
+    // primitive: postings are (doc, position, token) rows; a two-token
+    // phrase query resolves as an equi join of the two terms' postings
+    // on (doc, adjacent positions). The query phrase is data-driven (the
+    // corpus's top bigram under the full (count desc, w1, w2) tie-break)
+    // so the query is self-contained at any scale factor. Scale shape:
+    // the phrase terms broadcast (2 strings) and each probe side prunes
+    // the postings to ITS term before the position join — postings for
+    // absent tokens never shuffle; the positional index is built once
+    // (checkpointed; in production it is the persisted artifact) and the
+    // bigram statistic rides the same index.
+    QueryDef(
+      "q_text_phrase_search",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS l
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i AS p, l[CAST(i AS INT)] AS tok
+        |  FROM tok, UNNEST(range(1, len(l) + 1)) AS t(i)),
+        |bg AS (
+        |  SELECT a.tok AS w1, b.tok AS w2, count(*) AS n
+        |  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        |  GROUP BY 1, 2),
+        |top1 AS (SELECT w1, w2 FROM bg ORDER BY n DESC, w1, w2 LIMIT 1)
+        |SELECT a.doc_id, count(*) AS n_hits
+        |FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        |JOIN top1 ON a.tok = top1.w1 AND b.tok = top1.w2
+        |GROUP BY a.doc_id
+        |""".stripMargin) { (s, d) =>
+      val pos = documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+        .localCheckpoint() // the index: bigram stats + both probe sides
+      val bg = pos.select(col("doc_id"), col("p"), col("tok").as("w1"))
+        .join(pos.select(col("doc_id"), (col("p") - 1).as("p"), col("tok").as("w2")),
+          Seq("doc_id", "p"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      val top1 = bg.orderBy(col("n").desc, col("w1"), col("w2")).limit(1)
+        .select("w1", "w2")
+      val probeA = pos.join(broadcast(top1), col("tok") === col("w1"))
+        .select(col("doc_id"), col("p"))
+      val probeB = pos.join(broadcast(top1), col("tok") === col("w2"))
+        .select(col("doc_id").as("doc_b"), col("p").as("pb"))
+      probeA.join(probeB,
+          col("doc_b") === col("doc_id") && col("pb") === col("p") + 1)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    },
+
     // Cross-source n-gram overlap matrix — the mixture diagnostic a
     // pretraining pipeline runs before weighting sources: pairwise
     // Jaccard over each source's DISTINCT token-trigram set. Candidate

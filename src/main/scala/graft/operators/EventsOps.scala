@@ -474,6 +474,47 @@ object EventsOps {
             .as("us_since"))
     },
 
+    // Per-user TWAP (time-weighted average): each value weighted by how
+    // long it was "current" (until the next event), divided by the
+    // user's active span — the financial/telemetry staple where a
+    // plain mean over-weights bursts. ALL-INTEGER accumulation: values
+    // are 2-decimal by construction, so cents x integer-microsecond
+    // weights sum exactly as BIGINTs (per-user history is bounded, so
+    // the per-group sum stays far from overflow at any corpus size —
+    // a decimal(38,10) x BIGINT product would silently widen past 38
+    // digits and fall back to double summation in DuckDB, which is why
+    // the cents route is the portable one); the only doubles are the
+    // two final divisions, identical IEEE ops in both engines. Single-
+    // event users have no span and emit NULL rather than a fake mean.
+    QueryDef(
+      "q_events_twap",
+      """WITH w AS (
+        |  SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      - epoch_us(ts) AS dur_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(coalesce(sum(dur_us), 0) AS BIGINT) AS span_us,
+        |  CASE WHEN coalesce(sum(dur_us), 0) > 0 THEN
+        |    CAST(sum(cents * dur_us) AS DOUBLE) / 100 / CAST(sum(dur_us) AS BIGINT)
+        |  END AS twap
+        |FROM w GROUP BY user_id
+        |""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+            .as("dur_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          coalesce(sum(col("dur_us")), lit(0L)).as("span_us"),
+          when(coalesce(sum(col("dur_us")), lit(0L)) > 0,
+            sum(col("cents") * col("dur_us")).cast("double") / 100 /
+              sum(col("dur_us")))
+            .as("twap"))
+    },
+
     // Per-user EWMA (exponentially weighted moving average, α = 0.5) of
     // event values — the order-dependent recursive analytic no window
     // frame expresses: acc ← α·x + (1−α)·acc, seeded by the first value.

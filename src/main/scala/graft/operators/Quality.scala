@@ -447,6 +447,55 @@ object Quality {
       drift(ref, cur, numeric = Map("o_totalprice" -> 50000.0),
         modular = Seq("o_custkey"),
         categorical = Seq("o_orderpriority"), threshold = 100L)
+    },
+
+    // Winsorized robust mean — the outlier-tamed statistic beside the
+    // median/MAD fence: per group, values clamp to the exact discrete
+    // p10/p90 (rank selection over ONE ranked pass — the value at a
+    // rank is permutation-invariant under ties, so no tie-break is
+    // needed) and the mean of the clamped values accumulates as exact
+    // decimal. The ranked relation is checkpointed once and feeds both
+    // the bounds (a tiny aggregate, broadcast back) and the clamped
+    // mean — one window shuffle total, the q_agg_quantile_rank
+    // discipline extended to a second pass that never re-sorts.
+    QueryDef(
+      "q_quality_winsor",
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice ASC) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_vals,
+        |    max(CASE WHEN rn = (n + 9) // 10 THEN l_extendedprice END) AS lo,
+        |    max(CASE WHEN rn = (9 * n + 9) // 10 THEN l_extendedprice END) AS hi
+        |  FROM r GROUP BY 1)
+        |SELECT r.l_returnflag, max(b.n_vals) AS n_vals, max(b.lo) AS lo, max(b.hi) AS hi,
+        |  CAST(round(sum(CAST(greatest(b.lo, least(b.hi, r.l_extendedprice)) AS DECIMAL(38,10))), 4) AS DOUBLE)
+        |    / count(*) AS win_mean
+        |FROM r JOIN b ON b.l_returnflag = r.l_returnflag
+        |GROUP BY r.l_returnflag
+        |""".stripMargin) { (s, d) =>
+      val byVal = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").asc)
+      val li = lineitem(s, d).select("l_returnflag", "l_extendedprice")
+      val sizes = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val ranked = li.join(broadcast(sizes), "l_returnflag")
+        .withColumn("rn", row_number().over(byVal))
+        .localCheckpoint() // bounds + clamped mean from one ranked pass
+      val bounds = ranked.groupBy("l_returnflag")
+        .agg(max(col("n")).as("n_vals"),
+          max(when(col("rn") === expr("(n + 9) div 10"),
+            col("l_extendedprice"))).as("lo"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"),
+            col("l_extendedprice"))).as("hi"))
+      ranked.join(broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(max(col("n_vals")).as("n_vals"), max(col("lo")).as("lo"),
+          max(col("hi")).as("hi"),
+          (graft.Exact.decOut(sum(graft.Exact.dec(
+            greatest(col("lo"), least(col("hi"), col("l_extendedprice"))))))
+            / count(lit(1))).as("win_mean"))
     }
   )
 
