@@ -1357,12 +1357,24 @@ object Graft {
         expr("transform(sequence(1, length(s)), i -> " +
           "concat(substring(s, 1, i - 1), substring(s, i + 1, length(s) - i)))")))
         .as("k"))
+      // deleting any of a run of equal characters yields the SAME variant
+      // (e.g. each leading zero of a padded number) — dedupe (id, k) or
+      // every such self-collision multiplies the candidate join
+      .distinct()
       .localCheckpoint() // both sides of the self-join, one scan
-    keyed.select(col("k"), col("id").as("id_a"), col("s").as("s_a"))
-      .join(keyed.select(col("k"), col("id").as("id_b"), col("s").as("s_b")),
-        Seq("k"))
+    // candidates dedupe as BARE ID PAIRS (a shared key multiplies a true
+    // pair up to length+1 times — shuffling two longs per duplicate
+    // instead of two strings is what keeps the distinct cheap); the
+    // strings join back from the dimension-sized (id, s) relation only
+    // for the levenshtein verify on the deduped set.
+    val pairs = keyed.select(col("k"), col("id").as("id_a"))
+      .join(keyed.select(col("k"), col("id").as("id_b")), Seq("k"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "s_a", "s_b").distinct()
+      .select("id_a", "id_b").distinct()
+    val names = keyed.select("id", "s").distinct()
+    pairs
+      .join(names.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(names.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
       .filter(col("dist") <= 1)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))

@@ -143,7 +143,19 @@ object Plans {
     "q_text_source_overlap" ->
       "source-overlap matrix: distinct (source, trigram) relation checkpointed once and equi-self-joined on the trigram key — per-trigram work bounded by sources², set sizes broadcast back",
     "q_events_ewma" ->
-      "per-user EWMA: ONE shuffle on user_id into a single hash aggregate; the recursive fold runs in-row over the per-key sorted array — no window, no second exchange"
+      "per-user EWMA: ONE shuffle on user_id into a single hash aggregate; the recursive fold runs in-row over the per-key sorted array — no window, no second exchange",
+    "q_graph_labelprop" ->
+      "label propagation: per round one equi join of the checkpointed neighbor relation against the node-sized label table + a node-partitioned argmax window; the final round's plan reads only checkpointed RDDs",
+    "q_pipeline_scd2_temporal" ->
+      "temporal join: ONE equi join on the natural key with the interval test as a residual join predicate (no range join, no blow-up); history broadcasts at dimension size",
+    "q_events_twap" ->
+      "TWAP: one per-user lead window (single exchange) feeding a map-side-combined integer aggregate — no decimal widening, no second window",
+    "q_text_phrase_search" ->
+      "phrase search: probe sides prune the checkpointed postings to their own term (broadcast 1-row phrase) BEFORE the position equi join; the bigram statistic rides the same checkpoint",
+    "q_quality_winsor" ->
+      "winsorized mean: one ranked pass (single window exchange), bounds broadcast back, clamped decimal mean — the ranked relation is checkpointed, never re-sorted",
+    "q_multimodal_ahash" ->
+      "perceptual hash: narrow mapPartitions over the late-projected binary column; constant per-image state; no shuffle before the fixed-width output"
   )
 
   def main(args: Array[String]): Unit = {
