@@ -1210,6 +1210,41 @@ object Graft {
     lab
   }
 
+  /** Link prediction by neighborhood overlap: for every NON-adjacent
+    * node pair with at least `minCommon` shared neighbors, the
+    * common-neighbor count and neighborhood Jaccard — the classic
+    * "who should be connected" graph-ML primitive. Candidates come
+    * from the wedge equi-join (pairs THROUGH a shared neighbor — work
+    * is sum of squared degrees, never all pairs), existing edges drop
+    * by an anti-join against the undirected edge set, and the score
+    * divides exact longs once.
+    *
+    * Scale shape: one self-equi-join of the checkpointed neighbor
+    * relation on the shared-neighbor key + two node-sized degree
+    * joins. Hub nodes quadratically inflate their wedge count — at
+    * web scale, cap or sample per-node adjacency before calling (the
+    * triangleCounts orientation trick does not apply here because
+    * both endpoints of a candidate pair are OUTPUT, not enumerated). */
+  def linkPredict(edges: DataFrame, minCommon: Int): DataFrame = {
+    val und = undirected(edges)
+    val nbr = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val deg = nbr.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+    val wedges = nbr.select(col("a").as("u"), col("b").as("x"))
+      .join(nbr.select(col("a").as("u"), col("b").as("y")), Seq("u"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    wedges
+      .join(und, wedges("x") === und("a") && wedges("y") === und("b"),
+        "left_anti")
+      .join(deg.select(col("v").as("x"), col("deg").as("deg_a")), Seq("x"))
+      .join(deg.select(col("v").as("y"), col("deg").as("deg_b")), Seq("y"))
+      .select(col("x").as("node_a"), col("y").as("node_b"), col("common"),
+        (col("common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common"))).as("jaccard"))
+  }
+
   /** Functional-dependency candidate check (the TANE/Metanome profiling
     * primitive): for each `(lhs, rhs)` candidate over `df`, whether
     * lhs -> rhs holds — no lhs value maps to two distinct rhs values —

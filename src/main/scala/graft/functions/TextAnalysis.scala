@@ -576,6 +576,49 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_words"), sum("n").as("n_bpe_tokens"))
     },
 
+    // Readability scoring (Flesch reading ease) — the document-quality
+    // signal next to length/punct/stopword ratios: words from the
+    // shared tokenizer, sentences counted by terminal punctuation via
+    // translate() length-difference (identical in both engines, no
+    // regex dialect in the hot path), syllables approximated by vowel
+    // groups (one RE2-safe regexp_count). The score is pure double
+    // arithmetic over exact integer counts and shared literals —
+    // identical expression structure in both engines, so doubles match
+    // bit-for-bit. English docs only (the formula is anglocentric; for
+    // zh the vowel-group proxy is meaningless).
+    QueryDef(
+      "q_text_readability",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+        |  CAST(greatest(1, length(text) - length(translate(text, '.!?', ''))) AS BIGINT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS n_vowel_groups,
+        |  206.835
+        |    - 1.015 * (CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS BIGINT)
+        |               / CAST(greatest(1, length(text) - length(translate(text, '.!?', ''))) AS BIGINT))
+        |    - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+        |              / CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS BIGINT)) AS flesch
+        |FROM documents
+        |WHERE lang = 'en'
+        |  AND len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) > 0
+        |""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_words"),
+          greatest(lit(1),
+            length(col("text")) - length(translate(col("text"), ".!?", "")))
+            .cast("long").as("n_sentences"),
+          regexp_count(lower(col("text")), lit("[aeiou]+")).cast("long")
+            .as("n_vowel_groups"))
+        .filter(col("n_words") > 0)
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_vowel_groups"),
+          (lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(84.6) * (col("n_vowel_groups").cast("double") / col("n_words")))
+            .as("flesch"))
+    },
+
     // Phrase search over a positional inverted index — the search-engine
     // primitive: postings are (doc, position, token) rows; a two-token
     // phrase query resolves as an equi join of the two terms' postings

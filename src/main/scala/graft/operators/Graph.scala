@@ -227,6 +227,48 @@ object Graph {
     // one equi join of the checkpointed neighbor relation against the
     // node-sized label table + a node-partitioned argmax window — edge-
     // linear work, the CC/kcore iteration discipline.
+    // Link prediction by neighborhood overlap — the "who should be
+    // connected" graph-ML primitive: every NON-adjacent pair with >= 2
+    // shared neighbors, scored by common-neighbor count and
+    // neighborhood Jaccard. Candidates arise ONLY through a shared
+    // neighbor (the wedge equi-join — sum-of-squared-degrees work,
+    // never all pairs), existing edges drop by an anti-join, and the
+    // Jaccard divides exact longs once. The oracle restates the wedge/
+    // anti-join/degree pipeline over the same derived graph.
+    QueryDef(
+      "q_graph_linkpred",
+      s"""WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |raw AS (SELECT doc_id AS a,
+         |  ('0x' || substr(md5('pr:' || doc_id::VARCHAR || ':' || k::VARCHAR), 1, 15))::BIGINT % n.n AS b
+         |  FROM documents, n, UNNEST([1, 2, 3, 4]) AS u(k)),
+         |umin AS MATERIALIZED (
+         |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM raw WHERE a <> b),
+         |nbr AS MATERIALIZED (
+         |  SELECT a, b FROM umin UNION ALL SELECT b, a FROM umin),
+         |deg AS (SELECT a AS v, count(*)::BIGINT AS deg FROM nbr GROUP BY 1),
+         |w AS (
+         |  SELECT x.b AS na, y.b AS nb, count(*)::BIGINT AS common
+         |  FROM nbr x JOIN nbr y ON y.a = x.a AND x.b < y.b
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT na, nb, common FROM w
+         |  WHERE common >= 2
+         |    AND NOT EXISTS (SELECT 1 FROM umin e WHERE e.a = na AND e.b = nb))
+         |SELECT na AS node_a, nb AS node_b, common,
+         |  CAST(common AS DOUBLE) / (da.deg + db.deg - common) AS jaccard
+         |FROM cand JOIN deg da ON da.v = na JOIN deg db ON db.v = nb
+         |""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n"))
+      val raw = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("a"),
+          explode(sequence(lit(1), lit(4))).as("k"), col("n"))
+        .select(col("a"),
+          (h60(concat(lit("pr:"), col("a").cast("string"), lit(":"),
+            col("k").cast("string"))) % col("n")).as("b"))
+      graft.api.Graft.linkPredict(raw, minCommon = 2)
+    },
+
     QueryDef("q_graph_labelprop", labelPropOracle(LpRounds)) { (s, d) =>
       val docs = documents(s, d)
       val n = docs.agg(count(lit(1)).as("n"))

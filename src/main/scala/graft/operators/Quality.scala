@@ -496,6 +496,58 @@ object Quality {
           (graft.Exact.decOut(sum(graft.Exact.dec(
             greatest(col("lo"), least(col("hi"), col("l_extendedprice"))))))
             / count(lit(1))).as("win_mean"))
+    },
+
+    // Benford first-digit audit — the data-forensics screen for
+    // fabricated or unit-mangled numeric columns: the observed leading-
+    // digit distribution of o_totalprice against Benford's law. The
+    // expected probabilities log10(1 + 1/d) are pasted as LITERALS
+    // (identical decimal strings parse to identical doubles in both
+    // engines — no libm at query time); the digit comes from the
+    // floored value's decimal string (explicit floor(): a bare
+    // double->BIGINT cast truncates in Spark but ROUNDS in DuckDB);
+    // shares divide exact longs. ONE aggregate pass over the scan plus
+    // a 9-row broadcast of the totals — the whole audit is map-side.
+    QueryDef(
+      "q_quality_benford",
+      """WITH dg AS (
+        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |obs AS (SELECT digit, count(*)::BIGINT AS n FROM dg GROUP BY 1),
+        |tot AS (SELECT sum(n)::BIGINT AS total FROM obs),
+        |exp AS (
+        |  SELECT * FROM (VALUES (1, 0.3010299956639812), (2, 0.17609125905568124),
+        |    (3, 0.12493873660829992), (4, 0.09691001300805642),
+        |    (5, 0.07918124604762482), (6, 0.06694678963061322),
+        |    (7, 0.05799194697768673), (8, 0.05115252244738129),
+        |    (9, 0.04575749056067514)) AS t(digit, expected))
+        |SELECT exp.digit, coalesce(obs.n, 0) AS n,
+        |  CAST(coalesce(obs.n, 0) AS DOUBLE) / tot.total AS share,
+        |  exp.expected,
+        |  abs(CAST(coalesce(obs.n, 0) AS DOUBLE) / tot.total - exp.expected) AS abs_dev
+        |FROM exp LEFT JOIN obs ON obs.digit = exp.digit CROSS JOIN tot
+        |""".stripMargin) { (s, d) =>
+      val expected = Seq(1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+        3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+        5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+        7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+        9 -> 0.04575749056067514)
+      val sSpark = s
+      import sSpark.implicits._
+      val exp = expected.toDF("digit", "expected")
+      val obs = orders(s, d).filter(col("o_totalprice") >= 1)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = obs.agg(sum("n").as("total"))
+      broadcast(exp)
+        .join(obs, Seq("digit"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+          (coalesce(col("n"), lit(0L)).cast("double") / col("total")).as("share"),
+          col("expected"),
+          abs(coalesce(col("n"), lit(0L)).cast("double") / col("total")
+            - col("expected")).as("abs_dev"))
     }
   )
 
