@@ -1112,6 +1112,12 @@ object Graft {
       .filter(col("a") =!= col("b"))
       .distinct().localCheckpoint()
 
+  /** both directions of the distinct undirected edge set — the neighbor
+    * relation labelProp and linkPredict iterate over, checkpointed */
+  private def neighbors(und: DataFrame): DataFrame =
+    und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+
   /** One synchronous peel: edges with both endpoints alive, degrees over
     * their endpoint multiset, survivors with degree — callers filter. */
   private def liveDegrees(und: DataFrame, alive: DataFrame): DataFrame = {
@@ -1188,10 +1194,7 @@ object Graft {
     * edge-linear per round, labels re-checkpoint so no round re-plans
     * prior lineage. */
   def labelProp(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
-    // neighbor relation: both directions of the distinct undirected set
-    val und = undirected(edges)
-    val nbr = und.union(und.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+    val nbr = neighbors(undirected(edges))
     var lab = nodes.select(col("v"), col("v").as("lbl"))
       .repartition(col("v")).localCheckpoint()
     val w = Window.partitionBy("v").orderBy(col("c").desc, col("lbl").asc)
@@ -1227,8 +1230,7 @@ object Graft {
     * both endpoints of a candidate pair are OUTPUT, not enumerated). */
   def linkPredict(edges: DataFrame, minCommon: Int): DataFrame = {
     val und = undirected(edges)
-    val nbr = und.union(und.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+    val nbr = neighbors(und)
     val deg = nbr.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
     val wedges = nbr.select(col("a").as("u"), col("b").as("x"))
       .join(nbr.select(col("a").as("u"), col("b").as("y")), Seq("u"))
@@ -1338,6 +1340,7 @@ object Graft {
       case _: org.apache.spark.sql.types.TimestampType => unix_micros(col("sx"))
       case _: org.apache.spark.sql.types.TimestampNTZType =>
         unix_micros(col("sx").cast("timestamp"))
+      case _: org.apache.spark.sql.types.DateType => unix_date(col("sx"))
       case _ => col("sx").cast("long")
     }
     // range-bucket bounds: one tiny aggregate, broadcast by crossJoin

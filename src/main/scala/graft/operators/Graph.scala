@@ -217,16 +217,6 @@ object Graph {
         .select(col("v").as("doc_id"), col("core_deg"))
     },
 
-    // Synchronous label propagation (community detection) over the same
-    // derived graph: every node starts in its own community and adopts
-    // its neighborhood's majority label each round (count desc, label
-    // asc tie-break; isolated nodes keep their own). The synchronous
-    // schedule + total tie-break make LPA — notoriously order-dependent
-    // in its asynchronous form — exactly replayable: the oracle unrolls
-    // the same rounds as count/argmax/left-join CTE stages. Per round:
-    // one equi join of the checkpointed neighbor relation against the
-    // node-sized label table + a node-partitioned argmax window — edge-
-    // linear work, the CC/kcore iteration discipline.
     // Link prediction by neighborhood overlap — the "who should be
     // connected" graph-ML primitive: every NON-adjacent pair with >= 2
     // shared neighbors, scored by common-neighbor count and
@@ -269,6 +259,16 @@ object Graph {
       graft.api.Graft.linkPredict(raw, minCommon = 2)
     },
 
+    // Synchronous label propagation (community detection) over the same
+    // derived graph: every node starts in its own community and adopts
+    // its neighborhood's majority label each round (count desc, label
+    // asc tie-break; isolated nodes keep their own). The synchronous
+    // schedule + total tie-break make LPA — notoriously order-dependent
+    // in its asynchronous form — exactly replayable: the oracle unrolls
+    // the same rounds as count/argmax/left-join CTE stages. Per round:
+    // one equi join of the checkpointed neighbor relation against the
+    // node-sized label table + a node-partitioned argmax window — edge-
+    // linear work, the CC/kcore iteration discipline.
     QueryDef("q_graph_labelprop", labelPropOracle(LpRounds)) { (s, d) =>
       val docs = documents(s, d)
       val n = docs.agg(count(lit(1)).as("n"))

@@ -280,13 +280,15 @@ class GraftApiSpec extends SparkSpec {
     // delete (orphan); key 9 before its insert (orphan) and after (i)
     val facts = Seq((100L, 1L, 0L), (101L, 1L, 1L), (102L, 2L, 1L),
       (103L, 9L, 0L), (104L, 9L, 1L)).toDF("fid", "key", "v")
-    val got = Graft.temporalJoin(facts, "key", "v",
+    val rows = Graft.temporalJoin(facts, "key", "v",
         history.select("id", "nm", "valid_from", "valid_to"), "id")
-      .select("fid", "nm").as[(Long, Option[String])].collect().toMap
+      .select("fid", "nm").as[(Long, Option[String])].collect()
+    // disjoint intervals => exactly one output ROW per fact (asserted on
+    // the row array, BEFORE toMap can mask a duplicate), orphans included
+    assert(rows.length == 5, rows.toSeq.toString)
+    val got = rows.toMap
     assert(got == Map(100L -> Some("a"), 101L -> Some("a2"),
       102L -> None, 103L -> None, 104L -> Some("i")), got.toString)
-    // disjoint intervals => exactly one output row per fact, orphans included
-    assert(got.size == 5)
   }
 
   test("bfs computes exact hop distances on a known graph, bounded by maxDepth") {
