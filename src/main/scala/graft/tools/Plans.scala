@@ -155,7 +155,11 @@ object Plans {
     "q_quality_winsor" ->
       "winsorized mean: one ranked pass (single window exchange), bounds broadcast back, clamped decimal mean — the ranked relation is checkpointed, never re-sorted",
     "q_multimodal_ahash" ->
-      "perceptual hash: narrow mapPartitions over the late-projected binary column; constant per-image state; no shuffle before the fixed-width output"
+      "perceptual hash: narrow mapPartitions over the late-projected binary column; constant per-image state; no shuffle before the fixed-width output",
+    "q_graph_linkpred" ->
+      "link prediction: wedge candidates from ONE equi self-join of the checkpointed neighbor relation on the shared-neighbor key (sum-of-squared-degrees work, no cartesian), existing edges dropped by anti-join, node-sized degree joins",
+    "q_quality_benford" ->
+      "Benford audit: one map-side-combined digit aggregate over the scan; the 9-row expected table and the 1-row total both broadcast — the audit itself never shuffles"
   )
 
   def main(args: Array[String]): Unit = {
