@@ -312,6 +312,56 @@ class GraftPropertySpec extends SparkSpec {
     })
   }
 
+  test("property: linkPredict == brute-force common-neighbor scan") {
+    val edgeGen: Gen[(Int, List[(Long, Long)])] = for {
+      n <- Gen.choose(2, 12)
+      m <- Gen.choose(1, 20)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield (n, es)
+    check(forAll(edgeGen) { case (n, es) =>
+      val got = Graft.linkPredict(es.toDF("a", "b"), minCommon = 1)
+        .select("node_a", "node_b", "common")
+        .as[(Long, Long, Long)].collect().toSet
+      val und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).distinct.toSet
+      val nbrs = (0L until n.toLong).map(v =>
+        v -> und.collect { case (a, b) if a == v => b
+                           case (a, b) if b == v => a }).toMap
+      val ref = (for {
+        x <- 0L until n.toLong; y <- (x + 1) until n.toLong
+        if !und((x, y))
+        common = (nbrs(x) intersect nbrs(y)).size
+        if common >= 1
+      } yield (x, y, common.toLong)).toSet
+      got == ref
+    })
+  }
+
+  test("property: labelProp labels stay inside the node's own component") {
+    val edgeGen: Gen[(Int, List[(Long, Long)])] = for {
+      n <- Gen.choose(2, 12)
+      m <- Gen.choose(0, 15)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield (n, es)
+    check(forAll(edgeGen) { case (n, es) =>
+      val nodes = (0L until n.toLong).toDF("v")
+      val got = Graft.labelProp(nodes, es.toDF("a", "b"), rounds = 3)
+        .as[(Long, Long)].collect().toMap
+      // union-find reference components
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        if (a != b) parent(find(a.toInt)) = find(b.toInt) }
+      got.size == n && got.forall { case (v, l) =>
+        find(v.toInt) == find(l.toInt) } // label reachable from its node
+    })
+  }
+
   test("property: skyline2d == brute-force dominance filter") {
     val ptsGen: Gen[List[(Long, Long, Double)]] = for {
       n <- Gen.choose(1, 60)
