@@ -235,7 +235,13 @@ object Bench {
     val benchDefs = SparkEntry.defs.filter(_.bench)
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     val passes = scala.collection.mutable.HashMap[String, Int]()
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "360").toDouble
+    // Default re-measure budget SCALES with registry size: a fixed 360 s
+    // went stale once warm passes exceeded ~175 s total (BENCH_r09 fell
+    // to min-of-2 for the tail because 2 warm passes no longer fit).
+    // 3.5 s/query x 2 re-measure passes ≈ the observed warm per-query
+    // band with slack; the env var still overrides for slammed boxes.
+    val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S").map(_.toDouble)
+      .getOrElse(math.max(360.0, 3.5 * benchDefs.size))
     // the re-measure budget clock starts at PASS-2 BEGIN, not process
     // start: pass-1 (cold) wall time must never consume it, else a
     // slammed box whose cold pass alone exceeds the budget can only ever

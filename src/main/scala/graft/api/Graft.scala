@@ -364,7 +364,13 @@ object Graft {
     * Scale shape: ONE equi join on the natural key (the interval test
     * rides the join as a residual predicate — per-key history is a few
     * versions, so the residual prunes a handful of rows, never a range
-    * blow-up); history is dimension-sized and broadcasts when small. */
+    * blow-up); history is dimension-sized and broadcasts when small.
+    *
+    * The history key column is DROPPED from the output (it equals the
+    * fact key wherever it matched, and would collide when `factKey` and
+    * `histKey` share a name, breaking downstream by-name selection);
+    * `valid_from`/`valid_to` pass through for callers that want the
+    * matched interval. */
   def temporalJoin(facts: DataFrame, factKey: String, versionCol: String,
       history: DataFrame, histKey: String): DataFrame = {
     val h = history.alias("h")
@@ -373,6 +379,7 @@ object Graft {
         col("h.valid_from") <= col(s"f.$versionCol") &&
         (col("h.valid_to").isNull || col("h.valid_to") > col(s"f.$versionCol")),
       "left")
+      .drop(col(s"h.$histKey"))
   }
 
   /** Decontamination: drop rows whose content digest appears in `eval`.
@@ -1224,13 +1231,29 @@ object Graft {
     *
     * Scale shape: one self-equi-join of the checkpointed neighbor
     * relation on the shared-neighbor key + two node-sized degree
-    * joins. Hub nodes quadratically inflate their wedge count — at
-    * web scale, cap or sample per-node adjacency before calling (the
-    * triangleCounts orientation trick does not apply here because
-    * both endpoints of a candidate pair are OUTPUT, not enumerated). */
-  def linkPredict(edges: DataFrame, minCommon: Int): DataFrame = {
+    * joins. Hub nodes quadratically inflate their wedge count — the
+    * join's work is sum over nodes of deg² — and the triangleCounts
+    * orientation trick cannot apply because both endpoints of a
+    * candidate pair are OUTPUT, not enumerated. `maxDegree` bounds the
+    * blow-up BY CONSTRUCTION: every node above it contributes only a
+    * deterministic h60-keyed sample of `maxDegree` adjacency rows
+    * (uniform pseudo-random under the portable hash — both engines and
+    * any cluster layout pick the identical sample), capping per-node
+    * wedge work at maxDegree². The default keeps the exact semantics;
+    * at web scale pass e.g. maxDegree = 1000, after which scores are
+    * computed over the sampled adjacency (exact for every pair whose
+    * endpoints AND shared neighbors all sit at or under the cap —
+    * property-pinned in GraftPropertySpec). */
+  def linkPredict(edges: DataFrame, minCommon: Int,
+      maxDegree: Int = Int.MaxValue): DataFrame = {
     val und = undirected(edges)
-    val nbr = neighbors(und)
+    val nbrAll = neighbors(und)
+    val nbr = if (maxDegree == Int.MaxValue) nbrAll else {
+      val w = Window.partitionBy("a").orderBy(
+        h60(concat(col("a"), lit(">"), col("b"))).asc, col("b").asc)
+      nbrAll.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= maxDegree).drop("rn")
+    }
     val deg = nbr.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
     val wedges = nbr.select(col("a").as("u"), col("b").as("x"))
       .join(nbr.select(col("a").as("u"), col("b").as("y")), Seq("u"))
@@ -1256,7 +1279,9 @@ object Graft {
     * exchange, so candidates price by their distinct-pair count, not
     * the table. Checkpoint `df` first when checking many candidates
     * over a computed view. */
-  def fdCheck(df: DataFrame, cands: Seq[(String, String)]): DataFrame =
+  def fdCheck(df: DataFrame, cands: Seq[(String, String)]): DataFrame = {
+    require(cands.nonEmpty,
+      "fdCheck needs at least one (lhs, rhs) candidate pair")
     cands.map { case (a, b) =>
       df.groupBy(a).agg(count_distinct(col(b)).as("ndb"))
         .agg(count(lit(1)).as("n_lhs"),
@@ -1264,6 +1289,7 @@ object Graft {
         .select(lit(s"$a->$b").as("fd"), col("n_lhs"),
           col("n_violating_lhs"), (col("n_violating_lhs") === 0L).as("holds"))
     }.reduce(_.unionAll(_))
+  }
 
   /** Per-chunk bloom index over `keyCol` (the Parquet-column-bloom /
     * Iceberg-puffin shape): each chunk's DISTINCT keys hash into a
@@ -1271,7 +1297,15 @@ object Graft {
     * `(chunk, word, bits)` rows — at most `words` longs per chunk,
     * built by one distinct + one map-side-combined bit_or aggregate.
     * Size `words` to the chunk's distinct-key budget (~1.5 bits/key/
-    * hash keeps the false-positive rate useful). */
+    * hash keeps the false-positive rate useful).
+    *
+    * The geometry `(words, k)` RIDES THE INDEX as the `bf_words`/`bf_k`
+    * columns, and [[bloomCandidates]] derives its probe parameters from
+    * them — a probe can never run under a mismatched geometry, which
+    * would silently produce false NEGATIVES (a bit hashed with the
+    * wrong modulus lands in the wrong word and the `hits = k` filter
+    * drops a true chunk). Two ints per (chunk, word) row is noise next
+    * to the 8-byte bitmap word. */
   def bloomChunkIndex(df: DataFrame, chunkCol: Column, keyCol: Column,
       words: Int = 16, k: Int = 3): DataFrame = {
     val positions = words * 63
@@ -1284,26 +1318,36 @@ object Graft {
       .select(col("chunk"), expr("p div 63").as("word"),
         expr("shiftleft(1L, cast(p % 63 as int))").as("m"))
       .groupBy("chunk", "word").agg(expr("bit_or(m)").as("bits"))
+      .withColumn("bf_words", lit(words))
+      .withColumn("bf_k", lit(k))
   }
 
   /** Probe a [[bloomChunkIndex]]: the chunks that may contain each of
     * `probes`' keys (column `pk`) — every true chunk is returned (a
     * bloom cannot clear a bit it set), false positives are possible.
     * The probe-position table is tiny (|probes| * k rows) and
-    * broadcasts against the chunk-sized index. */
-  def bloomCandidates(index: DataFrame, probes: DataFrame,
-      words: Int = 16, k: Int = 3): DataFrame = {
-    val positions = words * 63
+    * broadcasts against the chunk-sized index.
+    *
+    * Probe geometry comes FROM the index's own `bf_words`/`bf_k`
+    * columns (one broadcast 1-row max-aggregate — the index is built by
+    * one call, so the columns are constant), so the hash positions are
+    * by construction the ones the build used; there is no parameter a
+    * caller could mismatch into silent false negatives. */
+  def bloomCandidates(index: DataFrame, probes: DataFrame): DataFrame = {
+    val geom = index.agg(max("bf_words").as("bf_words"), max("bf_k").as("bf_k"))
     val ppos = probes
-      .select(col("pk"), explode(sequence(lit(0), lit(k - 1))).as("i"))
-      .select(col("pk"),
-        (h60(concat(lit("bl"), col("i"), lit(":"), col("pk"))) % positions)
+      .crossJoin(broadcast(geom))
+      .select(col("pk"), col("bf_k"),
+        explode(sequence(lit(0), col("bf_k") - 1)).as("i"),
+        (col("bf_words") * 63).as("positions"))
+      .select(col("pk"), col("bf_k"),
+        (h60(concat(lit("bl"), col("i"), lit(":"), col("pk"))) % col("positions"))
           .as("p"))
     broadcast(ppos)
-      .join(index, expr("word = p div 63") &&
+      .join(index.drop("bf_words", "bf_k"), expr("word = p div 63") &&
         expr("((bits >> cast(p % 63 as int)) & 1) = 1"))
-      .groupBy("pk", "chunk").agg(count(lit(1)).as("hits"))
-      .filter(col("hits") === k)
+      .groupBy("pk", "chunk", "bf_k").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === col("bf_k"))
       .select("pk", "chunk")
   }
 

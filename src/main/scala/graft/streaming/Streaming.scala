@@ -36,6 +36,19 @@ object Streaming {
       if (failure.get() != null) throw failure.get()
     } finally q.stop()
 
+  /** Driver-side accumulator written by the micro-batch thread inside
+    * `foreachBatch` and read on the caller thread after [[drain]]. The
+    * field is `@volatile` so cross-thread visibility is guaranteed by
+    * the JMM itself, not by the streaming engine's incidental
+    * happens-before at query termination. Writes are single-threaded
+    * (foreachBatch invocations are serial within one query), so a plain
+    * volatile store suffices — no CAS needed. */
+  private final class BatchAcc[A](init: A) {
+    @volatile private[this] var cur: A = init
+    def get: A = cur
+    def set(a: A): Unit = cur = a
+  }
+
   /** Run `body` with a bounded-replay-sized shuffle-partition count, then
     * restore. A streaming query spins up one state-store instance per
     * shuffle partition per stateful operator, and that count is baked
@@ -383,9 +396,9 @@ object Streaming {
     val topic = FileBusFixture.ensureKeyedTopic(s, d)
     val total = FileBus.endOffsets(topic).values.sum
     val cap = math.max(1L, total / batches + 1L)
-    var state: DataFrame = Seq.empty[(Long, Long, Double)]
-      .toDF("user_id", "event_id", "v")
-    var applied = 0
+    val state = new BatchAcc[DataFrame](Seq.empty[(Long, Long, Double)]
+      .toDF("user_id", "event_id", "v"))
+    val applied = new BatchAcc(0)
     val q = s.readStream.format(classOf[FileBusProvider].getName)
       .option("path", topic)
       .option("maxRecordsPerTrigger", cap.toString)
@@ -401,13 +414,13 @@ object Streaming {
             max_by(col("v"), col("event_id")).as("v"))
           .withColumn("op",
             when(col("event_id") % 29 === 0, lit("D")).otherwise(lit("U")))
-        state = graft.api.Graft.merge(state, changes, "user_id")
-          .drop("op").localCheckpoint()
-        applied += 1
+        state.set(graft.api.Graft.merge(state.get, changes, "user_id")
+          .drop("op").localCheckpoint())
+        applied.set(applied.get + 1)
       }
       .start()
     drain(q)
-    (state, applied)
+    (state.get, applied.get)
   }
 
   def streamUpsert(s: SparkSession, d: String): DataFrame =
@@ -499,11 +512,12 @@ object Streaming {
     val total = FileBus.endOffsets(topic).values.sum
     val cap = math.max(1L, total / batches + 1L)
     val zeroDec = Exact.dec(lit(0.0))
-    var keyState: DataFrame = Seq.empty[(Long, Long, Double)]
-      .toDF("user_id", "event_id", "v")
-    var view: DataFrame = Seq.empty[(Long, Long)].toDF("cohort", "n_users")
-      .withColumn("sum_v", zeroDec)
-    var applied = 0
+    val keyState = new BatchAcc[DataFrame](Seq.empty[(Long, Long, Double)]
+      .toDF("user_id", "event_id", "v"))
+    val view = new BatchAcc[DataFrame](
+      Seq.empty[(Long, Long)].toDF("cohort", "n_users")
+        .withColumn("sum_v", zeroDec))
+    val applied = new BatchAcc(0)
     val q = s.readStream.format(classOf[FileBusProvider].getName)
       .option("path", topic)
       .option("maxRecordsPerTrigger", cap.toString)
@@ -520,7 +534,7 @@ object Streaming {
           .withColumn("op",
             when(col("event_id") % 29 === 0, lit("D")).otherwise(lit("U")))
           .localCheckpoint() // feeds retraction, insertion, key merge
-        val retract = keyState
+        val retract = keyState.get
           .join(changes.select("user_id"), Seq("user_id"), "left_semi")
           .select((col("user_id") % 10).as("cohort"),
             lit(-1L).as("dn"), (zeroDec - Exact.dec(col("v"))).as("dv"))
@@ -529,22 +543,22 @@ object Streaming {
             lit(1L).as("dn"), Exact.dec(col("v")).as("dv"))
         val delta = retract.unionByName(insert)
           .groupBy("cohort").agg(sum("dn").as("dn"), sum("dv").as("dv"))
-        view = view.join(delta, Seq("cohort"), "full_outer")
+        view.set(view.get.join(delta, Seq("cohort"), "full_outer")
           .select(col("cohort"),
             (coalesce(col("n_users"), lit(0L)) +
               coalesce(col("dn"), lit(0L))).as("n_users"),
             (coalesce(col("sum_v"), zeroDec) +
               coalesce(col("dv"), zeroDec)).as("sum_v"))
-          .localCheckpoint()
-        keyState = graft.api.Graft.merge(keyState, changes, "user_id")
-          .drop("op").localCheckpoint()
-        applied += 1
+          .localCheckpoint())
+        keyState.set(graft.api.Graft.merge(keyState.get, changes, "user_id")
+          .drop("op").localCheckpoint())
+        applied.set(applied.get + 1)
       }
       .start()
     drain(q)
-    (view.filter(col("n_users") > 0)
+    (view.get.filter(col("n_users") > 0)
       .select(col("cohort"), col("n_users"),
-        graft.Exact.decOut(col("sum_v")).as("sum_v")), applied)
+        graft.Exact.decOut(col("sum_v")).as("sum_v")), applied.get)
   }
 
   def streamIvm(s: SparkSession, d: String): DataFrame =
@@ -579,12 +593,13 @@ object Streaming {
     val cap = math.max(1L, total / batches + 1L)
     val WeekUs = 604800000000L
     val OriginUs = 1704067200000000L // 2024-01-01, the batch query's origin
-    var pairState: DataFrame = Seq.empty[(Long, Long)].toDF("user_id", "week")
-    var cohortState: DataFrame =
-      Seq.empty[(Long, Long)].toDF("user_id", "cohort_week")
-    var view: DataFrame =
-      Seq.empty[(Long, Long, Long)].toDF("cohort_week", "offset_weeks", "n_users")
-    var applied = 0
+    val pairState = new BatchAcc[DataFrame](
+      Seq.empty[(Long, Long)].toDF("user_id", "week"))
+    val cohortState = new BatchAcc[DataFrame](
+      Seq.empty[(Long, Long)].toDF("user_id", "cohort_week"))
+    val view = new BatchAcc[DataFrame](Seq.empty[(Long, Long, Long)]
+      .toDF("cohort_week", "offset_weeks", "n_users"))
+    val applied = new BatchAcc(0)
     val q = s.readStream.format(classOf[FileBusProvider].getName)
       .option("path", topic)
       .option("maxRecordsPerTrigger", cap.toString)
@@ -598,19 +613,19 @@ object Streaming {
             expr(s"(ts_us - ${OriginUs}L) div ${WeekUs}L").as("week"))
           .distinct()
         val newPairs = batchW
-          .join(pairState, Seq("user_id", "week"), "left_anti")
+          .join(pairState.get, Seq("user_id", "week"), "left_anti")
           .localCheckpoint() // feeds cohort move, insertion, state union
         // per touched user: old cohort (if any) vs min incoming week
         val affected = newPairs.groupBy("user_id")
           .agg(min("week").as("new_min"))
-          .join(cohortState, Seq("user_id"), "left")
+          .join(cohortState.get, Seq("user_id"), "left")
           .select(col("user_id"), col("cohort_week").as("old_c"),
             when(col("cohort_week").isNull ||
               col("new_min") < col("cohort_week"), col("new_min"))
               .otherwise(col("cohort_week")).as("new_c"))
           .localCheckpoint() // feeds retraction, insertion, cohort merge
         // movers: every EXISTING cell migrates old cohort -> new cohort
-        val moverPairs = pairState.join(
+        val moverPairs = pairState.get.join(
           affected.filter(col("old_c").isNotNull && col("new_c") < col("old_c")),
           Seq("user_id"))
         val retract = moverPairs.select(col("old_c").as("cohort_week"),
@@ -622,22 +637,23 @@ object Streaming {
             (col("week") - col("new_c")).as("offset_weeks"), lit(1L).as("dn"))
         val delta = retract.unionByName(reinsert).unionByName(insert)
           .groupBy("cohort_week", "offset_weeks").agg(sum("dn").as("dn"))
-        view = view.join(delta, Seq("cohort_week", "offset_weeks"), "full_outer")
-          .select(col("cohort_week"), col("offset_weeks"),
-            (coalesce(col("n_users"), lit(0L)) +
-              coalesce(col("dn"), lit(0L))).as("n_users"))
-          .localCheckpoint()
-        pairState = pairState.unionByName(newPairs).localCheckpoint()
-        cohortState = cohortState
+        view.set(
+          view.get.join(delta, Seq("cohort_week", "offset_weeks"), "full_outer")
+            .select(col("cohort_week"), col("offset_weeks"),
+              (coalesce(col("n_users"), lit(0L)) +
+                coalesce(col("dn"), lit(0L))).as("n_users"))
+            .localCheckpoint())
+        pairState.set(pairState.get.unionByName(newPairs).localCheckpoint())
+        cohortState.set(cohortState.get
           .join(affected.select("user_id"), Seq("user_id"), "left_anti")
           .unionByName(
             affected.select(col("user_id"), col("new_c").as("cohort_week")))
-          .localCheckpoint()
-        applied += 1
+          .localCheckpoint())
+        applied.set(applied.get + 1)
       }
       .start()
     drain(q)
-    (view.filter(col("n_users") > 0), applied)
+    (view.get.filter(col("n_users") > 0), applied.get)
   }
 
   def streamRetention(s: SparkSession, d: String): DataFrame =
@@ -665,9 +681,9 @@ object Streaming {
     val cap = math.max(1L, total / batches + 1L)
     val janStartUs = 1704067200000000L // 2024-01-01T00:00:00Z
     val febStartUs = 1706745600000000L // 2024-02-01T00:00:00Z
-    var totals: DataFrame = Seq.empty[(String, Long)]
-      .toDF("constraint_name", "violations")
-    var applied = 0
+    val totals = new BatchAcc[DataFrame](Seq.empty[(String, Long)]
+      .toDF("constraint_name", "violations"))
+    val applied = new BatchAcc(0)
     val q = s.readStream.format(classOf[FileBusProvider].getName)
       .option("path", topic)
       .option("maxRecordsPerTrigger", cap.toString)
@@ -692,17 +708,17 @@ object Streaming {
               |  'no_error_events', no_error_events,
               |  'value_range', value_range,
               |  'ts_window', ts_window) AS (constraint_name, d)""".stripMargin))
-        totals = totals.join(delta, Seq("constraint_name"), "full_outer")
+        totals.set(totals.get.join(delta, Seq("constraint_name"), "full_outer")
           .select(col("constraint_name"),
             (coalesce(col("violations"), lit(0L)) +
               coalesce(col("d"), lit(0L))).as("violations"))
-          .localCheckpoint()
-        applied += 1
+          .localCheckpoint())
+        applied.set(applied.get + 1)
       }
       .start()
     drain(q)
-    (totals.select(col("constraint_name"), col("violations"),
-      (col("violations") === 0L).as("pass")), applied)
+    (totals.get.select(col("constraint_name"), col("violations"),
+      (col("violations") === 0L).as("pass")), applied.get)
   }
 
   def streamQuality(s: SparkSession, d: String): DataFrame =
@@ -741,20 +757,20 @@ object Streaming {
     val ref = bins(parse(s.read.format(classOf[FileBusProvider].getName)
       .option("path", topic).load().select(col("value"))), planted = false)
       .localCheckpoint()
-    var curHist: DataFrame = Seq.empty[(String, Long, Long)]
-      .toDF("event_type", "bin", "c")
-    var applied = 0
+    val curHist = new BatchAcc[DataFrame](Seq.empty[(String, Long, Long)]
+      .toDF("event_type", "bin", "c"))
+    val applied = new BatchAcc(0)
     val q = s.readStream.format(classOf[FileBusProvider].getName)
       .option("path", topic)
       .option("maxRecordsPerTrigger", cap.toString)
       .load()
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        curHist = curHist
+        curHist.set(curHist.get
           .unionByName(bins(parse(batch), planted = true))
           .groupBy("event_type", "bin").agg(sum("c").as("c"))
-          .localCheckpoint()
-        applied += 1
+          .localCheckpoint())
+        applied.set(applied.get + 1)
       }
       .start()
     drain(q)
@@ -763,7 +779,7 @@ object Streaming {
     // any sf; an absolute threshold would silently stop firing at small
     // scales and saturate at large ones
     val l1 = ref.select(col("event_type"), col("bin"), col("c").as("rc"))
-      .join(curHist.select(col("event_type"), col("bin"), col("c").as("cc")),
+      .join(curHist.get.select(col("event_type"), col("bin"), col("c").as("cc")),
         Seq("event_type", "bin"), "full_outer")
       .groupBy("event_type")
       .agg(sum(abs(coalesce(col("rc"), lit(0L)) - coalesce(col("cc"), lit(0L))))
@@ -771,7 +787,7 @@ object Streaming {
         sum(coalesce(col("rc"), lit(0L))).as("n"))
       .select(col("event_type"), col("l1_dist"),
         (col("l1_dist") * 20L > col("n")).as("drifted"))
-    (l1, applied)
+    (l1, applied.get)
   }
 
   def streamDrift(s: SparkSession, d: String): DataFrame =
@@ -800,8 +816,9 @@ object Streaming {
     val topic = FileBusFixture.ensureCardinalityTopic(s, d)
     val total = FileBus.endOffsets(topic).values.sum
     val cap = math.max(1L, total / batches + 1L)
-    var sk: DataFrame = Seq.empty[(String, Long)].toDF("event_type", "h")
-    var applied = 0
+    val sk = new BatchAcc[DataFrame](
+      Seq.empty[(String, Long)].toDF("event_type", "h"))
+    val applied = new BatchAcc(0)
     val q = s.readStream.format(classOf[FileBusProvider].getName)
       .option("path", topic)
       .option("maxRecordsPerTrigger", cap.toString)
@@ -813,19 +830,19 @@ object Streaming {
         val bh = batch.select(col("event_type"),
             h60(concat(lit("kmv:"), col("user_id"))).as("h"))
           .distinct()
-        sk = sk.unionByName(bh).distinct()
+        sk.set(sk.get.unionByName(bh).distinct()
           .withColumn("rn", row_number().over(
             Window.partitionBy("event_type").orderBy("h")))
           .filter(col("rn") <= KmvK)
           .select("event_type", "h")
-          .localCheckpoint()
-        applied += 1
+          .localCheckpoint())
+        applied.set(applied.get + 1)
       }
       .start()
     drain(q)
     // theta = the k-th smallest retained hash; types that never reached
     // k distinct keys report their sketch size (exact by construction)
-    val ranked = sk.withColumn("rn", row_number().over(
+    val ranked = sk.get.withColumn("rn", row_number().over(
       Window.partitionBy("event_type").orderBy("h")))
     val out = ranked.groupBy("event_type")
       .agg(count(lit(1)).as("n_sketch"),
@@ -833,7 +850,7 @@ object Streaming {
       .select(col("event_type"), col("n_sketch"),
         when(col("n_sketch") < KmvK, col("n_sketch"))
           .otherwise(expr(s"$KmvNum div th")).as("est"))
-    (out, applied)
+    (out, applied.get)
   }
 
   def streamCardinality(s: SparkSession, d: String): DataFrame =
@@ -866,8 +883,9 @@ object Streaming {
     val topic = FileBusFixture.ensureCardinalityTopic(s, d)
     val total = FileBus.endOffsets(topic).values.sum
     val cap = math.max(1L, total / batches + 1L)
-    var cells: DataFrame = Seq.empty[(Int, Long, Long)].toDF("j", "b", "c")
-    var applied = 0
+    val cells = new BatchAcc[DataFrame](
+      Seq.empty[(Int, Long, Long)].toDF("j", "b", "c"))
+    val applied = new BatchAcc(0)
     val q = s.readStream.format(classOf[FileBusProvider].getName)
       .option("path", topic)
       .option("maxRecordsPerTrigger", cap.toString)
@@ -883,10 +901,10 @@ object Streaming {
               .as("b"),
             col("cnt"))
           .groupBy("j", "b").agg(sum("cnt").as("c"))
-        cells = cells.unionByName(bc)
+        cells.set(cells.get.unionByName(bc)
           .groupBy("j", "b").agg(sum("c").as("c"))
-          .localCheckpoint()
-        applied += 1
+          .localCheckpoint())
+        applied.set(applied.get + 1)
       }
       .start()
     drain(q)
@@ -897,10 +915,10 @@ object Streaming {
         explode(sequence(lit(0), lit(CmD - 1))).as("j"))
       .withColumn("b",
         h60(concat(lit("cm"), col("j"), lit(":"), col("user_id"))) % CmW)
-      .join(cells, Seq("j", "b"))
+      .join(cells.get, Seq("j", "b"))
       .groupBy("user_id", "cnt").agg(min("c").as("est"))
       .select("user_id", "cnt", "est")
-    (out, applied)
+    (out, applied.get)
   }
 
   def streamCountmin(s: SparkSession, d: String): DataFrame =
@@ -937,11 +955,11 @@ object Streaming {
         "c_custkey", version = 1L)
       .select("c_custkey", "c_mktsegment", "valid_from", "valid_to")
       .localCheckpoint()
-    var acc: DataFrame = Seq.empty[(String, Long, Long)]
+    val acc = new BatchAcc[DataFrame](Seq.empty[(String, Long, Long)]
       .toDF("c_mktsegment", "epoch", "n_events")
       .withColumn("val_sum", lit(0).cast("decimal(38,10)"))
-      .filter(lit(false))
-    var applied = 0
+      .filter(lit(false)))
+    val applied = new BatchAcc(0)
     val topic = FileBusFixture.ensureValueTopic(s, d)
     val total = FileBus.endOffsets(topic).values.sum
     val cap = math.max(1L, total / batches + 1L)
@@ -963,17 +981,17 @@ object Streaming {
               (col("valid_to").isNull || col("valid_to") > col("epoch")))
           .groupBy("c_mktsegment", "epoch")
           .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("val_sum"))
-        acc = acc.unionByName(enriched)
+        acc.set(acc.get.unionByName(enriched)
           .groupBy("c_mktsegment", "epoch")
           .agg(sum("n_events").as("n_events"),
             sum("val_sum").cast("decimal(38,10)").as("val_sum"))
-          .localCheckpoint()
-        applied += 1
+          .localCheckpoint())
+        applied.set(applied.get + 1)
       }
       .start()
     drain(q)
-    (acc.select(col("c_mktsegment"), col("epoch"), col("n_events"),
-      decOut(col("val_sum")).as("total_value")), applied)
+    (acc.get.select(col("c_mktsegment"), col("epoch"), col("n_events"),
+      decOut(col("val_sum")).as("total_value")), applied.get)
   }
 
   def streamDimLookup(s: SparkSession, d: String): DataFrame =
@@ -1005,7 +1023,7 @@ object Streaming {
     val corpusIdx = Graft.minhashBandKeys(
         Graft.shingleSet(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text"))
       .select("band", "bandkey").distinct().localCheckpoint()
-    var kept: DataFrame = null
+    val kept = new BatchAcc[DataFrame](null)
     val q = s.readStream.schema(docs.schema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
       .filter(col("doc_id") % 3 =!= 0)
@@ -1016,12 +1034,13 @@ object Streaming {
           .select("doc_id").distinct()
         val keep = batch.select("doc_id").join(hit, Seq("doc_id"), "left_anti")
           .localCheckpoint()
-        kept = if (kept == null) keep else kept.union(keep).localCheckpoint()
+        kept.set(
+          if (kept.get == null) keep else kept.get.union(keep).localCheckpoint())
       }
       .start()
     drain(q)
-    if (kept == null) s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
-    else kept
+    if (kept.get == null) s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+    else kept.get
   }
 
   /** Partitioned, offset-replayable ingestion: the [[FileBus]] topic at

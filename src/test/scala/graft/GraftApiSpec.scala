@@ -46,6 +46,31 @@ class GraftApiSpec extends SparkSpec {
     assert(truth.nonEmpty)
   }
 
+  test("bloom probe derives its geometry FROM the index — no parameter to mismatch") {
+    // A deliberately non-default geometry: a probe run under the old
+    // default (16, 3) would hash into the wrong words and silently drop
+    // true chunks; deriving (bf_words, bf_k) from the index itself must
+    // keep the zero-false-negative contract at ANY geometry.
+    val data = (0L until 400L).map(i => (i / 50L, i % 97L)).toDF("chunk", "key")
+    val idx = Graft.bloomChunkIndex(data, col("chunk"), col("key"),
+      words = 4, k = 5)
+    assert(idx.select("bf_words", "bf_k").distinct().as[(Int, Int)]
+      .collect().toSeq == Seq((4, 5)))
+    val probes = Seq(3L, 96L, 11L).toDF("pk")
+    val cand = Graft.bloomCandidates(idx, probes)
+      .collect().map(r => (r.getAs[Long]("pk"), r.getAs[Long]("chunk"))).toSet
+    val truth = data.as[(Long, Long)].collect()
+      .filter(t => Set(3L, 96L, 11L)(t._2)).map(t => (t._2, t._1)).toSet
+    assert(truth.subsetOf(cand),
+      "geometry-derived probe missed a true (key, chunk) pair")
+  }
+
+  test("fdCheck refuses an empty candidate list loudly") {
+    val df = Seq((1L, 1L)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException](Graft.fdCheck(df, Seq.empty))
+    assert(e.getMessage.contains("at least one"))
+  }
+
   test("exactDedup groups byte-identical docs under min id") {
     val rows = Graft.exactDedup(corpus, "id", "body").collect()
     assert(rows.length == 4)
@@ -289,6 +314,19 @@ class GraftApiSpec extends SparkSpec {
     val got = rows.toMap
     assert(got == Map(100L -> Some("a"), 101L -> Some("a2"),
       102L -> None, 103L -> None, 104L -> Some("i")), got.toString)
+  }
+
+  test("temporalJoin drops the history key: same-named keys stay unambiguous") {
+    val hist = Seq((1L, "a")).toDF("id", "nm")
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("long"))
+    val facts = Seq((100L, 1L, 0L)).toDF("fid", "id", "v")
+    val out = Graft.temporalJoin(facts, "id", "v", hist, "id")
+    // exactly ONE `id` column survives (the fact's), so by-name selection
+    // downstream cannot hit an ambiguous-reference error
+    assert(out.columns.count(_ == "id") == 1)
+    val row = out.select("fid", "id", "nm").as[(Long, Long, String)].collect()
+    assert(row.toSeq == Seq((100L, 1L, "a")))
   }
 
   test("bfs computes exact hop distances on a known graph, bounded by maxDepth") {

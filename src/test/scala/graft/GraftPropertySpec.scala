@@ -339,6 +339,50 @@ class GraftPropertySpec extends SparkSpec {
     })
   }
 
+  test("property: linkPredict maxDegree is the identity when every degree sits under the cap") {
+    // Random graphs of <= 12 nodes: no degree can exceed 11, so any cap
+    // >= 11 must leave BOTH the candidate pairs and their scores
+    // bit-identical to the uncapped run — the cap may only ever touch
+    // nodes above it.
+    val edgeGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 12)
+      m <- Gen.choose(1, 20)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield es
+    check(forAll(edgeGen) { es =>
+      val df = es.toDF("a", "b")
+      def run(cap: Int) = Graft.linkPredict(df, minCommon = 1, maxDegree = cap)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      run(11) == run(Int.MaxValue) && run(20) == run(Int.MaxValue)
+    })
+  }
+
+  test("linkPredict maxDegree bounds hub wedges; low-degree side stays exact") {
+    // A 60-leaf star (hub 0) disjoint-union a 4-cycle {100..103}. With
+    // maxDegree = 8 the hub contributes at most C(8,2) = 28 leaf pairs
+    // (vs C(60,2) = 1770 uncapped — the quadratic blow-up the cap
+    // exists to bound), while the cycle's two diagonal pairs — every
+    // degree there is 2 — are identical with and without the cap.
+    val star = (1L to 60L).map(l => (0L, l))
+    val cycle = Seq((100L, 101L), (101L, 102L), (102L, 103L), (103L, 100L))
+    val edges = (star ++ cycle).toDF("a", "b")
+    def pairs(cap: Int) = Graft.linkPredict(edges, minCommon = 1, maxDegree = cap)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val capped = pairs(8)
+    val full = pairs(Int.MaxValue)
+    val starSide = capped.filter(_._1 < 100L)
+    assert(starSide.size == 28, s"expected C(8,2)=28 hub pairs, got ${starSide.size}")
+    assert(full.count(_._1 < 100L) == 1770)
+    // capped hub pairs are a SUBSET of the exact ones, scores untouched
+    assert(starSide.subsetOf(full.filter(_._1 < 100L)))
+    // each diagonal pair shares BOTH its neighbors: jaccard 2/(2+2-2)=1
+    val diagonals = Set((100L, 102L, 2L, 1.0), (101L, 103L, 2L, 1.0))
+    assert(capped.filter(_._1 >= 100L) == diagonals)
+    assert(full.filter(_._1 >= 100L) == diagonals)
+  }
+
   test("property: labelProp labels stay inside the node's own component") {
     val edgeGen: Gen[(Int, List[(Long, Long)])] = for {
       n <- Gen.choose(2, 12)
