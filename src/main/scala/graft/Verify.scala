@@ -125,8 +125,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Bus-topic oracles read the fixture logs at
+    // /tmp/graft_bus_<kind>_<sfName>/ (FileBusFixture.topicDir et al).
+    // The QueryDef strings pin sf0.01 — the driver's correctness gate
+    // always verifies there — but a verify run at ANY sf must hand the
+    // oracle THAT sf's topic (each sf keeps its own topic dir), so the
+    // dump rewrites the sf suffix to match sfDir. This is what lets the
+    // 10x scale check hash-verify the bus family at sf0.1 instead of
+    // falling back to timing-only evidence.
+    val sfName = Paths.get(sfDir).getFileName.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("_sf0.01/", s"_$sfName/"))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

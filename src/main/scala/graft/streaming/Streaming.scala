@@ -1140,10 +1140,12 @@ object Streaming {
     // FileBusFixture for the producer-role framing) read back through the
     // DSv2 batch scan and the SAME ingestAgg body the socket and
     // micro-batch rungs run, oracled by DuckDB over the very same p*.log
-    // files. The oracle path is fixed to the sf0.01 topic because the
-    // driver's correctness gate always verifies at sf0.01 (its contract);
-    // each sf keeps its own topic dir so bench runs at other scales can't
-    // clobber the one the oracle reads. Completes the reference residue:
+    // files. The oracle path names the sf0.01 topic (the driver's
+    // correctness gate always verifies at sf0.01 — its contract), and
+    // graft.Verify rewrites the sf suffix at dump time to whatever sf dir
+    // it runs against, so scale checks at sf0.1 hash-verify the bus
+    // family too; each sf keeps its own topic dir so runs at other
+    // scales can't clobber the one the oracle reads. Completes the reference residue:
     // framed-socket record ingestion (`robust_socket_io.py:16-112`,
     // `tools.py:71-99`) as a replayable partitioned log.
     // The SINK half of the bus contract under the same hard gate: read
