@@ -49,3 +49,26 @@ class HeavyHitters(capacity: Int)
   override def outputEncoder: Encoder[Map[String, Long]] =
     Encoders.kryo[Map[String, Long]]
 }
+
+/** Merge ALREADY-BUILT Misra-Gries sketches (the parallel-MG combine of
+  * Agarwal et al., same `capacity`): the fold a streaming monitor runs
+  * across micro-batch partial sketches, and what a 1000-executor job
+  * runs across per-shard sketches shipped from ingest sites. The
+  * undercount bound (<= n / (capacity + 1) over the TOTAL stream) is
+  * preserved under any merge order/grouping — the batching-invariant
+  * CONTRACT q_stream_heavyhitters verifies (exact counter values may
+  * differ across orders; the support guarantee never does). */
+class HeavyHittersMerge(capacity: Int)
+    extends Aggregator[Map[String, Long], Map[String, Long], Map[String, Long]] {
+  private val hh = new HeavyHitters(capacity)
+  override def zero: Map[String, Long] = Map.empty
+  override def reduce(b: Map[String, Long], a: Map[String, Long]): Map[String, Long] =
+    hh.merge(b, a)
+  override def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] =
+    hh.merge(b1, b2)
+  override def finish(r: Map[String, Long]): Map[String, Long] = r
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    Encoders.kryo[Map[String, Long]]
+  override def outputEncoder: Encoder[Map[String, Long]] =
+    Encoders.kryo[Map[String, Long]]
+}

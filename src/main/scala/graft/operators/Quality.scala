@@ -350,6 +350,76 @@ object Quality {
       checks(s, o, customer(s, d))
     },
 
+    // ---- constraint-violation quarantine (detect -> ACT) ------------
+    // The write half of the constraint suite: violators LEAVE the
+    // pipeline into a quarantine parquet sink (the q_source_quarantine
+    // precedent, where the parse-time kind of bad row does the same),
+    // good rows continue — closing the detect->act pair the way despan
+    // closes dup-spans. Fixtures are clean, so violations are PLANTED
+    // deterministically (inject-then-detect, the repo precedent):
+    // every 89th orderkey's status leaves the domain, every 97th's
+    // totalprice flips negative, every 101st's priority lowercases.
+    // A row failing several row-local checks quarantines ONCE with a
+    // csv reason list (fixed check order, so the string is stable; no
+    // array columns in outputs). The report re-reads the QUARANTINE
+    // SINK — a survivor dropped or mangled by the write path breaks
+    // the hash — and pins the violator set plus the n_good /
+    // n_quarantined split (broadcast 1-row aggregate, rows never
+    // re-shuffle for it).
+    //
+    // Scale shape: one narrow scan -> per-row predicates -> one
+    // partitioned parquet write of the (tiny) violator slice; the
+    // good/bad counts are one map-side-combined aggregate. Nothing
+    // row-sized crosses an exchange.
+    QueryDef(
+      "q_quality_quarantine",
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END AS st,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice ELSE o_totalprice END AS tp,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN lower(o_orderpriority) ELSE o_orderpriority END AS pr
+        |  FROM orders),
+        |f AS (
+        |  SELECT o_orderkey,
+        |    concat_ws(',',
+        |      CASE WHEN st NOT IN ('O', 'F', 'P') THEN 'status_domain' END,
+        |      CASE WHEN tp IS NULL OR tp <= 0 OR tp > 400000 THEN 'totalprice_range' END,
+        |      CASE WHEN NOT regexp_matches(pr, '^[1-5]-[A-Z ]+$') THEN 'priority_format' END) AS reasons
+        |  FROM o),
+        |c AS (
+        |  SELECT count(CASE WHEN reasons = '' THEN 1 END) AS n_good,
+        |    count(CASE WHEN reasons <> '' THEN 1 END) AS n_quarantined
+        |  FROM f)
+        |SELECT f.o_orderkey, f.reasons, c.n_good, c.n_quarantined
+        |FROM f, c WHERE f.reasons <> ''
+        |""".stripMargin) { (s, d) =>
+      val dir = "/tmp/graft_quar_viol_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      Sampling.deleteOnExit(dir)
+      val o = orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 89 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("st"),
+        when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("tp"),
+        when(col("o_orderkey") % 101 === 0, lower(col("o_orderpriority")))
+          .otherwise(col("o_orderpriority")).as("pr"))
+      val flagged = o.withColumn("reasons", concat_ws(",",
+        when(!col("st").isin("O", "F", "P"), lit("status_domain")),
+        when(col("tp").isNull || col("tp") <= 0 || col("tp") > 400000,
+          lit("totalprice_range")),
+        when(!col("pr").rlike("^[1-5]-[A-Z ]+$"), lit("priority_format"))))
+      flagged.filter(col("reasons") =!= "")
+        .write.mode("overwrite").parquet(dir)
+      val counts = flagged.agg(
+        count(when(col("reasons") === "", 1)).as("n_good"),
+        count(when(col("reasons") =!= "", 1)).as("n_quarantined"))
+      s.read.parquet(dir)
+        .select(col("o_orderkey"), col("reasons"))
+        .crossJoin(broadcast(counts))
+    },
+
     // ---- robust anomaly detection -----------------------------------
     // Median/MAD outlier flagging on document length per language — the
     // robust-z filter a curation pipeline runs to drop truncated or

@@ -28,7 +28,7 @@ object Sampling {
     * name), so nothing outlives the session that wrote it. */
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def deleteOnExit(dir: String): Unit =
+  private[graft] def deleteOnExit(dir: String): Unit =
     if (cleanupRegistered.add(dir)) {
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(p: java.io.File): Unit = {

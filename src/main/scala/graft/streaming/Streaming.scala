@@ -924,6 +924,79 @@ object Streaming {
   def streamCountmin(s: SparkSession, d: String): DataFrame =
     streamCountminCounted(s, d)._1
 
+  /** Streaming top-k / heavy-hitters monitor (the q_stream_heavyhitters
+    * body): a Misra-Gries sketch over a skewed stream key maintained
+    * across micro-batches — the last mergeable sketch
+    * (functions.HeavyHitters, q_agg_heavy_hitters) gaining a streaming
+    * twin beside count-min (q_stream_countmin) and KMV
+    * (q_stream_cardinality). Each batch folds its records into a batch
+    * MG sketch with the SAME typed Aggregator the batch query uses,
+    * then the running sketch absorbs it via the parallel-MG combine
+    * (functions.HeavyHittersMerge): state is at most `capacity`
+    * counters, forever. The stream key is the lowest set bit of
+    * user_id — a geometric distribution (half the mass on "1", a
+    * quarter on "2", ...), so heavy hitters genuinely exist.
+    *
+    * What is (and is not) batching-invariant: MG counter VALUES depend
+    * on merge grouping, but the support GUARANTEE — every key with
+    * true frequency > n/(capacity+1) is in the sketch, under any
+    * merge order (Agarwal et al.) — does not. The report therefore
+    * emits exact per-key counts plus the guarantee verdict `ok`
+    * (which the sketch can only confirm, never flip), and THAT is the
+    * batching-invariant output the oracle states over the whole topic
+    * — same contract shape as the batch twin's `ok` column.
+    *
+    * Scale shape: each batch reduces map-side to its own
+    * capacity-sized sketch before the 1-row combine; the monitor never
+    * holds the key universe, and merging sketches from any number of
+    * ingest sites is the same associative-up-to-the-guarantee fold. */
+  private[graft] def streamHeavyHittersCounted(s: SparkSession, d: String,
+      batches: Int = 3, capacity: Int = 4): (DataFrame, Int) =
+    withStatePartitions(s, 4) {
+    import org.apache.spark.sql.{Dataset, Encoders}
+    implicit val mapEnc = Encoders.kryo[Map[String, Long]]
+    val topic = FileBusFixture.ensureCardinalityTopic(s, d)
+    val total = FileBus.endOffsets(topic).values.sum
+    val cap = math.max(1L, total / batches + 1L)
+    val sketch = new BatchAcc[Dataset[Map[String, Long]]](
+      s.createDataset(Seq(Map.empty[String, Long])))
+    val applied = new BatchAcc(0)
+    val q = s.readStream.format(classOf[FileBusProvider].getName)
+      .option("path", topic)
+      .option("maxRecordsPerTrigger", cap.toString)
+      .load()
+      .select(split(col("value"), ",").getItem(1).cast("long").as("user_id"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch
+          .select(col("user_id").bitwiseAND(-col("user_id"))
+            .cast("string").as("k"))
+          .as[String](Encoders.STRING)
+          .select(new graft.functions.HeavyHitters(capacity).toColumn)
+        sketch.set(sketch.get.union(bs)
+          .select(new graft.functions.HeavyHittersMerge(capacity).toColumn)
+          .localCheckpoint())
+        applied.set(applied.get + 1)
+      }
+      .start()
+    drain(q)
+    val sketchKeys = sketch.get.flatMap(_.keys)(Encoders.STRING).toDF("hh_k")
+    val agged = graft.sources.Tables.events(s, d)
+      .select(col("user_id").bitwiseAND(-col("user_id"))
+        .cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val tot = agged.agg(sum("n").as("total"))
+    val out = agged.crossJoin(broadcast(tot))
+      .join(broadcast(sketchKeys), col("k") === col("hh_k"), "left")
+      .select(col("k"), col("n"),
+        (col("n") * (capacity + 1) <= col("total") || col("hh_k").isNotNull)
+          .as("ok"))
+    (out, applied.get)
+  }
+
+  def streamHeavyHitters(s: SparkSession, d: String): DataFrame =
+    streamHeavyHittersCounted(s, d)._1
+
   /** Point-in-time dimension lookup at STREAM ingest (the
     * q_stream_dimlookup body): every arriving event is enriched with
     * the SCD2 dimension row valid AT ITS OWN EPOCH — the feature-store
@@ -1470,6 +1543,24 @@ object Streaming {
          |  AND cl.b = ('0x' || substr(md5('cm' || u.j::VARCHAR || ':' || t.user_id::VARCHAR), 1, 15))::BIGINT % ${graft.operators.Sketches.CmW}
          |GROUP BY t.user_id, t.cnt
          |""".stripMargin) { (s, d) => streamCountmin(s, d) },
+
+    // Streaming heavy-hitters: the Misra-Gries sketch folded across
+    // micro-batches via the parallel-MG combine — the last mergeable
+    // sketch gaining a streaming twin. The stream key (lowest set bit
+    // of user_id) is geometric, so true heavy hitters exist; the
+    // report emits exact per-key counts plus the support-guarantee
+    // verdict (every key above n/(capacity+1) must be in the sketch —
+    // preserved under ANY merge grouping, so `ok` is the
+    // batching-invariant surface and the oracle states it as the
+    // constant TRUE the batch twin q_agg_heavy_hitters pins).
+    // Batching-invariance of the full report is pinned 1-vs-3-vs-5
+    // batches in StreamingRobustnessSpec.
+    QueryDef(
+      "q_stream_heavyhitters",
+      """SELECT k, n, true AS ok FROM (
+        |  SELECT CAST(user_id & -user_id AS VARCHAR) AS k, count(*) AS n
+        |  FROM events GROUP BY 1) t
+        |""".stripMargin) { (s, d) => streamHeavyHitters(s, d) },
 
     // Point-in-time dimension lookup at ingest: events enriched with
     // the SCD2 dimension row valid at their own epoch (feature-store

@@ -187,6 +187,30 @@ class StreamingRobustnessSpec extends SparkSpec {
       "count-min monitor must be batching-invariant")
   }
 
+  test("streamHeavyHitters: the support guarantee holds under ANY batching") {
+    // MG counter VALUES may differ across merge groupings; the REPORT
+    // (exact counts + guarantee verdict) must not. Three schedules —
+    // one mega-batch, the default 3, and 5 — must emit the identical
+    // report, and every key above the support threshold must be ok
+    // (the sketch caught it) — the Agarwal et al. merge bound.
+    val (r3df, applied) = Streaming.streamHeavyHittersCounted(spark, sf, batches = 3)
+    assert(applied >= 2, s"expected a multi-batch fold, got $applied batch(es)")
+    val r3 = r3df.collect()
+    assert(r3.nonEmpty)
+    assert(r3.forall(_.getAs[Boolean]("ok")),
+      "a heavy key escaped the MG sketch — the merge bound is broken")
+    // the geometric key really does produce a heavy hitter: "1" holds
+    // about half the stream, far above the n/(capacity+1) threshold
+    val n1 = r3.find(_.getAs[String]("k") == "1").map(_.getAs[Long]("n"))
+    val total = r3.map(_.getAs[Long]("n")).sum
+    assert(n1.exists(_ * 5 > total), s"fixture lost its skew: $n1 of $total")
+    for (b <- Seq(1, 5)) {
+      val (rb, _) = Streaming.streamHeavyHittersCounted(spark, sf, batches = b)
+      assert(rb.exceptAll(r3df).isEmpty && r3df.exceptAll(rb).isEmpty,
+        s"heavy-hitters report must be batching-invariant (batches=$b)")
+    }
+  }
+
   test("streamDimLookup: stateless enrichment + additive fold is batching-invariant") {
     val (est3, applied) = Streaming.streamDimLookupCounted(spark, sf, batches = 3)
     assert(applied >= 2, s"expected a multi-batch fold, got $applied batch(es)")
