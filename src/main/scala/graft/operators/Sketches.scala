@@ -286,8 +286,190 @@ object Sketches {
         .agg(count_distinct(col("user_id")).as("n_distinct"))
       exact.join(viaBitmap, Seq("event_type"))
         .select("event_type", "n_distinct", "n_bitmap")
+    },
+
+    // Mergeable QUANTILE sketch — the member the sketch algebra was
+    // missing (count-min prices frequency, KMV/HLL/bitmap cardinality,
+    // MG heavy hitters; nothing summarized rank). KLL-shaped and
+    // integer-deterministic: a cascade of fixed compactor levels where
+    // level l sorts its items and keeps every second one, the kept
+    // parity chosen by an h60 coin. Because each compaction acts on
+    // the SORTED level, the L-level cascade composes into a single
+    // modular rank filter — keep exactly the items at sorted rank
+    // r0 ≡ c (mod 2^L), c = h60('kll:'||grp) % 2^L (the L parity
+    // coins ARE c's bits) — which is what lets the oracle replay the
+    // whole compaction bit-exactly as one window + filter. No value
+    // tie-break is needed: the VALUE at a fixed sorted rank is
+    // permutation-invariant among duplicates (the q_agg_quantile_rank
+    // rule). L is canonical in n: the smallest level count that lands
+    // the sketch at <= 256 items, computed with integer bit-length
+    // arithmetic (no libm log2 — Spark length(bin(x)) == DuckDB
+    // length(format('{:b}', x))).
+    //
+    // The rank-error CONTRACT rides the output the way q_agg_countmin
+    // carries one-sidedness: the j-th kept item sits at TRUE sorted
+    // rank c + j*2^L, so reading quantile pct at the nearest kept item
+    // misses the target rank t = pct*(n-1)//100 by at most 2^L - 1
+    // (mid-range: <= 2^L/2 by rounding; clamped ends: c <= 2^L - 1 and
+    // n - 1 - last_kept <= 2^L - 1). `ok` asserts exactly that bound,
+    // and every rank quantity in the row is exact integer arithmetic
+    // both engines share. Merge (union partial sketches, keep halving
+    // canonically) lives in quantileSketch/quantileHalve/quantileMerge
+    // below, contract-proven 1-vs-k in SketchesQualitySpec.
+    //
+    // Scale shape: ONE partitioned window rank per group + a rank
+    // filter — the same exact-quantile plan q_agg_quantile_rank proves
+    // survives billion-row groups — then everything downstream
+    // (geometry, targets, read-off joins) is groups-x-quantiles-sized
+    // and broadcast. At 100 TB the per-shard path is quantileSketch
+    // (constant output per shard) + quantileMerge, never a global sort.
+    // Reference provenance: the sort kernel this approximates at scale
+    // is utilities.py:10-29 (the reference's merge-sort comparator).
+    QueryDef(
+      "q_agg_quantile_sketch",
+      """WITH v AS (
+        |  SELECT l_returnflag AS grp, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |r AS MATERIALIZED (
+        |  SELECT grp, cents,
+        |    row_number() OVER (PARTITION BY grp ORDER BY cents) - 1 AS r0,
+        |    count(*) OVER (PARTITION BY grp) AS n
+        |  FROM v),
+        |geo AS (
+        |  SELECT grp, max(n) AS n,
+        |    CASE WHEN (max(n) + 255) // 256 <= 1 THEN 0
+        |      ELSE length(format('{:b}', (max(n) + 255) // 256 - 1)) END AS lv
+        |  FROM r GROUP BY grp),
+        |geo2 AS (
+        |  SELECT grp, n, lv, (1::BIGINT << CAST(lv AS INTEGER)) AS two,
+        |    ('0x' || substr(md5('kll:' || grp), 1, 15))::BIGINT
+        |      % (1::BIGINT << CAST(lv AS INTEGER)) AS c
+        |  FROM geo),
+        |kept AS MATERIALIZED (
+        |  SELECT r.grp, (r.r0 - g.c) // g.two AS j, r.cents
+        |  FROM r JOIN geo2 g USING (grp) WHERE r.r0 % g.two = g.c),
+        |m AS (SELECT grp, count(*) AS m FROM kept GROUP BY grp),
+        |sel AS (
+        |  SELECT g.grp, g.n, g.lv, g.two, g.c, m.m,
+        |    CAST(u.pct AS BIGINT) AS pct,
+        |    (CAST(u.pct AS BIGINT) * (g.n - 1)) // 100 AS t,
+        |    least(m.m - 1,
+        |      greatest(0, (CAST(u.pct AS BIGINT) * (g.n - 1)) // 100 - g.c
+        |        + g.two // 2) // g.two) AS j
+        |  FROM geo2 g JOIN m USING (grp), UNNEST([1, 25, 50, 75, 99]) u(pct))
+        |SELECT sel.grp AS l_returnflag, sel.pct, sel.n,
+        |  CAST(sel.lv AS BIGINT) AS levels, sel.m AS m_sketch,
+        |  kept.cents AS est_cents,
+        |  abs(sel.c + sel.j * sel.two - sel.t) AS rank_err,
+        |  sel.two - 1 AS bound,
+        |  abs(sel.c + sel.j * sel.two - sel.t) <= sel.two - 1 AS ok
+        |FROM sel JOIN kept ON kept.grp = sel.grp AND kept.j = sel.j
+        |""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = lineitem(s, d).select(col("l_returnflag").as("grp"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val sizes = v.groupBy("grp").agg(count(lit(1)).as("n"))
+      val geo = sizes.select(col("grp"), col("n"),
+          when(expr("(n + 255) div 256") <= 1, lit(0L))
+            .otherwise(expr("length(bin((n + 255) div 256 - 1))").cast("long"))
+            .as("lv"))
+        .withColumn("two", expr("shiftleft(1L, cast(lv as int))"))
+        .withColumn("c", h60(concat(lit("kll:"), col("grp"))) % col("two"))
+      val ranked = v.join(broadcast(geo), "grp")
+        .withColumn("r0", row_number().over(
+          Window.partitionBy("grp").orderBy(col("cents"))).cast("long") - 1)
+      val kept = ranked.filter(col("r0") % col("two") === col("c"))
+        .select(col("grp"), expr("(r0 - c) div two").as("j"), col("cents"))
+      val m = kept.groupBy("grp").agg(count(lit(1)).as("m"))
+      val sel = geo.join(broadcast(m), "grp")
+        .select(col("grp"), col("n"), col("lv"), col("two"), col("c"), col("m"),
+          explode(array(Seq(1, 25, 50, 75, 99).map(p => lit(p.toLong)): _*))
+            .as("pct"))
+        .withColumn("t", expr("(pct * (n - 1)) div 100"))
+        .withColumn("j", least(col("m") - 1,
+          expr("greatest(0L, t - c + two div 2) div two")))
+      sel.join(kept, Seq("grp", "j"))
+        .select(col("grp").as("l_returnflag"), col("pct"), col("n"),
+          col("lv").as("levels"), col("m").as("m_sketch"),
+          col("cents").as("est_cents"),
+          abs(col("c") + col("j") * col("two") - col("t")).as("rank_err"),
+          (col("two") - 1).as("bound"),
+          (abs(col("c") + col("j") * col("two") - col("t")) <= col("two") - 1)
+            .as("ok"))
     }
   )
+
+  /** The [[q_agg_quantile_sketch]] kernel as a per-shard operator: the
+    * constant-size mergeable object a 1000-executor job builds per
+    * shard and unions upward. `(grp, j, v, weight)` rows — every
+    * 2^levels-th item of the per-group sorted order starting at the
+    * h60-derived offset, each standing for 2^levels originals. Rank
+    * error of reading any quantile off one sketch: < 2^levels. */
+  private[graft] def quantileSketch(df: org.apache.spark.sql.DataFrame,
+      grpCol: String, valCol: String, levels: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(levels >= 0 && levels < 40, "levels out of the sane band")
+    val two = 1L << levels
+    val v = df.select(col(grpCol).as("grp"), col(valCol).cast("long").as("v"))
+    v.withColumn("r0", row_number().over(
+        Window.partitionBy("grp").orderBy(col("v"))).cast("long") - 1)
+      .withColumn("c", h60(concat(lit("kll:"), col("grp"))) % two)
+      .filter(col("r0") % two === col("c"))
+      .select(col("grp"), expr(s"(r0 - c) div ${two}L").as("j"), col("v"),
+        lit(two).as("weight"))
+  }
+
+  /** One canonical compaction round over a (uniform-weight) sketch:
+    * sort each group, keep the h60-coin parity, double the weight —
+    * the merge half of the KLL shape. The coin keys on (grp, weight)
+    * so successive rounds flip independently but deterministically. */
+  private[graft] def quantileHalve(
+      sk: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sk.withColumn("r0", row_number().over(
+        Window.partitionBy("grp").orderBy(col("v"), col("j"))).cast("long") - 1)
+      .withColumn("b", h60(concat(lit("kllh:"), col("grp"), lit(":"),
+        col("weight"))) % 2)
+      .filter(col("r0") % 2 === col("b"))
+      .select(col("grp"), expr("(r0 - b) div 2").as("j"), col("v"),
+        (col("weight") * 2).as("weight"))
+  }
+
+  /** Merge k partial [[quantileSketch]]es (same `levels`): union, then
+    * ceil(log2(k)) canonical halvings return the size to one shard's
+    * bound with weight scaled to match. Bit-exact 1-vs-k equality is
+    * information-theoretically impossible for ANY deterministic
+    * rank-sampling summary (a shard's dropped ranks are gone), so —
+    * exactly like [[graft.functions.HeavyHittersMerge]] — what merge
+    * preserves is the CONTRACT: the rank-error band grows only with
+    * the final weight, never with k or n (Agarwal et al.'s mergeable-
+    * summaries argument), which SketchesQualitySpec pins 1-vs-k. */
+  private[graft] def quantileMerge(
+      parts: Seq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
+    require(parts.nonEmpty, "quantileMerge needs at least one partial sketch")
+    val u = parts.reduce(_.unionByName(_))
+    val rounds =
+      if (parts.size == 1) 0
+      else 32 - Integer.numberOfLeadingZeros(parts.size - 1)
+    (1 to rounds).foldLeft(u)((s, _) => quantileHalve(s))
+  }
+
+  /** Read quantiles (integer percents) off a uniform-weight sketch:
+    * with every kept item standing for the same mass, quantile pct is
+    * the kept item at index pct%-of-(m-1), rounded — groups-x-pcts
+    * output, one tiny window over the constant-size sketch. */
+  private[graft] def quantileEstimate(sk: org.apache.spark.sql.DataFrame,
+      pcts: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = sk.withColumn("i", row_number().over(
+      Window.partitionBy("grp").orderBy(col("v"), col("j"))).cast("long") - 1)
+    val m = sk.groupBy("grp").agg(count(lit(1)).as("m"))
+    m.select(col("grp"), col("m"),
+        explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pct"))
+      .withColumn("i", expr("(pct * (m - 1) + 50) div 100"))
+      .join(ranked, Seq("grp", "i"))
+      .select(col("grp"), col("pct"), col("v").as("est"))
+  }
 
   /** The theta-sketch set-algebra kernel behind q_agg_kmv_setops,
     * factored over any (event_type, user_id) distinct-pair relation so

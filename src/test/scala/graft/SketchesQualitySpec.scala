@@ -11,6 +11,62 @@ import graft.sources.Tables
 class SketchesQualitySpec extends SparkSpec {
   import spark.implicits._
 
+  // ---- quantile sketch ----------------------------------------------
+
+  test("quantile sketch: registry contract holds and the bound is honest") {
+    val rows = q("q_agg_quantile_sketch").collect()
+    assert(rows.length == 15) // 3 groups x 5 quantiles
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("ok"),
+        s"rank error ${r.getAs[Long]("rank_err")} broke bound ${r.getAs[Long]("bound")}")
+      assert(r.getAs[Long]("m_sketch") <= 256L, "sketch outgrew its capacity")
+      assert(r.getAs[Long]("rank_err") <= r.getAs[Long]("bound"))
+    }
+  }
+
+  test("quantile sketch merge: 1-vs-k partial merges keep the rank-error contract") {
+    // Bit-exact 1-vs-k equality is impossible for ANY deterministic
+    // rank-sampling summary (dropped ranks are gone) — the invariant,
+    // as with the MG heavy-hitters merge, is the CONTRACT: rank error
+    // grows only with the final weight, never with k or n. One direct
+    // sketch at weight 128 vs four shard sketches at weight 32 merged
+    // (two canonical halvings -> weight 128): both must estimate every
+    // grid quantile within their band of the true rank.
+    val n = 8192
+    val data = (0 until n)
+      .map(i => ("g", (i.toLong * 2654435761L) % 100000L)).toDF("grp", "v")
+    val sorted = data.select("v").as[Long].collect().sorted
+    def rankBand(est: Long): (Int, Int) = // first/last sorted position of est
+      (sorted.indexOf(est), sorted.lastIndexOf(est))
+    val pcts = Seq(1, 10, 25, 50, 75, 90, 99)
+    def checkContract(est: Map[Long, Long], band: Long): Unit =
+      pcts.foreach { p =>
+        val t = (p.toLong * (n - 1)) / 100
+        val (lo, hi) = rankBand(est(p.toLong))
+        assert(lo >= 0, s"estimate for p$p is not a data value")
+        assert(t >= lo - band && t <= hi + band,
+          s"p$p: target rank $t outside [$lo - $band, $hi + $band]")
+      }
+    val direct = graft.operators.Sketches.quantileSketch(data, "grp", "v", 7)
+    assert(direct.count() <= n / 128 + 1)
+    val estD = graft.operators.Sketches.quantileEstimate(direct, pcts)
+      .as[(String, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    // direct read-off: selection rounding (<= weight/2) + estimate
+    // rounding — 2x the weight is a safe proven band
+    checkContract(estD, 2L * 128)
+    val shards = (0 until 4).map(s =>
+      graft.operators.Sketches.quantileSketch(
+        data.filter(col("v") % 4 === s), "grp", "v", 5))
+    val merged = graft.operators.Sketches.quantileMerge(shards)
+    val w = merged.select("weight").distinct().as[Long].collect()
+    assert(w.toSeq == Seq(128L), s"merged weight should be 32 * 2^2, got ${w.toSeq}")
+    val estM = graft.operators.Sketches.quantileEstimate(merged, pcts)
+      .as[(String, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    // merged band: per-shard gaps (4 * 32) + two halving rounds
+    // (64 + 128) + read-off rounding — 4x the final weight covers it
+    checkContract(estM, 4L * 128)
+  }
+
   // ---- count-min ----------------------------------------------------
 
   test("count-min estimates are one-sided: est >= true count, always") {
