@@ -42,6 +42,11 @@ object Multimodal {
   final case class AHashRow(asset_id: Long, width: Int, height: Int,
       ahash_bits: String, n_bright: Long)
 
+  /** decoded-and-pooled per-frame stats emitted by [[videoFrameStats]] */
+  final case class VideoFrame(asset_id: Long, frame_no: Int, width: Int,
+      height: Int, px_sum: Long, pooled_w: Int, pooled_h: Int,
+      pooled_sum: Long)
+
   private val PngSignature: Array[Byte] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
@@ -941,6 +946,136 @@ object Multimodal {
       |      hex(encode(text)) END AS phex
       |  FROM documents)""".stripMargin
 
+  private def hexBytes(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** Per-frame geometry of the MJPEG fixture, shared between the builder
+    * and the oracle: frame j of video doc `id` is a w x h grayscale
+    * image whose LEFT half is gray g1 and RIGHT half gray g2. w is a
+    * multiple of 16 and h of 8, so every JPEG 8x8 block (and every 4x4
+    * pool cell) lies wholly inside one half — uniform blocks are
+    * DC-only, and a DC-only block survives quality-1.0 JPEG encode +
+    * decode BIT-EXACTLY (quant step 1, zero ACs, no chroma transform on
+    * grayscale), which is what lets integer pixel stats be
+    * oracle-stated. Probed exhaustively over the gray grid before this
+    * design was committed; re-pinned per-run by the spec. */
+  private def frameGeom(id: Long, j: Int): (Int, Int, Int, Int) = (
+    ((id % 4) * 16 + 16).toInt, ((id % 3) * 8 + 8).toInt,
+    ((id * 7 + j * 13) % 256).toInt, ((id * 11 + j * 29) % 256).toInt)
+
+  /** Encode one half-and-half grayscale frame as a REAL baseline JPEG
+    * via javax.imageio (quality 1.0, explicit mode). */
+  private[operators] def jpegHalfFrame(w: Int, h: Int, g1: Int, g2: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.getRaster.setSample(x, y, 0, if (x < w / 2) g1 else g2)
+        x += 1
+      }
+      y += 1
+    }
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    wr.dispose()
+    bos.toByteArray
+  }
+
+  /** MJPEG-grade video assets: the SAME canonical MP4 container as
+    * [[assets]] (identical ftyp/moov/stbl hex, so [[mp4SampleRanges]]
+    * walks the identical structure), but the mdat now carries three
+    * REAL JPEG frames and the stsz table their REAL byte sizes —
+    * bringing video to the PNG/WAV bar where the payload decodes to
+    * pixels instead of stopping at byte ranges. Built by a narrow
+    * `mapPartitions` over late-projected doc ids (the one place a
+    * Catalyst expression genuinely can't encode a JPEG); no shuffle,
+    * constant output width per row. */
+  def videoAssets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val frames = (1 to 3).map { j =>
+            val (w, h, g1, g2) = frameGeom(id, j)
+            jpegHalfFrame(w, h, g1, g2)
+          }
+          val bb = new java.io.ByteArrayOutputStream()
+          def be4(v: Long): Unit = {
+            bb.write(((v >> 24) & 0xff).toInt); bb.write(((v >> 16) & 0xff).toInt)
+            bb.write(((v >> 8) & 0xff).toInt); bb.write((v & 0xff).toInt)
+          }
+          bb.write(hexBytes(Mp4PrefixHex)); be4(id % 3600000 + 1000)
+          bb.write(hexBytes(Mp4SuffixHex)); bb.write(hexBytes(Mp4TrakPrefixHex))
+          frames.foreach(f => be4(f.length.toLong))
+          bb.write(hexBytes(Mp4StcoHex))
+          be4(frames.map(_.length).sum.toLong + 8L)
+          bb.write("mdat".getBytes("US-ASCII"))
+          frames.foreach(bb.write)
+          (id, bb.toByteArray)
+        }
+      }.toDF("asset_id", "data")
+  }
+
+  /** Decode-pool-verify over [[videoAssets]]: walk the REAL
+    * stsc/stsz/stco sample table for the frame byte ranges, decode each
+    * range as a JPEG with javax.imageio, average-pool the raster by 4
+    * ([[avgPool]] — the same box filter the image path uses), and emit
+    * integer pixel stats the oracle states from the construction. A
+    * range that fails to parse or decode contributes NOTHING (the Try
+    * fence the other modalities keep): one adversarial payload degrades
+    * one asset, never the stage. */
+  def videoFrameStats(va: DataFrame): DataFrame = {
+    val s = va.sparkSession
+    import s.implicits._
+    va.as[(Long, Array[Byte])].flatMap { case (id, data) =>
+      def safe[T](p: => Option[T]): Option[T] =
+        try p catch { case scala.util.control.NonFatal(_) => None }
+      safe(mp4SampleRanges(data)).getOrElse(Seq.empty)
+        .iterator.zipWithIndex.flatMap { case ((off, size), i) =>
+          safe {
+            if (off < 0 || off + size > data.length) None
+            else {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(
+                  data.slice(off.toInt, (off + size).toInt)))
+              if (img == null) None
+              else {
+                val (w, h) = (img.getWidth, img.getHeight)
+                val raster = new Array[Byte](w * h)
+                var sum = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val v = img.getRaster.getSample(x, y, 0)
+                    raster(y * w + x) = v.toByte
+                    sum += v
+                    x += 1
+                  }
+                  y += 1
+                }
+                val pooled = avgPool(raster, w, 4)
+                val pw = (w + 3) / 4
+                val ph = if (pw == 0) 0 else pooled.length / pw
+                var psum = 0L
+                var k = 0
+                while (k < pooled.length) { psum += pooled(k) & 0xff; k += 1 }
+                Some(VideoFrame(id, i + 1, w, h, sum, pw, ph, psum))
+              }
+            }
+          }
+        }
+    }.toDF()
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // The oracle reconstructs the payload bytes as hex (shared CTE) and
     // derives every feature from them; width/height state the IHDR
@@ -1112,6 +1247,34 @@ object Multimodal {
         |WHERE i <= cnt
         |  AND choff + coalesce(list_sum(sizes[1:CAST(i - 1 AS INT)]), 0) < flen
         |""".stripMargin) { (s, d) => sampleFrames(assets(s, d)) },
+
+    // MJPEG-grade video decode: the sample-table walk now feeds REAL
+    // JPEG frames (q_multimodal_frames stops at byte ranges; this
+    // decodes them to pixels via javax.imageio, pools, and verifies) —
+    // video at the PNG/WAV decode bar. The oracle states every integer
+    // stat from the shared frame geometry (half-gray frames aligned to
+    // JPEG block and pool-cell boundaries decode bit-exactly at
+    // quality 1.0 — see frameGeom), so a frame the walk mis-slices, a
+    // decode that drifts by one gray level, or a pool cell off by one
+    // pixel each break the hash. Scale shape: one narrow mapPartitions
+    // over late-projected binary per stage (build, then decode);
+    // constant-width output; zero shuffles.
+    QueryDef(
+      "q_multimodal_video_decode",
+      """WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+        |g AS (
+        |  SELECT doc_id, j,
+        |    (doc_id % 4) * 16 + 16 AS w, (doc_id % 3) * 8 + 8 AS h,
+        |    (doc_id * 7 + j * 13) % 256 AS g1,
+        |    (doc_id * 11 + j * 29) % 256 AS g2
+        |  FROM v, UNNEST([1, 2, 3]) t(j))
+        |SELECT doc_id AS asset_id, CAST(j AS INT) AS frame_no,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  (g1 + g2) * (w // 2) * h AS px_sum,
+        |  CAST(w // 4 AS INT) AS pooled_w, CAST(h // 4 AS INT) AS pooled_h,
+        |  (g1 + g2) * (w // 8) * (h // 4) AS pooled_sum
+        |FROM g
+        |""".stripMargin) { (s, d) => videoFrameStats(videoAssets(s, d)) },
 
     // Perceptual average-hash per image asset — the image near-dup
     // primitive (the pHash family's simplest member): 8x8 block means

@@ -74,6 +74,34 @@ class MultimodalStreamingSpec extends SparkSpec {
     else mp4Header(id, t.length) ++ t
   }
 
+  test("videoFrameStats: genuine JPEG frames decode bit-exactly; garbage degrades one asset") {
+    // One real MJPEG asset (doc 2's geometry) + one asset whose mdat is
+    // noise: the real one must emit all 3 frames with the constructed
+    // stats, the corrupt one must contribute NOTHING (Try fence) — and
+    // the stage must survive both in one pass.
+    val real = Multimodal.videoAssets(spark, sf).filter(col("asset_id") === 2L)
+    val corrupt = real.select(col("asset_id") + 1000,
+      // keep the container header (sample table parses, ranges stay in
+      // bounds) but overwrite every frame byte with 'A' — ImageIO finds
+      // no image and each frame must degrade to nothing
+      concat(expr("substring(data, 1, 252)"),
+        expr("cast(repeat('A', length(data) - 252) as binary)")))
+      .toDF("asset_id", "data")
+    val rows = Multimodal.videoFrameStats(real.unionByName(corrupt))
+      .orderBy("frame_no").collect()
+    assert(rows.length == 3, s"expected 3 decoded frames, got ${rows.length}")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val j = i + 1
+      val (w, h) = ((2 % 4) * 16 + 16, (2 % 3) * 8 + 8) // 48 x 24
+      val (g1, g2) = (((2 * 7 + j * 13) % 256).toLong, ((2 * 11 + j * 29) % 256).toLong)
+      assert(r.getAs[Long]("asset_id") == 2L)
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Long]("px_sum") == (g1 + g2) * (w / 2) * h,
+        s"frame $j decode drifted")
+      assert(r.getAs[Long]("pooled_sum") == (g1 + g2) * (w / 8) * (h / 4))
+    }
+  }
+
   test("multimodal features are deterministic byte-derived values") {
     val feats = Multimodal.extractFeatures(Multimodal.assets(spark, sf))
     val byId = feats.collect().map(r => r.getLong(0) -> r).toMap
