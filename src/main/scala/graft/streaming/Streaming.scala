@@ -997,6 +997,89 @@ object Streaming {
   def streamHeavyHitters(s: SparkSession, d: String): DataFrame =
     streamHeavyHittersCounted(s, d)._1
 
+  /** Streaming quantile monitor (the q_stream_quantile body): the
+    * deterministic quantile sketch (operators.Sketches, r10) run as a
+    * stream — each micro-batch builds its own constant-size partial
+    * with the SAME rank-filter kernel the batch query uses
+    * (quantileSketch, levels=5), partials accumulate, and the read
+    * merges them with ceil(log2(#partials)) canonical halvings
+    * (quantileMerge's topology) — the merge-at-read architecture a
+    * 1000-executor job runs when shards ship partial sketches to a
+    * coordinator. State is #batches x (batch/32) rows — bounded by the
+    * admission cap, never by the stream.
+    *
+    * What the oracle states, as with the MG monitor: estimates from a
+    * lossy rank sampler depend on where batch boundaries fall, so the
+    * batching-invariant surface is exact per-group quantiles (rank
+    * selection the oracle replays) plus the contract verdict `ok` —
+    * the sketch estimate's true-rank band sits within 4x the final
+    * sample weight of the target rank, the bound the 1-vs-k merge
+    * spec pins — which must be TRUE under any batching. */
+  private[graft] def streamQuantileCounted(s: SparkSession, d: String,
+      batches: Int = 3): (DataFrame, Int) = withStatePartitions(s, 4) {
+    import graft.operators.Sketches
+    val topic = FileBusFixture.ensureValueTopic(s, d)
+    val total = FileBus.endOffsets(topic).values.sum
+    val cap = math.max(1L, total / batches + 1L)
+    val partials = new BatchAcc[DataFrame](null)
+    val applied = new BatchAcc(0)
+    val q = s.readStream.format(classOf[FileBusProvider].getName)
+      .option("path", topic)
+      .option("maxRecordsPerTrigger", cap.toString)
+      .load()
+      .select(
+        (split(col("value"), ",").getItem(1).cast("long") % 4).as("grp"),
+        expr("CAST(round(CAST(split(value, ',')[2] AS DOUBLE) * 100) AS BIGINT)")
+          .as("cents"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val part = Sketches.quantileSketch(batch, "grp", "cents", levels = 5)
+          .localCheckpoint()
+        partials.set(
+          if (partials.get == null) part else partials.get.unionByName(part))
+        applied.set(applied.get + 1)
+      }
+      .start()
+    drain(q)
+    val rounds =
+      if (applied.get <= 1) 0
+      else 32 - Integer.numberOfLeadingZeros(applied.get - 1)
+    val merged = (1 to rounds).foldLeft(partials.get)((df, _) =>
+      Sketches.quantileHalve(df))
+    val band = (32L << rounds) * 4L
+    val pcts = Seq(1, 50, 99)
+    val est = Sketches.quantileEstimate(merged, pcts)
+    // exact side: one ranked pass over the events table (the oracle's
+    // replayable half) + the target-rank read + the est-value rank band
+    val ev = graft.sources.Tables.events(s, d)
+      .select((col("user_id") % 4).as("grp"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val sizes = ev.groupBy("grp").agg(count(lit(1)).as("n"))
+    val ranked = ev.join(broadcast(sizes), "grp")
+      .withColumn("r0", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp")
+          .orderBy(col("cents"))).cast("long") - 1)
+      .localCheckpoint() // feeds the target read AND the est band
+    val tgt = sizes.select(col("grp"), col("n"),
+        explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pct"))
+      .withColumn("t", expr("(pct * (n - 1)) div 100"))
+    val exact = tgt.join(ranked.select(col("grp"), col("cents"), col("r0")),
+        Seq("grp")).filter(col("r0") === col("t"))
+      .select(col("grp"), col("pct"), col("n"), col("t"),
+        col("cents").as("exact_cents"))
+    val estBand = est.join(
+        ranked.select(col("grp"), col("cents").as("est"), col("r0")),
+        Seq("grp", "est"))
+      .groupBy("grp", "pct").agg(min("r0").as("lo"), max("r0").as("hi"))
+    val out = exact.join(broadcast(estBand), Seq("grp", "pct"))
+      .select(col("grp"), col("pct"), col("n"), col("exact_cents"),
+        (col("t") >= col("lo") - band && col("t") <= col("hi") + band).as("ok"))
+    (out, applied.get)
+  }
+
+  def streamQuantile(s: SparkSession, d: String): DataFrame =
+    streamQuantileCounted(s, d)._1
+
   /** Point-in-time dimension lookup at STREAM ingest (the
     * q_stream_dimlookup body): every arriving event is enriched with
     * the SCD2 dimension row valid AT ITS OWN EPOCH — the feature-store
@@ -1561,6 +1644,31 @@ object Streaming {
         |  SELECT CAST(user_id & -user_id AS VARCHAR) AS k, count(*) AS n
         |  FROM events GROUP BY 1) t
         |""".stripMargin) { (s, d) => streamHeavyHitters(s, d) },
+
+    // Streaming quantile monitor: per-batch partial sketches + a
+    // canonical merge at read (the coordinator pattern). The oracle
+    // states the EXACT per-group quantiles by rank selection — the
+    // replayable half — plus the contract verdict the lossy estimate
+    // must always satisfy; see streamQuantileCounted for why estimates
+    // themselves are not the invariant surface.
+    QueryDef(
+      "q_stream_quantile",
+      """WITH v AS (
+        |  SELECT user_id % 4 AS grp, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS MATERIALIZED (
+        |  SELECT grp, cents,
+        |    row_number() OVER (PARTITION BY grp ORDER BY cents) - 1 AS r0,
+        |    count(*) OVER (PARTITION BY grp) AS n
+        |  FROM v),
+        |g AS (SELECT grp, max(n) AS n FROM r GROUP BY grp),
+        |tgt AS (
+        |  SELECT g.grp, g.n, CAST(u.pct AS BIGINT) AS pct,
+        |    (CAST(u.pct AS BIGINT) * (g.n - 1)) // 100 AS t
+        |  FROM g, UNNEST([1, 50, 99]) u(pct))
+        |SELECT t.grp, t.pct, t.n, r.cents AS exact_cents, true AS ok
+        |FROM tgt t JOIN r ON r.grp = t.grp AND r.r0 = t.t
+        |""".stripMargin) { (s, d) => streamQuantile(s, d) },
 
     // Point-in-time dimension lookup at ingest: events enriched with
     // the SCD2 dimension row valid at their own epoch (feature-store

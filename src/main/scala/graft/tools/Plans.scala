@@ -159,7 +159,13 @@ object Plans {
     "q_graph_linkpred" ->
       "link prediction: wedge candidates from ONE equi self-join of the checkpointed neighbor relation on the shared-neighbor key (sum-of-squared-degrees work, no cartesian), existing edges dropped by anti-join, node-sized degree joins",
     "q_quality_benford" ->
-      "Benford audit: one map-side-combined digit aggregate over the scan; the 9-row expected table and the 1-row total both broadcast — the audit itself never shuffles"
+      "Benford audit: one map-side-combined digit aggregate over the scan; the 9-row expected table and the 1-row total both broadcast — the audit itself never shuffles",
+    "q_agg_quantile_sketch" ->
+      "quantile sketch: ONE partitioned window rank per group + a modular rank filter (the whole compactor cascade); geometry/target/read-off joins are groups-x-quantiles-sized and broadcast",
+    "q_quality_quarantine" ->
+      "constraint quarantine: narrow scan -> per-row predicates -> parquet write of the violator slice; good/bad split is one map-side-combined 1-row aggregate crossed back by broadcast",
+    "q_multimodal_video_decode" ->
+      "video decode: two narrow mapPartitions stages over late-projected binary (JPEG build, then sample-table walk + decode + pool); constant-width output, zero shuffles"
   )
 
   def main(args: Array[String]): Unit = {

@@ -211,6 +211,24 @@ class StreamingRobustnessSpec extends SparkSpec {
     }
   }
 
+  test("streamQuantile: the rank-band contract holds under ANY batching") {
+    // As with heavy hitters: quantile ESTIMATES from a lossy rank
+    // sampler shift with batch boundaries; the report (exact rank
+    // quantiles + contract verdict) must not. 1, 3, and 5 batches must
+    // emit the identical report and every verdict must be true.
+    val (r3df, applied) = Streaming.streamQuantileCounted(spark, sf, batches = 3)
+    assert(applied >= 2, s"expected a multi-batch fold, got $applied batch(es)")
+    val r3 = r3df.collect()
+    assert(r3.length == 12, s"4 groups x 3 quantiles expected, got ${r3.length}")
+    assert(r3.forall(_.getAs[Boolean]("ok")),
+      "a sketch estimate left its rank band — the merge contract is broken")
+    for (b <- Seq(1, 5)) {
+      val (rb, _) = Streaming.streamQuantileCounted(spark, sf, batches = b)
+      assert(rb.exceptAll(r3df).isEmpty && r3df.exceptAll(rb).isEmpty,
+        s"quantile monitor report must be batching-invariant (batches=$b)")
+    }
+  }
+
   test("streamDimLookup: stateless enrichment + additive fold is batching-invariant") {
     val (est3, applied) = Streaming.streamDimLookupCounted(spark, sf, batches = 3)
     assert(applied >= 2, s"expected a multi-batch fold, got $applied batch(es)")
