@@ -1112,6 +1112,50 @@ object Graft {
   /** Canonical undirected edge list for the core routines: (least,
     * greatest) pairs, self-loops dropped, duplicates collapsed,
     * checkpointed because every peel round joins it twice. */
+  /** Newman modularity of a community assignment `labels` (`(v, lbl)`)
+    * over the undirected simple graph derived from `edges` (`(a, b)`
+    * pairs; direction, duplicates and self-loops dropped) — the
+    * partition-quality score that turns [[labelProp]]'s output into a
+    * graded answer. EXACT integer arithmetic: with m undirected edges,
+    * per-community intra-edge count e_c and degree sum d_c,
+    * Q = sum_c (e_c/m - (d_c/2m)^2) = q_num / q_den for
+    * q_num = sum_c (4*m*e_c - d_c^2) and q_den = 4*m^2 — emitted as the
+    * two integers (no float division, no truncation-vs-floor hazard on
+    * a negative Q). Returns the >= 2-member communities' rows
+    * (community, n_members, e_intra, deg_sum) with the global
+    * (n_communities, n_edges, q_num, q_den) broadcast onto each; the
+    * sums RUN over every community, including singletons.
+    *
+    * Scale shape: two node-sized label joins onto the edge list (the
+    * labelProp per-round shape), one map-side-combined aggregate per
+    * relation, and 1-row totals crossed back by broadcast. */
+  def modularity(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val und = undirected(edges)
+    val nbr = neighbors(und)
+    val lab = labels.select(col("v"), col("lbl")).localCheckpoint()
+    val deg = nbr.groupBy("a").agg(count(lit(1)).as("d"))
+    val comm = lab.join(deg, lab("v") === deg("a"), "left")
+      .select(col("lbl"), coalesce(col("d"), lit(0L)).as("d"))
+      .groupBy("lbl")
+      .agg(count(lit(1)).as("n_members"), sum("d").as("deg_sum"))
+    val intra = und
+      .join(lab.select(col("v").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(lab.select(col("v").as("b"), col("lbl").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_intra"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val percomm = comm.join(intra, Seq("lbl"), "left")
+      .select(col("lbl").as("community"), col("n_members"),
+        coalesce(col("e_intra"), lit(0L)).as("e_intra"), col("deg_sum"))
+      .localCheckpoint() // feeds the totals AND the filtered output
+    val totals = percomm.crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n_communities"), max("m").as("n_edges"),
+        sum(expr("4 * m * e_intra - deg_sum * deg_sum")).as("q_num"),
+        (max(col("m")) * max(col("m")) * lit(4L)).as("q_den"))
+    percomm.filter(col("n_members") >= 2)
+      .crossJoin(broadcast(totals))
+  }
+
   private def undirected(edges: DataFrame): DataFrame =
     edges
       .select(least(col("a"), col("b")).as("a"),

@@ -358,6 +358,63 @@ object TextAnalysis {
         |QUALIFY row_number() OVER (PARTITION BY c.w1 ORDER BY c.n12 DESC, c.w2 ASC) = 1
         |""".stripMargin)),
 
+    // Collocation mining by pointwise mutual information — the phrase
+    // extractor a corpus pipeline runs before tokenizer training (find
+    // "new york"-style units worth fusing). PMI's log never appears:
+    // the association is emitted as the integer lift
+    // cooc * N * 10^6 div (c1 * c2) — P(w1,w2) / (P(w1.)P(.w2)) over
+    // the bigram event space in parts-per-million; log is monotone, so
+    // ranking by lift IS ranking by PMI, and every quantity is exact
+    // integer arithmetic both engines share (products stay under 2^63
+    // through web-corpus N ~ 10^6 at this scaling; rescale the ppm
+    // factor for larger N). Min support 3 keeps one-off juxtapositions
+    // out (the classic PMI low-count pathology). Top-20 by
+    // (lift desc, w1, w2) — a total order over group keys, so the
+    // limit is deterministic and plans as TakeOrderedAndProject.
+    //
+    // Scale shape: marginals and pairs are three map-side-combined
+    // aggregates over the bigram stream (distinct tokens/pairs
+    // shuffle, never token instances); the 1-row total broadcasts.
+    QueryDef(
+      "q_text_pmi",
+      (s: org.apache.spark.sql.SparkSession, d: String) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("l"))
+          .filter(size(col("l")) >= 2)
+        val bigrams = toks.select(
+            explode(expr("transform(sequence(1, size(l) - 1), i -> struct(l[i-1] AS w1, l[i] AS w2))")).as("b"))
+          .select(col("b.w1"), col("b.w2"))
+          .localCheckpoint() // feeds both marginals, the pairs, the total
+        val uni1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val uni2 = bigrams.groupBy("w2").agg(count(lit(1)).as("c2"))
+        val tot = bigrams.agg(count(lit(1)).as("nn"))
+        bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cooc"))
+          .filter(col("cooc") >= 3)
+          .join(uni1, "w1").join(uni2, "w2")
+          .crossJoin(broadcast(tot))
+          .select(col("w1"), col("w2"), col("cooc"), col("c1"), col("c2"),
+            expr("(cooc * nn * 1000000L) div (c1 * c2)").as("lift_ppm"))
+          .orderBy(col("lift_ppm").desc, col("w1").asc, col("w2").asc)
+          .limit(20)
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS l
+        |  FROM documents WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) >= 2),
+        |bg AS MATERIALIZED (
+        |  SELECT u.b.w1 AS w1, u.b.w2 AS w2 FROM (
+        |    SELECT unnest([{'w1': l[i], 'w2': l[i+1]} for i in range(1, len(l))]) AS b FROM t) u),
+        |u1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM bg GROUP BY 1),
+        |u2 AS (SELECT w2, count(*)::BIGINT AS c2 FROM bg GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS nn FROM bg),
+        |pairs AS (
+        |  SELECT w1, w2, count(*)::BIGINT AS cooc FROM bg GROUP BY 1, 2
+        |  HAVING count(*) >= 3)
+        |SELECT p.w1, p.w2, p.cooc, u1.c1, u2.c2,
+        |  (p.cooc * nn.nn * 1000000) // (u1.c1 * u2.c2) AS lift_ppm
+        |FROM pairs p JOIN u1 USING (w1) JOIN u2 USING (w2), nn
+        |ORDER BY lift_ppm DESC, p.w1 ASC, p.w2 ASC LIMIT 20
+        |""".stripMargin)),
+
     // Subword-ish counting: whitespace tokens + vowel-group segments (a
     // cheap BPE proxy; RE2-compatible, no lookaround).
     QueryDef(

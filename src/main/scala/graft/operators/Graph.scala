@@ -281,6 +281,28 @@ object Graph {
       graft.api.Graft.labelProp(
           docs.select(col("doc_id").as("v")), raw, LpRounds)
         .select(col("v").as("doc_id"), col("lbl").as("community"))
+    },
+
+    // Newman modularity of the labelProp partition over the same
+    // derived graph — community detection graduating from "here are
+    // labels" to "and this is how good the cut is". Pure integer
+    // emission (q_num/q_den, never a float Q — Q can be negative and
+    // Spark's truncating div vs DuckDB's flooring // would diverge);
+    // per->=2-member-community rows carry the global score by
+    // broadcast. The oracle extends the labelprop CTE chain with the
+    // same degree/intra-edge aggregates.
+    QueryDef("q_graph_modularity", modularityOracle(LpRounds)) { (s, d) =>
+      val docs = documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n"))
+      val raw = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("a"),
+          explode(sequence(lit(1), lit(4))).as("k"), col("n"))
+        .select(col("a"),
+          (h60(concat(lit("pr:"), col("a").cast("string"), lit(":"),
+            col("k").cast("string"))) % col("n")).as("b"))
+      val labels = graft.api.Graft.labelProp(
+        docs.select(col("doc_id").as("v")), raw, LpRounds)
+      graft.api.Graft.modularity(labels, raw)
     }
   )
 
@@ -288,7 +310,10 @@ object Graph {
     * neighbor relation and `rounds` unrolled majority-vote stages —
     * count per (node, neighbor label), argmax under the (count desc,
     * label asc) tie-break, isolated nodes carried by the left join. */
-  private def labelPropOracle(rounds: Int): String = {
+  /** The label-propagation CTE chain (derived graph + `rounds` unrolled
+    * majority-vote stages), shared by the labelprop and modularity
+    * oracles — final labels live in `l{rounds}`. */
+  private def lpCtes(rounds: Int): String = {
     val base =
       s"""n AS (SELECT count(*)::BIGINT AS n FROM documents),
          |raw AS (SELECT doc_id AS a,
@@ -309,9 +334,42 @@ object Graph {
          |  SELECT l.v, coalesce(m.lbl, l.lbl) AS lbl
          |  FROM l$t l LEFT JOIN m$t m ON m.v = l.v)""".stripMargin
     }
-    "WITH " + (base +: stages).mkString(",\n") +
-      s"\nSELECT v AS doc_id, lbl AS community FROM l$rounds\n"
+    (base +: stages).mkString(",\n")
   }
+
+  private def labelPropOracle(rounds: Int): String =
+    "WITH " + lpCtes(rounds) +
+      s"\nSELECT v AS doc_id, lbl AS community FROM l$rounds\n"
+
+  /** DuckDB mirror of q_graph_modularity: the labelprop chain, then the
+    * exact-integer Newman score — q_num/q_den as two BIGINTs (no float
+    * division; Q can be negative and truncate-vs-floor would diverge). */
+  private def modularityOracle(rounds: Int): String =
+    "WITH " + lpCtes(rounds) + s""",
+      |lab AS MATERIALIZED (SELECT v, lbl FROM l$rounds),
+      |deg AS (SELECT a AS v, count(*)::BIGINT AS d FROM nbr GROUP BY 1),
+      |comm AS (
+      |  SELECT l.lbl, count(*)::BIGINT AS n_members,
+      |    sum(coalesce(deg.d, 0))::BIGINT AS deg_sum
+      |  FROM lab l LEFT JOIN deg ON deg.v = l.v GROUP BY 1),
+      |intra AS (
+      |  SELECT la.lbl, count(*)::BIGINT AS e_intra
+      |  FROM umin u JOIN lab la ON la.v = u.a JOIN lab lb ON lb.v = u.b
+      |  WHERE la.lbl = lb.lbl GROUP BY 1),
+      |mm AS (SELECT count(*)::BIGINT AS m FROM umin),
+      |pc AS MATERIALIZED (
+      |  SELECT c.lbl AS community, c.n_members,
+      |    coalesce(i.e_intra, 0)::BIGINT AS e_intra, c.deg_sum
+      |  FROM comm c LEFT JOIN intra i ON i.lbl = c.lbl),
+      |tot AS (
+      |  SELECT count(*)::BIGINT AS n_communities, max(mm.m) AS n_edges,
+      |    sum(4 * mm.m * e_intra - deg_sum * deg_sum)::BIGINT AS q_num,
+      |    (max(mm.m) * max(mm.m) * 4)::BIGINT AS q_den
+      |  FROM pc, mm)
+      |SELECT pc.community, pc.n_members, pc.e_intra, pc.deg_sum,
+      |  tot.n_communities, tot.n_edges, tot.q_num, tot.q_den
+      |FROM pc, tot WHERE pc.n_members >= 2
+      |""".stripMargin
 
   /** DuckDB mirror of q_graph_kcore: the same derived undirected edge
     * list and `rounds` unrolled peel stages (the pagerank-oracle

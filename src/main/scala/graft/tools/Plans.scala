@@ -165,7 +165,11 @@ object Plans {
     "q_quality_quarantine" ->
       "constraint quarantine: narrow scan -> per-row predicates -> parquet write of the violator slice; good/bad split is one map-side-combined 1-row aggregate crossed back by broadcast",
     "q_multimodal_video_decode" ->
-      "video decode: two narrow mapPartitions stages over late-projected binary (JPEG build, then sample-table walk + decode + pool); constant-width output, zero shuffles"
+      "video decode: two narrow mapPartitions stages over late-projected binary (JPEG build, then sample-table walk + decode + pool); constant-width output, zero shuffles",
+    "q_text_pmi" ->
+      "PMI collocations: three map-side-combined aggregates over the bigram stream (marginals + pairs), 1-row total broadcast, top-20 as TakeOrderedAndProject — no unpartitioned window, instances never shuffle",
+    "q_graph_modularity" ->
+      "modularity: two node-sized label joins onto the checkpointed edge list, map-side-combined per-community aggregates, 1-row totals crossed back by broadcast"
   )
 
   def main(args: Array[String]): Unit = {

@@ -383,6 +383,37 @@ class GraftPropertySpec extends SparkSpec {
     assert(full.filter(_._1 >= 100L) == diagonals)
   }
 
+  test("property: modularity == brute-force Newman score on random graphs") {
+    val edgeGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 12)
+      m <- Gen.choose(1, 20)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield es
+    check(forAll(edgeGen) { es =>
+      val und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).distinct
+      val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val labels = verts.map(v => (v, v % 3)).toDF("v", "lbl")
+      val got = Graft.modularity(labels, es.toDF("a", "b"))
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+      val m = und.size.toLong
+      val deg = (und.map(_._1) ++ und.map(_._2)).groupBy(identity)
+        .map { case (v, xs) => v -> xs.size.toLong }
+      val perc = verts.groupBy(_ % 3).map { case (lbl, vs) =>
+        (lbl, vs.size.toLong,
+          und.count(e => e._1 % 3 == lbl && e._2 % 3 == lbl).toLong,
+          vs.map(v => deg.getOrElse(v, 0L)).sum)
+      }.toSeq
+      val qNum = perc.map { case (_, _, e, d) => 4 * m * e - d * d }.sum
+      val ref = perc.filter(_._2 >= 2).map { case (lbl, nm, e, d) =>
+        (lbl, nm, e, d, perc.size.toLong, m, qNum, 4 * m * m)
+      }.toSet
+      (m == 0L) || got == ref // an edgeless graph has q_den 0; skip
+    })
+  }
+
   test("property: labelProp labels stay inside the node's own component") {
     val edgeGen: Gen[(Int, List[(Long, Long)])] = for {
       n <- Gen.choose(2, 12)
