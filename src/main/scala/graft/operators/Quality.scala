@@ -420,6 +420,54 @@ object Quality {
         .crossJoin(broadcast(counts))
     },
 
+    // ---- join/shuffle skew profiler ---------------------------------
+    // The diagnosis a 100 TB planner runs BEFORE a join: per-key
+    // concentration of the two workhorse join keys, plus the one number
+    // that predicts shuffle explosions — sum of squared key counts,
+    // which IS the equi-self-join cardinality and the wedge-work bound
+    // the linkPredict cap exists for (a million-degree hub shows up
+    // here as a 10^12 before any join runs). Top-5 hot keys by
+    // (count desc, key asc) — a total order over group keys, so the
+    // limit is deterministic and plans as TakeOrderedAndProject; the
+    // 1-row totals broadcast back. share_ppm is integer parts-per-
+    // million (non-negative operands, so div == //). bench=false:
+    // correctness-only breadth — two tiny aggregates over scans already
+    // benched elsewhere.
+    QueryDef(
+      "q_quality_skew",
+      """WITH oc AS (SELECT o_custkey AS k, count(*)::BIGINT AS cnt FROM orders GROUP BY 1),
+        |ot AS (SELECT sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+        |  max(cnt) AS max_cnt, sum(cnt * cnt)::BIGINT AS selfjoin_rows FROM oc),
+        |otop AS (SELECT k, cnt FROM oc ORDER BY cnt DESC, k ASC LIMIT 5),
+        |lc AS (SELECT l_partkey AS k, count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1),
+        |lt AS (SELECT sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+        |  max(cnt) AS max_cnt, sum(cnt * cnt)::BIGINT AS selfjoin_rows FROM lc),
+        |ltop AS (SELECT k, cnt FROM lc ORDER BY cnt DESC, k ASC LIMIT 5)
+        |SELECT 'o_custkey' AS key_col, k, cnt,
+        |  (cnt * 1000000) // n_rows AS share_ppm, n_rows, n_keys, max_cnt, selfjoin_rows
+        |FROM otop, ot
+        |UNION ALL
+        |SELECT 'l_partkey', k, cnt,
+        |  (cnt * 1000000) // n_rows, n_rows, n_keys, max_cnt, selfjoin_rows
+        |FROM ltop, lt
+        |""".stripMargin,
+      bench = false) { (s, d) =>
+      def profile(df: DataFrame, keyCol: String): DataFrame = {
+        val counts = df.select(col(keyCol).cast("long").as("k"))
+          .groupBy("k").agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"),
+          max("cnt").as("max_cnt"),
+          sum(col("cnt") * col("cnt")).as("selfjoin_rows"))
+        counts.orderBy(col("cnt").desc, col("k").asc).limit(5)
+          .crossJoin(broadcast(tot))
+          .select(lit(keyCol).as("key_col"), col("k"), col("cnt"),
+            expr("(cnt * 1000000L) div n_rows").as("share_ppm"),
+            col("n_rows"), col("n_keys"), col("max_cnt"), col("selfjoin_rows"))
+      }
+      profile(orders(s, d), "o_custkey")
+        .unionByName(profile(lineitem(s, d), "l_partkey"))
+    },
+
     // ---- robust anomaly detection -----------------------------------
     // Median/MAD outlier flagging on document length per language — the
     // robust-z filter a curation pipeline runs to drop truncated or
