@@ -229,6 +229,90 @@ object Aggregates {
           min("l_quantity").as("lo"), max("l_quantity").as("hi"))
     },
 
+    // Range-selectivity estimation from the equi-depth histogram — the
+    // second optimizer-statistics primitive beside join-cardinality
+    // pricing (q_agg_join_cardinality): estimate |cents <= X| from 20
+    // bucket summaries (full buckets count exactly, the one straddling
+    // bucket linearly interpolates with integer division) and audit
+    // against the true count. The estimator's contract rides the
+    // output: only the straddling bucket can err, so
+    // |est - actual| <= its count <= ceil(n/20), stated as `bound` and
+    // asserted by `ok` — the equi-depth guarantee that makes these
+    // histograms the planner's default. Bucket boundaries come from a
+    // FULLY tie-broken ntile (the q_agg_histogram_eqdepth discipline),
+    // so both engines build the identical histogram; interpolation is
+    // non-negative integer arithmetic (div == //).
+    //
+    // Scale shape: one partitioned rank window per group builds the
+    // histogram (the plan q_agg_quantile_rank proves at scale), after
+    // which estimation reads 20 summary rows per group — the whole
+    // point: the planner answers from the sketch, the scan runs once
+    // for the audit only.
+    QueryDef(
+      "q_agg_selectivity",
+      """WITH v AS (
+        |  SELECT l_returnflag AS grp, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |r AS MATERIALIZED (
+        |  SELECT grp, cents,
+        |    ntile(20) OVER (PARTITION BY grp ORDER BY cents, l_orderkey, l_linenumber) AS tile
+        |  FROM v),
+        |h AS MATERIALIZED (
+        |  SELECT grp, tile, count(*)::BIGINT AS cnt,
+        |    min(cents) AS lo, max(cents) AS hi
+        |  FROM r GROUP BY 1, 2),
+        |n AS (SELECT grp, sum(cnt)::BIGINT AS n FROM h GROUP BY 1),
+        |x AS (SELECT grp, CAST(u.x AS BIGINT) AS x
+        |  FROM n, UNNEST([1500000, 4000000, 8000000]) u(x)),
+        |est AS (
+        |  SELECT x.grp, x.x,
+        |    sum(CASE WHEN h.hi <= x.x THEN h.cnt
+        |             WHEN h.lo > x.x THEN 0
+        |             ELSE h.cnt * (x.x - h.lo) // greatest(h.hi - h.lo, 1) END
+        |        )::BIGINT AS est_rows
+        |  FROM x JOIN h ON h.grp = x.grp GROUP BY 1, 2),
+        |act AS (
+        |  SELECT x.grp, x.x, sum(CASE WHEN v.cents <= x.x THEN 1 ELSE 0 END)::BIGINT AS actual_rows
+        |  FROM x JOIN v ON v.grp = x.grp GROUP BY 1, 2)
+        |SELECT e.grp AS l_returnflag, e.x AS threshold_cents, a.actual_rows, e.est_rows,
+        |  e.est_rows - a.actual_rows AS err_rows,
+        |  (n.n + 19) // 20 AS bound,
+        |  abs(e.est_rows - a.actual_rows) <= (n.n + 19) // 20 AS ok
+        |FROM est e JOIN act a ON a.grp = e.grp AND a.x = e.x
+        |JOIN n ON n.grp = e.grp
+        |""".stripMargin) { (s, d) =>
+      val v = lineitem(s, d).select(col("l_returnflag").as("grp"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+      val h = v
+        .withColumn("tile", ntile(20).over(Window.partitionBy("grp")
+          .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))))
+        .groupBy("grp", "tile")
+        .agg(count(lit(1)).as("cnt"), min("cents").as("lo"), max("cents").as("hi"))
+        .localCheckpoint() // 60 summary rows feed sizes + estimation
+      val n = h.groupBy("grp").agg(sum("cnt").as("n"))
+      val x = n.select(col("grp"), col("n"),
+        explode(array(lit(1500000L), lit(4000000L), lit(8000000L))).as("x"))
+      val est = x.join(broadcast(h), Seq("grp"))
+        .groupBy("grp", "x")
+        .agg(sum(when(col("hi") <= col("x"), col("cnt"))
+          .when(col("lo") > col("x"), lit(0L))
+          .otherwise(expr("cnt * (x - lo) div greatest(hi - lo, 1L)")))
+          .as("est_rows"))
+      val act = v.join(broadcast(x.select("grp", "x")), Seq("grp"))
+        .groupBy("grp", "x")
+        .agg(sum(when(col("cents") <= col("x"), 1L).otherwise(0L))
+          .as("actual_rows"))
+      est.join(act, Seq("grp", "x")).join(broadcast(n), Seq("grp"))
+        .select(col("grp").as("l_returnflag"), col("x").as("threshold_cents"),
+          col("actual_rows"), col("est_rows"),
+          (col("est_rows") - col("actual_rows")).as("err_rows"),
+          expr("(n + 19) div 20").as("bound"),
+          (abs(col("est_rows") - col("actual_rows")) <= expr("(n + 19) div 20"))
+            .as("ok"))
+    },
+
     // Argmax via max(struct(ord, value)) — deterministic under ties
     // (custkey tie-break), one aggregation, no window shuffle.
     QueryDef(

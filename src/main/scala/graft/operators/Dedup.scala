@@ -272,6 +272,73 @@ object Dedup {
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |""".stripMargin) { (s, d) =>
       graft.api.Graft.editNeighbors(customer(s, d), "c_custkey", "c_name")
+    },
+
+    // Cross-table record linkage (the Fellegi-Sunter front half):
+    // block, compare, and count agreement patterns between a table and
+    // its drifted replica — the entity-resolution primitive that same-
+    // table near-dup (minhash/simhash/editdist above) does not cover.
+    // The replica plants field drift deterministically: every 7th key's
+    // name gains a suffix, every 5th's segment moves, every 11th's
+    // balance shifts by exactly +50.0 (one IEEE add, bit-identical in
+    // both engines), and every 13th's NATION changes — which silently
+    // drops that true pair from the candidate set, the classic
+    // blocking-recall tradeoff, visible in the output as sum(n_true) <
+    // table size. Candidates come from the nation equi-join (never all
+    // pairs); each candidate's (name, balance, segment) agreement
+    // vector becomes a 3-bit pattern, counted with how many are true
+    // matches vs chance agreements — the integer numerators of the
+    // m/u probability tables linkage weights are estimated from.
+    //
+    // Scale shape: candidates are sum over blocks of |A_b| x |B_b| —
+    // the block key bounds the join, and exactly the quantity
+    // q_quality_skew's sum-of-squared-counts prices in advance; at
+    // 100 TB you refine the block key (nation+segment, phonetic keys)
+    // until that number fits, then this plan is one equi join + one
+    // map-side-combined 8-row aggregate.
+    QueryDef(
+      "q_dedup_linkage",
+      """WITH b AS (
+        |  SELECT c_custkey AS key_b,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_name || ' jr' ELSE c_name END AS name_b,
+        |    CASE WHEN c_custkey % 13 = 0 THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS nat_b,
+        |    CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 50.0 ELSE c_acctbal END AS bal_b,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg_b
+        |  FROM customer),
+        |cand AS (
+        |  SELECT concat(
+        |      CASE WHEN a.c_name = b.name_b THEN '1' ELSE '0' END,
+        |      CASE WHEN a.c_acctbal = b.bal_b THEN '1' ELSE '0' END,
+        |      CASE WHEN a.c_mktsegment = b.seg_b THEN '1' ELSE '0' END) AS pattern,
+        |    (a.c_custkey = b.key_b) AS is_match
+        |  FROM customer a JOIN b ON a.c_nationkey = b.nat_b)
+        |SELECT pattern, count(*)::BIGINT AS n_pairs,
+        |  sum(CASE WHEN is_match THEN 1 ELSE 0 END)::BIGINT AS n_true,
+        |  sum(CASE WHEN is_match THEN 0 ELSE 1 END)::BIGINT AS n_false
+        |FROM cand GROUP BY pattern
+        |""".stripMargin) { (s, d) =>
+      val a = customer(s, d)
+      val b = customer(s, d).select(
+        col("c_custkey").as("key_b"),
+        when(col("c_custkey") % 7 === 0, concat(col("c_name"), lit(" jr")))
+          .otherwise(col("c_name")).as("name_b"),
+        when(col("c_custkey") % 13 === 0, (col("c_nationkey") + 1) % 25)
+          .otherwise(col("c_nationkey")).as("nat_b"),
+        when(col("c_custkey") % 11 === 0, col("c_acctbal") + 50.0)
+          .otherwise(col("c_acctbal")).as("bal_b"),
+        when(col("c_custkey") % 5 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")).as("seg_b"))
+      a.join(b, col("c_nationkey") === col("nat_b"))
+        .select(concat(
+            when(col("c_name") === col("name_b"), lit("1")).otherwise(lit("0")),
+            when(col("c_acctbal") === col("bal_b"), lit("1")).otherwise(lit("0")),
+            when(col("c_mktsegment") === col("seg_b"), lit("1")).otherwise(lit("0")))
+            .as("pattern"),
+          (col("c_custkey") === col("key_b")).as("is_match"))
+        .groupBy("pattern")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("is_match"), 1L).otherwise(0L)).as("n_true"),
+          sum(when(!col("is_match"), 1L).otherwise(0L)).as("n_false"))
     }
   )
 }
