@@ -246,6 +246,80 @@ object EventsOps {
           col("n"), col("sum_value"))
     },
 
+    // Lagged autocorrelation of the hourly event-count series — the
+    // periodicity diagnostic (is traffic self-similar hour over hour?)
+    // beside EWMA's smoothing and drift's distribution shift. The
+    // series is the tumbling hourly count per event_type (integer by
+    // construction); for lags 1..3 the Pearson ACF's sufficient
+    // statistics fold as exact BIGINTs over the lag self-join pairs
+    // (observed-pairs convention: a gap hour simply contributes no
+    // term, stated identically in both engines), and the final
+    // r = num / (sqrt(den_x) * sqrt(den_y)) uses only IEEE-exact
+    // operations on integers below 2^53 — bit-identical doubles, the
+    // EWMA precedent. The exact integer pieces ride the output beside
+    // r, so a consumer can re-derive or re-scale without trusting
+    // float paths.
+    //
+    // Scale shape: the series aggregate is the tumbling plan (one
+    // map-side-combined shuffle on (hour, type)); the lag join is an
+    // equi join of the HOURS-sized series with itself — at 100 TB the
+    // series is still |hours| x |types| rows, broadcastable, and the
+    // events table is read once.
+    QueryDef(
+      "q_events_autocorr",
+      """WITH s AS MATERIALIZED (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000000 AS hr,
+        |    count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type, l.lag, a.y AS x, b.y AS y
+        |  FROM s a
+        |  JOIN (SELECT CAST(u.lag AS BIGINT) AS lag FROM UNNEST([1, 2, 3]) u(lag)) l ON true
+        |  JOIN s b ON b.event_type = a.event_type AND b.hr = a.hr + l.lag),
+        |m AS (
+        |  SELECT event_type, lag, count(*)::BIGINT AS n_terms,
+        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+        |    sum(y * y)::BIGINT AS syy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT event_type, lag, n_terms,
+        |  n_terms * sxy - sx * sy AS num,
+        |  n_terms * sxx - sx * sx AS den_x,
+        |  n_terms * syy - sy * sy AS den_y,
+        |  CAST(n_terms * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n_terms * sxx - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(n_terms * syy - sy * sy AS DOUBLE))) AS acf
+        |FROM m
+        |""".stripMargin) { (s, d) =>
+      val series = events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hr"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint() // both sides of the lag self-join
+      val lags = series.sparkSession.range(1, 4).select(col("id").as("lag"))
+      val pairs = series.select(col("event_type"), col("hr"), col("y").as("x"))
+        .crossJoin(broadcast(lags))
+        .join(series.select(col("event_type").as("et2"), col("hr").as("hr2"),
+            col("y")),
+          col("et2") === col("event_type") && col("hr2") === col("hr") + col("lag"))
+      pairs.groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("n_terms"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("lag"), col("n_terms"),
+          (col("n_terms") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n_terms") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+          (col("n_terms") * col("syy") - col("sy") * col("sy")).as("den_y"),
+          ((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n_terms") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"))
+              * sqrt((col("n_terms") * col("syy") - col("sy") * col("sy"))
+                .cast("double")))).as("acf"))
+    },
+
     // Sliding 2h window every 1h: each event lands in two overlapping
     // windows (the oracle states the same thing as an explicit 2-element
     // unnest of window starts).
