@@ -724,6 +724,62 @@ object TextAnalysis {
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     },
 
+    // Proximity (slop) search over the same positional index: documents
+    // where the corpus's two most frequent DISTINCT tokens co-occur
+    // within 5 positions, with pair count and closest approach — the
+    // "w1 NEAR/5 w2" retrieval primitive one step up from exact-phrase
+    // adjacency. The probe terms are data-derived under a total order
+    // (count desc, token asc — rank via a 2x2 broadcast theta-join, the
+    // q_text_bigrams trick, never an unpartitioned window), and the
+    // proximity test rides the doc-keyed equi join as a residual:
+    // per-doc work is occ(t1) x occ(t2), the posting-list intersection
+    // cost every search engine pays — absent terms never shuffle.
+    QueryDef(
+      "q_text_proximity",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS l
+        |  FROM documents),
+        |pos AS MATERIALIZED (
+        |  SELECT doc_id, i AS p, l[CAST(i AS INT)] AS tok
+        |  FROM tok, UNNEST(range(1, len(l) + 1)) AS t(i)),
+        |cnt AS (SELECT tok, count(*) AS n FROM pos GROUP BY 1),
+        |rk AS (SELECT tok, row_number() OVER (ORDER BY n DESC, tok ASC) AS r
+        |  FROM cnt QUALIFY r <= 2),
+        |w1 AS (SELECT tok FROM rk WHERE r = 1),
+        |w2 AS (SELECT tok FROM rk WHERE r = 2)
+        |SELECT a.doc_id, (SELECT tok FROM w1) AS t1, (SELECT tok FROM w2) AS t2,
+        |  count(*)::BIGINT AS n_pairs, min(abs(a.p - b.p))::BIGINT AS min_dist
+        |FROM pos a JOIN w1 ON a.tok = w1.tok
+        |JOIN pos b ON b.doc_id = a.doc_id
+        |JOIN w2 ON b.tok = w2.tok
+        |WHERE abs(a.p - b.p) <= 5
+        |GROUP BY a.doc_id
+        |""".stripMargin) { (s, d) =>
+      val pos = documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("tok"))
+        .localCheckpoint() // the index: term stats + both probe sides
+      val cnt = pos.groupBy("tok").agg(count(lit(1)).as("n"))
+      val top2 = cnt.orderBy(col("n").desc, col("tok").asc).limit(2)
+      val ahead = col("b.n") > col("a.n") ||
+        (col("b.n") === col("a.n") && col("b.tok") < col("a.tok"))
+      val ranked = top2.as("a").join(broadcast(top2.as("b")), ahead, "left")
+        .groupBy(col("a.tok").as("tok"))
+        .agg((count(col("b.tok")) + 1L).as("r"))
+      val t1 = ranked.filter(col("r") === 1).select(col("tok").as("t1"))
+      val t2 = ranked.filter(col("r") === 2).select(col("tok").as("t2"))
+      val probeA = pos.join(broadcast(t1), col("tok") === col("t1"))
+        .select(col("doc_id"), col("p"), col("t1"))
+      val probeB = pos.join(broadcast(t2), col("tok") === col("t2"))
+        .select(col("doc_id").as("doc_b"), col("p").as("pb"), col("t2"))
+      probeA.join(probeB,
+          col("doc_b") === col("doc_id") && abs(col("pb") - col("p")) <= 5)
+        .groupBy("doc_id", "t1", "t2")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(abs(col("p") - col("pb"))).as("min_dist"))
+        .select("doc_id", "t1", "t2", "n_pairs", "min_dist")
+    },
+
     // Cross-source n-gram overlap matrix — the mixture diagnostic a
     // pretraining pipeline runs before weighting sources: pairwise
     // Jaccard over each source's DISTINCT token-trigram set. Candidate

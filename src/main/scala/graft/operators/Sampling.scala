@@ -721,6 +721,34 @@ object Sampling {
         .agg(count(lit(1)).as("n"))
     },
 
+    // k-fold cross-validation assignment — the CV twin of the holdout
+    // split above: every document lands in exactly one of 5 folds by
+    // the same salted-hash discipline (fold = h60('fold:'||id) % 5), so
+    // any of the 5 train/validate rotations is reproducible on any
+    // cluster, and fold membership never changes as the corpus grows
+    // (append-stable, unlike row-number striping). The report pins the
+    // per-(fold, lang) document and token masses — the balance a CV
+    // consumer actually checks before trusting fold variance.
+    // Scale shape: one narrow hash projection + one map-side-combined
+    // aggregate; no shuffle of documents.
+    QueryDef(
+      "q_split_kfold",
+      """SELECT ('0x' || substr(md5('fold:' || doc_id::VARCHAR), 1, 15))::BIGINT % 5 AS fold,
+        |  lang, count(*) AS n_docs,
+        |  sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')))::BIGINT AS n_tokens
+        |FROM documents
+        |GROUP BY 1, 2
+        |""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(
+          (graft.Exact.h60(concat(lit("fold:"), col("doc_id").cast("string")))
+            % 5).as("fold"),
+          col("lang"),
+          size(graft.api.Graft.tokens(col("text"))).as("nt"))
+        .groupBy("fold", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+    },
+
     // Domain-mixture resampling — the data-mixing step of a training-set
     // build: per-language target rates in copies-per-100-rows (en 150 =
     // 1.5 epochs oversampled, de 100 pass-through, fr 50 half, es 25
