@@ -246,6 +246,46 @@ object EventsOps {
           col("n"), col("sum_value"))
     },
 
+    // Per-hour P50/P95 value bands per event type — the observability
+    // query every latency dashboard runs, and the grouped-time twin of
+    // q_agg_quantile_rank: discrete (type-1) rank selection inside each
+    // (event_type, hour) cell keeps every quantity integer-exact (the
+    // VALUE at a fixed rank is permutation-invariant among ties, so no
+    // tie-break is needed), and the window is partitioned by the cell —
+    // state never exceeds one hour of one type. Group sizes ride a
+    // broadcast pre-aggregate instead of a second window pass.
+    QueryDef(
+      "q_events_latency_bands",
+      """WITH v AS (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000000 AS hr,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hr, cents,
+        |    row_number() OVER (PARTITION BY event_type, hr ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY event_type, hr) AS n
+        |  FROM v)
+        |SELECT event_type, hr, CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50_cents,
+        |  max(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END) AS p95_cents
+        |FROM r GROUP BY 1, 2
+        |""".stripMargin) { (s, d) =>
+      val v = events(s, d).select(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hr"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val sizes = v.groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+      v.join(broadcast(sizes), Seq("event_type", "hr"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type", "hr").orderBy(col("cents"))))
+        .groupBy("event_type", "hr")
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("cents")))
+            .as("p50_cents"),
+          max(when(col("rn") === expr("(19 * n + 19) div 20"), col("cents")))
+            .as("p95_cents"))
+    },
+
     // Lagged autocorrelation of the hourly event-count series — the
     // periodicity diagnostic (is traffic self-similar hour over hour?)
     // beside EWMA's smoothing and drift's distribution shift. The
