@@ -1373,17 +1373,32 @@ object Graft {
     * broadcasts against the chunk-sized index.
     *
     * Probe geometry comes FROM the index's own `bf_words`/`bf_k`
-    * columns (one broadcast 1-row max-aggregate — the index is built by
-    * one call, so the columns are constant), so the hash positions are
+    * columns (one broadcast 1-row aggregate), so the hash positions are
     * by construction the ones the build used; there is no parameter a
-    * caller could mismatch into silent false negatives. */
+    * caller could mismatch into silent false negatives. A caller COULD
+    * union indexes built with different geometries — then max() would
+    * silently mix parameters and reintroduce exactly that failure, so
+    * the aggregate also takes min() and an `assert_true` riding the
+    * probe-position expression fails the job loudly unless
+    * min == max for both knobs. */
   def bloomCandidates(index: DataFrame, probes: DataFrame): DataFrame = {
-    val geom = index.agg(max("bf_words").as("bf_words"), max("bf_k").as("bf_k"))
+    val geom = index.agg(
+      max("bf_words").as("bf_words"), max("bf_k").as("bf_k"),
+      min("bf_words").as("w_min"), min("bf_k").as("k_min"))
+    // evaluates to NULL (then 0) on a constant geometry; throws on a
+    // mixed one — folded into `positions` so pruning can't drop it
+    val geomOk = coalesce(
+      assert_true(
+        col("bf_words") === col("w_min") && col("bf_k") === col("k_min"),
+        lit("bloomCandidates: index mixes bloom geometries " +
+          "(bf_words/bf_k not constant — rebuild with one geometry " +
+          "or probe each index separately)")).cast("int"),
+      lit(0))
     val ppos = probes
       .crossJoin(broadcast(geom))
       .select(col("pk"), col("bf_k"),
         explode(sequence(lit(0), col("bf_k") - 1)).as("i"),
-        (col("bf_words") * 63).as("positions"))
+        (col("bf_words") * 63 + geomOk).as("positions"))
       .select(col("pk"), col("bf_k"),
         (h60(concat(lit("bl"), col("i"), lit(":"), col("pk"))) % col("positions"))
           .as("p"))

@@ -280,8 +280,11 @@ object Dedup {
     // table near-dup (minhash/simhash/editdist above) does not cover.
     // The replica plants field drift deterministically: every 7th key's
     // name gains a suffix, every 5th's segment moves, every 11th's
-    // balance shifts by exactly +50.0 (one IEEE add, bit-identical in
-    // both engines), and every 13th's NATION changes — which silently
+    // balance shifts by +50.0 — the oracle casts the literal to DOUBLE
+    // explicitly so BOTH engines run the identical IEEE double add
+    // (DuckDB would otherwise bind 50.0 as DECIMAL(3,1), and a
+    // decimal-exact compare can disagree with the double add on ~2%
+    // of cent values) — and every 13th's NATION changes — which silently
     // drops that true pair from the candidate set, the classic
     // blocking-recall tradeoff, visible in the output as sum(n_true) <
     // table size. Candidates come from the nation equi-join (never all
@@ -302,7 +305,7 @@ object Dedup {
         |  SELECT c_custkey AS key_b,
         |    CASE WHEN c_custkey % 7 = 0 THEN c_name || ' jr' ELSE c_name END AS name_b,
         |    CASE WHEN c_custkey % 13 = 0 THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS nat_b,
-        |    CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 50.0 ELSE c_acctbal END AS bal_b,
+        |    CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + CAST(50.0 AS DOUBLE) ELSE c_acctbal END AS bal_b,
         |    CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg_b
         |  FROM customer),
         |cand AS (

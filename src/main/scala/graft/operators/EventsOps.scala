@@ -327,9 +327,11 @@ object EventsOps {
         |  n_terms * sxy - sx * sy AS num,
         |  n_terms * sxx - sx * sx AS den_x,
         |  n_terms * syy - sy * sy AS den_y,
-        |  CAST(n_terms * sxy - sx * sy AS DOUBLE)
-        |    / (sqrt(CAST(n_terms * sxx - sx * sx AS DOUBLE))
-        |       * sqrt(CAST(n_terms * syy - sy * sy AS DOUBLE))) AS acf
+        |  CASE WHEN n_terms * sxx - sx * sx = 0
+        |         OR n_terms * syy - sy * sy = 0 THEN NULL
+        |    ELSE CAST(n_terms * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n_terms * sxx - sx * sx AS DOUBLE))
+        |         * sqrt(CAST(n_terms * syy - sy * sy AS DOUBLE))) END AS acf
         |FROM m
         |""".stripMargin) { (s, d) =>
       val series = events(s, d)
@@ -353,11 +355,19 @@ object EventsOps {
           (col("n_terms") * col("sxy") - col("sx") * col("sy")).as("num"),
           (col("n_terms") * col("sxx") - col("sx") * col("sx")).as("den_x"),
           (col("n_terms") * col("syy") - col("sy") * col("sy")).as("den_y"),
-          ((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double")
-            / (sqrt((col("n_terms") * col("sxx") - col("sx") * col("sx"))
-                .cast("double"))
-              * sqrt((col("n_terms") * col("syy") - col("sy") * col("sy"))
-                .cast("double")))).as("acf"))
+          // A constant series over a lag makes den 0 → NaN/±Inf, whose
+          // textual renderings differ cross-engine; both sides emit
+          // NULL for the degenerate case instead.
+          when(col("n_terms") * col("sxx") - col("sx") * col("sx") === 0 ||
+              col("n_terms") * col("syy") - col("sy") * col("sy") === 0,
+            lit(null).cast("double"))
+            .otherwise(
+              (col("n_terms") * col("sxy") - col("sx") * col("sy"))
+                .cast("double")
+              / (sqrt((col("n_terms") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double"))
+                * sqrt((col("n_terms") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")))).as("acf"))
     },
 
     // Sliding 2h window every 1h: each event lands in two overlapping

@@ -293,108 +293,117 @@ object Sketches {
     // MG heavy hitters; nothing summarized rank). KLL-shaped and
     // integer-deterministic: a cascade of fixed compactor levels where
     // level l sorts its items and keeps every second one, the kept
-    // parity chosen by an h60 coin. Because each compaction acts on
-    // the SORTED level, the L-level cascade composes into a single
-    // modular rank filter — keep exactly the items at sorted rank
-    // r0 ≡ c (mod 2^L), c = h60('kll:'||grp) % 2^L (the L parity
-    // coins ARE c's bits) — which is what lets the oracle replay the
-    // whole compaction bit-exactly as one window + filter. No value
-    // tie-break is needed: the VALUE at a fixed sorted rank is
-    // permutation-invariant among duplicates (the q_agg_quantile_rank
-    // rule). L is canonical in n: the smallest level count that lands
-    // the sketch at <= 256 items, computed with integer bit-length
-    // arithmetic (no libm log2 — Spark length(bin(x)) == DuckDB
-    // length(format('{:b}', x))).
+    // parity chosen by an h60 coin; over the SORTED multiset the whole
+    // cascade collapses to one modular rank filter (keep ranks
+    // ≡ c mod 2^L) — which is what lets the oracle replay every stage
+    // bit-exactly.
     //
-    // The rank-error CONTRACT rides the output the way q_agg_countmin
-    // carries one-sidedness: the j-th kept item sits at TRUE sorted
-    // rank c + j*2^L, so reading quantile pct at the nearest kept item
-    // misses the target rank t = pct*(n-1)//100 by at most 2^L - 1
-    // (mid-range: <= 2^L/2 by rounding; clamped ends: c <= 2^L - 1 and
-    // n - 1 - last_kept <= 2^L - 1). `ok` asserts exactly that bound,
-    // and every rank quantity in the row is exact integer arithmetic
-    // both engines share. Merge (union partial sketches, keep halving
-    // canonically) lives in quantileSketch/quantileHalve/quantileMerge
-    // below, contract-proven 1-vs-k in SketchesQualitySpec.
+    // This entry is the SHARDED build (r11, on the round-10 kernels):
+    // the sketch is assembled exactly the way a 1000-executor job
+    // would — 64 deterministic shards (h60 of the row key) each build
+    // their own constant-size partial under a rank window keyed by
+    // (grp, SHARD), then log2(64) canonical halvings (quantileHalve's
+    // merge coin) fold the union back to one shard's size bound. No
+    // window ever partitions by l_returnflag alone: the only rank over
+    // lineitem is (grp, shard)-keyed — 192 partitions here, and the
+    // nShards knob scales that with the cluster — so no task sorts
+    // more than ~n/192 rows where the old entry's 3-value key sorted
+    // n/3. The streaming twin (q_stream_quantile) runs the identical
+    // kernels per micro-batch; this is the batch half of that
+    // architecture, sharing geometry law, coins, and merge topology.
     //
-    // Scale shape: ONE partitioned window rank per group + a rank
-    // filter — the same exact-quantile plan q_agg_quantile_rank proves
-    // survives billion-row groups — then everything downstream
-    // (geometry, targets, read-off joins) is groups-x-quantiles-sized
-    // and broadcast. At 100 TB the per-shard path is quantileSketch
-    // (constant output per shard) + quantileMerge, never a global sort.
-    // Reference provenance: the sort kernel this approximates at scale
-    // is utilities.py:10-29 (the reference's merge-sort comparator).
+    // Geometry is canonical per group (smallest L landing the FINAL
+    // sketch at <= 256 items given 64 shards), so the per-shard h0
+    // output is <= 256 rows REGARDLESS of n. The rank-error CONTRACT
+    // rides the output in the stream twin's form: the estimate's
+    // true-rank interval [r_lo, r_hi] (counted exactly by one
+    // broadcast-join aggregate over the base data — no window) must
+    // sit within 4x the final sample weight of the target rank
+    // t = pct*(n-1)//100, the 1-vs-k merge band SketchesQualitySpec
+    // pins. Every rank quantity is exact integer arithmetic both
+    // engines share; the halvings replay as materialized CTEs.
+    //
+    // Scale shape: pass 1 scans lineitem under the (grp, shard) rank
+    // window; everything between is sketch-sized (<= 256 rows/group)
+    // and broadcast; pass 2 scans lineitem once more for the audit as
+    // a map-side-combined conditional aggregate against the broadcast
+    // estimates. Reference provenance: the sort kernel this
+    // approximates at scale is utilities.py:10-29 (the reference's
+    // merge-sort comparator).
     QueryDef(
       "q_agg_quantile_sketch",
       """WITH v AS (
-        |  SELECT l_returnflag AS grp, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  SELECT l_returnflag AS grp,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    ('0x' || substr(md5('qsh:' || l_orderkey || ':' || l_linenumber), 1, 15))::BIGINT % 64 AS shard
         |  FROM lineitem),
-        |r AS MATERIALIZED (
-        |  SELECT grp, cents,
-        |    row_number() OVER (PARTITION BY grp ORDER BY cents) - 1 AS r0,
-        |    count(*) OVER (PARTITION BY grp) AS n
-        |  FROM v),
         |geo AS (
-        |  SELECT grp, max(n) AS n,
-        |    CASE WHEN (max(n) + 255) // 256 <= 1 THEN 0
-        |      ELSE length(format('{:b}', (max(n) + 255) // 256 - 1)) END AS lv
-        |  FROM r GROUP BY grp),
-        |geo2 AS (
-        |  SELECT grp, n, lv, (1::BIGINT << CAST(lv AS INTEGER)) AS two,
-        |    ('0x' || substr(md5('kll:' || grp), 1, 15))::BIGINT
-        |      % (1::BIGINT << CAST(lv AS INTEGER)) AS c
-        |  FROM geo),
-        |kept AS MATERIALIZED (
-        |  SELECT r.grp, (r.r0 - g.c) // g.two AS j, r.cents
-        |  FROM r JOIN geo2 g USING (grp) WHERE r.r0 % g.two = g.c),
-        |m AS (SELECT grp, count(*) AS m FROM kept GROUP BY grp),
+        |  SELECT grp, count(*)::BIGINT AS n,
+        |    CASE WHEN (count(*) + 16383) // 16384 <= 1 THEN 0
+        |      ELSE length(format('{:b}', (count(*) + 16383) // 16384 - 1)) END AS lv
+        |  FROM v GROUP BY grp),
+        |geo2 AS (SELECT grp, n, lv, (1::BIGINT << CAST(lv AS INTEGER)) AS two FROM geo),
+        |h0 AS MATERIALIZED (
+        |  SELECT grp, (r0 - c) // two AS j, cents AS v, two AS weight FROM (
+        |    SELECT v.grp, v.cents, g.two,
+        |      row_number() OVER (PARTITION BY v.grp, v.shard ORDER BY v.cents) - 1 AS r0,
+        |      ('0x' || substr(md5('kll:' || v.grp || ':' || v.shard), 1, 15))::BIGINT % g.two AS c
+        |    FROM v JOIN geo2 g USING (grp)) t
+        |  WHERE r0 % two = c),
+        |""".stripMargin +
+        (1 to 6).map { k =>
+          s"""h$k AS MATERIALIZED (
+             |  SELECT grp, (r0 - b) // 2 AS j, v, weight * 2 AS weight FROM (
+             |    SELECT grp, j, v, weight,
+             |      row_number() OVER (PARTITION BY grp ORDER BY v, j) - 1 AS r0,
+             |      ('0x' || substr(md5('kllh:' || grp || ':' || weight), 1, 15))::BIGINT % 2 AS b
+             |    FROM h${k - 1}) t
+             |  WHERE r0 % 2 = b),
+             |""".stripMargin
+        }.mkString +
+      """m AS (SELECT grp, count(*)::BIGINT AS m FROM h6 GROUP BY grp),
+        |rk AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v, j) - 1 AS i FROM h6),
         |sel AS (
-        |  SELECT g.grp, g.n, g.lv, g.two, g.c, m.m,
-        |    CAST(u.pct AS BIGINT) AS pct,
-        |    (CAST(u.pct AS BIGINT) * (g.n - 1)) // 100 AS t,
-        |    least(m.m - 1,
-        |      greatest(0, (CAST(u.pct AS BIGINT) * (g.n - 1)) // 100 - g.c
-        |        + g.two // 2) // g.two) AS j
-        |  FROM geo2 g JOIN m USING (grp), UNNEST([1, 25, 50, 75, 99]) u(pct))
-        |SELECT sel.grp AS l_returnflag, sel.pct, sel.n,
-        |  CAST(sel.lv AS BIGINT) AS levels, sel.m AS m_sketch,
-        |  kept.cents AS est_cents,
-        |  abs(sel.c + sel.j * sel.two - sel.t) AS rank_err,
-        |  sel.two - 1 AS bound,
-        |  abs(sel.c + sel.j * sel.two - sel.t) <= sel.two - 1 AS ok
-        |FROM sel JOIN kept ON kept.grp = sel.grp AND kept.j = sel.j
+        |  SELECT m.grp, CAST(u.pct AS BIGINT) AS pct, m.m,
+        |    (CAST(u.pct AS BIGINT) * (m.m - 1) + 50) // 100 AS i
+        |  FROM m, UNNEST([1, 25, 50, 75, 99]) u(pct)),
+        |est AS (SELECT sel.grp, sel.pct, sel.m, rk.v AS est FROM sel JOIN rk USING (grp, i)),
+        |aud AS (
+        |  SELECT e.grp, e.pct, e.m, e.est,
+        |    sum(CASE WHEN v.cents < e.est THEN 1 ELSE 0 END)::BIGINT AS r_lo,
+        |    sum(CASE WHEN v.cents <= e.est THEN 1 ELSE 0 END)::BIGINT AS r_le
+        |  FROM est e JOIN v ON v.grp = e.grp GROUP BY 1, 2, 3, 4)
+        |SELECT a.grp AS l_returnflag, a.pct, g.n, CAST(g.lv AS BIGINT) AS levels,
+        |  g.two * 64 AS w_final, a.m AS m_sketch, a.est AS est_cents,
+        |  a.r_lo, a.r_le - 1 AS r_hi,
+        |  (a.pct * (g.n - 1)) // 100 AS t,
+        |  g.two * 64 * 4 AS bound,
+        |  ((a.pct * (g.n - 1)) // 100 >= a.r_lo - g.two * 64 * 4)
+        |    AND ((a.pct * (g.n - 1)) // 100 <= a.r_le - 1 + g.two * 64 * 4) AS ok
+        |FROM aud a JOIN geo2 g USING (grp)
         |""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
+      val nSh = 64
       val v = lineitem(s, d).select(col("l_returnflag").as("grp"),
-        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
-      val sizes = v.groupBy("grp").agg(count(lit(1)).as("n"))
-      val geo = sizes.select(col("grp"), col("n"),
-          when(expr("(n + 255) div 256") <= 1, lit(0L))
-            .otherwise(expr("length(bin((n + 255) div 256 - 1))").cast("long"))
-            .as("lv"))
-        .withColumn("two", expr("shiftleft(1L, cast(lv as int))"))
-        .withColumn("c", h60(concat(lit("kll:"), col("grp"))) % col("two"))
-      val ranked = v.join(broadcast(geo), "grp")
-        .withColumn("r0", row_number().over(
-          Window.partitionBy("grp").orderBy(col("cents"))).cast("long") - 1)
-      val kept = ranked.filter(col("r0") % col("two") === col("c"))
-        .select(col("grp"), expr("(r0 - c) div two").as("j"), col("cents"))
-      val m = kept.groupBy("grp").agg(count(lit(1)).as("m"))
-      val sel = geo.join(broadcast(m), "grp")
-        .select(col("grp"), col("n"), col("lv"), col("two"), col("c"), col("m"),
-          explode(array(Seq(1, 25, 50, 75, 99).map(p => lit(p.toLong)): _*))
-            .as("pct"))
-        .withColumn("t", expr("(pct * (n - 1)) div 100"))
-        .withColumn("j", least(col("m") - 1,
-          expr("greatest(0L, t - c + two div 2) div two")))
-      sel.join(kept, Seq("grp", "j"))
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        (h60(concat(lit("qsh:"), col("l_orderkey"), lit(":"),
+          col("l_linenumber"))) % nSh).as("shard"))
+      val (sk0, geo) = shardedQuantileSketch(v, nSh)
+      val sk = sk0.localCheckpoint() // <= 256 rows/group; feeds m + read-off
+      val m = sk.groupBy("grp").agg(count(lit(1)).as("m"))
+      val est = quantileEstimate(sk, Seq(1, 25, 50, 75, 99))
+      val aud = v.join(broadcast(est), Seq("grp"))
+        .groupBy("grp", "pct", "est")
+        .agg(sum(when(col("cents") < col("est"), 1L).otherwise(0L)).as("r_lo"),
+          sum(when(col("cents") <= col("est"), 1L).otherwise(0L)).as("r_le"))
+      aud.join(broadcast(m), "grp").join(broadcast(geo), "grp")
         .select(col("grp").as("l_returnflag"), col("pct"), col("n"),
-          col("lv").as("levels"), col("m").as("m_sketch"),
-          col("cents").as("est_cents"),
-          abs(col("c") + col("j") * col("two") - col("t")).as("rank_err"),
-          (col("two") - 1).as("bound"),
-          (abs(col("c") + col("j") * col("two") - col("t")) <= col("two") - 1)
+          col("lv").as("levels"), (col("two") * nSh).as("w_final"),
+          col("m").as("m_sketch"), col("est").as("est_cents"),
+          col("r_lo"), (col("r_le") - 1).as("r_hi"),
+          expr("(pct * (n - 1)) div 100").as("t"),
+          (col("two") * nSh * 4).as("bound"),
+          (expr("(pct * (n - 1)) div 100") >= col("r_lo") - col("two") * nSh * 4 &&
+            expr("(pct * (n - 1)) div 100") <= col("r_le") - 1 + col("two") * nSh * 4)
             .as("ok"))
     }
   )
@@ -452,6 +461,47 @@ object Sketches {
       if (parts.size == 1) 0
       else 32 - Integer.numberOfLeadingZeros(parts.size - 1)
     (1 to rounds).foldLeft(u)((s, _) => quantileHalve(s))
+  }
+
+  /** The [[quantileSketch]]/[[quantileMerge]] pair fused into the ONE
+    * pass a 1000-executor job runs: `v` carries (grp, cents, shard)
+    * with `shard` a deterministic hash in [0, nShards); each
+    * (grp, shard) builds its constant-size partial under a rank window
+    * keyed by BOTH columns (cardinality |grps| * nShards — the
+    * parallelism knob; partitionBy(grp) alone is the low-cardinality
+    * window that dies at 100x), then log2(nShards) canonical
+    * [[quantileHalve]] rounds fold the union back to one shard's size
+    * bound. Geometry is canonical per group: the smallest L with
+    * n / (2^L * nShards) <= cap final items — so the h0 partials are
+    * <= cap rows per (grp, shard) REGARDLESS of n. Returns (sketch,
+    * geo) where geo carries (grp, n, lv, two) for contract columns.
+    * Final sample weight = 2^lv * nShards; the merged rank-error band
+    * is 4x that weight (the 1-vs-k contract SketchesQualitySpec pins).
+    */
+  private[graft] def shardedQuantileSketch(v: org.apache.spark.sql.DataFrame,
+      nShards: Int, cap: Int = 256):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards >= 2 && (nShards & (nShards - 1)) == 0,
+      "nShards must be a power of two >= 2")
+    val target = cap.toLong * nShards
+    val geo = v.groupBy("grp").agg(count(lit(1)).as("n"))
+      .select(col("grp"), col("n"),
+        when(expr(s"(n + ${target - 1}) div $target") <= 1, lit(0L))
+          .otherwise(expr(s"length(bin((n + ${target - 1}) div $target - 1))")
+            .cast("long")).as("lv"))
+      .withColumn("two", expr("shiftleft(1L, cast(lv as int))"))
+    val kept = v.join(broadcast(geo.select("grp", "two")), "grp")
+      .withColumn("r0", row_number().over(
+        Window.partitionBy("grp", "shard").orderBy(col("cents")))
+        .cast("long") - 1)
+      .withColumn("c",
+        h60(concat(lit("kll:"), col("grp"), lit(":"), col("shard"))) % col("two"))
+      .filter(col("r0") % col("two") === col("c"))
+      .select(col("grp"), expr("(r0 - c) div two").as("j"),
+        col("cents").as("v"), col("two").as("weight"))
+    val rounds = 32 - Integer.numberOfLeadingZeros(nShards - 1)
+    ((1 to rounds).foldLeft(kept)((sk, _) => quantileHalve(sk)), geo)
   }
 
   /** Read quantiles (integer percents) off a uniform-weight sketch:

@@ -1041,40 +1041,50 @@ object Streaming {
       }
       .start()
     drain(q)
-    val rounds =
-      if (applied.get <= 1) 0
-      else 32 - Integer.numberOfLeadingZeros(applied.get - 1)
-    val merged = (1 to rounds).foldLeft(partials.get)((df, _) =>
-      Sketches.quantileHalve(df))
-    val band = (32L << rounds) * 4L
-    val pcts = Seq(1, 50, 99)
-    val est = Sketches.quantileEstimate(merged, pcts)
-    // exact side: one ranked pass over the events table (the oracle's
-    // replayable half) + the target-rank read + the est-value rank band
-    val ev = graft.sources.Tables.events(s, d)
-      .select((col("user_id") % 4).as("grp"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    val sizes = ev.groupBy("grp").agg(count(lit(1)).as("n"))
-    val ranked = ev.join(broadcast(sizes), "grp")
-      .withColumn("r0", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("grp")
-          .orderBy(col("cents"))).cast("long") - 1)
-      .localCheckpoint() // feeds the target read AND the est band
-    val tgt = sizes.select(col("grp"), col("n"),
-        explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pct"))
-      .withColumn("t", expr("(pct * (n - 1)) div 100"))
-    val exact = tgt.join(ranked.select(col("grp"), col("cents"), col("r0")),
-        Seq("grp")).filter(col("r0") === col("t"))
-      .select(col("grp"), col("pct"), col("n"), col("t"),
-        col("cents").as("exact_cents"))
-    val estBand = est.join(
-        ranked.select(col("grp"), col("cents").as("est"), col("r0")),
-        Seq("grp", "est"))
-      .groupBy("grp", "pct").agg(min("r0").as("lo"), max("r0").as("hi"))
-    val out = exact.join(broadcast(estBand), Seq("grp", "pct"))
-      .select(col("grp"), col("pct"), col("n"), col("exact_cents"),
-        (col("t") >= col("lo") - band && col("t") <= col("hi") + band).as("ok"))
-    (out, applied.get)
+    // Zero micro-batches (empty topic) leaves `partials` null — mirror
+    // the minhash stream's guard and return an empty, correctly-typed
+    // report instead of NPE-ing in the merge fold below.
+    if (partials.get == null) {
+      val empty = s.range(0).select(col("id").as("grp"),
+        lit(0L).as("pct"), lit(0L).as("n"), lit(0L).as("exact_cents"),
+        lit(true).as("ok")).limit(0)
+      (empty, applied.get)
+    } else {
+      val rounds =
+        if (applied.get <= 1) 0
+        else 32 - Integer.numberOfLeadingZeros(applied.get - 1)
+      val merged = (1 to rounds).foldLeft(partials.get)((df, _) =>
+        Sketches.quantileHalve(df))
+      val band = (32L << rounds) * 4L
+      val pcts = Seq(1, 50, 99)
+      val est = Sketches.quantileEstimate(merged, pcts)
+      // exact side: one ranked pass over the events table (the oracle's
+      // replayable half) + the target-rank read + the est-value rank band
+      val ev = graft.sources.Tables.events(s, d)
+        .select((col("user_id") % 4).as("grp"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val sizes = ev.groupBy("grp").agg(count(lit(1)).as("n"))
+      val ranked = ev.join(broadcast(sizes), "grp")
+        .withColumn("r0", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("grp")
+            .orderBy(col("cents"))).cast("long") - 1)
+        .localCheckpoint() // feeds the target read AND the est band
+      val tgt = sizes.select(col("grp"), col("n"),
+          explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pct"))
+        .withColumn("t", expr("(pct * (n - 1)) div 100"))
+      val exact = tgt.join(ranked.select(col("grp"), col("cents"), col("r0")),
+          Seq("grp")).filter(col("r0") === col("t"))
+        .select(col("grp"), col("pct"), col("n"), col("t"),
+          col("cents").as("exact_cents"))
+      val estBand = est.join(
+          ranked.select(col("grp"), col("cents").as("est"), col("r0")),
+          Seq("grp", "est"))
+        .groupBy("grp", "pct").agg(min("r0").as("lo"), max("r0").as("hi"))
+      val out = exact.join(broadcast(estBand), Seq("grp", "pct"))
+        .select(col("grp"), col("pct"), col("n"), col("exact_cents"),
+          (col("t") >= col("lo") - band && col("t") <= col("hi") + band).as("ok"))
+      (out, applied.get)
+    }
   }
 
   def streamQuantile(s: SparkSession, d: String): DataFrame =

@@ -65,6 +65,20 @@ class GraftApiSpec extends SparkSpec {
       "geometry-derived probe missed a true (key, chunk) pair")
   }
 
+  test("bloomCandidates fails loudly on a mixed-geometry index union") {
+    // max() over a unioned mixed-geometry index would silently blend
+    // parameters (the false-negative trap the derived geometry exists
+    // to remove); the min==max assert must turn that into a loud error.
+    val data = (0L until 100L).map(i => (i / 50L, i % 13L)).toDF("chunk", "key")
+    val a = Graft.bloomChunkIndex(data, col("chunk"), col("key"), words = 16, k = 3)
+    val b = Graft.bloomChunkIndex(data, col("chunk"), col("key"), words = 4, k = 5)
+    val e = intercept[Exception](
+      Graft.bloomCandidates(a.unionByName(b), Seq(3L).toDF("pk")).collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("mixes bloom geometries")), s"wrong failure: $msgs")
+  }
+
   test("fdCheck refuses an empty candidate list loudly") {
     val df = Seq((1L, 1L)).toDF("a", "b")
     val e = intercept[IllegalArgumentException](Graft.fdCheck(df, Seq.empty))

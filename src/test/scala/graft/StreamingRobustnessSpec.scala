@@ -275,6 +275,21 @@ class StreamingRobustnessSpec extends SparkSpec {
     }
   }
 
+  test("streamQuantile on an EMPTY topic returns an empty report, not an NPE") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_sf").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(dir + "/events.parquet")
+    val (out, _) = Streaming.streamQuantileCounted(spark, dir, batches = 3)
+    assert(out.columns.toSeq == Seq("grp", "pct", "n", "exact_cents", "ok"))
+    assert(out.count() == 0L)
+  }
+
   test("streamNearDup equals the batch LSH filter against the corpus index") {
     import graft.api.Graft
     val docs = graft.sources.Tables.documents(spark, sf)
