@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.Column
 import graft.QueryDef
+import graft.operators.Sketches
 import graft.sources.Tables._
 
 /** Advanced aggregation coverage: grouping sets, ordered collections,
@@ -311,6 +312,98 @@ object Aggregates {
           expr("(n + 19) div 20").as("bound"),
           (abs(col("est_rows") - col("actual_rows")) <= expr("(n + 19) div 20"))
             .as("ok"))
+    },
+
+    // The 100 TB-shaped TWIN of q_agg_selectivity (r11; the
+    // q_quality_profile -> q_quality_profile_approx pairing): the 20
+    // equi-depth bucket boundaries come from the SHARDED mergeable
+    // quantile sketch (Sketches.shardedQuantileSketch — rank window
+    // keyed by (grp, shard), never grp alone; <= 256 items/group
+    // regardless of n) instead of the exact ntile's whole-group rank.
+    // Bucket b holds the kept items at index i with i*20//m = b-1;
+    // each item stands for w_final originals, so cnt_est = w_final *
+    // items; the range estimate then runs the IDENTICAL interpolation
+    // machinery as the exact entry. The audited bound widens by the
+    // sketch's contribution, and every term is provable integer
+    // arithmetic:
+    //   |est - actual| <= W*(m div 20 + 1)   (straddling sketch bucket)
+    //                   + 4W                 (merged rank-error band,
+    //                                         the 1-vs-k pinned 4x
+    //                                         final-weight contract)
+    //                   + W                  (kept-item granularity)
+    // = the "equi-depth + sketch rank-error" bound riding the output.
+    //
+    // Scale shape: pass 1 builds the sketch under the (grp, shard)
+    // rank; the histogram, thresholds, and estimation all read <= 256
+    // summary rows per group; pass 2 scans lineitem once as a
+    // map-side-combined conditional aggregate for the audit only — at
+    // 100 TB the planner answers from the sketch and never rescans.
+    QueryDef(
+      "q_agg_selectivity_approx",
+      Sketches.ShardedCentsSketchSql +
+      """m AS (SELECT grp, count(*)::BIGINT AS m FROM h6 GROUP BY grp),
+        |rk AS (SELECT grp, v, j, row_number() OVER (PARTITION BY grp ORDER BY v, j) - 1 AS i FROM h6),
+        |h AS MATERIALIZED (
+        |  SELECT rk.grp, (rk.i * 20) // m.m + 1 AS tile,
+        |    count(*)::BIGINT * max(g.two) * 64 AS cnt_est,
+        |    min(rk.v) AS lo, max(rk.v) AS hi
+        |  FROM rk JOIN m USING (grp) JOIN geo2 g USING (grp)
+        |  GROUP BY 1, 2),
+        |x AS (SELECT g.grp, CAST(u.x AS BIGINT) AS x
+        |  FROM geo2 g, UNNEST([1500000, 4000000, 8000000]) u(x)),
+        |est AS (
+        |  SELECT x.grp, x.x,
+        |    sum(CASE WHEN h.hi <= x.x THEN h.cnt_est
+        |             WHEN h.lo > x.x THEN 0
+        |             ELSE h.cnt_est * (x.x - h.lo) // greatest(h.hi - h.lo, 1) END
+        |        )::BIGINT AS est_rows
+        |  FROM x JOIN h ON h.grp = x.grp GROUP BY 1, 2),
+        |act AS (
+        |  SELECT x.grp, x.x, sum(CASE WHEN v.cents <= x.x THEN 1 ELSE 0 END)::BIGINT AS actual_rows
+        |  FROM x JOIN v ON v.grp = x.grp GROUP BY 1, 2)
+        |SELECT e.grp AS l_returnflag, e.x AS threshold_cents,
+        |  a.actual_rows, e.est_rows,
+        |  e.est_rows - a.actual_rows AS err_rows,
+        |  g.n, g.two * 64 AS w_final, m.m AS m_sketch,
+        |  g.two * 64 * (m.m // 20 + 6) AS bound,
+        |  abs(e.est_rows - a.actual_rows) <= g.two * 64 * (m.m // 20 + 6) AS ok
+        |FROM est e JOIN act a ON a.grp = e.grp AND a.x = e.x
+        |JOIN geo2 g ON g.grp = e.grp JOIN m ON m.grp = e.grp
+        |""".stripMargin) { (s, d) =>
+      val nSh = Sketches.NShards
+      val v = Sketches.centsSharded(s, d)
+      val (sk0, geo) = Sketches.shardedQuantileSketch(v, nSh)
+      val sk = sk0.localCheckpoint() // <= 256 rows/group
+      val m = sk.groupBy("grp").agg(count(lit(1)).as("m"))
+      val h = sk
+        .withColumn("i", row_number().over(Window.partitionBy("grp")
+          .orderBy(col("v"), col("j"))).cast("long") - 1)
+        .join(broadcast(m), "grp").join(broadcast(geo.select("grp", "two")), "grp")
+        .groupBy(col("grp"), expr("(i * 20) div m + 1").as("tile"))
+        .agg((count(lit(1)) * max("two") * nSh).as("cnt_est"),
+          min("v").as("lo"), max("v").as("hi"))
+        .localCheckpoint() // <= 60 summary rows feed estimation
+      val x = geo.select(col("grp"),
+        explode(array(lit(1500000L), lit(4000000L), lit(8000000L))).as("x"))
+      val est = x.join(broadcast(h), Seq("grp"))
+        .groupBy("grp", "x")
+        .agg(sum(when(col("hi") <= col("x"), col("cnt_est"))
+          .when(col("lo") > col("x"), lit(0L))
+          .otherwise(expr("cnt_est * (x - lo) div greatest(hi - lo, 1L)")))
+          .as("est_rows"))
+      val act = v.join(broadcast(x), Seq("grp"))
+        .groupBy("grp", "x")
+        .agg(sum(when(col("cents") <= col("x"), 1L).otherwise(0L))
+          .as("actual_rows"))
+      est.join(act, Seq("grp", "x"))
+        .join(broadcast(geo), Seq("grp")).join(broadcast(m), Seq("grp"))
+        .select(col("grp").as("l_returnflag"), col("x").as("threshold_cents"),
+          col("actual_rows"), col("est_rows"),
+          (col("est_rows") - col("actual_rows")).as("err_rows"),
+          col("n"), (col("two") * nSh).as("w_final"), col("m").as("m_sketch"),
+          (col("two") * nSh * (expr("m div 20") + 6)).as("bound"),
+          (abs(col("est_rows") - col("actual_rows")) <=
+            col("two") * nSh * (expr("m div 20") + 6)).as("ok"))
     },
 
     // Argmax via max(struct(ord, value)) — deterministic under ties

@@ -43,6 +43,58 @@ object Sketches {
     * the contract the spec asserts against. */
   private[graft] val JcW = 4096
 
+  /** Shard fan-out of the sharded quantile-sketch build (q_agg_quantile
+    * _sketch, q_agg_selectivity_approx). 64 here == 2 x local[32];
+    * a real cluster raises it to executor count x a small factor. */
+  private[graft] val NShards = 64
+
+  /** The (grp, cents, shard) projection both sketch-backed entries
+    * build over lineitem: extendedprice in integer cents, shard an h60
+    * hash of the row key in [0, NShards). */
+  private[graft] def centsSharded(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    lineitem(s, d).select(col("l_returnflag").as("grp"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+      (h60(concat(lit("qsh:"), col("l_orderkey"), lit(":"),
+        col("l_linenumber"))) % NShards).as("shard"))
+
+  /** Oracle-side replay of [[shardedQuantileSketch]] over
+    * [[centsSharded]]: CTEs `v, geo, geo2, h0 .. h6` (64 shards,
+    * cap 256), each halving materialized so DuckDB replays the exact
+    * compaction cascade. Ends with a trailing comma — append read-off
+    * CTEs and the final SELECT. Shared verbatim by every sketch-backed
+    * oracle so the two engines can never drift on the build. */
+  private[graft] val ShardedCentsSketchSql: String =
+    """WITH v AS (
+      |  SELECT l_returnflag AS grp,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    ('0x' || substr(md5('qsh:' || l_orderkey || ':' || l_linenumber), 1, 15))::BIGINT % 64 AS shard
+      |  FROM lineitem),
+      |geo AS (
+      |  SELECT grp, count(*)::BIGINT AS n,
+      |    CASE WHEN (count(*) + 16383) // 16384 <= 1 THEN 0
+      |      ELSE length(format('{:b}', (count(*) + 16383) // 16384 - 1)) END AS lv
+      |  FROM v GROUP BY grp),
+      |geo2 AS (SELECT grp, n, lv, (1::BIGINT << CAST(lv AS INTEGER)) AS two FROM geo),
+      |h0 AS MATERIALIZED (
+      |  SELECT grp, (r0 - c) // two AS j, cents AS v, two AS weight FROM (
+      |    SELECT v.grp, v.cents, g.two,
+      |      row_number() OVER (PARTITION BY v.grp, v.shard ORDER BY v.cents) - 1 AS r0,
+      |      ('0x' || substr(md5('kll:' || v.grp || ':' || v.shard), 1, 15))::BIGINT % g.two AS c
+      |    FROM v JOIN geo2 g USING (grp)) t
+      |  WHERE r0 % two = c),
+      |""".stripMargin +
+    (1 to 6).map { k =>
+      s"""h$k AS MATERIALIZED (
+         |  SELECT grp, (r0 - b) // 2 AS j, v, weight * 2 AS weight FROM (
+         |    SELECT grp, j, v, weight,
+         |      row_number() OVER (PARTITION BY grp ORDER BY v, j) - 1 AS r0,
+         |      ('0x' || substr(md5('kllh:' || grp || ':' || weight), 1, 15))::BIGINT % 2 AS b
+         |    FROM h${k - 1}) t
+         |  WHERE r0 % 2 = b),
+         |""".stripMargin
+    }.mkString
+
   val defs: Seq[QueryDef] = Seq(
 
     // Join-size estimation from count-min inner products — the
@@ -332,35 +384,7 @@ object Sketches {
     // merge-sort comparator).
     QueryDef(
       "q_agg_quantile_sketch",
-      """WITH v AS (
-        |  SELECT l_returnflag AS grp,
-        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
-        |    ('0x' || substr(md5('qsh:' || l_orderkey || ':' || l_linenumber), 1, 15))::BIGINT % 64 AS shard
-        |  FROM lineitem),
-        |geo AS (
-        |  SELECT grp, count(*)::BIGINT AS n,
-        |    CASE WHEN (count(*) + 16383) // 16384 <= 1 THEN 0
-        |      ELSE length(format('{:b}', (count(*) + 16383) // 16384 - 1)) END AS lv
-        |  FROM v GROUP BY grp),
-        |geo2 AS (SELECT grp, n, lv, (1::BIGINT << CAST(lv AS INTEGER)) AS two FROM geo),
-        |h0 AS MATERIALIZED (
-        |  SELECT grp, (r0 - c) // two AS j, cents AS v, two AS weight FROM (
-        |    SELECT v.grp, v.cents, g.two,
-        |      row_number() OVER (PARTITION BY v.grp, v.shard ORDER BY v.cents) - 1 AS r0,
-        |      ('0x' || substr(md5('kll:' || v.grp || ':' || v.shard), 1, 15))::BIGINT % g.two AS c
-        |    FROM v JOIN geo2 g USING (grp)) t
-        |  WHERE r0 % two = c),
-        |""".stripMargin +
-        (1 to 6).map { k =>
-          s"""h$k AS MATERIALIZED (
-             |  SELECT grp, (r0 - b) // 2 AS j, v, weight * 2 AS weight FROM (
-             |    SELECT grp, j, v, weight,
-             |      row_number() OVER (PARTITION BY grp ORDER BY v, j) - 1 AS r0,
-             |      ('0x' || substr(md5('kllh:' || grp || ':' || weight), 1, 15))::BIGINT % 2 AS b
-             |    FROM h${k - 1}) t
-             |  WHERE r0 % 2 = b),
-             |""".stripMargin
-        }.mkString +
+      ShardedCentsSketchSql +
       """m AS (SELECT grp, count(*)::BIGINT AS m FROM h6 GROUP BY grp),
         |rk AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v, j) - 1 AS i FROM h6),
         |sel AS (
@@ -382,11 +406,8 @@ object Sketches {
         |    AND ((a.pct * (g.n - 1)) // 100 <= a.r_le - 1 + g.two * 64 * 4) AS ok
         |FROM aud a JOIN geo2 g USING (grp)
         |""".stripMargin) { (s, d) =>
-      val nSh = 64
-      val v = lineitem(s, d).select(col("l_returnflag").as("grp"),
-        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
-        (h60(concat(lit("qsh:"), col("l_orderkey"), lit(":"),
-          col("l_linenumber"))) % nSh).as("shard"))
+      val nSh = NShards
+      val v = centsSharded(s, d)
       val (sk0, geo) = shardedQuantileSketch(v, nSh)
       val sk = sk0.localCheckpoint() // <= 256 rows/group; feeds m + read-off
       val m = sk.groupBy("grp").agg(count(lit(1)).as("m"))

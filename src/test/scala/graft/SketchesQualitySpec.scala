@@ -17,11 +17,47 @@ class SketchesQualitySpec extends SparkSpec {
     val rows = q("q_agg_quantile_sketch").collect()
     assert(rows.length == 15) // 3 groups x 5 quantiles
     rows.foreach { r =>
+      val (lo, hi, t, bound) = (r.getAs[Long]("r_lo"), r.getAs[Long]("r_hi"),
+        r.getAs[Long]("t"), r.getAs[Long]("bound"))
       assert(r.getAs[Boolean]("ok"),
-        s"rank error ${r.getAs[Long]("rank_err")} broke bound ${r.getAs[Long]("bound")}")
+        s"target rank $t outside [$lo - $bound, $hi + $bound]")
+      assert(t >= lo - bound && t <= hi + bound) // ok recomputed
       assert(r.getAs[Long]("m_sketch") <= 256L, "sketch outgrew its capacity")
-      assert(r.getAs[Long]("rank_err") <= r.getAs[Long]("bound"))
+      // the band is 4x the final sample weight, never looser
+      assert(r.getAs[Long]("w_final") ==
+        (1L << r.getAs[Long]("levels").toInt) * 64L)
+      assert(bound == 4L * r.getAs[Long]("w_final"))
     }
+  }
+
+  test("sharded quantile build: the only rank window over the base data is (grp, shard)-keyed") {
+    // The r10 entry ranked ALL of lineitem under partitionBy(l_returnflag)
+    // — a 3-value key whose per-partition sort dies at 100x. The sharded
+    // build must never window on grp alone over base-table rows: every
+    // Window whose partition spec lacks the shard key must sit above the
+    // constant-size sketch (<= 256 rows/group), which the halving rounds
+    // and the read-off legitimately rank.
+    // The registry entry checkpoints the sketch, so probe the composed
+    // kernel plan directly: the LOWEST window (no Window beneath it) is
+    // the one that ranks every base row — it must carry the shard key;
+    // windows above it rank only the rank-filtered (constant-size)
+    // sketch rows and may key on grp alone.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val li = Tables.lineitem(spark, sf)
+    val v = li.select(col("l_returnflag").as("grp"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+      (graft.Exact.h60(concat(lit("qsh:"), col("l_orderkey"), lit(":"),
+        col("l_linenumber"))) % 64).as("shard"))
+    val (sk, _) = graft.operators.Sketches.shardedQuantileSketch(v, 64)
+    val plan = sk.queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.size == 7, s"expected h0 + 6 halvings, got ${windows.size}")
+    val base = windows.filter(w =>
+      w.child.collect { case ww: LWindow => ww }.isEmpty)
+    assert(base.size == 1, "exactly one window ranks the base data")
+    val keys = base.head.partitionSpec.flatMap(_.references.map(_.name))
+    assert(keys.contains("shard") || keys.exists(_.startsWith("shard")),
+      s"base rank window partitioned only by $keys — the low-cardinality rank is back")
   }
 
   test("quantile sketch merge: 1-vs-k partial merges keep the rank-error contract") {
@@ -65,6 +101,22 @@ class SketchesQualitySpec extends SparkSpec {
     // merged band: per-shard gaps (4 * 32) + two halving rounds
     // (64 + 128) + read-off rounding — 4x the final weight covers it
     checkContract(estM, 4L * 128)
+  }
+
+  test("sketch-backed selectivity: the widened equi-depth + rank-error bound holds") {
+    val rows = q("q_agg_selectivity_approx").collect()
+    assert(rows.length == 9) // 3 groups x 3 thresholds
+    rows.foreach { r =>
+      val (w, m) = (r.getAs[Long]("w_final"), r.getAs[Long]("m_sketch"))
+      // bound = W*(m div 20) [straddling sketch bucket] + 4W [merged
+      // rank-error band] + W [granularity] + W [bucket rounding]
+      assert(r.getAs[Long]("bound") == w * (m / 20 + 6), "bound drifted from the stated sum")
+      assert(math.abs(r.getAs[Long]("err_rows")) <= r.getAs[Long]("bound"))
+      assert(r.getAs[Boolean]("ok"))
+      // and the sketch is genuinely coarse: the bound must stay well
+      // under the group size or the estimator is vacuous
+      assert(r.getAs[Long]("bound") < r.getAs[Long]("n"))
+    }
   }
 
   // ---- count-min ----------------------------------------------------
