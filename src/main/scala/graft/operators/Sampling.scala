@@ -676,6 +676,181 @@ object Sampling {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
     },
 
+    // THE end-to-end corpus build (r11): the canonical LLM-pretraining
+    // chain — exact dedup -> MinHash near-dup -> 13-gram eval
+    // decontamination -> quality gates -> per-language token budget ->
+    // epoch-rate mixture -> next-fit sequence packing — composed into
+    // ONE query under ONE hash gate. Every stage is the standalone
+    // query's exact pattern (q_dedup_exact / q_dedup_minhash /
+    // q_dedup_decontaminate_ngram / q_pipeline_curate's gates /
+    // q_sample_budget / q_sample_mixture / q_text_pack), and the
+    // oracle restates each as a MATERIALIZED CTE — the integration
+    // proof that the pipeline operators compose, mirroring the
+    // reference's one end-to-end artifact (client.py:17 ->
+    // namenode.py:362 -> datanode.py:113 -> output files).
+    //
+    // Stage rules, stated identically in both engines:
+    //  - exact: keep min(doc_id) per md5 content fingerprint;
+    //  - near-dup: MinHash(16)/LSH(4x4) candidates, exact-Jaccard
+    //    verify >= 0.5, then drop the LARGER id of every verified pair
+    //    (greedy keep-first; the CC-canonical variant is
+    //    q_dedup_clusters);
+    //  - decontaminate: drop docs sharing ANY 13-gram with the eval
+    //    split (doc_id % 50 = 0), and the eval docs themselves;
+    //  - quality: 100 <= chars <= 2000, no email/url span, repetition
+    //    ratio <= 0.2;
+    //  - budget: per-lang 20k-token cap in the deterministic h60
+    //    shuffle order; mixture: en 1.5x / de 1.0x / fr 0.5x /
+    //    es 0.25x / zh 0.1x epoch rates (hash-fractional copies);
+    //  - pack: copies lay end-to-end per hash bucket, cut at 256.
+    //
+    // Scale shape: ids and 16-byte digests shuffle, documents never do
+    // (the dedup/decontamination joins are semi/anti on keys, eval
+    // grams broadcast); the only windows are the per-class budget
+    // cumsum and the per-bucket pack cumsum, both partitioned by their
+    // scale-out key. Each stage's plan is the one its standalone query
+    // pins in PLANS.md.
+    QueryDef(
+      "q_pipeline_corpus",
+      s"""WITH base AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    length(text) AS n_chars,
+        |    md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''), ' ')) AS fp,
+        |    CASE WHEN regexp_matches(lower(text), '${graft.api.Graft.EmailRe}')
+        |           OR regexp_matches(lower(text), '${graft.api.Graft.UrlRe}') THEN 0 ELSE 1 END AS clean
+        |  FROM documents),
+        |ex AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM base GROUP BY fp),
+        |tok AS MATERIALIZED (
+        |  SELECT d.doc_id, list_filter(regexp_split_to_array(lower(d.text), '\\s+'), x -> x <> '') AS l
+        |  FROM documents d JOIN ex ON ex.doc_id = d.doc_id),
+        |sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest([array_to_string(l[i:i+2], ' ') for i in range(1, greatest(len(l) - 1, 1))]) AS shingle
+        |    FROM tok WHERE len(l) >= 3) u),
+        |h2 AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS ha,
+        |    ('0x' || substr(md5(shingle), 16, 15))::BIGINT % 72057594037927936 AS hb
+        |  FROM sh),
+        |hv AS (
+        |  SELECT doc_id, i, min((ha + i * hb) % 1152921504606846976) AS mh
+        |  FROM h2, range(16) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hv GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bandkey
+        |  FROM sig, range(4) r2(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+        |  FROM banded x JOIN banded y
+        |    ON x.b = y.b AND x.bandkey = y.bandkey AND x.doc_id < y.doc_id),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.i, c.j, count(*) AS n FROM cand c
+        |  JOIN sh a ON a.doc_id = c.i
+        |  JOIN sh b ON b.doc_id = c.j AND b.shingle = a.shingle
+        |  GROUP BY 1, 2),
+        |neardrop AS (
+        |  SELECT DISTINCT j AS doc_id FROM inter
+        |  JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+        |  WHERE CAST(n AS DOUBLE) / (ca.c + cb.c - n) >= 0.5),
+        |near AS MATERIALIZED (
+        |  SELECT e.doc_id FROM ex e
+        |  WHERE NOT EXISTS (SELECT 1 FROM neardrop nd WHERE nd.doc_id = e.doc_id)),
+        |t13 AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS l
+        |  FROM documents),
+        |sh13 AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest([array_to_string(l[i:i+12], ' ') for i in range(1, greatest(len(l) - 11, 1))]) AS shingle
+        |    FROM t13 WHERE len(l) >= 13) u),
+        |ev AS (SELECT DISTINCT shingle FROM sh13 WHERE doc_id % 50 = 0),
+        |contam AS (
+        |  SELECT DISTINCT doc_id FROM sh13
+        |  WHERE doc_id % 50 <> 0 AND shingle IN (SELECT shingle FROM ev)),
+        |rep AS MATERIALIZED (
+        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS rr FROM (
+        |    SELECT doc_id, tk, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(l) AS tk FROM t13) u GROUP BY 1, 2) g
+        |  GROUP BY 1),
+        |qual AS MATERIALIZED (
+        |  SELECT b.doc_id, b.lang, b.n_tokens
+        |  FROM base b
+        |  JOIN near nr ON nr.doc_id = b.doc_id
+        |  JOIN rep r ON r.doc_id = b.doc_id
+        |  WHERE b.doc_id % 50 <> 0
+        |    AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = b.doc_id)
+        |    AND b.n_chars BETWEEN 100 AND 2000 AND b.clean = 1 AND r.rr <= 0.2),
+        |bud AS MATERIALIZED (
+        |  SELECT doc_id, lang, n_tokens FROM (
+        |    SELECT doc_id, lang, n_tokens,
+        |      CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |        ORDER BY ('0x' || substr(md5('bud:' || doc_id::VARCHAR), 1, 15))::BIGINT ASC, doc_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |    FROM qual) c
+        |  WHERE cum_before + n_tokens <= 20000),
+        |mix AS MATERIALIZED (
+        |  SELECT doc_id, lang, n_tokens, CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy FROM (
+        |    SELECT doc_id, lang, n_tokens,
+        |      (r // 100) + CASE WHEN ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < r % 100
+        |        THEN 1 ELSE 0 END AS n_copies
+        |    FROM (SELECT doc_id, lang, n_tokens,
+        |            CASE lang WHEN 'en' THEN 150 WHEN 'de' THEN 100 WHEN 'fr' THEN 50
+        |                      WHEN 'es' THEN 25 WHEN 'zh' THEN 10 ELSE 0 END AS r
+        |          FROM bud) t) c),
+        |packed AS (
+        |  SELECT doc_id, copy, lang, n_tokens,
+        |    CAST(pid % 16 AS INT) AS bucket,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY pid % 16 ORDER BY pid ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM (SELECT doc_id, copy, lang, n_tokens, doc_id * 2 + copy - 1 AS pid FROM mix) m)
+        |SELECT doc_id, copy, lang, n_tokens, bucket,
+        |  CAST(cum_before // 256 AS INT) AS bin,
+        |  CAST(cum_before % 256 AS INT) AS bin_offset
+        |FROM packed
+        |""".stripMargin) { (s, d) =>
+      import graft.api.Graft
+      val docs = documents(s, d)
+      // per-doc attrs, text-free — one tokenize pass, then only ids and
+      // digests move through the dedup stages
+      val base = docs.select(col("doc_id"), col("lang"),
+          size(Graft.tokens(col("text"))).cast("long").as("n_tokens"),
+          length(col("text")).as("n_chars"),
+          Graft.contentFp(col("text")).as("fp"),
+          Graft.cleanFlag(col("text")).as("clean"))
+        .localCheckpoint()
+      val keepEx = base.groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
+      val exDocs = docs.join(keepEx, Seq("doc_id"), "left_semi")
+      val pairs = Graft.minhashPairs(Graft.shingleSet(exDocs, "doc_id", "text"),
+        threshold = 0.5)
+      val nearIds = keepEx
+        .join(pairs.select(col("j").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      val sh13 = Graft.shingleSet(docs, "doc_id", "text", n = 13).localCheckpoint()
+      val evalSh = sh13.filter(col("doc_id") % 50 === 0).select("shingle").distinct()
+      val contam = sh13.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(evalSh), Seq("shingle"), "left_semi")
+        .select("doc_id").distinct()
+      val rep = Graft.repetitionRatio(docs, "doc_id", "text")
+        .select(col("doc_id"), col("rep_ratio").as("rr"))
+      val qual = base
+        .join(nearIds, Seq("doc_id"), "left_semi")
+        .filter(col("doc_id") % 50 =!= 0)
+        .join(contam, Seq("doc_id"), "left_anti")
+        .join(rep, "doc_id")
+        .filter(col("n_chars").between(100, 2000) && col("clean") === 1
+          && col("rr") <= 0.2)
+        .select("doc_id", "lang", "n_tokens")
+      val bud = Graft.budgetCap(qual, "doc_id", "lang", "n_tokens", budget = 20000L)
+        .filter(col("kept")).select("doc_id", "lang", "n_tokens")
+      val mix = Graft.mixtureResample(bud, "doc_id", "lang",
+        Map("en" -> 150, "de" -> 100, "fr" -> 50, "es" -> 25, "zh" -> 10))
+      Graft.packSequences(
+          mix.withColumn("pid", col("doc_id") * 2 + col("copy") - 1),
+          "pid", "n_tokens")
+        .select(col("doc_id"), col("copy"), col("lang"), col("n_tokens"),
+          col("bucket"), col("bin"), col("bin_offset"))
+    },
+
     // Systematic 1-in-20 sample: pure hash predicate, no RNG, no
     // coordination — the same rows are kept on any cluster and any rerun.
     QueryDef(

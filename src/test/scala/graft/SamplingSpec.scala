@@ -149,4 +149,24 @@ class SamplingSpec extends SparkSpec {
     assert(streamed == batch,
       s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
   }
+
+  test("corpus pipeline: the composite honors each stage's contract") {
+    val out = q("q_pipeline_corpus").localCheckpoint()
+    assert(out.count() > 0)
+    // decontamination: the eval split (doc_id % 50 == 0) never leaks
+    assert(out.filter(col("doc_id") % 50 === 0).count() == 0)
+    // budget: the copy=1 base stream respects the 20k per-lang cap
+    out.filter(col("copy") === 1).groupBy("lang")
+      .agg(sum("n_tokens").as("t")).collect()
+      .foreach(r => assert(r.getAs[Long]("t") <= 20000L,
+        s"lang ${r.getAs[String]("lang")} blew the token budget"))
+    // mixture: only rated languages enter, and copy counts stay <= 2
+    val langs = out.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "zh")))
+    assert(out.agg(max("copy")).collect().head.getInt(0) <= 2)
+    // packing: offsets stay inside the 256-token bin
+    assert(out.filter(col("bin_offset") < 0 || col("bin_offset") >= 256).count() == 0)
+    // dedup: a surviving doc appears once per copy, never more
+    assert(out.groupBy("doc_id", "copy").count().filter(col("count") > 1).count() == 0)
+  }
 }
