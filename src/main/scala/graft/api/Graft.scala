@@ -1156,6 +1156,97 @@ object Graft {
       .crossJoin(broadcast(totals))
   }
 
+  /** One Louvain refinement LEVEL over an existing partition:
+    * `rounds` synchronous half-sweeps of "move each node to the
+    * neighbor community with the best modularity gain", every step in
+    * the exact integers of [[modularity]] (gain scores and the Q
+    * comparison are BIGINT numerators over the common 4m^2
+    * denominator — no float anywhere, so any cluster and the DuckDB
+    * oracle replay the moves bit-exactly).
+    *
+    * Per half-sweep r only the color class v % 2 == r % 2 may move
+    * (the distributed-Louvain interleave that keeps simultaneous
+    * moves from chasing each other); a node's candidates are its
+    * neighbor communities plus staying put, scored by the exact gain
+    * numerator 4m*k(v,c) - 2*deg(v)*tot(c without v); ties break to
+    * the smallest community label. The sweep's proposed labeling is
+    * then ACCEPTED only if its exact Q numerator strictly improves —
+    * an in-plan 1-row broadcast gate, no driver scalar — which makes
+    * Q(louvain) >= Q(seed) a theorem of the operator (simultaneous
+    * moves alone cannot guarantee monotonicity).
+    *
+    * Scale shape: per sweep one equi-join of the checkpointed
+    * neighbor relation against the node-sized label table (k_vc), two
+    * node-sized joins (deg, tot), a node-partitioned argmax window,
+    * and two modularity aggregates — edge-linear, labels re-
+    * checkpoint per sweep. */
+  def louvainMove(labels: DataFrame, edges: DataFrame,
+      rounds: Int = 2): DataFrame = {
+    val und = undirected(edges)
+    val nbr = neighbors(und)
+    val deg = nbr.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val m = und.agg(count(lit(1)).as("m"))
+    def qNum(lab: DataFrame): DataFrame = {
+      val comm = lab.join(deg, Seq("v"), "left")
+        .select(col("lbl"), coalesce(col("deg"), lit(0L)).as("d"))
+        .groupBy("lbl").agg(sum("d").as("deg_sum"))
+      val intra = und
+        .join(lab.select(col("v").as("a"), col("lbl").as("la")), Seq("a"))
+        .join(lab.select(col("v").as("b"), col("lbl").as("lb")), Seq("b"))
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_intra"))
+      comm.join(intra, Seq("lbl"), "left").crossJoin(broadcast(m))
+        .agg(sum(expr("4 * m * coalesce(e_intra, 0L) - deg_sum * deg_sum"))
+          .as("q"))
+    }
+    var lab = labels.select(col("v"), col("lbl"))
+      .repartition(col("v")).localCheckpoint()
+    val w = Window.partitionBy("v")
+      .orderBy(col("score").desc, col("nlbl").asc)
+    (0 until rounds).foreach { r =>
+      val mv = lab.filter(col("v") % 2 === (r % 2))
+      val kvc = nbr.join(mv.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(lab.select(col("v").as("b"), col("lbl").as("nlbl")), Seq("b"))
+        .groupBy(col("a").as("v"), col("nlbl"))
+        .agg(count(lit(1)).as("k"))
+      // staying put is always a candidate — add a zero-k row when the
+      // node has no neighbor inside its own community
+      val cand = kvc.unionByName(
+        mv.select(col("v"), col("lbl").as("nlbl"), lit(0L).as("k"))
+          .join(kvc.select("v", "nlbl"), Seq("v", "nlbl"), "left_anti"))
+      val tot = lab.join(deg, Seq("v"), "left")
+        .select(col("lbl").as("nlbl"), coalesce(col("deg"), lit(0L)).as("d"))
+        .groupBy("nlbl").agg(sum("d").as("tot"))
+      val best = cand
+        .join(mv.select(col("v"), col("lbl").as("cur")), Seq("v"))
+        .join(deg, Seq("v"), "left")
+        .join(tot, Seq("nlbl"))
+        .crossJoin(broadcast(m))
+        .withColumn("dv", coalesce(col("deg"), lit(0L)))
+        .withColumn("tot_ex",
+          when(col("nlbl") === col("cur"), col("tot") - col("dv"))
+            .otherwise(col("tot")))
+        .withColumn("score",
+          lit(4L) * col("m") * col("k") - lit(2L) * col("dv") * col("tot_ex"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v"), col("nlbl"))
+      val proposed = lab.join(best, Seq("v"), "left")
+        .select(col("v"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val gate = qNum(proposed).select(col("q").as("q_new"))
+        .crossJoin(qNum(lab).select(col("q").as("q_old")))
+        .select((col("q_new") > col("q_old")).as("better"))
+      lab = proposed.crossJoin(broadcast(gate)).filter(col("better"))
+        .select("v", "lbl")
+        .unionByName(lab.crossJoin(broadcast(gate))
+          .filter(!col("better")).select("v", "lbl"))
+        .localCheckpoint()
+    }
+    lab
+  }
+
   private def undirected(edges: DataFrame): DataFrame =
     edges
       .select(least(col("a"), col("b")).as("a"),

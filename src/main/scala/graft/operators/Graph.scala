@@ -47,6 +47,7 @@ object Graph {
   /** Label-propagation rounds replayed by the oracle (declared before
     * `defs` — the BfsDepth eager-init rule). */
   private val LpRounds = 3
+  private val LvRounds = 2
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -303,6 +304,38 @@ object Graph {
       val labels = graft.api.Graft.labelProp(
         docs.select(col("doc_id").as("v")), raw, LpRounds)
       graft.api.Graft.modularity(labels, raw)
+    },
+
+    // One Louvain refinement level (r11) on the labelProp seed: two
+    // color-interleaved half-sweeps of exact-integer best-gain moves,
+    // each gated on the sweep's Q numerator strictly improving (the
+    // accept gate — an in-plan 1-row broadcast — is what makes
+    // Q(louvain) >= Q(seed) a construction guarantee rather than a
+    // fixture accident; synchronous simultaneous moves alone cannot
+    // promise monotone Q). All arithmetic rides q_graph_modularity's
+    // BIGINT numerators over the common 4m^2 denominator, so the
+    // oracle replays every sweep — candidate scores, tie-breaks,
+    // accept gates — as materialized stages. Output: the modularity
+    // report of the refined partition plus the seed's Q numerator and
+    // the monotonicity verdict.
+    QueryDef("q_graph_louvain", louvainOracle(LpRounds, LvRounds)) { (s, d) =>
+      val docs = documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n"))
+      val raw = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("a"),
+          explode(sequence(lit(1), lit(4))).as("k"), col("n"))
+        .select(col("a"),
+          (h60(concat(lit("pr:"), col("a").cast("string"), lit(":"),
+            col("k").cast("string"))) % col("n")).as("b"))
+        .localCheckpoint() // seed, refine, and score all read it
+      val seed = graft.api.Graft.labelProp(
+        docs.select(col("doc_id").as("v")), raw, LpRounds)
+      val refined = graft.api.Graft.louvainMove(seed, raw, LvRounds)
+      val seedQ = graft.api.Graft.modularity(seed, raw)
+        .select(col("q_num").as("q_num_seed")).distinct()
+      graft.api.Graft.modularity(refined, raw)
+        .crossJoin(broadcast(seedQ))
+        .withColumn("improved", col("q_num") >= col("q_num_seed"))
     }
   )
 
@@ -370,6 +403,82 @@ object Graph {
       |  tot.n_communities, tot.n_edges, tot.q_num, tot.q_den
       |FROM pc, tot WHERE pc.n_members >= 2
       |""".stripMargin
+
+  /** DuckDB mirror of q_graph_louvain: the labelprop chain seeds
+    * lou0, then each half-sweep unrolls as candidate-score / argmax /
+    * proposal / Q-gate stages (all BIGINT numerators over 4m^2), and
+    * the tail is the modularity report plus the seed Q. */
+  private def louvainOracle(lpRounds: Int, lvRounds: Int): String = {
+    def qcte(name: String, lab: String): String =
+      s"""$name AS (
+         |  SELECT sum(4 * mm.m * coalesce(i.e_intra, 0) - c.deg_sum * c.deg_sum)::BIGINT AS q
+         |  FROM (SELECT l.lbl, sum(coalesce(d.deg, 0))::BIGINT AS deg_sum
+         |        FROM $lab l LEFT JOIN deg d ON d.v = l.v GROUP BY 1) c
+         |  LEFT JOIN (SELECT la.lbl, count(*)::BIGINT AS e_intra
+         |             FROM umin u JOIN $lab la ON la.v = u.a JOIN $lab lb ON lb.v = u.b
+         |             WHERE la.lbl = lb.lbl GROUP BY 1) i ON i.lbl = c.lbl, mm)""".stripMargin
+    val head =
+      s"""lou0 AS MATERIALIZED (SELECT v, lbl FROM l$lpRounds),
+         |deg AS (SELECT a AS v, count(*)::BIGINT AS deg FROM nbr GROUP BY 1),
+         |mm AS (SELECT count(*)::BIGINT AS m FROM umin)""".stripMargin
+    val sweeps = (0 until lvRounds).map { r =>
+      val par = r % 2
+      s"""tot$r AS (SELECT l.lbl AS nlbl, sum(coalesce(d.deg, 0))::BIGINT AS tot
+         |  FROM lou$r l LEFT JOIN deg d ON d.v = l.v GROUP BY 1),
+         |kvc$r AS (SELECT u.a AS v, l.lbl AS nlbl, count(*)::BIGINT AS k
+         |  FROM nbr u JOIN lou$r l ON l.v = u.b WHERE u.a % 2 = $par GROUP BY 1, 2),
+         |cnd$r AS (
+         |  SELECT v, nlbl, k FROM kvc$r
+         |  UNION ALL
+         |  SELECT c.v, c.lbl AS nlbl, 0::BIGINT AS k FROM lou$r c
+         |  WHERE c.v % 2 = $par
+         |    AND NOT EXISTS (SELECT 1 FROM kvc$r x WHERE x.v = c.v AND x.nlbl = c.lbl)),
+         |bs$r AS (SELECT v, nlbl FROM (
+         |  SELECT c.v, c.nlbl,
+         |    row_number() OVER (PARTITION BY c.v ORDER BY
+         |      4 * mm.m * c.k - 2 * coalesce(dg.deg, 0) *
+         |        (CASE WHEN c.nlbl = cur.lbl THEN t.tot - coalesce(dg.deg, 0) ELSE t.tot END) DESC,
+         |      c.nlbl ASC) AS rn
+         |  FROM cnd$r c
+         |  JOIN lou$r cur ON cur.v = c.v
+         |  LEFT JOIN deg dg ON dg.v = c.v
+         |  JOIN tot$r t ON t.nlbl = c.nlbl, mm) s WHERE rn = 1),
+         |np$r AS MATERIALIZED (SELECT l.v, coalesce(b.nlbl, l.lbl) AS lbl
+         |  FROM lou$r l LEFT JOIN bs$r b ON b.v = l.v),
+         |${qcte(s"qo$r", s"lou$r")},
+         |${qcte(s"qn$r", s"np$r")},
+         |lou${r + 1} AS MATERIALIZED (
+         |  SELECT l.v, CASE WHEN qn$r.q > qo$r.q THEN p.lbl ELSE l.lbl END AS lbl
+         |  FROM lou$r l JOIN np$r p ON p.v = l.v, qo$r, qn$r)""".stripMargin
+    }
+    val tail =
+      s"""lab AS MATERIALIZED (SELECT v, lbl FROM lou$lvRounds),
+         |${qcte("qseed", "lou0")},
+         |comm AS (
+         |  SELECT l.lbl, count(*)::BIGINT AS n_members,
+         |    sum(coalesce(deg.deg, 0))::BIGINT AS deg_sum
+         |  FROM lab l LEFT JOIN deg ON deg.v = l.v GROUP BY 1),
+         |intra AS (
+         |  SELECT la.lbl, count(*)::BIGINT AS e_intra
+         |  FROM umin u JOIN lab la ON la.v = u.a JOIN lab lb ON lb.v = u.b
+         |  WHERE la.lbl = lb.lbl GROUP BY 1),
+         |pc AS MATERIALIZED (
+         |  SELECT c.lbl AS community, c.n_members,
+         |    coalesce(i.e_intra, 0)::BIGINT AS e_intra, c.deg_sum
+         |  FROM comm c LEFT JOIN intra i ON i.lbl = c.lbl),
+         |tot AS (
+         |  SELECT count(*)::BIGINT AS n_communities, max(mm.m) AS n_edges,
+         |    sum(4 * mm.m * e_intra - deg_sum * deg_sum)::BIGINT AS q_num,
+         |    (max(mm.m) * max(mm.m) * 4)::BIGINT AS q_den
+         |  FROM pc, mm)
+         |SELECT pc.community, pc.n_members, pc.e_intra, pc.deg_sum,
+         |  tot.n_communities, tot.n_edges, tot.q_num, tot.q_den,
+         |  qseed.q AS q_num_seed, tot.q_num >= qseed.q AS improved
+         |FROM pc, tot, qseed WHERE pc.n_members >= 2
+         |""".stripMargin
+    "WITH " + lpCtes(lpRounds) + ",\n" + (head +: sweeps).mkString(",\n") +
+      ",\n" + tail
+  }
 
   /** DuckDB mirror of q_graph_kcore: the same derived undirected edge
     * list and `rounds` unrolled peel stages (the pagerank-oracle

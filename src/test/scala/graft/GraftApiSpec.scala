@@ -378,6 +378,39 @@ class GraftApiSpec extends SparkSpec {
     assert(d2 == Map(0L -> 0L, 1L -> 2L, 2L -> 1L, 3L -> 11L), s"got $d2")
   }
 
+  test("louvainMove: Q never degrades, and strictly improves on the registry fixture") {
+    // Monotonicity is a construction guarantee (the per-sweep accept
+    // gate compares exact Q numerators); the registry fixture must
+    // also show a STRICT improvement or the refinement is vacuous.
+    val rows = q("q_graph_louvain")
+      .select("q_num", "q_num_seed", "improved").distinct().collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Boolean]("improved"))
+    assert(r.getAs[Long]("q_num") > r.getAs[Long]("q_num_seed"),
+      s"no accepted move on the fixture: Q ${r.getAs[Long]("q_num")} vs seed ${r.getAs[Long]("q_num_seed")}")
+  }
+
+  test("louvainMove on a hand graph: the pendant joins its clique, Q strictly rises") {
+    // seed deliberately misassigns: pendant 3 alone, clique {0,1,2}
+    // labeled 0, pair {10,11} split — one sweep pair should fix the
+    // odd-colored misassignments and never lower Q
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 2L), (10L, 11L))
+      .toDF("a", "b")
+    val seed = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (10L, 10L),
+      (11L, 11L)).toDF("v", "lbl")
+    def qOf(lab: org.apache.spark.sql.DataFrame): Long = {
+      val out = Graft.modularity(lab, edges)
+        .select("q_num").distinct().as[Long].collect()
+      if (out.isEmpty) Long.MinValue else out.head
+    }
+    val refined = Graft.louvainMove(seed, edges, rounds = 2).localCheckpoint()
+    val got = refined.as[(Long, Long)].collect().toMap
+    assert(qOf(refined) >= qOf(seed), "accept gate must keep Q monotone")
+    assert(got(3L) == 0L, s"pendant should join the clique community, got $got")
+    assert(got(10L) == got(11L), s"the pair should merge, got $got")
+  }
+
   test("labelProp: a clique absorbs its pendant, components never mix, isolated keeps its own") {
     // clique {0,1,2} + pendant 3-2; separate pair {10,11}; isolated 20
     val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 2L), (10L, 11L))
