@@ -358,6 +358,119 @@ object TextAnalysis {
         |QUALIFY row_number() OVER (PARTITION BY c.w1 ORDER BY c.n12 DESC, c.w2 ASC) = 1
         |""".stripMargin)),
 
+    // Bigram-LM perplexity scoring (r11) — the classic LM-quality data
+    // filter beside novelty/repetition/readability: train token-bigram
+    // counts with add-one smoothing on the h60 80% split, score every
+    // held-out doc by its average per-bigram cost. The log never
+    // appears as a float: cost rides the QUANTIZED log2
+    //   q16(x) = 16*(bitlen(x)-1) + ((x*16) >> (bitlen(x)-1)) - 16
+    // (integer exponent + 4 linear mantissa bits — within 0.15 bit of
+    // 16*log2(x), never above it by more than 1/16), so per-bigram
+    // cost q16(c1 + V) - q16(c12 + 1) and the per-doc sum are exact
+    // BIGINTs both engines share; the only float is the final
+    // (score/16.0)/n read-off, two IEEE ops on exact integers (the
+    // q_events_autocorr discipline). Held-out tokens outside the train
+    // vocabulary map to '<unk>' (counted per doc); smoothing
+    // denominators use context counts + (|vocab| + 1).
+    //
+    // Scale shape: the model is two map-side-combined aggregates over
+    // the train bigram stream (distinct pairs/contexts shuffle, never
+    // token instances); scoring equi-joins the held-out bigram stream
+    // against the count tables on token keys — documents never
+    // shuffle, and the vocab join is key-only. At web scale the count
+    // tables shuffle-join; here they hash-join under AQE.
+    QueryDef(
+      "q_text_perplexity",
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS l
+        |  FROM documents),
+        |tr AS MATERIALIZED (SELECT doc_id, l FROM t
+        |  WHERE ('0x' || substr(md5('ppl:' || doc_id::VARCHAR), 1, 15))::BIGINT % 5 <> 0 AND len(l) >= 2),
+        |he AS MATERIALIZED (SELECT doc_id, l FROM t
+        |  WHERE ('0x' || substr(md5('ppl:' || doc_id::VARCHAR), 1, 15))::BIGINT % 5 = 0 AND len(l) >= 2),
+        |bgtr AS MATERIALIZED (
+        |  SELECT u.b.w1 AS w1, u.b.w2 AS w2 FROM (
+        |    SELECT unnest([{'w1': l[i], 'w2': l[i+1]} for i in range(1, len(l))]) AS b FROM tr) u),
+        |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bgtr GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM bgtr GROUP BY 1),
+        |voc AS MATERIALIZED (SELECT DISTINCT tok FROM (SELECT unnest(l) AS tok FROM tr) u),
+        |vv AS (SELECT count(*)::BIGINT + 1 AS v FROM voc),
+        |pos AS (
+        |  SELECT doc_id, i AS p, l[CAST(i AS INT)] AS tok
+        |  FROM he, UNNEST(range(1, len(l) + 1)) AS t2(i)),
+        |mapped AS MATERIALIZED (
+        |  SELECT p.doc_id, p.p,
+        |    CASE WHEN v.tok IS NULL THEN '<unk>' ELSE p.tok END AS tok,
+        |    CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM pos p LEFT JOIN voc v ON v.tok = p.tok),
+        |bghe AS (
+        |  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+        |  FROM mapped a JOIN mapped b ON b.doc_id = a.doc_id AND b.p = a.p + 1),
+        |sc AS (
+        |  SELECT g.doc_id,
+        |    coalesce(c1.c1, 0) + vv.v AS den,
+        |    coalesce(c12.c12, 0) + 1 AS num
+        |  FROM bghe g
+        |  LEFT JOIN c12 ON c12.w1 = g.w1 AND c12.w2 = g.w2
+        |  LEFT JOIN c1 ON c1.w1 = g.w1, vv),
+        |cost AS (
+        |  SELECT doc_id,
+        |    (((den * 16) >> (length(format('{:b}', den)) - 1))
+        |       + 16 * (length(format('{:b}', den)) - 1) - 16)
+        |    - (((num * 16) >> (length(format('{:b}', num)) - 1))
+        |       + 16 * (length(format('{:b}', num)) - 1) - 16) AS cq
+        |  FROM sc),
+        |oo AS (SELECT doc_id, sum(oov)::BIGINT AS n_oov FROM mapped GROUP BY 1)
+        |SELECT c.doc_id, count(*)::BIGINT AS n_bigrams, max(oo.n_oov) AS n_oov,
+        |  sum(c.cq)::BIGINT AS score_q16,
+        |  (CAST(sum(c.cq) AS DOUBLE) / 16.0) / count(*) AS avg_bits
+        |FROM cost c JOIN oo ON oo.doc_id = c.doc_id
+        |GROUP BY 1
+        |""".stripMargin) { (s, d) =>
+      val t = documents(s, d).select(col("doc_id"), tokens(col("text")).as("l"))
+      val sp = graft.Exact.h60(concat(lit("ppl:"), col("doc_id").cast("string"))) % 5
+      val tr = t.filter(sp =!= 0 && size(col("l")) >= 2)
+      val he = t.filter(sp === 0 && size(col("l")) >= 2)
+      val bgtr = tr.select(explode(
+          expr("transform(sequence(1, size(l) - 1), i -> struct(l[i-1] AS w1, l[i] AS w2))"))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .localCheckpoint() // feeds the pair AND context counts
+      val c12 = bgtr.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = bgtr.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val voc = tr.select(explode(col("l")).as("vtok")).distinct()
+        .localCheckpoint() // feeds V and the unk mapping
+      val vv = voc.agg((count(lit(1)) + 1L).as("v"))
+      val pos = he.select(col("doc_id"), posexplode(col("l")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+      val mapped = pos.join(voc, pos("tok") === voc("vtok"), "left")
+        .select(col("doc_id"), col("p"),
+          when(col("vtok").isNull, lit("<unk>")).otherwise(col("tok")).as("tok"),
+          when(col("vtok").isNull, 1L).otherwise(0L).as("oov"))
+        .localCheckpoint() // bigram self-join (both sides) + oov agg
+      val bghe = mapped.as("a").join(mapped.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("b.p") === col("a.p") + 1)
+        .select(col("a.doc_id").as("doc_id"),
+          col("a.tok").as("w1"), col("b.tok").as("w2"))
+      val sc = bghe.join(c12, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .crossJoin(broadcast(vv))
+        .select(col("doc_id"),
+          (coalesce(col("c1"), lit(0L)) + col("v")).as("den"),
+          (coalesce(col("c12"), lit(0L)) + lit(1L)).as("num"))
+      def q16(c: String) = expr(
+        s"shiftright($c * 16, cast(length(bin($c)) as int) - 1) " +
+          s"+ 16 * (length(bin($c)) - 1) - 16")
+      val cost = sc.select(col("doc_id"), (q16("den") - q16("num")).as("cq"))
+      val oo = mapped.groupBy("doc_id").agg(sum("oov").as("n_oov"))
+      cost.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("cq").as("score_q16"))
+        .join(oo, "doc_id")
+        .select(col("doc_id"), col("n_bigrams"), col("n_oov"), col("score_q16"),
+          ((col("score_q16").cast("double") / 16.0) / col("n_bigrams"))
+            .as("avg_bits"))
+    },
+
     // Collocation mining by pointwise mutual information — the phrase
     // extractor a corpus pipeline runs before tokenizer training (find
     // "new york"-style units worth fusing). PMI's log never appears:

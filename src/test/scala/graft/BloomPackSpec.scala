@@ -45,6 +45,30 @@ class BloomPackSpec extends SparkSpec {
     }
   }
 
+  test("perplexity: q16 cost is a true quantized log2, scores rank sanely") {
+    // q16(x)/16 must sit within (log2(x) - 0.15, log2(x) + 1/16] — the
+    // documented quantization band — for x across several magnitudes
+    def q16(x: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      ((x * 16) >> e) + 16L * e - 16L
+    }
+    Seq(1L, 2L, 3L, 7L, 100L, 12345L, 1000000L).foreach { x =>
+      val approx = q16(x) / 16.0
+      val exact = math.log(x.toDouble) / math.log(2.0)
+      assert(approx <= exact + 1.0 / 16 + 1e-9 && approx > exact - 0.15,
+        s"q16($x)/16 = $approx vs log2 = $exact")
+    }
+    val rows = q("q_text_perplexity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // every bigram costs at least log2(V+...) - log2(c12+1) > 0:
+      // smoothing guarantees den > num, so the summed cost is positive
+      assert(r.getAs[Long]("score_q16") > 0L)
+      assert(r.getAs[Long]("n_bigrams") > 0L)
+      assert(r.getAs[Double]("avg_bits") > 0.0)
+    }
+  }
+
   test("pii redact: redacted text has no residual email/phone; counts match injection rule") {
     val rows = q("q_text_pii_redact").collect()
     val emailRe = graft.functions.TextAnalysis.PiiEmailRe.r
