@@ -33,4 +33,12 @@ object Exact {
     * sides (and `% m` == pmod for positive inputs). */
   def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Driver/executor-side md5 as lowercase hex — the JVM twin of both
+    * engines' md5(VARCHAR), for decode paths that digest raw bytes
+    * outside Catalyst (the video frame signatures). */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
 }

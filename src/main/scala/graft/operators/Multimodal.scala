@@ -1003,25 +1003,56 @@ object Multimodal {
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
-          val frames = (1 to 3).map { j =>
+          (id, mp4Bytes(id, (1 to 3).map { j =>
             val (w, h, g1, g2) = frameGeom(id, j)
             jpegHalfFrame(w, h, g1, g2)
-          }
-          val bb = new java.io.ByteArrayOutputStream()
-          def be4(v: Long): Unit = {
-            bb.write(((v >> 24) & 0xff).toInt); bb.write(((v >> 16) & 0xff).toInt)
-            bb.write(((v >> 8) & 0xff).toInt); bb.write((v & 0xff).toInt)
-          }
-          bb.write(hexBytes(Mp4PrefixHex)); be4(id % 3600000 + 1000)
-          bb.write(hexBytes(Mp4SuffixHex)); bb.write(hexBytes(Mp4TrakPrefixHex))
-          frames.foreach(f => be4(f.length.toLong))
-          bb.write(hexBytes(Mp4StcoHex))
-          be4(frames.map(_.length).sum.toLong + 8L)
-          bb.write("mdat".getBytes("US-ASCII"))
-          frames.foreach(bb.write)
-          (id, bb.toByteArray)
+          }))
         }
       }.toDF("asset_id", "data")
+  }
+
+  /** The canonical MP4 container around a frame list — the byte layout
+    * [[videoAssets]] and the planted twin share. */
+  private def mp4Bytes(id: Long, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def be4(v: Long): Unit = {
+      bb.write(((v >> 24) & 0xff).toInt); bb.write(((v >> 16) & 0xff).toInt)
+      bb.write(((v >> 8) & 0xff).toInt); bb.write((v & 0xff).toInt)
+    }
+    bb.write(hexBytes(Mp4PrefixHex)); be4(id % 3600000 + 1000)
+    bb.write(hexBytes(Mp4SuffixHex)); bb.write(hexBytes(Mp4TrakPrefixHex))
+    frames.foreach(f => be4(f.length.toLong))
+    bb.write(hexBytes(Mp4StcoHex))
+    be4(frames.map(_.length).sum.toLong + 8L)
+    bb.write("mdat".getBytes("US-ASCII"))
+    frames.foreach(bb.write)
+    bb.toByteArray
+  }
+
+  /** Asset id of the planted near-duplicate twin (no document carries
+    * it — six zeros past the corpus). */
+  private[graft] val VideoTwinId = 1000002L
+
+  /** [[videoAssets]] plus ONE planted near-duplicate: asset
+    * [[VideoTwinId]] re-encodes asset 2's first two frames verbatim
+    * (same geometry -> bit-identical JPEG) and swaps frame 3 for its
+    * own gray pair at asset 2's dimensions — the recall fixture the
+    * video near-dup entry must recover (2 of 3 frames content-
+    * identical, the third genuinely different). */
+  def videoAssetsPlanted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val twin = s.range(0, 1).as[Long].mapPartitions(_.map { _ =>
+      val frames = (1 to 3).map { j =>
+        val (w, h, g1, g2) = frameGeom(2L, j)
+        if (j < 3) jpegHalfFrame(w, h, g1, g2)
+        else {
+          val (_, _, tg1, tg2) = frameGeom(VideoTwinId, j)
+          jpegHalfFrame(w, h, tg1, tg2)
+        }
+      }
+      (VideoTwinId, mp4Bytes(VideoTwinId, frames))
+    }).toDF("asset_id", "data")
+    videoAssets(s, d).unionByName(twin)
   }
 
   /** Decode-pool-verify over [[videoAssets]]: walk the REAL
@@ -1069,6 +1100,61 @@ object Multimodal {
                 var k = 0
                 while (k < pooled.length) { psum += pooled(k) & 0xff; k += 1 }
                 Some(VideoFrame(id, i + 1, w, h, sum, pw, ph, psum))
+              }
+            }
+          }
+        }
+    }.toDF()
+  }
+
+  final case class VideoSig(asset_id: Long, frame_no: Int, width: Int,
+    height: Int, ahash_bits: String, sig: String)
+
+  /** Per-frame near-dup signatures over decoded video: the
+    * [[videoFrameStats]] sample-table walk and JPEG decode, then each
+    * frame's 64-bit aHash ([[imageAHash]]'s 8x8 block rule on the
+    * decoded channel-0 raster) as the LSH BAND key, plus a content
+    * digest (md5 of "w:h:" + the raster's lowercase hex) as the verify
+    * key. Same Try fence: a corrupt frame contributes nothing. */
+  def videoFrameSig(va: DataFrame): DataFrame = {
+    val s = va.sparkSession
+    import s.implicits._
+    va.as[(Long, Array[Byte])].flatMap { case (id, data) =>
+      def safe[T](p: => Option[T]): Option[T] =
+        try p catch { case scala.util.control.NonFatal(_) => None }
+      safe(mp4SampleRanges(data)).getOrElse(Seq.empty)
+        .iterator.zipWithIndex.flatMap { case ((off, size), i) =>
+          safe {
+            if (off < 0 || off + size > data.length) None
+            else {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(
+                  data.slice(off.toInt, (off + size).toInt)))
+              if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+              else {
+                val (w, h) = (img.getWidth, img.getHeight)
+                val sums = new Array[Long](64)
+                val cnts = new Array[Long](64)
+                val hex = new StringBuilder(w * h * 2)
+                var y = 0
+                while (y < h) {
+                  val by = y * 8 / h
+                  var x = 0
+                  while (x < w) {
+                    val v = img.getRaster.getSample(x, y, 0) & 0xff
+                    val k = by * 8 + x * 8 / w
+                    sums(k) += v
+                    cnts(k) += 1
+                    hex.append(f"$v%02x")
+                    x += 1
+                  }
+                  y += 1
+                }
+                val means = Array.tabulate(64)(k => sums(k) / cnts(k))
+                val g = means.sum / 64
+                val bits = means.map(m => if (m > g) '1' else '0').mkString
+                Some(VideoSig(id, i + 1, w, h, bits,
+                  graft.Exact.md5Hex(s"$w:$h:" + hex)))
               }
             }
           }
@@ -1311,6 +1397,73 @@ object Multimodal {
         |SELECT i.doc_id AS asset_id, i.w AS width, i.h AS height,
         |  ahash_bits, n_bright
         |FROM hsh JOIN img i USING (doc_id)
-        |""".stripMargin) { (s, d) => imageAHash(assets(s, d)) }
+        |""".stripMargin) { (s, d) => imageAHash(assets(s, d)) },
+
+    // Video near-dup (r11) — the multimodal -> dedup loop closed for
+    // the third modality: every decoded frame's aHash is an LSH BAND
+    // key (frames are the bands, the q_dedup_minhash banding shape),
+    // candidate videos come from the band equi-join only, and the
+    // verify key is the frame's decoded-content digest; a pair is a
+    // near-dup when >= 2 of its 3 frames are content-identical. The
+    // fixture plants one twin (videoAssetsPlanted: asset 2's first two
+    // frames re-encoded verbatim, frame 3 swapped) that the entry must
+    // recover; at sf0.1 the id-arithmetic also yields genuine stride-
+    // 768 exact triples (w,h repeat mod 12 and both grays mod 256).
+    // The oracle states hash and digest analytically from the frame
+    // construction — legal because aligned half-uniform JPEG frames
+    // decode bit-exactly (the q_multimodal_video_decode pin).
+    //
+    // Scale shape: decode is the narrow mapPartitions pass (payloads
+    // never shuffle); everything after moves (asset, frame, 64-char
+    // hash, 32-char digest) rows — the band join is an equi-join whose
+    // key includes dims + hash, and the verify is a residual on the
+    // matched rows, never a second decode.
+    QueryDef(
+      "q_dedup_video",
+      """WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+        |geo AS (
+        |  SELECT doc_id AS id, j,
+        |    CAST((doc_id % 4) * 16 + 16 AS INT) AS w,
+        |    CAST((doc_id % 3) * 8 + 8 AS INT) AS h,
+        |    (doc_id * 7 + j * 13) % 256 AS g1, (doc_id * 11 + j * 29) % 256 AS g2
+        |  FROM v, UNNEST([1, 2, 3]) t(j)
+        |  UNION ALL
+        |  SELECT 1000002 AS id, j,
+        |    CAST((2 % 4) * 16 + 16 AS INT) AS w, CAST((2 % 3) * 8 + 8 AS INT) AS h,
+        |    CASE WHEN j < 3 THEN (2 * 7 + j * 13) % 256
+        |         ELSE (1000002 * 7 + 3 * 13) % 256 END AS g1,
+        |    CASE WHEN j < 3 THEN (2 * 11 + j * 29) % 256
+        |         ELSE (1000002 * 11 + 3 * 29) % 256 END AS g2
+        |  FROM UNNEST([1, 2, 3]) t(j)),
+        |f AS MATERIALIZED (
+        |  SELECT id, j AS frame_no, w, h,
+        |    repeat(repeat(CASE WHEN g1 > (g1 + g2) // 2 THEN '1' ELSE '0' END, 4)
+        |        || repeat(CASE WHEN g2 > (g1 + g2) // 2 THEN '1' ELSE '0' END, 4), 8) AS ahash,
+        |    md5(w::VARCHAR || ':' || h::VARCHAR || ':' ||
+        |        repeat(repeat(lpad(format('{:x}', g1), 2, '0'), w // 2)
+        |            || repeat(lpad(format('{:x}', g2), 2, '0'), w // 2), h)) AS sig
+        |  FROM geo),
+        |cand AS (
+        |  SELECT a.id AS i, b.id AS j, count(*)::BIGINT AS n_band_frames,
+        |    sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END)::BIGINT AS n_exact_frames
+        |  FROM f a JOIN f b ON b.frame_no = a.frame_no AND b.w = a.w AND b.h = a.h
+        |    AND b.ahash = a.ahash AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT i, j, n_band_frames, n_exact_frames
+        |FROM cand WHERE n_exact_frames >= 2
+        |""".stripMargin) { (s, d) =>
+      val f = videoFrameSig(videoAssetsPlanted(s, d)).localCheckpoint()
+      val a = f.select(col("asset_id").as("i"), col("frame_no"), col("width"),
+        col("height"), col("ahash_bits"), col("sig").as("sig_a"))
+      val b = f.select(col("asset_id").as("j"), col("frame_no"), col("width"),
+        col("height"), col("ahash_bits"), col("sig").as("sig_b"))
+      a.join(b, Seq("frame_no", "width", "height", "ahash_bits"))
+        .filter(col("i") < col("j"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n_band_frames"),
+          sum(when(col("sig_a") === col("sig_b"), 1L).otherwise(0L))
+            .as("n_exact_frames"))
+        .filter(col("n_exact_frames") >= 2)
+    }
   )
 }

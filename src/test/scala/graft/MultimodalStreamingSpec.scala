@@ -546,4 +546,27 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.size == names.size)
   }
+
+  test("video near-dup recovers EXACTLY the planted 2-of-3-frame twin at this sf") {
+    val rows = q("q_dedup_video").collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+        r.getAs[Long]("n_band_frames"), r.getAs[Long]("n_exact_frames")))
+    // doc ids at the spec sf stay far below the first natural stride-768
+    // collision, so the planted twin must be the ONLY pair — recall and
+    // precision in one assertion
+    assert(rows.toSeq == Seq((2L, graft.operators.Multimodal.VideoTwinId, 2L, 2L)),
+      s"got ${rows.toSeq}")
+  }
+
+  test("planted twin frames 1-2 decode bit-identical to asset 2, frame 3 differs") {
+    val sigs = graft.operators.Multimodal.videoFrameSig(
+        graft.operators.Multimodal.videoAssetsPlanted(spark, sf))
+      .filter(col("asset_id").isin(2L, graft.operators.Multimodal.VideoTwinId))
+      .collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getAs[Int]("frame_no")) ->
+        r.getAs[String]("sig")).toMap
+    assert(sigs((2L, 1)) == sigs((graft.operators.Multimodal.VideoTwinId, 1)))
+    assert(sigs((2L, 2)) == sigs((graft.operators.Multimodal.VideoTwinId, 2)))
+    assert(sigs((2L, 3)) != sigs((graft.operators.Multimodal.VideoTwinId, 3)))
+  }
 }
