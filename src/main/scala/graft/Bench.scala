@@ -61,22 +61,25 @@ object Bench {
         .stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSet)
 
   /** Promote-only-if-better: a new artifact may replace the one on disk
-    * only when it measures the SAME benchmark (same sf fixture dir, same
-    * query set — a well-measured run against a different fixture or
-    * registry is a different experiment, not a better sample of this one)
-    * at least as well (min pass count). This is what stops an all-cold
-    * overrun run (BENCH_r05: passes=1 everywhere, 1582 s) from clobbering
-    * a valid min-of-3 number, while still letting every checkpoint of an
-    * equally-measured run land for crash safety. Escape hatch after an
-    * INTENTIONAL fixture or query-set change: delete bench_full.json and
-    * re-bench (this repo does exactly that each time the registry grows). */
+    * only when it measures the SAME benchmark (same sf fixture dir) at
+    * least as well (min pass count), over the same query set OR a
+    * SUPERSET of it (r11: a registry GROWTH run that still clears the
+    * existing pass floor covers everything the old artifact did plus
+    * the new entries — refusing it is how round 10 ended with an
+    * artifact stale by its last six queries; a SHRUNK set still
+    * refuses, since dropping queries is a different experiment). This
+    * is what stops an all-cold overrun run (BENCH_r05: passes=1
+    * everywhere, 1582 s) from clobbering a valid min-of-3 number,
+    * while still letting every checkpoint of an equally-measured run
+    * land for crash safety. Escape hatch after an INTENTIONAL fixture
+    * change or query removal: delete bench_full.json and re-bench. */
   def shouldReplace(existing: Option[String], candidate: String): Boolean =
     existing.forall { e =>
       val sameSf = (for (a <- sfOf(e); b <- sfOf(candidate)) yield a == b)
         .getOrElse(true) // legacy lines without the field can't be compared
-      val sameQs = (for (a <- queryNames(e); b <- queryNames(candidate)) yield a == b)
-        .getOrElse(true)
-      sameSf && sameQs && minPasses(e) <= minPasses(candidate)
+      val coversQs = (for (a <- queryNames(e); b <- queryNames(candidate))
+        yield a.subsetOf(b)).getOrElse(true)
+      sameSf && coversQs && minPasses(e) <= minPasses(candidate)
     }
 
   /** Write `line` to `path` under the [[shouldReplace]] guard. A refused

@@ -430,9 +430,9 @@ object Quality {
     // (count desc, key asc) — a total order over group keys, so the
     // limit is deterministic and plans as TakeOrderedAndProject; the
     // 1-row totals broadcast back. share_ppm is integer parts-per-
-    // million (non-negative operands, so div == //). bench=false:
-    // correctness-only breadth — two tiny aggregates over scans already
-    // benched elsewhere.
+    // million (non-negative operands, so div == //). Benched since r11
+    // (the profiler that warns about skew should itself be timed
+    // evidence — two map-side-combined aggregates, cheap at any sf).
     QueryDef(
       "q_quality_skew",
       """WITH oc AS (SELECT o_custkey AS k, count(*)::BIGINT AS cnt FROM orders GROUP BY 1),
@@ -450,8 +450,7 @@ object Quality {
         |SELECT 'l_partkey', k, cnt,
         |  (cnt * 1000000) // n_rows, n_rows, n_keys, max_cnt, selfjoin_rows
         |FROM ltop, lt
-        |""".stripMargin,
-      bench = false) { (s, d) =>
+        |""".stripMargin) { (s, d) =>
       def profile(df: DataFrame, keyCol: String): DataFrame = {
         val counts = df.select(col(keyCol).cast("long").as("k"))
           .groupBy("k").agg(count(lit(1)).as("cnt"))

@@ -171,7 +171,15 @@ object Plans {
     "q_text_pmi" ->
       "PMI collocations: three map-side-combined aggregates over the bigram stream (marginals + pairs), 1-row total broadcast, top-20 as TakeOrderedAndProject — no unpartitioned window, instances never shuffle",
     "q_graph_modularity" ->
-      "modularity: two node-sized label joins onto the checkpointed edge list, map-side-combined per-community aggregates, 1-row totals crossed back by broadcast"
+      "modularity: two node-sized label joins onto the checkpointed edge list, map-side-combined per-community aggregates, 1-row totals crossed back by broadcast",
+    "q_pipeline_corpus" ->
+      "end-to-end corpus build: ids and digests shuffle, documents never do — dedup/decontamination joins are key-only semi/anti joins (eval grams broadcast), the only windows are the per-class budget cumsum and per-bucket pack cumsum, each partitioned by its scale-out key",
+    "q_graph_louvain" ->
+      "Louvain refinement: per sweep one edge-sized k_vc equi-join + node-sized deg/tot joins + a node-partitioned argmax; the Q accept gate is an in-plan 1-row broadcast — per-sweep plans read checkpointed labels, never prior sweeps' lineage",
+    "q_text_perplexity" ->
+      "bigram-LM scoring: model = two map-side-combined aggregates over the train bigram stream; held-out bigrams equi-join the count tables on token keys (broadcast here, shuffle-join at web scale) — documents never shuffle, no UDF, the quantized-log2 cost is pure integer codegen",
+    "q_dedup_video" ->
+      "video near-dup: one narrow mapPartitions decode (payloads never shuffle), then fixed-width (hash, digest) rows through a band equi-join keyed by (frame, dims, aHash) with the digest verify as a residual — no second decode, no cartesian"
   )
 
   def main(args: Array[String]): Unit = {

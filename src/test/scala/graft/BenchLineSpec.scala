@@ -108,11 +108,16 @@ class BenchLineSpec extends AnyFunSuite {
       lineAt("/root/testdata/sf0.1", Map("a" -> 3, "b" -> 3))))
   }
 
-  test("a changed query registry never replaces silently (escape hatch: delete the artifact)") {
+  test("registry growth promotes at equal passes; shrink and under-measured growth refuse") {
     val committed = line(Map("a" -> 3, "b" -> 3))
     val grown = line(Map("a" -> 3, "b" -> 3, "c" -> 3))
+    val grownCold = line(Map("a" -> 1, "b" -> 1, "c" -> 1))
     val shrunk = line(Map("a" -> 3))
-    assert(!Bench.shouldReplace(Some(committed), grown))
+    // r11: a superset run at >= the existing pass floor covers the old
+    // artifact entirely — the round-10 staleness loop is closed
+    assert(Bench.shouldReplace(Some(committed), grown))
+    assert(!Bench.shouldReplace(Some(committed), grownCold),
+      "growth never launders an under-measured run")
     assert(!Bench.shouldReplace(Some(committed), shrunk))
     assert(Bench.shouldReplace(None, grown), "after deleting the artifact, anything writes")
   }
