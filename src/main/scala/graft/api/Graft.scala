@@ -1247,6 +1247,76 @@ object Graft {
     lab
   }
 
+  /** Agglomerative community refinement (the Clauset-Newman-Moore
+    * move): `rounds` synchronous rounds of merging connected community
+    * PAIRS by exact modularity gain. For communities c1, c2 joined by
+    * e12 edges, the merge's Q-numerator gain over the common 4m^2
+    * denominator is the exact BIGINT
+    *   dQ_num = 4m * e12 - 2 * d(c1) * d(c2)
+    * (expand (d1+d2)^2 against 4m*(e1+e2+e12)). Each round selects the
+    * MUTUAL-BEST pairs — c picks its argmax-gain partner (gain desc,
+    * partner asc; positive gains only), and a pair merges iff both
+    * picked each other — the deterministic parallel greedy matching.
+    * Selected merges are DISJOINT by construction, so the round's
+    * total gain is the sum of positive pair gains: Q strictly
+    * increases whenever any merge fires, no accept gate needed (the
+    * theorem [[louvainMove]]'s simultaneous node moves lack). Merged
+    * communities take the smaller label.
+    *
+    * Scale shape: per round one edge-sized label-map join builds the
+    * community multigraph (then everything is COMMUNITY-sized: gain
+    * scores on the inter-community edge list, a community-partitioned
+    * argmax window, a self-join for mutuality), labels re-checkpoint.
+    * [[louvainMove]] refines node placement; this merges whole
+    * communities — the two moves compose into the standard multi-level
+    * pipeline. */
+  def communityMerge(labels: DataFrame, edges: DataFrame,
+      rounds: Int = 2): DataFrame = {
+    val und = undirected(edges)
+    val nbr = neighbors(und)
+    val deg = nbr.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val m = und.agg(count(lit(1)).as("m"))
+    var lab = labels.select(col("v"), col("lbl"))
+      .repartition(col("v")).localCheckpoint()
+    val w = Window.partitionBy("c").orderBy(col("dq").desc, col("p").asc)
+    (1 to rounds).foreach { _ =>
+      val dC = lab.join(deg, Seq("v"), "left")
+        .select(col("lbl"), coalesce(col("deg"), lit(0L)).as("d"))
+        .groupBy("lbl").agg(sum("d").as("d"))
+      val e12 = und
+        .join(lab.select(col("v").as("a"), col("lbl").as("la")), Seq("a"))
+        .join(lab.select(col("v").as("b"), col("lbl").as("lb")), Seq("b"))
+        .filter(col("la") =!= col("lb"))
+        .select(least(col("la"), col("lb")).as("c1"),
+          greatest(col("la"), col("lb")).as("c2"))
+        .groupBy("c1", "c2").agg(count(lit(1)).as("e12"))
+      val gains = e12
+        .join(dC.select(col("lbl").as("c1"), col("d").as("d1")), Seq("c1"))
+        .join(dC.select(col("lbl").as("c2"), col("d").as("d2")), Seq("c2"))
+        .crossJoin(broadcast(m))
+        .select(col("c1"), col("c2"),
+          (lit(4L) * col("m") * col("e12") - lit(2L) * col("d1") * col("d2"))
+            .as("dq"))
+        .filter(col("dq") > 0)
+      val best = gains.select(col("c1").as("c"), col("c2").as("p"), col("dq"))
+        .unionByName(gains.select(col("c2").as("c"), col("c1").as("p"), col("dq")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c"), col("p"))
+      val sel = best.as("x").join(best.as("y"),
+          col("x.c") === col("y.p") && col("x.p") === col("y.c"))
+        .select(least(col("x.c"), col("x.p")).as("keep"),
+          greatest(col("x.c"), col("x.p")).as("drop"))
+        .distinct()
+      lab = lab.join(sel.select(col("drop").as("lbl"), col("keep")),
+          Seq("lbl"), "left")
+        .select(col("v"), coalesce(col("keep"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    lab
+  }
+
   private def undirected(edges: DataFrame): DataFrame =
     edges
       .select(least(col("a"), col("b")).as("a"),

@@ -48,6 +48,7 @@ object Graph {
     * `defs` — the BfsDepth eager-init rule). */
   private val LpRounds = 3
   private val LvRounds = 2
+  private val CnmRounds = 2
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -336,6 +337,38 @@ object Graph {
       graft.api.Graft.modularity(refined, raw)
         .crossJoin(broadcast(seedQ))
         .withColumn("improved", col("q_num") >= col("q_num_seed"))
+    },
+
+    // Agglomerative (Clauset-Newman-Moore) community merging (r11) on
+    // the labelProp seed — the other half of the multi-level
+    // modularity pipeline beside q_graph_louvain's node moves: two
+    // rounds of merging connected community PAIRS by the exact gain
+    // 4m*e12 - 2*d1*d2 (BIGINT over the common 4m^2 denominator),
+    // selected by deterministic mutual-best matching. Because the
+    // selected merges are DISJOINT, the round's total gain is a sum
+    // of positive pair gains — Q strictly increases whenever any
+    // merge fires, a theorem needing no accept gate (the q_graph_
+    // louvain gate exists precisely because simultaneous NODE moves
+    // lack it). Output: the modularity report of the merged partition
+    // plus the seed Q and the monotonicity verdict.
+    QueryDef("q_graph_cnm", cnmOracle(LpRounds, CnmRounds)) { (s, d) =>
+      val docs = documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n"))
+      val raw = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("a"),
+          explode(sequence(lit(1), lit(4))).as("k"), col("n"))
+        .select(col("a"),
+          (h60(concat(lit("pr:"), col("a").cast("string"), lit(":"),
+            col("k").cast("string"))) % col("n")).as("b"))
+        .localCheckpoint() // seed, merge, and score all read it
+      val seed = graft.api.Graft.labelProp(
+        docs.select(col("doc_id").as("v")), raw, LpRounds)
+      val merged = graft.api.Graft.communityMerge(seed, raw, CnmRounds)
+      val seedQ = graft.api.Graft.modularity(seed, raw)
+        .select(col("q_num").as("q_num_seed")).distinct()
+      graft.api.Graft.modularity(merged, raw)
+        .crossJoin(broadcast(seedQ))
+        .withColumn("improved", col("q_num") >= col("q_num_seed"))
     }
   )
 
@@ -408,15 +441,18 @@ object Graph {
     * lou0, then each half-sweep unrolls as candidate-score / argmax /
     * proposal / Q-gate stages (all BIGINT numerators over 4m^2), and
     * the tail is the modularity report plus the seed Q. */
+  /** Exact Q-numerator CTE over a (v, lbl) relation — shared by the
+    * louvain and CNM oracles (expects `deg`, `umin`, `mm` in scope). */
+  private def qcte(name: String, lab: String): String =
+    s"""$name AS (
+       |  SELECT sum(4 * mm.m * coalesce(i.e_intra, 0) - c.deg_sum * c.deg_sum)::BIGINT AS q
+       |  FROM (SELECT l.lbl, sum(coalesce(d.deg, 0))::BIGINT AS deg_sum
+       |        FROM $lab l LEFT JOIN deg d ON d.v = l.v GROUP BY 1) c
+       |  LEFT JOIN (SELECT la.lbl, count(*)::BIGINT AS e_intra
+       |             FROM umin u JOIN $lab la ON la.v = u.a JOIN $lab lb ON lb.v = u.b
+       |             WHERE la.lbl = lb.lbl GROUP BY 1) i ON i.lbl = c.lbl, mm)""".stripMargin
+
   private def louvainOracle(lpRounds: Int, lvRounds: Int): String = {
-    def qcte(name: String, lab: String): String =
-      s"""$name AS (
-         |  SELECT sum(4 * mm.m * coalesce(i.e_intra, 0) - c.deg_sum * c.deg_sum)::BIGINT AS q
-         |  FROM (SELECT l.lbl, sum(coalesce(d.deg, 0))::BIGINT AS deg_sum
-         |        FROM $lab l LEFT JOIN deg d ON d.v = l.v GROUP BY 1) c
-         |  LEFT JOIN (SELECT la.lbl, count(*)::BIGINT AS e_intra
-         |             FROM umin u JOIN $lab la ON la.v = u.a JOIN $lab lb ON lb.v = u.b
-         |             WHERE la.lbl = lb.lbl GROUP BY 1) i ON i.lbl = c.lbl, mm)""".stripMargin
     val head =
       s"""lou0 AS MATERIALIZED (SELECT v, lbl FROM l$lpRounds),
          |deg AS (SELECT a AS v, count(*)::BIGINT AS deg FROM nbr GROUP BY 1),
@@ -454,6 +490,66 @@ object Graph {
     val tail =
       s"""lab AS MATERIALIZED (SELECT v, lbl FROM lou$lvRounds),
          |${qcte("qseed", "lou0")},
+         |comm AS (
+         |  SELECT l.lbl, count(*)::BIGINT AS n_members,
+         |    sum(coalesce(deg.deg, 0))::BIGINT AS deg_sum
+         |  FROM lab l LEFT JOIN deg ON deg.v = l.v GROUP BY 1),
+         |intra AS (
+         |  SELECT la.lbl, count(*)::BIGINT AS e_intra
+         |  FROM umin u JOIN lab la ON la.v = u.a JOIN lab lb ON lb.v = u.b
+         |  WHERE la.lbl = lb.lbl GROUP BY 1),
+         |pc AS MATERIALIZED (
+         |  SELECT c.lbl AS community, c.n_members,
+         |    coalesce(i.e_intra, 0)::BIGINT AS e_intra, c.deg_sum
+         |  FROM comm c LEFT JOIN intra i ON i.lbl = c.lbl),
+         |tot AS (
+         |  SELECT count(*)::BIGINT AS n_communities, max(mm.m) AS n_edges,
+         |    sum(4 * mm.m * e_intra - deg_sum * deg_sum)::BIGINT AS q_num,
+         |    (max(mm.m) * max(mm.m) * 4)::BIGINT AS q_den
+         |  FROM pc, mm)
+         |SELECT pc.community, pc.n_members, pc.e_intra, pc.deg_sum,
+         |  tot.n_communities, tot.n_edges, tot.q_num, tot.q_den,
+         |  qseed.q AS q_num_seed, tot.q_num >= qseed.q AS improved
+         |FROM pc, tot, qseed WHERE pc.n_members >= 2
+         |""".stripMargin
+    "WITH " + lpCtes(lpRounds) + ",\n" + (head +: sweeps).mkString(",\n") +
+      ",\n" + tail
+  }
+
+  /** DuckDB mirror of q_graph_cnm: the labelprop chain seeds cm0,
+    * then each merge round unrolls as community-degree / inter-edge /
+    * gain / mutual-best / relabel stages (gain = 4m*e12 - 2*d1*d2,
+    * all BIGINT over the common 4m^2 denominator); the tail is the
+    * modularity report plus the seed Q. */
+  private def cnmOracle(lpRounds: Int, rounds: Int): String = {
+    val head =
+      s"""cm0 AS MATERIALIZED (SELECT v, lbl FROM l$lpRounds),
+         |deg AS (SELECT a AS v, count(*)::BIGINT AS deg FROM nbr GROUP BY 1),
+         |mm AS (SELECT count(*)::BIGINT AS m FROM umin)""".stripMargin
+    val sweeps = (1 to rounds).map { r =>
+      s"""dc$r AS (SELECT l.lbl, sum(coalesce(d.deg, 0))::BIGINT AS d
+         |  FROM cm${r - 1} l LEFT JOIN deg d ON d.v = l.v GROUP BY 1),
+         |ee$r AS (SELECT least(la.lbl, lb.lbl) AS c1, greatest(la.lbl, lb.lbl) AS c2,
+         |    count(*)::BIGINT AS e12
+         |  FROM umin u JOIN cm${r - 1} la ON la.v = u.a JOIN cm${r - 1} lb ON lb.v = u.b
+         |  WHERE la.lbl <> lb.lbl GROUP BY 1, 2),
+         |gg$r AS (SELECT e.c1, e.c2, 4 * mm.m * e.e12 - 2 * d1.d * d2.d AS dq
+         |  FROM ee$r e JOIN dc$r d1 ON d1.lbl = e.c1 JOIN dc$r d2 ON d2.lbl = e.c2, mm
+         |  WHERE 4 * mm.m * e.e12 - 2 * d1.d * d2.d > 0),
+         |bb$r AS (SELECT c, p FROM (
+         |  SELECT c, p, row_number() OVER (PARTITION BY c ORDER BY dq DESC, p ASC) AS rn FROM (
+         |    SELECT c1 AS c, c2 AS p, dq FROM gg$r
+         |    UNION ALL SELECT c2 AS c, c1 AS p, dq FROM gg$r) u) t
+         |  WHERE rn = 1),
+         |ss$r AS (SELECT DISTINCT least(x.c, x.p) AS keep, greatest(x.c, x.p) AS drp
+         |  FROM bb$r x JOIN bb$r y ON y.c = x.p AND y.p = x.c),
+         |cm$r AS MATERIALIZED (
+         |  SELECT l.v, coalesce(s.keep, l.lbl) AS lbl
+         |  FROM cm${r - 1} l LEFT JOIN ss$r s ON s.drp = l.lbl)""".stripMargin
+    }
+    val tail =
+      s"""lab AS MATERIALIZED (SELECT v, lbl FROM cm$rounds),
+         |${qcte("qseed", "cm0")},
          |comm AS (
          |  SELECT l.lbl, count(*)::BIGINT AS n_members,
          |    sum(coalesce(deg.deg, 0))::BIGINT AS deg_sum

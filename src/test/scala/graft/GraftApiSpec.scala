@@ -411,6 +411,28 @@ class GraftApiSpec extends SparkSpec {
     assert(got(10L) == got(11L), s"the pair should merge, got $got")
   }
 
+  test("communityMerge: mutual-best merges fire, disjoint components never mix, Q strictly rises") {
+    // clique {0,1,2} mis-split as {0,1} + {2}; pair {10,11} split.
+    // gains: merge({0,1},{2}) = 4m*2 - 2*4*2 = 16 > 0 (m=4),
+    // merge({10},{11}) = 16 - 2 = 14 > 0; no cross-component pair has
+    // an edge, so round 2 is a fixpoint.
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L)).toDF("a", "b")
+    val seed = Seq((0L, 0L), (1L, 0L), (2L, 2L), (10L, 10L), (11L, 11L))
+      .toDF("v", "lbl")
+    val got = Graft.communityMerge(seed, edges, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L),
+      s"got $got")
+  }
+
+  test("communityMerge on the registry fixture: Q strictly improves over the labelProp seed") {
+    val rows = q("q_graph_cnm")
+      .select("q_num", "q_num_seed", "improved").distinct().collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Boolean]("improved"))
+    assert(rows.head.getAs[Long]("q_num") > rows.head.getAs[Long]("q_num_seed"))
+  }
+
   test("labelProp: a clique absorbs its pendant, components never mix, isolated keeps its own") {
     // clique {0,1,2} + pendant 3-2; separate pair {10,11}; isolated 20
     val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 2L), (10L, 11L))
