@@ -230,6 +230,44 @@ object Aggregates {
           min("l_quantity").as("lo"), max("l_quantity").as("hi"))
     },
 
+    // The 100 TB twin of q_agg_histogram_eqdepth (r11): the same
+    // 8-bucket equi-depth summary READ OFF the sharded mergeable
+    // quantile sketch instead of the whole-group ntile rank — bucket b
+    // holds the kept items at index i with i*8//m = b-1, each standing
+    // for w_final originals, lo/hi from the kept values. cnt_est is
+    // exact*weight integer arithmetic; the per-bucket mass deviates
+    // from the exact tile count only by the sketch's merged rank-error
+    // band + granularity, the q_agg_selectivity_approx bound family.
+    // No rank window ever touches lineitem rows keyed by the 3-value
+    // group alone (plan-shape spec on the shared kernel).
+    QueryDef(
+      "q_agg_histogram_eqdepth_approx",
+      Sketches.ShardedCentsSketchSql +
+      """m AS (SELECT grp, count(*)::BIGINT AS m FROM h6 GROUP BY grp),
+        |rk AS (SELECT grp, v, j, row_number() OVER (PARTITION BY grp ORDER BY v, j) - 1 AS i FROM h6)
+        |SELECT rk.grp AS l_returnflag, CAST((rk.i * 8) // m.m + 1 AS INT) AS tile,
+        |  count(*)::BIGINT * max(g.two) * 64 AS cnt_est,
+        |  min(rk.v) AS lo, max(rk.v) AS hi,
+        |  max(g.two) * 64 AS w_final, max(m.m) AS m_sketch
+        |FROM rk JOIN m ON m.grp = rk.grp JOIN geo2 g ON g.grp = rk.grp
+        |GROUP BY 1, 2
+        |""".stripMargin) { (s, d) =>
+      val nSh = Sketches.NShards
+      val (sk0, geo) = Sketches.shardedQuantileSketch(Sketches.centsSharded(s, d), nSh)
+      val sk = sk0.localCheckpoint()
+      val m = sk.groupBy("grp").agg(count(lit(1)).as("m"))
+      sk.withColumn("i", row_number().over(Window.partitionBy("grp")
+          .orderBy(col("v"), col("j"))).cast("long") - 1)
+        .join(broadcast(m), "grp")
+        .join(broadcast(geo.select("grp", "two")), "grp")
+        .groupBy(col("grp"), expr("cast((i * 8) div m + 1 as int)").as("tile"))
+        .agg((count(lit(1)) * max("two") * nSh).as("cnt_est"),
+          min("v").as("lo"), max("v").as("hi"),
+          (max("two") * nSh).as("w_final"), max("m").as("m_sketch"))
+        .select(col("grp").as("l_returnflag"), col("tile"), col("cnt_est"),
+          col("lo"), col("hi"), col("w_final"), col("m_sketch"))
+    },
+
     // Range-selectivity estimation from the equi-depth histogram — the
     // second optimizer-statistics primitive beside join-cardinality
     // pricing (q_agg_join_cardinality): estimate |cents <= X| from 20

@@ -197,6 +197,71 @@ object Similarity {
         .select("i", "j", "cos")
     },
 
+    // SEMANTIC decontamination (r11) — the embedding-space member of
+    // the decontamination family (digest + 13-gram + stream twins
+    // exist): a train vector is contaminated when its cosine to ANY
+    // eval-split vector (vec_id % 50 = 0) reaches tau = 0.2 (the
+    // fixture's embeddings are near-orthogonal random vectors, so 0.2
+    // marks the top decile of bucket-collided proximity; a real
+    // embedding space would sit tau at ~0.9) —
+    // paraphrase-level eval leakage the n-gram check cannot see.
+    // Candidates come ONLY from the shared 6-bit hyperplane bucket
+    // (the q_dedup_embedding index; random pairs collide at ~1/64,
+    // near-identical vectors almost surely), and the tiny eval side
+    // BROADCASTS into the candidate join — the decontaminate scale
+    // shape: the corpus never shuffles, scoring is the codegen cosine
+    // on bucket-collided pairs only. Per train vector: hit count,
+    // max cosine (NULL when clean — identically absent both engines),
+    // verdict.
+    QueryDef(
+      "q_dedup_decontaminate_semantic",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |    list_reduce([v[i+1] * ((((('0x' || substr(md5('plane_a_' || p::VARCHAR), 1, 15))::BIGINT
+        |                             + (i+1) * (('0x' || substr(md5('plane_b_' || p::VARCHAR), 1, 15))::BIGINT % 281474976710656))
+        |                            % 1152921504606846976) % 1001 - 500) / 500.0)
+        |                 for i in range(0, len(v))], (acc, x) -> acc + x) AS dp
+        |  FROM e, range(6) r(p)),
+        |bk AS (
+        |  SELECT vec_id, sum(CASE WHEN dp > 0 THEN 1::BIGINT << p ELSE 0::BIGINT END) AS bucket
+        |  FROM dots GROUP BY 1),
+        |ev AS (SELECT vec_id, bucket FROM bk WHERE vec_id % 50 = 0),
+        |tr AS (SELECT vec_id, bucket FROM bk WHERE vec_id % 50 <> 0),
+        |scored AS (
+        |  SELECT t.vec_id AS i,
+        |    list_reduce([ea.v[k+1] * eb.v[k+1] for k in range(0, len(ea.v))], (acc, x) -> acc + x)
+        |      / (sqrt(list_reduce([x * x for x in ea.v], (acc, y) -> acc + y))
+        |         * sqrt(list_reduce([x * x for x in eb.v], (acc, y) -> acc + y))) AS cos
+        |  FROM tr t JOIN ev e2 ON e2.bucket = t.bucket
+        |  JOIN e ea ON ea.vec_id = t.vec_id JOIN e eb ON eb.vec_id = e2.vec_id),
+        |hits AS (
+        |  SELECT i, count(*)::BIGINT AS n_hits, max(cos) AS max_cos
+        |  FROM scored WHERE cos >= 0.2 GROUP BY 1)
+        |SELECT t.vec_id, coalesce(h.n_hits, 0) AS n_hits, h.max_cos,
+        |  coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM tr t LEFT JOIN hits h ON h.i = t.vec_id
+        |""".stripMargin) { (s, d) =>
+      val bits = 6
+      val emb = embeddings(s, d)
+        .withColumn("bucket", lshBucket(col("embedding"), bits))
+        .localCheckpoint() // eval + train sides read it once
+      val ev = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("j"), col("embedding").as("emb_j"), col("bucket"))
+      val tr = emb.filter(col("vec_id") % 50 =!= 0)
+      val hits = tr.select(col("vec_id").as("i"), col("embedding").as("emb_i"),
+          col("bucket"))
+        .join(broadcast(ev), Seq("bucket"))
+        .withColumn("cos", cosine(col("emb_i"), col("emb_j")))
+        .filter(col("cos") >= 0.2)
+        .groupBy("i").agg(count(lit(1)).as("n_hits"), max("cos").as("max_cos"))
+      tr.select(col("vec_id"))
+        .join(hits, col("vec_id") === col("i"), "left")
+        .select(col("vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("max_cos"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+    },
+
     // Product-quantization ANN, two-stage: 4 subspaces x 16 dims, 32
     // codewords each, trained by the grouped spherical k-means — a
     // 64-float embedding compresses to 4 codes (the memory lever that

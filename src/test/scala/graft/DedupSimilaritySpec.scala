@@ -183,4 +183,40 @@ class DedupSimilaritySpec extends SparkSpec {
       .count()
     assert(all == 6, "tau above max cosine must keep every vector")
   }
+
+  test("semantic decontamination: both branches fire, hits imply bucket collision + threshold") {
+    val rows = q("q_dedup_decontaminate_semantic").collect()
+    assert(rows.nonEmpty)
+    val hit = rows.filter(_.getAs[Boolean]("contaminated"))
+    val clean = rows.filterNot(_.getAs[Boolean]("contaminated"))
+    assert(hit.nonEmpty, "tau never fired — the positive branch is untested")
+    assert(clean.nonEmpty, "everything contaminated — the filter is vacuous")
+    hit.foreach { r =>
+      assert(r.getAs[Long]("n_hits") > 0L)
+      assert(r.getAs[Double]("max_cos") >= 0.2)
+    }
+    clean.foreach(r => assert(r.getAs[Long]("n_hits") == 0L && r.isNullAt(r.fieldIndex("max_cos"))))
+    // eval vectors themselves never appear in the train-side report
+    assert(rows.forall(_.getAs[Long]("vec_id") % 50 != 0))
+  }
+
+  test("sketch-derived equi-depth histogram: monotone non-overlapping buckets, mass ~ n") {
+    val rows = q("q_agg_histogram_eqdepth_approx").collect()
+      .groupBy(_.getAs[String]("l_returnflag"))
+    rows.foreach { case (g, rs) =>
+      val byTile = rs.sortBy(_.getAs[Int]("tile"))
+      assert(byTile.nonEmpty && byTile.length <= 8)
+      byTile.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
+            s"$g: buckets overlap")
+        case _ =>
+      }
+      // estimated total mass sits within one weight-granularity band
+      // of W*m (the sketch's own mass), which itself tracks n
+      val w = byTile.head.getAs[Long]("w_final")
+      val m = byTile.head.getAs[Long]("m_sketch")
+      assert(byTile.map(_.getAs[Long]("cnt_est")).sum == w * m)
+    }
+  }
 }
