@@ -946,6 +946,57 @@ object Sampling {
         .select(col("doc_id"), col("lang"), col("copy"))
     },
 
+    // Temperature-scaled mixture (r11) — the multilingual balancing
+    // rule (the mT5/XLM-R alpha-sampling shape at alpha = 1/2): epoch
+    // rates are DERIVED FROM THE DATA, rate_l = floor(100 *
+    // sqrt(n_max) / sqrt(n_l)) percent — the largest language runs at
+    // 1.0x and rarer languages upweight by the square-root ratio,
+    // flattening the distribution without the fixed-rate map of
+    // q_sample_mixture. sqrt and one division are IEEE operations on
+    // exact integers in the identical order in both engines (the
+    // correlation/autocorr discipline), and the floor lands before the
+    // BIGINT cast (truncate-vs-round trap). Fractional rate remainders
+    // become hash-deterministic extra copies exactly as the fixed-rate
+    // mixture does.
+    //
+    // Scale shape: the rate table is |langs| rows from one map-side-
+    // combined count — broadcast back; the corpus is scanned once and
+    // never shuffled.
+    QueryDef(
+      "q_sample_mixture_temp",
+      """WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+        |mx AS (SELECT max(n) AS nmax FROM c),
+        |r AS (SELECT lang, n,
+        |    CAST(floor(100.0 * sqrt(CAST(mx.nmax AS DOUBLE)) / sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS rate
+        |  FROM c, mx),
+        |d AS (
+        |  SELECT doc_id, d0.lang, r.n, r.rate,
+        |    (r.rate // 100) + CASE WHEN ('0x' || substr(md5('temp:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < r.rate % 100
+        |      THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents d0 JOIN r ON r.lang = d0.lang)
+        |SELECT doc_id, lang, n AS n_lang, rate AS rate_pct,
+        |  CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy
+        |FROM d
+        |""".stripMargin) { (s, d) =>
+      import graft.Exact.h60
+      val c = documents(s, d).groupBy("lang").agg(count(lit(1)).as("n"))
+      val mx = c.agg(max("n").as("nmax"))
+      val r = c.crossJoin(broadcast(mx))
+        .select(col("lang"), col("n"),
+          floor(lit(100.0) * sqrt(col("nmax").cast("double"))
+            / sqrt(col("n").cast("double"))).cast("long").as("rate"))
+      documents(s, d).join(broadcast(r), "lang")
+        .withColumn("n_copies",
+          expr("cast(rate div 100 as int)") +
+            when(h60(concat(lit("temp:"), col("doc_id").cast("string"))) % 100
+              < col("rate") % 100, 1).otherwise(0))
+        .withColumn("copy",
+          explode(when(col("n_copies") >= 1, sequence(lit(1), col("n_copies")))
+            .otherwise(array().cast("array<int>"))))
+        .select(col("doc_id"), col("lang"), col("n").as("n_lang"),
+          col("rate").as("rate_pct"), col("copy"))
+    },
+
     // Token-budget-capped mixture — the OTHER half of data mixing: each
     // domain contributes documents, in the deterministic h60 shuffle
     // order, only until its token budget fills (epoch-rate mixing says

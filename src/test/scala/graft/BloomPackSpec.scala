@@ -101,6 +101,27 @@ class BloomPackSpec extends SparkSpec {
     assert(rows.filter(_._2 == "zh").forall(_._3 == 1))
   }
 
+  test("temperature mixture: largest lang runs 1.0x, spread flattens, rates derive from counts") {
+    val rows = q("q_sample_mixture_temp").collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang")).map { case (l, rs) =>
+      (l, rs.head.getAs[Long]("n_lang"), rs.head.getAs[Long]("rate_pct"),
+        rs.length.toLong)
+    }.toSeq
+    val largest = byLang.maxBy(_._2)
+    assert(largest._3 == 100L, s"largest language must run at 1.0x: $byLang")
+    byLang.foreach { case (l, n, rate, copies) =>
+      // rate = floor(100 * sqrt(nmax/n)) recomputed
+      val expect = math.floor(100.0 * math.sqrt(largest._2.toDouble) /
+        math.sqrt(n.toDouble)).toLong
+      assert(rate == expect, s"$l: rate $rate != derived $expect")
+      assert(copies >= n, s"$l: alpha < 1 never downsamples")
+    }
+    // flattening: max/min copy ratio strictly tighter than raw count ratio
+    val rawSpread = byLang.map(_._2).max.toDouble / byLang.map(_._2).min
+    val mixSpread = byLang.map(_._4).max.toDouble / byLang.map(_._4).min
+    assert(mixSpread < rawSpread, s"mix spread $mixSpread vs raw $rawSpread")
+  }
+
   test("shuffle order: (bucket, pos) is a permutation — dense ranks, no duplicates") {
     val rows = q("q_sample_shuffle").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
