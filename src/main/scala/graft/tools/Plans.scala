@@ -179,7 +179,11 @@ object Plans {
     "q_text_perplexity" ->
       "bigram-LM scoring: model = two map-side-combined aggregates over the train bigram stream; held-out bigrams equi-join the count tables on token keys (broadcast here, shuffle-join at web scale) — documents never shuffle, no UDF, the quantized-log2 cost is pure integer codegen",
     "q_dedup_video" ->
-      "video near-dup: one narrow mapPartitions decode (payloads never shuffle), then fixed-width (hash, digest) rows through a band equi-join keyed by (frame, dims, aHash) with the digest verify as a residual — no second decode, no cartesian"
+      "video near-dup: one narrow mapPartitions decode (payloads never shuffle), then fixed-width (hash, digest) rows through a band equi-join keyed by (frame, dims, aHash) with the digest verify as a residual — no second decode, no cartesian",
+    "q_dedup_decontaminate_semantic" ->
+      "semantic decontamination: the tiny eval-split broadcast (BroadcastHashJoin on the hyperplane bucket) into the candidate join — the corpus side never shuffles; cosine scoring only on bucket-collided pairs, codegen expression",
+    "q_graph_cnm" ->
+      "CNM merge round: ONE edge-sized label-map join builds the community multigraph; gains, mutual-best argmax, and relabel are all community-sized — per-round plans read checkpointed labels only"
   )
 
   def main(args: Array[String]): Unit = {
