@@ -414,6 +414,45 @@ class GraftPropertySpec extends SparkSpec {
     })
   }
 
+  test("property: louvainMove and communityMerge never lower Q on random graphs") {
+    // Both refinements claim Q-monotonicity BY CONSTRUCTION (the accept
+    // gate / the disjoint-matching theorem) — so it must hold on ANY
+    // graph with ANY seed labeling, not just the fixture.
+    val caseGen: Gen[(List[(Long, Long)], Int)] = for {
+      n <- Gen.choose(2, 10)
+      m <- Gen.choose(1, 16)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+      } yield (a.toLong, b.toLong))
+      k <- Gen.choose(1, 4) // seed community count
+    } yield (es, k)
+    def qNum(labels: Map[Long, Long], es: List[(Long, Long)]): Long = {
+      val und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).distinct
+      val m = und.size.toLong
+      val deg = (und.map(_._1) ++ und.map(_._2)).groupBy(identity)
+        .map { case (v, xs) => v -> xs.size.toLong }
+      labels.values.toSeq.distinct.map { lbl =>
+        val vs = labels.filter(_._2 == lbl).keys.toSet
+        val e = und.count(x => vs(x._1) && vs(x._2)).toLong
+        val d = vs.toSeq.map(v => deg.getOrElse(v, 0L)).sum
+        4 * m * e - d * d
+      }.sum
+    }
+    check(forAll(caseGen) { case (es, k) =>
+      val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val edges = es.toDF("a", "b")
+      val seed = verts.map(v => (v, v % k)).toDF("v", "lbl")
+      val seedMap = verts.map(v => v -> (v % k)).toMap
+      val q0 = qNum(seedMap, es)
+      val lv = Graft.louvainMove(seed, edges, rounds = 2)
+        .as[(Long, Long)].collect().toMap
+      val cm = Graft.communityMerge(seed, edges, rounds = 2)
+        .as[(Long, Long)].collect().toMap
+      qNum(lv, es) >= q0 && qNum(cm, es) >= q0
+    })
+  }
+
   test("property: labelProp labels stay inside the node's own component") {
     val edgeGen: Gen[(Int, List[(Long, Long)])] = for {
       n <- Gen.choose(2, 12)
