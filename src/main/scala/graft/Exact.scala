@@ -34,6 +34,19 @@ object Exact {
   def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Quantized log2 as an integer Column expression: q16(x) =
+    * 16*(bitlen(x)-1) + ((x*16) >> (bitlen(x)-1)) - 16 — integer
+    * exponent plus 4 linear mantissa bits, within 0.15 bit of
+    * 16*log2(x) and never above it by more than 1/16 (pinned in
+    * BloomPackSpec). DuckDB twin:
+    * `((x*16) >> (length(format('{:b}', x)) - 1)) + 16*(length(format('{:b}', x)) - 1) - 16`.
+    * Defined for x >= 1. Shared by the perplexity and curriculum
+    * entries so the two engines can never drift on the cost law. */
+  def q16(c: String): Column =
+    org.apache.spark.sql.functions.expr(
+      s"shiftright($c * 16, cast(length(bin($c)) as int) - 1) " +
+        s"+ 16 * (length(bin($c)) - 1) - 16")
+
   /** Driver/executor-side md5 as lowercase hex — the JVM twin of both
     * engines' md5(VARCHAR), for decode paths that digest raw bytes
     * outside Catalyst (the video frame signatures). */

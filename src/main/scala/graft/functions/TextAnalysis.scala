@@ -458,9 +458,7 @@ object TextAnalysis {
         .select(col("doc_id"),
           (coalesce(col("c1"), lit(0L)) + col("v")).as("den"),
           (coalesce(col("c12"), lit(0L)) + lit(1L)).as("num"))
-      def q16(c: String) = expr(
-        s"shiftright($c * 16, cast(length(bin($c)) as int) - 1) " +
-          s"+ 16 * (length(bin($c)) - 1) - 16")
+      import graft.Exact.q16
       val cost = sc.select(col("doc_id"), (q16("den") - q16("num")).as("cq"))
       val oo = mapped.groupBy("doc_id").agg(sum("oov").as("n_oov"))
       cost.groupBy("doc_id")

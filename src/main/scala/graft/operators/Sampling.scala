@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Exact.h60
 import graft.QueryDef
+import graft.operators.Sketches
 import graft.sources.Tables._
 
 /** Dataset-management operators for a training-data pipeline: tf-idf term
@@ -944,6 +945,110 @@ object Sampling {
       graft.api.Graft.mixtureResample(documents(s, d), "doc_id", "lang",
           Map("en" -> 150, "de" -> 100, "fr" -> 50, "es" -> 25, "zh" -> 10))
         .select(col("doc_id"), col("lang"), col("copy"))
+    },
+
+    // Difficulty-ordered CURRICULUM (r11) — the training-order
+    // composite: a self-trained bigram LM prices every document's
+    // per-bigram cost in the quantized-log2 integers of
+    // q_text_perplexity (MLE here — every bigram is observed, so
+    // cost = q16(c1) - q16(c12) >= 0), the per-doc average cost (in
+    // milli-q16 units, length-normalized) is summarized by the SHARDED
+    // quantile sketch (grp = one global group, shard = h60(doc) % 64 —
+    // exactly the plan that survives a 100 TB corpus where a global
+    // ntile cannot), and the 25/50/75 read-offs cut four difficulty
+    // stages. Each doc gets (stage, bucket, pos): consuming in that
+    // order replays an easy-to-hard curriculum with the deterministic
+    // in-stage hash shuffle of Graft.shuffleOrder.
+    //
+    // Scale shape: the model is two map-side-combined bigram
+    // aggregates; scoring equi-joins token keys; the only whole-corpus
+    // ordering artifacts are the (grp, shard)-keyed sketch window and
+    // the (stage, bucket)-partitioned position window — both keyed to
+    // scale out; thresholds are a broadcast 1-row read-off.
+    QueryDef(
+      "q_pipeline_curriculum",
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS l
+        |  FROM documents
+        |  WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) >= 2),
+        |bg AS MATERIALIZED (
+        |  SELECT doc_id, u.b.w1 AS w1, u.b.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest([{'w1': l[i], 'w2': l[i+1]} for i in range(1, len(l))]) AS b FROM t) u),
+        |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM bg GROUP BY 1),
+        |cost AS (
+        |  SELECT bg.doc_id,
+        |    (((c1.c1 * 16) >> (length(format('{:b}', c1.c1)) - 1))
+        |       + 16 * (length(format('{:b}', c1.c1)) - 1) - 16)
+        |    - (((c12.c12 * 16) >> (length(format('{:b}', c12.c12)) - 1))
+        |       + 16 * (length(format('{:b}', c12.c12)) - 1) - 16) AS cq
+        |  FROM bg JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
+        |  JOIN c1 ON c1.w1 = bg.w1),
+        |sc AS MATERIALIZED (
+        |  SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(cq)::BIGINT AS score_q16,
+        |    (sum(cq)::BIGINT * 1000) // count(*) AS avgq,
+        |    ('0x' || substr(md5('cur:' || doc_id::VARCHAR), 1, 15))::BIGINT AS hh
+        |  FROM cost GROUP BY 1),
+        |v AS (SELECT 'all' AS grp, avgq AS cents, hh % 64 AS shard FROM sc),
+        |""".stripMargin +
+      Sketches.ShardedSketchStagesSql +
+      """m AS (SELECT grp, count(*)::BIGINT AS m FROM h6 GROUP BY grp),
+        |rk AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v, j) - 1 AS i FROM h6),
+        |sel AS (
+        |  SELECT m.grp, CAST(u.pct AS BIGINT) AS pct,
+        |    (CAST(u.pct AS BIGINT) * (m.m - 1) + 50) // 100 AS i
+        |  FROM m, UNNEST([25, 50, 75]) u(pct)),
+        |est AS (SELECT sel.pct, rk.v AS est FROM sel JOIN rk USING (grp, i)),
+        |th AS (SELECT max(CASE WHEN pct = 25 THEN est END) AS t25,
+        |              max(CASE WHEN pct = 50 THEN est END) AS t50,
+        |              max(CASE WHEN pct = 75 THEN est END) AS t75 FROM est),
+        |staged AS (
+        |  SELECT sc.doc_id, sc.n_bigrams, sc.score_q16, sc.avgq, sc.hh,
+        |    CAST(1 + CASE WHEN sc.avgq > th.t25 THEN 1 ELSE 0 END
+        |           + CASE WHEN sc.avgq > th.t50 THEN 1 ELSE 0 END
+        |           + CASE WHEN sc.avgq > th.t75 THEN 1 ELSE 0 END AS INT) AS stage,
+        |    CAST(sc.hh % 16 AS INT) AS bucket
+        |  FROM sc, th)
+        |SELECT doc_id, n_bigrams, score_q16, avgq, stage, bucket,
+        |  CAST(row_number() OVER (PARTITION BY stage, bucket ORDER BY hh, doc_id) AS INT) AS pos
+        |FROM staged
+        |""".stripMargin) { (s, d) =>
+      import graft.Exact.{h60, q16}
+      val t = documents(s, d)
+        .select(col("doc_id"), graft.api.Graft.tokens(col("text")).as("l"))
+        .filter(size(col("l")) >= 2)
+      val bg = t.select(col("doc_id"), explode(
+          expr("transform(sequence(1, size(l) - 1), i -> struct(l[i-1] AS w1, l[i] AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .localCheckpoint() // model counts AND per-doc scoring read it
+      val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val sc = bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .select(col("doc_id"), (q16("c1") - q16("c12")).as("cq"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("cq").as("score_q16"))
+        .withColumn("avgq", expr("(score_q16 * 1000) div n_bigrams"))
+        .withColumn("hh", h60(concat(lit("cur:"), col("doc_id").cast("string"))))
+        .localCheckpoint() // sketch input + final staging read it
+      val v = sc.select(lit("all").as("grp"), col("avgq").as("cents"),
+        (col("hh") % 64).as("shard"))
+      val (sk0, _) = Sketches.shardedQuantileSketch(v, 64)
+      val th = Sketches.quantileEstimate(sk0.localCheckpoint(), Seq(25, 50, 75))
+        .agg(max(when(col("pct") === 25, col("est"))).as("t25"),
+          max(when(col("pct") === 50, col("est"))).as("t50"),
+          max(when(col("pct") === 75, col("est"))).as("t75"))
+      sc.crossJoin(broadcast(th))
+        .withColumn("stage", (lit(1)
+          + when(col("avgq") > col("t25"), 1).otherwise(0)
+          + when(col("avgq") > col("t50"), 1).otherwise(0)
+          + when(col("avgq") > col("t75"), 1).otherwise(0)).cast("int"))
+        .withColumn("bucket", (col("hh") % 16).cast("int"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("stage", "bucket")
+            .orderBy(col("hh"), col("doc_id"))))
+        .select(col("doc_id"), col("n_bigrams"), col("score_q16"),
+          col("avgq"), col("stage"), col("bucket"), col("pos"))
     },
 
     // Temperature-scaled mixture (r11) — the multilingual balancing

@@ -70,7 +70,15 @@ object Sketches {
       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
       |    ('0x' || substr(md5('qsh:' || l_orderkey || ':' || l_linenumber), 1, 15))::BIGINT % 64 AS shard
       |  FROM lineitem),
-      |geo AS (
+      |""".stripMargin + ShardedSketchStagesSql
+
+  /** The build stages alone — `geo, geo2, h0 .. h6` over an
+    * already-defined CTE `v(grp, cents, shard)` — so any query can
+    * sketch any value column (the curriculum entry sketches per-doc
+    * LM scores) with the exact same replay text. Ends with a trailing
+    * comma. */
+  private[graft] val ShardedSketchStagesSql: String =
+    """geo AS (
       |  SELECT grp, count(*)::BIGINT AS n,
       |    CASE WHEN (count(*) + 16383) // 16384 <= 1 THEN 0
       |      ELSE length(format('{:b}', (count(*) + 16383) // 16384 - 1)) END AS lv

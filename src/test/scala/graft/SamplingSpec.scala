@@ -169,4 +169,26 @@ class SamplingSpec extends SparkSpec {
     // dedup: a surviving doc appears once per copy, never more
     assert(out.groupBy("doc_id", "copy").count().filter(col("count") > 1).count() == 0)
   }
+
+  test("curriculum: stages are monotone difficulty bands, positions dense per (stage, bucket)") {
+    val rows = q("q_pipeline_curriculum").collect()
+    assert(rows.nonEmpty)
+    val byStage = rows.groupBy(_.getAs[Int]("stage"))
+    assert(byStage.keySet.subsetOf(Set(1, 2, 3, 4)))
+    assert(byStage.size >= 3, s"sketch cuts collapsed: ${byStage.keySet}")
+    // a harder stage never contains an easier doc than a softer stage
+    val bands = byStage.toSeq.sortBy(_._1).map { case (st, rs) =>
+      (st, rs.map(_.getAs[Long]("avgq")).min, rs.map(_.getAs[Long]("avgq")).max)
+    }
+    bands.sliding(2).foreach {
+      case Seq(a, b) => assert(a._3 <= b._2, s"stages interleave: $a vs $b")
+      case _ =>
+    }
+    // pos is a dense 1..n ranking inside every (stage, bucket)
+    rows.groupBy(r => (r.getAs[Int]("stage"), r.getAs[Int]("bucket")))
+      .foreach { case (k, rs) =>
+        val ps = rs.map(_.getAs[Int]("pos")).sorted
+        assert(ps.toSeq == (1 to rs.length).toSeq, s"gap in $k")
+      }
+  }
 }
