@@ -58,20 +58,6 @@ object Sketches {
       (h60(concat(lit("qsh:"), col("l_orderkey"), lit(":"),
         col("l_linenumber"))) % NShards).as("shard"))
 
-  /** Oracle-side replay of [[shardedQuantileSketch]] over
-    * [[centsSharded]]: CTEs `v, geo, geo2, h0 .. h6` (64 shards,
-    * cap 256), each halving materialized so DuckDB replays the exact
-    * compaction cascade. Ends with a trailing comma — append read-off
-    * CTEs and the final SELECT. Shared verbatim by every sketch-backed
-    * oracle so the two engines can never drift on the build. */
-  private[graft] val ShardedCentsSketchSql: String =
-    """WITH v AS (
-      |  SELECT l_returnflag AS grp,
-      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
-      |    ('0x' || substr(md5('qsh:' || l_orderkey || ':' || l_linenumber), 1, 15))::BIGINT % 64 AS shard
-      |  FROM lineitem),
-      |""".stripMargin + ShardedSketchStagesSql
-
   /** The build stages alone — `geo, geo2, h0 .. h6` over an
     * already-defined CTE `v(grp, cents, shard)` — so any query can
     * sketch any value column (the curriculum entry sketches per-doc
@@ -102,6 +88,22 @@ object Sketches {
          |  WHERE r0 % 2 = b),
          |""".stripMargin
     }.mkString
+
+  /** Oracle-side replay of [[shardedQuantileSketch]] over
+    * [[centsSharded]]: CTEs `v, geo, geo2, h0 .. h6` (64 shards,
+    * cap 256), each halving materialized so DuckDB replays the exact
+    * compaction cascade. Ends with a trailing comma — append read-off
+    * CTEs and the final SELECT. Shared verbatim by every sketch-backed
+    * oracle so the two engines can never drift on the build. */
+  private[graft] val ShardedCentsSketchSql: String =
+    """WITH v AS (
+      |  SELECT l_returnflag AS grp,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    ('0x' || substr(md5('qsh:' || l_orderkey || ':' || l_linenumber), 1, 15))::BIGINT % 64 AS shard
+      |  FROM lineitem),
+      |""".stripMargin + ShardedSketchStagesSql
+
+
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -14,6 +14,29 @@ class InvariantsSpec extends SparkSpec {
     assert(noOracle.isEmpty, s"rows-only checks remain: $noOracle")
   }
 
+  test("oracle hygiene: every FROM/JOIN reference resolves to a CTE or base table") {
+    // Guards against oracle-string construction bugs (the r11 val-init
+    // ordering slip glued a Scala null into the CTE chain: the SQL
+    // read "nullm AS (... FROM h6 ...)" with h0..h6 silently missing —
+    // Spark-side specs can't see oracle text, so this lint is the only
+    // sbt-test-time tripwire).
+    val baseTables = Set("region", "nation", "customer", "supplier",
+      "part", "orders", "lineitem", "events", "documents", "embeddings")
+    val tableFns = Set("range", "unnest", "generate_series", "read_parquet")
+    val defRe = """(?m)(\w+)\s+AS\s+(?:MATERIALIZED\s+)?\(""".r
+    val refRe = """(?i)(?:FROM|JOIN)\s+([a-zA-Z_]\w*)""".r
+    val problems = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) =>
+        val defined = defRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+        refRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSeq.distinct
+          .filterNot(defined)
+          .filterNot(baseTables)
+          .filterNot(tableFns)
+          .map(ref => s"$name: unresolved relation '$ref'")
+    }
+    assert(problems.isEmpty, problems.mkString("; "))
+  }
+
   test("source hygiene: no driver-side collect loops or Scala UDFs in engine code") {
     // the two anti-patterns that silently de-distribute an operator:
     // .collect() (driver-side iteration) and udf() (kills codegen).
