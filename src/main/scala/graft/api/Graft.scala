@@ -173,6 +173,62 @@ object Graft {
       .select("i", "j", "jac")
   }
 
+  /** Asymmetric shingle containment C = |A ∩ B| / min(|A|, |B|):
+    * detects a document CONTAINED in a larger one (a quoted post, an
+    * excerpt page, a boilerplate superset) — the dedup mode symmetric
+    * Jaccard structurally misses: a 40-shingle doc wholly inside a
+    * 400-shingle doc has jac ≈ 0.1 but containment 1.0, and no
+    * Jaccard threshold separates those pairs from noise.
+    *
+    * Candidates come from a RARE-SHINGLE inverted index: only
+    * shingles with document frequency <= maxDf enter the candidate
+    * self-join, so per-key fanout is bounded by maxDf² (the exact
+    * Σdf² quantity the q_quality_skew profiler prices in advance) and
+    * docs sharing nothing but ultra-common shingles never pair. The
+    * recall tradeoff is the classic stop-shingle one, and one-sided:
+    * a pair is missed only if EVERY shared shingle is hot — at larger
+    * corpora you LOWER the cap (hot shingles get hotter, rare ones
+    * stay rare), so the plan gets cheaper, not worse, with scale.
+    * Containment itself is then computed EXACTLY over the full
+    * shingle sets of candidate pairs (in-row array_intersect, the
+    * [[minhashPairs]] verify shape), so every emitted value is exact.
+    *
+    * Input `(doc_id, lang, shingle)` distinct rows; emits one row per
+    * pair with containment >= threshold, oriented smaller-set-first
+    * (ties by id). */
+  def containmentPairs(shRaw: DataFrame, threshold: Double,
+      maxDf: Long = 64L): DataFrame = {
+    val sh = shRaw.localCheckpoint() // feeds index, candidates, verify
+    val rare = sh.groupBy("lang", "shingle")
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+    val idx = sh.join(rare.select("lang", "shingle"),
+      Seq("lang", "shingle"), "left_semi")
+    val cand = idx.as("x").join(idx.as("y"),
+        col("x.lang") === col("y.lang") &&
+          col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    val docSets = sh.groupBy("doc_id").agg(
+      collect_list(col("shingle")).as("shset"), count(lit(1)).as("c"))
+    val small = col("ca") <= col("cb") // cand has i < j, so <= breaks ties by id
+    cand
+      .join(docSets.select(col("doc_id").as("i"),
+        col("shset").as("sa"), col("c").as("ca")), "i")
+      .join(docSets.select(col("doc_id").as("j"),
+        col("shset").as("sb"), col("c").as("cb")), "j")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("ca"), col("cb")))
+      .filter(col("containment") >= threshold)
+      .select(
+        when(small, col("i")).otherwise(col("j")).as("small_id"),
+        when(small, col("j")).otherwise(col("i")).as("big_id"),
+        least(col("ca"), col("cb")).as("c_small"),
+        greatest(col("ca"), col("cb")).as("c_big"),
+        col("inter"), col("containment"))
+  }
+
   /** SimHash-60 sketch per doc (tf-weighted sign votes over md5-60 token
     * hashes). Votes are summed per token OCCURRENCE (±1 each), which
     * equals the tf-weighted sum over distinct tokens but needs no
@@ -1202,6 +1258,14 @@ object Graft {
     }
     var lab = labels.select(col("v"), col("lbl"))
       .repartition(col("v")).localCheckpoint()
+    // Q(lab) THREADS through the loop as a checkpointed 1-row frame
+    // instead of being recomputed by every gate: the gate needs
+    // q_old = Q(current labels), which is exactly what the previous
+    // gate already established — its q_new if the sweep was accepted,
+    // its carried q_old if not. One qNum pass per round instead of
+    // two; only the seed's Q is paid up front. Values are identical
+    // by induction, so the oracle's stage-by-stage replay is unchanged.
+    var qcur = qNum(lab).select(col("q").as("q_old")).localCheckpoint()
     val w = Window.partitionBy("v")
       .orderBy(col("score").desc, col("nlbl").asc)
     (0 until rounds).foreach { r =>
@@ -1235,14 +1299,19 @@ object Graft {
       val proposed = lab.join(best, Seq("v"), "left")
         .select(col("v"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
         .localCheckpoint()
-      val gate = qNum(proposed).select(col("q").as("q_new"))
-        .crossJoin(qNum(lab).select(col("q").as("q_old")))
-        .select((col("q_new") > col("q_old")).as("better"))
+      val gateFull = qNum(proposed).select(col("q").as("q_new"))
+        .crossJoin(qcur)
+        .select((col("q_new") > col("q_old")).as("better"),
+          col("q_new"), col("q_old"))
+        .localCheckpoint() // 1 row; feeds both the filter and next q_old
+      val gate = gateFull.select("better")
       lab = proposed.crossJoin(broadcast(gate)).filter(col("better"))
         .select("v", "lbl")
         .unionByName(lab.crossJoin(broadcast(gate))
           .filter(!col("better")).select("v", "lbl"))
         .localCheckpoint()
+      qcur = gateFull.select(when(col("better"), col("q_new"))
+        .otherwise(col("q_old")).as("q_old"))
     }
     lab
   }

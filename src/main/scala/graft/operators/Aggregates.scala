@@ -541,6 +541,66 @@ object Aggregates {
         .select(col("k"), col("n"),
           (col("n") * 3 <= col("total") || col("hh_k").isNotNull)
             .as("ok"))
+    },
+
+    // Approximate query processing (r11): answer SUM(revenue) per group
+    // from a 1-in-100 deterministic hash sample with a CLT confidence
+    // bound, audited in-output against the exact total. The estimator is
+    // Horvitz-Thompson for Bernoulli(p=1/100) inclusion: est = 100 * Σ
+    // sample cents (exact BIGINT); its variance estimate is
+    // ((1-p)/p²) Σ sample cents² — carried as a BIGINT of dollars²
+    // (integer-divided per row, exact and overflow-safe to ~sf1000) and
+    // converted to a half-width half = 3·sqrt(9.9e7 · Σdollars²)
+    // (BIGINT→DOUBLE conversion and sqrt are both correctly-rounded
+    // IEEE, bit-identical across engines — unlike the banned exp/ln/pow
+    // family). `ok` asserts |est − truth| <= half: the z=3 (~99.7%)
+    // contract the estimator sells to its caller.
+    //
+    // Scale shape: the SAMPLE is what a 100 TB deployment materializes
+    // as its own 1% bucket table (the h60 bucket is append-stable, so
+    // the sample table maintains itself under ingest); the estimator
+    // then answers from 1% of the bytes with a per-group error bar. The
+    // full-table pass here exists only to AUDIT the bound — the exact
+    // analogue of q_agg_selectivity's truth column.
+    QueryDef(
+      "q_agg_aqp",
+      """WITH v AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    ('0x' || substr(md5('aqp:' || l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR), 1, 15))::BIGINT % 100 AS bkt
+        |  FROM lineitem),
+        |samp AS (
+        |  SELECT grp, count(*)::BIGINT AS n_sample,
+        |    100 * CAST(sum(cents) AS BIGINT) AS est_cents,
+        |    CAST(sum((cents * cents) // 10000) AS BIGINT) AS sumsq_d2
+        |  FROM v WHERE bkt = 0 GROUP BY grp),
+        |tru AS (SELECT grp, count(*)::BIGINT AS n_total,
+        |  CAST(sum(cents) AS BIGINT) AS truth_cents FROM v GROUP BY grp)
+        |SELECT t.grp AS l_returnflag, t.n_total, s.n_sample, s.est_cents,
+        |  t.truth_cents,
+        |  CAST(ceil(3 * sqrt(99000000.0 * CAST(s.sumsq_d2 AS DOUBLE))) AS BIGINT) AS half_cents,
+        |  abs(s.est_cents - t.truth_cents)
+        |    <= CAST(ceil(3 * sqrt(99000000.0 * CAST(s.sumsq_d2 AS DOUBLE))) AS BIGINT) AS ok
+        |FROM tru t JOIN samp s ON s.grp = t.grp
+        |""".stripMargin) { (s, d) =>
+      val v = lineitem(s, d).select(
+        col("l_returnflag").as("grp"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        (graft.Exact.h60(concat(lit("aqp:"), col("l_orderkey"), lit(":"),
+          col("l_linenumber"))) % 100).as("bkt"))
+      val samp = v.filter(col("bkt") === 0).groupBy("grp")
+        .agg(count(lit(1)).as("n_sample"),
+          (lit(100L) * sum("cents")).as("est_cents"),
+          sum(expr("(cents * cents) div 10000")).as("sumsq_d2"))
+      val tru = v.groupBy("grp")
+        .agg(count(lit(1)).as("n_total"), sum("cents").as("truth_cents"))
+      val half = ceil(lit(3d) * sqrt(lit(99000000d) *
+        col("sumsq_d2").cast("double"))).cast("long")
+      tru.join(samp, "grp")
+        .select(col("grp").as("l_returnflag"), col("n_total"),
+          col("n_sample"), col("est_cents"), col("truth_cents"),
+          half.as("half_cents"),
+          (abs(col("est_cents") - col("truth_cents")) <= half).as("ok"))
     }
   )
 }

@@ -342,6 +342,50 @@ object Dedup {
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("is_match"), 1L).otherwise(0L)).as("n_true"),
           sum(when(!col("is_match"), 1L).otherwise(0L)).as("n_false"))
+    },
+
+    // Asymmetric containment dedup (r11): C = |A∩B| / |A_small| finds
+    // docs CONTAINED in larger ones (quotes, excerpt pages, boilerplate
+    // supersets) — pairs symmetric Jaccard misses by construction (a
+    // doc wholly inside one 10x larger has jac ~0.1, containment 1.0).
+    // Candidates from the rare-shingle inverted index (df <= 64 per
+    // (lang, shingle) — fanout bounded by df², the Σdf² quantity
+    // q_quality_skew prices); containment computed exactly over the
+    // candidates' full shingle sets. Recall tradeoff is one-sided and
+    // stated on Graft.containmentPairs: a pair escapes only if EVERY
+    // shared shingle is hot.
+    QueryDef(
+      "q_dedup_containment",
+      """WITH tok AS (
+        |  SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS l
+        |  FROM documents WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) >= 3),
+        |sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, lang, shingle FROM (
+        |    SELECT doc_id, lang,
+        |      unnest([array_to_string(l[i:i+2], ' ') for i in range(1, greatest(len(l) - 1, 1))]) AS shingle
+        |    FROM tok) u),
+        |rare AS (SELECT lang, shingle FROM sh GROUP BY 1, 2 HAVING count(*) <= 64),
+        |idx AS (SELECT s.doc_id, s.lang, s.shingle FROM sh s JOIN rare r
+        |  ON r.lang = s.lang AND r.shingle = s.shingle),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.lang = b.lang
+        |    AND a.doc_id < b.doc_id),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.i, c.j, count(*) AS n FROM cand c
+        |  JOIN sh a ON a.doc_id = c.i
+        |  JOIN sh b ON b.doc_id = c.j AND b.shingle = a.shingle
+        |  GROUP BY 1, 2)
+        |SELECT CASE WHEN ca.c <= cb.c THEN i ELSE j END AS small_id,
+        |  CASE WHEN ca.c <= cb.c THEN j ELSE i END AS big_id,
+        |  least(ca.c, cb.c) AS c_small, greatest(ca.c, cb.c) AS c_big,
+        |  n AS inter, CAST(n AS DOUBLE) / least(ca.c, cb.c) AS containment
+        |FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+        |WHERE CAST(n AS DOUBLE) / least(ca.c, cb.c) >= 0.6
+        |""".stripMargin) { (s, d) =>
+      graft.api.Graft.containmentPairs(
+        shingles(s, d).select("doc_id", "lang", "shingle"), threshold = 0.6)
     }
   )
 }

@@ -306,6 +306,47 @@ object Streaming {
     s.table(name)
   }
 
+  /** The q_stream_mixture body: pre-flight mixture/budget monitor at
+    * ingest. Every arriving document is priced STATELESSLY — token
+    * count plus its hash-fractional epoch copies under the exact
+    * q_sample_mixture rule (floor(rate) + one extra copy iff
+    * h60('mix:'||id) % 100 < rate % 100) — then folded into one
+    * complete-mode per-language aggregate scored against the 20k
+    * token budget. Every reported column is a sum/count of per-doc
+    * integers: an additive fold over a stateless per-row map is
+    * batching-invariant by construction, so the oracle replays the
+    * whole monitor as one GROUP BY. At 100 TB this answers "does
+    * tonight's mixture fit the budget?" while the corpus is still
+    * landing — state is one row per language, documents never shuffle
+    * (the only exchange carries language keys). */
+  def mixtureStream(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
+    import graft.api.Graft
+    val docs = graft.sources.Tables.documents(s, d)
+    val name = "stream_mix_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val r = when(col("lang") === "en", 150L).when(col("lang") === "de", 100L)
+      .when(col("lang") === "fr", 50L).when(col("lang") === "es", 25L)
+      .when(col("lang") === "zh", 10L).otherwise(0L)
+    val q = s.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .select(col("lang"), col("doc_id"),
+        size(Graft.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("r", r)
+      .withColumn("copies", expr("r div 100") +
+        when(graft.Exact.h60(concat(lit("mix:"), col("doc_id"))) % 100
+          < col("r") % 100, 1L).otherwise(0L))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("raw_tokens"),
+        sum("copies").as("mix_docs"),
+        sum(col("copies") * col("n_tok")).as("mix_tokens"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    drain(q)
+    s.table(name)
+      .select(col("lang"), col("n_docs"), col("raw_tokens"), col("mix_docs"),
+        col("mix_tokens"), lit(20000L).as("budget"),
+        (col("mix_tokens") > 20000L).as("over_budget"),
+        greatest(col("mix_tokens") - 20000L, lit(0L)).as("excess_tokens"))
+  }
+
   /** Streaming sliding-window aggregation: each event lands in two
     * overlapping 2h windows (1h slide) — same shape as the tumbling
     * stream, ~2x the state keys; shares the batch twin's oracle. */
@@ -1715,6 +1756,34 @@ object Streaming {
         |  AND (h.valid_to IS NULL OR h.valid_to > ev.epoch)
         |GROUP BY h.c_mktsegment, ev.epoch
         |""".stripMargin) { (s, d) => streamDimLookup(s, d) },
+
+    // Streaming mixture/budget monitor (r11): the pre-flight twin of
+    // q_sample_mixture + q_sample_budget. Arriving documents are priced
+    // statelessly (token count, hash-fractional epoch copies — the
+    // exact q_sample_mixture copy rule) and folded into a per-language
+    // complete-mode aggregate scored against the 20k token budget.
+    // Additive fold over a stateless map => batching-invariant by
+    // construction; the oracle replays the monitor as one GROUP BY.
+    QueryDef(
+      "q_stream_mixture",
+      """WITH c AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+        |    (r // 100) + CASE WHEN ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < r % 100
+        |      THEN 1 ELSE 0 END AS copies
+        |  FROM (SELECT doc_id, lang, text,
+        |          CASE lang WHEN 'en' THEN 150 WHEN 'de' THEN 100 WHEN 'fr' THEN 50
+        |                    WHEN 'es' THEN 25 WHEN 'zh' THEN 10 ELSE 0 END AS r
+        |        FROM documents) t)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+        |  CAST(sum(copies) AS BIGINT) AS mix_docs,
+        |  CAST(sum(copies * n_tok) AS BIGINT) AS mix_tokens,
+        |  CAST(20000 AS BIGINT) AS budget,
+        |  CAST(sum(copies * n_tok) AS BIGINT) > 20000 AS over_budget,
+        |  greatest(CAST(sum(copies * n_tok) AS BIGINT) - 20000, 0) AS excess_tokens
+        |FROM c GROUP BY lang
+        |""".stripMargin) { (s, d) => mixtureStream(s, d) },
 
     // Streaming tokenizer application: the BPE vocab is trained ONCE on
     // the static corpus (Graft.bpeTrain), then every arriving micro-batch

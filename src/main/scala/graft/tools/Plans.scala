@@ -183,7 +183,11 @@ object Plans {
     "q_dedup_decontaminate_semantic" ->
       "semantic decontamination: the tiny eval-split broadcast (BroadcastHashJoin on the hyperplane bucket) into the candidate join — the corpus side never shuffles; cosine scoring only on bucket-collided pairs, codegen expression",
     "q_graph_cnm" ->
-      "CNM merge round: ONE edge-sized label-map join builds the community multigraph; gains, mutual-best argmax, and relabel are all community-sized — per-round plans read checkpointed labels only"
+      "CNM merge round: ONE edge-sized label-map join builds the community multigraph; gains, mutual-best argmax, and relabel are all community-sized — per-round plans read checkpointed labels only",
+    "q_dedup_containment" ->
+      "containment dedup: candidates from the rare-shingle equi self-join (df <= 64 caps per-key fanout at df²); the exact verify is in-row array_intersect on per-doc shingle arrays — post-candidate shuffles carry only the candidate id list, documents never shuffle",
+    "q_agg_aqp" ->
+      "AQP sampled aggregate: estimator and truth are each ONE map-side-combined aggregate over a narrow 2-column scan; the estimator branch filters to the 1-in-100 hash slice (at 100 TB: its own bucket table, and the truth scan exists only to AUDIT the bound), bound math is a 3-row projection — no window, no extra exchange"
   )
 
   def main(args: Array[String]): Unit = {

@@ -100,6 +100,32 @@ class GraftApiSpec extends SparkSpec {
     pairs.foreach { case (i, j) => assert(i < j) }
   }
 
+  test("containmentPairs finds the contained doc symmetric jaccard misses") {
+    // B starts with A's full text plus 16 more tokens: containment
+    // (A in B) is exactly 1.0 while their jaccard is ~0.16 — below any
+    // sane near-dup threshold. doc 3 shares nothing and must not pair.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon one two three four five " +
+        "six seven eight nine ten eleven twelve thirteen fourteen " +
+        "fifteen sixteen"),
+      (3L, "unrelated words entirely distinct from anything else")
+    ).toDF("doc_id", "text")
+    val sh = Graft.shingleSet(docs, "doc_id", "text")
+      .withColumn("lang", lit("en")).select("doc_id", "lang", "shingle")
+    val rows = Graft.containmentPairs(sh, threshold = 0.9).collect()
+    assert(rows.length == 1, s"expected exactly the planted pair, got ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getAs[Long]("small_id") == 1L && r.getAs[Long]("big_id") == 2L)
+    assert(r.getAs[Double]("containment") == 1.0)
+    val jac = r.getAs[Long]("inter").toDouble /
+      (r.getAs[Long]("c_small") + r.getAs[Long]("c_big") - r.getAs[Long]("inter"))
+    assert(jac < 0.5, s"pair must be invisible to the jaccard dedup, jac=$jac")
+    // the stop-shingle recall tradeoff is the cap: with maxDf = 1 the
+    // shared shingles (df = 2) leave the index and the pair escapes
+    assert(Graft.containmentPairs(sh, threshold = 0.9, maxDf = 1L).count() == 0)
+  }
+
   test("simhash sketch of identical docs is identical; pairs respect the bound") {
     val sk = Graft.simhashSketch(corpus, "id", "body")
       .as[(Long, Long)].collect().toMap
