@@ -509,7 +509,11 @@ object Sketches {
     * Final sample weight = 2^lv * nShards; the merged rank-error band
     * is 4x that weight (the 1-vs-k contract SketchesQualitySpec pins).
     */
-  private[graft] def shardedQuantileSketch(v: org.apache.spark.sql.DataFrame,
+  /** The sharded build's first stage alone — per-(grp, shard) rank
+    * filter at the geometry-derived keep rate — exposed so the spec can
+    * pin the composed-halving identity against the literal
+    * [[quantileHalve]] cascade. */
+  private[graft] def shardKept(v: org.apache.spark.sql.DataFrame,
       nShards: Int, cap: Int = 256):
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
@@ -531,8 +535,42 @@ object Sketches {
       .filter(col("r0") % col("two") === col("c"))
       .select(col("grp"), expr("(r0 - c) div two").as("j"),
         col("cents").as("v"), col("two").as("weight"))
+    (kept, geo)
+  }
+
+  private[graft] def shardedQuantileSketch(v: org.apache.spark.sql.DataFrame,
+      nShards: Int, cap: Int = 256):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val (kept, geo) = shardKept(v, nShards, cap)
     val rounds = 32 - Integer.numberOfLeadingZeros(nShards - 1)
-    ((1 to rounds).foldLeft(kept)((sk, _) => quantileHalve(sk)), geo)
+    // The log2(nShards) canonical halvings COMPOSE into one rank window.
+    // After the first halve, the emitted j is the survivor's position
+    // index — unique per group — so every later round's (v, j) order IS
+    // the previous round's position order, and "keep positions ≡ b_l
+    // (mod 2) of the current list" telescopes: a row of the ORIGINAL
+    // kept order (position p, ranked by (v, j); ties are bit-identical
+    // rows, so tie order is immaterial) survives all `rounds` halvings
+    // iff p ≡ Σ_l 2^(l-1)·b_l (mod 2^rounds), with final position
+    // (p - c) / 2^rounds and weight·2^rounds — where b_l is the same
+    // per-(grp, weight-at-level-l) h60 coin the literal cascade draws.
+    // One exchange+sort instead of `rounds` of them; value-identical to
+    // the h1..h6 stages the oracle replays (identity pinned in
+    // SketchesQualitySpec against the literal quantileHalve cascade).
+    val mod = 1L << rounds
+    val cSum = (1 to rounds).map { l =>
+      (h60(concat(lit("kllh:"), col("grp"), lit(":"),
+        col("weight") * lit(1L << (l - 1)))) % 2) * lit(1L << (l - 1))
+    }.reduce(_ + _)
+    val halved = kept
+      .withColumn("p", row_number().over(
+        Window.partitionBy("grp").orderBy(col("v"), col("j")))
+        .cast("long") - 1)
+      .withColumn("cc", cSum)
+      .filter(col("p") % mod === col("cc"))
+      .select(col("grp"), expr(s"(p - cc) div $mod").as("j"), col("v"),
+        (col("weight") * mod).as("weight"))
+    (halved, geo)
   }
 
   /** Read quantiles (integer percents) off a uniform-weight sketch:

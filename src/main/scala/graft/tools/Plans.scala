@@ -161,7 +161,7 @@ object Plans {
     "q_quality_benford" ->
       "Benford audit: one map-side-combined digit aggregate over the scan; the 9-row expected table and the 1-row total both broadcast — the audit itself never shuffles",
     "q_agg_quantile_sketch" ->
-      "sharded quantile sketch: the ONLY rank over lineitem is keyed by (grp, SHARD) — 192 window partitions, the knob that scales with the cluster; 6 canonical halvings + read-off rank only the checkpointed <= 256-row/group sketch, and the audit is a broadcast-join conditional aggregate (no second window)",
+      "sharded quantile sketch: the ONLY rank over lineitem is keyed by (grp, SHARD) — 192 window partitions, the knob that scales with the cluster; the 6 canonical halvings COMPOSE into one window by position arithmetic (spec-pinned identity vs the literal cascade the oracle replays), read-off ranks only the checkpointed <= 256-row/group sketch, and the audit is a broadcast-join conditional aggregate",
     "q_agg_selectivity_approx" ->
       "sketch-derived equi-depth selectivity: bucket boundaries come from the sharded sketch (no whole-group ntile anywhere) — histogram, thresholds, and interpolation all read <= 256 sketch rows; the single lineitem rescan is the audit's map-side-combined conditional aggregate",
     "q_quality_quarantine" ->

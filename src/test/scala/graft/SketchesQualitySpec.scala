@@ -51,13 +51,37 @@ class SketchesQualitySpec extends SparkSpec {
     val (sk, _) = graft.operators.Sketches.shardedQuantileSketch(v, 64)
     val plan = sk.queryExecution.optimizedPlan
     val windows = plan.collect { case w: LWindow => w }
-    assert(windows.size == 7, s"expected h0 + 6 halvings, got ${windows.size}")
+    assert(windows.size == 2,
+      s"expected h0 + ONE composed halving window, got ${windows.size}")
     val base = windows.filter(w =>
       w.child.collect { case ww: LWindow => ww }.isEmpty)
     assert(base.size == 1, "exactly one window ranks the base data")
     val keys = base.head.partitionSpec.flatMap(_.references.map(_.name))
     assert(keys.contains("shard") || keys.exists(_.startsWith("shard")),
       s"base rank window partitioned only by $keys — the low-cardinality rank is back")
+  }
+
+  test("composed halving window == the literal quantileHalve cascade") {
+    // shardedQuantileSketch folds its log2(nShards) canonical halvings
+    // into ONE rank window via the position-arithmetic identity
+    // (p ≡ Σ 2^(l-1)·b_l mod 2^rounds). The oracle replays the LITERAL
+    // h1..h6 cascade, so this identity is load-bearing for every
+    // sketch-backed oracle — pin value-equality against the cascade
+    // itself, on real data (repeated cents values exercise the
+    // bit-identical-tie argument).
+    val li = Tables.lineitem(spark, sf)
+    val v = li.select(col("l_returnflag").as("grp"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+      (graft.Exact.h60(concat(lit("qsh:"), col("l_orderkey"), lit(":"),
+        col("l_linenumber"))) % 64).as("shard"))
+    val (composed, _) = graft.operators.Sketches.shardedQuantileSketch(v, 64)
+    val (kept, _) = graft.operators.Sketches.shardKept(v, 64)
+    val cascade = (1 to 6).foldLeft(kept)((s, _) =>
+      graft.operators.Sketches.quantileHalve(s))
+    val a = composed.as[(String, Long, Long, Long)].collect().sorted
+    val b = cascade.as[(String, Long, Long, Long)].collect().sorted
+    assert(a.length == b.length && a.sameElements(b),
+      s"composed (${a.length} rows) diverged from the cascade (${b.length})")
   }
 
   test("quantile sketch merge: 1-vs-k partial merges keep the rank-error contract") {
