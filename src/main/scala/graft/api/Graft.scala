@@ -1185,11 +1185,14 @@ object Graft {
     * Scale shape: two node-sized label joins onto the edge list (the
     * labelProp per-round shape), one map-side-combined aggregate per
     * relation, and 1-row totals crossed back by broadcast. */
-  def modularity(labels: DataFrame, edges: DataFrame): DataFrame = {
-    val und = undirected(edges)
-    val nbr = neighbors(und)
+  def modularity(labels: DataFrame, edges: DataFrame): DataFrame =
+    modularityCtx(labels, undCtx(edges))
+
+  private[graft] def modularityCtx(labels: DataFrame,
+      ctx: UndCtx): DataFrame = {
+    val und = ctx.und
     val lab = labels.select(col("v"), col("lbl")).localCheckpoint()
-    val deg = nbr.groupBy("a").agg(count(lit(1)).as("d"))
+    val deg = ctx.deg.select(col("v").as("a"), col("deg").as("d"))
     val comm = lab.join(deg, lab("v") === deg("a"), "left")
       .select(col("lbl"), coalesce(col("d"), lit(0L)).as("d"))
       .groupBy("lbl")
@@ -1237,11 +1240,14 @@ object Graft {
     * and two modularity aggregates — edge-linear, labels re-
     * checkpoint per sweep. */
   def louvainMove(labels: DataFrame, edges: DataFrame,
+      rounds: Int = 2): DataFrame =
+    louvainMoveCtx(labels, undCtx(edges), rounds)
+
+  private[graft] def louvainMoveCtx(labels: DataFrame, ctx: UndCtx,
       rounds: Int = 2): DataFrame = {
-    val und = undirected(edges)
-    val nbr = neighbors(und)
-    val deg = nbr.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    val und = ctx.und
+    val nbr = ctx.nbr
+    val deg = ctx.deg
     val m = und.agg(count(lit(1)).as("m"))
     def qNum(lab: DataFrame): DataFrame = {
       val comm = lab.join(deg, Seq("v"), "left")
@@ -1340,11 +1346,13 @@ object Graft {
     * communities — the two moves compose into the standard multi-level
     * pipeline. */
   def communityMerge(labels: DataFrame, edges: DataFrame,
+      rounds: Int = 2): DataFrame =
+    communityMergeCtx(labels, undCtx(edges), rounds)
+
+  private[graft] def communityMergeCtx(labels: DataFrame, ctx: UndCtx,
       rounds: Int = 2): DataFrame = {
-    val und = undirected(edges)
-    val nbr = neighbors(und)
-    val deg = nbr.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    val und = ctx.und
+    val deg = ctx.deg
     val m = und.agg(count(lit(1)).as("m"))
     var lab = labels.select(col("v"), col("lbl"))
       .repartition(col("v")).localCheckpoint()
@@ -1392,6 +1400,29 @@ object Graft {
         greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct().localCheckpoint()
+
+  /** Derived-once undirected graph context: the canonical edge set, its
+    * two-direction neighbor relation, and per-node degrees — each
+    * materialized exactly once. A multi-stage community pipeline
+    * (seed -> refine -> score) built from the single-call public APIs
+    * re-derives this trio inside EVERY call (3-4 distinct/union/agg
+    * materializations of the same edge relation per query — the same
+    * waste at 100 TB, where each re-derive is a full shuffle of the
+    * edge set). The Ctx variants below share one derivation; the
+    * public single-call signatures delegate through them, so values
+    * are identical by construction. */
+  private[graft] final class UndCtx(val und: DataFrame, val nbr: DataFrame) {
+    /** per-node degrees — materialized once, on first use (localCheckpoint
+      * is eager, and labelProp-only callers never need degrees) */
+    lazy val deg: DataFrame =
+      nbr.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+  }
+
+  private[graft] def undCtx(edges: DataFrame): UndCtx = {
+    val u = undirected(edges)
+    new UndCtx(u, neighbors(u))
+  }
 
   /** both directions of the distinct undirected edge set — the neighbor
     * relation labelProp and linkPredict iterate over, checkpointed */
@@ -1474,8 +1505,12 @@ object Graft {
     * (node, label) count, and a node-partitioned argmax window — work is
     * edge-linear per round, labels re-checkpoint so no round re-plans
     * prior lineage. */
-  def labelProp(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
-    val nbr = neighbors(undirected(edges))
+  def labelProp(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame =
+    labelPropCtx(nodes, undCtx(edges), rounds)
+
+  private[graft] def labelPropCtx(nodes: DataFrame, ctx: UndCtx,
+      rounds: Int): DataFrame = {
+    val nbr = ctx.nbr
     var lab = nodes.select(col("v"), col("v").as("lbl"))
       .repartition(col("v")).localCheckpoint()
     val w = Window.partitionBy("v").orderBy(col("c").desc, col("lbl").asc)

@@ -302,9 +302,11 @@ object Graph {
         .select(col("a"),
           (h60(concat(lit("pr:"), col("a").cast("string"), lit(":"),
             col("k").cast("string"))) % col("n")).as("b"))
-      val labels = graft.api.Graft.labelProp(
-        docs.select(col("doc_id").as("v")), raw, LpRounds)
-      graft.api.Graft.modularity(labels, raw)
+      // derive the undirected context ONCE; seed and score share it
+      val ctx = graft.api.Graft.undCtx(raw)
+      val labels = graft.api.Graft.labelPropCtx(
+        docs.select(col("doc_id").as("v")), ctx, LpRounds)
+      graft.api.Graft.modularityCtx(labels, ctx)
     },
 
     // One Louvain refinement level (r11) on the labelProp seed: two
@@ -329,12 +331,15 @@ object Graph {
           (h60(concat(lit("pr:"), col("a").cast("string"), lit(":"),
             col("k").cast("string"))) % col("n")).as("b"))
         .localCheckpoint() // seed, refine, and score all read it
-      val seed = graft.api.Graft.labelProp(
-        docs.select(col("doc_id").as("v")), raw, LpRounds)
-      val refined = graft.api.Graft.louvainMove(seed, raw, LvRounds)
-      val seedQ = graft.api.Graft.modularity(seed, raw)
+      // ONE undirected-context derivation feeds seed, refine, and both
+      // modularity reports — the pipeline shape a 100 TB job uses
+      val ctx = graft.api.Graft.undCtx(raw)
+      val seed = graft.api.Graft.labelPropCtx(
+        docs.select(col("doc_id").as("v")), ctx, LpRounds)
+      val refined = graft.api.Graft.louvainMoveCtx(seed, ctx, LvRounds)
+      val seedQ = graft.api.Graft.modularityCtx(seed, ctx)
         .select(col("q_num").as("q_num_seed")).distinct()
-      graft.api.Graft.modularity(refined, raw)
+      graft.api.Graft.modularityCtx(refined, ctx)
         .crossJoin(broadcast(seedQ))
         .withColumn("improved", col("q_num") >= col("q_num_seed"))
     },
@@ -361,12 +366,14 @@ object Graph {
           (h60(concat(lit("pr:"), col("a").cast("string"), lit(":"),
             col("k").cast("string"))) % col("n")).as("b"))
         .localCheckpoint() // seed, merge, and score all read it
-      val seed = graft.api.Graft.labelProp(
-        docs.select(col("doc_id").as("v")), raw, LpRounds)
-      val merged = graft.api.Graft.communityMerge(seed, raw, CnmRounds)
-      val seedQ = graft.api.Graft.modularity(seed, raw)
+      // shared undirected context, as in q_graph_louvain
+      val ctx = graft.api.Graft.undCtx(raw)
+      val seed = graft.api.Graft.labelPropCtx(
+        docs.select(col("doc_id").as("v")), ctx, LpRounds)
+      val merged = graft.api.Graft.communityMergeCtx(seed, ctx, CnmRounds)
+      val seedQ = graft.api.Graft.modularityCtx(seed, ctx)
         .select(col("q_num").as("q_num_seed")).distinct()
-      graft.api.Graft.modularity(merged, raw)
+      graft.api.Graft.modularityCtx(merged, ctx)
         .crossJoin(broadcast(seedQ))
         .withColumn("improved", col("q_num") >= col("q_num_seed"))
     }

@@ -20,9 +20,12 @@ class ReadmeIndexSpec extends AnyFunSuite {
       .map(_.getName)
       .filterNot(_.contains("$"))      // defaults, synthetics, lambdas
       .filter(_.head.isLower)          // constants (EmailRe/UrlRe) exempt
-      // `private[graft]` is public in bytecode; the repo convention for
-      // package-private diagnostic twins is the *Counted suffix
+      // `private[graft]` is public in bytecode; the repo conventions for
+      // package-private members are the *Counted suffix (diagnostic
+      // twins) and the *Ctx suffix (shared-derivation variants whose
+      // parameter types are themselves package-private)
       .filterNot(_.endsWith("Counted"))
+      .filterNot(_.endsWith("Ctx"))
       .distinct.sorted
     assert(methods.size >= 50, s"reflection found only ${methods.size} operators")
     val missing = methods.filterNot(m => table.contains(s"`$m`"))
