@@ -198,26 +198,44 @@ object Graft {
     * (ties by id). */
   def containmentPairs(shRaw: DataFrame, threshold: Double,
       maxDf: Long = 64L): DataFrame = {
-    val sh = shRaw.localCheckpoint() // feeds index, candidates, verify
+    val sh = shRaw.localCheckpoint() // feeds index, complement, counts
     val rare = sh.groupBy("lang", "shingle")
       .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-    val idx = sh.join(rare.select("lang", "shingle"),
-      Seq("lang", "shingle"), "left_semi")
-    val cand = idx.as("x").join(idx.as("y"),
+      .select("lang", "shingle")
+    val idx = sh.join(rare, Seq("lang", "shingle"), "left_semi")
+    // The rare/hot split PARTITIONS each doc's shingle set, so the
+    // exact intersection decomposes: inter = inter_rare + inter_hot.
+    // inter_rare falls out of the candidate join's own (i, j) count —
+    // no distinct-pair materialization, no per-doc shingle arrays
+    // shipped to every candidate (the array_intersect formulation this
+    // replaces shuffled ~500 B of strings per candidate row; measured
+    // 5.6 s -> the join below is the same 900 k-row equi-join the
+    // fanout cap already bounds, aggregated in place).
+    val interIdx = idx.as("x").join(idx.as("y"),
         col("x.lang") === col("y.lang") &&
           col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-      .distinct()
-    val docSets = sh.groupBy("doc_id").agg(
-      collect_list(col("shingle")).as("shset"), count(lit(1)).as("c"))
-    val small = col("ca") <= col("cb") // cand has i < j, so <= breaks ties by id
-    cand
-      .join(docSets.select(col("doc_id").as("i"),
-        col("shset").as("sa"), col("c").as("ca")), "i")
-      .join(docSets.select(col("doc_id").as("j"),
-        col("shset").as("sb"), col("c").as("cb")), "j")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .groupBy(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter_idx"))
+      .localCheckpoint() // feeds the hot complement probe AND the output
+    // inter_hot: shared shingles the index left OUT (df > maxDf),
+    // counted only for already-found candidates — candidate docs share
+    // a language, and hotness is per (lang, shingle), so the per-pair
+    // rare/hot partition is consistent and the sum is the exact |A∩B|.
+    val hot = sh.join(rare, Seq("lang", "shingle"), "left_anti")
+    val interHot = interIdx.select("i", "j")
+      .join(hot.select(col("doc_id").as("i"), col("shingle")), Seq("i"))
+      .join(hot.select(col("doc_id").as("j"), col("shingle")),
+        Seq("j", "shingle"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter_hot"))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val small = col("ca") <= col("cb") // pairs have i < j, so <= ties by id
+    interIdx
+      .join(interHot, Seq("i", "j"), "left")
+      .withColumn("inter",
+        col("inter_idx") + coalesce(col("inter_hot"), lit(0L)))
+      .join(cnt.select(col("doc_id").as("i"), col("c").as("ca")), "i")
+      .join(cnt.select(col("doc_id").as("j"), col("c").as("cb")), "j")
       .withColumn("containment",
         col("inter").cast("double") / least(col("ca"), col("cb")))
       .filter(col("containment") >= threshold)

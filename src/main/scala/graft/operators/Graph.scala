@@ -50,6 +50,12 @@ object Graph {
   private val LvRounds = 2
   private val CnmRounds = 2
 
+  /** Multi-level composite stage sizes: one move half-sweep, one merge
+    * round — the canonical Louvain phase pair (move, then coarsen);
+    * the standalone queries exercise the deeper chains. */
+  private val MlLvRounds = 1
+  private val MlCnmRounds = 1
+
   val defs: Seq[QueryDef] = Seq(
 
     // PageRank over the derived link graph. Integer-exact: BIGINT ranks,
@@ -376,6 +382,43 @@ object Graph {
       graft.api.Graft.modularityCtx(merged, ctx)
         .crossJoin(broadcast(seedQ))
         .withColumn("improved", col("q_num") >= col("q_num_seed"))
+    },
+
+    // THE multi-level modularity pipeline (r11): labelProp seed -> one
+    // Louvain move half-sweep -> one CNM community merge, composed
+    // under one hash gate — the standard multi-level algorithm's
+    // (move, coarsen) phase pair, with every stage's exact-integer Q
+    // carried to the output: improved_move is gate-guaranteed
+    // (louvainMove accepts a sweep only when Q strictly improves),
+    // improved_merge is theorem-guaranteed (disjoint positive-gain
+    // merges). One derived undirected context feeds all five stages;
+    // the oracle replays each phase with the SAME CTE generators its
+    // standalone query uses, seeded into each other.
+    QueryDef("q_graph_multilevel",
+      multilevelOracle(LpRounds, MlLvRounds, MlCnmRounds)) { (s, d) =>
+      val docs = documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n"))
+      val raw = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("a"),
+          explode(sequence(lit(1), lit(4))).as("k"), col("n"))
+        .select(col("a"),
+          (h60(concat(lit("pr:"), col("a").cast("string"), lit(":"),
+            col("k").cast("string"))) % col("n")).as("b"))
+        .localCheckpoint()
+      val ctx = graft.api.Graft.undCtx(raw)
+      val seed = graft.api.Graft.labelPropCtx(
+        docs.select(col("doc_id").as("v")), ctx, LpRounds)
+      val moved = graft.api.Graft.louvainMoveCtx(seed, ctx, MlLvRounds)
+      val merged = graft.api.Graft.communityMergeCtx(moved, ctx, MlCnmRounds)
+      val seedQ = graft.api.Graft.modularityCtx(seed, ctx)
+        .select(col("q_num").as("q_num_seed")).distinct()
+      val movedQ = graft.api.Graft.modularityCtx(moved, ctx)
+        .select(col("q_num").as("q_num_moved")).distinct()
+      graft.api.Graft.modularityCtx(merged, ctx)
+        .crossJoin(broadcast(seedQ))
+        .crossJoin(broadcast(movedQ))
+        .withColumn("improved_move", col("q_num_moved") >= col("q_num_seed"))
+        .withColumn("improved_merge", col("q_num") >= col("q_num_moved"))
     }
   )
 
@@ -459,11 +502,19 @@ object Graph {
        |             FROM umin u JOIN $lab la ON la.v = u.a JOIN $lab lb ON lb.v = u.b
        |             WHERE la.lbl = lb.lbl GROUP BY 1) i ON i.lbl = c.lbl, mm)""".stripMargin
 
-  private def louvainOracle(lpRounds: Int, lvRounds: Int): String = {
-    val head =
-      s"""lou0 AS MATERIALIZED (SELECT v, lbl FROM l$lpRounds),
-         |deg AS (SELECT a AS v, count(*)::BIGINT AS deg FROM nbr GROUP BY 1),
-         |mm AS (SELECT count(*)::BIGINT AS m FROM umin)""".stripMargin
+  /** Shared degree/edge-count CTEs every modularity-family oracle reads
+    * (a def, not a val — `defs` initializes first and a later val would
+    * splice as null, the r11 ShardedCentsSketchSql trap). */
+  private def DegMmCtes: String =
+    """deg AS (SELECT a AS v, count(*)::BIGINT AS deg FROM nbr GROUP BY 1),
+      |mm AS (SELECT count(*)::BIGINT AS m FROM umin)""".stripMargin
+
+  /** Louvain half-sweep CTE chain lou0..lou$lvRounds seeded from any
+    * label CTE — factored so q_graph_louvain and the multi-level
+    * composite replay the identical sweep text. Requires `deg`, `mm`,
+    * `nbr` in scope. */
+  private def louvainSweepCtes(seed: String, lvRounds: Int): String = {
+    val head = s"lou0 AS MATERIALIZED (SELECT v, lbl FROM $seed)"
     val sweeps = (0 until lvRounds).map { r =>
       val par = r % 2
       s"""tot$r AS (SELECT l.lbl AS nlbl, sum(coalesce(d.deg, 0))::BIGINT AS tot
@@ -494,45 +545,56 @@ object Graph {
          |  SELECT l.v, CASE WHEN qn$r.q > qo$r.q THEN p.lbl ELSE l.lbl END AS lbl
          |  FROM lou$r l JOIN np$r p ON p.v = l.v, qo$r, qn$r)""".stripMargin
     }
-    val tail =
-      s"""lab AS MATERIALIZED (SELECT v, lbl FROM lou$lvRounds),
-         |${qcte("qseed", "lou0")},
-         |comm AS (
-         |  SELECT l.lbl, count(*)::BIGINT AS n_members,
-         |    sum(coalesce(deg.deg, 0))::BIGINT AS deg_sum
-         |  FROM lab l LEFT JOIN deg ON deg.v = l.v GROUP BY 1),
-         |intra AS (
-         |  SELECT la.lbl, count(*)::BIGINT AS e_intra
-         |  FROM umin u JOIN lab la ON la.v = u.a JOIN lab lb ON lb.v = u.b
-         |  WHERE la.lbl = lb.lbl GROUP BY 1),
-         |pc AS MATERIALIZED (
-         |  SELECT c.lbl AS community, c.n_members,
-         |    coalesce(i.e_intra, 0)::BIGINT AS e_intra, c.deg_sum
-         |  FROM comm c LEFT JOIN intra i ON i.lbl = c.lbl),
-         |tot AS (
-         |  SELECT count(*)::BIGINT AS n_communities, max(mm.m) AS n_edges,
-         |    sum(4 * mm.m * e_intra - deg_sum * deg_sum)::BIGINT AS q_num,
-         |    (max(mm.m) * max(mm.m) * 4)::BIGINT AS q_den
-         |  FROM pc, mm)
-         |SELECT pc.community, pc.n_members, pc.e_intra, pc.deg_sum,
-         |  tot.n_communities, tot.n_edges, tot.q_num, tot.q_den,
-         |  qseed.q AS q_num_seed, tot.q_num >= qseed.q AS improved
-         |FROM pc, tot, qseed WHERE pc.n_members >= 2
-         |""".stripMargin
-    "WITH " + lpCtes(lpRounds) + ",\n" + (head +: sweeps).mkString(",\n") +
-      ",\n" + tail
+    (head +: sweeps).mkString(",\n")
   }
+
+  /** The modularity report tail over a finished label CTE: community
+    * rows + broadcast totals, with caller-supplied verdict columns
+    * (`extraSelect` must start with ",", `extraFrom` lists the extra
+    * 1-row CTEs). Requires `deg`, `mm`, `umin` in scope. */
+  private def modularityTail(labSrc: String, extraSelect: String,
+      extraFrom: String): String =
+    s"""lab AS MATERIALIZED (SELECT v, lbl FROM $labSrc),
+       |comm AS (
+       |  SELECT l.lbl, count(*)::BIGINT AS n_members,
+       |    sum(coalesce(deg.deg, 0))::BIGINT AS deg_sum
+       |  FROM lab l LEFT JOIN deg ON deg.v = l.v GROUP BY 1),
+       |intra AS (
+       |  SELECT la.lbl, count(*)::BIGINT AS e_intra
+       |  FROM umin u JOIN lab la ON la.v = u.a JOIN lab lb ON lb.v = u.b
+       |  WHERE la.lbl = lb.lbl GROUP BY 1),
+       |pc AS MATERIALIZED (
+       |  SELECT c.lbl AS community, c.n_members,
+       |    coalesce(i.e_intra, 0)::BIGINT AS e_intra, c.deg_sum
+       |  FROM comm c LEFT JOIN intra i ON i.lbl = c.lbl),
+       |tot AS (
+       |  SELECT count(*)::BIGINT AS n_communities, max(mm.m) AS n_edges,
+       |    sum(4 * mm.m * e_intra - deg_sum * deg_sum)::BIGINT AS q_num,
+       |    (max(mm.m) * max(mm.m) * 4)::BIGINT AS q_den
+       |  FROM pc, mm)
+       |SELECT pc.community, pc.n_members, pc.e_intra, pc.deg_sum,
+       |  tot.n_communities, tot.n_edges, tot.q_num, tot.q_den$extraSelect
+       |FROM pc, tot$extraFrom WHERE pc.n_members >= 2
+       |""".stripMargin
+
+  private def louvainOracle(lpRounds: Int, lvRounds: Int): String =
+    "WITH " + lpCtes(lpRounds) + ",\n" + DegMmCtes + ",\n" +
+      louvainSweepCtes(s"l$lpRounds", lvRounds) + ",\n" +
+      qcte("qseed", "lou0") + ",\n" +
+      modularityTail(s"lou$lvRounds",
+        ",\n  qseed.q AS q_num_seed, tot.q_num >= qseed.q AS improved",
+        ", qseed")
 
   /** DuckDB mirror of q_graph_cnm: the labelprop chain seeds cm0,
     * then each merge round unrolls as community-degree / inter-edge /
     * gain / mutual-best / relabel stages (gain = 4m*e12 - 2*d1*d2,
     * all BIGINT over the common 4m^2 denominator); the tail is the
     * modularity report plus the seed Q. */
-  private def cnmOracle(lpRounds: Int, rounds: Int): String = {
-    val head =
-      s"""cm0 AS MATERIALIZED (SELECT v, lbl FROM l$lpRounds),
-         |deg AS (SELECT a AS v, count(*)::BIGINT AS deg FROM nbr GROUP BY 1),
-         |mm AS (SELECT count(*)::BIGINT AS m FROM umin)""".stripMargin
+  /** CNM merge-round CTE chain cm0..cm$rounds seeded from any label
+    * CTE — factored so q_graph_cnm and the multi-level composite replay
+    * the identical round text. Requires `deg`, `mm`, `umin` in scope. */
+  private def cnmRoundCtes(seed: String, rounds: Int): String = {
+    val head = s"cm0 AS MATERIALIZED (SELECT v, lbl FROM $seed)"
     val sweeps = (1 to rounds).map { r =>
       s"""dc$r AS (SELECT l.lbl, sum(coalesce(d.deg, 0))::BIGINT AS d
          |  FROM cm${r - 1} l LEFT JOIN deg d ON d.v = l.v GROUP BY 1),
@@ -554,34 +616,34 @@ object Graph {
          |  SELECT l.v, coalesce(s.keep, l.lbl) AS lbl
          |  FROM cm${r - 1} l LEFT JOIN ss$r s ON s.drp = l.lbl)""".stripMargin
     }
-    val tail =
-      s"""lab AS MATERIALIZED (SELECT v, lbl FROM cm$rounds),
-         |${qcte("qseed", "cm0")},
-         |comm AS (
-         |  SELECT l.lbl, count(*)::BIGINT AS n_members,
-         |    sum(coalesce(deg.deg, 0))::BIGINT AS deg_sum
-         |  FROM lab l LEFT JOIN deg ON deg.v = l.v GROUP BY 1),
-         |intra AS (
-         |  SELECT la.lbl, count(*)::BIGINT AS e_intra
-         |  FROM umin u JOIN lab la ON la.v = u.a JOIN lab lb ON lb.v = u.b
-         |  WHERE la.lbl = lb.lbl GROUP BY 1),
-         |pc AS MATERIALIZED (
-         |  SELECT c.lbl AS community, c.n_members,
-         |    coalesce(i.e_intra, 0)::BIGINT AS e_intra, c.deg_sum
-         |  FROM comm c LEFT JOIN intra i ON i.lbl = c.lbl),
-         |tot AS (
-         |  SELECT count(*)::BIGINT AS n_communities, max(mm.m) AS n_edges,
-         |    sum(4 * mm.m * e_intra - deg_sum * deg_sum)::BIGINT AS q_num,
-         |    (max(mm.m) * max(mm.m) * 4)::BIGINT AS q_den
-         |  FROM pc, mm)
-         |SELECT pc.community, pc.n_members, pc.e_intra, pc.deg_sum,
-         |  tot.n_communities, tot.n_edges, tot.q_num, tot.q_den,
-         |  qseed.q AS q_num_seed, tot.q_num >= qseed.q AS improved
-         |FROM pc, tot, qseed WHERE pc.n_members >= 2
-         |""".stripMargin
-    "WITH " + lpCtes(lpRounds) + ",\n" + (head +: sweeps).mkString(",\n") +
-      ",\n" + tail
+    (head +: sweeps).mkString(",\n")
   }
+
+  private def cnmOracle(lpRounds: Int, rounds: Int): String =
+    "WITH " + lpCtes(lpRounds) + ",\n" + DegMmCtes + ",\n" +
+      cnmRoundCtes(s"l$lpRounds", rounds) + ",\n" +
+      qcte("qseed", "cm0") + ",\n" +
+      modularityTail(s"cm$rounds",
+        ",\n  qseed.q AS q_num_seed, tot.q_num >= qseed.q AS improved",
+        ", qseed")
+
+  /** DuckDB mirror of q_graph_multilevel: the full multi-level
+    * modularity pipeline — labelprop seed, a Louvain move half-sweep,
+    * then a CNM community merge — each phase replayed by the SAME CTE
+    * generators its standalone query uses, with the Q of every stage
+    * carried to the output verdicts. */
+  private def multilevelOracle(lpRounds: Int, lvRounds: Int,
+      cnmRounds: Int): String =
+    "WITH " + lpCtes(lpRounds) + ",\n" + DegMmCtes + ",\n" +
+      louvainSweepCtes(s"l$lpRounds", lvRounds) + ",\n" +
+      cnmRoundCtes(s"lou$lvRounds", cnmRounds) + ",\n" +
+      qcte("qseed", "lou0") + ",\n" +
+      qcte("qmoved", s"lou$lvRounds") + ",\n" +
+      modularityTail(s"cm$cnmRounds",
+        ",\n  qseed.q AS q_num_seed, qmoved.q AS q_num_moved," +
+          "\n  qmoved.q >= qseed.q AS improved_move," +
+          " tot.q_num >= qmoved.q AS improved_merge",
+        ", qseed, qmoved")
 
   /** DuckDB mirror of q_graph_kcore: the same derived undirected edge
     * list and `rounds` unrolled peel stages (the pagerank-oracle

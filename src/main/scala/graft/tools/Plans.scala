@@ -185,7 +185,9 @@ object Plans {
     "q_graph_cnm" ->
       "CNM merge round: ONE edge-sized label-map join builds the community multigraph; gains, mutual-best argmax, and relabel are all community-sized — per-round plans read checkpointed labels only",
     "q_dedup_containment" ->
-      "containment dedup: candidates from the rare-shingle equi self-join (df <= 64 caps per-key fanout at df²); the exact verify is in-row array_intersect on per-doc shingle arrays — post-candidate shuffles carry only the candidate id list, documents never shuffle",
+      "containment dedup: candidates from the rare-shingle equi self-join (df <= 64 caps per-key fanout at df²), and the exact intersection FALLS OUT of that join's own (i, j) count — the rare/hot split partitions each doc's shingles, so inter = inter_rare + inter_hot with the hot complement probed only for found candidates; no per-doc arrays, no distinct-pair materialization, documents never shuffle",
+    "q_graph_multilevel" ->
+      "multi-level modularity: one derived undirected context (checkpointed edge/neighbor/degree trio) feeds seed, move, merge, and all three Q reports — no stage re-derives the edge set; per-stage plans read checkpointed labels, Q verdicts enter as 1-row broadcasts",
     "q_agg_aqp" ->
       "AQP sampled aggregate: estimator and truth are each ONE map-side-combined aggregate over a narrow 2-column scan; the estimator branch filters to the 1-in-100 hash slice (at 100 TB: its own bucket table, and the truth scan exists only to AUDIT the bound), bound math is a 3-row projection — no window, no extra exchange"
   )

@@ -417,6 +417,24 @@ class GraftApiSpec extends SparkSpec {
       s"no accepted move on the fixture: Q ${r.getAs[Long]("q_num")} vs seed ${r.getAs[Long]("q_num_seed")}")
   }
 
+  test("multilevel pipeline: Q rises monotonically through move and merge phases") {
+    // q_graph_multilevel chains labelProp -> louvainMove -> communityMerge
+    // under one shared context; the move phase is gate-guaranteed and the
+    // merge phase theorem-guaranteed, so BOTH verdicts must hold, and the
+    // fixture must show strict improvement at each stage (else the
+    // composite demonstrates nothing).
+    val rows = q("q_graph_multilevel")
+      .select("q_num", "q_num_moved", "q_num_seed",
+        "improved_move", "improved_merge").distinct().collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Boolean]("improved_move") && r.getAs[Boolean]("improved_merge"))
+    assert(r.getAs[Long]("q_num_moved") > r.getAs[Long]("q_num_seed"),
+      "move phase made no progress on the fixture")
+    assert(r.getAs[Long]("q_num") > r.getAs[Long]("q_num_moved"),
+      "merge phase made no progress on the fixture")
+  }
+
   test("louvainMove on a hand graph: the pendant joins its clique, Q strictly rises") {
     // seed deliberately misassigns: pendant 3 alone, clique {0,1,2}
     // labeled 0, pair {10,11} split — one sweep pair should fix the
