@@ -370,6 +370,86 @@ object EventsOps {
                   .cast("double")))).as("acf"))
     },
 
+    // CUSUM change-point localization on the hourly event-count series —
+    // the mean-shift detector beside autocorr's periodicity and drift's
+    // snapshot distance: WHEN did a series change level, not just that
+    // it did. The fixtures are level (no natural shift), so the query
+    // follows the inject-then-detect precedent (q_quality_anomaly): the
+    // 'error' series gains a sustained +40/hour over its last third
+    // (cut = lo + 2*(hi-lo)/3 from the series' own hour bounds, a 1-row
+    // broadcast), the other four types are untouched no-shift controls.
+    // The statistic is the scaled CUSUM SS_t = n*prefix_t - t*total —
+    // pure BIGINT (no mean division), so argmax location, magnitude and
+    // the n^2-scaled fence all replay bit-exact. A sustained shift of
+    // height b over the last fraction f peaks at |SS| ~ b*f*(1-f)*n^2
+    // (~8.9 n^2 here) while a Poisson-noise bridge peaks near
+    // 0.6*sqrt(lambda*n)*n — the 3*n^2 fence separates them at any sf.
+    //
+    // Scale shape: one map-side-combined shuffle on (type, hour); both
+    // windows run over the AGGREGATED series (|hours| x |types| rows —
+    // time-bounded, not data-bounded), never over base events. The
+    // argmax is the rank-1 row of the same series pass.
+    QueryDef(
+      "q_events_changepoint",
+      """WITH s AS MATERIALIZED (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000000 AS hr,
+        |    count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM s),
+        |obs AS (
+        |  SELECT event_type, hr,
+        |    c + CASE WHEN event_type = 'error'
+        |          AND hr >= lo + (2 * (hi - lo)) // 3 THEN 40 ELSE 0 END AS y
+        |  FROM s, b),
+        |r AS (
+        |  SELECT event_type, hr,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hr ASC) AS t,
+        |    CAST(sum(y) OVER (PARTITION BY event_type ORDER BY hr ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pre,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM obs),
+        |top AS (
+        |  SELECT event_type, hr AS cp_hr, t AS cp_t, n AS n_hours, tot AS total,
+        |    abs(n * pre - t * tot) AS max_abs_ss,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n * pre - t * tot) DESC, hr ASC) AS rk
+        |  FROM r)
+        |SELECT event_type, cp_hr, cp_t, n_hours, total, max_abs_ss,
+        |  max_abs_ss > 3 * n_hours * n_hours AS shifted
+        |FROM top WHERE rk = 1
+        |""".stripMargin) { (s, d) =>
+      val series = events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hr"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // bounds + both window passes from one aggregate
+      val bounds = series.agg(min("hr").as("lo"), max("hr").as("hi"))
+      val obs = series.crossJoin(broadcast(bounds))
+        .select(col("event_type"), col("hr"),
+          (col("c") + when(col("event_type") === "error"
+              && col("hr") >= col("lo") + expr("(2 * (hi - lo)) div 3"), 40L)
+            .otherwise(0L)).as("y"))
+      val byHr = Window.partitionBy("event_type").orderBy(col("hr").asc)
+      val whole = Window.partitionBy("event_type")
+      val r = obs.select(col("event_type"), col("hr"),
+        row_number().over(byHr).cast("long").as("t"),
+        sum("y").over(byHr.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("pre"),
+        count(lit(1)).over(whole).as("n"),
+        sum("y").over(whole).as("tot"))
+      r.select(col("event_type"), col("hr").as("cp_hr"), col("t").as("cp_t"),
+          col("n").as("n_hours"), col("tot").as("total"),
+          abs(col("n") * col("pre") - col("t") * col("tot")).as("max_abs_ss"),
+          row_number().over(Window.partitionBy("event_type")
+            .orderBy(abs(col("n") * col("pre") - col("t") * col("tot")).desc,
+              col("hr").asc)).as("rk"))
+        .filter(col("rk") === 1).drop("rk")
+        .withColumn("shifted",
+          col("max_abs_ss") > lit(3L) * col("n_hours") * col("n_hours"))
+    },
+
     // Sliding 2h window every 1h: each event lands in two overlapping
     // windows (the oracle states the same thing as an explicit 2-element
     // unnest of window starts).

@@ -161,6 +161,56 @@ object Mining {
           (col("n").cast("double") / col("tot")).as("prob"))
     },
 
+    // Sequential pattern mining (GSP's contiguous base case): the 20
+    // most common 3-step behavioural motifs across users, support
+    // counted ONCE per user (the sequence-mining convention — a user
+    // either exhibits the motif or doesn't) beside the raw occurrence
+    // count. Extends q_mine_transitions' bigram chain one step: the
+    // same per-user lag window emits (e1, e2, e3) windows of the
+    // ts-ordered event sequence; relative support is the integer ppm
+    // share of the user base (one broadcast scalar).
+    //
+    // Scale shape: the window partitions on user_id (millions of small
+    // partitions — the sessionize shape, never a global sort); the
+    // motif aggregate shuffles |user x motif| rows with map-side
+    // combine into at most |types|^3 groups; top-20 is TakeOrdered
+    // (per-partition heaps), full (support, n_occ, motif) tie-break.
+    QueryDef(
+      "q_mine_seqpat",
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |  FROM events),
+        |m AS (
+        |  SELECT e1, e2, e3, count(*)::BIGINT AS n_occ,
+        |    count(DISTINCT user_id)::BIGINT AS support
+        |  FROM seq WHERE e3 IS NOT NULL GROUP BY 1, 2, 3),
+        |u AS (SELECT count(DISTINCT user_id)::BIGINT AS nu FROM events)
+        |SELECT e1, e2, e3, n_occ, support,
+        |  (support * 1000000) // nu AS support_ppm
+        |FROM m, u
+        |ORDER BY support DESC, n_occ DESC, e1 ASC, e2 ASC, e3 ASC
+        |LIMIT 20
+        |""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ev = events(s, d)
+      val seq = ev.select(col("user_id"), col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(byUser).as("e2"),
+        lead(col("event_type"), 2).over(byUser).as("e3"))
+      val m = seq.filter(col("e3").isNotNull)
+        .groupBy("e1", "e2", "e3")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("user_id")).as("support"))
+      val nu = ev.agg(countDistinct(col("user_id")).as("nu"))
+      m.crossJoin(broadcast(nu))
+        .select(col("e1"), col("e2"), col("e3"), col("n_occ"), col("support"),
+          expr("(support * 1000000L) div nu").as("support_ppm"))
+        .orderBy(col("support").desc, col("n_occ").desc,
+          col("e1").asc, col("e2").asc, col("e3").asc)
+        .limit(20)
+    },
+
     // 2-D skyline (Pareto frontier): the orders no other order beats on
     // BOTH recency and value — the multi-objective "best offers" shape.
     // Graft.skyline2d avoids every pairwise comparison: grain-reduce to

@@ -291,6 +291,35 @@ object Relational {
         .select("n_nationkey", "s_suppkey")
     },
 
+    // Salted skew join: the explicit remedy when ONE join key holds so
+    // much of the fact table that even AQE's skew split leaves a
+    // straggler reducer (classic at 100 TB: a null/default key with 10%
+    // of rows). SkewJoin.saltedJoin spreads each hot left key over 8
+    // (key, salt) reducers and replicates the right side 8x — and the
+    // result is ROW-IDENTICAL to the plain join, which is exactly what
+    // the oracle states: plain SQL join + aggregate, no salt anywhere.
+    // The salt must be invisible in the answer; this entry pins that
+    // contract under the driver's hash gate (the spec variant lives in
+    // ScaleOpsSpec). At this fixture size Spark broadcasts the
+    // replicated side — the salted shape only pays off when both sides
+    // shuffle, which is when you'd reach for it.
+    QueryDef(
+      "q_join_salted",
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |""".stripMargin) { (s, d) =>
+      SkewJoin.saltedJoin(
+          lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+          orders(s, d).select("o_orderkey", "o_orderpriority"),
+          "l_orderkey", "o_orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          decOut(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+            .as("revenue"))
+    },
+
     // ---- sorts / limits / top-k -------------------------------------
     // Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps,
     // only k rows reach the driver, no full sort at 100 TB.
