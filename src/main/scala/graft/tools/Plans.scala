@@ -189,7 +189,13 @@ object Plans {
     "q_graph_multilevel" ->
       "multi-level modularity: one derived undirected context (checkpointed edge/neighbor/degree trio) feeds seed, move, merge, and all three Q reports — no stage re-derives the edge set; per-stage plans read checkpointed labels, Q verdicts enter as 1-row broadcasts",
     "q_agg_aqp" ->
-      "AQP sampled aggregate: estimator and truth are each ONE map-side-combined aggregate over a narrow 2-column scan; the estimator branch filters to the 1-in-100 hash slice (at 100 TB: its own bucket table, and the truth scan exists only to AUDIT the bound), bound math is a 3-row projection — no window, no extra exchange"
+      "AQP sampled aggregate: estimator and truth are each ONE map-side-combined aggregate over a narrow 2-column scan; the estimator branch filters to the 1-in-100 hash slice (at 100 TB: its own bucket table, and the truth scan exists only to AUDIT the bound), bound math is a 3-row projection — no window, no extra exchange",
+    "q_join_salted" ->
+      "salted skew join: the fact side carries an 8-way salt on its hot keys so ONE key's rows land on 8 reducers; the dim side replicates 8x pre-join — the join keys become (key, salt) pairs and no single reducer owns a hot key; the aggregate after it is map-side combined, and the answer is row-identical to the plain join (the oracle states the plain join)",
+    "q_events_changepoint" ->
+      "CUSUM change-point: one map-side-combined shuffle builds the (type, hour) series; BOTH window passes (prefix sum + whole-partition totals) and the argmax rank run over that aggregated |hours|x|types| relation — time-bounded, not data-bounded — never over base events; the injection bounds enter as a 1-row broadcast",
+    "q_mine_seqpat" ->
+      "sequential motifs: the per-user lag window partitions on user_id (millions of small partitions, the sessionize shape — no global sort); the motif aggregate map-side combines |user x motif| rows into <= |types|^3 groups; top-20 is TakeOrderedAndProject per-partition heaps"
   )
 
   def main(args: Array[String]): Unit = {
