@@ -608,6 +608,97 @@ object Graft {
     ranked.select("id", "cell").join(dropped, Seq("id"), "left_anti")
   }
 
+  /** Per-doc quality features for [[qualityClassifier]], every one an
+    * exact-rational double (integer-derived ratios — no libm), plus the
+    * heuristic-consensus label: x1 = capped token count / 200, x2 =
+    * stopword ratio, x3 = capped mean token length / 10, x4 = distinct
+    * token ratio, x5 = digit-character ratio; y = 1.0 when the
+    * q_text_quality composite score falls below 0.5 (the deterministic
+    * heuristic split the model is trained to smooth). One narrow scan,
+    * zero shuffle. */
+  def qualityFeatures(docs: DataFrame): DataFrame = {
+    val sw = graft.functions.TextAnalysis.stopwords
+    val nTok = greatest(size(col("toks")), lit(1))
+    val sumLen = aggregate(transform(col("toks"), t => length(t)),
+      lit(0L), (a, x) => a + x)
+    val stopCnt = size(filter(col("toks"), t => t.isin(sw: _*)))
+    val meanLen = sumLen.cast("double") / nTok
+    val quality = lit(0.5) * when(length(col("text")).between(100, 2000), 1).otherwise(0) +
+      lit(0.25) * when(meanLen.between(3, 8), 1).otherwise(0) +
+      lit(0.25) * least(stopCnt.cast("double") / nTok * 4, lit(1.0))
+    docs.select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        (least(size(col("toks")), lit(200)).cast("double") / 200.0).as("x1"),
+        (stopCnt.cast("double") / nTok).as("x2"),
+        (least(meanLen, lit(10.0)) / 10.0).as("x3"),
+        (size(array_distinct(col("toks"))).cast("double") / nTok).as("x4"),
+        (length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
+          / greatest(length(col("text")), lit(1))).as("x5"),
+        when(quality < 0.5, 1.0).otherwise(0.0).as("y"))
+  }
+
+  /** TRAINED quality filter: full-batch class-balanced logistic
+    * regression over [[qualityFeatures]], the model-based rung above the
+    * heuristic gates (the fastText-shaped "looks like reference text"
+    * filter of production pretraining pipelines, with the engine's
+    * determinism rules). Everything is replayable: hard-sigmoid link
+    * p = clamp(0.5 + z/4, 0, 1) instead of exp (no libm — bit-identical
+    * doubles cross-engine), per-class gradient sums accumulate as
+    * DECIMAL(38,10) and leave through round(·,6)::double (the kmeans
+    * precedent), weights update as plain IEEE expressions in a fixed
+    * order, bias starts at 0.01 so every residual is a full-length
+    * double (no short binary fractions reaching the decimal cast).
+    * Class-balancing (each class contributes 1/2 of the gradient via its
+    * own mean) is what makes the minority junk class learnable at the
+    * corpus' ~7% junk rate — unweighted GD collapses to all-clean.
+    *
+    * Scale shape per round: ONE map-side-combined aggregate over the
+    * checkpointed feature relation (12 decimal sums + carried weights),
+    * then a 1-row broadcast crossJoin for the next scoring pass —
+    * documents are read once into features; no driver-side math, no
+    * collect. Requires both classes present (a corpus with no junk has
+    * nothing to train on). Returns (doc_id, y_heur, score, flagged). */
+  def qualityClassifier(docs: DataFrame, rounds: Int = 6,
+      lr: Double = 4.0): DataFrame = {
+    import graft.Exact.dec
+    def d6(c: Column): Column = round(c, 6).cast("double")
+    val feat = qualityFeatures(docs).localCheckpoint()
+    val xs = Seq("x1", "x2", "x3", "x4", "x5")
+    var w: DataFrame = feat
+      .agg(sum(col("y")).as("nj"),
+        (count(lit(1)).cast("double") - sum(col("y"))).as("nc"))
+      .select(lit(0.01).as("b") +: xs.map(x => lit(0.0).as(s"w_$x"))
+        :+ col("nj") :+ col("nc"): _*)
+    def scored(wdf: DataFrame): DataFrame = {
+      val z = xs.foldLeft(col("b"))((acc, x) => acc + col(s"w_$x") * col(x))
+      feat.crossJoin(broadcast(wdf))
+        .withColumn("p", least(lit(1.0), greatest(lit(0.0), lit(0.5) + lit(0.25) * z)))
+    }
+    (1 to rounds).foreach { _ =>
+      val p = scored(w).withColumn("r", col("p") - col("y"))
+      val carry = Seq(first(col("b")).as("b")) ++
+        xs.map(x => first(col(s"w_$x")).as(s"w_$x")) ++
+        Seq(first(col("nj")).as("nj"), first(col("nc")).as("nc"))
+      val grads = Seq(
+        d6(sum(when(col("y") === 1.0, dec(col("r"))))).as("sj_b"),
+        d6(sum(when(col("y") === 0.0, dec(col("r"))))).as("sc_b")) ++
+        xs.flatMap(x => Seq(
+          d6(sum(when(col("y") === 1.0, dec(col("r") * col(x))))).as(s"sj_$x"),
+          d6(sum(when(col("y") === 0.0, dec(col("r") * col(x))))).as(s"sc_$x")))
+      val aggs = carry ++ grads
+      val g = p.agg(aggs.head, aggs.tail: _*)
+      def upd(wc: String, sj: String, sc: String): Column =
+        (col(wc) - lit(lr) * (lit(0.5) * (col(sj) / col("nj"))
+          + lit(0.5) * (col(sc) / col("nc")))).as(wc)
+      w = g.select(upd("b", "sj_b", "sc_b") +:
+        xs.map(x => upd(s"w_$x", s"sj_$x", s"sc_$x"))
+        :+ col("nj") :+ col("nc"): _*).localCheckpoint()
+    }
+    scored(w).select(col("doc_id"), col("y").cast("int").as("y_heur"),
+      col("p").as("score"), (col("p") >= 0.5).as("flagged"))
+  }
+
   /** Product-quantization codebooks: an independent spherical k-means per
     * subspace over the sliced vectors, trained in ONE DataFrame program
     * (all subspaces iterate together — the per-round shuffles carry

@@ -12,7 +12,7 @@ import graft.sources.Tables._
   */
 object TextAnalysis {
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private[graft] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
   /** RE2-compatible PII patterns (no lookaround/backrefs): identical
     * match semantics under Java regex (engine) and RE2 (DuckDB oracle).
@@ -145,6 +145,24 @@ object TextAnalysis {
           lit(0.5) * col("len_ok") + lit(0.25) * col("tok_len_ok")
             + lit(0.25) * least(col("stop_ratio") * 4, lit(1.0)))
         .select("doc_id", "len_ok", "stop_ratio", "tok_len_ok", "quality")
+    },
+
+    // TRAINED quality filter (r12): full-batch class-balanced logistic
+    // regression over five exact-rational per-doc features, labels from
+    // the q_text_quality heuristic consensus — the model-based rung the
+    // pipeline was missing (the fastText-shaped filter of production
+    // pretraining stacks). Hard-sigmoid link instead of exp (no libm),
+    // DECIMAL(38,10) gradient sums, fixed 6 rounds at lr 4.0 — fully
+    // deterministic, so the oracle replays EVERY GD round as a
+    // materialized 1-row weight stage (the kmeans/BPE pattern) and the
+    // final per-doc scores match hash-exactly. Class balancing makes the
+    // ~7% junk class learnable (measured at sf0.01: 37/37 junk flagged,
+    // unweighted GD collapses to all-clean); planted-junk detection is
+    // spec-pinned in TextClassifierSpec.
+    QueryDef(
+      "q_text_classifier",
+      classifierOracle(rounds = 6, lr = 4.0)) { (s, d) =>
+      graft.api.Graft.qualityClassifier(documents(s, d), rounds = 6, lr = 4.0)
     },
 
     // Document fingerprint: md5 over the whitespace-normalized token
@@ -1046,4 +1064,59 @@ object TextAnalysis {
     bpeStages(m) + (1 to m)
       .map(t => s"SELECT $t AS step, lhs, rhs, freq FROM b$t")
       .mkString("\nUNION ALL ") + "\n"
+
+  /** DuckDB replay of [[graft.api.Graft.qualityClassifier]]: the feature
+    * CTE (same exact-rational expressions and heuristic label), then
+    * every class-balanced GD round as a MATERIALIZED 1-row weight stage —
+    * hard-sigmoid scoring pass, per-class DECIMAL(38,10) gradient sums
+    * leaving through round(·,6)::DOUBLE, IEEE weight updates in the
+    * engine's exact expression order — then the final scoring pass. */
+  private def classifierOracle(rounds: Int, lr: Double): String = {
+    val stop = stopwords.map("'" + _ + "'").mkString(",")
+    val xs = (1 to 5).map(k => s"x$k")
+    val z = "w.b" + xs.map(x => s" + w.w_$x * f.$x").mkString
+    def pCte(t: Int, wc: String): String =
+      s"""p$t AS (
+         |  SELECT f.*, w.b, ${xs.map(x => s"w.w_$x").mkString(", ")}, w.nj, w.nc,
+         |    least(1.0, greatest(0.0, 0.5 + 0.25 * ($z))) AS p
+         |  FROM feat f CROSS JOIN $wc w)""".stripMargin
+    def csum(yv: String, e: String): String =
+      s"CAST(round(sum(CASE WHEN y = $yv THEN CAST($e AS DECIMAL(38,10)) END), 6) AS DOUBLE)"
+    def upd(wname: String, e: String): String =
+      s"max($wname) - $lr * (0.5 * (${csum("1.0", e)} / max(nj)) " +
+        s"+ 0.5 * (${csum("0.0", e)} / max(nc))) AS $wname"
+    def wCte(t: Int): String =
+      s"""w$t AS MATERIALIZED (
+         |  SELECT ${upd("b", "(p - y)")},
+         |    ${xs.map(x => upd(s"w_$x", s"(p - y) * $x")).mkString(",\n    ")},
+         |    max(nj) AS nj, max(nc) AS nc
+         |  FROM p$t)""".stripMargin
+    s"""WITH t AS (SELECT doc_id, text,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |feat AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    least(len(toks), 200)::DOUBLE / 200.0 AS x1,
+       |    len(list_filter(toks, t -> t IN ($stop)))::DOUBLE / greatest(len(toks), 1) AS x2,
+       |    least(coalesce(CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT), 0)::DOUBLE
+       |      / greatest(len(toks), 1), 10.0) / 10.0 AS x3,
+       |    len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1) AS x4,
+       |    length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS x5,
+       |    CASE WHEN 0.5 * (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1 ELSE 0 END)
+       |      + 0.25 * (CASE WHEN coalesce(CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT), 0)::DOUBLE
+       |          / greatest(len(toks), 1) BETWEEN 3 AND 8 THEN 1 ELSE 0 END)
+       |      + 0.25 * least(len(list_filter(toks, t -> t IN ($stop)))::DOUBLE
+       |          / greatest(len(toks), 1) * 4, 1.0) < 0.5
+       |    THEN 1.0 ELSE 0.0 END AS y
+       |  FROM t),
+       |w0 AS (SELECT 0.01::DOUBLE AS b, ${xs.map(x => s"0.0::DOUBLE AS w_$x").mkString(", ")},
+       |  sum(y) AS nj, count(*)::DOUBLE - sum(y) AS nc FROM feat),
+       |""".stripMargin +
+      (1 to rounds).map(t => pCte(t, s"w${t - 1}") + ",\n" + wCte(t))
+        .mkString(",\n") + ",\n" +
+      pCte(rounds + 1, s"w$rounds") + "\n" +
+      s"""SELECT doc_id, CAST(y AS INT) AS y_heur, p AS score, p >= 0.5 AS flagged
+         |FROM p${rounds + 1}
+         |""".stripMargin
+  }
 }

@@ -60,4 +60,30 @@ object VectorFunctions {
   def lshTables(v: Column, bits: Int, tables: Int): Column =
     explode(array((0 until tables).map(t =>
       struct(lit(t).as("t"), lshBucket(v, bits, t * bits).as("b"))): _*))
+
+  /** Per-table bucket array (element t = table t's `bits`-bit bucket,
+    * plane family t*bits..t*bits+bits-1). Compute ONCE per vector (then
+    * checkpoint), so the exact-membership and probe expansions below
+    * never re-derive the tables*bits plane dot products. */
+  def lshBucketArr(v: Column, bits: Int, tables: Int): Column =
+    array((0 until tables).map(t => lshBucket(v, bits, t * bits)): _*)
+
+  /** Exact (table, bucket) membership rows from a precomputed bucket
+    * array — the index side of a multi-probe join. */
+  def lshTableKeys(bks: Column): Column =
+    explode(transform(bks, (b, t) => struct(t.as("t"), b.as("b"))))
+
+  /** Flip-1 multi-probe rows from a precomputed bucket array: per table,
+    * the vector's own bucket plus each single-bit flip (bits+1 probes).
+    * Joining probe rows against exact rows on (t, b) surfaces every pair
+    * within Hamming distance 1 in ANY table — per-table hit probability
+    * p^bits + bits*p^(bits-1)*(1-p) with p = 1 - theta/pi, OR-amplified
+    * across tables. The probe side is the SMALL side (queries / eval
+    * split): only (id, t, b) keys fan out, never the vectors. */
+  def lshProbeKeys(bks: Column, bits: Int): Column =
+    explode(flatten(transform(bks, (b, t) =>
+      array((-1 until bits).map { f =>
+        val pb = if (f < 0) b else b.bitwiseXOR(lit(1L << f))
+        struct(t.as("t"), pb.as("b"))
+      }: _*))))
 }

@@ -23,6 +23,37 @@ object Similarity {
   private val kNeighbors = 5
   private val nQueries = 5 // query set: vec_id < 5
 
+  /** Multi-probe SRP index config shared by q_dedup_embedding and
+    * q_dedup_decontaminate_semantic: 16 independent 6-bit hyperplane
+    * tables (plane family t*6..t*6+5), flip-1 probing. Chosen by
+    * MEASURED recall vs brute force on the sf0.01 fixture (pinned in
+    * SimilarityRecallSpec): 1.00 at tau=0.4, 0.99 at tau=0.2, where the
+    * r11 single 6-bit bucket scored 0.63 / 0.03. */
+  private[operators] val srpBits = 6
+  private[operators] val srpTables = 16
+
+  /** DuckDB mirror of the multi-probe SRP index: `bk` = (vec_id, t, b)
+    * exact memberships over srpTables*srpBits planes (same
+    * Kirsch-Mitzenmacher md5-60 formula as [[VectorFunctions.planeDot]]),
+    * `pr` = (vec_id, t, pb) flip-1 probes (own bucket + each 1-bit
+    * flip). Expects a CTE `e(vec_id, v DOUBLE[])` in scope; emits two
+    * comma-joined CTEs WITHOUT trailing comma. */
+  private val srpIndexSql: String =
+    s"""dots AS (
+       |  SELECT vec_id, p,
+       |    list_reduce([v[i+1] * ((((('0x' || substr(md5('plane_a_' || p::VARCHAR), 1, 15))::BIGINT
+       |                             + (i+1) * (('0x' || substr(md5('plane_b_' || p::VARCHAR), 1, 15))::BIGINT % 281474976710656))
+       |                            % 1152921504606846976) % 1001 - 500) / 500.0)
+       |                 for i in range(0, len(v))], (acc, x) -> acc + x) AS dp
+       |  FROM e, range(${srpBits * srpTables}) r(p)),
+       |bk AS (
+       |  SELECT vec_id, p // $srpBits AS t,
+       |    sum(CASE WHEN dp > 0 THEN 1::BIGINT << (p % $srpBits) ELSE 0::BIGINT END) AS b
+       |  FROM dots GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT vec_id, t, CASE WHEN f = $srpBits THEN b ELSE xor(b, 1::BIGINT << f) END AS pb
+       |  FROM bk, range(${srpBits + 1}) rf(f))""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -155,103 +186,116 @@ object Similarity {
         k = kNeighbors, nprobe = 3)
     },
 
-    // Embedding-cosine near-dup: same-bucket pairs above a cosine bar.
+    // Embedding-cosine near-dup over the OR-amplified multi-probe SRP
+    // index: 16 independent 6-bit hyperplane tables, candidates = pairs
+    // within Hamming distance 1 in ANY table (exact side joins the
+    // flip-1 probe side on (t, b)), then exact-cosine verify at 0.4.
     // (Threshold 0.4 — the synthetic vectors top out near 0.51 pairwise,
     // so a production-style 0.95 bar would make the operator vacuous.)
-    // The oracle mirrors bucketing AND the cosine fold exactly (same
-    // multiply/add sequence left-to-right, dot/(sqrt(n1)*sqrt(n2))) so
+    // Measured at sf0.01 (SimilarityRecallSpec): recall 1.00 of the 59
+    // brute-force pairs >= 0.4 — the r11 single 6-bit bucket found 0.63.
+    // The fixture's near-orthogonal vectors force this near-exhaustive
+    // config (its tau sits at the random-pair cosine level, where NO
+    // LSH separates); on clustered real embeddings at tau~0.9 the same
+    // family is selective — the spec pins recall >= 0.95 AND candidate
+    // fraction <= 5% on planted near-dups with a 12-bit/8-table member.
+    // Scale shape: only (id, t, b) keys shuffle through the candidate
+    // join + distinct; vectors join back BY ID for the verify.
+    // The oracle mirrors the whole index AND the cosine fold exactly
+    // (same multiply/add sequence left-to-right, dot/(sqrt*sqrt)) so
     // the emitted double is bit-identical.
     QueryDef(
       "q_dedup_embedding",
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |dots AS (
-        |  SELECT vec_id, p,
-        |    list_reduce([v[i+1] * ((((('0x' || substr(md5('plane_a_' || p::VARCHAR), 1, 15))::BIGINT
-        |                             + (i+1) * (('0x' || substr(md5('plane_b_' || p::VARCHAR), 1, 15))::BIGINT % 281474976710656))
-        |                            % 1152921504606846976) % 1001 - 500) / 500.0)
-        |                 for i in range(0, len(v))], (acc, x) -> acc + x) AS dp
-        |  FROM e, range(6) r(p)),
-        |bk AS (
-        |  SELECT vec_id, sum(CASE WHEN dp > 0 THEN 1::BIGINT << p ELSE 0::BIGINT END) AS bucket
-        |  FROM dots GROUP BY 1),
-        |pairs AS (
-        |  SELECT a.vec_id AS i, b.vec_id AS j
-        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-        |scored AS (
-        |  SELECT i, j,
-        |    list_reduce([ea.v[k+1] * eb.v[k+1] for k in range(0, len(ea.v))], (acc, x) -> acc + x)
-        |      / (sqrt(list_reduce([x * x for x in ea.v], (acc, y) -> acc + y))
-        |         * sqrt(list_reduce([x * x for x in eb.v], (acc, y) -> acc + y))) AS cos
-        |  FROM pairs JOIN e ea ON ea.vec_id = i JOIN e eb ON eb.vec_id = j)
-        |SELECT i, j, cos FROM scored WHERE cos >= 0.4
-        |""".stripMargin) { (s, d) =>
-      val bits = 6
-      val emb = embeddings(s, d)
-        .withColumn("bucket", lshBucket(col("embedding"), bits))
-      val a = emb.select(col("vec_id").as("i"), col("embedding").as("emb_i"), col("bucket"))
-      val b = emb.select(col("vec_id").as("j"), col("embedding").as("emb_j"), col("bucket"))
-      a.join(b, Seq("bucket"))
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$srpIndexSql,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS i, p.vec_id AS j
+         |  FROM bk a JOIN pr p ON p.t = a.t AND p.pb = a.b AND a.vec_id < p.vec_id),
+         |scored AS (
+         |  SELECT i, j,
+         |    list_reduce([ea.v[k+1] * eb.v[k+1] for k in range(0, len(ea.v))], (acc, x) -> acc + x)
+         |      / (sqrt(list_reduce([x * x for x in ea.v], (acc, y) -> acc + y))
+         |         * sqrt(list_reduce([x * x for x in eb.v], (acc, y) -> acc + y))) AS cos
+         |  FROM cand JOIN e ea ON ea.vec_id = i JOIN e eb ON eb.vec_id = j)
+         |SELECT i, j, cos FROM scored WHERE cos >= 0.4
+         |""".stripMargin) { (s, d) =>
+      val bk = embeddings(s, d)
+        .select(col("vec_id"),
+          lshBucketArr(col("embedding"), srpBits, srpTables).as("bks"))
+        .localCheckpoint() // sketch built once; exact + probe sides read it
+      val ex = bk.select(col("vec_id").as("i"), lshTableKeys(col("bks")).as("tb"))
+      val pr = bk.select(col("vec_id").as("j"), lshProbeKeys(col("bks"), srpBits).as("tb"))
+      val cand = ex.join(pr, Seq("tb"))
         .filter(col("i") < col("j"))
+        .select("i", "j").distinct()
+      val e = embeddings(s, d)
+      cand
+        .join(e.select(col("vec_id").as("i"), col("embedding").as("emb_i")), Seq("i"))
+        .join(e.select(col("vec_id").as("j"), col("embedding").as("emb_j")), Seq("j"))
         .withColumn("cos", cosine(col("emb_i"), col("emb_j")))
         .filter(col("cos") >= 0.4)
         .select("i", "j", "cos")
     },
 
-    // SEMANTIC decontamination (r11) — the embedding-space member of
-    // the decontamination family (digest + 13-gram + stream twins
-    // exist): a train vector is contaminated when its cosine to ANY
-    // eval-split vector (vec_id % 50 = 0) reaches tau = 0.2 (the
-    // fixture's embeddings are near-orthogonal random vectors, so 0.2
-    // marks the top decile of bucket-collided proximity; a real
-    // embedding space would sit tau at ~0.9) —
-    // paraphrase-level eval leakage the n-gram check cannot see.
-    // Candidates come ONLY from the shared 6-bit hyperplane bucket
-    // (the q_dedup_embedding index; random pairs collide at ~1/64,
-    // near-identical vectors almost surely), and the tiny eval side
-    // BROADCASTS into the candidate join — the decontaminate scale
-    // shape: the corpus never shuffles, scoring is the codegen cosine
-    // on bucket-collided pairs only. Per train vector: hit count,
-    // max cosine (NULL when clean — identically absent both engines),
-    // verdict.
+    // SEMANTIC decontamination — the embedding-space member of the
+    // decontamination family (digest + 13-gram + stream twins exist):
+    // a train vector is contaminated when its cosine to ANY eval-split
+    // vector (vec_id % 50 = 0) reaches tau = 0.2 (the fixture's
+    // embeddings are near-orthogonal random vectors, so 0.2 marks the
+    // top decile of proximity; a real embedding space would sit tau at
+    // ~0.9) — paraphrase-level eval leakage the n-gram check cannot see.
+    // r12 REBUILD: candidates now come from the OR-amplified multi-probe
+    // SRP index (16 independent 6-bit tables, eval side probes its
+    // bucket + every 1-bit flip) instead of r11's single 6-bit bucket —
+    // measured recall of true tau-pairs vs brute force at sf0.01 rose
+    // 0.03 -> 0.99 (SimilarityRecallSpec pins >= 0.95). For
+    // decontamination every missed neighbor is eval leakage, so the
+    // fixture config leans exhaustive (its tau sits at the random-pair
+    // cosine, where no LSH separates); the same family at 12 bits is
+    // selective on clustered data — both regimes spec-pinned.
+    // Scale shape unchanged: the tiny eval side fans out (bits+1 probe
+    // keys x tables, still broadcast), the corpus never shuffles —
+    // candidate keys flow through one distinct, vectors join back BY ID.
+    // Per train vector: hit count, max cosine (NULL when clean —
+    // identically absent both engines), verdict.
     QueryDef(
       "q_dedup_decontaminate_semantic",
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |dots AS (
-        |  SELECT vec_id, p,
-        |    list_reduce([v[i+1] * ((((('0x' || substr(md5('plane_a_' || p::VARCHAR), 1, 15))::BIGINT
-        |                             + (i+1) * (('0x' || substr(md5('plane_b_' || p::VARCHAR), 1, 15))::BIGINT % 281474976710656))
-        |                            % 1152921504606846976) % 1001 - 500) / 500.0)
-        |                 for i in range(0, len(v))], (acc, x) -> acc + x) AS dp
-        |  FROM e, range(6) r(p)),
-        |bk AS (
-        |  SELECT vec_id, sum(CASE WHEN dp > 0 THEN 1::BIGINT << p ELSE 0::BIGINT END) AS bucket
-        |  FROM dots GROUP BY 1),
-        |ev AS (SELECT vec_id, bucket FROM bk WHERE vec_id % 50 = 0),
-        |tr AS (SELECT vec_id, bucket FROM bk WHERE vec_id % 50 <> 0),
-        |scored AS (
-        |  SELECT t.vec_id AS i,
-        |    list_reduce([ea.v[k+1] * eb.v[k+1] for k in range(0, len(ea.v))], (acc, x) -> acc + x)
-        |      / (sqrt(list_reduce([x * x for x in ea.v], (acc, y) -> acc + y))
-        |         * sqrt(list_reduce([x * x for x in eb.v], (acc, y) -> acc + y))) AS cos
-        |  FROM tr t JOIN ev e2 ON e2.bucket = t.bucket
-        |  JOIN e ea ON ea.vec_id = t.vec_id JOIN e eb ON eb.vec_id = e2.vec_id),
-        |hits AS (
-        |  SELECT i, count(*)::BIGINT AS n_hits, max(cos) AS max_cos
-        |  FROM scored WHERE cos >= 0.2 GROUP BY 1)
-        |SELECT t.vec_id, coalesce(h.n_hits, 0) AS n_hits, h.max_cos,
-        |  coalesce(h.n_hits, 0) > 0 AS contaminated
-        |FROM tr t LEFT JOIN hits h ON h.i = t.vec_id
-        |""".stripMargin) { (s, d) =>
-      val bits = 6
-      val emb = embeddings(s, d)
-        .withColumn("bucket", lshBucket(col("embedding"), bits))
-        .localCheckpoint() // eval + train sides read it once
-      val ev = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("j"), col("embedding").as("emb_j"), col("bucket"))
-      val tr = emb.filter(col("vec_id") % 50 =!= 0)
-      val hits = tr.select(col("vec_id").as("i"), col("embedding").as("emb_i"),
-          col("bucket"))
-        .join(broadcast(ev), Seq("bucket"))
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$srpIndexSql,
+         |evp AS (SELECT vec_id, t, pb FROM pr WHERE vec_id % 50 = 0),
+         |tr AS (SELECT vec_id, t, b FROM bk WHERE vec_id % 50 <> 0),
+         |cand AS (
+         |  SELECT DISTINCT t.vec_id AS i, e2.vec_id AS j
+         |  FROM tr t JOIN evp e2 ON e2.t = t.t AND e2.pb = t.b),
+         |scored AS (
+         |  SELECT i,
+         |    list_reduce([ea.v[k+1] * eb.v[k+1] for k in range(0, len(ea.v))], (acc, x) -> acc + x)
+         |      / (sqrt(list_reduce([x * x for x in ea.v], (acc, y) -> acc + y))
+         |         * sqrt(list_reduce([x * x for x in eb.v], (acc, y) -> acc + y))) AS cos
+         |  FROM cand JOIN e ea ON ea.vec_id = i JOIN e eb ON eb.vec_id = j),
+         |hits AS (
+         |  SELECT i, count(*)::BIGINT AS n_hits, max(cos) AS max_cos
+         |  FROM scored WHERE cos >= 0.2 GROUP BY 1)
+         |SELECT b.vec_id, coalesce(h.n_hits, 0) AS n_hits, h.max_cos,
+         |  coalesce(h.n_hits, 0) > 0 AS contaminated
+         |FROM (SELECT vec_id FROM e WHERE vec_id % 50 <> 0) b
+         |LEFT JOIN hits h ON h.i = b.vec_id
+         |""".stripMargin) { (s, d) =>
+      val bk = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          lshBucketArr(col("embedding"), srpBits, srpTables).as("bks"))
+        .localCheckpoint() // sketch built once; eval + train sides read it
+      val ev = bk.filter(col("vec_id") % 50 === 0)
+      val tr = bk.filter(col("vec_id") % 50 =!= 0)
+      val cand = tr
+        .select(col("vec_id").as("i"), lshTableKeys(col("bks")).as("tb"))
+        .join(broadcast(ev.select(col("vec_id").as("j"),
+          lshProbeKeys(col("bks"), srpBits).as("tb"))), Seq("tb"))
+        .select("i", "j").distinct()
+      val hits = cand
+        .join(tr.select(col("vec_id").as("i"), col("embedding").as("emb_i")), Seq("i"))
+        .join(broadcast(ev.select(col("vec_id").as("j"),
+          col("embedding").as("emb_j"))), Seq("j"))
         .withColumn("cos", cosine(col("emb_i"), col("emb_j")))
         .filter(col("cos") >= 0.2)
         .groupBy("i").agg(count(lit(1)).as("n_hits"), max("cos").as("max_cos"))

@@ -27,10 +27,17 @@ object SkewJoin {
     require(supportedTypes.contains(joinType.toLowerCase.replace(" ", "")),
       s"saltedJoin supports inner/left-side join types only, got '$joinType' " +
         "(right/full outer would duplicate unmatched right rows per salt)")
-    // deterministic salt: spread rows by a hash of the whole left row
+    // salt = hash of the whole left row + the row's physical position
+    // (monotonically_increasing_id = partition id << 33 | record index):
+    // byte-identical duplicate rows — the pathological hot key — still
+    // spread across salts instead of collapsing onto one reducer. The
+    // salt never reaches the output, and every salt value meets the same
+    // replicated right rows, so ANY assignment (including a different
+    // one after a task retry) yields the identical join result.
     val leftCols = left.columns.toIndexedSeq.map(col)
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(leftCols: _*), lit(salts)).cast("int"))
+      pmod(xxhash64(leftCols: _*) + monotonically_increasing_id(),
+        lit(salts)).cast("int"))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated,

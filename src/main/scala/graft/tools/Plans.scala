@@ -181,7 +181,7 @@ object Plans {
     "q_dedup_video" ->
       "video near-dup: one narrow mapPartitions decode (payloads never shuffle), then fixed-width (hash, digest) rows through a band equi-join keyed by (frame, dims, aHash) with the digest verify as a residual — no second decode, no cartesian",
     "q_dedup_decontaminate_semantic" ->
-      "semantic decontamination: the tiny eval-split broadcast (BroadcastHashJoin on the hyperplane bucket) into the candidate join — the corpus side never shuffles; cosine scoring only on bucket-collided pairs, codegen expression",
+      "semantic decontamination: the tiny eval-split's flip-1 probe keys broadcast (BroadcastHashJoin on (table, bucket) over 16 OR'd hyperplane tables) into the candidate join — the corpus side never shuffles; candidate keys flow through one distinct, vectors join back by id, cosine scoring is the codegen expression on candidates only",
     "q_graph_cnm" ->
       "CNM merge round: ONE edge-sized label-map join builds the community multigraph; gains, mutual-best argmax, and relabel are all community-sized — per-round plans read checkpointed labels only",
     "q_dedup_containment" ->
@@ -191,11 +191,11 @@ object Plans {
     "q_agg_aqp" ->
       "AQP sampled aggregate: estimator and truth are each ONE map-side-combined aggregate over a narrow 2-column scan; the estimator branch filters to the 1-in-100 hash slice (at 100 TB: its own bucket table, and the truth scan exists only to AUDIT the bound), bound math is a 3-row projection — no window, no extra exchange",
     "q_join_salted" ->
-      "salted skew join: the fact side carries an 8-way salt on its hot keys so ONE key's rows land on 8 reducers; the dim side replicates 8x pre-join — the join keys become (key, salt) pairs and no single reducer owns a hot key; the aggregate after it is map-side combined, and the answer is row-identical to the plain join (the oracle states the plain join)",
+      "salted skew join: the join keys become (key, salt) pairs — the salted shape that spreads each hot key over 8 reducers when both sides shuffle (at fixture size the replicated dim side broadcasts, so the plan shows the salted keys, not the reducer spread); the aggregate after it is map-side combined, and the answer is row-identical to the plain join (the oracle states the plain join)",
     "q_events_changepoint" ->
-      "CUSUM change-point: one map-side-combined shuffle builds the (type, hour) series; BOTH window passes (prefix sum + whole-partition totals) and the argmax rank run over that aggregated |hours|x|types| relation — time-bounded, not data-bounded — never over base events; the injection bounds enter as a 1-row broadcast",
+      "CUSUM change-point: the (type, hour) series enters checkpointed/pre-aggregated (the series-building aggregate runs once, ahead of the captured plan); BOTH window passes (prefix sum + whole-partition totals) and the argmax rank run over that aggregated |hours|x|types| relation — time-bounded, not data-bounded — never over base events; the injection bounds enter as a 1-row broadcast",
     "q_mine_seqpat" ->
-      "sequential motifs: the per-user lag window partitions on user_id (millions of small partitions, the sessionize shape — no global sort); the motif aggregate map-side combines |user x motif| rows into <= |types|^3 groups; top-20 is TakeOrderedAndProject per-partition heaps"
+      "sequential motifs: the per-user lead(1)/lead(2) window partitions on user_id (millions of small partitions, the sessionize shape — no global sort); the motif aggregate map-side combines |user x motif| rows into <= |types|^3 groups; top-20 is TakeOrderedAndProject per-partition heaps"
   )
 
   def main(args: Array[String]): Unit = {

@@ -21,6 +21,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("salted join spreads a hot key of byte-identical rows across salts") {
+    // r11 finding: salting by xxhash64 of the row alone collapses
+    // duplicate rows onto ONE salt — the exact hot-key shape salting
+    // exists for. The fix folds the row's physical position into the
+    // salt; this pins it: 4000 identical rows across 4 partitions must
+    // land on >= 2 salts (position-hash makes all 8 overwhelmingly
+    // likely), and the join result must still equal the plain join.
+    val hot = spark.range(4000).select(lit(42L).as("k"), lit("same").as("payload"))
+      .repartition(4)
+    val dim = Seq((42L, "dim")).toDF("dk", "dv")
+    val salted = SkewJoin.saltedJoin(hot, dim, "k", "dk", salts = 8)
+    assert(salted.count() == 4000)
+    // observe the salt distribution the same way saltedJoin derives it
+    val saltsSeen = hot.select(
+        pmod(xxhash64(col("k"), col("payload")) + monotonically_increasing_id(),
+          lit(8)).cast("int").as("s"))
+      .select("s").distinct().as[Int].collect().toSet
+    assert(saltsSeen.size >= 2,
+      s"identical-row hot key still collapses onto salts $saltsSeen")
+  }
+
   test("typed top-k aggregator == window top-k") {
     val viaAgg = q("q_topk_aggregator").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4))).toSet

@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality gate for the multi-probe SRP index (r12 rebuild of
+  * the embedding-space candidate generators). The DuckDB oracle proves
+  * plan-equivalence, not recall — an index that restates its own bucket
+  * restriction can silently under-detect — so this spec measures recall
+  * against the brute-force kernel directly, in BOTH regimes:
+  *
+  *  - the fixture regime (near-orthogonal vectors, tau at the random-pair
+  *    cosine level): the 16x6-bit flip-1 config must find >= 95% of the
+  *    true pairs. Here no LSH can be selective (collision probability is
+  *    a monotone function of cosine and tau-pairs are barely above
+  *    random), so the config leans exhaustive by design — the r11 single
+  *    6-bit bucket found 63% / 3% of the tau=0.4 / tau=0.2 pairs.
+  *  - the production regime (planted near-duplicates at cos ~0.95 over
+  *    the same corpus): a 8x12-bit flip-1 member of the SAME family must
+  *    keep recall >= 95% while admitting <= 5% of random pairs — the
+  *    selectivity that makes the index an index at 100 TB.
+  */
+class SimilarityRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = graft.sources.Tables.embeddings(spark, sf)
+
+  test("q_dedup_embedding finds >= 95% of brute-force pairs at tau = 0.4") {
+    val a = emb.select(col("vec_id").as("i"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("j"), col("embedding").as("vb"))
+    val brute = a.join(b, col("i") < col("j"))
+      .filter(cosine(col("va"), col("vb")) >= 0.4)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture must contain pairs above tau")
+    val found = q("q_dedup_embedding")
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    // every reported pair passed the exact-cosine verify, so found is a
+    // subset of brute; recall is the only free variable
+    assert(found.subsetOf(brute), s"false positives: ${found.diff(brute).take(3)}")
+    val recall = found.size.toDouble / brute.size
+    assert(recall >= 0.95, s"recall $recall (${found.size}/${brute.size})")
+  }
+
+  test("semantic decontamination finds >= 95% of true tau = 0.2 leaks") {
+    val ev = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("j"), col("embedding").as("vb"))
+    val tr = emb.filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id").as("i"), col("embedding").as("va"))
+    val brute = tr.join(broadcast(ev))
+      .filter(cosine(col("va"), col("vb")) >= 0.2)
+      .count()
+    assert(brute > 0, "fixture must contain contaminated pairs")
+    // each n_hits counts distinct eval neighbors above tau, so the sum
+    // is exactly the number of (train, eval) pairs the index surfaced
+    val found = q("q_dedup_decontaminate_semantic")
+      .agg(sum("n_hits")).as[Long].head()
+    val recall = found.toDouble / brute
+    assert(recall >= 0.95, s"pair recall $recall ($found/$brute)")
+  }
+
+  test("selective regime: planted near-dups, 8x12-bit flip-1 — recall >= 0.95, candidates <= 5%") {
+    val (bits, tables) = (12, 8)
+    val base = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    // plant 50 near-duplicates at cosine ~0.95: dup = normalize(alpha*v +
+    // sqrt(1-alpha^2)*unit_noise), fixed seed — deterministic test data
+    val rnd = new scala.util.Random(42)
+    val alpha = 0.95
+    val planted = base.take(50).map { case (id, v) =>
+      val vn = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val noise = Array.fill(v.length)(rnd.nextGaussian())
+      val nn = math.sqrt(noise.map(x => x * x).sum)
+      val dup = v.indices.map { k =>
+        (alpha * v(k) / vn + math.sqrt(1 - alpha * alpha) * noise(k) / nn).toFloat
+      }.toArray
+      (id + 100000L, dup)
+    }
+    val all = (base ++ planted).toSeq.toDF("id", "vec")
+    val bk = all.select(col("id"),
+      lshBucketArr(col("vec"), bits, tables).as("bks")).localCheckpoint()
+    val cand = bk.select(col("id").as("i"), lshTableKeys(col("bks")).as("tb"))
+      .join(bk.select(col("id").as("j"), lshProbeKeys(col("bks"), bits).as("tb")),
+        Seq("tb"))
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+      .as[(Long, Long)].collect().toSet
+    val truth = base.take(50).map { case (id, _) => (id, id + 100000L) }.toSet
+    val recall = truth.intersect(cand).size.toDouble / truth.size
+    assert(recall >= 0.95, s"planted recall $recall")
+    val n = all.count()
+    val candFrac = cand.size.toDouble / (n * (n - 1) / 2)
+    assert(candFrac <= 0.05, s"candidate fraction $candFrac — index not selective")
+  }
+}
