@@ -34,6 +34,17 @@ object Dedup {
           i => concat_ws(" ", slice(col("l"), i, lit(3))))).as("shingle"))
       .distinct()
 
+  /** the same 3-token shingle derivation over an arbitrary
+    * (doc_id, lang, text, ...) relation — the per-micro-batch form the
+    * streaming containment filter shingles arriving docs with. */
+  private[graft] def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), toks(col("text")).as("l"))
+      .filter(size(col("l")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("l")) - 2),
+          i => concat_ws(" ", slice(col("l"), i, lit(3))))).as("shingle"))
+      .distinct()
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup on content digest. Keep-first semantics (min doc_id) is

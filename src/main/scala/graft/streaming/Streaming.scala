@@ -1250,6 +1250,79 @@ object Streaming {
     else kept.get
   }
 
+  /** Ingest-time containment (quote/excerpt) filter — the streaming twin
+    * of q_dedup_containment, sharing `Graft.containmentPairs`' rare/hot
+    * decomposition: the STATIC corpus side (doc_id % 3 = 0) builds the
+    * df <= 64 rare-shingle inverted index and its hot complement ONCE
+    * (checkpointed); each arriving micro-batch is shingled in-flight,
+    * candidates come from the rare-index equi-join only, and the exact
+    * intersection decomposes as inter = inter_rare + inter_hot with the
+    * hot complement probed only for found candidates — no per-doc
+    * arrays ship, the corpus index never rebuilds. An arriving doc is
+    * DROPPED when >= 0.6 of its shingles sit inside one corpus doc (the
+    * asymmetric quote rule; dividing by the ARRIVING doc's shingle
+    * count is what makes it the ingest-time excerpt filter). Stateless
+    * per batch (stream-static joins only), so output is batching-
+    * invariant by construction — pinned in StreamingRobustnessSpec;
+    * the oracle states the batching-free fixpoint with the batch
+    * kernel's own CTEs. */
+  def streamContainment(s: SparkSession, d: String): DataFrame =
+    streamContainmentCounted(s, d, d, "documents.parquet", 0)._1
+
+  /** [[streamContainment]] with a pluggable stream source (the
+    * robustness spec splits the arriving docs into several files and
+    * forces one file per trigger) and the applied-batch count. */
+  private[graft] def streamContainmentCounted(s: SparkSession, d: String,
+      srcDir: String, glob: String,
+      maxFilesPerTrigger: Int): (DataFrame, Int) = withStatePartitions(s, 8) {
+    val docs = graft.sources.Tables.documents(s, d)
+    val corp = graft.operators.Dedup
+      .shingleRows(docs.filter(col("doc_id") % 3 === 0))
+      .localCheckpoint() // feeds rare, idx, hot
+    val rare = corp.groupBy("lang", "shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 64).select("lang", "shingle")
+    val idx = corp.join(rare, Seq("lang", "shingle"), "left_semi")
+      .select(col("doc_id").as("j"), col("lang"), col("shingle"))
+      .localCheckpoint()
+    val hot = corp.join(rare, Seq("lang", "shingle"), "left_anti")
+      .select(col("doc_id").as("j"), col("lang"), col("shingle"))
+      .localCheckpoint()
+    val kept = new BatchAcc[DataFrame](null)
+    val applied = new BatchAcc[Int](0)
+    val reader = s.readStream.schema(docs.schema).option("pathGlobFilter", glob)
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    val q = reader.parquet(srcDir)
+      .filter(col("doc_id") % 3 =!= 0)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sh = graft.operators.Dedup.shingleRows(batch).localCheckpoint()
+        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+        val interIdx = sh.join(idx, Seq("lang", "shingle"))
+          .groupBy("doc_id", "j").agg(count(lit(1)).as("n_idx"))
+          .localCheckpoint() // feeds the hot probe AND the drop verdict
+        val interHot = interIdx.select("doc_id", "j")
+          .join(sh, Seq("doc_id"))
+          .join(hot, Seq("j", "lang", "shingle"))
+          .groupBy("doc_id", "j").agg(count(lit(1)).as("n_hot"))
+        val drop = interIdx.join(interHot, Seq("doc_id", "j"), "left")
+          .withColumn("inter", col("n_idx") + coalesce(col("n_hot"), lit(0L)))
+          .join(cnt, Seq("doc_id"))
+          .filter(col("inter").cast("double") / col("c") >= 0.6)
+          .select("doc_id").distinct()
+        val keep = batch.select("doc_id")
+          .join(drop, Seq("doc_id"), "left_anti").localCheckpoint()
+        applied.set(applied.get + 1)
+        kept.set(
+          if (kept.get == null) keep else kept.get.union(keep).localCheckpoint())
+      }
+      .start()
+    drain(q)
+    (if (kept.get == null) s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+     else kept.get,
+      applied.get)
+  }
+
   /** Partitioned, offset-replayable ingestion: the [[FileBus]] topic at
     * `dir` fed through the same windowed aggregation as [[socketIngest]].
     * Unstarted — caller owns sink, checkpoint, and state sizing (set
@@ -1519,6 +1592,45 @@ object Streaming {
         |WHERE d.doc_id % 3 <> 0
         |  AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)
         |""".stripMargin) { (s, d) => streamNearDup(s, d) },
+
+    // Ingest-time containment filter: arriving docs dropped when >= 60%
+    // of their shingles sit inside one static-corpus doc — the
+    // quote/excerpt rule at the ingest boundary (the asymmetric twin of
+    // q_stream_neardup's banded minhash). Candidates from the corpus'
+    // rare-shingle index, exact intersection via the batch kernel's
+    // rare/hot decomposition; the oracle states the batching-free
+    // fixpoint with q_dedup_containment's own CTE shapes.
+    QueryDef(
+      "q_stream_containment",
+      """WITH tok AS (
+        |  SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS l
+        |  FROM documents WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) >= 3),
+        |sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, lang, shingle FROM (
+        |    SELECT doc_id, lang,
+        |      unnest([array_to_string(l[i:i+2], ' ') for i in range(1, greatest(len(l) - 1, 1))]) AS shingle
+        |    FROM tok) u),
+        |corp AS (SELECT * FROM sh WHERE doc_id % 3 = 0),
+        |arr AS (SELECT * FROM sh WHERE doc_id % 3 <> 0),
+        |rare AS (SELECT lang, shingle FROM corp GROUP BY 1, 2 HAVING count(*) <= 64),
+        |idx AS (SELECT c.doc_id, c.lang, c.shingle FROM corp c JOIN rare r
+        |  ON r.lang = c.lang AND r.shingle = c.shingle),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        |  FROM arr a JOIN idx b ON a.lang = b.lang AND a.shingle = b.shingle),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM arr GROUP BY 1),
+        |inter AS (
+        |  SELECT c.i, c.j, count(*) AS n FROM cand c
+        |  JOIN arr a ON a.doc_id = c.i
+        |  JOIN corp b ON b.doc_id = c.j AND b.shingle = a.shingle AND b.lang = a.lang
+        |  GROUP BY 1, 2),
+        |dropped AS (
+        |  SELECT DISTINCT i FROM inter JOIN cnt ON cnt.doc_id = i
+        |  WHERE CAST(n AS DOUBLE) / cnt.c >= 0.6)
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id % 3 <> 0
+        |  AND NOT EXISTS (SELECT 1 FROM dropped x WHERE x.i = d.doc_id)
+        |""".stripMargin) { (s, d) => streamContainment(s, d) },
 
     // Incremental view maintenance: a per-cohort (count, decimal-sum)
     // rollup of the CDC feed's CURRENT state, maintained by retraction +

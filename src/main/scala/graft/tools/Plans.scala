@@ -195,7 +195,9 @@ object Plans {
     "q_events_changepoint" ->
       "CUSUM change-point: the (type, hour) series enters checkpointed/pre-aggregated (the series-building aggregate runs once, ahead of the captured plan); BOTH window passes (prefix sum + whole-partition totals) and the argmax rank run over that aggregated |hours|x|types| relation — time-bounded, not data-bounded — never over base events; the injection bounds enter as a 1-row broadcast",
     "q_mine_seqpat" ->
-      "sequential motifs: the per-user lead(1)/lead(2) window partitions on user_id (millions of small partitions, the sessionize shape — no global sort); the motif aggregate map-side combines |user x motif| rows into <= |types|^3 groups; top-20 is TakeOrderedAndProject per-partition heaps"
+      "sequential motifs: the per-user lead(1)/lead(2) window partitions on user_id (millions of small partitions, the sessionize shape — no global sort); the motif aggregate map-side combines |user x motif| rows into <= |types|^3 groups; top-20 is TakeOrderedAndProject per-partition heaps",
+    "q_text_classifier" ->
+      "trained quality filter: the feature relation is checkpointed once (documents read ONCE into five narrow doubles + label); each GD round is one map-side-combined aggregate (12 decimal sums) whose 1-row weight output crossJoin-broadcasts into the next scoring pass — no driver-side math, no collect, scoring is pure codegen arithmetic"
   )
 
   def main(args: Array[String]): Unit = {

@@ -290,6 +290,48 @@ class StreamingRobustnessSpec extends SparkSpec {
     assert(out.count() == 0L)
   }
 
+  test("streamContainment is batching-invariant and equals the batch fixpoint") {
+    // the ingest-time quote/excerpt filter is stateless per batch
+    // (stream-static joins only), so output must not depend on arrival
+    // batching: split the arriving docs over 3 files, force one file per
+    // trigger, and compare against both the 1-batch run and the inline
+    // batch restatement of the drop rule
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val arriving = docs.filter(col("doc_id") % 3 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_contain").toString
+    arriving.repartition(3).write.mode("overwrite").parquet(dir)
+    val (multi, applied) = Streaming.streamContainmentCounted(
+      spark, sf, dir, "*.parquet", maxFilesPerTrigger = 1)
+    assert(applied >= 2, s"expected a multi-batch run, got $applied batch(es)")
+    val (single, _) = Streaming.streamContainmentCounted(
+      spark, sf, sf, "documents.parquet", 0)
+    assert(multi.count() > 0)
+    assert(multi.exceptAll(single).isEmpty && single.exceptAll(multi).isEmpty,
+      "containment filter must be batching-invariant")
+    // batch fixpoint: exact intersections over rare-index candidates
+    val corp = graft.operators.Dedup.shingleRows(docs.filter(col("doc_id") % 3 === 0))
+    val arr = graft.operators.Dedup.shingleRows(arriving)
+    val rare = corp.groupBy("lang", "shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 64).select("lang", "shingle")
+    val idx = corp.join(rare, Seq("lang", "shingle"), "left_semi")
+      .select(col("doc_id").as("j"), col("lang"), col("shingle"))
+    val cand = arr.join(idx, Seq("lang", "shingle"))
+      .select(col("doc_id"), col("j")).distinct()
+    val inter = cand
+      .join(arr.select(col("doc_id"), col("lang"), col("shingle")), Seq("doc_id"))
+      .join(corp.select(col("doc_id").as("j"), col("lang"), col("shingle")),
+        Seq("j", "lang", "shingle"))
+      .groupBy("doc_id", "j").agg(count(lit(1)).as("n"))
+    val cnt = arr.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val dropped = inter.join(cnt, Seq("doc_id"))
+      .filter(col("n").cast("double") / col("c") >= 0.6)
+      .select("doc_id").distinct()
+    val expected = arriving.select("doc_id").join(dropped, Seq("doc_id"), "left_anti")
+    assert(dropped.count() > 0, "fixture must contain at least one quote/excerpt doc")
+    assert(multi.exceptAll(expected).isEmpty && expected.exceptAll(multi).isEmpty,
+      "ingest-time containment filter must equal the batch fixpoint")
+  }
+
   test("streamNearDup equals the batch LSH filter against the corpus index") {
     import graft.api.Graft
     val docs = graft.sources.Tables.documents(spark, sf)
