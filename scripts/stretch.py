@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Driver-side fixture stretcher (NOT part of the engine): replicate an
+sf dir K times with entity keys shifted by k*10^10, per BASELINE.md's
+sf1 spot-check recipe — document text gets a per-copy suffix on EVERY
+token (so copies are mutually dissimilar: zero shared shingles,
+cross-copy edit distance >= 2) and dup/near-dup structure grows
+LINEARLY. n_chars is recomputed from the rewritten text.
+
+Usage: python3 scripts/stretch.py <src_sf_dir> <out_dir> <copies> [tables...]
+Default tables: documents embeddings
+"""
+import sys
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SHIFT = 10_000_000_000
+
+
+def stretch_documents(src, out, copies):
+    t = pq.read_table(f"{src}/documents.parquet")
+    d = t.to_pydict()
+    ids, texts, langs, srcs = d["doc_id"], d["text"], d["lang"], d["source"]
+    o_id, o_tx, o_lg, o_sc, o_nc = [], [], [], [], []
+    for k in range(copies):
+        for i in range(len(ids)):
+            tx = texts[i] if k == 0 else \
+                " ".join(w + f"x{k}" for w in texts[i].split(" "))
+            o_id.append(ids[i] + k * SHIFT)
+            o_tx.append(tx)
+            o_lg.append(langs[i])
+            o_sc.append(srcs[i])
+            o_nc.append(len(tx))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(o_id, pa.int64()), "text": o_tx, "lang": o_lg,
+        "source": o_sc, "n_chars": pa.array(o_nc, pa.int64())}),
+        f"{out}/documents.parquet")
+    print(f"documents: {len(o_id)} rows")
+
+
+def stretch_embeddings(src, out, copies):
+    t = pq.read_table(f"{src}/embeddings.parquet")
+    d = t.to_pydict()
+    ids, emb, lab = d["vec_id"], d["embedding"], d["label"]
+    o_id, o_e, o_l = [], [], []
+    for k in range(copies):
+        for i in range(len(ids)):
+            o_id.append(ids[i] + k * SHIFT)
+            o_e.append(emb[i])
+            o_l.append(lab[i])
+    pq.write_table(pa.table({
+        "vec_id": pa.array(o_id, pa.int64()),
+        "embedding": pa.array(o_e, pa.list_(pa.float32())),
+        "label": pa.array(o_l, pa.int64())}),
+        f"{out}/embeddings.parquet")
+    print(f"embeddings: {len(o_id)} rows")
+
+
+def main():
+    src, out, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    tables = sys.argv[4:] or ["documents", "embeddings"]
+    import os
+    os.makedirs(out, exist_ok=True)
+    if "documents" in tables:
+        stretch_documents(src, out, copies)
+    if "embeddings" in tables:
+        stretch_embeddings(src, out, copies)
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,27 @@ import graft.functions.VectorFunctions.cosine
   */
 object Graft {
 
+  /** localCheckpoint for ITERATED frames: eager checkpoint + a
+    * statistics CLAMP. A checkpointed LogicalRDD carries its origin
+    * plan's ESTIMATED sizeInBytes forward; when a loop's round-r frame
+    * references the round-(r-1) frame several times (label joins, Q
+    * gates), those estimates compound multiplicatively — the exponent
+    * doubles-or-worse per round, and past ~10 rounds the driver spends
+    * minutes multiplying million-bit BigInts inside every stats visit
+    * (measured: communityMerge rounds=12 wedged; clamped it is
+    * seconds, see Bridge.statsClamp — small frames keep their real
+    * estimates, so fixture-size auto-broadcasts are untouched). Linear
+    * loops (pagerank's one self-reference per round) don't need this;
+    * any loop that joins a frame against itself or threads it through
+    * 2+ joins per round does. */
+  private def ck(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.Bridge.statsClamp(df.localCheckpoint())
+
+  private implicit class LoopCheckpoint(private val df: DataFrame) {
+    /** `.localCheckpoint()` drop-in for the compounding loops above */
+    def loopCheckpoint(): DataFrame = ck(df)
+  }
+
   /** lower-cased whitespace tokens, empties dropped */
   def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => t =!= "")
@@ -336,7 +357,7 @@ object Graft {
       val reps = hop.select(col("id").as("rep"), col("lbl").as("replbl"))
       val next = hop.join(reps, hop("lbl") === reps("rep"))
         .select(hop("id"), col("replbl").as("lbl"), hop("old"))
-        .localCheckpoint()
+        .loopCheckpoint()
       changed = next.filter(col("lbl") < col("old")).count()
       hop.unpersist()
       labels = next.select("id", "lbl")
@@ -1339,15 +1360,23 @@ object Graft {
     * numerator 4m*k(v,c) - 2*deg(v)*tot(c without v); ties break to
     * the smallest community label. The sweep's proposed labeling is
     * then ACCEPTED only if its exact Q numerator strictly improves —
-    * an in-plan 1-row broadcast gate, no driver scalar — which makes
-    * Q(louvain) >= Q(seed) a theorem of the operator (simultaneous
-    * moves alone cannot guarantee monotonicity).
+    * an in-plan 1-row broadcast gate (the accept/reject DECISION never
+    * leaves the plan) — which makes Q(louvain) >= Q(seed) a theorem of
+    * the operator (simultaneous moves alone cannot guarantee
+    * monotonicity). The loop additionally stops scheduling sweeps once
+    * two consecutive sweeps were non-accepts (r12 convergence ledger —
+    * a local read of the already-materialized 1-row gate, the
+    * dedupClusters while-convergence precedent; later sweeps are
+    * provably the identity).
     *
     * Scale shape: per sweep one equi-join of the checkpointed
     * neighbor relation against the node-sized label table (k_vc), two
     * node-sized joins (deg, tot), a node-partitioned argmax window,
-    * and two modularity aggregates — edge-linear, labels re-
-    * checkpoint per sweep. */
+    * and at most two modularity aggregates (the gate's qNum is skipped
+    * in-plan when the sweep proposed no move) — edge-linear, labels
+    * re-checkpoint per sweep with their carried plan statistics CLAMPED
+    * (Bridge.statsClamp: compounding size estimates wedge the driver
+    * past ~10 rounds). */
   def louvainMove(labels: DataFrame, edges: DataFrame,
       rounds: Int = 2): DataFrame =
     louvainMoveCtx(labels, undCtx(edges), rounds)
@@ -1372,7 +1401,7 @@ object Graft {
           .as("q"))
     }
     var lab = labels.select(col("v"), col("lbl"))
-      .repartition(col("v")).localCheckpoint()
+      .repartition(col("v")).loopCheckpoint()
     // Q(lab) THREADS through the loop as a checkpointed 1-row frame
     // instead of being recomputed by every gate: the gate needs
     // q_old = Q(current labels), which is exactly what the previous
@@ -1380,10 +1409,25 @@ object Graft {
     // its carried q_old if not. One qNum pass per round instead of
     // two; only the seed's Q is paid up front. Values are identical
     // by induction, so the oracle's stage-by-stage replay is unchanged.
-    var qcur = qNum(lab).select(col("q").as("q_old")).localCheckpoint()
+    var qcur = qNum(lab).select(col("q").as("q_old")).loopCheckpoint()
+    // Convergence ledger (r12): consecutive NON-ACCEPTED sweeps (no
+    // move proposed, or strict-Q gate rejection — either way labels are
+    // unchanged). TWO consecutive non-accepts cover both color classes
+    // from an unchanged label state, so every later sweep is provably
+    // the identity — the loop stops SCHEDULING them. The accept gate
+    // itself stays in-plan (no driver branch decides correctness); the
+    // ledger read is the dedupClusters while-convergence precedent, a
+    // 1-row scalar off an already-materialized frame. An in-plan-only
+    // variant (empty the movable set, let AQE propagate) was built and
+    // REJECTED: sort-merge joins materialize BOTH children's shuffle
+    // stages concurrently, so the edge-sized side still shuffles before
+    // the empty side can kill the join (measured ~1k records per
+    // "skipped" sweep). Fixed `rounds` stays the plan-size bound;
+    // converged graphs stop paying for it.
+    var stall = 0
     val w = Window.partitionBy("v")
       .orderBy(col("score").desc, col("nlbl").asc)
-    (0 until rounds).foreach { r =>
+    (0 until rounds).takeWhile { r =>
       val mv = lab.filter(col("v") % 2 === (r % 2))
       val kvc = nbr.join(mv.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(lab.select(col("v").as("b"), col("lbl").as("nlbl")), Seq("b"))
@@ -1410,23 +1454,41 @@ object Graft {
           lit(4L) * col("m") * col("k") - lit(2L) * col("dv") * col("tot_ex"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("v"), col("nlbl"))
-      val proposed = lab.join(best, Seq("v"), "left")
+        .select(col("v"), col("nlbl"), col("cur"))
+        .loopCheckpoint() // feeds the proposal AND the move count
+      // actual moves this sweep (node-sized); zero moves => proposal ==
+      // lab, so the gate's edge-sized qNum can be skipped exactly then
+      val moved = best.filter(col("nlbl") =!= col("cur"))
+        .agg(count(lit(1)).as("n_moved")).loopCheckpoint()
+      val hasMoves = moved.select((col("n_moved") > 0).as("has_moves"))
+      val proposed = lab.join(best.select("v", "nlbl"), Seq("v"), "left")
         .select(col("v"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
-        .localCheckpoint()
-      val gateFull = qNum(proposed).select(col("q").as("q_new"))
+        .loopCheckpoint()
+      val proposedGated = proposed.crossJoin(broadcast(hasMoves))
+        .filter(col("has_moves")).select("v", "lbl")
+      // qNum over the EMPTY gated relation sums to NULL -> better
+      // coalesces to false, the exact verdict a no-move sweep earned
+      // before (q_new == q_old fails the strict gate)
+      val gateFull = qNum(proposedGated).select(col("q").as("q_new"))
         .crossJoin(qcur)
-        .select((col("q_new") > col("q_old")).as("better"),
+        .select(coalesce(col("q_new") > col("q_old"), lit(false)).as("better"),
           col("q_new"), col("q_old"))
-        .localCheckpoint() // 1 row; feeds both the filter and next q_old
+        .loopCheckpoint() // 1 row; feeds both the filter and next q_old
       val gate = gateFull.select("better")
       lab = proposed.crossJoin(broadcast(gate)).filter(col("better"))
         .select("v", "lbl")
         .unionByName(lab.crossJoin(broadcast(gate))
           .filter(!col("better")).select("v", "lbl"))
-        .localCheckpoint()
+        .loopCheckpoint()
       qcur = gateFull.select(when(col("better"), col("q_new"))
         .otherwise(col("q_old")).as("q_old"))
+      // a sweep is a no-op iff the gate did not accept (no moves
+      // proposed OR strict-Q rejection — either way lab is unchanged);
+      // gateFull is already materialized, so this is a local scalar
+      // count (the dedupClusters while-convergence form)
+      val accepted = gateFull.filter(col("better")).count() > 0
+      stall = if (accepted) 0 else stall + 1
+      stall < 2 // two consecutive non-accepts: every later sweep is identity
     }
     lab
   }
@@ -1450,10 +1512,14 @@ object Graft {
     * Scale shape: per round one edge-sized label-map join builds the
     * community multigraph (then everything is COMMUNITY-sized: gain
     * scores on the inter-community edge list, a community-partitioned
-    * argmax window, a self-join for mutuality), labels re-checkpoint.
-    * [[louvainMove]] refines node placement; this merges whole
-    * communities — the two moves compose into the standard multi-level
-    * pipeline. */
+    * argmax window, a self-join for mutuality), labels re-checkpoint
+    * with their carried plan statistics clamped (Bridge.statsClamp). A
+    * zero-merge round is terminal — the round function is
+    * deterministic in the labels, so the loop stops scheduling further
+    * rounds on a local 1-row read of the materialized selection (r12
+    * convergence ledger). [[louvainMove]] refines node placement; this
+    * merges whole communities — the two moves compose into the
+    * standard multi-level pipeline. */
   def communityMerge(labels: DataFrame, edges: DataFrame,
       rounds: Int = 2): DataFrame =
     communityMergeCtx(labels, undCtx(edges), rounds)
@@ -1464,9 +1530,16 @@ object Graft {
     val deg = ctx.deg
     val m = und.agg(count(lit(1)).as("m"))
     var lab = labels.select(col("v"), col("lbl"))
-      .repartition(col("v")).localCheckpoint()
+      .repartition(col("v")).loopCheckpoint()
+    // Convergence ledger (r12): the merge round is ONE deterministic
+    // function of the labels, so a single round selecting zero merges
+    // proves every later round is the identity — the loop stops
+    // SCHEDULING further rounds (the dedupClusters while-convergence
+    // precedent: a local 1-row read off the already-materialized merge
+    // selection; the merges themselves stay in-plan). Fixed `rounds`
+    // stays the plan-size bound; converged graphs stop paying for it.
     val w = Window.partitionBy("c").orderBy(col("dq").desc, col("p").asc)
-    (1 to rounds).foreach { _ =>
+    (1 to rounds).takeWhile { _ =>
       val dC = lab.join(deg, Seq("v"), "left")
         .select(col("lbl"), coalesce(col("deg"), lit(0L)).as("d"))
         .groupBy("lbl").agg(sum("d").as("d"))
@@ -1495,10 +1568,13 @@ object Graft {
         .select(least(col("x.c"), col("x.p")).as("keep"),
           greatest(col("x.c"), col("x.p")).as("drop"))
         .distinct()
+        .loopCheckpoint() // feeds the relabel AND the convergence count
       lab = lab.join(sel.select(col("drop").as("lbl"), col("keep")),
           Seq("lbl"), "left")
         .select(col("v"), coalesce(col("keep"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .loopCheckpoint()
+      // sel is already materialized — a zero-merge round is terminal
+      sel.limit(1).count() > 0
     }
     lab
   }
@@ -1633,7 +1709,7 @@ object Graft {
         .select(col("v"), col("lbl").as("nlbl"))
       lab = lab.join(best, Seq("v"), "left")
         .select(col("v"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .loopCheckpoint()
     }
     lab
   }
