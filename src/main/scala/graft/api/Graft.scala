@@ -681,30 +681,45 @@ object Graft {
     * collect. Requires both classes present (a corpus with no junk has
     * nothing to train on). Returns (doc_id, y_heur, score, flagged). */
   def qualityClassifier(docs: DataFrame, rounds: Int = 6,
+      lr: Double = 4.0): DataFrame =
+    qualityScore(docs, qualityClassifierFit(docs, rounds, lr))
+
+  private val qualityXs = Seq("x1", "x2", "x3", "x4", "x5")
+
+  /** hard-sigmoid scoring pass: p = clamp(0.5 + z/4, 0, 1) with
+    * z = b + sum(w_k * x_k) left-folded — the shared expression tree of
+    * training and inference (same IEEE op order, so the oracle's
+    * restatement lands the bit-identical double) */
+  private def qualityP(feat: DataFrame, wdf: DataFrame): DataFrame = {
+    val z = qualityXs.foldLeft(col("b"))((acc, x) => acc + col(s"w_$x") * col(x))
+    feat.crossJoin(broadcast(wdf))
+      .withColumn("p", least(lit(1.0), greatest(lit(0.0), lit(0.5) + lit(0.25) * z)))
+  }
+
+  /** The TRAINED model alone: the 1-row weight frame (b, w_x1..w_x5,
+    * plus the class counts) after `rounds` class-balanced GD rounds
+    * over `docs` — train offline on the static corpus, then broadcast
+    * into [[qualityScore]] at ingest (the fastText-at-the-firehose
+    * shape the streaming twin uses). */
+  def qualityClassifierFit(docs: DataFrame, rounds: Int = 6,
       lr: Double = 4.0): DataFrame = {
     import graft.Exact.dec
     def d6(c: Column): Column = round(c, 6).cast("double")
     val feat = qualityFeatures(docs).localCheckpoint()
-    val xs = Seq("x1", "x2", "x3", "x4", "x5")
     var w: DataFrame = feat
       .agg(sum(col("y")).as("nj"),
         (count(lit(1)).cast("double") - sum(col("y"))).as("nc"))
-      .select(lit(0.01).as("b") +: xs.map(x => lit(0.0).as(s"w_$x"))
+      .select(lit(0.01).as("b") +: qualityXs.map(x => lit(0.0).as(s"w_$x"))
         :+ col("nj") :+ col("nc"): _*)
-    def scored(wdf: DataFrame): DataFrame = {
-      val z = xs.foldLeft(col("b"))((acc, x) => acc + col(s"w_$x") * col(x))
-      feat.crossJoin(broadcast(wdf))
-        .withColumn("p", least(lit(1.0), greatest(lit(0.0), lit(0.5) + lit(0.25) * z)))
-    }
     (1 to rounds).foreach { _ =>
-      val p = scored(w).withColumn("r", col("p") - col("y"))
+      val p = qualityP(feat, w).withColumn("r", col("p") - col("y"))
       val carry = Seq(first(col("b")).as("b")) ++
-        xs.map(x => first(col(s"w_$x")).as(s"w_$x")) ++
+        qualityXs.map(x => first(col(s"w_$x")).as(s"w_$x")) ++
         Seq(first(col("nj")).as("nj"), first(col("nc")).as("nc"))
       val grads = Seq(
         d6(sum(when(col("y") === 1.0, dec(col("r"))))).as("sj_b"),
         d6(sum(when(col("y") === 0.0, dec(col("r"))))).as("sc_b")) ++
-        xs.flatMap(x => Seq(
+        qualityXs.flatMap(x => Seq(
           d6(sum(when(col("y") === 1.0, dec(col("r") * col(x))))).as(s"sj_$x"),
           d6(sum(when(col("y") === 0.0, dec(col("r") * col(x))))).as(s"sc_$x")))
       val aggs = carry ++ grads
@@ -713,12 +728,20 @@ object Graft {
         (col(wc) - lit(lr) * (lit(0.5) * (col(sj) / col("nj"))
           + lit(0.5) * (col(sc) / col("nc")))).as(wc)
       w = g.select(upd("b", "sj_b", "sc_b") +:
-        xs.map(x => upd(s"w_$x", s"sj_$x", s"sc_$x"))
+        qualityXs.map(x => upd(s"w_$x", s"sj_$x", s"sc_$x"))
         :+ col("nj") :+ col("nc"): _*).localCheckpoint()
     }
-    scored(w).select(col("doc_id"), col("y").cast("int").as("y_heur"),
-      col("p").as("score"), (col("p") >= 0.5).as("flagged"))
+    w
   }
+
+  /** Score `docs` with a trained weight frame from
+    * [[qualityClassifierFit]]: one stateless feature pass + the
+    * broadcast 1-row model — the per-micro-batch inference shape.
+    * Returns (doc_id, y_heur, score, flagged). */
+  def qualityScore(docs: DataFrame, weights: DataFrame): DataFrame =
+    qualityP(qualityFeatures(docs), weights)
+      .select(col("doc_id"), col("y").cast("int").as("y_heur"),
+        col("p").as("score"), (col("p") >= 0.5).as("flagged"))
 
   /** Product-quantization codebooks: an independent spherical k-means per
     * subspace over the sliced vectors, trained in ONE DataFrame program

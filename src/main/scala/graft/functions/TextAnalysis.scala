@@ -1070,16 +1070,21 @@ object TextAnalysis {
     * every class-balanced GD round as a MATERIALIZED 1-row weight stage —
     * hard-sigmoid scoring pass, per-class DECIMAL(38,10) gradient sums
     * leaving through round(·,6)::DOUBLE, IEEE weight updates in the
-    * engine's exact expression order — then the final scoring pass. */
-  private def classifierOracle(rounds: Int, lr: Double): String = {
+    * engine's exact expression order — then the final scoring pass.
+    * `trainWhere`/`scoreWhere` split the corpus: training stages read
+    * `feat` (the train set), the output pass reads `feats` (the score
+    * set) — empty strings mean the whole table (the batch query); the
+    * streaming twin trains on the static split and scores arrivals. */
+  private def classifierOracle(rounds: Int, lr: Double,
+      trainWhere: String = "", scoreWhere: String = ""): String = {
     val stop = stopwords.map("'" + _ + "'").mkString(",")
     val xs = (1 to 5).map(k => s"x$k")
     val z = "w.b" + xs.map(x => s" + w.w_$x * f.$x").mkString
-    def pCte(t: Int, wc: String): String =
+    def pCte(t: Int, wc: String, from: String): String =
       s"""p$t AS (
          |  SELECT f.*, w.b, ${xs.map(x => s"w.w_$x").mkString(", ")}, w.nj, w.nc,
          |    least(1.0, greatest(0.0, 0.5 + 0.25 * ($z))) AS p
-         |  FROM feat f CROSS JOIN $wc w)""".stripMargin
+         |  FROM $from f CROSS JOIN $wc w)""".stripMargin
     def csum(yv: String, e: String): String =
       s"CAST(round(sum(CASE WHEN y = $yv THEN CAST($e AS DECIMAL(38,10)) END), 6) AS DOUBLE)"
     def upd(wname: String, e: String): String =
@@ -1091,32 +1096,44 @@ object TextAnalysis {
          |    ${xs.map(x => upd(s"w_$x", s"(p - y) * $x")).mkString(",\n    ")},
          |    max(nj) AS nj, max(nc) AS nc
          |  FROM p$t)""".stripMargin
+    def featCte(name: String, where: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    least(len(toks), 200)::DOUBLE / 200.0 AS x1,
+         |    len(list_filter(toks, t -> t IN ($stop)))::DOUBLE / greatest(len(toks), 1) AS x2,
+         |    least(coalesce(CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT), 0)::DOUBLE
+         |      / greatest(len(toks), 1), 10.0) / 10.0 AS x3,
+         |    len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1) AS x4,
+         |    length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS x5,
+         |    CASE WHEN 0.5 * (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1 ELSE 0 END)
+         |      + 0.25 * (CASE WHEN coalesce(CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT), 0)::DOUBLE
+         |          / greatest(len(toks), 1) BETWEEN 3 AND 8 THEN 1 ELSE 0 END)
+         |      + 0.25 * least(len(list_filter(toks, t -> t IN ($stop)))::DOUBLE
+         |          / greatest(len(toks), 1) * 4, 1.0) < 0.5
+         |    THEN 1.0 ELSE 0.0 END AS y
+         |  FROM t $where)""".stripMargin
     s"""WITH t AS (SELECT doc_id, text,
        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
        |  FROM documents),
-       |feat AS MATERIALIZED (
-       |  SELECT doc_id,
-       |    least(len(toks), 200)::DOUBLE / 200.0 AS x1,
-       |    len(list_filter(toks, t -> t IN ($stop)))::DOUBLE / greatest(len(toks), 1) AS x2,
-       |    least(coalesce(CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT), 0)::DOUBLE
-       |      / greatest(len(toks), 1), 10.0) / 10.0 AS x3,
-       |    len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1) AS x4,
-       |    length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS x5,
-       |    CASE WHEN 0.5 * (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1 ELSE 0 END)
-       |      + 0.25 * (CASE WHEN coalesce(CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT), 0)::DOUBLE
-       |          / greatest(len(toks), 1) BETWEEN 3 AND 8 THEN 1 ELSE 0 END)
-       |      + 0.25 * least(len(list_filter(toks, t -> t IN ($stop)))::DOUBLE
-       |          / greatest(len(toks), 1) * 4, 1.0) < 0.5
-       |    THEN 1.0 ELSE 0.0 END AS y
-       |  FROM t),
-       |w0 AS (SELECT 0.01::DOUBLE AS b, ${xs.map(x => s"0.0::DOUBLE AS w_$x").mkString(", ")},
-       |  sum(y) AS nj, count(*)::DOUBLE - sum(y) AS nc FROM feat),
        |""".stripMargin +
-      (1 to rounds).map(t => pCte(t, s"w${t - 1}") + ",\n" + wCte(t))
+      featCte("feat", trainWhere) + ",\n" +
+      featCte("feats", scoreWhere) + ",\n" +
+      s"""w0 AS (SELECT 0.01::DOUBLE AS b, ${xs.map(x => s"0.0::DOUBLE AS w_$x").mkString(", ")},
+         |  sum(y) AS nj, count(*)::DOUBLE - sum(y) AS nc FROM feat),
+         |""".stripMargin +
+      (1 to rounds).map(t => pCte(t, s"w${t - 1}", "feat") + ",\n" + wCte(t))
         .mkString(",\n") + ",\n" +
-      pCte(rounds + 1, s"w$rounds") + "\n" +
+      pCte(rounds + 1, s"w$rounds", "feats") + "\n" +
       s"""SELECT doc_id, CAST(y AS INT) AS y_heur, p AS score, p >= 0.5 AS flagged
          |FROM p${rounds + 1}
          |""".stripMargin
   }
+
+  /** Oracle for the streaming twin (q_stream_classifier): train on the
+    * static corpus split, score the arriving split — the batching-free
+    * fixpoint a stateless broadcast-inference stream must equal. */
+  private[graft] def streamClassifierOracle: String =
+    classifierOracle(rounds = 6, lr = 4.0,
+      trainWhere = "WHERE doc_id % 3 = 0",
+      scoreWhere = "WHERE doc_id % 3 <> 0")
 }

@@ -1266,6 +1266,48 @@ object Streaming {
     * invariant by construction — pinned in StreamingRobustnessSpec;
     * the oracle states the batching-free fixpoint with the batch
     * kernel's own CTEs. */
+  /** Model-based quality filtering AT INGEST — the streaming twin of
+    * q_text_classifier: the class-balanced logistic model trains ONCE
+    * on the static corpus split (doc_id % 3 = 0, "yesterday's corpus")
+    * and its 1-row weight frame broadcasts into every micro-batch;
+    * arriving docs get one stateless feature pass + the hard-sigmoid
+    * score. No state store, no retraining mid-stream — train offline,
+    * infer at the firehose (the fastText-filter deployment shape).
+    * Stateless per batch => batching-invariant by construction; the
+    * oracle replays training on the static split and states the scored
+    * fixpoint over the arriving split. */
+  def streamClassifier(s: SparkSession, d: String): DataFrame =
+    streamClassifierCounted(s, d, d, "documents.parquet", 0)._1
+
+  private[graft] def streamClassifierCounted(s: SparkSession, d: String,
+      srcDir: String, glob: String,
+      maxFilesPerTrigger: Int): (DataFrame, Int) = withStatePartitions(s, 8) {
+    import graft.api.Graft
+    val docs = graft.sources.Tables.documents(s, d)
+    val w = Graft.qualityClassifierFit(docs.filter(col("doc_id") % 3 === 0))
+    val out = new BatchAcc[DataFrame](null)
+    val applied = new BatchAcc[Int](0)
+    val reader = s.readStream.schema(docs.schema).option("pathGlobFilter", glob)
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    val q = reader.parquet(srcDir)
+      .filter(col("doc_id") % 3 =!= 0)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val scored = Graft.qualityScore(batch, w).localCheckpoint()
+        applied.set(applied.get + 1)
+        out.set(
+          if (out.get == null) scored else out.get.union(scored).localCheckpoint())
+      }
+      .start()
+    drain(q)
+    (if (out.get == null)
+      s.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0).as("y_heur"),
+        lit(0.0).as("score"), lit(false).as("flagged")).limit(0)
+    else out.get,
+      applied.get)
+  }
+
   def streamContainment(s: SparkSession, d: String): DataFrame =
     streamContainmentCounted(s, d, d, "documents.parquet", 0)._1
 
@@ -1592,6 +1634,18 @@ object Streaming {
         |WHERE d.doc_id % 3 <> 0
         |  AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)
         |""".stripMargin) { (s, d) => streamNearDup(s, d) },
+
+    // Model-based quality filter at ingest: the trained logistic model
+    // (q_text_classifier's trainer) fit ONCE on the static corpus
+    // split, broadcast into every micro-batch, arriving docs scored
+    // statelessly — batching-invariant by construction (spec-pinned);
+    // the oracle replays the training GD on the static split and
+    // states the scored fixpoint over the arriving split.
+    QueryDef(
+      "q_stream_classifier",
+      graft.functions.TextAnalysis.streamClassifierOracle) { (s, d) =>
+      streamClassifier(s, d)
+    },
 
     // Ingest-time containment filter: arriving docs dropped when >= 60%
     // of their shingles sit inside one static-corpus doc — the

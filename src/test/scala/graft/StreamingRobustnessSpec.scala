@@ -290,6 +290,33 @@ class StreamingRobustnessSpec extends SparkSpec {
     assert(out.count() == 0L)
   }
 
+  test("streamClassifier is batching-invariant and equals train-static/score-stream fixpoint") {
+    // inference is a stateless feature pass + a broadcast 1-row model,
+    // so arrival batching must be invisible; the fixpoint is the batch
+    // API trained on the static split, scoring the arriving split
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val arriving = docs.filter(col("doc_id") % 3 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_clf").toString
+    arriving.repartition(3).write.mode("overwrite").parquet(dir)
+    val (multi, applied) = Streaming.streamClassifierCounted(
+      spark, sf, dir, "*.parquet", maxFilesPerTrigger = 1)
+    assert(applied >= 2, s"expected a multi-batch run, got $applied batch(es)")
+    val (single, _) = Streaming.streamClassifierCounted(
+      spark, sf, sf, "documents.parquet", 0)
+    assert(multi.count() > 0)
+    assert(multi.exceptAll(single).isEmpty && single.exceptAll(multi).isEmpty,
+      "scored stream must be batching-invariant")
+    val w = graft.api.Graft.qualityClassifierFit(
+      docs.filter(col("doc_id") % 3 === 0))
+    val expected = graft.api.Graft.qualityScore(arriving, w)
+    assert(multi.exceptAll(expected).isEmpty && expected.exceptAll(multi).isEmpty,
+      "stream scoring must equal the batch-trained fixpoint")
+    // the filter is live on the arriving split: both verdicts present
+    val flagged = multi.filter(col("flagged")).count()
+    assert(flagged > 0 && flagged < multi.count(),
+      s"degenerate stream filter: $flagged of ${multi.count()} flagged")
+  }
+
   test("streamContainment is batching-invariant and equals the batch fixpoint") {
     // the ingest-time quote/excerpt filter is stateless per batch
     // (stream-static joins only), so output must not depend on arrival
