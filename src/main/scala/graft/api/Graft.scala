@@ -743,6 +743,49 @@ object Graft {
       .select(col("doc_id"), col("y").cast("int").as("y_heur"),
         col("p").as("score"), (col("p") >= 0.5).as("flagged"))
 
+  /** Greedy k-center diversity selection (Gonzalez's 2-approximation) —
+    * the COVERAGE sampler of a curation pipeline: pick the k mutually
+    * most-spread vectors (seed/eval-set selection, dedup-aware corpus
+    * summaries), the complement of [[semanticDedup]]'s redundancy drop.
+    * Deterministic end-to-end: the first center is the min md5-60 id,
+    * each next center is the point FARTHEST from its nearest chosen
+    * center (cosine distance 1 - cos; argmax with dist desc, id asc
+    * tie-break), so the DuckDB oracle replays every pick as a
+    * materialized stage and the emitted distances are bit-identical
+    * (the shared CosineSim fold).
+    *
+    * Scale shape: k sequential passes, each ONE corpus scan against the
+    * <= k-row broadcast center set, a map-side-combined per-point max,
+    * and a TakeOrdered(1) pick — O(n*k) cosines total, no pairwise
+    * product, no per-round shuffle of vectors. The greedy radius
+    * sequence is non-increasing (each added center only shrinks
+    * nearest-center distances) — property-pinned in spec. Returns
+    * (pick, id, mind) where mind is the covering radius when picked
+    * (NULL for the seed — no prior centers). */
+  def kcenter(vecs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k-center needs k >= 1")
+    val e = vecs.select(col("id"), col("vec")).localCheckpoint()
+    var centers = e
+      .orderBy(h60(concat(lit("kc:"), col("id").cast("string"))).asc, col("id").asc)
+      .limit(1)
+      .select(col("id").as("cid"), col("vec").as("cvec"),
+        lit(1).as("pick"), lit(null).cast("double").as("mind"))
+      .localCheckpoint()
+    (2 to k).foreach { t =>
+      val mind = e
+        .crossJoin(broadcast(centers.select(col("cvec"))))
+        .withColumn("cos", cosine(col("vec"), col("cvec")))
+        .groupBy("id").agg((lit(1.0) - max(col("cos"))).as("mind"))
+      val next = e.join(mind, Seq("id"))
+        .join(centers.select(col("cid").as("id")), Seq("id"), "left_anti")
+        .orderBy(col("mind").desc, col("id").asc).limit(1)
+        .select(col("id").as("cid"), col("vec").as("cvec"),
+          lit(t).as("pick"), col("mind"))
+      centers = centers.unionByName(next).loopCheckpoint()
+    }
+    centers.select(col("pick"), col("cid").as("id"), col("mind"))
+  }
+
   /** Product-quantization codebooks: an independent spherical k-means per
     * subspace over the sliced vectors, trained in ONE DataFrame program
     * (all subspaces iterate together — the per-round shuffles carry

@@ -1158,6 +1158,25 @@ object Sampling {
         "doc_id", "n_tokens", buckets = 16, step = 1000L)
     },
 
+    // Greedy k-center diversity selection (r12) — the COVERAGE sampler:
+    // pick the 8 mutually most-spread embedding vectors (Gonzalez's
+    // 2-approximation; seed/eval-set selection, the complement of
+    // semanticDedup's redundancy drop). Fully deterministic — md5-60
+    // seed, farthest-point argmax with (dist desc, id asc) tie-break,
+    // the shared CosineSim fold — so the oracle replays EVERY pick as a
+    // materialized stage and the emitted covering radii are
+    // bit-identical. Scale: k passes x one corpus scan against a <= k
+    // broadcast center set + TakeOrdered(1) — O(n*k) cosines, never
+    // pairwise. Non-increasing radius sequence property-pinned in
+    // GraftApiSpec.
+    QueryDef(
+      "q_sample_kcenter",
+      kcenterOracle(8)) { (s, d) =>
+      graft.api.Graft.kcenter(
+        embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 8)
+    },
+
     // Second end-to-end pipeline: the TRAINING-PREP chain (inject/redact
     // PII -> re-tokenize the redacted text -> quality floor -> next-fit
     // sequence packing). Composes q_text_pii_redact and q_text_pack
@@ -1579,5 +1598,35 @@ object Sampling {
       concat(col("c_name"), lit(" (copy)")).as("c_name"), col("c_nationkey"),
       col("c_acctbal"), col("c_mktsegment"), lit("I").as("op"))
     del.union(upd).union(ins)
+  }
+
+  /** DuckDB replay of [[graft.api.Graft.kcenter]]: the md5-60 seed, then
+    * every greedy pick as a MATERIALIZED stage — per-point nearest-center
+    * distance (1 - max cosine, the exact list_reduce fold CosineSim
+    * matches bit-for-bit), farthest-point argmax with (mind DESC, id ASC),
+    * centers accumulated by UNION ALL. */
+  private def kcenterOracle(k: Int): String = {
+    val cosEC =
+      """(list_reduce([e.v[i+1] * c.v[i+1] for i in range(0, len(e.v))], (acc, x) -> acc + x)
+        |      / (sqrt(list_reduce([x * x for x in e.v], (acc, y) -> acc + y))
+        |         * sqrt(list_reduce([x * x for x in c.v], (acc, y) -> acc + y))))""".stripMargin
+    def round(t: Int): String =
+      s"""m$t AS (
+         |  SELECT e.id, 1.0 - max($cosEC) AS mind
+         |  FROM e CROSS JOIN cs${t - 1} c GROUP BY e.id),
+         |n$t AS MATERIALIZED (
+         |  SELECT e.id, e.v, $t AS pick, m.mind
+         |  FROM e JOIN m$t m ON m.id = e.id
+         |  WHERE e.id NOT IN (SELECT id FROM cs${t - 1})
+         |  ORDER BY m.mind DESC, e.id ASC LIMIT 1),
+         |cs$t AS (SELECT * FROM cs${t - 1} UNION ALL SELECT * FROM n$t)""".stripMargin
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cs1 AS MATERIALIZED (
+       |  SELECT id, v, 1 AS pick, NULL::DOUBLE AS mind FROM e
+       |  ORDER BY ('0x' || substr(md5('kc:' || id::VARCHAR), 1, 15))::BIGINT ASC, id ASC
+       |  LIMIT 1),
+       |""".stripMargin +
+      (2 to k).map(round).mkString(",\n") + "\n" +
+      s"SELECT pick, id, mind FROM cs$k\n"
   }
 }

@@ -506,4 +506,33 @@ class GraftApiSpec extends SparkSpec {
     // node 2 is 2 hops from seed 0 but 1 hop from seed 5
     assert(got == Map(0L -> 0L, 5L -> 0L, 1L -> 1L, 2L -> 1L), s"got $got")
   }
+
+  test("kcenter: covers planted clusters, radii non-increasing, picks distinct") {
+    // three tight direction-clusters; k = 3 must land one center in
+    // EACH cluster (greedy farthest-point always crosses to the most
+    // underserved cluster before refining within one)
+    val base = Seq(
+      Array(1f, 0f, 0f), Array(0.99f, 0.01f, 0f), Array(0.98f, 0.02f, 0f),
+      Array(0f, 1f, 0f), Array(0.01f, 0.99f, 0f), Array(0f, 0.98f, 0.02f),
+      Array(0f, 0f, 1f), Array(0f, 0.01f, 0.99f))
+    val vecs = base.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "vec")
+    val picks = Graft.kcenter(vecs, k = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+      .sortBy(_._1)
+    assert(picks.map(_._2).distinct.length == 3, "centers must be distinct")
+    val cluster = (id: Long) => id / 3 // 0-2, 3-5, 6-7
+    assert(picks.map(p => cluster(p._2)).toSet.size == 3,
+      s"one center per planted cluster, got ${picks.toSeq}")
+    // the seed's radius is NULL; later radii never increase
+    assert(picks.head._3.isNaN)
+    val radii = picks.tail.map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"greedy radius sequence must be non-increasing: ${radii.toSeq}")
+    // fixture query sanity: k distinct picks, dense pick numbers
+    val fx = q("q_sample_kcenter").collect()
+    assert(fx.map(_.getInt(0)).sorted.sameElements(1 to 8))
+    assert(fx.map(_.getLong(1)).distinct.length == 8)
+  }
 }
