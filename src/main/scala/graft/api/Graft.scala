@@ -894,6 +894,87 @@ object Graft {
       .filter(col("rnk") <= topK)
   }
 
+  /** IVF+PQ — the production ANN architecture, composed from the two
+    * halves this engine already proves: the COARSE stage probes the
+    * `nprobe` nearest inverted-file cells (decimal-exact centroids of
+    * the corpus's cell column, the [[ivfProbe]] derivation), and the
+    * FINE stage ADC-scores ONLY the probed cells' members with the
+    * broadcast PQ lookup tables ([[pqSearch]]'s trained codebooks),
+    * then exact-reranks a constant shortlist. At 100 TB this is the
+    * index that fits: centroids broadcast (cells << corpus), codes are
+    * 4 bytes/vector, each query touches ~nprobe/cells of the CODES and
+    * never a raw vector until the shortlist rerank. Deterministic
+    * end-to-end (codebook training replayed by the oracle stage by
+    * stage), returns (q_id, n_id, rnk). */
+  def ivfPqSearch(corpus: DataFrame, queries: DataFrame, subspaces: Int,
+      subDim: Int, k: Int, iters: Int, nprobe: Int, topK: Int,
+      shortlist: Int = 50): DataFrame = {
+    // coarse: centroids + probes, exactly ivfProbe's derivation
+    val comp = corpus
+      .select(col("cell"), posexplode(col("vec")).as(Seq("i", "x")))
+      .groupBy("cell", "i")
+      .agg((graft.Exact.decOut(sum(col("x").cast("double").cast(
+        org.apache.spark.sql.types.DecimalType(38, 10)))) / count(lit(1))).as("c"))
+    val centroids = comp.groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell").asc)
+    val probes = queries.select(col("id").as("q_id"), col("vec").as("q_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col("q_vec"), col("cvec")))
+      .select(col("q_id"), col("cell"), row_number().over(wProbe).as("pr"))
+      .filter(col("pr") <= nprobe)
+    // candidate pairs: probed cells' members only — keys, never vectors
+    val cand = corpus.select(col("id").as("n_id"), col("cell"))
+      .join(broadcast(probes.select("q_id", "cell")), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select("q_id", "n_id")
+    // fine: PQ codebooks over the whole corpus (built offline, once)
+    def sliced(df: DataFrame): DataFrame =
+      df.select(col("id"), posexplode(
+        array((0 until subspaces).map(m =>
+          slice(col("vec"), m * subDim + 1, subDim)): _*)).as(Seq("m", "subvec")))
+    val (codes, books) = pqCodebooks(
+      sliced(corpus.select(col("id"), col("vec"))), subspaces, k, iters)
+    val booksN = books.withColumn("cn2",
+      graft.functions.VectorFunctions.norm2(col("cvec")))
+    val qn = queries.select(col("id").as("q_id"),
+      sqrt(graft.functions.VectorFunctions.norm2(col("vec"))).as("qn"))
+    val lut = sliced(queries).select(col("id").as("q_id"), col("m"), col("subvec"))
+      .join(booksN, Seq("m"))
+      .select(col("q_id"), col("m"), col("cell"),
+        graft.functions.VectorFunctions.dot(col("subvec"), col("cvec")).as("dotv"),
+        col("cn2"))
+    val dcols = (0 until subspaces).map(m =>
+      max(when(col("m") === m, col("dotv"))).as(s"d$m"))
+    val ncols = (0 until subspaces).map(m =>
+      max(when(col("m") === m, col("cn2"))).as(s"n$m"))
+    // ADC over candidates only: codes join the (q, n) pairs by id, then
+    // the per-(query, m, codeword) LUT row — probed members never read
+    // their raw vectors here
+    val scored = codes.select(col("m"), col("id").as("n_id"), col("cell"))
+      .join(cand, Seq("n_id"))
+      .join(broadcast(lut), Seq("q_id", "m", "cell"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(dcols.head, (dcols.tail ++ ncols): _*)
+      .join(broadcast(qn), Seq("q_id"))
+      .withColumn("score",
+        (0 until subspaces).map(m => col(s"d$m")).reduce(_ + _)
+          / (col("qn") * sqrt((0 until subspaces).map(m => col(s"n$m")).reduce(_ + _))))
+    val wShort = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id").asc)
+    val short = scored
+      .select(col("q_id"), col("n_id"), row_number().over(wShort).as("prnk"))
+      .filter(col("prnk") <= shortlist)
+    val wFinal = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    short
+      .join(corpus.select(col("id").as("n_id"), col("vec")), Seq("n_id"))
+      .join(broadcast(queries.select(col("id").as("q_id"), col("vec").as("q_vec"))),
+        Seq("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("vec")))
+      .select(col("q_id"), col("n_id"), row_number().over(wFinal).as("rnk"))
+      .filter(col("rnk") <= topK)
+  }
+
   // ---- sampling / splits ---------------------------------------------
 
   /** Deterministic 1-in-`rate` systematic sample by id hash. */

@@ -327,6 +327,28 @@ object Similarity {
         shortlist = 100)
     },
 
+    // IVF+PQ (r12) — the production ANN architecture, composing the two
+    // halves already proven separately: coarse probe of nprobe=3
+    // inverted-file cells (q_knn_ivf_probe's decimal-exact centroids),
+    // then ADC scoring of ONLY the probed cells' members against the
+    // broadcast PQ lookup tables (q_knn_pq's trained codebooks), exact
+    // rerank of a 50-candidate shortlist. The memory story at 100 TB:
+    // centroids broadcast, codes are subspaces bytes per vector, each
+    // query touches ~nprobe/cells of the CODES — raw vectors are read
+    // only for the shortlist rerank. The oracle replays codebook
+    // training, probing, candidate restriction, LUT build, and the
+    // fixed-order ADC sums stage by stage — ranks hash-exact.
+    QueryDef(
+      "q_knn_ivfpq",
+      ivfPqOracle(subspaces = 4, subDim = 16, k = 32, iters = 2,
+        nprobe = 3, topK = kNeighbors, nQ = nQueries, shortlist = 50)) { (s, d) =>
+      val emb = embeddings(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"), col("label").as("cell"))
+      graft.api.Graft.ivfPqSearch(emb, emb.filter(col("id") < nQueries),
+        subspaces = 4, subDim = 16, k = 32, iters = 2, nprobe = 3,
+        topK = kNeighbors, shortlist = 50)
+    },
+
     // Distributed spherical k-means (Lloyd, 3 rounds, k=8): the codebook
     // trainer for IVF and the clustering a curation pipeline balances
     // mixtures with. Fully deterministic (h60 seeds, decimal-exact
@@ -363,12 +385,14 @@ object Similarity {
     }
   )
 
-  /** DuckDB mirror of [[graft.api.Graft.pqSearch]]: slice, per-subspace
-    * seeds (same md5-60 order), `iters` grouped Lloyd rounds as
-    * materialized stages, final encoding, then the ADC score with the
-    * SAME fixed-order M-term sums — ranks must match hash-exactly. */
-  private def pqOracle(subspaces: Int, subDim: Int, k: Int, iters: Int,
-      topK: Int, nQ: Int, shortlist: Int): String = {
+  /** Shared CTE prefix of the PQ family: slice, per-subspace seeds (same
+    * md5-60 order), `iters` grouped Lloyd rounds as materialized stages,
+    * codebooks with norms, the query set, and the per-(query, m,
+    * codeword) LUT. Leaves `e` (with the coarse `cell` column), `sub`,
+    * `a$iters`, `books`, `qs`, `lut` defined; ends WITHOUT a trailing
+    * comma. */
+  private def pqStages(subspaces: Int, subDim: Int, k: Int, iters: Int,
+      nQ: Int): String = {
     def assign(t: Int, cents: String): String =
       s"""a$t AS MATERIALIZED (
          |  SELECT m, id, cell FROM (
@@ -384,13 +408,7 @@ object Similarity {
          |    CAST(round(sum(CAST(st.x AS DECIMAL(38,10))), 4) AS DOUBLE) / count(*) AS c
          |  FROM ex$t GROUP BY m, cell, st.i),
          |c$t AS MATERIALIZED (SELECT m, cell, list(c ORDER BY i) AS cvec FROM comp$t GROUP BY m, cell)""".stripMargin
-    val dsum = (0 until subspaces).map(m => s"d$m").reduce((a, b) => s"($a + $b)")
-    val nsum = (0 until subspaces).map(m => s"n$m").reduce((a, b) => s"($a + $b)")
-    val dcases = (0 until subspaces).map(m =>
-      s"max(CASE WHEN a.m = $m THEN l.dotv END) AS d$m").mkString(",\n    ")
-    val ncases = (0 until subspaces).map(m =>
-      s"max(CASE WHEN a.m = $m THEN l.cn2 END) AS n$m").mkString(",\n    ")
-    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id AS id, label AS cell, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sub AS (SELECT id, m, v[m*$subDim+1:(m+1)*$subDim] AS sv FROM e, range($subspaces) r(m)),
        |seeds AS (
        |  SELECT m, id AS cell, sv AS cvec FROM (
@@ -416,8 +434,25 @@ object Similarity {
          |    list_reduce([q.sv[i+1] * b.cvec[i+1] for i in range(0, len(q.sv))],
          |      (acc, x) -> acc + x) AS dotv,
          |    b.cn2
-         |  FROM qsub q JOIN books b ON b.m = q.m),
-         |parts AS (
+         |  FROM qsub q JOIN books b ON b.m = q.m)""".stripMargin
+  }
+
+  private def adcSums(subspaces: Int): (String, String, String, String) = (
+    (0 until subspaces).map(m => s"d$m").reduce((a, b) => s"($a + $b)"),
+    (0 until subspaces).map(m => s"n$m").reduce((a, b) => s"($a + $b)"),
+    (0 until subspaces).map(m =>
+      s"max(CASE WHEN a.m = $m THEN l.dotv END) AS d$m").mkString(",\n    "),
+    (0 until subspaces).map(m =>
+      s"max(CASE WHEN a.m = $m THEN l.cn2 END) AS n$m").mkString(",\n    "))
+
+  /** DuckDB mirror of [[graft.api.Graft.pqSearch]]: the shared PQ stages,
+    * then the ADC score over the WHOLE corpus with the SAME fixed-order
+    * M-term sums — ranks must match hash-exactly. */
+  private def pqOracle(subspaces: Int, subDim: Int, k: Int, iters: Int,
+      topK: Int, nQ: Int, shortlist: Int): String = {
+    val (dsum, nsum, dcases, ncases) = adcSums(subspaces)
+    pqStages(subspaces, subDim, k, iters, nQ) + ",\n" +
+      s"""parts AS (
          |  SELECT l.q_id, a.id AS n_id,
          |    $dcases,
          |    $ncases
@@ -431,6 +466,55 @@ object Similarity {
          |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
          |      ORDER BY score DESC, n_id ASC) AS prnk
          |    FROM scored WHERE n_id <> q_id) t
+         |  WHERE prnk <= $shortlist)
+         |SELECT q_id, n_id, rnk FROM (
+         |  SELECT s.q_id, s.n_id, CAST(row_number() OVER (PARTITION BY s.q_id
+         |    ORDER BY list_cosine_similarity(q.v, n.v) DESC, s.n_id ASC) AS INT) AS rnk
+         |  FROM short s JOIN qs q ON q.q_id = s.q_id JOIN e n ON n.id = s.n_id) t
+         |WHERE rnk <= $topK
+         |""".stripMargin
+  }
+
+  /** DuckDB mirror of [[graft.api.Graft.ivfPqSearch]]: the shared PQ
+    * stages, the coarse centroid/probe CTEs (q_knn_ivf_probe's own
+    * derivation), candidates restricted to probed cells, then the SAME
+    * ADC + exact-rerank tail over candidates only. */
+  private def ivfPqOracle(subspaces: Int, subDim: Int, k: Int, iters: Int,
+      nprobe: Int, topK: Int, nQ: Int, shortlist: Int): String = {
+    val (dsum, nsum, dcases, ncases) = adcSums(subspaces)
+    pqStages(subspaces, subDim, k, iters, nQ) + ",\n" +
+      s"""ccomp AS (
+         |  SELECT cell, st.i AS i,
+         |    CAST(round(sum(CAST(st.x AS DECIMAL(38,10))), 4) AS DOUBLE) / count(*) AS c
+         |  FROM (SELECT cell, unnest([{'i': i, 'x': v[i+1]} for i in range(0, len(v))]) AS st FROM e) u
+         |  GROUP BY cell, st.i),
+         |ccent AS (SELECT cell, list(c ORDER BY i) AS cvec FROM ccomp GROUP BY cell),
+         |probe AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY list_cosine_similarity(q.v, c.cvec) DESC, c.cell ASC) AS pr
+         |    FROM qs q CROSS JOIN ccent c) t
+         |  WHERE pr <= $nprobe),
+         |cand AS (
+         |  SELECT p.q_id, n.id AS n_id
+         |  FROM probe p JOIN e n ON n.cell = p.cell
+         |  WHERE n.id <> p.q_id),
+         |parts AS (
+         |  SELECT c.q_id, a.id AS n_id,
+         |    $dcases,
+         |    $ncases
+         |  FROM a$iters a JOIN cand c ON c.n_id = a.id
+         |  JOIN lut l ON l.q_id = c.q_id AND l.m = a.m AND l.cell = a.cell
+         |  GROUP BY c.q_id, a.id),
+         |scored AS (
+         |  SELECT p.q_id, p.n_id, $dsum / (q.qn * sqrt($nsum)) AS score
+         |  FROM parts p JOIN qs q ON q.q_id = p.q_id),
+         |short AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, n_id ASC) AS prnk
+         |    FROM scored) t
          |  WHERE prnk <= $shortlist)
          |SELECT q_id, n_id, rnk FROM (
          |  SELECT s.q_id, s.n_id, CAST(row_number() OVER (PARTITION BY s.q_id

@@ -197,7 +197,9 @@ object Plans {
     "q_mine_seqpat" ->
       "sequential motifs: the per-user lead(1)/lead(2) window partitions on user_id (millions of small partitions, the sessionize shape — no global sort); the motif aggregate map-side combines |user x motif| rows into <= |types|^3 groups; top-20 is TakeOrderedAndProject per-partition heaps",
     "q_text_classifier" ->
-      "trained quality filter: the feature relation is checkpointed once (documents read ONCE into five narrow doubles + label); each GD round is one map-side-combined aggregate (12 decimal sums) whose 1-row weight output crossJoin-broadcasts into the next scoring pass — no driver-side math, no collect, scoring is pure codegen arithmetic"
+      "trained quality filter: the feature relation is checkpointed once (documents read ONCE into five narrow doubles + label); each GD round is one map-side-combined aggregate (12 decimal sums) whose 1-row weight output crossJoin-broadcasts into the next scoring pass — no driver-side math, no collect, scoring is pure codegen arithmetic",
+    "q_knn_ivfpq" ->
+      "IVF+PQ composite: the coarse codebook (10 centroids) and the PQ lookup tables both BROADCAST; candidates are the probed cells' members joined by key, ADC scoring touches only their 4-byte codes (the per-(q, doc) pivot is one map-side-combined aggregate), and raw vectors are read solely for the constant-shortlist exact rerank — the memory shape that fits a 100 TB corpus's index in RAM"
   )
 
   def main(args: Array[String]): Unit = {

@@ -146,6 +146,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ recall@5 collapsed: $recall")
   }
 
+  test("IVF+PQ two-stage search: positive recall, shortlist confined to probed cells") {
+    val brute = q("q_knn_brute").select("q_id", "n_id")
+      .as[(Long, Long)].collect().toSet
+    val got = q("q_knn_ivfpq").select("q_id", "n_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty && got.map(_._1) == brute.map(_._1),
+      "every query must get IVF+PQ neighbors")
+    // every returned neighbor must come from a probed cell: results are
+    // a subset of the plain IVF-probe candidate set at the same nprobe
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label").as("cell"))
+    val ivfCand = graft.api.Graft.ivfProbe(emb, emb.filter(col("id") < 5),
+        k = Int.MaxValue - 1, nprobe = 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(ivfCand),
+      s"neighbors outside probed cells: ${got.diff(ivfCand).take(3)}")
+    // on the structureless synthetic vectors the nprobe=3-of-10 coarse
+    // restriction is the CEILING (true neighbors spread uniformly over
+    // cells; clustered real embeddings put them IN the probed cells,
+    // which is the whole IVF bet) — so the meaningful contract is
+    // relative: the PQ shortlist + exact rerank must recover most of
+    // what the probed cells actually contain (measured: 0.44/0.44 at
+    // sf0.01, i.e. the full ceiling)
+    val ceiling = brute.intersect(ivfCand)
+    assert(ceiling.nonEmpty, "probed cells hold none of the true top-5 — fixture degenerate")
+    val withinCells = got.intersect(ceiling).size.toDouble / ceiling.size
+    assert(withinCells >= 0.6,
+      s"PQ stage loses probed-cell neighbors: $withinCells of ${ceiling.size}")
+  }
+
   test("kmeans: total assignment, <= k live cells, cells are seed ids, deterministic") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
