@@ -762,6 +762,35 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_words"), sum("n").as("n_bpe_tokens"))
     },
 
+    // Tokenizer-equity report (r12): per-LANGUAGE fertility (BPE tokens
+    // per word), compression (bytes per BPE token), and the share of
+    // fully-merged single-token words, all under the corpus-trained BPE
+    // vocab — the metric suite a tokenizer eval runs before committing a
+    // vocab (fertility skew across languages = training-cost skew).
+    // Same scale shape as q_text_bpe_encode: the trained vocab
+    // broadcasts, the word stream aggregates map-side per language;
+    // all ratios are exact integer/integer double divisions. Oracle
+    // replays the Sennrich training rounds, then states the same
+    // per-lang aggregate.
+    QueryDef("q_text_fertility", fertilityOracle) { (s, d) =>
+      val docWords = documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      val vocab = graft.api.Graft.bpeTrain(
+        docWords.groupBy("w").agg(count(lit(1)).as("cnt")), BpeMerges)._2
+      docWords
+        .join(broadcast(
+          vocab.select(col("w"), size(col("syms")).cast("long").as("n"))), "w")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n").as("n_bpe_tokens"),
+          sum(octet_length(col("w")).cast("long")).as("n_bytes"),
+          sum(when(col("n") === 1L, 1L).otherwise(0L)).as("n_single"))
+        .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+          (col("n_bpe_tokens").cast("double") / col("n_words")).as("fertility"),
+          (col("n_bytes").cast("double") / col("n_bpe_tokens")).as("bytes_per_token"),
+          (col("n_single").cast("double") / col("n_words")).as("single_token_share"))
+    },
+
     // Readability scoring (Flesch reading ease) — the document-quality
     // signal next to length/punct/stopword ratios: words from the
     // shared tokenizer, sentences counted by terminal punctuation via
@@ -1057,6 +1086,24 @@ object TextAnalysis {
          |  FROM documents) d
          |JOIN w${BpeMerges + 1} f USING (w)
          |GROUP BY d.doc_id
+         |""".stripMargin
+
+  /** DuckDB mirror of q_text_fertility: the bpeStages training replay,
+    * then the per-language fertility/compression aggregate over the
+    * word stream joined with the final vocab. */
+  private def fertilityOracle: String =
+    bpeStages(BpeMerges) +
+      s"""SELECT d.lang, count(*)::BIGINT AS n_words,
+         |  SUM(len(f.syms))::BIGINT AS n_bpe_tokens,
+         |  SUM(len(f.syms))::DOUBLE / count(*) AS fertility,
+         |  SUM(strlen(d.w))::DOUBLE / SUM(len(f.syms)) AS bytes_per_token,
+         |  SUM(CASE WHEN len(f.syms) = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS single_token_share
+         |FROM (
+         |  SELECT lang,
+         |    unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS w
+         |  FROM documents) d
+         |JOIN w${BpeMerges + 1} f USING (w)
+         |GROUP BY d.lang
          |""".stripMargin
 
   /** DuckDB mirror of `Graft.bpeTrain(...)._1` — the learned rules. */
