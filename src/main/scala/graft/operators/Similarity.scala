@@ -199,6 +199,11 @@ object Similarity {
     // LSH separates); on clustered real embeddings at tau~0.9 the same
     // family is selective — the spec pins recall >= 0.95 AND candidate
     // fraction <= 5% on planted near-dups with a 12-bit/8-table member.
+    // Deployment rule (measured at the 10x stretch, BASELINE.md): with
+    // cand_frac ~0.82 this all-pairs form is quadratic — that exponent
+    // is the GEOMETRY's (>= 0.95 recall at tau ~ random IS brute
+    // force); at production tau the same family is near-linear, and
+    // bits/tables are caller-tunable on the VectorFunctions kernels.
     // Scale shape: only (id, t, b) keys shuffle through the candidate
     // join + distinct; vectors join back BY ID for the verify.
     // The oracle mirrors the whole index AND the cosine fold exactly
