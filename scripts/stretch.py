@@ -3,12 +3,22 @@
 sf dir K times with entity keys shifted by k*10^10, per BASELINE.md's
 sf1 spot-check recipe — document text gets a per-copy suffix on EVERY
 token (so copies are mutually dissimilar: zero shared shingles,
-cross-copy edit distance >= 2) and dup/near-dup structure grows
-LINEARLY. n_chars is recomputed from the rewritten text.
+cross-copy edit distance >= 2) and embeddings get a per-copy
+deterministic ORTHOGONAL transform (dimension permutation + sign
+flips, seeded by the copy index): within-copy geometry is preserved
+EXACTLY (every dot product / cosine unchanged), while cross-copy
+cosines drop to the random-pair level — so dup/near-dup and
+tau-neighbor structure grows LINEARLY for BOTH tables. (The r12
+version replicated vectors verbatim: with the 10^10 id shift = 0 mod
+50 the eval split (vec_id % 50 = 0) grew 10x with exact-duplicate
+vectors and every tau-pair multiplied ~100x — quadratic by fixture
+construction, not by engine shape.) n_chars is recomputed from the
+rewritten text.
 
 Usage: python3 scripts/stretch.py <src_sf_dir> <out_dir> <copies> [tables...]
 Default tables: documents embeddings
 """
+import random
 import sys
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -41,11 +51,27 @@ def stretch_embeddings(src, out, copies):
     t = pq.read_table(f"{src}/embeddings.parquet")
     d = t.to_pydict()
     ids, emb, lab = d["vec_id"], d["embedding"], d["label"]
+    dim = len(emb[0])
+    # per-copy orthogonal transform: permute dimensions + flip signs
+    # (copy 0 = identity). Orthogonal => within-copy cosines are exactly
+    # the base fixture's; cross-copy cosines are pseudo-random.
+    xforms = []
+    for k in range(copies):
+        rng = random.Random(1000 + k)
+        perm = list(range(dim))
+        if k > 0:
+            rng.shuffle(perm)
+        signs = [1.0] * dim if k == 0 else \
+            [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+        xforms.append((perm, signs))
     o_id, o_e, o_l = [], [], []
     for k in range(copies):
+        perm, signs = xforms[k]
         for i in range(len(ids)):
+            v = emb[i]
             o_id.append(ids[i] + k * SHIFT)
-            o_e.append(emb[i])
+            o_e.append(v if k == 0 else
+                       [signs[j] * v[perm[j]] for j in range(dim)])
             o_l.append(lab[i])
     pq.write_table(pa.table({
         "vec_id": pa.array(o_id, pa.int64()),

@@ -706,11 +706,23 @@ object Graft {
     import graft.Exact.dec
     def d6(c: Column): Column = round(c, 6).cast("double")
     val feat = qualityFeatures(docs).localCheckpoint()
-    var w: DataFrame = feat
-      .agg(sum(col("y")).as("nj"),
-        (count(lit(1)).cast("double") - sum(col("y"))).as("nc"))
+    // fail fast on a single-class corpus: nj or nc = 0 would make the
+    // class-balanced update divide by zero and silently emit NaN/Inf
+    // weights (every downstream score garbage). One driver-side read of
+    // the 1-row init aggregate — the documented loop-break pattern.
+    val counts = feat
+      .agg(coalesce(sum(col("y")), lit(0.0)).as("nj"),
+        (count(lit(1)).cast("double") - coalesce(sum(col("y")), lit(0.0)))
+          .as("nc"))
+      .head()
+    val (nj, nc) = (counts.getDouble(0), counts.getDouble(1))
+    require(nj > 0 && nc > 0,
+      s"qualityClassifierFit: class-balanced GD needs both classes present " +
+        s"(junk=$nj, clean=$nc) — an all-clean or all-junk corpus has " +
+        "nothing to train on")
+    var w: DataFrame = docs.sparkSession.range(1)
       .select(lit(0.01).as("b") +: qualityXs.map(x => lit(0.0).as(s"w_$x"))
-        :+ col("nj") :+ col("nc"): _*)
+        :+ lit(nj).as("nj") :+ lit(nc).as("nc"): _*)
     (1 to rounds).foreach { _ =>
       val p = qualityP(feat, w).withColumn("r", col("p") - col("y"))
       val carry = Seq(first(col("b")).as("b")) ++

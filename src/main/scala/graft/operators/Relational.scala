@@ -311,9 +311,13 @@ object Relational {
         |GROUP BY o_orderpriority
         |""".stripMargin) { (s, d) =>
       SkewJoin.saltedJoin(
-          lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+          lineitem(s, d).select("l_orderkey", "l_linenumber",
+            "l_extendedprice", "l_discount"),
           orders(s, d).select("o_orderkey", "o_orderpriority"),
-          "l_orderkey", "o_orderkey", salts = 8)
+          "l_orderkey", "o_orderkey", salts = 8,
+          // lineitem's PK: a retry-stable deterministic salt, no
+          // materialization of the big side (SkewJoin's 100 TB path)
+          uniqueKeys = Seq(col("l_orderkey"), col("l_linenumber")))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_lines"),
           decOut(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))))

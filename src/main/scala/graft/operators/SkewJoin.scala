@@ -22,22 +22,37 @@ object SkewJoin {
     Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
       "left_anti", "leftanti", "cross")
 
+  /** @param uniqueKeys columns that together uniquely identify a left row
+    *   (e.g. the table's primary key). When supplied, the salt is a pure
+    *   deterministic function of them — stable under task retries and
+    *   partial stage regeneration, no materialization, the 100 TB path.
+    *   When absent, the salt mixes in the row's physical position
+    *   (`monotonically_increasing_id`) so byte-identical duplicate rows
+    *   still spread, and the salted side is localCheckpoint'ed to FREEZE
+    *   the assignment: position is not stable across recomputation, so an
+    *   unfrozen partially regenerated map stage could re-salt rows that
+    *   reducers already fetched (SPARK-23207-shaped duplicate/lost rows).
+    *   Prefer passing `uniqueKeys` when the left side is large. */
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
-      rightKey: String, salts: Int, joinType: String = "inner"): DataFrame = {
+      rightKey: String, salts: Int, joinType: String = "inner",
+      uniqueKeys: Seq[Column] = Nil): DataFrame = {
     require(supportedTypes.contains(joinType.toLowerCase.replace(" ", "")),
       s"saltedJoin supports inner/left-side join types only, got '$joinType' " +
         "(right/full outer would duplicate unmatched right rows per salt)")
-    // salt = hash of the whole left row + the row's physical position
-    // (monotonically_increasing_id = partition id << 33 | record index):
-    // byte-identical duplicate rows — the pathological hot key — still
-    // spread across salts instead of collapsing onto one reducer. The
-    // salt never reaches the output, and every salt value meets the same
-    // replicated right rows, so ANY assignment (including a different
-    // one after a task retry) yields the identical join result.
+    // The salt never reaches the output, and every salt value meets the
+    // same replicated right rows, so any FIXED assignment yields the
+    // identical join result; the two branches differ only in how the
+    // assignment is kept fixed on a real cluster (see @param above).
     val leftCols = left.columns.toIndexedSeq.map(col)
-    val salted = left.withColumn("__salt",
-      pmod(xxhash64(leftCols: _*) + monotonically_increasing_id(),
-        lit(salts)).cast("int"))
+    val salted =
+      if (uniqueKeys.nonEmpty)
+        left.withColumn("__salt",
+          pmod(xxhash64(uniqueKeys: _*), lit(salts)).cast("int"))
+      else
+        left.withColumn("__salt",
+          pmod(xxhash64(leftCols: _*) + monotonically_increasing_id(),
+            lit(salts)).cast("int"))
+          .localCheckpoint()
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated,

@@ -1250,22 +1250,6 @@ object Streaming {
     else kept.get
   }
 
-  /** Ingest-time containment (quote/excerpt) filter — the streaming twin
-    * of q_dedup_containment, sharing `Graft.containmentPairs`' rare/hot
-    * decomposition: the STATIC corpus side (doc_id % 3 = 0) builds the
-    * df <= 64 rare-shingle inverted index and its hot complement ONCE
-    * (checkpointed); each arriving micro-batch is shingled in-flight,
-    * candidates come from the rare-index equi-join only, and the exact
-    * intersection decomposes as inter = inter_rare + inter_hot with the
-    * hot complement probed only for found candidates — no per-doc
-    * arrays ship, the corpus index never rebuilds. An arriving doc is
-    * DROPPED when >= 0.6 of its shingles sit inside one corpus doc (the
-    * asymmetric quote rule; dividing by the ARRIVING doc's shingle
-    * count is what makes it the ingest-time excerpt filter). Stateless
-    * per batch (stream-static joins only), so output is batching-
-    * invariant by construction — pinned in StreamingRobustnessSpec;
-    * the oracle states the batching-free fixpoint with the batch
-    * kernel's own CTEs. */
   /** Model-based quality filtering AT INGEST — the streaming twin of
     * q_text_classifier: the class-balanced logistic model trains ONCE
     * on the static corpus split (doc_id % 3 = 0, "yesterday's corpus")
@@ -1308,6 +1292,22 @@ object Streaming {
       applied.get)
   }
 
+  /** Ingest-time containment (quote/excerpt) filter — the streaming twin
+    * of q_dedup_containment, sharing `Graft.containmentPairs`' rare/hot
+    * decomposition: the STATIC corpus side (doc_id % 3 = 0) builds the
+    * df <= 64 rare-shingle inverted index and its hot complement ONCE
+    * (checkpointed); each arriving micro-batch is shingled in-flight,
+    * candidates come from the rare-index equi-join only, and the exact
+    * intersection decomposes as inter = inter_rare + inter_hot with the
+    * hot complement probed only for found candidates — no per-doc
+    * arrays ship, the corpus index never rebuilds. An arriving doc is
+    * DROPPED when >= 0.6 of its shingles sit inside one corpus doc (the
+    * asymmetric quote rule; dividing by the ARRIVING doc's shingle
+    * count is what makes it the ingest-time excerpt filter). Stateless
+    * per batch (stream-static joins only), so output is batching-
+    * invariant by construction — pinned in StreamingRobustnessSpec;
+    * the oracle states the batching-free fixpoint with the batch
+    * kernel's own CTEs. */
   def streamContainment(s: SparkSession, d: String): DataFrame =
     streamContainmentCounted(s, d, d, "documents.parquet", 0)._1
 

@@ -21,6 +21,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("salted join with uniqueKeys (retry-stable deterministic salt) == plain join") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select("l_orderkey", "l_partkey", "o_totalprice")
+    val salted = SkewJoin.saltedJoin(li, o, "l_orderkey", "o_orderkey",
+        salts = 7, uniqueKeys = Seq(col("l_orderkey"), col("l_linenumber")))
+      .select("l_orderkey", "l_partkey", "o_totalprice")
+    assert(plain.count() == salted.count())
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
   test("salted join spreads a hot key of byte-identical rows across salts") {
     // r11 finding: salting by xxhash64 of the row alone collapses
     // duplicate rows onto ONE salt — the exact hot-key shape salting
