@@ -608,7 +608,19 @@ object Graft {
     * clusters precisely so cells stay constant-size); centroids broadcast
     * (k rows), members shuffle once on cell, and the pairwise cosine is
     * the codegen'd [[graft.functions.CosineSim]] — no interpreted HOF in
-    * the hot loop. Returns kept rows `(id, cell)`. */
+    * the hot loop. Returns kept rows `(id, cell)`.
+    *
+    * RECALL CONTRACT (measured, SimilarityRecallSpec): within-cell
+    * pruning cannot see a cross-cell near-dup pair — by construction.
+    * How many pairs cross cells is set by where `tau` sits relative to
+    * the data's random-pair cosine: at cos ~0.95 planted near-dups,
+    * >= 0.9 of pairs share a cell (spec-pinned — the regime SemDeDup is
+    * built for); at the fixture's tau = 0.35 ~ barely above random,
+    * only a measured 0.338 do (spec-pinned floor 0.3) — an adversarial
+    * regime where no centroid partition separates, same frontier as the
+    * SRP index family. The k knob trades the other way: more, smaller
+    * cells cut candidate volume but split MORE tau-pairs — a k bump
+    * that drops below the pinned floors fails the spec, not silently. */
   def semanticDedup(vecs: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
     val (assigned, cents) = kmeansFit(vecs, k, iters)
     val wR = Window.partitionBy("cell").orderBy(col("central").desc, col("id").asc)
@@ -769,9 +781,14 @@ object Graft {
     * Scale shape: k sequential passes, each ONE corpus scan against the
     * <= k-row broadcast center set, a map-side-combined per-point max,
     * and a TakeOrdered(1) pick — O(n*k) cosines total, no pairwise
-    * product, no per-round shuffle of vectors. The greedy radius
-    * sequence is non-increasing (each added center only shrinks
-    * nearest-center distances) — property-pinned in spec. Returns
+    * product, no per-round shuffle of vectors. The k SEQUENTIAL
+    * driver-coordinated rounds are inherent to greedy Gonzalez: fine at
+    * k = 8, but at k = 10^4 (coreset building) the driver round-trips
+    * over the full corpus dominate — use [[kcenterSampled]] there,
+    * which runs the same greedy over an O(k log k) pre-sample and
+    * audits the true covering radius in one final corpus pass. The
+    * greedy radius sequence is non-increasing (each added center only
+    * shrinks nearest-center distances) — property-pinned in spec. Returns
     * (pick, id, mind) where mind is the covering radius when picked
     * (NULL for the seed — no prior centers). */
   def kcenter(vecs: DataFrame, k: Int): DataFrame = {
@@ -796,6 +813,47 @@ object Graft {
       centers = centers.unionByName(next).loopCheckpoint()
     }
     centers.select(col("pick"), col("cid").as("id"), col("mind"))
+  }
+
+  /** [[kcenter]] for LARGE k — the coreset variant. Exact greedy is k
+    * sequential driver-coordinated jobs, each a full corpus scan: fine
+    * at k = 8, driver-round-trip-bound at k = 10^4 (coreset building).
+    * This runs the SAME greedy over a deterministic uniform pre-sample
+    * of m = sampleFactor * k * (ceil(log2 k) + 1) rows (the O(k log k)
+    * size at which every optimal cluster of mass >= n/m is hit w.h.p.
+    * under uniform sampling), so each of the k rounds scans m rows
+    * instead of n — the corpus is touched exactly TWICE: once by the
+    * h60 TakeOrdered sample, once by the final covering-radius AUDIT
+    * pass (one scan against the broadcast k centers, max over
+    * per-point nearest-center distances). The audit is what keeps the
+    * approximation honest: the returned `audit_radius` (same value on
+    * every row) is the TRUE full-corpus covering radius of the sampled
+    * picks — a caller with a radius budget checks it and re-runs with a
+    * larger sampleFactor when exceeded, instead of trusting the
+    * sample's internal radius. Sampling can miss a tiny far-out
+    * cluster (mass < n/m) — that miss shows up IN audit_radius, never
+    * silently. Deterministic end-to-end (h60 sample, the exact-greedy
+    * tie-breaks inside). Returns (pick, id, mind, audit_radius); mind
+    * is the within-sample radius when picked (NULL for the seed). */
+  def kcenterSampled(vecs: DataFrame, k: Int, sampleFactor: Int = 4): DataFrame = {
+    require(k >= 1, "k-center needs k >= 1")
+    require(sampleFactor >= 1, "sampleFactor >= 1")
+    val log2k = math.ceil(math.log(math.max(k, 2).toDouble) / math.log(2.0)).toInt
+    val m = sampleFactor * k * (log2k + 1)
+    val sample = vecs.select(col("id"), col("vec"))
+      .orderBy(h60(concat(lit("kcs:"), col("id").cast("string"))).asc,
+        col("id").asc)
+      .limit(m)
+      .localCheckpoint() // the k greedy rounds read THIS, never the corpus
+    val picks = kcenter(sample, k)
+    val cvecs = sample.join(broadcast(picks.select(col("id"))), Seq("id"))
+      .select(col("vec").as("cvec"))
+    val audit = vecs.select(col("id"), col("vec"))
+      .crossJoin(broadcast(cvecs))
+      .withColumn("cos", cosine(col("vec"), col("cvec")))
+      .groupBy("id").agg((lit(1.0) - max(col("cos"))).as("d"))
+      .agg(max(col("d")).as("audit_radius"))
+    picks.crossJoin(broadcast(audit))
   }
 
   /** Product-quantization codebooks: an independent spherical k-means per

@@ -535,4 +535,35 @@ class GraftApiSpec extends SparkSpec {
     assert(fx.map(_.getInt(0)).sorted.sameElements(1 to 8))
     assert(fx.map(_.getLong(1)).distinct.length == 8)
   }
+
+  test("kcenterSampled: audited covering radius within factor of exact greedy") {
+    // the large-k variant must stay a k-center: its AUDITED full-corpus
+    // covering radius (computed by the function itself in one corpus
+    // pass) lands within a small factor of exact greedy's — on the 500
+    // near-orthogonal fixture vectors a blowup would mean the sample
+    // missed whole regions, the failure mode the audit pass exists to
+    // surface. Exact greedy is itself a 2-approximation of optimal, so
+    // factor-2 over it bounds the sampled picks at 4x optimal.
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def radius(centerIds: Seq[Long]): Double = {
+      val cv = vecs.filter(col("id").isInCollection(centerIds))
+        .select(col("vec").as("cvec"))
+      vecs.crossJoin(broadcast(cv))
+        .withColumn("cos", graft.functions.VectorFunctions.cosine(col("vec"), col("cvec")))
+        .groupBy("id").agg((lit(1.0) - max(col("cos"))).as("d"))
+        .agg(max(col("d"))).as[Double].head()
+    }
+    val exact = Graft.kcenter(vecs, k = 8).select("id").as[Long].collect()
+    val exactR = radius(exact.toSeq)
+    val sampled = Graft.kcenterSampled(vecs, k = 8).collect()
+    assert(sampled.length == 8)
+    assert(sampled.map(_.getLong(1)).distinct.length == 8, "picks distinct")
+    val auditR = sampled.head.getDouble(3)
+    // the audit column must BE the true covering radius of the picks
+    val trueR = radius(sampled.map(_.getLong(1)).toSeq)
+    assert(math.abs(auditR - trueR) < 1e-12, s"audit $auditR vs recomputed $trueR")
+    assert(auditR <= 2.0 * exactR,
+      s"sampled covering radius $auditR vs exact greedy $exactR")
+  }
 }

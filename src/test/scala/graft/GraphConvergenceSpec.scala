@@ -94,6 +94,36 @@ class GraphConvergenceSpec extends SparkSpec {
       s"extra rounds still shuffle: rounds=2 wrote $recShort, rounds=12 wrote $recLong")
   }
 
+  test("property: on random graphs (n = 10..10^3) ledger-break implies label fixpoint") {
+    // the two-stall Louvain proof must survive refactors of the gate
+    // plumbing on graphs with no planted structure: for a deterministic
+    // random family, once the ledger has frozen the loop, ONE EXTRA
+    // ROUND is the identity — labels(R) == labels(R+1), exactly the
+    // fixpoint the ledger claims. Seeds are fixed, so this is a stable
+    // property, not a flake: any future gate change that breaks the
+    // loop too early (labels still moving) or fails to freeze it
+    // (nondeterministic tie handling drifting between R and R+1 on a
+    // converged input) lands here.
+    for (n <- Seq(10, 100, 1000)) {
+      val rnd = new scala.util.Random(7 * n + 1)
+      val m = 3 * n
+      val edges = (0 until m).map { _ =>
+        val a = rnd.nextInt(n); var b = rnd.nextInt(n)
+        while (b == a) b = rnd.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.distinct.toDF("a", "b").localCheckpoint()
+      val seed = (0L until n.toLong).map(v => (v, v)).toDF("v", "lbl")
+        .localCheckpoint()
+      val r = Graft.louvainMove(seed, edges, rounds = 10)
+        .as[(Long, Long)].collect().sorted
+      val r1 = Graft.louvainMove(seed, edges, rounds = 11)
+        .as[(Long, Long)].collect().sorted
+      assert(r.sameElements(r1),
+        s"n=$n: labels changed between rounds 10 and 11 — ledger broke " +
+          "before the fixpoint (or failed to freeze a converged loop)")
+    }
+  }
+
   test("the ledger never fires early: an improvable graph still converges to the gated result") {
     // a pendant chain hanging off one clique: moves DO fire in early
     // sweeps; long and short runs must agree once both have converged
