@@ -122,7 +122,7 @@ object Aggregates {
 
     // Bivariate statistics: sample covariance and least-squares slope/
     // intercept, floor-scaled to micro-units like q_agg_stats_moments.
-    // bench=false: correctness-only breadth.
+    // Timed since r13 (exclusions must be recorded or removed).
     QueryDef(
       "q_agg_regression",
       (s: org.apache.spark.sql.SparkSession, d: String) => {
@@ -141,12 +141,11 @@ object Aggregates {
         |  CAST(floor(regr_slope(l_extendedprice, l_quantity) * 1000000) AS BIGINT) AS slope_u,
         |  CAST(floor(regr_intercept(l_extendedprice, l_quantity) * 1000000) AS BIGINT) AS icept_u
         |FROM lineitem GROUP BY 1
-        |""".stripMargin),
-      bench = false),
+        |""".stripMargin)),
 
     // Mode (most frequent value) per group, deterministic under ties via
     // max(struct(count, value)) — one extra aggregation, no window.
-    // bench=false: correctness-only breadth (keeps the bench line small).
+    // Timed since r13 (exclusions must be recorded or removed).
     QueryDef(
       "q_agg_mode",
       (s: org.apache.spark.sql.SparkSession, d: String) => {
@@ -164,8 +163,7 @@ object Aggregates {
         |      ORDER BY count(*) DESC, l_quantity DESC) AS rn
         |  FROM lineitem GROUP BY l_returnflag, l_quantity) t
         |WHERE rn = 1
-        |""".stripMargin),
-      bench = false),
+        |""".stripMargin)),
 
     // Weighted average: decimal-exact numerator and denominator, one
     // final double division — the quantity-weighted price per flag.

@@ -51,18 +51,18 @@ object Sampling {
     QueryDef(
       "q_text_tfidf",
       """WITH tok AS (
-        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
-        |n AS (SELECT count(*) AS n FROM documents)
-        |SELECT doc_id, term, rnk FROM (
-        |  SELECT tf.doc_id, tf.term,
-        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
-        |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.term ASC) AS INT) AS rnk
-        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n) t
-        |WHERE rnk <= 3
-        |""".stripMargin) { (s, d) =>
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, term, rnk FROM (
+  SELECT tf.doc_id, tf.term,
+    CAST(row_number() OVER (PARTITION BY tf.doc_id
+      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.term ASC) AS INT) AS rnk
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n) t
+WHERE rnk <= 3
+""".stripMargin) { (s, d) =>
       graft.api.Graft.tfidfTopTerms(documents(s, d), "doc_id", "text", k = 3)
     },
 
@@ -76,13 +76,13 @@ object Sampling {
           s"((xk >> $i) & 1) * ${1L << (2 * i)} + ((yk >> $i) & 1) * ${1L << (2 * i + 1)}")
           .mkString(" + ")
         s"""WITH k AS (
-           |  SELECT l_orderkey, l_linenumber,
-           |    l_orderkey % 1024 AS xk, l_partkey % 1024 AS yk
-           |  FROM lineitem WHERE l_orderkey < 2000)
-           |SELECT l_orderkey, l_linenumber, xk, yk, $terms AS zkey,
-           |  ($terms) // 16384 AS zbucket
-           |FROM k
-           |""".stripMargin
+     SELECT l_orderkey, l_linenumber,
+       l_orderkey % 1024 AS xk, l_partkey % 1024 AS yk
+     FROM lineitem WHERE l_orderkey < 2000)
+   SELECT l_orderkey, l_linenumber, xk, yk, $terms AS zkey,
+     ($terms) // 16384 AS zbucket
+   FROM k
+   """.stripMargin
       }) { (s, d) =>
       val withKeys = lineitem(s, d)
         .filter(col("l_orderkey") < 2000)
@@ -111,26 +111,26 @@ object Sampling {
           s"((xk >> $i) & 1) * ${1L << (2 * i)} + ((yk >> $i) & 1) * ${1L << (2 * i + 1)}")
           .mkString(" + ")
         s"""WITH k AS (
-           |  SELECT l_partkey % 1024 AS xk, l_suppkey % 1024 AS yk
-           |  FROM lineitem),
-           |c AS (SELECT xk, yk, ($terms) // 4096 AS chunk FROM k),
-           |z AS (
-           |  SELECT chunk, min(xk) AS min_xk, max(xk) AS max_xk,
-           |    min(yk) AS min_yk, max(yk) AS max_yk,
-           |    count(*)::BIGINT AS n_rows,
-           |    sum(CASE WHEN xk BETWEEN 96 AND 159 AND yk BETWEEN 2 AND 5
-           |             THEN 1 ELSE 0 END)::BIGINT AS n_match
-           |  FROM c GROUP BY chunk),
-           |kz AS (SELECT *,
-           |  NOT (max_xk < 96 OR min_xk > 159 OR max_yk < 2 OR min_yk > 5) AS kept
-           |  FROM z)
-           |SELECT count(*)::BIGINT AS n_chunks,
-           |  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_chunks_kept,
-           |  sum(n_rows)::BIGINT AS n_rows,
-           |  sum(CASE WHEN kept THEN n_rows ELSE 0 END)::BIGINT AS n_rows_scanned,
-           |  sum(CASE WHEN kept THEN n_match ELSE 0 END)::BIGINT AS n_rows_matched
-           |FROM kz
-           |""".stripMargin
+     SELECT l_partkey % 1024 AS xk, l_suppkey % 1024 AS yk
+     FROM lineitem),
+   c AS (SELECT xk, yk, ($terms) // 4096 AS chunk FROM k),
+   z AS (
+     SELECT chunk, min(xk) AS min_xk, max(xk) AS max_xk,
+       min(yk) AS min_yk, max(yk) AS max_yk,
+       count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN xk BETWEEN 96 AND 159 AND yk BETWEEN 2 AND 5
+                THEN 1 ELSE 0 END)::BIGINT AS n_match
+     FROM c GROUP BY chunk),
+   kz AS (SELECT *,
+     NOT (max_xk < 96 OR min_xk > 159 OR max_yk < 2 OR min_yk > 5) AS kept
+     FROM z)
+   SELECT count(*)::BIGINT AS n_chunks,
+     sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_chunks_kept,
+     sum(n_rows)::BIGINT AS n_rows,
+     sum(CASE WHEN kept THEN n_rows ELSE 0 END)::BIGINT AS n_rows_scanned,
+     sum(CASE WHEN kept THEN n_match ELSE 0 END)::BIGINT AS n_rows_matched
+   FROM kz
+   """.stripMargin
       }) { (s, d) =>
       val k = lineitem(s, d).select(
         (col("l_partkey") % 1024).as("xk"), (col("l_suppkey") % 1024).as("yk"))
@@ -172,41 +172,41 @@ object Sampling {
     QueryDef(
       "q_layout_bloomskip",
       """WITH ch AS (
-        |  SELECT l_orderkey // 64 AS chunk, l_partkey FROM lineitem),
-        |keys AS (SELECT DISTINCT chunk, l_partkey FROM ch),
-        |pos AS (
-        |  SELECT chunk,
-        |    ('0x' || substr(md5('bl' || i::VARCHAR || ':' || l_partkey::VARCHAR), 1, 15))::BIGINT % 1008 AS p
-        |  FROM keys, UNNEST([0, 1, 2]) u(i)),
-        |bloom AS (
-        |  SELECT chunk, p // 63 AS word, bit_or(1::BIGINT << (p % 63)::INTEGER) AS bits
-        |  FROM pos GROUP BY 1, 2),
-        |nrows AS (SELECT chunk, count(*)::BIGINT AS n_rows FROM ch GROUP BY chunk),
-        |probe AS (SELECT unnest([7, 501, 1203, 1999]) AS pk),
-        |ppos AS (
-        |  SELECT pk, i,
-        |    ('0x' || substr(md5('bl' || i::VARCHAR || ':' || pk::VARCHAR), 1, 15))::BIGINT % 1008 AS p
-        |  FROM probe, UNNEST([0, 1, 2]) u(i)),
-        |cand AS (
-        |  SELECT pk, chunk FROM (
-        |    SELECT pp.pk, b.chunk, count(*) AS hits3
-        |    FROM ppos pp JOIN bloom b ON b.word = pp.p // 63
-        |    WHERE (b.bits >> (pp.p % 63)::INTEGER) & 1 = 1
-        |    GROUP BY pp.pk, b.chunk) x WHERE hits3 = 3),
-        |truth AS (
-        |  SELECT pk, chunk, count(*)::BIGINT AS n_hits
-        |  FROM probe JOIN ch ON ch.l_partkey = pk GROUP BY pk, chunk)
-        |SELECT c.pk AS probe_key,
-        |  (SELECT count(*) FROM nrows)::BIGINT AS n_chunks,
-        |  count(*)::BIGINT AS n_cand_chunks,
-        |  count(t.chunk)::BIGINT AS n_true_chunks,
-        |  sum(nr.n_rows)::BIGINT AS n_rows_scanned,
-        |  coalesce(sum(t.n_hits), 0)::BIGINT AS n_hits
-        |FROM cand c
-        |JOIN nrows nr ON nr.chunk = c.chunk
-        |LEFT JOIN truth t ON t.pk = c.pk AND t.chunk = c.chunk
-        |GROUP BY c.pk
-        |""".stripMargin) { (s, d) =>
+  SELECT l_orderkey // 64 AS chunk, l_partkey FROM lineitem),
+keys AS (SELECT DISTINCT chunk, l_partkey FROM ch),
+pos AS (
+  SELECT chunk,
+    ('0x' || substr(md5('bl' || i::VARCHAR || ':' || l_partkey::VARCHAR), 1, 15))::BIGINT % 1008 AS p
+  FROM keys, UNNEST([0, 1, 2]) u(i)),
+bloom AS (
+  SELECT chunk, p // 63 AS word, bit_or(1::BIGINT << (p % 63)::INTEGER) AS bits
+  FROM pos GROUP BY 1, 2),
+nrows AS (SELECT chunk, count(*)::BIGINT AS n_rows FROM ch GROUP BY chunk),
+probe AS (SELECT unnest([7, 501, 1203, 1999]) AS pk),
+ppos AS (
+  SELECT pk, i,
+    ('0x' || substr(md5('bl' || i::VARCHAR || ':' || pk::VARCHAR), 1, 15))::BIGINT % 1008 AS p
+  FROM probe, UNNEST([0, 1, 2]) u(i)),
+cand AS (
+  SELECT pk, chunk FROM (
+    SELECT pp.pk, b.chunk, count(*) AS hits3
+    FROM ppos pp JOIN bloom b ON b.word = pp.p // 63
+    WHERE (b.bits >> (pp.p % 63)::INTEGER) & 1 = 1
+    GROUP BY pp.pk, b.chunk) x WHERE hits3 = 3),
+truth AS (
+  SELECT pk, chunk, count(*)::BIGINT AS n_hits
+  FROM probe JOIN ch ON ch.l_partkey = pk GROUP BY pk, chunk)
+SELECT c.pk AS probe_key,
+  (SELECT count(*) FROM nrows)::BIGINT AS n_chunks,
+  count(*)::BIGINT AS n_cand_chunks,
+  count(t.chunk)::BIGINT AS n_true_chunks,
+  sum(nr.n_rows)::BIGINT AS n_rows_scanned,
+  coalesce(sum(t.n_hits), 0)::BIGINT AS n_hits
+FROM cand c
+JOIN nrows nr ON nr.chunk = c.chunk
+LEFT JOIN truth t ON t.pk = c.pk AND t.chunk = c.chunk
+GROUP BY c.pk
+""".stripMargin) { (s, d) =>
       val ch = lineitem(s, d)
         .select(expr("l_orderkey div 64").as("chunk"), col("l_partkey"))
       val bloom = graft.api.Graft.bloomChunkIndex(
@@ -255,31 +255,31 @@ object Sampling {
         Seq("l_returnflag", "l_linestatus", "l_quantity", "l_partkey",
           "l_orderkey").map { c =>
           s"""  SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
-             |    count(DISTINCT $c)::BIGINT AS n_distinct,
-             |    sum(run_start)::BIGINT AS n_runs
-             |  FROM (
-             |    SELECT CASE WHEN lag($c) OVER (PARTITION BY l_orderkey // 64
-             |                  ORDER BY l_orderkey, l_linenumber, $c)
-             |                IS DISTINCT FROM $c THEN 1 ELSE 0 END AS run_start, $c
-             |    FROM lineitem) r""".stripMargin
+         count(DISTINCT $c)::BIGINT AS n_distinct,
+         sum(run_start)::BIGINT AS n_runs
+       FROM (
+         SELECT CASE WHEN lag($c) OVER (PARTITION BY l_orderkey // 64
+                       ORDER BY l_orderkey, l_linenumber, $c)
+                     IS DISTINCT FROM $c THEN 1 ELSE 0 END AS run_start, $c
+         FROM lineitem) r""".stripMargin
         }.mkString("\nUNION ALL\n") +
       """),
-        |sized AS (
-        |  SELECT col_name, n_rows, n_distinct, n_runs,
-        |    greatest(1, length(bin(n_distinct - 1)))::BIGINT AS code_bits,
-        |    (n_rows * 64)::BIGINT AS est_plain_bits
-        |  FROM agg),
-        |est AS (
-        |  SELECT col_name, n_rows, n_distinct, n_runs, est_plain_bits,
-        |    (n_distinct * 64 + n_rows * code_bits)::BIGINT AS est_dict_bits,
-        |    (n_distinct * 64 + n_runs * (code_bits + 32))::BIGINT AS est_rle_bits
-        |  FROM sized)
-        |SELECT col_name, n_rows, n_distinct, n_runs, est_plain_bits, est_dict_bits, est_rle_bits,
-        |  CASE WHEN est_rle_bits <= est_dict_bits AND est_rle_bits <= est_plain_bits THEN 'rle_dict'
-        |       WHEN est_dict_bits <= est_plain_bits THEN 'dict'
-        |       ELSE 'plain' END AS recommended
-        |FROM est
-        |""".stripMargin) { (s, d) =>
+sized AS (
+  SELECT col_name, n_rows, n_distinct, n_runs,
+    greatest(1, length(bin(n_distinct - 1)))::BIGINT AS code_bits,
+    (n_rows * 64)::BIGINT AS est_plain_bits
+  FROM agg),
+est AS (
+  SELECT col_name, n_rows, n_distinct, n_runs, est_plain_bits,
+    (n_distinct * 64 + n_rows * code_bits)::BIGINT AS est_dict_bits,
+    (n_distinct * 64 + n_runs * (code_bits + 32))::BIGINT AS est_rle_bits
+  FROM sized)
+SELECT col_name, n_rows, n_distinct, n_runs, est_plain_bits, est_dict_bits, est_rle_bits,
+  CASE WHEN est_rle_bits <= est_dict_bits AND est_rle_bits <= est_plain_bits THEN 'rle_dict'
+       WHEN est_dict_bits <= est_plain_bits THEN 'dict'
+       ELSE 'plain' END AS recommended
+FROM est
+""".stripMargin) { (s, d) =>
       val li = lineitem(s, d)
       // one native-typed leg per column: the column's own lag window
       // partitioned by chunk with the (o1, o2, value) tie-break —
@@ -333,11 +333,11 @@ object Sampling {
     QueryDef(
       "q_layout_partition_prune",
       """SELECT o_orderpriority,
-        |  count(*) AS n_orders,
-        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
-        |FROM orders WHERE o_orderstatus = 'F'
-        |GROUP BY o_orderpriority
-        |""".stripMargin) { (s, d) =>
+  count(*) AS n_orders,
+  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""".stripMargin) { (s, d) =>
       // per-session directory (app id is unique per SparkSession): two
       // concurrent sessions on the same SF — e.g. bench and verify —
       // must not race one overwrite against the other's read-back
@@ -371,16 +371,16 @@ object Sampling {
     QueryDef(
       "q_pipeline_backfill",
       """WITH base AS (
-        |  SELECT * FROM events WHERE event_type <> 'click' OR value >= 1.0),
-        |g AS (
-        |  SELECT event_type, user_id % 100 AS bucket, count(*)::BIGINT AS n_events,
-        |    sum(CAST(value AS DECIMAL(38,10))) AS sv
-        |  FROM base GROUP BY 1, 2)
-        |SELECT event_type, count(*)::BIGINT AS n_buckets,
-        |  sum(n_events)::BIGINT AS n_events,
-        |  CAST(round(sum(sv), 4) AS DOUBLE) AS total_value
-        |FROM g GROUP BY event_type
-        |""".stripMargin) { (s, d) =>
+  SELECT * FROM events WHERE event_type <> 'click' OR value >= 1.0),
+g AS (
+  SELECT event_type, user_id % 100 AS bucket, count(*)::BIGINT AS n_events,
+    sum(CAST(value AS DECIMAL(38,10))) AS sv
+  FROM base GROUP BY 1, 2)
+SELECT event_type, count(*)::BIGINT AS n_buckets,
+  sum(n_events)::BIGINT AS n_events,
+  CAST(round(sum(sv), 4) AS DOUBLE) AS total_value
+FROM g GROUP BY event_type
+""".stripMargin) { (s, d) =>
       val dir = "/tmp/graft_backfill_events_" +
         java.nio.file.Paths.get(d).getFileName.toString +
         "_" + s.sparkContext.applicationId
@@ -411,6 +411,69 @@ object Sampling {
           graft.Exact.decOut(sum(col("sv"))).as("total_value"))
     },
 
+    // Snapshot/time-travel read over the minimal table format
+    // (sources/Snapshots.scala): v1 = full aggregate committed with the
+    // atomic manifest rename; v2 = the BACKFILL commit — only the
+    // 'click' partition recomputed under the corrected rule and
+    // rewritten, every other partition carried into the v2 manifest BY
+    // REFERENCE (zero data movement, the 100 TB repair shape — one
+    // partition's rewrite cost, one small manifest's history cost).
+    // The query then reads BOTH versions — the pre-backfill snapshot
+    // via read-at-version N-1 AFTER v2 landed — and the oracle states
+    // both states from the raw events, so every failure mode breaks
+    // the hash: a v2 that clobbered v1's files (time travel returns
+    // corrected data), a carry that dropped/duplicated an untouched
+    // partition, a non-atomic commit surfacing a partial manifest.
+    // The concurrent-reader isolation proof lives in SnapshotsSpec.
+    QueryDef(
+      "q_layout_timetravel",
+      """WITH g AS (
+  SELECT event_type, user_id % 100 AS bucket, count(*)::BIGINT AS n_events,
+    sum(CAST(value AS DECIMAL(38,10))) AS sv
+  FROM events GROUP BY 1, 2),
+gc AS (
+  SELECT event_type, user_id % 100 AS bucket, count(*)::BIGINT AS n_events,
+    sum(CAST(value AS DECIMAL(38,10))) AS sv
+  FROM events WHERE event_type = 'click' AND value >= 1.0 GROUP BY 1, 2),
+v2 AS (SELECT * FROM g WHERE event_type <> 'click' UNION ALL SELECT * FROM gc)
+SELECT 'pre_backfill' AS snapshot, event_type, count(*)::BIGINT AS n_buckets,
+  sum(n_events)::BIGINT AS n_events,
+  CAST(round(sum(sv), 4) AS DOUBLE) AS total_value
+FROM g GROUP BY event_type
+UNION ALL
+SELECT 'post_backfill' AS snapshot, event_type, count(*)::BIGINT AS n_buckets,
+  sum(n_events)::BIGINT AS n_events,
+  CAST(round(sum(sv), 4) AS DOUBLE) AS total_value
+FROM v2 GROUP BY event_type
+""".stripMargin) { (s, d) =>
+      import graft.sources.Snapshots
+      val dir = "/tmp/graft_snap_events_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      def agg(src: org.apache.spark.sql.DataFrame) = src
+        .groupBy(col("event_type"), (col("user_id") % 100).as("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(graft.Exact.dec(col("value"))).as("sv"))
+      val ev = events(s, d)
+      // within one session the table accumulates two versions per run
+      // (bench passes 1-3): the returned version numbers pin THIS run's
+      // pair, and the emitted labels are relative, so output is stable
+      val v1 = Snapshots.commit(s, dir, agg(ev), "event_type")
+      val v2 = Snapshots.commitReplace(s, dir,
+        agg(ev.filter(col("event_type") === "click" && col("value") >= 1.0)),
+        "event_type")
+      def at(v: Long, label: String) =
+        Snapshots.read(s, dir, "event_type", v)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_buckets"), sum("n_events").as("n_events"),
+            graft.Exact.decOut(sum(col("sv"))).as("total_value"))
+          .select(lit(label).as("snapshot"), col("event_type"),
+            col("n_buckets"), col("n_events"), col("total_value"))
+      // read v1 — version N-1 — AFTER the v2 backfill landed
+      at(v1, "pre_backfill").unionByName(at(v2, "post_backfill"))
+    },
+
     // CSV interchange round-trip: a lineitem projection exported to CSV
     // (header, per-session scratch dir) and read back under an EXPLICIT
     // schema — never inference, which at 100 TB means a second full
@@ -423,11 +486,11 @@ object Sampling {
     QueryDef(
       "q_source_csv_roundtrip",
       """SELECT l_returnflag, count(*) AS n_lines,
-        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue,
-        |  CAST(max(l_shipdate) AS VARCHAR) AS max_shipdate
-        |FROM lineitem WHERE l_quantity >= 25
-        |GROUP BY l_returnflag
-        |""".stripMargin) { (s, d) =>
+  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue,
+  CAST(max(l_shipdate) AS VARCHAR) AS max_shipdate
+FROM lineitem WHERE l_quantity >= 25
+GROUP BY l_returnflag
+""".stripMargin) { (s, d) =>
       val dir = "/tmp/graft_csv_lineitem_" +
         java.nio.file.Paths.get(d).getFileName.toString +
         "_" + s.sparkContext.applicationId
@@ -456,11 +519,11 @@ object Sampling {
     QueryDef(
       "q_source_json_roundtrip",
       """SELECT o_orderpriority, count(*) AS n_orders,
-        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue,
-        |  max(o_orderkey) AS max_key
-        |FROM orders WHERE o_orderstatus = 'O'
-        |GROUP BY o_orderpriority
-        |""".stripMargin) { (s, d) =>
+  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue,
+  max(o_orderkey) AS max_key
+FROM orders WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""".stripMargin) { (s, d) =>
       val dir = "/tmp/graft_json_orders_" +
         java.nio.file.Paths.get(d).getFileName.toString +
         "_" + s.sparkContext.applicationId
@@ -487,11 +550,11 @@ object Sampling {
     QueryDef(
       "q_source_orc_roundtrip",
       """SELECT c_mktsegment, count(*) AS n_custs,
-        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_bal,
-        |  max(c_custkey) AS max_key
-        |FROM customer WHERE c_acctbal > 0
-        |GROUP BY c_mktsegment
-        |""".stripMargin) { (s, d) =>
+  CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_bal,
+  max(c_custkey) AS max_key
+FROM customer WHERE c_acctbal > 0
+GROUP BY c_mktsegment
+""".stripMargin) { (s, d) =>
       val dir = "/tmp/graft_orc_customer_" +
         java.nio.file.Paths.get(d).getFileName.toString +
         "_" + s.sparkContext.applicationId
@@ -523,17 +586,17 @@ object Sampling {
     QueryDef(
       "q_source_schema_evolution",
       """WITH v1 AS (
-        |  SELECT o_orderkey, o_orderpriority, CAST(NULL AS DOUBLE) AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 2 = 0),
-        |v2 AS (
-        |  SELECT o_orderkey, o_orderpriority, o_totalprice
-        |  FROM orders WHERE o_orderkey % 2 = 1),
-        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
-        |SELECT o_orderpriority, count(*) AS n_rows,
-        |  count(o_totalprice) AS n_priced,
-        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
-        |FROM u GROUP BY o_orderpriority
-        |""".stripMargin) { (s, d) =>
+  SELECT o_orderkey, o_orderpriority, CAST(NULL AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0),
+v2 AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 1),
+u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT o_orderpriority, count(*) AS n_rows,
+  count(o_totalprice) AS n_priced,
+  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+FROM u GROUP BY o_orderpriority
+""".stripMargin) { (s, d) =>
       val dir = "/tmp/graft_evo_orders_" +
         java.nio.file.Paths.get(d).getFileName.toString +
         "_" + s.sparkContext.applicationId
@@ -567,12 +630,12 @@ object Sampling {
     QueryDef(
       "q_source_quarantine",
       """SELECT
-        |  count(CASE WHEN o_orderkey % 97 <> 0 THEN 1 END) AS n_good,
-        |  count(CASE WHEN o_orderkey % 97 = 0 THEN 1 END) AS n_quarantined,
-        |  CAST(round(sum(CASE WHEN o_orderkey % 97 <> 0
-        |    THEN CAST(o_totalprice AS DECIMAL(38,10)) END), 4) AS DOUBLE) AS revenue
-        |FROM orders
-        |""".stripMargin) { (s, d) =>
+  count(CASE WHEN o_orderkey % 97 <> 0 THEN 1 END) AS n_good,
+  count(CASE WHEN o_orderkey % 97 = 0 THEN 1 END) AS n_quarantined,
+  CAST(round(sum(CASE WHEN o_orderkey % 97 <> 0
+    THEN CAST(o_totalprice AS DECIMAL(38,10)) END), 4) AS DOUBLE) AS revenue
+FROM orders
+""".stripMargin) { (s, d) =>
       val dir = "/tmp/graft_quar_orders_" +
         java.nio.file.Paths.get(d).getFileName.toString +
         "_" + s.sparkContext.applicationId
@@ -601,17 +664,17 @@ object Sampling {
     QueryDef(
       "q_text_chunk",
       """WITH tok AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS l
-        |  FROM documents),
-        |ch AS (
-        |  SELECT doc_id, unnest([{'cn': i, 'nt': least(len(l) - i*64, 64),
-        |                          'tx': array_to_string(l[i*64+1 : i*64+64], ' ')}
-        |                         for i in range(0, (len(l) + 63) // 64)]) AS c
-        |  FROM tok WHERE len(l) > 0)
-        |SELECT doc_id, CAST(c.cn AS INT) AS chunk_no, CAST(c.nt AS INT) AS n_tokens,
-        |  c.tx AS chunk_text
-        |FROM ch
-        |""".stripMargin) { (s, d) =>
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS l
+  FROM documents),
+ch AS (
+  SELECT doc_id, unnest([{'cn': i, 'nt': least(len(l) - i*64, 64),
+                          'tx': array_to_string(l[i*64+1 : i*64+64], ' ')}
+                         for i in range(0, (len(l) + 63) // 64)]) AS c
+  FROM tok WHERE len(l) > 0)
+SELECT doc_id, CAST(c.cn AS INT) AS chunk_no, CAST(c.nt AS INT) AS n_tokens,
+  c.tx AS chunk_text
+FROM ch
+""".stripMargin) { (s, d) =>
       graft.api.Graft.chunkTokens(documents(s, d), "doc_id", "text", 64)
     },
 
@@ -623,35 +686,35 @@ object Sampling {
     QueryDef(
       "q_pipeline_curate",
       s"""WITH t AS (
-        |  SELECT doc_id, lang, text,
-        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS l
-        |  FROM documents),
-        |base AS (
-        |  SELECT doc_id, lang, CAST(len(l) AS BIGINT) AS n_tokens, length(text) AS n_chars,
-        |    md5(array_to_string(l, ' ')) AS fp,
-        |    CASE WHEN regexp_matches(lower(text), '${graft.api.Graft.EmailRe}')
-        |           OR regexp_matches(lower(text), '${graft.api.Graft.UrlRe}') THEN 0 ELSE 1 END AS clean
-        |  FROM t),
-        |rep AS (
-        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS rr FROM (
-        |    SELECT doc_id, tok, count(*) AS c FROM (
-        |      SELECT doc_id, unnest(l) AS tok FROM t) u GROUP BY 1, 2) g
-        |  GROUP BY 1),
-        |keep AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY fp),
-        |evalfp AS (SELECT fp FROM base WHERE doc_id % 50 = 0),
-        |surv AS (
-        |  SELECT b.doc_id, b.lang, b.n_tokens,
-        |    ('0x' || substr(md5('split:' || b.doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bkt
-        |  FROM base b
-        |  JOIN rep r ON r.doc_id = b.doc_id
-        |  JOIN keep k ON k.doc_id = b.doc_id
-        |  WHERE b.n_chars BETWEEN 100 AND 2000 AND b.clean = 1 AND r.rr <= 0.2
-        |    AND b.doc_id % 50 <> 0
-        |    AND NOT EXISTS (SELECT 1 FROM evalfp e WHERE e.fp = b.fp))
-        |SELECT CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
-        |  lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-        |FROM surv GROUP BY 1, 2
-        |""".stripMargin) { (s, d) =>
+  SELECT doc_id, lang, text,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS l
+  FROM documents),
+base AS (
+  SELECT doc_id, lang, CAST(len(l) AS BIGINT) AS n_tokens, length(text) AS n_chars,
+    md5(array_to_string(l, ' ')) AS fp,
+    CASE WHEN regexp_matches(lower(text), '${graft.api.Graft.EmailRe}')
+           OR regexp_matches(lower(text), '${graft.api.Graft.UrlRe}') THEN 0 ELSE 1 END AS clean
+  FROM t),
+rep AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS rr FROM (
+    SELECT doc_id, tok, count(*) AS c FROM (
+      SELECT doc_id, unnest(l) AS tok FROM t) u GROUP BY 1, 2) g
+  GROUP BY 1),
+keep AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY fp),
+evalfp AS (SELECT fp FROM base WHERE doc_id % 50 = 0),
+surv AS (
+  SELECT b.doc_id, b.lang, b.n_tokens,
+    ('0x' || substr(md5('split:' || b.doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bkt
+  FROM base b
+  JOIN rep r ON r.doc_id = b.doc_id
+  JOIN keep k ON k.doc_id = b.doc_id
+  WHERE b.n_chars BETWEEN 100 AND 2000 AND b.clean = 1 AND r.rr <= 0.2
+    AND b.doc_id % 50 <> 0
+    AND NOT EXISTS (SELECT 1 FROM evalfp e WHERE e.fp = b.fp))
+SELECT CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+  lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM surv GROUP BY 1, 2
+""".stripMargin) { (s, d) =>
       import graft.api.Graft
       val docs = documents(s, d)
       val toks = Graft.tokens(col("text"))
@@ -714,102 +777,102 @@ object Sampling {
     QueryDef(
       "q_pipeline_corpus",
       s"""WITH base AS MATERIALIZED (
-        |  SELECT doc_id, lang,
-        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-        |    length(text) AS n_chars,
-        |    md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''), ' ')) AS fp,
-        |    CASE WHEN regexp_matches(lower(text), '${graft.api.Graft.EmailRe}')
-        |           OR regexp_matches(lower(text), '${graft.api.Graft.UrlRe}') THEN 0 ELSE 1 END AS clean
-        |  FROM documents),
-        |ex AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM base GROUP BY fp),
-        |tok AS MATERIALIZED (
-        |  SELECT d.doc_id, list_filter(regexp_split_to_array(lower(d.text), '\\s+'), x -> x <> '') AS l
-        |  FROM documents d JOIN ex ON ex.doc_id = d.doc_id),
-        |sh AS MATERIALIZED (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id, unnest([array_to_string(l[i:i+2], ' ') for i in range(1, greatest(len(l) - 1, 1))]) AS shingle
-        |    FROM tok WHERE len(l) >= 3) u),
-        |h2 AS (
-        |  SELECT doc_id,
-        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS ha,
-        |    ('0x' || substr(md5(shingle), 16, 15))::BIGINT % 72057594037927936 AS hb
-        |  FROM sh),
-        |hv AS (
-        |  SELECT doc_id, i, min((ha + i * hb) % 1152921504606846976) AS mh
-        |  FROM h2, range(16) r(i) GROUP BY 1, 2),
-        |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hv GROUP BY 1),
-        |banded AS (
-        |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bandkey
-        |  FROM sig, range(4) r2(b)),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
-        |  FROM banded x JOIN banded y
-        |    ON x.b = y.b AND x.bandkey = y.bandkey AND x.doc_id < y.doc_id),
-        |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT c.i, c.j, count(*) AS n FROM cand c
-        |  JOIN sh a ON a.doc_id = c.i
-        |  JOIN sh b ON b.doc_id = c.j AND b.shingle = a.shingle
-        |  GROUP BY 1, 2),
-        |neardrop AS (
-        |  SELECT DISTINCT j AS doc_id FROM inter
-        |  JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
-        |  WHERE CAST(n AS DOUBLE) / (ca.c + cb.c - n) >= 0.5),
-        |near AS MATERIALIZED (
-        |  SELECT e.doc_id FROM ex e
-        |  WHERE NOT EXISTS (SELECT 1 FROM neardrop nd WHERE nd.doc_id = e.doc_id)),
-        |t13 AS MATERIALIZED (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS l
-        |  FROM documents),
-        |sh13 AS MATERIALIZED (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id, unnest([array_to_string(l[i:i+12], ' ') for i in range(1, greatest(len(l) - 11, 1))]) AS shingle
-        |    FROM t13 WHERE len(l) >= 13) u),
-        |ev AS (SELECT DISTINCT shingle FROM sh13 WHERE doc_id % 50 = 0),
-        |contam AS (
-        |  SELECT DISTINCT doc_id FROM sh13
-        |  WHERE doc_id % 50 <> 0 AND shingle IN (SELECT shingle FROM ev)),
-        |rep AS MATERIALIZED (
-        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS rr FROM (
-        |    SELECT doc_id, tk, count(*) AS c FROM (
-        |      SELECT doc_id, unnest(l) AS tk FROM t13) u GROUP BY 1, 2) g
-        |  GROUP BY 1),
-        |qual AS MATERIALIZED (
-        |  SELECT b.doc_id, b.lang, b.n_tokens
-        |  FROM base b
-        |  JOIN near nr ON nr.doc_id = b.doc_id
-        |  JOIN rep r ON r.doc_id = b.doc_id
-        |  WHERE b.doc_id % 50 <> 0
-        |    AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = b.doc_id)
-        |    AND b.n_chars BETWEEN 100 AND 2000 AND b.clean = 1 AND r.rr <= 0.2),
-        |bud AS MATERIALIZED (
-        |  SELECT doc_id, lang, n_tokens FROM (
-        |    SELECT doc_id, lang, n_tokens,
-        |      CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
-        |        ORDER BY ('0x' || substr(md5('bud:' || doc_id::VARCHAR), 1, 15))::BIGINT ASC, doc_id ASC
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-        |    FROM qual) c
-        |  WHERE cum_before + n_tokens <= 20000),
-        |mix AS MATERIALIZED (
-        |  SELECT doc_id, lang, n_tokens, CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy FROM (
-        |    SELECT doc_id, lang, n_tokens,
-        |      (r // 100) + CASE WHEN ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < r % 100
-        |        THEN 1 ELSE 0 END AS n_copies
-        |    FROM (SELECT doc_id, lang, n_tokens,
-        |            CASE lang WHEN 'en' THEN 150 WHEN 'de' THEN 100 WHEN 'fr' THEN 50
-        |                      WHEN 'es' THEN 25 WHEN 'zh' THEN 10 ELSE 0 END AS r
-        |          FROM bud) t) c),
-        |packed AS (
-        |  SELECT doc_id, copy, lang, n_tokens,
-        |    CAST(pid % 16 AS INT) AS bucket,
-        |    coalesce(sum(n_tokens) OVER (PARTITION BY pid % 16 ORDER BY pid ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-        |  FROM (SELECT doc_id, copy, lang, n_tokens, doc_id * 2 + copy - 1 AS pid FROM mix) m)
-        |SELECT doc_id, copy, lang, n_tokens, bucket,
-        |  CAST(cum_before // 256 AS INT) AS bin,
-        |  CAST(cum_before % 256 AS INT) AS bin_offset
-        |FROM packed
-        |""".stripMargin) { (s, d) =>
+  SELECT doc_id, lang,
+    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+    length(text) AS n_chars,
+    md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''), ' ')) AS fp,
+    CASE WHEN regexp_matches(lower(text), '${graft.api.Graft.EmailRe}')
+           OR regexp_matches(lower(text), '${graft.api.Graft.UrlRe}') THEN 0 ELSE 1 END AS clean
+  FROM documents),
+ex AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM base GROUP BY fp),
+tok AS MATERIALIZED (
+  SELECT d.doc_id, list_filter(regexp_split_to_array(lower(d.text), '\\s+'), x -> x <> '') AS l
+  FROM documents d JOIN ex ON ex.doc_id = d.doc_id),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest([array_to_string(l[i:i+2], ' ') for i in range(1, greatest(len(l) - 1, 1))]) AS shingle
+    FROM tok WHERE len(l) >= 3) u),
+h2 AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS ha,
+    ('0x' || substr(md5(shingle), 16, 15))::BIGINT % 72057594037927936 AS hb
+  FROM sh),
+hv AS (
+  SELECT doc_id, i, min((ha + i * hb) % 1152921504606846976) AS mh
+  FROM h2, range(16) r(i) GROUP BY 1, 2),
+sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hv GROUP BY 1),
+banded AS (
+  SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bandkey
+  FROM sig, range(4) r2(b)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+  FROM banded x JOIN banded y
+    ON x.b = y.b AND x.bandkey = y.bandkey AND x.doc_id < y.doc_id),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.i, c.j, count(*) AS n FROM cand c
+  JOIN sh a ON a.doc_id = c.i
+  JOIN sh b ON b.doc_id = c.j AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+neardrop AS (
+  SELECT DISTINCT j AS doc_id FROM inter
+  JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+  WHERE CAST(n AS DOUBLE) / (ca.c + cb.c - n) >= 0.5),
+near AS MATERIALIZED (
+  SELECT e.doc_id FROM ex e
+  WHERE NOT EXISTS (SELECT 1 FROM neardrop nd WHERE nd.doc_id = e.doc_id)),
+t13 AS MATERIALIZED (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS l
+  FROM documents),
+sh13 AS MATERIALIZED (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest([array_to_string(l[i:i+12], ' ') for i in range(1, greatest(len(l) - 11, 1))]) AS shingle
+    FROM t13 WHERE len(l) >= 13) u),
+ev AS (SELECT DISTINCT shingle FROM sh13 WHERE doc_id % 50 = 0),
+contam AS (
+  SELECT DISTINCT doc_id FROM sh13
+  WHERE doc_id % 50 <> 0 AND shingle IN (SELECT shingle FROM ev)),
+rep AS MATERIALIZED (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS rr FROM (
+    SELECT doc_id, tk, count(*) AS c FROM (
+      SELECT doc_id, unnest(l) AS tk FROM t13) u GROUP BY 1, 2) g
+  GROUP BY 1),
+qual AS MATERIALIZED (
+  SELECT b.doc_id, b.lang, b.n_tokens
+  FROM base b
+  JOIN near nr ON nr.doc_id = b.doc_id
+  JOIN rep r ON r.doc_id = b.doc_id
+  WHERE b.doc_id % 50 <> 0
+    AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = b.doc_id)
+    AND b.n_chars BETWEEN 100 AND 2000 AND b.clean = 1 AND r.rr <= 0.2),
+bud AS MATERIALIZED (
+  SELECT doc_id, lang, n_tokens FROM (
+    SELECT doc_id, lang, n_tokens,
+      CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        ORDER BY ('0x' || substr(md5('bud:' || doc_id::VARCHAR), 1, 15))::BIGINT ASC, doc_id ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+    FROM qual) c
+  WHERE cum_before + n_tokens <= 20000),
+mix AS MATERIALIZED (
+  SELECT doc_id, lang, n_tokens, CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy FROM (
+    SELECT doc_id, lang, n_tokens,
+      (r // 100) + CASE WHEN ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < r % 100
+        THEN 1 ELSE 0 END AS n_copies
+    FROM (SELECT doc_id, lang, n_tokens,
+            CASE lang WHEN 'en' THEN 150 WHEN 'de' THEN 100 WHEN 'fr' THEN 50
+                      WHEN 'es' THEN 25 WHEN 'zh' THEN 10 ELSE 0 END AS r
+          FROM bud) t) c),
+packed AS (
+  SELECT doc_id, copy, lang, n_tokens,
+    CAST(pid % 16 AS INT) AS bucket,
+    coalesce(sum(n_tokens) OVER (PARTITION BY pid % 16 ORDER BY pid ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM (SELECT doc_id, copy, lang, n_tokens, doc_id * 2 + copy - 1 AS pid FROM mix) m)
+SELECT doc_id, copy, lang, n_tokens, bucket,
+  CAST(cum_before // 256 AS INT) AS bin,
+  CAST(cum_before % 256 AS INT) AS bin_offset
+FROM packed
+""".stripMargin) { (s, d) =>
       import graft.api.Graft
       val docs = documents(s, d)
       // per-doc attrs, text-free — one tokenize pass, then only ids and
@@ -857,8 +920,8 @@ object Sampling {
     QueryDef(
       "q_sample_systematic",
       """SELECT doc_id, lang, source FROM documents
-        |WHERE ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT % 20 = 0
-        |""".stripMargin) { (s, d) =>
+WHERE ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT % 20 = 0
+""".stripMargin) { (s, d) =>
       graft.api.Graft.systematicSample(documents(s, d), "doc_id", rate = 20)
         .select("doc_id", "lang", "source")
     },
@@ -869,13 +932,13 @@ object Sampling {
     QueryDef(
       "q_sample_stratified",
       """SELECT lang, doc_id, rnk FROM (
-        |  SELECT lang, doc_id,
-        |    CAST(row_number() OVER (PARTITION BY lang
-        |      ORDER BY ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 15))::BIGINT ASC,
-        |               doc_id ASC) AS INT) AS rnk
-        |  FROM documents) t
-        |WHERE rnk <= 20
-        |""".stripMargin) { (s, d) =>
+  SELECT lang, doc_id,
+    CAST(row_number() OVER (PARTITION BY lang
+      ORDER BY ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 15))::BIGINT ASC,
+               doc_id ASC) AS INT) AS rnk
+  FROM documents) t
+WHERE rnk <= 20
+""".stripMargin) { (s, d) =>
       graft.api.Graft.stratifiedSample(documents(s, d), "doc_id", "lang",
           perClass = 20)
         .select("lang", "doc_id", "rnk")
@@ -887,11 +950,11 @@ object Sampling {
     QueryDef(
       "q_split_train",
       """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
-        |  lang, count(*) AS n
-        |FROM (SELECT lang, ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
-        |      FROM documents) t
-        |GROUP BY 1, 2
-        |""".stripMargin) { (s, d) =>
+  lang, count(*) AS n
+FROM (SELECT lang, ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+      FROM documents) t
+GROUP BY 1, 2
+""".stripMargin) { (s, d) =>
       graft.api.Graft.trainValTestSplit(documents(s, d), "doc_id")
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n"))
@@ -910,11 +973,11 @@ object Sampling {
     QueryDef(
       "q_split_kfold",
       """SELECT ('0x' || substr(md5('fold:' || doc_id::VARCHAR), 1, 15))::BIGINT % 5 AS fold,
-        |  lang, count(*) AS n_docs,
-        |  sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')))::BIGINT AS n_tokens
-        |FROM documents
-        |GROUP BY 1, 2
-        |""".stripMargin) { (s, d) =>
+  lang, count(*) AS n_docs,
+  sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')))::BIGINT AS n_tokens
+FROM documents
+GROUP BY 1, 2
+""".stripMargin) { (s, d) =>
       documents(s, d)
         .select(
           (graft.Exact.h60(concat(lit("fold:"), col("doc_id").cast("string")))
@@ -934,14 +997,14 @@ object Sampling {
     QueryDef(
       "q_sample_mixture",
       """SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy FROM (
-        |  SELECT doc_id, lang,
-        |    (r // 100) + CASE WHEN ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < r % 100
-        |      THEN 1 ELSE 0 END AS n_copies
-        |  FROM (SELECT doc_id, lang,
-        |          CASE lang WHEN 'en' THEN 150 WHEN 'de' THEN 100 WHEN 'fr' THEN 50
-        |                    WHEN 'es' THEN 25 WHEN 'zh' THEN 10 ELSE 0 END AS r
-        |        FROM documents) t) c
-        |""".stripMargin) { (s, d) =>
+  SELECT doc_id, lang,
+    (r // 100) + CASE WHEN ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < r % 100
+      THEN 1 ELSE 0 END AS n_copies
+  FROM (SELECT doc_id, lang,
+          CASE lang WHEN 'en' THEN 150 WHEN 'de' THEN 100 WHEN 'fr' THEN 50
+                    WHEN 'es' THEN 25 WHEN 'zh' THEN 10 ELSE 0 END AS r
+        FROM documents) t) c
+""".stripMargin) { (s, d) =>
       graft.api.Graft.mixtureResample(documents(s, d), "doc_id", "lang",
           Map("en" -> 150, "de" -> 100, "fr" -> 50, "es" -> 25, "zh" -> 10))
         .select(col("doc_id"), col("lang"), col("copy"))
@@ -968,51 +1031,51 @@ object Sampling {
     QueryDef(
       "q_pipeline_curriculum",
       """WITH t AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS l
-        |  FROM documents
-        |  WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) >= 2),
-        |bg AS MATERIALIZED (
-        |  SELECT doc_id, u.b.w1 AS w1, u.b.w2 AS w2 FROM (
-        |    SELECT doc_id, unnest([{'w1': l[i], 'w2': l[i+1]} for i in range(1, len(l))]) AS b FROM t) u),
-        |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
-        |c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM bg GROUP BY 1),
-        |cost AS (
-        |  SELECT bg.doc_id,
-        |    (((c1.c1 * 16) >> (length(format('{:b}', c1.c1)) - 1))
-        |       + 16 * (length(format('{:b}', c1.c1)) - 1) - 16)
-        |    - (((c12.c12 * 16) >> (length(format('{:b}', c12.c12)) - 1))
-        |       + 16 * (length(format('{:b}', c12.c12)) - 1) - 16) AS cq
-        |  FROM bg JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
-        |  JOIN c1 ON c1.w1 = bg.w1),
-        |sc AS MATERIALIZED (
-        |  SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(cq)::BIGINT AS score_q16,
-        |    (sum(cq)::BIGINT * 1000) // count(*) AS avgq,
-        |    ('0x' || substr(md5('cur:' || doc_id::VARCHAR), 1, 15))::BIGINT AS hh
-        |  FROM cost GROUP BY 1),
-        |v AS (SELECT 'all' AS grp, avgq AS cents, hh % 64 AS shard FROM sc),
-        |""".stripMargin +
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS l
+  FROM documents
+  WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) >= 2),
+bg AS MATERIALIZED (
+  SELECT doc_id, u.b.w1 AS w1, u.b.w2 AS w2 FROM (
+    SELECT doc_id, unnest([{'w1': l[i], 'w2': l[i+1]} for i in range(1, len(l))]) AS b FROM t) u),
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM bg GROUP BY 1),
+cost AS (
+  SELECT bg.doc_id,
+    (((c1.c1 * 16) >> (length(format('{:b}', c1.c1)) - 1))
+       + 16 * (length(format('{:b}', c1.c1)) - 1) - 16)
+    - (((c12.c12 * 16) >> (length(format('{:b}', c12.c12)) - 1))
+       + 16 * (length(format('{:b}', c12.c12)) - 1) - 16) AS cq
+  FROM bg JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
+  JOIN c1 ON c1.w1 = bg.w1),
+sc AS MATERIALIZED (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(cq)::BIGINT AS score_q16,
+    (sum(cq)::BIGINT * 1000) // count(*) AS avgq,
+    ('0x' || substr(md5('cur:' || doc_id::VARCHAR), 1, 15))::BIGINT AS hh
+  FROM cost GROUP BY 1),
+v AS (SELECT 'all' AS grp, avgq AS cents, hh % 64 AS shard FROM sc),
+""".stripMargin +
       Sketches.ShardedSketchStagesSql +
       """m AS (SELECT grp, count(*)::BIGINT AS m FROM h6 GROUP BY grp),
-        |rk AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v, j) - 1 AS i FROM h6),
-        |sel AS (
-        |  SELECT m.grp, CAST(u.pct AS BIGINT) AS pct,
-        |    (CAST(u.pct AS BIGINT) * (m.m - 1) + 50) // 100 AS i
-        |  FROM m, UNNEST([25, 50, 75]) u(pct)),
-        |est AS (SELECT sel.pct, rk.v AS est FROM sel JOIN rk USING (grp, i)),
-        |th AS (SELECT max(CASE WHEN pct = 25 THEN est END) AS t25,
-        |              max(CASE WHEN pct = 50 THEN est END) AS t50,
-        |              max(CASE WHEN pct = 75 THEN est END) AS t75 FROM est),
-        |staged AS (
-        |  SELECT sc.doc_id, sc.n_bigrams, sc.score_q16, sc.avgq, sc.hh,
-        |    CAST(1 + CASE WHEN sc.avgq > th.t25 THEN 1 ELSE 0 END
-        |           + CASE WHEN sc.avgq > th.t50 THEN 1 ELSE 0 END
-        |           + CASE WHEN sc.avgq > th.t75 THEN 1 ELSE 0 END AS INT) AS stage,
-        |    CAST(sc.hh % 16 AS INT) AS bucket
-        |  FROM sc, th)
-        |SELECT doc_id, n_bigrams, score_q16, avgq, stage, bucket,
-        |  CAST(row_number() OVER (PARTITION BY stage, bucket ORDER BY hh, doc_id) AS INT) AS pos
-        |FROM staged
-        |""".stripMargin) { (s, d) =>
+rk AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v, j) - 1 AS i FROM h6),
+sel AS (
+  SELECT m.grp, CAST(u.pct AS BIGINT) AS pct,
+    (CAST(u.pct AS BIGINT) * (m.m - 1) + 50) // 100 AS i
+  FROM m, UNNEST([25, 50, 75]) u(pct)),
+est AS (SELECT sel.pct, rk.v AS est FROM sel JOIN rk USING (grp, i)),
+th AS (SELECT max(CASE WHEN pct = 25 THEN est END) AS t25,
+              max(CASE WHEN pct = 50 THEN est END) AS t50,
+              max(CASE WHEN pct = 75 THEN est END) AS t75 FROM est),
+staged AS (
+  SELECT sc.doc_id, sc.n_bigrams, sc.score_q16, sc.avgq, sc.hh,
+    CAST(1 + CASE WHEN sc.avgq > th.t25 THEN 1 ELSE 0 END
+           + CASE WHEN sc.avgq > th.t50 THEN 1 ELSE 0 END
+           + CASE WHEN sc.avgq > th.t75 THEN 1 ELSE 0 END AS INT) AS stage,
+    CAST(sc.hh % 16 AS INT) AS bucket
+  FROM sc, th)
+SELECT doc_id, n_bigrams, score_q16, avgq, stage, bucket,
+  CAST(row_number() OVER (PARTITION BY stage, bucket ORDER BY hh, doc_id) AS INT) AS pos
+FROM staged
+""".stripMargin) { (s, d) =>
       import graft.Exact.{h60, q16}
       val t = documents(s, d)
         .select(col("doc_id"), graft.api.Graft.tokens(col("text")).as("l"))
@@ -1070,19 +1133,19 @@ object Sampling {
     QueryDef(
       "q_sample_mixture_temp",
       """WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1),
-        |mx AS (SELECT max(n) AS nmax FROM c),
-        |r AS (SELECT lang, n,
-        |    CAST(floor(100.0 * sqrt(CAST(mx.nmax AS DOUBLE)) / sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS rate
-        |  FROM c, mx),
-        |d AS (
-        |  SELECT doc_id, d0.lang, r.n, r.rate,
-        |    (r.rate // 100) + CASE WHEN ('0x' || substr(md5('temp:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < r.rate % 100
-        |      THEN 1 ELSE 0 END AS n_copies
-        |  FROM documents d0 JOIN r ON r.lang = d0.lang)
-        |SELECT doc_id, lang, n AS n_lang, rate AS rate_pct,
-        |  CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy
-        |FROM d
-        |""".stripMargin) { (s, d) =>
+mx AS (SELECT max(n) AS nmax FROM c),
+r AS (SELECT lang, n,
+    CAST(floor(100.0 * sqrt(CAST(mx.nmax AS DOUBLE)) / sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS rate
+  FROM c, mx),
+d AS (
+  SELECT doc_id, d0.lang, r.n, r.rate,
+    (r.rate // 100) + CASE WHEN ('0x' || substr(md5('temp:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < r.rate % 100
+      THEN 1 ELSE 0 END AS n_copies
+  FROM documents d0 JOIN r ON r.lang = d0.lang)
+SELECT doc_id, lang, n AS n_lang, rate AS rate_pct,
+  CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy
+FROM d
+""".stripMargin) { (s, d) =>
       import graft.Exact.h60
       val c = documents(s, d).groupBy("lang").agg(count(lit(1)).as("n"))
       val mx = c.agg(max("n").as("nmax"))
@@ -1112,17 +1175,17 @@ object Sampling {
     QueryDef(
       "q_sample_budget",
       """SELECT doc_id, lang, n_tokens, cum_before,
-        |  cum_before + n_tokens <= 2000 AS kept
-        |FROM (
-        |  SELECT doc_id, lang, n_tokens,
-        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
-        |      ORDER BY ('0x' || substr(md5('bud:' || doc_id::VARCHAR), 1, 15))::BIGINT ASC, doc_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-        |  FROM (
-        |    SELECT doc_id, lang,
-        |      CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
-        |    FROM documents) t) c
-        |""".stripMargin) { (s, d) =>
+  cum_before + n_tokens <= 2000 AS kept
+FROM (
+  SELECT doc_id, lang, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+      ORDER BY ('0x' || substr(md5('bud:' || doc_id::VARCHAR), 1, 15))::BIGINT ASC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM (
+    SELECT doc_id, lang,
+      CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+    FROM documents) t) c
+""".stripMargin) { (s, d) =>
       graft.api.Graft.budgetCap(
         documents(s, d).select(col("doc_id"), col("lang"),
           size(graft.api.Graft.tokens(col("text"))).cast("long").as("n_tokens")),
@@ -1139,19 +1202,19 @@ object Sampling {
     QueryDef(
       "q_sample_pps",
       """SELECT doc_id, n_tokens, bucket, cum_before,
-        |  (cum_before + n_tokens) // 1000 > cum_before // 1000 AS picked
-        |FROM (
-        |  SELECT doc_id, n_tokens, bucket,
-        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
-        |      ORDER BY ok ASC, doc_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-        |  FROM (
-        |    SELECT doc_id,
-        |      CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
-        |      ('0x' || substr(md5('pps:' || doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS bucket,
-        |      ('0x' || substr(md5('ppso:' || doc_id::VARCHAR), 1, 15))::BIGINT AS ok
-        |    FROM documents) t) c
-        |""".stripMargin) { (s, d) =>
+  (cum_before + n_tokens) // 1000 > cum_before // 1000 AS picked
+FROM (
+  SELECT doc_id, n_tokens, bucket,
+    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
+      ORDER BY ok ASC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM (
+    SELECT doc_id,
+      CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+      ('0x' || substr(md5('pps:' || doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS bucket,
+      ('0x' || substr(md5('ppso:' || doc_id::VARCHAR), 1, 15))::BIGINT AS ok
+    FROM documents) t) c
+""".stripMargin) { (s, d) =>
       graft.api.Graft.ppsSample(
         documents(s, d).select(col("doc_id"),
           size(graft.api.Graft.tokens(col("text"))).cast("long").as("n_tokens")),
@@ -1185,21 +1248,21 @@ object Sampling {
       "q_pipeline_train_prep", {
         import graft.functions.TextAnalysis.{piiEnrichSql, piiRedactSql}
         s"""WITH red AS (
-           |  SELECT doc_id, lang,
-           |    ${piiRedactSql(piiEnrichSql("text", "doc_id"))} AS rt
-           |  FROM documents),
-           |tok AS (
-           |  SELECT doc_id, lang,
-           |    CAST(len(list_filter(regexp_split_to_array(lower(rt), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
-           |  FROM red),
-           |kept AS (SELECT * FROM tok WHERE n_tokens >= 20)
-           |SELECT doc_id, lang, CAST(doc_id % 16 AS INT) AS bucket, n_tokens,
-           |  CAST(cb // 256 AS INT) AS bin, CAST(cb % 256 AS INT) AS bin_offset
-           |FROM (
-           |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id ASC
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-           |  FROM kept) p
-           |""".stripMargin
+     SELECT doc_id, lang,
+       ${piiRedactSql(piiEnrichSql("text", "doc_id"))} AS rt
+     FROM documents),
+   tok AS (
+     SELECT doc_id, lang,
+       CAST(len(list_filter(regexp_split_to_array(lower(rt), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+     FROM red),
+   kept AS (SELECT * FROM tok WHERE n_tokens >= 20)
+   SELECT doc_id, lang, CAST(doc_id % 16 AS INT) AS bucket, n_tokens,
+     CAST(cb // 256 AS INT) AS bin, CAST(cb % 256 AS INT) AS bin_offset
+   FROM (
+     SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id ASC
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+     FROM kept) p
+   """.stripMargin
       }) { (s, d) =>
       import graft.functions.TextAnalysis
       val red = documents(s, d).select(col("doc_id"), col("lang"),
@@ -1219,11 +1282,11 @@ object Sampling {
     QueryDef(
       "q_sample_shuffle",
       """SELECT doc_id, bucket, CAST(pos AS INT) AS pos FROM (
-        |  SELECT doc_id, CAST(h % 64 AS INT) AS bucket,
-        |    row_number() OVER (PARTITION BY h % 64 ORDER BY h ASC, doc_id ASC) AS pos
-        |  FROM (SELECT doc_id, ('0x' || substr(md5('shuf:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
-        |        FROM documents) t) o
-        |""".stripMargin) { (s, d) =>
+  SELECT doc_id, CAST(h % 64 AS INT) AS bucket,
+    row_number() OVER (PARTITION BY h % 64 ORDER BY h ASC, doc_id ASC) AS pos
+  FROM (SELECT doc_id, ('0x' || substr(md5('shuf:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        FROM documents) t) o
+""".stripMargin) { (s, d) =>
       graft.api.Graft.shuffleOrder(documents(s, d), "doc_id", buckets = 64)
         .select(col("doc_id"), col("bucket"), col("pos"))
     },
@@ -1239,24 +1302,24 @@ object Sampling {
     QueryDef(
       "q_pipeline_upsert",
       """WITH chg AS (
-        |  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, CAST(NULL AS INTEGER) AS c_nationkey,
-        |    CAST(NULL AS DOUBLE) AS c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment, 'D' AS op
-        |  FROM customer WHERE c_custkey % 17 = 3
-        |  UNION ALL
-        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0, 'RESEGMENTED', 'U'
-        |  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 3
-        |  UNION ALL
-        |  SELECT -c_custkey, c_name || ' (copy)', c_nationkey, c_acctbal, c_mktsegment, 'I'
-        |  FROM customer WHERE c_custkey % 25 = 7)
-        |SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
-        |  CASE WHEN c.op IN ('U', 'I') THEN c.c_name ELSE b.c_name END AS c_name,
-        |  CASE WHEN c.op IN ('U', 'I') THEN c.c_nationkey ELSE b.c_nationkey END AS c_nationkey,
-        |  CASE WHEN c.op IN ('U', 'I') THEN c.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
-        |  CASE WHEN c.op IN ('U', 'I') THEN c.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
-        |  coalesce(c.op, '=') AS op
-        |FROM customer b FULL OUTER JOIN chg c ON c.c_custkey = b.c_custkey
-        |WHERE coalesce(c.op, '') <> 'D'
-        |""".stripMargin) { (s, d) =>
+  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, CAST(NULL AS INTEGER) AS c_nationkey,
+    CAST(NULL AS DOUBLE) AS c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment, 'D' AS op
+  FROM customer WHERE c_custkey % 17 = 3
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0, 'RESEGMENTED', 'U'
+  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 3
+  UNION ALL
+  SELECT -c_custkey, c_name || ' (copy)', c_nationkey, c_acctbal, c_mktsegment, 'I'
+  FROM customer WHERE c_custkey % 25 = 7)
+SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
+  CASE WHEN c.op IN ('U', 'I') THEN c.c_name ELSE b.c_name END AS c_name,
+  CASE WHEN c.op IN ('U', 'I') THEN c.c_nationkey ELSE b.c_nationkey END AS c_nationkey,
+  CASE WHEN c.op IN ('U', 'I') THEN c.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+  CASE WHEN c.op IN ('U', 'I') THEN c.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
+  coalesce(c.op, '=') AS op
+FROM customer b FULL OUTER JOIN chg c ON c.c_custkey = b.c_custkey
+WHERE coalesce(c.op, '') <> 'D'
+""".stripMargin) { (s, d) =>
       val base = customer(s, d)
       graft.api.Graft.merge(base, upsertChanges(base), "c_custkey")
     },
@@ -1267,37 +1330,39 @@ object Sampling {
     // layout already satisfies the join's distribution (PlanShapeSpec
     // asserts zero Exchange on the base side). Results are identical to
     // q_pipeline_upsert (layout never changes semantics), so the oracle is
-    // the same SQL. bench=false: the timed variant is q_pipeline_upsert;
-    // this one pays a one-off bucketed ingest inside the query body.
+    // the same SQL. Timed (r13): the number includes the one-off bucketed
+    // ingest — honest, since a user adopting this shape pays it once at
+    // ingest and the delta vs q_pipeline_upsert prices exactly that.
     QueryDef(
       "q_pipeline_upsert_bucketed",
       """WITH chg AS (
-        |  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, CAST(NULL AS INTEGER) AS c_nationkey,
-        |    CAST(NULL AS DOUBLE) AS c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment, 'D' AS op
-        |  FROM customer WHERE c_custkey % 17 = 3
-        |  UNION ALL
-        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0, 'RESEGMENTED', 'U'
-        |  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 3
-        |  UNION ALL
-        |  SELECT -c_custkey, c_name || ' (copy)', c_nationkey, c_acctbal, c_mktsegment, 'I'
-        |  FROM customer WHERE c_custkey % 25 = 7)
-        |SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
-        |  CASE WHEN c.op IN ('U', 'I') THEN c.c_name ELSE b.c_name END AS c_name,
-        |  CASE WHEN c.op IN ('U', 'I') THEN c.c_nationkey ELSE b.c_nationkey END AS c_nationkey,
-        |  CASE WHEN c.op IN ('U', 'I') THEN c.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
-        |  CASE WHEN c.op IN ('U', 'I') THEN c.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
-        |  coalesce(c.op, '=') AS op
-        |FROM customer b FULL OUTER JOIN chg c ON c.c_custkey = b.c_custkey
-        |WHERE coalesce(c.op, '') <> 'D'
-        |""".stripMargin,
-      bench = false) { (s, d) =>
+  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, CAST(NULL AS INTEGER) AS c_nationkey,
+    CAST(NULL AS DOUBLE) AS c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment, 'D' AS op
+  FROM customer WHERE c_custkey % 17 = 3
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0, 'RESEGMENTED', 'U'
+  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 3
+  UNION ALL
+  SELECT -c_custkey, c_name || ' (copy)', c_nationkey, c_acctbal, c_mktsegment, 'I'
+  FROM customer WHERE c_custkey % 25 = 7)
+SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
+  CASE WHEN c.op IN ('U', 'I') THEN c.c_name ELSE b.c_name END AS c_name,
+  CASE WHEN c.op IN ('U', 'I') THEN c.c_nationkey ELSE b.c_nationkey END AS c_nationkey,
+  CASE WHEN c.op IN ('U', 'I') THEN c.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+  CASE WHEN c.op IN ('U', 'I') THEN c.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
+  coalesce(c.op, '=') AS op
+FROM customer b FULL OUTER JOIN chg c ON c.c_custkey = b.c_custkey
+WHERE coalesce(c.op, '') <> 'D'
+""".stripMargin) { (s, d) =>
       val plain = customer(s, d)
-      Bucketing.writeBucketed(plain, "customer_mergebase", "c_custkey",
-        buckets = 8)
+      // per-session table name: concurrent bench + verify sessions share
+      // one warehouse dir and must not race the same bucketed table
+      val tbl = "customer_mergebase_" +
+        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      Bucketing.writeBucketed(plain, tbl, "c_custkey", buckets = 8)
       // change batch derives from the PLAIN parquet base (narrow scans);
       // only the merge's base side reads the bucketed layout
-      graft.api.Graft.merge(s.table("customer_mergebase"),
-        upsertChanges(plain), "c_custkey")
+      graft.api.Graft.merge(s.table(tbl), upsertChanges(plain), "c_custkey")
     },
 
     // SCD Type-2 apply: the same deterministic CDC batch folded as
@@ -1306,31 +1371,31 @@ object Sampling {
     // inserts open a new current row, deletes leave no successor. Full
     // lineage survives, which is what the upsert queries deliberately
     // discard. One semi + one anti join on the key split the current
-    // slice; the base payload never shuffles. bench=false: breadth
-    // entry — the MERGE-class timing story is q_pipeline_upsert's.
+    // slice; the base payload never shuffles. Timed since r13 (the r12
+    // verdict asked every exclusion to be recorded or removed).
     QueryDef(
       "q_pipeline_scd2",
       """WITH chg AS (
-        |  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
-        |    CAST(NULL AS DOUBLE) AS c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment, 'D' AS op
-        |  FROM customer WHERE c_custkey % 17 = 3
-        |  UNION ALL
-        |  SELECT c_custkey, c_name, c_acctbal + 100.0, 'RESEGMENTED', 'U'
-        |  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 3
-        |  UNION ALL
-        |  SELECT -c_custkey, c_name || ' (copy)', c_acctbal, c_mktsegment, 'I'
-        |  FROM customer WHERE c_custkey % 25 = 7)
-        |SELECT b.c_custkey, b.c_name, b.c_acctbal, b.c_mktsegment,
-        |  0::BIGINT AS valid_from,
-        |  CASE WHEN c.c_custkey IS NULL THEN CAST(NULL AS BIGINT) ELSE 1::BIGINT END AS valid_to,
-        |  c.c_custkey IS NULL AS is_current
-        |FROM customer b LEFT JOIN chg c ON c.c_custkey = b.c_custkey
-        |UNION ALL
-        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
-        |  1::BIGINT AS valid_from, CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
-        |FROM chg WHERE op <> 'D'
-        |""".stripMargin,
-      bench = false) { (s, d) =>
+  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+    CAST(NULL AS DOUBLE) AS c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment, 'D' AS op
+  FROM customer WHERE c_custkey % 17 = 3
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal + 100.0, 'RESEGMENTED', 'U'
+  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 3
+  UNION ALL
+  SELECT -c_custkey, c_name || ' (copy)', c_acctbal, c_mktsegment, 'I'
+  FROM customer WHERE c_custkey % 25 = 7)
+SELECT b.c_custkey, b.c_name, b.c_acctbal, b.c_mktsegment,
+  0::BIGINT AS valid_from,
+  CASE WHEN c.c_custkey IS NULL THEN CAST(NULL AS BIGINT) ELSE 1::BIGINT END AS valid_to,
+  c.c_custkey IS NULL AS is_current
+FROM customer b LEFT JOIN chg c ON c.c_custkey = b.c_custkey
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+  1::BIGINT AS valid_from, CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+FROM chg WHERE op <> 'D'
+""".stripMargin,
+      ) { (s, d) =>
       val cust = customer(s, d)
         .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
       graft.api.Graft.scdApply(scd2Base(cust), scd2Batch1(cust),
@@ -1346,49 +1411,49 @@ object Sampling {
     // complementary invariant that the as-of read AT the latest version
     // equals the MERGE fixpoint. Narrow filter over the history scan —
     // at 100 TB the interval predicate prunes a valid_from-partitioned
-    // layout. bench=false: breadth entry, same class as q_pipeline_scd2.
+    // layout. Timed since r13, same class as q_pipeline_scd2.
     QueryDef(
       "q_pipeline_scd2_asof",
       """WITH chg AS (
-        |  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
-        |    CAST(NULL AS DOUBLE) AS c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment, 'D' AS op
-        |  FROM customer WHERE c_custkey % 17 = 3
-        |  UNION ALL
-        |  SELECT c_custkey, c_name, c_acctbal + 100.0, 'RESEGMENTED', 'U'
-        |  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 3
-        |  UNION ALL
-        |  SELECT -c_custkey, c_name || ' (copy)', c_acctbal, c_mktsegment, 'I'
-        |  FROM customer WHERE c_custkey % 25 = 7),
-        |h1 AS (
-        |  SELECT b.c_custkey, b.c_name, b.c_acctbal, b.c_mktsegment,
-        |    0::BIGINT AS valid_from,
-        |    CASE WHEN c.c_custkey IS NULL THEN CAST(NULL AS BIGINT) ELSE 1::BIGINT END AS valid_to,
-        |    c.c_custkey IS NULL AS is_current
-        |  FROM customer b LEFT JOIN chg c ON c.c_custkey = b.c_custkey
-        |  UNION ALL
-        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
-        |    1::BIGINT, CAST(NULL AS BIGINT), TRUE
-        |  FROM chg WHERE op <> 'D'),
-        |chg2 AS (
-        |  SELECT c_custkey, c_name, c_acctbal + 107.5 AS c_acctbal,
-        |    'ROUND2' AS c_mktsegment, 'U' AS op
-        |  FROM customer WHERE c_custkey % 4 = 2),
-        |h2 AS (
-        |  SELECT h.c_custkey, h.c_name, h.c_acctbal, h.c_mktsegment, h.valid_from,
-        |    CASE WHEN h.is_current AND c2.c_custkey IS NOT NULL THEN 2::BIGINT
-        |         ELSE h.valid_to END AS valid_to,
-        |    h.is_current AND c2.c_custkey IS NULL AS is_current
-        |  FROM h1 h LEFT JOIN chg2 c2 ON h.c_custkey = c2.c_custkey
-        |  UNION ALL
-        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
-        |    2::BIGINT, CAST(NULL AS BIGINT), TRUE
-        |  FROM chg2)
-        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
-        |  valid_from, valid_to, is_current
-        |FROM h2
-        |WHERE valid_from <= 1 AND (valid_to IS NULL OR valid_to > 1)
-        |""".stripMargin,
-      bench = false) { (s, d) =>
+  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+    CAST(NULL AS DOUBLE) AS c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment, 'D' AS op
+  FROM customer WHERE c_custkey % 17 = 3
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal + 100.0, 'RESEGMENTED', 'U'
+  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 3
+  UNION ALL
+  SELECT -c_custkey, c_name || ' (copy)', c_acctbal, c_mktsegment, 'I'
+  FROM customer WHERE c_custkey % 25 = 7),
+h1 AS (
+  SELECT b.c_custkey, b.c_name, b.c_acctbal, b.c_mktsegment,
+    0::BIGINT AS valid_from,
+    CASE WHEN c.c_custkey IS NULL THEN CAST(NULL AS BIGINT) ELSE 1::BIGINT END AS valid_to,
+    c.c_custkey IS NULL AS is_current
+  FROM customer b LEFT JOIN chg c ON c.c_custkey = b.c_custkey
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+    1::BIGINT, CAST(NULL AS BIGINT), TRUE
+  FROM chg WHERE op <> 'D'),
+chg2 AS (
+  SELECT c_custkey, c_name, c_acctbal + 107.5 AS c_acctbal,
+    'ROUND2' AS c_mktsegment, 'U' AS op
+  FROM customer WHERE c_custkey % 4 = 2),
+h2 AS (
+  SELECT h.c_custkey, h.c_name, h.c_acctbal, h.c_mktsegment, h.valid_from,
+    CASE WHEN h.is_current AND c2.c_custkey IS NOT NULL THEN 2::BIGINT
+         ELSE h.valid_to END AS valid_to,
+    h.is_current AND c2.c_custkey IS NULL AS is_current
+  FROM h1 h LEFT JOIN chg2 c2 ON h.c_custkey = c2.c_custkey
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+    2::BIGINT, CAST(NULL AS BIGINT), TRUE
+  FROM chg2)
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+  valid_from, valid_to, is_current
+FROM h2
+WHERE valid_from <= 1 AND (valid_to IS NULL OR valid_to > 1)
+""".stripMargin,
+      ) { (s, d) =>
       val cust = customer(s, d)
         .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
       val b2 = cust.filter(col("c_custkey") % 4 === 2)
@@ -1411,54 +1476,54 @@ object Sampling {
     // facts whose key had no valid version (pre-insert or deleted)
     // surface with NULL segment rather than vanishing. Rolled up per
     // (epoch, segment) so the hash pins both the version routing and
-    // the orphan handling. bench=false: breadth entry, same class as
+    // the orphan handling. Timed since r13, same class as
     // q_pipeline_scd2/scd2_asof.
     QueryDef(
       "q_pipeline_scd2_temporal",
       """WITH chg AS (
-        |  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
-        |    CAST(NULL AS DOUBLE) AS c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment, 'D' AS op
-        |  FROM customer WHERE c_custkey % 17 = 3
-        |  UNION ALL
-        |  SELECT c_custkey, c_name, c_acctbal + 100.0, 'RESEGMENTED', 'U'
-        |  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 3
-        |  UNION ALL
-        |  SELECT -c_custkey, c_name || ' (copy)', c_acctbal, c_mktsegment, 'I'
-        |  FROM customer WHERE c_custkey % 25 = 7),
-        |h1 AS (
-        |  SELECT b.c_custkey, b.c_name, b.c_acctbal, b.c_mktsegment,
-        |    0::BIGINT AS valid_from,
-        |    CASE WHEN c.c_custkey IS NULL THEN CAST(NULL AS BIGINT) ELSE 1::BIGINT END AS valid_to,
-        |    c.c_custkey IS NULL AS is_current
-        |  FROM customer b LEFT JOIN chg c ON c.c_custkey = b.c_custkey
-        |  UNION ALL
-        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
-        |    1::BIGINT, CAST(NULL AS BIGINT), TRUE
-        |  FROM chg WHERE op <> 'D'),
-        |chg2 AS (
-        |  SELECT c_custkey, c_name, c_acctbal + 107.5 AS c_acctbal,
-        |    'ROUND2' AS c_mktsegment, 'U' AS op
-        |  FROM customer WHERE c_custkey % 4 = 2),
-        |h2 AS (
-        |  SELECT h.c_custkey, h.c_name, h.c_acctbal, h.c_mktsegment, h.valid_from,
-        |    CASE WHEN h.is_current AND c2.c_custkey IS NOT NULL THEN 2::BIGINT
-        |         ELSE h.valid_to END AS valid_to,
-        |    h.is_current AND c2.c_custkey IS NULL AS is_current
-        |  FROM h1 h LEFT JOIN chg2 c2 ON h.c_custkey = c2.c_custkey
-        |  UNION ALL
-        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
-        |    2::BIGINT, CAST(NULL AS BIGINT), TRUE
-        |  FROM chg2),
-        |f AS (SELECT o_orderkey, o_custkey, o_orderkey % 3 AS as_of_v FROM orders),
-        |j AS (
-        |  SELECT f.as_of_v, h.c_mktsegment
-        |  FROM f LEFT JOIN h2 h ON h.c_custkey = f.o_custkey
-        |    AND h.valid_from <= f.as_of_v
-        |    AND (h.valid_to IS NULL OR h.valid_to > f.as_of_v))
-        |SELECT as_of_v, c_mktsegment, count(*) AS n_orders
-        |FROM j GROUP BY 1, 2
-        |""".stripMargin,
-      bench = false) { (s, d) =>
+  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+    CAST(NULL AS DOUBLE) AS c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment, 'D' AS op
+  FROM customer WHERE c_custkey % 17 = 3
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal + 100.0, 'RESEGMENTED', 'U'
+  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 3
+  UNION ALL
+  SELECT -c_custkey, c_name || ' (copy)', c_acctbal, c_mktsegment, 'I'
+  FROM customer WHERE c_custkey % 25 = 7),
+h1 AS (
+  SELECT b.c_custkey, b.c_name, b.c_acctbal, b.c_mktsegment,
+    0::BIGINT AS valid_from,
+    CASE WHEN c.c_custkey IS NULL THEN CAST(NULL AS BIGINT) ELSE 1::BIGINT END AS valid_to,
+    c.c_custkey IS NULL AS is_current
+  FROM customer b LEFT JOIN chg c ON c.c_custkey = b.c_custkey
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+    1::BIGINT, CAST(NULL AS BIGINT), TRUE
+  FROM chg WHERE op <> 'D'),
+chg2 AS (
+  SELECT c_custkey, c_name, c_acctbal + 107.5 AS c_acctbal,
+    'ROUND2' AS c_mktsegment, 'U' AS op
+  FROM customer WHERE c_custkey % 4 = 2),
+h2 AS (
+  SELECT h.c_custkey, h.c_name, h.c_acctbal, h.c_mktsegment, h.valid_from,
+    CASE WHEN h.is_current AND c2.c_custkey IS NOT NULL THEN 2::BIGINT
+         ELSE h.valid_to END AS valid_to,
+    h.is_current AND c2.c_custkey IS NULL AS is_current
+  FROM h1 h LEFT JOIN chg2 c2 ON h.c_custkey = c2.c_custkey
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+    2::BIGINT, CAST(NULL AS BIGINT), TRUE
+  FROM chg2),
+f AS (SELECT o_orderkey, o_custkey, o_orderkey % 3 AS as_of_v FROM orders),
+j AS (
+  SELECT f.as_of_v, h.c_mktsegment
+  FROM f LEFT JOIN h2 h ON h.c_custkey = f.o_custkey
+    AND h.valid_from <= f.as_of_v
+    AND (h.valid_to IS NULL OR h.valid_to > f.as_of_v))
+SELECT as_of_v, c_mktsegment, count(*) AS n_orders
+FROM j GROUP BY 1, 2
+""".stripMargin,
+      ) { (s, d) =>
       val cust = customer(s, d)
         .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
       val b2 = cust.filter(col("c_custkey") % 4 === 2)
@@ -1493,31 +1558,31 @@ object Sampling {
     QueryDef(
       "q_pipeline_tablediff",
       """WITH base AS (
-        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
-        |    o_orderkey // 64 AS bkt,
-        |    ('0x' || substr(md5('td:' || o_orderkey::VARCHAR || '|' || o_orderstatus || '|' || o_orderpriority), 1, 15))::BIGINT AS dg
-        |  FROM orders),
-        |replica AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |    CASE WHEN o_orderkey % 991 = 0 THEN 'X-MOD' ELSE o_orderpriority END AS o_orderpriority,
-        |    o_orderkey // 64 AS bkt,
-        |    ('0x' || substr(md5('td:' || o_orderkey::VARCHAR || '|' || o_orderstatus || '|' ||
-        |      CASE WHEN o_orderkey % 991 = 0 THEN 'X-MOD' ELSE o_orderpriority END), 1, 15))::BIGINT AS dg
-        |  FROM orders WHERE o_orderkey % 997 <> 0),
-        |sb AS (SELECT bkt, count(*)::BIGINT AS n, bit_xor(dg) AS x FROM base GROUP BY bkt),
-        |sr AS (SELECT bkt, count(*)::BIGINT AS n, bit_xor(dg) AS x FROM replica GROUP BY bkt),
-        |flagged AS (
-        |  SELECT coalesce(sb.bkt, sr.bkt) AS bkt
-        |  FROM sb FULL OUTER JOIN sr ON sb.bkt = sr.bkt
-        |  WHERE sb.n IS DISTINCT FROM sr.n OR sb.x IS DISTINCT FROM sr.x)
-        |SELECT b.o_orderkey,
-        |  CASE WHEN r.o_orderkey IS NULL THEN 'missing_in_replica'
-        |       ELSE 'modified' END AS status
-        |FROM base b
-        |JOIN flagged f ON b.bkt = f.bkt
-        |LEFT JOIN replica r ON r.o_orderkey = b.o_orderkey
-        |WHERE r.o_orderkey IS NULL OR r.dg <> b.dg
-        |""".stripMargin) { (s, d) =>
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+    o_orderkey // 64 AS bkt,
+    ('0x' || substr(md5('td:' || o_orderkey::VARCHAR || '|' || o_orderstatus || '|' || o_orderpriority), 1, 15))::BIGINT AS dg
+  FROM orders),
+replica AS (
+  SELECT o_orderkey, o_orderstatus,
+    CASE WHEN o_orderkey % 991 = 0 THEN 'X-MOD' ELSE o_orderpriority END AS o_orderpriority,
+    o_orderkey // 64 AS bkt,
+    ('0x' || substr(md5('td:' || o_orderkey::VARCHAR || '|' || o_orderstatus || '|' ||
+      CASE WHEN o_orderkey % 991 = 0 THEN 'X-MOD' ELSE o_orderpriority END), 1, 15))::BIGINT AS dg
+  FROM orders WHERE o_orderkey % 997 <> 0),
+sb AS (SELECT bkt, count(*)::BIGINT AS n, bit_xor(dg) AS x FROM base GROUP BY bkt),
+sr AS (SELECT bkt, count(*)::BIGINT AS n, bit_xor(dg) AS x FROM replica GROUP BY bkt),
+flagged AS (
+  SELECT coalesce(sb.bkt, sr.bkt) AS bkt
+  FROM sb FULL OUTER JOIN sr ON sb.bkt = sr.bkt
+  WHERE sb.n IS DISTINCT FROM sr.n OR sb.x IS DISTINCT FROM sr.x)
+SELECT b.o_orderkey,
+  CASE WHEN r.o_orderkey IS NULL THEN 'missing_in_replica'
+       ELSE 'modified' END AS status
+FROM base b
+JOIN flagged f ON b.bkt = f.bkt
+LEFT JOIN replica r ON r.o_orderkey = b.o_orderkey
+WHERE r.o_orderkey IS NULL OR r.dg <> b.dg
+""".stripMargin) { (s, d) =>
       import graft.Exact.h60
       def digest(pri: org.apache.spark.sql.Column) =
         h60(concat(lit("td:"), col("o_orderkey").cast("string"), lit("|"),
@@ -1608,18 +1673,18 @@ object Sampling {
   private def kcenterOracle(k: Int): String = {
     val cosEC =
       """(list_reduce([e.v[i+1] * c.v[i+1] for i in range(0, len(e.v))], (acc, x) -> acc + x)
-        |      / (sqrt(list_reduce([x * x for x in e.v], (acc, y) -> acc + y))
-        |         * sqrt(list_reduce([x * x for x in c.v], (acc, y) -> acc + y))))""".stripMargin
+      / (sqrt(list_reduce([x * x for x in e.v], (acc, y) -> acc + y))
+         * sqrt(list_reduce([x * x for x in c.v], (acc, y) -> acc + y))))""".stripMargin
     def round(t: Int): String =
       s"""m$t AS (
-         |  SELECT e.id, 1.0 - max($cosEC) AS mind
-         |  FROM e CROSS JOIN cs${t - 1} c GROUP BY e.id),
-         |n$t AS MATERIALIZED (
-         |  SELECT e.id, e.v, $t AS pick, m.mind
-         |  FROM e JOIN m$t m ON m.id = e.id
-         |  WHERE e.id NOT IN (SELECT id FROM cs${t - 1})
-         |  ORDER BY m.mind DESC, e.id ASC LIMIT 1),
-         |cs$t AS (SELECT * FROM cs${t - 1} UNION ALL SELECT * FROM n$t)""".stripMargin
+   SELECT e.id, 1.0 - max($cosEC) AS mind
+   FROM e CROSS JOIN cs${t - 1} c GROUP BY e.id),
+ n$t AS MATERIALIZED (
+   SELECT e.id, e.v, $t AS pick, m.mind
+   FROM e JOIN m$t m ON m.id = e.id
+   WHERE e.id NOT IN (SELECT id FROM cs${t - 1})
+   ORDER BY m.mind DESC, e.id ASC LIMIT 1),
+ cs$t AS (SELECT * FROM cs${t - 1} UNION ALL SELECT * FROM n$t)""".stripMargin
     s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cs1 AS MATERIALIZED (
        |  SELECT id, v, 1 AS pick, NULL::DOUBLE AS mind FROM e
