@@ -8,12 +8,15 @@ deterministic ORTHOGONAL transform (dimension permutation + sign
 flips, seeded by the copy index): within-copy geometry is preserved
 EXACTLY (every dot product / cosine unchanged), while cross-copy
 cosines drop to the random-pair level — so dup/near-dup and
-tau-neighbor structure grows LINEARLY for BOTH tables. (The r12
-version replicated vectors verbatim: with the 10^10 id shift = 0 mod
-50 the eval split (vec_id % 50 = 0) grew 10x with exact-duplicate
-vectors and every tau-pair multiplied ~100x — quadratic by fixture
-construction, not by engine shape.) n_chars is recomputed from the
-rewritten text.
+tau-neighbor structure grows LINEARLY for BOTH tables. Copy vec_ids
+are mapped to k*10^10 + 2*id + 1 (odd), so NO copy row lands in the
+vec_id % 50 = 0 eval split or the vec_id < 5 kNN query set: the eval/
+query side stays the FIXED base set while the corpus grows — the
+model a decontamination/kNN linearity claim is actually about. (The
+r12 version replicated vectors verbatim: with the 10^10 id shift = 0
+mod 50 the eval split grew 10x with exact-duplicate vectors and every
+tau-pair multiplied ~100x — quadratic by fixture construction, not by
+engine shape.) n_chars is recomputed from the rewritten text.
 
 Usage: python3 scripts/stretch.py <src_sf_dir> <out_dir> <copies> [tables...]
 Default tables: documents embeddings
@@ -69,7 +72,7 @@ def stretch_embeddings(src, out, copies):
         perm, signs = xforms[k]
         for i in range(len(ids)):
             v = emb[i]
-            o_id.append(ids[i] + k * SHIFT)
+            o_id.append(ids[i] if k == 0 else k * SHIFT + 2 * ids[i] + 1)
             o_e.append(v if k == 0 else
                        [signs[j] * v[perm[j]] for j in range(dim)])
             o_l.append(lab[i])

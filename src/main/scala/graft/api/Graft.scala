@@ -720,14 +720,11 @@ object Graft {
     val feat = qualityFeatures(docs).localCheckpoint()
     // fail fast on a single-class corpus: nj or nc = 0 would make the
     // class-balanced update divide by zero and silently emit NaN/Inf
-    // weights (every downstream score garbage). One driver-side read of
-    // the 1-row init aggregate — the documented loop-break pattern.
-    val counts = feat
-      .agg(coalesce(sum(col("y")), lit(0.0)).as("nj"),
-        (count(lit(1)).cast("double") - coalesce(sum(col("y")), lit(0.0)))
-          .as("nc"))
-      .head()
-    val (nj, nc) = (counts.getDouble(0), counts.getDouble(1))
+    // weights (every downstream score garbage). Two driver-side scalar
+    // counts of the already-checkpointed feature relation — the
+    // documented convergence-read pattern.
+    val nj = feat.filter(col("y") === 1.0).count().toDouble
+    val nc = feat.filter(col("y") === 0.0).count().toDouble
     require(nj > 0 && nc > 0,
       s"qualityClassifierFit: class-balanced GD needs both classes present " +
         s"(junk=$nj, clean=$nc) — an all-clean or all-junk corpus has " +

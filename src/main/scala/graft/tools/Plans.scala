@@ -199,7 +199,11 @@ object Plans {
     "q_text_classifier" ->
       "trained quality filter: the feature relation is checkpointed once (documents read ONCE into five narrow doubles + label); each GD round is one map-side-combined aggregate (12 decimal sums) whose 1-row weight output crossJoin-broadcasts into the next scoring pass — no driver-side math, no collect, scoring is pure codegen arithmetic",
     "q_knn_ivfpq" ->
-      "IVF+PQ composite: the coarse codebook (10 centroids) and the PQ lookup tables both BROADCAST; candidates are the probed cells' members joined by key, ADC scoring touches only their 4-byte codes (the per-(q, doc) pivot is one map-side-combined aggregate), and raw vectors are read solely for the constant-shortlist exact rerank — the memory shape that fits a 100 TB corpus's index in RAM"
+      "IVF+PQ composite: the coarse codebook (10 centroids) and the PQ lookup tables both BROADCAST; candidates are the probed cells' members joined by key, ADC scoring touches only their 4-byte codes (the per-(q, doc) pivot is one map-side-combined aggregate), and raw vectors are read solely for the constant-shortlist exact rerank — the memory shape that fits a 100 TB corpus's index in RAM",
+    "q_dedup_embedding" ->
+      "selective embedding near-dup (r13 re-frame): the 8x12-bit SRP index is built once and checkpointed (plans read LogicalRDDs, never re-derive the 96 plane dots); only (id, t, b) keys flow through the candidate equi-join + distinct — the checkpointed candidate set was already counted against the 5% fraction budget before this plan exists (fail-loud, not silently quadratic) — and vectors join back BY ID solely for the codegen-cosine verify",
+    "q_layout_timetravel" ->
+      "snapshot read-at-version: each version's plan is a UNION of per-manifest-entry parquet scans with the partition value attached as a literal — the manifest IS the scan plan (no directory listing, no partition discovery), so a pinned version's plan is untouched by later commits; both version reads aggregate map-side before the union"
   )
 
   def main(args: Array[String]): Unit = {
