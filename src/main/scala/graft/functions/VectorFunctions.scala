@@ -64,8 +64,17 @@ object VectorFunctions {
   /** Per-table bucket array (element t = table t's `bits`-bit bucket,
     * plane family t*bits..t*bits+bits-1). Compute ONCE per vector (then
     * checkpoint), so the exact-membership and probe expansions below
-    * never re-derive the tables*bits plane dot products. */
+    * never re-derive the tables*bits plane dot products. Evaluated by
+    * the native codegen [[SrpBuckets]] expression — one fused pass over
+    * the vector instead of bits*tables lambda-evaluated HOF walks
+    * (measured ~2.3 ms/row -> ~0.03 ms/row at 16x6); bit-identical to
+    * [[lshBucketArrHof]] (same seeds, same IEEE fold — spec-asserted). */
   def lshBucketArr(v: Column, bits: Int, tables: Int): Column =
+    SrpBuckets.srpBuckets(v, bits, tables)
+
+  /** the pure higher-order-function formulation, kept as the
+    * cross-check twin (the cosine/cosineHof precedent) */
+  def lshBucketArrHof(v: Column, bits: Int, tables: Int): Column =
     array((0 until tables).map(t => lshBucket(v, bits, t * bits)): _*)
 
   /** Exact (table, bucket) membership rows from a precomputed bucket

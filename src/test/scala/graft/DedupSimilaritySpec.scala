@@ -61,6 +61,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(diffs == 0, s"$diffs pairs differ between native and HOF cosine")
   }
 
+  test("native SrpBuckets equals the HOF bucket array on real embeddings (both SRP configs)") {
+    // the embedding-dedup index build rides this expression; a single
+    // flipped sign bit re-buckets a vector and silently changes recall,
+    // so the native/HOF twins must agree EXACTLY on every table bucket
+    // of every fixture vector, in both registry configs
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    for ((bits, tables) <- Seq((6, 16), (12, 8))) {
+      val diffs = e.select(
+          VectorFunctions.lshBucketArr(col("embedding"), bits, tables).as("native"),
+          VectorFunctions.lshBucketArrHof(col("embedding"), bits, tables).as("hof"))
+        .filter(col("native") =!= col("hof"))
+        .count()
+      assert(diffs == 0, s"$diffs vectors bucket differently at ${tables}x$bits")
+    }
+  }
+
   test("LSH ANN hits a positive recall vs brute force") {
     val brute = q("q_knn_brute").select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val lsh = q("q_knn_lsh").select("q_id", "n_id").as[(Long, Long)].collect().toSet
