@@ -1240,6 +1240,22 @@ FROM (
         k = 8)
     },
 
+    // The large-k rung (r13): the SAME greedy over a deterministic h60
+    // pre-sample of m = 4*k*(ceil(log2 k)+1) rows — k rounds scan m rows
+    // instead of the corpus, which is touched exactly twice (sample +
+    // audit). The emitted audit_radius IS the full-corpus covering
+    // radius of the sampled picks (a missed far-out cluster shows up
+    // there, never silently), and the oracle replays sample, every
+    // greedy round, AND the audit — so the whole approximation contract
+    // is hash-gated, not just spec-pinned.
+    QueryDef(
+      "q_sample_kcenter_big",
+      kcenterSampledOracle(k = 8, m = 128)) { (s, d) =>
+      graft.api.Graft.kcenterSampled(
+        embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 8)
+    },
+
     // Second end-to-end pipeline: the TRAINING-PREP chain (inject/redact
     // PII -> re-tokenize the redacted text -> quality floor -> next-fit
     // sequence packing). Composes q_text_pii_redact and q_text_pack
@@ -1670,14 +1686,21 @@ WHERE r.o_orderkey IS NULL OR r.dg <> b.dg
     * distance (1 - max cosine, the exact list_reduce fold CosineSim
     * matches bit-for-bit), farthest-point argmax with (mind DESC, id ASC),
     * centers accumulated by UNION ALL. */
-  private def kcenterOracle(k: Int): String = {
-    val cosEC =
-      """(list_reduce([e.v[i+1] * c.v[i+1] for i in range(0, len(e.v))], (acc, x) -> acc + x)
-      / (sqrt(list_reduce([x * x for x in e.v], (acc, y) -> acc + y))
-         * sqrt(list_reduce([x * x for x in c.v], (acc, y) -> acc + y))))""".stripMargin
+  /** the shared cosine fold of the k-center oracles, over row aliases
+    * `a`/`b` — the exact IEEE sequence of the engine's CosineSim */
+  private def kcCos(a: String, b: String): String =
+    s"""(list_reduce([$a.v[i+1] * $b.v[i+1] for i in range(0, len($a.v))], (acc, x) -> acc + x)
+      / (sqrt(list_reduce([x * x for x in $a.v], (acc, y) -> acc + y))
+         * sqrt(list_reduce([x * x for x in $b.v], (acc, y) -> acc + y))))""".stripMargin
+
+  /** the greedy-pick stage replay over a CTE `e(id, v)` already in
+    * scope: seed cs1 by min h60('kc:'||id), then k-1 materialized
+    * (scan, argmax, union) rounds — leaves cs$k defined, ends WITHOUT a
+    * trailing comma */
+  private def kcenterStages(k: Int): String = {
     def round(t: Int): String =
       s"""m$t AS (
-   SELECT e.id, 1.0 - max($cosEC) AS mind
+   SELECT e.id, 1.0 - max(${kcCos("e", "c")}) AS mind
    FROM e CROSS JOIN cs${t - 1} c GROUP BY e.id),
  n$t AS MATERIALIZED (
    SELECT e.id, e.v, $t AS pick, m.mind
@@ -1685,13 +1708,39 @@ WHERE r.o_orderkey IS NULL OR r.dg <> b.dg
    WHERE e.id NOT IN (SELECT id FROM cs${t - 1})
    ORDER BY m.mind DESC, e.id ASC LIMIT 1),
  cs$t AS (SELECT * FROM cs${t - 1} UNION ALL SELECT * FROM n$t)""".stripMargin
-    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cs1 AS MATERIALIZED (
+    s"""cs1 AS MATERIALIZED (
        |  SELECT id, v, 1 AS pick, NULL::DOUBLE AS mind FROM e
        |  ORDER BY ('0x' || substr(md5('kc:' || id::VARCHAR), 1, 15))::BIGINT ASC, id ASC
        |  LIMIT 1),
        |""".stripMargin +
-      (2 to k).map(round).mkString(",\n") + "\n" +
-      s"SELECT pick, id, mind FROM cs$k\n"
+      (2 to k).map(round).mkString(",\n")
   }
+
+  /** DuckDB replay of [[graft.api.Graft.kcenter]]: the md5-60 seed, then
+    * k-1 materialized greedy rounds over the full table. */
+  private def kcenterOracle(k: Int): String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |""".stripMargin +
+      kcenterStages(k) + "\n" +
+      s"SELECT pick, id, mind FROM cs$k\n"
+
+  /** DuckDB replay of [[graft.api.Graft.kcenterSampled]]: `e` becomes
+    * the h60('kcs:')-ordered m-row pre-sample, the SAME greedy stages
+    * run over it, and the audit CTE recomputes the full-corpus covering
+    * radius of the picks — every stage and the audited double
+    * bit-identical to the engine. */
+  private def kcenterSampledOracle(k: Int, m: Int): String =
+    s"""WITH eall AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |e AS MATERIALIZED (
+       |  SELECT id, v FROM eall
+       |  ORDER BY ('0x' || substr(md5('kcs:' || id::VARCHAR), 1, 15))::BIGINT ASC, id ASC
+       |  LIMIT $m),
+       |""".stripMargin +
+      kcenterStages(k) + ",\n" +
+      s"""aud AS (
+         |  SELECT max(mind) AS audit_radius FROM (
+         |    SELECT a.id, 1.0 - max(${kcCos("a", "c")}) AS mind
+         |    FROM eall a CROSS JOIN cs$k c GROUP BY a.id) t)
+         |SELECT pick, id, mind, audit_radius FROM cs$k, aud
+         |""".stripMargin
 }

@@ -18,8 +18,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   1. Data and manifest files are IMMUTABLE once written (data goes
   *      to a fresh data/vN under mode("error"); the manifest rename
   *      refuses to overwrite) — so any version, once committed, reads
-  *      the same bytes forever (until a retention vacuum, the
-  *      production knob this demo omits).
+  *      the same bytes forever — until [[vacuum]] retires versions
+  *      older than the retention window (referenced files survive).
   *   2. The manifest rename IS the commit point: tmp + atomic rename,
   *      so a version either exists complete or not at all. Version
   *      discovery lists `_manifests` (a handful of small files) — no
@@ -135,6 +135,43 @@ object Snapshots {
   def commitReplace(s: SparkSession, dir: String, df: DataFrame,
       partCol: String): Long =
     commitImpl(s, dir, df, partCol, carryUntouched = true)
+
+  /** Retention vacuum — the production knob that bounds history: drop
+    * every version older than the newest `keepLast`, deleting (a) the
+    * dropped versions' manifests and (b) every partition data dir NOT
+    * referenced by any KEPT manifest. Carry-by-reference makes (b) the
+    * load-bearing clause: a partition dir written at v1 and still
+    * listed in the current manifest survives the vacuum of v1 — only
+    * genuinely unreachable files go. Deletion order (manifests first,
+    * then data) keeps the invariant that an EXISTING manifest's files
+    * always exist: a reader can lose the race only by holding a version
+    * older than the retention window, and then fails loudly at the
+    * manifest check, never with half-read data. Returns the dropped
+    * version numbers. */
+  def vacuum(s: SparkSession, dir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "vacuum keeps at least one version")
+    val fs = fsOf(s, dir)
+    val cur = currentVersion(s, dir)
+    if (cur == 0) return Seq.empty
+    val oldest = math.max(1L, cur - keepLast + 1)
+    val kept = (oldest to cur)
+      .flatMap(v => readManifest(s, dir, v)).map(_._2).toSet
+    val dropped = (1L until oldest).filter(v => fs.exists(manifestPath(dir, v)))
+    dropped.foreach(v => fs.delete(manifestPath(dir, v), false))
+    val dataRoot = new Path(dir, "data")
+    if (fs.exists(dataRoot)) {
+      fs.listStatus(dataRoot).foreach { vd =>
+        if (vd.isDirectory) {
+          fs.listStatus(vd.getPath).foreach { pd =>
+            if (pd.isDirectory && !kept(pd.getPath.toString))
+              fs.delete(pd.getPath, true)
+          }
+          if (fs.listStatus(vd.getPath).isEmpty) fs.delete(vd.getPath, false)
+        }
+      }
+    }
+    dropped
+  }
 
   private def commitImpl(s: SparkSession, dir: String, df: DataFrame,
       partCol: String, carryUntouched: Boolean): Long = {

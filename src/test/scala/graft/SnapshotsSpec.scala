@@ -58,6 +58,35 @@ class SnapshotsSpec extends SparkSpec {
     assert(pathOf(m2, "a").contains("data/v00000002"))
   }
 
+  test("vacuum retires old versions but never a file a kept manifest references") {
+    val dir = tempTable()
+    Snapshots.commit(spark, dir,
+      Seq(("a", 1L), ("b", 10L)).toDF("part", "x"), "part")      // v1
+    Snapshots.commitReplace(spark, dir,
+      Seq(("a", 2L)).toDF("part", "x"), "part")                  // v2: b carried from v1
+    Snapshots.commitReplace(spark, dir,
+      Seq(("a", 3L)).toDF("part", "x"), "part")                  // v3: b still v1's dir
+    val dropped = Snapshots.vacuum(spark, dir, keepLast = 2)     // drop v1
+    assert(dropped == Seq(1L), dropped)
+    // v1 is gone: its manifest is deleted and reading it fails loudly
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, dir, "part", 1L).collect()
+    }
+    // v1's REPLACED partition dir (a) is unreachable and deleted...
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/data/v00000001/part=a")))
+    // ...but v1's b dir is still referenced by the KEPT v2/v3 manifests
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/data/v00000001/part=b")))
+    // both kept versions read complete and correct after the vacuum
+    val v2 = Snapshots.read(spark, dir, "part", 2L)
+      .select("part", "x").as[(String, Long)].collect().sorted
+    assert(v2.sameElements(Array(("a", 2L), ("b", 10L))), v2.toSeq)
+    val v3 = Snapshots.read(spark, dir, "part", 3L)
+      .select("part", "x").as[(String, Long)].collect().sorted
+    assert(v3.sameElements(Array(("a", 3L), ("b", 10L))), v3.toSeq)
+  }
+
   test("the manifest rename is the commit point and refuses to overwrite") {
     val dir = tempTable()
     Snapshots.commit(spark, dir, Seq(("a", 1L)).toDF("part", "x"), "part")
