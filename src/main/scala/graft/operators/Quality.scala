@@ -665,6 +665,69 @@ object Quality {
           col("expected"),
           abs(coalesce(col("n"), lit(0L)).cast("double") / col("total")
             - col("expected")).as("abs_dev"))
+    },
+
+    // EMBEDDING-space drift monitor (r13) — the check a crawl pipeline
+    // runs when a new batch of vectors arrives from a re-trained or
+    // drifting encoder: per-DIMENSION mean shift against the reference
+    // corpus (the classic embedding-distribution fingerprint; histogram
+    // L1 in q_quality_drift covers scalar columns, but sign-LSH bucket
+    // histograms are blind to rotations, so moments per dimension are
+    // the honest signal here). Inject-then-detect, the q_quality_anomaly
+    // pattern: the 'shifted' split (vec_id % 2 = 1) gets +0.5 planted
+    // on dimension 7 in-flight; the untouched 'control' split is its
+    // own negative control and must NOT drift (its means differ from
+    // the full-corpus reference only by half-sample noise, orders of
+    // magnitude under the 0.1 fence). All means follow the repo rule —
+    // decOut(decimal sum) / count in both engines — and the shift lands
+    // as integer micro-units, so the verdict is exact. Scale: one
+    // posexplode into (dim, x) keys, two map-side-combined aggregates
+    // over |dims|-sized groups, and the final join touches 64-row
+    // frames — vectors never shuffle.
+    QueryDef(
+      "q_quality_drift_embedding",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, st.i AS i, st.x AS x
+        |      FROM (SELECT vec_id, unnest([{'i': i, 'x': v[i+1]} for i in range(0, len(v))]) AS st FROM e) u),
+        |ref AS (
+        |  SELECT i, CAST(round(sum(CAST(x AS DECIMAL(38,10))), 4) AS DOUBLE) AS rs,
+        |    count(*)::BIGINT AS rc
+        |  FROM x GROUP BY i),
+        |cur AS (
+        |  SELECT CASE WHEN vec_id % 2 = 1 THEN 'shifted' ELSE 'control' END AS split, i,
+        |    CAST(round(sum(CAST(CASE WHEN vec_id % 2 = 1 AND i = 7 THEN x + 0.5 ELSE x END
+        |                        AS DECIMAL(38,10))), 4) AS DOUBLE) AS cs,
+        |    count(*)::BIGINT AS cc
+        |  FROM x GROUP BY 1, 2)
+        |SELECT split,
+        |  sum(CASE WHEN shift_u > 100000 THEN 1 ELSE 0 END)::BIGINT AS n_dims_drifted,
+        |  max(shift_u) AS max_shift_u,
+        |  sum(CASE WHEN shift_u > 100000 THEN 1 ELSE 0 END) > 0 AS drifted
+        |FROM (SELECT c.split,
+        |        CAST(floor(abs(r.rs / r.rc - c.cs / c.cc) * 1000000) AS BIGINT) AS shift_u
+        |      FROM cur c JOIN ref r ON r.i = c.i) t
+        |GROUP BY split
+        |""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("i"), col("xf").cast("double").as("x"))
+      val ref = e.groupBy("i")
+        .agg(decOut(sum(dec(col("x")))).as("rs"), count(lit(1)).as("rc"))
+      val cur = e
+        .withColumn("split",
+          when(col("vec_id") % 2 === 1, "shifted").otherwise("control"))
+        .withColumn("xi",
+          when(col("split") === "shifted" && col("i") === 7, col("x") + 0.5)
+            .otherwise(col("x")))
+        .groupBy("split", "i")
+        .agg(decOut(sum(dec(col("xi")))).as("cs"), count(lit(1)).as("cc"))
+      cur.join(broadcast(ref), Seq("i"))
+        .withColumn("shift_u",
+          floor(abs(col("rs") / col("rc") - col("cs") / col("cc")) * 1000000))
+        .groupBy("split")
+        .agg(sum(when(col("shift_u") > 100000, 1L).otherwise(0L)).as("n_dims_drifted"),
+          max(col("shift_u")).as("max_shift_u"))
+        .withColumn("drifted", col("n_dims_drifted") > 0)
     }
   )
 
