@@ -56,10 +56,11 @@ object VectorFunctions {
 
   /** One row per (table, bucket) membership: multi-table sign-LSH.
     * Candidates = rows sharing (table, bucket) in ANY of the `tables`
-    * independent tables; P(candidate) = 1 - (1 - p^bits)^tables. */
+    * independent tables; P(candidate) = 1 - (1 - p^bits)^tables.
+    * Buckets come from the native [[SrpBuckets]] pass (same plane
+    * family t*bits..t*bits+bits-1 as the per-bucket HOF — bit-identical). */
   def lshTables(v: Column, bits: Int, tables: Int): Column =
-    explode(array((0 until tables).map(t =>
-      struct(lit(t).as("t"), lshBucket(v, bits, t * bits).as("b"))): _*))
+    lshTableKeys(SrpBuckets.srpBuckets(v, bits, tables))
 
   /** Per-table bucket array (element t = table t's `bits`-bit bucket,
     * plane family t*bits..t*bits+bits-1). Compute ONCE per vector (then

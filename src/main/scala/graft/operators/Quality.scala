@@ -686,28 +686,7 @@ object Quality {
     // frames — vectors never shuffle.
     QueryDef(
       "q_quality_drift_embedding",
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |x AS (SELECT vec_id, st.i AS i, st.x AS x
-        |      FROM (SELECT vec_id, unnest([{'i': i, 'x': v[i+1]} for i in range(0, len(v))]) AS st FROM e) u),
-        |ref AS (
-        |  SELECT i, CAST(round(sum(CAST(x AS DECIMAL(38,10))), 4) AS DOUBLE) AS rs,
-        |    count(*)::BIGINT AS rc
-        |  FROM x GROUP BY i),
-        |cur AS (
-        |  SELECT CASE WHEN vec_id % 2 = 1 THEN 'shifted' ELSE 'control' END AS split, i,
-        |    CAST(round(sum(CAST(CASE WHEN vec_id % 2 = 1 AND i = 7 THEN x + 0.5 ELSE x END
-        |                        AS DECIMAL(38,10))), 4) AS DOUBLE) AS cs,
-        |    count(*)::BIGINT AS cc
-        |  FROM x GROUP BY 1, 2)
-        |SELECT split,
-        |  sum(CASE WHEN shift_u > 100000 THEN 1 ELSE 0 END)::BIGINT AS n_dims_drifted,
-        |  max(shift_u) AS max_shift_u,
-        |  sum(CASE WHEN shift_u > 100000 THEN 1 ELSE 0 END) > 0 AS drifted
-        |FROM (SELECT c.split,
-        |        CAST(floor(abs(r.rs / r.rc - c.cs / c.cc) * 1000000) AS BIGINT) AS shift_u
-        |      FROM cur c JOIN ref r ON r.i = c.i) t
-        |GROUP BY split
-        |""".stripMargin) { (s, d) =>
+      Quality.embeddingDriftOracle) { (s, d) =>
       val e = embeddings(s, d)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
         .select(col("vec_id"), col("i"), col("xf").cast("double").as("x"))
@@ -730,6 +709,38 @@ object Quality {
         .withColumn("drifted", col("n_dims_drifted") > 0)
     }
   )
+
+  /** DuckDB statement of the embedding-drift fixpoint — shared verbatim
+    * by q_quality_drift_embedding and its ingest twin
+    * q_stream_drift_embedding (the stream accumulates the SAME decimal
+    * sums per batch and rounds once at read-out, so its output IS this
+    * fixpoint). */
+  // a def, not a val: `defs` above reads this during object init, and a
+  // val defined below it would still be null there (the r11 ordering slip
+  // the oracle-hygiene lint exists for)
+  private[graft] def embeddingDriftOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, st.i AS i, st.x AS x
+        |      FROM (SELECT vec_id, unnest([{'i': i, 'x': v[i+1]} for i in range(0, len(v))]) AS st FROM e) u),
+        |ref AS (
+        |  SELECT i, CAST(round(sum(CAST(x AS DECIMAL(38,10))), 4) AS DOUBLE) AS rs,
+        |    count(*)::BIGINT AS rc
+        |  FROM x GROUP BY i),
+        |cur AS (
+        |  SELECT CASE WHEN vec_id % 2 = 1 THEN 'shifted' ELSE 'control' END AS split, i,
+        |    CAST(round(sum(CAST(CASE WHEN vec_id % 2 = 1 AND i = 7 THEN x + 0.5 ELSE x END
+        |                        AS DECIMAL(38,10))), 4) AS DOUBLE) AS cs,
+        |    count(*)::BIGINT AS cc
+        |  FROM x GROUP BY 1, 2)
+        |SELECT split,
+        |  sum(CASE WHEN shift_u > 100000 THEN 1 ELSE 0 END)::BIGINT AS n_dims_drifted,
+        |  max(shift_u) AS max_shift_u,
+        |  sum(CASE WHEN shift_u > 100000 THEN 1 ELSE 0 END) > 0 AS drifted
+        |FROM (SELECT c.split,
+        |        CAST(floor(abs(r.rs / r.rc - c.cs / c.cc) * 1000000) AS BIGINT) AS shift_u
+        |      FROM cur c JOIN ref r ON r.i = c.i) t
+        |GROUP BY split
+        |""".stripMargin
 
   /** Histogram-L1 drift between two snapshots of the same schema: each
     * snapshot reduces to (column, bin, count) histogram rows in one

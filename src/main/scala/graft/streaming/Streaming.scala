@@ -834,6 +834,70 @@ object Streaming {
   def streamDrift(s: SparkSession, d: String): DataFrame =
     streamDriftCounted(s, d)._1
 
+  /** EMBEDDING-drift monitor AT INGEST — the streaming twin of
+    * q_quality_drift_embedding: each arriving vector micro-batch reduces
+    * to per-(split, dimension) DECIMAL sums + counts, accumulated across
+    * batches. Decimal addition is exact and associative, so the
+    * accumulated state is batching-invariant by construction, and the
+    * micro-unit rounding happens ONCE at read-out (rounding per batch
+    * would make the result depend on arrival batching — the trap this
+    * shape exists to avoid). The planted +0.5 on dimension 7 of the
+    * shifted split is applied in-flight; the reference per-dim means
+    * come from the static corpus, read once and checkpointed. State is
+    * constant-size: 2·|dims| rows of (decimal, long) — the corpus never
+    * accumulates. Oracle = the batch fixpoint, verbatim. */
+  def streamDriftEmbedding(s: SparkSession, d: String): DataFrame =
+    streamDriftEmbeddingCounted(s, d, d, "embeddings.parquet", 0)._1
+
+  private[graft] def streamDriftEmbeddingCounted(s: SparkSession, d: String,
+      srcDir: String, glob: String,
+      maxFilesPerTrigger: Int): (DataFrame, Int) = withStatePartitions(s, 4) {
+    import graft.Exact.{dec, decOut}
+    val emb = graft.sources.Tables.embeddings(s, d)
+    def dims(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("vec_id"), col("i"), col("xf").cast("double").as("x"))
+    def sums(df: DataFrame): DataFrame = dims(df)
+      .withColumn("split",
+        when(col("vec_id") % 2 === 1, "shifted").otherwise("control"))
+      .withColumn("xi",
+        when(col("split") === "shifted" && col("i") === 7, col("x") + 0.5)
+          .otherwise(col("x")))
+      .groupBy("split", "i")
+      .agg(sum(dec(col("xi"))).as("cs"), count(lit(1)).as("cc"))
+    val ref = dims(emb).groupBy("i")
+      .agg(decOut(sum(dec(col("x")))).as("rs"), count(lit(1)).as("rc"))
+      .localCheckpoint()
+    val acc = new BatchAcc[DataFrame](null)
+    val applied = new BatchAcc(0)
+    val reader = s.readStream.schema(emb.schema).option("pathGlobFilter", glob)
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    val q = reader.parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = sums(batch)
+        acc.set(
+          if (acc.get == null) delta.localCheckpoint()
+          else acc.get.unionByName(delta)
+            .groupBy("split", "i")
+            .agg(sum(col("cs")).as("cs"), sum(col("cc")).as("cc"))
+            .localCheckpoint())
+        applied.set(applied.get + 1)
+      }
+      .start()
+    drain(q)
+    val cur = if (acc.get == null) sums(emb.limit(0)) else acc.get
+    (cur.join(broadcast(ref), Seq("i"))
+      .withColumn("shift_u",
+        floor(abs(col("rs") / col("rc") - decOut(col("cs")) / col("cc")) * 1000000))
+      .groupBy("split")
+      .agg(sum(when(col("shift_u") > 100000, 1L).otherwise(0L)).as("n_dims_drifted"),
+        max(col("shift_u")).as("max_shift_u"))
+      .withColumn("drifted", col("n_dims_drifted") > 0),
+      applied.get)
+  }
+
   /** Streaming cardinality monitor (the q_stream_cardinality body): a
     * per-event-type KMV (theta) sketch maintained across micro-batches —
     * the ingest-time twin of q_agg_kmv. Each batch reduces its records to
@@ -1789,6 +1853,18 @@ object Streaming {
         |GROUP BY event_type
         |""".stripMargin,
       bench = false) { (s, d) => streamDrift(s, d) },
+
+    // EMBEDDING drift at ingest — the vector-space member of the monitor
+    // family (see streamDriftEmbedding's doc): per-(split, dim) decimal
+    // sums accumulate across batches (exact, associative => batching-
+    // invariant), micro-unit rounding once at read-out, reference from
+    // the static corpus. The oracle is q_quality_drift_embedding's
+    // fixpoint verbatim.
+    QueryDef(
+      "q_stream_drift_embedding",
+      graft.operators.Quality.embeddingDriftOracle) { (s, d) =>
+      streamDriftEmbedding(s, d)
+    },
 
     // Streaming cardinality monitor: per-type distinct-user estimates
     // maintained as constant-size KMV sketches across micro-batches.

@@ -317,6 +317,31 @@ class StreamingRobustnessSpec extends SparkSpec {
       s"degenerate stream filter: $flagged of ${multi.count()} flagged")
   }
 
+  test("streamDriftEmbedding is batching-invariant and equals the batch fixpoint") {
+    // the decimal per-(split, dim) sums are exact and associative, so a
+    // 3-file/1-per-trigger arrival must produce the IDENTICAL report as
+    // a single batch and as the batch query — including the doubles
+    // (micro-unit rounding happens once at read-out, never per batch)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_edrift").toString
+    emb.repartition(3).write.mode("overwrite").parquet(dir)
+    val (multi, applied) = graft.streaming.Streaming
+      .streamDriftEmbeddingCounted(spark, sf, dir, "*.parquet", 1)
+    assert(applied >= 2, s"expected a multi-batch run, got $applied batch(es)")
+    val (single, _) = graft.streaming.Streaming
+      .streamDriftEmbeddingCounted(spark, sf, sf, "embeddings.parquet", 0)
+    val m = multi.collect().map(_.toString).sorted
+    assert(m.nonEmpty)
+    assert(m.sameElements(single.collect().map(_.toString).sorted),
+      "embedding drift report must be batching-invariant")
+    val batch = q("q_quality_drift_embedding").collect().map(_.toString).sorted
+    assert(m.sameElements(batch), "stream report must equal the batch fixpoint")
+    // the monitor is live: the planted split flags, the control doesn't
+    val verdicts = multi.select("split", "drifted")
+      .as[(String, Boolean)].collect().toMap
+    assert(verdicts("shifted") && !verdicts("control"), verdicts.toString)
+  }
+
   test("streamContainment is batching-invariant and equals the batch fixpoint") {
     // the ingest-time quote/excerpt filter is stateless per batch
     // (stream-static joins only), so output must not depend on arrival
