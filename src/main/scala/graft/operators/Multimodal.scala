@@ -367,6 +367,91 @@ object Multimodal {
   final case class ChannelStats(asset_id: Long, channel: Int, n_frames: Int,
       sum_sq: Long, sum_abs_delta: Long, peak_abs: Long)
 
+  /** one LSH band of an audio fingerprint (see [[wavBandKeys]]) */
+  final case class AudioBand(asset_id: Long, band_no: Int, band_key: String,
+      n_bands: Int)
+
+  /** Haitsma-Kalker-shaped audio fingerprint of a canonical 16-bit PCM
+    * WAV: channel-0 samples group into `window`-frame FULL windows, each
+    * window's integer energy is its abs-sum, fingerprint bit w is the
+    * derivative sign energy(w) > energy(w+1) (strict), and consecutive
+    * `bandBits`-bit groups become LSH band keys (the q_dedup_minhash /
+    * q_dedup_video banding shape — partial trailing windows and bands
+    * are DROPPED so both engines see the identical domain). All-integer,
+    * so the oracle replays every sample from payload hex. A payload too
+    * short for one full band emits nothing — out of fingerprint domain,
+    * the ahash 8x8-floor precedent. Non-canonical payloads return None
+    * (the [[wavResample]] posture). */
+  private[graft] def wavBandKeys(d: Array[Byte], window: Int,
+      bandBits: Int): Option[Seq[AudioBand]] = {
+    def le2(o: Int): Int = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+    def le4(o: Int): Long =
+      ((d(o) & 0xffL) | ((d(o + 1) & 0xffL) << 8) |
+        ((d(o + 2) & 0xffL) << 16) | ((d(o + 3) & 0xffL) << 24))
+    def tag(o: Int, t: String): Boolean =
+      t.zipWithIndex.forall { case (c, i) => d(o + i) == c.toByte }
+    if (!(d.length >= 44 && tag(0, "RIFF") && tag(8, "WAVE") &&
+        tag(12, "fmt ") && le4(16) == 16 && le2(20) == 1 &&
+        le2(34) == 16 && tag(36, "data")))
+      return None
+    val ch = le2(22)
+    if (ch < 1 || ch > 8) return None
+    val align = ch * 2
+    val avail = math.min(le4(40), (d.length - 44).toLong).toInt
+    val nFrames = avail / align
+    def sample(f: Int): Int = {
+      val o = 44 + f * align
+      ((d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)).toShort.toInt
+    }
+    val nw = nFrames / window
+    val energies = Array.tabulate(nw) { w =>
+      var e = 0L
+      var f = w * window
+      while (f < (w + 1) * window) { e += math.abs(sample(f).toLong); f += 1 }
+      e
+    }
+    val nBits = math.max(nw - 1, 0)
+    val nBands = nBits / bandBits
+    Some((0 until nBands).map { b =>
+      val key = (b * bandBits until (b + 1) * bandBits)
+        .map(w => if (energies(w) > energies(w + 1)) '1' else '0').mkString
+      AudioBand(0L, b, key, nBands)
+    })
+  }
+
+  /** [[wavBandKeys]] over an asset table: narrow row-multiplying
+    * flatMap (one row per band), payload bytes never shuffle — only
+    * (id, band_no, 8-char key) rows reach the candidate join. */
+  def audioFingerprint(assets: DataFrame, window: Int = 4,
+      bandBits: Int = 8): DataFrame = {
+    val s = assets.sparkSession
+    import s.implicits._
+    assets.as[Asset].flatMap { a =>
+      def safe[T](p: => Option[T]): Option[T] =
+        try p catch { case scala.util.control.NonFatal(_) => None }
+      safe(wavBandKeys(a.data, window, bandBits)).getOrElse(Seq.empty)
+        .map(bk => bk.copy(asset_id = a.asset_id))
+    }.toDF()
+  }
+
+  /** the planted audio twin's id (base asset 4, payload truncated by
+    * one frame — the "same recording, trimmed" near-dup) */
+  val AudioTwinId = 1000004L
+
+  /** audio assets + one planted near-dup: asset 4's payload minus its
+    * final frame (align 2 -> 2 bytes). Truncation preserves alignment,
+    * so every FULL window of the twin is sample-identical to the base —
+    * the pair the fingerprint must recover. The stale RIFF size fields
+    * are deliberate: decoders bound by actual length (as [[wavBandKeys]]
+    * does) must not trust them. */
+  def audioAssetsPlanted(s: SparkSession, d: String): DataFrame = {
+    val aud = assets(s, d).filter(col("modality") === "audio")
+    val twin = aud.filter(col("asset_id") === 4)
+      .select(lit(AudioTwinId).as("asset_id"), col("modality"),
+        expr("substring(data, 1, length(data) - 2)").as("data"))
+    aud.unionByName(twin)
+  }
+
   /** Per-channel waveform statistics of a canonical 16-bit PCM WAV —
     * the real DSP summary pass (loudness proxy = sum of squares,
     * roughness = first-difference energy, clipping check = peak), all
@@ -1464,6 +1549,78 @@ object Multimodal {
           sum(when(col("sig_a") === col("sig_b"), 1L).otherwise(0L))
             .as("n_exact_frames"))
         .filter(col("n_exact_frames") >= 2)
+    },
+
+    // Audio near-dup (r13) — the modality x dedup matrix completed
+    // (image aHash, video frame bands, now audio): Haitsma-Kalker-shaped
+    // fingerprint bands over DECODED channel-0 PCM (4-frame window
+    // abs-sum energies, derivative-sign bits, 8-bit band keys — all
+    // integer), candidates from the (band_no, key) equi-join only, a
+    // pair near-dup when >= 60% of the smaller fingerprint's bands match
+    // in place. Assets too short for two full bands are out of domain
+    // (the ahash 8x8-floor precedent — a 1-band fingerprint would call
+    // random pairs dups). The fixture plants one twin (asset 4's payload
+    // minus its final frame — same recording, trimmed; truncation
+    // preserves alignment so every full window is sample-identical) that
+    // the entry must recover; the oracle replays every sample from
+    // payload hex, windows, bits, bands, and the verify rule.
+    //
+    // Scale shape: decode is the narrow flatMap pass (payloads never
+    // shuffle); only (id, band_no, 8-char key) rows reach the band
+    // equi-join, and the verify is arithmetic on the grouped counts —
+    // never a second decode.
+    QueryDef(
+      "q_dedup_audio", {
+        val samp = "((('0x' || substring(phex, CAST(2 * (44 + f * align) + 3 AS INT), 2) || substring(phex, CAST(2 * (44 + f * align) + 1 AS INT), 2))::INT + 32768) % 65536 - 32768)"
+        s"""WITH $payloadHexCte,
+          |a2 AS (
+          |  SELECT doc_id AS id, doc_id AS base, phex FROM p WHERE doc_id % 3 = 1
+          |  UNION ALL
+          |  SELECT 1000004 AS id, 4 AS base,
+          |    substring(phex, 1, CAST(strlen(phex) - 4 AS INT)) AS phex
+          |  FROM p WHERE doc_id = 4),
+          |m AS (
+          |  SELECT id, phex, CAST((1 + base % 2) * 2 AS INT) AS align,
+          |    CAST((strlen(phex) // 2 - 44) // ((1 + base % 2) * 2) AS INT) AS nf
+          |  FROM a2),
+          |e AS (
+          |  SELECT id, w,
+          |    list_sum(list_transform(range(w * 4, w * 4 + 4), f -> abs(CAST($samp AS BIGINT)))) AS en
+          |  FROM m, UNNEST(range(0, CAST(nf // 4 AS BIGINT))) t(w)),
+          |b AS (
+          |  SELECT a.id, a.w AS bitno, CASE WHEN a.en > c.en THEN '1' ELSE '0' END AS bit
+          |  FROM e a JOIN e c ON c.id = a.id AND c.w = a.w + 1),
+          |bd AS (
+          |  SELECT id, bitno // 8 AS band_no, string_agg(bit, '' ORDER BY bitno) AS band_key,
+          |    count(*) AS nb
+          |  FROM b GROUP BY 1, 2),
+          |f AS MATERIALIZED (SELECT id, band_no, band_key FROM bd WHERE nb = 8),
+          |nb AS (SELECT id, CAST(count(*) AS INT) AS n_bands FROM f GROUP BY 1),
+          |cand AS (
+          |  SELECT a.id AS i, b2.id AS j, count(*)::BIGINT AS n_shared_bands
+          |  FROM f a JOIN f b2 ON b2.band_no = a.band_no AND b2.band_key = a.band_key
+          |    AND a.id < b2.id
+          |  GROUP BY 1, 2)
+          |SELECT c.i, c.j, c.n_shared_bands,
+          |  least(ni.n_bands, nj.n_bands) AS n_bands_min
+          |FROM cand c JOIN nb ni ON ni.id = c.i JOIN nb nj ON nj.id = c.j
+          |WHERE least(ni.n_bands, nj.n_bands) >= 2
+          |  AND c.n_shared_bands * 5 >= 3 * least(ni.n_bands, nj.n_bands)
+          |""".stripMargin
+      }) { (s, d) =>
+      val f = audioFingerprint(audioAssetsPlanted(s, d)).localCheckpoint()
+      val a = f.select(col("asset_id").as("i"), col("band_no"),
+        col("band_key"), col("n_bands").as("nb_i"))
+      val b = f.select(col("asset_id").as("j"), col("band_no"),
+        col("band_key"), col("n_bands").as("nb_j"))
+      a.join(b, Seq("band_no", "band_key"))
+        .filter(col("i") < col("j"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n_shared_bands"),
+          least(first(col("nb_i")), first(col("nb_j"))).as("n_bands_min"))
+        .filter(col("n_bands_min") >= 2 &&
+          col("n_shared_bands") * 5 >= col("n_bands_min") * 3)
+        .select("i", "j", "n_shared_bands", "n_bands_min")
     }
   )
 }

@@ -558,6 +558,27 @@ class MultimodalStreamingSpec extends SparkSpec {
       s"got ${rows.toSeq}")
   }
 
+  test("audio near-dup recovers the trimmed twin with every band shared, no false pairs") {
+    import graft.operators.Multimodal
+    val rows = q("q_dedup_audio").collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+        r.getAs[Long]("n_shared_bands"), r.getAs[Int]("n_bands_min")))
+    // the trimmed twin preserves alignment, so every FULL window is
+    // sample-identical and ALL of the smaller fingerprint's bands match
+    val twin = rows.find(p => p._1 == 4L && p._2 == Multimodal.AudioTwinId)
+    assert(twin.isDefined, s"planted twin missing from ${rows.toSeq}")
+    assert(twin.get._3 == twin.get._4.toLong,
+      s"twin must share all min-side bands: $twin")
+    // precision on this fixture: no pair of DISTINCT base recordings
+    // passes the 60% in-place band rule
+    val falsePairs = rows.filterNot(p => p._1 == 4L && p._2 == Multimodal.AudioTwinId)
+    assert(falsePairs.isEmpty, s"unexpected near-dup pairs: ${falsePairs.toSeq}")
+    // and the fingerprint degrades, never fails, on non-audio payloads
+    val nonAudio = Multimodal.audioFingerprint(
+      Multimodal.assets(spark, sf).filter(col("modality") =!= "audio"))
+    assert(nonAudio.count() == 0)
+  }
+
   test("planted twin frames 1-2 decode bit-identical to asset 2, frame 3 differs") {
     val sigs = graft.operators.Multimodal.videoFrameSig(
         graft.operators.Multimodal.videoAssetsPlanted(spark, sf))
