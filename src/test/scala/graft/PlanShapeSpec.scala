@@ -201,6 +201,16 @@ class PlanShapeSpec extends SparkSpec {
       "status filter must prune at the DIRECTORY level, not post-scan:\n" + p)
   }
 
+  test("dim filter prunes fact partitions at RUNTIME (dynamic partition pruning)") {
+    // the filter lives on the JOINED dim column, so plan-time
+    // PartitionFilters can't know the surviving event_type values — the
+    // fact scan must instead carry a dynamicpruning expression fed by
+    // the broadcast dim (the star-schema prune at 100 TB)
+    val p = planString("q_layout_dpp")
+    assert(p.contains("dynamicpruning"),
+      "fact scan must be dynamically pruned by the dim filter:\n" + p)
+  }
+
   test("registry invariant: no unpartitioned Window or CartesianProduct in any query plan") {
     // A Window with an empty partitionSpec funnels its entire input through
     // ONE task — the canonical single-node scale-killer. Sweep every
