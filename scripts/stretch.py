@@ -84,6 +84,52 @@ def stretch_embeddings(src, out, copies):
     print(f"embeddings: {len(o_id)} rows")
 
 
+def stretch_events(src, out, copies):
+    """entity keys (event_id, user_id) shift by k*10^10; ts/type/value
+    replicate verbatim — event streams legitimately repeat shapes, and
+    every events consumer keys on ids/types/windows, not uniqueness of
+    (ts, value) pairs"""
+    t = pq.read_table(f"{src}/events.parquet")
+    d = t.to_pydict()
+    cols = {k: [] for k in d}
+    for k in range(copies):
+        for i in range(len(d["event_id"])):
+            for c in d:
+                v = d[c][i]
+                if c in ("event_id", "user_id") and k > 0:
+                    v = v + k * SHIFT
+                cols[c].append(v)
+    sch = t.schema
+    pq.write_table(pa.table(
+        {c: pa.array(cols[c], sch.field(c).type) for c in d}),
+        f"{out}/events.parquet")
+    print(f"events: {len(cols['event_id'])} rows")
+
+
+def stretch_keyed(src, out, copies, table, key_cols, tag_col=None):
+    """generic entity-key stretcher (customer, lineitem, ...): key
+    columns shift by k*10^10, an optional text column gets the 2-char
+    copy tag of the r11 recipe so copies are not byte-identical"""
+    t = pq.read_table(f"{src}/{table}.parquet")
+    d = t.to_pydict()
+    cols = {k: [] for k in d}
+    n = t.num_rows
+    for k in range(copies):
+        for i in range(n):
+            for c in d:
+                v = d[c][i]
+                if c in key_cols and k > 0:
+                    v = v + k * SHIFT
+                if c == tag_col and k > 0:
+                    v = f"{v}c{k}"
+                cols[c].append(v)
+    sch = t.schema
+    pq.write_table(pa.table(
+        {c: pa.array(cols[c], sch.field(c).type) for c in d}),
+        f"{out}/{table}.parquet")
+    print(f"{table}: {len(next(iter(cols.values())))} rows")
+
+
 def main():
     src, out, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
     tables = sys.argv[4:] or ["documents", "embeddings"]
@@ -93,6 +139,13 @@ def main():
         stretch_documents(src, out, copies)
     if "embeddings" in tables:
         stretch_embeddings(src, out, copies)
+    if "events" in tables:
+        stretch_events(src, out, copies)
+    if "customer" in tables:
+        stretch_keyed(src, out, copies, "customer",
+                      {"c_custkey"}, tag_col="c_name")
+    if "lineitem" in tables:
+        stretch_keyed(src, out, copies, "lineitem", {"l_orderkey"})
 
 
 if __name__ == "__main__":
