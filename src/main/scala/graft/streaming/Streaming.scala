@@ -849,6 +849,68 @@ object Streaming {
   def streamDriftEmbedding(s: SparkSession, d: String): DataFrame =
     streamDriftEmbeddingCounted(s, d, d, "embeddings.parquet", 0)._1
 
+  /** VERSIONED streaming ingest — Structured Streaming composed with the
+    * snapshot table format (sources/Snapshots.scala): every micro-batch
+    * folds into the running per-language corpus totals (exact integer
+    * sums — associative, so the fold is batching-invariant) and each
+    * fold COMMITS as a new snapshot version via the atomic manifest
+    * rename. This is the Delta/Iceberg streaming-sink shape: readers
+    * pin any version for a consistent view while the stream keeps
+    * committing (SnapshotsSpec's isolation proof applies verbatim), and
+    * the version history IS the ingest audit log — version k = the
+    * table after batch k. The query returns the LAST committed
+    * version's read-back, which must equal the batch fixpoint
+    * regardless of batching; per-version monotonicity and
+    * version-count == batch-count are pinned in
+    * StreamingRobustnessSpec. */
+  def streamSnapshot(s: SparkSession, d: String): DataFrame =
+    streamSnapshotCounted(s, d, d, "documents.parquet", 0)._1
+
+  private[graft] def streamSnapshotCounted(s: SparkSession, d: String,
+      srcDir: String, glob: String,
+      maxFilesPerTrigger: Int): (DataFrame, Int) = withStatePartitions(s, 4) {
+    import graft.sources.Snapshots
+    val docs = graft.sources.Tables.documents(s, d)
+    // fresh per-run table dir (nanoTime beyond the session id: repeat
+    // runs in one session — bench passes — must not stack onto one
+    // history, or version numbers would depend on pass count)
+    val dir = "/tmp/graft_stream_snap_" +
+      java.nio.file.Paths.get(d).getFileName.toString +
+      "_" + s.sparkContext.applicationId + "_" + System.nanoTime()
+    graft.operators.Sampling.deleteOnExit(dir)
+    def fold(df: DataFrame): DataFrame = df
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    val state = new BatchAcc[DataFrame](null)
+    val lastV = new BatchAcc[Long](0L)
+    val applied = new BatchAcc(0)
+    val reader = s.readStream.schema(docs.schema).option("pathGlobFilter", glob)
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    val q = reader.parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = fold(batch)
+        val next =
+          (if (state.get == null) delta
+           else state.get.unionByName(delta).groupBy("lang")
+             .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_chars")).as("n_chars")))
+            .localCheckpoint()
+        state.set(next)
+        lastV.set(Snapshots.commit(s, dir, next, "lang"))
+        applied.set(applied.get + 1)
+      }
+      .start()
+    drain(q)
+    (if (lastV.get == 0L)
+      docs.limit(0).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    else
+      Snapshots.read(s, dir, "lang", lastV.get)
+        .select(col("lang"), col("n_docs"), col("n_chars")),
+      applied.get)
+  }
+
   private[graft] def streamDriftEmbeddingCounted(s: SparkSession, d: String,
       srcDir: String, glob: String,
       maxFilesPerTrigger: Int): (DataFrame, Int) = withStatePartitions(s, 4) {
@@ -1865,6 +1927,17 @@ object Streaming {
       graft.operators.Quality.embeddingDriftOracle) { (s, d) =>
       streamDriftEmbedding(s, d)
     },
+
+    // Versioned streaming ingest (see streamSnapshot's doc): micro-batch
+    // folds committed as snapshot versions via the atomic manifest
+    // rename; the LAST version's read-back must equal the batch
+    // fixpoint regardless of batching (integer fold = associative), so
+    // the oracle is one GROUP BY over the corpus.
+    QueryDef(
+      "q_stream_snapshot",
+      """SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars
+        |FROM documents GROUP BY lang
+        |""".stripMargin) { (s, d) => streamSnapshot(s, d) },
 
     // Streaming cardinality monitor: per-type distinct-user estimates
     // maintained as constant-size KMV sketches across micro-batches.

@@ -317,6 +317,42 @@ class StreamingRobustnessSpec extends SparkSpec {
       s"degenerate stream filter: $flagged of ${multi.count()} flagged")
   }
 
+  test("streamSnapshot: versioned ingest — one version per batch, monotone history, fixpoint tail") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssnap").toString
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    // single-batch run FIRST, so the latest table dir afterwards is the
+    // multi-batch run's history
+    val (single, _) = graft.streaming.Streaming
+      .streamSnapshotCounted(spark, sf, sf, "documents.parquet", 0)
+    val sRows = single.collect().map(_.toString).sorted
+    val (multi, applied) = graft.streaming.Streaming
+      .streamSnapshotCounted(spark, sf, dir, "*.parquet", 1)
+    assert(applied >= 2, s"expected a multi-batch run, got $applied batch(es)")
+    val m = multi.collect().map(_.toString).sorted
+    // the last version's read-back equals the batch fixpoint AND the
+    // single-batch run — batching only changes the history, never the tail
+    assert(m.nonEmpty && m.sameElements(sRows))
+    val batch = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .collect().map(_.toString).sorted
+    assert(m.sameElements(batch), "final version must equal the batch fixpoint")
+    // history semantics: the run created one snapshot version per batch,
+    // and corpus totals grow monotonically along the version chain
+    val table = Option(new java.io.File("/tmp").listFiles()).get
+      .map(_.getPath).filter(_.startsWith("/tmp/graft_stream_snap_"))
+      .sorted.last
+    val nv = graft.sources.Snapshots.currentVersion(spark, table)
+    assert(nv == applied.toLong, s"expected $applied versions, found $nv")
+    val totals = (1L to nv).map { v =>
+      graft.sources.Snapshots.read(spark, table, "lang", v)
+        .agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    }
+    assert(totals.zip(totals.tail).forall { case (a, b) => a <= b },
+      s"per-version doc totals must be monotone: $totals")
+    assert(totals.last == docs.count(), s"final version covers the corpus: $totals")
+  }
+
   test("streamDriftEmbedding is batching-invariant and equals the batch fixpoint") {
     // the decimal per-(split, dim) sums are exact and associative, so a
     // 3-file/1-per-trigger arrival must produce the IDENTICAL report as
