@@ -33,6 +33,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      is atomic; object stores need a conditional-PUT equivalent —
   *      exactly the caveat real formats document).
   *
+  * SCHEMA CONTRACT: the table's schema is fixed for its lifetime.
+  * [[commitReplace]] carries older data dirs by reference, so a replace
+  * commit that changed the schema would mix file schemas within one
+  * version — the reader unions BY NAME without allowMissingColumns, so
+  * that mistake fails loudly at read instead of silently nulling a
+  * column. Schema evolution requires a full-snapshot [[commit]] (every
+  * entry rewritten under the new schema); a production format records
+  * schema-per-manifest to relax this, which this demo deliberately
+  * omits.
+  *
   * [[commitReplace]] is the scale story: a partition-level rewrite
   * re-lists UNTOUCHED partitions' existing data dirs in the new
   * manifest instead of rewriting them — the rewrite cost is one

@@ -77,6 +77,32 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("SrpBuckets interpreted eval equals its codegen path") {
+    // the expression has two execution paths (nullSafeEval for
+    // interpreted/fallback contexts, doGenCode inside whole-stage
+    // codegen); a drift between them would re-bucket vectors depending
+    // on which plan shape runs. Force the interpreted path by calling
+    // eval() directly on literal input and compare against the
+    // DataFrame (codegen) result.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().take(50)
+    val viaDf = vecs.toSeq.toDF("id", "v")
+      .select(col("id"),
+        graft.functions.SrpBuckets.srpBuckets(col("v"), 12, 8).as("bks"))
+      .as[(Long, Array[Long])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val lit = Literal.create(v, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false))
+      val interpreted = graft.functions.SrpBuckets(lit, 12, 8)
+        .eval(null).asInstanceOf[ArrayData].toLongArray()
+      assert(interpreted.sameElements(viaDf(id)),
+        s"vector $id buckets differ between interpreted and codegen paths")
+    }
+  }
+
   test("LSH ANN hits a positive recall vs brute force") {
     val brute = q("q_knn_brute").select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val lsh = q("q_knn_lsh").select("q_id", "n_id").as[(Long, Long)].collect().toSet
