@@ -164,9 +164,14 @@ object Snapshots {
     val cur = currentVersion(s, dir)
     if (cur == 0) return Seq.empty
     val oldest = math.max(1L, cur - keepLast + 1)
-    val kept = (oldest to cur)
+    // an EARLIER vacuum may already have retired versions below
+    // `oldest` — walk only the manifests that exist (a second vacuum
+    // with a wider window must be a no-op, not a read of retired
+    // history)
+    val existing = (1L to cur).filter(v => fs.exists(manifestPath(dir, v)))
+    val kept = existing.filter(_ >= oldest)
       .flatMap(v => readManifest(s, dir, v)).map(_._2).toSet
-    val dropped = (1L until oldest).filter(v => fs.exists(manifestPath(dir, v)))
+    val dropped = existing.filter(_ < oldest)
     dropped.foreach(v => fs.delete(manifestPath(dir, v), false))
     val dataRoot = new Path(dir, "data")
     if (fs.exists(dataRoot)) {

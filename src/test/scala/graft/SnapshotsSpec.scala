@@ -85,6 +85,12 @@ class SnapshotsSpec extends SparkSpec {
     val v3 = Snapshots.read(spark, dir, "part", 3L)
       .select("part", "x").as[(String, Long)].collect().sorted
     assert(v3.sameElements(Array(("a", 3L), ("b", 10L))), v3.toSeq)
+    // a SECOND vacuum whose window reaches below the already-retired
+    // history must be a no-op, not a read of missing manifests
+    assert(Snapshots.vacuum(spark, dir, keepLast = 3) == Seq.empty)
+    assert(Snapshots.read(spark, dir, "part", 3L)
+      .select("part", "x").as[(String, Long)].collect().sorted
+      .sameElements(v3))
   }
 
   test("the manifest rename is the commit point and refuses to overwrite") {
