@@ -203,7 +203,11 @@ object Plans {
     "q_dedup_embedding" ->
       "selective embedding near-dup (r13 re-frame): the 8x12-bit SRP index is built once and checkpointed (plans read LogicalRDDs, never re-derive the 96 plane dots); only (id, t, b) keys flow through the candidate equi-join + distinct — the checkpointed candidate set was already counted against the 5% fraction budget before this plan exists (fail-loud, not silently quadratic) — and vectors join back BY ID solely for the codegen-cosine verify",
     "q_layout_timetravel" ->
-      "snapshot read-at-version: each version's plan is a UNION of per-manifest-entry parquet scans with the partition value attached as a literal — the manifest IS the scan plan (no directory listing, no partition discovery), so a pinned version's plan is untouched by later commits; both version reads aggregate map-side before the union"
+      "snapshot read-at-version: each version's plan is a UNION of per-manifest-entry parquet scans with the partition value attached as a literal — the manifest IS the scan plan (no directory listing, no partition discovery), so a pinned version's plan is untouched by later commits; both version reads aggregate map-side before the union",
+    "q_layout_dpp" ->
+      "dynamic partition pruning: the class filter lives on the JOINED dim scan, so the hive-partitioned fact's PartitionFilters carry a dynamicpruning subquery fed by the broadcast dim — partitions the planner cannot know are skipped at runtime (the star-schema prune; plan-asserted in PlanShapeSpec)",
+    "q_dedup_audio" ->
+      "audio near-dup: fingerprint decode is ONE narrow typed SerializeFromObject/MapPartitions pass (payload bytes never shuffle); the band candidate join is an equi-join on (band_no, 8-char key) rows and the >= 60% verify is arithmetic on the grouped counts — never a second decode"
   )
 
   def main(args: Array[String]): Unit = {
