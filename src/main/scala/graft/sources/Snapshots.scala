@@ -2,6 +2,8 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Minimal snapshot/time-travel table format — the atomic-commit rung
@@ -12,6 +14,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Layout (all paths under one table dir, any Hadoop FileSystem):
   *   data/v%08d/<part>=<val>/part-N.parquet   immutable per-commit data dirs
   *   _manifests/v%08d.txt                immutable manifest: value TAB path
+  *   _manifests/_latest_hint             ADVISORY latest-version hint
+  *
+  * Manifest format: an optional header line `#schema<TAB><json>` recording
+  * the data files' schema (partition column excluded), then one
+  * `value<TAB>path` line per partition. The header makes two things O(1):
+  * a read plans its scan with ZERO parquet-footer reads, and a
+  * [[commitReplace]] that would mix file schemas within one version fails
+  * loudly AT COMMIT TIME instead of at some later read.
   *
   * The invariants that make it a table format rather than a directory
   * convention:
@@ -23,34 +33,49 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   2. The manifest rename IS the commit point: tmp + atomic rename,
   *      so a version either exists complete or not at all. Version
   *      discovery lists `_manifests` (a handful of small files) — no
-  *      mutable pointer file, hence no window where the table looks
-  *      empty mid-swap. A reader that resolved version N plans its
-  *      scan from that immutable manifest and is untouched by any
-  *      number of later commits.
+  *      mutable pointer file ON THE CORRECTNESS PATH, hence no window
+  *      where the table looks empty mid-swap. A reader that resolved
+  *      version N plans its scan from that immutable manifest and is
+  *      untouched by any number of later commits.
   *   3. Writers are optimistic: two concurrent commits race to rename
-  *      the SAME manifest name; rename-without-overwrite makes the
-  *      loser fail loudly instead of silently clobbering (HDFS rename
-  *      is atomic; object stores need a conditional-PUT equivalent —
-  *      exactly the caveat real formats document).
+  *      the SAME manifest name; an exists-precheck plus
+  *      rename-without-overwrite makes the loser fail loudly instead of
+  *      silently clobbering. CAVEAT (portability): HDFS rename is atomic
+  *      and refuses an existing target; object stores need a
+  *      conditional-PUT equivalent; and LOCAL filesystems are
+  *      version-dependent — POSIX rename(2) REPLACES an existing target,
+  *      so RawLocalFileSystem's guarantee rests on the Hadoop-side
+  *      target-exists check, which the precheck here narrows but cannot
+  *      close. Exactly the caveat real formats document.
   *
-  * SCHEMA CONTRACT: the table's schema is fixed for its lifetime.
+  * SCHEMA CONTRACT: the table's schema is fixed for its lifetime, and the
+  * partition column is a StringType (asserted at commit — partition values
+  * travel through directory names and manifest lines as strings, so a
+  * non-string partition column would silently come back re-typed).
   * [[commitReplace]] carries older data dirs by reference, so a replace
-  * commit that changed the schema would mix file schemas within one
-  * version — the reader unions BY NAME without allowMissingColumns, so
-  * that mistake fails loudly at read instead of silently nulling a
-  * column. Schema evolution requires a full-snapshot [[commit]] (every
-  * entry rewritten under the new schema); a production format records
-  * schema-per-manifest to relax this, which this demo deliberately
-  * omits.
+  * commit that changes the data schema (names or types; column order and
+  * nullability are free — parquet resolves by name) is REFUSED at commit
+  * against the previous manifest's schema header. Schema evolution
+  * requires a full-snapshot [[commit]] (every entry rewritten under the
+  * new schema); a production format records schema-per-manifest to relax
+  * this, which this demo deliberately omits.
   *
   * [[commitReplace]] is the scale story: a partition-level rewrite
   * re-lists UNTOUCHED partitions' existing data dirs in the new
   * manifest instead of rewriting them — the rewrite cost is one
   * partition, the history cost is one small manifest, and old versions
-  * keep reading the same immutable files. Partition values are strings
-  * (URL-encoded by the parquet writer, decoded here); the partition
-  * column is re-attached as a literal per manifest entry, so a
-  * manifest-planned read never relies on directory listing.
+  * keep reading the same immutable files. [[optimize]] (compaction-as-
+  * version) and a MERGE fold both land through the same two commit
+  * shapes, so every maintenance operation is an atomic version.
+  *
+  * METADATA COST BOUNDS (the long-history story — a streaming sink
+  * commits one version per micro-batch): [[currentVersion]] is O(1) FS
+  * calls via the `_latest_hint` fast path (read hint, verify, probe
+  * forward past any commits that raced the hint write) with a one-listing
+  * fallback when the hint is missing/torn/retired — the hint is ADVISORY,
+  * never load-bearing, like a real format's `_last_checkpoint`.
+  * [[vacuum]] does ONE `_manifests` listing plus one small manifest read
+  * per KEPT version — never an exists-probe per historical version.
   */
 object Snapshots {
 
@@ -59,6 +84,9 @@ object Snapshots {
 
   private def manifestPath(dir: String, v: Long): Path =
     new Path(dir, f"_manifests/v$v%08d.txt")
+
+  private def hintPath(dir: String): Path =
+    new Path(dir, "_manifests/_latest_hint")
 
   private def readSmall(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -71,63 +99,106 @@ object Snapshots {
     } finally in.close()
   }
 
-  /** the latest committed version = the highest manifest present
-    * (the atomic rename below makes "present" == "complete"); 0 = none */
-  def currentVersion(s: SparkSession, dir: String): Long = {
-    val fs = fsOf(s, dir)
+  /** every committed version still present, ascending — ONE dir listing */
+  private def listVersions(fs: FileSystem, dir: String): Seq[Long] = {
     val md = new Path(dir, "_manifests")
-    if (!fs.exists(md)) 0L
+    if (!fs.exists(md)) Seq.empty
     else fs.listStatus(md).toSeq.map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".txt"))
       .map(_.stripPrefix("v").stripSuffix(".txt").toLong)
-      .sorted.lastOption.getOrElse(0L)
+      .sorted
   }
 
-  private def readManifest(s: SparkSession, dir: String,
-      v: Long): Seq[(String, String)] = {
+  /** The latest committed version (0 = none). Fast path: the advisory
+    * `_latest_hint` + a forward probe (hint is written AFTER a successful
+    * commit, so hint <= latest always; the probe absorbs hint writes that
+    * lost a race) — O(1) FS calls on the steady path regardless of
+    * history length. Any hint defect (missing, torn write, pointing at a
+    * vacuum-retired version) falls back to one `_manifests` listing; the
+    * hint never decides correctness. */
+  def currentVersion(s: SparkSession, dir: String): Long = {
+    val fs = fsOf(s, dir)
+    val hinted =
+      try {
+        val hp = hintPath(dir)
+        if (!fs.exists(hp)) None
+        else {
+          val v = readSmall(fs, hp).trim.toLong
+          if (v >= 1 && fs.exists(manifestPath(dir, v))) {
+            var cur = v
+            while (fs.exists(manifestPath(dir, cur + 1))) cur += 1
+            Some(cur)
+          } else None
+        }
+      } catch { case _: Exception => None }
+    hinted.getOrElse(listVersions(fs, dir).lastOption.getOrElse(0L))
+  }
+
+  private val SchemaHeader = "#schema\t"
+
+  /** (recorded data schema if the manifest has a header, entries) */
+  private def readManifestFull(s: SparkSession, dir: String,
+      v: Long): (Option[StructType], Seq[(String, String)]) = {
     val fs = fsOf(s, dir)
     val p = manifestPath(dir, v)
     require(fs.exists(p), s"Snapshots: version $v does not exist at $dir")
-    readSmall(fs, p).split("\n").toSeq.filter(_.nonEmpty).map { line =>
+    val lines = readSmall(fs, p).split("\n").toSeq.filter(_.nonEmpty)
+    val schema = lines.headOption.filter(_.startsWith(SchemaHeader))
+      .map(h => DataTypeUtilsShim.fromJson(h.stripPrefix(SchemaHeader)))
+    val entries = lines.filterNot(_.startsWith("#")).map { line =>
       val i = line.indexOf('\t')
       (line.substring(0, i), line.substring(i + 1))
     }
+    (schema, entries)
+  }
+
+  private object DataTypeUtilsShim {
+    def fromJson(json: String): StructType =
+      org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType]
   }
 
   /** tmp + atomic rename, REFUSING an existing target — the commit
-    * point and the optimistic-concurrency guard in one operation
-    * (package-visible so the spec can drive the conflict branch
+    * point and the optimistic-concurrency guard in one operation. The
+    * exists-precheck narrows (does not close — see invariant 3's local-
+    * filesystem caveat) the window on filesystems whose rename replaces.
+    * (Package-visible so the spec can drive the conflict branch
     * directly: at the API level the race window is between a writer's
-    * currentVersion read and its rename, which a test can't interleave) */
+    * currentVersion read and its rename, which a test can't interleave.) */
   private[graft] def writeManifestAtomic(fs: FileSystem, p: Path,
       content: String): Unit = {
     fs.mkdirs(p.getParent)
+    def conflict(): Nothing =
+      throw new IllegalStateException(
+        s"Snapshots: manifest $p already exists — a concurrent writer " +
+          "committed this version first; re-read the table and retry " +
+          "(optimistic concurrency)")
+    if (fs.exists(p)) conflict()
     val tmp = new Path(p.getParent, s".tmp_${p.getName}_${System.nanoTime()}")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
     val renamed = try fs.rename(tmp, p) catch { case _: Throwable => false }
     if (!renamed) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"Snapshots: manifest $p already exists — a concurrent writer " +
-          "committed this version first; re-read the table and retry " +
-          "(optimistic concurrency)")
+      conflict()
     }
   }
 
-  /** Read the table at `version` (-1 = latest). The manifest IS the
-    * scan plan: each entry's immutable data dir is read directly and
-    * the partition column re-attached as a literal — concurrent
-    * commits (which only ADD dirs and manifests) cannot perturb a
-    * pinned reader. */
+  /** Read the table at `version` (-1 = latest) as ONE parquet scan: the
+    * manifest IS the scan plan — its (value, dir) entries are served to
+    * Spark as a supplied partition spec ([[Bridge.manifestScan]]), so the
+    * plan holds a single FileSourceScan node no matter how many
+    * partitions the manifest lists, a filter on `partCol` prunes entries
+    * before any data file is opened, and the recorded schema header means
+    * planning reads no parquet footers. Concurrent commits (which only
+    * ADD dirs and manifests) cannot perturb a pinned reader. */
   def read(s: SparkSession, dir: String, partCol: String,
       version: Long = -1L): DataFrame = {
     val v = if (version < 0) currentVersion(s, dir) else version
     require(v >= 1, s"Snapshots: no committed version to read at $dir")
-    readManifest(s, dir, v)
-      .map { case (value, path) =>
-        s.read.parquet(path).withColumn(partCol, lit(value)) }
-      .reduce(_.unionByName(_))
+    val (schemaOpt, entries) = readManifestFull(s, dir, v)
+    // header-less manifests (none are written anymore): one footer read
+    val dataSchema = schemaOpt.getOrElse(s.read.parquet(entries.head._2).schema)
+    Bridge.manifestScan(s, entries, partCol, dataSchema)
   }
 
   /** Full-snapshot commit: write `df` partitioned by `partCol` into a
@@ -135,16 +206,23 @@ object Snapshots {
     * commit via the atomic manifest rename. Returns the new version. */
   def commit(s: SparkSession, dir: String, df: DataFrame,
       partCol: String): Long =
-    commitImpl(s, dir, df, partCol, carryUntouched = false)
+    commitImpl(s, dir, df, partCol, carryUntouched = false, Set.empty)
 
-  /** Partition-level rewrite commit (the backfill shape): partitions
-    * present in `df` get fresh data dirs; every OTHER partition of the
-    * previous version is carried into the new manifest BY REFERENCE —
-    * zero data movement for untouched partitions, and the previous
-    * version keeps reading its own files. */
+  /** Partition-level rewrite commit (the backfill/OPTIMIZE/MERGE shape):
+    * partitions present in `df` get fresh data dirs; every OTHER
+    * partition of the previous version is carried into the new manifest
+    * BY REFERENCE — zero data movement for untouched partitions, and the
+    * previous version keeps reading its own files.
+    *
+    * `replacedValues` names partition values that are REPLACED even if
+    * `df` holds no rows for them — i.e. the partition becomes EMPTY in
+    * the new version (its entry is dropped, not carried). Without it, a
+    * rewrite that legitimately deletes a partition's every row would be
+    * indistinguishable from "untouched" and the stale partition would be
+    * silently carried forward — the delete-all hole a MERGE fold hits. */
   def commitReplace(s: SparkSession, dir: String, df: DataFrame,
-      partCol: String): Long =
-    commitImpl(s, dir, df, partCol, carryUntouched = true)
+      partCol: String, replacedValues: Set[String] = Set.empty): Long =
+    commitImpl(s, dir, df, partCol, carryUntouched = true, replacedValues)
 
   /** Retention vacuum — the production knob that bounds history: drop
     * every version older than the newest `keepLast`, deleting (a) the
@@ -156,21 +234,19 @@ object Snapshots {
     * then data) keeps the invariant that an EXISTING manifest's files
     * always exist: a reader can lose the race only by holding a version
     * older than the retention window, and then fails loudly at the
-    * manifest check, never with half-read data. Returns the dropped
-    * version numbers. */
+    * manifest check, never with half-read data. Metadata cost: ONE
+    * `_manifests` listing (so already-retired history is skipped for
+    * free — a repeat vacuum with a wider window is a no-op) plus one
+    * manifest read per KEPT version. Returns the dropped versions. */
   def vacuum(s: SparkSession, dir: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "vacuum keeps at least one version")
     val fs = fsOf(s, dir)
-    val cur = currentVersion(s, dir)
-    if (cur == 0) return Seq.empty
+    val existing = listVersions(fs, dir)
+    if (existing.isEmpty) return Seq.empty
+    val cur = existing.last
     val oldest = math.max(1L, cur - keepLast + 1)
-    // an EARLIER vacuum may already have retired versions below
-    // `oldest` — walk only the manifests that exist (a second vacuum
-    // with a wider window must be a no-op, not a read of retired
-    // history)
-    val existing = (1L to cur).filter(v => fs.exists(manifestPath(dir, v)))
     val kept = existing.filter(_ >= oldest)
-      .flatMap(v => readManifest(s, dir, v)).map(_._2).toSet
+      .flatMap(v => readManifestFull(s, dir, v)._2).map(_._2).toSet
     val dropped = existing.filter(_ < oldest)
     dropped.foreach(v => fs.delete(manifestPath(dir, v), false))
     val dataRoot = new Path(dir, "data")
@@ -188,8 +264,61 @@ object Snapshots {
     dropped
   }
 
+  /** OPTIMIZE-as-version: compact the CURRENT version's small files into
+    * a new atomic commit. Partitions holding more than `maxFilesPerPart`
+    * data files are read back (one scan over just those entries) and
+    * rewritten bin-packed toward `targetFileBytes` per output file —
+    * ceil(partitionBytes / targetFileBytes) bins per partition, rows
+    * spread across bins by a deterministic row hash, one shuffle total.
+    * Every other partition is carried BY REFERENCE, and every prior
+    * version keeps reading its own files (compaction must never change
+    * an answer — the read-back of version N+1 equals version N row for
+    * row, which q_layout_optimize pins under the oracle hash and
+    * SnapshotsSpec pins as file-count-drops/content-hash-doesn't).
+    * No-op (returns the current version, no commit) when nothing
+    * qualifies. Per-partition file counts come from one listing of each
+    * CURRENT entry's dir — O(partitions) metadata, the same cost the
+    * rewrite itself pays; a production format reads these from
+    * manifest-recorded file stats instead. */
+  def optimize(s: SparkSession, dir: String, partCol: String,
+      maxFilesPerPart: Int = 1, targetFileBytes: Long = 128L << 20): Long = {
+    require(maxFilesPerPart >= 1, "maxFilesPerPart >= 1")
+    val fs = fsOf(s, dir)
+    val cur = currentVersion(s, dir)
+    require(cur >= 1, s"Snapshots: nothing to optimize at $dir")
+    val (schemaOpt, entries) = readManifestFull(s, dir, cur)
+    val stats = entries.map { case (value, p) =>
+      val files = fs.listStatus(new Path(p)).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      (value, p, files.length, files.map(_.getLen).sum)
+    }
+    val cands = stats.filter(_._3 > maxFilesPerPart)
+    if (cands.isEmpty) return cur
+    val dataSchema = schemaOpt.getOrElse(s.read.parquet(entries.head._2).schema)
+    val bins = cands.map { case (value, _, _, bytes) =>
+      value -> math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    }
+    val binOf = element_at(
+      map(bins.flatMap { case (k, n) => Seq(lit(k), lit(n)) }: _*), col(partCol))
+    val packed = Bridge
+      .manifestScan(s, cands.map(c => (c._1, c._2)), partCol, dataSchema)
+      .withColumn("__graft_bin",
+        pmod(xxhash64(dataSchema.fieldNames.map(col).toSeq: _*), binOf))
+      .repartition(col(partCol), col("__graft_bin"))
+      .drop("__graft_bin")
+    commitReplace(s, dir, packed, partCol)
+  }
+
   private def commitImpl(s: SparkSession, dir: String, df: DataFrame,
-      partCol: String, carryUntouched: Boolean): Long = {
+      partCol: String, carryUntouched: Boolean,
+      replacedValues: Set[String]): Long = {
+    require(df.schema(partCol).dataType == StringType,
+      s"Snapshots: partition column '$partCol' must be StringType (it " +
+        "travels through directory names and manifest lines as a string; " +
+        s"got ${df.schema(partCol).dataType.simpleString} — cast it)")
+    val dataSchema = StructType(df.schema.filterNot(_.name == partCol))
     val fs = fsOf(s, dir)
     val prev = currentVersion(s, dir)
     val v = prev + 1
@@ -204,14 +333,37 @@ object Snapshots {
         val raw = st.getPath.getName.stripPrefix(partCol + "=")
         (java.net.URLDecoder.decode(raw, "UTF-8"), st.getPath.toString)
       }
-    val writtenVals = written.map(_._1).toSet
+    val replaced = written.map(_._1).toSet ++ replacedValues
     val carried =
       if (!carryUntouched || prev == 0) Nil
-      else readManifest(s, dir, prev).filterNot(e => writtenVals(e._1))
+      else {
+        val (prevSchema, prevEntries) = readManifestFull(s, dir, prev)
+        val stay = prevEntries.filterNot(e => replaced(e._1))
+        // the SCHEMA CONTRACT, enforced where it can fail loudly and
+        // early: mixing file schemas within one version is refused at
+        // commit. Name+type equality; column order and nullability are
+        // free (parquet resolves by name).
+        if (stay.nonEmpty) prevSchema.foreach { ps =>
+          val a = ps.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+          val b = dataSchema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+          require(a == b,
+            "Snapshots: commitReplace would mix data schemas within one " +
+              s"version (carried entries keep ${ps.simpleString}, new data " +
+              s"is ${dataSchema.simpleString}); schema evolution requires a " +
+              "full-snapshot commit")
+        }
+      stay
+      }
     val entries = (carried ++ written).sortBy(_._1)
     require(entries.nonEmpty, "Snapshots: refusing to commit an empty table")
     writeManifestAtomic(fs, manifestPath(dir, v),
-      entries.map { case (a, b) => s"$a\t$b" }.mkString("\n"))
+      (SchemaHeader + dataSchema.json) +:
+        entries.map { case (a, b) => s"$a\t$b" } mkString "\n")
+    // best-effort advisory hint (see currentVersion) — never load-bearing
+    try {
+      val out = fs.create(hintPath(dir), true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case _: Exception => () }
     v
   }
 }

@@ -1,9 +1,15 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.{Dataset, ExpressionUtils}
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, NoopCache, PartitionPath, PartitionSpec}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Column <-> Expression bridge. Spark 4 made the converters
   * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`), so this
@@ -42,5 +48,42 @@ object Bridge {
             ds.sparkSession, Some(clamped), None))
       case _ => df
     }
+  }
+
+  /** ONE parquet scan planned from an explicit (partitionValue -> dataDir)
+    * manifest — how a table format serves a snapshot's file list to Spark
+    * without N per-partition plan nodes.
+    *
+    * This is the same internal shape `CatalogFileIndex` uses for Hive-style
+    * partitioned tables: an [[InMemoryFileIndex]] whose `PartitionSpec` is
+    * SUPPLIED (values come from the manifest, never parsed from directory
+    * names — so URL-encoding round-trips and value typing are a non-issue),
+    * wrapped in a [[HadoopFsRelation]]. The planner sees a single
+    * `FileSourceScanExec` with a real partition column, which buys, for
+    * free: partition pruning on `partCol` (a filter on the partition column
+    * prunes manifest entries before any footer is read), column pruning,
+    * filter pushdown, and — past
+    * `spark.sql.sources.parallelPartitionDiscovery.threshold` roots — a
+    * DISTRIBUTED file-listing job instead of a driver-side walk. Contrast
+    * with a per-entry `spark.read.parquet(dir).withColumn(...)` union fold:
+    * that plans one scan node per partition and analysis cost grows with
+    * the manifest, which is exactly wrong at 10^3-10^4 partitions.
+    *
+    * `dataSchema` is the files' schema (partition column NOT included) and
+    * is trusted as given — callers record it at commit time so a read
+    * plans with ZERO footer reads. */
+  def manifestScan(s: SparkSession, entries: Seq[(String, String)],
+      partCol: String, dataSchema: StructType): DataFrame = {
+    val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val partSchema = StructType(Seq(StructField(partCol, StringType, nullable = true)))
+    val spec = PartitionSpec(
+      partSchema,
+      entries.map { case (value, dir) =>
+        PartitionPath(InternalRow(UTF8String.fromString(value)), new Path(dir))
+      })
+    val index = new InMemoryFileIndex(cs, entries.map(e => new Path(e._2)),
+      Map.empty, Some(dataSchema), NoopCache, Some(spec), None)
+    cs.baseRelationToDataFrame(HadoopFsRelation(
+      index, partSchema, dataSchema, None, new ParquetFileFormat, Map.empty)(cs))
   }
 }
