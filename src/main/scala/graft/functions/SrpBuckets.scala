@@ -29,8 +29,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * floats promoted to double before multiplying: the same IEEE operation
   * sequence as the HOF AND as the DuckDB oracles' `list_reduce` folds, so
   * every sign decision is bit-identical to both (asserted value-equal to
-  * the HOF in DedupSimilaritySpec). All integer terms stay in-range:
-  * a < 2^60, b < 2^48, (i+1)*b < 2^63 for any dimension up to 32768.
+  * the HOF in DedupSimilaritySpec). All integer terms stay in-range for
+  * any dimension up to 28672: a < 2^60, b < 2^48, so a + (i+1)*b <=
+  * (2^60-1) + 28672*(2^48-1) < 2^63 (the JVM would wrap consistently
+  * across eval/codegen/HOF beyond that, but DuckDB's checked BIGINT
+  * arithmetic would error — same bound note on VectorFunctions.planeDot).
+  *
+  * NULL elements: the input type may carry containsNull=true (parquet
+  * list elements read as nullable), and the fused loops read elements
+  * positionally — so a null element FAILS LOUDLY here (one hoisted
+  * null-scan per row, both eval paths) instead of silently reading an
+  * undefined slot and diverging from the HOF twin's null-propagation.
   */
 case class SrpBuckets(child: Expression, bits: Int, tables: Int)
     extends UnaryExpression {
@@ -57,9 +66,23 @@ case class SrpBuckets(child: Expression, bits: Int, tables: Int)
     java.lang.Long.parseLong(graft.Exact.md5Hex(s"plane_b_$p").substring(0, 15), 16)
       % (1L << 48))
 
+  private def containsNull: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    if (containsNull) {
+      var i0 = 0
+      while (i0 < n) {
+        if (arr.isNullAt(i0)) throw new IllegalArgumentException(
+          s"srp_buckets: null element at index $i0 — filter or impute " +
+            "null embedding slots before indexing")
+        i0 += 1
+      }
+    }
     val out = new Array[Long](tables)
     val af = isFloat
     var t = 0
@@ -102,8 +125,19 @@ case class SrpBuckets(child: Expression, bits: Int, tables: Int)
       val x = ctx.freshName("x")
       val bk = ctx.freshName("bk")
       val getX = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      val i0 = ctx.freshName("i0")
+      val nullScan = if (containsNull)
+        s"""
+           |for (int $i0 = 0; $i0 < $n; $i0++) {
+           |  if ($v.isNullAt($i0)) throw new IllegalArgumentException(
+           |    "srp_buckets: null element at index " + $i0 +
+           |    " -- filter or impute null embedding slots before indexing");
+           |}
+         """.stripMargin
+      else ""
       s"""
          |int $n = $v.numElements();
+         |$nullScan
          |long[] $out = new long[$tables];
          |for (int $t = 0; $t < $tables; $t++) {
          |  long $bk = 0L;

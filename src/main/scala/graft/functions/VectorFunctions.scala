@@ -35,8 +35,12 @@ object VectorFunctions {
     * the md5s at plan time and the per-element work is pure arithmetic.
     * No stored model, reproducible on any cluster, and exactly mirrorable
     * in the DuckDB oracle (same formula; b is masked to 48 bits so
-    * (i+1)*b stays below 2^63 for any dimension up to 32768 — a 56-bit
-    * mask would overflow a signed long from dim 128 up). */
+    * a + (i+1)*b provably fits a signed 64-bit long — a_max + n*b_max =
+    * (2^60-1) + n*(2^48-1) < 2^63 holds for any dimension n up to 28672;
+    * a 56-bit mask would overflow from dim 128 up. Beyond 28672 dims the
+    * JVM would wrap consistently across eval/codegen/HOF, but DuckDB's
+    * checked BIGINT arithmetic errors — the oracle bit-identity, not the
+    * index, is what the bound protects). */
   def planeDot(v: Column, j: Int): Column = {
     val a = graft.Exact.h60(lit(s"plane_a_$j"))
     val b = graft.Exact.h60(lit(s"plane_b_$j")) % lit(1L << 48)

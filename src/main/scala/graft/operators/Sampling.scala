@@ -527,6 +527,132 @@ FROM v2 GROUP BY event_type
       at(v1, "pre_backfill").unionByName(at(v2, "post_backfill"))
     },
 
+    // OPTIMIZE-as-version: the nightly small-files compaction landing as
+    // an atomic snapshot commit (Snapshots.optimize) — v1 is written
+    // deliberately fragmented (8 round-robin tasks => up to 8 files per
+    // partition dir), then compacted into v2 with every partition
+    // rewritten bin-packed and nothing else moved. The oracle states the
+    // SAME aggregate under both labels plus version_step = 1, so every
+    // failure mode breaks the hash: compaction changing any row (labels
+    // disagree), optimize not committing (step 0), optimize committing
+    // more than once (step > 1). The physical claims — file count drops,
+    // v1 still reads its own files — are pinned in SnapshotsSpec, where
+    // file counts are observable.
+    QueryDef(
+      "q_layout_optimize",
+      """WITH g AS (
+  SELECT event_type, user_id % 100 AS bucket, count(*)::BIGINT AS n_events,
+    sum(CAST(value AS DECIMAL(38,10))) AS sv
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT event_type, count(*)::BIGINT AS n_buckets,
+    sum(n_events)::BIGINT AS n_events,
+    CAST(round(sum(sv), 4) AS DOUBLE) AS total_value
+  FROM g GROUP BY event_type)
+SELECT 'pre_optimize' AS snapshot, 0::BIGINT AS version_step,
+  event_type, n_buckets, n_events, total_value FROM r
+UNION ALL
+SELECT 'post_optimize' AS snapshot, 1::BIGINT AS version_step,
+  event_type, n_buckets, n_events, total_value FROM r
+""".stripMargin) { (s, d) =>
+      import graft.sources.Snapshots
+      val dir = "/tmp/graft_snap_opt_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      def agg(src: org.apache.spark.sql.DataFrame) = src
+        .groupBy(col("event_type"), (col("user_id") % 100).as("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(graft.Exact.dec(col("value"))).as("sv"))
+      // the small-files fixture: 8 round-robin tasks, so every partition
+      // dir lands ~8 files (the streaming-sink debris OPTIMIZE exists for)
+      val v1 = Snapshots.commit(s, dir, agg(events(s, d)).repartition(8),
+        "event_type")
+      val v2 = Snapshots.optimize(s, dir, "event_type")
+      def at(v: Long, label: String, step: Long) =
+        Snapshots.read(s, dir, "event_type", v)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_buckets"), sum("n_events").as("n_events"),
+            graft.Exact.decOut(sum(col("sv"))).as("total_value"))
+          .select(lit(label).as("snapshot"), lit(step).as("version_step"),
+            col("event_type"), col("n_buckets"), col("n_events"),
+            col("total_value"))
+      at(v1, "pre_optimize", 0L)
+        .unionByName(at(v2, "post_optimize", v2 - v1))
+    },
+
+    // MERGE-as-version: the CDC fold (Graft.merge — full-outer upsert
+    // with tombstones) routed through Snapshots.commit, so every change
+    // batch lands as an atomic version and an as-of read reconstructs any
+    // intermediate state AFTER later batches landed — the format triad's
+    // third write path (backfill = commitReplace, OPTIMIZE = optimize,
+    // MERGE = this). Batches are a deterministic 3-way split of the
+    // events log (batch b = events with event_id % 3 == b, reduced to
+    // latest-per-key within the batch; latest event_id % 29 == 0 is the
+    // tombstone, q_stream_upsert's rule). Each version's INPUT is the
+    // previous version's committed read-back, so the chain exercises
+    // read -> merge -> commit, not a cached frame. The oracle ignores
+    // the version mechanics entirely and states both prefix fixpoints
+    // from the raw log — per key, the LAST BATCH that touched it wins,
+    // then latest-within-batch: a lost batch, out-of-order apply,
+    // tombstone resurrection, or a version that read stale files all
+    // break the hash. (Partition-selective merges go through
+    // commitReplace + replacedValues — spec-pinned; here every batch
+    // touches all four user_id%4 partitions, so a full commit IS the
+    // partition-selective result.)
+    QueryDef(
+      "q_layout_merge",
+      """WITH e AS (
+  SELECT user_id, event_id, value AS v, event_id % 3 AS b FROM events),
+perb AS (
+  SELECT user_id, b, max(event_id) AS event_id, arg_max(v, event_id) AS v
+  FROM e GROUP BY 1, 2),
+mid AS (
+  SELECT user_id, arg_max(event_id, b) AS event_id, arg_max(v, b) AS v,
+         arg_max(event_id, b) % 29 = 0 AS del
+  FROM perb WHERE b <= 1 GROUP BY user_id),
+fin AS (
+  SELECT user_id, arg_max(event_id, b) AS event_id, arg_max(v, b) AS v,
+         arg_max(event_id, b) % 29 = 0 AS del
+  FROM perb GROUP BY user_id)
+SELECT 'mid_feed' AS snapshot, user_id, event_id, v FROM mid WHERE NOT del
+UNION ALL
+SELECT 'final' AS snapshot, user_id, event_id, v FROM fin WHERE NOT del
+""".stripMargin) { (s, d) =>
+      import graft.sources.Snapshots
+      val dir = "/tmp/graft_snap_merge_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_id"), col("value").as("v"))
+      // one CDC batch: latest change per key within the batch (the
+      // pre-reduced keyed-delta contract Graft.merge requires), with the
+      // partition column and tombstone rule attached
+      def batch(b: Int) = ev
+        .filter(pmod(col("event_id"), lit(3)) === b)
+        .groupBy("user_id")
+        .agg(max("event_id").as("event_id"),
+          max_by(col("v"), col("event_id")).as("v"))
+        .withColumn("part", (col("user_id") % 4).cast("string"))
+        .withColumn("op",
+          when(pmod(col("event_id"), lit(29)) === 0, lit("D"))
+            .otherwise(lit("U")))
+      def landed(base: org.apache.spark.sql.DataFrame, b: Int) =
+        Snapshots.commit(s, dir,
+          graft.api.Graft.merge(base, batch(b), "user_id").drop("op"), "part")
+      val v1 = Snapshots.commit(s, dir,
+        batch(0).filter(col("op") =!= "D").drop("op"), "part")
+      val v2 = landed(Snapshots.read(s, dir, "part", v1), 1)
+      val v3 = landed(Snapshots.read(s, dir, "part", v2), 2)
+      def at(v: Long, label: String) =
+        Snapshots.read(s, dir, "part", v)
+          .select(lit(label).as("snapshot"), col("user_id"),
+            col("event_id"), col("v"))
+      // the as-of read: version N-1 reconstructed AFTER the feed finished
+      at(v2, "mid_feed").unionByName(at(v3, "final"))
+    },
+
     // CSV interchange round-trip: a lineitem projection exported to CSV
     // (header, per-session scratch dir) and read back under an EXPLICIT
     // schema — never inference, which at 100 TB means a second full

@@ -346,13 +346,18 @@ object Snapshots {
         if (stay.nonEmpty) prevSchema.foreach { ps =>
           val a = ps.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
           val b = dataSchema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
-          require(a == b,
-            "Snapshots: commitReplace would mix data schemas within one " +
-              s"version (carried entries keep ${ps.simpleString}, new data " +
-              s"is ${dataSchema.simpleString}); schema evolution requires a " +
-              "full-snapshot commit")
+          if (a != b) {
+            // the just-written (unreferenced) data dir must not survive a
+            // refused commit — a retry would trip mode("error") on it
+            fs.delete(new Path(dataDir), true)
+            throw new IllegalArgumentException(
+              "Snapshots: commitReplace would mix data schemas within one " +
+                s"version (carried entries keep ${ps.simpleString}, new data " +
+                s"is ${dataSchema.simpleString}); schema evolution requires a " +
+                "full-snapshot commit")
+          }
         }
-      stay
+        stay
       }
     val entries = (carried ++ written).sortBy(_._1)
     require(entries.nonEmpty, "Snapshots: refusing to commit an empty table")

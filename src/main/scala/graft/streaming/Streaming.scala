@@ -866,9 +866,12 @@ object Streaming {
   def streamSnapshot(s: SparkSession, d: String): DataFrame =
     streamSnapshotCounted(s, d, d, "documents.parquet", 0)._1
 
+  /** returns (read-back of the last committed version, batches applied,
+    * THIS run's table dir — so a spec asserts against the exact table it
+    * drove, never a /tmp glob that a concurrent session could outrank) */
   private[graft] def streamSnapshotCounted(s: SparkSession, d: String,
       srcDir: String, glob: String,
-      maxFilesPerTrigger: Int): (DataFrame, Int) = withStatePartitions(s, 4) {
+      maxFilesPerTrigger: Int): (DataFrame, Int, String) = withStatePartitions(s, 4) {
     import graft.sources.Snapshots
     val docs = graft.sources.Tables.documents(s, d)
     // fresh per-run table dir (nanoTime beyond the session id: repeat
@@ -908,7 +911,7 @@ object Streaming {
     else
       Snapshots.read(s, dir, "lang", lastV.get)
         .select(col("lang"), col("n_docs"), col("n_chars")),
-      applied.get)
+      applied.get, dir)
   }
 
   private[graft] def streamDriftEmbeddingCounted(s: SparkSession, d: String,

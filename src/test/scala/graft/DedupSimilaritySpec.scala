@@ -103,6 +103,44 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("SrpBuckets fails loudly on a null embedding element (both paths)") {
+    // parquet list elements read as containsNull=true, and the fused
+    // loops read slots positionally — a null element must THROW (with
+    // the element index), never silently read an undefined slot and
+    // diverge from the HOF twin's null-propagation
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val withNull: Array[java.lang.Float] =
+      Array[java.lang.Float](1.0f, null, 3.0f)
+    // interpreted path
+    val lit = Literal.create(withNull, org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, containsNull = true))
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.SrpBuckets(lit, 12, 8).eval(null)
+    }
+    assert(e.getMessage.contains("null element at index 1"), e.getMessage)
+    // codegen path (through a DataFrame over a nullable-element array)
+    val df = Seq((1L, withNull)).toDF("id", "v")
+    val err = intercept[Exception] {
+      df.select(graft.functions.SrpBuckets.srpBuckets(col("v"), 12, 8))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("null element at index 1")),
+      messages(err).mkString(" | "))
+    // and a null-free nullable-typed array still buckets identically to
+    // the containsNull=false literal path
+    val clean = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+      .select(graft.functions.SrpBuckets.srpBuckets(col("v"), 12, 8))
+      .as[Array[Long]].collect().head
+    val cleanLit = Literal.create(Array(1.0f, 2.0f, 3.0f),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false))
+    val viaEval = graft.functions.SrpBuckets(cleanLit, 12, 8).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(clean.sameElements(viaEval))
+  }
+
   test("LSH ANN hits a positive recall vs brute force") {
     val brute = q("q_knn_brute").select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val lsh = q("q_knn_lsh").select("q_id", "n_id").as[(Long, Long)].collect().toSet

@@ -211,6 +211,19 @@ class PlanShapeSpec extends SparkSpec {
       "fact scan must be dynamically pruned by the dim filter:\n" + p)
   }
 
+  test("snapshot reads plan ONE scan per version read, never one per manifest entry") {
+    // Snapshots.read serves the manifest as a supplied partition spec
+    // (Bridge.manifestScan), so the timetravel query — two version
+    // reads, each over a multi-partition manifest — must hold exactly
+    // TWO FileScan nodes. A per-entry union fold would show one scan
+    // per partition entry, the plan shape that explodes at 10^3-10^4
+    // partitions. (The 120-partition single-scan case and the partition-
+    // filter prune live in SnapshotsSpec.)
+    val p = planString("q_layout_timetravel")
+    assert("FileScan parquet".r.findAllIn(p).size == 2,
+      "expected exactly 2 scan nodes (one per version read):\n" + p)
+  }
+
   test("registry invariant: no unpartitioned Window or CartesianProduct in any query plan") {
     // A Window with an empty partitionSpec funnels its entire input through
     // ONE task — the canonical single-node scale-killer. Sweep every

@@ -125,4 +125,199 @@ class SnapshotsSpec extends SparkSpec {
       .select("part", "x").as[(String, Long)].collect()
     assert(latest.sameElements(Array(("a", 1L))), latest.toSeq)
   }
+
+  test("read plans ONE scan node at any partition count, and prunes on the partition column") {
+    // the manifest IS the file index: 120 partitions must still plan a
+    // single FileSourceScan (a per-entry union fold would be a 120-deep
+    // plan tree — the shape that explodes at real partition counts), and
+    // a filter on the partition column must land as a PartitionFilter
+    // (entries pruned before any data file is opened)
+    val dir = tempTable()
+    val df = (0 until 120).flatMap(p =>
+      Seq((f"p$p%03d", p.toLong), (f"p$p%03d", p + 1000L))).toDF("part", "x")
+    Snapshots.commit(spark, dir, df.repartition(8), "part")
+    val rd = Snapshots.read(spark, dir, "part")
+    assert(rd.count() == 240)
+    val plan = rd.queryExecution.sparkPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      "expected exactly one scan node:\n" + plan)
+    val one = rd.filter(col("part") === "p007")
+    val pplan = one.queryExecution.sparkPlan.toString
+    assert(pplan.contains("PartitionFilters") && pplan.contains("p007"),
+      "partition filter not pushed to the scan:\n" + pplan)
+    assert(one.count() == 2)
+    // the partition column came back typed and valued from the manifest
+    assert(one.select("x").as[Long].collect().sorted.sameElements(
+      Array(7L, 1007L)))
+  }
+
+  test("optimize compacts small files into a new version without changing content") {
+    val dir = tempTable()
+    val rows = (1 to 40).map(i => (if (i % 2 == 0) "a" else "b", i.toLong))
+    val v1 = Snapshots.commit(spark, dir, rows.toDF("part", "x").repartition(6),
+      "part")
+    def filesOf(v: Long, part: String): Int = {
+      val entry = manifestText(dir, v).split("\n")
+        .find(_.startsWith(part + "\t")).get.split("\t")(1)
+      new java.io.File(new java.net.URI(entry).getPath).listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    assert(filesOf(v1, "a") > 1 && filesOf(v1, "b") > 1,
+      "fixture must start fragmented")
+    val before = Snapshots.read(spark, dir, "part", v1)
+      .select("part", "x").as[(String, Long)].collect().sorted
+    val v2 = Snapshots.optimize(spark, dir, "part")
+    assert(v2 == v1 + 1, "optimize must land as exactly one new version")
+    // file count drops to the bin-pack target...
+    assert(filesOf(v2, "a") == 1 && filesOf(v2, "b") == 1)
+    // ...content hash doesn't...
+    val after = Snapshots.read(spark, dir, "part", v2)
+      .select("part", "x").as[(String, Long)].collect().sorted
+    assert(after.sameElements(before), "compaction changed the answer")
+    // ...and version N still reads its own (fragmented) files
+    assert(Snapshots.read(spark, dir, "part", v1)
+      .select("part", "x").as[(String, Long)].collect().sorted
+      .sameElements(before))
+    // an already-compact table is a NO-OP: same version back, no commit
+    assert(Snapshots.optimize(spark, dir, "part") == v2)
+    assert(Snapshots.currentVersion(spark, dir) == v2)
+  }
+
+  test("commitReplace(replacedValues) drops an emptied partition instead of carrying it") {
+    val dir = tempTable()
+    val v1 = Snapshots.commit(spark, dir,
+      Seq(("a", 1L), ("b", 10L)).toDF("part", "x"), "part")
+    // a rewrite that deletes partition b's every row writes NO data for
+    // b — without replacedValues that is indistinguishable from
+    // "untouched" and the stale b would be silently carried forward
+    val v2 = Snapshots.commitReplace(spark, dir,
+      Seq.empty[(String, Long)].toDF("part", "x"), "part", Set("b"))
+    val got = Snapshots.read(spark, dir, "part", v2)
+      .select("part", "x").as[(String, Long)].collect()
+    assert(got.sameElements(Array(("a", 1L))), got.toSeq)
+    // the old version still has b (immutability), and the default path
+    // (no replacedValues) still carries an untouched partition
+    assert(Snapshots.read(spark, dir, "part", v1).count() == 2)
+    val v3 = Snapshots.commitReplace(spark, dir,
+      Seq(("c", 7L)).toDF("part", "x"), "part")
+    assert(Snapshots.read(spark, dir, "part", v3)
+      .select("part", "x").as[(String, Long)].collect().sorted
+      .sameElements(Array(("a", 1L), ("c", 7L))))
+  }
+
+  test("the schema contract fails loudly at COMMIT: partial rewrites cannot mix schemas") {
+    val dir = tempTable()
+    Snapshots.commit(spark, dir,
+      Seq(("a", 1L), ("b", 2L)).toDF("part", "x"), "part")
+    // same name, different type -> refused (the carried 'b' entries keep
+    // the old files; one version would mix file schemas)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commitReplace(spark, dir,
+        Seq(("a", "one")).toDF("part", "x"), "part")
+    }
+    assert(e.getMessage.contains("schema"), e.getMessage)
+    // a FULL-snapshot commit may evolve the schema (every file rewritten)
+    val v = Snapshots.commit(spark, dir,
+      Seq(("a", "one")).toDF("part", "x"), "part")
+    assert(Snapshots.read(spark, dir, "part", v)
+      .select("x").as[String].collect().sameElements(Array("one")))
+    // and a non-string partition column is refused up front: values
+    // travel through directory names and manifest lines as strings
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, tempTable(),
+        Seq((1, 1L)).toDF("part", "x"), "part")
+    }
+    assert(e2.getMessage.contains("StringType"), e2.getMessage)
+  }
+
+  test("long histories: hint-assisted currentVersion and one-listing vacuum over 300 versions") {
+    val dir = tempTable()
+    Snapshots.commit(spark, dir, Seq(("a", 1L)).toDF("part", "x"), "part")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fabricate a long history cheaply: 299 more manifests carrying v1's
+    // data dir by reference (metadata-only — this test is about FS-call
+    // shapes, not data movement)
+    val m1 = manifestText(dir, 1L)
+    for (v <- 2 to 300)
+      Snapshots.writeManifestAtomic(fs,
+        new org.apache.hadoop.fs.Path(dir, f"_manifests/v$v%08d.txt"), m1)
+    // the hint still says 1 (the fabricated commits bypassed it): the
+    // forward probe must find the true latest anyway
+    assert(Snapshots.currentVersion(spark, dir) == 300L)
+    // a TORN/garbage hint must never decide the answer
+    val hp = new org.apache.hadoop.fs.Path(dir, "_manifests/_latest_hint")
+    val out = fs.create(hp, true)
+    out.write("garbage".getBytes("UTF-8")); out.close()
+    assert(Snapshots.currentVersion(spark, dir) == 300L)
+    // a MISSING hint falls back to one listing
+    fs.delete(hp, false)
+    assert(Snapshots.currentVersion(spark, dir) == 300L)
+    // a real commit repairs the hint
+    val v301 = Snapshots.commit(spark, dir, Seq(("a", 2L)).toDF("part", "x"),
+      "part")
+    assert(v301 == 301L)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_manifests/_latest_hint")), "UTF-8")
+      .trim == "301")
+    // vacuum the long history (one _manifests listing, no per-version
+    // exists probes): keep the newest 3
+    val dropped = Snapshots.vacuum(spark, dir, keepLast = 3)
+    assert(dropped == (1L to 298L), s"${dropped.take(3)}..${dropped.takeRight(3)}")
+    // v1's data dir survives — the kept v299/v300 manifests reference it
+    assert(Snapshots.read(spark, dir, "part", 299L)
+      .select("x").as[Long].collect().sameElements(Array(1L)))
+    assert(Snapshots.read(spark, dir, "part", 301L)
+      .select("x").as[Long].collect().sameElements(Array(2L)))
+  }
+
+  test("randomized commit/replace/read/vacuum interleaving: every surviving version reads its recorded content") {
+    // the format's whole contract under one seeded fuzz: after each op,
+    // a randomly chosen SURVIVING version must read back exactly the
+    // content the driver-side model recorded for it at commit time
+    val dir = tempTable()
+    val rnd = new scala.util.Random(20260815L)
+    val parts = Vector("a", "b", "c", "d", "e")
+    var expected = Map.empty[Long, Map[String, Seq[Long]]]
+    var live = Vector.empty[Long]
+    var counter = 0L
+    def freshRows(ps: Seq[String]): Map[String, Seq[Long]] =
+      ps.map { p =>
+        p -> Seq.fill(1 + rnd.nextInt(3)) { counter += 1; counter }
+      }.toMap
+    def toDf(m: Map[String, Seq[Long]]) =
+      m.toSeq.flatMap { case (p, xs) => xs.map((p, _)) }
+        .toDF("part", "x").repartition(2)
+    for (step <- 1 to 26) {
+      rnd.nextInt(10) match {
+        case r if r <= 3 || live.isEmpty =>
+          val m = freshRows(rnd.shuffle(parts).take(1 + rnd.nextInt(parts.size)))
+          val v = Snapshots.commit(spark, dir, toDf(m), "part")
+          expected += v -> m; live :+= v
+        case r if r <= 6 =>
+          val touched = rnd.shuffle(parts).take(1 + rnd.nextInt(3))
+          val emptied =
+            if (rnd.nextBoolean()) Set(touched.head) else Set.empty[String]
+          val m = freshRows(touched.filterNot(emptied))
+          val merged = (expected(live.last) -- touched) ++ m
+          if (merged.nonEmpty) {
+            val v = Snapshots.commitReplace(spark, dir, toDf(m), "part", emptied)
+            expected += v -> merged; live :+= v
+          }
+        case r if r <= 8 && live.size >= 2 =>
+          val keep = 1 + rnd.nextInt(3)
+          val dropped = Snapshots.vacuum(spark, dir, keep)
+          live = live.filterNot(dropped.contains)
+          expected --= dropped
+        case _ => () // idle tick: the post-op read below still runs
+      }
+      val v = live(rnd.nextInt(live.size))
+      val got = Snapshots.read(spark, dir, "part", v)
+        .select("part", "x").as[(String, Long)].collect().sorted.toSeq
+      val want = expected(v).toSeq
+        .flatMap { case (p, xs) => xs.map((p, _)) }.sorted
+      assert(got == want, s"version $v diverged from its model at step $step")
+    }
+    assert(live.nonEmpty && expected.nonEmpty)
+  }
 }

@@ -323,10 +323,10 @@ class StreamingRobustnessSpec extends SparkSpec {
     docs.repartition(3).write.mode("overwrite").parquet(dir)
     // single-batch run FIRST, so the latest table dir afterwards is the
     // multi-batch run's history
-    val (single, _) = graft.streaming.Streaming
+    val (single, _, _) = graft.streaming.Streaming
       .streamSnapshotCounted(spark, sf, sf, "documents.parquet", 0)
     val sRows = single.collect().map(_.toString).sorted
-    val (multi, applied) = graft.streaming.Streaming
+    val (multi, applied, table) = graft.streaming.Streaming
       .streamSnapshotCounted(spark, sf, dir, "*.parquet", 1)
     assert(applied >= 2, s"expected a multi-batch run, got $applied batch(es)")
     val m = multi.collect().map(_.toString).sorted
@@ -339,9 +339,7 @@ class StreamingRobustnessSpec extends SparkSpec {
     assert(m.sameElements(batch), "final version must equal the batch fixpoint")
     // history semantics: the run created one snapshot version per batch,
     // and corpus totals grow monotonically along the version chain
-    val table = Option(new java.io.File("/tmp").listFiles()).get
-      .map(_.getPath).filter(_.startsWith("/tmp/graft_stream_snap_"))
-      .sorted.last
+    // (asserted against the dir THIS run returned, never a /tmp glob)
     val nv = graft.sources.Snapshots.currentVersion(spark, table)
     assert(nv == applied.toLong, s"expected $applied versions, found $nv")
     val totals = (1L to nv).map { v =>
