@@ -13,15 +13,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout (all paths under one table dir, any Hadoop FileSystem):
   *   data/v%08d/<part>=<val>/part-N.parquet   immutable per-commit data dirs
-  *   _manifests/v%08d.txt                immutable manifest: value TAB path
+  *   _manifests/v%08d.txt                immutable manifest (format below)
   *   _manifests/_latest_hint             ADVISORY latest-version hint
   *
   * Manifest format: an optional header line `#schema<TAB><json>` recording
   * the data files' schema (partition column excluded), then one
-  * `value<TAB>path` line per partition. The header makes two things O(1):
-  * a read plans its scan with ZERO parquet-footer reads, and a
-  * [[commitReplace]] that would mix file schemas within one version fails
-  * loudly AT COMMIT TIME instead of at some later read.
+  * `value<TAB>path<TAB>files<TAB>bytes` line per partition — the file
+  * stats are recorded when the immutable dir is written and carried
+  * verbatim by replace commits (the Delta add-action shape). The header
+  * plus stats make three things O(small manifest read): a read plans its
+  * scan with ZERO parquet-footer reads, a [[commitReplace]] that would
+  * mix file schemas within one version fails loudly AT COMMIT TIME
+  * instead of at some later read, and [[optimize]] picks its compaction
+  * candidates from metadata alone.
   *
   * The invariants that make it a table format rather than a directory
   * convention:
@@ -136,9 +140,20 @@ object Snapshots {
 
   private val SchemaHeader = "#schema\t"
 
+  /** One manifest entry: partition value, immutable data dir, and the
+    * dir's file stats RECORDED AT WRITE TIME (data dirs never change, so
+    * the stats are exact forever and carried verbatim through replace
+    * commits — the Delta add-action shape that lets [[optimize]] pick its
+    * candidates from metadata alone, no per-partition listings).
+    * files = -1 marks a legacy entry with unrecorded stats. */
+  private[graft] case class Entry(value: String, path: String,
+      files: Int, bytes: Long) {
+    def line: String = s"$value\t$path\t$files\t$bytes"
+  }
+
   /** (recorded data schema if the manifest has a header, entries) */
   private def readManifestFull(s: SparkSession, dir: String,
-      v: Long): (Option[StructType], Seq[(String, String)]) = {
+      v: Long): (Option[StructType], Seq[Entry]) = {
     val fs = fsOf(s, dir)
     val p = manifestPath(dir, v)
     require(fs.exists(p), s"Snapshots: version $v does not exist at $dir")
@@ -146,8 +161,13 @@ object Snapshots {
     val schema = lines.headOption.filter(_.startsWith(SchemaHeader))
       .map(h => DataTypeUtilsShim.fromJson(h.stripPrefix(SchemaHeader)))
     val entries = lines.filterNot(_.startsWith("#")).map { line =>
-      val i = line.indexOf('\t')
-      (line.substring(0, i), line.substring(i + 1))
+      line.split("\t", -1) match {
+        case Array(value, path, files, bytes) =>
+          Entry(value, path, files.toInt, bytes.toLong)
+        case Array(value, path) => Entry(value, path, -1, -1L) // legacy
+        case _ => throw new IllegalStateException(
+          s"Snapshots: malformed manifest line in $p: $line")
+      }
     }
     (schema, entries)
   }
@@ -197,8 +217,9 @@ object Snapshots {
     require(v >= 1, s"Snapshots: no committed version to read at $dir")
     val (schemaOpt, entries) = readManifestFull(s, dir, v)
     // header-less manifests (none are written anymore): one footer read
-    val dataSchema = schemaOpt.getOrElse(s.read.parquet(entries.head._2).schema)
-    Bridge.manifestScan(s, entries, partCol, dataSchema)
+    val dataSchema = schemaOpt.getOrElse(s.read.parquet(entries.head.path).schema)
+    Bridge.manifestScan(s, entries.map(e => (e.value, e.path)), partCol,
+      dataSchema)
   }
 
   /** Full-snapshot commit: write `df` partitioned by `partCol` into a
@@ -246,7 +267,7 @@ object Snapshots {
     val cur = existing.last
     val oldest = math.max(1L, cur - keepLast + 1)
     val kept = existing.filter(_ >= oldest)
-      .flatMap(v => readManifestFull(s, dir, v)._2).map(_._2).toSet
+      .flatMap(v => readManifestFull(s, dir, v)._2).map(_.path).toSet
     val dropped = existing.filter(_ < oldest)
     dropped.foreach(v => fs.delete(manifestPath(dir, v), false))
     val dataRoot = new Path(dir, "data")
@@ -276,10 +297,12 @@ object Snapshots {
     * row, which q_layout_optimize pins under the oracle hash and
     * SnapshotsSpec pins as file-count-drops/content-hash-doesn't).
     * No-op (returns the current version, no commit) when nothing
-    * qualifies. Per-partition file counts come from one listing of each
-    * CURRENT entry's dir — O(partitions) metadata, the same cost the
-    * rewrite itself pays; a production format reads these from
-    * manifest-recorded file stats instead. */
+    * qualifies. Candidate selection is METADATA-ONLY: per-partition file
+    * counts and byte sizes were recorded in the manifest when each
+    * immutable dir was written (the Delta add-action shape), so deciding
+    * what to compact costs one small manifest read — no per-partition
+    * listings, no matter how many partitions the table holds. (Legacy
+    * entries without recorded stats fall back to one listing each.) */
   def optimize(s: SparkSession, dir: String, partCol: String,
       maxFilesPerPart: Int = 1, targetFileBytes: Long = 128L << 20): Long = {
     require(maxFilesPerPart >= 1, "maxFilesPerPart >= 1")
@@ -287,29 +310,35 @@ object Snapshots {
     val cur = currentVersion(s, dir)
     require(cur >= 1, s"Snapshots: nothing to optimize at $dir")
     val (schemaOpt, entries) = readManifestFull(s, dir, cur)
-    val stats = entries.map { case (value, p) =>
-      val files = fs.listStatus(new Path(p)).filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
-      (value, p, files.length, files.map(_.getLen).sum)
+    val stats = entries.map {
+      case e if e.files >= 0 => e
+      case e => // legacy entry: stats unrecorded, list once
+        val fst = dataFiles(fs, new Path(e.path))
+        e.copy(files = fst.length, bytes = fst.map(_.getLen).sum)
     }
-    val cands = stats.filter(_._3 > maxFilesPerPart)
+    val cands = stats.filter(_.files > maxFilesPerPart)
     if (cands.isEmpty) return cur
-    val dataSchema = schemaOpt.getOrElse(s.read.parquet(entries.head._2).schema)
-    val bins = cands.map { case (value, _, _, bytes) =>
-      value -> math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
-    }
+    val dataSchema = schemaOpt.getOrElse(s.read.parquet(entries.head.path).schema)
+    val bins = cands.map(e =>
+      e.value -> math.max(1L, (e.bytes + targetFileBytes - 1) / targetFileBytes))
     val binOf = element_at(
       map(bins.flatMap { case (k, n) => Seq(lit(k), lit(n)) }: _*), col(partCol))
     val packed = Bridge
-      .manifestScan(s, cands.map(c => (c._1, c._2)), partCol, dataSchema)
+      .manifestScan(s, cands.map(e => (e.value, e.path)), partCol, dataSchema)
       .withColumn("__graft_bin",
         pmod(xxhash64(dataSchema.fieldNames.map(col).toSeq: _*), binOf))
       .repartition(col(partCol), col("__graft_bin"))
       .drop("__graft_bin")
     commitReplace(s, dir, packed, partCol)
   }
+
+  /** data files of one partition dir (excludes _SUCCESS/.hidden) */
+  private def dataFiles(fs: FileSystem,
+      p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
 
   private def commitImpl(s: SparkSession, dir: String, df: DataFrame,
       partCol: String, carryUntouched: Boolean,
@@ -331,14 +360,21 @@ object Snapshots {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
       .map { st =>
         val raw = st.getPath.getName.stripPrefix(partCol + "=")
-        (java.net.URLDecoder.decode(raw, "UTF-8"), st.getPath.toString)
+        val value = java.net.URLDecoder.decode(raw, "UTF-8")
+        require(!value.exists(c => c == '\t' || c == '\n'),
+          "Snapshots: a partition value contains a tab/newline, which " +
+            s"the line-oriented manifest cannot carry (dir name: $raw)")
+        // record the dir's file stats NOW — the dir is immutable, so
+        // they are exact forever and replace commits carry them verbatim
+        val fst = dataFiles(fs, st.getPath)
+        Entry(value, st.getPath.toString, fst.length, fst.map(_.getLen).sum)
       }
-    val replaced = written.map(_._1).toSet ++ replacedValues
+    val replaced = written.map(_.value).toSet ++ replacedValues
     val carried =
       if (!carryUntouched || prev == 0) Nil
       else {
         val (prevSchema, prevEntries) = readManifestFull(s, dir, prev)
-        val stay = prevEntries.filterNot(e => replaced(e._1))
+        val stay = prevEntries.filterNot(e => replaced(e.value))
         // the SCHEMA CONTRACT, enforced where it can fail loudly and
         // early: mixing file schemas within one version is refused at
         // commit. Name+type equality; column order and nullability are
@@ -359,11 +395,10 @@ object Snapshots {
         }
         stay
       }
-    val entries = (carried ++ written).sortBy(_._1)
+    val entries = (carried ++ written).sortBy(_.value)
     require(entries.nonEmpty, "Snapshots: refusing to commit an empty table")
     writeManifestAtomic(fs, manifestPath(dir, v),
-      (SchemaHeader + dataSchema.json) +:
-        entries.map { case (a, b) => s"$a\t$b" } mkString "\n")
+      (SchemaHeader + dataSchema.json) +: entries.map(_.line) mkString "\n")
     // best-effort advisory hint (see currentVersion) — never load-bearing
     try {
       val out = fs.create(hintPath(dir), true)

@@ -203,7 +203,11 @@ object Plans {
     "q_dedup_embedding" ->
       "selective embedding near-dup (r13 re-frame): the 8x12-bit SRP index is built once and checkpointed (plans read LogicalRDDs, never re-derive the 96 plane dots); only (id, t, b) keys flow through the candidate equi-join + distinct — the checkpointed candidate set was already counted against the 5% fraction budget before this plan exists (fail-loud, not silently quadratic) — and vectors join back BY ID solely for the codegen-cosine verify",
     "q_layout_timetravel" ->
-      "snapshot read-at-version: each version's plan is a UNION of per-manifest-entry parquet scans with the partition value attached as a literal — the manifest IS the scan plan (no directory listing, no partition discovery), so a pinned version's plan is untouched by later commits; both version reads aggregate map-side before the union",
+      "snapshot read-at-version (r14 one-scan re-plan): each version is ONE FileSourceScan whose partition spec is SUPPLIED from the immutable manifest (Bridge.manifestScan — partition values from manifest entries, never directory discovery; schema from the manifest header, zero footer reads), so the plan holds exactly two scans for two version reads no matter how many partitions each manifest lists, a pinned version's plan is untouched by later commits, and a filter on the partition column would prune entries before any file opens; both version reads aggregate map-side before the union",
+    "q_layout_optimize" ->
+      "OPTIMIZE-as-version: the compaction read is ONE manifest-planned scan over just the fragmented entries, bin-packed by ONE (partition, bin) hash repartition — rewritten bytes shuffle exactly once, carried partitions appear in no plan at all (they move by manifest reference); the pre/post reads are two one-scan version reads whose aggregates must agree",
+    "q_layout_merge" ->
+      "MERGE-as-version: each CDC batch is a latest-per-key partial aggregate of the events scan, full-outer-joined against the PREVIOUS version's one-scan committed read-back (both sides shuffle once on the key — the Delta/Iceberg MERGE shape, full outer cannot broadcast), and the fold lands as an atomic snapshot commit; the mid-feed version re-reads its immutable manifest after later versions landed",
     "q_layout_dpp" ->
       "dynamic partition pruning: the class filter lives on the JOINED dim scan, so the hive-partitioned fact's PartitionFilters carry a dynamicpruning subquery fed by the broadcast dim — partitions the planner cannot know are skipped at runtime (the star-schema prune; plan-asserted in PlanShapeSpec)",
     "q_dedup_audio" ->

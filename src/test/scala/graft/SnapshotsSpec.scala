@@ -181,6 +181,19 @@ class SnapshotsSpec extends SparkSpec {
     // an already-compact table is a NO-OP: same version back, no commit
     assert(Snapshots.optimize(spark, dir, "part") == v2)
     assert(Snapshots.currentVersion(spark, dir) == v2)
+    // manifest entries record (files, bytes) at write time — the
+    // metadata optimize() reads its candidates from — and a replace
+    // commit carries an untouched entry's stats VERBATIM (immutable
+    // dirs: stats never go stale)
+    def statsOf(v: Long, part: String): (Int, Long) = {
+      val f = manifestText(dir, v).split("\n")
+        .find(_.startsWith(part + "\t")).get.split("\t")
+      (f(2).toInt, f(3).toLong)
+    }
+    assert(statsOf(v1, "a")._1 > 1 && statsOf(v2, "a") == ((1, statsOf(v2, "a")._2)))
+    val v3 = Snapshots.commitReplace(spark, dir,
+      Seq(("b", 99L)).toDF("part", "x"), "part")
+    assert(statsOf(v3, "a") == statsOf(v2, "a"), "carried stats must not change")
   }
 
   test("commitReplace(replacedValues) drops an emptied partition instead of carrying it") {
