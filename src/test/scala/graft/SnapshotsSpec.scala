@@ -284,7 +284,7 @@ class SnapshotsSpec extends SparkSpec {
       .select("x").as[Long].collect().sameElements(Array(2L)))
   }
 
-  test("randomized commit/replace/read/vacuum interleaving: every surviving version reads its recorded content") {
+  test("randomized commit/replace/optimize/read/vacuum interleaving: every surviving version reads its recorded content") {
     // the format's whole contract under one seeded fuzz: after each op,
     // a randomly chosen SURVIVING version must read back exactly the
     // content the driver-side model recorded for it at commit time
@@ -317,11 +317,17 @@ class SnapshotsSpec extends SparkSpec {
             val v = Snapshots.commitReplace(spark, dir, toDf(m), "part", emptied)
             expected += v -> merged; live :+= v
           }
-        case r if r <= 8 && live.size >= 2 =>
+        case r if r <= 7 && live.size >= 2 =>
           val keep = 1 + rnd.nextInt(3)
           val dropped = Snapshots.vacuum(spark, dir, keep)
           live = live.filterNot(dropped.contains)
           expected --= dropped
+        case 8 => // OPTIMIZE: content of the new version == previous latest
+          val v = Snapshots.optimize(spark, dir, "part")
+          if (v != live.last) { // no-op when nothing is fragmented
+            expected += v -> expected(live.last)
+            live :+= v
+          }
         case _ => () // idle tick: the post-op read below still runs
       }
       val v = live(rnd.nextInt(live.size))
