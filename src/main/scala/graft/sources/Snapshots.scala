@@ -319,16 +319,24 @@ object Snapshots {
     val cands = stats.filter(_.files > maxFilesPerPart)
     if (cands.isEmpty) return cur
     val dataSchema = schemaOpt.getOrElse(s.read.parquet(entries.head.path).schema)
-    val bins = cands.map(e =>
-      e.value -> math.max(1L, (e.bytes + targetFileBytes - 1) / targetFileBytes))
-    val binOf = element_at(
-      map(bins.flatMap { case (k, n) => Seq(lit(k), lit(n)) }: _*), col(partCol))
+    // per-partition bin counts ride a BROADCAST join, not a map() literal
+    // expression — a 10^4-candidate OPTIMIZE must not build a 2*10^4-arg
+    // expression tree (the same plan-size rule the manifest-served read
+    // exists for); the bins frame is manifest-sized metadata
+    val bins = {
+      import s.implicits._
+      cands.map(e => (e.value,
+        math.max(1L, (e.bytes + targetFileBytes - 1) / targetFileBytes)))
+        .toDF("__graft_bin_part", "__graft_bins")
+    }
     val packed = Bridge
       .manifestScan(s, cands.map(e => (e.value, e.path)), partCol, dataSchema)
+      .join(broadcast(bins), col(partCol) === col("__graft_bin_part"))
       .withColumn("__graft_bin",
-        pmod(xxhash64(dataSchema.fieldNames.map(col).toSeq: _*), binOf))
+        pmod(xxhash64(dataSchema.fieldNames.map(col).toSeq: _*),
+          col("__graft_bins")))
       .repartition(col(partCol), col("__graft_bin"))
-      .drop("__graft_bin")
+      .drop("__graft_bin", "__graft_bins", "__graft_bin_part")
     commitReplace(s, dir, packed, partCol)
   }
 
