@@ -527,6 +527,57 @@ FROM v2 GROUP BY event_type
       at(v1, "pre_backfill").unionByName(at(v2, "post_backfill"))
     },
 
+    // Incremental consumption of the versioned table — the change-feed
+    // rung: Snapshots.diff compares two manifests by METADATA alone
+    // (carry-by-reference lists the SAME immutable path for an untouched
+    // partition in both, so it is excluded with zero IO) and scans ONLY
+    // the rewritten partition's two states. Here the backfill rewrote
+    // the 'click' partition, so the diff is exactly click-before
+    // (change='removed') and click-after (change='added') — the oracle
+    // states both from the raw events, and every other partition
+    // appearing in the output (a broken carry, a spurious rewrite)
+    // breaks the hash. The scan-boundedness itself (untouched dirs in
+    // neither side's plan) is plan-asserted in SnapshotsSpec.
+    QueryDef(
+      "q_layout_incremental",
+      """WITH g AS (
+  SELECT event_type, user_id % 100 AS bucket, count(*)::BIGINT AS n_events,
+    sum(CAST(value AS DECIMAL(38,10))) AS sv
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+gc AS (
+  SELECT event_type, user_id % 100 AS bucket, count(*)::BIGINT AS n_events,
+    sum(CAST(value AS DECIMAL(38,10))) AS sv
+  FROM events WHERE event_type = 'click' AND value >= 1.0 GROUP BY 1, 2)
+SELECT 'removed' AS change, event_type, count(*)::BIGINT AS n_buckets,
+  sum(n_events)::BIGINT AS n_events,
+  CAST(round(sum(sv), 4) AS DOUBLE) AS total_value
+FROM g GROUP BY event_type
+UNION ALL
+SELECT 'added' AS change, event_type, count(*)::BIGINT AS n_buckets,
+  sum(n_events)::BIGINT AS n_events,
+  CAST(round(sum(sv), 4) AS DOUBLE) AS total_value
+FROM gc GROUP BY event_type
+""".stripMargin) { (s, d) =>
+      import graft.sources.Snapshots
+      val dir = "/tmp/graft_snap_incr_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      def agg(src: org.apache.spark.sql.DataFrame) = src
+        .groupBy(col("event_type"), (col("user_id") % 100).as("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(graft.Exact.dec(col("value"))).as("sv"))
+      val ev = events(s, d)
+      val v1 = Snapshots.commit(s, dir, agg(ev), "event_type")
+      val v2 = Snapshots.commitReplace(s, dir,
+        agg(ev.filter(col("event_type") === "click" && col("value") >= 1.0)),
+        "event_type")
+      Snapshots.diff(s, dir, "event_type", v1, v2)
+        .groupBy("change", "event_type")
+        .agg(count(lit(1)).as("n_buckets"), sum("n_events").as("n_events"),
+          graft.Exact.decOut(sum(col("sv"))).as("total_value"))
+    },
+
     // OPTIMIZE-as-version: the nightly small-files compaction landing as
     // an atomic snapshot commit (Snapshots.optimize) — v1 is written
     // deliberately fragmented (8 round-robin tasks => up to 8 files per

@@ -12,7 +12,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pipeline uses daily: read-at-version while writers rewrite.
   *
   * Layout (all paths under one table dir, any Hadoop FileSystem):
-  *   data/v%08d/<part>=<val>/part-N.parquet   immutable per-commit data dirs
+  *   data/v%08d_<nonce>/<part>=<val>/part-N.parquet   immutable data dirs,
+  *     PER-WRITER UNIQUE (racers for one version write disjoint dirs and
+  *     collide only at the manifest rename; a loser's orphan dir is
+  *     referenced by no manifest and retired by the next vacuum)
   *   _manifests/v%08d.txt                immutable manifest (format below)
   *   _manifests/_latest_hint             ADVISORY latest-version hint
   *
@@ -30,7 +33,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The invariants that make it a table format rather than a directory
   * convention:
   *   1. Data and manifest files are IMMUTABLE once written (data goes
-  *      to a fresh data/vN under mode("error"); the manifest rename
+  *      to a fresh per-writer data dir under mode("error"); the manifest rename
   *      refuses to overwrite) — so any version, once committed, reads
   *      the same bytes forever — until [[vacuum]] retires versions
   *      older than the retention window (referenced files survive).
@@ -227,7 +230,82 @@ object Snapshots {
     * commit via the atomic manifest rename. Returns the new version. */
   def commit(s: SparkSession, dir: String, df: DataFrame,
       partCol: String): Long =
-    commitImpl(s, dir, df, partCol, carryUntouched = false, Set.empty)
+    commitImpl(s, dir, df, partCol, carryUntouched = false, Set.empty, None)
+
+  /** Optimistic-concurrency retry loop — the user-facing half of
+    * invariant 3 (the conflict error says "re-read the table and retry";
+    * this is that loop, done right). Each attempt resolves the current
+    * version, hands it to `make` (which reads the table AT that version
+    * to build the next state), and commits PINNED to exactly
+    * version+1 — never a re-derived latest, so a racer landing between
+    * the read and the rename makes the attempt FAIL LOUDLY and retry
+    * against the racer's state instead of silently committing a state
+    * that never saw it (the lost-update anomaly a naive
+    * read-then-commit loop has). `prev` = 0 means the table is empty.
+    * Throws after `attempts` consecutive lost races. */
+  def commitRetry(s: SparkSession, dir: String, partCol: String,
+      attempts: Int = 5)(make: Long => DataFrame): Long = {
+    require(attempts >= 1, "commitRetry needs at least one attempt")
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      val prev = currentVersion(s, dir)
+      try
+        return commitImpl(s, dir, make(prev), partCol,
+          carryUntouched = false, Set.empty, expectedPrev = Some(prev))
+      catch {
+        case e: Throwable if isCommitRace(e) => last = e; i += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"Snapshots: commit lost $attempts consecutive optimistic races at " +
+        s"$dir — a hotter writer is live; back off or coordinate", last)
+  }
+
+  /** a loser's two loud surfaces: the manifest rename refusal and the
+    * mode("error") data-dir collision (a racer wrote data/vN first) */
+  private def isCommitRace(e: Throwable): Boolean = {
+    val m = Option(e.getMessage).getOrElse("")
+    (e.isInstanceOf[IllegalStateException] && m.contains("concurrent writer")) ||
+      m.contains("already exists")
+  }
+
+  /** Partition-level change feed between two committed versions — the
+    * incremental-consumption primitive: the scan is bounded by CHANGED
+    * partitions, never table size (carry-by-reference means an untouched
+    * partition lists the SAME immutable path in both manifests, so it is
+    * excluded by metadata comparison alone — zero IO). Emits the
+    * from-version's rows of rewritten/dropped partitions labeled
+    * `change = 'removed'` and the to-version's rows of rewritten/added
+    * partitions labeled `change = 'added'`; a downstream job re-derives
+    * exactly the affected partitions' state. (Partition-level, not
+    * row-level: a rewrite-based format records no row lineage, so a
+    * row-level CDF would need an anti-join the consumer can do itself on
+    * this bounded frame. Undefined across a full-rewrite schema change —
+    * the union fails loudly on the mismatched schemas.) */
+  def diff(s: SparkSession, dir: String, partCol: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV >= 1 && toV > fromV,
+      s"Snapshots: diff needs 1 <= fromV < toV, got $fromV..$toV")
+    val (fSchema, from) = readManifestFull(s, dir, fromV)
+    val (tSchema, to) = readManifestFull(s, dir, toV)
+    val fromPaths = from.map(e => e.value -> e.path).toMap
+    val toPaths = to.map(e => e.value -> e.path).toMap
+    val removed = from.filter(e => !toPaths.get(e.value).contains(e.path))
+    val added = to.filter(e => !fromPaths.get(e.value).contains(e.path))
+    def side(sch: Option[StructType], entries: Seq[Entry], label: String,
+        emptyFallback: Seq[Entry]) = {
+      val schema = sch.getOrElse(
+        s.read.parquet(emptyFallback.head.path).schema)
+      val es = if (entries.nonEmpty) entries else emptyFallback
+      val df = Bridge.manifestScan(s, es.map(e => (e.value, e.path)),
+        partCol, schema)
+      (if (entries.nonEmpty) df else df.limit(0))
+        .withColumn("change", lit(label))
+    }
+    side(fSchema, removed, "removed", from)
+      .unionByName(side(tSchema, added, "added", to))
+  }
 
   /** Partition-level rewrite commit (the backfill/OPTIMIZE/MERGE shape):
     * partitions present in `df` get fresh data dirs; every OTHER
@@ -243,7 +321,7 @@ object Snapshots {
     * silently carried forward — the delete-all hole a MERGE fold hits. */
   def commitReplace(s: SparkSession, dir: String, df: DataFrame,
       partCol: String, replacedValues: Set[String] = Set.empty): Long =
-    commitImpl(s, dir, df, partCol, carryUntouched = true, replacedValues)
+    commitImpl(s, dir, df, partCol, carryUntouched = true, replacedValues, None)
 
   /** Retention vacuum — the production knob that bounds history: drop
     * every version older than the newest `keepLast`, deleting (a) the
@@ -350,19 +428,28 @@ object Snapshots {
 
   private def commitImpl(s: SparkSession, dir: String, df: DataFrame,
       partCol: String, carryUntouched: Boolean,
-      replacedValues: Set[String]): Long = {
+      replacedValues: Set[String], expectedPrev: Option[Long]): Long = {
     require(df.schema(partCol).dataType == StringType,
       s"Snapshots: partition column '$partCol' must be StringType (it " +
         "travels through directory names and manifest lines as a string; " +
         s"got ${df.schema(partCol).dataType.simpleString} — cast it)")
     val dataSchema = StructType(df.schema.filterNot(_.name == partCol))
     val fs = fsOf(s, dir)
-    val prev = currentVersion(s, dir)
+    // commitRetry PINS the version it read through `make` — re-deriving
+    // latest here would let a racer's commit slide underneath unseen
+    val prev = expectedPrev.getOrElse(currentVersion(s, dir))
     val v = prev + 1
-    val dataDir = f"$dir/data/v$v%08d"
-    // mode("error"): a data dir is written once, ever — immutability is
-    // invariant 1, and a version-number race surfaces here or at the
-    // manifest rename, never as a silent overwrite
+    // the data dir is PER-WRITER UNIQUE (version prefix + nonce), never
+    // shared by name across racers: two writers targeting version N write
+    // disjoint dirs and race ONLY at the manifest rename — a shared
+    // data/vN would let mode("error")'s check-then-write window interleave
+    // both writers' files into one dir and hand the rename winner a
+    // corrupt version (why real formats name data files per task attempt).
+    // The loser's orphan dir is unreferenced by every manifest and retired
+    // by the next vacuum. mode("error") stays as a belt against nonce
+    // collision; immutability (invariant 1) is per-dir as before.
+    val dataDir =
+      f"$dir/data/v$v%08d_${java.lang.Long.toHexString(System.nanoTime())}"
     df.write.mode("error").partitionBy(partCol).parquet(dataDir)
     val written = fs.listStatus(new Path(dataDir)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))

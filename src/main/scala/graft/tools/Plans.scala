@@ -206,6 +206,8 @@ object Plans {
       "snapshot read-at-version (r14 one-scan re-plan): each version is ONE FileSourceScan whose partition spec is SUPPLIED from the immutable manifest (Bridge.manifestScan — partition values from manifest entries, never directory discovery; schema from the manifest header, zero footer reads), so the plan holds exactly two scans for two version reads no matter how many partitions each manifest lists, a pinned version's plan is untouched by later commits, and a filter on the partition column would prune entries before any file opens; both version reads aggregate map-side before the union",
     "q_layout_optimize" ->
       "OPTIMIZE-as-version: the compaction read is ONE manifest-planned scan over just the fragmented entries, bin-packed by ONE (partition, bin) hash repartition — rewritten bytes shuffle exactly once, carried partitions appear in no plan at all (they move by manifest reference); the pre/post reads are two one-scan version reads whose aggregates must agree",
+    "q_layout_incremental" ->
+      "incremental change feed: Snapshots.diff compares two manifests by metadata alone — untouched partitions (same immutable path in both) never enter the plan; the two scans each hold ONLY the rewritten partition's entries, so downstream incremental jobs pay for the change, not the table",
     "q_layout_merge" ->
       "MERGE-as-version: each CDC batch is a latest-per-key partial aggregate of the events scan, full-outer-joined against the PREVIOUS version's one-scan committed read-back (both sides shuffle once on the key — the Delta/Iceberg MERGE shape, full outer cannot broadcast), and the fold lands as an atomic snapshot commit; the mid-feed version re-reads its immutable manifest after later versions landed",
     "q_layout_dpp" ->

@@ -66,6 +66,12 @@ class SnapshotsSpec extends SparkSpec {
       Seq(("a", 2L)).toDF("part", "x"), "part")                  // v2: b carried from v1
     Snapshots.commitReplace(spark, dir,
       Seq(("a", 3L)).toDF("part", "x"), "part")                  // v3: b still v1's dir
+    // capture v1's entry dirs BEFORE its manifest is retired
+    def dirOf(m: String, part: String) = java.nio.file.Paths.get(
+      new java.net.URI(m.split("\n").find(_.startsWith(part + "\t"))
+        .get.split("\t")(1)).getPath)
+    val m1 = manifestText(dir, 1L)
+    val (aDir1, bDir1) = (dirOf(m1, "a"), dirOf(m1, "b"))
     val dropped = Snapshots.vacuum(spark, dir, keepLast = 2)     // drop v1
     assert(dropped == Seq(1L), dropped)
     // v1 is gone: its manifest is deleted and reading it fails loudly
@@ -73,11 +79,9 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.read(spark, dir, "part", 1L).collect()
     }
     // v1's REPLACED partition dir (a) is unreachable and deleted...
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$dir/data/v00000001/part=a")))
+    assert(!java.nio.file.Files.exists(aDir1))
     // ...but v1's b dir is still referenced by the KEPT v2/v3 manifests
-    assert(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$dir/data/v00000001/part=b")))
+    assert(java.nio.file.Files.exists(bDir1))
     // both kept versions read complete and correct after the vacuum
     val v2 = Snapshots.read(spark, dir, "part", 2L)
       .select("part", "x").as[(String, Long)].collect().sorted
@@ -109,21 +113,84 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("concurrent writer"), e.getMessage)
     // the loser must not have damaged the winner's manifest
     assert(manifestText(dir, 1L) == before)
-    // and the data-dir guard is the other loud surface: a commit whose
-    // version number collides with an existing data dir fails at the
-    // mode("error") write instead of overwriting immutable files
-    val clash = java.nio.file.Paths.get(s"$dir/data/v00000002")
-    java.nio.file.Files.createDirectories(clash)
-    java.nio.file.Files.writeString(clash.resolve("marker"), "winner's files")
-    intercept[Exception] {
-      Snapshots.commit(spark, dir, Seq(("a", 99L)).toDF("part", "x"), "part")
-    }
-    assert(java.nio.file.Files.readString(clash.resolve("marker"))
-      == "winner's files", "immutable data dir was touched")
-    // the table is still fully readable at its last good version
-    val latest = Snapshots.read(spark, dir, "part")
+    // data dirs are PER-WRITER UNIQUE (version prefix + nonce): racers
+    // for one version write disjoint dirs and collide only at the rename,
+    // so a loser's files can never interleave into the winner's dir (the
+    // corruption a shared data/vN would allow). A loser's orphan dir is
+    // referenced by no manifest and the next vacuum retires it.
+    val v2 = Snapshots.commit(spark, dir, Seq(("a", 2L)).toDF("part", "x"),
+      "part")
+    val orphan = java.nio.file.Paths.get(s"$dir/data/v00000002_orphan/part=a")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("junk.parquet"), "loser")
+    Snapshots.vacuum(spark, dir, keepLast = 2) // keeps v1+v2, drops nothing
+    assert(!java.nio.file.Files.exists(orphan), "orphan dir must be vacuumed")
+    // the winner's data is untouched and fully readable
+    val latest = Snapshots.read(spark, dir, "part", v2)
       .select("part", "x").as[(String, Long)].collect()
-    assert(latest.sameElements(Array(("a", 1L))), latest.toSeq)
+    assert(latest.sameElements(Array(("a", 2L))), latest.toSeq)
+    assert(Snapshots.read(spark, dir, "part", 1L)
+      .select("part", "x").as[(String, Long)].collect()
+      .sameElements(Array(("a", 1L))))
+  }
+
+  test("commitRetry re-reads and retries a lost race, pinned to the version it saw") {
+    val dir = tempTable()
+    Snapshots.commit(spark, dir, Seq(("a", 1L)).toDF("part", "x"), "part")
+    // the transform records every version it was handed; on its FIRST
+    // attempt a "racer" lands a commit between the read and the rename,
+    // so the pinned commit must FAIL (never silently commit a state that
+    // never saw the racer) and the retry must rebuild from the racer's
+    // version
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var raceOnce = true
+    val v = Snapshots.commitRetry(spark, dir, "part") { prev =>
+      seen += prev
+      if (raceOnce) {
+        raceOnce = false
+        Snapshots.commit(spark, dir, Seq(("a", 99L)).toDF("part", "x"), "part")
+      }
+      val base = Snapshots.read(spark, dir, "part", prev)
+        .select("part", "x").as[(String, Long)].collect().toSeq
+      (base.map { case (p, x) => (p, x + 1) }).toDF("part", "x")
+    }
+    assert(seen.toSeq == Seq(1L, 2L), s"attempts saw $seen")
+    assert(v == 3L)
+    // final state = increment applied to the RACER's state, not the stale one
+    val got = Snapshots.read(spark, dir, "part", v)
+      .select("part", "x").as[(String, Long)].collect()
+    assert(got.sameElements(Array(("a", 100L))), got.toSeq)
+  }
+
+  test("diff scans only CHANGED partitions between two versions") {
+    val dir = tempTable()
+    val v1 = Snapshots.commit(spark, dir,
+      Seq(("a", 1L), ("b", 10L), ("c", 20L)).toDF("part", "x"), "part")
+    // rewrite a, delete c by emptying it, carry b untouched
+    val v2 = Snapshots.commitReplace(spark, dir,
+      Seq(("a", 2L)).toDF("part", "x"), "part", Set("c"))
+    val d = Snapshots.diff(spark, dir, "part", v1, v2)
+    val got = d.select("change", "part", "x").as[(String, String, Long)]
+      .collect().sorted.toSeq
+    // removed = fromV's rows of rewritten(a) + dropped(c); added = toV's
+    // rewritten a; untouched b appears NOWHERE
+    assert(got == Seq(("added", "a", 2L), ("removed", "a", 1L),
+      ("removed", "c", 20L)), got)
+    // the scan is bounded by changed partitions: b's immutable dir is in
+    // neither side's plan
+    def dirOf(m: String, part: String) = m.split("\n")
+      .find(_.startsWith(part + "\t")).get.split("\t")(1)
+    val bDir = dirOf(manifestText(dir, v1), "b")
+    val plan = d.queryExecution.sparkPlan.toString
+    assert(!plan.contains(bDir), "untouched partition must not be scanned")
+    assert("FileScan parquet".r.findAllIn(plan).size == 2, plan)
+    // an unchanged pair diffs to empty (both sides limit(0))
+    val v3 = Snapshots.optimize(spark, dir, "part") // no-op: nothing fragmented
+    assert(v3 == v2)
+    val v4 = Snapshots.commitReplace(spark, dir,
+      Seq(("a", 3L)).toDF("part", "x"), "part")
+    assert(Snapshots.diff(spark, dir, "part", v2, v4)
+      .filter(col("part") === "b").count() == 0)
   }
 
   test("read plans ONE scan node at any partition count, and prunes on the partition column") {
