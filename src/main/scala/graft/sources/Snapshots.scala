@@ -455,6 +455,17 @@ object Snapshots {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
       .map { st =>
         val raw = st.getPath.getName.stripPrefix(partCol + "=")
+        // a NULL partition value writes Hive's default-partition dir; a
+        // read-back would silently RE-TYPE it as that literal string —
+        // refuse loudly instead (impute or filter nulls before committing)
+        if (raw == "__HIVE_DEFAULT_PARTITION__") {
+          fs.delete(new Path(dataDir), true)
+          throw new IllegalArgumentException(
+            s"Snapshots: partition column '$partCol' contains NULL rows " +
+              "(written as __HIVE_DEFAULT_PARTITION__); a read-back would " +
+              "silently turn NULL into that literal string — filter or " +
+              "impute nulls before committing")
+        }
         val value = java.net.URLDecoder.decode(raw, "UTF-8")
         require(!value.exists(c => c == '\t' || c == '\n'),
           "Snapshots: a partition value contains a tab/newline, which " +

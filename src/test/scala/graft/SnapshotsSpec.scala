@@ -134,6 +134,42 @@ class SnapshotsSpec extends SparkSpec {
       .sameElements(Array(("a", 1L))))
   }
 
+  test("hostile partition values round-trip exactly; NULL values are refused loudly") {
+    // partition values travel dir-name-URL-encoded and come back from the
+    // MANIFEST, never from directory-name parsing — so space, '=', '/',
+    // '%', and already-percent-encoded-looking text must survive
+    // commit -> read byte-exactly, at any version, through a replace commit
+    val dir = tempTable()
+    // (no non-ASCII value: this container's sun.jnu.encoding is ASCII, so
+    // Spark's OWN partitioned write cannot create such a dir on the local
+    // FS — an environment limit, not a format one; the URL-encoding round
+    // trip under test is byte-level and covers multi-byte the same way)
+    val hostile = Seq("a b", "x=y", "p/q", "50%", "a%20b", "-", "0")
+    val rows = hostile.zipWithIndex.map { case (p, i) => (p, i.toLong) }
+    val v1 = Snapshots.commit(spark, dir, rows.toDF("part", "x"), "part")
+    val got = Snapshots.read(spark, dir, "part", v1)
+      .select("part", "x").as[(String, Long)].collect().sorted
+    assert(got.toSeq == rows.sorted, got.toSeq)
+    // a replace commit re-lists carried hostile values through the
+    // manifest text unchanged
+    val v2 = Snapshots.commitReplace(spark, dir,
+      Seq(("x=y", 99L)).toDF("part", "x"), "part")
+    val after = Snapshots.read(spark, dir, "part", v2)
+      .select("part", "x").as[(String, Long)].collect().sorted
+    val want = (rows.filterNot(_._1 == "x=y") :+ ("x=y", 99L)).sorted
+    assert(after.toSeq == want, after.toSeq)
+    // and partition-column pruning still fires on an encoded value
+    assert(Snapshots.read(spark, dir, "part", v2)
+      .filter(col("part") === "a%20b").count() == 1)
+    // NULL partition rows must be refused loudly, never silently
+    // re-typed as the Hive default-partition string on read-back
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, tempTable(),
+        Seq((null: String, 1L), ("ok", 2L)).toDF("part", "x"), "part")
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+  }
+
   test("commitRetry re-reads and retries a lost race, pinned to the version it saw") {
     val dir = tempTable()
     Snapshots.commit(spark, dir, Seq(("a", 1L)).toDF("part", "x"), "part")
