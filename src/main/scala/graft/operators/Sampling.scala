@@ -619,7 +619,12 @@ SELECT 'post_optimize' AS snapshot, 1::BIGINT AS version_step,
       // dir lands ~8 files (the streaming-sink debris OPTIMIZE exists for)
       val v1 = Snapshots.commit(s, dir, agg(events(s, d)).repartition(8),
         "event_type")
-      val v2 = Snapshots.optimize(s, dir, "event_type")
+      // clusterBy: the full OPTIMIZE-CLUSTER-BY shape — compaction plus
+      // range-clustered output files (narrow per-file min/max on bucket);
+      // content is provably unchanged because the oracle hash is
+      // order-free, and the clustering itself is spec-pinned
+      val v2 = Snapshots.optimize(s, dir, "event_type",
+        clusterBy = Seq("bucket"))
       def at(v: Long, label: String, step: Long) =
         Snapshots.read(s, dir, "event_type", v)
           .groupBy("event_type")

@@ -244,7 +244,9 @@ object Snapshots {
     * read-then-commit loop has). `prev` = 0 means the table is empty.
     * Throws after `attempts` consecutive lost races. */
   def commitRetry(s: SparkSession, dir: String, partCol: String,
-      attempts: Int = 5)(make: Long => DataFrame): Long = {
+      attempts: Int = 5, replace: Boolean = false,
+      replacedValues: Set[String] = Set.empty)(
+      make: Long => DataFrame): Long = {
     require(attempts >= 1, "commitRetry needs at least one attempt")
     var last: Throwable = null
     var i = 0
@@ -252,7 +254,7 @@ object Snapshots {
       val prev = currentVersion(s, dir)
       try
         return commitImpl(s, dir, make(prev), partCol,
-          carryUntouched = false, Set.empty, expectedPrev = Some(prev))
+          carryUntouched = replace, replacedValues, expectedPrev = Some(prev))
       catch {
         case e: Throwable if isCommitRace(e) => last = e; i += 1
       }
@@ -374,7 +376,11 @@ object Snapshots {
     * an answer — the read-back of version N+1 equals version N row for
     * row, which q_layout_optimize pins under the oracle hash and
     * SnapshotsSpec pins as file-count-drops/content-hash-doesn't).
-    * No-op (returns the current version, no commit) when nothing
+    * `clusterBy` columns switch the rewrite to OPTIMIZE-CLUSTER-BY:
+    * range-partitioned + sorted output so every rewritten file carries a
+    * narrow min/max range on the cluster key (zonemap/row-group pruning
+    * food; pass a [[graft.api.Graft.zorderKey]] column for 2-D). No-op
+    * (returns the current version, no commit) when nothing
     * qualifies. Candidate selection is METADATA-ONLY: per-partition file
     * counts and byte sizes were recorded in the manifest when each
     * immutable dir was written (the Delta add-action shape), so deciding
@@ -382,7 +388,8 @@ object Snapshots {
     * listings, no matter how many partitions the table holds. (Legacy
     * entries without recorded stats fall back to one listing each.) */
   def optimize(s: SparkSession, dir: String, partCol: String,
-      maxFilesPerPart: Int = 1, targetFileBytes: Long = 128L << 20): Long = {
+      maxFilesPerPart: Int = 1, targetFileBytes: Long = 128L << 20,
+      clusterBy: Seq[String] = Nil): Long = {
     require(maxFilesPerPart >= 1, "maxFilesPerPart >= 1")
     val fs = fsOf(s, dir)
     val cur = currentVersion(s, dir)
@@ -397,24 +404,39 @@ object Snapshots {
     val cands = stats.filter(_.files > maxFilesPerPart)
     if (cands.isEmpty) return cur
     val dataSchema = schemaOpt.getOrElse(s.read.parquet(entries.head.path).schema)
-    // per-partition bin counts ride a BROADCAST join, not a map() literal
-    // expression — a 10^4-candidate OPTIMIZE must not build a 2*10^4-arg
-    // expression tree (the same plan-size rule the manifest-served read
-    // exists for); the bins frame is manifest-sized metadata
-    val bins = {
-      import s.implicits._
-      cands.map(e => (e.value,
-        math.max(1L, (e.bytes + targetFileBytes - 1) / targetFileBytes)))
-        .toDF("__graft_bin_part", "__graft_bins")
-    }
-    val packed = Bridge
+    val binsOf = cands.map(e => e.value ->
+      math.max(1L, (e.bytes + targetFileBytes - 1) / targetFileBytes)).toMap
+    val src = Bridge
       .manifestScan(s, cands.map(e => (e.value, e.path)), partCol, dataSchema)
-      .join(broadcast(bins), col(partCol) === col("__graft_bin_part"))
-      .withColumn("__graft_bin",
-        pmod(xxhash64(dataSchema.fieldNames.map(col).toSeq: _*),
-          col("__graft_bins")))
-      .repartition(col(partCol), col("__graft_bin"))
-      .drop("__graft_bin", "__graft_bins", "__graft_bin_part")
+    val packed =
+      if (clusterBy.nonEmpty) {
+        // OPTIMIZE ... ZORDER/CLUSTER BY: range-partition the rewrite on
+        // (partition, cluster key) and sort within tasks, so every output
+        // file carries a NARROW, near-disjoint min/max range on the
+        // cluster columns — compaction and zonemap-friendly clustering in
+        // one pass (compose with Graft.zorderKey for 2-D keys). Costs the
+        // range sampler's extra pass over just the rewritten entries.
+        val n = math.min(binsOf.values.sum, Int.MaxValue.toLong).toInt
+        val keys = (partCol +: clusterBy).map(col)
+        src.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+      } else {
+        // plain bin-packing: deterministic row-hash spread across each
+        // partition's ceil(bytes/target) bins, ONE hash shuffle, no
+        // sampling pass. Per-partition bin counts ride a BROADCAST join,
+        // not a map() literal — a 10^4-candidate OPTIMIZE must not build
+        // a 2*10^4-arg expression tree (the same plan-size rule the
+        // manifest-served read exists for).
+        val bins = {
+          import s.implicits._
+          binsOf.toSeq.toDF("__graft_bin_part", "__graft_bins")
+        }
+        src.join(broadcast(bins), col(partCol) === col("__graft_bin_part"))
+          .withColumn("__graft_bin",
+            pmod(xxhash64(dataSchema.fieldNames.map(col).toSeq: _*),
+              col("__graft_bins")))
+          .repartition(col(partCol), col("__graft_bin"))
+          .drop("__graft_bin", "__graft_bins", "__graft_bin_part")
+      }
     commitReplace(s, dir, packed, partCol)
   }
 

@@ -299,6 +299,42 @@ class SnapshotsSpec extends SparkSpec {
     assert(statsOf(v3, "a") == statsOf(v2, "a"), "carried stats must not change")
   }
 
+  test("optimize(clusterBy) writes range-clustered files: near-disjoint per-file min/max") {
+    val dir = tempTable()
+    // one partition, values shuffled across 6 writer tasks -> fragmented
+    // AND interleaved: every v1 file spans nearly the whole value range
+    val rnd = new scala.util.Random(7)
+    val rows = rnd.shuffle((1 to 200).toList).map(i => ("a", i.toLong))
+    val v1 = Snapshots.commit(spark, dir, rows.toDF("part", "x").repartition(6),
+      "part")
+    def entryOf(v: Long) = manifestText(dir, v).split("\n")
+      .find(_.startsWith("a\t")).get.split("\t")
+    val bytes = entryOf(v1)(3).toLong
+    // target = half the partition -> two bins, range-split on x
+    val v2 = Snapshots.optimize(spark, dir, "part",
+      targetFileBytes = bytes / 2 + 1, clusterBy = Seq("x"))
+    assert(v2 == v1 + 1)
+    val files = new java.io.File(
+      new java.net.URI(entryOf(v2)(1)).getPath).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files.length >= 2, s"expected >= 2 clustered files, got ${files.length}")
+    // per-file (min, max) ranges must be NON-OVERLAPPING (clustering is
+    // what makes zonemap pruning bite) and the union must be the content
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getPath).agg(min("x"), max("x"), count(lit(1)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi, _), (lo2, _, _)) =>
+        assert(hi <= lo2, s"file ranges overlap: ${ranges.toSeq}")
+      case _ => ()
+    }
+    assert(ranges.map(_._3).sum == 200L)
+    assert(Snapshots.read(spark, dir, "part", v2)
+      .select("x").as[Long].collect().sorted.toSeq == (1L to 200L))
+  }
+
   test("commitReplace(replacedValues) drops an emptied partition instead of carrying it") {
     val dir = tempTable()
     val v1 = Snapshots.commit(spark, dir,
