@@ -205,7 +205,7 @@ object Plans {
     "q_layout_timetravel" ->
       "snapshot read-at-version (r14 one-scan re-plan): each version is ONE FileSourceScan whose partition spec is SUPPLIED from the immutable manifest (Bridge.manifestScan — partition values from manifest entries, never directory discovery; schema from the manifest header, zero footer reads), so the plan holds exactly two scans for two version reads no matter how many partitions each manifest lists, a pinned version's plan is untouched by later commits, and a filter on the partition column would prune entries before any file opens; both version reads aggregate map-side before the union",
     "q_layout_optimize" ->
-      "OPTIMIZE-as-version: the compaction read is ONE manifest-planned scan over just the fragmented entries, bin-packed by ONE (partition, bin) hash repartition — rewritten bytes shuffle exactly once, carried partitions appear in no plan at all (they move by manifest reference); the pre/post reads are two one-scan version reads whose aggregates must agree",
+      "OPTIMIZE-CLUSTER-BY-as-version: the compaction read is ONE manifest-planned scan over just the fragmented entries, range-partitioned + sorted on (partition, bucket) so rewritten files carry narrow non-overlapping min/max ranges — rewritten bytes shuffle once (plus the range sampler's pass), carried partitions appear in no plan at all (they move by manifest reference); the pre/post reads are two one-scan version reads whose aggregates must agree",
     "q_layout_incremental" ->
       "incremental change feed: Snapshots.diff compares two manifests by metadata alone — untouched partitions (same immutable path in both) never enter the plan; the two scans each hold ONLY the rewritten partition's entries, so downstream incremental jobs pay for the change, not the table",
     "q_layout_merge" ->
