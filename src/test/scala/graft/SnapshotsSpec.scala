@@ -252,6 +252,14 @@ class SnapshotsSpec extends SparkSpec {
     // the partition column came back typed and valued from the manifest
     assert(one.select("x").as[Long].collect().sorted.sameElements(
       Array(7L, 1007L)))
+    // manifest-level pruning: readPartitions never lists excluded
+    // entries — the plan's location holds ONLY the selected dirs
+    val rp = Snapshots.readPartitions(spark, dir, "part", Set("p007", "p011"))
+    assert(rp.count() == 4)
+    val rpPlan = rp.queryExecution.sparkPlan.toString
+    assert(!rpPlan.contains("part=p005"), rpPlan)
+    // absent values are empty, not an error
+    assert(Snapshots.readPartitions(spark, dir, "part", Set("nope")).count() == 0)
   }
 
   test("optimize compacts small files into a new version without changing content") {
