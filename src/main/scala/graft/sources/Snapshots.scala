@@ -242,7 +242,7 @@ object Snapshots {
     val dataSchema = schemaOpt.getOrElse(s.read.parquet(entries.head.path).schema)
     val picked = entries.filter(e => values(e.value))
     if (picked.isEmpty)
-      Bridge.manifestScan(s, entries.take(1).map(e => (e.value, e.path)),
+      Bridge.manifestScan(s, entries.headOption.toSeq.map(e => (e.value, e.path)),
         partCol, dataSchema).limit(0)
     else
       Bridge.manifestScan(s, picked.map(e => (e.value, e.path)), partCol,
