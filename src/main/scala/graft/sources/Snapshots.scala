@@ -161,9 +161,18 @@ object Snapshots {
     val p = manifestPath(dir, v)
     require(fs.exists(p), s"Snapshots: version $v does not exist at $dir")
     val lines = readSmall(fs, p).split("\n").toSeq.filter(_.nonEmpty)
-    val schema = lines.headOption.filter(_.startsWith(SchemaHeader))
+    // the header is the FIRST line only; every later line is an entry no
+    // matter what it starts with (a blanket '#'-prefix filter would
+    // silently DROP a partition whose value begins with '#' — missing
+    // rows on read and, worse, vacuum deleting its still-referenced dir;
+    // commit refuses '#'-leading values so line 0 is unambiguous)
+    val (headerOpt, entryLines) = lines match {
+      case h +: rest if h.startsWith(SchemaHeader) => (Some(h), rest)
+      case all => (None, all)
+    }
+    val schema = headerOpt
       .map(h => DataTypeUtilsShim.fromJson(h.stripPrefix(SchemaHeader)))
-    val entries = lines.filterNot(_.startsWith("#")).map { line =>
+    val entries = entryLines.map { line =>
       line.split("\t", -1) match {
         case Array(value, path, files, bytes) =>
           Entry(value, path, files.toInt, bytes.toLong)
@@ -187,11 +196,18 @@ object Snapshots {
     * (Package-visible so the spec can drive the conflict branch
     * directly: at the API level the race window is between a writer's
     * currentVersion read and its rename, which a test can't interleave.) */
+  /** the OCC loser's signal — a dedicated type so [[commitRetry]] never
+    * mistakes an unrelated failure (any error whose message happens to
+    * contain "already exists") for a lost race and masks it behind
+    * `attempts` full recomputes */
+  final class CommitConflictException(msg: String)
+      extends IllegalStateException(msg)
+
   private[graft] def writeManifestAtomic(fs: FileSystem, p: Path,
       content: String): Unit = {
     fs.mkdirs(p.getParent)
     def conflict(): Nothing =
-      throw new IllegalStateException(
+      throw new CommitConflictException(
         s"Snapshots: manifest $p already exists — a concurrent writer " +
           "committed this version first; re-read the table and retry " +
           "(optimistic concurrency)")
@@ -288,13 +304,12 @@ object Snapshots {
         s"$dir — a hotter writer is live; back off or coordinate", last)
   }
 
-  /** a loser's two loud surfaces: the manifest rename refusal and the
-    * mode("error") data-dir collision (a racer wrote data/vN first) */
-  private def isCommitRace(e: Throwable): Boolean = {
-    val m = Option(e.getMessage).getOrElse("")
-    (e.isInstanceOf[IllegalStateException] && m.contains("concurrent writer")) ||
-      m.contains("already exists")
-  }
+  /** a lost race is EXACTLY a manifest-rename refusal (per-writer-unique
+    * data dirs removed the shared-dir collision surface); anything else —
+    * including unrelated "already exists" errors from the caller's own
+    * transform — propagates immediately instead of burning retries */
+  private def isCommitRace(e: Throwable): Boolean =
+    e.isInstanceOf[CommitConflictException]
 
   /** Partition-level change feed between two committed versions — the
     * incremental-consumption primitive: the scan is bounded by CHANGED
@@ -359,10 +374,15 @@ object Snapshots {
     * then data) keeps the invariant that an EXISTING manifest's files
     * always exist: a reader can lose the race only by holding a version
     * older than the retention window, and then fails loudly at the
-    * manifest check, never with half-read data. Metadata cost: ONE
-    * `_manifests` listing (so already-retired history is skipped for
-    * free — a repeat vacuum with a wider window is a no-op) plus one
-    * manifest read per KEPT version. Returns the dropped versions. */
+    * manifest check, never with half-read data. Data dirs numbered ABOVE
+    * the latest committed version are never touched — that is an
+    * in-flight writer whose commit may still succeed; dirs at or below it
+    * that no kept manifest references are either retired history or
+    * orphans of losers whose rename can no longer succeed, both safe.
+    * Metadata cost: ONE `_manifests` listing (so already-retired history
+    * is skipped for free — a repeat vacuum with a wider window is a
+    * no-op) plus one manifest read per KEPT version. Returns the dropped
+    * versions. */
   def vacuum(s: SparkSession, dir: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "vacuum keeps at least one version")
     val fs = fsOf(s, dir)
@@ -377,7 +397,21 @@ object Snapshots {
     val dataRoot = new Path(dir, "data")
     if (fs.exists(dataRoot)) {
       fs.listStatus(dataRoot).foreach { vd =>
-        if (vd.isDirectory) {
+        // NEVER touch a version dir numbered above the latest COMMITTED
+        // version: that is an IN-FLIGHT writer's data (parquet written,
+        // manifest rename pending) whose commit may legitimately succeed
+        // after this vacuum — deleting it would commit a version with
+        // missing files. Dirs at <= cur are safe: either referenced by a
+        // kept manifest (protected below), retired history, or a loser's
+        // orphan whose rename can no longer succeed (its version's
+        // manifest already exists).
+        val vNum = vd.getPath.getName match {
+          case n if n.startsWith("v") =>
+            val digits = n.stripPrefix("v").takeWhile(_.isDigit)
+            if (digits.nonEmpty) digits.toLong else Long.MaxValue
+          case _ => Long.MaxValue
+        }
+        if (vd.isDirectory && vNum <= cur) {
           fs.listStatus(vd.getPath).foreach { pd =>
             if (pd.isDirectory && !kept(pd.getPath.toString))
               fs.delete(pd.getPath, true)
@@ -425,7 +459,14 @@ object Snapshots {
         val fst = dataFiles(fs, new Path(e.path))
         e.copy(files = fst.length, bytes = fst.map(_.getLen).sum)
     }
-    val cands = stats.filter(_.files > maxFilesPerPart)
+    // CONVERGENCE: a partition already at its bin-pack fixpoint —
+    // ceil(bytes/target) files — is exempt even when that exceeds
+    // maxFilesPerPart, or a large partition would be re-selected and
+    // fully rewritten into the same layout on every nightly run forever
+    // (history churn, vacuum load, zero benefit)
+    val cands = stats.filter(e => e.files >
+      math.max(maxFilesPerPart.toLong,
+        (e.bytes + targetFileBytes - 1) / targetFileBytes))
     if (cands.isEmpty) return cur
     val dataSchema = schemaOpt.getOrElse(s.read.parquet(entries.head.path).schema)
     val binsOf = cands.map(e => e.value ->
@@ -461,7 +502,13 @@ object Snapshots {
           .repartition(col(partCol), col("__graft_bin"))
           .drop("__graft_bin", "__graft_bins", "__graft_bin_part")
       }
-    commitReplace(s, dir, packed, partCol)
+    // PINNED to the version the candidates were planned from: a racer
+    // landing between the plan and the rename must fail this commit
+    // loudly (rerun optimize against the new state), never have its
+    // update silently replaced by a compaction of older data — the same
+    // lost-update rule commitRetry documents
+    commitImpl(s, dir, packed, partCol, carryUntouched = true, Set.empty,
+      expectedPrev = Some(cur))
   }
 
   /** data files of one partition dir (excludes _SUCCESS/.hidden) */
@@ -512,10 +559,23 @@ object Snapshots {
               "silently turn NULL into that literal string — filter or " +
               "impute nulls before committing")
         }
-        val value = java.net.URLDecoder.decode(raw, "UTF-8")
-        require(!value.exists(c => c == '\t' || c == '\n'),
-          "Snapshots: a partition value contains a tab/newline, which " +
-            s"the line-oriented manifest cannot carry (dir name: $raw)")
+        // the EXACT inverse of the writer's escaping (%XX only) — NOT
+        // java.net.URLDecoder, which also rewrites literal '+' to a
+        // space the writer never escaped (silent value corruption and
+        // "a+b"/"a b" conflation)
+        val value = Bridge.unescapePathName(raw)
+        def refuse(why: String): Nothing = {
+          fs.delete(new Path(dataDir), true)
+          throw new IllegalArgumentException(
+            s"Snapshots: partition value cannot $why (dir name: $raw)")
+        }
+        if (value.exists(c => c == '\t' || c == '\n'))
+          refuse("contain a tab/newline — the line-oriented manifest " +
+            "cannot carry it")
+        // '#' would make the value's manifest line ambiguous with the
+        // first-line schema header
+        if (value.startsWith("#"))
+          refuse("start with '#' — reserved for the manifest header")
         // record the dir's file stats NOW — the dir is immutable, so
         // they are exact forever and replace commits carry them verbatim
         val fst = dataFiles(fs, st.getPath)
@@ -549,8 +609,16 @@ object Snapshots {
       }
     val entries = (carried ++ written).sortBy(_.value)
     require(entries.nonEmpty, "Snapshots: refusing to commit an empty table")
+    // the header is the READ schema for every file the version lists —
+    // carried files may hold nulls even when THIS commit's frame is
+    // non-nullable (nullability is deliberately outside the schema
+    // contract), so record it nullability-WIDENED: a false non-null
+    // guarantee would let the optimizer fold IsNull to false over real
+    // nulls, silently wrong results
+    val headerSchema =
+      StructType(dataSchema.fields.map(_.copy(nullable = true)))
     writeManifestAtomic(fs, manifestPath(dir, v),
-      (SchemaHeader + dataSchema.json) +: entries.map(_.line) mkString "\n")
+      (SchemaHeader + headerSchema.json) +: entries.map(_.line) mkString "\n")
     // best-effort advisory hint (see currentVersion) — never load-bearing
     try {
       val out = fs.create(hintPath(dir), true)

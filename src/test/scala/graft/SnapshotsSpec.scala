@@ -123,8 +123,16 @@ class SnapshotsSpec extends SparkSpec {
     val orphan = java.nio.file.Paths.get(s"$dir/data/v00000002_orphan/part=a")
     java.nio.file.Files.createDirectories(orphan)
     java.nio.file.Files.writeString(orphan.resolve("junk.parquet"), "loser")
+    // ...but an IN-FLIGHT writer's dir (version ABOVE the committed
+    // latest: parquet written, manifest rename pending) must survive the
+    // vacuum — its commit may legitimately succeed afterwards
+    val inflight = java.nio.file.Paths.get(s"$dir/data/v00000003_pending/part=a")
+    java.nio.file.Files.createDirectories(inflight)
+    java.nio.file.Files.writeString(inflight.resolve("f.parquet"), "pending")
     Snapshots.vacuum(spark, dir, keepLast = 2) // keeps v1+v2, drops nothing
     assert(!java.nio.file.Files.exists(orphan), "orphan dir must be vacuumed")
+    assert(java.nio.file.Files.exists(inflight),
+      "an in-flight writer's dir must never be vacuumed")
     // the winner's data is untouched and fully readable
     val latest = Snapshots.read(spark, dir, "part", v2)
       .select("part", "x").as[(String, Long)].collect()
@@ -144,7 +152,7 @@ class SnapshotsSpec extends SparkSpec {
     // Spark's OWN partitioned write cannot create such a dir on the local
     // FS — an environment limit, not a format one; the URL-encoding round
     // trip under test is byte-level and covers multi-byte the same way)
-    val hostile = Seq("a b", "x=y", "p/q", "50%", "a%20b", "-", "0")
+    val hostile = Seq("a b", "x=y", "p/q", "50%", "a%20b", "a+b", "-", "0")
     val rows = hostile.zipWithIndex.map { case (p, i) => (p, i.toLong) }
     val v1 = Snapshots.commit(spark, dir, rows.toDF("part", "x"), "part")
     val got = Snapshots.read(spark, dir, "part", v1)
@@ -168,6 +176,48 @@ class SnapshotsSpec extends SparkSpec {
         Seq((null: String, 1L), ("ok", 2L)).toDF("part", "x"), "part")
     }
     assert(e.getMessage.contains("NULL"), e.getMessage)
+    // '#'-leading values are refused: the manifest's first line is the
+    // schema header, and a silent drop (the old blanket '#' filter)
+    // would lose the partition on read AND let vacuum delete its dir
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, tempTable(),
+        Seq(("#tag", 1L)).toDF("part", "x"), "part")
+    }
+    assert(e2.getMessage.contains("#"), e2.getMessage)
+  }
+
+  test("the recorded read schema is nullability-widened over carried files") {
+    // v1's 'b' holds a real NULL; v2 rewrites only 'a' from a frame whose
+    // x is NON-nullable (legal — nullability is outside the schema
+    // contract). If v2's header recorded nullable=false, the optimizer
+    // would fold IsNull(x) to false over b's real nulls — silently wrong.
+    val dir = tempTable()
+    Snapshots.commit(spark, dir,
+      Seq(("a", java.lang.Long.valueOf(1L)),
+        ("b", null: java.lang.Long)).toDF("part", "x"), "part")
+    val v2 = Snapshots.commitReplace(spark, dir,
+      Seq(("a", 2L)).toDF("part", "x"), "part") // x non-nullable here
+    val rd = Snapshots.read(spark, dir, "part", v2)
+    assert(rd.schema("x").nullable, "read schema must stay nullable")
+    assert(rd.filter(col("x").isNull).count() == 1,
+      "the carried NULL must survive the non-nullable rewrite's header")
+  }
+
+  test("commitRetry propagates non-race failures immediately") {
+    // an unrelated error whose message merely contains "already exists"
+    // must NOT be classified as a lost race and recomputed `attempts`
+    // times — only the manifest CommitConflictException is a race
+    val dir = tempTable()
+    Snapshots.commit(spark, dir, Seq(("a", 1L)).toDF("part", "x"), "part")
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      Snapshots.commitRetry(spark, dir, "part") { _ =>
+        calls += 1
+        throw new RuntimeException("side output /tmp/x already exists")
+      }
+    }
+    assert(e.getMessage.contains("side output"), e.getMessage)
+    assert(calls == 1, s"non-race failure must not burn retries: $calls")
   }
 
   test("commitRetry re-reads and retries a lost race, pinned to the version it saw") {
@@ -341,6 +391,14 @@ class SnapshotsSpec extends SparkSpec {
     assert(ranges.map(_._3).sum == 200L)
     assert(Snapshots.read(spark, dir, "part", v2)
       .select("x").as[Long].collect().sorted.toSeq == (1L to 200L))
+    // CONVERGENCE: a partition already at its bin-pack fixpoint
+    // (files == ceil(bytes/target), even though that exceeds
+    // maxFilesPerPart) must be a NO-OP — not a fresh full rewrite every
+    // night. v2 holds 2 files; with a target of half v2's own bytes the
+    // fixpoint is exactly 2 files, so nothing qualifies.
+    val bytes2 = entryOf(v2)(3).toLong
+    assert(Snapshots.optimize(spark, dir, "part",
+      targetFileBytes = bytes2 / 2 + 1, clusterBy = Seq("x")) == v2)
   }
 
   test("commitReplace(replacedValues) drops an emptied partition instead of carrying it") {
