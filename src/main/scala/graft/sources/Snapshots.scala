@@ -189,6 +189,25 @@ object Snapshots {
       org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType]
   }
 
+  /** nullability widened RECURSIVELY (structs/arrays/maps included):
+    * used for both the recorded read schema and the schema-contract
+    * comparison, so nullability — top-level or nested — stays entirely
+    * outside the contract and a header can never carry a false non-null
+    * guarantee over carried files */
+  private def widen(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = widen(f.dataType), nullable = true)))
+      case ArrayType(e, _) => ArrayType(widen(e), containsNull = true)
+      case MapType(k, v, _) => MapType(widen(k), widen(v), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  private def widenStruct(st: StructType): StructType =
+    widen(st).asInstanceOf[StructType]
+
   /** tmp + atomic rename, REFUSING an existing target — the commit
     * point and the optimistic-concurrency guard in one operation. The
     * exists-precheck narrows (does not close — see invariant 3's local-
@@ -199,26 +218,56 @@ object Snapshots {
   /** the OCC loser's signal — a dedicated type so [[commitRetry]] never
     * mistakes an unrelated failure (any error whose message happens to
     * contain "already exists") for a lost race and masks it behind
-    * `attempts` full recomputes */
+    * `attempts` full recomputes. Also raised when a STALLED writer's
+    * rename targets a version number at or below the vacuum retention
+    * floor — without that check the rename would SUCCEED into the
+    * retired slot (vacuum deleted that manifest, so the exists-guard no
+    * longer refuses) and resurrect a version whose data files are gone. */
   final class CommitConflictException(msg: String)
       extends IllegalStateException(msg)
 
+  private def floorPath(dir: String): Path =
+    new Path(dir, "_manifests/_floor")
+
+  /** lowest LIVE version per the last vacuum (0 = nothing retired).
+    * Torn/missing reads degrade to 0 — the check is then skipped, which
+    * is the pre-floor behavior, never a new failure mode. */
+  private def retentionFloorAt(fs: FileSystem, fp: Path): Long =
+    try {
+      if (fs.exists(fp)) readSmall(fs, fp).trim.toLong else 0L
+    } catch { case _: Exception => 0L }
+
+  /** tmp + atomic rename, REFUSING an existing target or a vacuumed
+    * version number — the commit point, the optimistic-concurrency guard,
+    * and the resurrection guard in one place. RESIDUAL CAVEAT (the same
+    * family as invariant 3's): a writer that passes the floor check while
+    * a concurrent vacuum raises the floor can still land in the retired
+    * range — closing it needs a coordinating catalog; the practical rule
+    * real formats document is the same: keep retention windows long
+    * relative to the longest possible writer stall. (Package-visible so
+    * the spec can drive the conflict branch directly.) */
   private[graft] def writeManifestAtomic(fs: FileSystem, p: Path,
       content: String): Unit = {
     fs.mkdirs(p.getParent)
-    def conflict(): Nothing =
+    def conflict(why: String): Nothing =
       throw new CommitConflictException(
-        s"Snapshots: manifest $p already exists — a concurrent writer " +
-          "committed this version first; re-read the table and retry " +
+        s"Snapshots: manifest $p $why; re-read the table and retry " +
           "(optimistic concurrency)")
-    if (fs.exists(p)) conflict()
+    val vOfP = p.getName.stripPrefix("v").stripSuffix(".txt")
+    if (vOfP.nonEmpty && vOfP.forall(_.isDigit) &&
+        vOfP.toLong <= retentionFloorAt(fs, new Path(p.getParent, "_floor")))
+      conflict("targets a version at or below the vacuum retention " +
+        "floor — this writer stalled past the retention window")
+    if (fs.exists(p)) conflict("already exists — a concurrent writer " +
+      "committed this version first")
     val tmp = new Path(p.getParent, s".tmp_${p.getName}_${System.nanoTime()}")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
     val renamed = try fs.rename(tmp, p) catch { case _: Throwable => false }
     if (!renamed) {
       fs.delete(tmp, false)
-      conflict()
+      conflict("already exists — a concurrent writer committed this " +
+        "version first")
     }
   }
 
@@ -393,6 +442,18 @@ object Snapshots {
     val kept = existing.filter(_ >= oldest)
       .flatMap(v => readManifestFull(s, dir, v)._2).map(_.path).toSet
     val dropped = existing.filter(_ < oldest)
+    // raise the retention floor BEFORE any manifest disappears: once a
+    // manifest is deleted its version number must never be committable
+    // again (a stalled writer's rename into the freed slot would
+    // resurrect a version whose data this vacuum deletes below) —
+    // writeManifestAtomic refuses versions <= floor
+    if (dropped.nonEmpty) {
+      // monotone: a later vacuum with a WIDER window must not regress it
+      val floor = math.max(oldest - 1, retentionFloorAt(fs, floorPath(dir)))
+      val out = fs.create(floorPath(dir), true)
+      try out.write(floor.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
     dropped.foreach(v => fs.delete(manifestPath(dir, v), false))
     val dataRoot = new Path(dir, "data")
     if (fs.exists(dataRoot)) {
@@ -459,14 +520,21 @@ object Snapshots {
         val fst = dataFiles(fs, new Path(e.path))
         e.copy(files = fst.length, bytes = fst.map(_.getLen).sum)
     }
-    // CONVERGENCE: a partition already at its bin-pack fixpoint —
-    // ceil(bytes/target) files — is exempt even when that exceeds
-    // maxFilesPerPart, or a large partition would be re-selected and
-    // fully rewritten into the same layout on every nightly run forever
-    // (history churn, vacuum load, zero benefit)
-    val cands = stats.filter(e => e.files >
-      math.max(maxFilesPerPart.toLong,
-        (e.bytes + targetFileBytes - 1) / targetFileBytes))
+    // CONVERGENCE: a partition already at (or within one file of) its
+    // bin-pack fixpoint — ceil(bytes/target) files — is exempt even when
+    // that exceeds maxFilesPerPart, or a large partition would be
+    // re-selected and fully rewritten into the same layout on every
+    // nightly run forever (history churn, vacuum load, zero benefit).
+    // The +1 slack absorbs the clusterBy path's worst case: a
+    // partition's rows are one CONTIGUOUS block of the global range
+    // order (partCol leads the sort key), so range boundaries can
+    // straddle it into at most ideal+1 files — without the slack that
+    // straddle would re-qualify it forever.
+    val cands = stats.filter { e =>
+      val ideal = (e.bytes + targetFileBytes - 1) / targetFileBytes
+      e.files > math.max(maxFilesPerPart.toLong,
+        if (ideal > 1 || clusterBy.nonEmpty) ideal + 1 else ideal)
+    }
     if (cands.isEmpty) return cur
     val dataSchema = schemaOpt.getOrElse(s.read.parquet(entries.head.path).schema)
     val binsOf = cands.map(e => e.value ->
@@ -539,10 +607,11 @@ object Snapshots {
     // both writers' files into one dir and hand the rename winner a
     // corrupt version (why real formats name data files per task attempt).
     // The loser's orphan dir is unreferenced by every manifest and retired
-    // by the next vacuum. mode("error") stays as a belt against nonce
-    // collision; immutability (invariant 1) is per-dir as before.
-    val dataDir =
-      f"$dir/data/v$v%08d_${java.lang.Long.toHexString(System.nanoTime())}"
+    // by the next vacuum. The nonce is a UUID — collision-proof, so the
+    // mode("error") guard below is immutability belt only, never a race
+    // surface; immutability (invariant 1) is per-dir as before.
+    val dataDir = f"$dir/data/v$v%08d_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
     df.write.mode("error").partitionBy(partCol).parquet(dataDir)
     val written = fs.listStatus(new Path(dataDir)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
@@ -592,8 +661,13 @@ object Snapshots {
         // commit. Name+type equality; column order and nullability are
         // free (parquet resolves by name).
         if (stay.nonEmpty) prevSchema.foreach { ps =>
-          val a = ps.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
-          val b = dataSchema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+          // compare WIDENED types: nested nullability differences (an
+          // outer join making a struct field nullable, say) are not a
+          // schema change any more than top-level ones are
+          val a = widenStruct(ps).fields
+            .map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+          val b = widenStruct(dataSchema).fields
+            .map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
           if (a != b) {
             // the just-written (unreferenced) data dir must not survive a
             // refused commit — a retry would trip mode("error") on it
@@ -611,12 +685,11 @@ object Snapshots {
     require(entries.nonEmpty, "Snapshots: refusing to commit an empty table")
     // the header is the READ schema for every file the version lists —
     // carried files may hold nulls even when THIS commit's frame is
-    // non-nullable (nullability is deliberately outside the schema
-    // contract), so record it nullability-WIDENED: a false non-null
-    // guarantee would let the optimizer fold IsNull to false over real
-    // nulls, silently wrong results
-    val headerSchema =
-      StructType(dataSchema.fields.map(_.copy(nullable = true)))
+    // non-nullable (nullability, nested included, is deliberately
+    // outside the schema contract), so record it nullability-WIDENED
+    // recursively: a false non-null guarantee would let the optimizer
+    // fold IsNull to false over real nulls, silently wrong results
+    val headerSchema = widenStruct(dataSchema)
     writeManifestAtomic(fs, manifestPath(dir, v),
       (SchemaHeader + headerSchema.json) +: entries.map(_.line) mkString "\n")
     // best-effort advisory hint (see currentVersion) — never load-bearing

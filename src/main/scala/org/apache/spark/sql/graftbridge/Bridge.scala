@@ -50,6 +50,14 @@ object Bridge {
     }
   }
 
+  /** the exact inverse of the %XX escaping Spark's partitioned writer
+    * applies to partition directory names (java.net.URLDecoder is NOT:
+    * it also turns literal '+' into a space, which the writer never
+    * escaped — a silent value corruption for '+'-bearing partitions) */
+  def unescapePathName(name: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(name)
+
   /** ONE parquet scan planned from an explicit (partitionValue -> dataDir)
     * manifest — how a table format serves a snapshot's file list to Spark
     * without N per-partition plan nodes.
@@ -72,14 +80,6 @@ object Bridge {
     * `dataSchema` is the files' schema (partition column NOT included) and
     * is trusted as given — callers record it at commit time so a read
     * plans with ZERO footer reads. */
-  /** the exact inverse of the %XX escaping Spark's partitioned writer
-    * applies to partition directory names (java.net.URLDecoder is NOT:
-    * it also turns literal '+' into a space, which the writer never
-    * escaped — a silent value corruption for '+'-bearing partitions) */
-  def unescapePathName(name: String): String =
-    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      .unescapePathName(name)
-
   def manifestScan(s: SparkSession, entries: Seq[(String, String)],
       partCol: String, dataSchema: StructType): DataFrame = {
     val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -487,6 +487,17 @@ class SnapshotsSpec extends SparkSpec {
       .select("x").as[Long].collect().sameElements(Array(1L)))
     assert(Snapshots.read(spark, dir, "part", 301L)
       .select("x").as[Long].collect().sameElements(Array(2L)))
+    // RESURRECTION guard: a stalled writer whose rename targets a
+    // RETIRED version number (its manifest vacuumed away, so the
+    // exists-guard no longer refuses) must be rejected by the retention
+    // floor — otherwise it would commit a version whose data the vacuum
+    // deleted
+    val e2 = intercept[IllegalStateException] {
+      Snapshots.writeManifestAtomic(fs,
+        new org.apache.hadoop.fs.Path(dir, "_manifests/v00000042.txt"), m1)
+    }
+    assert(e2.getMessage.contains("retention floor"), e2.getMessage)
+    assert(Snapshots.currentVersion(spark, dir) == 301L)
   }
 
   test("randomized commit/replace/optimize/read/vacuum interleaving: every surviving version reads its recorded content") {
