@@ -495,10 +495,14 @@ object Snapshots {
     * an answer — the read-back of version N+1 equals version N row for
     * row, which q_layout_optimize pins under the oracle hash and
     * SnapshotsSpec pins as file-count-drops/content-hash-doesn't).
-    * `clusterBy` columns switch the rewrite to OPTIMIZE-CLUSTER-BY:
+    * `clusterBy` column NAMES switch the rewrite to OPTIMIZE-CLUSTER-BY:
     * range-partitioned + sorted output so every rewritten file carries a
     * narrow min/max range on the cluster key (zonemap/row-group pruning
-    * food; pass a [[graft.api.Graft.zorderKey]] column for 2-D). No-op
+    * food). For 2-D clustering, either list both columns (lexicographic —
+    * leading-column pruning) or materialize a
+    * [[graft.api.Graft.zorderKey]] as a stored column at write time and
+    * name it here (true Morton locality needs the key ON the table, as
+    * real formats' Z-ORDER implementations compute-and-keep it). No-op
     * (returns the current version, no commit) when nothing
     * qualifies. Candidate selection is METADATA-ONLY: per-partition file
     * counts and byte sizes were recorded in the manifest when each
