@@ -503,26 +503,47 @@ class SnapshotsSpec extends SparkSpec {
   test("randomized commit/replace/optimize/read/vacuum interleaving: every surviving version reads its recorded content") {
     // the format's whole contract under one seeded fuzz: after each op,
     // a randomly chosen SURVIVING version must read back exactly the
-    // content the driver-side model recorded for it at commit time
+    // content the driver-side model recorded for it at commit time — and
+    // after each commit/replace, diff(prev, new) must equal the model's
+    // path-identity semantics (the model carries a per-partition write
+    // STAMP: a replace keeps untouched partitions' stamps, so the model
+    // knows exactly which entries changed paths)
     val dir = tempTable()
     val rnd = new scala.util.Random(20260815L)
     val parts = Vector("a", "b", "c", "d", "e")
-    var expected = Map.empty[Long, Map[String, Seq[Long]]]
+    // version -> part -> (writeStamp, rows)
+    var expected = Map.empty[Long, Map[String, (Long, Seq[Long])]]
     var live = Vector.empty[Long]
     var counter = 0L
-    def freshRows(ps: Seq[String]): Map[String, Seq[Long]] =
+    var stamp = 0L
+    def freshRows(ps: Seq[String]): Map[String, (Long, Seq[Long])] =
       ps.map { p =>
-        p -> Seq.fill(1 + rnd.nextInt(3)) { counter += 1; counter }
+        stamp += 1
+        p -> (stamp, Seq.fill(1 + rnd.nextInt(3)) { counter += 1; counter })
       }.toMap
-    def toDf(m: Map[String, Seq[Long]]) =
-      m.toSeq.flatMap { case (p, xs) => xs.map((p, _)) }
+    def toDf(m: Map[String, (Long, Seq[Long])]) =
+      m.toSeq.flatMap { case (p, (_, xs)) => xs.map((p, _)) }
         .toDF("part", "x").repartition(2)
+    def checkDiff(a: Long, b: Long, step: Int): Unit = {
+      val (ma, mb) = (expected(a), expected(b))
+      val gotD = Snapshots.diff(spark, dir, "part", a, b)
+        .select("change", "part", "x").as[(String, String, Long)]
+        .collect().sorted.toSeq
+      val wantD = (
+        ma.toSeq.filter { case (p, (st, _)) => !mb.get(p).exists(_._1 == st) }
+          .flatMap { case (p, (_, xs)) => xs.map(("removed", p, _)) } ++
+        mb.toSeq.filter { case (p, (st, _)) => !ma.get(p).exists(_._1 == st) }
+          .flatMap { case (p, (_, xs)) => xs.map(("added", p, _)) }).sorted
+      assert(gotD == wantD, s"diff($a,$b) diverged at step $step")
+    }
     for (step <- 1 to 26) {
       rnd.nextInt(10) match {
         case r if r <= 3 || live.isEmpty =>
           val m = freshRows(rnd.shuffle(parts).take(1 + rnd.nextInt(parts.size)))
+          val prev = live.lastOption
           val v = Snapshots.commit(spark, dir, toDf(m), "part")
           expected += v -> m; live :+= v
+          prev.filter(expected.contains).foreach(checkDiff(_, v, step))
         case r if r <= 6 =>
           val touched = rnd.shuffle(parts).take(1 + rnd.nextInt(3))
           val emptied =
@@ -530,19 +551,35 @@ class SnapshotsSpec extends SparkSpec {
           val m = freshRows(touched.filterNot(emptied))
           val merged = (expected(live.last) -- touched) ++ m
           if (merged.nonEmpty) {
+            val prev = live.last
             val v = Snapshots.commitReplace(spark, dir, toDf(m), "part", emptied)
             expected += v -> merged; live :+= v
+            checkDiff(prev, v, step)
           }
         case r if r <= 7 && live.size >= 2 =>
           val keep = 1 + rnd.nextInt(3)
           val dropped = Snapshots.vacuum(spark, dir, keep)
           live = live.filterNot(dropped.contains)
           expected --= dropped
-        case 8 => // OPTIMIZE: content of the new version == previous latest
+        case 8 => // OPTIMIZE: content of the new version == previous latest,
+          // every rewritten partition gets a fresh stamp (path changed)
+          val prev = live.last
           val v = Snapshots.optimize(spark, dir, "part")
-          if (v != live.last) { // no-op when nothing is fragmented
-            expected += v -> expected(live.last)
+          if (v != prev) { // no-op when nothing is fragmented
+            // which partitions were rewritten is optimize's (stats-based)
+            // decision — recover it from the two manifests' paths, then
+            // hold diff to the SAME answer
+            def pathsOf(mv: Long) = manifestText(dir, mv).split("\n")
+              .filterNot(_.startsWith("#"))
+              .map { l => val f = l.split("\t"); (f(0), f(1)) }.toMap
+            val (pa, pb) = (pathsOf(prev), pathsOf(v))
+            val rewritten = pb.keySet.filter(p => pa.get(p) != pb.get(p))
+            expected += v -> expected(prev).map { case (p, (st, xs)) =>
+              if (rewritten(p)) { stamp += 1; p -> (stamp, xs) }
+              else p -> (st, xs)
+            }
             live :+= v
+            checkDiff(prev, v, step)
           }
         case _ => () // idle tick: the post-op read below still runs
       }
@@ -550,7 +587,7 @@ class SnapshotsSpec extends SparkSpec {
       val got = Snapshots.read(spark, dir, "part", v)
         .select("part", "x").as[(String, Long)].collect().sorted.toSeq
       val want = expected(v).toSeq
-        .flatMap { case (p, xs) => xs.map((p, _)) }.sorted
+        .flatMap { case (p, (_, xs)) => xs.map((p, _)) }.sorted
       assert(got == want, s"version $v diverged from its model at step $step")
     }
     assert(live.nonEmpty && expected.nonEmpty)
