@@ -527,6 +527,73 @@ FROM v2 GROUP BY event_type
       at(v1, "pre_backfill").unionByName(at(v2, "post_backfill"))
     },
 
+    // The snapshot format's SQL surface: the SAME two version reads as
+    // q_layout_timetravel (whose oracle this shares verbatim), but every
+    // READ is plain SQL text over `USING graft_snapshot` temp views with
+    // VERSION AS OF pins (sources/SnapshotSource.scala) — what makes the
+    // format consumable by a SQL-only user like every other q_sql_*
+    // capability. The provider hands the planner the SAME manifest-served
+    // HadoopFsRelation the Scala API plans (one FileSourceScan per
+    // version, partition pruning, per-file bounds skipping — PlanShapeSpec
+    // pins the SQL path's plan shape too), so the SQL surface costs
+    // nothing over the native one.
+    QueryDef(
+      "q_layout_sql_timetravel",
+      """WITH g AS (
+  SELECT event_type, user_id % 100 AS bucket, count(*)::BIGINT AS n_events,
+    sum(CAST(value AS DECIMAL(38,10))) AS sv
+  FROM events GROUP BY 1, 2),
+gc AS (
+  SELECT event_type, user_id % 100 AS bucket, count(*)::BIGINT AS n_events,
+    sum(CAST(value AS DECIMAL(38,10))) AS sv
+  FROM events WHERE event_type = 'click' AND value >= 1.0 GROUP BY 1, 2),
+v2 AS (SELECT * FROM g WHERE event_type <> 'click' UNION ALL SELECT * FROM gc)
+SELECT 'pre_backfill' AS snapshot, event_type, count(*)::BIGINT AS n_buckets,
+  sum(n_events)::BIGINT AS n_events,
+  CAST(round(sum(sv), 4) AS DOUBLE) AS total_value
+FROM g GROUP BY event_type
+UNION ALL
+SELECT 'post_backfill' AS snapshot, event_type, count(*)::BIGINT AS n_buckets,
+  sum(n_events)::BIGINT AS n_events,
+  CAST(round(sum(sv), 4) AS DOUBLE) AS total_value
+FROM v2 GROUP BY event_type
+""".stripMargin) { (s, d) =>
+      import graft.sources.Snapshots
+      val dir = "/tmp/graft_snap_sql_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      def agg(src: org.apache.spark.sql.DataFrame) = src
+        .groupBy(col("event_type"), (col("user_id") % 100).as("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(graft.Exact.dec(col("value"))).as("sv"))
+      val ev = events(s, d)
+      // the WRITE path is the Scala API (SQL DML is out of the format's
+      // scope); both READS below are pure SQL text
+      val v1 = Snapshots.commit(s, dir, agg(ev), "event_type")
+      val v2 = Snapshots.commitReplace(s, dir,
+        agg(ev.filter(col("event_type") === "click" && col("value") >= 1.0)),
+        "event_type")
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_snap_pre
+        |USING graft_snapshot
+        |OPTIONS (path '$dir', partCol 'event_type', versionAsOf '$v1')
+        |""".stripMargin)
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_snap_post
+        |USING graft_snapshot
+        |OPTIONS (path '$dir', partCol 'event_type', versionAsOf '$v2')
+        |""".stripMargin)
+      s.sql("""SELECT 'pre_backfill' AS snapshot, event_type,
+        |  count(*) AS n_buckets, sum(n_events) AS n_events,
+        |  CAST(round(sum(sv), 4) AS DOUBLE) AS total_value
+        |FROM graft_snap_pre GROUP BY event_type
+        |UNION ALL
+        |SELECT 'post_backfill' AS snapshot, event_type,
+        |  count(*) AS n_buckets, sum(n_events) AS n_events,
+        |  CAST(round(sum(sv), 4) AS DOUBLE) AS total_value
+        |FROM graft_snap_post GROUP BY event_type
+        |""".stripMargin)
+    },
+
     // Incremental consumption of the versioned table — the change-feed
     // rung: Snapshots.diff compares two manifests by METADATA alone
     // (carry-by-reference lists the SAME immutable path for an untouched

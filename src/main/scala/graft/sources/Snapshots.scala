@@ -2,8 +2,8 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.graftbridge.{Bridge, ManifestFile}
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Minimal snapshot/time-travel table format — the atomic-commit rung
@@ -18,17 +18,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     referenced by no manifest and retired by the next vacuum)
   *   _manifests/v%08d.txt                immutable manifest (format below)
   *   _manifests/_latest_hint             ADVISORY latest-version hint
+  *   _manifests/_floor                   vacuum retention floor (atomic-replace)
   *
-  * Manifest format: an optional header line `#schema<TAB><json>` recording
-  * the data files' schema (partition column excluded), then one
-  * `value<TAB>path<TAB>files<TAB>bytes` line per partition — the file
-  * stats are recorded when the immutable dir is written and carried
-  * verbatim by replace commits (the Delta add-action shape). The header
-  * plus stats make three things O(small manifest read): a read plans its
-  * scan with ZERO parquet-footer reads, a [[commitReplace]] that would
-  * mix file schemas within one version fails loudly AT COMMIT TIME
-  * instead of at some later read, and [[optimize]] picks its compaction
-  * candidates from metadata alone.
+  * Manifest format — ONE LINE PER DATA FILE (the Delta add-action grain,
+  * promoted from per-partition in r15 so rewrites can target files):
+  *   #schema<TAB><json>          the data files' READ schema (partCol excluded)
+  *   #meta<TAB>ts=<epochMillis>  commit wall-clock (timestamp time travel)
+  *   value<TAB>filePath<TAB>bytes<TAB>dataVersion<TAB>stats
+  * `bytes` is the file's exact length recorded when the immutable file was
+  * written — never re-listed. `dataVersion` is the version whose commit
+  * last CHANGED this file's rows: commit/replace/merge stamp the new
+  * version; [[optimize]] (content-preserving compaction) CARRIES the
+  * replaced files' stamp — the `dataChange=false` add-action real formats
+  * record, which lets [[diff]] suppress no-op compactions from the change
+  * feed by metadata alone. `stats` is "-" or `col=lo,hi;...` per-file
+  * column bounds (percent-encoded; see [[StatCodec]]) — the zonemap/file-
+  * skipping layer: the planner's data filters prune FILES against these
+  * bounds before any byte is read ([[ManifestFile]]), and [[merge]] picks
+  * its rewrite set from them. Header + per-file stats make everything
+  * O(small manifest read): a read plans with ZERO parquet-footer reads
+  * and ZERO directory listings, a commit that would mix file schemas
+  * fails loudly AT COMMIT TIME, and [[optimize]]/[[merge]] pick their
+  * rewrite candidates from metadata alone.
   *
   * The invariants that make it a table format rather than a directory
   * convention:
@@ -55,25 +66,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      target-exists check, which the precheck here narrows but cannot
   *      close. Exactly the caveat real formats document.
   *
-  * SCHEMA CONTRACT: the table's schema is fixed for its lifetime, and the
-  * partition column is a StringType (asserted at commit — partition values
-  * travel through directory names and manifest lines as strings, so a
-  * non-string partition column would silently come back re-typed).
-  * [[commitReplace]] carries older data dirs by reference, so a replace
-  * commit that changes the data schema (names or types; column order and
-  * nullability are free — parquet resolves by name) is REFUSED at commit
-  * against the previous manifest's schema header. Schema evolution
-  * requires a full-snapshot [[commit]] (every entry rewritten under the
-  * new schema); a production format records schema-per-manifest to relax
-  * this, which this demo deliberately omits.
+  * SCHEMA CONTRACT (evolution supported since r15): the partition column
+  * is a StringType for the table's lifetime (asserted at commit —
+  * partition values travel through directory names and manifest lines as
+  * strings, so a non-string partition column would silently come back
+  * re-typed). Each manifest records ITS version's read schema, so a
+  * time-travel read serves the schema that version had. A commit that
+  * carries older files ([[commitReplace]], [[merge]], [[optimize]]) may
+  * ADD columns — carried files lack them and read back as NULL (the
+  * parquet missing-column semantics, the add-column evolution every real
+  * format supports) — but a TYPE CHANGE or COLUMN DROP against carried
+  * files is REFUSED at commit (one version must never mix conflicting
+  * file schemas); those require a full-snapshot [[commit]], which may
+  * reshape the schema freely (every file rewritten under it). Column
+  * order and nullability (nested included) are outside the contract —
+  * parquet resolves by name, and headers are recorded nullability-widened
+  * so a carried file's real NULLs can never be folded away.
   *
-  * [[commitReplace]] is the scale story: a partition-level rewrite
-  * re-lists UNTOUCHED partitions' existing data dirs in the new
-  * manifest instead of rewriting them — the rewrite cost is one
-  * partition, the history cost is one small manifest, and old versions
-  * keep reading the same immutable files. [[optimize]] (compaction-as-
-  * version) and a MERGE fold both land through the same two commit
-  * shapes, so every maintenance operation is an atomic version.
+  * [[commitReplace]] is the partition-grain scale story: a rewrite
+  * re-lists UNTOUCHED partitions' existing files in the new manifest
+  * instead of rewriting them. [[merge]] is the FILE-grain one: the
+  * rewrite set is the files whose recorded key bounds may hold a delta
+  * key — untouched files of the SAME partition carry by reference, so a
+  * MERGE touching 1% of a partition's rows rewrites ~1% of its files
+  * (given key-clustered files; see [[optimize]]'s clusterBy), not the
+  * partition. [[optimize]] (compaction-as-version) lands through the
+  * same commit shape, so every maintenance operation is an atomic
+  * version and old versions keep reading the same immutable files.
   *
   * METADATA COST BOUNDS (the long-history story — a streaming sink
   * commits one version per micro-batch): [[currentVersion]] is O(1) FS
@@ -83,6 +102,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * never load-bearing, like a real format's `_last_checkpoint`.
   * [[vacuum]] does ONE `_manifests` listing plus one small manifest read
   * per KEPT version — never an exists-probe per historical version.
+  * [[versionAt]] (timestamp resolution) reads each surviving manifest's
+  * one-line meta header — O(live versions) small reads, the shape real
+  * formats bound with checkpoint files once histories reach 10^5.
   */
 object Snapshots {
 
@@ -141,52 +163,163 @@ object Snapshots {
     hinted.getOrElse(listVersions(fs, dir).lastOption.getOrElse(0L))
   }
 
-  private val SchemaHeader = "#schema\t"
-
-  /** One manifest entry: partition value, immutable data dir, and the
-    * dir's file stats RECORDED AT WRITE TIME (data dirs never change, so
-    * the stats are exact forever and carried verbatim through replace
-    * commits — the Delta add-action shape that lets [[optimize]] pick its
-    * candidates from metadata alone, no per-partition listings).
-    * files = -1 marks a legacy entry with unrecorded stats. */
-  private[graft] case class Entry(value: String, path: String,
-      files: Int, bytes: Long) {
-    def line: String = s"$value\t$path\t$files\t$bytes"
+  /** Resolve a wall-clock timestamp to a version: the LATEST version
+    * whose recorded commit time is <= `tsMillis` (Delta's
+    * `timestampAsOf` rule). Commit times come from each manifest's
+    * `#meta ts=` header, so resolution is O(live versions) one-line
+    * reads; versions retired by [[vacuum]] are not resolvable (same as
+    * any read below the retention window). Fails loudly when every
+    * surviving version is newer than the asked time. */
+  def versionAt(s: SparkSession, dir: String, tsMillis: Long): Long = {
+    val fs = fsOf(s, dir)
+    val vs = listVersions(fs, dir)
+    require(vs.nonEmpty, s"Snapshots: no committed version to read at $dir")
+    val at = vs.filter(v => readManifest(s, dir, v).ts.exists(_ <= tsMillis))
+    require(at.nonEmpty,
+      s"Snapshots: no version committed at or before ts=$tsMillis at $dir " +
+        s"(earliest surviving version is ${vs.min})")
+    at.max
   }
 
-  /** (recorded data schema if the manifest has a header, entries) */
-  private def readManifestFull(s: SparkSession, dir: String,
-      v: Long): (Option[StructType], Seq[Entry]) = {
+  private val SchemaHeader = "#schema\t"
+  private val MetaHeader = "#meta\t"
+
+  /** Per-file column bounds travel the line-oriented manifest as
+    * `col=lo,hi;...` cells with every token percent-encoded
+    * (URLEncoder/URLDecoder as a self-consistent pair — the encoder's
+    * output never contains the `= , ;` cell delimiters or whitespace, so
+    * arbitrary string bounds round-trip exactly). Values serialize to a
+    * canonical per-type string that round-trips bit-exactly: numerics via
+    * toString, decimals via toPlainString, date/timestamp via their
+    * CATALYST integer forms (days / micros) — so deserialization lands
+    * directly on the internal representations the planner's interpreted
+    * orderings compare ([[ManifestFile]]'s contract). Unsupported types
+    * simply record no bounds — skipping is always conservative. */
+  private[graft] object StatCodec {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    import org.apache.spark.unsafe.types.UTF8String
+
+    def supported(dt: DataType): Boolean = dt match {
+      case StringType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | BooleanType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+
+    /** external (Row-collected) value -> canonical string; None if the
+      * type (or the runtime class the session's datetime API produced)
+      * is not serializable here */
+    def external(dt: DataType, v: Any): Option[String] = (dt, v) match {
+      case (_, null) => None
+      case (StringType, s: String) => Some(s)
+      case (ByteType | ShortType | IntegerType | LongType | FloatType |
+            DoubleType | BooleanType, x) => Some(x.toString)
+      case (_: DecimalType, d: java.math.BigDecimal) => Some(d.toPlainString)
+      case (DateType, d: java.sql.Date) =>
+        Some(DateTimeUtils.fromJavaDate(d).toString)
+      case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay.toString)
+      case (TimestampType, t: java.sql.Timestamp) =>
+        Some(DateTimeUtils.fromJavaTimestamp(t).toString)
+      case (TimestampType, i: java.time.Instant) =>
+        Some(DateTimeUtils.instantToMicros(i).toString)
+      case (TimestampNTZType, t: java.time.LocalDateTime) =>
+        Some(DateTimeUtils.localDateTimeToMicros(t).toString)
+      case _ => None
+    }
+
+    /** canonical string -> CATALYST internal value (UTF8String / days /
+      * micros / Decimal), the representation interpreted orderings and
+      * pushed-filter literals use */
+    def internal(dt: DataType, s: String): Any = dt match {
+      case StringType => UTF8String.fromString(s)
+      case ByteType => s.toByte
+      case ShortType => s.toShort
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case FloatType => s.toFloat
+      case DoubleType => s.toDouble
+      case BooleanType => s.toBoolean
+      case DateType => s.toInt
+      case TimestampType | TimestampNTZType => s.toLong
+      case d: DecimalType =>
+        org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(s), d.precision, d.scale)
+      case other => throw new IllegalStateException(
+        s"StatCodec: unsupported stats type ${other.simpleString}")
+    }
+
+    private def enc(s: String): String =
+      java.net.URLEncoder.encode(s, "UTF-8")
+    private def dec(s: String): String =
+      java.net.URLDecoder.decode(s, "UTF-8")
+
+    def cell(stats: Map[String, (String, String)]): String =
+      if (stats.isEmpty) "-"
+      else stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s"${enc(c)}=${enc(lo)},${enc(hi)}"
+      }.mkString(";")
+
+    def parse(cell: String): Map[String, (String, String)] =
+      if (cell == "-" || cell.isEmpty) Map.empty
+      else cell.split(";", -1).map { kv =>
+        val eq = kv.indexOf('=')
+        val comma = kv.indexOf(',', eq + 1)
+        require(eq > 0 && comma > eq,
+          s"Snapshots: malformed stats cell token: $kv")
+        dec(kv.substring(0, eq)) ->
+          (dec(kv.substring(eq + 1, comma)), dec(kv.substring(comma + 1)))
+      }.toMap
+  }
+
+  /** One manifest entry = ONE immutable data file: partition value,
+    * absolute path, exact byte length, the version that last changed its
+    * ROWS (`dataVersion` — compaction carries it, see [[diff]]), and its
+    * per-column [lo, hi] bounds serialized by [[StatCodec]]. All of it is
+    * recorded when the file is written (files never change, so the stats
+    * are exact forever) and carried VERBATIM through replace commits —
+    * the Delta add-action shape that lets [[optimize]]/[[merge]] pick
+    * their rewrite sets from metadata alone. */
+  private[graft] case class Entry(value: String, path: String, bytes: Long,
+      dataVersion: Long, stats: Map[String, (String, String)]) {
+    def line: String =
+      s"$value\t$path\t$bytes\t$dataVersion\t${StatCodec.cell(stats)}"
+  }
+
+  /** one parsed manifest: recorded read schema, commit time, file entries */
+  private[graft] case class Manifest(schema: Option[StructType],
+      ts: Option[Long], entries: Seq[Entry])
+
+  private[graft] def readManifest(s: SparkSession, dir: String,
+      v: Long): Manifest = {
     val fs = fsOf(s, dir)
     val p = manifestPath(dir, v)
     require(fs.exists(p), s"Snapshots: version $v does not exist at $dir")
     val lines = readSmall(fs, p).split("\n").toSeq.filter(_.nonEmpty)
-    // the header is the FIRST line only; every later line is an entry no
-    // matter what it starts with (a blanket '#'-prefix filter would
-    // silently DROP a partition whose value begins with '#' — missing
-    // rows on read and, worse, vacuum deleting its still-referenced dir;
-    // commit refuses '#'-leading values so line 0 is unambiguous)
-    val (headerOpt, entryLines) = lines match {
-      case h +: rest if h.startsWith(SchemaHeader) => (Some(h), rest)
-      case all => (None, all)
+    // headers are a PREFIX of '#'-leading lines; entries never start with
+    // '#' (commit refuses '#'-leading partition values precisely so this
+    // split is unambiguous — a blanket '#' filter over ALL lines would
+    // silently DROP such a partition: missing rows on read and, worse,
+    // vacuum deleting its still-referenced files). Unknown '#' headers
+    // are skipped for forward compatibility.
+    val (headers, entryLines) = lines.span(_.startsWith("#"))
+    val schema = headers.find(_.startsWith(SchemaHeader))
+      .map(h => DataType.fromJson(h.stripPrefix(SchemaHeader))
+        .asInstanceOf[StructType])
+    val ts = headers.find(_.startsWith(MetaHeader)).flatMap { h =>
+      h.stripPrefix(MetaHeader).split("\\s+").collectFirst {
+        case kv if kv.startsWith("ts=") => kv.stripPrefix("ts=").toLong
+      }
     }
-    val schema = headerOpt
-      .map(h => DataTypeUtilsShim.fromJson(h.stripPrefix(SchemaHeader)))
     val entries = entryLines.map { line =>
       line.split("\t", -1) match {
-        case Array(value, path, files, bytes) =>
-          Entry(value, path, files.toInt, bytes.toLong)
-        case Array(value, path) => Entry(value, path, -1, -1L) // legacy
+        case Array(value, path, bytes, dv, stats) =>
+          Entry(value, path, bytes.toLong, dv.toLong, StatCodec.parse(stats))
         case _ => throw new IllegalStateException(
           s"Snapshots: malformed manifest line in $p: $line")
       }
     }
-    (schema, entries)
-  }
-
-  private object DataTypeUtilsShim {
-    def fromJson(json: String): StructType =
-      org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType]
+    Manifest(schema, ts, entries)
   }
 
   /** nullability widened RECURSIVELY (structs/arrays/maps included):
@@ -194,27 +327,17 @@ object Snapshots {
     * comparison, so nullability — top-level or nested — stays entirely
     * outside the contract and a header can never carry a false non-null
     * guarantee over carried files */
-  private def widen(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case st: StructType => StructType(st.fields.map(f =>
-        f.copy(dataType = widen(f.dataType), nullable = true)))
-      case ArrayType(e, _) => ArrayType(widen(e), containsNull = true)
-      case MapType(k, v, _) => MapType(widen(k), widen(v), valueContainsNull = true)
-      case other => other
-    }
+  private def widen(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = widen(f.dataType), nullable = true)))
+    case ArrayType(e, _) => ArrayType(widen(e), containsNull = true)
+    case MapType(k, v, _) => MapType(widen(k), widen(v), valueContainsNull = true)
+    case other => other
   }
 
   private def widenStruct(st: StructType): StructType =
     widen(st).asInstanceOf[StructType]
 
-  /** tmp + atomic rename, REFUSING an existing target — the commit
-    * point and the optimistic-concurrency guard in one operation. The
-    * exists-precheck narrows (does not close — see invariant 3's local-
-    * filesystem caveat) the window on filesystems whose rename replaces.
-    * (Package-visible so the spec can drive the conflict branch
-    * directly: at the API level the race window is between a writer's
-    * currentVersion read and its rename, which a test can't interleave.) */
   /** the OCC loser's signal — a dedicated type so [[commitRetry]] never
     * mistakes an unrelated failure (any error whose message happens to
     * contain "already exists") for a lost race and masks it behind
@@ -230,12 +353,36 @@ object Snapshots {
     new Path(dir, "_manifests/_floor")
 
   /** lowest LIVE version per the last vacuum (0 = nothing retired).
-    * Torn/missing reads degrade to 0 — the check is then skipped, which
-    * is the pre-floor behavior, never a new failure mode. */
+    * Degrades to 0 ONLY on the defects a missing/torn/garbled floor file
+    * produces (not found, truncated, non-numeric) — the check is then
+    * skipped, which is the pre-floor behavior, never a new failure mode.
+    * Any OTHER IO error (a transient FS fault) PROPAGATES so the commit
+    * fails loudly instead of silently running without the resurrection
+    * guard at exactly the moment it matters. */
   private def retentionFloorAt(fs: FileSystem, fp: Path): Long =
     try {
       if (fs.exists(fp)) readSmall(fs, fp).trim.toLong else 0L
-    } catch { case _: Exception => 0L }
+    } catch {
+      case _: java.io.FileNotFoundException => 0L
+      case _: java.io.EOFException => 0L
+      case _: NumberFormatException => 0L
+    }
+
+  /** the floor is REPLACED atomically (tmp + FileContext rename with
+    * Options.Rename.OVERWRITE — the one Hadoop API with atomic-replace
+    * semantics on HDFS and local FS), so a reader concurrent with a
+    * vacuum only ever observes the old complete value or the new one,
+    * never a torn write during exactly the window the floor protects */
+  private def writeFloorAtomic(s: SparkSession, fs: FileSystem, fp: Path,
+      floor: Long): Unit = {
+    val tmp = new Path(fp.getParent, s".tmp_floor_${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(floor.toString.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fp.toUri, s.sparkContext.hadoopConfiguration)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(fp),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
 
   /** tmp + atomic rename, REFUSING an existing target or a vacuumed
     * version number — the commit point, the optimistic-concurrency guard,
@@ -271,55 +418,115 @@ object Snapshots {
     }
   }
 
+  /** manifest entries -> the [[ManifestFile]]s the planner's file index
+    * serves: stats deserialized to CATALYST internal values against the
+    * version's recorded schema (a stats column absent from the schema, an
+    * unsupported type, or an unparseable token degrades to "no bounds" —
+    * file skipping is always conservative, never a correctness input) */
+  private def indexFiles(schema: StructType,
+      entries: Seq[Entry]): Seq[ManifestFile] = {
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    entries.map { e =>
+      val st = e.stats.flatMap { case (c, (lo, hi)) =>
+        byName.get(c).filter(StatCodec.supported).flatMap { dt =>
+          try Some(c -> (Option(StatCodec.internal(dt, lo)),
+            Option(StatCodec.internal(dt, hi))))
+          catch { case _: Exception => None }
+        }
+      }
+      ManifestFile(e.value, e.path, e.bytes, st)
+    }
+  }
+
+  /** plan a scan over exactly `entries` (batch or, for the change-feed
+    * source, streaming-tagged) — the manifest IS the file index: zero
+    * directory listings, zero footer reads, partition pruning on
+    * `partCol`, per-file skipping on the recorded column bounds */
+  private[graft] def scanEntries(s: SparkSession, partCol: String,
+      schema: StructType, entries: Seq[Entry],
+      streaming: Boolean = false): DataFrame = {
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    if (streaming)
+      Bridge.manifestStreamScan(s, partCol, indexFiles(schema, entries),
+        types, schema)
+    else
+      Bridge.manifestFileScan(s, partCol, indexFiles(schema, entries),
+        types, schema)
+  }
+
+  private def schemaOf(s: SparkSession, m: Manifest): StructType =
+    // header-less manifests (none are written anymore): one footer read
+    m.schema.getOrElse(s.read.parquet(m.entries.head.path).schema)
+
+  /** the version's scan as a BaseRelation — what the SQL surface
+    * ([[SnapshotSource]], `USING graft_snapshot`) hands the planner, the
+    * SAME manifest-served HadoopFsRelation [[read]] wraps, so SQL and
+    * Scala reads plan identically (one FileSourceScan, partition pruning,
+    * per-file bounds skipping) */
+  private[graft] def relationAt(s: SparkSession, dir: String,
+      partCol: String, version: Long)
+      : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
+    require(version >= 1, s"Snapshots: no committed version to read at $dir")
+    val m = readManifest(s, dir, version)
+    val schema = schemaOf(s, m)
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    Bridge.manifestRelation(s, partCol, indexFiles(schema, m.entries),
+      types, schema)
+  }
+
   /** Read the table at `version` (-1 = latest) as ONE parquet scan: the
-    * manifest IS the scan plan — its (value, dir) entries are served to
-    * Spark as a supplied partition spec ([[Bridge.manifestScan]]), so the
-    * plan holds a single FileSourceScan node no matter how many
-    * partitions the manifest lists, a filter on `partCol` prunes entries
-    * before any data file is opened, and the recorded schema header means
-    * planning reads no parquet footers. Concurrent commits (which only
-    * ADD dirs and manifests) cannot perturb a pinned reader. */
+    * manifest IS the scan plan — its per-file entries are served to Spark
+    * as a log-backed [[org.apache.spark.sql.graftbridge.ManifestFileIndex]],
+    * so the plan holds a single FileSourceScan node no matter how many
+    * partitions or files the manifest lists, planning performs ZERO
+    * filesystem listings and ZERO footer reads (paths, sizes, and schema
+    * all come from the manifest), a filter on `partCol` prunes entries
+    * before any data file is opened, and a filter on a stats column
+    * skips FILES whose recorded [lo, hi] bounds prove them irrelevant
+    * (what makes OPTIMIZE CLUSTER-BY pay). Concurrent commits (which
+    * only ADD files and manifests) cannot perturb a pinned reader. */
   def read(s: SparkSession, dir: String, partCol: String,
       version: Long = -1L): DataFrame = {
     val v = if (version < 0) currentVersion(s, dir) else version
     require(v >= 1, s"Snapshots: no committed version to read at $dir")
-    val (schemaOpt, entries) = readManifestFull(s, dir, v)
-    // header-less manifests (none are written anymore): one footer read
-    val dataSchema = schemaOpt.getOrElse(s.read.parquet(entries.head.path).schema)
-    Bridge.manifestScan(s, entries.map(e => (e.value, e.path)), partCol,
-      dataSchema)
+    val m = readManifest(s, dir, v)
+    scanEntries(s, partCol, schemaOf(s, m), m.entries)
   }
+
+  /** [[read]] at the version [[versionAt]] resolves for `tsMillis` —
+    * Delta's `timestampAsOf`. */
+  def readAsOf(s: SparkSession, dir: String, partCol: String,
+      tsMillis: Long): DataFrame =
+    read(s, dir, partCol, versionAt(s, dir, tsMillis))
 
   /** [[read]] restricted to `values` — MANIFEST-level partition pruning:
     * excluded entries never reach the file index, so they cost no
-    * LISTING either (a `.filter(partCol)` on [[read]] prunes splits after
-    * the index listed every entry's dir; this prunes before — the
-    * log-level predicate real formats apply, and the difference between
-    * O(selected) and O(table) metadata calls at 10^4 partitions).
-    * Values absent from the manifest are simply empty, like any
-    * partition filter. */
+    * planner work either (a `.filter(partCol)` on [[read]] prunes at the
+    * index; this prunes before the index exists — the log-level
+    * predicate real formats apply, and the difference between
+    * O(selected) and O(table) manifest entries in the plan at 10^4
+    * partitions). Values absent from the manifest are simply empty,
+    * like any partition filter. */
   def readPartitions(s: SparkSession, dir: String, partCol: String,
       values: Set[String], version: Long = -1L): DataFrame = {
     require(values.nonEmpty, "Snapshots: readPartitions needs >= 1 value")
     val v = if (version < 0) currentVersion(s, dir) else version
     require(v >= 1, s"Snapshots: no committed version to read at $dir")
-    val (schemaOpt, entries) = readManifestFull(s, dir, v)
-    val dataSchema = schemaOpt.getOrElse(s.read.parquet(entries.head.path).schema)
-    val picked = entries.filter(e => values(e.value))
-    if (picked.isEmpty)
-      Bridge.manifestScan(s, entries.headOption.toSeq.map(e => (e.value, e.path)),
-        partCol, dataSchema).limit(0)
-    else
-      Bridge.manifestScan(s, picked.map(e => (e.value, e.path)), partCol,
-        dataSchema)
+    val m = readManifest(s, dir, v)
+    scanEntries(s, partCol, schemaOf(s, m), m.entries.filter(e => values(e.value)))
   }
 
   /** Full-snapshot commit: write `df` partitioned by `partCol` into a
-    * fresh immutable data dir, manifest every written partition,
-    * commit via the atomic manifest rename. Returns the new version. */
-  def commit(s: SparkSession, dir: String, df: DataFrame,
-      partCol: String): Long =
-    commitImpl(s, dir, df, partCol, carryUntouched = false, Set.empty, None)
+    * fresh immutable data dir, manifest every written file, commit via
+    * the atomic manifest rename. `statsColumns` records per-file
+    * [min, max] bounds for those columns in the manifest (one extra
+    * aggregation pass over the JUST-WRITTEN files only — the price of
+    * file skipping and file-grain [[merge]]; pass the merge key and the
+    * range-query columns). Returns the new version. */
+  def commit(s: SparkSession, dir: String, df: DataFrame, partCol: String,
+      statsColumns: Seq[String] = Nil): Long =
+    commitImpl(s, dir, df, partCol, carryUntouched = false, Set.empty, None,
+      statsColumns)
 
   /** Optimistic-concurrency retry loop — the user-facing half of
     * invariant 3 (the conflict error says "re-read the table and retry";
@@ -331,7 +538,13 @@ object Snapshots {
     * against the racer's state instead of silently committing a state
     * that never saw it (the lost-update anomaly a naive
     * read-then-commit loop has). `prev` = 0 means the table is empty.
-    * Throws after `attempts` consecutive lost races. */
+    * Two signals are retryable: the manifest-rename conflict, and a
+    * STALENESS failure inside `make` — on a hot table, racers can land
+    * enough commits that a concurrent vacuum retires `prev` between this
+    * loop's currentVersion read and `make`'s manifest read; that read
+    * fails "version N does not exist", which is the same lost race one
+    * step earlier, so the loop re-resolves and retries rather than
+    * escaping. Throws after `attempts` consecutive lost races. */
   def commitRetry(s: SparkSession, dir: String, partCol: String,
       attempts: Int = 5, replace: Boolean = false,
       replacedValues: Set[String] = Set.empty)(
@@ -353,80 +566,173 @@ object Snapshots {
         s"$dir — a hotter writer is live; back off or coordinate", last)
   }
 
-  /** a lost race is EXACTLY a manifest-rename refusal (per-writer-unique
-    * data dirs removed the shared-dir collision surface); anything else —
-    * including unrelated "already exists" errors from the caller's own
-    * transform — propagates immediately instead of burning retries */
+  /** a lost race is EXACTLY a manifest-rename refusal, or the staleness
+    * signal of reading a version a concurrent vacuum just retired
+    * (per-writer-unique data dirs removed every other collision
+    * surface); anything else — including unrelated "already exists"
+    * errors from the caller's own transform — propagates immediately
+    * instead of burning retries */
   private def isCommitRace(e: Throwable): Boolean =
-    e.isInstanceOf[CommitConflictException]
+    e.isInstanceOf[CommitConflictException] ||
+      (e.isInstanceOf[IllegalArgumentException] && e.getMessage != null &&
+        e.getMessage.contains("Snapshots: version") &&
+        e.getMessage.contains("does not exist"))
 
   /** Partition-level change feed between two committed versions — the
-    * incremental-consumption primitive: the scan is bounded by CHANGED
-    * partitions, never table size (carry-by-reference means an untouched
-    * partition lists the SAME immutable path in both manifests, so it is
-    * excluded by metadata comparison alone — zero IO). Emits the
-    * from-version's rows of rewritten/dropped partitions labeled
-    * `change = 'removed'` and the to-version's rows of rewritten/added
+    * incremental-consumption primitive: manifests are compared by
+    * METADATA alone and the scan is bounded by CHANGED partitions, never
+    * table size. A partition counts as changed iff some file of it in
+    * `toV` carries `dataVersion > fromV` (its rows were written by a
+    * commit/replace/merge inside the range) or it was dropped — so
+    * carry-by-reference excludes untouched partitions with zero IO, and
+    * a pure [[optimize]] compaction inside the range is INVISIBLE to the
+    * feed (rewritten files carry their predecessors' dataVersion — the
+    * `dataChange=false` semantics real formats' change feeds honor;
+    * incremental consumers never reprocess a no-op compaction). Emits
+    * the from-version's rows of changed/dropped partitions labeled
+    * `change = 'removed'` and the to-version's rows of changed/added
     * partitions labeled `change = 'added'`; a downstream job re-derives
     * exactly the affected partitions' state. (Partition-level, not
     * row-level: a rewrite-based format records no row lineage, so a
     * row-level CDF would need an anti-join the consumer can do itself on
-    * this bounded frame. Undefined across a full-rewrite schema change —
+    * this bounded frame. Undefined across a type-changing full-rewrite —
     * the union fails loudly on the mismatched schemas.) */
   def diff(s: SparkSession, dir: String, partCol: String,
       fromV: Long, toV: Long): DataFrame = {
     require(fromV >= 1 && toV > fromV,
       s"Snapshots: diff needs 1 <= fromV < toV, got $fromV..$toV")
-    val (fSchema, from) = readManifestFull(s, dir, fromV)
-    val (tSchema, to) = readManifestFull(s, dir, toV)
-    val fromPaths = from.map(e => e.value -> e.path).toMap
-    val toPaths = to.map(e => e.value -> e.path).toMap
-    val removed = from.filter(e => !toPaths.get(e.value).contains(e.path))
-    val added = to.filter(e => !fromPaths.get(e.value).contains(e.path))
-    def side(sch: Option[StructType], entries: Seq[Entry], label: String,
-        emptyFallback: Seq[Entry]) = {
-      val schema = sch.getOrElse(
-        s.read.parquet(emptyFallback.head.path).schema)
-      val es = if (entries.nonEmpty) entries else emptyFallback
-      val df = Bridge.manifestScan(s, es.map(e => (e.value, e.path)),
-        partCol, schema)
-      (if (entries.nonEmpty) df else df.limit(0))
+    val mF = readManifest(s, dir, fromV)
+    val mT = readManifest(s, dir, toV)
+    val fParts = mF.entries.map(_.value).toSet
+    // changed = rows written inside (fromV, toV]; new partitions always
+    // qualify (their files' dataVersion IS their commit version)
+    val changedTo = mT.entries.groupBy(_.value)
+      .filter { case (_, es) => es.map(_.dataVersion).max > fromV }.keySet
+    val tParts = mT.entries.map(_.value).toSet
+    val removed = mF.entries.filter(e =>
+      !tParts.contains(e.value) || changedTo(e.value))
+    val added = mT.entries.filter(e => changedTo(e.value))
+    def side(m: Manifest, entries: Seq[Entry], label: String) =
+      scanEntries(s, partCol, schemaOf(s, m), entries)
         .withColumn("change", lit(label))
-    }
-    side(fSchema, removed, "removed", from)
-      .unionByName(side(tSchema, added, "added", to))
+    side(mF, removed, "removed").unionByName(side(mT, added, "added"))
   }
 
-  /** Partition-level rewrite commit (the backfill/OPTIMIZE/MERGE shape):
-    * partitions present in `df` get fresh data dirs; every OTHER
-    * partition of the previous version is carried into the new manifest
-    * BY REFERENCE — zero data movement for untouched partitions, and the
-    * previous version keeps reading its own files.
+  /** Partition-level rewrite commit (the backfill shape): partitions
+    * present in `df` get fresh data files; every OTHER partition of the
+    * previous version is carried into the new manifest BY REFERENCE —
+    * zero data movement for untouched partitions, and the previous
+    * version keeps reading its own files.
     *
     * `replacedValues` names partition values that are REPLACED even if
     * `df` holds no rows for them — i.e. the partition becomes EMPTY in
-    * the new version (its entry is dropped, not carried). Without it, a
-    * rewrite that legitimately deletes a partition's every row would be
+    * the new version (its entries are dropped, not carried). Without it,
+    * a rewrite that legitimately deletes a partition's every row would be
     * indistinguishable from "untouched" and the stale partition would be
-    * silently carried forward — the delete-all hole a MERGE fold hits. */
+    * silently carried forward — the delete-all hole a MERGE fold hits.
+    * For FILE-grain rewrites (only the files a keyed delta touches), use
+    * [[merge]]. */
   def commitReplace(s: SparkSession, dir: String, df: DataFrame,
-      partCol: String, replacedValues: Set[String] = Set.empty): Long =
-    commitImpl(s, dir, df, partCol, carryUntouched = true, replacedValues, None)
+      partCol: String, replacedValues: Set[String] = Set.empty,
+      statsColumns: Seq[String] = Nil): Long =
+    commitImpl(s, dir, df, partCol, carryUntouched = true, replacedValues,
+      None, statsColumns)
+
+  /** FILE-grain MERGE-as-version — the Delta add/remove-action rewrite
+    * unit: fold a keyed change batch into the current version rewriting
+    * ONLY the files whose recorded `keyCol` bounds may hold a delta key.
+    *
+    * `delta` is the pre-reduced keyed-delta contract of
+    * [[graft.api.Graft.merge]] (at most one row per key) plus this
+    * format's partition column: the table's columns + `op` ('U' upsert /
+    * 'D' delete), with `partCol` carrying each key's partition.
+    *
+    * The rewrite set is chosen from METADATA ALONE: the delta's per-
+    * partition [min, max] key span (one tiny aggregate of the delta)
+    * intersected with each file's recorded bounds — a conservative
+    * superset (a file overlapping the span but holding none of the keys
+    * is still rewritten), with files lacking `keyCol` bounds always
+    * included. On a key-clustered table ([[optimize]] with
+    * clusterBy = keyCol, statsColumns = keyCol) and a localized delta,
+    * that is the 1%-of-rows => ~1%-of-files rewrite; every untouched
+    * file — INCLUDING untouched files of touched partitions — is carried
+    * by reference, which partition-grain [[commitReplace]] cannot do.
+    * Correctness never rests on selectivity: bounds are exact at write
+    * time, so a file excluded from the rewrite provably holds no delta
+    * key, and inserts (keys in no file) land via the merge's full-outer
+    * shape. The commit is PINNED to the version the rewrite set was
+    * planned from (the lost-update rule [[commitRetry]] documents).
+    *
+    * `statsColumns` defaults to `keyCol` so the written files keep the
+    * bounds the NEXT merge plans from. Assumes key-unique tables (the
+    * upsert invariant the fold maintains); a table that was never
+    * committed is refused — seed it with [[commit]]. */
+  def merge(s: SparkSession, dir: String, partCol: String, keyCol: String,
+      delta: DataFrame, statsColumns: Seq[String] = null): Long = {
+    val cur = currentVersion(s, dir)
+    require(cur >= 1,
+      s"Snapshots: merge needs a committed table at $dir — seed with commit()")
+    val m = readManifest(s, dir, cur)
+    val schema = schemaOf(s, m)
+    require(schema.fieldNames.contains(keyCol),
+      s"Snapshots: merge key '$keyCol' is not a table column")
+    val tableCols = schema.fieldNames.toSeq :+ partCol
+    val missing = (tableCols :+ "op").filterNot(delta.columns.contains)
+    require(missing.isEmpty,
+      s"Snapshots: delta is missing columns ${missing.mkString(", ")} " +
+        "(the table's columns + partCol + op)")
+    val keyType = schema(keyCol).dataType
+    // the delta's per-partition key span — ONE tiny aggregate, the only
+    // look at the delta before the rewrite itself
+    val spans = delta.groupBy(col(partCol))
+      .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
+      .collect()
+      .map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(keyType)
+    val toInternal = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(keyType)
+    def affected(e: Entry): Boolean = spans.get(e.value) match {
+      case None => false // no delta rows target this partition
+      case Some((dlo, dhi)) =>
+        if (dlo == null) false // every key in the span is NULL: matches nothing
+        else e.stats.get(keyCol) match {
+          case Some((loS, hiS)) if StatCodec.supported(keyType) =>
+            try {
+              val lo = StatCodec.internal(keyType, loS)
+              val hi = StatCodec.internal(keyType, hiS)
+              // overlap test: file [lo,hi] x delta span [dlo,dhi]
+              !(ord.lt(toInternal(dhi), lo) || ord.gt(toInternal(dlo), hi))
+            } catch { case _: Exception => true }
+          case _ => true // no recorded bounds: conservatively rewritten
+        }
+    }
+    val (rewrite, carried) = m.entries.partition(affected)
+    val base = scanEntries(s, partCol, schema, rewrite)
+    val merged = graft.api.Graft
+      .merge(base, delta.select(("op" +: tableCols).map(col): _*), keyCol)
+      .drop("op")
+    commitImpl(s, dir, merged, partCol, carryUntouched = false, Set.empty,
+      expectedPrev = Some(cur),
+      statsColumns = Option(statsColumns).getOrElse(Seq(keyCol)),
+      carriedOverride = Some(carried))
+  }
 
   /** Retention vacuum — the production knob that bounds history: drop
     * every version older than the newest `keepLast`, deleting (a) the
-    * dropped versions' manifests and (b) every partition data dir NOT
-    * referenced by any KEPT manifest. Carry-by-reference makes (b) the
-    * load-bearing clause: a partition dir written at v1 and still
-    * listed in the current manifest survives the vacuum of v1 — only
-    * genuinely unreachable files go. Deletion order (manifests first,
-    * then data) keeps the invariant that an EXISTING manifest's files
-    * always exist: a reader can lose the race only by holding a version
-    * older than the retention window, and then fails loudly at the
-    * manifest check, never with half-read data. Data dirs numbered ABOVE
-    * the latest committed version are never touched — that is an
-    * in-flight writer whose commit may still succeed; dirs at or below it
-    * that no kept manifest references are either retired history or
+    * dropped versions' manifests and (b) every data FILE NOT referenced
+    * by any KEPT manifest. Carry-by-reference makes (b) the load-bearing
+    * clause, at file grain since r15: a file written at v1 and still
+    * listed in the current manifest survives the vacuum of v1, and a
+    * file-grain [[merge]] that rewrote SOME of a dir's files lets the
+    * vacuum retire exactly the replaced ones. Deletion order (manifests
+    * first, then data) keeps the invariant that an EXISTING manifest's
+    * files always exist: a reader can lose the race only by holding a
+    * version older than the retention window, and then fails loudly at
+    * the manifest check, never with half-read data. Data dirs numbered
+    * ABOVE the latest committed version are never touched — that is an
+    * in-flight writer whose commit may still succeed; files at or below
+    * it that no kept manifest references are either retired history or
     * orphans of losers whose rename can no longer succeed, both safe.
     * Metadata cost: ONE `_manifests` listing (so already-retired history
     * is skipped for free — a repeat vacuum with a wider window is a
@@ -440,7 +746,7 @@ object Snapshots {
     val cur = existing.last
     val oldest = math.max(1L, cur - keepLast + 1)
     val kept = existing.filter(_ >= oldest)
-      .flatMap(v => readManifestFull(s, dir, v)._2).map(_.path).toSet
+      .flatMap(v => readManifest(s, dir, v).entries).map(_.path).toSet
     val dropped = existing.filter(_ < oldest)
     // raise the retention floor BEFORE any manifest disappears: once a
     // manifest is deleted its version number must never be committable
@@ -450,9 +756,7 @@ object Snapshots {
     if (dropped.nonEmpty) {
       // monotone: a later vacuum with a WIDER window must not regress it
       val floor = math.max(oldest - 1, retentionFloorAt(fs, floorPath(dir)))
-      val out = fs.create(floorPath(dir), true)
-      try out.write(floor.toString.getBytes("UTF-8"))
-      finally out.close()
+      writeFloorAtomic(s, fs, floorPath(dir), floor)
     }
     dropped.foreach(v => fs.delete(manifestPath(dir, v), false))
     val dataRoot = new Path(dir, "data")
@@ -474,10 +778,26 @@ object Snapshots {
         }
         if (vd.isDirectory && vNum <= cur) {
           fs.listStatus(vd.getPath).foreach { pd =>
-            if (pd.isDirectory && !kept(pd.getPath.toString))
-              fs.delete(pd.getPath, true)
+            if (pd.isDirectory) {
+              // FILE-grain retirement: keep referenced files, drop the
+              // rest; a dir with no referenced file left goes entirely
+              val children = fs.listStatus(pd.getPath)
+              val (keep, drop) = children.partition(st =>
+                kept(st.getPath.toString))
+              if (keep.isEmpty) fs.delete(pd.getPath, true)
+              else drop.foreach { st =>
+                val n = st.getPath.getName
+                if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+                  fs.delete(st.getPath, false)
+              }
+            }
           }
-          if (fs.listStatus(vd.getPath).isEmpty) fs.delete(vd.getPath, false)
+          // retire the version dir once only write debris (_SUCCESS)
+          // remains — no partition dir survived
+          val rest = fs.listStatus(vd.getPath)
+          if (rest.forall(st => st.isFile && (st.getPath.getName.startsWith("_")
+              || st.getPath.getName.startsWith("."))))
+            fs.delete(vd.getPath, true)
         }
       }
     }
@@ -486,43 +806,43 @@ object Snapshots {
 
   /** OPTIMIZE-as-version: compact the CURRENT version's small files into
     * a new atomic commit. Partitions holding more than `maxFilesPerPart`
-    * data files are read back (one scan over just those entries) and
+    * data files are read back (one scan over just those files) and
     * rewritten bin-packed toward `targetFileBytes` per output file —
     * ceil(partitionBytes / targetFileBytes) bins per partition, rows
     * spread across bins by a deterministic row hash, one shuffle total.
-    * Every other partition is carried BY REFERENCE, and every prior
-    * version keeps reading its own files (compaction must never change
-    * an answer — the read-back of version N+1 equals version N row for
-    * row, which q_layout_optimize pins under the oracle hash and
-    * SnapshotsSpec pins as file-count-drops/content-hash-doesn't).
-    * `clusterBy` column NAMES switch the rewrite to OPTIMIZE-CLUSTER-BY:
-    * range-partitioned + sorted output so every rewritten file carries a
-    * narrow min/max range on the cluster key (zonemap/row-group pruning
-    * food). For 2-D clustering, either list both columns (lexicographic —
+    * Every other FILE is carried BY REFERENCE, every prior version keeps
+    * reading its own files, and the rewritten files CARRY their
+    * predecessors' `dataVersion` (compaction must never change an
+    * answer — the read-back of version N+1 equals version N row for row,
+    * which q_layout_optimize pins under the oracle hash and SnapshotsSpec
+    * pins as file-count-drops/content-hash-doesn't — so [[diff]] treats
+    * the rewrite as `dataChange=false` and incremental consumers skip
+    * it). `clusterBy` column NAMES switch the rewrite to
+    * OPTIMIZE-CLUSTER-BY: range-partitioned + sorted output so every
+    * rewritten file carries a narrow min/max range on the cluster key,
+    * and `statsColumns` (default: the clusterBy columns) records those
+    * per-file bounds in the manifest — the zonemap food that makes a
+    * later range query SKIP files and a later [[merge]] rewrite few.
+    * For 2-D clustering, either list both columns (lexicographic —
     * leading-column pruning) or materialize a
     * [[graft.api.Graft.zorderKey]] as a stored column at write time and
     * name it here (true Morton locality needs the key ON the table, as
     * real formats' Z-ORDER implementations compute-and-keep it). No-op
-    * (returns the current version, no commit) when nothing
-    * qualifies. Candidate selection is METADATA-ONLY: per-partition file
-    * counts and byte sizes were recorded in the manifest when each
-    * immutable dir was written (the Delta add-action shape), so deciding
-    * what to compact costs one small manifest read — no per-partition
-    * listings, no matter how many partitions the table holds. (Legacy
-    * entries without recorded stats fall back to one listing each.) */
+    * (returns the current version, no commit) when nothing qualifies.
+    * Candidate selection is METADATA-ONLY: per-file byte sizes were
+    * recorded in the manifest when each immutable file was written, so
+    * deciding what to compact costs one small manifest read — no
+    * per-partition listings, no matter how many partitions the table
+    * holds. */
   def optimize(s: SparkSession, dir: String, partCol: String,
       maxFilesPerPart: Int = 1, targetFileBytes: Long = 128L << 20,
-      clusterBy: Seq[String] = Nil): Long = {
+      clusterBy: Seq[String] = Nil, statsColumns: Seq[String] = null): Long = {
     require(maxFilesPerPart >= 1, "maxFilesPerPart >= 1")
-    val fs = fsOf(s, dir)
     val cur = currentVersion(s, dir)
     require(cur >= 1, s"Snapshots: nothing to optimize at $dir")
-    val (schemaOpt, entries) = readManifestFull(s, dir, cur)
-    val stats = entries.map {
-      case e if e.files >= 0 => e
-      case e => // legacy entry: stats unrecorded, list once
-        val fst = dataFiles(fs, new Path(e.path))
-        e.copy(files = fst.length, bytes = fst.map(_.getLen).sum)
+    val m = readManifest(s, dir, cur)
+    val byPart = m.entries.groupBy(_.value).map { case (v, es) =>
+      v -> (es.size, es.map(_.bytes).sum)
     }
     // CONVERGENCE: a partition already at (or within one file of) its
     // bin-pack fixpoint — ceil(bytes/target) files — is exempt even when
@@ -534,17 +854,25 @@ object Snapshots {
     // order (partCol leads the sort key), so range boundaries can
     // straddle it into at most ideal+1 files — without the slack that
     // straddle would re-qualify it forever.
-    val cands = stats.filter { e =>
-      val ideal = (e.bytes + targetFileBytes - 1) / targetFileBytes
-      e.files > math.max(maxFilesPerPart.toLong,
+    val candValues = byPart.filter { case (_, (files, bytes)) =>
+      val ideal = (bytes + targetFileBytes - 1) / targetFileBytes
+      files > math.max(maxFilesPerPart.toLong,
         if (ideal > 1 || clusterBy.nonEmpty) ideal + 1 else ideal)
+    }.keySet
+    if (candValues.isEmpty) return cur
+    val (cands, carried) = m.entries.partition(e => candValues(e.value))
+    val dataSchema = schemaOf(s, m)
+    val binsOf = candValues.toSeq.map { v =>
+      val bytes = byPart(v)._2
+      v -> math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    }.toMap
+    // rewritten files carry the MAX dataVersion of the rows they absorb:
+    // compaction changes layout, never content, so the change feed must
+    // date these rows to the commit that actually wrote them
+    val dvOf = cands.groupBy(_.value).map { case (v, es) =>
+      v -> es.map(_.dataVersion).max
     }
-    if (cands.isEmpty) return cur
-    val dataSchema = schemaOpt.getOrElse(s.read.parquet(entries.head.path).schema)
-    val binsOf = cands.map(e => e.value ->
-      math.max(1L, (e.bytes + targetFileBytes - 1) / targetFileBytes)).toMap
-    val src = Bridge
-      .manifestScan(s, cands.map(e => (e.value, e.path)), partCol, dataSchema)
+    val src = scanEntries(s, partCol, dataSchema, cands)
     val packed =
       if (clusterBy.nonEmpty) {
         // OPTIMIZE ... ZORDER/CLUSTER BY: range-partition the rewrite on
@@ -579,8 +907,10 @@ object Snapshots {
     // loudly (rerun optimize against the new state), never have its
     // update silently replaced by a compaction of older data — the same
     // lost-update rule commitRetry documents
-    commitImpl(s, dir, packed, partCol, carryUntouched = true, Set.empty,
-      expectedPrev = Some(cur))
+    commitImpl(s, dir, packed, partCol, carryUntouched = false, Set.empty,
+      expectedPrev = Some(cur),
+      statsColumns = Option(statsColumns).getOrElse(clusterBy),
+      dataVersionOf = dvOf, carriedOverride = Some(carried))
   }
 
   /** data files of one partition dir (excludes _SUCCESS/.hidden) */
@@ -591,9 +921,46 @@ object Snapshots {
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
 
+  /** per-file [min, max] of `statsColumns` for the JUST-WRITTEN files
+    * under `dataDir` — one distributed aggregation over only the new
+    * files (projected to the stats columns), grouped by file. The only
+    * moment stats can be collected exactly once: files are immutable
+    * after this, so the recorded bounds never go stale. */
+  private def collectStats(s: SparkSession, dataDir: String,
+      dataSchema: StructType, statsColumns: Seq[String])
+      : Map[String, Map[String, (String, String)]] = {
+    val bad = statsColumns.filterNot(c =>
+      dataSchema.fieldNames.contains(c) &&
+        StatCodec.supported(dataSchema(c).dataType))
+    require(bad.isEmpty,
+      s"Snapshots: statsColumns ${bad.mkString(", ")} must be data columns " +
+        "of an orderable atomic type (numeric/string/date/timestamp/decimal)")
+    val aggs = statsColumns.flatMap(c =>
+      Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
+    val rows = s.read.parquet(dataDir)
+      .select((input_file_name().as("__file") +: statsColumns.map(col)): _*)
+      .groupBy(col("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { r =>
+      val file = new Path(r.getString(0)).toString // normalize scheme form
+      val st = statsColumns.zipWithIndex.flatMap { case (c, i) =>
+        val dt = dataSchema(c).dataType
+        for {
+          lo <- StatCodec.external(dt, r.get(1 + 2 * i))
+          hi <- StatCodec.external(dt, r.get(2 + 2 * i))
+        } yield c -> (lo, hi)
+      }.toMap
+      file -> st
+    }.toMap
+  }
+
   private def commitImpl(s: SparkSession, dir: String, df: DataFrame,
       partCol: String, carryUntouched: Boolean,
-      replacedValues: Set[String], expectedPrev: Option[Long]): Long = {
+      replacedValues: Set[String], expectedPrev: Option[Long],
+      statsColumns: Seq[String] = Nil,
+      dataVersionOf: Map[String, Long] = Map.empty,
+      carriedOverride: Option[Seq[Entry]] = None): Long = {
     require(df.schema(partCol).dataType == StringType,
       s"Snapshots: partition column '$partCol' must be StringType (it " +
         "travels through directory names and manifest lines as a string; " +
@@ -617,9 +984,12 @@ object Snapshots {
     val dataDir = f"$dir/data/v$v%08d_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     df.write.mode("error").partitionBy(partCol).parquet(dataDir)
+    val fileStats =
+      if (statsColumns.isEmpty) Map.empty[String, Map[String, (String, String)]]
+      else collectStats(s, dataDir, dataSchema, statsColumns)
     val written = fs.listStatus(new Path(dataDir)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
-      .map { st =>
+      .flatMap { st =>
         val raw = st.getPath.getName.stripPrefix(partCol + "=")
         // a NULL partition value writes Hive's default-partition dir; a
         // read-back would silently RE-TYPE it as that literal string —
@@ -646,46 +1016,53 @@ object Snapshots {
           refuse("contain a tab/newline — the line-oriented manifest " +
             "cannot carry it")
         // '#' would make the value's manifest line ambiguous with the
-        // first-line schema header
+        // header lines
         if (value.startsWith("#"))
-          refuse("start with '#' — reserved for the manifest header")
-        // record the dir's file stats NOW — the dir is immutable, so
-        // they are exact forever and replace commits carry them verbatim
-        val fst = dataFiles(fs, st.getPath)
-        Entry(value, st.getPath.toString, fst.length, fst.map(_.getLen).sum)
+          refuse("start with '#' — reserved for the manifest headers")
+        // ONE ENTRY PER FILE, stats recorded NOW — files are immutable,
+        // so bytes and bounds are exact forever and later commits carry
+        // them verbatim
+        val dv = dataVersionOf.getOrElse(value, v)
+        dataFiles(fs, st.getPath).map { f =>
+          Entry(value, f.getPath.toString, f.getLen, dv,
+            fileStats.getOrElse(f.getPath.toString, Map.empty))
+        }
       }
     val replaced = written.map(_.value).toSet ++ replacedValues
-    val carried =
+    val carried = carriedOverride.getOrElse {
       if (!carryUntouched || prev == 0) Nil
-      else {
-        val (prevSchema, prevEntries) = readManifestFull(s, dir, prev)
-        val stay = prevEntries.filterNot(e => replaced(e.value))
-        // the SCHEMA CONTRACT, enforced where it can fail loudly and
-        // early: mixing file schemas within one version is refused at
-        // commit. Name+type equality; column order and nullability are
-        // free (parquet resolves by name).
-        if (stay.nonEmpty) prevSchema.foreach { ps =>
-          // compare WIDENED types: nested nullability differences (an
-          // outer join making a struct field nullable, say) are not a
-          // schema change any more than top-level ones are
-          val a = widenStruct(ps).fields
-            .map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
-          val b = widenStruct(dataSchema).fields
-            .map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
-          if (a != b) {
-            // the just-written (unreferenced) data dir must not survive a
-            // refused commit — a retry would trip mode("error") on it
-            fs.delete(new Path(dataDir), true)
-            throw new IllegalArgumentException(
-              "Snapshots: commitReplace would mix data schemas within one " +
-                s"version (carried entries keep ${ps.simpleString}, new data " +
-                s"is ${dataSchema.simpleString}); schema evolution requires a " +
-                "full-snapshot commit")
-          }
+      else readManifest(s, dir, prev).entries.filterNot(e => replaced(e.value))
+    }
+    // the SCHEMA CONTRACT, enforced where it can fail loudly and early:
+    // a commit that carries older files may ADD columns (carried files
+    // read the new column as NULL — parquet's missing-column semantics,
+    // the add-column evolution), but a TYPE CHANGE or DROP against
+    // carried files would mix conflicting file schemas within one
+    // version — refused. Name+widened-type comparison; column order and
+    // nullability (nested included) are free (parquet resolves by name).
+    if (carried.nonEmpty && prev >= 1) {
+      readManifest(s, dir, prev).schema.foreach { ps =>
+        val prevF = widenStruct(ps).fields.map(f => f.name -> f.dataType).toMap
+        val newF = widenStruct(dataSchema).fields.map(f => f.name -> f.dataType).toMap
+        val changed = prevF.collect {
+          case (n, t) if newF.get(n).exists(_ != t) =>
+            s"$n: ${t.simpleString} -> ${newF(n).simpleString}"
         }
-        stay
+        val droppedCols = prevF.keySet -- newF.keySet
+        if (changed.nonEmpty || droppedCols.nonEmpty) {
+          // the just-written (unreferenced) data dir must not survive a
+          // refused commit — a retry would trip mode("error") on it
+          fs.delete(new Path(dataDir), true)
+          throw new IllegalArgumentException(
+            "Snapshots: commit would mix data schemas within one version (" +
+              (changed.map("type change " + _) ++
+                droppedCols.map(c => s"dropped column $c")).mkString("; ") +
+              " against carried files); type changes and drops require a " +
+              "full-snapshot commit — only ADDING columns evolves in place")
+        }
       }
-    val entries = (carried ++ written).sortBy(_.value)
+    }
+    val entries = (carried ++ written).sortBy(e => (e.value, e.path))
     require(entries.nonEmpty, "Snapshots: refusing to commit an empty table")
     // the header is the READ schema for every file the version lists —
     // carried files may hold nulls even when THIS commit's frame is
@@ -694,8 +1071,11 @@ object Snapshots {
     // recursively: a false non-null guarantee would let the optimizer
     // fold IsNull to false over real nulls, silently wrong results
     val headerSchema = widenStruct(dataSchema)
+    val headers = Seq(
+      SchemaHeader + headerSchema.json,
+      MetaHeader + s"ts=${System.currentTimeMillis()}")
     writeManifestAtomic(fs, manifestPath(dir, v),
-      (SchemaHeader + headerSchema.json) +: entries.map(_.line) mkString "\n")
+      (headers ++ entries.map(_.line)).mkString("\n"))
     // best-effort advisory hint (see currentVersion) — never load-bearing
     try {
       val out = fs.create(hintPath(dir), true)

@@ -6,10 +6,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.{Dataset, ExpressionUtils}
 import org.apache.spark.sql.execution.LogicalRDD
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, NoopCache, PartitionPath, PartitionSpec}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
 /** Column <-> Expression bridge. Spark 4 made the converters
   * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`), so this
@@ -58,40 +57,58 @@ object Bridge {
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .unescapePathName(name)
 
-  /** ONE parquet scan planned from an explicit (partitionValue -> dataDir)
-    * manifest — how a table format serves a snapshot's file list to Spark
-    * without N per-partition plan nodes.
+  /** ONE parquet scan planned from a manifest's explicit FILE list — how
+    * a table format serves a snapshot to Spark without N per-partition
+    * plan nodes and without a single filesystem call.
     *
-    * This is the same internal shape `CatalogFileIndex` uses for Hive-style
-    * partitioned tables: an [[InMemoryFileIndex]] whose `PartitionSpec` is
-    * SUPPLIED (values come from the manifest, never parsed from directory
-    * names — so URL-encoding round-trips and value typing are a non-issue),
-    * wrapped in a [[HadoopFsRelation]]. The planner sees a single
-    * `FileSourceScanExec` with a real partition column, which buys, for
-    * free: partition pruning on `partCol` (a filter on the partition column
-    * prunes manifest entries before any footer is read), column pruning,
-    * filter pushdown, and — past
-    * `spark.sql.sources.parallelPartitionDiscovery.threshold` roots — a
-    * DISTRIBUTED file-listing job instead of a driver-side walk. Contrast
-    * with a per-entry `spark.read.parquet(dir).withColumn(...)` union fold:
-    * that plans one scan node per partition and analysis cost grows with
-    * the manifest, which is exactly wrong at 10^3-10^4 partitions.
+    * The relation's [[ManifestFileIndex]] plays the role
+    * `CatalogFileIndex` plays for Hive tables, one rung better: partition
+    * values AND file paths/sizes come from the manifest (never parsed
+    * from directory names, never re-listed — the r14 `InMemoryFileIndex`
+    * + supplied-`PartitionSpec` shape still paid one listing per entry
+    * dir at index construction; this pays zero), wrapped in a
+    * [[HadoopFsRelation]]. The planner sees a single `FileSourceScanExec`
+    * with a real partition column, which buys, for free: partition
+    * pruning on `partCol` (shown as PartitionFilters), column pruning,
+    * filter pushdown into parquet row groups, AND per-FILE skipping
+    * against the manifest's recorded column bounds (the zonemap layer —
+    * see [[ManifestFileIndex.listFiles]]). Contrast with a per-entry
+    * `spark.read.parquet(dir).withColumn(...)` union fold: that plans one
+    * scan node per partition and analysis cost grows with the manifest,
+    * which is exactly wrong at 10^3-10^4 partitions.
     *
     * `dataSchema` is the files' schema (partition column NOT included) and
     * is trusted as given — callers record it at commit time so a read
     * plans with ZERO footer reads. */
-  def manifestScan(s: SparkSession, entries: Seq[(String, String)],
-      partCol: String, dataSchema: StructType): DataFrame = {
+  def manifestRelation(s: SparkSession, partCol: String,
+      files: Seq[ManifestFile], types: Map[String, DataType],
+      dataSchema: StructType): HadoopFsRelation = {
     val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val partSchema = StructType(Seq(StructField(partCol, StringType, nullable = true)))
-    val spec = PartitionSpec(
-      partSchema,
-      entries.map { case (value, dir) =>
-        PartitionPath(InternalRow(UTF8String.fromString(value)), new Path(dir))
-      })
-    val index = new InMemoryFileIndex(cs, entries.map(e => new Path(e._2)),
-      Map.empty, Some(dataSchema), NoopCache, Some(spec), None)
-    cs.baseRelationToDataFrame(HadoopFsRelation(
-      index, partSchema, dataSchema, None, new ParquetFileFormat, Map.empty)(cs))
+    val index = new ManifestFileIndex(partCol, files, types)
+    HadoopFsRelation(index, partSchema, dataSchema, None,
+      new ParquetFileFormat, Map.empty)(cs)
+  }
+
+  def manifestFileScan(s: SparkSession, partCol: String,
+      files: Seq[ManifestFile], types: Map[String, DataType],
+      dataSchema: StructType): DataFrame = {
+    val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.baseRelationToDataFrame(
+      manifestRelation(s, partCol, files, types, dataSchema))
+  }
+
+  /** the same scan STREAMING-TAGGED — what a v1 streaming `Source`'s
+    * `getBatch` must return (MicroBatchExecution asserts the grafted
+    * plan `isStreaming`; Delta's DeltaSource builds its batches exactly
+    * this way: a batch file scan inside a streaming-tagged
+    * LogicalRelation) */
+  def manifestStreamScan(s: SparkSession, partCol: String,
+      files: Seq[ManifestFile], types: Map[String, DataType],
+      dataSchema: StructType): DataFrame = {
+    val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    Dataset.ofRows(cs, LogicalRelation(
+      manifestRelation(s, partCol, files, types, dataSchema),
+      isStreaming = true))
   }
 }

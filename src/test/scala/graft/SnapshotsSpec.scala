@@ -41,21 +41,23 @@ class SnapshotsSpec extends SparkSpec {
     assert(latest.sameElements(Array(("a", 100L), ("b", 10L))), latest.toSeq)
   }
 
+  /** all of `part`'s FILE paths in version v's manifest (one line per file) */
+  private def pathsOf(dir: String, v: Long, part: String): Set[String] =
+    manifestText(dir, v).split("\n").filter(_.startsWith(part + "\t"))
+      .map(_.split("\t")(1)).toSet
+
   test("commitReplace carries untouched partitions by reference, not by copy") {
     val dir = tempTable()
     Snapshots.commit(spark, dir,
       Seq(("a", 1L), ("b", 10L)).toDF("part", "x"), "part")
     Snapshots.commitReplace(spark, dir,
       Seq(("a", 2L)).toDF("part", "x"), "part")
-    val m1 = manifestText(dir, 1L)
-    val m2 = manifestText(dir, 2L)
-    val pathOf = (m: String, part: String) =>
-      m.split("\n").find(_.startsWith(part + "\t")).get.split("\t")(1)
-    // untouched partition: the SAME immutable data dir in both manifests
-    assert(pathOf(m2, "b") == pathOf(m1, "b"), "b must be carried by reference")
-    // rewritten partition: a fresh dir under data/v00000002
-    assert(pathOf(m2, "a") != pathOf(m1, "a"))
-    assert(pathOf(m2, "a").contains("data/v00000002"))
+    // untouched partition: the SAME immutable files in both manifests
+    assert(pathsOf(dir, 2L, "b") == pathsOf(dir, 1L, "b"),
+      "b must be carried by reference")
+    // rewritten partition: fresh files under data/v00000002
+    assert((pathsOf(dir, 2L, "a") intersect pathsOf(dir, 1L, "a")).isEmpty)
+    assert(pathsOf(dir, 2L, "a").forall(_.contains("data/v00000002")))
   }
 
   test("vacuum retires old versions but never a file a kept manifest references") {
@@ -66,12 +68,12 @@ class SnapshotsSpec extends SparkSpec {
       Seq(("a", 2L)).toDF("part", "x"), "part")                  // v2: b carried from v1
     Snapshots.commitReplace(spark, dir,
       Seq(("a", 3L)).toDF("part", "x"), "part")                  // v3: b still v1's dir
-    // capture v1's entry dirs BEFORE its manifest is retired
-    def dirOf(m: String, part: String) = java.nio.file.Paths.get(
+    // capture v1's entry FILES BEFORE its manifest is retired
+    def fileOf(m: String, part: String) = java.nio.file.Paths.get(
       new java.net.URI(m.split("\n").find(_.startsWith(part + "\t"))
         .get.split("\t")(1)).getPath)
     val m1 = manifestText(dir, 1L)
-    val (aDir1, bDir1) = (dirOf(m1, "a"), dirOf(m1, "b"))
+    val (aDir1, bDir1) = (fileOf(m1, "a"), fileOf(m1, "b"))
     val dropped = Snapshots.vacuum(spark, dir, keepLast = 2)     // drop v1
     assert(dropped == Seq(1L), dropped)
     // v1 is gone: its manifest is deleted and reading it fails loudly
@@ -262,13 +264,13 @@ class SnapshotsSpec extends SparkSpec {
     // rewritten a; untouched b appears NOWHERE
     assert(got == Seq(("added", "a", 2L), ("removed", "a", 1L),
       ("removed", "c", 20L)), got)
-    // the scan is bounded by changed partitions: b's immutable dir is in
-    // neither side's plan
-    def dirOf(m: String, part: String) = m.split("\n")
-      .find(_.startsWith(part + "\t")).get.split("\t")(1)
-    val bDir = dirOf(manifestText(dir, v1), "b")
+    // the scan is bounded by changed partitions: b's immutable files are
+    // in neither side's file index (the manifest-served index exposes
+    // exactly the entries it plans — inputFiles is the whole plan)
+    val bFiles = pathsOf(dir, v1, "b")
+    assert(d.inputFiles.toSet.intersect(bFiles).isEmpty,
+      "untouched partition must not be scanned")
     val plan = d.queryExecution.sparkPlan.toString
-    assert(!plan.contains(bDir), "untouched partition must not be scanned")
     assert("FileScan parquet".r.findAllIn(plan).size == 2, plan)
     // an unchanged pair diffs to empty (both sides limit(0))
     val v3 = Snapshots.optimize(spark, dir, "part") // no-op: nothing fragmented
@@ -318,10 +320,12 @@ class SnapshotsSpec extends SparkSpec {
     val v1 = Snapshots.commit(spark, dir, rows.toDF("part", "x").repartition(6),
       "part")
     def filesOf(v: Long, part: String): Int = {
-      val entry = manifestText(dir, v).split("\n")
-        .find(_.startsWith(part + "\t")).get.split("\t")(1)
-      new java.io.File(new java.net.URI(entry).getPath).listFiles()
-        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      val paths = pathsOf(dir, v, part)
+      // the manifest's per-file grain must agree with the filesystem
+      paths.foreach(p => assert(
+        java.nio.file.Files.exists(java.nio.file.Paths.get(new java.net.URI(p).getPath)),
+        s"manifest lists a missing file: $p"))
+      paths.size
     }
     assert(filesOf(v1, "a") > 1 && filesOf(v1, "b") > 1,
       "fixture must start fragmented")
@@ -342,14 +346,14 @@ class SnapshotsSpec extends SparkSpec {
     // an already-compact table is a NO-OP: same version back, no commit
     assert(Snapshots.optimize(spark, dir, "part") == v2)
     assert(Snapshots.currentVersion(spark, dir) == v2)
-    // manifest entries record (files, bytes) at write time — the
+    // manifest entries record per-file byte lengths at write time — the
     // metadata optimize() reads its candidates from — and a replace
-    // commit carries an untouched entry's stats VERBATIM (immutable
-    // dirs: stats never go stale)
+    // commit carries an untouched entry's lines VERBATIM (immutable
+    // files: stats never go stale)
     def statsOf(v: Long, part: String): (Int, Long) = {
-      val f = manifestText(dir, v).split("\n")
-        .find(_.startsWith(part + "\t")).get.split("\t")
-      (f(2).toInt, f(3).toLong)
+      val ls = manifestText(dir, v).split("\n").filter(_.startsWith(part + "\t"))
+        .map(_.split("\t"))
+      (ls.length, ls.map(_(2).toLong).sum)
     }
     assert(statsOf(v1, "a")._1 > 1 && statsOf(v2, "a") == ((1, statsOf(v2, "a")._2)))
     val v3 = Snapshots.commitReplace(spark, dir,
@@ -365,26 +369,29 @@ class SnapshotsSpec extends SparkSpec {
     val rows = rnd.shuffle((1 to 200).toList).map(i => ("a", i.toLong))
     val v1 = Snapshots.commit(spark, dir, rows.toDF("part", "x").repartition(6),
       "part")
-    def entryOf(v: Long) = manifestText(dir, v).split("\n")
-      .find(_.startsWith("a\t")).get.split("\t")
-    val bytes = entryOf(v1)(3).toLong
+    def bytesOf(v: Long) = manifestText(dir, v).split("\n")
+      .filter(_.startsWith("a\t")).map(_.split("\t")(2).toLong).sum
+    val bytes = bytesOf(v1)
     // target = half the partition -> two bins, range-split on x
     val v2 = Snapshots.optimize(spark, dir, "part",
       targetFileBytes = bytes / 2 + 1, clusterBy = Seq("x"))
     assert(v2 == v1 + 1)
-    val files = new java.io.File(
-      new java.net.URI(entryOf(v2)(1)).getPath).listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    assert(files.length >= 2, s"expected >= 2 clustered files, got ${files.length}")
+    val files = pathsOf(dir, v2, "a").toSeq
+    assert(files.size >= 2, s"expected >= 2 clustered files, got ${files.size}")
     // per-file (min, max) ranges must be NON-OVERLAPPING (clustering is
     // what makes zonemap pruning bite) and the union must be the content
     val ranges = files.map { f =>
-      val r = spark.read.parquet(f.getPath).agg(min("x"), max("x"), count(lit(1)))
+      val r = spark.read.parquet(f).agg(min("x"), max("x"), count(lit(1)))
         .collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }.sortBy(_._1)
+    // ...and clusterBy's default statsColumns recorded each file's x
+    // bounds in the manifest (the zonemap/file-skipping food)
+    manifestText(dir, v2).split("\n").filter(_.startsWith("a\t")).foreach {
+      l => assert(l.split("\t")(4).startsWith("x="), l)
+    }
     ranges.sliding(2).foreach {
-      case Array((_, hi, _), (lo2, _, _)) =>
+      case Seq((_, hi, _), (lo2, _, _)) =>
         assert(hi <= lo2, s"file ranges overlap: ${ranges.toSeq}")
       case _ => ()
     }
@@ -396,7 +403,7 @@ class SnapshotsSpec extends SparkSpec {
     // maxFilesPerPart) must be a NO-OP — not a fresh full rewrite every
     // night. v2 holds 2 files; with a target of half v2's own bytes the
     // fixpoint is exactly 2 files, so nothing qualifies.
-    val bytes2 = entryOf(v2)(3).toLong
+    val bytes2 = bytesOf(v2)
     assert(Snapshots.optimize(spark, dir, "part",
       targetFileBytes = bytes2 / 2 + 1, clusterBy = Seq("x")) == v2)
   }
@@ -500,14 +507,217 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.currentVersion(spark, dir) == 301L)
   }
 
+  test("merge rewrites only the files whose key bounds hold delta keys; untouched files carry by reference") {
+    val dir = tempTable()
+    // one partition, 100 keys, clustered into 4 key-disjoint files with
+    // recorded x-bounds — the layout a nightly OPTIMIZE CLUSTER BY keeps
+    val v1 = Snapshots.commit(spark, dir,
+      (1 to 100).map(i => ("a", i.toLong, s"p$i")).toDF("part", "x", "payload")
+        .repartition(8), "part")
+    val bytes = manifestText(dir, v1).split("\n").filter(_.startsWith("a\t"))
+      .map(_.split("\t")(2).toLong).sum
+    val v2 = Snapshots.optimize(spark, dir, "part",
+      targetFileBytes = bytes / 4 + 1, clusterBy = Seq("x"))
+    val before = pathsOf(dir, v2, "a")
+    assert(before.size >= 3, s"fixture needs >=3 clustered files: $before")
+    // a delta touching only keys 1..5 — one file's range
+    val delta = Seq((1L, "one", "U"), (2L, "two", "U"), (5L, "", "D"))
+      .toDF("x", "payload", "op").withColumn("part", lit("a"))
+    val v3 = Snapshots.merge(spark, dir, "part", "x", delta)
+    assert(v3 == v2 + 1)
+    val after = pathsOf(dir, v3, "a")
+    // FILE-grain carry: every file whose bounds exclude [1, 5] is the
+    // SAME path in both manifests — only the low-range file was rewritten
+    val carried = before intersect after
+    assert(carried.size >= 2,
+      s"untouched files must carry by reference: before=$before after=$after")
+    assert((after -- before).nonEmpty, "the touched file must be rewritten")
+    // fold semantics: upserts applied, delete applied, everything else kept
+    val got = Snapshots.read(spark, dir, "part", v3)
+      .select("x", "payload").as[(Long, String)].collect().sortBy(_._1)
+    val want = ((1L, "one") +: (2L, "two") +:
+      (3 to 100).filter(_ != 5).map(i => (i.toLong, s"p$i"))).sortBy(_._1)
+    assert(got.toSeq == want, got.take(8).toSeq)
+    // an INSERT (key beyond every file's bounds) lands via the full-outer
+    // shape without touching any existing file
+    val v4 = Snapshots.merge(spark, dir, "part", "x",
+      Seq((999L, "new", "U")).toDF("x", "payload", "op")
+        .withColumn("part", lit("a")))
+    assert(Snapshots.read(spark, dir, "part", v4)
+      .filter(col("x") === 999L).count() == 1)
+    assert((pathsOf(dir, v3, "a") intersect pathsOf(dir, v4, "a")).size
+      == pathsOf(dir, v3, "a").size,
+      "an out-of-bounds insert must carry every existing file")
+    // the change feed dates merge rows to the merge version
+    val d = Snapshots.diff(spark, dir, "part", v2, v3)
+      .select("change", "x").as[(String, Long)].collect()
+    assert(d.nonEmpty && d.forall { case (_, x) => x <= 100 })
+  }
+
+  test("schema evolution: add-column replace commits in place; type change and drop stay refused") {
+    val dir = tempTable()
+    val v1 = Snapshots.commit(spark, dir,
+      Seq(("a", 1L), ("b", 10L)).toDF("part", "x"), "part")
+    // ADD a column while rewriting only partition a: carried b files
+    // lack `y` and must read back NULL under v2's evolved header
+    val v2 = Snapshots.commitReplace(spark, dir,
+      Seq(("a", 2L, "extra")).toDF("part", "x", "y"), "part")
+    val got = Snapshots.read(spark, dir, "part", v2)
+      .select("part", "x", "y").as[(String, Long, Option[String])]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 2L, Some("extra")), ("b", 10L, None)), got.toSeq)
+    // time travel serves each version's OWN schema: v1 has no y
+    assert(!Snapshots.read(spark, dir, "part", v1).columns.contains("y"))
+    // a TYPE CHANGE against carried files is still refused loudly...
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commitReplace(spark, dir,
+        Seq(("a", "one", "z")).toDF("part", "x", "y"), "part")
+    }
+    assert(e.getMessage.contains("type change"), e.getMessage)
+    // ...and so is a COLUMN DROP (carried files would keep serving y)
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.commitReplace(spark, dir,
+        Seq(("a", 3L)).toDF("part", "x"), "part")
+    }
+    assert(e2.getMessage.contains("dropped column"), e2.getMessage)
+    // the refused commits left no debris: the table still reads v2's state
+    assert(Snapshots.read(spark, dir, "part").count() == 2)
+    // merge over the evolved table sees the evolved schema
+    val v3 = Snapshots.merge(spark, dir, "part", "x",
+      Seq((10L, "by", "U")).toDF("x", "y", "op").withColumn("part", lit("b")))
+    assert(Snapshots.read(spark, dir, "part", v3)
+      .filter(col("part") === "b").select("y").as[Option[String]]
+      .collect().toSeq == Seq(Some("by")))
+  }
+
+  test("timestamp time travel resolves the latest version at or before the asked time") {
+    val dir = tempTable()
+    val v1 = Snapshots.commit(spark, dir, Seq(("a", 1L)).toDF("part", "x"), "part")
+    Thread.sleep(20)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    val v2 = Snapshots.commitReplace(spark, dir,
+      Seq(("a", 2L)).toDF("part", "x"), "part")
+    assert(Snapshots.versionAt(spark, dir, between) == v1)
+    assert(Snapshots.versionAt(spark, dir, System.currentTimeMillis()) == v2)
+    assert(Snapshots.readAsOf(spark, dir, "part", between)
+      .select("x").as[Long].collect().sameElements(Array(1L)))
+    // a time before the first commit fails loudly, like reading below
+    // the retention window
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.versionAt(spark, dir, 1L)
+    }
+    assert(e.getMessage.contains("at or before"), e.getMessage)
+  }
+
+  test("recorded per-file bounds SKIP files at scan time: a range filter reads fewer files") {
+    val dir = tempTable()
+    val v1 = Snapshots.commit(spark, dir,
+      (1 to 400).map(i => ("a", i.toLong)).toDF("part", "x").repartition(14),
+      "part")
+    val bytes = manifestText(dir, v1).split("\n").filter(_.startsWith("a\t"))
+      .map(_.split("\t")(2).toLong).sum
+    val v2 = Snapshots.optimize(spark, dir, "part",
+      targetFileBytes = bytes / 8 + 1, clusterBy = Seq("x"))
+    val total = pathsOf(dir, v2, "a").size
+    assert(total >= 6, s"fixture needs >=6 clustered files, got $total")
+    val narrow = Snapshots.read(spark, dir, "part", v2)
+      .filter(col("x") >= 10L && col("x") <= 20L)
+    assert(narrow.collect().map(_.getAs[Long]("x")).sorted.toSeq == (10L to 20L))
+    // the scan's own metric (of the JUST-EXECUTED plan): the file index
+    // served FEWER files than the manifest lists — pruned by the
+    // recorded [lo, hi] bounds alone
+    val scan = narrow.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles < total && numFiles >= 1,
+      s"expected file skipping: read $numFiles of $total files")
+  }
+
+  test("commitRetry treats a vacuumed-away base version as a lost race, not a hard failure") {
+    val dir = tempTable()
+    Snapshots.commit(spark, dir, Seq(("a", 1L)).toDF("part", "x"), "part")
+    // first attempt: racers land TWO commits and a vacuum retires the
+    // version this attempt pinned, so its read fails "does not exist" —
+    // the same lost race one step earlier; the loop must re-resolve and
+    // succeed against the racers' latest, never escape
+    var raceOnce = true
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val v = Snapshots.commitRetry(spark, dir, "part") { prev =>
+      seen += prev
+      if (raceOnce) {
+        raceOnce = false
+        Snapshots.commit(spark, dir, Seq(("a", 98L)).toDF("part", "x"), "part")
+        Snapshots.commit(spark, dir, Seq(("a", 99L)).toDF("part", "x"), "part")
+        Snapshots.vacuum(spark, dir, keepLast = 1)
+      }
+      Snapshots.read(spark, dir, "part", prev)
+        .select("part", "x").as[(String, Long)].collect().toSeq
+        .map { case (p, x) => (p, x + 1) }.toDF("part", "x")
+    }
+    assert(seen.toSeq == Seq(1L, 3L), s"attempts saw $seen")
+    assert(Snapshots.read(spark, dir, "part", v)
+      .select("x").as[Long].collect().sameElements(Array(100L)))
+  }
+
+  test("SQL surface: USING graft_snapshot serves VERSION AS OF / TIMESTAMP AS OF as plain SQL") {
+    val dir = tempTable()
+    val v1 = Snapshots.commit(spark, dir,
+      Seq(("a", 1L), ("b", 10L)).toDF("part", "x"), "part")
+    Thread.sleep(20)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    val v2 = Snapshots.commitReplace(spark, dir,
+      Seq(("a", 2L)).toDF("part", "x"), "part")
+    def view(name: String, extra: String): Unit = spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW $name
+         |USING graft_snapshot
+         |OPTIONS (path '$dir', partCol 'part'$extra)""".stripMargin)
+    view("snap_v1", s", versionAsOf '$v1'")
+    view("snap_v2", s", versionAsOf '$v2'")
+    view("snap_ts", s", timestampAsOf '$between'")
+    view("snap_latest", "")
+    def rows(name: String) = spark.sql(s"SELECT part, x FROM $name ORDER BY part, x")
+      .as[(String, Long)].collect().toSeq
+    assert(rows("snap_v1") == Seq(("a", 1L), ("b", 10L)))
+    assert(rows("snap_v2") == Seq(("a", 2L), ("b", 10L)))
+    assert(rows("snap_ts") == rows("snap_v1"), "timestampAsOf must resolve v1")
+    assert(rows("snap_latest") == rows("snap_v2"))
+    // the SQL read plans EXACTLY like the Scala read: one FileSourceScan,
+    // partition filters pushed to the manifest-served index
+    val q = spark.sql(s"SELECT x FROM snap_v2 WHERE part = 'a'")
+    val plan = q.queryExecution.sparkPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("PartitionFilters") && plan.contains("a"), plan)
+    assert(q.as[Long].collect().sameElements(Array(2L)))
+    // option validation fails loudly
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW bad USING graft_snapshot " +
+        s"OPTIONS (path '$dir', partCol 'part', versionAsOf '1', " +
+        "timestampAsOf '12345')")
+    }
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW bad2 USING graft_snapshot " +
+        s"OPTIONS (path '$dir')")
+    }
+    // the human-readable UTC timestamp form parses too
+    val utc = java.time.Instant.ofEpochMilli(between)
+      .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime.toString.replace('T', ' ')
+    view("snap_ts2", s", timestampAsOf '$utc'")
+    assert(rows("snap_ts2") == rows("snap_v1"))
+  }
+
   test("randomized commit/replace/optimize/read/vacuum interleaving: every surviving version reads its recorded content") {
     // the format's whole contract under one seeded fuzz: after each op,
     // a randomly chosen SURVIVING version must read back exactly the
     // content the driver-side model recorded for it at commit time — and
-    // after each commit/replace, diff(prev, new) must equal the model's
-    // path-identity semantics (the model carries a per-partition write
-    // STAMP: a replace keeps untouched partitions' stamps, so the model
-    // knows exactly which entries changed paths)
+    // after each commit/replace/optimize, diff(prev, new) must equal the
+    // model's dataVersion semantics (the model carries a per-partition
+    // write STAMP: commit/replace bump touched partitions' stamps,
+    // OPTIMIZE bumps none — compaction is dataChange=false — so the
+    // model knows exactly which partitions the feed must emit)
     val dir = tempTable()
     val rnd = new scala.util.Random(20260815L)
     val parts = Vector("a", "b", "c", "d", "e")
@@ -562,22 +772,14 @@ class SnapshotsSpec extends SparkSpec {
           live = live.filterNot(dropped.contains)
           expected --= dropped
         case 8 => // OPTIMIZE: content of the new version == previous latest,
-          // every rewritten partition gets a fresh stamp (path changed)
+          // and rewritten files CARRY their predecessors' dataVersion —
+          // a compaction is dataChange=false, so the model keeps every
+          // stamp and diff across it must be EMPTY (the feed-suppression
+          // contract incremental consumers rely on)
           val prev = live.last
           val v = Snapshots.optimize(spark, dir, "part")
           if (v != prev) { // no-op when nothing is fragmented
-            // which partitions were rewritten is optimize's (stats-based)
-            // decision — recover it from the two manifests' paths, then
-            // hold diff to the SAME answer
-            def pathsOf(mv: Long) = manifestText(dir, mv).split("\n")
-              .filterNot(_.startsWith("#"))
-              .map { l => val f = l.split("\t"); (f(0), f(1)) }.toMap
-            val (pa, pb) = (pathsOf(prev), pathsOf(v))
-            val rewritten = pb.keySet.filter(p => pa.get(p) != pb.get(p))
-            expected += v -> expected(prev).map { case (p, (st, xs)) =>
-              if (rewritten(p)) { stamp += 1; p -> (stamp, xs) }
-              else p -> (st, xs)
-            }
+            expected += v -> expected(prev)
             live :+= v
             checkDiff(prev, v, step)
           }
