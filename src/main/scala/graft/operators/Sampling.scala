@@ -704,25 +704,26 @@ SELECT 'post_optimize' AS snapshot, 1::BIGINT AS version_step,
         .unionByName(at(v2, "post_optimize", v2 - v1))
     },
 
-    // MERGE-as-version: the CDC fold (Graft.merge — full-outer upsert
-    // with tombstones) routed through Snapshots.commit, so every change
-    // batch lands as an atomic version and an as-of read reconstructs any
+    // MERGE-as-version: the CDC fold landing through the FILE-GRAIN
+    // Snapshots.merge (full-outer upsert with tombstones, rewrite set
+    // chosen from recorded per-file key bounds), so every change batch
+    // is an atomic version and an as-of read reconstructs any
     // intermediate state AFTER later batches landed — the format triad's
     // third write path (backfill = commitReplace, OPTIMIZE = optimize,
     // MERGE = this). Batches are a deterministic 3-way split of the
     // events log (batch b = events with event_id % 3 == b, reduced to
     // latest-per-key within the batch; latest event_id % 29 == 0 is the
-    // tombstone, q_stream_upsert's rule). Each version's INPUT is the
-    // previous version's committed read-back, so the chain exercises
-    // read -> merge -> commit, not a cached frame. The oracle ignores
-    // the version mechanics entirely and states both prefix fixpoints
-    // from the raw log — per key, the LAST BATCH that touched it wins,
-    // then latest-within-batch: a lost batch, out-of-order apply,
-    // tombstone resurrection, or a version that read stale files all
-    // break the hash. (Partition-selective merges go through
-    // commitReplace + replacedValues — spec-pinned; here every batch
-    // touches all four user_id%4 partitions, so a full commit IS the
-    // partition-selective result.)
+    // tombstone, q_stream_upsert's rule). The kernel reads each previous
+    // version's committed state itself, so the chain exercises
+    // read -> file-select -> merge -> commit, not a cached frame. The
+    // oracle ignores the version mechanics entirely and states both
+    // prefix fixpoints from the raw log — per key, the LAST BATCH that
+    // touched it wins, then latest-within-batch: a lost batch,
+    // out-of-order apply, tombstone resurrection, or a version that read
+    // stale files all break the hash. (The file-grain carry itself —
+    // untouched files listed verbatim across a merge — is spec-pinned
+    // where file identity is observable; q_layout_merge_selective below
+    // oracles a key-localized merge.)
     QueryDef(
       "q_layout_merge",
       """WITH e AS (
@@ -761,19 +762,182 @@ SELECT 'final' AS snapshot, user_id, event_id, v FROM fin WHERE NOT del
         .withColumn("op",
           when(pmod(col("event_id"), lit(29)) === 0, lit("D"))
             .otherwise(lit("U")))
-      def landed(base: org.apache.spark.sql.DataFrame, b: Int) =
-        Snapshots.commit(s, dir,
-          graft.api.Graft.merge(base, batch(b), "user_id").drop("op"), "part")
+      // each batch lands through the FILE-GRAIN Snapshots.merge: the
+      // kernel reads the previous version's committed state itself,
+      // picks the rewrite set from recorded user_id bounds (seeded by
+      // statsColumns on the initial commit), folds via Graft.merge, and
+      // commits pinned — so this oracle exercises the whole
+      // read -> select-files -> merge -> commit loop, not a cached frame
       val v1 = Snapshots.commit(s, dir,
-        batch(0).filter(col("op") =!= "D").drop("op"), "part")
-      val v2 = landed(Snapshots.read(s, dir, "part", v1), 1)
-      val v3 = landed(Snapshots.read(s, dir, "part", v2), 2)
+        batch(0).filter(col("op") =!= "D").drop("op"), "part",
+        statsColumns = Seq("user_id"))
+      val v2 = Snapshots.merge(s, dir, "part", "user_id", batch(1))
+      val v3 = Snapshots.merge(s, dir, "part", "user_id", batch(2))
+      assert(v2 == v1 + 1 && v3 == v2 + 1)
       def at(v: Long, label: String) =
         Snapshots.read(s, dir, "part", v)
           .select(lit(label).as("snapshot"), col("user_id"),
             col("event_id"), col("v"))
       // the as-of read: version N-1 reconstructed AFTER the feed finished
       at(v2, "mid_feed").unionByName(at(v3, "final"))
+    },
+
+    // Key-LOCALIZED merge over a clustered table — the file-grain rewrite
+    // demonstrated end to end: the per-user state table is compacted
+    // CLUSTER BY user_id (so files carry narrow disjoint key ranges in
+    // the manifest), then a delta touching only keys [100, 200) folds in
+    // via Snapshots.merge, whose rewrite set comes from those recorded
+    // bounds — on this layout the out-of-range files (the bulk of the
+    // table) are carried by reference, the 1%-of-keys => ~1%-of-files
+    // cost a 100 TB upsert pipeline needs (file identity is spec-pinned;
+    // this entry oracles the fold). The oracle states the final state
+    // from the raw log: out-of-range users keep their latest event,
+    // in-range users are negated (the deterministic update) unless their
+    // latest event_id % 29 == 0 (tombstoned).
+    QueryDef(
+      "q_layout_merge_selective",
+      """WITH base AS (
+  SELECT user_id, max(event_id) AS event_id, arg_max(value, event_id) AS v
+  FROM events GROUP BY user_id)
+SELECT user_id, event_id, v FROM base
+WHERE user_id < 100 OR user_id >= 200
+UNION ALL
+SELECT user_id, event_id, -v AS v FROM base
+WHERE user_id >= 100 AND user_id < 200 AND event_id % 29 <> 0
+""".stripMargin) { (s, d) =>
+      import graft.sources.Snapshots
+      val dir = "/tmp/graft_snap_mergesel_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      val base = events(s, d)
+        .select(col("user_id"), col("event_id"), col("value").as("v"))
+        .groupBy("user_id")
+        .agg(max("event_id").as("event_id"),
+          max_by(col("v"), col("event_id")).as("v"))
+        .withColumn("part", (col("user_id") % 4).cast("string"))
+      // fragmented seed, then CLUSTER BY user_id: files become
+      // key-disjoint with recorded user_id bounds — the layout that
+      // makes the next merge's rewrite set small
+      val v1 = Snapshots.commit(s, dir, base.repartition(8), "part",
+        statsColumns = Seq("user_id"))
+      val v2 = Snapshots.optimize(s, dir, "part",
+        targetFileBytes = 1L << 20, clusterBy = Seq("user_id"))
+      val delta = Snapshots.read(s, dir, "part", v2)
+        .filter(col("user_id") >= 100 && col("user_id") < 200)
+        .withColumn("v", -col("v"))
+        .withColumn("op",
+          when(pmod(col("event_id"), lit(29)) === 0, lit("D"))
+            .otherwise(lit("U")))
+      val v3 = Snapshots.merge(s, dir, "part", "user_id", delta)
+      Snapshots.read(s, dir, "part", v3).select("user_id", "event_id", "v")
+    },
+
+    // Schema evolution inside the format: v2 rewrites ONE partition
+    // adding a column; carried partitions' files lack it and read back
+    // NULL under v2's recorded header (parquet missing-column semantics —
+    // the add-column evolution every real format supports, now a
+    // manifest-header concern instead of a full rewrite), while v1 —
+    // read AFTER v2 landed — still serves its own pre-evolution schema.
+    // The oracle states both versions from the raw events; a type change
+    // or column drop against carried files stays refused at commit
+    // (spec-pinned).
+    QueryDef(
+      "q_layout_schema_evolution",
+      """WITH g AS (
+  SELECT event_type, user_id % 100 AS bucket, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2),
+gc AS (
+  SELECT event_type, user_id % 100 AS bucket, count(*)::BIGINT AS n_events
+  FROM events WHERE event_type = 'click' AND value >= 1.0 GROUP BY 1, 2)
+SELECT 'pre_evolve' AS snapshot, event_type, count(*)::BIGINT AS n_buckets,
+  sum(n_events)::BIGINT AS n_events, 0::BIGINT AS n_corrected
+FROM g GROUP BY event_type
+UNION ALL
+SELECT 'post_evolve' AS snapshot, event_type, count(*)::BIGINT AS n_buckets,
+  sum(n_events)::BIGINT AS n_events, count(*)::BIGINT AS n_corrected
+FROM gc GROUP BY event_type
+UNION ALL
+SELECT 'post_evolve' AS snapshot, event_type, count(*)::BIGINT AS n_buckets,
+  sum(n_events)::BIGINT AS n_events, 0::BIGINT AS n_corrected
+FROM g WHERE event_type <> 'click' GROUP BY event_type
+""".stripMargin) { (s, d) =>
+      import graft.sources.Snapshots
+      val dir = "/tmp/graft_snap_evolve_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      def agg(src: org.apache.spark.sql.DataFrame) = src
+        .groupBy(col("event_type"), (col("user_id") % 100).as("bucket"))
+        .agg(count(lit(1)).as("n_events"))
+      val ev = events(s, d)
+      val v1 = Snapshots.commit(s, dir, agg(ev), "event_type")
+      // the EVOLVING commit: only 'click' rewritten, with a NEW column —
+      // every other partition's files are carried and must null-fill it
+      val v2 = Snapshots.commitReplace(s, dir,
+        agg(ev.filter(col("event_type") === "click" && col("value") >= 1.0))
+          .withColumn("corrected", lit(1L)),
+        "event_type")
+      val pre = Snapshots.read(s, dir, "event_type", v1)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_buckets"), sum("n_events").as("n_events"))
+        .select(lit("pre_evolve").as("snapshot"), col("event_type"),
+          col("n_buckets"), col("n_events"), lit(0L).as("n_corrected"))
+      // count(corrected) counts NON-NULLS: the carried partitions'
+      // null-filled column contributes zero — the evolution observable
+      val post = Snapshots.read(s, dir, "event_type", v2)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_buckets"), sum("n_events").as("n_events"),
+          count(col("corrected")).as("n_corrected"))
+        .select(lit("post_evolve").as("snapshot"), col("event_type"),
+          col("n_buckets"), col("n_events"), col("n_corrected"))
+      pre.unionByName(post)
+    },
+
+    // OPTIMIZE Z-ORDER end to end: the stored Morton key
+    // (Graft.zorderKey over the two query dimensions, computed AT WRITE
+    // TIME — real formats' Z-ORDER keeps the key, locality is a property
+    // of the layout) drives OPTIMIZE CLUSTER BY zkey, which records each
+    // rewritten file's [lo, hi] on zkey AND both raw dimensions in the
+    // manifest; a later 2-D range query then skips files on those bounds
+    // (both dimensions cluster at once — the win a 1-D sort cannot give;
+    // the numFiles drop itself is spec-pinned where metrics are
+    // observable). The oracle states the 2-D box aggregate from raw
+    // events plus version_step = 1, so a compaction that changed any
+    // row, failed to commit, or committed twice all break the hash.
+    QueryDef(
+      "q_layout_optimize_zorder",
+      """WITH k AS (
+  SELECT event_type, user_id % 1024 AS xk, event_id % 1024 AS yk, value
+  FROM events)
+SELECT event_type, 1::BIGINT AS version_step, count(*)::BIGINT AS n_events,
+  CAST(round(sum(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_value
+FROM k WHERE xk BETWEEN 96 AND 159 AND yk BETWEEN 2 AND 5
+GROUP BY event_type
+""".stripMargin) { (s, d) =>
+      import graft.sources.Snapshots
+      val dir = "/tmp/graft_snap_zorder_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      val base = events(s, d)
+        .select(col("event_type"),
+          (col("user_id") % 1024).as("xk"),
+          (col("event_id") % 1024).as("yk"),
+          col("value"))
+        .withColumn("zkey", graft.api.Graft.zorderKey(col("xk"), col("yk"), 10))
+      val v1 = Snapshots.commit(s, dir, base.repartition(8), "event_type")
+      val v2 = Snapshots.optimize(s, dir, "event_type",
+        targetFileBytes = 1L << 20, clusterBy = Seq("zkey"),
+        statsColumns = Seq("zkey", "xk", "yk"))
+      Snapshots.read(s, dir, "event_type", v2)
+        .filter(col("xk").between(96, 159) && col("yk").between(2, 5))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          graft.Exact.decOut(sum(graft.Exact.dec(col("value"))))
+            .as("total_value"))
+        .select(col("event_type"), lit(v2 - v1).as("version_step"),
+          col("n_events"), col("total_value"))
     },
 
     // CSV interchange round-trip: a lineitem projection exported to CSV

@@ -1,0 +1,197 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+
+/** The STREAMING consumer of the [[Snapshots]] change feed — a
+  * Structured Streaming source whose offsets ARE snapshot version
+  * numbers and whose micro-batches are [[Snapshots.diff]] steps:
+  *
+  * {{{
+  * spark.readStream.format("graft_snapshot_cdf")
+  *   .option("path", dir).option("partCol", "region")
+  *   .load()  // table columns + partCol + change + _commit_version
+  * }}}
+  *
+  * Batch (a, b] = the union over v in (a, b] of version v's change set
+  * (the from-state of data-changed partitions labeled 'removed', the
+  * to-state labeled 'added', each stamped `_commit_version = v`) — so
+  * ANY batching of the version range folds to the same feed
+  * (batching-invariance by construction, pinned in
+  * StreamingRobustnessSpec), and a checkpointed restart replans the same
+  * (a, b] bit-identically from the IMMUTABLE manifests — exactly-once
+  * with a transactional sink. A pure [[Snapshots.optimize]] compaction
+  * carries `dataVersion`, so it emits NOTHING here (dataChange=false),
+  * and the very first served version arrives as a full 'added' snapshot
+  * (the initial-load convention Delta's change feed uses).
+  *
+  * Deliberately a DataSource V1 [[Source]] — `getBatch` returns a
+  * DataFrame, so each step IS the manifest-served one-scan plan the
+  * batch reads use (partition pruning, bounds skipping, zero listings),
+  * streaming-tagged per the engine's contract. This is Delta's own
+  * choice for DeltaSource, for the same reason: a V2 MicroBatchStream
+  * would have to reimplement parquet reading row by row inside a
+  * PartitionReader for strictly less plan integration.
+  *
+  * Options: `path` + `partCol` (required); `startingVersion` = first
+  * version to serve (default: the earliest surviving one);
+  * `maxVersionsPerBatch` = admission control, versions per trigger.
+  *
+  * Contracts a consumer must hold (both fail loudly, never silently):
+  *  - RETENTION COVERS LAG — a version inside a planned-or-replayed
+  *    range that [[Snapshots.vacuum]] retired aborts the batch (the same
+  *    rule Delta documents for vacuumed streaming reads);
+  *  - the feed's schema is fixed at query start (the stream serves every
+  *    version under it; pre-evolution files null-fill added columns —
+  *    restart the stream to pick up a widened schema).
+  */
+class SnapshotChangeFeedSource extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft_snapshot_cdf"
+
+  private def parse(parameters: Map[String, String])
+      : (String, String, Option[Long], Option[Long]) = {
+    def opt(k: String): Option[String] =
+      parameters.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
+    def req(k: String): String = opt(k).getOrElse(throw new IllegalArgumentException(
+      s"graft_snapshot_cdf: option '$k' is required"))
+    (req("path"), req("partCol"),
+      opt("startingVersion").map(_.toLong),
+      opt("maxVersionsPerBatch").map(_.toLong))
+  }
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : (String, StructType) = {
+    val (dir, partCol, _, _) = parse(parameters)
+    (shortName(),
+      SnapshotCdfSource.feedSchema(ctx.sparkSession, dir, partCol))
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val (dir, partCol, startingVersion, maxPerBatch) = parse(parameters)
+    new SnapshotCdfSource(ctx.sparkSession, dir, partCol, startingVersion,
+      maxPerBatch)
+  }
+}
+
+object SnapshotCdfSource {
+  /** the table's CURRENT recorded schema + the feed columns — resolved
+    * once; the stream serves every version under it */
+  private[sources] def feedSchema(s: SparkSession, dir: String,
+      partCol: String): StructType = {
+    val cur = Snapshots.currentVersion(s, dir)
+    require(cur >= 1,
+      s"graft_snapshot_cdf: no committed version at $dir — the change feed " +
+        "needs an existing table")
+    val m = Snapshots.readManifest(s, dir, cur)
+    val dataSchema = m.schema.getOrElse(
+      s.read.parquet(m.entries.head.path).schema)
+    StructType(dataSchema.fields.toSeq
+      :+ StructField(partCol, StringType, nullable = true)
+      :+ StructField("change", StringType, nullable = false)
+      :+ StructField("_commit_version", LongType, nullable = false))
+  }
+}
+
+class SnapshotCdfSource(spark: SparkSession, dir: String, partCol: String,
+    startingVersion: Option[Long], maxVersionsPerBatch: Option[Long])
+    extends Source {
+
+  override val schema: StructType =
+    SnapshotCdfSource.feedSchema(spark, dir, partCol)
+  /** the feed's fixed DATA schema — the last three fields are the
+    * appended partCol/change/_commit_version feed columns */
+  private val dataSchema = StructType(schema.fields.toSeq.dropRight(3))
+
+  /** offset BEFORE the first served version: served range is always
+    * (base, latest] */
+  private val base: Long = startingVersion.map(_ - 1L).getOrElse {
+    val live = Snapshots.liveVersions(spark, dir)
+    require(live.nonEmpty, s"graft_snapshot_cdf: no committed version at $dir")
+    live.min - 1L
+  }
+
+  /** high-water mark of served batches — admission control's cursor (a
+    * restart re-primes it from the first replayed batch's end) */
+  @volatile private var served: Long = base
+
+  private def off(o: Any): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other: org.apache.spark.sql.connector.read.streaming.Offset =>
+      other.json().trim.toLong
+  }
+
+  override def getOffset: Option[V1Offset] = {
+    val cur = Snapshots.currentVersion(spark, dir)
+    val from = math.max(base, served)
+    if (cur <= from) {
+      // nothing new: report the high-water mark (a stable offset), or
+      // None before anything has ever been available
+      if (from > base) Some(LongOffset(from)) else None
+    } else {
+      // admission control: at most maxVersionsPerBatch versions advance
+      // per trigger. `served` is primed by every getBatch — including
+      // the engine's restore call on a checkpointed restart — so the
+      // reported offset can never regress below a batch already served.
+      val capped = maxVersionsPerBatch
+        .map(m => math.min(cur, from + math.max(1L, m))).getOrElse(cur)
+      Some(LongOffset(capped))
+    }
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val a = start.map(off).getOrElse(base)
+    val b = off(end)
+    served = math.max(served, math.max(a, b))
+    val live = Snapshots.liveVersions(spark, dir).toSet
+    def gone(v: Long): Nothing = throw new IllegalStateException(
+      s"graft_snapshot_cdf: version $v in batch ($a, $b] was retired by " +
+        "vacuum — the retention window must exceed the consumer's lag " +
+        "(re-seed the stream with a fresh startingVersion)")
+    // every version's scan is served under the STREAM's fixed schema in
+    // the STREAM's fixed column order (the engine grafts each batch into
+    // one plan: schemas must agree batch over batch); older files simply
+    // null-fill later-added columns
+    def side(entries: Seq[Snapshots.Entry], label: String, v: Long): DataFrame =
+      Snapshots.scanEntries(spark, partCol, dataSchema, entries,
+        streaming = true)
+        .select((dataSchema.fieldNames.toSeq :+ partCol).map(col)
+          :+ lit(label).as("change")
+          :+ lit(v).as("_commit_version"): _*)
+    val steps = (a + 1 to b).flatMap { v =>
+      if (!live.contains(v)) gone(v)
+      val mT = Snapshots.readManifest(spark, dir, v)
+      if (!live.contains(v - 1)) {
+        // the range's first step may be the earliest surviving version:
+        // serve its FULL state as 'added' (initial load); anywhere later
+        // a missing predecessor is a retention gap
+        if (v != a + 1) gone(v - 1)
+        Seq(side(mT.entries, "added", v))
+      } else {
+        val mF = Snapshots.readManifest(spark, dir, v - 1)
+        val fParts = mF.entries.map(_.value).toSet
+        val changed = mT.entries.groupBy(_.value)
+          .filter { case (_, es) => es.map(_.dataVersion).max > v - 1 }.keySet
+        val removed = mF.entries.filter(e =>
+          !mT.entries.exists(_.value == e.value) || changed(e.value))
+        val added = mT.entries.filter(e => changed(e.value))
+        Seq(side(removed, "removed", v), side(added, "added", v))
+      }
+    }
+    if (steps.isEmpty) side(Nil, "added", b).limit(0)
+    else steps.reduce(_ unionByName _)
+  }
+
+  override def commit(end: V1Offset): Unit = () // retention is vacuum's job
+  override def stop(): Unit = ()
+  override def toString: String =
+    s"SnapshotCdfSource[$dir, partCol=$partCol, base=$base]"
+}

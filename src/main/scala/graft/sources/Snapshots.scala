@@ -181,6 +181,11 @@ object Snapshots {
     at.max
   }
 
+  /** every committed version still present (post-vacuum), ascending —
+    * what the change-feed source steps through */
+  private[graft] def liveVersions(s: SparkSession, dir: String): Seq[Long] =
+    listVersions(fsOf(s, dir), dir)
+
   private val SchemaHeader = "#schema\t"
   private val MetaHeader = "#meta\t"
 
@@ -984,11 +989,15 @@ object Snapshots {
     val dataDir = f"$dir/data/v$v%08d_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     df.write.mode("error").partitionBy(partCol).parquet(dataDir)
-    val fileStats =
-      if (statsColumns.isEmpty) Map.empty[String, Map[String, (String, String)]]
-      else collectStats(s, dataDir, dataSchema, statsColumns)
-    val written = fs.listStatus(new Path(dataDir)).toSeq
+    val partDirs = fs.listStatus(new Path(dataDir)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+    val fileStats =
+      // an empty frame writes no partition dirs (only _SUCCESS) — a legal
+      // commit shape (e.g. a merge whose delta is empty): nothing to stat
+      if (statsColumns.isEmpty || partDirs.isEmpty)
+        Map.empty[String, Map[String, (String, String)]]
+      else collectStats(s, dataDir, dataSchema, statsColumns)
+    val written = partDirs
       .flatMap { st =>
         val raw = st.getPath.getName.stripPrefix(partCol + "=")
         // a NULL partition value writes Hive's default-partition dir; a

@@ -914,6 +914,80 @@ object Streaming {
       applied.get, dir)
   }
 
+  /** Streaming CONSUMER of the snapshot change feed — the loop-closer to
+    * [[streamSnapshot]]'s producer: a `graft_snapshot_cdf` source whose
+    * offsets are version numbers, each micro-batch a [[graft.sources.Snapshots.diff]]
+    * step (sources/SnapshotChangeFeed.scala). The fixture is the
+    * q_layout_merge CDC fold (3 versions via the file-grain merge) plus
+    * one OPTIMIZE — which must emit NOTHING (dataVersion carry =
+    * dataChange=false). The consumer folds the feed to the final state
+    * by the feed's own contract: per partition, the 'added' rows of the
+    * LAST version that touched it. That fixpoint must equal the batch
+    * read of the final version regardless of how versions were batched
+    * (invariance and checkpointed-restart exactly-once are pinned in
+    * StreamingRobustnessSpec); the oracle states it from the raw log. */
+  def streamChangefeed(s: SparkSession, d: String): DataFrame =
+    streamChangefeedCounted(s, d, 1)._1
+
+  /** returns (fold of the feed, batches observed, this run's table dir) */
+  private[graft] def streamChangefeedCounted(s: SparkSession, d: String,
+      maxVersionsPerBatch: Int): (DataFrame, Int, String) = {
+    import graft.sources.Snapshots
+    val ev = graft.sources.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value").as("v"))
+    // fresh per-run table dir (nanoTime beyond the session id: repeat
+    // runs in one session must not stack onto one history)
+    val dir = "/tmp/graft_stream_cdf_" +
+      java.nio.file.Paths.get(d).getFileName.toString +
+      "_" + s.sparkContext.applicationId + "_" + System.nanoTime()
+    graft.operators.Sampling.deleteOnExit(dir)
+    def batch(b: Int) = ev
+      .filter(pmod(col("event_id"), lit(3)) === b)
+      .groupBy("user_id")
+      .agg(max("event_id").as("event_id"),
+        max_by(col("v"), col("event_id")).as("v"))
+      .withColumn("part", (col("user_id") % 4).cast("string"))
+      .withColumn("op",
+        when(pmod(col("event_id"), lit(29)) === 0, lit("D"))
+          .otherwise(lit("U")))
+    Snapshots.commit(s, dir, batch(0).filter(col("op") =!= "D").drop("op"),
+      "part", statsColumns = Seq("user_id"))
+    Snapshots.merge(s, dir, "part", "user_id", batch(1))
+    Snapshots.merge(s, dir, "part", "user_id", batch(2))
+    // compaction-as-version AFTER the fold: rewritten files carry their
+    // dataVersion, so the feed below must not emit a single row for it
+    Snapshots.optimize(s, dir, "part")
+    val feedAcc = new BatchAcc[DataFrame](null)
+    val batches = new BatchAcc(0)
+    val q = s.readStream.format("graft_snapshot_cdf")
+      .option("path", dir).option("partCol", "part")
+      .option("maxVersionsPerBatch", maxVersionsPerBatch.toString)
+      .load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val bb = b.localCheckpoint()
+        feedAcc.set(
+          if (feedAcc.get == null) bb else feedAcc.get.unionByName(bb))
+        batches.set(batches.get + 1)
+      }
+      .start()
+    drain(q)
+    val feed = feedAcc.get
+    // the feed contract's fold: a changed partition's 'added' side is its
+    // FULL new state, so final state = per partition, the added rows of
+    // the last version that touched it (a partition whose last touch only
+    // removed rows is dropped — no added rows at that version)
+    val lastTouch = feed.groupBy("part")
+      .agg(max("_commit_version").as("last_v"))
+      .withColumnRenamed("part", "lt_part")
+    val fin = feed.filter(col("change") === "added")
+      .join(broadcast(lastTouch),
+        col("part") === col("lt_part") &&
+          col("_commit_version") === col("last_v"))
+      .select("user_id", "event_id", "v")
+    (fin, batches.get, dir)
+  }
+
   private[graft] def streamDriftEmbeddingCounted(s: SparkSession, d: String,
       srcDir: String, glob: String,
       maxFilesPerTrigger: Int): (DataFrame, Int) = withStatePartitions(s, 4) {
@@ -1941,6 +2015,26 @@ object Streaming {
       """SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars
         |FROM documents GROUP BY lang
         |""".stripMargin) { (s, d) => streamSnapshot(s, d) },
+
+    // Streaming change-feed consumer (see streamChangefeed's doc):
+    // offsets = snapshot versions, one diff step per version, initial
+    // full snapshot, OPTIMIZE suppressed (dataChange=false). The fold of
+    // the whole feed must equal the final version's batch state — the
+    // oracle states that fixpoint from the raw log exactly as
+    // q_layout_merge's 'final' side.
+    QueryDef(
+      "q_stream_changefeed",
+      """WITH e AS (
+  SELECT user_id, event_id, value AS v, event_id % 3 AS b FROM events),
+perb AS (
+  SELECT user_id, b, max(event_id) AS event_id, arg_max(v, event_id) AS v
+  FROM e GROUP BY 1, 2),
+fin AS (
+  SELECT user_id, arg_max(event_id, b) AS event_id, arg_max(v, b) AS v,
+         arg_max(event_id, b) % 29 = 0 AS del
+  FROM perb GROUP BY user_id)
+SELECT user_id, event_id, v FROM fin WHERE NOT del
+""".stripMargin) { (s, d) => streamChangefeed(s, d) },
 
     // Streaming cardinality monitor: per-type distinct-user estimates
     // maintained as constant-size KMV sketches across micro-batches.

@@ -212,16 +212,21 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("snapshot reads plan ONE scan per version read, never one per manifest entry") {
-    // Snapshots.read serves the manifest as a supplied partition spec
-    // (Bridge.manifestScan), so the timetravel query — two version
-    // reads, each over a multi-partition manifest — must hold exactly
-    // TWO FileScan nodes. A per-entry union fold would show one scan
-    // per partition entry, the plan shape that explodes at 10^3-10^4
-    // partitions. (The 120-partition single-scan case and the partition-
-    // filter prune live in SnapshotsSpec.)
+    // Snapshots.read serves the manifest's FILE LIST as the scan's file
+    // index (Bridge.manifestFileScan), so the timetravel query — two
+    // version reads, each over a multi-partition multi-file manifest —
+    // must hold exactly TWO FileScan nodes. A per-entry union fold would
+    // show one scan per entry, the plan shape that explodes at 10^3-10^4
+    // partitions. (The 120-partition single-scan case, the partition-
+    // filter prune, and the per-file bounds skip live in SnapshotsSpec.)
     val p = planString("q_layout_timetravel")
     assert("FileScan parquet".r.findAllIn(p).size == 2,
       "expected exactly 2 scan nodes (one per version read):\n" + p)
+    // the SQL surface (USING graft_snapshot temp views, VERSION AS OF)
+    // must plan IDENTICALLY — same relation, same index, no wrapper cost
+    val sqlP = planString("q_layout_sql_timetravel")
+    assert("FileScan parquet".r.findAllIn(sqlP).size == 2,
+      "SQL VERSION AS OF reads must plan the same two scans:\n" + sqlP)
   }
 
   test("registry invariant: no unpartitioned Window or CartesianProduct in any query plan") {

@@ -552,6 +552,15 @@ class SnapshotsSpec extends SparkSpec {
     val d = Snapshots.diff(spark, dir, "part", v2, v3)
       .select("change", "x").as[(String, Long)].collect()
     assert(d.nonEmpty && d.forall { case (_, x) => x <= 100 })
+    // an EMPTY delta is a legal merge: commits a version that carries
+    // every file (no partition dirs written, no stats job) and is
+    // invisible to the change feed
+    val v5 = Snapshots.merge(spark, dir, "part", "x",
+      delta.limit(0))
+    assert(v5 == v4 + 1)
+    assert(Snapshots.read(spark, dir, "part", v5).count() ==
+      Snapshots.read(spark, dir, "part", v4).count())
+    assert(Snapshots.diff(spark, dir, "part", v4, v5).count() == 0)
   }
 
   test("schema evolution: add-column replace commits in place; type change and drop stay refused") {

@@ -351,6 +351,81 @@ class StreamingRobustnessSpec extends SparkSpec {
     assert(totals.last == docs.count(), s"final version covers the corpus: $totals")
   }
 
+  test("streamChangefeed: the feed's fold is batching-invariant and equals the final version's batch state") {
+    // per-version batches (maxVersionsPerBatch=1) vs one spanning batch:
+    // the fold must be IDENTICAL — batch (a,b] is by construction the
+    // union of its per-version steps
+    val (multi, applied, table) = Streaming.streamChangefeedCounted(spark, sf, 1)
+    assert(applied >= 3, s"expected one batch per version, got $applied")
+    val (single, applied1, _) = Streaming.streamChangefeedCounted(spark, sf, 100)
+    assert(applied1 < applied, s"spanning run must batch fewer: $applied1")
+    val m = multi.collect().map(_.toString).sorted
+    assert(m.nonEmpty)
+    assert(m.sameElements(single.collect().map(_.toString).sorted),
+      "change-feed fold must be batching-invariant")
+    // the fold equals the last version's batch read — the loop
+    // ingest -> version -> incremental-consume closes exactly
+    val fix = graft.sources.Snapshots.read(spark, table, "part")
+      .select("user_id", "event_id", "v").collect().map(_.toString).sorted
+    assert(m.sameElements(fix), "fold must equal the batch fixpoint")
+  }
+
+  test("changefeed source: per-version offsets, OPTIMIZE emits nothing, checkpointed restart serves each version exactly once") {
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdf_tbl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_ckpt").toString
+    val v1 = Snapshots.commit(spark, dir,
+      Seq(("a", 1L), ("a", 2L), ("b", 10L)).toDF("part", "x").repartition(4),
+      "part")
+    val v2 = Snapshots.commitReplace(spark, dir,
+      Seq(("a", 3L)).toDF("part", "x"), "part")
+    // raw feed rows accumulated ACROSS both query incarnations
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, String, String, Long)]())
+    def run(): Unit = {
+      val q = spark.readStream.format("graft_snapshot_cdf")
+        .option("path", dir).option("partCol", "part")
+        .option("maxVersionsPerBatch", "1")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("_commit_version", "change", "part", "x")
+            .collect().foreach(r => got.add(
+              (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))))
+        }
+        .start()
+      Streaming.drain(q)
+    }
+    run()
+    import scala.jdk.CollectionConverters._
+    val phase1 = got.asScala.toList
+    // v1 arrives as the FULL initial snapshot; v2's step is exactly the
+    // rewritten partition's two states — per-version offsets mean each
+    // row is stamped with the version that produced it
+    assert(phase1.sorted == List(
+      (v1, "added", "a", 1L), (v1, "added", "a", 2L), (v1, "added", "b", 10L),
+      (v2, "added", "a", 3L),
+      (v2, "removed", "a", 1L), (v2, "removed", "a", 2L)).sorted, phase1)
+    // between incarnations: one real change (deliberately FRAGMENTED so
+    // the compaction below has work) + one OPTIMIZE (which must emit
+    // NOTHING — its rewritten files carry dataVersion)
+    val v3 = Snapshots.commitReplace(spark, dir,
+      Seq(("b", 20L), ("b", 21L), ("b", 22L), ("b", 23L)).toDF("part", "x")
+        .repartition(4), "part")
+    val v4 = Snapshots.optimize(spark, dir, "part")
+    assert(v4 > v3, "fixture must actually compact (v3 wrote 4 files)")
+    run() // SAME checkpoint: resumes at v2, serves (v2, v4]
+    val all = got.asScala.toList
+    val newRows = all.drop(phase1.size)
+    assert(newRows.sorted == List(
+      (v3, "added", "b", 20L), (v3, "added", "b", 21L),
+      (v3, "added", "b", 22L), (v3, "added", "b", 23L),
+      (v3, "removed", "b", 10L)).sorted,
+      s"restart must serve exactly (v2, v4] with the compaction silent: $newRows")
+    // exactly-once overall: no version served twice across the restart
+    assert(all.size == phase1.size + 5, s"duplicate feed rows: $all")
+  }
+
   test("streamDriftEmbedding is batching-invariant and equals the batch fixpoint") {
     // the decimal per-(split, dim) sums are exact and associative, so a
     // 3-file/1-per-trigger arrival must produce the IDENTICAL report as
