@@ -600,15 +600,16 @@ object Snapshots {
     * exactly the affected partitions' state. (Partition-level, not
     * row-level: a rewrite-based format records no row lineage, so a
     * row-level CDF would need an anti-join the consumer can do itself on
-    * this bounded frame. Undefined across a type-changing full-rewrite —
-    * the union fails loudly on the mismatched schemas.) */
+    * this bounded frame. Both sides are served under the TO version's
+    * recorded schema, so the feed spans an add-column evolution — the
+    * from-side's older files null-fill the added column; a TYPE-changing
+    * full rewrite inside the range still fails loudly at read.) */
   def diff(s: SparkSession, dir: String, partCol: String,
       fromV: Long, toV: Long): DataFrame = {
     require(fromV >= 1 && toV > fromV,
       s"Snapshots: diff needs 1 <= fromV < toV, got $fromV..$toV")
     val mF = readManifest(s, dir, fromV)
     val mT = readManifest(s, dir, toV)
-    val fParts = mF.entries.map(_.value).toSet
     // changed = rows written inside (fromV, toV]; new partitions always
     // qualify (their files' dataVersion IS their commit version)
     val changedTo = mT.entries.groupBy(_.value)
@@ -617,10 +618,11 @@ object Snapshots {
     val removed = mF.entries.filter(e =>
       !tParts.contains(e.value) || changedTo(e.value))
     val added = mT.entries.filter(e => changedTo(e.value))
-    def side(m: Manifest, entries: Seq[Entry], label: String) =
-      scanEntries(s, partCol, schemaOf(s, m), entries)
+    val schema = schemaOf(s, mT)
+    def side(entries: Seq[Entry], label: String) =
+      scanEntries(s, partCol, schema, entries)
         .withColumn("change", lit(label))
-    side(mF, removed, "removed").unionByName(side(mT, added, "added"))
+    side(removed, "removed").unionByName(side(added, "added"))
   }
 
   /** Partition-level rewrite commit (the backfill shape): partitions
@@ -670,8 +672,13 @@ object Snapshots {
     *
     * `statsColumns` defaults to `keyCol` so the written files keep the
     * bounds the NEXT merge plans from. Assumes key-unique tables (the
-    * upsert invariant the fold maintains); a table that was never
-    * committed is refused — seed it with [[commit]]. */
+    * upsert invariant the fold maintains) and that the delta's partition
+    * value is the SAME function of the key the table uses — a delta that
+    * re-homes a key to a different partition would leave the old
+    * partition's row in place (this format records no cross-partition
+    * row lineage; the same rule as Hive-partitioned MERGE everywhere).
+    * A table that was never committed is refused — seed it with
+    * [[commit]]. */
   def merge(s: SparkSession, dir: String, partCol: String, keyCol: String,
       delta: DataFrame, statsColumns: Seq[String] = null): Long = {
     val cur = currentVersion(s, dir)

@@ -203,7 +203,15 @@ object Plans {
     "q_dedup_embedding" ->
       "selective embedding near-dup (r13 re-frame): the 8x12-bit SRP index is built once and checkpointed (plans read LogicalRDDs, never re-derive the 96 plane dots); only (id, t, b) keys flow through the candidate equi-join + distinct — the checkpointed candidate set was already counted against the 5% fraction budget before this plan exists (fail-loud, not silently quadratic) — and vectors join back BY ID solely for the codegen-cosine verify",
     "q_layout_timetravel" ->
-      "snapshot read-at-version (r14 one-scan re-plan): each version is ONE FileSourceScan whose partition spec is SUPPLIED from the immutable manifest (Bridge.manifestScan — partition values from manifest entries, never directory discovery; schema from the manifest header, zero footer reads), so the plan holds exactly two scans for two version reads no matter how many partitions each manifest lists, a pinned version's plan is untouched by later commits, and a filter on the partition column would prune entries before any file opens; both version reads aggregate map-side before the union",
+      "snapshot read-at-version (r15 file-grain re-plan): each version is ONE FileSourceScan whose file index IS the manifest (Bridge.manifestFileScan over a log-served ManifestFileIndex — file paths, sizes, partition values, and schema all from the manifest: zero listings, zero footer reads), so the plan holds exactly two scans for two version reads no matter how many files each manifest lists, a pinned version's plan is untouched by later commits, a partition-column filter prunes entries before any file opens, and a stats-column filter would skip individual FILES on their recorded [lo,hi] bounds; both version reads aggregate map-side before the union",
+    "q_layout_sql_timetravel" ->
+      "the SQL surface of the same reads: USING graft_snapshot temp views with VERSION AS OF hand the planner the IDENTICAL manifest-served HadoopFsRelation (DSv1 RelationProvider — no wrapper scan node, no listing), so plain SQL text plans the same two FileSourceScans as the Scala API (PlanShapeSpec-pinned) with the same pruning and skipping levers",
+    "q_layout_merge_selective" ->
+      "file-grain MERGE over a clustered table: the rewrite set is chosen from manifest metadata (delta key span x recorded per-file key bounds), so the base-side scan holds ONLY the files that can contain delta keys — the full-outer fold shuffles the delta plus that slice once on the key, untouched files (including untouched files of touched partitions) move by manifest reference and appear in no plan at all",
+    "q_layout_schema_evolution" ->
+      "per-manifest schema: the post-evolution read is one scan whose read schema comes from v2's header — carried pre-evolution files null-fill the added column inside the scan (no rewrite, no cast node), and the v1 read plans against its own narrower header; both reads aggregate map-side",
+    "q_layout_optimize_zorder" ->
+      "OPTIMIZE Z-ORDER: the stored Morton key drives one range-partitioned + sorted rewrite of just the fragmented files (one shuffle + the sampler pass); the 2-D box query is then ONE scan whose file index drops every file whose recorded xk/yk bounds miss the box — file skipping on BOTH dimensions at once, the layout payoff a 1-D sort cannot give (q_stream_changefeed's per-batch plans are the same bounded diff scans, pinned in StreamingRobustnessSpec rather than here — a drained stream's returned fold only shows the memory-sink side)",
     "q_layout_optimize" ->
       "OPTIMIZE-CLUSTER-BY-as-version: the compaction read is ONE manifest-planned scan over just the fragmented entries, range-partitioned + sorted on (partition, bucket) so rewritten files carry narrow non-overlapping min/max ranges — rewritten bytes shuffle once (plus the range sampler's pass), carried partitions appear in no plan at all (they move by manifest reference); the pre/post reads are two one-scan version reads whose aggregates must agree",
     "q_layout_incremental" ->

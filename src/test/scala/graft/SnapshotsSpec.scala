@@ -597,6 +597,13 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir, "part", v3)
       .filter(col("part") === "b").select("y").as[Option[String]]
       .collect().toSeq == Seq(Some("by")))
+    // the change feed spans the evolution: both sides served under the
+    // TO version's schema, the removed (pre-evolution) rows null-fill y
+    val d = Snapshots.diff(spark, dir, "part", v1, v2)
+      .select("change", "part", "x", "y")
+      .as[(String, String, Long, Option[String])].collect().sorted
+    assert(d.toSeq == Seq(("added", "a", 2L, Some("extra")),
+      ("removed", "a", 1L, None)), d.toSeq)
   }
 
   test("timestamp time travel resolves the latest version at or before the asked time") {
@@ -642,6 +649,39 @@ class SnapshotsSpec extends SparkSpec {
     val numFiles = scan.metrics("numFiles").value
     assert(numFiles < total && numFiles >= 1,
       s"expected file skipping: read $numFiles of $total files")
+  }
+
+  test("OPTIMIZE Z-ORDER: a 2-D box query reads fewer files than the manifest lists, on BOTH dimensions' bounds") {
+    val dir = tempTable()
+    // two correlated-free dimensions; the Morton key interleaves them so
+    // range-clustering on zkey localizes BOTH at once
+    val rows = (0 until 1024).map { i =>
+      val x = i % 32L; val y = i / 32L
+      ("a", x, y)
+    }
+    val df = rows.toDF("part", "xk", "yk")
+      .withColumn("zkey", graft.api.Graft.zorderKey(col("xk"), col("yk"), 5))
+    val v1 = Snapshots.commit(spark, dir, df.repartition(12), "part")
+    val bytes = manifestText(dir, v1).split("\n").filter(_.startsWith("a\t"))
+      .map(_.split("\t")(2).toLong).sum
+    val v2 = Snapshots.optimize(spark, dir, "part",
+      targetFileBytes = bytes / 8 + 1, clusterBy = Seq("zkey"),
+      statsColumns = Seq("zkey", "xk", "yk"))
+    val total = pathsOf(dir, v2, "a").size
+    assert(total >= 6, s"fixture needs >=6 z-clustered files, got $total")
+    // a box selective in BOTH dimensions — a 1-D sort on xk alone could
+    // not bound yk per file; the Morton layout bounds both
+    val box = Snapshots.read(spark, dir, "part", v2)
+      .filter(col("xk").between(4, 7) && col("yk").between(4, 7))
+    // collect() on THIS frame so the metrics below are the just-executed
+    // plan's (count() would spawn its own execution)
+    assert(box.collect().length == 16)
+    val scan = box.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles < total && numFiles >= 1,
+      s"expected 2-D file skipping: read $numFiles of $total files")
   }
 
   test("commitRetry treats a vacuumed-away base version as a lost race, not a hard failure") {
