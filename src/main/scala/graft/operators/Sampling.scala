@@ -833,6 +833,71 @@ WHERE user_id >= 100 AND user_id < 200 AND event_id % 29 <> 0
       Snapshots.read(s, dir, "part", v3).select("user_id", "event_id", "v")
     },
 
+    // ROW-level change feed (Delta CDF's row images): one keyed
+    // full-outer join over just the changed partitions' two states turns
+    // the partition feed into insert / delete / update_preimage /
+    // update_postimage rows, suppressing rows that merely rode along in
+    // a rewritten partition. Fixture = the first merge step of the CDC
+    // fold (v1 = batch-0 upserts, v2 = batch-1 merged in); the oracle
+    // restates every image class from the raw log: inserts = batch-1
+    // keys absent from v1, deletes = tombstoned keys present in v1,
+    // updates = common keys (batches are event-disjoint, so every
+    // common key's latest event differs) with BOTH images stated.
+    QueryDef(
+      "q_layout_cdf_rows",
+      """WITH e AS (
+  SELECT user_id, event_id, value AS v, event_id % 3 AS b FROM events),
+perb AS (
+  SELECT user_id, b, max(event_id) AS event_id, arg_max(v, event_id) AS v
+  FROM e WHERE b <= 1 GROUP BY 1, 2),
+b0 AS (SELECT user_id, event_id, v FROM perb
+       WHERE b = 0 AND event_id % 29 <> 0),
+b1 AS (SELECT user_id, event_id, v, event_id % 29 = 0 AS del FROM perb
+       WHERE b = 1),
+up AS (
+  SELECT b0.user_id, b0.event_id AS pre_eid, b0.v AS pre_v,
+         b1.event_id AS post_eid, b1.v AS post_v
+  FROM b0 JOIN b1 ON b0.user_id = b1.user_id
+  WHERE NOT b1.del AND (b0.event_id <> b1.event_id OR b0.v <> b1.v))
+SELECT 'insert' AS change, b1.user_id, b1.event_id, b1.v,
+  CAST(b1.user_id % 4 AS VARCHAR) AS part
+FROM b1 LEFT JOIN b0 ON b1.user_id = b0.user_id
+WHERE b0.user_id IS NULL AND NOT b1.del
+UNION ALL
+SELECT 'delete' AS change, b0.user_id, b0.event_id, b0.v,
+  CAST(b0.user_id % 4 AS VARCHAR) AS part
+FROM b0 JOIN b1 ON b0.user_id = b1.user_id WHERE b1.del
+UNION ALL
+SELECT 'update_preimage' AS change, user_id, pre_eid AS event_id,
+  pre_v AS v, CAST(user_id % 4 AS VARCHAR) AS part FROM up
+UNION ALL
+SELECT 'update_postimage' AS change, user_id, post_eid AS event_id,
+  post_v AS v, CAST(user_id % 4 AS VARCHAR) AS part FROM up
+""".stripMargin) { (s, d) =>
+      import graft.sources.Snapshots
+      val dir = "/tmp/graft_snap_cdfrows_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_id"), col("value").as("v"))
+      def batch(b: Int) = ev
+        .filter(pmod(col("event_id"), lit(3)) === b)
+        .groupBy("user_id")
+        .agg(max("event_id").as("event_id"),
+          max_by(col("v"), col("event_id")).as("v"))
+        .withColumn("part", (col("user_id") % 4).cast("string"))
+        .withColumn("op",
+          when(pmod(col("event_id"), lit(29)) === 0, lit("D"))
+            .otherwise(lit("U")))
+      val v1 = Snapshots.commit(s, dir,
+        batch(0).filter(col("op") =!= "D").drop("op"), "part",
+        statsColumns = Seq("user_id"))
+      val v2 = Snapshots.merge(s, dir, "part", "user_id", batch(1))
+      Snapshots.diffRows(s, dir, "part", "user_id", v1, v2)
+        .select("change", "user_id", "event_id", "v", "part")
+    },
+
     // Schema evolution inside the format: v2 rewrites ONE partition
     // adding a column; carried partitions' files lack it and read back
     // NULL under v2's recorded header (parquet missing-column semantics —

@@ -625,6 +625,58 @@ object Snapshots {
     side(removed, "removed").unionByName(side(added, "added"))
   }
 
+  /** ROW-level change feed between two committed versions — Delta CDF's
+    * row images derived from [[diff]]'s partition-level feed by ONE
+    * keyed full-outer join over ONLY the changed partitions' two states
+    * (the format records no row lineage, so this is the documented
+    * anti-join "the consumer can do itself", shipped as the primitive):
+    *
+    *  - a key only in the to-state       -> `insert` (post image)
+    *  - a key only in the from-state     -> `delete` (pre image)
+    *  - a key in both, any column differs -> `update_preimage` +
+    *    `update_postimage`
+    *  - a key in both, all columns equal  -> NOTHING — the row merely
+    *    rode along in a rewritten partition; the row-level feed
+    *    suppresses it (the signal [[diff]]'s partition grain cannot)
+    *
+    * Cost: the join shuffles only the CHANGED partitions' rows on the
+    * key — still bounded by the change, never table size. Assumes
+    * key-unique states on both sides (the invariant [[merge]]
+    * maintains); NULL-keyed rows never match and surface as
+    * delete+insert. Schema rules follow [[diff]] (both sides under the
+    * to-version's header). */
+  def diffRows(s: SparkSession, dir: String, partCol: String,
+      keyCol: String, fromV: Long, toV: Long): DataFrame = {
+    val feed = diff(s, dir, partCol, fromV, toV)
+    val cols = feed.columns.toSeq.filterNot(_ == "change")
+    require(cols.contains(keyCol),
+      s"Snapshots: diffRows key '$keyCol' is not a table column")
+    // presence markers, not key-null checks: a NULL-keyed row must read
+    // as "present on its side with no partner", never as a phantom match
+    val before = feed.filter(col("change") === "removed")
+      .select(cols.map(col): _*).withColumn("__b", lit(1)).alias("b")
+    val after = feed.filter(col("change") === "added")
+      .select(cols.map(col): _*).withColumn("__a", lit(1)).alias("a")
+    val joined = before.join(after,
+      col(s"b.$keyCol") === col(s"a.$keyCol"), "full_outer")
+    val same = cols.map(c => col(s"b.$c") <=> col(s"a.$c")).reduce(_ && _)
+    def img(side: String, label: String) =
+      struct((cols.map(c => col(s"$side.$c").as(c))
+        :+ lit(label).as("change")): _*)
+    // the empty branch needs an explicit element type (array() alone is
+    // ArrayType(NullType)); build it from the feed's own schema
+    val eventType = ArrayType(StructType(
+      cols.map(c => feed.schema(c).copy(nullable = true))
+        :+ StructField("change", StringType, nullable = false)))
+    val events =
+      when(col("b.__b").isNull, array(img("a", "insert")))
+        .when(col("a.__a").isNull, array(img("b", "delete")))
+        .when(!same, array(img("b", "update_preimage"),
+          img("a", "update_postimage")))
+        .otherwise(array().cast(eventType))
+    joined.select(explode(events).as("e")).select(col("e.*"))
+  }
+
   /** Partition-level rewrite commit (the backfill shape): partitions
     * present in `df` get fresh data files; every OTHER partition of the
     * previous version is carried into the new manifest BY REFERENCE —
@@ -724,10 +776,19 @@ object Snapshots {
     val merged = graft.api.Graft
       .merge(base, delta.select(("op" +: tableCols).map(col): _*), keyCol)
       .drop("op")
+    // partitions whose files were rewritten are DATA-CHANGED even when
+    // the rewrite wrote nothing back for them (a delete that empties an
+    // affected file while sibling files carry): without stamping the
+    // carried siblings, the partition's max dataVersion would stay old
+    // and the change feed would MISS the delete. Conservative the other
+    // way is fine (a no-op rewrite shows as changed; diffRows suppresses
+    // it at row grain), but a missed delete is a correctness hole —
+    // caught by extending the interleaving fuzz with merge ops.
     commitImpl(s, dir, merged, partCol, carryUntouched = false, Set.empty,
       expectedPrev = Some(cur),
       statsColumns = Option(statsColumns).getOrElse(Seq(keyCol)),
-      carriedOverride = Some(carried))
+      carriedOverride = Some(carried),
+      dataChangeValues = rewrite.map(_.value).toSet)
   }
 
   /** Retention vacuum — the production knob that bounds history: drop
@@ -972,7 +1033,8 @@ object Snapshots {
       replacedValues: Set[String], expectedPrev: Option[Long],
       statsColumns: Seq[String] = Nil,
       dataVersionOf: Map[String, Long] = Map.empty,
-      carriedOverride: Option[Seq[Entry]] = None): Long = {
+      carriedOverride: Option[Seq[Entry]] = None,
+      dataChangeValues: Set[String] = Set.empty): Long = {
     require(df.schema(partCol).dataType == StringType,
       s"Snapshots: partition column '$partCol' must be StringType (it " +
         "travels through directory names and manifest lines as a string; " +
@@ -1048,6 +1110,11 @@ object Snapshots {
     val carried = carriedOverride.getOrElse {
       if (!carryUntouched || prev == 0) Nil
       else readManifest(s, dir, prev).entries.filterNot(e => replaced(e.value))
+    }.map { e =>
+      // the caller declares these partitions' ROWS changed this commit
+      // (merge rewrote files of theirs, possibly to nothing): their
+      // carried files are stamped so the change feed cannot miss it
+      if (dataChangeValues(e.value)) e.copy(dataVersion = v) else e
     }
     // the SCHEMA CONTRACT, enforced where it can fail loudly and early:
     // a commit that carries older files may ADD columns (carried files

@@ -561,6 +561,28 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir, "part", v5).count() ==
       Snapshots.read(spark, dir, "part", v4).count())
     assert(Snapshots.diff(spark, dir, "part", v4, v5).count() == 0)
+    // a delete that EMPTIES every affected file while sibling files
+    // carry writes NOTHING back for the partition — the carried siblings
+    // must be stamped data-changed or the feed would MISS the delete
+    // (the fuzz-found hole: the partition's max dataVersion would stay
+    // old). Wipe everything at or above the max recorded file lo-bound:
+    // range disjointness makes the affected set exactly the top file(s),
+    // each emptied whole.
+    val loMax = manifestText(dir, v5).split("\n").filter(_.startsWith("a\t"))
+      .map(_.split("\t")(4)).filter(_.startsWith("x="))
+      .map(_.stripPrefix("x=").split(",")(0).toLong).max
+    val hiKeys = Snapshots.read(spark, dir, "part", v5)
+      .filter(col("x") >= loMax).select("x").as[Long].collect()
+    assert(hiKeys.nonEmpty)
+    val wipeHi = hiKeys.toSeq.map(x => (x, "", "D"))
+      .toDF("x", "payload", "op").withColumn("part", lit("a"))
+    val v6 = Snapshots.merge(spark, dir, "part", "x", wipeHi)
+    assert(Snapshots.read(spark, dir, "part", v6)
+      .filter(col("x") >= loMax).count() == 0)
+    val changes = Snapshots.diffRows(spark, dir, "part", "x", v5, v6)
+      .select("change", "x").as[(String, Long)].collect()
+    assert(changes.count(_._1 == "delete") == hiKeys.length,
+      s"the feed must carry the emptied file's deletes: ${changes.toSeq}")
   }
 
   test("schema evolution: add-column replace commits in place; type change and drop stay refused") {
@@ -710,6 +732,41 @@ class SnapshotsSpec extends SparkSpec {
       .select("x").as[Long].collect().sameElements(Array(100L)))
   }
 
+  test("diffRows emits row images — insert/delete/update pre+post — and suppresses ride-along rows") {
+    val dir = tempTable()
+    val v1 = Snapshots.commit(spark, dir,
+      Seq(("a", 1L, "p1"), ("a", 2L, "p2"), ("b", 10L, "q1"))
+        .toDF("part", "k", "payload"), "part")
+    // rewrite a: k=1 rides along unchanged, k=2 deleted, k=3 inserted
+    val v2 = Snapshots.commitReplace(spark, dir,
+      Seq(("a", 1L, "p1"), ("a", 3L, "p3")).toDF("part", "k", "payload"),
+      "part")
+    val d12 = Snapshots.diffRows(spark, dir, "part", "k", v1, v2)
+      .select("change", "part", "k", "payload")
+      .as[(String, String, Long, String)].collect().sorted.toSeq
+    // the unchanged k=1 row was REWRITTEN (its partition was) yet emits
+    // nothing — the row-level signal the partition feed cannot give;
+    // untouched partition b appears nowhere
+    assert(d12 == Seq(("delete", "a", 2L, "p2"), ("insert", "a", 3L, "p3")),
+      d12)
+    // an in-place payload change emits both images
+    val v3 = Snapshots.commitReplace(spark, dir,
+      Seq(("a", 1L, "P1"), ("a", 3L, "p3")).toDF("part", "k", "payload"),
+      "part")
+    val d23 = Snapshots.diffRows(spark, dir, "part", "k", v2, v3)
+      .select("change", "k", "payload")
+      .as[(String, Long, String)].collect().sorted.toSeq
+    assert(d23 == Seq(("update_postimage", 1L, "P1"),
+      ("update_preimage", 1L, "p1")), d23)
+    // a compaction is invisible at row grain too (dataVersion carry)
+    val v4 = Snapshots.commitReplace(spark, dir,
+      Seq(("a", 5L, "x"), ("a", 6L, "y"), ("a", 7L, "z"))
+        .toDF("part", "k", "payload").repartition(3), "part")
+    val v5 = Snapshots.optimize(spark, dir, "part")
+    assert(v5 > v4 && Snapshots.diffRows(spark, dir, "part", "k", v4, v5)
+      .count() == 0)
+  }
+
   test("SQL surface: USING graft_snapshot serves VERSION AS OF / TIMESTAMP AS OF as plain SQL") {
     val dir = tempTable()
     val v1 = Snapshots.commit(spark, dir,
@@ -758,6 +815,43 @@ class SnapshotsSpec extends SparkSpec {
     assert(rows("snap_ts2") == rows("snap_v1"))
   }
 
+  test("TRUE concurrent writers: parallel commitRetry increments lose no update and write a contiguous history") {
+    // the OCC loop under real thread interleaving (the single-threaded
+    // race-injection test drives the branches; this drives the CLOCK):
+    // every increment reads the version it pinned and writes read+1, so
+    // ANY lost update makes the final counter fall short. Spark is
+    // thread-safe for concurrent actions on one session; the commit
+    // point itself is the manifest rename (atomic-with-refusal on HDFS;
+    // the local-FS caveat of invariant 3 has a sub-microsecond window
+    // against multi-hundred-ms attempts here).
+    val dir = tempTable()
+    Snapshots.commit(spark, dir, Seq(("a", 0L)).toDF("part", "x"), "part")
+    val writers = 4
+    val perWriter = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val tasks = (1 to writers * perWriter).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long =
+            Snapshots.commitRetry(spark, dir, "part", attempts = 80) { prev =>
+              val cur = Snapshots.read(spark, dir, "part", prev)
+                .agg(max(col("x"))).collect()(0).getLong(0)
+              Seq(("a", cur + 1)).toDF("part", "x")
+            }
+        })
+      }
+      val versions = tasks.map(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      // every commit landed a DISTINCT version, history is contiguous
+      assert(versions.toSet.size == versions.size, s"duplicate versions: $versions")
+      assert(versions.sorted == (2L to (1L + writers * perWriter)),
+        versions.sorted.toString)
+      // and no increment was lost: the final counter is exactly the count
+      val fin = Snapshots.read(spark, dir, "part")
+        .agg(max(col("x"))).collect()(0).getLong(0)
+      assert(fin == writers * perWriter, s"lost update: $fin")
+    } finally pool.shutdownNow()
+  }
+
   test("randomized commit/replace/optimize/read/vacuum interleaving: every surviving version reads its recorded content") {
     // the format's whole contract under one seeded fuzz: after each op,
     // a randomly chosen SURVIVING version must read back exactly the
@@ -795,7 +889,7 @@ class SnapshotsSpec extends SparkSpec {
           .flatMap { case (p, (_, xs)) => xs.map(("added", p, _)) }).sorted
       assert(gotD == wantD, s"diff($a,$b) diverged at step $step")
     }
-    for (step <- 1 to 26) {
+    for (step <- 1 to 30) {
       rnd.nextInt(10) match {
         case r if r <= 3 || live.isEmpty =>
           val m = freshRows(rnd.shuffle(parts).take(1 + rnd.nextInt(parts.size)))
@@ -829,6 +923,42 @@ class SnapshotsSpec extends SparkSpec {
           val v = Snapshots.optimize(spark, dir, "part")
           if (v != prev) { // no-op when nothing is fragmented
             expected += v -> expected(prev)
+            live :+= v
+            checkDiff(prev, v, step)
+          }
+        case 9 => // FILE-GRAIN MERGE: delete a few existing keys (x values
+          // are globally unique — they ARE the keys) and insert fresh
+          // ones; every delta-touched partition whose files the merge
+          // rewrote — even to nothing — gets a fresh stamp (the
+          // dataChange rule the emptied-file delete forced), untouched
+          // partitions keep theirs
+          val prev = live.last
+          val model = expected(prev)
+          val allRows = model.toSeq.flatMap { case (p, (_, xs)) => xs.map((p, _)) }
+          val dels = rnd.shuffle(allRows).take(rnd.nextInt(3))
+          val inss = Seq.fill(rnd.nextInt(3)) {
+            counter += 1
+            (parts(rnd.nextInt(parts.size)), counter)
+          }
+          if (dels.nonEmpty || inss.nonEmpty) {
+            val delta = (dels.map { case (p, x) => (x, p, "D") } ++
+              inss.map { case (p, x) => (x, p, "U") })
+              .toDF("x", "part", "op")
+            val v = Snapshots.merge(spark, dir, "part", "x", delta)
+            val delByPart = dels.groupBy(_._1).view
+              .mapValues(_.map(_._2).toSet).toMap
+            val insByPart = inss.groupBy(_._1).view
+              .mapValues(_.map(_._2)).toMap
+            val touched = delByPart.keySet ++ insByPart.keySet
+            val next = (model.keySet ++ touched).toSeq.sorted.flatMap { p =>
+              val xs = model.get(p).map(_._2).getOrElse(Seq.empty)
+              val nxs = xs.filterNot(delByPart.getOrElse(p, Set.empty)) ++
+                insByPart.getOrElse(p, Seq.empty)
+              if (nxs.isEmpty) None
+              else if (!touched(p)) Some(p -> model(p))
+              else { stamp += 1; Some(p -> (stamp, nxs)) }
+            }.toMap
+            expected += v -> next
             live :+= v
             checkDiff(prev, v, step)
           }
