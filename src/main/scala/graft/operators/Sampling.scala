@@ -833,6 +833,63 @@ WHERE user_id >= 100 AND user_id < 200 AND event_id % 29 <> 0
       Snapshots.read(s, dir, "part", v3).select("user_id", "event_id", "v")
     },
 
+    // RESTORE-as-version: the metadata-only rollback (Delta RESTORE) —
+    // a bad backfill is undone by committing a NEW version that lists
+    // the old version's files by reference (zero data movement at any
+    // table size; the bad version stays auditable until vacuum).
+    // The oracle states the corrected state AND the restored (original)
+    // state from the raw events plus version_step = 1, so a restore
+    // that rewrote data, landed on the wrong version, failed to commit,
+    // or committed twice all break the hash. Feed emission and
+    // vacuum-survival of restored files are spec-pinned.
+    QueryDef(
+      "q_layout_restore",
+      """WITH g AS (
+  SELECT event_type, user_id % 100 AS bucket, count(*)::BIGINT AS n_events,
+    sum(CAST(value AS DECIMAL(38,10))) AS sv
+  FROM events GROUP BY 1, 2),
+gc AS (
+  SELECT event_type, user_id % 100 AS bucket, count(*)::BIGINT AS n_events,
+    sum(CAST(value AS DECIMAL(38,10))) AS sv
+  FROM events WHERE event_type = 'click' AND value >= 1.0 GROUP BY 1, 2),
+v2 AS (SELECT * FROM g WHERE event_type <> 'click' UNION ALL SELECT * FROM gc)
+SELECT 'corrected' AS snapshot, 1::BIGINT AS version_step, event_type,
+  count(*)::BIGINT AS n_buckets, sum(n_events)::BIGINT AS n_events,
+  CAST(round(sum(sv), 4) AS DOUBLE) AS total_value
+FROM v2 GROUP BY event_type
+UNION ALL
+SELECT 'restored' AS snapshot, 1::BIGINT AS version_step, event_type,
+  count(*)::BIGINT AS n_buckets, sum(n_events)::BIGINT AS n_events,
+  CAST(round(sum(sv), 4) AS DOUBLE) AS total_value
+FROM g GROUP BY event_type
+""".stripMargin) { (s, d) =>
+      import graft.sources.Snapshots
+      val dir = "/tmp/graft_snap_restore_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      def agg(src: org.apache.spark.sql.DataFrame) = src
+        .groupBy(col("event_type"), (col("user_id") % 100).as("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(graft.Exact.dec(col("value"))).as("sv"))
+      val ev = events(s, d)
+      val v1 = Snapshots.commit(s, dir, agg(ev), "event_type")
+      val v2 = Snapshots.commitReplace(s, dir,
+        agg(ev.filter(col("event_type") === "click" && col("value") >= 1.0)),
+        "event_type")
+      // the rollback: one manifest write, v1's files by reference
+      val v3 = Snapshots.restore(s, dir, "event_type", v1)
+      def at(v: Long, label: String, step: Long) =
+        Snapshots.read(s, dir, "event_type", v)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_buckets"), sum("n_events").as("n_events"),
+            graft.Exact.decOut(sum(col("sv"))).as("total_value"))
+          .select(lit(label).as("snapshot"), lit(step).as("version_step"),
+            col("event_type"), col("n_buckets"), col("n_events"),
+            col("total_value"))
+      at(v2, "corrected", 1L).unionByName(at(v3, "restored", v3 - v2))
+    },
+
     // ROW-level change feed (Delta CDF's row images): one keyed
     // full-outer join over just the changed partitions' two states turns
     // the partition feed into insert / delete / update_preimage /

@@ -730,9 +730,28 @@ object Snapshots {
     * partition's row in place (this format records no cross-partition
     * row lineage; the same rule as Hive-partitioned MERGE everywhere).
     * A table that was never committed is refused — seed it with
-    * [[commit]]. */
+    * [[commit]]. A lost optimistic race (a racer's commit or a
+    * concurrent vacuum between plan and rename) re-plans the WHOLE merge
+    * against the new latest, up to `attempts` times — the same two
+    * retryable signals as [[commitRetry]], with the same pinned-commit
+    * guarantee per attempt. */
   def merge(s: SparkSession, dir: String, partCol: String, keyCol: String,
-      delta: DataFrame, statsColumns: Seq[String] = null): Long = {
+      delta: DataFrame, statsColumns: Seq[String] = null,
+      attempts: Int = 5): Long = {
+    require(attempts >= 1, "merge needs at least one attempt")
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return mergeOnce(s, dir, partCol, keyCol, delta, statsColumns)
+      catch { case e: Throwable if isCommitRace(e) => last = e; i += 1 }
+    }
+    throw new IllegalStateException(
+      s"Snapshots: merge lost $attempts consecutive optimistic races at " +
+        s"$dir — a hotter writer is live; back off or coordinate", last)
+  }
+
+  private def mergeOnce(s: SparkSession, dir: String, partCol: String,
+      keyCol: String, delta: DataFrame, statsColumns: Seq[String]): Long = {
     val cur = currentVersion(s, dir)
     require(cur >= 1,
       s"Snapshots: merge needs a committed table at $dir — seed with commit()")
@@ -789,6 +808,56 @@ object Snapshots {
       statsColumns = Option(statsColumns).getOrElse(Seq(keyCol)),
       carriedOverride = Some(carried),
       dataChangeValues = rewrite.map(_.value).toSet)
+  }
+
+  /** RESTORE-as-version (Delta's rollback): commit a NEW version whose
+    * manifest lists exactly `toVersion`'s files — a pure METADATA
+    * operation (zero data movement, one manifest write), so "undo the
+    * last three commits" on a 100 TB table costs the same as on an
+    * empty one. History is append-only: the bad versions stay readable
+    * (and auditable) until vacuum retires them, and carry-by-reference
+    * keeps the restored files alive even after `toVersion` itself falls
+    * out of the retention window — the restored manifest references
+    * them, which is exactly vacuum's keep clause.
+    *
+    * Change-feed semantics: partitions whose FILE SET differs between
+    * the current version and the restore target are stamped data-changed
+    * (the feed emits the rollback as removed-current/added-restored);
+    * a difference that is pure compaction debris shows as a false
+    * positive the row-level [[diffRows]] suppresses — conservative in
+    * the direction that never loses a change. Restoring across an
+    * add-column evolution reverts the schema header with the files (a
+    * restored version is self-consistent by construction: its entries
+    * and schema come from one committed manifest). No-op (returns
+    * `toVersion`) when restoring to the current version. The commit is
+    * PINNED to the version the restore was planned against. */
+  def restore(s: SparkSession, dir: String, partCol: String,
+      toVersion: Long): Long = {
+    val cur = currentVersion(s, dir)
+    require(cur >= 1, s"Snapshots: nothing to restore at $dir")
+    if (toVersion == cur) return cur
+    val mT = readManifest(s, dir, toVersion) // fails loudly if vacuumed
+    val mC = readManifest(s, dir, cur)
+    val curPaths = mC.entries.groupBy(_.value)
+      .map { case (p, es) => p -> es.map(_.path).toSet }
+    val tgtPaths = mT.entries.groupBy(_.value)
+      .map { case (p, es) => p -> es.map(_.path).toSet }
+    val v = cur + 1
+    val entries = mT.entries.map { e =>
+      if (curPaths.get(e.value).contains(tgtPaths(e.value))) e
+      else e.copy(dataVersion = v)
+    }
+    val fs = fsOf(s, dir)
+    val headers = Seq(
+      mT.schema.map(sc => SchemaHeader + sc.json),
+      Some(MetaHeader + s"ts=${System.currentTimeMillis()}")).flatten
+    writeManifestAtomic(fs, manifestPath(dir, v),
+      (headers ++ entries.map(_.line)).mkString("\n"))
+    try {
+      val out = fs.create(hintPath(dir), true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case _: Exception => () }
+    v
   }
 
   /** Retention vacuum — the production knob that bounds history: drop

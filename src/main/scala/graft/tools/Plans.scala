@@ -208,6 +208,10 @@ object Plans {
       "the SQL surface of the same reads: USING graft_snapshot temp views with VERSION AS OF hand the planner the IDENTICAL manifest-served HadoopFsRelation (DSv1 RelationProvider — no wrapper scan node, no listing), so plain SQL text plans the same two FileSourceScans as the Scala API (PlanShapeSpec-pinned) with the same pruning and skipping levers",
     "q_layout_merge_selective" ->
       "file-grain MERGE over a clustered table: the rewrite set is chosen from manifest metadata (delta key span x recorded per-file key bounds), so the base-side scan holds ONLY the files that can contain delta keys — the full-outer fold shuffles the delta plus that slice once on the key, untouched files (including untouched files of touched partitions) move by manifest reference and appear in no plan at all",
+    "q_layout_cdf_rows" ->
+      "row-level change feed: the partition feed's two bounded scans (changed partitions only) meet in ONE full-outer key join — the anti-join a CDF consumer would otherwise write — and explode into row images; everything is sized by the CHANGE, the table never enters the plan",
+    "q_layout_restore" ->
+      "RESTORE-as-version: the rollback itself plans NOTHING (one manifest write listing the target's files by reference); the query's two reads are the usual one-scan version reads — corrected state and restored state — whose aggregates must disagree exactly where the backfill corrected",
     "q_layout_schema_evolution" ->
       "per-manifest schema: the post-evolution read is one scan whose read schema comes from v2's header — carried pre-evolution files null-fill the added column inside the scan (no rewrite, no cast node), and the v1 read plans against its own narrower header; both reads aggregate map-side",
     "q_layout_optimize_zorder" ->

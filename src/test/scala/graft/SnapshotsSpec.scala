@@ -815,6 +815,46 @@ class SnapshotsSpec extends SparkSpec {
     assert(rows("snap_ts2") == rows("snap_v1"))
   }
 
+  test("restore commits a metadata-only rollback: old files by reference, feed emits the rollback, vacuum keeps them") {
+    val dir = tempTable()
+    val v1 = Snapshots.commit(spark, dir,
+      Seq(("a", 1L), ("b", 10L), ("c", 20L)).toDF("part", "x"), "part")
+    val v2 = Snapshots.commitReplace(spark, dir,
+      Seq(("a", 2L)).toDF("part", "x"), "part", Set("c")) // a rewritten, c dropped
+    val v3 = Snapshots.restore(spark, dir, "part", v1)
+    assert(v3 == v2 + 1)
+    // content = v1's exactly, via v1's FILES (zero data movement)
+    assert(Snapshots.read(spark, dir, "part", v3)
+      .select("part", "x").as[(String, Long)].collect().sorted.toSeq
+      == Seq(("a", 1L), ("b", 10L), ("c", 20L)))
+    assert(pathsOf(dir, v3, "b") == pathsOf(dir, v1, "b"))
+    assert(pathsOf(dir, v3, "a") == pathsOf(dir, v1, "a"),
+      "restore must reference, never rewrite")
+    // the feed carries the rollback: a back to 1 (changed), c re-added,
+    // b untouched (same files in v2 and v3 — not emitted)
+    val d = Snapshots.diff(spark, dir, "part", v2, v3)
+      .select("change", "part", "x").as[(String, String, Long)]
+      .collect().sorted.toSeq
+    assert(d == Seq(("added", "a", 1L), ("added", "c", 20L),
+      ("removed", "a", 2L)), d)
+    // the bad version stays auditable until retention retires it...
+    assert(Snapshots.read(spark, dir, "part", v2)
+      .filter(col("part") === "a").select("x").as[Long].collect()
+      .sameElements(Array(2L)))
+    // ...and vacuuming it cannot touch the restored version's files —
+    // the v3 manifest references them (carry-by-reference's keep clause)
+    val dropped = Snapshots.vacuum(spark, dir, keepLast = 1)
+    assert(dropped == Seq(1L, 2L), dropped)
+    assert(Snapshots.read(spark, dir, "part", v3)
+      .select("part", "x").as[(String, Long)].collect().sorted.toSeq
+      == Seq(("a", 1L), ("b", 10L), ("c", 20L)))
+    // restore-to-current is a no-op; restoring a vacuumed version fails
+    assert(Snapshots.restore(spark, dir, "part", v3) == v3)
+    intercept[IllegalArgumentException] {
+      Snapshots.restore(spark, dir, "part", v2)
+    }
+  }
+
   test("TRUE concurrent writers: parallel commitRetry increments lose no update and write a contiguous history") {
     // the OCC loop under real thread interleaving (the single-threaded
     // race-injection test drives the branches; this drives the CLOCK):
@@ -849,6 +889,32 @@ class SnapshotsSpec extends SparkSpec {
       val fin = Snapshots.read(spark, dir, "part")
         .agg(max(col("x"))).collect()(0).getLong(0)
       assert(fin == writers * perWriter, s"lost update: $fin")
+    } finally pool.shutdownNow()
+  }
+
+  test("concurrent file-grain merges: racing writers all land, none lost") {
+    // 8 parallel single-key merges; each lost rename re-plans the whole
+    // merge against the racer's latest (merge's own OCC loop) — every
+    // key must land exactly once
+    val dir = tempTable()
+    Snapshots.commit(spark, dir,
+      Seq(("a", 0L, "seed")).toDF("part", "k", "payload"), "part",
+      statsColumns = Seq("k"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val tasks = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = Snapshots.merge(spark, dir, "part", "k",
+            Seq((i.toLong, s"p$i", "U")).toDF("k", "payload", "op")
+              .withColumn("part", lit("a")), attempts = 80)
+        })
+      }
+      tasks.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      val got = Snapshots.read(spark, dir, "part")
+        .select("k", "payload").as[(Long, String)].collect().sorted.toSeq
+      assert(got == ((0L, "seed") +: (1 to 8).map(i => (i.toLong, s"p$i"))),
+        got)
+      assert(Snapshots.currentVersion(spark, dir) == 9L)
     } finally pool.shutdownNow()
   }
 
