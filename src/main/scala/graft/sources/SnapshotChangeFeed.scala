@@ -26,8 +26,11 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
   * (a, b] bit-identically from the IMMUTABLE manifests — exactly-once
   * with a transactional sink. A pure [[Snapshots.optimize]] compaction
   * carries `dataVersion`, so it emits NOTHING here (dataChange=false),
-  * and the very first served version arrives as a full 'added' snapshot
-  * (the initial-load convention Delta's change feed uses).
+  * and the query's very first served version arrives as a full 'added'
+  * snapshot (the initial-load convention Delta's change feed uses) —
+  * except under an explicit `startingVersion` whose predecessor is
+  * still live, which serves DELTAS ONLY from there (Delta's
+  * startingVersion rule; fold-from-empty consumers want the default).
   *
   * Deliberately a DataSource V1 [[Source]] — `getBatch` returns a
   * DataFrame, so each step IS the manifest-served one-scan plan the
@@ -110,12 +113,23 @@ class SnapshotCdfSource(spark: SparkSession, dir: String, partCol: String,
     * appended partCol/change/_commit_version feed columns */
   private val dataSchema = StructType(schema.fields.toSeq.dropRight(3))
 
-  /** offset BEFORE the first served version: served range is always
-    * (base, latest] */
-  private val base: Long = startingVersion.map(_ - 1L).getOrElse {
+  /** `base` = the offset BEFORE the first served version (the served
+    * range is always (base, latest]); `initialSnapshotAt` = the ONE
+    * version this query incarnation may serve as a full 'added' snapshot:
+    * the earliest surviving version when no startingVersion was given,
+    * or an explicit startingVersion whose PREDECESSOR no longer exists
+    * (a delta cannot be computed, so the full state is the only
+    * consistent start). An explicit startingVersion with a live
+    * predecessor serves DELTAS ONLY from there — Delta's startingVersion
+    * rule; consumers who fold from empty state want the default. */
+  private val (base: Long, initialSnapshotAt: Option[Long]) = {
     val live = Snapshots.liveVersions(spark, dir)
     require(live.nonEmpty, s"graft_snapshot_cdf: no committed version at $dir")
-    live.min - 1L
+    startingVersion match {
+      case Some(sv) =>
+        (sv - 1L, if (live.contains(sv - 1L)) None else Some(sv))
+      case None => (live.min - 1L, Some(live.min))
+    }
   }
 
   /** high-water mark of served batches — admission control's cursor (a
@@ -166,25 +180,31 @@ class SnapshotCdfSource(spark: SparkSession, dir: String, partCol: String,
         .select((dataSchema.fieldNames.toSeq :+ partCol).map(col)
           :+ lit(label).as("change")
           :+ lit(v).as("_commit_version"): _*)
+    // one manifest read per version in the range: step v's to-manifest
+    // is step v+1's from-manifest
+    var prevM: Option[(Long, Snapshots.Manifest)] = None
     val steps = (a + 1 to b).flatMap { v =>
       if (!live.contains(v)) gone(v)
       val mT = Snapshots.readManifest(spark, dir, v)
-      if (!live.contains(v - 1)) {
-        // the range's first step may be the earliest surviving version:
-        // serve its FULL state as 'added' (initial load); anywhere later
-        // a missing predecessor is a retention gap
-        if (v != a + 1) gone(v - 1)
-        Seq(side(mT.entries, "added", v))
-      } else {
-        val mF = Snapshots.readManifest(spark, dir, v - 1)
-        val fParts = mF.entries.map(_.value).toSet
-        val changed = mT.entries.groupBy(_.value)
-          .filter { case (_, es) => es.map(_.dataVersion).max > v - 1 }.keySet
-        val removed = mF.entries.filter(e =>
-          !mT.entries.exists(_.value == e.value) || changed(e.value))
-        val added = mT.entries.filter(e => changed(e.value))
-        Seq(side(removed, "removed", v), side(added, "added", v))
-      }
+      val out =
+        if (start.isEmpty && v == a + 1 && initialSnapshotAt.contains(v)) {
+          // the query's very FIRST batch may open with the configured
+          // initial snapshot. A checkpointed restart always arrives with
+          // start=Some(...) — its consumer has folded state through that
+          // offset, so a missing predecessor there is a RETENTION GAP
+          // (vacuum outran the consumer) and must abort below, never be
+          // conflated with an initial load that would silently
+          // re-deliver the whole table as 'added'.
+          Seq(side(mT.entries, "added", v))
+        } else {
+          if (!live.contains(v - 1)) gone(v - 1)
+          val mF = prevM.collect { case (pv, m) if pv == v - 1 => m }
+            .getOrElse(Snapshots.readManifest(spark, dir, v - 1))
+          val (removed, added) = Snapshots.changedSets(mF, mT, v - 1)
+          Seq(side(removed, "removed", v), side(added, "added", v))
+        }
+      prevM = Some((v, mT))
+      out
     }
     if (steps.isEmpty) side(Nil, "added", b).limit(0)
     else steps.reduce(_ unionByName _)

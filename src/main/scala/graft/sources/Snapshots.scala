@@ -55,16 +55,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      where the table looks empty mid-swap. A reader that resolved
   *      version N plans its scan from that immutable manifest and is
   *      untouched by any number of later commits.
-  *   3. Writers are optimistic: two concurrent commits race to rename
-  *      the SAME manifest name; an exists-precheck plus
-  *      rename-without-overwrite makes the loser fail loudly instead of
-  *      silently clobbering. CAVEAT (portability): HDFS rename is atomic
-  *      and refuses an existing target; object stores need a
-  *      conditional-PUT equivalent; and LOCAL filesystems are
-  *      version-dependent — POSIX rename(2) REPLACES an existing target,
-  *      so RawLocalFileSystem's guarantee rests on the Hadoop-side
-  *      target-exists check, which the precheck here narrows but cannot
-  *      close. Exactly the caveat real formats document.
+  *   3. Writers are optimistic: two concurrent commits race to CREATE
+  *      the SAME manifest name; the loser fails loudly instead of
+  *      silently clobbering. The atomic create-or-refuse primitive is
+  *      per-filesystem: HDFS rename (atomic, refuses an existing
+  *      target); LOCAL filesystems use link(2) — POSIX rename(2)
+  *      REPLACES an existing target, and the thread-race fuzz actually
+  *      LOST a committed version to that window before the hard-link
+  *      commit point closed it. CAVEAT (portability): object stores
+  *      need a conditional-PUT equivalent — the caveat real formats
+  *      document.
   *
   * SCHEMA CONTRACT (evolution supported since r15): the partition column
   * is a StringType for the table's lifetime (asserted at commit —
@@ -166,19 +166,41 @@ object Snapshots {
   /** Resolve a wall-clock timestamp to a version: the LATEST version
     * whose recorded commit time is <= `tsMillis` (Delta's
     * `timestampAsOf` rule). Commit times come from each manifest's
-    * `#meta ts=` header, so resolution is O(live versions) one-line
-    * reads; versions retired by [[vacuum]] are not resolvable (same as
-    * any read below the retention window). Fails loudly when every
-    * surviving version is newer than the asked time. */
+    * `#meta ts=` header, read HEADER-ONLY (headers are a prefix of the
+    * file; the reader stops at the first entry line), so resolution is
+    * O(live versions) small reads regardless of table size; versions
+    * retired by [[vacuum]] are not resolvable (same as any read below
+    * the retention window). Fails loudly when every surviving version
+    * is newer than the asked time. */
   def versionAt(s: SparkSession, dir: String, tsMillis: Long): Long = {
     val fs = fsOf(s, dir)
     val vs = listVersions(fs, dir)
     require(vs.nonEmpty, s"Snapshots: no committed version to read at $dir")
-    val at = vs.filter(v => readManifest(s, dir, v).ts.exists(_ <= tsMillis))
+    val at = vs.filter(v =>
+      readHeaderTs(fs, manifestPath(dir, v)).exists(_ <= tsMillis))
     require(at.nonEmpty,
       s"Snapshots: no version committed at or before ts=$tsMillis at $dir " +
         s"(earliest surviving version is ${vs.min})")
     at.max
+  }
+
+  /** the `#meta ts=` header alone — reads the manifest's '#'-prefixed
+    * PREFIX and stops at the first entry line, never the file list */
+  private def readHeaderTs(fs: FileSystem, p: Path): Option[Long] = {
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+    try {
+      var line = in.readLine()
+      while (line != null && line.startsWith("#")) {
+        if (line.startsWith(MetaHeader)) {
+          return line.stripPrefix(MetaHeader).split("\\s+").collectFirst {
+            case kv if kv.startsWith("ts=") => kv.stripPrefix("ts=").toLong
+          }
+        }
+        line = in.readLine()
+      }
+      None
+    } finally in.close()
   }
 
   /** every committed version still present (post-vacuum), ascending —
@@ -295,11 +317,21 @@ object Snapshots {
   private[graft] case class Manifest(schema: Option[StructType],
       ts: Option[Long], entries: Seq[Entry])
 
+  /** thrown when a version's manifest is absent (never committed, or
+    * retired by [[vacuum]]) — a dedicated type CARRYING THE TABLE DIR so
+    * [[commitRetry]]/[[merge]] can classify staleness of THEIR OWN table
+    * as a retryable race without masking an unrelated failure (a
+    * transform reading some OTHER table at a stale version must
+    * propagate, not burn retries) */
+  final class StaleVersionException(val tableDir: String, msg: String)
+      extends IllegalArgumentException(msg)
+
   private[graft] def readManifest(s: SparkSession, dir: String,
       v: Long): Manifest = {
     val fs = fsOf(s, dir)
     val p = manifestPath(dir, v)
-    require(fs.exists(p), s"Snapshots: version $v does not exist at $dir")
+    if (!fs.exists(p)) throw new StaleVersionException(dir,
+      s"Snapshots: version $v does not exist at $dir")
     val lines = readSmall(fs, p).split("\n").toSeq.filter(_.nonEmpty)
     // headers are a PREFIX of '#'-leading lines; entries never start with
     // '#' (commit refuses '#'-leading partition values precisely so this
@@ -320,6 +352,13 @@ object Snapshots {
       line.split("\t", -1) match {
         case Array(value, path, bytes, dv, stats) =>
           Entry(value, path, bytes.toLong, dv.toLong, StatCodec.parse(stats))
+        case f if f.length == 2 || f.length == 4 =>
+          // the pre-file-grain (r14) per-partition formats — fail
+          // self-describingly rather than "malformed"
+          throw new IllegalStateException(
+            s"Snapshots: $p uses the retired per-partition manifest " +
+              "format (pre-file-grain); recommit the table under the " +
+              "current format")
         case _ => throw new IllegalStateException(
           s"Snapshots: malformed manifest line in $p: $line")
       }
@@ -389,10 +428,11 @@ object Snapshots {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** tmp + atomic rename, REFUSING an existing target or a vacuumed
-    * version number — the commit point, the optimistic-concurrency guard,
-    * and the resurrection guard in one place. RESIDUAL CAVEAT (the same
-    * family as invariant 3's): a writer that passes the floor check while
+  /** tmp + atomic create-or-refuse (link(2) on local filesystems, rename
+    * on HDFS — see invariant 3), REFUSING an existing target or a
+    * vacuumed version number — the commit point, the
+    * optimistic-concurrency guard, and the resurrection guard in one
+    * place. RESIDUAL CAVEAT: a writer that passes the floor check while
     * a concurrent vacuum raises the floor can still land in the retired
     * range — closing it needs a coordinating catalog; the practical rule
     * real formats document is the same: keep retention windows long
@@ -415,11 +455,36 @@ object Snapshots {
     val tmp = new Path(p.getParent, s".tmp_${p.getName}_${System.nanoTime()}")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    val renamed = try fs.rename(tmp, p) catch { case _: Throwable => false }
-    if (!renamed) {
-      fs.delete(tmp, false)
-      conflict("already exists — a concurrent writer committed this " +
-        "version first")
+    val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      // LOCAL filesystems: POSIX rename(2) REPLACES an existing target,
+      // so Hadoop's rename guarantee rests on a check-then-rename window
+      // a true thread race CAN lose (observed: the concurrent-merge spec
+      // lost a committed version to a racer's clobbering rename). link(2)
+      // is the atomic-refuse-if-exists primitive the commit point needs:
+      // hard-link tmp to the manifest name, which either creates it or
+      // throws FileAlreadyExistsException — no window.
+      val tmpLocal = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val pLocal = java.nio.file.Paths.get(p.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(pLocal, tmpLocal)
+        fs.delete(tmp, false)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+          conflict("already exists — a concurrent writer committed this " +
+            "version first")
+      }
+    } else {
+      // HDFS rename is atomic and refuses an existing target; object
+      // stores need a conditional-PUT equivalent (the caveat real
+      // formats document)
+      val renamed = try fs.rename(tmp, p) catch { case _: Throwable => false }
+      if (!renamed) {
+        fs.delete(tmp, false)
+        conflict("already exists — a concurrent writer committed this " +
+          "version first")
+      }
     }
   }
 
@@ -563,7 +628,7 @@ object Snapshots {
         return commitImpl(s, dir, make(prev), partCol,
           carryUntouched = replace, replacedValues, expectedPrev = Some(prev))
       catch {
-        case e: Throwable if isCommitRace(e) => last = e; i += 1
+        case e: Throwable if isCommitRace(e, dir) => last = e; i += 1
       }
     }
     throw new IllegalStateException(
@@ -571,17 +636,19 @@ object Snapshots {
         s"$dir — a hotter writer is live; back off or coordinate", last)
   }
 
-  /** a lost race is EXACTLY a manifest-rename refusal, or the staleness
-    * signal of reading a version a concurrent vacuum just retired
-    * (per-writer-unique data dirs removed every other collision
-    * surface); anything else — including unrelated "already exists"
-    * errors from the caller's own transform — propagates immediately
-    * instead of burning retries */
-  private def isCommitRace(e: Throwable): Boolean =
+  /** a lost race is EXACTLY a manifest-rename refusal, or a
+    * [[StaleVersionException]] FOR THIS TABLE (a concurrent vacuum
+    * retired the version the attempt pinned — per-writer-unique data
+    * dirs removed every other collision surface); anything else —
+    * including unrelated "already exists" errors from the caller's own
+    * transform, and staleness of some OTHER table the transform reads —
+    * propagates immediately instead of burning retries */
+  private def isCommitRace(e: Throwable, dir: String): Boolean =
     e.isInstanceOf[CommitConflictException] ||
-      (e.isInstanceOf[IllegalArgumentException] && e.getMessage != null &&
-        e.getMessage.contains("Snapshots: version") &&
-        e.getMessage.contains("does not exist"))
+      (e match {
+        case sv: StaleVersionException => sv.tableDir == dir
+        case _ => false
+      })
 
   /** Partition-level change feed between two committed versions — the
     * incremental-consumption primitive: manifests are compared by
@@ -610,19 +677,29 @@ object Snapshots {
       s"Snapshots: diff needs 1 <= fromV < toV, got $fromV..$toV")
     val mF = readManifest(s, dir, fromV)
     val mT = readManifest(s, dir, toV)
-    // changed = rows written inside (fromV, toV]; new partitions always
-    // qualify (their files' dataVersion IS their commit version)
+    val (removed, added) = changedSets(mF, mT, fromV)
+    val schema = schemaOf(s, mT)
+    def side(entries: Seq[Entry], label: String) =
+      scanEntries(s, partCol, schema, entries)
+        .withColumn("change", lit(label))
+    side(removed, "removed").unionByName(side(added, "added"))
+  }
+
+  /** the change-feed partition rule, shared by [[diff]] and the
+    * streaming source: a partition changed in (fromV, mT's version] iff
+    * some file of it in mT carries `dataVersion > fromV` (new partitions
+    * always qualify — their files' dataVersion IS their commit version;
+    * pure compactions never do — they carry), or it was dropped.
+    * Set-based lookups: O(|mF| + |mT|) driver work at any file count. */
+  private[graft] def changedSets(mF: Manifest, mT: Manifest,
+      fromV: Long): (Seq[Entry], Seq[Entry]) = {
     val changedTo = mT.entries.groupBy(_.value)
       .filter { case (_, es) => es.map(_.dataVersion).max > fromV }.keySet
     val tParts = mT.entries.map(_.value).toSet
     val removed = mF.entries.filter(e =>
       !tParts.contains(e.value) || changedTo(e.value))
     val added = mT.entries.filter(e => changedTo(e.value))
-    val schema = schemaOf(s, mT)
-    def side(entries: Seq[Entry], label: String) =
-      scanEntries(s, partCol, schema, entries)
-        .withColumn("change", lit(label))
-    side(removed, "removed").unionByName(side(added, "added"))
+    (removed, added)
   }
 
   /** ROW-level change feed between two committed versions — Delta CDF's
@@ -743,7 +820,7 @@ object Snapshots {
     var i = 0
     while (i < attempts) {
       try return mergeOnce(s, dir, partCol, keyCol, delta, statsColumns)
-      catch { case e: Throwable if isCommitRace(e) => last = e; i += 1 }
+      catch { case e: Throwable if isCommitRace(e, dir) => last = e; i += 1 }
     }
     throw new IllegalStateException(
       s"Snapshots: merge lost $attempts consecutive optimistic races at " +
@@ -766,10 +843,21 @@ object Snapshots {
         "(the table's columns + partCol + op)")
     val keyType = schema(keyCol).dataType
     // the delta's per-partition key span — ONE tiny aggregate, the only
-    // look at the delta before the rewrite itself
-    val spans = delta.groupBy(col(partCol))
-      .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
+    // look at the delta before the rewrite itself. It also carries the
+    // NULL-key census: a NULL-keyed 'U' row would slide through the
+    // full-outer join matching nothing and land as a FRESH insert on
+    // every merge (and on every OCC re-plan) — the silent key-uniqueness
+    // corruption the loud refusal here prevents, at zero extra passes.
+    val spanRows = delta.groupBy(col(partCol))
+      .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"),
+        count(lit(1)).as("n"), count(col(keyCol)).as("nk"))
       .collect()
+    val nullKeyed = spanRows.map(r => r.getLong(3) - r.getLong(4)).sum
+    require(nullKeyed == 0,
+      s"Snapshots: merge delta holds $nullKeyed NULL-keyed row(s) — a NULL " +
+        s"'$keyCol' can never match a base row (every merge would re-insert " +
+        "it); filter or impute NULL keys before merging")
+    val spans = spanRows
       .map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
     val ord = org.apache.spark.sql.catalyst.util.TypeUtils
       .getInterpretedOrdering(keyType)
@@ -807,7 +895,8 @@ object Snapshots {
       expectedPrev = Some(cur),
       statsColumns = Option(statsColumns).getOrElse(Seq(keyCol)),
       carriedOverride = Some(carried),
-      dataChangeValues = rewrite.map(_.value).toSet)
+      dataChangeValues = rewrite.map(_.value).toSet,
+      prevSchemaHint = Some(schema))
   }
 
   /** RESTORE-as-version (Delta's rollback): commit a NEW version whose
@@ -1048,11 +1137,20 @@ object Snapshots {
     // landing between the plan and the rename must fail this commit
     // loudly (rerun optimize against the new state), never have its
     // update silently replaced by a compaction of older data — the same
-    // lost-update rule commitRetry documents
+    // lost-update rule commitRetry documents.
+    // Default statsColumns = clusterBy PLUS every column the replaced
+    // files already had bounds for: a plain maintenance compaction must
+    // never ERASE recorded bounds (which would silently degrade file
+    // skipping and the file-grain merge forever — bounds carry verbatim,
+    // so the loss would be permanent).
+    val keepStats = (clusterBy ++ cands.flatMap(_.stats.keys)).distinct
+      .filter(c => dataSchema.fieldNames.contains(c) &&
+        StatCodec.supported(dataSchema(c).dataType))
     commitImpl(s, dir, packed, partCol, carryUntouched = false, Set.empty,
       expectedPrev = Some(cur),
-      statsColumns = Option(statsColumns).getOrElse(clusterBy),
-      dataVersionOf = dvOf, carriedOverride = Some(carried))
+      statsColumns = Option(statsColumns).getOrElse(keepStats),
+      dataVersionOf = dvOf, carriedOverride = Some(carried),
+      prevSchemaHint = Some(dataSchema))
   }
 
   /** data files of one partition dir (excludes _SUCCESS/.hidden) */
@@ -1085,7 +1183,15 @@ object Snapshots {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     rows.map { r =>
-      val file = new Path(r.getString(0)).toString // normalize scheme form
+      // input_file_name() yields the URL-ENCODED uri form ('a b' as
+      // 'a%20b'); manifest entries record listStatus's DECODED paths —
+      // decode through URI so hostile partition values keep their stats
+      // (a silent mismatch here would permanently drop the bounds)
+      val file =
+        try new Path(new java.net.URI(r.getString(0))).toString
+        catch { case _: java.net.URISyntaxException =>
+          new Path(r.getString(0)).toString
+        }
       val st = statsColumns.zipWithIndex.flatMap { case (c, i) =>
         val dt = dataSchema(c).dataType
         for {
@@ -1103,7 +1209,8 @@ object Snapshots {
       statsColumns: Seq[String] = Nil,
       dataVersionOf: Map[String, Long] = Map.empty,
       carriedOverride: Option[Seq[Entry]] = None,
-      dataChangeValues: Set[String] = Set.empty): Long = {
+      dataChangeValues: Set[String] = Set.empty,
+      prevSchemaHint: Option[StructType] = None): Long = {
     require(df.schema(partCol).dataType == StringType,
       s"Snapshots: partition column '$partCol' must be StringType (it " +
         "travels through directory names and manifest lines as a string; " +
@@ -1176,9 +1283,18 @@ object Snapshots {
         }
       }
     val replaced = written.map(_.value).toSet ++ replacedValues
+    // the previous manifest is read AT MOST ONCE per commit (it backs
+    // both the carried-entry listing and the schema check; callers that
+    // already resolved the schema — merge, optimize — pass it as a hint
+    // so their commit re-reads nothing): manifest reads are round-trips
+    // on the hot write path of an object-store deployment
+    val prevManifest: Option[Manifest] =
+      if (prev >= 1 && carryUntouched && carriedOverride.isEmpty)
+        Some(readManifest(s, dir, prev))
+      else None
     val carried = carriedOverride.getOrElse {
-      if (!carryUntouched || prev == 0) Nil
-      else readManifest(s, dir, prev).entries.filterNot(e => replaced(e.value))
+      prevManifest.map(_.entries.filterNot(e => replaced(e.value)))
+        .getOrElse(Nil)
     }.map { e =>
       // the caller declares these partitions' ROWS changed this commit
       // (merge rewrote files of theirs, possibly to nothing): their
@@ -1193,7 +1309,10 @@ object Snapshots {
     // version — refused. Name+widened-type comparison; column order and
     // nullability (nested included) are free (parquet resolves by name).
     if (carried.nonEmpty && prev >= 1) {
-      readManifest(s, dir, prev).schema.foreach { ps =>
+      prevSchemaHint
+        .orElse(prevManifest.flatMap(_.schema))
+        .orElse(readManifest(s, dir, prev).schema)
+        .foreach { ps =>
         val prevF = widenStruct(ps).fields.map(f => f.name -> f.dataType).toMap
         val newF = widenStruct(dataSchema).fields.map(f => f.name -> f.dataType).toMap
         val changed = prevF.collect {
