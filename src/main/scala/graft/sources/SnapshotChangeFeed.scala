@@ -14,7 +14,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
   * {{{
   * spark.readStream.format("graft_snapshot_cdf")
   *   .option("path", dir).option("partCol", "region")
-  *   .load()  // table columns + partCol + change + _commit_version
+  *   .load()  // table columns + partCol + change + _commit_version + _commit_timestamp
   * }}}
   *
   * Batch (a, b] = the union over v in (a, b] of version v's change set
@@ -99,7 +99,11 @@ object SnapshotCdfSource {
     StructType(dataSchema.fields.toSeq
       :+ StructField(partCol, StringType, nullable = true)
       :+ StructField("change", StringType, nullable = false)
-      :+ StructField("_commit_version", LongType, nullable = false))
+      :+ StructField("_commit_version", LongType, nullable = false)
+      // the manifest's recorded commit wall-clock (epoch millis) —
+      // Delta CDF's _commit_timestamp; null for a manifest without a
+      // meta header (none are written anymore)
+      :+ StructField("_commit_timestamp", LongType, nullable = true))
   }
 }
 
@@ -109,9 +113,10 @@ class SnapshotCdfSource(spark: SparkSession, dir: String, partCol: String,
 
   override val schema: StructType =
     SnapshotCdfSource.feedSchema(spark, dir, partCol)
-  /** the feed's fixed DATA schema — the last three fields are the
-    * appended partCol/change/_commit_version feed columns */
-  private val dataSchema = StructType(schema.fields.toSeq.dropRight(3))
+  /** the feed's fixed DATA schema — the last four fields are the
+    * appended partCol/change/_commit_version/_commit_timestamp feed
+    * columns */
+  private val dataSchema = StructType(schema.fields.toSeq.dropRight(4))
 
   /** `base` = the offset BEFORE the first served version (the served
     * range is always (base, latest]); `initialSnapshotAt` = the ONE
@@ -174,12 +179,15 @@ class SnapshotCdfSource(spark: SparkSession, dir: String, partCol: String,
     // the STREAM's fixed column order (the engine grafts each batch into
     // one plan: schemas must agree batch over batch); older files simply
     // null-fill later-added columns
-    def side(entries: Seq[Snapshots.Entry], label: String, v: Long): DataFrame =
+    def side(entries: Seq[Snapshots.Entry], label: String, v: Long,
+        ts: Option[Long]): DataFrame =
       Snapshots.scanEntries(spark, partCol, dataSchema, entries,
         streaming = true)
         .select((dataSchema.fieldNames.toSeq :+ partCol).map(col)
           :+ lit(label).as("change")
-          :+ lit(v).as("_commit_version"): _*)
+          :+ lit(v).as("_commit_version")
+          :+ ts.map(t => lit(t)).getOrElse(lit(null).cast("long"))
+            .as("_commit_timestamp"): _*)
     // one manifest read per version in the range: step v's to-manifest
     // is step v+1's from-manifest
     var prevM: Option[(Long, Snapshots.Manifest)] = None
@@ -195,18 +203,18 @@ class SnapshotCdfSource(spark: SparkSession, dir: String, partCol: String,
           // (vacuum outran the consumer) and must abort below, never be
           // conflated with an initial load that would silently
           // re-deliver the whole table as 'added'.
-          Seq(side(mT.entries, "added", v))
+          Seq(side(mT.entries, "added", v, mT.ts))
         } else {
           if (!live.contains(v - 1)) gone(v - 1)
           val mF = prevM.collect { case (pv, m) if pv == v - 1 => m }
             .getOrElse(Snapshots.readManifest(spark, dir, v - 1))
           val (removed, added) = Snapshots.changedSets(mF, mT, v - 1)
-          Seq(side(removed, "removed", v), side(added, "added", v))
+          Seq(side(removed, "removed", v, mT.ts), side(added, "added", v, mT.ts))
         }
       prevM = Some((v, mT))
       out
     }
-    if (steps.isEmpty) side(Nil, "added", b).limit(0)
+    if (steps.isEmpty) side(Nil, "added", b, None).limit(0)
     else steps.reduce(_ unionByName _)
   }
 
