@@ -815,6 +815,48 @@ class SnapshotsSpec extends SparkSpec {
     assert(rows("snap_ts2") == rows("snap_v1"))
   }
 
+  test("dynamic partition pruning fires through the manifest-served index") {
+    // the star-schema prune over the table format: the filter lives on
+    // the JOINED dim, so plan-time PartitionFilters cannot know the
+    // surviving partition values — the snapshot scan must carry a
+    // dynamicpruning subquery fed by the broadcast dim, and the
+    // ManifestFileIndex must serve FEWER files at runtime than the
+    // manifest lists (DPP composes with any FileIndex via listFiles's
+    // partition filters; this pins that the log-served index is no
+    // exception)
+    val dir = tempTable()
+    val factRows = (0 until 20).flatMap(p =>
+      (0 until 3).map(i => (f"p$p%02d", p * 10L + i)))
+    Snapshots.commit(spark, dir, factRows.toDF("part", "x"), "part")
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_snap_dim").toString
+    (0 until 20).map(p => (f"p$p%02d", if (p % 7 == 0) "keep" else "drop"))
+      .toDF("part", "cls").write.mode("overwrite").parquet(dimDir)
+    val fact = Snapshots.read(spark, dir, "part")
+    val j = fact.join(broadcast(
+      spark.read.parquet(dimDir).filter(col("cls") === "keep")), Seq("part"))
+      .select("part", "x")
+    val got = j.collect()
+    assert(got.length == 9, s"3 kept partitions x 3 rows: ${got.length}")
+    // the scan sits inside AQE query stages after execution — unwrap
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    val all = scans(j.queryExecution.executedPlan)
+    val scan = all.find(_.relation.location.isInstanceOf[
+      org.apache.spark.sql.graftbridge.ManifestFileIndex]).getOrElse(
+      fail(s"no manifest-served scan found among ${all.size} scans"))
+    assert(scan.toString.contains("dynamicpruning"),
+      "snapshot scan must be dynamically pruned by the dim filter:\n" + scan)
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles > 0 && numFiles < 20,
+      s"runtime prune must read only kept partitions' files: $numFiles of >= 20")
+  }
+
   test("restore commits a metadata-only rollback: old files by reference, feed emits the rollback, vacuum keeps them") {
     val dir = tempTable()
     val v1 = Snapshots.commit(spark, dir,
