@@ -890,6 +890,52 @@ FROM g GROUP BY event_type
       at(v2, "corrected", 1L).unionByName(at(v3, "restored", v3 - v2))
     },
 
+    // DESCRIBE HISTORY over the table format: every commit records its
+    // operation + wall-clock in the manifest meta header, and history()
+    // serves the audit view from manifests alone (one small read per
+    // surviving version — kilobytes for a 100 TB table). The fixture
+    // drives four DIFFERENT write paths; the oracle pins the op SEQUENCE
+    // and each version's live partition count from the raw events —
+    // a mislabeled op, a lost version, or a drop/restore that touched
+    // the wrong partitions all break the hash.
+    QueryDef(
+      "q_layout_history",
+      """SELECT 1::BIGINT AS step, 'commit' AS op,
+  (SELECT count(DISTINCT event_type) FROM events)::INT AS n_partitions
+UNION ALL
+SELECT 2::BIGINT, 'replace',
+  (SELECT count(DISTINCT event_type) FROM events)::INT
+UNION ALL
+SELECT 3::BIGINT, 'replace',
+  (SELECT count(DISTINCT event_type) FROM events
+   WHERE event_type <> 'error')::INT
+UNION ALL
+SELECT 4::BIGINT, 'restore',
+  (SELECT count(DISTINCT event_type) FROM events)::INT
+""".stripMargin) { (s, d) =>
+      import graft.sources.Snapshots
+      val dir = "/tmp/graft_snap_history_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      def agg(src: org.apache.spark.sql.DataFrame) = src
+        .groupBy(col("event_type"), (col("user_id") % 100).as("bucket"))
+        .agg(count(lit(1)).as("n_events"))
+      val ev = events(s, d)
+      val v1 = Snapshots.commit(s, dir, agg(ev), "event_type")
+      Snapshots.commitReplace(s, dir,
+        agg(ev.filter(col("event_type") === "click" && col("value") >= 1.0)),
+        "event_type")
+      // delete-all of one partition: replace with an empty frame
+      Snapshots.commitReplace(s, dir, agg(ev).limit(0), "event_type",
+        Set("error"))
+      Snapshots.restore(s, dir, "event_type", v1)
+      Snapshots.history(s, dir)
+        .filter(col("version") >= v1)
+        .select((col("version") - v1 + 1).as("step"), col("op"),
+          col("n_partitions"))
+    },
+
     // ROW-level change feed (Delta CDF's row images): one keyed
     // full-outer join over just the changed partitions' two states turns
     // the partition feed into insert / delete / update_preimage /

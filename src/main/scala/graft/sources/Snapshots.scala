@@ -313,9 +313,10 @@ object Snapshots {
       s"$value\t$path\t$bytes\t$dataVersion\t${StatCodec.cell(stats)}"
   }
 
-  /** one parsed manifest: recorded read schema, commit time, file entries */
+  /** one parsed manifest: recorded read schema, commit time, the
+    * operation that produced the version, file entries */
   private[graft] case class Manifest(schema: Option[StructType],
-      ts: Option[Long], entries: Seq[Entry])
+      ts: Option[Long], op: Option[String], entries: Seq[Entry])
 
   /** thrown when a version's manifest is absent (never committed, or
     * retired by [[vacuum]]) — a dedicated type CARRYING THE TABLE DIR so
@@ -343,10 +344,13 @@ object Snapshots {
     val schema = headers.find(_.startsWith(SchemaHeader))
       .map(h => DataType.fromJson(h.stripPrefix(SchemaHeader))
         .asInstanceOf[StructType])
-    val ts = headers.find(_.startsWith(MetaHeader)).flatMap { h =>
-      h.stripPrefix(MetaHeader).split("\\s+").collectFirst {
-        case kv if kv.startsWith("ts=") => kv.stripPrefix("ts=").toLong
-      }
+    val meta = headers.find(_.startsWith(MetaHeader))
+      .map(_.stripPrefix(MetaHeader).split("\\s+").toSeq).getOrElse(Seq.empty)
+    val ts = meta.collectFirst {
+      case kv if kv.startsWith("ts=") => kv.stripPrefix("ts=").toLong
+    }
+    val op = meta.collectFirst {
+      case kv if kv.startsWith("op=") => kv.stripPrefix("op=")
     }
     val entries = entryLines.map { line =>
       line.split("\t", -1) match {
@@ -363,7 +367,7 @@ object Snapshots {
           s"Snapshots: malformed manifest line in $p: $line")
       }
     }
-    Manifest(schema, ts, entries)
+    Manifest(schema, ts, op, entries)
   }
 
   /** nullability widened RECURSIVELY (structs/arrays/maps included):
@@ -626,7 +630,8 @@ object Snapshots {
       val prev = currentVersion(s, dir)
       try
         return commitImpl(s, dir, make(prev), partCol,
-          carryUntouched = replace, replacedValues, expectedPrev = Some(prev))
+          carryUntouched = replace, replacedValues, expectedPrev = Some(prev),
+          op = if (replace) "replace" else "commit")
       catch {
         case e: Throwable if isCommitRace(e, dir) => last = e; i += 1
       }
@@ -772,7 +777,7 @@ object Snapshots {
       partCol: String, replacedValues: Set[String] = Set.empty,
       statsColumns: Seq[String] = Nil): Long =
     commitImpl(s, dir, df, partCol, carryUntouched = true, replacedValues,
-      None, statsColumns)
+      None, statsColumns, op = "replace")
 
   /** FILE-grain MERGE-as-version — the Delta add/remove-action rewrite
     * unit: fold a keyed change batch into the current version rewriting
@@ -896,7 +901,7 @@ object Snapshots {
       statsColumns = Option(statsColumns).getOrElse(Seq(keyCol)),
       carriedOverride = Some(carried),
       dataChangeValues = rewrite.map(_.value).toSet,
-      prevSchemaHint = Some(schema))
+      prevSchemaHint = Some(schema), op = "merge")
   }
 
   /** RESTORE-as-version (Delta's rollback): commit a NEW version whose
@@ -939,7 +944,7 @@ object Snapshots {
     val fs = fsOf(s, dir)
     val headers = Seq(
       mT.schema.map(sc => SchemaHeader + sc.json),
-      Some(MetaHeader + s"ts=${System.currentTimeMillis()}")).flatten
+      Some(MetaHeader + s"ts=${System.currentTimeMillis()} op=restore")).flatten
     writeManifestAtomic(fs, manifestPath(dir, v),
       (headers ++ entries.map(_.line)).mkString("\n"))
     try {
@@ -947,6 +952,24 @@ object Snapshots {
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()
     } catch { case _: Exception => () }
     v
+  }
+
+  /** DESCRIBE HISTORY — one row per SURVIVING version, ascending:
+    * (version, ts_millis, op, n_partitions, n_files, bytes). Everything
+    * comes from the manifests alone (one read per live version — the
+    * Delta DESCRIBE HISTORY shape; [[vacuum]] bounds the cost), so the
+    * audit view of a 100 TB table costs kilobytes: who-did-what is
+    * `op` (commit/replace/merge/optimize/restore), when is the recorded
+    * commit wall-clock, and the size columns are the recorded exact
+    * file stats. */
+  def history(s: SparkSession, dir: String): DataFrame = {
+    val rows = liveVersions(s, dir).map { v =>
+      val m = readManifest(s, dir, v)
+      (v, m.ts, m.op, m.entries.map(_.value).distinct.size,
+        m.entries.size, m.entries.map(_.bytes).sum)
+    }
+    import s.implicits._
+    rows.toDF("version", "ts_millis", "op", "n_partitions", "n_files", "bytes")
   }
 
   /** Retention vacuum — the production knob that bounds history: drop
@@ -1150,7 +1173,7 @@ object Snapshots {
       expectedPrev = Some(cur),
       statsColumns = Option(statsColumns).getOrElse(keepStats),
       dataVersionOf = dvOf, carriedOverride = Some(carried),
-      prevSchemaHint = Some(dataSchema))
+      prevSchemaHint = Some(dataSchema), op = "optimize")
   }
 
   /** data files of one partition dir (excludes _SUCCESS/.hidden) */
@@ -1210,7 +1233,8 @@ object Snapshots {
       dataVersionOf: Map[String, Long] = Map.empty,
       carriedOverride: Option[Seq[Entry]] = None,
       dataChangeValues: Set[String] = Set.empty,
-      prevSchemaHint: Option[StructType] = None): Long = {
+      prevSchemaHint: Option[StructType] = None,
+      op: String = "commit"): Long = {
     require(df.schema(partCol).dataType == StringType,
       s"Snapshots: partition column '$partCol' must be StringType (it " +
         "travels through directory names and manifest lines as a string; " +
@@ -1344,7 +1368,7 @@ object Snapshots {
     val headerSchema = widenStruct(dataSchema)
     val headers = Seq(
       SchemaHeader + headerSchema.json,
-      MetaHeader + s"ts=${System.currentTimeMillis()}")
+      MetaHeader + s"ts=${System.currentTimeMillis()} op=$op")
     writeManifestAtomic(fs, manifestPath(dir, v),
       (headers ++ entries.map(_.line)).mkString("\n"))
     // best-effort advisory hint (see currentVersion) — never load-bearing

@@ -883,6 +883,15 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir, "part", v2)
       .filter(col("part") === "a").select("x").as[Long].collect()
       .sameElements(Array(2L)))
+    // DESCRIBE HISTORY: ops recorded per version, wall-clock present,
+    // sizes from the manifests alone
+    val h = Snapshots.history(spark, dir)
+      .select("version", "op", "n_partitions", "ts_millis")
+      .as[(Long, Option[String], Int, Option[Long])].collect().toSeq
+    assert(h.map(r => (r._1, r._2, r._3)) == Seq(
+      (v1, Some("commit"), 3), (v2, Some("replace"), 2),
+      (v3, Some("restore"), 3)), h)
+    assert(h.forall(_._4.nonEmpty), "commit time must be recorded")
     // ...and vacuuming it cannot touch the restored version's files —
     // the v3 manifest references them (carry-by-reference's keep clause)
     val dropped = Snapshots.vacuum(spark, dir, keepLast = 1)
