@@ -51,6 +51,18 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
     def req(k: String): String = opt(k).getOrElse(throw new IllegalArgumentException(
       s"graft_snapshot: option '$k' is required"))
     val dir = req("path")
+    // `history 'true'`: the DESCRIBE HISTORY audit view as a relation —
+    // (version, ts_millis, op, n_partitions, n_files, bytes), manifests
+    // only, resolved at view creation like a version pin
+    if (opt("history").exists(_.equalsIgnoreCase("true"))) {
+      val df = Snapshots.history(spark, dir)
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = ctx
+        override def schema = df.schema
+        private val rows = df.collect() // O(live versions) tiny rows
+        override def buildScan() = ctx.sparkContext.parallelize(rows.toSeq)
+      }
+    }
     val partCol = req("partCol")
     val version = (opt("versionAsOf"), opt("timestampAsOf")) match {
       case (Some(_), Some(_)) => throw new IllegalArgumentException(

@@ -813,6 +813,13 @@ class SnapshotsSpec extends SparkSpec {
       .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime.toString.replace('T', ' ')
     view("snap_ts2", s", timestampAsOf '$utc'")
     assert(rows("snap_ts2") == rows("snap_v1"))
+    // DESCRIBE HISTORY from SQL: the audit view as a relation
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_hist " +
+      s"USING graft_snapshot OPTIONS (path '$dir', history 'true')")
+    val hist = spark.sql(
+      "SELECT version, op FROM snap_hist ORDER BY version")
+      .as[(Long, String)].collect().toSeq
+    assert(hist == Seq((v1, "commit"), (v2, "replace")), hist)
   }
 
   test("dynamic partition pruning fires through the manifest-served index") {
