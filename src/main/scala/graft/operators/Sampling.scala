@@ -890,6 +890,47 @@ FROM g GROUP BY event_type
       at(v2, "corrected", 1L).unionByName(at(v3, "restored", v3 - v2))
     },
 
+    // DELETE WHERE + UPDATE WHERE as versions (Delta's DML pair): both
+    // pick their rewrite set from recorded per-file bounds through the
+    // SAME conservative logic the scan's file skipping uses — on the
+    // user_id-clustered table, the delete rewrites only the files whose
+    // bounds overlap [300, 400) and the update only [100, 200); every
+    // provably-clean file (including clean files of touched partitions)
+    // carries by reference (spec-pinned). The oracle states the final
+    // state from the raw log: per-user latest, minus the deleted range,
+    // with the updated range's value doubled.
+    QueryDef(
+      "q_layout_dml",
+      """WITH base AS (
+  SELECT user_id, max(event_id) AS event_id, arg_max(value, event_id) AS v
+  FROM events GROUP BY user_id)
+SELECT user_id, event_id,
+  CASE WHEN user_id >= 100 AND user_id < 200 THEN v * 2 ELSE v END AS v
+FROM base WHERE NOT (user_id >= 300 AND user_id < 400)
+""".stripMargin) { (s, d) =>
+      import graft.sources.Snapshots
+      val dir = "/tmp/graft_snap_dml_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      val base = events(s, d)
+        .select(col("user_id"), col("event_id"), col("value").as("v"))
+        .groupBy("user_id")
+        .agg(max("event_id").as("event_id"),
+          max_by(col("v"), col("event_id")).as("v"))
+        .withColumn("part", (col("user_id") % 4).cast("string"))
+      Snapshots.commit(s, dir, base.repartition(8), "part",
+        statsColumns = Seq("user_id"))
+      Snapshots.optimize(s, dir, "part",
+        targetFileBytes = 1L << 20, clusterBy = Seq("user_id"))
+      Snapshots.delete(s, dir, "part",
+        col("user_id") >= 300 && col("user_id") < 400)
+      val v4 = Snapshots.update(s, dir, "part",
+        col("user_id") >= 100 && col("user_id") < 200,
+        Map("v" -> (col("v") * 2)))
+      Snapshots.read(s, dir, "part", v4).select("user_id", "event_id", "v")
+    },
+
     // DESCRIBE HISTORY over the table format: every commit records its
     // operation + wall-clock in the manifest meta header, and history()
     // serves the audit view from manifests alone (one small read per

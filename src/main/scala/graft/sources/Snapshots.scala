@@ -954,6 +954,161 @@ object Snapshots {
     v
   }
 
+  /** split `entries` into (possibly-matching, provably-not-matching) for
+    * a row predicate, from RECORDED METADATA alone: each file's bounds
+    * are consulted through the exact same conservative three-valued
+    * logic the scan's file skipping uses
+    * ([[org.apache.spark.sql.graftbridge.ManifestFileIndex.couldMatch]] —
+    * one source of truth), with the partition value treated as a stats
+    * column whose lo = hi = value, so partition predicates prune
+    * exactly. Unresolved predicate columns fail loudly. */
+  private def splitByPredicate(s: SparkSession,
+      where: org.apache.spark.sql.Column, partCol: String,
+      schema: StructType, entries: Seq[Entry]): (Seq[Entry], Seq[Entry]) = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+    import org.apache.spark.unsafe.types.UTF8String
+    val full = StructType(schema.fields.toSeq
+      :+ StructField(partCol, StringType, nullable = true))
+    // resolve + constant-fold the predicate through the REAL analyzer and
+    // optimizer against a dummy RDD-backed frame with the table's schema
+    // (an RDD relation so the optimizer can neither evaluate the filter
+    // away nor propagate emptiness unless the predicate is a constant):
+    // the surviving Filter condition carries properly-typed attributes
+    // and folded literals — exactly what couldMatch's bound checks need.
+    // A Column-DSL tree taken raw would still be UNRESOLVED
+    // (ColumnNode wrappers), matching no pattern and defeating all
+    // selectivity — the bug this resolution path replaced.
+    val dummy = s.createDataFrame(
+      s.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row]), full)
+    val opt =
+      try dummy.filter(where).queryExecution.optimizedPlan
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"Snapshots: predicate does not resolve against the table's " +
+              s"schema (${full.simpleString}): ${e.getMessage}")
+      }
+    opt.collectFirst { case f: Filter => f.condition } match {
+      case None =>
+        // the optimizer removed the filter: a constant predicate —
+        // FALSE leaves an empty LocalRelation (nothing matches),
+        // TRUE leaves the bare relation (everything does)
+        if (opt.isInstanceOf[LocalRelation]) (Nil, entries)
+        else (entries, Nil)
+      case Some(cond) =>
+        val types = full.fields.map(f => f.name -> f.dataType).toMap
+        val files = indexFiles(schema, entries)
+        val flags = entries.zip(files).map { case (e, mf) =>
+          // the partition value IS a per-file bound with lo = hi = value,
+          // so partition predicates prune exactly
+          val stats = mf.stats + (partCol ->
+            (Option(UTF8String.fromString(e.value)): Option[Any],
+              Option(UTF8String.fromString(e.value)): Option[Any]))
+          org.apache.spark.sql.graftbridge.ManifestFileIndex
+            .couldMatch(cond, stats, types)
+        }
+        val (hit, miss) = entries.zip(flags).partition(_._2)
+        (hit.map(_._1), miss.map(_._1))
+    }
+  }
+
+  /** DELETE WHERE as a version (Delta's DELETE DML): rewrite ONLY the
+    * files whose recorded bounds may hold a matching row — everything
+    * the bounds PROVE clean (including clean files of touched
+    * partitions) carries by reference, so on a clustered table a
+    * range-predicate delete costs the matching files, never the table.
+    * Rows where the predicate is NULL are KEPT (SQL DELETE semantics).
+    * No-op (current version back, no commit) when no file can match.
+    * Rewritten files keep every column's recorded bounds; the commit is
+    * pinned, with [[merge]]'s OCC re-plan loop on a lost race. */
+  def delete(s: SparkSession, dir: String,
+      partCol: String, where: org.apache.spark.sql.Column,
+      attempts: Int = 5): Long =
+    dmlRetry(s, dir, attempts) { () =>
+      val cur = currentVersion(s, dir)
+      require(cur >= 1, s"Snapshots: nothing to delete at $dir")
+      val m = readManifest(s, dir, cur)
+      val schema = schemaOf(s, m)
+      val (affected, carried) = splitByPredicate(s, where, partCol, schema, m.entries)
+      if (affected.isEmpty) cur
+      else {
+        val survivors = scanEntries(s, partCol, schema, affected)
+          .filter(!coalesce(where, lit(false)))
+        commitImpl(s, dir, survivors, partCol, carryUntouched = false,
+          Set.empty, expectedPrev = Some(cur),
+          statsColumns = keepableStats(schema, affected),
+          carriedOverride = Some(carried),
+          dataChangeValues = affected.map(_.value).toSet,
+          prevSchemaHint = Some(schema), op = "delete")
+      }
+    }
+
+  /** UPDATE ... SET ... WHERE as a version: same metadata-chosen rewrite
+    * set as [[delete]]; matched rows get each `set` expression (cast to
+    * the column's recorded type — the schema contract cannot drift),
+    * NULL-predicate rows stay unchanged (SQL semantics). The partition
+    * column cannot be SET (an update that re-homes rows across
+    * partitions is a [[merge]], which owns key lineage). */
+  def update(s: SparkSession, dir: String, partCol: String,
+      where: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      attempts: Int = 5): Long =
+    dmlRetry(s, dir, attempts) { () =>
+      require(set.nonEmpty, "Snapshots: update needs at least one SET column")
+      require(!set.contains(partCol),
+        s"Snapshots: cannot SET the partition column '$partCol' — a rewrite " +
+          "that re-homes rows across partitions is a merge")
+      val cur = currentVersion(s, dir)
+      require(cur >= 1, s"Snapshots: nothing to update at $dir")
+      val m = readManifest(s, dir, cur)
+      val schema = schemaOf(s, m)
+      val unknown = set.keySet.filterNot(schema.fieldNames.contains)
+      require(unknown.isEmpty,
+        s"Snapshots: SET references unknown column(s) ${unknown.mkString(", ")}")
+      val (affected, carried) = splitByPredicate(s, where, partCol, schema, m.entries)
+      if (affected.isEmpty) cur
+      else {
+        val hit = coalesce(where, lit(false))
+        val cols = schema.fields.toSeq.map { f =>
+          set.get(f.name)
+            .map(expr => when(hit, expr.cast(f.dataType)).otherwise(col(f.name))
+              .as(f.name))
+            .getOrElse(col(f.name))
+        } :+ col(partCol)
+        val rewritten = scanEntries(s, partCol, schema, affected)
+          .select(cols: _*)
+        commitImpl(s, dir, rewritten, partCol, carryUntouched = false,
+          Set.empty, expectedPrev = Some(cur),
+          statsColumns = keepableStats(schema, affected),
+          carriedOverride = Some(carried),
+          dataChangeValues = affected.map(_.value).toSet,
+          prevSchemaHint = Some(schema), op = "update")
+      }
+    }
+
+  /** the stats columns a rewrite must re-record so it never ERASES
+    * recorded bounds (see [[optimize]]'s same rule) */
+  private def keepableStats(schema: StructType,
+      replaced: Seq[Entry]): Seq[String] =
+    replaced.flatMap(_.stats.keys).distinct
+      .filter(c => schema.fieldNames.contains(c) &&
+        StatCodec.supported(schema(c).dataType))
+
+  /** the DML twins' OCC loop — [[merge]]'s retry semantics */
+  private def dmlRetry(s: SparkSession, dir: String, attempts: Int)(
+      body: () => Long): Long = {
+    require(attempts >= 1, "need at least one attempt")
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return body()
+      catch { case e: Throwable if isCommitRace(e, dir) => last = e; i += 1 }
+    }
+    throw new IllegalStateException(
+      s"Snapshots: DML lost $attempts consecutive optimistic races at " +
+        s"$dir — a hotter writer is live; back off or coordinate", last)
+  }
+
   /** DESCRIBE HISTORY — one row per SURVIVING version, ascending:
     * (version, ts_millis, op, n_partitions, n_files, bytes). Everything
     * comes from the manifests alone (one read per live version — the

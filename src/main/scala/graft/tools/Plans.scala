@@ -208,6 +208,8 @@ object Plans {
       "the SQL surface of the same reads: USING graft_snapshot temp views with VERSION AS OF hand the planner the IDENTICAL manifest-served HadoopFsRelation (DSv1 RelationProvider — no wrapper scan node, no listing), so plain SQL text plans the same two FileSourceScans as the Scala API (PlanShapeSpec-pinned) with the same pruning and skipping levers",
     "q_layout_merge_selective" ->
       "file-grain MERGE over a clustered table: the rewrite set is chosen from manifest metadata (delta key span x recorded per-file key bounds), so the base-side scan holds ONLY the files that can contain delta keys — the full-outer fold shuffles the delta plus that slice once on the key, untouched files (including untouched files of touched partitions) move by manifest reference and appear in no plan at all",
+    "q_layout_dml" ->
+      "DELETE/UPDATE WHERE: each rewrite is one scan over ONLY the bounds-overlapping files (the same couldMatch logic the scan's skipping uses picks the set from the manifest), filtered or column-patched and committed with every clean file carried by manifest reference; the final read is the usual one-scan version read",
     "q_layout_cdf_rows" ->
       "row-level change feed: the partition feed's two bounded scans (changed partitions only) meet in ONE full-outer key join — the anti-join a CDF consumer would otherwise write — and explode into row images; everything is sized by the CHANGE, the table never enters the plan",
     "q_layout_restore" ->

@@ -75,25 +75,41 @@ final class ManifestFileIndex(
       }
     picked.map { case (v, fs) =>
       val kept = if (dataFilters.isEmpty) fs
-      else fs.filter(f => dataFilters.forall(mayMatch(_, f.stats)))
+      else fs.filter(f =>
+        dataFilters.forall(ManifestFileIndex.couldMatch(_, f.stats, types)))
       PartitionDirectory(InternalRow(UTF8String.fromString(v)),
         kept.map(f => new FileStatus(f.bytes, false, 1, 128L << 20, 0L,
           new Path(f.path))).toArray)
     }
   }
 
+  override def inputFiles: Array[String] = files.map(_.path).toArray
+  override def refresh(): Unit = () // immutable: the manifest never changes
+  override def sizeInBytes: Long = files.map(_.bytes).sum
+  override def toString: String =
+    s"ManifestFileIndex[${files.size} files, ${groups.size} partitions]"
+}
+
+object ManifestFileIndex {
+
   /** bounds are usable only when plan attribute, recorded type, and the
     * literal agree — any disagreement degrades to "no bounds" (never a
     * cross-type comparison) */
-  private def boundsOk(a: AttributeReference, litType: DataType): Boolean =
+  private def boundsOk(a: AttributeReference, litType: DataType,
+      types: Map[String, DataType]): Boolean =
     types.get(a.name).contains(a.dataType) && litType == a.dataType
 
   /** conservative three-valued "could this file hold a matching row":
     * false ONLY when the recorded bounds prove emptiness. NULL semantics:
     * bounds say nothing about nulls, so IsNull/IsNotNull (and any
-    * unrecognized shape) return true. */
-  private def mayMatch(e: Expression,
-      stats: Map[String, (Option[Any], Option[Any])]): Boolean = {
+    * unrecognized shape) return true. Shared by the scan's file skipping
+    * (above) and the format's DELETE/UPDATE rewrite-set selection — ONE
+    * source of truth for what the recorded bounds can prove. */
+  def couldMatch(e: Expression,
+      stats: Map[String, (Option[Any], Option[Any])],
+      types: Map[String, DataType]): Boolean = {
+    def mayMatch(e: Expression,
+        stats: Map[String, (Option[Any], Option[Any])]): Boolean = {
     def ord(a: AttributeReference) =
       TypeUtils.getInterpretedOrdering(a.dataType)
     def lo(a: AttributeReference) = stats.get(a.name).flatMap(_._1)
@@ -106,44 +122,40 @@ final class ManifestFileIndex(
     e match {
       case And(l, r) => mayMatch(l, stats) && mayMatch(r, stats)
       case Or(l, r) => mayMatch(l, stats) || mayMatch(r, stats)
-      case EqualTo(a: AttributeReference, Literal(v, t)) if boundsOk(a, t) =>
+      case EqualTo(a: AttributeReference, Literal(v, t)) if boundsOk(a, t, types) =>
         canEq(a, v)
-      case EqualTo(Literal(v, t), a: AttributeReference) if boundsOk(a, t) =>
+      case EqualTo(Literal(v, t), a: AttributeReference) if boundsOk(a, t, types) =>
         canEq(a, v)
-      case EqualNullSafe(a: AttributeReference, Literal(v, t)) if boundsOk(a, t) =>
+      case EqualNullSafe(a: AttributeReference, Literal(v, t)) if boundsOk(a, t, types) =>
         v == null || canEq(a, v)
-      case EqualNullSafe(Literal(v, t), a: AttributeReference) if boundsOk(a, t) =>
+      case EqualNullSafe(Literal(v, t), a: AttributeReference) if boundsOk(a, t, types) =>
         v == null || canEq(a, v)
-      case GreaterThan(a: AttributeReference, Literal(v, t)) if boundsOk(a, t) =>
+      case GreaterThan(a: AttributeReference, Literal(v, t)) if boundsOk(a, t, types) =>
         v != null && hi(a).forall(h => ord(a).gt(h, v))
-      case GreaterThan(Literal(v, t), a: AttributeReference) if boundsOk(a, t) =>
+      case GreaterThan(Literal(v, t), a: AttributeReference) if boundsOk(a, t, types) =>
         v != null && lo(a).forall(l => ord(a).lt(l, v))
-      case GreaterThanOrEqual(a: AttributeReference, Literal(v, t)) if boundsOk(a, t) =>
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, t)) if boundsOk(a, t, types) =>
         v != null && hi(a).forall(h => ord(a).gteq(h, v))
-      case GreaterThanOrEqual(Literal(v, t), a: AttributeReference) if boundsOk(a, t) =>
+      case GreaterThanOrEqual(Literal(v, t), a: AttributeReference) if boundsOk(a, t, types) =>
         v != null && lo(a).forall(l => ord(a).lteq(l, v))
-      case LessThan(a: AttributeReference, Literal(v, t)) if boundsOk(a, t) =>
+      case LessThan(a: AttributeReference, Literal(v, t)) if boundsOk(a, t, types) =>
         v != null && lo(a).forall(l => ord(a).lt(l, v))
-      case LessThan(Literal(v, t), a: AttributeReference) if boundsOk(a, t) =>
+      case LessThan(Literal(v, t), a: AttributeReference) if boundsOk(a, t, types) =>
         v != null && hi(a).forall(h => ord(a).gt(h, v))
-      case LessThanOrEqual(a: AttributeReference, Literal(v, t)) if boundsOk(a, t) =>
+      case LessThanOrEqual(a: AttributeReference, Literal(v, t)) if boundsOk(a, t, types) =>
         v != null && lo(a).forall(l => ord(a).lteq(l, v))
-      case LessThanOrEqual(Literal(v, t), a: AttributeReference) if boundsOk(a, t) =>
+      case LessThanOrEqual(Literal(v, t), a: AttributeReference) if boundsOk(a, t, types) =>
         v != null && hi(a).forall(h => ord(a).gteq(h, v))
       case In(a: AttributeReference, vs)
           if vs.forall(v => v.isInstanceOf[Literal] &&
-            boundsOk(a, v.dataType)) =>
+            boundsOk(a, v.dataType, types)) =>
         vs.exists { case Literal(v, _) => canEq(a, v); case _ => true }
       case InSet(a: AttributeReference, vs)
           if types.get(a.name).contains(a.dataType) =>
         vs.exists(canEq(a, _))
       case _ => true
     }
+    }
+    mayMatch(e, stats)
   }
-
-  override def inputFiles: Array[String] = files.map(_.path).toArray
-  override def refresh(): Unit = () // immutable: the manifest never changes
-  override def sizeInBytes: Long = files.map(_.bytes).sum
-  override def toString: String =
-    s"ManifestFileIndex[${files.size} files, ${groups.size} partitions]"
 }

@@ -864,6 +864,58 @@ class SnapshotsSpec extends SparkSpec {
       s"runtime prune must read only kept partitions' files: $numFiles of >= 20")
   }
 
+  test("DELETE/UPDATE WHERE rewrite only files whose recorded bounds may match; provably-clean files carry") {
+    val dir = tempTable()
+    val rows = (1 to 100).map(i => ("a", i.toLong, s"p$i")) ++
+      (500 to 510).map(i => ("b", i.toLong, s"q$i"))
+    val v1 = Snapshots.commit(spark, dir,
+      rows.toDF("part", "x", "payload").repartition(8), "part",
+      statsColumns = Seq("x"))
+    val bytes = manifestText(dir, v1).split("\n").filter(_.startsWith("a\t"))
+      .map(_.split("\t")(2).toLong).sum
+    val v2 = Snapshots.optimize(spark, dir, "part",
+      targetFileBytes = bytes / 4 + 1, clusterBy = Seq("x"))
+    val aBefore = pathsOf(dir, v2, "a")
+    val bBefore = pathsOf(dir, v2, "b")
+    assert(aBefore.size >= 3, s"fixture needs clustered files: $aBefore")
+    // DELETE a range living in a's top file(s); the partCol conjunct
+    // prunes b EXACTLY (partition value = a stats column with lo=hi)
+    val v3 = Snapshots.delete(spark, dir, "part",
+      col("x") >= 90L && col("part") === "a")
+    assert(v3 == v2 + 1)
+    assert(pathsOf(dir, v3, "b") == bBefore, "b is provably clean: carried")
+    assert((aBefore intersect pathsOf(dir, v3, "a")).size >= 2,
+      "a's low-range files are provably clean: carried")
+    assert(Snapshots.read(spark, dir, "part", v3)
+      .filter(col("part") === "a").agg(max(col("x"))).collect()(0)
+      .getLong(0) == 89L)
+    // UPDATE a narrow range; everything outside its files carries
+    val v4 = Snapshots.update(spark, dir, "part",
+      col("x").between(10L, 19L), Map("payload" -> lit("HIT")))
+    val got = Snapshots.read(spark, dir, "part", v4)
+      .filter(col("part") === "a")
+      .select("x", "payload").as[(Long, String)].collect()
+    assert(got.filter(r => r._1 >= 10 && r._1 <= 19).forall(_._2 == "HIT"))
+    assert(got.filter(r => r._1 < 10 || r._1 > 19)
+      .forall(r => r._2 == s"p${r._1}"), "non-matching rows untouched")
+    assert(pathsOf(dir, v4, "b") == bBefore)
+    // the feed sees both as data changes, with row images
+    val d = Snapshots.diffRows(spark, dir, "part", "x", v3, v4)
+      .select("change", "x").as[(String, Long)].collect()
+    assert(d.forall { case (c, x) => x >= 10 && x <= 19 &&
+      c.startsWith("update_") }, d.toSeq)
+    // a predicate the bounds PROVE empty is a no-op: no commit at all
+    assert(Snapshots.delete(spark, dir, "part", col("x") > 10000L) == v4)
+    assert(Snapshots.currentVersion(spark, dir) == v4)
+    // guard rails: SET partCol refused; unknown predicate column refused
+    intercept[IllegalArgumentException] {
+      Snapshots.update(spark, dir, "part", lit(true), Map("part" -> lit("z")))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.delete(spark, dir, "part", col("nope") > 1L)
+    }
+  }
+
   test("restore commits a metadata-only rollback: old files by reference, feed emits the rollback, vacuum keeps them") {
     val dir = tempTable()
     val v1 = Snapshots.commit(spark, dir,
