@@ -890,6 +890,62 @@ FROM g GROUP BY event_type
       at(v2, "corrected", 1L).unionByName(at(v3, "restored", v3 - v2))
     },
 
+    // Persisted CHECK constraints (Delta's ADD CONSTRAINT): the
+    // constraint lives in the manifest header, every write path
+    // re-validates its WRITTEN rows between write and rename, and a
+    // violating commit is REFUSED — the table can never hold the row,
+    // the version never exists. The query pins enforcement in the hash:
+    // violations_refused = 1 comes from catching the refused bad
+    // correction, and the final aggregate is the conforming one — a
+    // format that let the bad batch through breaks both.
+    QueryDef(
+      "q_layout_constraint",
+      """WITH g AS (
+  SELECT event_type, user_id % 100 AS bucket, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2),
+gc AS (
+  SELECT event_type, user_id % 100 AS bucket, count(*)::BIGINT AS n_events
+  FROM events WHERE event_type = 'click' AND value >= 1.0 GROUP BY 1, 2),
+v AS (SELECT * FROM g WHERE event_type <> 'click' UNION ALL SELECT * FROM gc)
+SELECT event_type, count(*)::BIGINT AS n_buckets,
+  sum(n_events)::BIGINT AS n_events, 1::BIGINT AS violations_refused
+FROM v GROUP BY event_type
+""".stripMargin) { (s, d) =>
+      import graft.sources.Snapshots
+      val dir = "/tmp/graft_snap_chk_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      def agg(src: org.apache.spark.sql.DataFrame) = src
+        .groupBy(col("event_type"), (col("user_id") % 100).as("bucket"))
+        .agg(count(lit(1)).as("n_events"))
+      val ev = events(s, d)
+      Snapshots.commit(s, dir, agg(ev), "event_type")
+      // pass 2/3 of a bench run reuses the table: the constraint is
+      // already on it
+      if (!Snapshots.constraints(s, dir).exists(_._1 == "chk_rows"))
+        Snapshots.addConstraint(s, dir, "event_type", "chk_rows",
+          "n_events > 0")
+      // the BAD correction: negated counts — must be refused pre-commit
+      val refused =
+        try {
+          Snapshots.commitReplace(s, dir,
+            agg(ev.filter(col("event_type") === "click"))
+              .withColumn("n_events", -col("n_events")), "event_type")
+          0L
+        } catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("chk_rows") => 1L
+        }
+      val vOk = Snapshots.commitReplace(s, dir,
+        agg(ev.filter(col("event_type") === "click" && col("value") >= 1.0)),
+        "event_type")
+      Snapshots.read(s, dir, "event_type", vOk)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_buckets"), sum("n_events").as("n_events"))
+        .withColumn("violations_refused", lit(refused))
+    },
+
     // DELETE WHERE + UPDATE WHERE as versions (Delta's DML pair): both
     // pick their rewrite set from recorded per-file bounds through the
     // SAME conservative logic the scan's file skipping uses — on the

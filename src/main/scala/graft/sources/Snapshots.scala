@@ -210,6 +210,7 @@ object Snapshots {
 
   private val SchemaHeader = "#schema\t"
   private val MetaHeader = "#meta\t"
+  private val ConstraintHeader = "#constraint\t"
 
   /** Per-file column bounds travel the line-oriented manifest as
     * `col=lo,hi;...` cells with every token percent-encoded
@@ -314,9 +315,11 @@ object Snapshots {
   }
 
   /** one parsed manifest: recorded read schema, commit time, the
-    * operation that produced the version, file entries */
+    * operation that produced the version, active CHECK constraints
+    * (name -> SQL expression), file entries */
   private[graft] case class Manifest(schema: Option[StructType],
-      ts: Option[Long], op: Option[String], entries: Seq[Entry])
+      ts: Option[Long], op: Option[String],
+      constraints: Seq[(String, String)], entries: Seq[Entry])
 
   /** thrown when a version's manifest is absent (never committed, or
     * retired by [[vacuum]]) — a dedicated type CARRYING THE TABLE DIR so
@@ -352,6 +355,13 @@ object Snapshots {
     val op = meta.collectFirst {
       case kv if kv.startsWith("op=") => kv.stripPrefix("op=")
     }
+    val constraints = headers.filter(_.startsWith(ConstraintHeader)).map { h =>
+      h.stripPrefix(ConstraintHeader).split("\t", 2) match {
+        case Array(name, sql) => name -> sql
+        case _ => throw new IllegalStateException(
+          s"Snapshots: malformed constraint header in $p: $h")
+      }
+    }
     val entries = entryLines.map { line =>
       line.split("\t", -1) match {
         case Array(value, path, bytes, dv, stats) =>
@@ -367,7 +377,7 @@ object Snapshots {
           s"Snapshots: malformed manifest line in $p: $line")
       }
     }
-    Manifest(schema, ts, op, entries)
+    Manifest(schema, ts, op, constraints, entries)
   }
 
   /** nullability widened RECURSIVELY (structs/arrays/maps included):
@@ -901,7 +911,7 @@ object Snapshots {
       statsColumns = Option(statsColumns).getOrElse(Seq(keyCol)),
       carriedOverride = Some(carried),
       dataChangeValues = rewrite.map(_.value).toSet,
-      prevSchemaHint = Some(schema), op = "merge")
+      prevManifestHint = Some(m), op = "merge")
   }
 
   /** RESTORE-as-version (Delta's rollback): commit a NEW version whose
@@ -944,9 +954,73 @@ object Snapshots {
     val fs = fsOf(s, dir)
     val headers = Seq(
       mT.schema.map(sc => SchemaHeader + sc.json),
-      Some(MetaHeader + s"ts=${System.currentTimeMillis()} op=restore")).flatten
+      Some(MetaHeader + s"ts=${System.currentTimeMillis()} op=restore")).flatten ++
+      mT.constraints.map { case (n, q) => ConstraintHeader + n + "\t" + q }
     writeManifestAtomic(fs, manifestPath(dir, v),
       (headers ++ entries.map(_.line)).mkString("\n"))
+    try {
+      val out = fs.create(hintPath(dir), true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case _: Exception => () }
+    v
+  }
+
+  /** ADD a persisted CHECK constraint (Delta's ALTER TABLE ADD
+    * CONSTRAINT): validates the EXISTING table first (one scan — a
+    * constraint the current data violates is refused, like Delta), then
+    * lands a METADATA-ONLY version whose header carries the constraint;
+    * every later commit re-validates its WRITTEN rows against all active
+    * constraints between write and rename, so the table can never hold
+    * a violating row (SQL CHECK semantics: NULL passes). Entries carry
+    * verbatim with their dataVersion — the change feed sees nothing. */
+  def addConstraint(s: SparkSession, dir: String, partCol: String,
+      name: String, exprSql: String): Long = {
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n') &&
+      !exprSql.exists(c => c == '\t' || c == '\n'),
+      "Snapshots: constraint name/expression cannot contain tab/newline")
+    val cur = currentVersion(s, dir)
+    require(cur >= 1, s"Snapshots: no committed table at $dir")
+    val m = readManifest(s, dir, cur)
+    require(!m.constraints.exists(_._1 == name),
+      s"Snapshots: constraint '$name' already exists")
+    val bad = scanEntries(s, partCol, schemaOf(s, m), m.entries)
+      .filter(coalesce(expr(exprSql), lit(true)) === false).count()
+    require(bad == 0,
+      s"Snapshots: cannot add constraint '$name' ($exprSql) — $bad existing " +
+        "row(s) violate it")
+    commitConstraintState(s, dir, cur, m, m.constraints :+ (name -> exprSql),
+      "add_constraint")
+  }
+
+  /** DROP a persisted CHECK constraint — metadata-only. */
+  def dropConstraint(s: SparkSession, dir: String, name: String): Long = {
+    val cur = currentVersion(s, dir)
+    require(cur >= 1, s"Snapshots: no committed table at $dir")
+    val m = readManifest(s, dir, cur)
+    require(m.constraints.exists(_._1 == name),
+      s"Snapshots: no constraint named '$name' to drop")
+    commitConstraintState(s, dir, cur, m,
+      m.constraints.filterNot(_._1 == name), "drop_constraint")
+  }
+
+  /** the active CHECK constraints at `version` (-1 = latest) */
+  def constraints(s: SparkSession, dir: String,
+      version: Long = -1L): Seq[(String, String)] = {
+    val v = if (version < 0) currentVersion(s, dir) else version
+    require(v >= 1, s"Snapshots: no committed version at $dir")
+    readManifest(s, dir, v).constraints
+  }
+
+  private def commitConstraintState(s: SparkSession, dir: String, cur: Long,
+      m: Manifest, next: Seq[(String, String)], opName: String): Long = {
+    val v = cur + 1
+    val fs = fsOf(s, dir)
+    val headers = Seq(
+      m.schema.map(sc => SchemaHeader + sc.json),
+      Some(MetaHeader + s"ts=${System.currentTimeMillis()} op=$opName")).flatten ++
+      next.map { case (n, q) => ConstraintHeader + n + "\t" + q }
+    writeManifestAtomic(fs, manifestPath(dir, v),
+      (headers ++ m.entries.map(_.line)).mkString("\n"))
     try {
       val out = fs.create(hintPath(dir), true)
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()
@@ -1039,7 +1113,7 @@ object Snapshots {
           statsColumns = keepableStats(schema, affected),
           carriedOverride = Some(carried),
           dataChangeValues = affected.map(_.value).toSet,
-          prevSchemaHint = Some(schema), op = "delete")
+          prevManifestHint = Some(m), op = "delete")
       }
     }
 
@@ -1082,7 +1156,7 @@ object Snapshots {
           statsColumns = keepableStats(schema, affected),
           carriedOverride = Some(carried),
           dataChangeValues = affected.map(_.value).toSet,
-          prevSchemaHint = Some(schema), op = "update")
+          prevManifestHint = Some(m), op = "update")
       }
     }
 
@@ -1328,7 +1402,7 @@ object Snapshots {
       expectedPrev = Some(cur),
       statsColumns = Option(statsColumns).getOrElse(keepStats),
       dataVersionOf = dvOf, carriedOverride = Some(carried),
-      prevSchemaHint = Some(dataSchema), op = "optimize")
+      prevManifestHint = Some(m), op = "optimize")
   }
 
   /** data files of one partition dir (excludes _SUCCESS/.hidden) */
@@ -1388,7 +1462,7 @@ object Snapshots {
       dataVersionOf: Map[String, Long] = Map.empty,
       carriedOverride: Option[Seq[Entry]] = None,
       dataChangeValues: Set[String] = Set.empty,
-      prevSchemaHint: Option[StructType] = None,
+      prevManifestHint: Option[Manifest] = None,
       op: String = "commit"): Long = {
     require(df.schema(partCol).dataType == StringType,
       s"Snapshots: partition column '$partCol' must be StringType (it " +
@@ -1463,14 +1537,37 @@ object Snapshots {
       }
     val replaced = written.map(_.value).toSet ++ replacedValues
     // the previous manifest is read AT MOST ONCE per commit (it backs
-    // both the carried-entry listing and the schema check; callers that
-    // already resolved the schema — merge, optimize — pass it as a hint
-    // so their commit re-reads nothing): manifest reads are round-trips
-    // on the hot write path of an object-store deployment
+    // the carried-entry listing, the schema check, AND the active
+    // constraint set; callers that already hold it — merge, optimize,
+    // delete, update — pass it as a hint so their commit re-reads
+    // nothing): manifest reads are round-trips on the hot write path of
+    // an object-store deployment
     val prevManifest: Option[Manifest] =
-      if (prev >= 1 && carryUntouched && carriedOverride.isEmpty)
-        Some(readManifest(s, dir, prev))
+      if (prev >= 1) Some(prevManifestHint.getOrElse(readManifest(s, dir, prev)))
       else None
+    // CHECK CONSTRAINTS: enforced on the WRITTEN rows between write and
+    // rename — a violation deletes the (unreferenced) data dir and
+    // refuses the commit, so the table can never hold a violating row.
+    // SQL CHECK semantics: NULL passes, only FALSE violates. One job
+    // over just the written files (served by our own entries — never
+    // re-inferred), all constraints in a single aggregate.
+    val activeConstraints = prevManifest.map(_.constraints).getOrElse(Nil)
+    if (activeConstraints.nonEmpty && written.nonEmpty) {
+      val frame = scanEntries(s, partCol, dataSchema, written)
+      val aggs = activeConstraints.zipWithIndex.map { case ((_, sql), i) =>
+        sum(when(coalesce(expr(sql), lit(true)) === false, 1L)
+          .otherwise(0L)).as(s"__c$i")
+      }
+      val r = frame.agg(aggs.head, aggs.tail: _*).collect()(0)
+      activeConstraints.zipWithIndex.foreach { case ((n, sql), i) =>
+        if (r.getLong(i) > 0) {
+          fs.delete(new Path(dataDir), true)
+          throw new IllegalArgumentException(
+            s"Snapshots: CHECK constraint '$n' ($sql) violated by " +
+              s"${r.getLong(i)} written row(s) — commit refused")
+        }
+      }
+    }
     val carried = carriedOverride.getOrElse {
       prevManifest.map(_.entries.filterNot(e => replaced(e.value)))
         .getOrElse(Nil)
@@ -1488,10 +1585,7 @@ object Snapshots {
     // version — refused. Name+widened-type comparison; column order and
     // nullability (nested included) are free (parquet resolves by name).
     if (carried.nonEmpty && prev >= 1) {
-      prevSchemaHint
-        .orElse(prevManifest.flatMap(_.schema))
-        .orElse(readManifest(s, dir, prev).schema)
-        .foreach { ps =>
+      prevManifest.flatMap(_.schema).foreach { ps =>
         val prevF = widenStruct(ps).fields.map(f => f.name -> f.dataType).toMap
         val newF = widenStruct(dataSchema).fields.map(f => f.name -> f.dataType).toMap
         val changed = prevF.collect {
@@ -1523,7 +1617,8 @@ object Snapshots {
     val headerSchema = widenStruct(dataSchema)
     val headers = Seq(
       SchemaHeader + headerSchema.json,
-      MetaHeader + s"ts=${System.currentTimeMillis()} op=$op")
+      MetaHeader + s"ts=${System.currentTimeMillis()} op=$op") ++
+      activeConstraints.map { case (n, q) => ConstraintHeader + n + "\t" + q }
     writeManifestAtomic(fs, manifestPath(dir, v),
       (headers ++ entries.map(_.line)).mkString("\n"))
     // best-effort advisory hint (see currentVersion) — never load-bearing

@@ -965,6 +965,55 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("CHECK constraints: add validates existing data, every later commit enforces, drop lifts") {
+    val dir = tempTable()
+    val v1 = Snapshots.commit(spark, dir,
+      Seq(("a", java.lang.Long.valueOf(1L)), ("b", java.lang.Long.valueOf(10L)))
+        .toDF("part", "x"), "part")
+    val v2 = Snapshots.addConstraint(spark, dir, "part", "x_pos", "x > 0")
+    assert(v2 == v1 + 1)
+    assert(Snapshots.constraints(spark, dir) == Seq("x_pos" -> "x > 0"))
+    // a metadata-only constraint version is invisible to the change feed
+    assert(Snapshots.diff(spark, dir, "part", v1, v2).count() == 0)
+    // a violating replace is REFUSED between write and rename — the
+    // table never holds the row, the version never exists
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commitReplace(spark, dir,
+        Seq(("a", java.lang.Long.valueOf(-5L))).toDF("part", "x"), "part")
+    }
+    assert(e.getMessage.contains("x_pos"), e.getMessage)
+    assert(Snapshots.currentVersion(spark, dir) == v2)
+    // NULL passes (SQL CHECK semantics), and a conforming commit
+    // CARRIES the constraint forward
+    val v3 = Snapshots.commitReplace(spark, dir,
+      Seq(("a", java.lang.Long.valueOf(2L)), ("c", null: java.lang.Long))
+        .toDF("part", "x"), "part")
+    assert(Snapshots.constraints(spark, dir, v3) == Seq("x_pos" -> "x > 0"))
+    // the DML/merge write paths enforce too
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.update(spark, dir, "part", col("x") === 2L,
+        Map("x" -> lit(-9L)))
+    }
+    assert(e2.getMessage.contains("x_pos"), e2.getMessage)
+    // adding a constraint the EXISTING data violates is refused
+    val e3 = intercept[IllegalArgumentException] {
+      Snapshots.addConstraint(spark, dir, "part", "x_small", "x < 2")
+    }
+    assert(e3.getMessage.contains("existing"), e3.getMessage)
+    // drop lifts enforcement
+    val v4 = Snapshots.dropConstraint(spark, dir, "x_pos")
+    val v5 = Snapshots.commitReplace(spark, dir,
+      Seq(("a", java.lang.Long.valueOf(-5L))).toDF("part", "x"), "part")
+    assert(Snapshots.read(spark, dir, "part", v5)
+      .filter(col("part") === "a").select("x").as[Long].collect()
+      .sameElements(Array(-5L)))
+    // history records the constraint operations
+    val ops = Snapshots.history(spark, dir).select("op").as[String]
+      .collect().toSeq
+    assert(ops == Seq("commit", "add_constraint", "replace",
+      "drop_constraint", "replace"), ops)
+  }
+
   test("TRUE concurrent writers: parallel commitRetry increments lose no update and write a contiguous history") {
     // the OCC loop under real thread interleaving (the single-threaded
     // race-injection test drives the branches; this drives the CLOCK):
