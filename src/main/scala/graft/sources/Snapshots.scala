@@ -1569,8 +1569,13 @@ object Snapshots {
       }
     }
     val carried = carriedOverride.getOrElse {
-      prevManifest.map(_.entries.filterNot(e => replaced(e.value)))
-        .getOrElse(Nil)
+      // prevManifest is read for constraints on EVERY commit — carrying
+      // its entries remains strictly a carryUntouched concern (a full
+      // commit replaces everything)
+      if (carryUntouched)
+        prevManifest.map(_.entries.filterNot(e => replaced(e.value)))
+          .getOrElse(Nil)
+      else Nil
     }.map { e =>
       // the caller declares these partitions' ROWS changed this commit
       // (merge rewrote files of theirs, possibly to nothing): their
