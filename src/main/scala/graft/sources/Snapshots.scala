@@ -407,6 +407,14 @@ object Snapshots {
   final class CommitConflictException(msg: String)
       extends IllegalStateException(msg)
 
+  /** best-effort advisory hint write (see [[currentVersion]]) — never
+    * load-bearing, shared by every committing path */
+  private def writeHint(fs: FileSystem, dir: String, v: Long): Unit =
+    try {
+      val out = fs.create(hintPath(dir), true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case _: Exception => () }
+
   private def floorPath(dir: String): Path =
     new Path(dir, "_manifests/_floor")
 
@@ -470,6 +478,17 @@ object Snapshots {
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
     val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    // HDFS rename is atomic and refuses an existing target; object
+    // stores need a conditional-PUT equivalent (the caveat real
+    // formats document)
+    def renameCommit(): Unit = {
+      val renamed = try fs.rename(tmp, p) catch { case _: Throwable => false }
+      if (!renamed) {
+        fs.delete(tmp, false)
+        conflict("already exists — a concurrent writer committed this " +
+          "version first")
+      }
+    }
     if (scheme == "file") {
       // LOCAL filesystems: POSIX rename(2) REPLACES an existing target,
       // so Hadoop's rename guarantee rests on a check-then-rename window
@@ -488,18 +507,15 @@ object Snapshots {
           fs.delete(tmp, false)
           conflict("already exists — a concurrent writer committed this " +
             "version first")
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
+          // a local mount WITHOUT hard links (FAT/FUSE/SMB): fall back
+          // to the rename guarantee (the r14 behavior with its narrow
+          // check-then-rename window) rather than bricking commits —
+          // and never leak the tmp manifest
+          renameCommit()
       }
-    } else {
-      // HDFS rename is atomic and refuses an existing target; object
-      // stores need a conditional-PUT equivalent (the caveat real
-      // formats document)
-      val renamed = try fs.rename(tmp, p) catch { case _: Throwable => false }
-      if (!renamed) {
-        fs.delete(tmp, false)
-        conflict("already exists — a concurrent writer committed this " +
-          "version first")
-      }
-    }
+    } else renameCommit()
   }
 
   /** manifest entries -> the [[ManifestFile]]s the planner's file index
@@ -661,9 +677,18 @@ object Snapshots {
   private def isCommitRace(e: Throwable, dir: String): Boolean =
     e.isInstanceOf[CommitConflictException] ||
       (e match {
-        case sv: StaleVersionException => sv.tableDir == dir
+        // normalized comparison: the same table spelled with/without a
+        // scheme or trailing slash must still classify as OUR staleness
+        case sv: StaleVersionException =>
+          samePath(sv.tableDir, dir)
         case _ => false
       })
+
+  private def samePath(a: String, b: String): Boolean = {
+    def norm(d: String) =
+      new Path(d).toUri.getPath.stripSuffix("/")
+    a == b || norm(a) == norm(b)
+  }
 
   /** Partition-level change feed between two committed versions — the
     * incremental-consumption primitive: manifests are compared by
@@ -958,10 +983,7 @@ object Snapshots {
       mT.constraints.map { case (n, q) => ConstraintHeader + n + "\t" + q }
     writeManifestAtomic(fs, manifestPath(dir, v),
       (headers ++ entries.map(_.line)).mkString("\n"))
-    try {
-      val out = fs.create(hintPath(dir), true)
-      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    } catch { case _: Exception => () }
+    writeHint(fs, dir, v)
     v
   }
 
@@ -992,6 +1014,20 @@ object Snapshots {
       "add_constraint")
   }
 
+  /** [[addConstraint]] with [[merge]]'s OCC re-plan loop: a racer's
+    * commit landing between the validation scan and the rename re-reads
+    * AND re-validates against the new state (the new rows must satisfy
+    * the constraint too) */
+  def addConstraintRetry(s: SparkSession, dir: String, partCol: String,
+      name: String, exprSql: String, attempts: Int = 5): Long =
+    dmlRetry(s, dir, attempts)(() =>
+      addConstraint(s, dir, partCol, name, exprSql))
+
+  /** [[dropConstraint]] with the OCC re-plan loop */
+  def dropConstraintRetry(s: SparkSession, dir: String, name: String,
+      attempts: Int = 5): Long =
+    dmlRetry(s, dir, attempts)(() => dropConstraint(s, dir, name))
+
   /** DROP a persisted CHECK constraint — metadata-only. */
   def dropConstraint(s: SparkSession, dir: String, name: String): Long = {
     val cur = currentVersion(s, dir)
@@ -1021,10 +1057,7 @@ object Snapshots {
       next.map { case (n, q) => ConstraintHeader + n + "\t" + q }
     writeManifestAtomic(fs, manifestPath(dir, v),
       (headers ++ m.entries.map(_.line)).mkString("\n"))
-    try {
-      val out = fs.create(hintPath(dir), true)
-      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    } catch { case _: Exception => () }
+    writeHint(fs, dir, v)
     v
   }
 
@@ -1142,14 +1175,20 @@ object Snapshots {
       val (affected, carried) = splitByPredicate(s, where, partCol, schema, m.entries)
       if (affected.isEmpty) cur
       else {
-        val hit = coalesce(where, lit(false))
+        // the WHERE verdict is projected ONCE per row (__hit) and every
+        // SET column keys off that one boolean: a non-deterministic
+        // predicate evaluated per column would tear rows (column a
+        // updated, column b not — a state matching neither image);
+        // CollapseProject keeps non-deterministic projections
+        // materialized, so this is load-bearing, not style
         val cols = schema.fields.toSeq.map { f =>
           set.get(f.name)
-            .map(expr => when(hit, expr.cast(f.dataType)).otherwise(col(f.name))
-              .as(f.name))
+            .map(e => when(col("__hit"), e.cast(f.dataType))
+              .otherwise(col(f.name)).as(f.name))
             .getOrElse(col(f.name))
         } :+ col(partCol)
         val rewritten = scanEntries(s, partCol, schema, affected)
+          .withColumn("__hit", coalesce(where, lit(false)))
           .select(cols: _*)
         commitImpl(s, dir, rewritten, partCol, carryUntouched = false,
           Set.empty, expectedPrev = Some(cur),
@@ -1395,9 +1434,10 @@ object Snapshots {
     // never ERASE recorded bounds (which would silently degrade file
     // skipping and the file-grain merge forever — bounds carry verbatim,
     // so the loss would be permanent).
-    val keepStats = (clusterBy ++ cands.flatMap(_.stats.keys)).distinct
-      .filter(c => dataSchema.fieldNames.contains(c) &&
-        StatCodec.supported(dataSchema(c).dataType))
+    val keepStats = (clusterBy.filter(c =>
+      dataSchema.fieldNames.contains(c) &&
+        StatCodec.supported(dataSchema(c).dataType)) ++
+      keepableStats(dataSchema, cands)).distinct
     commitImpl(s, dir, packed, partCol, carryUntouched = false, Set.empty,
       expectedPrev = Some(cur),
       statsColumns = Option(statsColumns).getOrElse(keepStats),
@@ -1553,19 +1593,27 @@ object Snapshots {
     // re-inferred), all constraints in a single aggregate.
     val activeConstraints = prevManifest.map(_.constraints).getOrElse(Nil)
     if (activeConstraints.nonEmpty && written.nonEmpty) {
-      val frame = scanEntries(s, partCol, dataSchema, written)
-      val aggs = activeConstraints.zipWithIndex.map { case ((_, sql), i) =>
-        sum(when(coalesce(expr(sql), lit(true)) === false, 1L)
-          .otherwise(0L)).as(s"__c$i")
-      }
-      val r = frame.agg(aggs.head, aggs.tail: _*).collect()(0)
-      activeConstraints.zipWithIndex.foreach { case ((n, sql), i) =>
-        if (r.getLong(i) > 0) {
-          fs.delete(new Path(dataDir), true)
-          throw new IllegalArgumentException(
-            s"Snapshots: CHECK constraint '$n' ($sql) violated by " +
-              s"${r.getLong(i)} written row(s) — commit refused")
+      // ANY failure here — a violation, or a constraint expression that
+      // no longer resolves against this commit's schema — must not leave
+      // the just-written dataDir behind (the refused-commit rule every
+      // sibling path follows)
+      try {
+        val frame = scanEntries(s, partCol, dataSchema, written)
+        val aggs = activeConstraints.zipWithIndex.map { case ((_, sql), i) =>
+          sum(when(coalesce(expr(sql), lit(true)) === false, 1L)
+            .otherwise(0L)).as(s"__c$i")
         }
+        val r = frame.agg(aggs.head, aggs.tail: _*).collect()(0)
+        activeConstraints.zipWithIndex.foreach { case ((n, sql), i) =>
+          if (r.getLong(i) > 0)
+            throw new IllegalArgumentException(
+              s"Snapshots: CHECK constraint '$n' ($sql) violated by " +
+                s"${r.getLong(i)} written row(s) — commit refused")
+        }
+      } catch {
+        case e: Throwable =>
+          fs.delete(new Path(dataDir), true)
+          throw e
       }
     }
     val carried = carriedOverride.getOrElse {
@@ -1612,7 +1660,13 @@ object Snapshots {
       }
     }
     val entries = (carried ++ written).sortBy(e => (e.value, e.path))
-    require(entries.nonEmpty, "Snapshots: refusing to commit an empty table")
+    if (entries.isEmpty) {
+      fs.delete(new Path(dataDir), true)
+      throw new IllegalArgumentException(
+        "Snapshots: refusing to commit an EMPTY table — this rewrite " +
+          "(a full-match DELETE, or a replace of every partition with " +
+          "no rows) removes every row; drop the table directory instead")
+    }
     // the header is the READ schema for every file the version lists —
     // carried files may hold nulls even when THIS commit's frame is
     // non-nullable (nullability, nested included, is deliberately
@@ -1627,10 +1681,7 @@ object Snapshots {
     writeManifestAtomic(fs, manifestPath(dir, v),
       (headers ++ entries.map(_.line)).mkString("\n"))
     // best-effort advisory hint (see currentVersion) — never load-bearing
-    try {
-      val out = fs.create(hintPath(dir), true)
-      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    } catch { case _: Exception => () }
+    writeHint(fs, dir, v)
     v
   }
 }
