@@ -80,7 +80,7 @@ class SnapshotChangeFeedSource extends StreamSourceProvider with DataSourceRegis
       parameters: Map[String, String]): Source = {
     val (dir, partCol, startingVersion, maxPerBatch) = parse(parameters)
     new SnapshotCdfSource(ctx.sparkSession, dir, partCol, startingVersion,
-      maxPerBatch)
+      maxPerBatch, Some(metadataPath))
   }
 }
 
@@ -108,7 +108,8 @@ object SnapshotCdfSource {
 }
 
 class SnapshotCdfSource(spark: SparkSession, dir: String, partCol: String,
-    startingVersion: Option[Long], maxVersionsPerBatch: Option[Long])
+    startingVersion: Option[Long], maxVersionsPerBatch: Option[Long],
+    metadataPath: Option[String] = None)
     extends Source {
 
   override val schema: StructType =
@@ -126,14 +127,71 @@ class SnapshotCdfSource(spark: SparkSession, dir: String, partCol: String,
     * (a delta cannot be computed, so the full state is the only
     * consistent start). An explicit startingVersion with a live
     * predecessor serves DELTAS ONLY from there — Delta's startingVersion
-    * rule; consumers who fold from empty state want the default. */
+    * rule; consumers who fold from empty state want the default.
+    *
+    * PERSISTED in the query's source-metadata dir at FIRST start
+    * (Delta's initial-snapshot pin, via the V1 Source metadataPath that
+    * exists for exactly this): a restart that replays the very first
+    * batch (crash after the offset-log write, before the commit-log
+    * write) arrives with start=None, and a base recomputed from the
+    * THEN-current live set could silently serve a DIFFERENT initial
+    * snapshot if vacuum retired versions in the originally planned range
+    * — breaking exactly-once for append-style sinks. With the recorded
+    * pin, the replay re-plans the ORIGINAL range; a vacuumed version in
+    * it aborts loudly (the retention-covers-lag contract), never
+    * silently re-seeds. A torn/garbled pin file fails loudly too — it is
+    * correctness-bearing, unlike the table's advisory hint. */
   private val (base: Long, initialSnapshotAt: Option[Long]) = {
-    val live = Snapshots.liveVersions(spark, dir)
-    require(live.nonEmpty, s"graft_snapshot_cdf: no committed version at $dir")
-    startingVersion match {
-      case Some(sv) =>
-        (sv - 1L, if (live.contains(sv - 1L)) None else Some(sv))
-      case None => (live.min - 1L, Some(live.min))
+    def compute(): (Long, Option[Long]) = {
+      val live = Snapshots.liveVersions(spark, dir)
+      require(live.nonEmpty, s"graft_snapshot_cdf: no committed version at $dir")
+      startingVersion match {
+        case Some(sv) =>
+          (sv - 1L, if (live.contains(sv - 1L)) None else Some(sv))
+        case None => (live.min - 1L, Some(live.min))
+      }
+    }
+    def readPin(fs: org.apache.hadoop.fs.FileSystem,
+        pin: org.apache.hadoop.fs.Path): (Long, Option[Long]) = {
+      val in = fs.open(pin)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      text.split("\t", -1) match {
+        case Array(b, i) if b.nonEmpty =>
+          (b.toLong, if (i == "-") None else Some(i.toLong))
+        case _ => throw new IllegalStateException(
+          s"graft_snapshot_cdf: corrupt source pin $pin ('$text') — " +
+            "the recorded initial-snapshot base is unreadable; delete " +
+            "the checkpoint to re-seed the stream")
+      }
+    }
+    metadataPath match {
+      case None => compute() // direct construction (tests) — no pin dir
+      case Some(mp) =>
+        val fs = new org.apache.hadoop.fs.Path(mp)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val pin = new org.apache.hadoop.fs.Path(mp, "graft_cdf_base")
+        if (fs.exists(pin)) readPin(fs, pin)
+        else {
+          val v = compute()
+          // tmp + rename so a crash mid-write can never leave a torn pin
+          // (first start is single-threaded per query; the rename is
+          // belt, not a race guard)
+          val tmp = new org.apache.hadoop.fs.Path(mp,
+            s".graft_cdf_base_${java.util.UUID.randomUUID()}")
+          fs.mkdirs(new org.apache.hadoop.fs.Path(mp))
+          val out = fs.create(tmp, true)
+          try out.write(
+            s"${v._1}\t${v._2.map(_.toString).getOrElse("-")}"
+              .getBytes("UTF-8"))
+          finally out.close()
+          if (fs.rename(tmp, pin)) v
+          else { // a racer (spurious re-create) pinned first: ITS pin rules
+            fs.delete(tmp, false)
+            readPin(fs, pin)
+          }
+        }
     }
   }
 
@@ -197,11 +255,17 @@ class SnapshotCdfSource(spark: SparkSession, dir: String, partCol: String,
       val out =
         if (start.isEmpty && v == a + 1 && initialSnapshotAt.contains(v)) {
           // the query's very FIRST batch may open with the configured
-          // initial snapshot. A checkpointed restart always arrives with
-          // start=Some(...) — its consumer has folded state through that
-          // offset, so a missing predecessor there is a RETENTION GAP
-          // (vacuum outran the consumer) and must abort below, never be
-          // conflated with an initial load that would silently
+          // initial snapshot. `base`/`initialSnapshotAt` are PINNED in
+          // the source metadata dir at first start, so a start=None
+          // REPLAY of that batch (crash between offset-log and
+          // commit-log writes) re-plans the ORIGINAL snapshot version —
+          // if vacuum retired it meanwhile, the live-set check above
+          // already aborted loudly rather than silently serving a
+          // different initial state. A restart at any LATER offset
+          // arrives with start=Some(...) — its consumer has folded
+          // state through that offset, so a missing predecessor there
+          // is a RETENTION GAP (vacuum outran the consumer) and aborts
+          // below, never conflated with an initial load that would
           // re-deliver the whole table as 'added'.
           Seq(side(mT.entries, "added", v, mT.ts))
         } else {

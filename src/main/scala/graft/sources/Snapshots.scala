@@ -186,22 +186,8 @@ object Snapshots {
 
   /** the `#meta ts=` header alone — reads the manifest's '#'-prefixed
     * PREFIX and stops at the first entry line, never the file list */
-  private def readHeaderTs(fs: FileSystem, p: Path): Option[Long] = {
-    val in = new java.io.BufferedReader(
-      new java.io.InputStreamReader(fs.open(p), "UTF-8"))
-    try {
-      var line = in.readLine()
-      while (line != null && line.startsWith("#")) {
-        if (line.startsWith(MetaHeader)) {
-          return line.stripPrefix(MetaHeader).split("\\s+").collectFirst {
-            case kv if kv.startsWith("ts=") => kv.stripPrefix("ts=").toLong
-          }
-        }
-        line = in.readLine()
-      }
-      None
-    } finally in.close()
-  }
+  private def readHeaderTs(fs: FileSystem, p: Path): Option[Long] =
+    readHeaderMeta(fs, p)._1
 
   /** every committed version still present (post-vacuum), ascending —
     * what the change-feed source steps through */
@@ -211,6 +197,8 @@ object Snapshots {
   private val SchemaHeader = "#schema\t"
   private val MetaHeader = "#meta\t"
   private val ConstraintHeader = "#constraint\t"
+  private val StatsHeader = "#stats\t"
+  private val SegHeader = "#seg\t"
 
   /** Per-file column bounds travel the line-oriented manifest as
     * `col=lo,hi;...` cells with every token percent-encoded
@@ -314,12 +302,88 @@ object Snapshots {
       s"$value\t$path\t$bytes\t$dataVersion\t${StatCodec.cell(stats)}"
   }
 
+  /** One immutable manifest SEGMENT a version references instead of
+    * inlining its entry lines — the Iceberg manifest-list indirection
+    * that bounds commit metadata cost: a commit that touches T of a
+    * table's F files re-lists the untouched segments as ONE `#seg` line
+    * each (O(F / segmentRows) lines) and writes fresh lines only for the
+    * touched files, instead of an O(F)-line manifest per commit. The
+    * summary (entry count, byte total, partition [min, max]) is recorded
+    * when the segment is written; segment files are immutable and SHARED
+    * across versions (vacuum GCs the unreferenced ones), so their parses
+    * cache JVM-wide ([[segCache]]) and a steady-state read of a 10^6-file
+    * table re-parses only the segments the last commit actually changed. */
+  private[graft] case class SegRef(name: String, count: Int, bytes: Long,
+      minValue: String, maxValue: String) {
+    def line: String = s"#seg\t$name\t$count\t$bytes\t$minValue\t$maxValue"
+  }
+
+  private def segPath(dir: String, name: String): Path =
+    new Path(dir, s"_manifests/segs/$name")
+
+  /** JVM-wide LRU of parsed segment files, keyed by absolute path —
+    * segments are IMMUTABLE once written (same rule as data files), so a
+    * cached parse is valid until vacuum deletes the file, and a deleted
+    * segment is by then referenced by no live manifest. Bounded by
+    * SEGMENT COUNT (default 4096-entry segments => the cap holds ~2M
+    * parsed entries, a few hundred MB worst case on the driver). */
+  private val segCacheMax = 512
+  private val segCache =
+    new java.util.LinkedHashMap[String, Seq[Entry]](128, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[Entry]]): Boolean =
+        size() > segCacheMax
+    }
+
+  private def segEntries(fs: FileSystem, dir: String, ref: SegRef): Seq[Entry] = {
+    val p = segPath(dir, ref.name)
+    val key = fs.makeQualified(p).toString
+    segCache.synchronized { Option(segCache.get(key)) } match {
+      case Some(es) => es
+      case None =>
+        val text =
+          try readSmall(fs, p)
+          catch {
+            case e: java.io.FileNotFoundException =>
+              throw new IllegalStateException(
+                s"Snapshots: manifest segment ${ref.name} is missing at " +
+                  s"$dir — a live manifest references it, so either the " +
+                  "segment store was tampered with or vacuum raced a " +
+                  "commit it must not race", e)
+          }
+        val es = text.split("\n").toSeq.filter(_.nonEmpty).map(parseEntryLine(p, _))
+        require(es.size == ref.count,
+          s"Snapshots: segment ${ref.name} holds ${es.size} entries but the " +
+            s"manifest records ${ref.count} — torn or tampered segment")
+        segCache.synchronized { segCache.put(key, es) }
+        es
+    }
+  }
+
+  private def parseEntryLine(p: Path, line: String): Entry =
+    line.split("\t", -1) match {
+      case Array(value, path, bytes, dv, stats) =>
+        Entry(value, path, bytes.toLong, dv.toLong, StatCodec.parse(stats))
+      case f if f.length == 2 || f.length == 4 =>
+        // the pre-file-grain (r14) per-partition formats — fail
+        // self-describingly rather than "malformed"
+        throw new IllegalStateException(
+          s"Snapshots: $p uses the retired per-partition manifest " +
+            "format (pre-file-grain); recommit the table under the " +
+            "current format")
+      case _ => throw new IllegalStateException(
+        s"Snapshots: malformed manifest line in $p: $line")
+    }
+
   /** one parsed manifest: recorded read schema, commit time, the
     * operation that produced the version, active CHECK constraints
-    * (name -> SQL expression), file entries */
+    * (name -> SQL expression), file entries (inline + segment-served),
+    * and the segment structure (`segParts`) carry decisions are made
+    * from — `entries` always holds the FULL resolved list */
   private[graft] case class Manifest(schema: Option[StructType],
       ts: Option[Long], op: Option[String],
-      constraints: Seq[(String, String)], entries: Seq[Entry])
+      constraints: Seq[(String, String)], entries: Seq[Entry],
+      segParts: Seq[(SegRef, Seq[Entry])] = Nil)
 
   /** thrown when a version's manifest is absent (never committed, or
     * retired by [[vacuum]]) — a dedicated type CARRYING THE TABLE DIR so
@@ -362,22 +426,57 @@ object Snapshots {
           s"Snapshots: malformed constraint header in $p: $h")
       }
     }
-    val entries = entryLines.map { line =>
-      line.split("\t", -1) match {
-        case Array(value, path, bytes, dv, stats) =>
-          Entry(value, path, bytes.toLong, dv.toLong, StatCodec.parse(stats))
-        case f if f.length == 2 || f.length == 4 =>
-          // the pre-file-grain (r14) per-partition formats — fail
-          // self-describingly rather than "malformed"
-          throw new IllegalStateException(
-            s"Snapshots: $p uses the retired per-partition manifest " +
-              "format (pre-file-grain); recommit the table under the " +
-              "current format")
+    // `#seg` refs resolve through the JVM-wide cache — on the steady
+    // path a re-read of a big table's manifest parses O(changed
+    // segments) lines, not O(files)
+    val segParts = headers.filter(_.startsWith(SegHeader)).map { h =>
+      h.stripPrefix(SegHeader).split("\t", -1) match {
+        case Array(name, count, bytes, minV, maxV) =>
+          val ref = SegRef(name, count.toInt, bytes.toLong, minV, maxV)
+          ref -> segEntries(fs, dir, ref)
         case _ => throw new IllegalStateException(
-          s"Snapshots: malformed manifest line in $p: $line")
+          s"Snapshots: malformed segment header in $p: $h")
       }
     }
-    Manifest(schema, ts, op, constraints, entries)
+    val inline = entryLines.map(parseEntryLine(p, _))
+    Manifest(schema, ts, op, constraints,
+      inline ++ segParts.flatMap(_._2), segParts)
+  }
+
+  /** header fields only (ts, op, and the `#stats` rollup when present) —
+    * reads the '#'-prefixed PREFIX and stops before any entry line or
+    * segment resolution, so [[history]] over a long-lived table costs
+    * one small read per version, never an entry parse */
+  private def readHeaderMeta(fs: FileSystem, p: Path)
+      : (Option[Long], Option[String], Option[(Long, Long, Long)]) = {
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+    try {
+      var ts: Option[Long] = None
+      var op: Option[String] = None
+      var stats: Option[(Long, Long, Long)] = None
+      var line = in.readLine()
+      while (line != null && line.startsWith("#")) {
+        if (line.startsWith(MetaHeader)) {
+          val kvs = line.stripPrefix(MetaHeader).split("\\s+").toSeq
+          ts = kvs.collectFirst {
+            case kv if kv.startsWith("ts=") => kv.stripPrefix("ts=").toLong
+          }
+          op = kvs.collectFirst {
+            case kv if kv.startsWith("op=") => kv.stripPrefix("op=")
+          }
+        } else if (line.startsWith(StatsHeader)) {
+          val kvs = line.stripPrefix(StatsHeader).split("\\s+").toSeq
+          def kv(k: String): Option[Long] = kvs.collectFirst {
+            case x if x.startsWith(k + "=") => x.stripPrefix(k + "=").toLong
+          }
+          stats = for (p1 <- kv("parts"); f <- kv("files"); b <- kv("bytes"))
+            yield (p1, f, b)
+        }
+        line = in.readLine()
+      }
+      (ts, op, stats)
+    } finally in.close()
   }
 
   /** nullability widened RECURSIVELY (structs/arrays/maps included):
@@ -406,6 +505,79 @@ object Snapshots {
     * longer refuses) and resurrect a version whose data files are gone. */
   final class CommitConflictException(msg: String)
       extends IllegalStateException(msg)
+
+  /** entries per segment file AND the inline->segment fold threshold —
+    * session-tunable so tests can drive the segmented path on tiny
+    * tables; 4096 keeps a 10^6-file table at ~250 `#seg` lines per
+    * manifest and segment files around half a MB */
+  private def segmentRows(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.snapshot.segmentRows")
+      .map(_.toInt).getOrElse(4096)
+
+  /** write one immutable segment file (per-writer-unique name carrying
+    * the TARGET version, so vacuum can protect an in-flight writer's
+    * segments by the same version-number rule as its data dirs) and
+    * prime the cache with its parse */
+  private def writeSegment(fs: FileSystem, dir: String, v: Long,
+      chunk: Seq[Entry]): SegRef = {
+    val name = f"seg_v$v%08d_" +
+      java.util.UUID.randomUUID().toString.replace("-", "") + ".txt"
+    val p = segPath(dir, name)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, false)
+    try out.write(chunk.map(_.line).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    segCache.synchronized {
+      segCache.put(fs.makeQualified(p).toString, chunk)
+    }
+    SegRef(name, chunk.size, chunk.map(_.bytes).sum,
+      chunk.map(_.value).min, chunk.map(_.value).max)
+  }
+
+  /** Pack a version's final file list for writing: a predecessor segment
+    * whose entries ALL survive identically (no rewrite, no
+    * dataVersion stamp) carries as one `#seg` ref — zero metadata
+    * rewrite for the untouched bulk of the table; every other entry is
+    * "loose" and inlines, unless the loose count exceeds
+    * `spark.graft.snapshot.segmentRows`, in which case loose entries
+    * fold into fresh immutable segments (self-compacting: a pre-segment
+    * table's first commit past the threshold folds its whole inline list
+    * into segments once, and inline lines accumulated by small commits
+    * re-fold whenever they outgrow the threshold). Returns (segment refs,
+    * inline entries). */
+  private def packEntries(s: SparkSession, fs: FileSystem, dir: String,
+      v: Long, entries: Seq[Entry],
+      prevSegParts: Seq[(SegRef, Seq[Entry])]): (Seq[SegRef], Seq[Entry]) = {
+    val byPath = entries.map(e => e.path -> e).toMap
+    val keep = prevSegParts.filter { case (_, es) =>
+      es.nonEmpty && es.forall(e => byPath.get(e.path).contains(e))
+    }
+    val covered = keep.flatMap(_._2).map(_.path).toSet
+    val loose = entries.filterNot(e => covered(e.path))
+      .sortBy(e => (e.value, e.path))
+    val rows = segmentRows(s)
+    if (loose.size > rows)
+      (keep.map(_._1) ++
+        loose.grouped(rows).map(writeSegment(fs, dir, v, _)), Nil)
+    else (keep.map(_._1), loose)
+  }
+
+  /** the `#stats` rollup header — what makes [[history]] a header-only
+    * read per version */
+  private def statsHeader(entries: Seq[Entry]): String =
+    StatsHeader + s"parts=${entries.map(_.value).distinct.size} " +
+      s"files=${entries.size} bytes=${entries.map(_.bytes).sum}"
+
+  /** commit wall-clock for the `#meta ts=` header, clamped NON-DECREASING
+    * (strictly increasing, in fact) against the predecessor manifest's
+    * recorded ts — Delta's rule: under clock skew between concurrent
+    * writers, raw per-writer System.currentTimeMillis() would make
+    * [[versionAt]]/timestampAsOf resolution and DESCRIBE HISTORY ordering
+    * non-monotonic and non-reproducible; the clamp costs nothing (every
+    * committing path already holds the predecessor manifest) */
+  private def commitTs(prev: Option[Manifest]): Long =
+    math.max(System.currentTimeMillis(),
+      prev.flatMap(_.ts).getOrElse(Long.MinValue) + 1)
 
   /** best-effort advisory hint write (see [[currentVersion]]) — never
     * load-bearing, shared by every committing path */
@@ -460,6 +632,45 @@ object Snapshots {
     * real formats document is the same: keep retention windows long
     * relative to the longest possible writer stall. (Package-visible so
     * the spec can drive the conflict branch directly.) */
+  /** manifest dirs probed (or proven by createLink's own
+    * UnsupportedOperationException) to sit on a mount WITHOUT hard
+    * links — commits there skip the link attempt and go straight to the
+    * rename fallback; everywhere else a FileSystemException from the
+    * link is a REAL IO fault and propagates (see the commit point) */
+  private val linkFreeDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** one-shot probe: can this directory hard-link at all? Creates and
+    * links a throwaway pair; a link failure marks the dir link-free
+    * (cached for the JVM). Any probe-setup failure returns FALSE — "links
+    * may work" — so the caller propagates its original IO fault instead
+    * of masking it behind the racy rename path. */
+  private def probeLinksUnsupported(parent: java.nio.file.Path): Boolean = {
+    if (linkFreeDirs.contains(parent.toString)) return true
+    val nonce = java.util.UUID.randomUUID().toString
+    val src = parent.resolve(s".probe_link_src_$nonce")
+    val dst = parent.resolve(s".probe_link_dst_$nonce")
+    try {
+      java.nio.file.Files.write(src, Array.emptyByteArray)
+      try {
+        java.nio.file.Files.createLink(dst, src)
+        false // links work here: the caller's failure was a real fault
+      } catch {
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
+          linkFreeDirs.add(parent.toString)
+          true
+      }
+    } catch {
+      case _: Exception => false // can't even probe: don't mask the fault
+    } finally {
+      try java.nio.file.Files.deleteIfExists(dst)
+      catch { case _: Exception => () }
+      try java.nio.file.Files.deleteIfExists(src)
+      catch { case _: Exception => () }
+    }
+  }
+
   private[graft] def writeManifestAtomic(fs: FileSystem, p: Path,
       content: String): Unit = {
     fs.mkdirs(p.getParent)
@@ -499,7 +710,8 @@ object Snapshots {
       // throws FileAlreadyExistsException — no window.
       val tmpLocal = java.nio.file.Paths.get(tmp.toUri.getPath)
       val pLocal = java.nio.file.Paths.get(p.toUri.getPath)
-      try {
+      if (linkFreeDirs.contains(pLocal.getParent.toString)) renameCommit()
+      else try {
         java.nio.file.Files.createLink(pLocal, tmpLocal)
         fs.delete(tmp, false)
       } catch {
@@ -507,13 +719,25 @@ object Snapshots {
           fs.delete(tmp, false)
           conflict("already exists — a concurrent writer committed this " +
             "version first")
-        case _: UnsupportedOperationException |
-             _: java.nio.file.FileSystemException =>
-          // a local mount WITHOUT hard links (FAT/FUSE/SMB): fall back
-          // to the rename guarantee (the r14 behavior with its narrow
-          // check-then-rename window) rather than bricking commits —
-          // and never leak the tmp manifest
+        case _: UnsupportedOperationException =>
+          // createLink's documented "this FS has no hard links" signal:
+          // fall back to the rename guarantee (the r14 behavior with its
+          // narrow check-then-rename window) rather than bricking commits
+          linkFreeDirs.add(pLocal.getParent.toString)
           renameCommit()
+        case e: java.nio.file.FileSystemException =>
+          // FileSystemException covers BOTH link-free mounts (FAT/FUSE/
+          // SMB surface EPERM here, not UnsupportedOperationException)
+          // AND real IO faults (ENOSPC, quota, transient errors).
+          // Downgrading a real fault to the racy rename path would
+          // misreport its eventual failure as a CommitConflictException
+          // and burn commitRetry/merge attempts on a dead filesystem —
+          // so PROBE once per manifest dir whether links work at all:
+          // probe fails too => genuinely link-free mount (remembered;
+          // fall back); probe succeeds => the commit hit a real IO
+          // fault => clean the tmp and PROPAGATE it as what it is.
+          if (probeLinksUnsupported(pLocal.getParent)) renameCommit()
+          else { fs.delete(tmp, false); throw e }
       }
     } else renameCommit()
   }
@@ -647,7 +871,8 @@ object Snapshots {
     * escaping. Throws after `attempts` consecutive lost races. */
   def commitRetry(s: SparkSession, dir: String, partCol: String,
       attempts: Int = 5, replace: Boolean = false,
-      replacedValues: Set[String] = Set.empty)(
+      replacedValues: Set[String] = Set.empty,
+      statsColumns: Seq[String] = Nil)(
       make: Long => DataFrame): Long = {
     require(attempts >= 1, "commitRetry needs at least one attempt")
     var last: Throwable = null
@@ -655,8 +880,14 @@ object Snapshots {
     while (i < attempts) {
       val prev = currentVersion(s, dir)
       try
+        // statsColumns forwards like commit/commitReplace — a table
+        // maintained through this loop must keep writing per-file bounds
+        // (bounds carry verbatim and can never be backfilled, so a
+        // missing passthrough here would permanently degrade file
+        // skipping and merge selectivity for OCC-maintained tables)
         return commitImpl(s, dir, make(prev), partCol,
           carryUntouched = replace, replacedValues, expectedPrev = Some(prev),
+          statsColumns = statsColumns,
           op = if (replace) "replace" else "commit")
       catch {
         case e: Throwable if isCommitRace(e, dir) => last = e; i += 1
@@ -977,12 +1208,19 @@ object Snapshots {
       else e.copy(dataVersion = v)
     }
     val fs = fsOf(s, dir)
+    // pack against the restore TARGET's segments: unstamped entries ride
+    // its refs (a rollback re-lists, never re-writes, the old metadata)
+    val (segRefs, inline) = packEntries(s, fs, dir, v, entries, mT.segParts)
     val headers = Seq(
       mT.schema.map(sc => SchemaHeader + sc.json),
-      Some(MetaHeader + s"ts=${System.currentTimeMillis()} op=restore")).flatten ++
-      mT.constraints.map { case (n, q) => ConstraintHeader + n + "\t" + q }
+      // clamp against the CURRENT head (mC), not the restore target —
+      // ts must stay monotone in version order
+      Some(MetaHeader + s"ts=${commitTs(Some(mC))} op=restore"),
+      Some(statsHeader(entries))).flatten ++
+      mT.constraints.map { case (n, q) => ConstraintHeader + n + "\t" + q } ++
+      segRefs.map(_.line)
     writeManifestAtomic(fs, manifestPath(dir, v),
-      (headers ++ entries.map(_.line)).mkString("\n"))
+      (headers ++ inline.map(_.line)).mkString("\n"))
     writeHint(fs, dir, v)
     v
   }
@@ -1051,12 +1289,16 @@ object Snapshots {
       m: Manifest, next: Seq[(String, String)], opName: String): Long = {
     val v = cur + 1
     val fs = fsOf(s, dir)
+    // entries carry verbatim, so every predecessor segment carries as a ref
+    val (segRefs, inline) = packEntries(s, fs, dir, v, m.entries, m.segParts)
     val headers = Seq(
       m.schema.map(sc => SchemaHeader + sc.json),
-      Some(MetaHeader + s"ts=${System.currentTimeMillis()} op=$opName")).flatten ++
-      next.map { case (n, q) => ConstraintHeader + n + "\t" + q }
+      Some(MetaHeader + s"ts=${commitTs(Some(m))} op=$opName"),
+      Some(statsHeader(m.entries))).flatten ++
+      next.map { case (n, q) => ConstraintHeader + n + "\t" + q } ++
+      segRefs.map(_.line)
     writeManifestAtomic(fs, manifestPath(dir, v),
-      (headers ++ m.entries.map(_.line)).mkString("\n"))
+      (headers ++ inline.map(_.line)).mkString("\n"))
     writeHint(fs, dir, v)
     v
   }
@@ -1231,10 +1473,22 @@ object Snapshots {
     * commit wall-clock, and the size columns are the recorded exact
     * file stats. */
   def history(s: SparkSession, dir: String): DataFrame = {
+    val fs = fsOf(s, dir)
     val rows = liveVersions(s, dir).map { v =>
-      val m = readManifest(s, dir, v)
-      (v, m.ts, m.op, m.entries.map(_.value).distinct.size,
-        m.entries.size, m.entries.map(_.bytes).sum)
+      // header-only fast path via the `#stats` rollup every commit since
+      // r16 records — O(versions) SMALL reads with no entry parsing, the
+      // _last_checkpoint-style bound; a pre-rollup manifest (or a header
+      // torn mid-read) falls back to the full parse, never to a wrong row
+      val fast =
+        try {
+          val (ts, op, st) = readHeaderMeta(fs, manifestPath(dir, v))
+          st.map { case (np, nf, nb) => (v, ts, op, np.toInt, nf.toInt, nb) }
+        } catch { case _: java.io.FileNotFoundException => None }
+      fast.getOrElse {
+        val m = readManifest(s, dir, v)
+        (v, m.ts, m.op, m.entries.map(_.value).distinct.size,
+          m.entries.size, m.entries.map(_.bytes).sum)
+      }
     }
     import s.implicits._
     rows.toDF("version", "ts_millis", "op", "n_partitions", "n_files", "bytes")
@@ -1267,8 +1521,12 @@ object Snapshots {
     if (existing.isEmpty) return Seq.empty
     val cur = existing.last
     val oldest = math.max(1L, cur - keepLast + 1)
-    val kept = existing.filter(_ >= oldest)
-      .flatMap(v => readManifest(s, dir, v).entries).map(_.path).toSet
+    val keptManifests = existing.filter(_ >= oldest)
+      .map(v => readManifest(s, dir, v))
+    val kept = keptManifests.flatMap(_.entries).map(_.path).toSet
+    // segment files referenced by any kept manifest survive — the same
+    // carry-by-reference keep clause, one metadata level up
+    val keptSegs = keptManifests.flatMap(_.segParts.map(_._1.name)).toSet
     val dropped = existing.filter(_ < oldest)
     // raise the retention floor BEFORE any manifest disappears: once a
     // manifest is deleted its version number must never be committable
@@ -1281,6 +1539,29 @@ object Snapshots {
       writeFloorAtomic(s, fs, floorPath(dir), floor)
     }
     dropped.foreach(v => fs.delete(manifestPath(dir, v), false))
+    // SEGMENT GC — after the manifests, before the data files, under the
+    // same rule as data dirs: a segment whose name targets a version
+    // ABOVE the latest committed one belongs to an in-flight writer
+    // whose commit may still succeed (never touched); at or below it, a
+    // segment no kept manifest references is retired history or a
+    // rename-loser's orphan, both safe to drop
+    val segsDir = new Path(dir, "_manifests/segs")
+    if (fs.exists(segsDir)) {
+      fs.listStatus(segsDir).foreach { st =>
+        val n = st.getPath.getName
+        val vNum =
+          if (n.startsWith("seg_v")) {
+            val digits = n.stripPrefix("seg_v").takeWhile(_.isDigit)
+            if (digits.nonEmpty) digits.toLong else Long.MaxValue
+          } else Long.MaxValue
+        if (st.isFile && vNum <= cur && !keptSegs(n)) {
+          fs.delete(st.getPath, false)
+          segCache.synchronized {
+            segCache.remove(fs.makeQualified(st.getPath).toString)
+          }
+        }
+      }
+    }
     val dataRoot = new Path(dir, "data")
     if (fs.exists(dataRoot)) {
       fs.listStatus(dataRoot).foreach { vd =>
@@ -1508,6 +1789,21 @@ object Snapshots {
       s"Snapshots: partition column '$partCol' must be StringType (it " +
         "travels through directory names and manifest lines as a string; " +
         s"got ${df.schema(partCol).dataType.simpleString} — cast it)")
+    // '__'-prefixed names are RESERVED for the format's internal working
+    // columns (update's __hit predicate projection, diffRows' __a/__b
+    // presence markers, optimize's __graft_bin* packing columns,
+    // collectStats' __file/__lo_/__hi_ aggregation names): a user column
+    // of that shape would be silently REPLACED by withColumn in those
+    // paths and read back holding internal values — refuse loudly at the
+    // one choke point every committing path crosses (the same rule as
+    // '#'-leading and tab-bearing partition values)
+    locally {
+      val reserved = df.schema.fieldNames.filter(_.startsWith("__"))
+      require(reserved.isEmpty,
+        s"Snapshots: column name(s) ${reserved.mkString(", ")} are " +
+          "reserved — '__'-prefixed names collide with the format's " +
+          "internal working columns (rename them before committing)")
+    }
     val dataSchema = StructType(df.schema.filterNot(_.name == partCol))
     val fs = fsOf(s, dir)
     // commitRetry PINS the version it read through `make` — re-deriving
@@ -1674,12 +1970,20 @@ object Snapshots {
     // recursively: a false non-null guarantee would let the optimizer
     // fold IsNull to false over real nulls, silently wrong results
     val headerSchema = widenStruct(dataSchema)
+    // manifest-list indirection: untouched predecessor segments carry as
+    // one `#seg` line each; only changed/written entries cost lines (and
+    // fold into fresh segments past the threshold) — commit metadata
+    // writes are O(touched + segments), never O(table files)
+    val (segRefs, inline) = packEntries(s, fs, dir, v, entries,
+      prevManifest.map(_.segParts).getOrElse(Nil))
     val headers = Seq(
       SchemaHeader + headerSchema.json,
-      MetaHeader + s"ts=${System.currentTimeMillis()} op=$op") ++
-      activeConstraints.map { case (n, q) => ConstraintHeader + n + "\t" + q }
+      MetaHeader + s"ts=${commitTs(prevManifest)} op=$op",
+      statsHeader(entries)) ++
+      activeConstraints.map { case (n, q) => ConstraintHeader + n + "\t" + q } ++
+      segRefs.map(_.line)
     writeManifestAtomic(fs, manifestPath(dir, v),
-      (headers ++ entries.map(_.line)).mkString("\n"))
+      (headers ++ inline.map(_.line)).mkString("\n"))
     // best-effort advisory hint (see currentVersion) — never load-bearing
     writeHint(fs, dir, v)
     v

@@ -1198,4 +1198,100 @@ class SnapshotsSpec extends SparkSpec {
     }
     assert(live.nonEmpty && expected.nonEmpty)
   }
+
+  test("segmented manifests: read-identity, ref-carry, and vacuum GC") {
+    val dir = tempTable()
+    val plain = tempTable()
+    val df = (1 to 60).map(i => (s"p${i % 6}", i.toLong)).toDF("part", "x")
+      .repartition(12) // many files per partition => many entries
+    // force the segmented path (threshold 8 entries/segment)
+    spark.conf.set("spark.graft.snapshot.segmentRows", "8")
+    try {
+      Snapshots.commit(spark, dir, df, "part", statsColumns = Seq("x"))
+      spark.conf.set("spark.graft.snapshot.segmentRows", "100000")
+      Snapshots.commit(spark, plain, df, "part", statsColumns = Seq("x"))
+      spark.conf.set("spark.graft.snapshot.segmentRows", "8")
+      val m1 = manifestText(dir, 1L)
+      assert(m1.contains("#seg\t"), "v1 must reference segment files")
+      assert(!m1.split("\n").exists(l => !l.startsWith("#")),
+        "all v1 entries must live in segments (past-threshold fold)")
+      // READ-IDENTITY: segmented and inline tables serve the same rows
+      val a = Snapshots.read(spark, dir, "part")
+        .select("part", "x").as[(String, Long)].collect().sorted.toSeq
+      val b = Snapshots.read(spark, plain, "part")
+        .select("part", "x").as[(String, Long)].collect().sorted.toSeq
+      assert(a == b && a.size == 60)
+      // REF-CARRY: a partition-replace carries untouched segments as the
+      // SAME `#seg` names (metadata write is O(touched), not O(table))
+      Snapshots.commitReplace(spark, dir,
+        Seq(("p0", 1000L)).toDF("part", "x"), "part")
+      def segNames(v: Long): Set[String] = manifestText(dir, v).split("\n")
+        .filter(_.startsWith("#seg\t")).map(_.split("\t")(1)).toSet
+      val carriedRefs = segNames(1L) intersect segNames(2L)
+      assert(carriedRefs.nonEmpty,
+        "untouched segments must carry by reference across commits")
+      // segments fully inside the rewritten partition cannot carry; the
+      // v2 read still serves exactly the replaced state
+      val v2 = Snapshots.read(spark, dir, "part")
+        .select("part", "x").as[(String, Long)].collect().sorted.toSeq
+      assert(v2 == (b.filterNot(_._1 == "p0") :+ ("p0", 1000L)).sorted)
+      // HISTORY comes from the #stats rollup header (no entry parse) and
+      // matches the full-parse truth
+      val h = Snapshots.history(spark, dir)
+        .select("version", "n_files", "bytes").as[(Long, Int, Long)]
+        .collect().map { case (k, nf, nb) => k -> (nf, nb) }.toMap
+      val m2 = Snapshots.readManifest(spark, dir, 2L)
+      assert(h(2L)._1 == m2.entries.size &&
+        h(2L)._2 == m2.entries.map(_.bytes).sum)
+      // VACUUM GC: retiring v1 must drop segments only v1 referenced and
+      // keep every segment v2 still references
+      Snapshots.vacuum(spark, dir, keepLast = 1)
+      val segsDir = java.nio.file.Paths.get(dir, "_manifests", "segs")
+      val onDisk = java.nio.file.Files.list(segsDir).toArray
+        .map(_.toString.split("/").last).toSet
+        .filterNot(_.startsWith(".")) // local-FS .crc sidecars
+      assert(segNames(2L).subsetOf(onDisk), "kept refs must survive vacuum")
+      assert((onDisk -- segNames(2L)).isEmpty,
+        s"unreferenced segments must be GC'd, left: ${onDisk -- segNames(2L)}")
+      // and the post-vacuum read is intact
+      val after = Snapshots.read(spark, dir, "part")
+        .select("part", "x").as[(String, Long)].collect().sorted.toSeq
+      assert(after == v2)
+    } finally spark.conf.unset("spark.graft.snapshot.segmentRows")
+  }
+
+  test("'__'-prefixed column names are refused at commit (reserved)") {
+    val dir = tempTable()
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, dir,
+        Seq(("a", 1L, 2L)).toDF("part", "x", "__hit"), "part")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    // ...so the DML paths' internal working columns can never collide
+    // with table data (update's __hit, diffRows' __a/__b, optimize's
+    // __graft_bin*)
+  }
+
+  test("commit timestamps are clamped monotone against the predecessor") {
+    val dir = tempTable()
+    Snapshots.commit(spark, dir, Seq(("a", 1L)).toDF("part", "x"), "part")
+    // fabricate v2 with a FUTURE clock (a skewed writer): v3's recorded
+    // ts must still land strictly above it, not at this JVM's wall-clock
+    val m1 = manifestText(dir, 1L)
+    val future = System.currentTimeMillis() + 86400000L
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.writeManifestAtomic(fs,
+      new org.apache.hadoop.fs.Path(dir, "_manifests/v00000002.txt"),
+      m1.split("\n").map { l =>
+        if (l.startsWith("#meta\t")) s"#meta\tts=$future op=commit" else l
+      }.mkString("\n"))
+    val v3 = Snapshots.commitReplace(spark, dir,
+      Seq(("a", 2L)).toDF("part", "x"), "part")
+    val ts = Snapshots.history(spark, dir)
+      .where(col("version") === v3).select("ts_millis")
+      .as[Long].collect().head
+    assert(ts == future + 1,
+      s"v3 ts must clamp to skewed-predecessor+1, got $ts vs $future")
+  }
 }
