@@ -987,6 +987,53 @@ FROM base WHERE NOT (user_id >= 300 AND user_id < 400)
       Snapshots.read(s, dir, "part", v4).select("user_id", "event_id", "v")
     },
 
+    // the SAME DML fold as PURE SQL TEXT (shares q_layout_dml's oracle
+    // verbatim): DELETE FROM / UPDATE ... SET parse through Spark's own
+    // parser and dispatch onto the identical bounds-selected rewrite
+    // kernels (Snapshots.sql); the table is addressed by directory —
+    // self-describing via the manifest's recorded partition column, no
+    // catalog registration, the way Delta's path tables work. The final
+    // read is the SQL surface too (VERSION AS OF via USING
+    // graft_snapshot), so the whole query is SQL text end to end.
+    // SnapshotSqlSpec pins that SQL and Scala DML rewrite the SAME file
+    // sets; this query pins end-state equality under the oracle hash.
+    QueryDef(
+      "q_layout_dml_sql",
+      """WITH base AS (
+  SELECT user_id, max(event_id) AS event_id, arg_max(value, event_id) AS v
+  FROM events GROUP BY user_id)
+SELECT user_id, event_id,
+  CASE WHEN user_id >= 100 AND user_id < 200 THEN v * 2 ELSE v END AS v
+FROM base WHERE NOT (user_id >= 300 AND user_id < 400)
+""".stripMargin) { (s, d) =>
+      import graft.sources.Snapshots
+      val dir = "/tmp/graft_snap_dmlsql_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      val base = events(s, d)
+        .select(col("user_id"), col("event_id"), col("value").as("v"))
+        .groupBy("user_id")
+        .agg(max("event_id").as("event_id"),
+          max_by(col("v"), col("event_id")).as("v"))
+        .withColumn("part", (col("user_id") % 4).cast("string"))
+      Snapshots.commit(s, dir, base.repartition(8), "part",
+        statsColumns = Seq("user_id"))
+      Snapshots.sql(s, s"OPTIMIZE graft_snapshot.`$dir` ZORDER BY (user_id)")
+      Snapshots.sql(s,
+        s"DELETE FROM graft_snapshot.`$dir` " +
+          "WHERE user_id >= 300 AND user_id < 400")
+      val v4 = Snapshots.sql(s,
+        s"UPDATE graft_snapshot.`$dir` SET v = v * 2 " +
+          "WHERE user_id >= 100 AND user_id < 200")
+        .collect()(0).getLong(0)
+      val view = s"dmlsql_v_${math.abs(dir.hashCode)}"
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW $view
+        USING graft_snapshot
+        OPTIONS (path '$dir', partCol 'part', versionAsOf '$v4')""")
+      s.sql(s"SELECT user_id, event_id, v FROM $view")
+    },
+
     // DESCRIBE HISTORY over the table format: every commit records its
     // operation + wall-clock in the manifest meta header, and history()
     // serves the audit view from manifests alone (one small read per

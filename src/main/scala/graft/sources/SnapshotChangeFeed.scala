@@ -57,20 +57,26 @@ class SnapshotChangeFeedSource extends StreamSourceProvider with DataSourceRegis
   override def shortName(): String = "graft_snapshot_cdf"
 
   private def parse(parameters: Map[String, String])
-      : (String, String, Option[Long], Option[Long]) = {
+      : (String, String, Option[Long], Option[Long], Option[String]) = {
     def opt(k: String): Option[String] =
       parameters.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
     def req(k: String): String = opt(k).getOrElse(throw new IllegalArgumentException(
       s"graft_snapshot_cdf: option '$k' is required"))
+    val rowLevel = opt("rowLevel").exists(_.equalsIgnoreCase("true"))
+    val keyCol = opt("keyCol")
+    if (rowLevel && keyCol.isEmpty) throw new IllegalArgumentException(
+      "graft_snapshot_cdf: rowLevel=true needs keyCol (the row-image " +
+        "join key — the format records no row lineage)")
     (req("path"), req("partCol"),
       opt("startingVersion").map(_.toLong),
-      opt("maxVersionsPerBatch").map(_.toLong))
+      opt("maxVersionsPerBatch").map(_.toLong),
+      if (rowLevel) keyCol else None)
   }
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String])
       : (String, StructType) = {
-    val (dir, partCol, _, _) = parse(parameters)
+    val (dir, partCol, _, _, _) = parse(parameters)
     (shortName(),
       SnapshotCdfSource.feedSchema(ctx.sparkSession, dir, partCol))
   }
@@ -78,9 +84,9 @@ class SnapshotChangeFeedSource extends StreamSourceProvider with DataSourceRegis
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val (dir, partCol, startingVersion, maxPerBatch) = parse(parameters)
+    val (dir, partCol, startingVersion, maxPerBatch, keyCol) = parse(parameters)
     new SnapshotCdfSource(ctx.sparkSession, dir, partCol, startingVersion,
-      maxPerBatch, Some(metadataPath))
+      maxPerBatch, Some(metadataPath), keyCol)
   }
 }
 
@@ -109,7 +115,15 @@ object SnapshotCdfSource {
 
 class SnapshotCdfSource(spark: SparkSession, dir: String, partCol: String,
     startingVersion: Option[Long], maxVersionsPerBatch: Option[Long],
-    metadataPath: Option[String] = None)
+    metadataPath: Option[String] = None,
+    /** Some(keyCol) switches the feed to ROW-LEVEL images (Delta CDF's
+      * insert / delete / update_preimage / update_postimage in `change`):
+      * each version's step is [[Snapshots.rowEvents]] over the changed
+      * partitions' two pinned states — rows that merely rode along in a
+      * rewritten partition are suppressed, and the join shuffles only
+      * the changed partitions' rows on the key. The initial snapshot
+      * arrives as 'insert' rows (Delta's initial-load convention). */
+    rowKeyCol: Option[String] = None)
     extends Source {
 
   override val schema: StructType =
@@ -118,6 +132,10 @@ class SnapshotCdfSource(spark: SparkSession, dir: String, partCol: String,
     * appended partCol/change/_commit_version/_commit_timestamp feed
     * columns */
   private val dataSchema = StructType(schema.fields.toSeq.dropRight(4))
+
+  rowKeyCol.foreach(k => require(dataSchema.fieldNames.contains(k),
+    s"graft_snapshot_cdf: keyCol '$k' is not a table column " +
+      s"(${dataSchema.fieldNames.mkString(", ")})"))
 
   /** `base` = the offset BEFORE the first served version (the served
     * range is always (base, latest]); `initialSnapshotAt` = the ONE
@@ -236,16 +254,34 @@ class SnapshotCdfSource(spark: SparkSession, dir: String, partCol: String,
     // every version's scan is served under the STREAM's fixed schema in
     // the STREAM's fixed column order (the engine grafts each batch into
     // one plan: schemas must agree batch over batch); older files simply
-    // null-fill later-added columns
+    // null-fill later-added columns. `streaming` is false on the
+    // row-level path: those steps hold a keyed full-outer JOIN, which
+    // must compile through the normal batch planner (a streaming-tagged
+    // pair would plan as a watermark-requiring stream-stream join) and
+    // is re-tagged once, at the end, via Bridge.streamingFrame.
     def side(entries: Seq[Snapshots.Entry], label: String, v: Long,
         ts: Option[Long]): DataFrame =
       Snapshots.scanEntries(spark, partCol, dataSchema, entries,
-        streaming = true)
+        streaming = rowKeyCol.isEmpty)
         .select((dataSchema.fieldNames.toSeq :+ partCol).map(col)
           :+ lit(label).as("change")
           :+ lit(v).as("_commit_version")
           :+ ts.map(t => lit(t)).getOrElse(lit(null).cast("long"))
             .as("_commit_timestamp"): _*)
+    /** one row-level step: [[Snapshots.rowEvents]] over the two pinned
+      * states of version v's changed partitions, stamped with v */
+    def rowStep(removed: Seq[Snapshots.Entry], added: Seq[Snapshots.Entry],
+        v: Long, ts: Option[Long]): DataFrame = {
+      def st(entries: Seq[Snapshots.Entry]) =
+        Snapshots.scanEntries(spark, partCol, dataSchema, entries)
+          .select((dataSchema.fieldNames.toSeq :+ partCol).map(col): _*)
+      Snapshots.rowEvents(st(removed), st(added), rowKeyCol.get)
+        .select((dataSchema.fieldNames.toSeq :+ partCol).map(col)
+          :+ col("change")
+          :+ lit(v).as("_commit_version")
+          :+ ts.map(t => lit(t)).getOrElse(lit(null).cast("long"))
+            .as("_commit_timestamp"): _*)
+    }
     // one manifest read per version in the range: step v's to-manifest
     // is step v+1's from-manifest
     var prevM: Option[(Long, Snapshots.Manifest)] = None
@@ -267,18 +303,34 @@ class SnapshotCdfSource(spark: SparkSession, dir: String, partCol: String,
           // is a RETENTION GAP (vacuum outran the consumer) and aborts
           // below, never conflated with an initial load that would
           // re-deliver the whole table as 'added'.
-          Seq(side(mT.entries, "added", v, mT.ts))
+          // initial full snapshot: 'added' at partition grain, 'insert'
+          // row images at row grain (Delta's initial-load convention)
+          if (rowKeyCol.isDefined) Seq(rowStep(Nil, mT.entries, v, mT.ts))
+          else Seq(side(mT.entries, "added", v, mT.ts))
         } else {
           if (!live.contains(v - 1)) gone(v - 1)
           val mF = prevM.collect { case (pv, m) if pv == v - 1 => m }
             .getOrElse(Snapshots.readManifest(spark, dir, v - 1))
           val (removed, added) = Snapshots.changedSets(mF, mT, v - 1)
-          Seq(side(removed, "removed", v, mT.ts), side(added, "added", v, mT.ts))
+          if (rowKeyCol.isDefined) Seq(rowStep(removed, added, v, mT.ts))
+          else Seq(side(removed, "removed", v, mT.ts),
+            side(added, "added", v, mT.ts))
         }
       prevM = Some((v, mT))
       out
     }
-    if (steps.isEmpty) side(Nil, "added", b, None).limit(0)
+    if (steps.isEmpty) {
+      val empty = side(Nil, "added", b, None).limit(0)
+      if (rowKeyCol.isDefined)
+        org.apache.spark.sql.graftbridge.Bridge.streamingFrame(spark, empty)
+      else empty
+    }
+    else if (rowKeyCol.isDefined)
+      // per-version row steps union batch-side, then ONE streaming
+      // re-tag — the engine sees a single streaming batch whose inner
+      // plan compiled through the normal planner (see `side`'s note)
+      org.apache.spark.sql.graftbridge.Bridge.streamingFrame(spark,
+        steps.reduce(_ unionByName _))
     else steps.reduce(_ unionByName _)
   }
 

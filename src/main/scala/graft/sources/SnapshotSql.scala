@@ -1,0 +1,239 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** The SQL-TEXT surface of the [[Snapshots]] DML/DDL kernels — what lets
+  * a SQL user run the table format's write path the way
+  * `USING graft_snapshot` already serves its read path:
+  *
+  * {{{
+  * Snapshots.sql(spark, "DELETE FROM graft_snapshot.`/t/orders` WHERE v < 0")
+  * Snapshots.sql(spark, "UPDATE graft_snapshot.`/t/orders` SET v = v * 2 WHERE k = 7")
+  * Snapshots.sql(spark, """MERGE INTO graft_snapshot.`/t/orders` AS t
+  *                        USING updates_view AS s ON t.k = s.k
+  *                        WHEN MATCHED AND s.tombstone THEN DELETE
+  *                        WHEN MATCHED THEN UPDATE SET *
+  *                        WHEN NOT MATCHED THEN INSERT *""")
+  * Snapshots.sql(spark, "RESTORE TABLE graft_snapshot.`/t/orders` TO VERSION AS OF 3")
+  * Snapshots.sql(spark, "ALTER TABLE graft_snapshot.`/t/orders` ADD CONSTRAINT pos CHECK (v >= 0)")
+  * Snapshots.sql(spark, "ALTER TABLE graft_snapshot.`/t/orders` DROP CONSTRAINT pos")
+  * Snapshots.sql(spark, "DESCRIBE HISTORY graft_snapshot.`/t/orders`")
+  * Snapshots.sql(spark, "VACUUM graft_snapshot.`/t/orders` RETAIN 3 VERSIONS")
+  * Snapshots.sql(spark, "OPTIMIZE graft_snapshot.`/t/orders` ZORDER BY (k)")
+  * }}}
+  *
+  * DELETE / UPDATE / MERGE parse through SPARK'S OWN PARSER
+  * (`sqlParser.parsePlan` — the exact grammar, expression syntax, and
+  * precedence every Spark SQL user already knows), then dispatch onto
+  * the format's metadata-selected rewrite kernels
+  * ([[Snapshots.delete]]/[[Snapshots.update]]/[[Snapshots.merge]]) — so
+  * the SQL path plans the SAME bounds-selected rewrite sets and commits
+  * through the same OCC loop as the Scala API (spec-pinned). RESTORE /
+  * ALTER ... CONSTRAINT / DESCRIBE HISTORY / VACUUM / OPTIMIZE are
+  * format-specific statements outside Spark's grammar (Delta extends the
+  * parser for the same five) and parse here with a small recognizer.
+  *
+  * The table is named `graft_snapshot.`<table dir>`` — no catalog
+  * registration needed, because the manifest META HEADER records the
+  * partition column since r16 (the table is self-describing; a pre-r16
+  * table needs one commit under the current format first, or the
+  * explicit `partCol` argument).
+  *
+  * MERGE accepts the canonical upsert shapes (what the pre-reduced
+  * keyed-delta kernel can honor exactly): `WHEN MATCHED THEN UPDATE SET
+  * *` + `WHEN NOT MATCHED THEN INSERT *`, optionally preceded by `WHEN
+  * MATCHED AND <source-only predicate> THEN DELETE`, or a pure `WHEN
+  * MATCHED [AND c] THEN DELETE`. Any other clause combination is
+  * REFUSED loudly (partial-upsert shapes would need row-level matched
+  * tracking the format deliberately does not record) — same for
+  * `WHEN NOT MATCHED BY SOURCE`, explicit assignment lists, and schema
+  * evolution.
+  *
+  * Returns: DML/DDL statements -> a one-row `version` frame (the
+  * committed version); DESCRIBE HISTORY -> the audit frame; VACUUM ->
+  * the dropped versions.
+  */
+private[graft] object SnapshotSql {
+
+  private val Target = """graft_snapshot\s*\.\s*`([^`]+)`"""
+
+  private val RestoreRe =
+    s"""(?is)^\\s*RESTORE\\s+TABLE\\s+$Target\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""".r
+  private val AddConstraintRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Target\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.*)\\)\\s*;?\\s*$$""".r
+  private val DropConstraintRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Target\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""".r
+  private val HistoryRe =
+    s"""(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$Target\\s*;?\\s*$$""".r
+  private val VacuumRe =
+    s"""(?is)^\\s*VACUUM\\s+$Target\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*$$""".r
+  private val OptimizeRe =
+    s"""(?is)^\\s*OPTIMIZE\\s+$Target(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""".r
+
+  def apply(s: SparkSession, text: String,
+      partColHint: Option[String] = None): DataFrame = {
+    import s.implicits._
+    def versionFrame(v: Long): DataFrame = Seq(v).toDF("version")
+    def pcOf(dir: String): String = partColOf(s, dir, partColHint)
+    text match {
+      case RestoreRe(dir, v) =>
+        versionFrame(Snapshots.restore(s, dir, pcOf(dir), v.toLong))
+      case AddConstraintRe(dir, name, exprSql) =>
+        versionFrame(
+          Snapshots.addConstraintRetry(s, dir, pcOf(dir), name, exprSql.trim))
+      case DropConstraintRe(dir, name) =>
+        versionFrame(Snapshots.dropConstraintRetry(s, dir, name))
+      case HistoryRe(dir) =>
+        Snapshots.history(s, dir)
+      case VacuumRe(dir, keep) =>
+        Snapshots.vacuum(s, dir, keep.toInt).toDF("dropped_version")
+      case OptimizeRe(dir, zorder) =>
+        val cluster = Option(zorder).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        versionFrame(
+          Snapshots.optimize(s, dir, pcOf(dir), clusterBy = cluster))
+      case _ =>
+        s.sessionState.sqlParser.parsePlan(text) match {
+          case DeleteFromTable(table, condition) =>
+            val dir = targetDir(table)
+            versionFrame(Snapshots.delete(s, dir, pcOf(dir),
+              toColumn(condition)))
+          case UpdateTable(table, assignments, condition) =>
+            val dir = targetDir(table)
+            val sets = assignments.map {
+              case Assignment(k: UnresolvedAttribute, v) =>
+                k.nameParts.last -> toColumn(v)
+              case other => refuse(
+                s"UPDATE SET target ${other.key.sql} is not a plain column")
+            }.toMap
+            versionFrame(Snapshots.update(s, dir, pcOf(dir),
+              condition.map(toColumn).getOrElse(lit(true)), sets))
+          case m: MergeIntoTable => mergeSql(s, m, partColHint)
+          case other => refuse(
+            s"unsupported statement for the snapshot SQL surface: " +
+              s"${other.nodeName} (DELETE / UPDATE / MERGE / RESTORE / " +
+              "ALTER TABLE ADD|DROP CONSTRAINT / DESCRIBE HISTORY / " +
+              "VACUUM / OPTIMIZE)")
+        }
+    }
+  }
+
+  private def refuse(msg: String): Nothing =
+    throw new IllegalArgumentException(s"Snapshots.sql: $msg")
+
+  /** the statement's target table: `graft_snapshot.`<dir>`` (possibly
+    * aliased) — the two-part identifier keeps the path byte-exact
+    * through Spark's parser */
+  private def targetDir(p: LogicalPlan): String = p match {
+    case SubqueryAlias(_, child) => targetDir(child)
+    case r: UnresolvedRelation => r.multipartIdentifier match {
+      case Seq("graft_snapshot", dir) => dir
+      case other => refuse(
+        s"target must be graft_snapshot.`<table dir>`, got " +
+          other.mkString("."))
+    }
+    case other => refuse(s"cannot resolve DML target from ${other.nodeName}")
+  }
+
+  private def partColOf(s: SparkSession, dir: String,
+      hint: Option[String]): String = {
+    val cur = Snapshots.currentVersion(s, dir)
+    require(cur >= 1, s"Snapshots.sql: no committed table at $dir")
+    Snapshots.readManifest(s, dir, cur).partCol.orElse(hint).getOrElse(refuse(
+      s"the manifest at $dir predates the recorded partition column — " +
+        "recommit the table once under the current format, or pass " +
+        "partCol explicitly"))
+  }
+
+  /** DML predicates/values arrive as UNRESOLVED expressions whose
+    * attributes may carry the statement's table qualifier (`t.x`);
+    * the kernels resolve them against the bare table schema, so strip
+    * qualifiers down to the column name (top-level columns only — the
+    * format's stats/DML layer operates at that grain anyway) */
+  private def toColumn(e: Expression): Column =
+    Bridge.column(e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+        UnresolvedAttribute(Seq(a.nameParts.last))
+    })
+
+  private def mergeSql(s: SparkSession, m: MergeIntoTable,
+      partColHint: Option[String]): DataFrame = {
+    import s.implicits._
+    if (m.withSchemaEvolution)
+      refuse("MERGE WITH SCHEMA EVOLUTION is not supported — add columns " +
+        "via a full-snapshot commit")
+    if (m.notMatchedBySourceActions.nonEmpty)
+      refuse("WHEN NOT MATCHED BY SOURCE is not supported — the keyed-" +
+        "delta kernel folds source rows only")
+    val dir = targetDir(m.targetTable)
+    val partCol = partColOf(s, dir, partColHint)
+    // ON t.k = s.k — both sides must name the SAME column (the kernel's
+    // key identity); anything fancier needs the Scala API
+    val key = m.mergeCondition match {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+          if a.nameParts.last == b.nameParts.last => a.nameParts.last
+      case other => refuse(
+        s"MERGE ON must be t.<key> = s.<key> (same column name), got " +
+          other.sql)
+    }
+    // canonical shapes only (see the scaladoc): [DELETE AND c,] UPDATE
+    // SET * [+ INSERT *], or DELETE-only
+    val (delCond: Option[Option[Expression]], hasUpdate) = m.matchedActions match {
+      case Seq(DeleteAction(c), UpdateStarAction(None)) => (Some(c), true)
+      case Seq(UpdateStarAction(None)) => (None, true)
+      case Seq(DeleteAction(c)) => (Some(c), false)
+      case other => refuse(
+        "MERGE matched clauses must be [WHEN MATCHED AND c THEN DELETE,] " +
+          "WHEN MATCHED THEN UPDATE SET *, or WHEN MATCHED THEN DELETE " +
+          s"alone; got ${other.map(_.getClass.getSimpleName).mkString(", ")}")
+    }
+    val hasInsert = m.notMatchedActions match {
+      case Seq(InsertStarAction(None)) => true
+      case Seq() => false
+      case other => refuse(
+        "MERGE not-matched clause must be WHEN NOT MATCHED THEN INSERT * " +
+          s"or absent; got ${other.map(_.getClass.getSimpleName).mkString(", ")}")
+    }
+    if (hasUpdate && !hasInsert)
+      refuse("WHEN MATCHED THEN UPDATE SET * without WHEN NOT MATCHED THEN " +
+        "INSERT * would require matched-row tracking the format does not " +
+        "record — add the INSERT clause (full upsert) or use the Scala API")
+    val source = Bridge.ofRows(s, m.sourceTable)
+    // op per source row: delete-condition rows -> 'D'; the rest -> 'U'
+    // (full upsert) or dropped (DELETE-only merge folds deletions alone).
+    // The delete condition must be decidable from the SOURCE row itself:
+    // it may reference source columns only (Delta's CDC-fold shape,
+    // `WHEN MATCHED AND s.tombstone THEN DELETE`) — a TARGET-qualified
+    // reference would silently resolve against the source's same-named
+    // column after qualifier stripping, so refuse it by alias.
+    val targetAlias = m.targetTable match {
+      case SubqueryAlias(id, _) => Some(id.name)
+      case _ => None
+    }
+    delCond.flatten.foreach { c =>
+      val bad = c.collect {
+        case a: UnresolvedAttribute
+            if a.nameParts.length > 1 &&
+              targetAlias.contains(a.nameParts.head) => a.sql
+      }
+      if (bad.nonEmpty) refuse(
+        s"MERGE delete condition references target column(s) " +
+          s"${bad.mkString(", ")} — it must be decidable from the source " +
+          "row alone (the format records no matched-row lineage)")
+    }
+    val op: Column = delCond match {
+      case None => lit("U")
+      case Some(c) =>
+        val cond = c.map(toColumn).getOrElse(lit(true))
+        if (hasUpdate) when(cond, "D").otherwise("U")
+        else when(cond, "D").otherwise(null) // non-matching rows fold to nothing
+    }
+    val delta = source.withColumn("op", op).filter(col("op").isNotNull)
+    Seq(Snapshots.merge(s, dir, partCol, key, delta)).toDF("version")
+  }
+}

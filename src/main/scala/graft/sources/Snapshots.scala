@@ -383,7 +383,8 @@ object Snapshots {
   private[graft] case class Manifest(schema: Option[StructType],
       ts: Option[Long], op: Option[String],
       constraints: Seq[(String, String)], entries: Seq[Entry],
-      segParts: Seq[(SegRef, Seq[Entry])] = Nil)
+      segParts: Seq[(SegRef, Seq[Entry])] = Nil,
+      partCol: Option[String] = None)
 
   /** thrown when a version's manifest is absent (never committed, or
     * retired by [[vacuum]]) — a dedicated type CARRYING THE TABLE DIR so
@@ -419,6 +420,13 @@ object Snapshots {
     val op = meta.collectFirst {
       case kv if kv.startsWith("op=") => kv.stripPrefix("op=")
     }
+    // partCol recorded since r16 (percent-encoded) — what makes the
+    // table SELF-DESCRIBING for the SQL DML surface: `DELETE FROM
+    // graft_snapshot.`dir`` needs no out-of-band partition-column hint
+    val partColH = meta.collectFirst {
+      case kv if kv.startsWith("partCol=") =>
+        java.net.URLDecoder.decode(kv.stripPrefix("partCol="), "UTF-8")
+    }
     val constraints = headers.filter(_.startsWith(ConstraintHeader)).map { h =>
       h.stripPrefix(ConstraintHeader).split("\t", 2) match {
         case Array(name, sql) => name -> sql
@@ -440,7 +448,7 @@ object Snapshots {
     }
     val inline = entryLines.map(parseEntryLine(p, _))
     Manifest(schema, ts, op, constraints,
-      inline ++ segParts.flatMap(_._2), segParts)
+      inline ++ segParts.flatMap(_._2), segParts, partColH)
   }
 
   /** header fields only (ts, op, and the `#stats` rollup when present) —
@@ -477,6 +485,88 @@ object Snapshots {
       }
       (ts, op, stats)
     } finally in.close()
+  }
+
+  /** COLUMN MAPPING — the field-ID indirection that makes RENAME and
+    * DROP metadata-only operations (Delta's column-mapping / Iceberg's
+    * field-ID design, in miniature): each schema-header field carries
+    *
+    *   - `graft.id`        a stable numeric id assigned when the column
+    *                       first appears (never reused),
+    *   - `graft.physical`  the parquet column name its DATA lives under
+    *                       in every file, forever.
+    *
+    * A RENAME changes only the LOGICAL field name (id + physical stay) —
+    * zero data movement, old versions serve their own header. A DROP
+    * removes the field from the header and RETIRES its physical name (a
+    * `retired=` meta list every later manifest carries), so a column
+    * re-added under the same name gets a FRESH physical name and can
+    * never resurrect the dropped column's bytes out of carried files.
+    * Writes rename the frame logical->physical before the parquet write;
+    * scans read physical and alias back. For tables that never rename,
+    * physical == logical throughout and every path is byte-identical to
+    * the pre-mapping format (the common case costs nothing). */
+  private object ColumnMapping {
+    val IdKey = "graft.id"
+    val PhysKey = "graft.physical"
+
+    def physicalName(f: StructField): String =
+      if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+      else f.name
+
+    def fieldId(f: StructField): Option[Long] =
+      if (f.metadata.contains(IdKey)) Some(f.metadata.getLong(IdKey))
+      else None
+
+    def nontrivial(st: StructType): Boolean =
+      st.fields.exists(f => physicalName(f) != f.name)
+
+    /** logical -> physical name map for `st` */
+    def toPhysical(st: StructType): Map[String, String] =
+      st.fields.map(f => f.name -> physicalName(f)).toMap
+
+    /** the schema as the parquet FILES see it: fields renamed to their
+      * physical names (metadata kept — harmless in a scan schema) */
+    def physicalStruct(st: StructType): StructType =
+      StructType(st.fields.map(f => f.copy(name = physicalName(f))))
+
+    /** Assign ids/physical names to a commit's data schema: a field
+      * whose NAME matches a previous-header field inherits that field's
+      * id and physical name (same column, possibly evolving type within
+      * the contract); a new field gets maxId+1 and physical = its name —
+      * unless that name is RETIRED (a dropped column's data may still
+      * live under it in carried files) or already in use as another
+      * field's physical name (the rename-then-readd shape), in which
+      * case it gets a collision-proof `<name>_g<id>`. */
+    def assign(dataSchema: StructType, prev: Option[StructType],
+        retired: Seq[String]): StructType = {
+      val prevByName = prev.map(_.fields.map(f => f.name -> f).toMap)
+        .getOrElse(Map.empty)
+      var maxId = prev.toSeq.flatMap(_.fields).flatMap(fieldId)
+        .foldLeft(0L)(math.max)
+      val takenPhys = scala.collection.mutable.Set[String](retired: _*)
+      prevByName.valuesIterator.foreach(f => takenPhys += physicalName(f))
+      StructType(dataSchema.fields.map { f =>
+        prevByName.get(f.name) match {
+          case Some(pf) =>
+            val mb = new MetadataBuilder().withMetadata(f.metadata)
+            fieldId(pf).foreach(mb.putLong(IdKey, _))
+            mb.putString(PhysKey, physicalName(pf))
+            f.copy(metadata = mb.build())
+          case None =>
+            maxId += 1
+            val phys =
+              if (!takenPhys.contains(f.name)) f.name
+              else s"${f.name}_g$maxId"
+            takenPhys += phys
+            f.copy(metadata = new MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong(IdKey, maxId)
+              .putString(PhysKey, phys)
+              .build())
+        }
+      })
+    }
   }
 
   /** nullability widened RECURSIVELY (structs/arrays/maps included):
@@ -996,15 +1086,23 @@ object Snapshots {
   def diffRows(s: SparkSession, dir: String, partCol: String,
       keyCol: String, fromV: Long, toV: Long): DataFrame = {
     val feed = diff(s, dir, partCol, fromV, toV)
-    val cols = feed.columns.toSeq.filterNot(_ == "change")
+    rowEvents(feed.filter(col("change") === "removed").drop("change"),
+      feed.filter(col("change") === "added").drop("change"), keyCol)
+  }
+
+  /** the row-image kernel behind [[diffRows]] AND the streaming source's
+    * rowLevel feed: one keyed full-outer join of the changed partitions'
+    * two states (see [[diffRows]] for the classification table). `pre` /
+    * `post` must share a schema; output = that schema + `change`. */
+  private[graft] def rowEvents(pre: DataFrame, post: DataFrame,
+      keyCol: String): DataFrame = {
+    val cols = pre.columns.toSeq
     require(cols.contains(keyCol),
-      s"Snapshots: diffRows key '$keyCol' is not a table column")
+      s"Snapshots: row-feed key '$keyCol' is not a table column")
     // presence markers, not key-null checks: a NULL-keyed row must read
     // as "present on its side with no partner", never as a phantom match
-    val before = feed.filter(col("change") === "removed")
-      .select(cols.map(col): _*).withColumn("__b", lit(1)).alias("b")
-    val after = feed.filter(col("change") === "added")
-      .select(cols.map(col): _*).withColumn("__a", lit(1)).alias("a")
+    val before = pre.withColumn("__b", lit(1)).alias("b")
+    val after = post.withColumn("__a", lit(1)).alias("a")
     val joined = before.join(after,
       col(s"b.$keyCol") === col(s"a.$keyCol"), "full_outer")
     val same = cols.map(c => col(s"b.$c") <=> col(s"a.$c")).reduce(_ && _)
@@ -1014,7 +1112,7 @@ object Snapshots {
     // the empty branch needs an explicit element type (array() alone is
     // ArrayType(NullType)); build it from the feed's own schema
     val eventType = ArrayType(StructType(
-      cols.map(c => feed.schema(c).copy(nullable = true))
+      cols.map(c => pre.schema(c).copy(nullable = true))
         :+ StructField("change", StringType, nullable = false)))
     val events =
       when(col("b.__b").isNull, array(img("a", "insert")))
@@ -1215,7 +1313,8 @@ object Snapshots {
       mT.schema.map(sc => SchemaHeader + sc.json),
       // clamp against the CURRENT head (mC), not the restore target —
       // ts must stay monotone in version order
-      Some(MetaHeader + s"ts=${commitTs(Some(mC))} op=restore"),
+      Some(MetaHeader + s"ts=${commitTs(Some(mC))} op=restore " +
+        s"partCol=${java.net.URLEncoder.encode(partCol, "UTF-8")}"),
       Some(statsHeader(entries))).flatten ++
       mT.constraints.map { case (n, q) => ConstraintHeader + n + "\t" + q } ++
       segRefs.map(_.line)
@@ -1293,7 +1392,10 @@ object Snapshots {
     val (segRefs, inline) = packEntries(s, fs, dir, v, m.entries, m.segParts)
     val headers = Seq(
       m.schema.map(sc => SchemaHeader + sc.json),
-      Some(MetaHeader + s"ts=${commitTs(Some(m))} op=$opName"),
+      Some(MetaHeader + s"ts=${commitTs(Some(m))} op=$opName" +
+        m.partCol.map(pc =>
+          s" partCol=${java.net.URLEncoder.encode(pc, "UTF-8")}")
+          .getOrElse("")),
       Some(statsHeader(m.entries))).flatten ++
       next.map { case (n, q) => ConstraintHeader + n + "\t" + q } ++
       segRefs.map(_.line)
@@ -1493,6 +1595,17 @@ object Snapshots {
     import s.implicits._
     rows.toDF("version", "ts_millis", "op", "n_partitions", "n_files", "bytes")
   }
+
+  /** The SQL-TEXT surface over the DML/DDL kernels — DELETE / UPDATE /
+    * MERGE (parsed by Spark's own parser, dispatched onto the
+    * bounds-selected rewrite kernels) plus RESTORE / ALTER TABLE
+    * ADD|DROP CONSTRAINT / DESCRIBE HISTORY / VACUUM / OPTIMIZE. Tables
+    * are named `graft_snapshot.`<table dir>`` and are self-describing
+    * (the manifest records the partition column); see [[SnapshotSql]]
+    * for the accepted statements and the MERGE shape rules. */
+  def sql(s: SparkSession, text: String,
+      partCol: Option[String] = None): DataFrame =
+    SnapshotSql(s, text, partCol)
 
   /** Retention vacuum — the production knob that bounds history: drop
     * every version older than the newest `keepLast`, deleting (a) the
@@ -1978,7 +2091,8 @@ object Snapshots {
       prevManifest.map(_.segParts).getOrElse(Nil))
     val headers = Seq(
       SchemaHeader + headerSchema.json,
-      MetaHeader + s"ts=${commitTs(prevManifest)} op=$op",
+      MetaHeader + s"ts=${commitTs(prevManifest)} op=$op " +
+        s"partCol=${java.net.URLEncoder.encode(partCol, "UTF-8")}",
       statsHeader(entries)) ++
       activeConstraints.map { case (n, q) => ConstraintHeader + n + "\t" + q } ++
       segRefs.map(_.line)

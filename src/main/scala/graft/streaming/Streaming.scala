@@ -988,6 +988,74 @@ object Streaming {
     (fin, batches.get, dir)
   }
 
+  def streamCdfRows(s: SparkSession, d: String): DataFrame =
+    streamCdfRowsCounted(s, d, 1)._1
+
+  /** The ROW-LEVEL change-feed consumer (rowLevel=true + keyCol): same
+    * CDC fixture as [[streamChangefeedCounted]] (3 keyed merge versions
+    * + a must-be-silent OPTIMIZE), but the stream delivers Delta-CDF row
+    * images — insert / delete / update_preimage / update_postimage, each
+    * stamped with its commit version — and the consumer folds STATE BY
+    * KEY: a key's latest image wins, a final 'delete' drops it. The fold
+    * lands on the same fixpoint as the final version's batch read, so
+    * the oracle is q_stream_changefeed's verbatim; rows that merely rode
+    * along in a rewritten partition never reach the consumer at all (the
+    * row grain's whole point — the partition feed makes the consumer
+    * re-derive state per partition instead). */
+  private[graft] def streamCdfRowsCounted(s: SparkSession, d: String,
+      maxVersionsPerBatch: Int): (DataFrame, Int, String) = {
+    import graft.sources.Snapshots
+    val ev = graft.sources.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value").as("v"))
+    val dir = "/tmp/graft_stream_cdfrows_" +
+      java.nio.file.Paths.get(d).getFileName.toString +
+      "_" + s.sparkContext.applicationId + "_" + System.nanoTime()
+    graft.operators.Sampling.deleteOnExit(dir)
+    def batch(b: Int) = ev
+      .filter(pmod(col("event_id"), lit(3)) === b)
+      .groupBy("user_id")
+      .agg(max("event_id").as("event_id"),
+        max_by(col("v"), col("event_id")).as("v"))
+      .withColumn("part", (col("user_id") % 4).cast("string"))
+      .withColumn("op",
+        when(pmod(col("event_id"), lit(29)) === 0, lit("D"))
+          .otherwise(lit("U")))
+    Snapshots.commit(s, dir, batch(0).filter(col("op") =!= "D").drop("op"),
+      "part", statsColumns = Seq("user_id"))
+    Snapshots.merge(s, dir, "part", "user_id", batch(1))
+    Snapshots.merge(s, dir, "part", "user_id", batch(2))
+    Snapshots.optimize(s, dir, "part")
+    val feedAcc = new BatchAcc[DataFrame](null)
+    val batches = new BatchAcc(0)
+    val q = s.readStream.format("graft_snapshot_cdf")
+      .option("path", dir).option("partCol", "part")
+      .option("rowLevel", "true").option("keyCol", "user_id")
+      .option("maxVersionsPerBatch", maxVersionsPerBatch.toString)
+      .load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val bb = b.localCheckpoint()
+        feedAcc.set(
+          if (feedAcc.get == null) bb else feedAcc.get.unionByName(bb))
+        batches.set(batches.get + 1)
+      }
+      .start()
+    drain(q)
+    val feed = feedAcc.get
+    // key-state fold: per key, the LATEST post-style image (insert /
+    // update_postimage / delete) decides — delete drops the key, the
+    // others carry the row. Pre-images are audit data, not state.
+    val fin = feed
+      .filter(col("change").isin("insert", "update_postimage", "delete"))
+      .groupBy("user_id")
+      .agg(max_by(struct(col("change"), col("event_id"), col("v")),
+        col("_commit_version")).as("last"))
+      .filter(col("last.change") =!= "delete")
+      .select(col("user_id"), col("last.event_id").as("event_id"),
+        col("last.v").as("v"))
+    (fin, batches.get, dir)
+  }
+
   private[graft] def streamDriftEmbeddingCounted(s: SparkSession, d: String,
       srcDir: String, glob: String,
       maxFilesPerTrigger: Int): (DataFrame, Int) = withStatePartitions(s, 4) {
@@ -2035,6 +2103,25 @@ fin AS (
   FROM perb GROUP BY user_id)
 SELECT user_id, event_id, v FROM fin WHERE NOT del
 """.stripMargin) { (s, d) => streamChangefeed(s, d) },
+
+    // ROW-LEVEL streaming change feed (see streamCdfRows' doc): the same
+    // CDC fold consumed as Delta-CDF row images (insert / delete /
+    // update_pre/postimage per commit version, rowLevel=true + keyCol),
+    // folded by KEY instead of by partition. Both consumers must land on
+    // the same fixpoint — the oracle is q_stream_changefeed's verbatim.
+    QueryDef(
+      "q_stream_cdf_rows",
+      """WITH e AS (
+  SELECT user_id, event_id, value AS v, event_id % 3 AS b FROM events),
+perb AS (
+  SELECT user_id, b, max(event_id) AS event_id, arg_max(v, event_id) AS v
+  FROM e GROUP BY 1, 2),
+fin AS (
+  SELECT user_id, arg_max(event_id, b) AS event_id, arg_max(v, b) AS v,
+         arg_max(event_id, b) % 29 = 0 AS del
+  FROM perb GROUP BY user_id)
+SELECT user_id, event_id, v FROM fin WHERE NOT del
+""".stripMargin) { (s, d) => streamCdfRows(s, d) },
 
     // Streaming cardinality monitor: per-type distinct-user estimates
     // maintained as constant-size KMV sketches across micro-batches.

@@ -19,6 +19,16 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** analyze an UNRESOLVED logical plan into a DataFrame — what the SQL
+    * DML dispatcher needs to resolve a MERGE statement's source
+    * relation/subquery through the session's real analyzer (Spark 4 made
+    * Dataset.ofRows private[sql]) */
+  def ofRows(s: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    Dataset.ofRows(s.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      plan)
+
   /** Clamp the carried `originStats` of a checkpointed frame.
     *
     * `Dataset.localCheckpoint` wraps the materialized RDD in a
@@ -96,6 +106,24 @@ object Bridge {
     val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     cs.baseRelationToDataFrame(
       manifestRelation(s, partCol, files, types, dataSchema))
+  }
+
+  /** Re-tag an arbitrary BATCH-planned frame as a streaming batch — the
+    * V1-source escape hatch for getBatch results whose plan holds
+    * operators the incremental planner would misread as STATEFUL if
+    * their inputs were streaming-tagged (a keyed full-outer join between
+    * two streaming-tagged legs would plan as a watermark-requiring
+    * stream-stream join; here it is an intra-batch join over two pinned
+    * manifests). The batch plan compiles through the NORMAL planner and
+    * its executed RDD is wrapped in a streaming-tagged LogicalRDD — the
+    * exact `internalCreateDataFrame(rdd, schema, isStreaming = true)`
+    * shape FileStreamSource and the Kafka source return their batches
+    * with. */
+  def streamingFrame(s: SparkSession, df: DataFrame): DataFrame = {
+    val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.asInstanceOf[Dataset[Row]].queryExecution.toRdd, df.schema,
+      isStreaming = true)
   }
 
   /** the same scan STREAMING-TAGGED — what a v1 streaming `Source`'s

@@ -370,6 +370,70 @@ class StreamingRobustnessSpec extends SparkSpec {
     assert(m.sameElements(fix), "fold must equal the batch fixpoint")
   }
 
+  test("row-level changefeed: batching-invariant, suppresses ride-along rows, equals the batch fixpoint") {
+    val (multi, applied, table) = Streaming.streamCdfRowsCounted(spark, sf, 1)
+    assert(applied >= 3, s"expected one batch per version, got $applied")
+    val (single, applied1, _) = Streaming.streamCdfRowsCounted(spark, sf, 100)
+    assert(applied1 < applied, s"spanning run must batch fewer: $applied1")
+    val m = multi.collect().map(_.toString).sorted
+    assert(m.nonEmpty)
+    assert(m.sameElements(single.collect().map(_.toString).sorted),
+      "row-level fold must be batching-invariant")
+    val fix = graft.sources.Snapshots.read(spark, table, "part")
+      .select("user_id", "event_id", "v").collect().map(_.toString).sorted
+    assert(m.sameElements(fix), "row fold must equal the batch fixpoint")
+  }
+
+  test("row-level changefeed source: exact images per version, OPTIMIZE silent, checkpointed restart exactly once") {
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdfrow_tbl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdfrow_ckpt").toString
+    val v1 = Snapshots.commit(spark, dir,
+      Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 7L, 70L))
+        .toDF("part", "k", "v").repartition(4),
+      "part", statsColumns = Seq("k"))
+    // v2 rewrites partition a: k=1 updated, k=2 untouched (RIDES ALONG —
+    // must be invisible at row grain), k=3 inserted
+    val v2 = Snapshots.commitReplace(spark, dir,
+      Seq(("a", 1L, 11L), ("a", 2L, 20L), ("a", 3L, 30L))
+        .toDF("part", "k", "v"), "part")
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, String, Long, Long)]())
+    def run(): Unit = {
+      val q = spark.readStream.format("graft_snapshot_cdf")
+        .option("path", dir).option("partCol", "part")
+        .option("rowLevel", "true").option("keyCol", "k")
+        .option("maxVersionsPerBatch", "1")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("_commit_version", "change", "k", "v")
+            .collect().foreach(r => got.add(
+              (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))))
+        }
+        .start()
+      Streaming.drain(q)
+    }
+    run()
+    import scala.jdk.CollectionConverters._
+    val phase1 = got.asScala.toList
+    assert(phase1.sorted == List(
+      (v1, "insert", 1L, 10L), (v1, "insert", 2L, 20L), (v1, "insert", 7L, 70L),
+      (v2, "update_preimage", 1L, 10L), (v2, "update_postimage", 1L, 11L),
+      (v2, "insert", 3L, 30L)).sorted,
+      s"v1 = initial inserts, v2 = exact row images (ride-along k=2 silent): $phase1")
+    // between incarnations: a delete via DML (fragmented enough to give
+    // the follow-up OPTIMIZE work) and a compaction that must stay silent
+    val v3 = Snapshots.delete(spark, dir, "part",
+      org.apache.spark.sql.functions.col("k") === 7L)
+    val v4 = Snapshots.optimize(spark, dir, "part")
+    assert(v3 > v2 && v4 > v3, "fixture must delete then compact")
+    run() // SAME checkpoint: serves exactly (v2, v4]
+    val newRows = got.asScala.toList.drop(phase1.size)
+    assert(newRows.sorted == List((v3, "delete", 7L, 70L)).sorted,
+      s"restart must serve only the delete image, compaction silent: $newRows")
+  }
+
   test("changefeed source: per-version offsets, OPTIMIZE emits nothing, checkpointed restart serves each version exactly once") {
     import graft.sources.Snapshots
     val dir = java.nio.file.Files.createTempDirectory("graft_cdf_tbl").toString
