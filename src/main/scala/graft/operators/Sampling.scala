@@ -908,7 +908,7 @@ gc AS (
   FROM events WHERE event_type = 'click' AND value >= 1.0 GROUP BY 1, 2),
 v AS (SELECT * FROM g WHERE event_type <> 'click' UNION ALL SELECT * FROM gc)
 SELECT event_type, count(*)::BIGINT AS n_buckets,
-  sum(n_events)::BIGINT AS n_events, 1::BIGINT AS violations_refused
+  sum(n_events)::BIGINT AS n_events, 3::BIGINT AS violations_refused
 FROM v GROUP BY event_type
 """.stripMargin) { (s, d) =>
       import graft.sources.Snapshots
@@ -921,22 +921,38 @@ FROM v GROUP BY event_type
         .agg(count(lit(1)).as("n_events"))
       val ev = events(s, d)
       Snapshots.commit(s, dir, agg(ev), "event_type")
-      // pass 2/3 of a bench run reuses the table: the constraint is
-      // already on it
-      if (!Snapshots.constraints(s, dir).exists(_._1 == "chk_rows"))
+      // pass 2/3 of a bench run reuses the table: the constraints are
+      // already on it. All three KINDS ride the same header slot:
+      // CHECK (SQL semantics: NULL passes), declared NOT NULL (NULL
+      // violates), and UNIQUE-per-partition (written-rows key-group
+      // cardinality) — each validated against the EXISTING table in one
+      // pass at add time, then enforced between write and rename.
+      val have = Snapshots.constraints(s, dir).map(_._1).toSet
+      if (!have("chk_rows"))
         Snapshots.addConstraint(s, dir, "event_type", "chk_rows",
           "n_events > 0")
-      // the BAD correction: negated counts — must be refused pre-commit
-      val refused =
-        try {
-          Snapshots.commitReplace(s, dir,
-            agg(ev.filter(col("event_type") === "click"))
-              .withColumn("n_events", -col("n_events")), "event_type")
-          0L
-        } catch {
+      if (!have("nn_events"))
+        Snapshots.addNotNullConstraint(s, dir, "event_type", "nn_events",
+          "n_events")
+      if (!have("uq_bucket"))
+        Snapshots.addUniqueConstraint(s, dir, "event_type", "uq_bucket",
+          Seq("bucket"))
+      val clicks = agg(ev.filter(col("event_type") === "click"))
+      // three BAD corrections, one per constraint kind — every one must
+      // be refused pre-commit (the table never holds a violating row)
+      def refusedBy(marker: String)(df: org.apache.spark.sql.DataFrame): Long =
+        try { Snapshots.commitReplace(s, dir, df, "event_type"); 0L }
+        catch {
           case e: IllegalArgumentException
-              if e.getMessage.contains("chk_rows") => 1L
+              if e.getMessage.contains(marker) => 1L
         }
+      val refused =
+        refusedBy("chk_rows")(clicks.withColumn("n_events", -col("n_events"))) +
+          refusedBy("nn_events")(clicks.withColumn("n_events",
+            when(col("bucket") === 0, lit(null).cast("long"))
+              .otherwise(col("n_events")))) +
+          refusedBy("uq_bucket")(clicks.unionByName(clicks.limit(1)))
+      // the GOOD correction satisfies all three kinds at once
       val vOk = Snapshots.commitReplace(s, dir,
         agg(ev.filter(col("event_type") === "click" && col("value") >= 1.0)),
         "event_type")
@@ -1023,10 +1039,10 @@ FROM base WHERE NOT (user_id >= 300 AND user_id < 400)
       Snapshots.sql(s,
         s"DELETE FROM graft_snapshot.`$dir` " +
           "WHERE user_id >= 300 AND user_id < 400")
-      val v4 = Snapshots.sql(s,
+      Snapshots.sql(s,
         s"UPDATE graft_snapshot.`$dir` SET v = v * 2 " +
           "WHERE user_id >= 100 AND user_id < 200")
-        .collect()(0).getLong(0)
+      val v4 = Snapshots.currentVersion(s, dir)
       val view = s"dmlsql_v_${math.abs(dir.hashCode)}"
       s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW $view
         USING graft_snapshot
@@ -1173,6 +1189,22 @@ UNION ALL
 SELECT 'post_evolve' AS snapshot, event_type, count(*)::BIGINT AS n_buckets,
   sum(n_events)::BIGINT AS n_events, 0::BIGINT AS n_corrected
 FROM g WHERE event_type <> 'click' GROUP BY event_type
+UNION ALL
+SELECT 'post_rename' AS snapshot, event_type, count(*)::BIGINT,
+  sum(n_events)::BIGINT, count(*)::BIGINT
+FROM gc GROUP BY event_type
+UNION ALL
+SELECT 'post_rename' AS snapshot, event_type, count(*)::BIGINT,
+  sum(n_events)::BIGINT, 0::BIGINT
+FROM g WHERE event_type <> 'click' GROUP BY event_type
+UNION ALL
+SELECT 'post_drop' AS snapshot, event_type, count(*)::BIGINT,
+  sum(n_events)::BIGINT, 0::BIGINT
+FROM gc GROUP BY event_type
+UNION ALL
+SELECT 'post_drop' AS snapshot, event_type, count(*)::BIGINT,
+  sum(n_events)::BIGINT, 0::BIGINT
+FROM g WHERE event_type <> 'click' GROUP BY event_type
 """.stripMargin) { (s, d) =>
       import graft.sources.Snapshots
       val dir = "/tmp/graft_snap_evolve_" +
@@ -1203,7 +1235,34 @@ FROM g WHERE event_type <> 'click' GROUP BY event_type
           count(col("corrected")).as("n_corrected"))
         .select(lit("post_evolve").as("snapshot"), col("event_type"),
           col("n_buckets"), col("n_events"), col("n_corrected"))
-      pre.unionByName(post)
+      // RENAME as a version (column mapping: metadata-only, the field
+      // keeps its id + physical name): the NEW name serves the SAME
+      // data — carried null-fills included — while the pre-rename
+      // version v2 still serves its own 'corrected'
+      val v3 = Snapshots.renameColumn(s, dir, "corrected", "fixed")
+      require(Snapshots.read(s, dir, "event_type", v2)
+        .columns.contains("corrected"),
+        "time travel must serve the pre-rename schema")
+      val renamed = Snapshots.read(s, dir, "event_type", v3)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_buckets"), sum("n_events").as("n_events"),
+          count(col("fixed")).as("n_corrected"))
+        .select(lit("post_rename").as("snapshot"), col("event_type"),
+          col("n_buckets"), col("n_events"), col("n_corrected"))
+      // DROP as a version: the column leaves the schema (bytes stay in
+      // the immutable files, unreachable — its physical name is retired)
+      // and the remaining columns read back intact
+      val v4 = Snapshots.dropColumn(s, dir, "fixed")
+      val postDrop = Snapshots.read(s, dir, "event_type", v4)
+      require(!postDrop.columns.contains("fixed") &&
+        !postDrop.columns.contains("corrected"),
+        "dropped column must leave the read schema")
+      val droppedAgg = postDrop
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_buckets"), sum("n_events").as("n_events"))
+        .select(lit("post_drop").as("snapshot"), col("event_type"),
+          col("n_buckets"), col("n_events"), lit(0L).as("n_corrected"))
+      pre.unionByName(post).unionByName(renamed).unionByName(droppedAgg)
     },
 
     // OPTIMIZE Z-ORDER end to end: the stored Morton key

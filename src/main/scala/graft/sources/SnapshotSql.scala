@@ -66,6 +66,10 @@ private[graft] object SnapshotSql {
     s"""(?is)^\\s*RESTORE\\s+TABLE\\s+$Target\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""".r
   private val AddConstraintRe =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Target\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.*)\\)\\s*;?\\s*$$""".r
+  private val AddUniqueRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Target\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+UNIQUE\\s*\\(([^)]*)\\)\\s*;?\\s*$$""".r
+  private val SetNotNullRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Target\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+SET\\s+NOT\\s+NULL\\s*;?\\s*$$""".r
   private val DropConstraintRe =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Target\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""".r
   private val HistoryRe =
@@ -86,6 +90,12 @@ private[graft] object SnapshotSql {
       case AddConstraintRe(dir, name, exprSql) =>
         versionFrame(
           Snapshots.addConstraintRetry(s, dir, pcOf(dir), name, exprSql.trim))
+      case AddUniqueRe(dir, name, cols) =>
+        versionFrame(Snapshots.addUniqueConstraint(s, dir, pcOf(dir), name,
+          cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty)))
+      case SetNotNullRe(dir, column) =>
+        versionFrame(Snapshots.addNotNullConstraint(s, dir, pcOf(dir),
+          s"${column}_not_null", column))
       case DropConstraintRe(dir, name) =>
         versionFrame(Snapshots.dropConstraintRetry(s, dir, name))
       case HistoryRe(dir) =>

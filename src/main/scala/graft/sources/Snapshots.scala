@@ -58,13 +58,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   3. Writers are optimistic: two concurrent commits race to CREATE
   *      the SAME manifest name; the loser fails loudly instead of
   *      silently clobbering. The atomic create-or-refuse primitive is
-  *      per-filesystem: HDFS rename (atomic, refuses an existing
-  *      target); LOCAL filesystems use link(2) — POSIX rename(2)
-  *      REPLACES an existing target, and the thread-race fuzz actually
-  *      LOST a committed version to that window before the hard-link
-  *      commit point closed it. CAVEAT (portability): object stores
-  *      need a conditional-PUT equivalent — the caveat real formats
-  *      document.
+  *      the [[CommitPoint]] trait, per filesystem class: HDFS rename
+  *      (atomic, refuses an existing target); LOCAL filesystems link(2)
+  *      — POSIX rename(2) REPLACES an existing target, and the
+  *      thread-race fuzz actually LOST a committed version to that
+  *      window before the hard-link commit point closed it; object
+  *      stores ONE conditional PUT (S3 If-None-Match / GCS
+  *      ifGenerationMatch=0 — client injected, protocol fuzz-tested
+  *      against a fake store).
   *
   * SCHEMA CONTRACT (evolution supported since r15): the partition column
   * is a StringType for the table's lifetime (asserted at commit —
@@ -384,7 +385,10 @@ object Snapshots {
       ts: Option[Long], op: Option[String],
       constraints: Seq[(String, String)], entries: Seq[Entry],
       segParts: Seq[(SegRef, Seq[Entry])] = Nil,
-      partCol: Option[String] = None)
+      partCol: Option[String] = None,
+      /** physical column names RETIRED by drops — never reassignable
+        * (see [[ColumnMapping]]) */
+      retired: Seq[String] = Nil)
 
   /** thrown when a version's manifest is absent (never committed, or
     * retired by [[vacuum]]) — a dedicated type CARRYING THE TABLE DIR so
@@ -395,13 +399,41 @@ object Snapshots {
   final class StaleVersionException(val tableDir: String, msg: String)
       extends IllegalArgumentException(msg)
 
+  /** JVM-wide LRU of PARSED manifests, keyed by qualified path —
+    * manifests are immutable once committed, so a cached parse is valid
+    * for the file's lifetime; the liveness question (vacuum) is answered
+    * by the fs.exists probe every read still performs. Primed
+    * WRITE-THROUGH by the commit point (a committer parses the content
+    * it just wrote — zero extra IO), which is what makes a
+    * merge/DML fold's next step read its predecessor's manifest for
+    * free, and repeated feed/history walks reparse nothing. */
+  private val manifestCacheMax = 64
+  private val manifestCache =
+    new java.util.LinkedHashMap[String, Manifest](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Manifest]): Boolean =
+        size() > manifestCacheMax
+    }
+
   private[graft] def readManifest(s: SparkSession, dir: String,
       v: Long): Manifest = {
     val fs = fsOf(s, dir)
     val p = manifestPath(dir, v)
     if (!fs.exists(p)) throw new StaleVersionException(dir,
       s"Snapshots: version $v does not exist at $dir")
-    val lines = readSmall(fs, p).split("\n").toSeq.filter(_.nonEmpty)
+    val key = fs.makeQualified(p).toString
+    manifestCache.synchronized { Option(manifestCache.get(key)) } match {
+      case Some(m) => m
+      case None =>
+        val m = parseManifestText(fs, dir, p, readSmall(fs, p))
+        manifestCache.synchronized { manifestCache.put(key, m) }
+        m
+    }
+  }
+
+  private def parseManifestText(fs: FileSystem, dir: String, p: Path,
+      text: String): Manifest = {
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
     // headers are a PREFIX of '#'-leading lines; entries never start with
     // '#' (commit refuses '#'-leading partition values precisely so this
     // split is unambiguous — a blanket '#' filter over ALL lines would
@@ -427,6 +459,11 @@ object Snapshots {
       case kv if kv.startsWith("partCol=") =>
         java.net.URLDecoder.decode(kv.stripPrefix("partCol="), "UTF-8")
     }
+    val retired = meta.collectFirst {
+      case kv if kv.startsWith("retired=") =>
+        kv.stripPrefix("retired=").split(",").toSeq.filter(_.nonEmpty)
+          .map(java.net.URLDecoder.decode(_, "UTF-8"))
+    }.getOrElse(Nil)
     val constraints = headers.filter(_.startsWith(ConstraintHeader)).map { h =>
       h.stripPrefix(ConstraintHeader).split("\t", 2) match {
         case Array(name, sql) => name -> sql
@@ -448,7 +485,7 @@ object Snapshots {
     }
     val inline = entryLines.map(parseEntryLine(p, _))
     Manifest(schema, ts, op, constraints,
-      inline ++ segParts.flatMap(_._2), segParts, partColH)
+      inline ++ segParts.flatMap(_._2), segParts, partColH, retired)
   }
 
   /** header fields only (ts, op, and the `#stats` rollup when present) —
@@ -652,6 +689,12 @@ object Snapshots {
     else (keep.map(_._1), loose)
   }
 
+  /** the meta-header `retired=` kv (empty string when nothing retired) */
+  private def retiredKv(retired: Seq[String]): String =
+    if (retired.isEmpty) ""
+    else " retired=" + retired.map(
+      java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
+
   /** the `#stats` rollup header — what makes [[history]] a header-only
     * read per version */
   private def statsHeader(entries: Seq[Entry]): String =
@@ -712,16 +755,6 @@ object Snapshots {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** tmp + atomic create-or-refuse (link(2) on local filesystems, rename
-    * on HDFS — see invariant 3), REFUSING an existing target or a
-    * vacuumed version number — the commit point, the
-    * optimistic-concurrency guard, and the resurrection guard in one
-    * place. RESIDUAL CAVEAT: a writer that passes the floor check while
-    * a concurrent vacuum raises the floor can still land in the retired
-    * range — closing it needs a coordinating catalog; the practical rule
-    * real formats document is the same: keep retention windows long
-    * relative to the longest possible writer stall. (Package-visible so
-    * the spec can drive the conflict branch directly.) */
   /** manifest dirs probed (or proven by createLink's own
     * UnsupportedOperationException) to sit on a mount WITHOUT hard
     * links — commits there skip the link attempt and go straight to the
@@ -761,6 +794,118 @@ object Snapshots {
     }
   }
 
+  /** The atomic CREATE-OR-REFUSE primitive the manifest commit rests on
+    * — invariant 3's per-filesystem seam, as a first-class contract:
+    *
+    *   - MUST either create `target` complete or throw
+    *     [[CommitConflictException]] when a concurrent writer created it
+    *     first (the OCC loser signal); a torn/partial target is never
+    *     observable.
+    *   - real IO faults PROPAGATE as what they are — never downgraded
+    *     to a conflict (commitRetry would burn attempts on a dead store).
+    *   - `tmp` holds the staged content; the implementation consumes or
+    *     deletes it on every path.
+    *
+    * Implementations: [[LinkCommitPoint]] (local FS — link(2) refuses an
+    * existing target where POSIX rename would REPLACE it),
+    * [[RenameCommitPoint]] (HDFS-class — rename is atomic and refuses),
+    * [[ConditionalPutCommitPoint]] (object stores — one conditional PUT:
+    * S3 `If-None-Match: *`, GCS `ifGenerationMatch=0`, ABFS ETag; the
+    * store client is injected, and the OCC fuzz drives the protocol
+    * through a fake store in SnapshotsSpec). The RESIDUAL floor/vacuum
+    * race is part of this contract too: [[writeManifestAtomic]]
+    * re-checks the retention floor AFTER the point lands and SELF-ABORTS
+    * a commit that stalled past a vacuum (see there). */
+  private[graft] trait CommitPoint {
+    def commit(fs: FileSystem, tmp: Path, target: Path,
+        content: Array[Byte]): Unit
+    /** the loser signal, shared by implementations */
+    protected def conflict(target: Path): Nothing =
+      throw new CommitConflictException(
+        s"Snapshots: manifest $target already exists — a concurrent " +
+          "writer committed this version first; re-read the table and " +
+          "retry (optimistic concurrency)")
+  }
+
+  /** HDFS-class: rename is atomic and refuses an existing target. */
+  private[graft] object RenameCommitPoint extends CommitPoint {
+    def commit(fs: FileSystem, tmp: Path, target: Path,
+        content: Array[Byte]): Unit = {
+      val renamed = try fs.rename(tmp, target) catch { case _: Throwable => false }
+      if (!renamed) {
+        fs.delete(tmp, false)
+        conflict(target)
+      }
+    }
+  }
+
+  /** LOCAL filesystems: POSIX rename(2) REPLACES an existing target, so
+    * Hadoop's rename guarantee rests on a check-then-rename window a
+    * true thread race CAN lose (observed: the concurrent-merge spec lost
+    * a committed version to a racer's clobbering rename). link(2) is the
+    * atomic-refuse-if-exists primitive: hard-link tmp to the manifest
+    * name — created or FileAlreadyExistsException, no window. Mounts
+    * without hard links (FAT/FUSE/SMB) fall back to the rename
+    * guarantee, but ONLY after a once-per-dir probe proves links are
+    * genuinely unsupported — a real IO fault (ENOSPC, quota) propagates
+    * instead of being misreported as a lost race. */
+  private[graft] object LinkCommitPoint extends CommitPoint {
+    def commit(fs: FileSystem, tmp: Path, target: Path,
+        content: Array[Byte]): Unit = {
+      val tmpLocal = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val pLocal = java.nio.file.Paths.get(target.toUri.getPath)
+      if (linkFreeDirs.contains(pLocal.getParent.toString))
+        RenameCommitPoint.commit(fs, tmp, target, content)
+      else try {
+        java.nio.file.Files.createLink(pLocal, tmpLocal)
+        fs.delete(tmp, false)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+          conflict(target)
+        case _: UnsupportedOperationException =>
+          // createLink's documented "this FS has no hard links" signal
+          linkFreeDirs.add(pLocal.getParent.toString)
+          RenameCommitPoint.commit(fs, tmp, target, content)
+        case e: java.nio.file.FileSystemException =>
+          if (probeLinksUnsupported(pLocal.getParent))
+            RenameCommitPoint.commit(fs, tmp, target, content)
+          else { fs.delete(tmp, false); throw e }
+      }
+    }
+  }
+
+  /** Object-store-class: ONE conditional PUT of the full manifest bytes
+    * — `putIfAbsent` returns true iff THIS call created the object
+    * (S3 `If-None-Match: *` / GCS `ifGenerationMatch=0` semantics; the
+    * arbiter is the store, not a check-then-write). No real object
+    * store exists in this environment, so the client is injected — the
+    * tested surface is the PROTOCOL: staging, single conditional call,
+    * loser classification, tmp cleanup, and the floor re-check above. */
+  private[graft] final class ConditionalPutCommitPoint(
+      putIfAbsent: (Path, Array[Byte]) => Boolean) extends CommitPoint {
+    def commit(fs: FileSystem, tmp: Path, target: Path,
+        content: Array[Byte]): Unit = {
+      val won = putIfAbsent(target, content)
+      fs.delete(tmp, false)
+      if (!won) conflict(target)
+    }
+  }
+
+  /** test seam: a non-null override routes EVERY commit through it
+    * (SnapshotsSpec drives the OCC fuzz through the conditional-PUT
+    * protocol against a fake store) */
+  private[graft] val commitPointOverride =
+    new java.util.concurrent.atomic.AtomicReference[CommitPoint](null)
+
+  /** tmp + [[CommitPoint]] create-or-refuse, REFUSING an existing target
+    * or a vacuumed version number — the commit point, the
+    * optimistic-concurrency guard, and the resurrection guard in one
+    * place, with the floor RE-CHECKED after landing (a stalled writer
+    * self-aborts rather than resurrect a retired slot — see the inline
+    * note for the one in-flight-floor-write sliver that remains, the
+    * residue real formats bound with "retention >> longest writer
+    * stall"). Package-visible so specs can drive the branches directly. */
   private[graft] def writeManifestAtomic(fs: FileSystem, p: Path,
       content: String): Unit = {
     fs.mkdirs(p.getParent)
@@ -769,67 +914,50 @@ object Snapshots {
         s"Snapshots: manifest $p $why; re-read the table and retry " +
           "(optimistic concurrency)")
     val vOfP = p.getName.stripPrefix("v").stripSuffix(".txt")
-    if (vOfP.nonEmpty && vOfP.forall(_.isDigit) &&
-        vOfP.toLong <= retentionFloorAt(fs, new Path(p.getParent, "_floor")))
+    val vNum = if (vOfP.nonEmpty && vOfP.forall(_.isDigit)) Some(vOfP.toLong)
+      else None
+    val floorFile = new Path(p.getParent, "_floor")
+    if (vNum.exists(_ <= retentionFloorAt(fs, floorFile)))
       conflict("targets a version at or below the vacuum retention " +
         "floor — this writer stalled past the retention window")
     if (fs.exists(p)) conflict("already exists — a concurrent writer " +
       "committed this version first")
     val tmp = new Path(p.getParent, s".tmp_${p.getName}_${System.nanoTime()}")
+    val bytes = content.getBytes("UTF-8")
     val out = fs.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
+    try out.write(bytes) finally out.close()
     val scheme = Option(p.toUri.getScheme).getOrElse("file")
-    // HDFS rename is atomic and refuses an existing target; object
-    // stores need a conditional-PUT equivalent (the caveat real
-    // formats document)
-    def renameCommit(): Unit = {
-      val renamed = try fs.rename(tmp, p) catch { case _: Throwable => false }
-      if (!renamed) {
-        fs.delete(tmp, false)
-        conflict("already exists — a concurrent writer committed this " +
-          "version first")
-      }
+    val point = Option(commitPointOverride.get).getOrElse(
+      if (scheme == "file") LinkCommitPoint else RenameCommitPoint)
+    point.commit(fs, tmp, p, bytes)
+    // FLOOR RE-CHECK — the residual floor/vacuum race, folded into the
+    // commit contract: a writer that passed the pre-check while a
+    // concurrent vacuum raised the floor would land a version whose
+    // data files that vacuum is deleting. Vacuum raises the floor
+    // BEFORE deleting anything, so re-reading it after the commit point
+    // detects every vacuum that could have retired this slot — the
+    // writer SELF-ABORTS (deletes its own just-landed manifest, reports
+    // the lost race). The only window left is a floor write still in
+    // flight during both checks, which the atomic floor replace makes a
+    // read-complete-or-old affair — the same residue real formats
+    // document and bound by "retention >> longest writer stall".
+    if (vNum.exists(_ <= retentionFloorAt(fs, floorFile))) {
+      fs.delete(p, false)
+      conflict("landed at or below the vacuum retention floor — this " +
+        "writer stalled past the retention window (self-aborted)")
     }
-    if (scheme == "file") {
-      // LOCAL filesystems: POSIX rename(2) REPLACES an existing target,
-      // so Hadoop's rename guarantee rests on a check-then-rename window
-      // a true thread race CAN lose (observed: the concurrent-merge spec
-      // lost a committed version to a racer's clobbering rename). link(2)
-      // is the atomic-refuse-if-exists primitive the commit point needs:
-      // hard-link tmp to the manifest name, which either creates it or
-      // throws FileAlreadyExistsException — no window.
-      val tmpLocal = java.nio.file.Paths.get(tmp.toUri.getPath)
-      val pLocal = java.nio.file.Paths.get(p.toUri.getPath)
-      if (linkFreeDirs.contains(pLocal.getParent.toString)) renameCommit()
-      else try {
-        java.nio.file.Files.createLink(pLocal, tmpLocal)
-        fs.delete(tmp, false)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          fs.delete(tmp, false)
-          conflict("already exists — a concurrent writer committed this " +
-            "version first")
-        case _: UnsupportedOperationException =>
-          // createLink's documented "this FS has no hard links" signal:
-          // fall back to the rename guarantee (the r14 behavior with its
-          // narrow check-then-rename window) rather than bricking commits
-          linkFreeDirs.add(pLocal.getParent.toString)
-          renameCommit()
-        case e: java.nio.file.FileSystemException =>
-          // FileSystemException covers BOTH link-free mounts (FAT/FUSE/
-          // SMB surface EPERM here, not UnsupportedOperationException)
-          // AND real IO faults (ENOSPC, quota, transient errors).
-          // Downgrading a real fault to the racy rename path would
-          // misreport its eventual failure as a CommitConflictException
-          // and burn commitRetry/merge attempts on a dead filesystem —
-          // so PROBE once per manifest dir whether links work at all:
-          // probe fails too => genuinely link-free mount (remembered;
-          // fall back); probe succeeds => the commit hit a real IO
-          // fault => clean the tmp and PROPAGATE it as what it is.
-          if (probeLinksUnsupported(pLocal.getParent)) renameCommit()
-          else { fs.delete(tmp, false); throw e }
+    // WRITE-THROUGH cache prime: the committer parses the content it
+    // just wrote (zero IO), so the next reader — typically this JVM's
+    // own next merge/DML fold step, feed step, or OCC verify — skips the
+    // parse entirely. Advisory only: any failure here leaves the read
+    // path to parse from disk as before.
+    try {
+      val tableDir = p.getParent.getParent.toString
+      val m = parseManifestText(fs, tableDir, p, content)
+      manifestCache.synchronized {
+        manifestCache.put(fs.makeQualified(p).toString, m)
       }
-    } else renameCommit()
+    } catch { case _: Exception => () }
   }
 
   /** manifest entries -> the [[ManifestFile]]s the planner's file index
@@ -859,13 +987,25 @@ object Snapshots {
   private[graft] def scanEntries(s: SparkSession, partCol: String,
       schema: StructType, entries: Seq[Entry],
       streaming: Boolean = false): DataFrame = {
-    val types = schema.fields.map(f => f.name -> f.dataType).toMap
-    if (streaming)
-      Bridge.manifestStreamScan(s, partCol, indexFiles(schema, entries),
-        types, schema)
-    else
-      Bridge.manifestFileScan(s, partCol, indexFiles(schema, entries),
-        types, schema)
+    // the RELATION always reads the files' PHYSICAL schema (manifest
+    // stats are keyed physical too, so pushed filters and per-file
+    // bounds agree under the scan); a rename-bearing header then aliases
+    // physical -> logical ON TOP — Catalyst pushes predicates and
+    // pruning straight through the aliases, so the plan below the
+    // projection is identical to the unmapped case. Trivially-mapped
+    // tables (the common case) skip the projection entirely.
+    val phys = ColumnMapping.physicalStruct(schema)
+    val types = phys.fields.map(f => f.name -> f.dataType).toMap
+    val scan =
+      if (streaming)
+        Bridge.manifestStreamScan(s, partCol, indexFiles(phys, entries),
+          types, phys)
+      else
+        Bridge.manifestFileScan(s, partCol, indexFiles(phys, entries),
+          types, phys)
+    if (!ColumnMapping.nontrivial(schema)) scan
+    else scan.select(schema.fields.toSeq.map(f =>
+      col(ColumnMapping.physicalName(f)).as(f.name)) :+ col(partCol): _*)
   }
 
   private def schemaOf(s: SparkSession, m: Manifest): StructType =
@@ -879,13 +1019,39 @@ object Snapshots {
     * per-file bounds skipping) */
   private[graft] def relationAt(s: SparkSession, dir: String,
       partCol: String, version: Long)
-      : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
+      : org.apache.spark.sql.sources.BaseRelation = {
     require(version >= 1, s"Snapshots: no committed version to read at $dir")
     val m = readManifest(s, dir, version)
     val schema = schemaOf(s, m)
-    val types = schema.fields.map(f => f.name -> f.dataType).toMap
-    Bridge.manifestRelation(s, partCol, indexFiles(schema, m.entries),
-      types, schema)
+    if (!ColumnMapping.nontrivial(schema)) {
+      val types = schema.fields.map(f => f.name -> f.dataType).toMap
+      Bridge.manifestRelation(s, partCol, indexFiles(schema, m.entries),
+        types, schema)
+    } else {
+      // a RENAME-bearing table cannot be served as a bare
+      // HadoopFsRelation (parquet resolves by name, and V1 relations
+      // cannot interpose a projection), so the SQL surface reads it
+      // through a PrunedScan over the aliased scan — column pruning
+      // pushes through; predicate pushdown happens in the wrapped
+      // plan's own execution (the Scala read path is unchanged and
+      // keeps full plan identity)
+      val df = scanEntries(s, partCol, schema, m.entries)
+      new org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.PrunedScan {
+        override def sqlContext: org.apache.spark.sql.SQLContext =
+          s.sqlContext
+        override def schema: StructType = df.schema
+        override def needConversion: Boolean = false
+        override def buildScan(requiredColumns: Array[String])
+            : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+          val pruned =
+            if (requiredColumns.isEmpty) df.select(df.columns.head)
+            else df.select(requiredColumns.toSeq.map(col): _*)
+          Bridge.internalRowRdd(pruned)
+            .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+        }
+      }
+    }
   }
 
   /** Read the table at `version` (-1 = latest) as ONE parquet scan: the
@@ -1232,11 +1398,13 @@ object Snapshots {
       .getInterpretedOrdering(keyType)
     val toInternal = org.apache.spark.sql.catalyst.CatalystTypeConverters
       .createToCatalystConverter(keyType)
+    // recorded cells are keyed PHYSICAL (identity unless renamed)
+    val keyPhys = ColumnMapping.physicalName(schema(keyCol))
     def affected(e: Entry): Boolean = spans.get(e.value) match {
       case None => false // no delta rows target this partition
       case Some((dlo, dhi)) =>
         if (dlo == null) false // every key in the span is NULL: matches nothing
-        else e.stats.get(keyCol) match {
+        else e.stats.get(keyPhys) match {
           case Some((loS, hiS)) if StatCodec.supported(keyType) =>
             try {
               val lo = StatCodec.internal(keyType, loS)
@@ -1334,21 +1502,97 @@ object Snapshots {
     * verbatim with their dataVersion — the change feed sees nothing. */
   def addConstraint(s: SparkSession, dir: String, partCol: String,
       name: String, exprSql: String): Long = {
+    require(!exprSql.trim.startsWith("@"),
+      "Snapshots: '@'-prefixed specs are reserved for kinded constraints " +
+        "(addNotNullConstraint / addUniqueConstraint)")
+    addConstraintSpec(s, dir, partCol, name, exprSql)
+  }
+
+  /** three constraint KINDS share one header slot: a CHECK is its SQL
+    * expression verbatim (the legacy/primary form); NOT NULL and
+    * UNIQUE-per-partition are `@notnull(col)` / `@unique(c1,c2)` kinded
+    * specs ('@' can never lead a valid CHECK expression, and
+    * [[addConstraint]] refuses it outright) */
+  private def constraintKind(spec: String): (String, Seq[String]) = {
+    val t = spec.trim
+    if (t.startsWith("@notnull(") && t.endsWith(")"))
+      ("notnull", Seq(t.stripPrefix("@notnull(").stripSuffix(")").trim))
+    else if (t.startsWith("@unique(") && t.endsWith(")"))
+      ("unique", t.stripPrefix("@unique(").stripSuffix(")")
+        .split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    else ("check", Nil)
+  }
+
+  /** the row-local violation predicate (TRUE = row violates) for CHECK
+    * and NOT NULL specs; UNIQUE is not row-local (see the commit path) */
+  private def rowViolation(spec: String): org.apache.spark.sql.Column =
+    constraintKind(spec) match {
+      case ("notnull", Seq(c)) => col(c).isNull
+      case _ => coalesce(expr(spec), lit(true)) === false
+    }
+
+  private def addConstraintSpec(s: SparkSession, dir: String,
+      partCol: String, name: String, spec: String): Long = {
     require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n') &&
-      !exprSql.exists(c => c == '\t' || c == '\n'),
+      !spec.exists(c => c == '\t' || c == '\n'),
       "Snapshots: constraint name/expression cannot contain tab/newline")
     val cur = currentVersion(s, dir)
     require(cur >= 1, s"Snapshots: no committed table at $dir")
     val m = readManifest(s, dir, cur)
     require(!m.constraints.exists(_._1 == name),
       s"Snapshots: constraint '$name' already exists")
-    val bad = scanEntries(s, partCol, schemaOf(s, m), m.entries)
-      .filter(coalesce(expr(exprSql), lit(true)) === false).count()
+    // add-time validation of the EXISTING table — one scan either way:
+    // row-local kinds count violating rows; unique counts violating
+    // key groups (per partition, the grain the format can promise)
+    val frame = scanEntries(s, partCol, schemaOf(s, m), m.entries)
+    val bad = constraintKind(spec) match {
+      case ("unique", cols) =>
+        require(cols.nonEmpty, "Snapshots: UNIQUE needs >= 1 column")
+        frame.groupBy((partCol +: cols).map(col): _*)
+          .agg(count(lit(1)).as("__c0"))
+          .filter(col("__c0") > 1).count()
+      case _ => frame.filter(rowViolation(spec)).count()
+    }
     require(bad == 0,
-      s"Snapshots: cannot add constraint '$name' ($exprSql) — $bad existing " +
-        "row(s) violate it")
-    commitConstraintState(s, dir, cur, m, m.constraints :+ (name -> exprSql),
+      s"Snapshots: cannot add constraint '$name' ($spec) — $bad existing " +
+        "row(s)/group(s) violate it")
+    commitConstraintState(s, dir, cur, m, m.constraints :+ (name -> spec),
       "add_constraint")
+  }
+
+  /** declared NOT NULL (Delta's ALTER COLUMN ... SET NOT NULL): unlike
+    * CHECK's SQL semantics, a NULL row VIOLATES. Validated against the
+    * existing table in one pass, then enforced on every commit's written
+    * rows inside the same single aggregate as the CHECKs. */
+  def addNotNullConstraint(s: SparkSession, dir: String, partCol: String,
+      name: String, column: String): Long = {
+    val cur = currentVersion(s, dir)
+    require(cur >= 1, s"Snapshots: no committed table at $dir")
+    val m = readManifest(s, dir, cur)
+    require(schemaOf(s, m).fieldNames.contains(column),
+      s"Snapshots: NOT NULL column '$column' is not a table column")
+    addConstraintSpec(s, dir, partCol, name, s"@notnull($column)")
+  }
+
+  /** declared UNIQUE-per-partition: the written rows of every commit
+    * must hold at most one row per (partition, columns) group — the
+    * invariant [[merge]] maintains for its key, promoted to a declared,
+    * enforced table property. Scope is the format's honest grain: the
+    * enforcement aggregate runs over WRITTEN rows only (cross-commit
+    * duplicates within an untouched partition cannot arise from a
+    * replace-whole-partition or keyed-merge write pattern, and a
+    * full-table recheck per commit would be O(table)). */
+  def addUniqueConstraint(s: SparkSession, dir: String, partCol: String,
+      name: String, columns: Seq[String]): Long = {
+    val cur = currentVersion(s, dir)
+    require(cur >= 1, s"Snapshots: no committed table at $dir")
+    val m = readManifest(s, dir, cur)
+    val missing = columns.filterNot(schemaOf(s, m).fieldNames.contains)
+    require(missing.isEmpty,
+      s"Snapshots: UNIQUE column(s) ${missing.mkString(", ")} are not " +
+        "table columns")
+    addConstraintSpec(s, dir, partCol, name,
+      s"@unique(${columns.mkString(",")})")
   }
 
   /** [[addConstraint]] with [[merge]]'s OCC re-plan loop: a racer's
@@ -1385,24 +1629,120 @@ object Snapshots {
   }
 
   private def commitConstraintState(s: SparkSession, dir: String, cur: Long,
-      m: Manifest, next: Seq[(String, String)], opName: String): Long = {
+      m: Manifest, next: Seq[(String, String)], opName: String): Long =
+    commitHeaderState(s, dir, cur, m, m.schema, next, m.retired, opName)
+
+  /** METADATA-ONLY commit: a new version whose entries carry VERBATIM
+    * (every predecessor segment rides as a ref) under a changed header —
+    * the shape constraint add/drop and column rename/drop share */
+  private def commitHeaderState(s: SparkSession, dir: String, cur: Long,
+      m: Manifest, schema: Option[StructType],
+      constraints: Seq[(String, String)], retired: Seq[String],
+      opName: String): Long = {
     val v = cur + 1
     val fs = fsOf(s, dir)
-    // entries carry verbatim, so every predecessor segment carries as a ref
     val (segRefs, inline) = packEntries(s, fs, dir, v, m.entries, m.segParts)
     val headers = Seq(
-      m.schema.map(sc => SchemaHeader + sc.json),
+      schema.map(sc => SchemaHeader + sc.json),
       Some(MetaHeader + s"ts=${commitTs(Some(m))} op=$opName" +
         m.partCol.map(pc =>
           s" partCol=${java.net.URLEncoder.encode(pc, "UTF-8")}")
-          .getOrElse("")),
+          .getOrElse("") + retiredKv(retired)),
       Some(statsHeader(m.entries))).flatten ++
-      next.map { case (n, q) => ConstraintHeader + n + "\t" + q } ++
+      constraints.map { case (n, q) => ConstraintHeader + n + "\t" + q } ++
       segRefs.map(_.line)
     writeManifestAtomic(fs, manifestPath(dir, v),
       (headers ++ inline.map(_.line)).mkString("\n"))
     writeHint(fs, dir, v)
     v
+  }
+
+  /** the top-level column names a constraint spec references — what
+    * refuses renaming/dropping a column out from under a constraint
+    * (kinded specs name their columns directly; CHECKs parse) */
+  private def constraintRefs(s: SparkSession, spec: String): Set[String] =
+    constraintKind(spec) match {
+      case ("notnull", cols) => cols.toSet
+      case ("unique", cols) => cols.toSet
+      case _ =>
+        s.sessionState.sqlParser.parseExpression(spec).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.head
+        }.toSet
+    }
+
+  /** RENAME a column — METADATA-ONLY (Delta column-mapping semantics):
+    * the field keeps its id and physical name, only the logical name in
+    * the new header changes; zero data movement, entries carry verbatim,
+    * every earlier version keeps serving its own names, and the change
+    * feed sees nothing (dataChange=false). Refused when the new name is
+    * taken, when either side is the partition column, or when a CHECK
+    * constraint references the old name (Delta's rule — drop the
+    * constraint first). */
+  def renameColumn(s: SparkSession, dir: String, oldName: String,
+      newName: String): Long = {
+    val cur = currentVersion(s, dir)
+    require(cur >= 1, s"Snapshots: no committed table at $dir")
+    val m = readManifest(s, dir, cur)
+    val schema = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"Snapshots: the manifest at $dir predates schema headers — " +
+        "recommit once under the current format before renaming"))
+    require(schema.fieldNames.contains(oldName),
+      s"Snapshots: no column '$oldName' to rename")
+    require(!schema.fieldNames.contains(newName),
+      s"Snapshots: column '$newName' already exists")
+    require(!newName.startsWith("__"),
+      s"Snapshots: '$newName' is reserved ('__' prefix)")
+    require(!m.partCol.contains(oldName) && !m.partCol.contains(newName),
+      "Snapshots: cannot rename the partition column (its value travels " +
+        "through directory names) or shadow it")
+    val inUse = m.constraints.filter { case (_, sql) =>
+      constraintRefs(s, sql).contains(oldName) }
+    require(inUse.isEmpty,
+      s"Snapshots: column '$oldName' is referenced by constraint(s) " +
+        s"${inUse.map(_._1).mkString(", ")} — drop them first")
+    val next = StructType(schema.fields.map { f =>
+      if (f.name == oldName) {
+        // pin the physical name EXPLICITLY: it no longer equals the
+        // logical name, and every file ever written stores it
+        val mb = new MetadataBuilder().withMetadata(f.metadata)
+          .putString(ColumnMapping.PhysKey, ColumnMapping.physicalName(f))
+        f.copy(name = newName, metadata = mb.build())
+      } else f
+    })
+    commitHeaderState(s, dir, cur, m, Some(next), m.constraints, m.retired,
+      "rename_column")
+  }
+
+  /** DROP a column — METADATA-ONLY: the field leaves the header (reads
+    * simply stop projecting it; the bytes stay in carried files until
+    * those files are naturally rewritten) and its PHYSICAL name is
+    * RETIRED forever, so a later add of the same logical name binds to a
+    * fresh physical name and can never resurrect the dropped data.
+    * Refused for the last data column and for constraint-referenced
+    * columns. */
+  def dropColumn(s: SparkSession, dir: String, name: String): Long = {
+    val cur = currentVersion(s, dir)
+    require(cur >= 1, s"Snapshots: no committed table at $dir")
+    val m = readManifest(s, dir, cur)
+    val schema = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"Snapshots: the manifest at $dir predates schema headers — " +
+        "recommit once under the current format before dropping"))
+    require(schema.fieldNames.contains(name),
+      s"Snapshots: no column '$name' to drop")
+    require(schema.fields.length >= 2,
+      "Snapshots: cannot drop the last data column")
+    val inUse = m.constraints.filter { case (_, sql) =>
+      constraintRefs(s, sql).contains(name) }
+    require(inUse.isEmpty,
+      s"Snapshots: column '$name' is referenced by constraint(s) " +
+        s"${inUse.map(_._1).mkString(", ")} — drop them first")
+    val dropped = schema(name)
+    commitHeaderState(s, dir, cur, m,
+      Some(StructType(schema.fields.filterNot(_.name == name))),
+      m.constraints,
+      (m.retired :+ ColumnMapping.physicalName(dropped)).distinct,
+      "drop_column")
   }
 
   /** split `entries` into (possibly-matching, provably-not-matching) for
@@ -1447,8 +1787,20 @@ object Snapshots {
         if (opt.isInstanceOf[LocalRelation]) (Nil, entries)
         else (entries, Nil)
       case Some(cond) =>
-        val types = full.fields.map(f => f.name -> f.dataType).toMap
-        val files = indexFiles(schema, entries)
+        // manifests record stats under PHYSICAL column names; the
+        // predicate resolved against LOGICAL names — translate its
+        // attributes before consulting the bounds (identity for
+        // never-renamed tables)
+        val toPhys = ColumnMapping.toPhysical(schema)
+        val physCond = cond.transform {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+              if toPhys.get(a.name).exists(_ != a.name) =>
+            a.withName(toPhys(a.name))
+        }
+        val physSchema = ColumnMapping.physicalStruct(schema)
+        val types = (physSchema.fields.map(f => f.name -> f.dataType)
+          :+ (partCol -> (StringType: DataType))).toMap
+        val files = indexFiles(physSchema, entries)
         val flags = entries.zip(files).map { case (e, mf) =>
           // the partition value IS a per-file bound with lo = hi = value,
           // so partition predicates prune exactly
@@ -1456,7 +1808,7 @@ object Snapshots {
             (Option(UTF8String.fromString(e.value)): Option[Any],
               Option(UTF8String.fromString(e.value)): Option[Any]))
           org.apache.spark.sql.graftbridge.ManifestFileIndex
-            .couldMatch(cond, stats, types)
+            .couldMatch(physCond, stats, types)
         }
         val (hit, miss) = entries.zip(flags).partition(_._2)
         (hit.map(_._1), miss.map(_._1))
@@ -1546,10 +1898,16 @@ object Snapshots {
   /** the stats columns a rewrite must re-record so it never ERASES
     * recorded bounds (see [[optimize]]'s same rule) */
   private def keepableStats(schema: StructType,
-      replaced: Seq[Entry]): Seq[String] =
+      replaced: Seq[Entry]): Seq[String] = {
+    // recorded cells are keyed PHYSICAL; statsColumns speak LOGICAL —
+    // translate (identity for never-renamed tables); a dropped column's
+    // cells translate to nothing and its bounds die with the rewrite
+    val toLogical = schema.fields
+      .map(f => ColumnMapping.physicalName(f) -> f.name).toMap
     replaced.flatMap(_.stats.keys).distinct
-      .filter(c => schema.fieldNames.contains(c) &&
-        StatCodec.supported(schema(c).dataType))
+      .flatMap(toLogical.get)
+      .filter(c => StatCodec.supported(schema(c).dataType))
+  }
 
   /** the DML twins' OCC loop — [[merge]]'s retry semantics */
   private def dmlRetry(s: SparkSession, dir: String, attempts: Int)(
@@ -1861,10 +2219,15 @@ object Snapshots {
     require(bad.isEmpty,
       s"Snapshots: statsColumns ${bad.mkString(", ")} must be data columns " +
         "of an orderable atomic type (numeric/string/date/timestamp/decimal)")
-    val aggs = statsColumns.flatMap(c =>
+    // `statsColumns` arrive LOGICAL; the just-written files (and the
+    // manifest cells, which carry verbatim across renames) speak
+    // PHYSICAL — aggregate and record under the physical names
+    val physMap = ColumnMapping.toPhysical(dataSchema)
+    val physCols = statsColumns.map(physMap)
+    val aggs = physCols.flatMap(c =>
       Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
     val rows = s.read.parquet(dataDir)
-      .select((input_file_name().as("__file") +: statsColumns.map(col)): _*)
+      .select((input_file_name().as("__file") +: physCols.map(col)): _*)
       .groupBy(col("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -1883,7 +2246,7 @@ object Snapshots {
         for {
           lo <- StatCodec.external(dt, r.get(1 + 2 * i))
           hi <- StatCodec.external(dt, r.get(2 + 2 * i))
-        } yield c -> (lo, hi)
+        } yield physMap(c) -> (lo, hi)
       }.toMap
       file -> st
     }.toMap
@@ -1917,12 +2280,30 @@ object Snapshots {
           "reserved — '__'-prefixed names collide with the format's " +
           "internal working columns (rename them before committing)")
     }
-    val dataSchema = StructType(df.schema.filterNot(_.name == partCol))
     val fs = fsOf(s, dir)
     // commitRetry PINS the version it read through `make` — re-deriving
     // latest here would let a racer's commit slide underneath unseen
     val prev = expectedPrev.getOrElse(currentVersion(s, dir))
     val v = prev + 1
+    // the previous manifest is read AT MOST ONCE per commit (it backs
+    // the column-mapping assignment, the carried-entry listing, the
+    // schema check, AND the active constraint set; callers that already
+    // hold it — merge, optimize, delete, update — pass it as a hint so
+    // their commit re-reads nothing): manifest reads are round-trips on
+    // the hot write path of an object-store deployment
+    val prevManifest: Option[Manifest] =
+      if (prev >= 1) Some(prevManifestHint.getOrElse(readManifest(s, dir, prev)))
+      else None
+    // COLUMN MAPPING: fields inherit their id/physical name from the
+    // previous header by LOGICAL name; new fields get fresh ids and a
+    // physical name that can never collide with a retired or in-use one
+    // (see [[ColumnMapping]]) — for never-renamed tables this is the
+    // identity and the write below is byte-identical to r15
+    val dataSchema = ColumnMapping.assign(
+      StructType(df.schema.filterNot(_.name == partCol)),
+      prevManifest.flatMap(_.schema),
+      prevManifest.map(_.retired).getOrElse(Nil))
+    val retired = prevManifest.map(_.retired).getOrElse(Nil)
     // the data dir is PER-WRITER UNIQUE (version prefix + nonce), never
     // shared by name across racers: two writers targeting version N write
     // disjoint dirs and race ONLY at the manifest rename — a shared
@@ -1935,7 +2316,13 @@ object Snapshots {
     // surface; immutability (invariant 1) is per-dir as before.
     val dataDir = f"$dir/data/v$v%08d_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    df.write.mode("error").partitionBy(partCol).parquet(dataDir)
+    // rename-bearing tables write their files under PHYSICAL names (one
+    // projection — identity for never-renamed tables)
+    val dfOut =
+      if (!ColumnMapping.nontrivial(dataSchema)) df
+      else df.select(dataSchema.fields.toSeq.map(f =>
+        col(f.name).as(ColumnMapping.physicalName(f))) :+ col(partCol): _*)
+    dfOut.write.mode("error").partitionBy(partCol).parquet(dataDir)
     val partDirs = fs.listStatus(new Path(dataDir)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
     val fileStats =
@@ -1985,15 +2372,6 @@ object Snapshots {
         }
       }
     val replaced = written.map(_.value).toSet ++ replacedValues
-    // the previous manifest is read AT MOST ONCE per commit (it backs
-    // the carried-entry listing, the schema check, AND the active
-    // constraint set; callers that already hold it — merge, optimize,
-    // delete, update — pass it as a hint so their commit re-reads
-    // nothing): manifest reads are round-trips on the hot write path of
-    // an object-store deployment
-    val prevManifest: Option[Manifest] =
-      if (prev >= 1) Some(prevManifestHint.getOrElse(readManifest(s, dir, prev)))
-      else None
     // CHECK CONSTRAINTS: enforced on the WRITTEN rows between write and
     // rename — a violation deletes the (unreferenced) data dir and
     // refuses the commit, so the table can never hold a violating row.
@@ -2008,16 +2386,32 @@ object Snapshots {
       // sibling path follows)
       try {
         val frame = scanEntries(s, partCol, dataSchema, written)
-        val aggs = activeConstraints.zipWithIndex.map { case ((_, sql), i) =>
-          sum(when(coalesce(expr(sql), lit(true)) === false, 1L)
-            .otherwise(0L)).as(s"__c$i")
+        // row-local kinds (CHECK, NOT NULL) share ONE aggregate job;
+        // each UNIQUE runs its own written-rows groupBy (per-partition
+        // key-group cardinality is not row-local)
+        val (uniques, rowLocal) = activeConstraints.partition(c =>
+          constraintKind(c._2)._1 == "unique")
+        if (rowLocal.nonEmpty) {
+          val aggs = rowLocal.zipWithIndex.map { case ((_, spec), i) =>
+            sum(when(rowViolation(spec), 1L).otherwise(0L)).as(s"__c$i")
+          }
+          val r = frame.agg(aggs.head, aggs.tail: _*).collect()(0)
+          rowLocal.zipWithIndex.foreach { case ((n, spec), i) =>
+            if (r.getLong(i) > 0)
+              throw new IllegalArgumentException(
+                s"Snapshots: constraint '$n' ($spec) violated by " +
+                  s"${r.getLong(i)} written row(s) — commit refused")
+          }
         }
-        val r = frame.agg(aggs.head, aggs.tail: _*).collect()(0)
-        activeConstraints.zipWithIndex.foreach { case ((n, sql), i) =>
-          if (r.getLong(i) > 0)
+        uniques.foreach { case (n, spec) =>
+          val cols = constraintKind(spec)._2
+          val dups = frame.groupBy((partCol +: cols).map(col): _*)
+            .agg(count(lit(1)).as("__c0"))
+            .filter(col("__c0") > 1).count()
+          if (dups > 0)
             throw new IllegalArgumentException(
-              s"Snapshots: CHECK constraint '$n' ($sql) violated by " +
-                s"${r.getLong(i)} written row(s) — commit refused")
+              s"Snapshots: UNIQUE constraint '$n' ($spec) violated by " +
+                s"$dups written key group(s) — commit refused")
         }
       } catch {
         case e: Throwable =>
@@ -2048,8 +2442,14 @@ object Snapshots {
     // nullability (nested included) are free (parquet resolves by name).
     if (carried.nonEmpty && prev >= 1) {
       prevManifest.flatMap(_.schema).foreach { ps =>
-        val prevF = widenStruct(ps).fields.map(f => f.name -> f.dataType).toMap
-        val newF = widenStruct(dataSchema).fields.map(f => f.name -> f.dataType).toMap
+        // compared by PHYSICAL name: that is the identity carried files
+        // actually store — a logical rename (same physical) is legal,
+        // while silently re-naming a column in the frame reads as a
+        // drop+add and is refused (renames go through renameColumn)
+        val prevF = widenStruct(ps).fields
+          .map(f => ColumnMapping.physicalName(f) -> f.dataType).toMap
+        val newF = widenStruct(dataSchema).fields
+          .map(f => ColumnMapping.physicalName(f) -> f.dataType).toMap
         val changed = prevF.collect {
           case (n, t) if newF.get(n).exists(_ != t) =>
             s"$n: ${t.simpleString} -> ${newF(n).simpleString}"
@@ -2092,7 +2492,8 @@ object Snapshots {
     val headers = Seq(
       SchemaHeader + headerSchema.json,
       MetaHeader + s"ts=${commitTs(prevManifest)} op=$op " +
-        s"partCol=${java.net.URLEncoder.encode(partCol, "UTF-8")}",
+        s"partCol=${java.net.URLEncoder.encode(partCol, "UTF-8")}" +
+        retiredKv(retired),
       statsHeader(entries)) ++
       activeConstraints.map { case (n, q) => ConstraintHeader + n + "\t" + q } ++
       segRefs.map(_.line)

@@ -108,6 +108,13 @@ object Bridge {
       manifestRelation(s, partCol, files, types, dataSchema))
   }
 
+  /** a frame's executed InternalRow RDD — what a `needConversion =
+    * false` V1 relation's buildScan returns (the documented cast trick
+    * every InternalRow-serving V1 source uses) */
+  def internalRowRdd(df: DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[Dataset[Row]].queryExecution.toRdd
+
   /** Re-tag an arbitrary BATCH-planned frame as a streaming batch — the
     * V1-source escape hatch for getBatch results whose plan holds
     * operators the incremental planner would misread as STATEFUL if

@@ -121,6 +121,34 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(state(dir) == before, "the surviving head still reads intact")
   }
 
+  test("SQL NOT NULL and UNIQUE constraints enforce at commit") {
+    val dir = tempTable()
+    seed(dir)
+    Snapshots.sql(spark,
+      s"ALTER TABLE graft_snapshot.`$dir` ALTER COLUMN v SET NOT NULL")
+    Snapshots.sql(spark,
+      s"ALTER TABLE graft_snapshot.`$dir` ADD CONSTRAINT uq UNIQUE (k)")
+    assert(Snapshots.constraints(spark, dir).map(_._1).sorted ==
+      Seq("uq", "v_not_null"))
+    // NULL v refused (declared NOT NULL: NULL violates, unlike CHECK)
+    val e1 = intercept[IllegalArgumentException] {
+      Snapshots.commitReplace(spark, dir,
+        Seq(("p0", 999L, Option.empty[Long])).toDF("part", "k", "v"), "part")
+    }
+    assert(e1.getMessage.contains("v_not_null"), e1.getMessage)
+    // duplicate key within a written partition refused
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.commitReplace(spark, dir,
+        Seq(("p0", 5L, 1L), ("p0", 5L, 2L)).toDF("part", "k", "v"), "part")
+    }
+    assert(e2.getMessage.contains("uq"), e2.getMessage)
+    // a clean keyed merge still lands (merge maintains key uniqueness)
+    val before = state(dir).size
+    Snapshots.merge(spark, dir, "part", "k",
+      Seq(("p1", 81L, 810L, "U")).toDF("part", "k", "v", "op"))
+    assert(state(dir).size == before + 1)
+  }
+
   test("unsupported MERGE shapes and statements refuse loudly") {
     val dir = tempTable()
     seed(dir)

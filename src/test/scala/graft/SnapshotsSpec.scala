@@ -1051,6 +1051,108 @@ class SnapshotsSpec extends SparkSpec {
     } finally pool.shutdownNow()
   }
 
+  test("conditional-PUT commit point: the OCC fuzz stays green against a fake object store") {
+    // the object-store commit protocol (stage, ONE conditional put,
+    // loser classification, tmp cleanup, floor re-check) driven by the
+    // same true-thread increment fuzz as the link(2) path — the fake
+    // store's atomic arbiter is a ConcurrentHashMap.putIfAbsent (the
+    // If-None-Match semantics), with the winner materializing the
+    // object so readers see it. A deliberately NON-atomic
+    // check-then-write here would lose updates exactly like the POSIX
+    // rename the link(2) fix closed.
+    val dir = tempTable()
+    val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val putCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fakeStore = new Snapshots.ConditionalPutCommitPoint((p, bytes) => {
+      putCalls.incrementAndGet()
+      if (!claimed.add(p.toString)) false // store-side atomic refusal
+      else {
+        // a real store's PUT is atomically visible (no reader ever sees
+        // a partial object) — model that with write-then-rename, or the
+        // fake would inject a torn-read failure mode the protocol under
+        // test is not responsible for
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val staging = new org.apache.hadoop.fs.Path(p.getParent,
+          s".put_${p.getName}_${System.nanoTime()}")
+        val out = fs.create(staging, false)
+        try out.write(bytes) finally out.close()
+        assert(fs.rename(staging, p), s"fake store materialize failed: $p")
+        true
+      }
+    })
+    Snapshots.commitPointOverride.set(fakeStore)
+    try {
+      Snapshots.commit(spark, dir, Seq(("a", 0L)).toDF("part", "x"), "part")
+      val writers = 4; val perWriter = 2
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      try {
+        val tasks = (1 to writers * perWriter).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            override def call(): Long =
+              Snapshots.commitRetry(spark, dir, "part", attempts = 80) { prev =>
+                val cur = Snapshots.read(spark, dir, "part", prev)
+                  .agg(max(col("x"))).collect()(0).getLong(0)
+                Seq(("a", cur + 1)).toDF("part", "x")
+              }
+          })
+        }
+        val versions = tasks.map(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+        assert(versions.toSet.size == versions.size, s"dup versions: $versions")
+        val fin = Snapshots.read(spark, dir, "part")
+          .agg(max(col("x"))).collect()(0).getLong(0)
+        assert(fin == writers * perWriter, s"lost update: $fin")
+      } finally pool.shutdownNow()
+      // every commit really went through the store protocol
+      assert(putCalls.get() >= 1 + writers * perWriter, putCalls.get().toString)
+    } finally Snapshots.commitPointOverride.set(null)
+  }
+
+  test("stalled writer self-aborts when its commit lands below the retention floor") {
+    // the residual floor/vacuum race, folded into the commit contract:
+    // simulate a writer whose conditional put lands AFTER a concurrent
+    // vacuum raised the floor over its slot — the post-commit re-check
+    // must delete the just-landed manifest and classify the commit as a
+    // lost race, never leave a version whose files vacuum is deleting
+    val dir = tempTable()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.commit(spark, dir, Seq(("a", 1L)).toDF("part", "x"), "part")
+    // the stalled writer targets v2 while the table holds only v1 — its
+    // pre-checks PASS (slot empty, floor 0); then, inside the stall
+    // window (modeled as the commit point itself), racers land v2..v4
+    // and a vacuum retires v2/v3 and raises the floor over the slot;
+    // the stalled rename then lands into the FREED v2 slot — the
+    // resurrection shape — and the post-commit floor re-check must
+    // self-abort it.
+    val stallPoint = new Snapshots.CommitPoint {
+      def commit(f: org.apache.hadoop.fs.FileSystem,
+          tmp: org.apache.hadoop.fs.Path, target: org.apache.hadoop.fs.Path,
+          content: Array[Byte]): Unit = {
+        Snapshots.commitPointOverride.set(null) // racers use the real point
+        (2 to 4).foreach(i => Snapshots.commitReplace(spark, dir,
+          Seq(("a", i.toLong)).toDF("part", "x"), "part"))
+        Snapshots.vacuum(spark, dir, keepLast = 1) // floor = 3, v2 slot freed
+        Snapshots.RenameCommitPoint.commit(f, tmp, target, content)
+      }
+    }
+    Snapshots.commitPointOverride.set(stallPoint)
+    try {
+      val e = intercept[Snapshots.CommitConflictException] {
+        Snapshots.writeManifestAtomic(fs,
+          new org.apache.hadoop.fs.Path(dir, "_manifests/v00000002.txt"),
+          "#meta\tts=1 op=commit\na\t/nope\t1\t2\t-")
+      }
+      assert(e.getMessage.contains("self-aborted"), e.getMessage)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
+        "_manifests/v00000002.txt")),
+        "the self-abort must remove the landed manifest")
+      // the table is untouched: v4 still reads
+      assert(Snapshots.read(spark, dir, "part")
+        .select("x").as[Long].collect().toSeq == Seq(4L))
+    } finally Snapshots.commitPointOverride.set(null)
+  }
+
   test("concurrent file-grain merges: racing writers all land, none lost") {
     // 8 parallel single-key merges; each lost rename re-plans the whole
     // merge against the racer's latest (merge's own OCC loop) — every
@@ -1258,6 +1360,65 @@ class SnapshotsSpec extends SparkSpec {
         .select("part", "x").as[(String, Long)].collect().sorted.toSeq
       assert(after == v2)
     } finally spark.conf.unset("spark.graft.snapshot.segmentRows")
+  }
+
+  test("column mapping: rename/drop are metadata-only, re-add never resurrects, writes land physical") {
+    val dir = tempTable()
+    Snapshots.commit(spark, dir,
+      Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("part", "k", "v"), "part",
+      statsColumns = Seq("k"))
+    val files1 = manifestText(dir, 1L).split("\n")
+      .filterNot(_.startsWith("#")).map(_.split("\t")(1)).toSet
+    // RENAME v -> w: metadata-only (same files), old version keeps 'v'
+    val v2 = Snapshots.renameColumn(spark, dir, "v", "w")
+    val files2 = manifestText(dir, v2).split("\n")
+      .filterNot(_.startsWith("#")).map(_.split("\t")(1)).toSet
+    assert(files2 == files1, "rename must move zero data")
+    assert(Snapshots.read(spark, dir, "part", v2)
+      .select("part", "k", "w").as[(String, Long, Long)].collect().sorted
+      .sameElements(Array(("a", 1L, 10L), ("b", 2L, 20L))))
+    assert(Snapshots.read(spark, dir, "part", 1L).columns.contains("v"),
+      "v1 serves its own pre-rename schema")
+    // a write AFTER the rename stores the PHYSICAL name; the read
+    // serves the logical one — and carried + fresh files agree
+    val v3 = Snapshots.commitReplace(spark, dir,
+      Seq(("a", 1L, 11L)).toDF("part", "k", "w"), "part",
+      statsColumns = Seq("k"))
+    assert(Snapshots.read(spark, dir, "part", v3)
+      .select("part", "k", "w").as[(String, Long, Long)].collect().sorted
+      .sameElements(Array(("a", 1L, 11L), ("b", 2L, 20L))))
+    // physical on disk: the fresh file's parquet schema holds 'v'
+    val freshFile = manifestText(dir, v3).split("\n")
+      .filterNot(_.startsWith("#")).map(_.split("\t")(1))
+      .filterNot(files1).head
+    val physCols = spark.read.parquet(freshFile).columns.toSet
+    assert(physCols("v") && !physCols("w"),
+      s"files must store the physical name: $physCols")
+    // DML after a rename still selects its rewrite set from the
+    // physically-keyed bounds: an out-of-range delete is a NO-OP commit
+    val pre = Snapshots.currentVersion(spark, dir)
+    assert(Snapshots.delete(spark, dir, "part", col("k") > 100L) == pre,
+      "bounds-proven-empty delete must not commit")
+    // DROP w, then RE-ADD a column named w: fresh physical name, the
+    // old bytes must NOT resurrect
+    val v4 = Snapshots.dropColumn(spark, dir, "w")
+    assert(!Snapshots.read(spark, dir, "part", v4).columns.contains("w"))
+    val v5 = Snapshots.commitReplace(spark, dir,
+      Seq(("a", 1L, 777L)).toDF("part", "k", "w"), "part")
+    val readd = Snapshots.read(spark, dir, "part", v5)
+      .select("part", "k", "w").as[(String, Long, Option[Long])]
+      .collect().map { case (p, k, w) => (p, k) -> w }.toMap
+    assert(readd(("a", 1L)).contains(777L))
+    assert(readd(("b", 2L)).isEmpty,
+      s"carried file's retired bytes must read as NULL, got $readd")
+    // constraint-referenced columns refuse rename/drop
+    Snapshots.addConstraint(spark, dir, "part", "kpos", "k >= 0")
+    assert(intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(spark, dir, "k", "key")
+    }.getMessage.contains("kpos"))
+    assert(intercept[IllegalArgumentException] {
+      Snapshots.dropColumn(spark, dir, "k")
+    }.getMessage.contains("kpos"))
   }
 
   test("'__'-prefixed column names are refused at commit (reserved)") {
