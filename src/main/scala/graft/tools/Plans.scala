@@ -210,12 +210,14 @@ object Plans {
       "file-grain MERGE over a clustered table: the rewrite set is chosen from manifest metadata (delta key span x recorded per-file key bounds), so the base-side scan holds ONLY the files that can contain delta keys — the full-outer fold shuffles the delta plus that slice once on the key, untouched files (including untouched files of touched partitions) move by manifest reference and appear in no plan at all",
     "q_layout_dml" ->
       "DELETE/UPDATE WHERE: each rewrite is one scan over ONLY the bounds-overlapping files (the same couldMatch logic the scan's skipping uses picks the set from the manifest), filtered or column-patched and committed with every clean file carried by manifest reference; the final read is the usual one-scan version read",
+    "q_layout_dml_sql" ->
+      "the SQL-TEXT surface of the same DML (r16): DELETE FROM / UPDATE ... SET parse through Spark's own parser (Snapshots.sql) and dispatch onto the identical bounds-selected kernels, so the plans are the same bounds-limited rewrite scans as q_layout_dml (SnapshotSqlSpec pins equal carried/rewritten file splits); the final read is the USING graft_snapshot VERSION AS OF relation — pure SQL end to end (q_stream_cdf_rows' per-batch row-image joins are pinned in StreamingRobustnessSpec rather than here — a drained stream's returned fold only shows the memory-sink side)",
     "q_layout_cdf_rows" ->
       "row-level change feed: the partition feed's two bounded scans (changed partitions only) meet in ONE full-outer key join — the anti-join a CDF consumer would otherwise write — and explode into row images; everything is sized by the CHANGE, the table never enters the plan",
     "q_layout_restore" ->
       "RESTORE-as-version: the rollback itself plans NOTHING (one manifest write listing the target's files by reference); the query's two reads are the usual one-scan version reads — corrected state and restored state — whose aggregates must disagree exactly where the backfill corrected",
     "q_layout_schema_evolution" ->
-      "per-manifest schema: the post-evolution read is one scan whose read schema comes from v2's header — carried pre-evolution files null-fill the added column inside the scan (no rewrite, no cast node), and the v1 read plans against its own narrower header; both reads aggregate map-side",
+      "per-manifest schema: the post-evolution read is one scan whose read schema comes from v2's header — carried pre-evolution files null-fill the added column inside the scan (no rewrite, no cast node), and the v1 read plans against its own narrower header; r16's RENAME/DROP stages add NOTHING to the plans — both are metadata-only versions (column mapping: the field keeps its physical parquet name, the scan aliases physical -> logical and Catalyst pushes pruning/predicates through the alias), so the post-rename and post-drop reads stay the same one-scan shape",
     "q_layout_optimize_zorder" ->
       "OPTIMIZE Z-ORDER: the stored Morton key drives one range-partitioned + sorted rewrite of just the fragmented files (one shuffle + the sampler pass); the 2-D box query is then ONE scan whose file index drops every file whose recorded xk/yk bounds miss the box — file skipping on BOTH dimensions at once, the layout payoff a 1-D sort cannot give (q_stream_changefeed's per-batch plans are the same bounded diff scans, pinned in StreamingRobustnessSpec rather than here — a drained stream's returned fold only shows the memory-sink side)",
     "q_layout_optimize" ->
