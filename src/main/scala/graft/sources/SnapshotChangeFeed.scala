@@ -193,22 +193,17 @@ class SnapshotCdfSource(spark: SparkSession, dir: String, partCol: String,
         if (fs.exists(pin)) readPin(fs, pin)
         else {
           val v = compute()
-          // tmp + rename so a crash mid-write can never leave a torn pin
-          // (first start is single-threaded per query; the rename is
-          // belt, not a race guard)
-          val tmp = new org.apache.hadoop.fs.Path(mp,
-            s".graft_cdf_base_${java.util.UUID.randomUUID()}")
-          fs.mkdirs(new org.apache.hadoop.fs.Path(mp))
-          val out = fs.create(tmp, true)
-          try out.write(
+          // atomic create-or-refuse (Snapshots' commit-point primitives):
+          // a crash mid-write can never leave a torn pin, and a racing
+          // source re-creation (zombie + replacement driver on one
+          // checkpoint) can never CLOBBER the original pin — POSIX
+          // rename would replace it silently and the first driver's
+          // already-served batch 0 would disagree with the surviving pin
+          val created = Snapshots.createExclusive(fs, pin,
             s"${v._1}\t${v._2.map(_.toString).getOrElse("-")}"
               .getBytes("UTF-8"))
-          finally out.close()
-          if (fs.rename(tmp, pin)) v
-          else { // a racer (spurious re-create) pinned first: ITS pin rules
-            fs.delete(tmp, false)
-            readPin(fs, pin)
-          }
+          if (created) v
+          else readPin(fs, pin) // the racer's pin rules
         }
     }
   }

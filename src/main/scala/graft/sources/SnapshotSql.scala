@@ -213,6 +213,11 @@ private[graft] object SnapshotSql {
       refuse("WHEN MATCHED THEN UPDATE SET * without WHEN NOT MATCHED THEN " +
         "INSERT * would require matched-row tracking the format does not " +
         "record — add the INSERT clause (full upsert) or use the Scala API")
+    if (!hasUpdate && hasInsert)
+      refuse("WHEN MATCHED ... DELETE combined with WHEN NOT MATCHED THEN " +
+        "INSERT * (no UPDATE SET *) would need matched-row tracking to " +
+        "leave matched-but-not-deleted rows unchanged while inserting the " +
+        "unmatched — add UPDATE SET * (full upsert) or use the Scala API")
     val source = Bridge.ofRows(s, m.sourceTable)
     // op per source row: delete-condition rows -> 'D'; the rest -> 'U'
     // (full upsert) or dropped (DELETE-only merge folds deletions alone).

@@ -592,9 +592,18 @@ object Snapshots {
             f.copy(metadata = mb.build())
           case None =>
             maxId += 1
-            val phys =
+            // the fallback candidate must ITSELF be free — a user column
+            // literally named like a generated name (or a prior
+            // generation) would otherwise share a physical name with
+            // this one (duplicate parquet columns, silent wrong data)
+            var phys =
               if (!takenPhys.contains(f.name)) f.name
               else s"${f.name}_g$maxId"
+            var bump = 1
+            while (takenPhys.contains(phys)) {
+              phys = s"${f.name}_g${maxId}_$bump"
+              bump += 1
+            }
             takenPhys += phys
             f.copy(metadata = new MetadataBuilder()
               .withMetadata(f.metadata)
@@ -817,8 +826,12 @@ object Snapshots {
     * re-checks the retention floor AFTER the point lands and SELF-ABORTS
     * a commit that stalled past a vacuum (see there). */
   private[graft] trait CommitPoint {
-    def commit(fs: FileSystem, tmp: Path, target: Path,
-        content: Array[Byte]): Unit
+    /** `stage()` lazily writes the content to a tmp file and returns its
+      * path — called only by implementations that commit BY FILE MOVE
+      * (link/rename); the conditional-PUT point sends `content` straight
+      * to the store and never stages (no wasted write, no tmp to leak) */
+    def commit(fs: FileSystem, target: Path, content: Array[Byte],
+        stage: () => Path): Unit
     /** the loser signal, shared by implementations */
     protected def conflict(target: Path): Nothing =
       throw new CommitConflictException(
@@ -827,11 +840,21 @@ object Snapshots {
           "retry (optimistic concurrency)")
   }
 
-  /** HDFS-class: rename is atomic and refuses an existing target. */
+  /** HDFS-class: rename is atomic and refuses an existing target —
+    * a FALSE return is the loser signal; an EXCEPTION from the store is
+    * a real IO fault and PROPAGATES (the contract above — downgrading it
+    * would burn commitRetry attempts against a dead filesystem). */
   private[graft] object RenameCommitPoint extends CommitPoint {
-    def commit(fs: FileSystem, tmp: Path, target: Path,
-        content: Array[Byte]): Unit = {
-      val renamed = try fs.rename(tmp, target) catch { case _: Throwable => false }
+    def commit(fs: FileSystem, target: Path, content: Array[Byte],
+        stage: () => Path): Unit = {
+      val tmp = stage()
+      val renamed =
+        try fs.rename(tmp, target)
+        catch {
+          case e: Throwable =>
+            try fs.delete(tmp, false) catch { case _: Exception => () }
+            throw e
+        }
       if (!renamed) {
         fs.delete(tmp, false)
         conflict(target)
@@ -850,13 +873,16 @@ object Snapshots {
     * genuinely unsupported — a real IO fault (ENOSPC, quota) propagates
     * instead of being misreported as a lost race. */
   private[graft] object LinkCommitPoint extends CommitPoint {
-    def commit(fs: FileSystem, tmp: Path, target: Path,
-        content: Array[Byte]): Unit = {
-      val tmpLocal = java.nio.file.Paths.get(tmp.toUri.getPath)
+    def commit(fs: FileSystem, target: Path, content: Array[Byte],
+        stage: () => Path): Unit = {
       val pLocal = java.nio.file.Paths.get(target.toUri.getPath)
-      if (linkFreeDirs.contains(pLocal.getParent.toString))
-        RenameCommitPoint.commit(fs, tmp, target, content)
-      else try {
+      if (linkFreeDirs.contains(pLocal.getParent.toString)) {
+        RenameCommitPoint.commit(fs, target, content, stage)
+        return
+      }
+      val tmp = stage()
+      val tmpLocal = java.nio.file.Paths.get(tmp.toUri.getPath)
+      try {
         java.nio.file.Files.createLink(pLocal, tmpLocal)
         fs.delete(tmp, false)
       } catch {
@@ -866,10 +892,10 @@ object Snapshots {
         case _: UnsupportedOperationException =>
           // createLink's documented "this FS has no hard links" signal
           linkFreeDirs.add(pLocal.getParent.toString)
-          RenameCommitPoint.commit(fs, tmp, target, content)
+          RenameCommitPoint.commit(fs, target, content, () => tmp)
         case e: java.nio.file.FileSystemException =>
           if (probeLinksUnsupported(pLocal.getParent))
-            RenameCommitPoint.commit(fs, tmp, target, content)
+            RenameCommitPoint.commit(fs, target, content, () => tmp)
           else { fs.delete(tmp, false); throw e }
       }
     }
@@ -884,12 +910,12 @@ object Snapshots {
     * loser classification, tmp cleanup, and the floor re-check above. */
   private[graft] final class ConditionalPutCommitPoint(
       putIfAbsent: (Path, Array[Byte]) => Boolean) extends CommitPoint {
-    def commit(fs: FileSystem, tmp: Path, target: Path,
-        content: Array[Byte]): Unit = {
-      val won = putIfAbsent(target, content)
-      fs.delete(tmp, false)
-      if (!won) conflict(target)
-    }
+    def commit(fs: FileSystem, target: Path, content: Array[Byte],
+        stage: () => Path): Unit =
+      // no staging: the bytes go straight to the store's conditional
+      // PUT — a tmp object would be a wasted write plus a leak surface
+      // if the store call throws
+      if (!putIfAbsent(target, content)) conflict(target)
   }
 
   /** test seam: a non-null override routes EVERY commit through it
@@ -897,6 +923,29 @@ object Snapshots {
     * protocol against a fake store) */
   private[graft] val commitPointOverride =
     new java.util.concurrent.atomic.AtomicReference[CommitPoint](null)
+
+  /** Atomic create-or-refuse for a SMALL metadata file OUTSIDE the
+    * manifest protocol (the change-feed source's initial-snapshot pin):
+    * same per-filesystem [[CommitPoint]] primitives, returning FALSE
+    * when a racer created the target first — a plain tmp+rename here
+    * would REPLACE on POSIX and let a racer's recomputed pin clobber the
+    * original (the exact trap the link(2) commit point closed). */
+  private[graft] def createExclusive(fs: FileSystem, p: Path,
+      bytes: Array[Byte]): Boolean = {
+    fs.mkdirs(p.getParent)
+    if (fs.exists(p)) return false
+    def stage(): Path = {
+      val tmp = new Path(p.getParent, s".tmp_${p.getName}_${System.nanoTime()}")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      tmp
+    }
+    val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    val point =
+      if (scheme == "file") LinkCommitPoint else RenameCommitPoint
+    try { point.commit(fs, p, bytes, stage); true }
+    catch { case _: CommitConflictException => false }
+  }
 
   /** tmp + [[CommitPoint]] create-or-refuse, REFUSING an existing target
     * or a vacuumed version number — the commit point, the
@@ -922,14 +971,19 @@ object Snapshots {
         "floor — this writer stalled past the retention window")
     if (fs.exists(p)) conflict("already exists — a concurrent writer " +
       "committed this version first")
-    val tmp = new Path(p.getParent, s".tmp_${p.getName}_${System.nanoTime()}")
     val bytes = content.getBytes("UTF-8")
-    val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
+    // staging is LAZY and owned by the commit points that move files
+    // (link/rename); the conditional-PUT point never calls it
+    def stage(): Path = {
+      val tmp = new Path(p.getParent, s".tmp_${p.getName}_${System.nanoTime()}")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      tmp
+    }
     val scheme = Option(p.toUri.getScheme).getOrElse("file")
     val point = Option(commitPointOverride.get).getOrElse(
       if (scheme == "file") LinkCommitPoint else RenameCommitPoint)
-    point.commit(fs, tmp, p, bytes)
+    point.commit(fs, p, bytes, stage)
     // FLOOR RE-CHECK — the residual floor/vacuum race, folded into the
     // commit contract: a writer that passed the pre-check while a
     // concurrent vacuum raised the floor would land a version whose
@@ -1031,26 +1085,81 @@ object Snapshots {
       // a RENAME-bearing table cannot be served as a bare
       // HadoopFsRelation (parquet resolves by name, and V1 relations
       // cannot interpose a projection), so the SQL surface reads it
-      // through a PrunedScan over the aliased scan — column pruning
-      // pushes through; predicate pushdown happens in the wrapped
-      // plan's own execution (the Scala read path is unchanged and
-      // keeps full plan identity)
+      // through a PrunedFilteredScan over the aliased scan: column
+      // pruning AND pushed filters both reach the inner manifest scan
+      // (filters re-applied as Column predicates on the LOGICAL frame,
+      // where the alias projection forwards them into partition pruning
+      // and per-file bounds skipping — Spark re-evaluates residuals
+      // above, so a partially-translated filter is merely conservative)
       val df = scanEntries(s, partCol, schema, m.entries)
       new org.apache.spark.sql.sources.BaseRelation
-          with org.apache.spark.sql.sources.PrunedScan {
+          with org.apache.spark.sql.sources.PrunedFilteredScan {
         override def sqlContext: org.apache.spark.sql.SQLContext =
           s.sqlContext
         override def schema: StructType = df.schema
         override def needConversion: Boolean = false
-        override def buildScan(requiredColumns: Array[String])
+        override def buildScan(requiredColumns: Array[String],
+            filters: Array[org.apache.spark.sql.sources.Filter])
             : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-          val pruned =
-            if (requiredColumns.isEmpty) df.select(df.columns.head)
-            else df.select(requiredColumns.toSeq.map(col): _*)
+          val filtered = filters.flatMap(filterToColumn)
+            .foldLeft(df)((d, c) => d.filter(c))
+          // an empty projection (count(*) shape) must yield ZERO-column
+          // rows — the scan exec trusts the pruned schema exactly
+          val pruned = filtered.select(requiredColumns.toSeq.map(col): _*)
           Bridge.internalRowRdd(pruned)
             .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
         }
       }
+    }
+  }
+
+  /** V1 source filters -> Column predicates for the mapped-table SQL
+    * relation. Top-level (and AND) translation may be PARTIAL — a
+    * conjunct that doesn't translate is simply a residue Spark
+    * re-applies above the scan, and the translated conjunct still prunes
+    * partitions/files inside the manifest scan. Anything under OR or NOT
+    * must translate EXACTLY or not at all: negating / disjoining a
+    * weakened child would DROP matching rows the residual re-check can
+    * never restore (e.g. Not(And(a, untranslatable)) as !a wrongly
+    * excludes rows with a=true). */
+  private def filterToColumn(f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case And(l, r) =>
+        (filterToColumn(l), filterToColumn(r)) match {
+          case (Some(a), Some(b)) => Some(a && b)
+          case (a, b) => a.orElse(b)
+        }
+      case other => filterToColumnExact(other)
+    }
+  }
+
+  /** all-or-nothing translation — the only form OR/NOT children may use */
+  private def filterToColumnExact(f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toSeq.map(lit): _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case And(l, r) =>
+        for (a <- filterToColumnExact(l); b <- filterToColumnExact(r))
+          yield a && b
+      case Or(l, r) =>
+        for (a <- filterToColumnExact(l); b <- filterToColumnExact(r))
+          yield a || b
+      case Not(c) => filterToColumnExact(c).map(!_)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case _ => None
     }
   }
 
@@ -1480,9 +1589,14 @@ object Snapshots {
     val headers = Seq(
       mT.schema.map(sc => SchemaHeader + sc.json),
       // clamp against the CURRENT head (mC), not the restore target —
-      // ts must stay monotone in version order
+      // ts must stay monotone in version order. The RETIRED list is
+      // monotone TABLE state, not per-version state: a rollback must
+      // never forget a physical name any version ever retired (or a
+      // later re-add would resurrect dropped bytes) — carry the union
+      // of both sides' lists.
       Some(MetaHeader + s"ts=${commitTs(Some(mC))} op=restore " +
-        s"partCol=${java.net.URLEncoder.encode(partCol, "UTF-8")}"),
+        s"partCol=${java.net.URLEncoder.encode(partCol, "UTF-8")}" +
+        retiredKv((mC.retired ++ mT.retired).distinct)),
       Some(statsHeader(entries))).flatten ++
       mT.constraints.map { case (n, q) => ConstraintHeader + n + "\t" + q } ++
       segRefs.map(_.line)
@@ -1548,7 +1662,9 @@ object Snapshots {
     val bad = constraintKind(spec) match {
       case ("unique", cols) =>
         require(cols.nonEmpty, "Snapshots: UNIQUE needs >= 1 column")
-        frame.groupBy((partCol +: cols).map(col): _*)
+        // SQL UNIQUE NULL semantics: NULL-bearing keys never conflict
+        frame.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+          .groupBy((partCol +: cols).map(col): _*)
           .agg(count(lit(1)).as("__c0"))
           .filter(col("__c0") > 1).count()
       case _ => frame.filter(rowViolation(spec)).count()
@@ -1574,14 +1690,15 @@ object Snapshots {
     addConstraintSpec(s, dir, partCol, name, s"@notnull($column)")
   }
 
-  /** declared UNIQUE-per-partition: the written rows of every commit
-    * must hold at most one row per (partition, columns) group — the
-    * invariant [[merge]] maintains for its key, promoted to a declared,
-    * enforced table property. Scope is the format's honest grain: the
-    * enforcement aggregate runs over WRITTEN rows only (cross-commit
-    * duplicates within an untouched partition cannot arise from a
-    * replace-whole-partition or keyed-merge write pattern, and a
-    * full-table recheck per commit would be O(table)). */
+  /** declared UNIQUE-per-partition: every commit must leave at most one
+    * non-NULL row per (partition, columns) group within each partition
+    * it TOUCHES — the invariant [[merge]] maintains for its key,
+    * promoted to a declared, enforced table property. Enforcement scope
+    * is the written rows plus the carried files of touched partitions
+    * (a file-grain rewrite can duplicate against an untouched sibling
+    * file, so written-rows-only would miss it); untouched partitions
+    * were valid before the commit and no commit can change them, so the
+    * check stays bounded by the commit's footprint, never table size. */
   def addUniqueConstraint(s: SparkSession, dir: String, partCol: String,
       name: String, columns: Seq[String]): Long = {
     val cur = currentVersion(s, dir)
@@ -2210,7 +2327,22 @@ object Snapshots {
     * files (projected to the stats columns), grouped by file. The only
     * moment stats can be collected exactly once: files are immutable
     * after this, so the recorded bounds never go stale. */
-  private def collectStats(s: SparkSession, dataDir: String,
+  /** Per-file [min, max] bounds for `statsColumns` read from the
+    * just-written files' OWN PARQUET FOOTERS — the Iceberg/Delta stats
+    * shape: the write job itself is the ONLY pass over the data (r15
+    * ran a second column-pruned aggregation scan here; r16 replaces it
+    * with O(written files) driver-side footer reads, which the commit
+    * already owns the listing for). Per column per file: every row
+    * group's recorded statistics combine under the SAME ordering the
+    * planner's interpreted comparisons use (unsigned byte order for
+    * strings — parquet's binary stats order and UTF8String's agree);
+    * anything unusable (missing stats, INT96 timestamps, NaN float
+    * bounds, truncated-without-bound-semantics, nested, unexpected
+    * physical type) degrades to "no bounds for that column in that
+    * file" — skipping and rewrite selection stay conservative, never
+    * wrong. `statsColumns` arrive LOGICAL; footers and manifest cells
+    * speak PHYSICAL. */
+  private def collectStats(s: SparkSession, files: Seq[Path],
       dataSchema: StructType, statsColumns: Seq[String])
       : Map[String, Map[String, (String, String)]] = {
     val bad = statsColumns.filterNot(c =>
@@ -2219,37 +2351,127 @@ object Snapshots {
     require(bad.isEmpty,
       s"Snapshots: statsColumns ${bad.mkString(", ")} must be data columns " +
         "of an orderable atomic type (numeric/string/date/timestamp/decimal)")
-    // `statsColumns` arrive LOGICAL; the just-written files (and the
-    // manifest cells, which carry verbatim across renames) speak
-    // PHYSICAL — aggregate and record under the physical names
     val physMap = ColumnMapping.toPhysical(dataSchema)
-    val physCols = statsColumns.map(physMap)
-    val aggs = physCols.flatMap(c =>
-      Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
-    val rows = s.read.parquet(dataDir)
-      .select((input_file_name().as("__file") +: physCols.map(col)): _*)
-      .groupBy(col("__file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-    rows.map { r =>
-      // input_file_name() yields the URL-ENCODED uri form ('a b' as
-      // 'a%20b'); manifest entries record listStatus's DECODED paths —
-      // decode through URI so hostile partition values keep their stats
-      // (a silent mismatch here would permanently drop the bounds)
-      val file =
-        try new Path(new java.net.URI(r.getString(0))).toString
-        catch { case _: java.net.URISyntaxException =>
-          new Path(r.getString(0)).toString
-        }
-      val st = statsColumns.zipWithIndex.flatMap { case (c, i) =>
-        val dt = dataSchema(c).dataType
-        for {
-          lo <- StatCodec.external(dt, r.get(1 + 2 * i))
-          hi <- StatCodec.external(dt, r.get(2 + 2 * i))
-        } yield physMap(c) -> (lo, hi)
-      }.toMap
-      file -> st
+    val wanted: Map[String, DataType] = statsColumns
+      .map(c => physMap(c) -> dataSchema(c).dataType).toMap
+    val conf = s.sparkContext.hadoopConfiguration
+    files.map { f =>
+      val st =
+        try footerBounds(conf, f, wanted)
+        catch { case _: Exception => Map.empty[String, (String, String)] }
+      f.toString -> st
     }.toMap
+  }
+
+  /** one file's footer -> canonical [lo, hi] strings per wanted
+    * physical column (see [[collectStats]]); private so the ugly
+    * parquet-type dance stays in one place */
+  private def footerBounds(conf: org.apache.hadoop.conf.Configuration,
+      file: Path, wanted: Map[String, DataType])
+      : Map[String, (String, String)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import scala.jdk.CollectionConverters._
+    def unsignedLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i) & 0xff; val y = b(i) & 0xff
+        if (x != y) return x < y
+        i += 1
+      }
+      a.length < b.length
+    }
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val footer = reader.getFooter
+      // per column: fold every row group's stats; ANY group with
+      // unusable stats poisons that column for this file (a partial
+      // bound is not a bound)
+      val acc = scala.collection.mutable.Map[String, (Any, Any)]()
+      val poisoned = scala.collection.mutable.Set[String]()
+      footer.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { cc =>
+          if (cc.getPath.size == 1 && wanted.contains(cc.getPath.toDotString)
+              && !poisoned(cc.getPath.toDotString)) {
+            val name = cc.getPath.toDotString
+            val st = cc.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue)
+              { acc.remove(name); poisoned += name }
+            else {
+              val (lo, hi) = (st.genericGetMin, st.genericGetMax)
+              // floats/doubles: NaN bounds are meaningless — poison
+              val nan = Seq(lo, hi).exists {
+                case d: java.lang.Double => d.isNaN
+                case f: java.lang.Float => f.isNaN
+                case _ => false
+              }
+              if (nan) { acc.remove(name); poisoned += name }
+              else acc.get(name) match {
+                case None => acc(name) = (lo, hi)
+                case Some((alo, ahi)) =>
+                  def lt(x: Any, y: Any): Boolean = (x, y) match {
+                    case (a: Binary, b: Binary) =>
+                      unsignedLt(a.getBytes, b.getBytes)
+                    case (a: Number, b: Number) =>
+                      (a, b) match {
+                        case (x1: java.lang.Double, y1: java.lang.Double) => x1 < y1
+                        case (x1: java.lang.Float, y1: java.lang.Float) => x1 < y1
+                        case _ => a.longValue() < b.longValue()
+                      }
+                    case (a: java.lang.Boolean, b: java.lang.Boolean) => !a && b
+                    case _ => false
+                  }
+                  acc(name) = (if (lt(lo, alo)) lo else alo,
+                    if (lt(ahi, hi)) hi else ahi)
+              }
+            }
+          }
+        }
+      }
+      // physical-type metadata for conversion
+      val fields = footer.getFileMetaData.getSchema.getFields.asScala
+        .map(t => t.getName -> t).toMap
+      acc.toMap.flatMap { case (name, (lo, hi)) =>
+        val dt = wanted(name)
+        val pt = fields.get(name).filter(_.isPrimitive).map(_.asPrimitiveType())
+        def canon(v: Any): Option[String] = (dt, v) match {
+          case (StringType, b: Binary) => Some(b.toStringUsingUTF8)
+          case (ByteType | ShortType | IntegerType | LongType | FloatType |
+                DoubleType | BooleanType, x) => Some(x.toString)
+          case (DateType, i: java.lang.Integer) => Some(i.toString) // days
+          case (TimestampType | TimestampNTZType, l: java.lang.Long) =>
+            pt.map(_.getLogicalTypeAnnotation) match {
+              case Some(ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+                ts.getUnit match {
+                  case LogicalTypeAnnotation.TimeUnit.MICROS => Some(l.toString)
+                  case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                    Some((l * 1000L).toString)
+                  case LogicalTypeAnnotation.TimeUnit.NANOS =>
+                    Some((l / 1000L).toString)
+                  case _ => None
+                }
+              case _ => None // INT96 etc: no trustworthy stats
+            }
+          case (d: DecimalType, x) =>
+            val unscaled: Option[java.math.BigInteger] = x match {
+              case i: java.lang.Integer =>
+                Some(java.math.BigInteger.valueOf(i.longValue()))
+              case l: java.lang.Long =>
+                Some(java.math.BigInteger.valueOf(l))
+              case b: Binary => Some(new java.math.BigInteger(b.getBytes))
+              case _ => None
+            }
+            unscaled.map(u =>
+              new java.math.BigDecimal(u, d.scale).toPlainString)
+          case _ => None
+        }
+        for (l <- canon(lo); h <- canon(hi)) yield name -> (l, h)
+      }
+    } finally reader.close()
   }
 
   private def commitImpl(s: SparkSession, dir: String, df: DataFrame,
@@ -2325,12 +2547,18 @@ object Snapshots {
     dfOut.write.mode("error").partitionBy(partCol).parquet(dataDir)
     val partDirs = fs.listStatus(new Path(dataDir)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+    // one listing per partition dir, shared by the stats pass and the
+    // entry build below
+    val filesOf: Seq[(Path, Array[org.apache.hadoop.fs.FileStatus])] =
+      partDirs.map(st => st.getPath -> dataFiles(fs, st.getPath))
     val fileStats =
       // an empty frame writes no partition dirs (only _SUCCESS) — a legal
       // commit shape (e.g. a merge whose delta is empty): nothing to stat
       if (statsColumns.isEmpty || partDirs.isEmpty)
         Map.empty[String, Map[String, (String, String)]]
-      else collectStats(s, dataDir, dataSchema, statsColumns)
+      else collectStats(s, filesOf.flatMap(_._2).map(_.getPath),
+        dataSchema, statsColumns)
+    val filesByDir = filesOf.toMap
     val written = partDirs
       .flatMap { st =>
         val raw = st.getPath.getName.stripPrefix(partCol + "=")
@@ -2366,18 +2594,39 @@ object Snapshots {
         // so bytes and bounds are exact forever and later commits carry
         // them verbatim
         val dv = dataVersionOf.getOrElse(value, v)
-        dataFiles(fs, st.getPath).map { f =>
+        filesByDir(st.getPath).map { f =>
           Entry(value, f.getPath.toString, f.getLen, dv,
             fileStats.getOrElse(f.getPath.toString, Map.empty))
         }
       }
     val replaced = written.map(_.value).toSet ++ replacedValues
-    // CHECK CONSTRAINTS: enforced on the WRITTEN rows between write and
-    // rename — a violation deletes the (unreferenced) data dir and
-    // refuses the commit, so the table can never hold a violating row.
-    // SQL CHECK semantics: NULL passes, only FALSE violates. One job
-    // over just the written files (served by our own entries — never
-    // re-inferred), all constraints in a single aggregate.
+    val carried = carriedOverride.getOrElse {
+      // prevManifest is read for constraints on EVERY commit — carrying
+      // its entries remains strictly a carryUntouched concern (a full
+      // commit replaces everything)
+      if (carryUntouched)
+        prevManifest.map(_.entries.filterNot(e => replaced(e.value)))
+          .getOrElse(Nil)
+      else Nil
+    }.map { e =>
+      // the caller declares these partitions' ROWS changed this commit
+      // (merge rewrote files of theirs, possibly to nothing): their
+      // carried files are stamped so the change feed cannot miss it
+      if (dataChangeValues(e.value)) e.copy(dataVersion = v) else e
+    }
+    // CONSTRAINTS: enforced between write and rename — a violation
+    // deletes the (unreferenced) data dir and refuses the commit, so the
+    // table can never hold a violating row. Row-local kinds (CHECK with
+    // SQL NULL-passes semantics, declared NOT NULL) run over the WRITTEN
+    // rows in ONE aggregate. UNIQUE-per-partition runs over the written
+    // rows PLUS the carried files of every partition this commit
+    // touches: a file-grain rewrite (DELETE/UPDATE/merge) can introduce
+    // a duplicate BETWEEN a rewritten file and an untouched carried
+    // sibling of the same partition, which a written-rows-only group-by
+    // would miss — the check is still bounded by TOUCHED partitions,
+    // never table size. SQL UNIQUE NULL semantics: NULL-bearing keys
+    // never conflict (also what exempts carried files null-filling a
+    // just-added unique column).
     val activeConstraints = prevManifest.map(_.constraints).getOrElse(Nil)
     if (activeConstraints.nonEmpty && written.nonEmpty) {
       // ANY failure here — a violation, or a constraint expression that
@@ -2386,9 +2635,6 @@ object Snapshots {
       // sibling path follows)
       try {
         val frame = scanEntries(s, partCol, dataSchema, written)
-        // row-local kinds (CHECK, NOT NULL) share ONE aggregate job;
-        // each UNIQUE runs its own written-rows groupBy (per-partition
-        // key-group cardinality is not row-local)
         val (uniques, rowLocal) = activeConstraints.partition(c =>
           constraintKind(c._2)._1 == "unique")
         if (rowLocal.nonEmpty) {
@@ -2403,35 +2649,29 @@ object Snapshots {
                   s"${r.getLong(i)} written row(s) — commit refused")
           }
         }
-        uniques.foreach { case (n, spec) =>
-          val cols = constraintKind(spec)._2
-          val dups = frame.groupBy((partCol +: cols).map(col): _*)
-            .agg(count(lit(1)).as("__c0"))
-            .filter(col("__c0") > 1).count()
-          if (dups > 0)
-            throw new IllegalArgumentException(
-              s"Snapshots: UNIQUE constraint '$n' ($spec) violated by " +
-                s"$dups written key group(s) — commit refused")
+        if (uniques.nonEmpty) {
+          val touched = written.map(_.value).toSet ++ dataChangeValues
+          val uniqueScope = written ++ carried.filter(e => touched(e.value))
+          val scopeFrame = scanEntries(s, partCol, dataSchema, uniqueScope)
+          uniques.foreach { case (n, spec) =>
+            val cols = constraintKind(spec)._2
+            val dups = scopeFrame
+              .filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+              .groupBy((partCol +: cols).map(col): _*)
+              .agg(count(lit(1)).as("__c0"))
+              .filter(col("__c0") > 1).count()
+            if (dups > 0)
+              throw new IllegalArgumentException(
+                s"Snapshots: UNIQUE constraint '$n' ($spec) violated by " +
+                  s"$dups key group(s) across this commit's touched " +
+                  "partitions — commit refused")
+          }
         }
       } catch {
         case e: Throwable =>
           fs.delete(new Path(dataDir), true)
           throw e
       }
-    }
-    val carried = carriedOverride.getOrElse {
-      // prevManifest is read for constraints on EVERY commit — carrying
-      // its entries remains strictly a carryUntouched concern (a full
-      // commit replaces everything)
-      if (carryUntouched)
-        prevManifest.map(_.entries.filterNot(e => replaced(e.value)))
-          .getOrElse(Nil)
-      else Nil
-    }.map { e =>
-      // the caller declares these partitions' ROWS changed this commit
-      // (merge rewrote files of theirs, possibly to nothing): their
-      // carried files are stamped so the change feed cannot miss it
-      if (dataChangeValues(e.value)) e.copy(dataVersion = v) else e
     }
     // the SCHEMA CONTRACT, enforced where it can fail loudly and early:
     // a commit that carries older files may ADD columns (carried files

@@ -149,6 +149,30 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(state(dir).size == before + 1)
   }
 
+  test("SQL reads of a RENAMED table serve logical names with pushed filters") {
+    val dir = tempTable()
+    seed(dir)
+    Snapshots.renameColumn(spark, dir, "v", "w")
+    val view = s"renamed_v_${math.abs(dir.hashCode)}"
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW $view
+      USING graft_snapshot OPTIONS (path '$dir', partCol 'part')""")
+    // logical name resolves; physical never leaks
+    val got = spark.sql(
+      s"SELECT part, k, w FROM $view WHERE k BETWEEN 10 AND 12")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(got ==
+      (10 to 12).map(i => (s"p${i % 2}", i.toLong, i * 10L)).sorted)
+    assert(intercept[Exception](
+      spark.sql(s"SELECT v FROM $view").collect())
+      .getMessage.nonEmpty) // old name is gone from the SQL schema
+    // empty projection (count(*)) goes through the zero-column path
+    assert(spark.sql(s"SELECT count(*) FROM $view").as[Long]
+      .collect().head == 80L)
+    // a partition-pruned count under a pushed filter
+    assert(spark.sql(s"SELECT count(*) FROM $view WHERE part = 'p0'")
+      .as[Long].collect().head == 40L)
+  }
+
   test("unsupported MERGE shapes and statements refuse loudly") {
     val dir = tempTable()
     seed(dir)
@@ -162,6 +186,10 @@ class SnapshotSqlSpec extends SparkSpec {
     // update without insert: would need matched-row tracking
     assert(mergeWith("WHEN MATCHED THEN UPDATE SET *")
       .getMessage.contains("INSERT"))
+    // delete + insert WITHOUT update: matched-but-not-deleted rows would
+    // need lineage to stay unchanged — refused, never silently wrong
+    assert(mergeWith("WHEN MATCHED AND s.v > 0 THEN DELETE " +
+      "WHEN NOT MATCHED THEN INSERT *").getMessage.contains("UPDATE SET *"))
     // explicit assignment list
     assert(mergeWith("WHEN MATCHED THEN UPDATE SET v = s.v " +
       "WHEN NOT MATCHED THEN INSERT *").getMessage.contains("matched clauses"))

@@ -1127,13 +1127,13 @@ class SnapshotsSpec extends SparkSpec {
     // self-abort it.
     val stallPoint = new Snapshots.CommitPoint {
       def commit(f: org.apache.hadoop.fs.FileSystem,
-          tmp: org.apache.hadoop.fs.Path, target: org.apache.hadoop.fs.Path,
-          content: Array[Byte]): Unit = {
+          target: org.apache.hadoop.fs.Path, content: Array[Byte],
+          stage: () => org.apache.hadoop.fs.Path): Unit = {
         Snapshots.commitPointOverride.set(null) // racers use the real point
         (2 to 4).foreach(i => Snapshots.commitReplace(spark, dir,
           Seq(("a", i.toLong)).toDF("part", "x"), "part"))
         Snapshots.vacuum(spark, dir, keepLast = 1) // floor = 3, v2 slot freed
-        Snapshots.RenameCommitPoint.commit(f, tmp, target, content)
+        Snapshots.RenameCommitPoint.commit(f, target, content, stage)
       }
     }
     Snapshots.commitPointOverride.set(stallPoint)
@@ -1419,6 +1419,59 @@ class SnapshotsSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       Snapshots.dropColumn(spark, dir, "k")
     }.getMessage.contains("kpos"))
+  }
+
+  test("RESTORE carries the retired-physical-names list (no resurrection after a rollback)") {
+    val dir = tempTable()
+    Snapshots.commit(spark, dir,
+      Seq(("p0", 1L, 10L), ("p1", 2L, 20L)).toDF("part", "k", "a"), "part")
+    val v2 = Snapshots.dropColumn(spark, dir, "a") // retires physical 'a'
+    // touch one partition so there is something to roll back over
+    val v3 = Snapshots.commitReplace(spark, dir,
+      Seq(("p0", 1L)).toDF("part", "k"), "part")
+    val v4 = Snapshots.restore(spark, dir, "part", v2)
+    assert(manifestText(dir, v4).contains("retired="),
+      "the rollback manifest must keep carrying the retired list")
+    // re-adding a column named 'a' after the rollback must bind a FRESH
+    // physical name: p1's carried v1-era file still stores bytes under
+    // physical 'a' and they must NOT resurrect
+    val v5 = Snapshots.commitReplace(spark, dir,
+      Seq(("p0", 1L, 999L)).toDF("part", "k", "a"), "part")
+    val got = Snapshots.read(spark, dir, "part", v5)
+      .select("part", "k", "a").as[(String, Long, Option[Long])]
+      .collect().map { case (p, k, a) => (p, k) -> a }.toMap
+    assert(got(("p0", 1L)).contains(999L))
+    assert(got(("p1", 2L)).isEmpty,
+      s"dropped bytes resurrected through the rollback: $got")
+  }
+
+  test("UNIQUE catches duplicates between a rewritten file and a carried sibling of the same partition") {
+    val dir = tempTable()
+    val df = Seq(("p0", 1L, 100L), ("p0", 2L, 200L), ("p0", 3L, 300L),
+      ("p0", 4L, 400L)).toDF("part", "k", "u")
+      .repartitionByRange(2, col("part"), col("k"))
+      .sortWithinPartitions("part", "k")
+    Snapshots.commit(spark, dir, df, "part", statsColumns = Seq("k"))
+    assert(manifestText(dir, 1L).split("\n").count(!_.startsWith("#")) >= 2,
+      "fixture needs >= 2 files in the partition")
+    Snapshots.addUniqueConstraint(spark, dir, "part", "uq", Seq("u"))
+    // the UPDATE's bounds-selected rewrite touches only k=4's file; the
+    // duplicate it writes (u=100) lives in the CARRIED sibling — a
+    // written-rows-only check would miss it
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.update(spark, dir, "part", col("k") === 4L,
+        Map("u" -> lit(100L)))
+    }
+    assert(e.getMessage.contains("uq"), e.getMessage)
+    // the table never held the violation, and a clean update still lands
+    assert(Snapshots.read(spark, dir, "part")
+      .select("u").as[Long].collect().sorted.toSeq ==
+      Seq(100L, 200L, 300L, 400L))
+    Snapshots.update(spark, dir, "part", col("k") === 4L,
+      Map("u" -> lit(444L)))
+    assert(Snapshots.read(spark, dir, "part")
+      .select("u").as[Long].collect().sorted.toSeq ==
+      Seq(100L, 200L, 300L, 444L))
   }
 
   test("'__'-prefixed column names are refused at commit (reserved)") {
