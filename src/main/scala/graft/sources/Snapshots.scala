@@ -940,9 +940,13 @@ object Snapshots {
       try out.write(bytes) finally out.close()
       tmp
     }
+    // SAME resolution as writeManifestAtomic — the override seam covers
+    // every exclusive create (so the conditional-PUT fuzz exercises the
+    // pin path too, and an object-store deployment's pin rides the
+    // store's conditional PUT rather than a non-atomic rename)
     val scheme = Option(p.toUri.getScheme).getOrElse("file")
-    val point =
-      if (scheme == "file") LinkCommitPoint else RenameCommitPoint
+    val point = Option(commitPointOverride.get).getOrElse(
+      if (scheme == "file") LinkCommitPoint else RenameCommitPoint)
     try { point.commit(fs, p, bytes, stage); true }
     catch { case _: CommitConflictException => false }
   }
@@ -2343,7 +2347,7 @@ object Snapshots {
     * wrong. `statsColumns` arrive LOGICAL; footers and manifest cells
     * speak PHYSICAL. */
   private def collectStats(s: SparkSession, files: Seq[Path],
-      dataSchema: StructType, statsColumns: Seq[String])
+      dataDir: String, dataSchema: StructType, statsColumns: Seq[String])
       : Map[String, Map[String, (String, String)]] = {
     val bad = statsColumns.filterNot(c =>
       dataSchema.fieldNames.contains(c) &&
@@ -2352,14 +2356,87 @@ object Snapshots {
       s"Snapshots: statsColumns ${bad.mkString(", ")} must be data columns " +
         "of an orderable atomic type (numeric/string/date/timestamp/decimal)")
     val physMap = ColumnMapping.toPhysical(dataSchema)
-    val wanted: Map[String, DataType] = statsColumns
+    // columns the footers CANNOT serve under this session's writer
+    // config fall back to the r15 aggregation job: Spark's default
+    // parquet timestamp encoding is INT96, which records no usable
+    // column statistics — silently recording NO bounds for a
+    // timestamp-keyed table would turn every later merge/DML into a
+    // rewrite-everything cliff (NTZ always writes INT64 micros and
+    // stays on the footer path)
+    val int96 = s.conf
+      .getOption("spark.sql.parquet.outputTimestampType")
+      .getOrElse("INT96") == "INT96"
+    val (scanCols, footerCols) = statsColumns.partition(c =>
+      int96 && dataSchema(c).dataType == TimestampType)
+    val wanted: Map[String, DataType] = footerCols
       .map(c => physMap(c) -> dataSchema(c).dataType).toMap
     val conf = s.sparkContext.hadoopConfiguration
-    files.map { f =>
-      val st =
-        try footerBounds(conf, f, wanted)
-        catch { case _: Exception => Map.empty[String, (String, String)] }
-      f.toString -> st
+    // footer reads are independent small IO — a wide commit (initial
+    // load, big backfill) must not serialize thousands of remote opens
+    // on the driver: a bounded pool keeps the commit path O(files/8)
+    val fromFooters: Map[String, Map[String, (String, String)]] =
+      if (footerCols.isEmpty) Map.empty
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, math.max(1, files.size)))
+        try {
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutorService(pool)
+          Await.result(Future.traverse(files) { f =>
+            Future {
+              val st =
+                try footerBounds(conf, f, wanted)
+                catch { case _: Exception =>
+                  Map.empty[String, (String, String)] }
+              f.toString -> st
+            }
+          }, Duration.Inf).toMap
+        } finally pool.shutdown()
+      }
+    if (scanCols.isEmpty) fromFooters
+    else {
+      val fromScan = collectStatsScan(s, dataDir, dataSchema, scanCols)
+      (fromFooters.keySet ++ fromScan.keySet).map { f =>
+        f -> (fromFooters.getOrElse(f, Map.empty) ++
+          fromScan.getOrElse(f, Map.empty))
+      }.toMap
+    }
+  }
+
+  /** the r15 aggregation-job collector — retained for columns the
+    * footers cannot serve (see [[collectStats]]): one column-pruned
+    * distributed pass over just the written files, grouped by file */
+  private def collectStatsScan(s: SparkSession, dataDir: String,
+      dataSchema: StructType, statsColumns: Seq[String])
+      : Map[String, Map[String, (String, String)]] = {
+    val physMap = ColumnMapping.toPhysical(dataSchema)
+    val physCols = statsColumns.map(physMap)
+    val aggs = physCols.flatMap(c =>
+      Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
+    val rows = s.read.parquet(dataDir)
+      .select((input_file_name().as("__file") +: physCols.map(col)): _*)
+      .groupBy(col("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { r =>
+      // input_file_name() yields the URL-ENCODED uri form ('a b' as
+      // 'a%20b'); manifest entries record listStatus's DECODED paths —
+      // decode through URI so hostile partition values keep their stats
+      val file =
+        try new Path(new java.net.URI(r.getString(0))).toString
+        catch { case _: java.net.URISyntaxException =>
+          new Path(r.getString(0)).toString
+        }
+      val st = statsColumns.zipWithIndex.flatMap { case (c, i) =>
+        val dt = dataSchema(c).dataType
+        for {
+          lo <- StatCodec.external(dt, r.get(1 + 2 * i))
+          hi <- StatCodec.external(dt, r.get(2 + 2 * i))
+        } yield physMap(c) -> (lo, hi)
+      }.toMap
+      file -> st
     }.toMap
   }
 
@@ -2399,8 +2476,15 @@ object Snapshots {
               && !poisoned(cc.getPath.toDotString)) {
             val name = cc.getPath.toDotString
             val st = cc.getStatistics
-            if (st == null || st.isEmpty || !st.hasNonNullValue)
+            if (st == null || st.isEmpty)
+              // stats MISSING while values may exist: no safe bound
               { acc.remove(name); poisoned += name }
+            else if (!st.hasNonNullValue) {
+              // an ALL-NULL row group constrains nothing (NULLs never
+              // satisfy a range predicate) — skip it and keep folding
+              // the other groups' bounds, exactly like the r15
+              // aggregation's min/max ignored NULLs
+            }
             else {
               val (lo, hi) = (st.genericGetMin, st.genericGetMax)
               // floats/doubles: NaN bounds are meaningless — poison
@@ -2413,9 +2497,18 @@ object Snapshots {
               else acc.get(name) match {
                 case None => acc(name) = (lo, hi)
                 case Some((alo, ahi)) =>
+                  // the combine order must match the LOGICAL type's
+                  // ordering: strings compare as UNSIGNED bytes (parquet
+                  // binary stats and UTF8String agree), but a
+                  // Binary-encoded DECIMAL is SIGNED two's-complement —
+                  // unsigned order would fold mixed-sign group bounds
+                  // into a wrong (narrower) range, excluding real values
                   def lt(x: Any, y: Any): Boolean = (x, y) match {
                     case (a: Binary, b: Binary) =>
-                      unsignedLt(a.getBytes, b.getBytes)
+                      if (wanted(name).isInstanceOf[DecimalType])
+                        new java.math.BigInteger(a.getBytes)
+                          .compareTo(new java.math.BigInteger(b.getBytes)) < 0
+                      else unsignedLt(a.getBytes, b.getBytes)
                     case (a: Number, b: Number) =>
                       (a, b) match {
                         case (x1: java.lang.Double, y1: java.lang.Double) => x1 < y1
@@ -2557,7 +2650,7 @@ object Snapshots {
       if (statsColumns.isEmpty || partDirs.isEmpty)
         Map.empty[String, Map[String, (String, String)]]
       else collectStats(s, filesOf.flatMap(_._2).map(_.getPath),
-        dataSchema, statsColumns)
+        dataDir, dataSchema, statsColumns)
     val filesByDir = filesOf.toMap
     val written = partDirs
       .flatMap { st =>

@@ -1474,6 +1474,30 @@ class SnapshotsSpec extends SparkSpec {
       Seq(100L, 200L, 300L, 444L))
   }
 
+  test("timestamp statsColumns still record bounds under INT96 parquet output") {
+    // Spark's default parquet timestamp encoding (INT96) writes no
+    // usable footer statistics — the collector must fall back to the
+    // aggregation job for exactly those columns instead of silently
+    // recording nothing (which would cliff every timestamp-keyed
+    // merge/DML into rewrite-everything)
+    val dir = tempTable()
+    val df = Seq(
+      ("a", 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("a", 2L, java.sql.Timestamp.valueOf("2024-06-01 12:30:00")))
+      .toDF("part", "k", "ts")
+    Snapshots.commit(spark, dir, df, "part", statsColumns = Seq("k", "ts"))
+    val m = Snapshots.readManifest(spark, dir, 1L)
+    val stats = m.entries.flatMap(_.stats.keys).toSet
+    assert(stats("k") && stats("ts"),
+      s"both columns must carry bounds, got $stats")
+    // and the recorded ts bounds actually skip: a 2023 range can match
+    // no file, so DELETE over it must be a provable no-op (no commit)
+    val cur = Snapshots.currentVersion(spark, dir)
+    assert(Snapshots.delete(spark, dir, "part",
+      col("ts") < java.sql.Timestamp.valueOf("2023-01-01 00:00:00")) == cur,
+      "ts-bounds-proven-empty delete must not commit")
+  }
+
   test("'__'-prefixed column names are refused at commit (reserved)") {
     val dir = tempTable()
     val e = intercept[IllegalArgumentException] {
