@@ -488,18 +488,21 @@ object Snapshots {
       inline ++ segParts.flatMap(_._2), segParts, partColH, retired)
   }
 
-  /** header fields only (ts, op, and the `#stats` rollup when present) —
-    * reads the '#'-prefixed PREFIX and stops before any entry line or
-    * segment resolution, so [[history]] over a long-lived table costs
-    * one small read per version, never an entry parse */
+  /** header fields only (ts, op, the `#stats` rollup, and the
+    * idempotent-commit txn stamp when present) — reads the '#'-prefixed
+    * PREFIX and stops before any entry line or segment resolution, so
+    * [[history]] and [[commitIdempotent]]'s txn walk cost one small
+    * read per version, never an entry parse */
   private def readHeaderMeta(fs: FileSystem, p: Path)
-      : (Option[Long], Option[String], Option[(Long, Long, Long)]) = {
+      : (Option[Long], Option[String], Option[(Long, Long, Long)],
+        Option[(String, Long)]) = {
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(p), "UTF-8"))
     try {
       var ts: Option[Long] = None
       var op: Option[String] = None
       var stats: Option[(Long, Long, Long)] = None
+      var txn: Option[(String, Long)] = None
       var line = in.readLine()
       while (line != null && line.startsWith("#")) {
         if (line.startsWith(MetaHeader)) {
@@ -510,6 +513,16 @@ object Snapshots {
           op = kvs.collectFirst {
             case kv if kv.startsWith("op=") => kv.stripPrefix("op=")
           }
+          txn = for {
+            app <- kvs.collectFirst {
+              case kv if kv.startsWith("txnApp=") =>
+                java.net.URLDecoder.decode(kv.stripPrefix("txnApp="), "UTF-8")
+            }
+            b <- kvs.collectFirst {
+              case kv if kv.startsWith("txnBatch=") =>
+                kv.stripPrefix("txnBatch=").toLong
+            }
+          } yield (app, b)
         } else if (line.startsWith(StatsHeader)) {
           val kvs = line.stripPrefix(StatsHeader).split("\\s+").toSeq
           def kv(k: String): Option[Long] = kvs.collectFirst {
@@ -520,7 +533,7 @@ object Snapshots {
         }
         line = in.readLine()
       }
-      (ts, op, stats)
+      (ts, op, stats, txn)
     } finally in.close()
   }
 
@@ -1288,6 +1301,53 @@ object Snapshots {
     def norm(d: String) =
       new Path(d).toUri.getPath.stripSuffix("/")
     a == b || norm(a) == norm(b)
+  }
+
+  /** IDEMPOTENT streaming commit — Delta's `txn` action: the commit
+    * records (appId, batchId) in its meta header, and a commit whose
+    * (appId, batchId) the table has ALREADY recorded at or above is a
+    * NO-OP returning the current version. This is what makes a
+    * foreachBatch snapshot sink exactly-once across a checkpointed
+    * restart: the crash window between the sink's commit and the
+    * engine's commit-log write replays the batch, and without the stamp
+    * the replay would land a DUPLICATE version (double-counted rows for
+    * an append-style fold). The txn walk reads manifest HEADERS newest-
+    * first and stops at the first version stamped by this app —
+    * O(versions since the app's last commit) small reads, usually one.
+    * Assumes each app's batchIds commit in order (Structured
+    * Streaming's per-query contract). `replace`/`replacedValues` select
+    * the partition-replace commit shape, like [[commitRetry]]; a lost
+    * OCC race re-checks the stamp before retrying (the racer may have
+    * been the replay's twin). */
+  def commitIdempotent(s: SparkSession, dir: String, df: DataFrame,
+      partCol: String, appId: String, batchId: Long,
+      replace: Boolean = false, replacedValues: Set[String] = Set.empty,
+      statsColumns: Seq[String] = Nil, attempts: Int = 5): Long = {
+    require(appId.nonEmpty, "Snapshots: commitIdempotent needs an appId")
+    def alreadyApplied(): Option[Long] = {
+      val fs = fsOf(s, dir)
+      val vs = listVersions(fs, dir)
+      // newest-first header walk, stop at this app's latest stamp
+      vs.reverse.iterator.map { v =>
+        try readHeaderMeta(fs, manifestPath(dir, v))._4
+        catch { case _: java.io.FileNotFoundException => None }
+      }.collectFirst {
+        case Some((app, b)) if app == appId => b
+      } match {
+        case Some(b) if b >= batchId => Some(currentVersion(s, dir))
+        case _ => None
+      }
+    }
+    dmlRetry(s, dir, attempts) { () =>
+      alreadyApplied().getOrElse {
+        val prev = currentVersion(s, dir)
+        commitImpl(s, dir, df, partCol, carryUntouched = replace,
+          replacedValues, expectedPrev = Some(prev),
+          statsColumns = statsColumns,
+          op = if (replace) "replace" else "commit",
+          txn = Some((appId, batchId)))
+      }
+    }
   }
 
   /** Partition-level change feed between two committed versions — the
@@ -2062,7 +2122,7 @@ object Snapshots {
       // torn mid-read) falls back to the full parse, never to a wrong row
       val fast =
         try {
-          val (ts, op, st) = readHeaderMeta(fs, manifestPath(dir, v))
+          val (ts, op, st, _) = readHeaderMeta(fs, manifestPath(dir, v))
           st.map { case (np, nf, nb) => (v, ts, op, np.toInt, nf.toInt, nb) }
         } catch { case _: java.io.FileNotFoundException => None }
       fast.getOrElse {
@@ -2575,7 +2635,8 @@ object Snapshots {
       carriedOverride: Option[Seq[Entry]] = None,
       dataChangeValues: Set[String] = Set.empty,
       prevManifestHint: Option[Manifest] = None,
-      op: String = "commit"): Long = {
+      op: String = "commit",
+      txn: Option[(String, Long)] = None): Long = {
     require(df.schema(partCol).dataType == StringType,
       s"Snapshots: partition column '$partCol' must be StringType (it " +
         "travels through directory names and manifest lines as a string; " +
@@ -2826,7 +2887,10 @@ object Snapshots {
       SchemaHeader + headerSchema.json,
       MetaHeader + s"ts=${commitTs(prevManifest)} op=$op " +
         s"partCol=${java.net.URLEncoder.encode(partCol, "UTF-8")}" +
-        retiredKv(retired),
+        retiredKv(retired) +
+        txn.map { case (app, b) =>
+          s" txnApp=${java.net.URLEncoder.encode(app, "UTF-8")} txnBatch=$b"
+        }.getOrElse(""),
       statsHeader(entries)) ++
       activeConstraints.map { case (n, q) => ConstraintHeader + n + "\t" + q } ++
       segRefs.map(_.line)

@@ -892,7 +892,7 @@ object Streaming {
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
     val q = reader.parquet(srcDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val delta = fold(batch)
         val next =
           (if (state.get == null) delta
@@ -900,7 +900,13 @@ object Streaming {
              .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_chars")).as("n_chars")))
             .localCheckpoint()
         state.set(next)
-        lastV.set(Snapshots.commit(s, dir, next, "lang"))
+        // the txn-stamped commit (Delta's txn action): a batch REPLAYED
+        // after a crash between this commit and the engine's commit-log
+        // write becomes a no-op instead of a duplicate version —
+        // exactly-once versions without a transactional sink
+        // (idempotence itself is spec-pinned in SnapshotsSpec)
+        lastV.set(Snapshots.commitIdempotent(s, dir, next, "lang",
+          appId = s"stream_snapshot:$dir", batchId = batchId))
         applied.set(applied.get + 1)
       }
       .start()

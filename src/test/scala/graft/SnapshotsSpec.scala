@@ -1498,6 +1498,42 @@ class SnapshotsSpec extends SparkSpec {
       "ts-bounds-proven-empty delete must not commit")
   }
 
+  test("commitIdempotent: a replayed batch is a no-op, interleaved maintenance doesn't confuse the stamp") {
+    val dir = tempTable()
+    val app = "sinkA"
+    val v1 = Snapshots.commitIdempotent(spark, dir,
+      Seq(("a", 1L)).toDF("part", "x"), "part", app, batchId = 0L)
+    val v2 = Snapshots.commitIdempotent(spark, dir,
+      Seq(("a", 2L)).toDF("part", "x"), "part", app, batchId = 1L)
+    assert(v1 == 1L && v2 == 2L)
+    // REPLAY of batch 1 (crash between sink commit and engine commit-log
+    // write, then restart): must be a NO-OP even with different bytes in
+    // hand — the recorded stamp, not the content, decides
+    val vReplay = Snapshots.commitIdempotent(spark, dir,
+      Seq(("a", 999L)).toDF("part", "x"), "part", app, batchId = 1L)
+    assert(vReplay == v2 && Snapshots.currentVersion(spark, dir) == v2)
+    assert(Snapshots.read(spark, dir, "part")
+      .select("x").as[Long].collect().toSeq == Seq(2L),
+      "the replay must not have changed the table")
+    // maintenance between batches must not hide the stamp: the txn walk
+    // skips unstamped versions (restore here; optimize/constraint ops
+    // behave the same)
+    Snapshots.restore(spark, dir, "part", v1)
+    val vReplay2 = Snapshots.commitIdempotent(spark, dir,
+      Seq(("a", 999L)).toDF("part", "x"), "part", app, batchId = 1L)
+    assert(vReplay2 == Snapshots.currentVersion(spark, dir) &&
+      Snapshots.history(spark, dir).count() == 3,
+      "replay after maintenance must still be a no-op")
+    // a DIFFERENT app's stamps are independent
+    val vB = Snapshots.commitIdempotent(spark, dir,
+      Seq(("a", 5L)).toDF("part", "x"), "part", "sinkB", batchId = 0L)
+    assert(vB == 4L)
+    // and the next genuine batch commits
+    val v5 = Snapshots.commitIdempotent(spark, dir,
+      Seq(("a", 6L)).toDF("part", "x"), "part", app, batchId = 2L)
+    assert(v5 == 5L)
+  }
+
   test("'__'-prefixed column names are refused at commit (reserved)") {
     val dir = tempTable()
     val e = intercept[IllegalArgumentException] {
