@@ -1318,7 +1318,12 @@ object Snapshots {
     * Streaming's per-query contract). `replace`/`replacedValues` select
     * the partition-replace commit shape, like [[commitRetry]]; a lost
     * OCC race re-checks the stamp before retrying (the racer may have
-    * been the replay's twin). */
+    * been the replay's twin). RETENTION-COVERS-LAG, same as the change
+    * feed: the walk only sees LIVE manifests, so a replay arriving
+    * after vacuum retired the app's last stamped version would
+    * re-commit — keep the retention window longer than the longest
+    * possible restart lag (the rule real formats document for their
+    * txn action too). */
   def commitIdempotent(s: SparkSession, dir: String, df: DataFrame,
       partCol: String, appId: String, batchId: Long,
       replace: Boolean = false, replacedValues: Set[String] = Set.empty,
