@@ -1329,28 +1329,32 @@ object Snapshots {
       replace: Boolean = false, replacedValues: Set[String] = Set.empty,
       statsColumns: Seq[String] = Nil, attempts: Int = 5): Long = {
     require(appId.nonEmpty, "Snapshots: commitIdempotent needs an appId")
-    def alreadyApplied(): Option[Long] = {
+    dmlRetry(s, dir, attempts) { () =>
       val fs = fsOf(s, dir)
+      // ONE listing serves both the stamp walk AND the OCC pin — pinning
+      // a re-resolved currentVersion instead would open a TOCTOU: a
+      // replay TWIN committing between the walk and the pin would make
+      // this attempt commit cleanly ON TOP of the twin's stamp (a
+      // duplicate batch with no conflict to trigger the re-check). With
+      // the shared listing, any commit landing after the walk forces the
+      // rename to conflict, and the retry re-walks against the twin's
+      // stamp.
       val vs = listVersions(fs, dir)
       // newest-first header walk, stop at this app's latest stamp
-      vs.reverse.iterator.map { v =>
+      val stamped = vs.reverse.iterator.map { v =>
         try readHeaderMeta(fs, manifestPath(dir, v))._4
         catch { case _: java.io.FileNotFoundException => None }
       }.collectFirst {
         case Some((app, b)) if app == appId => b
-      } match {
-        case Some(b) if b >= batchId => Some(currentVersion(s, dir))
-        case _ => None
       }
-    }
-    dmlRetry(s, dir, attempts) { () =>
-      alreadyApplied().getOrElse {
-        val prev = currentVersion(s, dir)
-        commitImpl(s, dir, df, partCol, carryUntouched = replace,
-          replacedValues, expectedPrev = Some(prev),
-          statsColumns = statsColumns,
-          op = if (replace) "replace" else "commit",
-          txn = Some((appId, batchId)))
+      stamped match {
+        case Some(b) if b >= batchId => vs.last // already applied: no-op
+        case _ =>
+          commitImpl(s, dir, df, partCol, carryUntouched = replace,
+            replacedValues, expectedPrev = Some(vs.lastOption.getOrElse(0L)),
+            statsColumns = statsColumns,
+            op = if (replace) "replace" else "commit",
+            txn = Some((appId, batchId)))
       }
     }
   }

@@ -894,6 +894,20 @@ object Streaming {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val delta = fold(batch)
+        // RESTART-SAFE fold: a null state means this JVM has no running
+        // fold — a fresh query, or a restarted one. Seed it from the
+        // table's LAST COMMITTED version, never from empty: the txn
+        // stamp alone would keep the version history replay-clean while
+        // post-restart totals silently missed every pre-crash batch
+        // (clean-looking history over wrong data — the worse failure).
+        if (state.get == null) {
+          val cur = Snapshots.currentVersion(s, dir)
+          if (cur >= 1) {
+            state.set(Snapshots.read(s, dir, "lang", cur)
+              .select("lang", "n_docs", "n_chars").localCheckpoint())
+            lastV.set(cur)
+          }
+        }
         val next =
           (if (state.get == null) delta
            else state.get.unionByName(delta).groupBy("lang")
@@ -904,9 +918,19 @@ object Streaming {
         // after a crash between this commit and the engine's commit-log
         // write becomes a no-op instead of a duplicate version —
         // exactly-once versions without a transactional sink
-        // (idempotence itself is spec-pinned in SnapshotsSpec)
-        lastV.set(Snapshots.commitIdempotent(s, dir, next, "lang",
-          appId = s"stream_snapshot:$dir", batchId = batchId))
+        // (idempotence itself is spec-pinned in SnapshotsSpec; this
+        // fixture's run uses a fresh dir + temp checkpoint, so the
+        // restart seeding is the PATTERN a durable deployment copies)
+        val v = Snapshots.commitIdempotent(s, dir, next, "lang",
+          appId = s"stream_snapshot:$dir", batchId = batchId)
+        if (v == lastV.get)
+          // the commit NO-OPED: this batch was a replay whose rows the
+          // seeded state already contained, so the in-memory fold above
+          // double-counted it — RESYNC from the committed truth (the
+          // invariant after every batch: state == table@latest)
+          state.set(Snapshots.read(s, dir, "lang", v)
+            .select("lang", "n_docs", "n_chars").localCheckpoint())
+        else lastV.set(v)
         applied.set(applied.get + 1)
       }
       .start()

@@ -1534,6 +1534,47 @@ class SnapshotsSpec extends SparkSpec {
     assert(v5 == 5L)
   }
 
+  test("txn sink pattern: a crash-restart replay folds to exact totals (no loss, no double count)") {
+    // the full restart discipline the streaming snapshot sink uses:
+    // seed a null fold state from the table's last committed version,
+    // fold the batch, commitIdempotent, and RESYNC from the table when
+    // the commit no-ops (a replayed batch's rows were already in the
+    // seeded state). Modeled driver-side with the exact same calls.
+    val dir = tempTable()
+    val app = "sink"
+    def delta(n: Long) = Seq(("en", n)).toDF("lang", "n")
+    def fold(state: Option[org.apache.spark.sql.DataFrame],
+        d: org.apache.spark.sql.DataFrame) =
+      state.map(_.unionByName(d).groupBy("lang").agg(sum("n").as("n")))
+        .getOrElse(d)
+    // incarnation 1: batches 0 and 1 commit, then CRASH (state lost)
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    var lastV = 0L
+    Seq((0L, 1L), (1L, 2L)).foreach { case (b, n) =>
+      val next = fold(state, delta(n))
+      lastV = Snapshots.commitIdempotent(spark, dir, next, "lang", app, b)
+      state = Some(next)
+    }
+    // incarnation 2: restart — state is NULL; seed from the table, then
+    // the engine REPLAYS batch 1 before moving on to batch 2
+    state = None
+    lastV = Snapshots.currentVersion(spark, dir)
+    state = Some(Snapshots.read(spark, dir, "lang", lastV).select("lang", "n"))
+    Seq((1L, 2L), (2L, 4L)).foreach { case (b, n) =>
+      val next = fold(state, delta(n))
+      val v = Snapshots.commitIdempotent(spark, dir, next, "lang", app, b)
+      if (v == lastV) // replay no-oped: resync (next double-counted it)
+        state = Some(Snapshots.read(spark, dir, "lang", v).select("lang", "n"))
+      else { lastV = v; state = Some(next) }
+    }
+    // exact totals: 1 + 2 + 4, batch 1 counted ONCE despite the replay
+    val fin = Snapshots.read(spark, dir, "lang", lastV)
+      .select("n").as[Long].collect().toSeq
+    assert(fin == Seq(7L), s"expected exactly-once fold 7, got $fin")
+    assert(Snapshots.currentVersion(spark, dir) == 3L,
+      "three genuine batches => three versions, the replay added none")
+  }
+
   test("'__'-prefixed column names are refused at commit (reserved)") {
     val dir = tempTable()
     val e = intercept[IllegalArgumentException] {
