@@ -415,6 +415,15 @@ object Snapshots {
         size() > manifestCacheMax
     }
 
+  /** measurement hook (MetaBench): drop both metadata caches so a
+    * "cold read" measurement is genuinely from disk — the write-through
+    * prime would otherwise make a committer's own re-read ~free and the
+    * cold number meaningless. Never needed for correctness. */
+  private[graft] def clearMetadataCaches(): Unit = {
+    manifestCache.synchronized(manifestCache.clear())
+    segCache.synchronized(segCache.clear())
+  }
+
   private[graft] def readManifest(s: SparkSession, dir: String,
       v: Long): Manifest = {
     val fs = fsOf(s, dir)

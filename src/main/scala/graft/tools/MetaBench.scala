@@ -129,6 +129,10 @@ object MetaBench {
 
     Seq(100000, 1000000).foreach { n =>
       val dir = buildSegmented(n)
+      // the fabricating write primed the manifest/segment caches — drop
+      // them so "cold" genuinely measures the from-disk parse (warm then
+      // measures the steady-state cached path a reader JVM actually sees)
+      Snapshots.clearMetadataCaches()
       val coldMs = timeOnceMs(Snapshots.readManifest(spark, dir, 2L))
       val warmMs = timeMs(10)(Snapshots.readManifest(spark, dir, 2L))
       val planMs = timeMs(5)(
