@@ -230,16 +230,39 @@ private[graft] object SnapshotSql {
       case SubqueryAlias(id, _) => Some(id.name)
       case _ => None
     }
+    val sourceAlias = m.sourceTable match {
+      case SubqueryAlias(id, _) => Some(id.name)
+      case _ => None
+    }
+    if (delCond.flatten.nonEmpty && targetAlias.isEmpty) refuse(
+      "MERGE with a matched DELETE condition needs an ALIASED target " +
+        "(MERGE INTO graft_snapshot.`dir` AS t ...) — without the alias " +
+        "a reference the user intends as target-side would silently " +
+        "resolve against the source's same-named column and delete the " +
+        "wrong rows (bare column names bind to the SOURCE row)")
     delCond.flatten.foreach { c =>
-      val bad = c.collect {
-        case a: UnresolvedAttribute
-            if a.nameParts.length > 1 &&
-              targetAlias.contains(a.nameParts.head) => a.sql
+      val (targetRefs, unknownRefs) = {
+        val multi = c.collect {
+          case a: UnresolvedAttribute if a.nameParts.length > 1 => a
+        }
+        (multi.filter(a => targetAlias.contains(a.nameParts.head)).map(_.sql),
+         multi.filter(a => !targetAlias.contains(a.nameParts.head) &&
+           !sourceAlias.contains(a.nameParts.head)).map(_.sql))
       }
-      if (bad.nonEmpty) refuse(
+      if (targetRefs.nonEmpty) refuse(
         s"MERGE delete condition references target column(s) " +
-          s"${bad.mkString(", ")} — it must be decidable from the source " +
-          "row alone (the format records no matched-row lineage)")
+          s"${targetRefs.mkString(", ")} — it must be decidable from the " +
+          "source row alone (the format records no matched-row lineage)")
+      // an unknown qualifier would be silently STRIPPED and the bare
+      // name resolved against the source — with upsert sources nearly
+      // always sharing the target's column names, that evaluates the
+      // condition on the wrong side with no error; refuse instead
+      if (unknownRefs.nonEmpty) refuse(
+        s"MERGE delete condition references ${unknownRefs.mkString(", ")} " +
+          s"whose qualifier is neither the source alias" +
+          s"${sourceAlias.fold("")(a => s" ('$a')")} nor the target " +
+          s"alias${targetAlias.fold("")(a => s" ('$a')")} — qualify by " +
+          "the source alias or use a bare source column name")
     }
     val op: Column = delCond match {
       case None => lit("U")

@@ -399,19 +399,25 @@ object Snapshots {
   final class StaleVersionException(val tableDir: String, msg: String)
       extends IllegalArgumentException(msg)
 
-  /** JVM-wide LRU of PARSED manifests, keyed by qualified path —
-    * manifests are immutable once committed, so a cached parse is valid
-    * for the file's lifetime; the liveness question (vacuum) is answered
-    * by the fs.exists probe every read still performs. Primed
-    * WRITE-THROUGH by the commit point (a committer parses the content
-    * it just wrote — zero extra IO), which is what makes a
-    * merge/DML fold's next step read its predecessor's manifest for
-    * free, and repeated feed/history walks reparse nothing. */
+  /** JVM-wide LRU of PARSED manifests, keyed by qualified path and
+    * VALIDATED by (length, modificationTime) — manifests are immutable
+    * once committed, so a cached parse is valid for the file's lifetime,
+    * but the PATH is not: a table dir deleted and recreated at the same
+    * location reuses the same `vN.txt` names, and a liveness probe alone
+    * would serve the OLD table's parse for the new file. Every read
+    * already pays one stat round-trip (previously fs.exists, now
+    * getFileStatus — same cost), so the hit check compares the status it
+    * captured against the cached one and reparses on any mismatch.
+    * Primed WRITE-THROUGH by the commit point (a committer parses the
+    * content it just wrote), which is what makes a merge/DML fold's next
+    * step read its predecessor's manifest for free. */
+  private final case class CachedManifest(len: Long, mtime: Long,
+      m: Manifest)
   private val manifestCacheMax = 64
   private val manifestCache =
-    new java.util.LinkedHashMap[String, Manifest](32, 0.75f, true) {
+    new java.util.LinkedHashMap[String, CachedManifest](32, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Manifest]): Boolean =
+          e: java.util.Map.Entry[String, CachedManifest]): Boolean =
         size() > manifestCacheMax
     }
 
@@ -424,18 +430,46 @@ object Snapshots {
     segCache.synchronized(segCache.clear())
   }
 
+  /** Drop cached metadata for ONE table dir — the user-facing
+    * invalidation hatch (Delta's `DeltaLog.clearCache` shape) for the
+    * cases (len, mtime) validation can't see in principle, e.g. an
+    * external process still mid-recreate. Reads after this re-stat and
+    * re-parse from disk; never needed for the common delete-recreate
+    * flow, which the status check on every read already detects. */
+  def invalidateCaches(dir: String): Unit = {
+    val norm = new Path(dir).toUri.getPath.stripSuffix("/") + "/"
+    def prune[V](cache: java.util.LinkedHashMap[String, V]): Unit =
+      cache.synchronized {
+        val it = cache.keySet().iterator()
+        while (it.hasNext) {
+          if (new Path(it.next()).toUri.getPath.startsWith(norm)) it.remove()
+        }
+      }
+    prune(manifestCache)
+    prune(segCache)
+  }
+
   private[graft] def readManifest(s: SparkSession, dir: String,
       v: Long): Manifest = {
     val fs = fsOf(s, dir)
     val p = manifestPath(dir, v)
-    if (!fs.exists(p)) throw new StaleVersionException(dir,
-      s"Snapshots: version $v does not exist at $dir")
+    val st =
+      try fs.getFileStatus(p)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new StaleVersionException(dir,
+            s"Snapshots: version $v does not exist at $dir")
+      }
     val key = fs.makeQualified(p).toString
     manifestCache.synchronized { Option(manifestCache.get(key)) } match {
-      case Some(m) => m
-      case None =>
+      case Some(c) if c.len == st.getLen &&
+          c.mtime == st.getModificationTime => c.m
+      case _ =>
         val m = parseManifestText(fs, dir, p, readSmall(fs, p))
-        manifestCache.synchronized { manifestCache.put(key, m) }
+        manifestCache.synchronized {
+          manifestCache.put(key,
+            CachedManifest(st.getLen, st.getModificationTime, m))
+        }
         m
     }
   }
@@ -795,10 +829,15 @@ object Snapshots {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** one-shot probe: can this directory hard-link at all? Creates and
-    * links a throwaway pair; a link failure marks the dir link-free
-    * (cached for the JVM). Any probe-setup failure returns FALSE — "links
-    * may work" — so the caller propagates its original IO fault instead
-    * of masking it behind the racy rename path. */
+    * links a throwaway pair. Only createLink's OWN
+    * UnsupportedOperationException marks the dir link-free for the JVM
+    * (a permanent mount property); a generic FileSystemException from
+    * the probe link allows the rename fallback for the CURRENT commit
+    * but is never cached — it may be transient, and caching it would
+    * permanently downgrade the dir to the racy rename path. Any
+    * probe-setup failure returns FALSE — "links may work" — so the
+    * caller propagates its original IO fault instead of masking it
+    * behind the racy rename path. */
   private def probeLinksUnsupported(parent: java.nio.file.Path): Boolean = {
     if (linkFreeDirs.contains(parent.toString)) return true
     val nonce = java.util.UUID.randomUUID().toString
@@ -810,9 +849,19 @@ object Snapshots {
         java.nio.file.Files.createLink(dst, src)
         false // links work here: the caller's failure was a real fault
       } catch {
-        case _: UnsupportedOperationException |
-             _: java.nio.file.FileSystemException =>
+        case _: UnsupportedOperationException =>
+          // the documented "this FS has no hard links" signal — a
+          // PERMANENT property of the mount, safe to cache for the JVM
           linkFreeDirs.add(parent.toString)
+          true
+        case _: java.nio.file.FileSystemException =>
+          // the probe's link failed the same generic way as the real
+          // one — could be the mount, could be a TRANSIENT fault
+          // (momentary ENOSPC/quota on inode metadata). Fall back to
+          // rename for THIS commit only, WITHOUT caching: poisoning
+          // linkFreeDirs here would silently downgrade every future
+          // commit on this dir to the racy check-then-rename path — the
+          // exact lost-commit window the link point exists to close.
           true
       }
     } catch {
@@ -1034,8 +1083,13 @@ object Snapshots {
     try {
       val tableDir = p.getParent.getParent.toString
       val m = parseManifestText(fs, tableDir, p, content)
+      // one stat so the primed entry carries the (len, mtime) the read
+      // path validates against — without it every post-commit read of
+      // this version would look like a mismatch and reparse
+      val st = fs.getFileStatus(p)
       manifestCache.synchronized {
-        manifestCache.put(fs.makeQualified(p).toString, m)
+        manifestCache.put(fs.makeQualified(p).toString,
+          CachedManifest(st.getLen, st.getModificationTime, m))
       }
     } catch { case _: Exception => () }
   }
@@ -1336,7 +1390,24 @@ object Snapshots {
   def commitIdempotent(s: SparkSession, dir: String, df: DataFrame,
       partCol: String, appId: String, batchId: Long,
       replace: Boolean = false, replacedValues: Set[String] = Set.empty,
-      statsColumns: Seq[String] = Nil, attempts: Int = 5): Long = {
+      statsColumns: Seq[String] = Nil, attempts: Int = 5): Long =
+    commitIdempotentDetailed(s, dir, df, partCol, appId, batchId,
+      replace, replacedValues, statsColumns, attempts)._1
+
+  /** [[commitIdempotent]] plus the REPLAY signal: returns
+    * `(version, committed)` where `committed = false` means the
+    * (appId, batchId) stamp was already recorded and nothing was
+    * written. A sink must take the no-op verdict from HERE, not from
+    * comparing the returned version against its own remembered last
+    * version — with a second writer on the table, a foreign commit
+    * landing between the sink's restart seed and its replayed batch
+    * makes the returned version differ from the remembered one, and the
+    * version-compare heuristic would misread the replay as a fresh
+    * commit (keeping a double-counted in-memory fold). */
+  def commitIdempotentDetailed(s: SparkSession, dir: String, df: DataFrame,
+      partCol: String, appId: String, batchId: Long,
+      replace: Boolean = false, replacedValues: Set[String] = Set.empty,
+      statsColumns: Seq[String] = Nil, attempts: Int = 5): (Long, Boolean) = {
     require(appId.nonEmpty, "Snapshots: commitIdempotent needs an appId")
     dmlRetry(s, dir, attempts) { () =>
       val fs = fsOf(s, dir)
@@ -1357,13 +1428,14 @@ object Snapshots {
         case Some((app, b)) if app == appId => b
       }
       stamped match {
-        case Some(b) if b >= batchId => vs.last // already applied: no-op
+        case Some(b) if b >= batchId =>
+          (vs.last, false) // already applied: no-op
         case _ =>
-          commitImpl(s, dir, df, partCol, carryUntouched = replace,
+          (commitImpl(s, dir, df, partCol, carryUntouched = replace,
             replacedValues, expectedPrev = Some(vs.lastOption.getOrElse(0L)),
             statsColumns = statsColumns,
             op = if (replace) "replace" else "commit",
-            txn = Some((appId, batchId)))
+            txn = Some((appId, batchId))), true)
       }
     }
   }
@@ -2109,8 +2181,8 @@ object Snapshots {
   }
 
   /** the DML twins' OCC loop — [[merge]]'s retry semantics */
-  private def dmlRetry(s: SparkSession, dir: String, attempts: Int)(
-      body: () => Long): Long = {
+  private def dmlRetry[A](s: SparkSession, dir: String, attempts: Int)(
+      body: () => A): A = {
     require(attempts >= 1, "need at least one attempt")
     var last: Throwable = null
     var i = 0
@@ -2609,7 +2681,7 @@ object Snapshots {
       acc.toMap.flatMap { case (name, (lo, hi)) =>
         val dt = wanted(name)
         val pt = fields.get(name).filter(_.isPrimitive).map(_.asPrimitiveType())
-        def canon(v: Any): Option[String] = (dt, v) match {
+        def canon(v: Any, isMin: Boolean): Option[String] = (dt, v) match {
           case (StringType, b: Binary) => Some(b.toStringUsingUTF8)
           case (ByteType | ShortType | IntegerType | LongType | FloatType |
                 DoubleType | BooleanType, x) => Some(x.toString)
@@ -2622,7 +2694,13 @@ object Snapshots {
                   case LogicalTypeAnnotation.TimeUnit.MILLIS =>
                     Some((l * 1000L).toString)
                   case LogicalTypeAnnotation.TimeUnit.NANOS =>
-                    Some((l / 1000L).toString)
+                    // truncating division rounds pre-1970 values TOWARD
+                    // ZERO, which would lift a recorded min above the
+                    // true minimum (file skipping wrongly excluding a
+                    // match); floor the min, ceil the max so truncated
+                    // bounds stay conservative in both directions
+                    Some((if (isMin) Math.floorDiv(l, 1000L)
+                          else -Math.floorDiv(-l, 1000L)).toString)
                   case _ => None
                 }
               case _ => None // INT96 etc: no trustworthy stats
@@ -2640,7 +2718,8 @@ object Snapshots {
               new java.math.BigDecimal(u, d.scale).toPlainString)
           case _ => None
         }
-        for (l <- canon(lo); h <- canon(hi)) yield name -> (l, h)
+        for (l <- canon(lo, isMin = true); h <- canon(hi, isMin = false))
+          yield name -> (l, h)
       }
     } finally reader.close()
   }

@@ -921,16 +921,20 @@ object Streaming {
         // (idempotence itself is spec-pinned in SnapshotsSpec; this
         // fixture's run uses a fresh dir + temp checkpoint, so the
         // restart seeding is the PATTERN a durable deployment copies)
-        val v = Snapshots.commitIdempotent(s, dir, next, "lang",
-          appId = s"stream_snapshot:$dir", batchId = batchId)
-        if (v == lastV.get)
+        val (v, committed) = Snapshots.commitIdempotentDetailed(s, dir,
+          next, "lang", appId = s"stream_snapshot:$dir", batchId = batchId)
+        if (!committed)
           // the commit NO-OPED: this batch was a replay whose rows the
           // seeded state already contained, so the in-memory fold above
           // double-counted it — RESYNC from the committed truth (the
-          // invariant after every batch: state == table@latest)
+          // invariant after every batch: state == table@latest). The
+          // verdict comes from the commit call ITSELF, never from
+          // comparing v against lastV: a second writer landing between
+          // the restart seed and this no-op would shift the returned
+          // version and make the compare misread the replay as fresh.
           state.set(Snapshots.read(s, dir, "lang", v)
             .select("lang", "n_docs", "n_chars").localCheckpoint())
-        else lastV.set(v)
+        lastV.set(v)
         applied.set(applied.get + 1)
       }
       .start()

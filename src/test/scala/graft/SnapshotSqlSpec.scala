@@ -197,6 +197,25 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(mergeWith("WHEN MATCHED AND t.v > 0 THEN DELETE " +
       "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
       .getMessage.contains("source"))
+    // delete condition with an UNALIASED target: a bare/t-qualified
+    // reference the user intends as target-side would silently resolve
+    // against the source's same-named column — refused up front
+    val unaliased = intercept[IllegalArgumentException] {
+      Snapshots.sql(spark,
+        s"""MERGE INTO graft_snapshot.`$dir`
+            USING merge_src2 AS s ON k = s.k
+            WHEN MATCHED AND v > 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(unaliased.getMessage.contains("ALIASED target"),
+      unaliased.getMessage)
+    // a qualifier that is neither the source nor the target alias would
+    // be qualifier-STRIPPED by resolution and bind to the source —
+    // refused, never silently evaluated on the wrong side
+    assert(mergeWith("WHEN MATCHED AND zz.v > 0 THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      .getMessage.contains("qualifier"))
     // a non-DML statement
     val other = intercept[IllegalArgumentException] {
       Snapshots.sql(spark, s"SELECT * FROM graft_snapshot.`$dir`")

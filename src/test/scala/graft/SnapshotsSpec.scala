@@ -1534,6 +1534,57 @@ class SnapshotsSpec extends SparkSpec {
     assert(v5 == 5L)
   }
 
+  test("delete-recreate at the same path never serves the old table's cached manifest") {
+    val dir = tempTable()
+    Snapshots.commit(spark, dir,
+      Seq(("a", 1L)).toDF("part", "x"), "part")
+    // read once so the manifest parse is cached (and the commit itself
+    // primed it write-through)
+    assert(Snapshots.read(spark, dir, "part", 1L)
+      .select("x").as[Long].collect().toSeq == Seq(1L))
+    // wipe the table dir and recreate a DIFFERENT table at the same
+    // path with the same version numbers — the dev/notebook flow the
+    // path-keyed cache used to silently betray
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(rmrf)
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rmrf(java.nio.file.Paths.get(dir))
+    Snapshots.commit(spark, dir,
+      Seq(("a", 42L), ("b", 43L)).toDF("part", "x"), "part")
+    // the commit primes its own parse, but go further: force the
+    // validation path by clearing nothing and reading v1 — the (len,
+    // mtime) check must reject any stale entry and serve the NEW table
+    val got = Snapshots.read(spark, dir, "part", 1L)
+      .select("x").as[Long].collect().sorted.toSeq
+    assert(got == Seq(42L, 43L), s"stale cached manifest served: $got")
+    // and the explicit hatch drops entries for just this dir
+    Snapshots.invalidateCaches(dir)
+    assert(Snapshots.read(spark, dir, "part", 1L).count() == 2L)
+  }
+
+  test("commitIdempotentDetailed reports the replay no-op even when a second writer shifted the version") {
+    val dir = tempTable()
+    val app = "sinkD"
+    val (v1, c1) = Snapshots.commitIdempotentDetailed(spark, dir,
+      Seq(("a", 1L)).toDF("part", "x"), "part", app, batchId = 0L)
+    assert(v1 == 1L && c1, "first batch must commit")
+    // a SECOND writer lands a commit after the sink's batch — the
+    // returned current version on replay will differ from the sink's
+    // remembered lastV (the version-compare heuristic's blind spot)
+    Snapshots.commit(spark, dir, Seq(("b", 9L)).toDF("part", "x"), "part")
+    val (v2, c2) = Snapshots.commitIdempotentDetailed(spark, dir,
+      Seq(("a", 777L)).toDF("part", "x"), "part", app, batchId = 0L)
+    assert(!c2, "the replay must report committed = false")
+    assert(v2 == 2L, "and return the table's CURRENT version")
+    assert(Snapshots.read(spark, dir, "part")
+      .select("x").as[Long].collect().toSeq == Seq(9L),
+      "the replay must not have written anything — the table is still " +
+        "the second writer's snapshot")
+  }
+
   test("txn sink pattern: a crash-restart replay folds to exact totals (no loss, no double count)") {
     // the full restart discipline the streaming snapshot sink uses:
     // seed a null fold state from the table's last committed version,
