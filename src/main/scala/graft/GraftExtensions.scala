@@ -42,6 +42,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_h60",
         "graft_h60(str) - portable 60-bit hash: first 15 md5 hex chars as a positive bigint"),
       GraftExtensions.h60Builder))
+    // the GraftCatalog V2->V1 substitution: a catalog-resolved snapshot
+    // table (DataSourceV2Relation over GraftTable) becomes the SAME
+    // manifest-served V1 relation the path surface plans — reads through
+    // `graft.<db>.<t>` names get identical FileSourceScan plans
+    // (sources/GraftCatalog.scala; Delta wires DeltaAnalysis the same way)
+    ext.injectResolutionRule(session =>
+      new graft.sources.GraftCatalog.V1FallbackRule(session))
   }
 }
 

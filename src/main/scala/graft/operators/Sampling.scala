@@ -1050,6 +1050,165 @@ FROM base WHERE NOT (user_id >= 300 AND user_id < 400)
       s.sql(s"SELECT user_id, event_id, v FROM $view")
     },
 
+    // Row-level DML under DELETION VECTORS (Delta's DV shape, opt-in
+    // via spark.graft.snapshot.dvEnabled): needle deletes and updates
+    // whose per-file hit fraction is small MASK rows in a sidecar
+    // (old ∪ new ordinals, one parquet per commit under _manifests/dv)
+    // instead of rewriting files — write amplification O(deleted rows),
+    // not O(touched file bytes) — while every scan applies the mask as
+    // a broadcast anti join on the parquet row position, inside
+    // whole-stage codegen. The oracle states the end state from the raw
+    // log; SnapshotDvSpec pins the mechanics (masks union, full-file
+    // drops, the fraction policy, OPTIMIZE retiring masks, vacuum GC,
+    // time travel).
+    QueryDef(
+      "q_layout_dv",
+      """WITH base AS (
+  SELECT user_id, max(event_id) AS event_id, arg_max(value, event_id) AS v
+  FROM events GROUP BY user_id)
+SELECT user_id, event_id,
+  CASE WHEN user_id % 101 = 7 THEN v + 1 ELSE v END AS v
+FROM base WHERE user_id % 97 <> 13
+""".stripMargin) { (s, d) =>
+      import graft.sources.Snapshots
+      val dir = "/tmp/graft_snap_dv_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      val base = events(s, d)
+        .select(col("user_id"), col("event_id"), col("value").as("v"))
+        .groupBy("user_id")
+        .agg(max("event_id").as("event_id"),
+          max_by(col("v"), col("event_id")).as("v"))
+        .withColumn("part", (col("user_id") % 4).cast("string"))
+      Snapshots.commit(s, dir, base.repartition(8), "part",
+        statsColumns = Seq("user_id"))
+      Snapshots.optimize(s, dir, "part",
+        targetFileBytes = 1L << 20, clusterBy = Seq("user_id"))
+      s.conf.set("spark.graft.snapshot.dvEnabled", "true")
+      try {
+        // ~1% needles per file: both land on the mask path, so the
+        // touched files carry by reference with sidecar refs
+        Snapshots.delete(s, dir, "part", col("user_id") % 97 === 13)
+        Snapshots.update(s, dir, "part", col("user_id") % 101 === 7,
+          Map("v" -> (col("v") + 1)))
+      } finally s.conf.unset("spark.graft.snapshot.dvEnabled")
+      Snapshots.read(s, dir, "part").select("user_id", "event_id", "v")
+    },
+
+    // ROW-grain MERGE with an expression assignment list — the clause
+    // shape the keyed-delta kernel refuses (`UPDATE SET v = t.v + s.adj`
+    // needs matched-row addressability) now runs on the deletion-vector
+    // base (Snapshots.mergeRows): matched old images are MASKED in their
+    // files, the expression-folded new images and the unmatched inserts
+    // append as fresh files, and file selection is the same key-bounds
+    // intersection as the fast path — write amplification
+    // O(matched + inserted rows), never O(touched file bytes). Clause
+    // order is SQL's (first match wins: the tombstone DELETE shadows
+    // the UPDATE). The oracle states the full fold from the raw log.
+    QueryDef(
+      "q_layout_merge_expr",
+      """WITH base AS (
+  SELECT user_id, max(event_id) AS event_id, arg_max(value, event_id) AS v
+  FROM events GROUP BY user_id)
+SELECT user_id, event_id,
+  CASE WHEN user_id % 7 = 3 THEN v + user_id * 0.25 ELSE v END AS v
+FROM base WHERE user_id % 11 <> 5
+UNION ALL
+SELECT user_id + 1000000 AS user_id, CAST(0 AS BIGINT) AS event_id,
+  CAST(user_id AS DOUBLE) AS v
+FROM base WHERE user_id % 13 = 1
+""".stripMargin) { (s, d) =>
+      import graft.sources.Snapshots
+      val dir = "/tmp/graft_snap_mexpr_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      val base = events(s, d)
+        .select(col("user_id"), col("event_id"), col("value").as("v"))
+        .groupBy("user_id")
+        .agg(max("event_id").as("event_id"),
+          max_by(col("v"), col("event_id")).as("v"))
+        .withColumn("part", (col("user_id") % 4).cast("string"))
+      Snapshots.commit(s, dir, base.repartition(8), "part",
+        statsColumns = Seq("user_id"))
+      Snapshots.optimize(s, dir, "part",
+        targetFileBytes = 1L << 20, clusterBy = Seq("user_id"))
+      val src = base
+        .filter(col("user_id") % 7 === 3 || col("user_id") % 11 === 5)
+        .withColumn("adj", col("user_id") * 0.25)
+        .withColumn("tomb", col("user_id") % 11 === 5)
+        .unionByName(base.filter(col("user_id") % 13 === 1)
+          .select((col("user_id") + 1000000L).as("user_id"),
+            lit(0L).as("event_id"),
+            col("user_id").cast("double").as("v"),
+            pmod(col("user_id") + 1000000L, lit(4L)).cast("string").as("part"),
+            lit(0.0).as("adj"), lit(false).as("tomb")))
+      val view = s"mexpr_src_${math.abs(dir.hashCode)}"
+      src.createOrReplaceTempView(view)
+      s.conf.set("spark.graft.snapshot.dvEnabled", "true")
+      try Snapshots.sql(s,
+        s"""MERGE INTO graft_snapshot.`$dir` AS t USING $view AS s
+            ON t.user_id = s.user_id
+            WHEN MATCHED AND s.tomb THEN DELETE
+            WHEN MATCHED THEN UPDATE SET v = t.v + s.adj
+            WHEN NOT MATCHED THEN INSERT *""")
+      finally s.conf.unset("spark.graft.snapshot.dvEnabled")
+      Snapshots.read(s, dir, "part").select("user_id", "event_id", "v")
+    },
+
+    // the SAME DML fold addressed by CATALOG NAME end to end (shares
+    // q_layout_dml's oracle verbatim): the table is created through
+    // Spark's own CREATE TABLE DDL against the DSv2 GraftCatalog
+    // (sources/GraftCatalog.scala — Delta's DeltaCatalog shape), every
+    // DML statement targets `graft.lake.users` instead of a path, and
+    // the final read is a catalog-name time travel (`VERSION AS OF`)
+    // through Spark's analyzer, which the injected V1FallbackRule plans
+    // as the IDENTICAL manifest-served scan the path form gets
+    // (GraftCatalogSpec pins plan equality). Name resolution is pure
+    // metadata — the catalog holds no state; directories + manifests
+    // stay the single source of truth, so this query's cost is the DML
+    // twin's cost plus nothing.
+    QueryDef(
+      "q_layout_catalog",
+      """WITH base AS (
+  SELECT user_id, max(event_id) AS event_id, arg_max(value, event_id) AS v
+  FROM events GROUP BY user_id)
+SELECT user_id, event_id,
+  CASE WHEN user_id >= 100 AND user_id < 200 THEN v * 2 ELSE v END AS v
+FROM base WHERE NOT (user_id >= 300 AND user_id < 400)
+""".stripMargin) { (s, d) =>
+      import graft.sources.Snapshots
+      val wh = "/tmp/graft_cat_wh_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(wh)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val dir = s"$wh/lake/users"
+      if (Snapshots.currentVersion(s, dir) < 1)
+        s.sql("CREATE TABLE graft.lake.users (user_id BIGINT, " +
+          "event_id BIGINT, v DOUBLE, part STRING) PARTITIONED BY (part)")
+      val base = events(s, d)
+        .select(col("user_id"), col("event_id"), col("value").as("v"))
+        .groupBy("user_id")
+        .agg(max("event_id").as("event_id"),
+          max_by(col("v"), col("event_id")).as("v"))
+        .withColumn("part", (col("user_id") % 4).cast("string"))
+      Snapshots.commit(s, dir, base.repartition(8), "part",
+        statsColumns = Seq("user_id"))
+      Snapshots.sql(s, "OPTIMIZE graft.lake.users ZORDER BY (user_id)")
+      Snapshots.sql(s,
+        "DELETE FROM graft.lake.users WHERE user_id >= 300 AND user_id < 400")
+      Snapshots.sql(s,
+        "UPDATE graft.lake.users SET v = v * 2 " +
+          "WHERE user_id >= 100 AND user_id < 200")
+      val v = Snapshots.currentVersion(s, dir)
+      s.sql("SELECT user_id, event_id, v FROM graft.lake.users " +
+        s"VERSION AS OF $v")
+    },
+
     // DESCRIBE HISTORY over the table format: every commit records its
     // operation + wall-clock in the manifest meta header, and history()
     // serves the audit view from manifests alone (one small read per

@@ -1,0 +1,315 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** NAME-addressed access to [[Snapshots]] tables — a DataSource V2
+  * [[TableCatalog]] (the surface every real table format ships; Delta's
+  * `DeltaCatalog` is the model) so SQL users write
+  *
+  * {{{
+  * SET spark.sql.catalog.graft = graft.sources.GraftCatalog;
+  * SET spark.sql.catalog.graft.warehouse = /tables;
+  * CREATE TABLE graft.sales.orders (region STRING, k BIGINT, v BIGINT)
+  *   PARTITIONED BY (region);
+  * SELECT * FROM graft.sales.orders VERSION AS OF 3;
+  * SELECT * FROM graft.sales.orders TIMESTAMP AS OF '2026-01-01 00:00:00';
+  * }}}
+  *
+  * instead of the power-user path form ``graft_snapshot.`/tables/...` ``
+  * (which keeps working everywhere — [[Snapshots.sql]] accepts both
+  * addressings for its DML/DDL statements).
+  *
+  * Layout: a table `graft.<db>.<t>` IS the snapshot directory
+  * `<warehouse>/<db>/<t>` — the catalog holds NO state of its own
+  * (no metastore): namespaces are directories, a table exists iff its
+  * `_manifests` dir holds a committed version, and everything the
+  * catalog reports (schema, partition column, time travel) is read from
+  * the manifests, which are already the single source of truth. The
+  * warehouse root is re-read from the session conf on every call, so a
+  * long-lived session can repoint it without a catalog reload.
+  *
+  * READ PLANNING IS IDENTICAL TO THE PATH FORM: `loadTable` returns a
+  * [[GraftTable]] that pins a version and resolves the SAME V1
+  * relation [[Snapshots.relationAt]] serves everywhere else, and the
+  * [[GraftCatalog.V1FallbackRule]] analyzer rule (injected by
+  * `graft.GraftExtensions`) substitutes the analyzer's
+  * DataSourceV2Relation with a LogicalRelation over it — one
+  * FileSourceScan over the manifest-served file index, with partition
+  * pruning, parquet pushdown, and per-file bounds skipping
+  * (PlanShapeSpec pins plan equality against the path read). This is
+  * Delta's exact architecture: its catalog also hands the analyzer a
+  * marker table that analysis rules rewrite into the real scan.
+  *
+  * Writes go through the format's own commit surface
+  * ([[Snapshots.commit]]/[[Snapshots.sql]] DML with either addressing);
+  * `INSERT INTO` a catalog name is refused by Spark's capability check
+  * (no SupportsWrite) rather than silently planning a non-transactional
+  * write around the manifest protocol. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var initWarehouse: Option[String] = None
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    initWarehouse = Option(options.get("warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def session: SparkSession = SparkSession.active
+
+  private def warehouse: String =
+    session.conf.getOption(s"spark.sql.catalog.$catalogName.warehouse")
+      .orElse(initWarehouse)
+      .getOrElse(throw new IllegalArgumentException(
+        s"GraftCatalog '$catalogName': set " +
+          s"spark.sql.catalog.$catalogName.warehouse to the directory " +
+          "that holds <namespace>/<table> snapshot dirs"))
+
+  /** names ARE directory names — refuse anything that would escape the
+    * warehouse tree or collide with the format's metadata dirs */
+  private def safe(part: String): String = {
+    require(part.nonEmpty && !part.contains("/") && !part.contains("\\") &&
+      part != "." && part != ".." && !part.startsWith("_"),
+      s"GraftCatalog: illegal name component '$part'")
+    part
+  }
+
+  private def identParts(ident: Identifier): Seq[String] =
+    (catalogName +: ident.namespace.toSeq) :+ ident.name
+
+  private def dirOf(ident: Identifier): String = {
+    require(ident.namespace.length == 1,
+      s"GraftCatalog: expected <namespace>.<table>, got $ident")
+    s"$warehouse/${safe(ident.namespace.head)}/${safe(ident.name)}"
+  }
+
+  private def fs = new Path(warehouse)
+    .getFileSystem(session.sparkContext.hadoopConfiguration)
+
+  private def isTable(dir: String): Boolean =
+    Snapshots.currentVersion(session, dir) >= 1
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.length != 1) throw new NoSuchNamespaceException(namespace)
+    val nsDir = new Path(s"$warehouse/${safe(namespace.head)}")
+    if (!fs.exists(nsDir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(nsDir).toSeq
+      .filter(st => st.isDirectory && isTable(st.getPath.toString))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    val v = Snapshots.currentVersion(session, dir)
+    if (v < 1) throw new NoSuchTableException(identParts(ident))
+    GraftTable(session, ident, dir, v)
+  }
+
+  /** `VERSION AS OF n` */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    require(version.nonEmpty && version.forall(_.isDigit),
+      s"GraftCatalog: VERSION AS OF wants the numeric snapshot version, " +
+        s"got '$version'")
+    if (Snapshots.currentVersion(session, dir) < 1)
+      throw new NoSuchTableException(identParts(ident))
+    GraftTable(session, ident, dir, version.toLong)
+  }
+
+  /** `TIMESTAMP AS OF t` — Spark hands MICROseconds since the epoch;
+    * resolve through the same latest-at-or-before rule as the path
+    * surface's `timestampAsOf` option */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    if (Snapshots.currentVersion(session, dir) < 1)
+      throw new NoSuchTableException(identParts(ident))
+    GraftTable(session, ident, dir,
+      Snapshots.versionAt(session, dir, Math.floorDiv(timestamp, 1000L)))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : Table = {
+    val dir = dirOf(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(
+      identParts(ident))
+    val partCol = partitions.toSeq match {
+      case Seq(t) if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.head
+      case Seq() => Option(properties.get("partCol")).getOrElse(
+        throw new IllegalArgumentException(
+          "GraftCatalog: a snapshot table needs its partition column — " +
+            "PARTITIONED BY (col) or TBLPROPERTIES (partCol 'col')"))
+      case other => throw new IllegalArgumentException(
+        s"GraftCatalog: exactly one identity partition column, got " +
+          other.mkString(", "))
+    }
+    require(schema.fieldNames.contains(partCol) &&
+      schema(partCol).dataType == StringType,
+      s"GraftCatalog: partition column '$partCol' must be a StringType " +
+        "field of the schema (it travels through directory names)")
+    Snapshots.createEmpty(session, dir, schema, partCol)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "GraftCatalog: ALTER TABLE goes through the format's own surface " +
+        "(Snapshots.sql ALTER ... CONSTRAINT / renameColumn / dropColumn)" +
+        " — catalog-level alters would bypass the manifest protocol")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    val existed = isTable(dir)
+    if (existed) {
+      fs.delete(new Path(dir), true)
+      Snapshots.invalidateCaches(dir)
+    }
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "GraftCatalog: RENAME TABLE is not supported — the directory IS " +
+        "the table identity (move the directory and re-address)")
+
+  // ---- namespaces = first-level warehouse directories ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) return Array.empty
+    fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(st => Array(st.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 &&
+      fs.exists(new Path(s"$warehouse/${safe(namespace.head)}"))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Map("location" -> s"$warehouse/${namespace.head}").asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    require(namespace.length == 1,
+      s"GraftCatalog: single-level namespaces only, got " +
+        namespace.mkString("."))
+    fs.mkdirs(new Path(s"$warehouse/${safe(namespace.head)}"))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "GraftCatalog: namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val p = new Path(s"$warehouse/${safe(namespace.head)}")
+    if (!cascade && fs.listStatus(p).nonEmpty)
+      throw new IllegalStateException(
+        s"GraftCatalog: namespace ${namespace.head} is not empty")
+    fs.delete(p, true)
+  }
+}
+
+object GraftCatalog {
+  /** `<cat>.<db>.<t>` -> the snapshot dir, iff `<cat>` is a registered
+    * GraftCatalog in this session — how [[Snapshots.sql]] accepts the
+    * name addressing next to the path addressing */
+  private[sources] def resolveDir(s: SparkSession,
+      parts: Seq[String]): Option[String] = parts match {
+    case Seq(cat, db, t)
+        if s.conf.getOption(s"spark.sql.catalog.$cat")
+          .contains(classOf[GraftCatalog].getName) =>
+      val wh = s.conf.getOption(s"spark.sql.catalog.$cat.warehouse")
+        .getOrElse(throw new IllegalArgumentException(
+          s"GraftCatalog '$cat': spark.sql.catalog.$cat.warehouse is unset"))
+      Some(s"$wh/$db/$t")
+    case _ => None
+  }
+
+  /** The analyzer substitution that makes a catalog read plan EXACTLY
+    * like a path read: DataSourceV2Relation(GraftTable) becomes a
+    * LogicalRelation over the table's pinned V1 relation, REUSING the
+    * V2 relation's attribute ids (operators above have already resolved
+    * against them). Injected by `graft.GraftExtensions`. */
+  final class V1FallbackRule(session: SparkSession)
+      extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.resolveOperatorsUp {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+          Bridge.logicalRelation(
+            r.table.asInstanceOf[GraftTable].relation, r.output)
+      }
+  }
+}
+
+/** One catalog-resolved snapshot table PINNED at a version — the marker
+  * the analyzer hands around until [[GraftCatalog.V1FallbackRule]]
+  * substitutes the real scan. The V1 relation resolves EAGERLY at load
+  * so schema inference, the substitution, and execution all see one
+  * immutable version (snapshot isolation — same rule as the
+  * `USING graft_snapshot` view surface). */
+final case class GraftTable(spark: SparkSession, ident: Identifier,
+    dir: String, snapshotVersion: Long) extends Table {
+
+  /** the SAME relation every other read surface plans
+    * ([[Snapshots.relationAt]]): manifest-served file index, zero
+    * listings, zero footer reads */
+  val relation: org.apache.spark.sql.sources.BaseRelation = {
+    val partCol = Snapshots.readManifest(spark, dir, snapshotVersion)
+      .partCol.getOrElse(throw new IllegalArgumentException(
+        s"GraftCatalog: the manifest at $dir predates the recorded " +
+          "partition column — recommit the table once under the current " +
+          "format"))
+    Snapshots.relationAt(spark, dir, partCol, snapshotVersion)
+  }
+
+  private val partCol: String =
+    Snapshots.readManifest(spark, dir, snapshotVersion).partCol.get
+
+  override def name(): String = ident.toString
+
+  override def schema(): StructType = relation.schema
+
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.identity(partCol))
+
+  override def properties(): util.Map[String, String] =
+    Map("location" -> dir, "partCol" -> partCol,
+      "version" -> snapshotVersion.toString).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.Collections.emptySet()
+}

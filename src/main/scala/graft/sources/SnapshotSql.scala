@@ -60,7 +60,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 private[graft] object SnapshotSql {
 
-  private val Target = """graft_snapshot\s*\.\s*`([^`]+)`"""
+  // either addressing: the path form `graft_snapshot.`<dir>`` or a
+  // catalog name `<cat>.<db>.<t>` resolved through a registered
+  // [[GraftCatalog]] — both capture groups appear in every statement
+  // regex, exactly one non-null per match
+  private val Target =
+    """(?:graft_snapshot\s*\.\s*`([^`]+)`|([\w$]+\.[\w$]+\.[\w$]+))"""
 
   private val RestoreRe =
     s"""(?is)^\\s*RESTORE\\s+TABLE\\s+$Target\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""".r
@@ -84,25 +89,37 @@ private[graft] object SnapshotSql {
     import s.implicits._
     def versionFrame(v: Long): DataFrame = Seq(v).toDF("version")
     def pcOf(dir: String): String = partColOf(s, dir, partColHint)
+    // the two Target capture groups -> a table dir (path form verbatim;
+    // name form through the registered GraftCatalog's warehouse)
+    def tdir(path: String, name: String): String =
+      if (path != null) path
+      else GraftCatalog.resolveDir(s, name.split("\\.").toSeq).getOrElse(
+        refuse(s"'$name' does not resolve: its catalog is not a " +
+          "registered graft.sources.GraftCatalog in this session"))
     text match {
-      case RestoreRe(dir, v) =>
+      case RestoreRe(pd, pn, v) =>
+        val dir = tdir(pd, pn)
         versionFrame(Snapshots.restore(s, dir, pcOf(dir), v.toLong))
-      case AddConstraintRe(dir, name, exprSql) =>
+      case AddConstraintRe(pd, pn, name, exprSql) =>
+        val dir = tdir(pd, pn)
         versionFrame(
           Snapshots.addConstraintRetry(s, dir, pcOf(dir), name, exprSql.trim))
-      case AddUniqueRe(dir, name, cols) =>
+      case AddUniqueRe(pd, pn, name, cols) =>
+        val dir = tdir(pd, pn)
         versionFrame(Snapshots.addUniqueConstraint(s, dir, pcOf(dir), name,
           cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty)))
-      case SetNotNullRe(dir, column) =>
+      case SetNotNullRe(pd, pn, column) =>
+        val dir = tdir(pd, pn)
         versionFrame(Snapshots.addNotNullConstraint(s, dir, pcOf(dir),
           s"${column}_not_null", column))
-      case DropConstraintRe(dir, name) =>
-        versionFrame(Snapshots.dropConstraintRetry(s, dir, name))
-      case HistoryRe(dir) =>
-        Snapshots.history(s, dir)
-      case VacuumRe(dir, keep) =>
-        Snapshots.vacuum(s, dir, keep.toInt).toDF("dropped_version")
-      case OptimizeRe(dir, zorder) =>
+      case DropConstraintRe(pd, pn, name) =>
+        versionFrame(Snapshots.dropConstraintRetry(s, tdir(pd, pn), name))
+      case HistoryRe(pd, pn) =>
+        Snapshots.history(s, tdir(pd, pn))
+      case VacuumRe(pd, pn, keep) =>
+        Snapshots.vacuum(s, tdir(pd, pn), keep.toInt).toDF("dropped_version")
+      case OptimizeRe(pd, pn, zorder) =>
+        val dir = tdir(pd, pn)
         val cluster = Option(zorder).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         versionFrame(
@@ -110,11 +127,11 @@ private[graft] object SnapshotSql {
       case _ =>
         s.sessionState.sqlParser.parsePlan(text) match {
           case DeleteFromTable(table, condition) =>
-            val dir = targetDir(table)
+            val dir = targetDir(s, table)
             versionFrame(Snapshots.delete(s, dir, pcOf(dir),
               toColumn(condition)))
           case UpdateTable(table, assignments, condition) =>
-            val dir = targetDir(table)
+            val dir = targetDir(s, table)
             val sets = assignments.map {
               case Assignment(k: UnresolvedAttribute, v) =>
                 k.nameParts.last -> toColumn(v)
@@ -136,16 +153,18 @@ private[graft] object SnapshotSql {
   private def refuse(msg: String): Nothing =
     throw new IllegalArgumentException(s"Snapshots.sql: $msg")
 
-  /** the statement's target table: `graft_snapshot.`<dir>`` (possibly
-    * aliased) — the two-part identifier keeps the path byte-exact
-    * through Spark's parser */
-  private def targetDir(p: LogicalPlan): String = p match {
-    case SubqueryAlias(_, child) => targetDir(child)
+  /** the statement's target table, either addressing (possibly
+    * aliased): `graft_snapshot.`<dir>`` — the two-part identifier keeps
+    * the path byte-exact through Spark's parser — or `<cat>.<db>.<t>`
+    * through a registered [[GraftCatalog]] */
+  private def targetDir(s: SparkSession, p: LogicalPlan): String = p match {
+    case SubqueryAlias(_, child) => targetDir(s, child)
     case r: UnresolvedRelation => r.multipartIdentifier match {
       case Seq("graft_snapshot", dir) => dir
-      case other => refuse(
-        s"target must be graft_snapshot.`<table dir>`, got " +
-          other.mkString("."))
+      case parts => GraftCatalog.resolveDir(s, parts).getOrElse(refuse(
+        s"target must be graft_snapshot.`<table dir>` or a " +
+          s"<catalog>.<db>.<table> name under a registered GraftCatalog, " +
+          s"got ${parts.mkString(".")}"))
     }
     case other => refuse(s"cannot resolve DML target from ${other.nodeName}")
   }
@@ -180,7 +199,7 @@ private[graft] object SnapshotSql {
     if (m.notMatchedBySourceActions.nonEmpty)
       refuse("WHEN NOT MATCHED BY SOURCE is not supported — the keyed-" +
         "delta kernel folds source rows only")
-    val dir = targetDir(m.targetTable)
+    val dir = targetDir(s, m.targetTable)
     val partCol = partColOf(s, dir, partColHint)
     // ON t.k = s.k — both sides must name the SAME column (the kernel's
     // key identity); anything fancier needs the Scala API
@@ -191,33 +210,29 @@ private[graft] object SnapshotSql {
         s"MERGE ON must be t.<key> = s.<key> (same column name), got " +
           other.sql)
     }
-    // canonical shapes only (see the scaladoc): [DELETE AND c,] UPDATE
-    // SET * [+ INSERT *], or DELETE-only
+    // two kernels behind one statement. The CANONICAL full-upsert shapes
+    // ([DELETE AND c,] UPDATE SET * + INSERT *, or DELETE-only) run on
+    // the pre-reduced keyed-delta kernel — fast-pathed, no row lineage
+    // needed. Everything else (assignment lists, conditional UPDATE,
+    // partial clause sets) is a ROW-grain merge: it needs matched-row
+    // addressability, which deletion vectors provide — routed to
+    // Snapshots.mergeRows when spark.graft.snapshot.dvEnabled is set,
+    // refused with that pointer when not.
+    val canonical = (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(DeleteAction(_), UpdateStarAction(None)),
+        Seq(InsertStarAction(None))) => true
+      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) => true
+      case (Seq(DeleteAction(_)), Seq()) => true
+      case _ => false
+    }
+    if (!canonical) return mergeRowsSql(s, m, dir, partCol, key)
     val (delCond: Option[Option[Expression]], hasUpdate) = m.matchedActions match {
       case Seq(DeleteAction(c), UpdateStarAction(None)) => (Some(c), true)
       case Seq(UpdateStarAction(None)) => (None, true)
       case Seq(DeleteAction(c)) => (Some(c), false)
-      case other => refuse(
-        "MERGE matched clauses must be [WHEN MATCHED AND c THEN DELETE,] " +
-          "WHEN MATCHED THEN UPDATE SET *, or WHEN MATCHED THEN DELETE " +
-          s"alone; got ${other.map(_.getClass.getSimpleName).mkString(", ")}")
+      case other => refuse(s"unreachable: $other")
     }
-    val hasInsert = m.notMatchedActions match {
-      case Seq(InsertStarAction(None)) => true
-      case Seq() => false
-      case other => refuse(
-        "MERGE not-matched clause must be WHEN NOT MATCHED THEN INSERT * " +
-          s"or absent; got ${other.map(_.getClass.getSimpleName).mkString(", ")}")
-    }
-    if (hasUpdate && !hasInsert)
-      refuse("WHEN MATCHED THEN UPDATE SET * without WHEN NOT MATCHED THEN " +
-        "INSERT * would require matched-row tracking the format does not " +
-        "record — add the INSERT clause (full upsert) or use the Scala API")
-    if (!hasUpdate && hasInsert)
-      refuse("WHEN MATCHED ... DELETE combined with WHEN NOT MATCHED THEN " +
-        "INSERT * (no UPDATE SET *) would need matched-row tracking to " +
-        "leave matched-but-not-deleted rows unchanged while inserting the " +
-        "unmatched — add UPDATE SET * (full upsert) or use the Scala API")
+    val hasInsert = m.notMatchedActions.nonEmpty
     val source = Bridge.ofRows(s, m.sourceTable)
     // op per source row: delete-condition rows -> 'D'; the rest -> 'U'
     // (full upsert) or dropped (DELETE-only merge folds deletions alone).
@@ -273,5 +288,69 @@ private[graft] object SnapshotSql {
     }
     val delta = source.withColumn("op", op).filter(col("op").isNotNull)
     Seq(Snapshots.merge(s, dir, partCol, key, delta)).toDF("version")
+  }
+
+  /** the NON-canonical MERGE shapes — assignment lists
+    * (`UPDATE SET col = expr`), conditional UPDATE clauses, UPDATE
+    * without INSERT, DELETE + INSERT — dispatched onto the row-grain
+    * deletion-vector kernel [[Snapshots.mergeRows]] (which refuses,
+    * with the pointer, when `spark.graft.snapshot.dvEnabled` is off).
+    * Expression rewriting: `s.x` -> the joined frame's `__src_x`,
+    * `t.x` and bare `x` -> the target's `x`; an unknown qualifier
+    * refuses rather than silently binding to the wrong side. */
+  private def mergeRowsSql(s: SparkSession, m: MergeIntoTable, dir: String,
+      partCol: String, key: String): DataFrame = {
+    import s.implicits._
+    val targetAlias = m.targetTable match {
+      case SubqueryAlias(id, _) => Some(id.name)
+      case _ => None
+    }
+    val sourceAlias = m.sourceTable match {
+      case SubqueryAlias(id, _) => Some(id.name)
+      case _ => None
+    }
+    def mergeCol(e: Expression): Column = Bridge.column(e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+        if (sourceAlias.contains(a.nameParts.head))
+          UnresolvedAttribute(Seq(s"__src_${a.nameParts.last}"))
+        else if (targetAlias.contains(a.nameParts.head))
+          UnresolvedAttribute(Seq(a.nameParts.last))
+        else refuse(
+          s"MERGE expression references ${a.sql} whose qualifier is " +
+            s"neither the source alias${sourceAlias.fold("")(x => s" ('$x')")}" +
+            s" nor the target alias${targetAlias.fold("")(x => s" ('$x')")}")
+      // bare names bind to the TARGET row (the UPDATE SET v = v + 1
+      // reading); qualify by the source alias to reach the source side
+    })
+    val schema = Snapshots.tableSchema(s, dir)
+    val actions: Seq[Snapshots.MergeAction] = m.matchedActions.map {
+      case UpdateAction(cond, assigns, _) =>
+        val set = assigns.map {
+          case Assignment(k: UnresolvedAttribute, v) =>
+            val name = k.nameParts.last
+            if (!schema.fieldNames.contains(name)) refuse(
+              s"UPDATE SET target '$name' is not a table column")
+            name -> mergeCol(v)
+          case other => refuse(
+            s"UPDATE SET target ${other.key.sql} is not a plain column")
+        }.toMap
+        Snapshots.MergeUpdate(cond.map(mergeCol), set)
+      case UpdateStarAction(cond) =>
+        Snapshots.MergeUpdate(cond.map(mergeCol),
+          schema.fieldNames.toSeq.map(f => f -> col(s"__src_$f")).toMap)
+      case DeleteAction(cond) => Snapshots.MergeDelete(cond.map(mergeCol))
+      case other => refuse(
+        s"unsupported MERGE matched clause ${other.getClass.getSimpleName}")
+    }
+    val insert = m.notMatchedActions match {
+      case Seq(InsertStarAction(None)) => true
+      case Seq() => false
+      case other => refuse(
+        "MERGE not-matched clause must be WHEN NOT MATCHED THEN INSERT * " +
+          s"or absent; got ${other.map(_.getClass.getSimpleName).mkString(", ")}")
+    }
+    val source = Bridge.ofRows(s, m.sourceTable)
+    Seq(Snapshots.mergeRows(s, dir, partCol, key, source, actions, insert))
+      .toDF("version")
   }
 }

@@ -297,10 +297,21 @@ object Snapshots {
     * are exact forever) and carried VERBATIM through replace commits —
     * the Delta add-action shape that lets [[optimize]]/[[merge]] pick
     * their rewrite sets from metadata alone. */
+  /** One manifest line = one immutable data file. `dv` is the optional
+    * DELETION VECTOR reference (Delta's DV sidecar shape): the name of a
+    * small parquet under `_manifests/dv/` holding this file's deleted
+    * row ordinals, plus the deleted-row cardinality — a row-level DELETE
+    * whose per-file hit fraction is small masks rows instead of
+    * rewriting the file (see [[delete]]), and every scan applies the
+    * mask. Written as a 6th tab field only when present, so pre-DV
+    * manifests parse unchanged and DV-free tables stay byte-identical. */
   private[graft] case class Entry(value: String, path: String, bytes: Long,
-      dataVersion: Long, stats: Map[String, (String, String)]) {
-    def line: String =
-      s"$value\t$path\t$bytes\t$dataVersion\t${StatCodec.cell(stats)}"
+      dataVersion: Long, stats: Map[String, (String, String)],
+      dv: Option[(String, Long)] = None) {
+    def line: String = {
+      val base = s"$value\t$path\t$bytes\t$dataVersion\t${StatCodec.cell(stats)}"
+      dv.fold(base) { case (name, card) => s"$base\t$name#$card" }
+    }
   }
 
   /** One immutable manifest SEGMENT a version references instead of
@@ -365,6 +376,10 @@ object Snapshots {
     line.split("\t", -1) match {
       case Array(value, path, bytes, dv, stats) =>
         Entry(value, path, bytes.toLong, dv.toLong, StatCodec.parse(stats))
+      case Array(value, path, bytes, dv, stats, dvRef) =>
+        val (dvName, card) = dvRef.splitAt(dvRef.lastIndexOf('#'))
+        Entry(value, path, bytes.toLong, dv.toLong, StatCodec.parse(stats),
+          dv = Some((dvName, card.stripPrefix("#").toLong)))
       case f if f.length == 2 || f.length == 4 =>
         // the pre-file-grain (r14) per-partition formats — fail
         // self-describingly rather than "malformed"
@@ -1130,21 +1145,128 @@ object Snapshots {
     // tables (the common case) skip the projection entirely.
     val phys = ColumnMapping.physicalStruct(schema)
     val types = phys.fields.map(f => f.name -> f.dataType).toMap
-    val scan =
+    val raw =
       if (streaming)
         Bridge.manifestStreamScan(s, partCol, indexFiles(phys, entries),
           types, phys)
       else
         Bridge.manifestFileScan(s, partCol, indexFiles(phys, entries),
           types, phys)
+    val scan = applyDv(s, raw, entries)
     if (!ColumnMapping.nontrivial(schema)) scan
     else scan.select(schema.fields.toSeq.map(f =>
       col(ColumnMapping.physicalName(f)).as(f.name)) :+ col(partCol): _*)
   }
 
+  /** Apply the entries' DELETION VECTORS (if any) above the scan: a
+    * broadcast LEFT ANTI join of the scan's hidden parquet position
+    * (`_metadata.file_path`, `_metadata.row_index`) against the deleted
+    * (file, ordinal) pairs of every referenced sidecar. DV-free tables
+    * (the overwhelmingly common case, and every table with
+    * `spark.graft.snapshot.dvEnabled` unset) take the zero-cost branch
+    * and keep byte-identical plans. The anti join is broadcast —
+    * O(deleted rows in the scanned entries) driver/exchange bytes, the
+    * same budget Delta's DV broadcast spends — and stays inside
+    * whole-stage codegen (BroadcastHashJoin), so masked scans lose no
+    * vectorization. Sidecars referenced by OLDER entries of the same
+    * files may ride along in the union; their ordinal sets are always
+    * subsets of the newest reference (delete only ever unions), so the
+    * mask stays exact for time travel at any pinned version. */
+  private def applyDv(s: SparkSession, scan: DataFrame,
+      entries: Seq[Entry]): DataFrame = dvPairs(s, entries) match {
+    case None => scan
+    case Some(dels) =>
+      scan
+        .withColumn("__dv_file", col("_metadata.file_path"))
+        .withColumn("__dv_idx", col("_metadata.row_index"))
+        .join(broadcast(dels),
+          col("__dv_file") === col("__dv_path") &&
+            col("__dv_idx") === col("__dv_ord"), "left_anti")
+        .drop("__dv_file", "__dv_idx")
+  }
+
+  /** the deleted (`__dv_path`, `__dv_ord`) pairs of every sidecar the
+    * entries reference — None when DV-free (the zero-cost common case) */
+  private def dvPairs(s: SparkSession,
+      entries: Seq[Entry]): Option[DataFrame] = {
+    val names = entries.iterator.flatMap(_.dv.map(_._1)).toSeq.distinct
+    if (names.isEmpty) None
+    else Some(s.read.parquet(names: _*).select(
+      col("path").as("__dv_path"), explode(col("ords")).as("__dv_ord")))
+  }
+
+  /** row-level deletes are OPT-IN per session (Delta gates its DVs by
+    * table property the same way): unset/0 keeps every DML a pure
+    * file rewrite and every manifest byte-identical to r16 */
+  private def dvMaxFraction(s: SparkSession): Double =
+    if (!s.conf.getOption("spark.graft.snapshot.dvEnabled")
+        .exists(_.equalsIgnoreCase("true"))) 0.0
+    else s.conf.getOption("spark.graft.snapshot.dvMaxFraction")
+      .map(_.toDouble).getOrElse(0.2)
+
+  /** scheme/encoding-independent file identity, for matching manifest
+    * entry paths against the scan's `_metadata.file_path` strings */
+  private def normPath(p: String): String = new Path(p).toUri.getPath
+
+  /** [[scanEntries]] plus the scan's PHYSICAL row position exposed as
+    * ordinary columns (`__pos_file`, `__pos_idx`) — what the DV-writing
+    * DML kernels key their masks by. Existing DVs are applied (an
+    * already-masked row is invisible to the predicate), and the
+    * positions are the RAW parquet ordinals, so a new mask unions
+    * cleanly with the old one. */
+  private def scanEntriesWithPos(s: SparkSession, partCol: String,
+      schema: StructType, entries: Seq[Entry]): DataFrame = {
+    val phys = ColumnMapping.physicalStruct(schema)
+    val types = phys.fields.map(f => f.name -> f.dataType).toMap
+    val raw = Bridge.manifestFileScan(s, partCol, indexFiles(phys, entries),
+        types, phys)
+      .withColumn("__pos_file", col("_metadata.file_path"))
+      .withColumn("__pos_idx", col("_metadata.row_index"))
+    val masked = dvPairs(s, entries) match {
+      case None => raw
+      case Some(dels) => raw.join(broadcast(dels),
+        col("__pos_file") === col("__dv_path") &&
+          col("__pos_idx") === col("__dv_ord"), "left_anti")
+    }
+    if (!ColumnMapping.nontrivial(schema)) masked
+    else masked.select(schema.fields.toSeq.map(f =>
+      col(ColumnMapping.physicalName(f)).as(f.name)) ++
+      Seq(col(partCol), col("__pos_file"), col("__pos_idx")): _*)
+  }
+
+  /** Write ONE deletion-vector sidecar (a small parquet of
+    * `(path, ords, card)` rows under `_manifests/dv/`) for the given
+    * (`__dv_path`, `__dv_ord`) pairs, aggregated to sorted per-file
+    * ordinal arrays IN THE EXECUTORS — the driver never holds a row-
+    * level mask, only the O(touched files) per-file cardinalities it
+    * reads back for the manifest entries. The name carries the TARGET
+    * version so vacuum protects an in-flight writer's sidecar by the
+    * same version-number rule as its data dirs and segments. */
+  private def writeDvSidecar(s: SparkSession, dir: String, v: Long,
+      pairs: DataFrame): (String, Map[String, Long]) = {
+    val name = f"$dir/_manifests/dv/dv_v$v%08d_" +
+      java.util.UUID.randomUUID().toString.replace("-", "") + ".parquet"
+    pairs.groupBy(col("__dv_path").as("path"))
+      .agg(sort_array(collect_set(col("__dv_ord"))).as("ords"))
+      .withColumn("card", size(col("ords")).cast("long"))
+      .repartition(1)
+      .write.parquet(name)
+    val cards = s.read.parquet(name).select("path", "card").collect()
+      .map(r => normPath(r.getString(0)) -> r.getLong(1)).toMap
+    (name, cards)
+  }
+
   private def schemaOf(s: SparkSession, m: Manifest): StructType =
     // header-less manifests (none are written anymore): one footer read
     m.schema.getOrElse(s.read.parquet(m.entries.head.path).schema)
+
+  /** the table's current LOGICAL data schema (partition column not
+    * included) — metadata only, one manifest read */
+  def tableSchema(s: SparkSession, dir: String): StructType = {
+    val cur = currentVersion(s, dir)
+    require(cur >= 1, s"Snapshots: no committed table at $dir")
+    schemaOf(s, readManifest(s, dir, cur))
+  }
 
   /** the version's scan as a BaseRelation — what the SQL surface
     * ([[SnapshotSource]], `USING graft_snapshot`) hands the planner, the
@@ -1157,16 +1279,18 @@ object Snapshots {
     require(version >= 1, s"Snapshots: no committed version to read at $dir")
     val m = readManifest(s, dir, version)
     val schema = schemaOf(s, m)
-    if (!ColumnMapping.nontrivial(schema)) {
+    if (!ColumnMapping.nontrivial(schema) && !m.entries.exists(_.dv.isDefined)) {
       val types = schema.fields.map(f => f.name -> f.dataType).toMap
       Bridge.manifestRelation(s, partCol, indexFiles(schema, m.entries),
         types, schema)
     } else {
       // a RENAME-bearing table cannot be served as a bare
       // HadoopFsRelation (parquet resolves by name, and V1 relations
-      // cannot interpose a projection), so the SQL surface reads it
-      // through a PrunedFilteredScan over the aliased scan: column
-      // pruning AND pushed filters both reach the inner manifest scan
+      // cannot interpose a projection) — and neither can a DV-bearing
+      // one (the mask join must sit above the raw scan) — so the SQL
+      // surface reads those through a PrunedFilteredScan over the
+      // masked/aliased scan: column pruning AND pushed filters both
+      // reach the inner manifest scan
       // (filters re-applied as Column predicates on the LOGICAL frame,
       // where the alias projection forwards them into partition pruning
       // and per-file bounds skipping — Spark re-evaluates residuals
@@ -1296,6 +1420,22 @@ object Snapshots {
       statsColumns: Seq[String] = Nil): Long =
     commitImpl(s, dir, df, partCol, carryUntouched = false, Set.empty, None,
       statsColumns)
+
+  /** CREATE TABLE's v1: an empty version carrying only the declared
+    * schema — the ONE legal empty commit (every rewrite path keeps
+    * refusing to empty a table, because there an empty result almost
+    * always means a bug; a deliberate CREATE is the exception real
+    * formats also carve out). The [[GraftCatalog]] DDL surface calls
+    * this. */
+  def createEmpty(s: SparkSession, dir: String,
+      schema: StructType, partCol: String): Long = {
+    require(currentVersion(s, dir) < 1,
+      s"Snapshots: createEmpty refuses an existing table at $dir")
+    val empty = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    commitImpl(s, dir, empty, partCol, carryUntouched = false, Set.empty,
+      None, op = "create", allowEmpty = true)
+  }
 
   /** Optimistic-concurrency retry loop — the user-facing half of
     * invariant 3 (the conflict error says "re-read the table and retry";
@@ -2105,6 +2245,8 @@ object Snapshots {
       val schema = schemaOf(s, m)
       val (affected, carried) = splitByPredicate(s, where, partCol, schema, m.entries)
       if (affected.isEmpty) cur
+      else if (dvMaxFraction(s) > 0.0)
+        deleteWithDv(s, dir, partCol, where, m, schema, affected, carried, cur)
       else {
         val survivors = scanEntries(s, partCol, schema, affected)
           .filter(!coalesce(where, lit(false)))
@@ -2116,6 +2258,68 @@ object Snapshots {
           prevManifestHint = Some(m), op = "delete")
       }
     }
+
+  /** DELETE under deletion vectors (Delta's DV write path): ONE counting
+    * pass over the bounds-affected files decides each file's fate —
+    * zero hits -> carry untouched (the bounds false positive no longer
+    * costs a rewrite), every live row hit -> the entry is DROPPED with
+    * no IO at all, a small hit fraction (<= dvMaxFraction) -> the file
+    * carries with its mask extended (old ∪ matched ordinals, one new
+    * sidecar per commit), and only the rest rewrite. Write
+    * amplification for a needle delete falls from O(file) to
+    * O(deleted ordinals); the commit is still one atomic manifest
+    * version, and time-travel/CDF semantics are unchanged because
+    * masked entries stamp `dataVersion` exactly like rewritten ones. */
+  private def deleteWithDv(s: SparkSession, dir: String, partCol: String,
+      where: org.apache.spark.sql.Column, m: Manifest, schema: StructType,
+      affected: Seq[Entry], carried: Seq[Entry], cur: Long): Long = {
+    val dvMax = dvMaxFraction(s)
+    val hit = coalesce(where, lit(false))
+    // one counting pass, O(affected files) result rows
+    val counts = scanEntriesWithPos(s, partCol, schema, affected)
+      .groupBy(col("__pos_file"))
+      .agg(count(lit(1)).as("live"),
+        sum(when(hit, 1L).otherwise(0L)).as("hits"))
+      .collect()
+      .map(r => normPath(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    def liveHits(e: Entry): (Long, Long) =
+      counts.getOrElse(normPath(e.path), (0L, 0L))
+    val (touched, clean) = affected.partition(e => liveHits(e)._2 > 0)
+    if (touched.isEmpty) return cur // bounds false positives only: no-op
+    val (dead, partial) = touched.partition { e =>
+      val (l, h) = liveHits(e); h >= l
+    }
+    val (masked, rewrite) = partial.partition { e =>
+      val (l, h) = liveHits(e); h.toDouble / l <= dvMax
+    }
+    val dvEntries =
+      if (masked.isEmpty) Nil
+      else {
+        val posM = scanEntriesWithPos(s, partCol, schema, masked)
+        val newPairs = posM.filter(hit).select(
+          col("__pos_file").as("__dv_path"), col("__pos_idx").as("__dv_ord"))
+        // old masks of exactly these files union in (a shared sidecar
+        // may also hold other files' ordinals — excluded here so the
+        // new sidecar stays self-contained for its referencing entries)
+        val pairs = dvPairs(s, masked) match {
+          case None => newPairs
+          case Some(old) => newPairs.unionByName(old.join(
+            newPairs.select(col("__dv_path")).distinct(),
+            Seq("__dv_path"), "left_semi"))
+        }
+        val (dvName, cards) = writeDvSidecar(s, dir, cur + 1, pairs)
+        masked.map(e => e.copy(dv =
+          Some((dvName, cards.getOrElse(normPath(e.path), 0L)))))
+      }
+    val survivors = scanEntries(s, partCol, schema, rewrite).filter(!hit)
+    commitImpl(s, dir, survivors, partCol, carryUntouched = false,
+      Set.empty, expectedPrev = Some(cur),
+      statsColumns = keepableStats(schema, rewrite),
+      carriedOverride = Some(carried ++ clean ++ dvEntries),
+      dataChangeValues = touched.map(_.value).toSet,
+      prevManifestHint = Some(m), op = "delete")
+  }
 
   /** UPDATE ... SET ... WHERE as a version: same metadata-chosen rewrite
     * set as [[delete]]; matched rows get each `set` expression (cast to
@@ -2141,6 +2345,9 @@ object Snapshots {
         s"Snapshots: SET references unknown column(s) ${unknown.mkString(", ")}")
       val (affected, carried) = splitByPredicate(s, where, partCol, schema, m.entries)
       if (affected.isEmpty) cur
+      else if (dvMaxFraction(s) > 0.0)
+        updateWithDv(s, dir, partCol, where, set, m, schema, affected,
+          carried, cur)
       else {
         // the WHERE verdict is projected ONCE per row (__hit) and every
         // SET column keys off that one boolean: a non-deterministic
@@ -2165,6 +2372,239 @@ object Snapshots {
           prevManifestHint = Some(m), op = "update")
       }
     }
+
+  /** UPDATE under deletion vectors: a file whose matched fraction is
+    * small keeps its bytes — the matched rows' OLD images are masked
+    * (same sidecar mechanics as [[deleteWithDv]]) and their NEW images
+    * append as fresh files of the same partitions; only heavily-matched
+    * files rewrite whole. The matched-row projection applies every SET
+    * expression after ONE materialized predicate evaluation, so a
+    * non-deterministic WHERE cannot tear a row across two images. */
+  private def updateWithDv(s: SparkSession, dir: String, partCol: String,
+      where: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column], m: Manifest,
+      schema: StructType, affected: Seq[Entry], carried: Seq[Entry],
+      cur: Long): Long = {
+    val dvMax = dvMaxFraction(s)
+    val hit = coalesce(where, lit(false))
+    val counts = scanEntriesWithPos(s, partCol, schema, affected)
+      .groupBy(col("__pos_file"))
+      .agg(count(lit(1)).as("live"),
+        sum(when(hit, 1L).otherwise(0L)).as("hits"))
+      .collect()
+      .map(r => normPath(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    def liveHits(e: Entry): (Long, Long) =
+      counts.getOrElse(normPath(e.path), (0L, 0L))
+    val (touched, clean) = affected.partition(e => liveHits(e)._2 > 0)
+    if (touched.isEmpty) return cur
+    val (masked, rewrite) = touched.partition { e =>
+      val (l, h) = liveHits(e); h < l && h.toDouble / l <= dvMax
+    }
+    val (dvEntries, newImages) =
+      if (masked.isEmpty)
+        (Nil, None)
+      else {
+        val posM = scanEntriesWithPos(s, partCol, schema, masked)
+          .filter(hit).localCheckpoint()
+        val pairs = {
+          val newPairs = posM.select(
+            col("__pos_file").as("__dv_path"), col("__pos_idx").as("__dv_ord"))
+          dvPairs(s, masked) match {
+            case None => newPairs
+            case Some(old) => newPairs.unionByName(old.join(
+              newPairs.select(col("__dv_path")).distinct(),
+              Seq("__dv_path"), "left_semi"))
+          }
+        }
+        val (dvName, cards) = writeDvSidecar(s, dir, cur + 1, pairs)
+        val images = posM.select(schema.fields.toSeq.map(f =>
+          set.get(f.name).map(_.cast(f.dataType).as(f.name))
+            .getOrElse(col(f.name))) :+ col(partCol): _*)
+        (masked.map(e => e.copy(dv =
+          Some((dvName, cards.getOrElse(normPath(e.path), 0L))))),
+          Some(images))
+      }
+    val cols = schema.fields.toSeq.map { f =>
+      set.get(f.name)
+        .map(e => when(col("__hit"), e.cast(f.dataType))
+          .otherwise(col(f.name)).as(f.name))
+        .getOrElse(col(f.name))
+    } :+ col(partCol)
+    val rewritten = scanEntries(s, partCol, schema, rewrite)
+      .withColumn("__hit", hit)
+      .select(cols: _*)
+    val df = newImages.fold(rewritten)(rewritten.unionByName(_))
+    commitImpl(s, dir, df, partCol, carryUntouched = false,
+      Set.empty, expectedPrev = Some(cur),
+      statsColumns = keepableStats(schema, rewrite ++ masked),
+      carriedOverride = Some(carried ++ clean ++ dvEntries),
+      dataChangeValues = touched.map(_.value).toSet,
+      prevManifestHint = Some(m), op = "update")
+  }
+
+  /** One matched-clause action of [[mergeRows]], in SQL clause order —
+    * first matching clause wins, like Spark/Delta MERGE. Conditions and
+    * SET expressions see the JOINED row: target columns by their names,
+    * source columns as `__src_<name>` (the reserved prefix guarantees no
+    * collision with user columns; the SQL surface rewrites `s.x` /
+    * `t.x` qualifiers accordingly). */
+  sealed trait MergeAction
+  final case class MergeUpdate(cond: Option[org.apache.spark.sql.Column],
+      set: Map[String, org.apache.spark.sql.Column]) extends MergeAction
+  final case class MergeDelete(
+      cond: Option[org.apache.spark.sql.Column]) extends MergeAction
+
+  /** ROW-grain MERGE over the deletion-vector base — the shape the
+    * file-grain [[merge]] deliberately refuses (`UPDATE SET col = expr`
+    * assignment lists, conditional matched clauses) because it needs
+    * matched-ROW addressability: each matched target row's old image is
+    * masked via a DV sidecar (same mechanics as [[deleteWithDv]]) and
+    * its new image — target columns with the winning clause's SET
+    * expressions applied, which may reference source columns — appends
+    * as fresh files, alongside the not-matched inserts. File selection
+    * is the same metadata-only bounds intersection as [[merge]]: only
+    * files whose recorded `keyCol` bounds may hold a source key are
+    * scanned at all, and even those are never rewritten — only masked —
+    * so write amplification is O(matched + inserted rows). Requires
+    * `spark.graft.snapshot.dvEnabled` (the row-addressability opt-in)
+    * and a key-unique source (refused otherwise — one source row
+    * updating one target row is the only exact semantics; Delta errors
+    * on multi-match the same way). `insertUnmatched` = the
+    * `WHEN NOT MATCHED THEN INSERT *` clause; the source must then
+    * carry every table column plus `partCol`. Matched rows that no
+    * clause claims stay untouched (served by their files as before). */
+  def mergeRows(s: SparkSession, dir: String, partCol: String,
+      keyCol: String, source: DataFrame, matched: Seq[MergeAction],
+      insertUnmatched: Boolean, attempts: Int = 5): Long = {
+    require(dvMaxFraction(s) > 0.0,
+      "Snapshots: mergeRows needs spark.graft.snapshot.dvEnabled=true — " +
+        "row-grain MERGE rests on deletion-vector row addressability " +
+        "(the canonical UPDATE SET * / INSERT * shapes run without it " +
+        "via merge())")
+    require(matched.nonEmpty || insertUnmatched,
+      "Snapshots: mergeRows needs at least one clause")
+    dmlRetry(s, dir, attempts)(() =>
+      mergeRowsOnce(s, dir, partCol, keyCol, source, matched,
+        insertUnmatched))
+  }
+
+  private def mergeRowsOnce(s: SparkSession, dir: String, partCol: String,
+      keyCol: String, source: DataFrame, matched: Seq[MergeAction],
+      insertUnmatched: Boolean): Long = {
+    val cur = currentVersion(s, dir)
+    require(cur >= 1,
+      s"Snapshots: mergeRows needs a committed table at $dir")
+    val m = readManifest(s, dir, cur)
+    val schema = schemaOf(s, m)
+    require(schema.fieldNames.contains(keyCol),
+      s"Snapshots: merge key '$keyCol' is not a table column")
+    require(source.columns.contains(keyCol),
+      s"Snapshots: source is missing the key column '$keyCol'")
+    if (insertUnmatched) {
+      val missing = (schema.fieldNames.toSeq :+ partCol)
+        .filterNot(source.columns.contains)
+      require(missing.isEmpty,
+        s"Snapshots: INSERT * needs the source to carry " +
+          s"${missing.mkString(", ")}")
+    }
+    // source keys must be unique AND non-null: a multi-match would make
+    // the masked-row/new-image pairing ambiguous (Delta errors the same
+    // way), a NULL key matches nothing and would re-insert forever
+    val census = source.agg(count(lit(1)).as("n"),
+      count(col(keyCol)).as("nk"),
+      count_distinct(col(keyCol)).as("nd")).collect()(0)
+    require(census.getLong(0) == census.getLong(1),
+      s"Snapshots: mergeRows source holds " +
+        s"${census.getLong(0) - census.getLong(1)} NULL-keyed row(s)")
+    require(census.getLong(1) == census.getLong(2),
+      "Snapshots: mergeRows source keys are not unique — one source row " +
+        "per target row is the only exact row-grain semantics")
+    // bounds-selected files, same conservative rule as merge(): only
+    // files whose recorded key bounds overlap the source's key span can
+    // hold a match (localCheckpoint pins the source: the span, the join,
+    // and the image projection must all see ONE evaluation)
+    val src = source.localCheckpoint()
+    val spanRow = src.agg(min(col(keyCol)), max(col(keyCol))).collect()(0)
+    val (affected, carried) =
+      if (spanRow.isNullAt(0)) (Nil, m.entries) // empty source
+      else splitByPredicate(s,
+        col(keyCol).between(lit(spanRow.get(0)), lit(spanRow.get(1))),
+        partCol, schema, m.entries)
+    // the joined view every clause evaluates on: target columns bare,
+    // source columns __src_-prefixed (reserved namespace — user columns
+    // can never collide)
+    val srcPref = src.select(src.columns.toSeq.map(c =>
+      col(c).as(s"__src_$c")): _*)
+    val joined = scanEntriesWithPos(s, partCol, schema, affected)
+      .join(srcPref, col(keyCol) === col(s"__src_$keyCol"), "inner")
+    // first-matching-clause-wins op column (foldRight puts clause 0's
+    // `when` outermost): U<i> selects clause i's SET list, D deletes,
+    // NULL = no clause claims the row — it stays untouched
+    val opCol = matched.zipWithIndex
+      .foldRight(lit(null).cast("string")) { case ((a, i), tail) =>
+        val (cond, tag) = a match {
+          case MergeUpdate(c, _) => (c, s"U$i")
+          case MergeDelete(c) => (c, "D")
+        }
+        when(cond.getOrElse(lit(true)), lit(tag)).otherwise(tail)
+      }
+    val claimed = joined.withColumn("__op", opCol)
+      .filter(col("__op").isNotNull).localCheckpoint()
+    val dvEntries = {
+      val newPairs = claimed.select(
+        col("__pos_file").as("__dv_path"), col("__pos_idx").as("__dv_ord"))
+      val touchedPaths = claimed.select(col("__pos_file")).distinct()
+        .collect().map(r => normPath(r.getString(0))).toSet
+      val touched = affected.filter(e => touchedPaths(normPath(e.path)))
+      if (touched.isEmpty) Nil
+      else {
+        val pairs = dvPairs(s, touched) match {
+          case None => newPairs
+          case Some(old) => newPairs.unionByName(old.join(
+            newPairs.select(col("__dv_path")).distinct(),
+            Seq("__dv_path"), "left_semi"))
+        }
+        val (dvName, cards) = writeDvSidecar(s, dir, cur + 1, pairs)
+        touched.map(e => e.copy(dv =
+          Some((dvName, cards.getOrElse(normPath(e.path), 0L)))))
+      }
+    }
+    val touchedPathSet = dvEntries.map(e => normPath(e.path)).toSet
+    val untouchedAffected =
+      affected.filterNot(e => touchedPathSet(normPath(e.path)))
+    // new images per UPDATE clause (each clause has its own SET list)
+    val images = matched.zipWithIndex.collect {
+      case (MergeUpdate(_, set), i) =>
+        claimed.filter(col("__op") === s"U$i")
+          .select(schema.fields.toSeq.map(f =>
+            set.get(f.name).map(_.cast(f.dataType).as(f.name))
+              .getOrElse(col(f.name))) :+ col(partCol): _*)
+    }
+    val inserts =
+      if (!insertUnmatched) None
+      else Some(srcPref.join(
+        scanEntries(s, partCol, schema, affected)
+          .select(col(keyCol).as("__t_key")),
+        col(s"__src_$keyCol") === col("__t_key"), "left_anti")
+        .select(schema.fields.toSeq.map(f =>
+          col(s"__src_${f.name}").cast(f.dataType).as(f.name))
+          :+ col(s"__src_$partCol").as(partCol): _*))
+    // nothing claimed, nothing to insert: a provable no-op, no commit
+    // (same contract as delete/update over a clean table)
+    if (dvEntries.isEmpty && inserts.forall(_.isEmpty)) return cur
+    val pieces = images ++ inserts.toSeq
+    val written =
+      if (pieces.isEmpty)
+        scanEntries(s, partCol, schema, Nil).filter(lit(false))
+      else pieces.reduce(_ unionByName _)
+    commitImpl(s, dir, written, partCol, carryUntouched = false,
+      Set.empty, expectedPrev = Some(cur),
+      statsColumns = keepableStats(schema, affected),
+      carriedOverride = Some(carried ++ untouchedAffected ++ dvEntries),
+      dataChangeValues = dvEntries.map(_.value).toSet,
+      prevManifestHint = Some(m), op = "merge")
+  }
 
   /** the stats columns a rewrite must re-record so it never ERASES
     * recorded bounds (see [[optimize]]'s same rule) */
@@ -2304,6 +2744,25 @@ object Snapshots {
         }
       }
     }
+    // DELETION-VECTOR sidecar GC — same keep rule as segments: a
+    // sidecar referenced by any kept manifest's entries survives; one
+    // named for a version ABOVE the latest committed belongs to an
+    // in-flight writer (never touched); the rest are retired history
+    // or a rename-loser's orphans
+    val dvRoot = new Path(dir, "_manifests/dv")
+    if (fs.exists(dvRoot)) {
+      val keptDvs = keptManifests.flatMap(_.entries.flatMap(
+        _.dv.map { case (name, _) => new Path(name).getName })).toSet
+      fs.listStatus(dvRoot).foreach { st =>
+        val n = st.getPath.getName
+        val vNum =
+          if (n.startsWith("dv_v")) {
+            val digits = n.stripPrefix("dv_v").takeWhile(_.isDigit)
+            if (digits.nonEmpty) digits.toLong else Long.MaxValue
+          } else Long.MaxValue
+        if (vNum <= cur && !keptDvs(n)) fs.delete(st.getPath, true)
+      }
+    }
     val dataRoot = new Path(dir, "data")
     if (fs.exists(dataRoot)) {
       fs.listStatus(dataRoot).foreach { vd =>
@@ -2403,7 +2862,13 @@ object Snapshots {
       val ideal = (bytes + targetFileBytes - 1) / targetFileBytes
       files > math.max(maxFilesPerPart.toLong,
         if (ideal > 1 || clusterBy.nonEmpty) ideal + 1 else ideal)
-    }.keySet
+    }.keySet ++
+      // DV-bearing partitions are ALWAYS candidates: OPTIMIZE is where
+      // deletion vectors retire — the rewrite reads through the mask
+      // (scanEntries applies it) and the fresh entries carry no dv ref,
+      // so the masked bytes and the sidecar become vacuum-collectable.
+      // Convergent: a rewritten partition is DV-free and exempt again.
+      m.entries.filter(_.dv.isDefined).map(_.value).toSet
     if (candValues.isEmpty) return cur
     val (cands, carried) = m.entries.partition(e => candValues(e.value))
     val dataSchema = schemaOf(s, m)
@@ -2496,9 +2961,19 @@ object Snapshots {
     * file" — skipping and rewrite selection stay conservative, never
     * wrong. `statsColumns` arrive LOGICAL; footers and manifest cells
     * speak PHYSICAL. */
-  private def collectStats(s: SparkSession, files: Seq[Path],
-      dataDir: String, dataSchema: StructType, statsColumns: Seq[String])
-      : Map[String, Map[String, (String, String)]] = {
+  /** the INT96 split shared by the task-side registration and the
+    * driver-side residue collector: which of `statsColumns` can the
+    * parquet FOOTERS serve under this session's writer config, as the
+    * (physical name -> type) map the footer reader wants. Columns the
+    * footers cannot serve fall back to the aggregation job: Spark's
+    * default parquet timestamp encoding is INT96, which records no
+    * usable column statistics — silently recording NO bounds for a
+    * timestamp-keyed table would turn every later merge/DML into a
+    * rewrite-everything cliff (NTZ always writes INT64 micros and stays
+    * on the footer path). */
+  private def statsFooterSplit(s: SparkSession, dataSchema: StructType,
+      statsColumns: Seq[String])
+      : (Seq[String], Seq[String], Map[String, DataType]) = {
     val bad = statsColumns.filterNot(c =>
       dataSchema.fieldNames.contains(c) &&
         StatCodec.supported(dataSchema(c).dataType))
@@ -2506,44 +2981,70 @@ object Snapshots {
       s"Snapshots: statsColumns ${bad.mkString(", ")} must be data columns " +
         "of an orderable atomic type (numeric/string/date/timestamp/decimal)")
     val physMap = ColumnMapping.toPhysical(dataSchema)
-    // columns the footers CANNOT serve under this session's writer
-    // config fall back to the r15 aggregation job: Spark's default
-    // parquet timestamp encoding is INT96, which records no usable
-    // column statistics — silently recording NO bounds for a
-    // timestamp-keyed table would turn every later merge/DML into a
-    // rewrite-everything cliff (NTZ always writes INT64 micros and
-    // stays on the footer path)
     val int96 = s.conf
       .getOption("spark.sql.parquet.outputTimestampType")
       .getOrElse("INT96") == "INT96"
     val (scanCols, footerCols) = statsColumns.partition(c =>
       int96 && dataSchema(c).dataType == TimestampType)
-    val wanted: Map[String, DataType] = footerCols
-      .map(c => physMap(c) -> dataSchema(c).dataType).toMap
+    (scanCols, footerCols,
+      footerCols.map(c => physMap(c) -> dataSchema(c).dataType).toMap)
+  }
+
+  /** DRIVER footer reads performed by the residue pool below —
+    * test-visible so the executor-side-stats spec can pin "a normal
+    * commit records bounds with ZERO driver footer IO" */
+  private[graft] val driverFooterReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** test seam: true skips the task-side registration so a commit
+    * collects every bound through the driver residue pool — the spec
+    * compares both paths' recorded stats on identical data */
+  private[graft] val taskStatsDisabled =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def collectStats(s: SparkSession, files: Seq[Path],
+      dataDir: String, dataSchema: StructType, statsColumns: Seq[String],
+      taskStats: Map[String, Map[String, (String, String)]])
+      : Map[String, Map[String, (String, String)]] = {
+    val (scanCols, footerCols, wanted) =
+      statsFooterSplit(s, dataSchema, statsColumns)
     val conf = s.sparkContext.hadoopConfiguration
-    // footer reads are independent small IO — a wide commit (initial
-    // load, big backfill) must not serialize thousands of remote opens
-    // on the driver: a bounded pool keeps the commit path O(files/8)
     val fromFooters: Map[String, Map[String, (String, String)]] =
       if (footerCols.isEmpty) Map.empty
       else {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(8, math.max(1, files.size)))
-        try {
-          implicit val ec: ExecutionContext =
-            ExecutionContext.fromExecutorService(pool)
-          Await.result(Future.traverse(files) { f =>
-            Future {
-              val st =
-                try footerBounds(conf, f, wanted)
-                catch { case _: Exception =>
-                  Map.empty[String, (String, String)] }
-              f.toString -> st
-            }
-          }, Duration.Inf).toMap
-        } finally pool.shutdown()
+        // the WRITER TASKS already shipped per-file bounds inside their
+        // task commit messages ([[StatsCommitProtocol]]); the driver
+        // pool below serves only the residue — files some
+        // non-StatsCommitProtocol write path produced, normally NONE —
+        // so the commit's driver-side stats cost is O(tasks) message
+        // folds, not O(files) footer opens
+        val missing = files.filterNot(f => taskStats.contains(f.toString))
+        val fromDriver: Map[String, Map[String, (String, String)]] =
+          if (missing.isEmpty) Map.empty
+          else {
+            // footer reads are independent small IO — even the residue
+            // path must not serialize thousands of remote opens
+            import scala.concurrent.{Await, ExecutionContext, Future}
+            import scala.concurrent.duration.Duration
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(8, math.max(1, missing.size)))
+            try {
+              implicit val ec: ExecutionContext =
+                ExecutionContext.fromExecutorService(pool)
+              Await.result(Future.traverse(missing) { f =>
+                Future {
+                  driverFooterReads.incrementAndGet()
+                  val st =
+                    try footerBounds(conf, f, wanted)
+                    catch { case _: Exception =>
+                      Map.empty[String, (String, String)] }
+                  f.toString -> st
+                }
+              }, Duration.Inf).toMap
+            } finally pool.shutdown()
+          }
+        files.flatMap(f => taskStats.get(f.toString)
+          .map(f.toString -> _)).toMap ++ fromDriver
       }
     if (scanCols.isEmpty) fromFooters
     else {
@@ -2593,7 +3094,8 @@ object Snapshots {
   /** one file's footer -> canonical [lo, hi] strings per wanted
     * physical column (see [[collectStats]]); private so the ugly
     * parquet-type dance stays in one place */
-  private def footerBounds(conf: org.apache.hadoop.conf.Configuration,
+  private[sources] def footerBounds(
+      conf: org.apache.hadoop.conf.Configuration,
       file: Path, wanted: Map[String, DataType])
       : Map[String, (String, String)] = {
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -2733,7 +3235,8 @@ object Snapshots {
       dataChangeValues: Set[String] = Set.empty,
       prevManifestHint: Option[Manifest] = None,
       op: String = "commit",
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      allowEmpty: Boolean = false): Long = {
     require(df.schema(partCol).dataType == StringType,
       s"Snapshots: partition column '$partCol' must be StringType (it " +
         "travels through directory names and manifest lines as a string; " +
@@ -2795,7 +3298,36 @@ object Snapshots {
       if (!ColumnMapping.nontrivial(dataSchema)) df
       else df.select(dataSchema.fields.toSeq.map(f =>
         col(f.name).as(ColumnMapping.physicalName(f))) :+ col(partCol): _*)
-    dfOut.write.mode("error").partitionBy(partCol).parquet(dataDir)
+    // EXECUTOR-SIDE STATS: register the footer-servable columns under
+    // this write's output path so [[StatsCommitProtocol]] collects
+    // per-file bounds IN THE WRITER TASKS and ships them with the task
+    // commit messages — the driver folds O(tasks) payloads instead of
+    // opening O(files) footers itself (the write path's last O(files)
+    // driver term; Delta/Iceberg collect stats in-task the same way).
+    // The protocol class stays set session-wide: it is behaviorally
+    // identical to Spark's default for any unregistered output path,
+    // and toggling it around each write would race concurrent commits.
+    val statsWanted: Map[String, DataType] =
+      if (statsColumns.isEmpty || taskStatsDisabled.get) Map.empty
+      else statsFooterSplit(s, dataSchema, statsColumns)._3
+    if (statsWanted.nonEmpty) {
+      val confKey = "spark.sql.sources.commitProtocolClass"
+      val cls = classOf[StatsCommitProtocol].getName
+      if (!s.conf.getOption(confKey).contains(cls)) s.conf.set(confKey, cls)
+      StatsCommitProtocol.register(dataDir, statsWanted)
+    }
+    val taskStats: Map[String, Map[String, (String, String)]] =
+      try {
+        dfOut.write.mode("error").partitionBy(partCol).parquet(dataDir)
+        // keys arrive RELATIVE to the output dir (partition dir +
+        // basename, both preserved by the commit rename) — re-qualify
+        // them to match the listing below
+        StatsCommitProtocol.consume(dataDir).getOrElse(Map.empty).map {
+          case (rel, st) =>
+            fs.makeQualified(new Path(s"$dataDir/$rel")).toString -> st
+        }
+      } finally StatsCommitProtocol.consume(dataDir) // idempotent: frees
+        // the registration when the write itself threw
     val partDirs = fs.listStatus(new Path(dataDir)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
     // one listing per partition dir, shared by the stats pass and the
@@ -2808,7 +3340,7 @@ object Snapshots {
       if (statsColumns.isEmpty || partDirs.isEmpty)
         Map.empty[String, Map[String, (String, String)]]
       else collectStats(s, filesOf.flatMap(_._2).map(_.getPath),
-        dataDir, dataSchema, statsColumns)
+        dataDir, dataSchema, statsColumns, taskStats)
     val filesByDir = filesOf.toMap
     val written = partDirs
       .flatMap { st =>
@@ -2960,12 +3492,13 @@ object Snapshots {
       }
     }
     val entries = (carried ++ written).sortBy(e => (e.value, e.path))
-    if (entries.isEmpty) {
+    if (entries.isEmpty && !allowEmpty) {
       fs.delete(new Path(dataDir), true)
       throw new IllegalArgumentException(
         "Snapshots: refusing to commit an EMPTY table — this rewrite " +
           "(a full-match DELETE, or a replace of every partition with " +
-          "no rows) removes every row; drop the table directory instead")
+          "no rows) removes every row; drop the table directory instead " +
+          "(a deliberate empty CREATE goes through createEmpty)")
     }
     // the header is the READ schema for every file the version lists —
     // carried files may hold nulls even when THIS commit's frame is

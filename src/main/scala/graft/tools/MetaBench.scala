@@ -187,6 +187,39 @@ object MetaBench {
       f"segmented=$segWall%.0fms/$segLines%d-line-manifest " +
       f"inline=$inlWall%.0fms/$inlLines%d-line-manifest")
 
+    // ---- scenario 4: wide-commit stats — writer-task collection vs the
+    // driver footer pool (the r16 path, forced via the test seam). Same
+    // data, same file count; the difference is WHERE the O(files) footer
+    // reads run. On local disk the driver pool looks cheap — the point
+    // of the row is the footer-read COUNT (a real object store pays a
+    // round-trip per read, and tasks pay it in parallel cluster-wide
+    // against page-cache-warm local files). ----
+    locally {
+      import spark.implicits._
+      def wideCommit(driverPath: Boolean): (Double, Long, Int) = {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_metabench_stats").toString
+        val df = (0 until 512000)
+          .map(i => (f"p${i % 64}%03d", i.toLong, s"s$i%09d"))
+          .toDF("part", "x", "s")
+          .repartitionByRange(256, col("part"), col("x"))
+        val before = Snapshots.driverFooterReads.get()
+        Snapshots.taskStatsDisabled.set(driverPath)
+        val wall =
+          try timeOnceMs(Snapshots.commit(spark, dir, df, "part",
+            statsColumns = Seq("x", "s")))
+          finally Snapshots.taskStatsDisabled.set(false)
+        val files = Snapshots.readManifest(spark, dir, 1L).entries.size
+        (wall, Snapshots.driverFooterReads.get() - before, files)
+      }
+      wideCommit(driverPath = false) // JIT/codegen warm for both paths
+      val (taskWall, taskReads, nFiles) = wideCommit(driverPath = false)
+      val (drvWall, drvReads, _) = wideCommit(driverPath = true)
+      println(f"[metabench-stats] wideCommit files=$nFiles " +
+        f"taskSide=$taskWall%.0fms/$taskReads%d-driver-footer-reads " +
+        f"driverPool=$drvWall%.0fms/$drvReads%d-driver-footer-reads")
+    }
+
     spark.stop()
   }
 }

@@ -29,6 +29,18 @@ object Bridge {
     Dataset.ofRows(s.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       plan)
 
+  /** wrap a V1 BaseRelation as a LogicalRelation carrying a GIVEN
+    * output — the V2-to-V1 substitution a catalog-resolved graft table
+    * performs (graft.sources.GraftCatalog): downstream operators have
+    * already resolved against the DataSourceV2Relation's attributes, so
+    * the replacement must reuse those exact exprIds (the same move as
+    * Spark's own FallBackFileSourceV2) */
+  def logicalRelation(rel: org.apache.spark.sql.sources.BaseRelation,
+      output: Seq[org.apache.spark.sql.catalyst.expressions.AttributeReference])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    new org.apache.spark.sql.execution.datasources.LogicalRelation(
+      rel, output, None, false, None)
+
   /** Clamp the carried `originStats` of a checkpointed frame.
     *
     * `Dataset.localCheckpoint` wraps the materialized RDD in a

@@ -1,0 +1,111 @@
+package graft
+
+import graft.sources.Snapshots
+import org.apache.spark.sql.functions._
+
+/** Name-addressed tables through the DSv2 GraftCatalog: DDL via Spark's
+  * own CREATE/DROP/SHOW, reads (incl. time travel) planning the exact
+  * manifest-served scan the path form plans, and Snapshots.sql DML
+  * accepting both addressings. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wh = {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_catalog_spec").toString
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", d)
+    d
+  }
+
+  private def seed(db: String, t: String): String = {
+    val dir = s"$wh/$db/$t"
+    spark.sql(s"CREATE TABLE graft.$db.$t (part STRING, k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (part)")
+    Snapshots.commit(spark, dir,
+      (1L to 80L).map(k => (s"p${k % 4}", k, k * 10L)).toDF("part", "k", "v"),
+      "part", statsColumns = Seq("k"))
+    dir
+  }
+
+  test("CREATE / read / time travel / SHOW / DROP by name") {
+    val dir = seed("db1", "t1")
+    // v1 = the empty CREATE commit, v2 = the data
+    assert(Snapshots.currentVersion(spark, dir) == 2L)
+    assert(spark.sql("SELECT sum(v) AS s FROM graft.db1.t1")
+      .as[Long].head() == (1L to 80L).map(_ * 10).sum)
+    // filters reach the scan through the name exactly like the path form
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.db1.t1 WHERE part = 'p1' AND k <= 40")
+      .as[Long].head() == 10L)
+    // time travel: VERSION AS OF the empty CREATE commit
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db1.t1 VERSION AS OF 1")
+      .as[Long].head() == 0L)
+    // TIMESTAMP AS OF after the last commit resolves the latest version
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db1.t1 " +
+      "TIMESTAMP AS OF '2035-01-01 00:00:00'").as[Long].head() == 80L)
+    assert(spark.sql("SHOW TABLES IN graft.db1").collect()
+      .map(_.getString(1)).toSet == Set("t1"))
+    spark.sql("DROP TABLE graft.db1.t1")
+    assert(Snapshots.currentVersion(spark, dir) == 0L,
+      "DROP must remove the table directory")
+  }
+
+  test("a name-addressed read plans the SAME manifest scan as the path read") {
+    val dir = seed("db2", "t2")
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val byName = spark.sql(
+      "SELECT k, v FROM graft.db2.t2 WHERE part = 'p2' AND k < 50")
+    val byPath = Snapshots.read(spark, dir, "part")
+      .filter(col("part") === "p2" && col("k") < 50).select("k", "v")
+    val (pn, pp) = (planOf(byName), planOf(byPath))
+    assert(pn.contains("ManifestFileIndex"),
+      s"name read must plan the manifest file index, got:\n$pn")
+    // identical physical shape: one FileSourceScan, same pushed filters,
+    // same partition filters (strip exprIds via regex for the compare)
+    def shape(p: String): String =
+      p.replaceAll("#\\d+L?", "#x").replaceAll("plan_id=\\d+", "plan_id=x")
+    assert(shape(pn) == shape(pp),
+      s"plans diverge between addressings:\nname: $pn\npath: $pp")
+    assert(byName.as[(Long, Long)].collect().sorted.toSeq ==
+      byPath.as[(Long, Long)].collect().sorted.toSeq)
+  }
+
+  test("Snapshots.sql accepts the catalog name addressing for DML and DDL") {
+    val dir = seed("db3", "t3")
+    // DELETE by name == DELETE by path (kernel identity)
+    val v = Snapshots.sql(spark,
+      "DELETE FROM graft.db3.t3 WHERE k <= 20").as[Long].head()
+    assert(v == 3L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db3.t3")
+      .as[Long].head() == 60L)
+    // UPDATE by name
+    Snapshots.sql(spark, "UPDATE graft.db3.t3 SET v = v + 1 WHERE k = 21")
+    assert(spark.sql("SELECT v FROM graft.db3.t3 WHERE k = 21")
+      .as[Long].head() == 211L)
+    // MERGE with a name target
+    Seq(("p1", 21L, 0L, true), ("p0", 1000L, 1L, false))
+      .toDF("part", "k", "v", "tomb").createOrReplaceTempView("cat_src")
+    Snapshots.sql(spark,
+      """MERGE INTO graft.db3.t3 AS t USING cat_src AS s ON t.k = s.k
+         WHEN MATCHED AND s.tomb THEN DELETE
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    val ks = spark.sql("SELECT k FROM graft.db3.t3")
+      .as[Long].collect().toSet
+    assert(!ks.contains(21L) && ks.contains(1000L))
+    // recognizer statements by name: HISTORY, RESTORE, OPTIMIZE
+    assert(Snapshots.sql(spark, "DESCRIBE HISTORY graft.db3.t3")
+      .count() >= 5L)
+    Snapshots.sql(spark, "RESTORE TABLE graft.db3.t3 TO VERSION AS OF 2")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db3.t3")
+      .as[Long].head() == 80L)
+    // an unregistered catalog name refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.sql(spark, "DELETE FROM nope.db.t WHERE k = 1")
+    }
+    assert(e.getMessage.contains("GraftCatalog"), e.getMessage)
+  }
+}

@@ -190,9 +190,10 @@ class SnapshotSqlSpec extends SparkSpec {
     // need lineage to stay unchanged — refused, never silently wrong
     assert(mergeWith("WHEN MATCHED AND s.v > 0 THEN DELETE " +
       "WHEN NOT MATCHED THEN INSERT *").getMessage.contains("UPDATE SET *"))
-    // explicit assignment list
+    // explicit assignment list WITHOUT the DV opt-in: routed to the
+    // row-grain kernel, which refuses with the dvEnabled pointer
     assert(mergeWith("WHEN MATCHED THEN UPDATE SET v = s.v " +
-      "WHEN NOT MATCHED THEN INSERT *").getMessage.contains("matched clauses"))
+      "WHEN NOT MATCHED THEN INSERT *").getMessage.contains("dvEnabled"))
     // target-qualified delete condition
     assert(mergeWith("WHEN MATCHED AND t.v > 0 THEN DELETE " +
       "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")

@@ -1474,6 +1474,48 @@ class SnapshotsSpec extends SparkSpec {
       Seq(100L, 200L, 300L, 444L))
   }
 
+  test("writer tasks collect file stats: identical bounds to the driver footer path, zero driver footer reads") {
+    // the commit protocol ships per-file [min, max] inside the task
+    // commit messages (StatsCommitProtocol) — the driver must fold
+    // payloads, never open footers. Pin BOTH halves: (a) a normal
+    // commit performs zero driver footer reads, (b) the recorded bounds
+    // are byte-identical to what the driver footer pool records on the
+    // same data (the seam forces the old path for the comparison).
+    def df = Seq(
+      ("a", 7L, "zeta", BigDecimal("12.3400"), java.sql.Date.valueOf("2024-01-05"), 1.5),
+      ("a", -3L, "alpha", BigDecimal("-0.0100"), java.sql.Date.valueOf("2023-11-30"), -2.25),
+      ("b c%d", 100L, "mid", BigDecimal("99999.9999"), java.sql.Date.valueOf("2025-06-01"), 0.0),
+      ("b c%d", 42L, "omega", BigDecimal("0.0001"), java.sql.Date.valueOf("2020-02-29"), 3.75))
+      .toDF("part", "k", "s", "dec", "d", "x")
+      .repartitionByRange(2, col("part"), col("k"))
+      .sortWithinPartitions("part", "k")
+    val cols = Seq("k", "s", "dec", "d", "x")
+    // per-partition multiset of per-file stats maps — file NAMES differ
+    // between the two commits, the recorded bounds must not
+    def statsOf(dir: String): Map[String, Seq[Map[String, (String, String)]]] =
+      Snapshots.readManifest(spark, dir, 1L).entries
+        .groupBy(_.value).view.mapValues(
+          _.map(_.stats).sortBy(_.toSeq.sorted.mkString("|"))).toMap
+    val taskDir = tempTable()
+    val before = Snapshots.driverFooterReads.get()
+    Snapshots.commit(spark, taskDir, df, "part", statsColumns = cols)
+    assert(Snapshots.driverFooterReads.get() == before,
+      "a normal commit must record bounds with ZERO driver footer reads")
+    val driverDir = tempTable()
+    Snapshots.taskStatsDisabled.set(true)
+    try Snapshots.commit(spark, driverDir, df, "part", statsColumns = cols)
+    finally Snapshots.taskStatsDisabled.set(false)
+    assert(Snapshots.driverFooterReads.get() > before,
+      "the seam must have routed the comparison commit through the driver pool")
+    val (task, driver) = (statsOf(taskDir), statsOf(driverDir))
+    assert(task == driver,
+      s"task-collected bounds diverge from the driver footer path:\n" +
+        s"task:   $task\ndriver: $driver")
+    // and the bounds are real: every stats column recorded on every file
+    assert(task.values.flatten.forall(st => cols.forall(st.contains)),
+      s"missing bounds in $task")
+  }
+
   test("timestamp statsColumns still record bounds under INT96 parquet output") {
     // Spark's default parquet timestamp encoding (INT96) writes no
     // usable footer statistics — the collector must fall back to the
