@@ -48,9 +48,13 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
   *  - RETENTION COVERS LAG — a version inside a planned-or-replayed
   *    range that [[Snapshots.vacuum]] retired aborts the batch (the same
   *    rule Delta documents for vacuumed streaming reads);
-  *  - the feed's schema is fixed at query start (the stream serves every
-  *    version under it; pre-evolution files null-fill added columns —
-  *    restart the stream to pick up a widened schema).
+  *  - the feed's schema is fixed per query INCARNATION (the stream
+  *    serves every version under it; pre-evolution files null-fill
+  *    added columns). A RESTART re-resolves it from the table's current
+  *    manifest, so after an add-column evolution the SAME checkpoint
+  *    continues under the widened schema with exact totals — no manual
+  *    re-seed (pinned in StreamingRobustnessSpec); a rename mid-stream
+  *    likewise serves the old logical names until restart.
   */
 class SnapshotChangeFeedSource extends StreamSourceProvider with DataSourceRegister {
 

@@ -987,13 +987,67 @@ object Snapshots {
     }
   }
 
-  /** Object-store-class: ONE conditional PUT of the full manifest bytes
-    * — `putIfAbsent` returns true iff THIS call created the object
-    * (S3 `If-None-Match: *` / GCS `ifGenerationMatch=0` semantics; the
-    * arbiter is the store, not a check-then-write). No real object
-    * store exists in this environment, so the client is injected — the
-    * tested surface is the PROTOCOL: staging, single conditional call,
-    * loser classification, tmp cleanup, and the floor re-check above. */
+  /** Object-store-class, SHIPPING client: one `createFile(target)
+    * .overwrite(false)` through Hadoop's public builder API — the call
+    * every modern connector maps to its store's server-side
+    * conditional-create primitive (S3A: `If-None-Match: *` PUT since
+    * Hadoop 3.4.1's conditional-write support, HADOOP-19256; ABFS:
+    * ETag-conditional create; the GCS connector:
+    * `ifGenerationMatch=0`), so the ARBITER IS THE STORE, not a
+    * check-then-write. The object materializes atomically at close()
+    * (a single PUT of the full manifest bytes — object stores have no
+    * torn-read window between create and close, which is exactly why
+    * this point is selected ONLY for object-store schemes; an HDFS
+    * create streams visibly and must keep using the rename point). The
+    * loser signal can surface at build() (connectors that probe early)
+    * OR at close() (S3A's conditional PUT loses the race at upload
+    * completion) — both classify as the OCC conflict; every other IO
+    * fault propagates as itself. No staging: the bytes go straight to
+    * the store (a tmp object would be a wasted write plus a leak
+    * surface). Selection is pinned in SnapshotsSpec; the end-to-end
+    * protocol (winner/loser/fault/cleanup + the floor re-check) is
+    * exercised against the local filesystem's same builder API. */
+  private[graft] object BuilderCommitPoint extends CommitPoint {
+    def commit(fs: FileSystem, target: Path, content: Array[Byte],
+        stage: () => Path): Unit = {
+      val out =
+        try fs.createFile(target).overwrite(false).build()
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            conflict(target)
+        }
+      try {
+        out.write(content)
+        out.close()
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          // the conditional PUT lost at upload completion
+          conflict(target)
+      }
+    }
+  }
+
+  /** schemes whose FileSystem connector is an OBJECT STORE: create is
+    * a single conditional PUT at close (atomic, no torn reads), so
+    * [[BuilderCommitPoint]] is the commit point there */
+  private val objectStoreSchemes =
+    Set("s3a", "s3", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss",
+      "cos", "obs")
+
+  /** the per-filesystem commit-point choice (test-pinned): local gets
+    * link(2), object stores the conditional-create builder, everything
+    * else (HDFS-class) the atomic rename */
+  private[graft] def pointForScheme(scheme: String): CommitPoint =
+    if (scheme == "file") LinkCommitPoint
+    else if (objectStoreSchemes(scheme)) BuilderCommitPoint
+    else RenameCommitPoint
+
+  /** Object-store-class, INJECTED client: ONE conditional PUT of the
+    * full manifest bytes — `putIfAbsent` returns true iff THIS call
+    * created the object. Kept as the protocol-fuzz seam (SnapshotsSpec
+    * drives the OCC fuzz through a fake atomic store) and for callers
+    * with a store client of their own; deployments on s3a/gs/abfs get
+    * [[BuilderCommitPoint]] automatically. */
   private[graft] final class ConditionalPutCommitPoint(
       putIfAbsent: (Path, Array[Byte]) => Boolean) extends CommitPoint {
     def commit(fs: FileSystem, target: Path, content: Array[Byte],
@@ -1031,8 +1085,8 @@ object Snapshots {
     // pin path too, and an object-store deployment's pin rides the
     // store's conditional PUT rather than a non-atomic rename)
     val scheme = Option(p.toUri.getScheme).getOrElse("file")
-    val point = Option(commitPointOverride.get).getOrElse(
-      if (scheme == "file") LinkCommitPoint else RenameCommitPoint)
+    val point = Option(commitPointOverride.get)
+      .getOrElse(pointForScheme(scheme))
     try { point.commit(fs, p, bytes, stage); true }
     catch { case _: CommitConflictException => false }
   }
@@ -1071,8 +1125,8 @@ object Snapshots {
       tmp
     }
     val scheme = Option(p.toUri.getScheme).getOrElse("file")
-    val point = Option(commitPointOverride.get).getOrElse(
-      if (scheme == "file") LinkCommitPoint else RenameCommitPoint)
+    val point = Option(commitPointOverride.get)
+      .getOrElse(pointForScheme(scheme))
     point.commit(fs, p, bytes, stage)
     // FLOOR RE-CHECK — the residual floor/vacuum race, folded into the
     // commit contract: a writer that passed the pre-check while a

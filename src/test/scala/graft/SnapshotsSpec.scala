@@ -1576,6 +1576,40 @@ class SnapshotsSpec extends SparkSpec {
     assert(v5 == 5L)
   }
 
+  test("BuilderCommitPoint: object-store conditional create — selection, winner, loser, no staging") {
+    // scheme routing: object stores get the conditional-create builder,
+    // local keeps link(2), HDFS-class keeps the atomic rename
+    for (sch <- Seq("s3a", "gs", "abfs", "oss"))
+      assert(Snapshots.pointForScheme(sch) eq Snapshots.BuilderCommitPoint, sch)
+    assert(Snapshots.pointForScheme("file") eq Snapshots.LinkCommitPoint)
+    assert(Snapshots.pointForScheme("hdfs") eq Snapshots.RenameCommitPoint)
+    // protocol through the SAME public builder API the connectors
+    // implement, against the local fs: winner lands the complete bytes,
+    // the loser classifies as the OCC conflict, and staging is never
+    // invoked (the bytes go straight to the store)
+    val dir = tempTable()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(dir, "_manifests/v1.txt")
+    fs.mkdirs(target.getParent)
+    var staged = 0
+    def stage(): org.apache.hadoop.fs.Path = { staged += 1; target }
+    Snapshots.BuilderCommitPoint.commit(fs, target,
+      "winner".getBytes("UTF-8"), stage _)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifests", "v1.txt")),
+      "UTF-8") == "winner")
+    val e = intercept[Exception] {
+      Snapshots.BuilderCommitPoint.commit(fs, target,
+        "loser".getBytes("UTF-8"), stage _)
+    }
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifests", "v1.txt")),
+      "UTF-8") == "winner", "the loser must not clobber the winner")
+    assert(staged == 0, "the builder point must never stage a tmp file")
+  }
+
   test("delete-recreate at the same path never serves the old table's cached manifest") {
     val dir = tempTable()
     Snapshots.commit(spark, dir,

@@ -490,6 +490,62 @@ class StreamingRobustnessSpec extends SparkSpec {
     assert(all.size == phase1.size + 5, s"duplicate feed rows: $all")
   }
 
+  test("changefeed restart under a WIDENED schema: old versions null-fill, totals exact") {
+    // the widen-on-restart assist: the feed's schema is fixed per query
+    // INCARNATION, but a restart re-resolves it from the table's current
+    // manifest — so after an add-column evolution, the same checkpoint
+    // continues under the widened schema, with the pre-evolution
+    // versions' rows served null-filled (the batch read's own rule).
+    // No manual re-seed, no checkpoint deletion, totals exact.
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdfw_tbl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdfw_ckpt").toString
+    val v1 = Snapshots.commit(spark, dir,
+      Seq(("a", 1L), ("b", 10L)).toDF("part", "x"), "part")
+    val got1 = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, String, String, Long)]())
+    locally {
+      val q = spark.readStream.format("graft_snapshot_cdf")
+        .option("path", dir).option("partCol", "part").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          assert(!b.columns.contains("y"), "phase 1 predates the evolution")
+          b.select("_commit_version", "change", "part", "x").collect()
+            .foreach(r => got1.add(
+              (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))))
+        }
+        .start()
+      graft.streaming.Streaming.drain(q)
+    }
+    assert(got1.size() == 2, s"initial snapshot: $got1")
+    // ADD-COLUMN evolution between incarnations: a full commit under the
+    // wider schema (the format's add-column shape)
+    val v2 = Snapshots.commit(spark, dir,
+      Seq(("a", 2L, "n"), ("b", 10L, "m")).toDF("part", "x", "y"), "part")
+    val got2 = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, String, String, Long, Option[String])]())
+    locally {
+      val q = spark.readStream.format("graft_snapshot_cdf")
+        .option("path", dir).option("partCol", "part").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("_commit_version", "change", "part", "x", "y").collect()
+            .foreach(r => got2.add((r.getLong(0), r.getString(1),
+              r.getString(2), r.getLong(3), Option(r.getString(4)))))
+        }
+        .start()
+      graft.streaming.Streaming.drain(q)
+    }
+    import scala.jdk.CollectionConverters._
+    // the restarted incarnation serves (v1, v2] WIDENED: the removed
+    // (pre-evolution) images carry y = NULL, the added ones real values
+    assert(got2.asScala.toList.sorted == List(
+      (v2, "added", "a", 2L, Some("n")),
+      (v2, "added", "b", 10L, Some("m")),
+      (v2, "removed", "a", 1L, None),
+      (v2, "removed", "b", 10L, None)).sorted, got2.asScala.toList)
+  }
+
   test("streamDriftEmbedding is batching-invariant and equals the batch fixpoint") {
     // the decimal per-(split, dim) sums are exact and associative, so a
     // 3-file/1-per-trigger arrival must produce the IDENTICAL report as
