@@ -28,6 +28,7 @@ import org.apache.spark.sql.functions._
 object MetaBench {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions()(_))
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")

@@ -229,12 +229,19 @@ object Plans {
     "q_layout_dpp" ->
       "dynamic partition pruning: the class filter lives on the JOINED dim scan, so the hive-partitioned fact's PartitionFilters carry a dynamicpruning subquery fed by the broadcast dim — partitions the planner cannot know are skipped at runtime (the star-schema prune; plan-asserted in PlanShapeSpec)",
     "q_dedup_audio" ->
-      "audio near-dup: fingerprint decode is ONE narrow typed SerializeFromObject/MapPartitions pass (payload bytes never shuffle); the band candidate join is an equi-join on (band_no, 8-char key) rows and the >= 60% verify is arithmetic on the grouped counts — never a second decode"
+      "audio near-dup: fingerprint decode is ONE narrow typed SerializeFromObject/MapPartitions pass (payload bytes never shuffle); the band candidate join is an equi-join on (band_no, 8-char key) rows and the >= 60% verify is arithmetic on the grouped counts — never a second decode",
+    "q_layout_dv" ->
+      "deletion vectors (r17): the needle DELETE/UPDATE plans are ONE counting scan over just the bounds-affected files plus a tiny executor-side sidecar write — no file rewrite in any plan; the final read is the one-scan version read with the mask applied as a BROADCAST ANTI JOIN (BroadcastHashJoin LeftAnti) on the hidden parquet row position, inside whole-stage codegen; DV-free tables keep the r16 plan byte-identical (the mask branch is zero-cost when no entry carries a sidecar ref)",
+    "q_layout_catalog" ->
+      "name-addressed tables (r17): the catalog read (SELECT ... FROM graft.lake.users VERSION AS OF n) plans the IDENTICAL manifest-served FileSourceScan as the path form — the injected analyzer rule substitutes the DataSourceV2Relation with the same V1 relation, reusing its exprIds — so name resolution costs metadata only (GraftCatalogSpec pins exprId-stripped plan equality); the DML statements dispatch onto the same bounds-selected kernels as q_layout_dml",
+    "q_layout_merge_expr" ->
+      "row-grain MERGE (r17): file selection is the same metadata-only key-bounds intersection as the fast merge path, the matched-row join shuffles the SOURCE plus only the affected files' rows once on the key, the winning clause's SET expressions fold in the image projection, and no matched file is rewritten — old images are masked (sidecar), images + inserts append; write amplification O(matched + inserted rows)"
   )
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions()(_))
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
