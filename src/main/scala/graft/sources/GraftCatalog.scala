@@ -54,11 +54,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Delta's exact architecture: its catalog also hands the analyzer a
   * marker table that analysis rules rewrite into the real scan.
   *
-  * Writes go through the format's own commit surface
-  * ([[Snapshots.commit]]/[[Snapshots.sql]] DML with either addressing);
-  * `INSERT INTO` a catalog name is refused by Spark's capability check
-  * (no SupportsWrite) rather than silently planning a non-transactional
-  * write around the manifest protocol. */
+  * Writes: `INSERT INTO graft.db.t` appends through the V1 write
+  * fallback ([[Snapshots.append]] — new files by reference-carry, the
+  * same OCC manifest commit as every other write, bounds auto-collected
+  * task-side) and `INSERT OVERWRITE` is a full-snapshot replace; DML
+  * (DELETE/UPDATE/MERGE/...) goes through [[Snapshots.sql]], which
+  * accepts either addressing. A non-transactional path write around the
+  * manifest protocol is never planned. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
@@ -263,7 +265,16 @@ object GraftCatalog {
     * like a path read: DataSourceV2Relation(GraftTable) becomes a
     * LogicalRelation over the table's pinned V1 relation, REUSING the
     * V2 relation's attribute ids (operators above have already resolved
-    * against them). Injected by `graft.GraftExtensions`. */
+    * against them). Injected by `graft.GraftExtensions`.
+    *
+    * WRITE TARGETS are untouched by construction: `resolveOperatorsUp`
+    * walks CHILDREN, and a V2 write command (AppendData /
+    * OverwriteByExpression) holds its target as the `table` FIELD, not
+    * a child — only its `query` subtree is traversed. So the INSERT
+    * path keeps its DataSourceV2Relation and resolves through
+    * [[GraftTable]]'s V1 write fallback, while every read-side
+    * occurrence (which IS a child of its consumer) substitutes. Do not
+    * "simplify" this rule to a raw transform over all fields. */
   final class V1FallbackRule(session: SparkSession)
       extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
@@ -280,9 +291,18 @@ object GraftCatalog {
   * substitutes the real scan. The V1 relation resolves EAGERLY at load
   * so schema inference, the substitution, and execution all see one
   * immutable version (snapshot isolation — same rule as the
-  * `USING graft_snapshot` view surface). */
+  * `USING graft_snapshot` view surface).
+  *
+  * WRITES go through the V1 write fallback (`V1_BATCH_WRITE`), so
+  * `INSERT INTO graft.db.t ...` is [[Snapshots.append]] — new files +
+  * one manifest line each, every existing file carried by reference,
+  * committed through the same OCC manifest protocol as every other
+  * write (never a path write around it) — and
+  * `INSERT OVERWRITE graft.db.t ...` is a full-snapshot replace. Both
+  * record per-column bounds via the writer-task stats path. */
 final case class GraftTable(spark: SparkSession, ident: Identifier,
-    dir: String, snapshotVersion: Long) extends Table {
+    dir: String, snapshotVersion: Long)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   /** the SAME relation every other read surface plans
     * ([[Snapshots.relationAt]]): manifest-served file index, zero
@@ -310,6 +330,35 @@ final case class GraftTable(spark: SparkSession, ident: Identifier,
     Map("location" -> dir, "partCol" -> partCol,
       "version" -> snapshotVersion.toString).asJava
 
-  override def capabilities(): util.Set[TableCapability] =
-    util.Collections.emptySet()
+  override def capabilities(): util.Set[TableCapability] = {
+    val s = new util.HashSet[TableCapability]()
+    s.add(TableCapability.V1_BATCH_WRITE)
+    s.add(TableCapability.TRUNCATE)
+    s
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, ow: Boolean) => {
+              if (overwrite || ow)
+                Snapshots.commit(spark, dir, data, partCol,
+                  statsColumns = Snapshots.supportedStatsColumns(
+                    Snapshots.tableSchema(spark, dir)))
+              else Snapshots.append(spark, dir, data, partCol)
+              ()
+            }
+        }
+    }
 }

@@ -1258,9 +1258,22 @@ object Snapshots {
     else s.conf.getOption("spark.graft.snapshot.dvMaxFraction")
       .map(_.toDouble).getOrElse(0.2)
 
-  /** scheme/encoding-independent file identity, for matching manifest
-    * entry paths against the scan's `_metadata.file_path` strings */
+  /** scheme-independent identity of a MANIFEST entry path (listStatus's
+    * raw form, e.g. `part=a b`, `part=p%2520q` exactly as on disk) */
   private def normPath(p: String): String = new Path(p).toUri.getPath
+
+  /** scheme-independent identity of a `_metadata.file_path` string —
+    * which arrives URL-ENCODED (`part=a%20b` for the on-disk `part=a b`;
+    * a literal '%' double-encodes), like input_file_name(): decode
+    * through URI so it matches [[normPath]] of the entry recorded for
+    * the same file. Matching the two raw forms directly would silently
+    * classify every hostile-valued partition's file as untouched — the
+    * DV delete would NO-OP on rows it matched (spec-pinned). */
+  private def metaPath(p: String): String =
+    try new Path(new java.net.URI(p)).toUri.getPath
+    catch { case _: java.net.URISyntaxException =>
+      new Path(p).toUri.getPath
+    }
 
   /** [[scanEntries]] plus the scan's PHYSICAL row position exposed as
     * ordinary columns (`__pos_file`, `__pos_idx`) — what the DV-writing
@@ -1306,13 +1319,20 @@ object Snapshots {
       .repartition(1)
       .write.parquet(name)
     val cards = s.read.parquet(name).select("path", "card").collect()
-      .map(r => normPath(r.getString(0)) -> r.getLong(1)).toMap
+      .map(r => metaPath(r.getString(0)) -> r.getLong(1)).toMap
     (name, cards)
   }
 
   private def schemaOf(s: SparkSession, m: Manifest): StructType =
     // header-less manifests (none are written anymore): one footer read
     m.schema.getOrElse(s.read.parquet(m.entries.head.path).schema)
+
+  /** the columns of `schema` whose types support recorded [min, max]
+    * bounds — the Delta-style auto-collect default `append`/the catalog
+    * write surface use */
+  def supportedStatsColumns(schema: StructType): Seq[String] =
+    schema.fields.toSeq.filter(f => StatCodec.supported(f.dataType))
+      .map(_.name)
 
   /** the table's current LOGICAL data schema (partition column not
     * included) — metadata only, one manifest read */
@@ -1474,6 +1494,39 @@ object Snapshots {
       statsColumns: Seq[String] = Nil): Long =
     commitImpl(s, dir, df, partCol, carryUntouched = false, Set.empty, None,
       statsColumns)
+
+  /** APPEND-as-version: add `df`'s rows as fresh files while EVERY
+    * existing file carries by reference — the `INSERT INTO` shape (new
+    * files + one manifest line each; commit metadata O(appended files +
+    * segments), never table size). `statsColumns = null` (the default)
+    * records bounds for EVERY supported atomic column — Delta's
+    * auto-collect default, affordable because the bounds come from the
+    * writer tasks' own footers ([[StatsCommitProtocol]]); pass an
+    * explicit list (or Nil) to narrow. The commit is pinned and retries
+    * through the usual OCC loop. */
+  def append(s: SparkSession, dir: String, df: DataFrame, partCol: String,
+      statsColumns: Seq[String] = null, attempts: Int = 5): Long =
+    dmlRetry(s, dir, attempts) { () =>
+      val cur = currentVersion(s, dir)
+      require(cur >= 1,
+        s"Snapshots: append needs a committed table at $dir — seed with " +
+          "commit() or createEmpty()")
+      val m = readManifest(s, dir, cur)
+      val schema = schemaOf(s, m)
+      val missing = (schema.fieldNames.toSeq :+ partCol)
+        .filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"Snapshots: append frame is missing column(s) " +
+          s"${missing.mkString(", ")}")
+      val stats = Option(statsColumns)
+        .getOrElse(supportedStatsColumns(schema))
+      val projected = df.select(schema.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)) :+ col(partCol): _*)
+      commitImpl(s, dir, projected, partCol, carryUntouched = false,
+        Set.empty, expectedPrev = Some(cur), statsColumns = stats,
+        carriedOverride = Some(m.entries),
+        prevManifestHint = Some(m), op = "append")
+    }
 
   /** CREATE TABLE's v1: an empty version carrying only the declared
     * schema — the ONE legal empty commit (every rewrite path keeps
@@ -2335,7 +2388,7 @@ object Snapshots {
       .agg(count(lit(1)).as("live"),
         sum(when(hit, 1L).otherwise(0L)).as("hits"))
       .collect()
-      .map(r => normPath(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+      .map(r => metaPath(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
       .toMap
     def liveHits(e: Entry): (Long, Long) =
       counts.getOrElse(normPath(e.path), (0L, 0L))
@@ -2446,7 +2499,7 @@ object Snapshots {
       .agg(count(lit(1)).as("live"),
         sum(when(hit, 1L).otherwise(0L)).as("hits"))
       .collect()
-      .map(r => normPath(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+      .map(r => metaPath(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
       .toMap
     def liveHits(e: Entry): (Long, Long) =
       counts.getOrElse(normPath(e.path), (0L, 0L))
@@ -2609,7 +2662,7 @@ object Snapshots {
       val newPairs = claimed.select(
         col("__pos_file").as("__dv_path"), col("__pos_idx").as("__dv_ord"))
       val touchedPaths = claimed.select(col("__pos_file")).distinct()
-        .collect().map(r => normPath(r.getString(0))).toSet
+        .collect().map(r => metaPath(r.getString(0))).toSet
       val touched = affected.filter(e => touchedPaths(normPath(e.path)))
       if (touched.isEmpty) Nil
       else {

@@ -73,6 +73,38 @@ class GraftCatalogSpec extends SparkSpec {
       byPath.as[(Long, Long)].collect().sorted.toSeq)
   }
 
+  test("INSERT INTO appends by reference; INSERT OVERWRITE replaces; CDF sees the append") {
+    val dir = seed("db4", "t4")
+    def files(v: Long): Set[String] =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        f"$dir/_manifests/v$v%08d.txt")), "UTF-8")
+        .split("\n").filterNot(_.startsWith("#")).map(_.split("\t")(1)).toSet
+    val v0 = Snapshots.currentVersion(spark, dir)
+    spark.sql("INSERT INTO graft.db4.t4 VALUES (900, 9000, 'p9'), (901, 9010, 'p9')")
+    val v1 = Snapshots.currentVersion(spark, dir)
+    assert(v1 == v0 + 1, "INSERT INTO must commit exactly one version")
+    assert(files(v0).subsetOf(files(v1)),
+      "append must carry every existing file by reference")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db4.t4")
+      .as[Long].head() == 82L)
+    // the appended rows recorded bounds (auto-collect default): a
+    // bounds-proven-empty DELETE over the new partition must no-op
+    assert(Snapshots.delete(spark, dir, "part",
+      col("part") === "p9" && col("k") > 5000L) == v1,
+      "appended files must carry k bounds for DML selection")
+    // the change feed dates the appended partition to the append commit
+    val d = Snapshots.diff(spark, dir, "part", v0, v1)
+    assert(d.filter(col("change") === "added").count() == 2L &&
+      d.filter(col("change") === "removed").count() == 0L, "append CDF")
+    // INSERT OVERWRITE = a full-snapshot replace
+    spark.sql("INSERT OVERWRITE graft.db4.t4 VALUES (1, 10, 'p0')")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db4.t4")
+      .as[Long].head() == 1L)
+    // time travel still serves the pre-overwrite state
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.db4.t4 VERSION AS OF $v1")
+      .as[Long].head() == 82L)
+  }
+
   test("Snapshots.sql accepts the catalog name addressing for DML and DDL") {
     val dir = seed("db3", "t3")
     // DELETE by name == DELETE by path (kernel identity)

@@ -160,6 +160,37 @@ class SnapshotDvSpec extends SparkSpec {
     }
   }
 
+  test("the STREAMING change feed serves a DV-masked table exactly") {
+    // the streaming scan path (manifestStreamScan) must apply masks the
+    // same way the batch path does — the feed's 'added' side of a
+    // DV-masked version is a streaming-tagged scan with the anti join
+    withDv {
+      val dir = tempTable()
+      seed(dir)
+      Snapshots.delete(spark, dir, "part", col("k") === 7L)
+      assert(dvRefs(dir, 2L).nonEmpty, "fixture must actually mask")
+      val got = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Long, String, Long)]())
+      val q = spark.readStream.format("graft_snapshot_cdf")
+        .option("path", dir).option("partCol", "part").load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("_commit_version", "change", "k").collect()
+            .foreach(r => got.add((r.getLong(0), r.getString(1), r.getLong(2))))
+        }
+        .start()
+      graft.streaming.Streaming.drain(q)
+      import scala.jdk.CollectionConverters._
+      val rows = got.asScala.toList
+      // v1 snapshot: all 200; v2 step: p0's 100 removed + 99 added (7 masked)
+      assert(rows.count(r => r._1 == 1L && r._2 == "added") == 200)
+      assert(rows.count(r => r._1 == 2L && r._2 == "removed") == 100)
+      val added2 = rows.filter(r => r._1 == 2L && r._2 == "added").map(_._3)
+      assert(added2.size == 99 && !added2.contains(7L),
+        s"the masked row must not appear in the feed's added side")
+    }
+  }
+
   test("OPTIMIZE retires masks and vacuum collects orphan sidecars") {
     withDv {
       val dir = tempTable()
@@ -242,6 +273,42 @@ class SnapshotDvSpec extends SparkSpec {
         Seq(Snapshots.MergeDelete(None)), insertUnmatched = false)
     }
     assert(e2.getMessage.contains("dvEnabled"), e2.getMessage)
+  }
+
+  test("DV DML is exact on HOSTILE partition values (spaces, percents, equals)") {
+    // the per-file classification map crosses two path worlds — manifest
+    // entry paths (listStatus) vs the scan's _metadata.file_path — and
+    // the escaped partition-dir names are where they can disagree; a
+    // mismatch would silently classify a matching file as clean and SKIP
+    // the delete
+    withDv {
+      val dir = tempTable()
+      val df = (0L until 300L).map(k =>
+        // space, literal percent-escape lookalike, and '=' (all escaped
+        // in dir names); non-ASCII is untestable here — the container
+        // JVM runs sun.jnu.encoding=ASCII, so the FILESYSTEM rejects it
+        // before any engine code runs
+        (Seq("a b", "p%20q", "x=y+z")(k.toInt / 100), k, k * 10L))
+        .toDF("part", "k", "v")
+        .repartitionByRange(3, col("part")).sortWithinPartitions("part", "k")
+      Snapshots.commit(spark, dir, df, "part", statsColumns = Seq("k"))
+      val v2 = Snapshots.delete(spark, dir, "part",
+        col("k").isin(7L, 107L, 207L)) // one needle per hostile partition
+      assert(v2 == 2L, "the delete must commit")
+      assert(filesOf(dir, v2) == filesOf(dir, 1L),
+        "all three needles must take the mask path (no rewrite)")
+      assert(dvRefs(dir, v2).size == 3, dvRefs(dir, v2).toString)
+      val ks = Snapshots.read(spark, dir, "part", v2)
+        .select("k").as[Long].collect().toSet
+      assert(ks.size == 297 && !ks(7L) && !ks(107L) && !ks(207L),
+        "every hostile partition's needle must be masked")
+      // and the update twin appends images into the right partitions
+      Snapshots.update(spark, dir, "part", col("k") === 8L,
+        Map("v" -> lit(-1L)))
+      assert(Snapshots.read(spark, dir, "part")
+        .filter(col("k") === 8L).select("part", "v")
+        .as[(String, Long)].head() == ("a b", -1L))
+    }
   }
 
   test("dvEnabled unset keeps the pure-rewrite path byte-identical") {
