@@ -309,6 +309,10 @@ private[graft] object SnapshotSql {
       case SubqueryAlias(id, _) => Some(id.name)
       case _ => None
     }
+    val schema = Snapshots.tableSchema(s, dir)
+    val source = Bridge.ofRows(s, m.sourceTable)
+    val srcCols = source.columns.toSet
+    val targetCols = schema.fieldNames.toSet + partCol
     def mergeCol(e: Expression): Column = Bridge.column(e.transform {
       case a: UnresolvedAttribute if a.nameParts.length > 1 =>
         if (sourceAlias.contains(a.nameParts.head))
@@ -319,10 +323,21 @@ private[graft] object SnapshotSql {
           s"MERGE expression references ${a.sql} whose qualifier is " +
             s"neither the source alias${sourceAlias.fold("")(x => s" ('$x')")}" +
             s" nor the target alias${targetAlias.fold("")(x => s" ('$x')")}")
-      // bare names bind to the TARGET row (the UPDATE SET v = v + 1
-      // reading); qualify by the source alias to reach the source side
+      case a: UnresolvedAttribute
+          if targetCols(a.name) && srcCols(a.name) =>
+        // a bare name both sides carry is AMBIGUOUS — and worse than
+        // ambiguous here: the canonical kernel evaluates bare delete
+        // conditions on the SOURCE row, so silently binding the target
+        // would flip semantics when a statement moves between kernels.
+        // Spark's own MERGE throws AMBIGUOUS_REFERENCE for this; so do we.
+        refuse(s"MERGE expression references bare '${a.name}', which " +
+          "exists on BOTH sides — qualify it by the source or target alias")
+      case a: UnresolvedAttribute
+          if srcCols(a.name) && !targetCols(a.name) =>
+        UnresolvedAttribute(Seq(s"__src_${a.name}"))
+      // a target-only bare name stays as-is and resolves on the joined
+      // frame's target columns
     })
-    val schema = Snapshots.tableSchema(s, dir)
     val actions: Seq[Snapshots.MergeAction] = m.matchedActions.map {
       case UpdateAction(cond, assigns, _) =>
         val set = assigns.map {
@@ -349,7 +364,6 @@ private[graft] object SnapshotSql {
         "MERGE not-matched clause must be WHEN NOT MATCHED THEN INSERT * " +
           s"or absent; got ${other.map(_.getClass.getSimpleName).mkString(", ")}")
     }
-    val source = Bridge.ofRows(s, m.sourceTable)
     Seq(Snapshots.mergeRows(s, dir, partCol, key, source, actions, insert))
       .toDF("version")
   }

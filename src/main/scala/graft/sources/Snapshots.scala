@@ -1020,26 +1020,54 @@ object Snapshots {
         out.write(content)
         out.close()
       } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          // the conditional PUT lost at upload completion
-          conflict(target)
+        case e: Throwable =>
+          // release the stream WITHOUT completing the upload where the
+          // store supports abort (S3A's block output stream leaks a
+          // pending multipart upload if merely abandoned); a store
+          // without abort gets a swallowed best-effort close — on a
+          // flat store close-after-fault either completes our own
+          // intended bytes or fails, never a torn object
+          try out.abort()
+          catch { case _: Throwable =>
+            try out.close() catch { case _: Throwable => () }
+          }
+          e match {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+              // the conditional PUT lost at upload completion
+              conflict(target)
+            case _ if e.getClass.getName
+                .endsWith("RemoteFileChangedException") ||
+                Option(e.getMessage).exists(m =>
+                  m.contains("PreconditionFailed") || m.contains("412")) =>
+              // S3A surfaces a lost If-None-Match race as a remote-
+              // precondition failure (HTTP 412), not FAE — still the
+              // OCC loser signal, matched structurally so the class
+              // needn't be on the compile classpath
+              conflict(target)
+            case _ => throw e
+          }
       }
     }
   }
 
-  /** schemes whose FileSystem connector is an OBJECT STORE: create is
-    * a single conditional PUT at close (atomic, no torn reads), so
-    * [[BuilderCommitPoint]] is the commit point there */
-  private val objectStoreSchemes =
-    Set("s3a", "s3", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss",
-      "cos", "obs")
+  /** schemes whose connector is a FLAT object store with a documented
+    * conditional-create mapping — the object materializes atomically at
+    * close (a single conditional PUT), so [[BuilderCommitPoint]] is the
+    * commit point there. HIERARCHICAL cloud filesystems (abfs/wasb)
+    * deliberately stay on [[RenameCommitPoint]]: their create is
+    * visible-then-append (a crash mid-stream would leave a torn
+    * manifest at the final path, permanently wedging the version slot),
+    * and their rename is genuinely atomic — the correct primitive
+    * for them, same as HDFS. */
+  private val flatStoreSchemes = Set("s3a", "gs", "oss", "cos", "obs")
 
   /** the per-filesystem commit-point choice (test-pinned): local gets
-    * link(2), object stores the conditional-create builder, everything
-    * else (HDFS-class) the atomic rename */
+    * link(2), flat object stores the conditional-create builder,
+    * everything else (HDFS-class AND hierarchical cloud FS) the atomic
+    * rename */
   private[graft] def pointForScheme(scheme: String): CommitPoint =
     if (scheme == "file") LinkCommitPoint
-    else if (objectStoreSchemes(scheme)) BuilderCommitPoint
+    else if (flatStoreSchemes(scheme)) BuilderCommitPoint
     else RenameCommitPoint
 
   /** Object-store-class, INJECTED client: ONE conditional PUT of the
@@ -1299,6 +1327,32 @@ object Snapshots {
     else masked.select(schema.fields.toSeq.map(f =>
       col(ColumnMapping.physicalName(f)).as(f.name)) ++
       Seq(col(partCol), col("__pos_file"), col("__pos_idx")): _*)
+  }
+
+  /** Extend the masks of `masked` entries with `newPairs` (freshly
+    * matched (`__dv_path`, `__dv_ord`) rows): ONE new sidecar holding
+    * new ∪ old ordinals, returned as the entries re-pointed at it —
+    * the single mask-growth primitive DELETE/UPDATE/row-grain MERGE all
+    * share. The old-mask union is deliberately UNRESTRICTED: every pair
+    * of every sidecar the masked entries reference rides along, other
+    * files' rows included. Stray rows are unused (nothing in the new
+    * version binds them through this sidecar) and are always
+    * current-or-older masks of their files — harmless under the scan's
+    * subset-union rule — while restricting the union to the files
+    * `newPairs` mentions would LOSE file F's old mask whenever a
+    * non-deterministic predicate's second evaluation matched no F row:
+    * F's dv ref would point at a sidecar missing F's ordinals and its
+    * previously deleted rows would RESURRECT. */
+  private def extendMasks(s: SparkSession, dir: String, targetV: Long,
+      masked: Seq[Entry], newPairs: DataFrame): Seq[Entry] = {
+    if (masked.isEmpty) return Nil
+    val pairs = dvPairs(s, masked) match {
+      case None => newPairs
+      case Some(old) => newPairs.unionByName(old)
+    }
+    val (dvName, cards) = writeDvSidecar(s, dir, targetV, pairs)
+    masked.map(e => e.copy(dv =
+      Some((dvName, cards.getOrElse(normPath(e.path), 0L)))))
   }
 
   /** Write ONE deletion-vector sidecar (a small parquet of
@@ -2400,25 +2454,9 @@ object Snapshots {
     val (masked, rewrite) = partial.partition { e =>
       val (l, h) = liveHits(e); h.toDouble / l <= dvMax
     }
-    val dvEntries =
-      if (masked.isEmpty) Nil
-      else {
-        val posM = scanEntriesWithPos(s, partCol, schema, masked)
-        val newPairs = posM.filter(hit).select(
-          col("__pos_file").as("__dv_path"), col("__pos_idx").as("__dv_ord"))
-        // old masks of exactly these files union in (a shared sidecar
-        // may also hold other files' ordinals — excluded here so the
-        // new sidecar stays self-contained for its referencing entries)
-        val pairs = dvPairs(s, masked) match {
-          case None => newPairs
-          case Some(old) => newPairs.unionByName(old.join(
-            newPairs.select(col("__dv_path")).distinct(),
-            Seq("__dv_path"), "left_semi"))
-        }
-        val (dvName, cards) = writeDvSidecar(s, dir, cur + 1, pairs)
-        masked.map(e => e.copy(dv =
-          Some((dvName, cards.getOrElse(normPath(e.path), 0L)))))
-      }
+    val dvEntries = extendMasks(s, dir, cur + 1, masked,
+      scanEntriesWithPos(s, partCol, schema, masked).filter(hit).select(
+        col("__pos_file").as("__dv_path"), col("__pos_idx").as("__dv_ord")))
     val survivors = scanEntries(s, partCol, schema, rewrite).filter(!hit)
     commitImpl(s, dir, survivors, partCol, carryUntouched = false,
       Set.empty, expectedPrev = Some(cur),
@@ -2512,25 +2550,17 @@ object Snapshots {
       if (masked.isEmpty)
         (Nil, None)
       else {
+        // ONE materialized evaluation of the predicate feeds both the
+        // mask and the images — a non-deterministic WHERE re-evaluated
+        // between them could mask one row set and append another
         val posM = scanEntriesWithPos(s, partCol, schema, masked)
           .filter(hit).localCheckpoint()
-        val pairs = {
-          val newPairs = posM.select(
-            col("__pos_file").as("__dv_path"), col("__pos_idx").as("__dv_ord"))
-          dvPairs(s, masked) match {
-            case None => newPairs
-            case Some(old) => newPairs.unionByName(old.join(
-              newPairs.select(col("__dv_path")).distinct(),
-              Seq("__dv_path"), "left_semi"))
-          }
-        }
-        val (dvName, cards) = writeDvSidecar(s, dir, cur + 1, pairs)
+        val dvEs = extendMasks(s, dir, cur + 1, masked, posM.select(
+          col("__pos_file").as("__dv_path"), col("__pos_idx").as("__dv_ord")))
         val images = posM.select(schema.fields.toSeq.map(f =>
           set.get(f.name).map(_.cast(f.dataType).as(f.name))
             .getOrElse(col(f.name))) :+ col(partCol): _*)
-        (masked.map(e => e.copy(dv =
-          Some((dvName, cards.getOrElse(normPath(e.path), 0L))))),
-          Some(images))
+        (dvEs, Some(images))
       }
     val cols = schema.fields.toSeq.map { f =>
       set.get(f.name)
@@ -2615,10 +2645,16 @@ object Snapshots {
         s"Snapshots: INSERT * needs the source to carry " +
           s"${missing.mkString(", ")}")
     }
+    // the source is PINNED first (localCheckpoint): the census below,
+    // the span, the join, and the image projection must all see ONE
+    // evaluation — a census run on the un-pinned frame could pass while
+    // a non-deterministic source re-materializes duplicate or NULL keys
+    // for the actual merge (the exact ambiguity the census refuses)
+    val src = source.localCheckpoint()
     // source keys must be unique AND non-null: a multi-match would make
     // the masked-row/new-image pairing ambiguous (Delta errors the same
     // way), a NULL key matches nothing and would re-insert forever
-    val census = source.agg(count(lit(1)).as("n"),
+    val census = src.agg(count(lit(1)).as("n"),
       count(col(keyCol)).as("nk"),
       count_distinct(col(keyCol)).as("nd")).collect()(0)
     require(census.getLong(0) == census.getLong(1),
@@ -2629,9 +2665,7 @@ object Snapshots {
         "per target row is the only exact row-grain semantics")
     // bounds-selected files, same conservative rule as merge(): only
     // files whose recorded key bounds overlap the source's key span can
-    // hold a match (localCheckpoint pins the source: the span, the join,
-    // and the image projection must all see ONE evaluation)
-    val src = source.localCheckpoint()
+    // hold a match
     val spanRow = src.agg(min(col(keyCol)), max(col(keyCol))).collect()(0)
     val (affected, carried) =
       if (spanRow.isNullAt(0)) (Nil, m.entries) // empty source
@@ -2659,23 +2693,11 @@ object Snapshots {
     val claimed = joined.withColumn("__op", opCol)
       .filter(col("__op").isNotNull).localCheckpoint()
     val dvEntries = {
-      val newPairs = claimed.select(
-        col("__pos_file").as("__dv_path"), col("__pos_idx").as("__dv_ord"))
       val touchedPaths = claimed.select(col("__pos_file")).distinct()
         .collect().map(r => metaPath(r.getString(0))).toSet
       val touched = affected.filter(e => touchedPaths(normPath(e.path)))
-      if (touched.isEmpty) Nil
-      else {
-        val pairs = dvPairs(s, touched) match {
-          case None => newPairs
-          case Some(old) => newPairs.unionByName(old.join(
-            newPairs.select(col("__dv_path")).distinct(),
-            Seq("__dv_path"), "left_semi"))
-        }
-        val (dvName, cards) = writeDvSidecar(s, dir, cur + 1, pairs)
-        touched.map(e => e.copy(dv =
-          Some((dvName, cards.getOrElse(normPath(e.path), 0L)))))
-      }
+      extendMasks(s, dir, cur + 1, touched, claimed.select(
+        col("__pos_file").as("__dv_path"), col("__pos_idx").as("__dv_ord")))
     }
     val touchedPathSet = dvEntries.map(e => normPath(e.path)).toSet
     val untouchedAffected =
@@ -2707,7 +2729,10 @@ object Snapshots {
       else pieces.reduce(_ unionByName _)
     commitImpl(s, dir, written, partCol, carryUntouched = false,
       Set.empty, expectedPrev = Some(cur),
-      statsColumns = keepableStats(schema, affected),
+      // bounds for every column the TABLE tracks (m.entries, not just
+      // the affected slice): an insert-only merge must still record the
+      // new files' bounds or later DML selection would degrade
+      statsColumns = keepableStats(schema, m.entries),
       carriedOverride = Some(carried ++ untouchedAffected ++ dvEntries),
       dataChangeValues = dvEntries.map(_.value).toSet,
       prevManifestHint = Some(m), op = "merge")
@@ -3417,12 +3442,23 @@ object Snapshots {
     val statsWanted: Map[String, DataType] =
       if (statsColumns.isEmpty || taskStatsDisabled.get) Map.empty
       else statsFooterSplit(s, dataSchema, statsColumns)._3
-    if (statsWanted.nonEmpty) {
+    val taskStatsActive = statsWanted.nonEmpty && {
       val confKey = "spark.sql.sources.commitProtocolClass"
       val cls = classOf[StatsCommitProtocol].getName
-      if (!s.conf.getOption(confKey).contains(cls)) s.conf.set(confKey, cls)
-      StatsCommitProtocol.register(dataDir, statsWanted)
+      val sparkDefault = "org.apache.spark.sql.execution.datasources." +
+        "SQLHadoopMapReduceCommitProtocol"
+      s.conf.getOption(confKey) match {
+        case None | Some(`sparkDefault`) =>
+          s.conf.set(confKey, cls); true
+        case Some(`cls`) => true
+        case Some(_) =>
+          // the USER configured a custom commit protocol (e.g. a cloud
+          // committer binding) — never clobber it; this commit's bounds
+          // fall back to the driver residue pool, correct just slower
+          false
+      }
     }
+    if (taskStatsActive) StatsCommitProtocol.register(dataDir, statsWanted)
     val taskStats: Map[String, Map[String, (String, String)]] =
       try {
         dfOut.write.mode("error").partitionBy(partCol).parquet(dataDir)

@@ -223,11 +223,11 @@ class SnapshotDvSpec extends SparkSpec {
             USING (SELECT part, k, delta, tomb, k * 10 AS v FROM mr_src) AS s
             ON t.k = s.k
             WHEN MATCHED AND s.tomb THEN DELETE
-            WHEN MATCHED THEN UPDATE SET v = v + s.delta
+            WHEN MATCHED THEN UPDATE SET v = t.v + s.delta
             WHEN NOT MATCHED THEN INSERT *""").as[Long].collect().head
       val rows = Snapshots.read(spark, dir, "part", v)
         .select("k", "v").as[(Long, Long)].collect().toMap
-      assert(rows(7L) == 71L, "SET v = v + s.delta must see both sides")
+      assert(rows(7L) == 71L, "SET v = t.v + s.delta must see both sides")
       assert(!rows.contains(8L), "the DELETE clause fires first (clause order)")
       assert(rows(150L) == 1505L)
       assert(rows(1000L) == 10000L, "unmatched source row must insert")
@@ -263,6 +263,22 @@ class SnapshotDvSpec extends SparkSpec {
           Seq(Snapshots.MergeDelete(None)), insertUnmatched = false)
       }
       assert(e.getMessage.contains("unique"), e.getMessage)
+    }
+    // a bare name BOTH sides carry is refused (Spark's own MERGE throws
+    // AMBIGUOUS_REFERENCE; silently binding one side would flip
+    // semantics between the canonical and row-grain kernels)
+    withDv {
+      val dirA = tempTable()
+      seed(dirA)
+      Seq(("p0", 7L, 1L)).toDF("part", "k", "v")
+        .createOrReplaceTempView("mr_amb")
+      val ea = intercept[IllegalArgumentException] {
+        Snapshots.sql(spark,
+          s"""MERGE INTO graft_snapshot.`$dirA` AS t
+              USING mr_amb AS s ON t.k = s.k
+              WHEN MATCHED THEN UPDATE SET v = v + 1""")
+      }
+      assert(ea.getMessage.contains("BOTH sides"), ea.getMessage)
     }
     // without the opt-in the kernel refuses with the pointer
     val dir2 = tempTable()

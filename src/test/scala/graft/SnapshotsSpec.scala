@@ -1577,12 +1577,16 @@ class SnapshotsSpec extends SparkSpec {
   }
 
   test("BuilderCommitPoint: object-store conditional create — selection, winner, loser, no staging") {
-    // scheme routing: object stores get the conditional-create builder,
-    // local keeps link(2), HDFS-class keeps the atomic rename
-    for (sch <- Seq("s3a", "gs", "abfs", "oss"))
+    // scheme routing: FLAT object stores get the conditional-create
+    // builder, local keeps link(2), HDFS-class AND hierarchical cloud
+    // filesystems (abfs/wasb — create is visible-then-append there, so
+    // a crash mid-stream would leave a torn manifest; their rename IS
+    // atomic) keep the rename point
+    for (sch <- Seq("s3a", "gs", "oss"))
       assert(Snapshots.pointForScheme(sch) eq Snapshots.BuilderCommitPoint, sch)
     assert(Snapshots.pointForScheme("file") eq Snapshots.LinkCommitPoint)
-    assert(Snapshots.pointForScheme("hdfs") eq Snapshots.RenameCommitPoint)
+    for (sch <- Seq("hdfs", "abfs", "abfss", "wasb", "viewfs"))
+      assert(Snapshots.pointForScheme(sch) eq Snapshots.RenameCommitPoint, sch)
     // protocol through the SAME public builder API the connectors
     // implement, against the local fs: winner lands the complete bytes,
     // the loser classifies as the OCC conflict, and staging is never
