@@ -447,10 +447,13 @@ object Snapshots {
 
   /** Drop cached metadata for ONE table dir — the user-facing
     * invalidation hatch (Delta's `DeltaLog.clearCache` shape) for the
-    * cases (len, mtime) validation can't see in principle, e.g. an
-    * external process still mid-recreate. Reads after this re-stat and
-    * re-parse from disk; never needed for the common delete-recreate
-    * flow, which the status check on every read already detects. */
+    * cases (len, mtime) validation can't see: an external process still
+    * mid-recreate, or a recreate landing a SAME-LENGTH manifest within
+    * one mtime tick of the original (possible on coarse-granularity
+    * filesystems — fixed-width header fields make equal lengths
+    * likely for same-shaped tables). Reads after this re-stat and
+    * re-parse from disk; the status check on every read covers the
+    * ordinary delete-recreate flow. */
   def invalidateCaches(dir: String): Unit = {
     val norm = new Path(dir).toUri.getPath.stripSuffix("/") + "/"
     def prune[V](cache: java.util.LinkedHashMap[String, V]): Unit =
@@ -1036,13 +1039,15 @@ object Snapshots {
               // the conditional PUT lost at upload completion
               conflict(target)
             case _ if e.getClass.getName
-                .endsWith("RemoteFileChangedException") ||
-                Option(e.getMessage).exists(m =>
-                  m.contains("PreconditionFailed") || m.contains("412")) =>
-              // S3A surfaces a lost If-None-Match race as a remote-
-              // precondition failure (HTTP 412), not FAE — still the
-              // OCC loser signal, matched structurally so the class
-              // needn't be on the compile classpath
+                .endsWith("RemoteFileChangedException") =>
+              // S3A surfaces a lost If-None-Match race as
+              // RemoteFileChangedException (HTTP 412), not FAE — still
+              // the OCC loser signal; matched by CLASS NAME only (so
+              // the class needn't be on the compile classpath), never
+              // by message sniffing — a generic fault whose message
+              // merely mentions "412" must PROPAGATE, not downgrade to
+              // a retryable conflict that could re-apply a DML on top
+              // of its own possibly-landed commit
               conflict(target)
             case _ => throw e
           }
@@ -1329,6 +1334,24 @@ object Snapshots {
       Seq(col(partCol), col("__pos_file"), col("__pos_idx")): _*)
   }
 
+  /** ONE counting pass over the bounds-affected files: per file, (live
+    * rows — existing masks applied — and predicate hits), returned as a
+    * lookup by manifest entry. The per-file verdict BOTH DV DML kernels
+    * classify from; shared so a normalization or census fix can never
+    * diverge DELETE from UPDATE. O(affected files) driver rows. */
+  private def dvLiveHits(s: SparkSession, partCol: String,
+      schema: StructType, affected: Seq[Entry],
+      hit: org.apache.spark.sql.Column): Entry => (Long, Long) = {
+    val counts = scanEntriesWithPos(s, partCol, schema, affected)
+      .groupBy(col("__pos_file"))
+      .agg(count(lit(1)).as("live"),
+        sum(when(hit, 1L).otherwise(0L)).as("hits"))
+      .collect()
+      .map(r => metaPath(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    e => counts.getOrElse(normPath(e.path), (0L, 0L))
+  }
+
   /** Extend the masks of `masked` entries with `newPairs` (freshly
     * matched (`__dv_path`, `__dv_ord`) rows): ONE new sidecar holding
     * new ∪ old ordinals, returned as the entries re-pointed at it —
@@ -1576,10 +1599,14 @@ object Snapshots {
         .getOrElse(supportedStatsColumns(schema))
       val projected = df.select(schema.fields.toSeq.map(f =>
         col(f.name).cast(f.dataType).as(f.name)) :+ col(partCol): _*)
+      // allowEmpty: a ZERO-row INSERT INTO is a legal no-op-shaped
+      // commit (Delta also versions it) — without the flag, appending
+      // an empty frame to a createEmpty'd table would trip the
+      // empty-table refusal meant for destructive rewrites
       commitImpl(s, dir, projected, partCol, carryUntouched = false,
         Set.empty, expectedPrev = Some(cur), statsColumns = stats,
         carriedOverride = Some(m.entries),
-        prevManifestHint = Some(m), op = "append")
+        prevManifestHint = Some(m), op = "append", allowEmpty = true)
     }
 
   /** CREATE TABLE's v1: an empty version carrying only the declared
@@ -2028,13 +2055,19 @@ object Snapshots {
     if (toVersion == cur) return cur
     val mT = readManifest(s, dir, toVersion) // fails loudly if vacuumed
     val mC = readManifest(s, dir, cur)
-    val curPaths = mC.entries.groupBy(_.value)
-      .map { case (p, es) => p -> es.map(_.path).toSet }
-    val tgtPaths = mT.entries.groupBy(_.value)
-      .map { case (p, es) => p -> es.map(_.path).toSet }
+    // a partition's ROWS changed iff its (path, dv) pairs differ — the
+    // dv ref is part of row identity: a delete that only MASKED rows
+    // kept every path, so a path-only compare would leave a rollback of
+    // it unstamped and the change feed would never tell consumers the
+    // masked rows resurrected (a CDF-materialized replica would keep
+    // them deleted forever)
+    val curState = mC.entries.groupBy(_.value)
+      .map { case (p, es) => p -> es.map(e => (e.path, e.dv)).toSet }
+    val tgtState = mT.entries.groupBy(_.value)
+      .map { case (p, es) => p -> es.map(e => (e.path, e.dv)).toSet }
     val v = cur + 1
     val entries = mT.entries.map { e =>
-      if (curPaths.get(e.value).contains(tgtPaths(e.value))) e
+      if (curState.get(e.value).contains(tgtState(e.value))) e
       else e.copy(dataVersion = v)
     }
     val fs = fsOf(s, dir)
@@ -2436,16 +2469,7 @@ object Snapshots {
       affected: Seq[Entry], carried: Seq[Entry], cur: Long): Long = {
     val dvMax = dvMaxFraction(s)
     val hit = coalesce(where, lit(false))
-    // one counting pass, O(affected files) result rows
-    val counts = scanEntriesWithPos(s, partCol, schema, affected)
-      .groupBy(col("__pos_file"))
-      .agg(count(lit(1)).as("live"),
-        sum(when(hit, 1L).otherwise(0L)).as("hits"))
-      .collect()
-      .map(r => metaPath(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
-      .toMap
-    def liveHits(e: Entry): (Long, Long) =
-      counts.getOrElse(normPath(e.path), (0L, 0L))
+    val liveHits = dvLiveHits(s, partCol, schema, affected, hit)
     val (touched, clean) = affected.partition(e => liveHits(e)._2 > 0)
     if (touched.isEmpty) return cur // bounds false positives only: no-op
     val (dead, partial) = touched.partition { e =>
@@ -2532,15 +2556,7 @@ object Snapshots {
       cur: Long): Long = {
     val dvMax = dvMaxFraction(s)
     val hit = coalesce(where, lit(false))
-    val counts = scanEntriesWithPos(s, partCol, schema, affected)
-      .groupBy(col("__pos_file"))
-      .agg(count(lit(1)).as("live"),
-        sum(when(hit, 1L).otherwise(0L)).as("hits"))
-      .collect()
-      .map(r => metaPath(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
-      .toMap
-    def liveHits(e: Entry): (Long, Long) =
-      counts.getOrElse(normPath(e.path), (0L, 0L))
+    val liveHits = dvLiveHits(s, partCol, schema, affected, hit)
     val (touched, clean) = affected.partition(e => liveHits(e)._2 > 0)
     if (touched.isEmpty) return cur
     val (masked, rewrite) = touched.partition { e =>
@@ -2718,7 +2734,11 @@ object Snapshots {
         col(s"__src_$keyCol") === col("__t_key"), "left_anti")
         .select(schema.fields.toSeq.map(f =>
           col(s"__src_${f.name}").cast(f.dataType).as(f.name))
-          :+ col(s"__src_$partCol").as(partCol): _*))
+          :+ col(s"__src_$partCol").as(partCol): _*)
+        // materialized ONCE: the no-op guard below and the commit's
+        // write both consume it — re-running the anti join would double
+        // the dominant target-scan stage
+        .localCheckpoint())
     // nothing claimed, nothing to insert: a provable no-op, no commit
     // (same contract as delete/update over a clean table)
     if (dvEntries.isEmpty && inserts.forall(_.isEmpty)) return cur

@@ -96,6 +96,12 @@ class GraftCatalogSpec extends SparkSpec {
     val d = Snapshots.diff(spark, dir, "part", v0, v1)
     assert(d.filter(col("change") === "added").count() == 2L &&
       d.filter(col("change") === "removed").count() == 0L, "append CDF")
+    // a ZERO-row INSERT is a legal commit, not the empty-table refusal
+    val vEmptyBefore = Snapshots.currentVersion(spark, dir)
+    spark.sql("INSERT INTO graft.db4.t4 SELECT k, v, part FROM graft.db4.t4 WHERE k < 0")
+    assert(Snapshots.currentVersion(spark, dir) == vEmptyBefore + 1)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db4.t4")
+      .as[Long].head() == 82L)
     // INSERT OVERWRITE = a full-snapshot replace
     spark.sql("INSERT OVERWRITE graft.db4.t4 VALUES (1, 10, 'p0')")
     assert(spark.sql("SELECT count(*) AS n FROM graft.db4.t4")

@@ -191,6 +191,27 @@ class SnapshotDvSpec extends SparkSpec {
     }
   }
 
+  test("restoring past a mask-only delete is VISIBLE to the change feed") {
+    // a mask-only delete keeps every file path, so a rollback of it
+    // changes rows WITHOUT changing paths — the restore stamp must key
+    // on (path, dv), or CDF consumers would never hear the masked rows
+    // resurrected (review-caught)
+    withDv {
+      val dir = tempTable()
+      seed(dir)
+      Snapshots.delete(spark, dir, "part", col("k") === 7L) // v2: mask only
+      val v3 = Snapshots.restore(spark, dir, "part", 1L)
+      val d = Snapshots.diff(spark, dir, "part", 2L, v3)
+      assert(d.filter(col("change") === "added" && col("k") === 7L)
+        .count() == 1L, "the resurrected row must appear in the feed")
+      assert(d.filter(col("change") === "removed").count() == 99L &&
+        d.filter(col("change") === "added").count() == 100L,
+        "the rolled-back partition's two states must both emit")
+      assert(d.filter(col("part") === "p1").count() == 0L,
+        "the untouched partition stays silent")
+    }
+  }
+
   test("OPTIMIZE retires masks and vacuum collects orphan sidecars") {
     withDv {
       val dir = tempTable()
