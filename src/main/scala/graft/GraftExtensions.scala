@@ -46,8 +46,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // table (DataSourceV2Relation over GraftTable) becomes the SAME
     // manifest-served V1 relation the path surface plans — reads through
     // `graft.<db>.<t>` names get identical FileSourceScan plans
-    // (sources/GraftCatalog.scala; Delta wires DeltaAnalysis the same way)
-    ext.injectResolutionRule(session =>
+    // (sources/GraftCatalog.scala). POST-HOC, not in the resolution
+    // batch: a fixed-point rule traverses every plan once per analyzer
+    // iteration, which benched as a ~3% tax across the whole registry
+    // (plan-heavy iterative queries worst); post-hoc runs ONCE per
+    // query, after resolution and before checkAnalysis — early enough
+    // that the capability check never sees the V2 marker, late enough
+    // that time travel and every reference are already resolved. The
+    // rule additionally no-ops until a GraftCatalog has initialized in
+    // this JVM (no catalog -> no GraftTable can exist in any plan).
+    ext.injectPostHocResolutionRule(session =>
       new graft.sources.GraftCatalog.V1FallbackRule(session))
   }
 }

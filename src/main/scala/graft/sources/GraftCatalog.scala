@@ -70,6 +70,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     initWarehouse = Option(options.get("warehouse"))
+    GraftCatalog.anyLoaded.set(true)
   }
 
   override def name(): String = catalogName
@@ -246,6 +247,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 object GraftCatalog {
+  /** set the first time ANY GraftCatalog initializes in this JVM — the
+    * [[V1FallbackRule]] no-ops until then: before a catalog exists no
+    * plan can hold a [[GraftTable]], so sessions that never touch the
+    * name surface pay zero analysis overhead */
+  private[sources] val anyLoaded =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** `<cat>.<db>.<t>` -> the snapshot dir, iff `<cat>` is a registered
     * GraftCatalog in this session — how [[Snapshots.sql]] accepts the
     * name addressing next to the path addressing */
@@ -278,7 +286,8 @@ object GraftCatalog {
   final class V1FallbackRule(session: SparkSession)
       extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
-      plan.resolveOperatorsUp {
+      if (!GraftCatalog.anyLoaded.get) plan
+      else plan.resolveOperatorsUp {
         case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
           Bridge.logicalRelation(
             r.table.asInstanceOf[GraftTable].relation, r.output)
