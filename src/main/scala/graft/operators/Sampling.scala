@@ -1209,6 +1209,128 @@ FROM base WHERE NOT (user_id >= 300 AND user_id < 400)
         s"VERSION AS OF $v")
     },
 
+    // MERGE WHEN NOT MATCHED BY SOURCE (r18) — the dimension-
+    // reconciliation shape: one statement syncs the users table to a
+    // source window, updating matched rows, inserting new ones, and
+    // EXPIRING target rows the source no longer carries (Delta's
+    // by-source clause). Runs on the row-grain DV kernel: matched rows
+    // join only bounds-affected files, the by-source anti join scans
+    // every live file ONCE (stated honestly — the clause is
+    // definitionally about all rows), and every claimed row is masked,
+    // never rewritten — write amplification O(claimed + inserted). The
+    // oracle states the same reconciliation from the raw log: the
+    // source window is users 100-299's latest events; everyone outside
+    // it with user_id >= 350 expires, 300-349 retag to v = -1.
+    QueryDef(
+      "q_layout_merge_bysource",
+      """WITH base AS (
+  SELECT user_id, max(event_id) AS event_id, arg_max(value, event_id) AS v
+  FROM events GROUP BY user_id),
+src AS (SELECT user_id, v * 3 AS v FROM base
+        WHERE user_id >= 100 AND user_id < 300)
+SELECT b.user_id, b.event_id,
+  CASE WHEN s.user_id IS NOT NULL THEN s.v
+       WHEN b.user_id >= 300 AND b.user_id < 350 THEN -1.0
+       ELSE b.v END AS v
+FROM base b LEFT JOIN src s ON b.user_id = s.user_id
+WHERE NOT (s.user_id IS NULL AND b.user_id >= 350)
+""".stripMargin) { (s, d) =>
+      import graft.sources.Snapshots
+      val dir = "/tmp/graft_snap_mrbs_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      val base = events(s, d)
+        .select(col("user_id"), col("event_id"), col("value").as("v"))
+        .groupBy("user_id")
+        .agg(max("event_id").as("event_id"),
+          max_by(col("v"), col("event_id")).as("v"))
+        .withColumn("part", (col("user_id") % 4).cast("string"))
+      Snapshots.commit(s, dir, base.repartition(8), "part",
+        statsColumns = Seq("user_id"))
+      base.filter(col("user_id") >= 100 && col("user_id") < 300)
+        .select(col("user_id"), (col("v") * 3).as("v"), col("part"))
+        .createOrReplaceTempView("mrbs_window")
+      val prior = s.conf.getOption("spark.graft.snapshot.dvEnabled")
+      s.conf.set("spark.graft.snapshot.dvEnabled", "true")
+      try Snapshots.sql(s,
+        s"""MERGE INTO graft_snapshot.`$dir` AS t
+            USING mrbs_window AS w ON t.user_id = w.user_id
+            WHEN MATCHED THEN UPDATE SET v = w.v
+            WHEN NOT MATCHED BY SOURCE AND t.user_id >= 350 THEN DELETE
+            WHEN NOT MATCHED BY SOURCE AND t.user_id >= 300
+              THEN UPDATE SET v = -1.0""")
+      finally prior match {
+        case Some(p) => s.conf.set("spark.graft.snapshot.dvEnabled", p)
+        case None => s.conf.unset("spark.graft.snapshot.dvEnabled")
+      }
+      Snapshots.read(s, dir, "part").select("user_id", "event_id", "v")
+    },
+
+    // TYPED MULTI-COLUMN partition identity (r18): the table partitions
+    // by (day DATE, region STRING) — the canonical 100 TB layout a
+    // date-partitioned events table uses — instead of one synthetic
+    // modulo string. The spec string "day:date,region" threads the
+    // ordered typed identity through the whole format: the writer lays
+    // out nested day=/region= dirs, each manifest entry records the
+    // URL-encoded compound value, the manifest-served file index hands
+    // the planner BOTH columns in their declared types (a DATE
+    // comparison prunes partitions TYPED, not lexically — plan-asserted
+    // in SnapshotPartSpecSpec), and DML span pruning treats each
+    // partition column as a per-file lo=hi bound in its own type, so
+    // the day-pinned DELETE and the (day, region)-pinned UPDATE below
+    // rewrite only their own partitions' files while everything else
+    // carries by reference. Legacy single-column tables stay
+    // byte-identical; non-legacy manifests stamp minReader=3. The
+    // oracle states the same fold from the raw log with the partition
+    // columns derived in SQL.
+    QueryDef(
+      "q_layout_partition_typed",
+      """WITH base AS (
+  SELECT user_id, max(event_id) AS event_id, arg_max(value, event_id) AS v
+  FROM events GROUP BY user_id),
+t AS (
+  SELECT user_id, event_id, v,
+    DATE '2024-01-01' + CAST(user_id % 3 AS INT) AS day,
+    CASE WHEN user_id % 2 = 0 THEN 'eu' ELSE 'us' END AS region
+  FROM base)
+SELECT user_id, event_id,
+  CASE WHEN day = DATE '2024-01-01' AND region = 'eu' THEN v * 2
+       ELSE v END AS v,
+  CAST(day AS VARCHAR) AS day, region
+FROM t WHERE day <> DATE '2024-01-02'
+""".stripMargin) { (s, d) =>
+      import graft.sources.Snapshots
+      val spec = "day:date,region"
+      val dir = "/tmp/graft_snap_ptyped_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      val base = events(s, d)
+        .select(col("user_id"), col("event_id"), col("value").as("v"))
+        .groupBy("user_id")
+        .agg(max("event_id").as("event_id"),
+          max_by(col("v"), col("event_id")).as("v"))
+        .withColumn("day", date_add(lit("2024-01-01").cast("date"),
+          (col("user_id") % 3).cast("int")))
+        .withColumn("region",
+          when(col("user_id") % 2 === 0, "eu").otherwise("us"))
+      Snapshots.commit(s, dir, base.repartition(8), spec,
+        statsColumns = Seq("user_id"))
+      // partition-pruned DML: the DELETE's predicate pins one day
+      // partition (both-side typed bounds prove every other file
+      // clean), the UPDATE pins one (day, region) pair
+      Snapshots.delete(s, dir, spec,
+        col("day") === lit(java.sql.Date.valueOf("2024-01-02")))
+      val v = Snapshots.update(s, dir, spec,
+        col("day") === lit(java.sql.Date.valueOf("2024-01-01")) &&
+          col("region") === "eu",
+        Map("v" -> (col("v") * 2)))
+      Snapshots.read(s, dir, spec, v)
+        .select(col("user_id"), col("event_id"), col("v"),
+          col("day").cast("string").as("day"), col("region"))
+    },
+
     // DESCRIBE HISTORY over the table format: every commit records its
     // operation + wall-clock in the manifest meta header, and history()
     // serves the audit view from manifests alone (one small read per

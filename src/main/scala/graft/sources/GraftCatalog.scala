@@ -87,12 +87,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   /** names ARE directory names — refuse anything that would escape the
     * warehouse tree or collide with the format's metadata dirs */
-  private def safe(part: String): String = {
-    require(part.nonEmpty && !part.contains("/") && !part.contains("\\") &&
-      part != "." && part != ".." && !part.startsWith("_"),
-      s"GraftCatalog: illegal name component '$part'")
-    part
-  }
+  private def safe(part: String): String = GraftCatalog.safePart(part)
 
   private def identParts(ident: Identifier): Seq[String] =
     (catalogName +: ident.namespace.toSeq) :+ ident.name
@@ -155,20 +150,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (isTable(dir)) throw new TableAlreadyExistsException(
       identParts(ident))
     val partCol = partitions.toSeq match {
-      case Seq(t) if t.name == "identity" && t.references.length == 1 =>
-        t.references.head.fieldNames.head
       case Seq() => Option(properties.get("partCol")).getOrElse(
         throw new IllegalArgumentException(
-          "GraftCatalog: a snapshot table needs its partition column — " +
-            "PARTITIONED BY (col) or TBLPROPERTIES (partCol 'col')"))
-      case other => throw new IllegalArgumentException(
-        s"GraftCatalog: exactly one identity partition column, got " +
-          other.mkString(", "))
+          "GraftCatalog: a snapshot table needs its partition column(s) — " +
+            "PARTITIONED BY (cols...) or TBLPROPERTIES (partCol 'spec')"))
+      case transforms =>
+        // an ORDERED list of identity transforms (`PARTITIONED BY
+        // (day, region)`): each must be a schema field of a type whose
+        // string form round-trips through a directory name — the typed
+        // multi-column partition identity [[PartSpec]] carries
+        val fields = transforms.map {
+          case t if t.name == "identity" && t.references.length == 1 =>
+            val name = t.references.head.fieldNames.head
+            require(schema.fieldNames.contains(name),
+              s"GraftCatalog: partition column '$name' is not a field " +
+                "of the schema")
+            schema(name)
+          case other => throw new IllegalArgumentException(
+            s"GraftCatalog: only identity partition transforms are " +
+              s"supported, got $other")
+        }
+        PartSpec.fromFields(fields).encode
     }
-    require(schema.fieldNames.contains(partCol) &&
-      schema(partCol).dataType == StringType,
-      s"GraftCatalog: partition column '$partCol' must be a StringType " +
-        "field of the schema (it travels through directory names)")
     Snapshots.createEmpty(session, dir, schema, partCol)
     loadTable(ident)
   }
@@ -254,6 +257,19 @@ object GraftCatalog {
   private[sources] val anyLoaded =
     new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** one name component of a table identifier, validated — refuses
+    * anything that would escape the warehouse tree (`..`, separators)
+    * or collide with the format's metadata dirs (`_`-prefixed). BOTH
+    * resolution paths (the catalog's `dirOf` and the parser-path
+    * [[resolveDir]] below) run through this, so `graft.`..`.`..``-style
+    * DML targets are refused the same way DDL ones are. */
+  private[sources] def safePart(part: String): String = {
+    require(part.nonEmpty && !part.contains("/") && !part.contains("\\") &&
+      part != "." && part != ".." && !part.startsWith("_"),
+      s"GraftCatalog: illegal name component '$part'")
+    part
+  }
+
   /** `<cat>.<db>.<t>` -> the snapshot dir, iff `<cat>` is a registered
     * GraftCatalog in this session — how [[Snapshots.sql]] accepts the
     * name addressing next to the path addressing */
@@ -265,7 +281,7 @@ object GraftCatalog {
       val wh = s.conf.getOption(s"spark.sql.catalog.$cat.warehouse")
         .getOrElse(throw new IllegalArgumentException(
           s"GraftCatalog '$cat': spark.sql.catalog.$cat.warehouse is unset"))
-      Some(s"$wh/$db/$t")
+      Some(s"$wh/${safePart(db)}/${safePart(t)}")
     case _ => None
   }
 
@@ -333,7 +349,8 @@ final case class GraftTable(spark: SparkSession, ident: Identifier,
   override def schema(): StructType = relation.schema
 
   override def partitioning(): Array[Transform] =
-    Array(Expressions.identity(partCol))
+    PartSpec.parse(partCol).names
+      .map(Expressions.identity).toArray[Transform]
 
   override def properties(): util.Map[String, String] =
     Map("location" -> dir, "partCol" -> partCol,

@@ -107,7 +107,7 @@ object SnapshotCdfSource {
     val dataSchema = m.schema.getOrElse(
       s.read.parquet(m.entries.head.path).schema)
     StructType(dataSchema.fields.toSeq
-      :+ StructField(partCol, StringType, nullable = true)
+      ++ PartSpec.parse(partCol).struct.fields
       :+ StructField("change", StringType, nullable = false)
       :+ StructField("_commit_version", LongType, nullable = false)
       // the manifest's recorded commit wall-clock (epoch millis) —
@@ -132,10 +132,12 @@ class SnapshotCdfSource(spark: SparkSession, dir: String, partCol: String,
 
   override val schema: StructType =
     SnapshotCdfSource.feedSchema(spark, dir, partCol)
-  /** the feed's fixed DATA schema — the last four fields are the
-    * appended partCol/change/_commit_version/_commit_timestamp feed
-    * columns */
-  private val dataSchema = StructType(schema.fields.toSeq.dropRight(4))
+  private val partSpec = PartSpec.parse(partCol)
+  /** the feed's fixed DATA schema — the trailing fields are the
+    * appended partition column(s) plus the
+    * change/_commit_version/_commit_timestamp feed columns */
+  private val dataSchema =
+    StructType(schema.fields.toSeq.dropRight(3 + partSpec.cols.size))
 
   rowKeyCol.foreach(k => require(dataSchema.fieldNames.contains(k),
     s"graft_snapshot_cdf: keyCol '$k' is not a table column " +
@@ -262,7 +264,7 @@ class SnapshotCdfSource(spark: SparkSession, dir: String, partCol: String,
         ts: Option[Long]): DataFrame =
       Snapshots.scanEntries(spark, partCol, dataSchema, entries,
         streaming = rowKeyCol.isEmpty)
-        .select((dataSchema.fieldNames.toSeq :+ partCol).map(col)
+        .select((dataSchema.fieldNames.toSeq ++ partSpec.names).map(col)
           :+ lit(label).as("change")
           :+ lit(v).as("_commit_version")
           :+ ts.map(t => lit(t)).getOrElse(lit(null).cast("long"))
@@ -273,9 +275,10 @@ class SnapshotCdfSource(spark: SparkSession, dir: String, partCol: String,
         v: Long, ts: Option[Long]): DataFrame = {
       def st(entries: Seq[Snapshots.Entry]) =
         Snapshots.scanEntries(spark, partCol, dataSchema, entries)
-          .select((dataSchema.fieldNames.toSeq :+ partCol).map(col): _*)
+          .select((dataSchema.fieldNames.toSeq ++ partSpec.names)
+            .map(col): _*)
       Snapshots.rowEvents(st(removed), st(added), rowKeyCol.get)
-        .select((dataSchema.fieldNames.toSeq :+ partCol).map(col)
+        .select((dataSchema.fieldNames.toSeq ++ partSpec.names).map(col)
           :+ col("change")
           :+ lit(v).as("_commit_version")
           :+ ts.map(t => lit(t)).getOrElse(lit(null).cast("long"))

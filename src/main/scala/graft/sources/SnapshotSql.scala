@@ -196,9 +196,6 @@ private[graft] object SnapshotSql {
     if (m.withSchemaEvolution)
       refuse("MERGE WITH SCHEMA EVOLUTION is not supported — add columns " +
         "via a full-snapshot commit")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      refuse("WHEN NOT MATCHED BY SOURCE is not supported — the keyed-" +
-        "delta kernel folds source rows only")
     val dir = targetDir(s, m.targetTable)
     val partCol = partColOf(s, dir, partColHint)
     // ON t.k = s.k — both sides must name the SAME column (the kernel's
@@ -218,13 +215,14 @@ private[graft] object SnapshotSql {
     // addressability, which deletion vectors provide — routed to
     // Snapshots.mergeRows when spark.graft.snapshot.dvEnabled is set,
     // refused with that pointer when not.
-    val canonical = (m.matchedActions, m.notMatchedActions) match {
-      case (Seq(DeleteAction(_), UpdateStarAction(None)),
-        Seq(InsertStarAction(None))) => true
-      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) => true
-      case (Seq(DeleteAction(_)), Seq()) => true
-      case _ => false
-    }
+    val canonical = m.notMatchedBySourceActions.isEmpty &&
+      ((m.matchedActions, m.notMatchedActions) match {
+        case (Seq(DeleteAction(_), UpdateStarAction(None)),
+          Seq(InsertStarAction(None))) => true
+        case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) => true
+        case (Seq(DeleteAction(_)), Seq()) => true
+        case _ => false
+      })
     if (!canonical) return mergeRowsSql(s, m, dir, partCol, key)
     val (delCond: Option[Option[Expression]], hasUpdate) = m.matchedActions match {
       case Seq(DeleteAction(c), UpdateStarAction(None)) => (Some(c), true)
@@ -364,7 +362,45 @@ private[graft] object SnapshotSql {
         "MERGE not-matched clause must be WHEN NOT MATCHED THEN INSERT * " +
           s"or absent; got ${other.map(_.getClass.getSimpleName).mkString(", ")}")
     }
-    Seq(Snapshots.mergeRows(s, dir, partCol, key, source, actions, insert))
-      .toDF("version")
+    // WHEN NOT MATCHED BY SOURCE clauses see the TARGET row alone —
+    // a source-qualified or source-only reference is meaningless there
+    // (no source row exists for an unmatched target row) and must
+    // refuse rather than resolve to a column the joined frame lacks
+    def bySourceCol(e: Expression): Column = Bridge.column(e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+        if (targetAlias.contains(a.nameParts.head))
+          UnresolvedAttribute(Seq(a.nameParts.last))
+        else refuse(
+          s"WHEN NOT MATCHED BY SOURCE references ${a.sql} — these " +
+            "clauses see the target row alone (no source row exists " +
+            "for an unmatched target row); qualify by the target alias" +
+            targetAlias.fold("")(x => s" ('$x')") + " or use bare " +
+            "target column names")
+      case a: UnresolvedAttribute
+          if srcCols(a.name) && !targetCols(a.name) =>
+        refuse(s"WHEN NOT MATCHED BY SOURCE references source-only " +
+          s"column '${a.name}' — these clauses see the target row alone")
+    })
+    val bySource: Seq[Snapshots.MergeAction] =
+      m.notMatchedBySourceActions.map {
+        case UpdateAction(cond, assigns, _) =>
+          val set = assigns.map {
+            case Assignment(k: UnresolvedAttribute, v) =>
+              val name = k.nameParts.last
+              if (!schema.fieldNames.contains(name)) refuse(
+                s"UPDATE SET target '$name' is not a table column")
+              name -> bySourceCol(v)
+            case other => refuse(
+              s"UPDATE SET target ${other.key.sql} is not a plain column")
+          }.toMap
+          Snapshots.MergeUpdate(cond.map(bySourceCol), set)
+        case DeleteAction(cond) =>
+          Snapshots.MergeDelete(cond.map(bySourceCol))
+        case other => refuse(
+          s"unsupported MERGE not-matched-by-source clause " +
+            other.getClass.getSimpleName)
+      }
+    Seq(Snapshots.mergeRows(s, dir, partCol, key, source, actions, insert,
+      bySource = bySource)).toDF("version")
   }
 }

@@ -195,6 +195,25 @@ object Snapshots {
   private[graft] def liveVersions(s: SparkSession, dir: String): Seq[Long] =
     listVersions(fsOf(s, dir), dir)
 
+  /** Highest manifest reader version this build understands. 1 = the
+    * base file-grain format; 2 = deletion-vector entry refs (the 6th
+    * tab field); 3 = typed/multi-column partition identity (the
+    * `partCol=` header holds a [[PartSpec]] spec string and entry
+    * values may be compound). A commit stamps `minReader=N` in its meta
+    * header for the highest feature its version uses, and the parser
+    * refuses a higher `minReader` with a pointed upgrade error before
+    * touching entries. */
+  private[graft] val SupportedReaderVersion = 3L
+
+  /** ` minReader=N` when the version needs a reader above version 1 —
+    * appended to the meta kv list by every manifest-writing path */
+  private def minReaderKv(entries: Seq[Entry], legacySpec: Boolean): String = {
+    val need = Seq(
+      if (entries.exists(_.dv.isDefined)) 2L else 1L,
+      if (legacySpec) 1L else 3L).max
+    if (need > 1L) s" minReader=$need" else ""
+  }
+
   private val SchemaHeader = "#schema\t"
   private val MetaHeader = "#meta\t"
   private val ConstraintHeader = "#constraint\t"
@@ -507,6 +526,21 @@ object Snapshots {
         .asInstanceOf[StructType])
     val meta = headers.find(_.startsWith(MetaHeader))
       .map(_.stripPrefix(MetaHeader).split("\\s+").toSeq).getOrElse(Seq.empty)
+    // reader/writer protocol gate (the Delta/Iceberg evolution rule):
+    // a commit whose entries need reader features this build lacks
+    // stamps `minReader=N`; checked BEFORE any entry parse so the
+    // failure is self-describing ("needs feature X") rather than a
+    // generic malformed-line error from a format the reader predates
+    meta.collectFirst {
+      case kv if kv.startsWith("minReader=") =>
+        kv.stripPrefix("minReader=").toLong
+    }.filter(_ > SupportedReaderVersion).foreach { need =>
+      throw new IllegalStateException(
+        s"Snapshots: $p requires reader version $need but this build " +
+          s"supports $SupportedReaderVersion — the table uses format " +
+          "features (e.g. deletion vectors) newer than this reader; " +
+          "upgrade the library to read it")
+    }
     val ts = meta.collectFirst {
       case kv if kv.startsWith("ts=") => kv.stripPrefix("ts=").toLong
     }
@@ -1066,14 +1100,61 @@ object Snapshots {
     * for them, same as HDFS. */
   private val flatStoreSchemes = Set("s3a", "gs", "oss", "cos", "obs")
 
-  /** the per-filesystem commit-point choice (test-pinned): local gets
-    * link(2), flat object stores the conditional-create builder,
-    * everything else (HDFS-class AND hierarchical cloud FS) the atomic
-    * rename */
+  /** the per-filesystem commit-point choice BY SCHEME CLASS
+    * (test-pinned): local gets link(2), flat object stores the
+    * conditional-create builder, everything else (HDFS-class AND
+    * hierarchical cloud FS) the atomic rename. Scheme class alone is
+    * NOT sufficient for the builder point — see [[pointFor]], which
+    * additionally requires the live connector to PROVE the
+    * conditional-create mapping. */
   private[graft] def pointForScheme(scheme: String): CommitPoint =
     if (scheme == "file") LinkCommitPoint
     else if (flatStoreSchemes(scheme)) BuilderCommitPoint
     else RenameCommitPoint
+
+  /** Hadoop's capability/option key for server-side conditional create
+    * (HADOOP-19256, Options.CreateFileOptionKeys — present since 3.4.1;
+    * S3A answers `hasPathCapability` true for it only when
+    * `fs.s3a.create.conditional.enabled` holds). */
+  private[graft] val ConditionalCreateCapability =
+    "fs.option.create.conditional.overwrite"
+
+  /** Hadoop-conf opt-in (`spark.hadoop.` + this from a Spark conf) that
+    * asserts the connector maps `createFile().overwrite(false)` to a
+    * server-side conditional create even though it does not advertise
+    * the capability — for connectors (GCS, OSS) that predate the
+    * capability key but have always enforced creation atomically
+    * (`ifGenerationMatch=0`). */
+  private[graft] val ConditionalCreateOverride =
+    "graft.snapshot.conditional-create.enabled"
+
+  /** The commit point for a LIVE (fs, path): scheme class first, then —
+    * for the flat-object-store class — a capability gate. On stock S3A
+    * below Hadoop 3.4.1, or 3.4.1+ without
+    * `fs.s3a.create.conditional.enabled`, `overwrite(false)` is a
+    * client-side HEAD-then-PUT: two racing committers can BOTH succeed
+    * and a committed version is silently lost. So the builder point is
+    * used only when the connector itself advertises the
+    * conditional-create capability for this path (or the deployment
+    * explicitly asserts it via [[ConditionalCreateOverride]]); otherwise
+    * the scheme falls back to the rename point — non-atomic on a flat
+    * store, but its tmp+rename-refusing-existing shape never loses a
+    * committed manifest silently to the same single-writer-visible
+    * window, and it is the long-standing pre-builder behavior. */
+  private[graft] def pointFor(fs: FileSystem, p: Path): CommitPoint = {
+    val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    pointForScheme(scheme) match {
+      case BuilderCommitPoint =>
+        val capable =
+          try fs.hasPathCapability(p, ConditionalCreateCapability)
+          catch { case _: Exception => false }
+        if (capable ||
+            fs.getConf.getBoolean(ConditionalCreateOverride, false))
+          BuilderCommitPoint
+        else RenameCommitPoint
+      case other => other
+    }
+  }
 
   /** Object-store-class, INJECTED client: ONE conditional PUT of the
     * full manifest bytes — `putIfAbsent` returns true iff THIS call
@@ -1117,9 +1198,8 @@ object Snapshots {
     // every exclusive create (so the conditional-PUT fuzz exercises the
     // pin path too, and an object-store deployment's pin rides the
     // store's conditional PUT rather than a non-atomic rename)
-    val scheme = Option(p.toUri.getScheme).getOrElse("file")
     val point = Option(commitPointOverride.get)
-      .getOrElse(pointForScheme(scheme))
+      .getOrElse(pointFor(fs, p))
     try { point.commit(fs, p, bytes, stage); true }
     catch { case _: CommitConflictException => false }
   }
@@ -1157,9 +1237,8 @@ object Snapshots {
       try out.write(bytes) finally out.close()
       tmp
     }
-    val scheme = Option(p.toUri.getScheme).getOrElse("file")
     val point = Option(commitPointOverride.get)
-      .getOrElse(pointForScheme(scheme))
+      .getOrElse(pointFor(fs, p))
     point.commit(fs, p, bytes, stage)
     // FLOOR RE-CHECK — the residual floor/vacuum race, folded into the
     // commit contract: a writer that passed the pre-check while a
@@ -1201,7 +1280,7 @@ object Snapshots {
     * version's recorded schema (a stats column absent from the schema, an
     * unsupported type, or an unparseable token degrades to "no bounds" —
     * file skipping is always conservative, never a correctness input) */
-  private def indexFiles(schema: StructType,
+  private def indexFiles(spec: PartSpec, schema: StructType,
       entries: Seq[Entry]): Seq[ManifestFile] = {
     val byName = schema.fields.map(f => f.name -> f.dataType).toMap
     entries.map { e =>
@@ -1212,7 +1291,7 @@ object Snapshots {
           catch { case _: Exception => None }
         }
       }
-      ManifestFile(e.value, e.path, e.bytes, st)
+      ManifestFile(spec.split(e.value), e.path, e.bytes, st)
     }
   }
 
@@ -1230,19 +1309,21 @@ object Snapshots {
     // pruning straight through the aliases, so the plan below the
     // projection is identical to the unmapped case. Trivially-mapped
     // tables (the common case) skip the projection entirely.
+    val spec = PartSpec.parse(partCol)
     val phys = ColumnMapping.physicalStruct(schema)
     val types = phys.fields.map(f => f.name -> f.dataType).toMap
     val raw =
       if (streaming)
-        Bridge.manifestStreamScan(s, partCol, indexFiles(phys, entries),
-          types, phys)
+        Bridge.manifestStreamScan(s, spec.struct,
+          indexFiles(spec, phys, entries), types, phys)
       else
-        Bridge.manifestFileScan(s, partCol, indexFiles(phys, entries),
-          types, phys)
+        Bridge.manifestFileScan(s, spec.struct,
+          indexFiles(spec, phys, entries), types, phys)
     val scan = applyDv(s, raw, entries)
     if (!ColumnMapping.nontrivial(schema)) scan
     else scan.select(schema.fields.toSeq.map(f =>
-      col(ColumnMapping.physicalName(f)).as(f.name)) :+ col(partCol): _*)
+      col(ColumnMapping.physicalName(f)).as(f.name)) ++
+      spec.names.map(col): _*)
   }
 
   /** Apply the entries' DELETION VECTORS (if any) above the scan: a
@@ -1316,10 +1397,11 @@ object Snapshots {
     * cleanly with the old one. */
   private def scanEntriesWithPos(s: SparkSession, partCol: String,
       schema: StructType, entries: Seq[Entry]): DataFrame = {
+    val spec = PartSpec.parse(partCol)
     val phys = ColumnMapping.physicalStruct(schema)
     val types = phys.fields.map(f => f.name -> f.dataType).toMap
-    val raw = Bridge.manifestFileScan(s, partCol, indexFiles(phys, entries),
-        types, phys)
+    val raw = Bridge.manifestFileScan(s, spec.struct,
+        indexFiles(spec, phys, entries), types, phys)
       .withColumn("__pos_file", col("_metadata.file_path"))
       .withColumn("__pos_idx", col("_metadata.row_index"))
     val masked = dvPairs(s, entries) match {
@@ -1331,7 +1413,8 @@ object Snapshots {
     if (!ColumnMapping.nontrivial(schema)) masked
     else masked.select(schema.fields.toSeq.map(f =>
       col(ColumnMapping.physicalName(f)).as(f.name)) ++
-      Seq(col(partCol), col("__pos_file"), col("__pos_idx")): _*)
+      spec.names.map(col) ++
+      Seq(col("__pos_file"), col("__pos_idx")): _*)
   }
 
   /** ONE counting pass over the bounds-affected files: per file, (live
@@ -1356,22 +1439,34 @@ object Snapshots {
     * matched (`__dv_path`, `__dv_ord`) rows): ONE new sidecar holding
     * new ∪ old ordinals, returned as the entries re-pointed at it —
     * the single mask-growth primitive DELETE/UPDATE/row-grain MERGE all
-    * share. The old-mask union is deliberately UNRESTRICTED: every pair
-    * of every sidecar the masked entries reference rides along, other
-    * files' rows included. Stray rows are unused (nothing in the new
-    * version binds them through this sidecar) and are always
-    * current-or-older masks of their files — harmless under the scan's
-    * subset-union rule — while restricting the union to the files
-    * `newPairs` mentions would LOSE file F's old mask whenever a
-    * non-deterministic predicate's second evaluation matched no F row:
-    * F's dv ref would point at a sidecar missing F's ordinals and its
-    * previously deleted rows would RESURRECT. */
+    * share. The old-mask union carries every old pair of the MASKED
+    * ENTRIES' OWN FILES — keyed by the entries being re-pointed, NOT by
+    * the files `newPairs` mentions: restricting to newPairs' files
+    * would LOSE file F's old mask whenever a non-deterministic
+    * predicate's second evaluation matched no F row (F's dv ref would
+    * point at a sidecar missing F's ordinals and its previously deleted
+    * rows would RESURRECT), while every masked entry's own old pairs
+    * riding along is exactly what its re-pointed ref needs. Pairs of
+    * OTHER files sharing those sidecars are dropped — their entries
+    * keep their old refs untouched — which bounds each new sidecar to
+    * the re-pointed files' masks instead of the cumulative mask history
+    * riding on shared sidecars (unbounded growth under many small
+    * DMLs). The path filter is resolved DRIVER-SIDE over the sidecars'
+    * O(distinct files) path values (metadata-sized, same budget as the
+    * per-file cardinality read-back) because the sidecar path form is
+    * URL-encoded (`_metadata.file_path`) and the entry form is raw —
+    * the [[metaPath]]/[[normPath]] bridge is driver code. */
   private def extendMasks(s: SparkSession, dir: String, targetV: Long,
       masked: Seq[Entry], newPairs: DataFrame): Seq[Entry] = {
     if (masked.isEmpty) return Nil
     val pairs = dvPairs(s, masked) match {
       case None => newPairs
-      case Some(old) => newPairs.unionByName(old)
+      case Some(old) =>
+        val ownNorm = masked.map(e => normPath(e.path)).toSet
+        val keep = old.select(col("__dv_path")).distinct().collect()
+          .map(_.getString(0)).filter(p => ownNorm(metaPath(p)))
+        newPairs.unionByName(old.where(col("__dv_path").isin(
+          keep.toIndexedSeq: _*)))
     }
     val (dvName, cards) = writeDvSidecar(s, dir, targetV, pairs)
     masked.map(e => e.copy(dv =
@@ -1431,9 +1526,10 @@ object Snapshots {
     val m = readManifest(s, dir, version)
     val schema = schemaOf(s, m)
     if (!ColumnMapping.nontrivial(schema) && !m.entries.exists(_.dv.isDefined)) {
+      val spec = PartSpec.parse(partCol)
       val types = schema.fields.map(f => f.name -> f.dataType).toMap
-      Bridge.manifestRelation(s, partCol, indexFiles(schema, m.entries),
-        types, schema)
+      Bridge.manifestRelation(s, spec.struct,
+        indexFiles(spec, schema, m.entries), types, schema)
     } else {
       // a RENAME-bearing table cannot be served as a bare
       // HadoopFsRelation (parquet resolves by name, and V1 relations
@@ -1590,15 +1686,26 @@ object Snapshots {
           "commit() or createEmpty()")
       val m = readManifest(s, dir, cur)
       val schema = schemaOf(s, m)
-      val missing = (schema.fieldNames.toSeq :+ partCol)
-        .filterNot(df.columns.contains)
+      val spec = PartSpec.parse(partCol)
+      val tableCols = schema.fieldNames.toSeq ++ spec.names
+      val missing = tableCols.filterNot(df.columns.contains)
       require(missing.isEmpty,
         s"Snapshots: append frame is missing column(s) " +
           s"${missing.mkString(", ")}")
+      // the mismatch check is TWO-SIDED (Delta's writer contract): a
+      // source column the table doesn't have is refused, never silently
+      // projected away — the silent drop turns a misspelled column into
+      // lost data with no signal
+      val unknown = df.columns.toSeq.filterNot(tableCols.contains)
+      require(unknown.isEmpty,
+        s"Snapshots: append frame carries column(s) the table lacks: " +
+          s"${unknown.mkString(", ")} — drop or rename them, or evolve " +
+          "the schema first (appends never add columns implicitly)")
       val stats = Option(statsColumns)
         .getOrElse(supportedStatsColumns(schema))
       val projected = df.select(schema.fields.toSeq.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)) :+ col(partCol): _*)
+        col(f.name).cast(f.dataType).as(f.name)) ++
+        spec.cols.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
       // allowEmpty: a ZERO-row INSERT INTO is a legal no-op-shaped
       // commit (Delta also versions it) — without the flag, appending
       // an empty frame to a createEmpty'd table would trip the
@@ -1962,11 +2069,12 @@ object Snapshots {
     val schema = schemaOf(s, m)
     require(schema.fieldNames.contains(keyCol),
       s"Snapshots: merge key '$keyCol' is not a table column")
-    val tableCols = schema.fieldNames.toSeq :+ partCol
+    val spec = PartSpec.parse(partCol)
+    val tableCols = schema.fieldNames.toSeq ++ spec.names
     val missing = (tableCols :+ "op").filterNot(delta.columns.contains)
     require(missing.isEmpty,
       s"Snapshots: delta is missing columns ${missing.mkString(", ")} " +
-        "(the table's columns + partCol + op)")
+        "(the table's columns + the partition column(s) + op)")
     val keyType = schema(keyCol).dataType
     // the delta's per-partition key span — ONE tiny aggregate, the only
     // look at the delta before the rewrite itself. It also carries the
@@ -1974,7 +2082,7 @@ object Snapshots {
     // full-outer join matching nothing and land as a FRESH insert on
     // every merge (and on every OCC re-plan) — the silent key-uniqueness
     // corruption the loud refusal here prevents, at zero extra passes.
-    val spanRows = delta.groupBy(col(partCol))
+    val spanRows = delta.groupBy(spec.valueExpr.as("__part_value"))
       .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"),
         count(lit(1)).as("n"), count(col(keyCol)).as("nk"))
       .collect()
@@ -2083,8 +2191,10 @@ object Snapshots {
       // later re-add would resurrect dropped bytes) — carry the union
       // of both sides' lists.
       Some(MetaHeader + s"ts=${commitTs(Some(mC))} op=restore " +
-        s"partCol=${java.net.URLEncoder.encode(partCol, "UTF-8")}" +
-        retiredKv((mC.retired ++ mT.retired).distinct)),
+        s"partCol=${java.net.URLEncoder.encode(
+          PartSpec.parse(partCol).encode, "UTF-8")}" +
+        retiredKv((mC.retired ++ mT.retired).distinct) +
+        minReaderKv(entries, PartSpec.parse(partCol).isLegacy)),
       Some(statsHeader(entries))).flatten ++
       mT.constraints.map { case (n, q) => ConstraintHeader + n + "\t" + q } ++
       segRefs.map(_.line)
@@ -2152,7 +2262,7 @@ object Snapshots {
         require(cols.nonEmpty, "Snapshots: UNIQUE needs >= 1 column")
         // SQL UNIQUE NULL semantics: NULL-bearing keys never conflict
         frame.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
-          .groupBy((partCol +: cols).map(col): _*)
+          .groupBy((PartSpec.parse(partCol).names ++ cols).map(col): _*)
           .agg(count(lit(1)).as("__c0"))
           .filter(col("__c0") > 1).count()
       case _ => frame.filter(rowViolation(spec)).count()
@@ -2252,7 +2362,9 @@ object Snapshots {
       Some(MetaHeader + s"ts=${commitTs(Some(m))} op=$opName" +
         m.partCol.map(pc =>
           s" partCol=${java.net.URLEncoder.encode(pc, "UTF-8")}")
-          .getOrElse("") + retiredKv(retired)),
+          .getOrElse("") + retiredKv(retired) +
+        minReaderKv(m.entries,
+          m.partCol.forall(pc => PartSpec.parse(pc).isLegacy))),
       Some(statsHeader(m.entries))).flatten ++
       constraints.map { case (n, q) => ConstraintHeader + n + "\t" + q } ++
       segRefs.map(_.line)
@@ -2298,9 +2410,11 @@ object Snapshots {
       s"Snapshots: column '$newName' already exists")
     require(!newName.startsWith("__"),
       s"Snapshots: '$newName' is reserved ('__' prefix)")
-    require(!m.partCol.contains(oldName) && !m.partCol.contains(newName),
-      "Snapshots: cannot rename the partition column (its value travels " +
-        "through directory names) or shadow it")
+    val partNames = m.partCol.map(pc => PartSpec.parse(pc).names)
+      .getOrElse(Nil)
+    require(!partNames.contains(oldName) && !partNames.contains(newName),
+      "Snapshots: cannot rename a partition column (its value travels " +
+        "through directory names) or shadow one")
     val inUse = m.constraints.filter { case (_, sql) =>
       constraintRefs(s, sql).contains(oldName) }
     require(inUse.isEmpty,
@@ -2362,9 +2476,8 @@ object Snapshots {
       where: org.apache.spark.sql.Column, partCol: String,
       schema: StructType, entries: Seq[Entry]): (Seq[Entry], Seq[Entry]) = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
-    import org.apache.spark.unsafe.types.UTF8String
-    val full = StructType(schema.fields.toSeq
-      :+ StructField(partCol, StringType, nullable = true))
+    val spec = PartSpec.parse(partCol)
+    val full = StructType(schema.fields.toSeq ++ spec.struct.fields)
     // resolve + constant-fold the predicate through the REAL analyzer and
     // optimizer against a dummy RDD-backed frame with the table's schema
     // (an RDD relation so the optimizer can neither evaluate the filter
@@ -2403,15 +2516,19 @@ object Snapshots {
             a.withName(toPhys(a.name))
         }
         val physSchema = ColumnMapping.physicalStruct(schema)
-        val types = (physSchema.fields.map(f => f.name -> f.dataType)
-          :+ (partCol -> (StringType: DataType))).toMap
-        val files = indexFiles(physSchema, entries)
+        val types = (physSchema.fields.map(f => f.name -> f.dataType) ++
+          spec.cols.map(f => f.name -> f.dataType)).toMap
+        val files = indexFiles(spec, physSchema, entries)
         val flags = entries.zip(files).map { case (e, mf) =>
-          // the partition value IS a per-file bound with lo = hi = value,
-          // so partition predicates prune exactly
-          val stats = mf.stats + (partCol ->
-            (Option(UTF8String.fromString(e.value)): Option[Any],
-              Option(UTF8String.fromString(e.value)): Option[Any]))
+          // each partition value IS a per-file bound with lo = hi =
+          // value (in the column's OWN catalyst type), so partition
+          // predicates — typed date/int comparisons included — prune
+          // exactly
+          val stats = mf.stats ++ spec.cols.zip(spec.split(e.value)).map {
+            case (f, v) =>
+              val iv = PartSpec.castInternal(f.dataType, v)
+              f.name -> (Option(iv), Option(iv))
+          }
           org.apache.spark.sql.graftbridge.ManifestFileIndex
             .couldMatch(physCond, stats, types)
         }
@@ -2502,9 +2619,13 @@ object Snapshots {
       attempts: Int = 5): Long =
     dmlRetry(s, dir, attempts) { () =>
       require(set.nonEmpty, "Snapshots: update needs at least one SET column")
-      require(!set.contains(partCol),
-        s"Snapshots: cannot SET the partition column '$partCol' — a rewrite " +
-          "that re-homes rows across partitions is a merge")
+      PartSpec.parse(partCol).names.filter(set.contains) match {
+        case Seq() => ()
+        case hitCols => throw new IllegalArgumentException(
+          s"Snapshots: cannot SET partition column(s) " +
+            s"${hitCols.mkString(", ")} — a rewrite that re-homes rows " +
+            "across partitions is a merge")
+      }
       val cur = currentVersion(s, dir)
       require(cur >= 1, s"Snapshots: nothing to update at $dir")
       val m = readManifest(s, dir, cur)
@@ -2529,7 +2650,7 @@ object Snapshots {
             .map(e => when(col("__hit"), e.cast(f.dataType))
               .otherwise(col(f.name)).as(f.name))
             .getOrElse(col(f.name))
-        } :+ col(partCol)
+        } ++ PartSpec.parse(partCol).names.map(col)
         val rewritten = scanEntries(s, partCol, schema, affected)
           .withColumn("__hit", coalesce(where, lit(false)))
           .select(cols: _*)
@@ -2575,7 +2696,8 @@ object Snapshots {
           col("__pos_file").as("__dv_path"), col("__pos_idx").as("__dv_ord")))
         val images = posM.select(schema.fields.toSeq.map(f =>
           set.get(f.name).map(_.cast(f.dataType).as(f.name))
-            .getOrElse(col(f.name))) :+ col(partCol): _*)
+            .getOrElse(col(f.name))) ++
+          PartSpec.parse(partCol).names.map(col): _*)
         (dvEs, Some(images))
       }
     val cols = schema.fields.toSeq.map { f =>
@@ -2583,7 +2705,7 @@ object Snapshots {
         .map(e => when(col("__hit"), e.cast(f.dataType))
           .otherwise(col(f.name)).as(f.name))
         .getOrElse(col(f.name))
-    } :+ col(partCol)
+    } ++ PartSpec.parse(partCol).names.map(col)
     val rewritten = scanEntries(s, partCol, schema, rewrite)
       .withColumn("__hit", hit)
       .select(cols: _*)
@@ -2626,25 +2748,36 @@ object Snapshots {
     * on multi-match the same way). `insertUnmatched` = the
     * `WHEN NOT MATCHED THEN INSERT *` clause; the source must then
     * carry every table column plus `partCol`. Matched rows that no
-    * clause claims stay untouched (served by their files as before). */
+    * clause claims stay untouched (served by their files as before).
+    *
+    * `bySource` = the `WHEN NOT MATCHED BY SOURCE` clause chain
+    * (Delta's dimension-reconciliation shape: expire/retag target rows
+    * absent from the source). Its conditions and SET expressions see
+    * the TARGET row alone — no `__src_` columns exist for an unmatched
+    * row. COST IS STATED HONESTLY: matched clauses scan only the files
+    * whose key bounds overlap the source span, but a by-source clause
+    * is definitionally about every OTHER row too, so it scans ALL live
+    * files once (one anti join against the broadcast source keys);
+    * write amplification stays O(claimed rows) via the DV masks. */
   def mergeRows(s: SparkSession, dir: String, partCol: String,
       keyCol: String, source: DataFrame, matched: Seq[MergeAction],
-      insertUnmatched: Boolean, attempts: Int = 5): Long = {
+      insertUnmatched: Boolean, attempts: Int = 5,
+      bySource: Seq[MergeAction] = Nil): Long = {
     require(dvMaxFraction(s) > 0.0,
       "Snapshots: mergeRows needs spark.graft.snapshot.dvEnabled=true — " +
         "row-grain MERGE rests on deletion-vector row addressability " +
         "(the canonical UPDATE SET * / INSERT * shapes run without it " +
         "via merge())")
-    require(matched.nonEmpty || insertUnmatched,
+    require(matched.nonEmpty || insertUnmatched || bySource.nonEmpty,
       "Snapshots: mergeRows needs at least one clause")
     dmlRetry(s, dir, attempts)(() =>
       mergeRowsOnce(s, dir, partCol, keyCol, source, matched,
-        insertUnmatched))
+        insertUnmatched, bySource))
   }
 
   private def mergeRowsOnce(s: SparkSession, dir: String, partCol: String,
       keyCol: String, source: DataFrame, matched: Seq[MergeAction],
-      insertUnmatched: Boolean): Long = {
+      insertUnmatched: Boolean, bySource: Seq[MergeAction]): Long = {
     val cur = currentVersion(s, dir)
     require(cur >= 1,
       s"Snapshots: mergeRows needs a committed table at $dir")
@@ -2654,8 +2787,9 @@ object Snapshots {
       s"Snapshots: merge key '$keyCol' is not a table column")
     require(source.columns.contains(keyCol),
       s"Snapshots: source is missing the key column '$keyCol'")
+    val spec = PartSpec.parse(partCol)
     if (insertUnmatched) {
-      val missing = (schema.fieldNames.toSeq :+ partCol)
+      val missing = (schema.fieldNames.toSeq ++ spec.names)
         .filterNot(source.columns.contains)
       require(missing.isEmpty,
         s"Snapshots: INSERT * needs the source to carry " +
@@ -2698,34 +2832,53 @@ object Snapshots {
     // first-matching-clause-wins op column (foldRight puts clause 0's
     // `when` outermost): U<i> selects clause i's SET list, D deletes,
     // NULL = no clause claims the row — it stays untouched
-    val opCol = matched.zipWithIndex
-      .foldRight(lit(null).cast("string")) { case ((a, i), tail) =>
-        val (cond, tag) = a match {
-          case MergeUpdate(c, _) => (c, s"U$i")
-          case MergeDelete(c) => (c, "D")
+    def opColOf(actions: Seq[MergeAction]): org.apache.spark.sql.Column =
+      actions.zipWithIndex
+        .foldRight(lit(null).cast("string")) { case ((a, i), tail) =>
+          val (cond, tag) = a match {
+            case MergeUpdate(c, _) => (c, s"U$i")
+            case MergeDelete(c) => (c, "D")
+          }
+          when(cond.getOrElse(lit(true)), lit(tag)).otherwise(tail)
         }
-        when(cond.getOrElse(lit(true)), lit(tag)).otherwise(tail)
-      }
-    val claimed = joined.withColumn("__op", opCol)
+    val claimed = joined.withColumn("__op", opColOf(matched))
       .filter(col("__op").isNotNull).localCheckpoint()
+    // WHEN NOT MATCHED BY SOURCE: target rows whose key matches NO
+    // source key, claimed by the by-source clause chain evaluated on
+    // the TARGET row alone. Every live file is scanned ONCE (an anti
+    // join against the key-unique source — no bounds pruning can apply:
+    // the clause is definitionally about rows everywhere), but the
+    // write stays O(claimed rows) through the same DV masks.
+    val claimedB =
+      if (bySource.isEmpty) None
+      else Some(scanEntriesWithPos(s, partCol, schema, m.entries)
+        .join(srcPref.select(col(s"__src_$keyCol")),
+          col(keyCol) === col(s"__src_$keyCol"), "left_anti")
+        .withColumn("__op", opColOf(bySource))
+        .filter(col("__op").isNotNull).localCheckpoint())
     val dvEntries = {
-      val touchedPaths = claimed.select(col("__pos_file")).distinct()
+      val pairFrames = Seq(claimed) ++ claimedB.toSeq
+      val touchedPaths = pairFrames.map(_.select(col("__pos_file")))
+        .reduce(_ unionByName _).distinct()
         .collect().map(r => metaPath(r.getString(0))).toSet
-      val touched = affected.filter(e => touchedPaths(normPath(e.path)))
-      extendMasks(s, dir, cur + 1, touched, claimed.select(
-        col("__pos_file").as("__dv_path"), col("__pos_idx").as("__dv_ord")))
+      val touched = m.entries.filter(e => touchedPaths(normPath(e.path)))
+      extendMasks(s, dir, cur + 1, touched,
+        pairFrames.map(_.select(col("__pos_file").as("__dv_path"),
+          col("__pos_idx").as("__dv_ord"))).reduce(_ unionByName _))
     }
     val touchedPathSet = dvEntries.map(e => normPath(e.path)).toSet
-    val untouchedAffected =
-      affected.filterNot(e => touchedPathSet(normPath(e.path)))
-    // new images per UPDATE clause (each clause has its own SET list)
-    val images = matched.zipWithIndex.collect {
+    // new images per UPDATE clause (each clause has its own SET list);
+    // by-source images project the TARGET row through its SET list
+    def imagesOf(actions: Seq[MergeAction],
+        rows: DataFrame): Seq[DataFrame] = actions.zipWithIndex.collect {
       case (MergeUpdate(_, set), i) =>
-        claimed.filter(col("__op") === s"U$i")
+        rows.filter(col("__op") === s"U$i")
           .select(schema.fields.toSeq.map(f =>
             set.get(f.name).map(_.cast(f.dataType).as(f.name))
-              .getOrElse(col(f.name))) :+ col(partCol): _*)
+              .getOrElse(col(f.name))) ++ spec.names.map(col): _*)
     }
+    val images = imagesOf(matched, claimed) ++
+      claimedB.toSeq.flatMap(b => imagesOf(bySource, b))
     val inserts =
       if (!insertUnmatched) None
       else Some(srcPref.join(
@@ -2734,7 +2887,7 @@ object Snapshots {
         col(s"__src_$keyCol") === col("__t_key"), "left_anti")
         .select(schema.fields.toSeq.map(f =>
           col(s"__src_${f.name}").cast(f.dataType).as(f.name))
-          :+ col(s"__src_$partCol").as(partCol): _*)
+          ++ spec.names.map(n => col(s"__src_$n").as(n)): _*)
         // materialized ONCE: the no-op guard below and the commit's
         // write both consume it — re-running the anti join would double
         // the dominant target-scan stage
@@ -2753,7 +2906,9 @@ object Snapshots {
       // the affected slice): an insert-only merge must still record the
       // new files' bounds or later DML selection would degrade
       statsColumns = keepableStats(schema, m.entries),
-      carriedOverride = Some(carried ++ untouchedAffected ++ dvEntries),
+      carriedOverride = Some(
+        m.entries.filterNot(e => touchedPathSet(normPath(e.path)))
+          ++ dvEntries),
       dataChangeValues = dvEntries.map(_.value).toSet,
       prevManifestHint = Some(m), op = "merge")
   }
@@ -3044,7 +3199,7 @@ object Snapshots {
         // one pass (compose with Graft.zorderKey for 2-D keys). Costs the
         // range sampler's extra pass over just the rewritten entries.
         val n = math.min(binsOf.values.sum, Int.MaxValue.toLong).toInt
-        val keys = (partCol +: clusterBy).map(col)
+        val keys = (PartSpec.parse(partCol).names ++ clusterBy).map(col)
         src.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
       } else {
         // plain bin-packing: deterministic row-hash spread across each
@@ -3057,11 +3212,13 @@ object Snapshots {
           import s.implicits._
           binsOf.toSeq.toDF("__graft_bin_part", "__graft_bins")
         }
-        src.join(broadcast(bins), col(partCol) === col("__graft_bin_part"))
+        val spec = PartSpec.parse(partCol)
+        src.join(broadcast(bins),
+            spec.valueExpr === col("__graft_bin_part"))
           .withColumn("__graft_bin",
             pmod(xxhash64(dataSchema.fieldNames.map(col).toSeq: _*),
               col("__graft_bins")))
-          .repartition(col(partCol), col("__graft_bin"))
+          .repartition(spec.names.map(col) :+ col("__graft_bin"): _*)
           .drop("__graft_bin", "__graft_bins", "__graft_bin_part")
       }
     // PINNED to the version the candidates were planned from: a racer
@@ -3389,10 +3546,18 @@ object Snapshots {
       op: String = "commit",
       txn: Option[(String, Long)] = None,
       allowEmpty: Boolean = false): Long = {
-    require(df.schema(partCol).dataType == StringType,
-      s"Snapshots: partition column '$partCol' must be StringType (it " +
-        "travels through directory names and manifest lines as a string; " +
-        s"got ${df.schema(partCol).dataType.simpleString} — cast it)")
+    val spec = PartSpec.parse(partCol)
+    spec.cols.foreach { f =>
+      require(df.columns.contains(f.name),
+        s"Snapshots: partition column '${f.name}' is not a column of " +
+          "the frame")
+      require(df.schema(f.name).dataType == f.dataType,
+        s"Snapshots: partition column '${f.name}' is declared " +
+          s"${f.dataType.simpleString} but the frame holds " +
+          s"${df.schema(f.name).dataType.simpleString} — cast it (values " +
+          "travel through directory names; a type mismatch would " +
+          "silently re-type them on read-back)")
+    }
     // '__'-prefixed names are RESERVED for the format's internal working
     // columns (update's __hit predicate projection, diffRows' __a/__b
     // presence markers, optimize's __graft_bin* packing columns,
@@ -3428,7 +3593,7 @@ object Snapshots {
     // (see [[ColumnMapping]]) — for never-renamed tables this is the
     // identity and the write below is byte-identical to r15
     val dataSchema = ColumnMapping.assign(
-      StructType(df.schema.filterNot(_.name == partCol)),
+      StructType(df.schema.filterNot(f => spec.names.contains(f.name))),
       prevManifest.flatMap(_.schema),
       prevManifest.map(_.retired).getOrElse(Nil))
     val retired = prevManifest.map(_.retired).getOrElse(Nil)
@@ -3449,7 +3614,8 @@ object Snapshots {
     val dfOut =
       if (!ColumnMapping.nontrivial(dataSchema)) df
       else df.select(dataSchema.fields.toSeq.map(f =>
-        col(f.name).as(ColumnMapping.physicalName(f))) :+ col(partCol): _*)
+        col(f.name).as(ColumnMapping.physicalName(f))) ++
+        spec.names.map(col): _*)
     // EXECUTOR-SIDE STATS: register the footer-servable columns under
     // this write's output path so [[StatsCommitProtocol]] collects
     // per-file bounds IN THE WRITER TASKS and ships them with the task
@@ -3481,7 +3647,7 @@ object Snapshots {
     if (taskStatsActive) StatsCommitProtocol.register(dataDir, statsWanted)
     val taskStats: Map[String, Map[String, (String, String)]] =
       try {
-        dfOut.write.mode("error").partitionBy(partCol).parquet(dataDir)
+        dfOut.write.mode("error").partitionBy(spec.names: _*).parquet(dataDir)
         // keys arrive RELATIVE to the output dir (partition dir +
         // basename, both preserved by the commit rename) — re-qualify
         // them to match the listing below
@@ -3491,12 +3657,43 @@ object Snapshots {
         }
       } finally StatsCommitProtocol.consume(dataDir) // idempotent: frees
         // the registration when the write itself threw
-    val partDirs = fs.listStatus(new Path(dataDir)).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
-    // one listing per partition dir, shared by the stats pass and the
-    // entry build below
+    // LEAF partition dirs: one listing level per partition column
+    // (`c1=v1/c2=v2/...`), each leaf paired with its decoded per-level
+    // RAW values. A NULL partition value writes Hive's default-partition
+    // dir; a read-back would silently RE-TYPE it as that literal string
+    // — refuse loudly instead (impute or filter nulls before committing).
+    def walkParts(p: Path, depth: Int, acc: Seq[String])
+        : Seq[(Path, Seq[String])] =
+      if (depth == spec.cols.size) Seq((p, acc))
+      else {
+        val name = spec.names(depth)
+        fs.listStatus(p).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(name + "="))
+          .flatMap { st =>
+            val raw = st.getPath.getName.stripPrefix(name + "=")
+            if (raw == "__HIVE_DEFAULT_PARTITION__") {
+              fs.delete(new Path(dataDir), true)
+              throw new IllegalArgumentException(
+                s"Snapshots: partition column '$name' contains NULL rows " +
+                  "(written as __HIVE_DEFAULT_PARTITION__); a read-back " +
+                  "would silently turn NULL into that literal string — " +
+                  "filter or impute nulls before committing")
+            }
+            // the EXACT inverse of the writer's escaping (%XX only) —
+            // NOT java.net.URLDecoder, which also rewrites literal '+'
+            // to a space the writer never escaped (silent value
+            // corruption and "a+b"/"a b" conflation)
+            walkParts(st.getPath, depth + 1,
+              acc :+ Bridge.unescapePathName(raw))
+          }
+      }
+    val partDirs: Seq[(Path, Seq[String])] =
+      walkParts(new Path(dataDir), 0, Nil)
+    // one listing per leaf partition dir, shared by the stats pass and
+    // the entry build below
     val filesOf: Seq[(Path, Array[org.apache.hadoop.fs.FileStatus])] =
-      partDirs.map(st => st.getPath -> dataFiles(fs, st.getPath))
+      partDirs.map { case (p, _) => p -> dataFiles(fs, p) }
     val fileStats =
       // an empty frame writes no partition dirs (only _SUCCESS) — a legal
       // commit shape (e.g. a merge whose delta is empty): nothing to stat
@@ -3506,41 +3703,29 @@ object Snapshots {
         dataDir, dataSchema, statsColumns, taskStats)
     val filesByDir = filesOf.toMap
     val written = partDirs
-      .flatMap { st =>
-        val raw = st.getPath.getName.stripPrefix(partCol + "=")
-        // a NULL partition value writes Hive's default-partition dir; a
-        // read-back would silently RE-TYPE it as that literal string —
-        // refuse loudly instead (impute or filter nulls before committing)
-        if (raw == "__HIVE_DEFAULT_PARTITION__") {
-          fs.delete(new Path(dataDir), true)
-          throw new IllegalArgumentException(
-            s"Snapshots: partition column '$partCol' contains NULL rows " +
-              "(written as __HIVE_DEFAULT_PARTITION__); a read-back would " +
-              "silently turn NULL into that literal string — filter or " +
-              "impute nulls before committing")
-        }
-        // the EXACT inverse of the writer's escaping (%XX only) — NOT
-        // java.net.URLDecoder, which also rewrites literal '+' to a
-        // space the writer never escaped (silent value corruption and
-        // "a+b"/"a b" conflation)
-        val value = Bridge.unescapePathName(raw)
+      .flatMap { case (leaf, rawValues) =>
+        // the ENCODED entry value: single column raw (the legacy
+        // byte-compat form), multi column URL-encoded '/'-joined —
+        // [[PartSpec.valueExpr]]'s exact driver-side twin
+        val value = spec.join(rawValues)
         def refuse(why: String): Nothing = {
           fs.delete(new Path(dataDir), true)
           throw new IllegalArgumentException(
-            s"Snapshots: partition value cannot $why (dir name: $raw)")
+            s"Snapshots: partition value cannot $why (dir: $leaf)")
         }
         if (value.exists(c => c == '\t' || c == '\n'))
           refuse("contain a tab/newline — the line-oriented manifest " +
             "cannot carry it")
         // '#' would make the value's manifest line ambiguous with the
-        // header lines
+        // header lines (multi-column values URL-encode '#', so only the
+        // single-column form can ever trip this)
         if (value.startsWith("#"))
           refuse("start with '#' — reserved for the manifest headers")
         // ONE ENTRY PER FILE, stats recorded NOW — files are immutable,
         // so bytes and bounds are exact forever and later commits carry
         // them verbatim
         val dv = dataVersionOf.getOrElse(value, v)
-        filesByDir(st.getPath).map { f =>
+        filesByDir(leaf).map { f =>
           Entry(value, f.getPath.toString, f.getLen, dv,
             fileStats.getOrElse(f.getPath.toString, Map.empty))
         }
@@ -3603,7 +3788,8 @@ object Snapshots {
             val cols = constraintKind(spec)._2
             val dups = scopeFrame
               .filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
-              .groupBy((partCol +: cols).map(col): _*)
+              .groupBy((PartSpec.parse(partCol).names ++ cols)
+                .map(col(_)): _*)
               .agg(count(lit(1)).as("__c0"))
               .filter(col("__c0") > 1).count()
             if (dups > 0)
@@ -3679,8 +3865,8 @@ object Snapshots {
     val headers = Seq(
       SchemaHeader + headerSchema.json,
       MetaHeader + s"ts=${commitTs(prevManifest)} op=$op " +
-        s"partCol=${java.net.URLEncoder.encode(partCol, "UTF-8")}" +
-        retiredKv(retired) +
+        s"partCol=${java.net.URLEncoder.encode(spec.encode, "UTF-8")}" +
+        retiredKv(retired) + minReaderKv(entries, spec.isLegacy) +
         txn.map { case (app, b) =>
           s" txnApp=${java.net.URLEncoder.encode(app, "UTF-8")} txnBatch=$b"
         }.getOrElse(""),

@@ -102,22 +102,21 @@ object Bridge {
     * `dataSchema` is the files' schema (partition column NOT included) and
     * is trusted as given — callers record it at commit time so a read
     * plans with ZERO footer reads. */
-  def manifestRelation(s: SparkSession, partCol: String,
+  def manifestRelation(s: SparkSession, partSchema: StructType,
       files: Seq[ManifestFile], types: Map[String, DataType],
       dataSchema: StructType): HadoopFsRelation = {
     val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val partSchema = StructType(Seq(StructField(partCol, StringType, nullable = true)))
-    val index = new ManifestFileIndex(partCol, files, types)
-    HadoopFsRelation(index, partSchema, dataSchema, None,
+    val index = new ManifestFileIndex(partSchema, files, types)
+    HadoopFsRelation(index, index.partitionSchema, dataSchema, None,
       new ParquetFileFormat, Map.empty)(cs)
   }
 
-  def manifestFileScan(s: SparkSession, partCol: String,
+  def manifestFileScan(s: SparkSession, partSchema: StructType,
       files: Seq[ManifestFile], types: Map[String, DataType],
       dataSchema: StructType): DataFrame = {
     val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     cs.baseRelationToDataFrame(
-      manifestRelation(s, partCol, files, types, dataSchema))
+      manifestRelation(s, partSchema, files, types, dataSchema))
   }
 
   /** a frame's executed InternalRow RDD — what a `needConversion =
@@ -150,12 +149,12 @@ object Bridge {
     * plan `isStreaming`; Delta's DeltaSource builds its batches exactly
     * this way: a batch file scan inside a streaming-tagged
     * LogicalRelation) */
-  def manifestStreamScan(s: SparkSession, partCol: String,
+  def manifestStreamScan(s: SparkSession, partSchema: StructType,
       files: Seq[ManifestFile], types: Map[String, DataType],
       dataSchema: StructType): DataFrame = {
     val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     Dataset.ofRows(cs, LogicalRelation(
-      manifestRelation(s, partCol, files, types, dataSchema),
+      manifestRelation(s, partSchema, files, types, dataSchema),
       isStreaming = true))
   }
 }

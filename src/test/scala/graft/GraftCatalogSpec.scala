@@ -146,4 +146,59 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("GraftCatalog"), e.getMessage)
   }
+
+  test("CREATE TABLE PARTITIONED BY (day, region) — typed multi-column identity through DDL") {
+    val dir = s"$wh/db6/t6" // touch wh first: registers the catalog conf
+    spark.sql("CREATE TABLE graft.db6.t6 " +
+      "(day DATE, region STRING, k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (day, region)")
+    // the table's resolved schema orders data columns first, then the
+    // partition columns (the HadoopFsRelation convention)
+    spark.sql("INSERT INTO graft.db6.t6 VALUES " +
+      "(1, 10, DATE'2024-01-01', 'eu'), (2, 20, DATE'2024-01-01', 'us'), " +
+      "(3, 30, DATE'2024-01-02', 'eu')")
+    // typed read-back + typed partition pruning by name
+    assert(spark.sql("SELECT sum(v) AS s FROM graft.db6.t6 " +
+      "WHERE day = DATE'2024-01-01'").as[Long].head() == 30L)
+    assert(spark.table("graft.db6.t6").schema("day").dataType ==
+      org.apache.spark.sql.types.DateType)
+    // the catalog reports the ordered identity transforms
+    val t = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db6"), "t6"))
+    assert(t.partitioning().map(_.toString).toSeq ==
+      Seq("identity(day)", "identity(region)"))
+    // DML by name parses the spec from the manifest header
+    Snapshots.sql(spark,
+      "DELETE FROM graft.db6.t6 WHERE region = 'us'")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db6.t6")
+      .as[Long].head() == 2L)
+    // a non-identity transform is refused loudly
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db6.tbad (day DATE, k BIGINT) " +
+        "PARTITIONED BY (days(day))")
+    }
+    assert(e.getMessage.contains("identity"), e.getMessage)
+  }
+
+  test("parser-path name resolution refuses components that escape the warehouse") {
+    seed("db5", "t5")
+    // backticked traversal / metadata-dir components reach resolveDir
+    // through Spark's parser (the Target regex never matches them, but
+    // DELETE/UPDATE route through UnresolvedRelation's multipart
+    // identifier) — they must hit the SAME safe() wall as DDL names
+    for (bad <- Seq("DELETE FROM graft.`..`.`..` WHERE true",
+        "DELETE FROM graft.db5.`_manifests` WHERE true",
+        "UPDATE graft.`a/b`.t5 SET v = 0 WHERE true")) {
+      val e = intercept[IllegalArgumentException] {
+        Snapshots.sql(spark, bad)
+      }
+      assert(e.getMessage.contains("illegal name component"),
+        s"$bad -> ${e.getMessage}")
+    }
+    // the legal name still resolves after the guard
+    assert(Snapshots.sql(spark,
+      "DELETE FROM graft.db5.t5 WHERE k = 1").count() >= 0L)
+  }
 }

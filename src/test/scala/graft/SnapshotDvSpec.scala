@@ -312,6 +312,51 @@ class SnapshotDvSpec extends SparkSpec {
     assert(e2.getMessage.contains("dvEnabled"), e2.getMessage)
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: expire/retag unmatched target rows via masks") {
+    withDv {
+      val dir = tempTable()
+      seed(dir)
+      Seq(("p0", 7L, 777L), ("p9", 300L, 3000L))
+        .toDF("part", "k", "v").createOrReplaceTempView("mrb_src")
+      val v = Snapshots.sql(spark,
+        s"""MERGE INTO graft_snapshot.`$dir` AS t
+            USING mrb_src AS s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET v = s.v
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND t.k >= 198 THEN DELETE
+            WHEN NOT MATCHED BY SOURCE AND t.k >= 195 THEN UPDATE SET v = -1""")
+        .collect()(0).getLong(0)
+      val got = Snapshots.read(spark, dir, "part", v)
+        .select("k", "v").as[(Long, Long)].collect().toMap
+      // matched row updated from the source
+      assert(got(7L) == 777L)
+      // unmatched-in-target row inserted
+      assert(got(300L) == 3000L)
+      // by-source chain, first-match-wins: 198-199 expired, 195-197
+      // retagged, everything below untouched
+      assert(!got.contains(198L) && !got.contains(199L))
+      assert(Seq(195L, 196L, 197L).forall(got(_) == -1L))
+      assert(got(100L) == 1000L && got.size == 200 - 2 + 1)
+      // all of it through MASKS — no original file was rewritten
+      val (before, after) = (filesOf(dir, 1L), filesOf(dir, v))
+      assert(before.forall { case (p, fs) =>
+        fs.forall(after(p).contains) },
+        "by-source merge must mask, never rewrite")
+      // time travel unaffected
+      assert(Snapshots.read(spark, dir, "part", 1L).count() == 200L)
+      // a source-side reference inside a by-source clause is refused
+      // (no source row exists for an unmatched target row)
+      val e = intercept[IllegalArgumentException] {
+        Snapshots.sql(spark,
+          s"""MERGE INTO graft_snapshot.`$dir` AS t
+              USING mrb_src AS s ON t.k = s.k
+              WHEN MATCHED THEN UPDATE SET v = s.v
+              WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.v""")
+      }
+      assert(e.getMessage.contains("target row alone"), e.getMessage)
+    }
+  }
+
   test("DV DML is exact on HOSTILE partition values (spaces, percents, equals)") {
     // the per-file classification map crosses two path worlds — manifest
     // entry paths (listStatus) vs the scan's _metadata.file_path — and
@@ -345,6 +390,51 @@ class SnapshotDvSpec extends SparkSpec {
       assert(Snapshots.read(spark, dir, "part")
         .filter(col("k") === 8L).select("part", "v")
         .as[(String, Long)].head() == ("a b", -1L))
+    }
+  }
+
+  test("a new sidecar is bounded to the re-pointed files' masks, not shared-sidecar history") {
+    withDv {
+      val dir = tempTable()
+      seed(dir)
+      // one DELETE spanning BOTH files -> ONE shared sidecar both
+      // entries reference
+      Snapshots.delete(spark, dir, "part", col("k").isin(7L, 107L))
+      assert(dvRefs(dir, 2L).size == 2)
+      // a needle DELETE touching only p0: its new sidecar must carry
+      // p0's old mask (resurrect safety) but NOT p1's rows riding on
+      // the shared sidecar — that growth would compound over many
+      // small DMLs
+      Snapshots.delete(spark, dir, "part", col("k") === 8L)
+      val p0File = filesOf(dir, 3L)("p0").head
+      val sidecars = new java.io.File(s"$dir/_manifests/dv")
+        .listFiles().map(_.toString).sorted
+      val newest = spark.read.parquet(sidecars.last)
+      val paths = newest.select("path").as[String].collect().toSet
+      assert(paths.forall(_.contains(new org.apache.hadoop.fs.Path(p0File)
+        .getName)), s"new sidecar must only mask p0's file, got $paths")
+      assert(newest.filter(size(col("ords")) === 2).count() == 1L,
+        "p0's mask = old {7} ∪ new {8}")
+      // p1's entry still refs the shared sidecar: nothing resurrects
+      val ks = Snapshots.read(spark, dir, "part", 3L)
+        .select("k").as[Long].collect().toSet
+      assert(!ks.contains(7L) && !ks.contains(8L) && !ks.contains(107L) &&
+        ks.size == 197)
+    }
+  }
+
+  test("a DV-bearing manifest stamps minReader=2; mask retirement drops it") {
+    withDv {
+      val dir = tempTable()
+      seed(dir)
+      assert(!manifestText(dir, 1L).contains("minReader="))
+      val v2 = Snapshots.delete(spark, dir, "part", col("k") === 7L)
+      assert(manifestText(dir, v2).contains("minReader=2"),
+        "a manifest whose entries carry dv refs must gate old readers")
+      // OPTIMIZE retires every mask -> the stamp goes away again
+      val v3 = Snapshots.optimize(spark, dir, "part")
+      assert(dvRefs(dir, v3).isEmpty)
+      assert(!manifestText(dir, v3).contains("minReader="))
     }
   }
 

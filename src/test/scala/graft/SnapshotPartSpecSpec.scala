@@ -1,0 +1,194 @@
+package graft
+
+import graft.sources.Snapshots
+import org.apache.spark.sql.functions._
+
+/** Typed & multi-column partition identity (r18): `partCol` spec
+  * strings ("day:date,region"), typed partition pruning through the
+  * manifest file index, DML span pruning per partition column, hostile
+  * values, the minReader=3 protocol gate, and legacy single-column
+  * byte-compatibility. */
+class SnapshotPartSpecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tempTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_pspec_spec").toString
+
+  private def manifestText(dir: String, v: Long): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$dir/_manifests/v$v%08d.txt")), "UTF-8")
+
+  private def filesOf(dir: String, v: Long): Map[String, Set[String]] =
+    manifestText(dir, v).split("\n").filterNot(_.startsWith("#")).toSeq
+      .map(_.split("\t")).groupBy(_(0))
+      .view.mapValues(_.map(_(1)).toSet).toMap
+
+  private val Spec = "day:date,region"
+
+  /** 4 partitions: 2 days x 2 regions, k clustered per partition */
+  private def seed(dir: String): Long = {
+    val df = (0L until 80L).map { k =>
+      (java.sql.Date.valueOf(s"2024-01-0${1 + (k % 2)}"),
+        if ((k / 2) % 2 == 0) "eu" else "us", k, k * 10L)
+    }.toDF("day", "region", "k", "v")
+      // one task per (day, region) -> exactly one file per partition
+      .repartition(4, col("day"), col("region"))
+    Snapshots.commit(spark, dir, df, Spec, statsColumns = Seq("k"))
+  }
+
+  test("two-column typed table: write, typed read-back, value encoding") {
+    val dir = tempTable()
+    seed(dir)
+    val back = Snapshots.read(spark, dir, Spec)
+    // the partition columns come back with their DECLARED types, from
+    // the manifest alone
+    assert(back.schema("day").dataType ==
+      org.apache.spark.sql.types.DateType)
+    assert(back.schema("region").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(back.count() == 80L)
+    assert(back.filter(col("region") === "eu").agg(sum("v"))
+      .as[Long].head() ==
+      (0L until 80L).filter(k => (k / 2) % 2 == 0).map(_ * 10).sum)
+    // entry values are URL-encoded '/'-joins in spec order
+    val values = filesOf(dir, 1L).keySet
+    assert(values == Set("2024-01-01/eu", "2024-01-01/us",
+      "2024-01-02/eu", "2024-01-02/us"), values)
+    // the spec travels the manifest header; minReader=3 gates old readers
+    assert(manifestText(dir, 1L).contains("partCol=day%3Adate%2Cregion"))
+    assert(manifestText(dir, 1L).contains("minReader=3"))
+  }
+
+  test("typed partition predicates prune files at plan time (both columns)") {
+    val dir = tempTable()
+    seed(dir)
+    val base = Snapshots.read(spark, dir, Spec)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.getOrElse(-1L)
+    }
+    val all = scannedFiles(base.select("k"))
+    assert(all == 4L, s"expected one file per partition, got $all")
+    // a DATE comparison prunes day partitions TYPED (not lexically)
+    assert(scannedFiles(base
+      .filter(col("day") > lit(java.sql.Date.valueOf("2024-01-01")))
+      .select("k")) == 2L)
+    // both columns together prune to one partition
+    assert(scannedFiles(base
+      .filter(col("day") === lit(java.sql.Date.valueOf("2024-01-02")) &&
+        col("region") === "eu").select("k")) == 1L)
+    // and the plan carries them as real PartitionFilters (no data read)
+    val plan = base
+      .filter(col("region") === "us").select("k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("region"),
+      plan)
+  }
+
+  test("DML prunes by partition spans; untouched partitions carry by reference") {
+    val dir = tempTable()
+    seed(dir)
+    val before = filesOf(dir, 1L)
+    // a delete whose predicate pins day+region rewrites ONLY that
+    // partition's file
+    val v2 = Snapshots.delete(spark, dir, Spec,
+      col("day") === lit(java.sql.Date.valueOf("2024-01-01")) &&
+        col("region") === "eu" && col("k") < 10L)
+    val after = filesOf(dir, v2)
+    assert(after("2024-01-01/us") == before("2024-01-01/us") &&
+      after("2024-01-02/eu") == before("2024-01-02/eu") &&
+      after("2024-01-02/us") == before("2024-01-02/us"),
+      "untouched partitions must carry by reference")
+    assert(after("2024-01-01/eu") != before("2024-01-01/eu"))
+    assert(Snapshots.read(spark, dir, Spec).count() ==
+      80L - (0L until 80L).count(k =>
+        k % 2 == 0 && (k / 2) % 2 == 0 && k < 10L))
+    // UPDATE refuses SET on any partition column
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.update(spark, dir, Spec, col("k") === 11L,
+        Map("region" -> lit("apac")))
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    // ...but updates a data column with partition-pruned selection
+    val v3 = Snapshots.update(spark, dir, Spec,
+      col("region") === "us" && col("k") === 11L, Map("v" -> lit(-1L)))
+    assert(filesOf(dir, v3)("2024-01-02/eu") == before("2024-01-02/eu"))
+    assert(Snapshots.read(spark, dir, Spec)
+      .filter(col("k") === 11L).select("v").as[Long].head() == -1L)
+  }
+
+  test("append, merge, and the change feed on a multi-column table") {
+    val dir = tempTable()
+    seed(dir)
+    val v2 = Snapshots.append(spark, dir,
+      Seq((java.sql.Date.valueOf("2024-01-03"), "eu", 100L, 1000L))
+        .toDF("day", "region", "k", "v"), Spec)
+    assert(Snapshots.read(spark, dir, Spec).count() == 81L)
+    // the appended partition landed as its own encoded value
+    assert(filesOf(dir, v2).keySet.contains("2024-01-03/eu"))
+    // keyed merge: span pruning groups by the ENCODED compound value
+    val delta = Seq(
+      ("U", java.sql.Date.valueOf("2024-01-03"), "eu", 100L, -5L),
+      ("U", java.sql.Date.valueOf("2024-01-03"), "eu", 101L, 1010L))
+      .toDF("op", "day", "region", "k", "v")
+    val v3 = Snapshots.merge(spark, dir, Spec, "k", delta)
+    // only the 2024-01-03/eu partition's file was rewritten
+    assert(filesOf(dir, v3)("2024-01-01/eu") ==
+      filesOf(dir, v2)("2024-01-01/eu"))
+    assert(Snapshots.read(spark, dir, Spec)
+      .filter(col("k") >= 100L).agg(sum("v")).as[Long].head() == 1005L)
+    // the change feed scopes to the data-changed partition only
+    val d = Snapshots.diff(spark, dir, Spec, v2, v3)
+    assert(d.select("region").distinct().as[String].collect().toSet ==
+      Set("eu"))
+    assert(d.schema("day").dataType ==
+      org.apache.spark.sql.types.DateType)
+  }
+
+  test("hostile multi-column values round-trip (spaces, slashes, percent)") {
+    val dir = tempTable()
+    val df = Seq(
+      ("a b", "x/y", 1L), ("a+b", "x%2Fy", 2L), ("c", "d", 3L))
+      .toDF("p1", "p2", "k")
+    Snapshots.commit(spark, dir, df, "p1,p2", statsColumns = Seq("k"))
+    val back = Snapshots.read(spark, dir, "p1,p2")
+    assert(back.select("p1", "p2", "k").as[(String, String, Long)]
+      .collect().toSet == Set(("a b", "x/y", 1L), ("a+b", "x%2Fy", 2L),
+      ("c", "d", 3L)))
+    // a '/' INSIDE a value must not be confused with the value join
+    assert(back.filter(col("p2") === "x/y").select("k")
+      .as[Long].head() == 1L)
+    // DML on a hostile-valued partition addresses exactly it
+    val v2 = Snapshots.delete(spark, dir, "p1,p2",
+      col("p1") === "a b" && col("p2") === "x/y")
+    assert(Snapshots.read(spark, dir, "p1,p2", v2)
+      .select("k").as[Long].collect().toSet == Set(2L, 3L))
+  }
+
+  test("legacy single-column tables stay byte-compatible (no minReader, bare header)") {
+    val dir = tempTable()
+    Snapshots.commit(spark, dir, Seq(("a", 1L)).toDF("part", "x"), "part")
+    val txt = manifestText(dir, 1L)
+    assert(txt.contains("partCol=part") && !txt.contains("minReader="),
+      "a legacy table's manifest must not change shape")
+    // a typed SINGLE column is a non-legacy spec: stamped minReader=3
+    val dir2 = tempTable()
+    Snapshots.commit(spark, dir2,
+      Seq((java.sql.Date.valueOf("2024-02-01"), 1L)).toDF("day", "x"),
+      "day:date")
+    assert(manifestText(dir2, 1L).contains("minReader=3"))
+    val b = Snapshots.read(spark, dir2, "day:date")
+    assert(b.schema("day").dataType == org.apache.spark.sql.types.DateType)
+    assert(b.count() == 1L)
+    // unsupported partition types are refused with the supported list
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, tempTable(),
+        Seq((1.5, 1L)).toDF("p", "x"), "p:double")
+    }
+    assert(e.getMessage.contains("unsupported partition type"),
+      e.getMessage)
+  }
+}

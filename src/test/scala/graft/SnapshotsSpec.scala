@@ -446,13 +446,15 @@ class SnapshotsSpec extends SparkSpec {
       Seq(("a", "one")).toDF("part", "x"), "part")
     assert(Snapshots.read(spark, dir, "part", v)
       .select("x").as[String].collect().sameElements(Array("one")))
-    // and a non-string partition column is refused up front: values
-    // travel through directory names and manifest lines as strings
+    // and a partition column whose frame type disagrees with the spec's
+    // declared type (a bare name = string) is refused up front: values
+    // travel through directory names
     val e2 = intercept[IllegalArgumentException] {
       Snapshots.commit(spark, tempTable(),
         Seq((1, 1L)).toDF("part", "x"), "part")
     }
-    assert(e2.getMessage.contains("StringType"), e2.getMessage)
+    assert(e2.getMessage.contains("declared string") &&
+      e2.getMessage.contains("cast it"), e2.getMessage)
   }
 
   test("long histories: hint-assisted currentVersion and one-listing vacuum over 300 versions") {
@@ -1739,5 +1741,75 @@ class SnapshotsSpec extends SparkSpec {
       .as[Long].collect().head
     assert(ts == future + 1,
       s"v3 ts must clamp to skewed-predecessor+1, got $ts vs $future")
+  }
+
+  test("BuilderCommitPoint is gated on the connector's conditional-create capability") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val s3aTarget = new HPath("s3a://bucket/t/_manifests/v00000001.txt")
+    def fsWithCap(cap: Boolean, forced: Boolean = false)
+        : org.apache.hadoop.fs.FileSystem = {
+      val fs = new org.apache.hadoop.fs.RawLocalFileSystem() {
+        override def hasPathCapability(p: HPath, c: String): Boolean =
+          cap && c == Snapshots.ConditionalCreateCapability
+      }
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      if (forced) conf.setBoolean(Snapshots.ConditionalCreateOverride, true)
+      fs.setConf(conf)
+      fs
+    }
+    // stock S3A (no capability): overwrite(false) is a client-side
+    // HEAD-then-PUT — NOT a store-side arbiter — so the builder point
+    // must NOT be selected; the scheme falls back to the rename point
+    assert(Snapshots.pointFor(fsWithCap(cap = false), s3aTarget)
+      eq Snapshots.RenameCommitPoint)
+    // a connector that advertises the capability gets the builder point
+    assert(Snapshots.pointFor(fsWithCap(cap = true), s3aTarget)
+      eq Snapshots.BuilderCommitPoint)
+    // ...as does an explicit deployment assertion (GCS/OSS-style
+    // connectors that predate the capability key)
+    assert(Snapshots.pointFor(fsWithCap(cap = false, forced = true),
+      s3aTarget) eq Snapshots.BuilderCommitPoint)
+    // non-flat schemes are untouched by the gate
+    assert(Snapshots.pointFor(fsWithCap(cap = true),
+      new HPath("file:///t/_manifests/v1.txt"))
+      eq Snapshots.LinkCommitPoint)
+    assert(Snapshots.pointFor(fsWithCap(cap = true),
+      new HPath("hdfs://nn/t/_manifests/v1.txt"))
+      eq Snapshots.RenameCommitPoint)
+  }
+
+  test("append refuses a source column the table lacks (two-sided schema check)") {
+    val dir = tempTable()
+    Snapshots.commit(spark, dir, Seq(("a", 1L)).toDF("part", "x"), "part")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.append(spark, dir,
+        Seq(("a", 2L, "oops")).toDF("part", "x", "misspelled"), "part")
+    }
+    assert(e.getMessage.contains("misspelled"), e.getMessage)
+    // the exact-schema append still lands
+    assert(Snapshots.append(spark, dir,
+      Seq(("a", 2L)).toDF("part", "x"), "part") == 2L)
+  }
+
+  test("a manifest demanding a future reader version fails with a pointed upgrade error") {
+    val dir = tempTable()
+    Snapshots.commit(spark, dir, Seq(("a", 1L)).toDF("part", "x"), "part")
+    // a DV-free table stamps no minReader: old readers stay compatible
+    assert(!manifestText(dir, 1L).contains("minReader="))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.writeManifestAtomic(fs,
+      new org.apache.hadoop.fs.Path(dir, "_manifests/v00000002.txt"),
+      manifestText(dir, 1L).split("\n").map { l =>
+        if (l.startsWith("#meta\t")) l + " minReader=99" else l
+      }.mkString("\n"))
+    Snapshots.invalidateCaches(dir)
+    val e = intercept[IllegalStateException] {
+      Snapshots.read(spark, dir, "part", 2L).count()
+    }
+    assert(e.getMessage.contains("reader version 99"), e.getMessage)
+    assert(e.getMessage.contains("upgrade"), e.getMessage)
+    // the pre-upgrade version still reads
+    assert(Snapshots.read(spark, dir, "part", 1L).count() == 1L)
   }
 }
