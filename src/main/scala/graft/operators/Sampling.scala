@@ -1209,6 +1209,57 @@ FROM base WHERE NOT (user_id >= 300 AND user_id < 400)
         s"VERSION AS OF $v")
     },
 
+    // FORMAT-NATIVE bloom skipping (r18) — the write-time twin of
+    // q_layout_bloomskip's query-side index: `bloomColumns` records a
+    // 16x63-bit k=3 h60 bloom PER FILE in the manifest's stats cells
+    // (the Iceberg-puffin / Parquet-column-bloom role), and the
+    // manifest file index consults it for equality predicates where
+    // the recorded [min,max] bounds cannot prune (high-cardinality
+    // digests interleaved across every file). SnapshotPartSpecSpec
+    // pins the scan's numFiles dropping below the manifest count with
+    // zero false negatives; this query pins RESULT exactness through
+    // the oracle: per-user digests committed with blooms, then point
+    // lookups — present keys found, absent keys provably empty (the
+    // delete-no-op assertion rides the version column).
+    QueryDef(
+      "q_layout_bloom_native",
+      """WITH base AS (
+  SELECT user_id, md5('u' || CAST(user_id AS VARCHAR)) AS digest,
+         sum(value) AS v
+  FROM events GROUP BY user_id)
+SELECT user_id, digest, CAST(round(CAST(v AS DECIMAL(38,10)), 4) AS DOUBLE) AS v,
+       2::BIGINT AS version
+FROM base
+WHERE digest IN (md5('u7'), md5('u123'), md5('u400'), md5('u9999991'))
+""".stripMargin) { (s, d) =>
+      import graft.sources.Snapshots
+      val dir = "/tmp/graft_snap_bloom_" +
+        java.nio.file.Paths.get(d).getFileName.toString +
+        "_" + s.sparkContext.applicationId
+      deleteOnExit(dir)
+      val base = events(s, d)
+        .groupBy("user_id")
+        .agg(graft.Exact.dec(sum(graft.Exact.dec(col("value")))).as("vd"))
+        .select(col("user_id"),
+          md5(concat(lit("u"), col("user_id").cast("string"))).as("digest"),
+          col("vd"))
+        .withColumn("part", (col("user_id") % 2).cast("string"))
+      Snapshots.commit(s, dir, base.repartition(8), "part",
+        statsColumns = Seq("user_id"), bloomColumns = Seq("digest"))
+      // a DELETE on a digest no table row holds must be a PROVABLE
+      // no-op through the blooms alone (bounds cannot prove it): the
+      // current version stays 1, pinned into the output
+      val v = Snapshots.delete(s, dir, "part",
+        col("digest") === md5(lit("u9999991")))
+      val probes = Seq("u7", "u123", "u400", "u9999991")
+        .map(u => graft.Exact.md5Hex(u))
+      Snapshots.read(s, dir, "part")
+        .filter(col("digest").isin(probes: _*))
+        .select(col("user_id"), col("digest"),
+          graft.Exact.decOut(col("vd")).as("v"),
+          lit(v + 1).as("version"))
+    },
+
     // MERGE WHEN NOT MATCHED BY SOURCE (r18) — the dimension-
     // reconciliation shape: one statement syncs the users table to a
     // source window, updating matched rows, inserting new ones, and

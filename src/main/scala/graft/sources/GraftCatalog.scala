@@ -176,12 +176,73 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** ALTER TABLE through Spark's own DDL, routed onto the format's
+    * existing metadata-only kernels — each change is ITS OWN manifest
+    * commit (a version per evolution step, like Delta), never a bypass
+    * of the protocol. Supported: RENAME/ADD/DROP COLUMN, ADD/DROP
+    * CONSTRAINT ... CHECK. Everything else (type changes, nullability,
+    * positions, defaults, properties) refuses with the reason the
+    * format refuses it. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "GraftCatalog: ALTER TABLE goes through the format's own surface " +
-        "(Snapshots.sql ALTER ... CONSTRAINT / renameColumn / dropColumn)" +
-        " — catalog-level alters would bypass the manifest protocol")
+      changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(identParts(ident))
+    def single(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"GraftCatalog: $what supports top-level columns only, got " +
+          fieldNames.mkString("."))
+      fieldNames.head
+    }
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        Snapshots.renameColumn(session, dir,
+          single(r.fieldNames, "RENAME COLUMN"), r.newName)
+      case d: TableChange.DeleteColumn =>
+        Snapshots.dropColumn(session, dir,
+          single(d.fieldNames, "DROP COLUMN"))
+      case a: TableChange.AddColumn =>
+        require(a.isNullable,
+          "GraftCatalog: an added column must be nullable — existing " +
+            "rows cannot satisfy NOT NULL (backfill via a full-snapshot " +
+            "commit instead)")
+        require(a.position == null,
+          "GraftCatalog: column positions are not supported (parquet " +
+            "resolves by name; order is outside the schema contract)")
+        require(a.defaultValue == null,
+          "GraftCatalog: column defaults are not supported — existing " +
+            "rows read back NULL for an added column")
+        Snapshots.addColumn(session, dir,
+          single(a.fieldNames, "ADD COLUMN"), a.dataType)
+      case c: TableChange.AddConstraint =>
+        c.constraint match {
+          case chk: org.apache.spark.sql.connector.catalog
+              .constraints.Check =>
+            val m = Snapshots.readManifest(session, dir,
+              Snapshots.currentVersion(session, dir))
+            val pc = m.partCol.getOrElse(throw new IllegalArgumentException(
+              s"GraftCatalog: the manifest at $dir predates the recorded " +
+                "partition column"))
+            Snapshots.addConstraint(session, dir, pc, chk.name,
+              chk.predicateSql)
+          case other => throw new UnsupportedOperationException(
+            s"GraftCatalog: only CHECK constraints are supported, got " +
+              other.toDDL)
+        }
+      case dcn: TableChange.DropConstraint =>
+        try Snapshots.dropConstraint(session, dir, dcn.name)
+        catch {
+          case e: IllegalArgumentException if dcn.ifExists &&
+              e.getMessage != null && e.getMessage.contains("no constraint")
+            => ()
+        }
+      case other => throw new UnsupportedOperationException(
+        s"GraftCatalog: unsupported ALTER (${other.getClass.getSimpleName})" +
+          " — type changes and drops of carried data require a " +
+          "full-snapshot commit; properties carry no table state here")
+    }
+    Snapshots.invalidateCaches(dir)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
@@ -360,6 +421,7 @@ final case class GraftTable(spark: SparkSession, ident: Identifier,
     val s = new util.HashSet[TableCapability]()
     s.add(TableCapability.V1_BATCH_WRITE)
     s.add(TableCapability.TRUNCATE)
+    s.add(TableCapability.STREAMING_WRITE)
     s
   }
 
@@ -385,6 +447,12 @@ final case class GraftTable(spark: SparkSession, ident: Identifier,
               else Snapshots.append(spark, dir, data, partCol)
               ()
             }
+          // `writeStream.toTable("graft.db.t")` — the exactly-once
+          // epoch-committing streaming sink (see GraftStreamingWrite)
+          override def toStreaming: org.apache.spark.sql.connector
+              .write.streaming.StreamingWrite =
+            new GraftStreamingWrite(spark, dir, partCol,
+              info.queryId(), info.schema())
         }
     }
 }

@@ -589,14 +589,14 @@ object Snapshots {
     * [[history]] and [[commitIdempotent]]'s txn walk cost one small
     * read per version, never an entry parse */
   private def readHeaderMeta(fs: FileSystem, p: Path)
-      : (Option[Long], Option[String], Option[(Long, Long, Long)],
+      : (Option[Long], Option[String], Option[(Long, Long, Long, Long)],
         Option[(String, Long)]) = {
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(p), "UTF-8"))
     try {
       var ts: Option[Long] = None
       var op: Option[String] = None
-      var stats: Option[(Long, Long, Long)] = None
+      var stats: Option[(Long, Long, Long, Long)] = None
       var txn: Option[(String, Long)] = None
       var line = in.readLine()
       while (line != null && line.startsWith("#")) {
@@ -624,7 +624,7 @@ object Snapshots {
             case x if x.startsWith(k + "=") => x.stripPrefix(k + "=").toLong
           }
           stats = for (p1 <- kv("parts"); f <- kv("files"); b <- kv("bytes"))
-            yield (p1, f, b)
+            yield (p1, f, b, kv("masked").getOrElse(0L))
         }
         line = in.readLine()
       }
@@ -814,9 +814,16 @@ object Snapshots {
 
   /** the `#stats` rollup header — what makes [[history]] a header-only
     * read per version */
-  private def statsHeader(entries: Seq[Entry]): String =
+  private def statsHeader(entries: Seq[Entry]): String = {
+    // `masked=` appears only when deletion vectors are live — the
+    // maintenance signal DESCRIBE HISTORY surfaces (how much mask debt
+    // OPTIMIZE would retire); kv form keeps DV-free manifests (and all
+    // legacy tables) byte-identical
+    val masked = dvMaskedRows(entries)
     StatsHeader + s"parts=${entries.map(_.value).distinct.size} " +
-      s"files=${entries.size} bytes=${entries.map(_.bytes).sum}"
+      s"files=${entries.size} bytes=${entries.map(_.bytes).sum}" +
+      (if (masked > 0) s" masked=$masked" else "")
+  }
 
   /** commit wall-clock for the `#meta ts=` header, clamped NON-DECREASING
     * (strictly increasing, in fact) against the predecessor manifest's
@@ -1280,18 +1287,98 @@ object Snapshots {
     * version's recorded schema (a stats column absent from the schema, an
     * unsupported type, or an unparseable token degrades to "no bounds" —
     * file skipping is always conservative, never a correctness input) */
+  /** stats-cell key suffix for a per-file BLOOM (16x63-bit words, k h60
+    * probes — [[graft.api.Graft.bloomChunkIndex]]'s geometry): rides the
+    * ordinary stats map, so carry-by-reference preserves blooms for
+    * free, and an unknowing reader treats the cell as bounds of a
+    * column the schema lacks — skipped, never misread */
+  private[graft] val BloomKeySuffix = "#bf"
+
   private def indexFiles(spec: PartSpec, schema: StructType,
       entries: Seq[Entry]): Seq[ManifestFile] = {
     val byName = schema.fields.map(f => f.name -> f.dataType).toMap
     entries.map { e =>
-      val st = e.stats.flatMap { case (c, (lo, hi)) =>
+      val (bloomCells, boundCells) =
+        e.stats.partition(_._1.endsWith(BloomKeySuffix))
+      val st = boundCells.flatMap { case (c, (lo, hi)) =>
         byName.get(c).filter(StatCodec.supported).flatMap { dt =>
           try Some(c -> (Option(StatCodec.internal(dt, lo)),
             Option(StatCodec.internal(dt, hi))))
           catch { case _: Exception => None }
         }
       }
-      ManifestFile(spec.split(e.value), e.path, e.bytes, st)
+      val blooms = bloomCells.flatMap { case (kk, (bits, geom)) =>
+        try {
+          val Array(w, kNum) = geom.split(":").map(_.toInt)
+          val arr = new Array[Long](w)
+          bits.split("\\.").filter(_.nonEmpty).foreach { pair =>
+            val Array(i, hx) = pair.split(":")
+            arr(i.toInt) = java.lang.Long.parseUnsignedLong(hx, 16)
+          }
+          Some(kk.stripSuffix(BloomKeySuffix) ->
+            org.apache.spark.sql.graftbridge.FileBloom(arr, kNum))
+        } catch { case _: Exception => None } // malformed: conservative
+      }
+      ManifestFile(spec.split(e.value), e.path, e.bytes, st, blooms)
+    }
+  }
+
+  /** Per-file BLOOM cells for `bloomColumns` over the just-written
+    * files — the format-native equality-skipping layer (Iceberg-puffin /
+    * Parquet-column-bloom role) for declared HIGH-CARDINALITY columns
+    * whose [min, max] bounds cannot prune point predicates. ONE
+    * column-pruned distinct + bit_or aggregation over the new files
+    * only (the price of write-time blooms; bounds stay footer-served).
+    * Encoding: sparse `word:hex` pairs + a `words:k` geometry cell —
+    * probed at PLAN time by [[org.apache.spark.sql.graftbridge.FileBloom]]
+    * with the same h60 positions the codegen'd build hashed. Returned
+    * keyed by [[normPath]]. */
+  private def collectBlooms(s: SparkSession, files: Seq[String],
+      dataSchema: StructType, bloomColumns: Seq[String],
+      words: Int = 16, k: Int = 3)
+      : Map[String, Map[String, (String, String)]] = {
+    val ok: DataType => Boolean = {
+      case StringType | ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val bad = bloomColumns.filterNot(c =>
+      dataSchema.fieldNames.contains(c) && ok(dataSchema(c).dataType))
+    require(bad.isEmpty,
+      s"Snapshots: bloomColumns ${bad.mkString(", ")} must be string or " +
+        "integral data columns (the probe hashes the cast-to-string form)")
+    val toPhys = ColumnMapping.toPhysical(dataSchema)
+    val positions = words * 63
+    val raw = s.read.schema(ColumnMapping.physicalStruct(dataSchema))
+      .parquet(files: _*)
+    val perCol = bloomColumns.map { c =>
+      val phys = toPhys(c)
+      val rows = raw
+        .select(col("_metadata.file_path").as("__bf_file"),
+          col(phys).cast("string").as("__bf_key"))
+        .where(col("__bf_key").isNotNull).distinct()
+        .select(col("__bf_file"),
+          explode(sequence(lit(0), lit(k - 1))).as("__bf_i"),
+          col("__bf_key"))
+        .select(col("__bf_file"),
+          (graft.Exact.h60(concat(lit("bl"), col("__bf_i"), lit(":"),
+            col("__bf_key"))) % positions).as("__bf_p"))
+        .select(col("__bf_file"), expr("__bf_p div 63").as("__bf_w"),
+          expr("shiftleft(1L, cast(__bf_p % 63 as int))").as("__bf_m"))
+        .groupBy("__bf_file", "__bf_w")
+        .agg(expr("bit_or(__bf_m)").as("__bf_bits"))
+        .collect() // O(written files x words) metadata rows
+      (phys + BloomKeySuffix) -> rows.groupBy(r => metaPath(r.getString(0)))
+        .map { case (f, rs) =>
+          val cell = rs.sortBy(_.getLong(1)).map(r =>
+            s"${r.getLong(1)}:${java.lang.Long.toHexString(r.getLong(2))}")
+            .mkString(".")
+          f -> (cell, s"$words:$k")
+        }
+    }
+    perCol.flatMap { case (key, byFile) =>
+      byFile.map { case (f, cell) => (f, key, cell) }
+    }.groupBy(_._1).map { case (f, cells) =>
+      f -> cells.map(t => t._2 -> t._3).toMap
     }
   }
 
@@ -1347,20 +1434,54 @@ object Snapshots {
       scan
         .withColumn("__dv_file", col("_metadata.file_path"))
         .withColumn("__dv_idx", col("_metadata.row_index"))
-        .join(broadcast(dels),
+        .join(dvBuildSide(s, entries, dels),
           col("__dv_file") === col("__dv_path") &&
             col("__dv_idx") === col("__dv_ord"), "left_anti")
         .drop("__dv_file", "__dv_idx")
   }
 
+  /** total masked rows of the scanned entries — METADATA ONLY (the
+    * recorded per-entry mask cardinalities), what sizes the anti-join
+    * strategy without reading a sidecar byte */
+  private def dvMaskedRows(entries: Seq[Entry]): Long =
+    entries.iterator.flatMap(_.dv.map(_._2)).sum
+
+  /** The anti join's build side, size-thresholded: small masks broadcast
+    * (one hash table, zero extra shuffles, inside whole-stage codegen —
+    * the common case and Delta's own budget), but a large accumulated
+    * mask — a 100x table under sustained DML between OPTIMIZE runs —
+    * must not ride the driver: above
+    * `spark.graft.snapshot.dvBroadcastThreshold` (masked rows, default
+    * 4M) the pairs keep their distributed form and the join is hinted
+    * SHUFFLE_HASH, so driver/exchange bytes stay bounded per task
+    * however large the mask grows. Both branches read back identically
+    * (spec-pinned); the switch is metadata-only. */
+  private def dvBuildSide(s: SparkSession, entries: Seq[Entry],
+      dels: DataFrame): DataFrame = {
+    val threshold = s.conf
+      .getOption("spark.graft.snapshot.dvBroadcastThreshold")
+      .map(_.toLong).getOrElse(4000000L)
+    if (dvMaskedRows(entries) <= threshold) broadcast(dels)
+    else dels.hint("shuffle_hash")
+  }
+
   /** the deleted (`__dv_path`, `__dv_ord`) pairs of every sidecar the
-    * entries reference — None when DV-free (the zero-cost common case) */
+    * entries reference — None when DV-free (the zero-cost common case).
+    * When entries reference SEVERAL sidecars, a file's pairs can appear
+    * in more than one (an entry's newest sidecar plus older sidecars
+    * other entries still reference, whose copies are always SUBSETS of
+    * the newest — the union rule): correctness never needs the dedupe,
+    * but `distinct()` keeps the join's build side at the true mask size
+    * instead of the sum of overlapping sidecar copies. */
   private def dvPairs(s: SparkSession,
       entries: Seq[Entry]): Option[DataFrame] = {
     val names = entries.iterator.flatMap(_.dv.map(_._1)).toSeq.distinct
     if (names.isEmpty) None
-    else Some(s.read.parquet(names: _*).select(
-      col("path").as("__dv_path"), explode(col("ords")).as("__dv_ord")))
+    else {
+      val pairs = s.read.parquet(names: _*).select(
+        col("path").as("__dv_path"), explode(col("ords")).as("__dv_ord"))
+      Some(if (names.size > 1) pairs.distinct() else pairs)
+    }
   }
 
   /** row-level deletes are OPT-IN per session (Delta gates its DVs by
@@ -1406,7 +1527,7 @@ object Snapshots {
       .withColumn("__pos_idx", col("_metadata.row_index"))
     val masked = dvPairs(s, entries) match {
       case None => raw
-      case Some(dels) => raw.join(broadcast(dels),
+      case Some(dels) => raw.join(dvBuildSide(s, entries, dels),
         col("__pos_file") === col("__dv_path") &&
           col("__pos_idx") === col("__dv_ord"), "left_anti")
     }
@@ -1505,6 +1626,15 @@ object Snapshots {
   def supportedStatsColumns(schema: StructType): Seq[String] =
     schema.fields.toSeq.filter(f => StatCodec.supported(f.dataType))
       .map(_.name)
+
+  /** the table's (logical, physical) data schemas — what the streaming
+    * toTable writer builds its file schema and projections from
+    * (physical == logical for never-renamed tables) */
+  private[sources] def writeSchemas(s: SparkSession,
+      dir: String): (StructType, StructType) = {
+    val logical = tableSchema(s, dir)
+    (logical, ColumnMapping.physicalStruct(logical))
+  }
 
   /** the table's current LOGICAL data schema (partition column not
     * included) — metadata only, one manifest read */
@@ -1664,9 +1794,14 @@ object Snapshots {
     * file skipping and file-grain [[merge]]; pass the merge key and the
     * range-query columns). Returns the new version. */
   def commit(s: SparkSession, dir: String, df: DataFrame, partCol: String,
-      statsColumns: Seq[String] = Nil): Long =
+      statsColumns: Seq[String] = Nil,
+      /** declared high-cardinality columns to record per-file BLOOMS
+        * for (equality skipping where [min,max] bounds cannot prune) —
+        * costs one extra column-pruned aggregation over the written
+        * files */
+      bloomColumns: Seq[String] = Nil): Long =
     commitImpl(s, dir, df, partCol, carryUntouched = false, Set.empty, None,
-      statsColumns)
+      statsColumns, bloomColumns = bloomColumns)
 
   /** APPEND-as-version: add `df`'s rows as fresh files while EVERY
     * existing file carries by reference — the `INSERT INTO` shape (new
@@ -1678,7 +1813,8 @@ object Snapshots {
     * explicit list (or Nil) to narrow. The commit is pinned and retries
     * through the usual OCC loop. */
   def append(s: SparkSession, dir: String, df: DataFrame, partCol: String,
-      statsColumns: Seq[String] = null, attempts: Int = 5): Long =
+      statsColumns: Seq[String] = null, attempts: Int = 5,
+      bloomColumns: Seq[String] = Nil): Long =
     dmlRetry(s, dir, attempts) { () =>
       val cur = currentVersion(s, dir)
       require(cur >= 1,
@@ -1713,7 +1849,8 @@ object Snapshots {
       commitImpl(s, dir, projected, partCol, carryUntouched = false,
         Set.empty, expectedPrev = Some(cur), statsColumns = stats,
         carriedOverride = Some(m.entries),
-        prevManifestHint = Some(m), op = "append", allowEmpty = true)
+        prevManifestHint = Some(m), op = "append", allowEmpty = true,
+        bloomColumns = bloomColumns)
     }
 
   /** CREATE TABLE's v1: an empty version carrying only the declared
@@ -1871,6 +2008,75 @@ object Snapshots {
             statsColumns = statsColumns,
             op = if (replace) "replace" else "commit",
             txn = Some((appId, batchId))), true)
+      }
+    }
+  }
+
+  /** Epoch commit of PRE-WRITTEN data files — the `writeStream.toTable`
+    * sink's landing path ([[GraftStreamingWrite]]): executor tasks
+    * already wrote this epoch's parquet files (under
+    * `data/v00000000_stream_<queryId>/`), and this appends ONE version
+    * referencing them while every existing file carries by reference —
+    * commit metadata O(epoch files + segments). Idempotent on the
+    * (queryId, epochId) txn stamp exactly like [[commitIdempotent]]: a
+    * replayed epoch (stamp >= epochId) deletes its duplicate files and
+    * no-ops, so checkpointed restarts are exactly-once. Entries record
+    * no column bounds (streamed appends trade file skipping for
+    * landing latency; OPTIMIZE CLUSTER BY restores bounds). Refused on
+    * constraint-bearing tables — the epoch's rows were written before
+    * the manifest transaction, so constraints could not refuse them
+    * pre-commit; route through foreachBatch + commitIdempotent there. */
+  private[sources] def commitStreamedFiles(s: SparkSession, dir: String,
+      partCol: String, files: Seq[(String, String, Long)],
+      appId: String, batchId: Long): (Long, Boolean) = {
+    require(appId.nonEmpty, "Snapshots: commitStreamedFiles needs a queryId")
+    dmlRetry(s, dir, 5) { () =>
+      val fs = fsOf(s, dir)
+      val vs = listVersions(fs, dir)
+      require(vs.nonEmpty,
+        s"Snapshots: streaming write needs a committed table at $dir " +
+          "(CREATE TABLE first)")
+      val stamped = vs.reverse.iterator.map { v =>
+        try readHeaderMeta(fs, manifestPath(dir, v))._4
+        catch { case _: java.io.FileNotFoundException => None }
+      }.collectFirst {
+        case Some((app, b)) if app == appId => b
+      }
+      stamped match {
+        case Some(b) if b >= batchId =>
+          // replayed epoch: the twin's files are orphans no manifest
+          // will ever reference — drop them NOW (they live under a
+          // stream staging dir vacuum treats by the file-grain rule)
+          files.foreach { case (_, p, _) => fs.delete(new Path(p), false) }
+          (vs.last, false)
+        case _ =>
+          val prev = vs.last
+          val m = readManifest(s, dir, prev)
+          require(m.constraints.isEmpty,
+            s"Snapshots: table at $dir carries constraints — the " +
+              "streaming toTable sink cannot enforce them pre-commit; " +
+              "use foreachBatch + commitIdempotent")
+          val spec = PartSpec.parse(partCol)
+          val v = prev + 1
+          val written = files.map { case (value, path, bytes) =>
+            Entry(value, path, bytes, v, Map.empty)
+          }
+          val entries = (m.entries ++ written).sortBy(e => (e.value, e.path))
+          val (segRefs, inline) = packEntries(s, fs, dir, v, entries,
+            m.segParts)
+          val headers = Seq(
+            m.schema.map(sc => SchemaHeader + sc.json),
+            Some(MetaHeader + s"ts=${commitTs(Some(m))} op=append " +
+              s"partCol=${java.net.URLEncoder.encode(spec.encode, "UTF-8")}" +
+              retiredKv(m.retired) + minReaderKv(entries, spec.isLegacy) +
+              s" txnApp=${java.net.URLEncoder.encode(appId, "UTF-8")} " +
+              s"txnBatch=$batchId"),
+            Some(statsHeader(entries))).flatten ++
+            segRefs.map(_.line)
+          writeManifestAtomic(fs, manifestPath(dir, v),
+            (headers ++ inline.map(_.line)).mkString("\n"))
+          writeHint(fs, dir, v)
+          (v, true)
       }
     }
   }
@@ -2404,17 +2610,20 @@ object Snapshots {
     val schema = m.schema.getOrElse(throw new IllegalArgumentException(
       s"Snapshots: the manifest at $dir predates schema headers — " +
         "recommit once under the current format before renaming"))
+    // the partition guard comes FIRST: partition columns are not in the
+    // data-schema header, so a later "no column" error would mask the
+    // real reason a partition rename is refused
+    val partNames = m.partCol.map(pc => PartSpec.parse(pc).names)
+      .getOrElse(Nil)
+    require(!partNames.contains(oldName) && !partNames.contains(newName),
+      "Snapshots: cannot rename a partition column (its value travels " +
+        "through directory names) or shadow one")
     require(schema.fieldNames.contains(oldName),
       s"Snapshots: no column '$oldName' to rename")
     require(!schema.fieldNames.contains(newName),
       s"Snapshots: column '$newName' already exists")
     require(!newName.startsWith("__"),
       s"Snapshots: '$newName' is reserved ('__' prefix)")
-    val partNames = m.partCol.map(pc => PartSpec.parse(pc).names)
-      .getOrElse(Nil)
-    require(!partNames.contains(oldName) && !partNames.contains(newName),
-      "Snapshots: cannot rename a partition column (its value travels " +
-        "through directory names) or shadow one")
     val inUse = m.constraints.filter { case (_, sql) =>
       constraintRefs(s, sql).contains(oldName) }
     require(inUse.isEmpty,
@@ -2431,6 +2640,39 @@ object Snapshots {
     })
     commitHeaderState(s, dir, cur, m, Some(next), m.constraints, m.retired,
       "rename_column")
+  }
+
+  /** ADD a column — METADATA-ONLY (Delta's ALTER TABLE ADD COLUMNS):
+    * the field joins the header with a fresh id and a physical name
+    * that can never collide with a retired or in-use one; every
+    * existing file lacks it and reads back NULL (the parquet
+    * missing-column semantics the format's evolution contract already
+    * serves for carried files). NULLABLE BY CONSTRUCTION — a non-null
+    * added column would be a false promise over every existing row.
+    * The alternative full-snapshot commit stays available for adds
+    * that must backfill values. */
+  def addColumn(s: SparkSession, dir: String, name: String,
+      dataType: DataType): Long = {
+    val cur = currentVersion(s, dir)
+    require(cur >= 1, s"Snapshots: no committed table at $dir")
+    val m = readManifest(s, dir, cur)
+    val schema = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"Snapshots: the manifest at $dir predates schema headers — " +
+        "recommit once under the current format before evolving"))
+    require(!schema.fieldNames.contains(name),
+      s"Snapshots: column '$name' already exists")
+    require(!name.startsWith("__"),
+      s"Snapshots: '$name' is reserved ('__' prefix)")
+    val partNames = m.partCol.map(pc => PartSpec.parse(pc).names)
+      .getOrElse(Nil)
+    require(!partNames.contains(name),
+      s"Snapshots: '$name' would shadow a partition column")
+    val next = ColumnMapping.assign(
+      StructType(schema.fields.toSeq :+
+        StructField(name, dataType, nullable = true)),
+      Some(schema), m.retired)
+    commitHeaderState(s, dir, cur, m, Some(next), m.constraints, m.retired,
+      "add_column")
   }
 
   /** DROP a column — METADATA-ONLY: the field leaves the header (reads
@@ -2530,7 +2772,7 @@ object Snapshots {
               f.name -> (Option(iv), Option(iv))
           }
           org.apache.spark.sql.graftbridge.ManifestFileIndex
-            .couldMatch(physCond, stats, types)
+            .couldMatch(physCond, stats, types, mf.blooms)
         }
         val (hit, miss) = entries.zip(flags).partition(_._2)
         (hit.map(_._1), miss.map(_._1))
@@ -2943,13 +3185,15 @@ object Snapshots {
   }
 
   /** DESCRIBE HISTORY — one row per SURVIVING version, ascending:
-    * (version, ts_millis, op, n_partitions, n_files, bytes). Everything
-    * comes from the manifests alone (one read per live version — the
-    * Delta DESCRIBE HISTORY shape; [[vacuum]] bounds the cost), so the
-    * audit view of a 100 TB table costs kilobytes: who-did-what is
-    * `op` (commit/replace/merge/optimize/restore), when is the recorded
-    * commit wall-clock, and the size columns are the recorded exact
-    * file stats. */
+    * (version, ts_millis, op, n_partitions, n_files, bytes, n_masked).
+    * Everything comes from the manifests alone (one read per live
+    * version — the Delta DESCRIBE HISTORY shape; [[vacuum]] bounds the
+    * cost), so the audit view of a 100 TB table costs kilobytes:
+    * who-did-what is `op` (commit/replace/merge/optimize/restore), when
+    * is the recorded commit wall-clock, and the size columns are the
+    * recorded exact file stats. `n_masked` = deletion-vector rows live
+    * at that version — the maintenance signal: mask debt grows under
+    * row-grain DML and drops to 0 when OPTIMIZE retires the masks. */
   def history(s: SparkSession, dir: String): DataFrame = {
     val fs = fsOf(s, dir)
     val rows = liveVersions(s, dir).map { v =>
@@ -2960,16 +3204,18 @@ object Snapshots {
       val fast =
         try {
           val (ts, op, st, _) = readHeaderMeta(fs, manifestPath(dir, v))
-          st.map { case (np, nf, nb) => (v, ts, op, np.toInt, nf.toInt, nb) }
+          st.map { case (np, nf, nb, nm) =>
+            (v, ts, op, np.toInt, nf.toInt, nb, nm) }
         } catch { case _: java.io.FileNotFoundException => None }
       fast.getOrElse {
         val m = readManifest(s, dir, v)
         (v, m.ts, m.op, m.entries.map(_.value).distinct.size,
-          m.entries.size, m.entries.map(_.bytes).sum)
+          m.entries.size, m.entries.map(_.bytes).sum, dvMaskedRows(m.entries))
       }
     }
     import s.implicits._
-    rows.toDF("version", "ts_millis", "op", "n_partitions", "n_files", "bytes")
+    rows.toDF("version", "ts_millis", "op", "n_partitions", "n_files",
+      "bytes", "n_masked")
   }
 
   /** The SQL-TEXT surface over the DML/DDL kernels — DELETE / UPDATE /
@@ -3545,7 +3791,8 @@ object Snapshots {
       prevManifestHint: Option[Manifest] = None,
       op: String = "commit",
       txn: Option[(String, Long)] = None,
-      allowEmpty: Boolean = false): Long = {
+      allowEmpty: Boolean = false,
+      bloomColumns: Seq[String] = Nil): Long = {
     val spec = PartSpec.parse(partCol)
     spec.cols.foreach { f =>
       require(df.columns.contains(f.name),
@@ -3701,6 +3948,10 @@ object Snapshots {
         Map.empty[String, Map[String, (String, String)]]
       else collectStats(s, filesOf.flatMap(_._2).map(_.getPath),
         dataDir, dataSchema, statsColumns, taskStats)
+    val bloomStats: Map[String, Map[String, (String, String)]] =
+      if (bloomColumns.isEmpty || partDirs.isEmpty) Map.empty
+      else collectBlooms(s, filesOf.flatMap(_._2).map(_.getPath.toString),
+        dataSchema, bloomColumns)
     val filesByDir = filesOf.toMap
     val written = partDirs
       .flatMap { case (leaf, rawValues) =>
@@ -3727,7 +3978,8 @@ object Snapshots {
         val dv = dataVersionOf.getOrElse(value, v)
         filesByDir(leaf).map { f =>
           Entry(value, f.getPath.toString, f.getLen, dv,
-            fileStats.getOrElse(f.getPath.toString, Map.empty))
+            fileStats.getOrElse(f.getPath.toString, Map.empty) ++
+              bloomStats.getOrElse(normPath(f.getPath.toString), Map.empty))
         }
       }
     val replaced = written.map(_.value).toSet ++ replacedValues

@@ -221,6 +221,40 @@ object MetaBench {
         f"driverPool=$drvWall%.0fms/$drvReads%d-driver-footer-reads")
     }
 
+    // ---- scenario 5: the DV read ceiling — a heavily-masked table
+    // scanned under both anti-join branches. The broadcast branch ships
+    // the whole mask through the driver (fine small, the r17 ceiling at
+    // 10^10 ordinals); above dvBroadcastThreshold the pairs stay
+    // distributed (shuffled hash) — the row records each branch's wall
+    // plus the broadcast-side bytes the driver carried, showing the
+    // large-mask path's driver term bounded while read-backs agree. ----
+    locally {
+      import spark.implicits._
+      spark.conf.set("spark.graft.snapshot.dvEnabled", "true")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_metabench_dv").toString
+      val df = (0L until 400000L).map(i => (f"p${i % 8}", i, i * 3L))
+        .toDF("part", "k", "v").repartitionByRange(8, col("part"), col("k"))
+      Snapshots.commit(spark, dir, df, "part", statsColumns = Seq("k"))
+      // ~10% mask, accumulated over two DMLs (two sidecars)
+      Snapshots.delete(spark, dir, "part", col("k") % 20L === 3L)
+      Snapshots.delete(spark, dir, "part", col("k") % 20L === 11L)
+      val v = Snapshots.currentVersion(spark, dir)
+      def scanSum(): Long = Snapshots.read(spark, dir, "part", v)
+        .agg(sum("v")).collect()(0).getLong(0)
+      val sumB = scanSum() // warm + broadcast branch (default threshold)
+      val wallBroadcast = timeMs(3)(scanSum())
+      spark.conf.set("spark.graft.snapshot.dvBroadcastThreshold", "0")
+      val (sumS, wallShuffle) =
+        try (scanSum(), timeMs(3)(scanSum()))
+        finally spark.conf.unset("spark.graft.snapshot.dvBroadcastThreshold")
+      require(sumB == sumS, s"branch disagreement: $sumB vs $sumS")
+      println(f"[metabench-dv] maskedRows=40000 " +
+        f"broadcast=$wallBroadcast%.0fms shuffleHash=$wallShuffle%.0fms " +
+        "readback=identical driverBytes(shuffle)=0")
+      spark.conf.unset("spark.graft.snapshot.dvEnabled")
+    }
+
     spark.stop()
   }
 }

@@ -79,6 +79,14 @@ object Bridge {
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .unescapePathName(name)
 
+  /** the writer-side twin: the exact %XX escaping Spark's partitioned
+    * writer applies to partition directory names — what a task-side
+    * streaming writer must apply to route rows into `col=value` dirs
+    * byte-identically to the batch writer */
+  def escapePathName(name: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(name)
+
   /** ONE parquet scan planned from a manifest's explicit FILE list — how
     * a table format serves a snapshot to Spark without N per-partition
     * plan nodes and without a single filesystem call.

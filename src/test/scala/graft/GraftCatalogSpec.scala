@@ -182,6 +182,82 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("identity"), e.getMessage)
   }
 
+  test("ALTER TABLE by name routes onto the metadata-only evolution kernels") {
+    val dir = seed("db7", "t7")
+    val v0 = Snapshots.currentVersion(spark, dir)
+    // ADD COLUMN: metadata-only, carried files read back NULL
+    spark.sql("ALTER TABLE graft.db7.t7 ADD COLUMN note STRING")
+    assert(Snapshots.currentVersion(spark, dir) == v0 + 1)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db7.t7 " +
+      "WHERE note IS NULL").as[Long].head() == 80L)
+    // RENAME COLUMN: files keep the physical name, reads serve the new
+    spark.sql("ALTER TABLE graft.db7.t7 RENAME COLUMN v TO amount")
+    assert(spark.sql("SELECT sum(amount) AS s FROM graft.db7.t7")
+      .as[Long].head() == (1L to 80L).map(_ * 10).sum)
+    // DROP COLUMN: the field leaves the schema
+    spark.sql("ALTER TABLE graft.db7.t7 DROP COLUMN note")
+    assert(!spark.table("graft.db7.t7").columns.contains("note"))
+    // refusals: positions, NOT NULL adds, type changes
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db7.t7 ADD COLUMN z STRING FIRST")
+    }
+    assert(e1.getMessage.contains("position"), e1.getMessage)
+    // type changes refuse before the catalog is even reached (Spark's
+    // own capability check — narrowing BIGINT->INT is unsupported)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db7.t7 ALTER COLUMN amount TYPE INT")
+    }
+    assert(e2.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      e2.getMessage)
+    // renaming a partition column stays refused through the DDL route
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db7.t7 RENAME COLUMN part TO p2")
+    }
+    assert(e3.getMessage.contains("partition"), e3.getMessage)
+  }
+
+  test("writeStream.toTable lands exactly-once epoch commits by name") {
+    val dir = seed("db8", "t8")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_totable_ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Long)]
+    val v0 = Snapshots.currentVersion(spark, dir)
+    def start() = mem.toDF().toDF("part", "k", "v")
+      .select(col("k"), col("v"), col("part")) // table column order
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .toTable("graft.db8.t8")
+    mem.addData(("p9", 1000L, 1L), ("p9", 1001L, 2L))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    assert(Snapshots.currentVersion(spark, dir) == v0 + 1,
+      "one epoch = one appended version")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db8.t8")
+      .as[Long].head() == 82L)
+    // existing files carried by reference; epoch files land under the
+    // stream staging dir and are manifest-referenced
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$dir/_manifests/v${v0 + 1}%08d.txt")),
+      "UTF-8")
+    assert(manifest.contains("v00000000_stream_"), "epoch files recorded")
+    assert(manifest.contains(s"txnBatch=0"), "epoch txn stamp recorded")
+    // restart from the same checkpoint: the replayed epoch no-ops and
+    // new data lands exactly once
+    mem.addData(("p9", 1002L, 3L))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db8.t8")
+      .as[Long].head() == 83L)
+    assert(spark.sql("SELECT sum(v) AS s FROM graft.db8.t8 " +
+      "WHERE part = 'p9'").as[Long].head() == 6L,
+      "no epoch may double-apply across the restart")
+    // the streamed rows read back through the normal manifest scan
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db8.t8 " +
+      "WHERE part = 'p9' AND k >= 1000").as[Long].head() == 3L)
+  }
+
   test("parser-path name resolution refuses components that escape the warehouse") {
     seed("db5", "t5")
     // backticked traversal / metadata-dir components reach resolveDir

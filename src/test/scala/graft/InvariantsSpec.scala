@@ -53,12 +53,15 @@ class InvariantsSpec extends SparkSpec {
     // SnapshotSource's one collect materializes the DESCRIBE HISTORY
     // relation — O(surviving versions) audit rows, manifest metadata
     // like Snapshots' own two
+    // MetaBench is a MEASUREMENT main (its collects consume 1-row
+    // aggregates to compare the branches it benchmarks), not engine code
     val collectAllow = Set("Bench.scala", "Snapshots.scala",
-      "SnapshotSource.scala")
+      "SnapshotSource.scala", "MetaBench.scala")
     // .take( on Scala collections (not Datasets) is fine; these files use
-    // it on Array[Byte]/Seq only. A Dataset .take anywhere else fails.
+    // it on Array[Byte]/Seq/String only. A Dataset .take anywhere else
+    // fails. (GraftStreamingWrite truncates a UUID string for file names.)
     val takeAllow = Set("Bench.scala", "Multimodal.scala",
-      "TopKAggregator.scala")
+      "TopKAggregator.scala", "GraftStreamingWrite.scala")
     val offenders = java.nio.file.Files.walk(root).iterator().asScala
       .filter(_.toString.endsWith(".scala"))
       .flatMap { p =>

@@ -357,6 +357,53 @@ class SnapshotDvSpec extends SparkSpec {
     }
   }
 
+  test("large masks switch the anti join off the driver: shuffle branch reads identically") {
+    withDv {
+      val dir = tempTable()
+      seed(dir)
+      Snapshots.delete(spark, dir, "part", col("k") % 10L === 7L)
+      val v = Snapshots.currentVersion(spark, dir)
+      def planOf(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString
+      // default threshold: broadcast (the common small-mask case)
+      val small = Snapshots.read(spark, dir, "part", v)
+      assert(planOf(small).contains("BroadcastHashJoin"), planOf(small))
+      val expect = small.select("k").as[Long].collect().sorted.toSeq
+      // threshold 0 forces the large-mask branch: no broadcast — the
+      // pairs stay distributed (shuffled hash), driver bytes bounded
+      spark.conf.set("spark.graft.snapshot.dvBroadcastThreshold", "0")
+      try {
+        val big = Snapshots.read(spark, dir, "part", v)
+        val p = planOf(big)
+        assert(!p.contains("BroadcastHashJoin") &&
+          p.contains("ShuffledHashJoin"), p)
+        assert(big.select("k").as[Long].collect().sorted.toSeq == expect,
+          "both anti-join branches must read back identically")
+        // the DML kernels read through the same switch
+        val v2 = Snapshots.delete(spark, dir, "part", col("k") === 0L)
+        assert(Snapshots.read(spark, dir, "part", v2).count() ==
+          expect.size - 1L)
+      } finally
+        spark.conf.unset("spark.graft.snapshot.dvBroadcastThreshold")
+    }
+  }
+
+  test("DESCRIBE HISTORY surfaces mask debt (n_masked) per version") {
+    withDv {
+      val dir = tempTable()
+      seed(dir)
+      Snapshots.delete(spark, dir, "part", col("k") === 7L)
+      Snapshots.delete(spark, dir, "part", col("k").isin(8L, 108L))
+      Snapshots.optimize(spark, dir, "part")
+      val h = Snapshots.history(spark, dir)
+        .select("version", "n_masked")
+        .as[(Long, Long)].collect().toMap
+      assert(h(1L) == 0L && h(2L) == 1L && h(3L) == 3L,
+        s"mask debt must accumulate per version, got $h")
+      assert(h(4L) == 0L, "OPTIMIZE retires the masks — debt back to 0")
+    }
+  }
+
   test("DV DML is exact on HOSTILE partition values (spaces, percents, equals)") {
     // the per-file classification map crosses two path worlds — manifest
     // entry paths (listStatus) vs the scan's _metadata.file_path — and

@@ -168,6 +168,59 @@ class SnapshotPartSpecSpec extends SparkSpec {
       .select("k").as[Long].collect().toSet == Set(2L, 3L))
   }
 
+  test("format-native blooms skip files on point predicates bounds cannot prune") {
+    val dir = tempTable()
+    // 8 files; the digest column interleaves across files, so every
+    // file's [min, max] spans nearly the whole domain — bounds can
+    // never skip a point lookup here
+    val df = (0L until 800L).map { i =>
+      (s"p${i % 2}", i, graft.Exact.md5Hex(s"doc$i"))
+    }.toDF("part", "k", "digest")
+      .repartition(8, col("k") % 8)
+    Snapshots.commit(spark, dir, df, "part",
+      statsColumns = Seq("k"), bloomColumns = Seq("digest"))
+    val m = manifestText(dir, 1L)
+    assert(m.contains("digest%23bf="), "bloom cells must ride the stats")
+    def scanned(df2: org.apache.spark.sql.DataFrame): Long = {
+      df2.collect()
+      df2.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.getOrElse(-1L)
+    }
+    val base = Snapshots.read(spark, dir, "part")
+    val all = scanned(base.select("k"))
+    assert(all >= 4L, s"fixture must hold >= 4 files, got $all")
+    // a point lookup consults the per-file blooms: most files skip
+    val probe = graft.Exact.md5Hex("doc123")
+    val hit = base.filter(col("digest") === probe).select("k")
+    assert(hit.as[Long].collect().toSeq == Seq(123L),
+      "zero false negatives: the present key must be found")
+    val nHit = scanned(hit)
+    assert(nHit < all && nHit >= 1L,
+      s"bloom skipping must cut the scan below $all files, got $nHit")
+    // an ABSENT key prunes everything the 1008-bit/k=3 filters disprove
+    assert(scanned(base.filter(col("digest") ===
+      graft.Exact.md5Hex("never-written")).select("k")) < all)
+    // every written key is found (no false negatives across the board)
+    assert(base.filter(col("digest").isin(
+      (0L until 800L by 97L).map(i => graft.Exact.md5Hex(s"doc$i")): _*))
+      .count() == (0L until 800L by 97L).size)
+    // DML selection shares couldMatch: a delete on an absent digest is
+    // a provable no-op — no version lands
+    val v0 = Snapshots.currentVersion(spark, dir)
+    assert(Snapshots.delete(spark, dir, "part",
+      col("digest") === graft.Exact.md5Hex("also-never")) == v0)
+    // blooms CARRY by reference through an unrelated append and keep
+    // skipping
+    Snapshots.append(spark, dir,
+      Seq(("p0", 9999L, "zzz")).toDF("part", "k", "digest"), "part")
+    val after = Snapshots.read(spark, dir, "part")
+    val nAfter = scanned(after.filter(col("digest") === probe).select("k"))
+    assert(nAfter < scanned(after.select("k")),
+      "carried blooms must keep pruning after an append")
+  }
+
   test("legacy single-column tables stay byte-compatible (no minReader, bare header)") {
     val dir = tempTable()
     Snapshots.commit(spark, dir, Seq(("a", 1L)).toDF("part", "x"), "part")
