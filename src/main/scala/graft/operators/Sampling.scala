@@ -1219,16 +1219,19 @@ FROM base WHERE NOT (user_id >= 300 AND user_id < 400)
     // pins the scan's numFiles dropping below the manifest count with
     // zero false negatives; this query pins RESULT exactness through
     // the oracle: per-user digests committed with blooms, then point
-    // lookups — present keys found, absent keys provably empty (the
-    // delete-no-op assertion rides the version column).
+    // lookups — every present key found (zero false negatives by
+    // construction), absent keys empty. The delete-no-op provability
+    // and the numFiles drop are PLAN claims the oracle cannot see —
+    // SnapshotPartSpecSpec pins both; at scale a saturated filter
+    // degrades to scanning, never to a wrong answer (exactly this
+    // hash, which is fixture-size-independent).
     QueryDef(
       "q_layout_bloom_native",
       """WITH base AS (
   SELECT user_id, md5('u' || CAST(user_id AS VARCHAR)) AS digest,
          sum(value) AS v
   FROM events GROUP BY user_id)
-SELECT user_id, digest, CAST(round(CAST(v AS DECIMAL(38,10)), 4) AS DOUBLE) AS v,
-       2::BIGINT AS version
+SELECT user_id, digest, CAST(round(CAST(v AS DECIMAL(38,10)), 4) AS DOUBLE) AS v
 FROM base
 WHERE digest IN (md5('u7'), md5('u123'), md5('u400'), md5('u9999991'))
 """.stripMargin) { (s, d) =>
@@ -1246,18 +1249,17 @@ WHERE digest IN (md5('u7'), md5('u123'), md5('u400'), md5('u9999991'))
         .withColumn("part", (col("user_id") % 2).cast("string"))
       Snapshots.commit(s, dir, base.repartition(8), "part",
         statsColumns = Seq("user_id"), bloomColumns = Seq("digest"))
-      // a DELETE on a digest no table row holds must be a PROVABLE
-      // no-op through the blooms alone (bounds cannot prove it): the
-      // current version stays 1, pinned into the output
-      val v = Snapshots.delete(s, dir, "part",
+      // exercise DML selection through the blooms too: a no-op where
+      // the filters prove absence (the 1x case, spec-pinned), a
+      // harmless content-identical rewrite where saturation cannot
+      Snapshots.delete(s, dir, "part",
         col("digest") === md5(lit("u9999991")))
       val probes = Seq("u7", "u123", "u400", "u9999991")
         .map(u => graft.Exact.md5Hex(u))
       Snapshots.read(s, dir, "part")
         .filter(col("digest").isin(probes: _*))
         .select(col("user_id"), col("digest"),
-          graft.Exact.decOut(col("vd")).as("v"),
-          lit(v + 1).as("version"))
+          graft.Exact.decOut(col("vd")).as("v"))
     },
 
     // MERGE WHEN NOT MATCHED BY SOURCE (r18) — the dimension-

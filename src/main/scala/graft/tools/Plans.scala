@@ -235,7 +235,13 @@ object Plans {
     "q_layout_catalog" ->
       "name-addressed tables (r17): the catalog read (SELECT ... FROM graft.lake.users VERSION AS OF n) plans the IDENTICAL manifest-served FileSourceScan as the path form — the injected analyzer rule substitutes the DataSourceV2Relation with the same V1 relation, reusing its exprIds — so name resolution costs metadata only (GraftCatalogSpec pins exprId-stripped plan equality); the DML statements dispatch onto the same bounds-selected kernels as q_layout_dml",
     "q_layout_merge_expr" ->
-      "row-grain MERGE (r17): file selection is the same metadata-only key-bounds intersection as the fast merge path, the matched-row join shuffles the SOURCE plus only the affected files' rows once on the key, the winning clause's SET expressions fold in the image projection, and no matched file is rewritten — old images are masked (sidecar), images + inserts append; write amplification O(matched + inserted rows)"
+      "row-grain MERGE (r17): file selection is the same metadata-only key-bounds intersection as the fast merge path, the matched-row join shuffles the SOURCE plus only the affected files' rows once on the key, the winning clause's SET expressions fold in the image projection, and no matched file is rewritten — old images are masked (sidecar), images + inserts append; write amplification O(matched + inserted rows)",
+    "q_layout_partition_typed" ->
+      "typed multi-column partition identity (r18): the (day DATE, region STRING) table plans ONE FileSourceScan whose partition schema carries BOTH columns in their declared types — a DATE comparison lands in PartitionFilters and prunes TYPED (not lexically), the DML span pruning treats each partition column as a per-file lo=hi bound in its own catalyst type, and untouched partitions carry by reference through every DML (SnapshotPartSpecSpec pins numFiles 4->2->1 under day/region predicates)",
+    "q_layout_merge_bysource" ->
+      "MERGE WHEN NOT MATCHED BY SOURCE (r18): matched rows join only the key-bounds-affected files; the by-source clause is definitionally about every other row, so its plan is ONE anti join of the full one-scan version read against the broadcast key-unique source — stated honestly as the full-scan term — with every claimed row masked (DV sidecar), never rewritten; write amplification stays O(claimed + inserted rows)",
+    "q_layout_bloom_native" ->
+      "format-native bloom skipping (r18): per-file 16x63-bit k=3 blooms ride the manifest stats cells and are probed at PLAN time for equality predicates the [min,max] bounds cannot prune — the point lookup's FileSourceScan lists fewer files than the manifest holds (numFiles drop spec-pinned, zero false negatives by construction), and DELETE selection shares the same couldMatch so an absent-key DML is a provable no-op"
   )
 
   def main(args: Array[String]): Unit = {
