@@ -193,14 +193,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           fieldNames.mkString("."))
       fieldNames.head
     }
+    // VALIDATE EVERY CHANGE BEFORE APPLYING ANY: each change lands as
+    // its own manifest version, so without the up-front pass a
+    // multi-change statement (ALTER TABLE ... ADD COLUMNS (a INT,
+    // b INT NOT NULL)) would half-apply — the first column committed,
+    // the second refused, no rollback. The shape/flag checks here are
+    // the statically decidable refusals; a kernel-level race (e.g. a
+    // concurrent writer taking the name) can still fail mid-sequence,
+    // which the per-version history at least makes visible.
     changes.foreach {
-      case r: TableChange.RenameColumn =>
-        Snapshots.renameColumn(session, dir,
-          single(r.fieldNames, "RENAME COLUMN"), r.newName)
-      case d: TableChange.DeleteColumn =>
-        Snapshots.dropColumn(session, dir,
-          single(d.fieldNames, "DROP COLUMN"))
       case a: TableChange.AddColumn =>
+        single(a.fieldNames, "ADD COLUMN")
         require(a.isNullable,
           "GraftCatalog: an added column must be nullable — existing " +
             "rows cannot satisfy NOT NULL (backfill via a full-snapshot " +
@@ -211,6 +214,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(a.defaultValue == null,
           "GraftCatalog: column defaults are not supported — existing " +
             "rows read back NULL for an added column")
+      case r: TableChange.RenameColumn =>
+        single(r.fieldNames, "RENAME COLUMN"): Unit
+      case d: TableChange.DeleteColumn =>
+        single(d.fieldNames, "DROP COLUMN"): Unit
+      case _: TableChange.AddConstraint | _: TableChange.DropConstraint =>
+        ()
+      case other => throw new UnsupportedOperationException(
+        s"GraftCatalog: unsupported ALTER (${other.getClass.getSimpleName})" +
+          " — type changes and drops of carried data require a " +
+          "full-snapshot commit; properties carry no table state here")
+    }
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        Snapshots.renameColumn(session, dir,
+          single(r.fieldNames, "RENAME COLUMN"), r.newName)
+      case d: TableChange.DeleteColumn =>
+        val name = single(d.fieldNames, "DROP COLUMN")
+        try Snapshots.dropColumn(session, dir, name)
+        catch {
+          // DROP COLUMN IF EXISTS: an absent column is a silent no-op
+          // (ifExists is a boxed Boolean — null-safe compare)
+          case e: IllegalArgumentException
+              if java.lang.Boolean.TRUE.equals(d.ifExists) &&
+                e.getMessage != null && e.getMessage.contains("no column")
+            => ()
+        }
+      case a: TableChange.AddColumn =>
         Snapshots.addColumn(session, dir,
           single(a.fieldNames, "ADD COLUMN"), a.dataType)
       case c: TableChange.AddConstraint =>

@@ -16,10 +16,15 @@ import org.apache.spark.sql.types.{StringType, StructType}
 
 /** One committed epoch's files, shipped from a writer task to the
   * driver inside the task commit message: (encoded partition value,
-  * absolute path, exact byte length) per file — the same triple a
-  * manifest entry records, so the epoch commit does zero listings. */
+  * absolute path, exact byte length, per-column [min,max] bounds in
+  * the manifest's canonical string form) per file — everything a
+  * manifest entry records, so the epoch commit does zero listings AND
+  * zero footer reads: the writer tracked the bounds row by row as it
+  * wrote (the StatsCommitProtocol idea taken one step further — no
+  * footer pass at all). */
 private[sources] final case class GraftStreamMsg(
-    files: Seq[(String, String, Long)]) extends WriterCommitMessage
+    files: Seq[(String, String, Long, Map[String, (String, String)])])
+    extends WriterCommitMessage
 
 /** The `writeStream.toTable("graft.db.t")` sink — a real DSv2
   * [[StreamingWrite]] over the snapshot format:
@@ -29,8 +34,10 @@ private[sources] final case class GraftStreamMsg(
   *    write support the batch path uses — same encodings, same footer
   *    shape), under the staging dir
   *    `data/v00000000_stream_<queryId>/e<epoch>_<task>/...`;
-  *  - each task ships its files' (value, path, bytes) in its commit
-  *    message — the driver performs ZERO filesystem calls per epoch;
+  *  - each task ships its files' (value, path, bytes, column bounds)
+  *    in its commit message — the driver performs ZERO filesystem
+  *    calls per epoch and the entries land with real [min,max] stats
+  *    (tracked row-by-row in the writer — no footer pass);
   *  - the epoch commit ([[Snapshots.commitStreamedFiles]]) appends ONE
   *    manifest version referencing the files, stamped with the
   *    checkpoint-stable (queryId, epochId) txn — a restart's replayed
@@ -105,7 +112,7 @@ private[sources] class GraftStreamingWrite(spark: SparkSession,
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     messages.toSeq.collect { case m: GraftStreamMsg => m.files }.flatten
-      .foreach { case (_, p, _) =>
+      .foreach { case (_, p, _, _) =>
         try fs.delete(new Path(p), false)
         catch { case _: java.io.IOException => () }
       }
@@ -144,12 +151,30 @@ private[sources] class GraftStreamWriterFactory(staging: String,
         val i = incoming.fieldIndex(f.name)
         BoundReference(i, incoming(i).dataType, nullable = true)
     })
+    // the columns whose [min,max] the writer tracks row-by-row — the
+    // primitive+string subset (no aliasing hazards: primitives copy by
+    // value, strings are cloned off the reused UnsafeRow buffer)
+    val statsFields: Seq[(Int, org.apache.spark.sql.types.DataType)] =
+      physSchema.fields.toSeq.zipWithIndex.collect {
+        case (f, i) if GraftStreamWriterFactory.trackable(f.dataType) =>
+          (i, f.dataType)
+      }
 
     new DataWriter[InternalRow] {
       private val writers = scala.collection.mutable.Map[
         String, (org.apache.spark.sql.execution.datasources.OutputWriter,
           String)]()
       private val values = scala.collection.mutable.Map[String, String]()
+      // per open file: statsFields-indexed running (min, max) over the
+      // CATALYST values, folded under the interpreted ordering — NaN
+      // floats/doubles skipped (a NaN bound is meaningless, same rule
+      // as the footer path)
+      private val bounds = scala.collection.mutable.Map[
+        String, (Array[Any], Array[Any])]()
+      private val ords = statsFields.map { case (_, dt) =>
+        org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(dt)
+      }
 
       override def write(row: InternalRow): Unit = {
         val pv = partProj(row)
@@ -171,7 +196,33 @@ private[sources] class GraftStreamWriterFactory(staging: String,
           values(leaf) = spec.join(raw)
           (owf.newInstance(file, physSchema, ctx), file)
         })
-        w.write(dataProj(row))
+        val out = dataProj(row)
+        val (mins, maxs) = bounds.getOrElseUpdate(leaf,
+          (Array.fill[Any](statsFields.size)(null),
+            Array.fill[Any](statsFields.size)(null)))
+        var j = 0
+        while (j < statsFields.size) {
+          val (i, dt) = statsFields(j)
+          if (!out.isNullAt(i)) {
+            val v0 = out.get(i, dt)
+            val nan = v0 match {
+              case d: java.lang.Double => d.isNaN
+              case f: java.lang.Float => f.isNaN
+              case _ => false
+            }
+            if (!nan) {
+              // clone strings OFF the projection's reused buffer
+              val v = v0 match {
+                case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+                case x => x
+              }
+              if (mins(j) == null || ords(j).lt(v, mins(j))) mins(j) = v
+              if (maxs(j) == null || ords(j).gt(v, maxs(j))) maxs(j) = v
+            }
+          }
+          j += 1
+        }
+        w.write(out)
       }
 
       override def commit(): WriterCommitMessage = {
@@ -179,7 +230,15 @@ private[sources] class GraftStreamWriterFactory(staging: String,
         val fs = new Path(staging).getFileSystem(conf)
         GraftStreamMsg(writers.toSeq.map { case (leaf, (_, file)) =>
           val st = fs.getFileStatus(new Path(file))
-          (values(leaf), st.getPath.toString, st.getLen)
+          val cells = bounds.get(leaf).map { case (mins, maxs) =>
+            statsFields.zipWithIndex.flatMap { case ((i, dt), j) =>
+              for {
+                lo <- Snapshots.StatCodec.fromCatalyst(dt, mins(j))
+                hi <- Snapshots.StatCodec.fromCatalyst(dt, maxs(j))
+              } yield physSchema.fields(i).name -> (lo, hi)
+            }.toMap
+          }.getOrElse(Map.empty[String, (String, String)])
+          (values(leaf), st.getPath.toString, st.getLen, cells)
         })
       }
 
@@ -195,4 +254,25 @@ private[sources] class GraftStreamWriterFactory(staging: String,
       override def close(): Unit = ()
     }
   }
+}
+
+private[sources] object GraftStreamWriterFactory {
+  /** the types the task-side bounds tracker handles: primitives copy by
+    * value and strings clone — no aliasing with the projection's reused
+    * row buffer; decimals and nested types are deliberately out */
+  def trackable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
 }

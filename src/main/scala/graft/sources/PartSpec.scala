@@ -111,17 +111,23 @@ private[graft] object PartSpec {
   def parse(spec: String): PartSpec = {
     require(spec != null && spec.trim.nonEmpty,
       "PartSpec: empty partition spec")
-    PartSpec(spec.split(",").toSeq.map(_.trim).map { part =>
-      part.split(":").toSeq.map(_.trim) match {
-        case Seq(name) => StructField(name, StringType, nullable = false)
-        case Seq(name, tpe) =>
+    // split with -1 so a TRAILING separator surfaces as an empty
+    // component and refuses loudly — String.split's default drops
+    // trailing empties, which silently parsed the typo "day:" as an
+    // untyped StringType column (and "a,,b" as a column named "")
+    PartSpec(spec.split(",", -1).toSeq.map(_.trim).map { part =>
+      part.split(":", -1).toSeq.map(_.trim) match {
+        case Seq(name) if name.nonEmpty =>
+          StructField(name, StringType, nullable = false)
+        case Seq(name, tpe) if name.nonEmpty && tpe.nonEmpty =>
           val dt = typeFor.getOrElse(tpe.toLowerCase(java.util.Locale.ROOT),
             throw new IllegalArgumentException(
               s"PartSpec: unsupported partition type '$tpe' for '$name' — " +
                 s"supported: $supportedTypeNames"))
           StructField(name, dt, nullable = false)
         case _ => throw new IllegalArgumentException(
-          s"PartSpec: malformed component '$part' (want name or name:type)")
+          s"PartSpec: malformed component '$part' in '$spec' " +
+            "(want name or name:type)")
       }
     })
   }

@@ -44,15 +44,16 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * table needs one commit under the current format first, or the
   * explicit `partCol` argument).
   *
-  * MERGE accepts the canonical upsert shapes (what the pre-reduced
-  * keyed-delta kernel can honor exactly): `WHEN MATCHED THEN UPDATE SET
-  * *` + `WHEN NOT MATCHED THEN INSERT *`, optionally preceded by `WHEN
-  * MATCHED AND <source-only predicate> THEN DELETE`, or a pure `WHEN
-  * MATCHED [AND c] THEN DELETE`. Any other clause combination is
-  * REFUSED loudly (partial-upsert shapes would need row-level matched
-  * tracking the format deliberately does not record) — same for
-  * `WHEN NOT MATCHED BY SOURCE`, explicit assignment lists, and schema
-  * evolution.
+  * MERGE routes the canonical upsert shapes (`WHEN MATCHED THEN UPDATE
+  * SET *` + `WHEN NOT MATCHED THEN INSERT *`, optionally preceded by
+  * `WHEN MATCHED AND <source-only predicate> THEN DELETE`, or a pure
+  * `WHEN MATCHED [AND c] THEN DELETE`) onto the fast pre-reduced
+  * keyed-delta kernel, and every other clause combination — explicit
+  * assignment lists, conditional matched clauses, partial clause sets,
+  * `WHEN NOT MATCHED BY SOURCE` — onto the row-grain deletion-vector
+  * kernel ([[Snapshots.mergeRows]]; refused with a pointer when
+  * `spark.graft.snapshot.dvEnabled` is off). Only `MERGE WITH SCHEMA
+  * EVOLUTION` stays refused.
   *
   * Returns: DML/DDL statements -> a one-row `version` frame (the
   * committed version); DESCRIBE HISTORY -> the audit frame; VACUUM ->
@@ -310,7 +311,12 @@ private[graft] object SnapshotSql {
     val schema = Snapshots.tableSchema(s, dir)
     val source = Bridge.ofRows(s, m.sourceTable)
     val srcCols = source.columns.toSet
-    val targetCols = schema.fieldNames.toSet + partCol
+    // partCol is a SPEC STRING ("day:date,region") — the target's
+    // column set needs the parsed NAMES, not the raw spec (review-caught:
+    // the raw string let a shared partition-column name silently bind
+    // to the source side on typed/multi-column tables)
+    val targetCols = schema.fieldNames.toSet ++
+      PartSpec.parse(partCol).names
     def mergeCol(e: Expression): Column = Bridge.column(e.transform {
       case a: UnresolvedAttribute if a.nameParts.length > 1 =>
         if (sourceAlias.contains(a.nameParts.head))

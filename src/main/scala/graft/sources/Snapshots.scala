@@ -264,6 +264,23 @@ object Snapshots {
       case _ => None
     }
 
+    /** CATALYST internal value -> the canonical string form [[internal]]
+      * parses back — what a task-side writer tracking bounds over
+      * InternalRow values records (the streaming toTable sink); the
+      * representations already ARE the canonical integer forms for
+      * date/timestamp, so this is toString plus the two special cases */
+    def fromCatalyst(dt: DataType, v: Any): Option[String] = (dt, v) match {
+      case (_, null) => None
+      case (StringType, u: org.apache.spark.unsafe.types.UTF8String) =>
+        Some(u.toString)
+      case (_: DecimalType, d: org.apache.spark.sql.types.Decimal) =>
+        Some(d.toJavaBigDecimal.toPlainString)
+      case (ByteType | ShortType | IntegerType | LongType | FloatType |
+            DoubleType | BooleanType | DateType | TimestampType |
+            TimestampNTZType, x) => Some(x.toString)
+      case _ => None
+    }
+
     /** canonical string -> CATALYST internal value (UTF8String / days /
       * micros / Decimal), the representation interpreted orderings and
       * pushed-filter literals use */
@@ -1326,9 +1343,11 @@ object Snapshots {
   /** Per-file BLOOM cells for `bloomColumns` over the just-written
     * files — the format-native equality-skipping layer (Iceberg-puffin /
     * Parquet-column-bloom role) for declared HIGH-CARDINALITY columns
-    * whose [min, max] bounds cannot prune point predicates. ONE
+    * whose [min, max] bounds cannot prune point predicates. One
     * column-pruned distinct + bit_or aggregation over the new files
-    * only (the price of write-time blooms; bounds stay footer-served).
+    * PER DECLARED COLUMN (the price of write-time blooms; bounds stay
+    * footer-served — declare the one or two lookup columns, not the
+    * schema).
     * Encoding: sparse `word:hex` pairs + a `words:k` geometry cell —
     * probed at PLAN time by [[org.apache.spark.sql.graftbridge.FileBloom]]
     * with the same h60 positions the codegen'd build hashed. Returned
@@ -2021,13 +2040,16 @@ object Snapshots {
     * (queryId, epochId) txn stamp exactly like [[commitIdempotent]]: a
     * replayed epoch (stamp >= epochId) deletes its duplicate files and
     * no-ops, so checkpointed restarts are exactly-once. Entries record
-    * no column bounds (streamed appends trade file skipping for
-    * landing latency; OPTIMIZE CLUSTER BY restores bounds). Refused on
-    * constraint-bearing tables — the epoch's rows were written before
-    * the manifest transaction, so constraints could not refuse them
-    * pre-commit; route through foreachBatch + commitIdempotent there. */
+    * the per-column [min,max] bounds the WRITER TASKS tracked row by
+    * row (zero footer IO — the stats arrive inside the commit
+    * messages), so streamed appends keep full file skipping and DML
+    * span selection. Refused on constraint-bearing tables — the
+    * epoch's rows were written before the manifest transaction, so
+    * constraints could not refuse them pre-commit; route through
+    * foreachBatch + commitIdempotent there. */
   private[sources] def commitStreamedFiles(s: SparkSession, dir: String,
-      partCol: String, files: Seq[(String, String, Long)],
+      partCol: String,
+      files: Seq[(String, String, Long, Map[String, (String, String)])],
       appId: String, batchId: Long): (Long, Boolean) = {
     require(appId.nonEmpty, "Snapshots: commitStreamedFiles needs a queryId")
     dmlRetry(s, dir, 5) { () =>
@@ -2047,7 +2069,9 @@ object Snapshots {
           // replayed epoch: the twin's files are orphans no manifest
           // will ever reference — drop them NOW (they live under a
           // stream staging dir vacuum treats by the file-grain rule)
-          files.foreach { case (_, p, _) => fs.delete(new Path(p), false) }
+          files.foreach { case (_, p, _, _) =>
+            fs.delete(new Path(p), false)
+          }
           (vs.last, false)
         case _ =>
           val prev = vs.last
@@ -2058,8 +2082,21 @@ object Snapshots {
               "use foreachBatch + commitIdempotent")
           val spec = PartSpec.parse(partCol)
           val v = prev + 1
-          val written = files.map { case (value, path, bytes) =>
-            Entry(value, path, bytes, v, Map.empty)
+          // the same value validation the batch commit path enforces —
+          // a tab/newline would TEAR the line-oriented manifest (value
+          // "a\tb" parses back as value "a", path "b"), a leading '#'
+          // would be ambiguous with the headers; the task writer only
+          // escaped the DIRECTORY name, never the recorded value
+          files.foreach { case (value, path, _, _) =>
+            require(!value.exists(c => c == '\t' || c == '\n'),
+              s"Snapshots: streamed partition value of $path contains a " +
+                "tab/newline — the line-oriented manifest cannot carry it")
+            require(!value.startsWith("#"),
+              s"Snapshots: streamed partition value of $path starts with " +
+                "'#' — reserved for the manifest headers")
+          }
+          val written = files.map { case (value, path, bytes, stats) =>
+            Entry(value, path, bytes, v, stats)
           }
           val entries = (m.entries ++ written).sortBy(e => (e.value, e.path))
           val (segRefs, inline) = packEntries(s, fs, dir, v, entries,
@@ -3334,27 +3371,34 @@ object Snapshots {
           case _ => Long.MaxValue
         }
         if (vd.isDirectory && vNum <= cur) {
-          fs.listStatus(vd.getPath).foreach { pd =>
-            if (pd.isDirectory) {
-              // FILE-grain retirement: keep referenced files, drop the
-              // rest; a dir with no referenced file left goes entirely
-              val children = fs.listStatus(pd.getPath)
-              val (keep, drop) = children.partition(st =>
-                kept(st.getPath.toString))
-              if (keep.isEmpty) fs.delete(pd.getPath, true)
-              else drop.foreach { st =>
+          // FILE-grain retirement at ANY depth — multi-column partition
+          // layouts nest one directory level per partition column
+          // (day=X/region=Y/...) and the streaming staging dir nests an
+          // epoch level, so the walk must recurse to the FILES rather
+          // than assume the classic one-level <part>=<val> shape (a
+          // fixed-depth walk saw only DIRECTORIES at the partition
+          // level, counted zero kept children, and recursively deleted
+          // manifest-referenced live data — review-caught). A subtree
+          // is removed only when NO referenced file survives anywhere
+          // under it; write debris (_SUCCESS, dot-files) never counts
+          // as live and is dropped with its subtree, exactly the old
+          // version-dir retirement rule. Returns: subtree still live. */
+          def retire(p: Path): Boolean = {
+            var live = false
+            fs.listStatus(p).foreach { st =>
+              if (st.isDirectory) {
+                if (retire(st.getPath)) live = true
+                else fs.delete(st.getPath, true) // unreferenced subtree
+              } else {
                 val n = st.getPath.getName
-                if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+                if (kept(st.getPath.toString)) live = true
+                else if (!n.startsWith("_") && !n.startsWith("."))
                   fs.delete(st.getPath, false)
               }
             }
+            live
           }
-          // retire the version dir once only write debris (_SUCCESS)
-          // remains — no partition dir survived
-          val rest = fs.listStatus(vd.getPath)
-          if (rest.forall(st => st.isFile && (st.getPath.getName.startsWith("_")
-              || st.getPath.getName.startsWith("."))))
-            fs.delete(vd.getPath, true)
+          if (!retire(vd.getPath)) fs.delete(vd.getPath, true)
         }
       }
     }

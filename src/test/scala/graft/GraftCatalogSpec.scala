@@ -243,6 +243,17 @@ class GraftCatalogSpec extends SparkSpec {
       "UTF-8")
     assert(manifest.contains("v00000000_stream_"), "epoch files recorded")
     assert(manifest.contains(s"txnBatch=0"), "epoch txn stamp recorded")
+    // the streamed entries carry REAL [min,max] bounds — tracked row by
+    // row in the writer tasks, zero footer IO (k in [1000,1001] this
+    // epoch; rows may split across task files, so assert per-line
+    // k-bounds presence inside that range rather than one exact cell)
+    val streamedLines = manifest.split("\n")
+      .filter(l => l.contains("v00000000_stream_") && !l.startsWith("#"))
+    assert(streamedLines.nonEmpty)
+    streamedLines.foreach { l =>
+      val m = "k=(100[01]),(100[01])".r.findFirstIn(l)
+      assert(m.isDefined, s"streamed entry must record k bounds: $l")
+    }
     // restart from the same checkpoint: the replayed epoch no-ops and
     // new data lands exactly once
     mem.addData(("p9", 1002L, 3L))
@@ -256,6 +267,32 @@ class GraftCatalogSpec extends SparkSpec {
     // the streamed rows read back through the normal manifest scan
     assert(spark.sql("SELECT count(*) AS n FROM graft.db8.t8 " +
       "WHERE part = 'p9' AND k >= 1000").as[Long].head() == 3L)
+    // vacuum: committed epoch files under the stream staging dir are
+    // manifest-referenced and must SURVIVE the file-grain walk
+    Snapshots.vacuum(spark, dir, keepLast = 1)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db8.t8")
+      .as[Long].head() == 83L,
+      "vacuum must keep referenced streamed-epoch files")
+    // a tab-bearing partition value refuses at the epoch commit (the
+    // line-oriented manifest cannot carry it) — the query fails loudly
+    // instead of landing a torn manifest
+    val ckpt2 = java.nio.file.Files
+      .createTempDirectory("graft_totable_ckpt2").toString
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Long)]
+    mem2.addData(("a\tb", 1L, 1L))
+    val q3 = mem2.toDF().toDF("part", "k", "v")
+      .select(col("k"), col("v"), col("part"))
+      .writeStream.option("checkpointLocation", ckpt2)
+      .toTable("graft.db8.t8")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    q3.stop()
+    assert(e.getMessage.contains("tab") ||
+      Option(e.getCause).exists(_.getMessage.contains("tab")), e.getMessage)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db8.t8")
+      .as[Long].head() == 83L, "the refused epoch must land nothing")
   }
 
   test("parser-path name resolution refuses components that escape the warehouse") {
