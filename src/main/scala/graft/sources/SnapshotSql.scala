@@ -199,15 +199,20 @@ private[graft] object SnapshotSql {
         "via a full-snapshot commit")
     val dir = targetDir(s, m.targetTable)
     val partCol = partColOf(s, dir, partColHint)
-    // ON t.k = s.k — both sides must name the SAME column (the kernel's
-    // key identity); anything fancier needs the Scala API
-    val key = m.mergeCondition match {
+    // ON t.k = s.k [AND t.k2 = s.k2 ...] — a conjunction of equalities
+    // whose two sides name the SAME column (the kernels' key identity);
+    // anything fancier (expressions, cross-named equalities) refuses
+    def keyOf(e: Expression): Seq[String] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        keyOf(l) ++ keyOf(r)
       case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-          if a.nameParts.last == b.nameParts.last => a.nameParts.last
+          if a.nameParts.last == b.nameParts.last => Seq(a.nameParts.last)
       case other => refuse(
-        s"MERGE ON must be t.<key> = s.<key> (same column name), got " +
-          other.sql)
+        s"MERGE ON must be a conjunction of t.<key> = s.<key> equalities " +
+          s"(same column name each), got " + other.sql)
     }
+    val keys = keyOf(m.mergeCondition).distinct
+    val key = keys.head
     // two kernels behind one statement. The CANONICAL full-upsert shapes
     // ([DELETE AND c,] UPDATE SET * + INSERT *, or DELETE-only) run on
     // the pre-reduced keyed-delta kernel — fast-pathed, no row lineage
@@ -217,6 +222,7 @@ private[graft] object SnapshotSql {
     // Snapshots.mergeRows when spark.graft.snapshot.dvEnabled is set,
     // refused with that pointer when not.
     val canonical = m.notMatchedBySourceActions.isEmpty &&
+      keys.size == 1 &&
       ((m.matchedActions, m.notMatchedActions) match {
         case (Seq(DeleteAction(_), UpdateStarAction(None)),
           Seq(InsertStarAction(None))) => true
@@ -224,7 +230,7 @@ private[graft] object SnapshotSql {
         case (Seq(DeleteAction(_)), Seq()) => true
         case _ => false
       })
-    if (!canonical) return mergeRowsSql(s, m, dir, partCol, key)
+    if (!canonical) return mergeRowsSql(s, m, dir, partCol, keys)
     val (delCond: Option[Option[Expression]], hasUpdate) = m.matchedActions match {
       case Seq(DeleteAction(c), UpdateStarAction(None)) => (Some(c), true)
       case Seq(UpdateStarAction(None)) => (None, true)
@@ -298,7 +304,7 @@ private[graft] object SnapshotSql {
     * `t.x` and bare `x` -> the target's `x`; an unknown qualifier
     * refuses rather than silently binding to the wrong side. */
   private def mergeRowsSql(s: SparkSession, m: MergeIntoTable, dir: String,
-      partCol: String, key: String): DataFrame = {
+      partCol: String, keys: Seq[String]): DataFrame = {
     import s.implicits._
     val targetAlias = m.targetTable match {
       case SubqueryAlias(id, _) => Some(id.name)
@@ -406,7 +412,7 @@ private[graft] object SnapshotSql {
           s"unsupported MERGE not-matched-by-source clause " +
             other.getClass.getSimpleName)
       }
-    Seq(Snapshots.mergeRows(s, dir, partCol, key, source, actions, insert,
-      bySource = bySource)).toDF("version")
+    Seq(Snapshots.mergeRowsKeys(s, dir, partCol, keys, source, actions,
+      insert, bySource = bySource)).toDF("version")
   }
 }

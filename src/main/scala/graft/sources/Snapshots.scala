@@ -3041,31 +3041,48 @@ object Snapshots {
   def mergeRows(s: SparkSession, dir: String, partCol: String,
       keyCol: String, source: DataFrame, matched: Seq[MergeAction],
       insertUnmatched: Boolean, attempts: Int = 5,
+      bySource: Seq[MergeAction] = Nil): Long =
+    mergeRowsKeys(s, dir, partCol, Seq(keyCol), source, matched,
+      insertUnmatched, attempts, bySource)
+
+  /** [[mergeRows]] with a COMPOSITE key — `ON t.a = s.a AND t.b = s.b`
+    * (the multi-part join condition Spark's MERGE grammar allows and
+    * dimension tables routinely need). Same contracts per key TUPLE:
+    * the source must be tuple-unique and no key column NULL; file
+    * selection intersects EVERY key column's recorded bounds with the
+    * source's span (conjunctive, so pruning only sharpens). */
+  def mergeRowsKeys(s: SparkSession, dir: String, partCol: String,
+      keyCols: Seq[String], source: DataFrame, matched: Seq[MergeAction],
+      insertUnmatched: Boolean, attempts: Int = 5,
       bySource: Seq[MergeAction] = Nil): Long = {
     require(dvMaxFraction(s) > 0.0,
       "Snapshots: mergeRows needs spark.graft.snapshot.dvEnabled=true — " +
         "row-grain MERGE rests on deletion-vector row addressability " +
         "(the canonical UPDATE SET * / INSERT * shapes run without it " +
         "via merge())")
+    require(keyCols.nonEmpty && keyCols.distinct.size == keyCols.size,
+      "Snapshots: mergeRows needs >= 1 distinct key column")
     require(matched.nonEmpty || insertUnmatched || bySource.nonEmpty,
       "Snapshots: mergeRows needs at least one clause")
     dmlRetry(s, dir, attempts)(() =>
-      mergeRowsOnce(s, dir, partCol, keyCol, source, matched,
+      mergeRowsOnce(s, dir, partCol, keyCols, source, matched,
         insertUnmatched, bySource))
   }
 
   private def mergeRowsOnce(s: SparkSession, dir: String, partCol: String,
-      keyCol: String, source: DataFrame, matched: Seq[MergeAction],
+      keyCols: Seq[String], source: DataFrame, matched: Seq[MergeAction],
       insertUnmatched: Boolean, bySource: Seq[MergeAction]): Long = {
     val cur = currentVersion(s, dir)
     require(cur >= 1,
       s"Snapshots: mergeRows needs a committed table at $dir")
     val m = readManifest(s, dir, cur)
     val schema = schemaOf(s, m)
-    require(schema.fieldNames.contains(keyCol),
-      s"Snapshots: merge key '$keyCol' is not a table column")
-    require(source.columns.contains(keyCol),
-      s"Snapshots: source is missing the key column '$keyCol'")
+    keyCols.foreach { keyCol =>
+      require(schema.fieldNames.contains(keyCol),
+        s"Snapshots: merge key '$keyCol' is not a table column")
+      require(source.columns.contains(keyCol),
+        s"Snapshots: source is missing the key column '$keyCol'")
+    }
     val spec = PartSpec.parse(partCol)
     if (insertUnmatched) {
       val missing = (schema.fieldNames.toSeq ++ spec.names)
@@ -3084,8 +3101,9 @@ object Snapshots {
     // the masked-row/new-image pairing ambiguous (Delta errors the same
     // way), a NULL key matches nothing and would re-insert forever
     val census = src.agg(count(lit(1)).as("n"),
-      count(col(keyCol)).as("nk"),
-      count_distinct(col(keyCol)).as("nd")).collect()(0)
+      count(when(keyCols.map(c => col(c).isNotNull).reduce(_ && _), 1))
+        .as("nk"),
+      count_distinct(struct(keyCols.map(col): _*)).as("nd")).collect()(0)
     require(census.getLong(0) == census.getLong(1),
       s"Snapshots: mergeRows source holds " +
         s"${census.getLong(0) - census.getLong(1)} NULL-keyed row(s)")
@@ -3093,21 +3111,27 @@ object Snapshots {
       "Snapshots: mergeRows source keys are not unique — one source row " +
         "per target row is the only exact row-grain semantics")
     // bounds-selected files, same conservative rule as merge(): only
-    // files whose recorded key bounds overlap the source's key span can
-    // hold a match
-    val spanRow = src.agg(min(col(keyCol)), max(col(keyCol))).collect()(0)
+    // files whose recorded bounds overlap EVERY key column's source
+    // span can hold a match (conjunctive intersection)
+    val spanAggs = keyCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val spanRow = src.agg(spanAggs.head, spanAggs.tail: _*).collect()(0)
     val (affected, carried) =
       if (spanRow.isNullAt(0)) (Nil, m.entries) // empty source
       else splitByPredicate(s,
-        col(keyCol).between(lit(spanRow.get(0)), lit(spanRow.get(1))),
+        keyCols.zipWithIndex.map { case (c, i) =>
+          col(c).between(lit(spanRow.get(2 * i)),
+            lit(spanRow.get(2 * i + 1)))
+        }.reduce(_ && _),
         partCol, schema, m.entries)
     // the joined view every clause evaluates on: target columns bare,
     // source columns __src_-prefixed (reserved namespace — user columns
     // can never collide)
     val srcPref = src.select(src.columns.toSeq.map(c =>
       col(c).as(s"__src_$c")): _*)
+    val keyJoin = keyCols.map(c =>
+      col(c) === col(s"__src_$c")).reduce(_ && _)
     val joined = scanEntriesWithPos(s, partCol, schema, affected)
-      .join(srcPref, col(keyCol) === col(s"__src_$keyCol"), "inner")
+      .join(srcPref, keyJoin, "inner")
     // first-matching-clause-wins op column (foldRight puts clause 0's
     // `when` outermost): U<i> selects clause i's SET list, D deletes,
     // NULL = no clause claims the row — it stays untouched
@@ -3131,8 +3155,8 @@ object Snapshots {
     val claimedB =
       if (bySource.isEmpty) None
       else Some(scanEntriesWithPos(s, partCol, schema, m.entries)
-        .join(srcPref.select(col(s"__src_$keyCol")),
-          col(keyCol) === col(s"__src_$keyCol"), "left_anti")
+        .join(srcPref.select(keyCols.map(c => col(s"__src_$c")): _*),
+          keyJoin, "left_anti")
         .withColumn("__op", opColOf(bySource))
         .filter(col("__op").isNotNull).localCheckpoint())
     val dvEntries = {
@@ -3162,8 +3186,11 @@ object Snapshots {
       if (!insertUnmatched) None
       else Some(srcPref.join(
         scanEntries(s, partCol, schema, affected)
-          .select(col(keyCol).as("__t_key")),
-        col(s"__src_$keyCol") === col("__t_key"), "left_anti")
+          .select(keyCols.zipWithIndex.map { case (c, i) =>
+            col(c).as(s"__t_key$i") }: _*),
+        keyCols.zipWithIndex.map { case (c, i) =>
+          col(s"__src_$c") === col(s"__t_key$i") }.reduce(_ && _),
+        "left_anti")
         .select(schema.fields.toSeq.map(f =>
           col(s"__src_${f.name}").cast(f.dataType).as(f.name))
           ++ spec.names.map(n => col(s"__src_$n").as(n)): _*)
@@ -3525,11 +3552,24 @@ object Snapshots {
       dataSchema.fieldNames.contains(c) &&
         StatCodec.supported(dataSchema(c).dataType)) ++
       keepableStats(dataSchema, cands)).distinct
+    // the same never-erase rule for BLOOMS: any column whose replaced
+    // files carried a `#bf` cell gets its filters RE-RECORDED over the
+    // compacted files (one extra aggregation per such column) — without
+    // this a maintenance compaction would silently strip the
+    // equality-skipping layer from every file it touches, permanently
+    val keepBlooms = {
+      val toLogical = dataSchema.fields
+        .map(f => ColumnMapping.physicalName(f) -> f.name).toMap
+      cands.flatMap(_.stats.keys).filter(_.endsWith(BloomKeySuffix))
+        .map(_.stripSuffix(BloomKeySuffix)).distinct
+        .flatMap(toLogical.get)
+    }
     commitImpl(s, dir, packed, partCol, carryUntouched = false, Set.empty,
       expectedPrev = Some(cur),
       statsColumns = Option(statsColumns).getOrElse(keepStats),
       dataVersionOf = dvOf, carriedOverride = Some(carried),
-      prevManifestHint = Some(m), op = "optimize")
+      prevManifestHint = Some(m), op = "optimize",
+      bloomColumns = keepBlooms)
   }
 
   /** data files of one partition dir (excludes _SUCCESS/.hidden) */

@@ -295,6 +295,31 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].head() == 83L, "the refused epoch must land nothing")
   }
 
+  test("CREATE TABLE AS SELECT lands schema + data in one statement") {
+    val dir = s"$wh/db9/t9"
+    spark.sql("CREATE TABLE graft.db9.t9 PARTITIONED BY (part) AS " +
+      "SELECT id AS k, id * 10 AS v, CAST(id % 3 AS STRING) AS part " +
+      "FROM range(30)")
+    // v1 = the empty CREATE, v2 = the SELECT's rows appended
+    assert(Snapshots.currentVersion(spark, dir) == 2L)
+    assert(spark.sql("SELECT sum(v) AS s FROM graft.db9.t9")
+      .as[Long].head() == (0L until 30L).map(_ * 10).sum)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db9.t9 " +
+      "WHERE part = '1'").as[Long].head() == 10L)
+    // typed multi-column CTAS
+    spark.sql("CREATE TABLE graft.db9.t10 PARTITIONED BY (day, region) AS " +
+      "SELECT id AS k, DATE'2024-01-01' + CAST(id % 2 AS INT) AS day, " +
+      "CASE WHEN id % 2 = 0 THEN 'eu' ELSE 'us' END AS region " +
+      "FROM range(20)")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db9.t10 " +
+      "WHERE day = DATE'2024-01-02'").as[Long].head() == 10L)
+    // a CTAS without PARTITIONED BY refuses with the pointed error
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db9.tbad AS SELECT 1 AS x")
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+  }
+
   test("parser-path name resolution refuses components that escape the warehouse") {
     seed("db5", "t5")
     // backticked traversal / metadata-dir components reach resolveDir

@@ -404,6 +404,33 @@ class SnapshotDvSpec extends SparkSpec {
     }
   }
 
+  test("MERGE with a composite ON key (t.a = s.a AND t.b = s.b)") {
+    withDv {
+      val dir = tempTable()
+      // key = (grp, k): per-group k repeats across groups, so a
+      // single-column join would multi-match — the composite key is
+      // load-bearing, not decorative
+      val df = (0L until 100L).map(k => (s"p${k % 2}", k % 10, k, k))
+        .toDF("part", "grp", "k", "v")
+        .repartitionByRange(2, col("part"))
+      Snapshots.commit(spark, dir, df, "part", statsColumns = Seq("k"))
+      Seq(("p0", 3L, 3L, -1L), ("p1", 7L, 97L, -2L))
+        .toDF("part", "grp", "k", "v").createOrReplaceTempView("ck_src")
+      val v = Snapshots.sql(spark,
+        s"""MERGE INTO graft_snapshot.`$dir` AS t
+            USING ck_src AS s ON t.grp = s.grp AND t.k = s.k
+            WHEN MATCHED THEN UPDATE SET v = s.v""")
+        .collect()(0).getLong(0)
+      val got = Snapshots.read(spark, dir, "part", v)
+        .select("grp", "k", "v").as[(Long, Long, Long)].collect()
+        .map { case (g, k, vv) => (g, k) -> vv }.toMap
+      assert(got((3L, 3L)) == -1L && got((7L, 97L)) == -2L)
+      // rows sharing ONE key part but not the tuple stay untouched
+      assert(got((3L, 13L)) == 13L && got((7L, 7L)) == 7L)
+      assert(got.values.count(_ < 0) == 2)
+    }
+  }
+
   test("DV DML is exact on HOSTILE partition values (spaces, percents, equals)") {
     // the per-file classification map crosses two path worlds — manifest
     // entry paths (listStatus) vs the scan's _metadata.file_path — and

@@ -221,6 +221,34 @@ class SnapshotPartSpecSpec extends SparkSpec {
       "carried blooms must keep pruning after an append")
   }
 
+  test("OPTIMIZE re-records blooms for columns the replaced files carried") {
+    val dir = tempTable()
+    val df = (0L until 400L).map { i =>
+      (s"p${i % 2}", i, graft.Exact.md5Hex(s"d$i"))
+    }.toDF("part", "k", "digest").repartition(8, col("k") % 8)
+    Snapshots.commit(spark, dir, df, "part",
+      statsColumns = Seq("k"), bloomColumns = Seq("digest"))
+    val v2 = Snapshots.optimize(spark, dir, "part",
+      targetFileBytes = 1L << 20)
+    val m2 = manifestText(dir, v2)
+    assert(m2.contains("digest%23bf="),
+      "compaction must not strip the equality-skipping layer")
+    // the re-recorded filters still find every key and still prune
+    def scanned(d2: org.apache.spark.sql.DataFrame): Long = {
+      d2.collect()
+      d2.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.getOrElse(-1L)
+    }
+    val base = Snapshots.read(spark, dir, "part", v2)
+    assert(base.filter(col("digest") === graft.Exact.md5Hex("d123"))
+      .select("k").as[Long].collect().toSeq == Seq(123L))
+    assert(scanned(base.filter(col("digest") ===
+        graft.Exact.md5Hex("d123")).select("k")) <=
+      scanned(base.select("k")))
+  }
+
   test("vacuum file-grain retirement survives nested multi-column layouts") {
     val dir = tempTable()
     seed(dir) // v1: 4 (day, region) partitions, nested dirs
