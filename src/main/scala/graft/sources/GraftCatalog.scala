@@ -57,10 +57,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Writes: `INSERT INTO graft.db.t` appends through the V1 write
   * fallback ([[Snapshots.append]] — new files by reference-carry, the
   * same OCC manifest commit as every other write, bounds auto-collected
-  * task-side) and `INSERT OVERWRITE` is a full-snapshot replace; DML
-  * (DELETE/UPDATE/MERGE/...) goes through [[Snapshots.sql]], which
-  * accepts either addressing. A non-transactional path write around the
-  * manifest protocol is never planned. */
+  * task-side) and `INSERT OVERWRITE` is a full-snapshot replace;
+  * `CREATE TABLE ... PARTITIONED BY (...) AS SELECT` composes the two
+  * (createEmpty + append, spec-pinned); `writeStream.toTable` lands
+  * exactly-once epoch commits through [[GraftStreamingWrite]]; ALTER
+  * TABLE routes onto the metadata-only evolution kernels
+  * ([[alterTable]]); DML (DELETE/UPDATE/MERGE/...) goes through
+  * [[Snapshots.sql]], which accepts either addressing. A
+  * non-transactional path write around the manifest protocol is never
+  * planned. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
