@@ -178,6 +178,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         PartSpec.fromFields(fields).encode
     }
     Snapshots.createEmpty(session, dir, schema, partCol)
+    // TBLPROPERTIES: the format's own keys (graft.*) stamp as table
+    // properties right after the create (Spark adds reserved
+    // provider/owner entries of its own — those stay catalog-side)
+    properties.asScala.filter(_._1.startsWith("graft."))
+      .toSeq.sortBy(_._1).foreach { case (k, v) =>
+        Snapshots.setTableProperty(session, dir, k, v)
+      }
     loadTable(ident)
   }
 
@@ -223,12 +230,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         single(r.fieldNames, "RENAME COLUMN"): Unit
       case d: TableChange.DeleteColumn =>
         single(d.fieldNames, "DROP COLUMN"): Unit
-      case _: TableChange.AddConstraint | _: TableChange.DropConstraint =>
+      case _: TableChange.AddConstraint | _: TableChange.DropConstraint |
+           _: TableChange.SetProperty | _: TableChange.RemoveProperty =>
         ()
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unsupported ALTER (${other.getClass.getSimpleName})" +
           " — type changes and drops of carried data require a " +
-          "full-snapshot commit; properties carry no table state here")
+          "full-snapshot commit")
     }
     changes.foreach {
       case r: TableChange.RenameColumn =>
@@ -270,10 +278,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
               e.getMessage != null && e.getMessage.contains("no constraint")
             => ()
         }
+      // ALTER TABLE ... SET/UNSET TBLPROPERTIES — the per-table knob
+      // surface (graft.dv.enabled, graft.bloom.columns, ...); each
+      // lands as a metadata-only version
+      case sp: TableChange.SetProperty =>
+        Snapshots.setTableProperty(session, dir, sp.property, sp.value)
+      case rp: TableChange.RemoveProperty =>
+        Snapshots.removeTableProperty(session, dir, rp.property)
       case other => throw new UnsupportedOperationException(
-        s"GraftCatalog: unsupported ALTER (${other.getClass.getSimpleName})" +
-          " — type changes and drops of carried data require a " +
-          "full-snapshot commit; properties carry no table state here")
+        s"GraftCatalog: unsupported ALTER (${other.getClass.getSimpleName})")
     }
     Snapshots.invalidateCaches(dir)
     loadTable(ident)
@@ -449,8 +462,9 @@ final case class GraftTable(spark: SparkSession, ident: Identifier,
       .map(Expressions.identity).toArray[Transform]
 
   override def properties(): util.Map[String, String] =
-    Map("location" -> dir, "partCol" -> partCol,
-      "version" -> snapshotVersion.toString).asJava
+    (Snapshots.tableProperties(spark, dir) ++
+      Map("location" -> dir, "partCol" -> partCol,
+        "version" -> snapshotVersion.toString)).asJava
 
   override def capabilities(): util.Set[TableCapability] = {
     val s = new util.HashSet[TableCapability]()

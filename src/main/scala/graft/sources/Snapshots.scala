@@ -439,7 +439,11 @@ object Snapshots {
       partCol: Option[String] = None,
       /** physical column names RETIRED by drops — never reassignable
         * (see [[ColumnMapping]]) */
-      retired: Seq[String] = Nil)
+      retired: Seq[String] = Nil,
+      /** TABLE PROPERTIES (Delta's table-property surface): carried
+        * forward by every commit, set via [[setTableProperty]]; the
+        * honored keys are documented there */
+      props: Map[String, String] = Map.empty)
 
   /** thrown when a version's manifest is absent (never committed, or
     * retired by [[vacuum]]) — a dedicated type CARRYING THE TABLE DIR so
@@ -576,6 +580,15 @@ object Snapshots {
         kv.stripPrefix("retired=").split(",").toSeq.filter(_.nonEmpty)
           .map(java.net.URLDecoder.decode(_, "UTF-8"))
     }.getOrElse(Nil)
+    val props = meta.collectFirst {
+      case kv if kv.startsWith("props=") =>
+        kv.stripPrefix("props=").split(",").toSeq.filter(_.nonEmpty)
+          .map { pair =>
+            val Array(k, v) = pair.split("=", 2)
+            java.net.URLDecoder.decode(k, "UTF-8") ->
+              java.net.URLDecoder.decode(v, "UTF-8")
+          }.toMap
+    }.getOrElse(Map.empty[String, String])
     val constraints = headers.filter(_.startsWith(ConstraintHeader)).map { h =>
       h.stripPrefix(ConstraintHeader).split("\t", 2) match {
         case Array(name, sql) => name -> sql
@@ -597,7 +610,7 @@ object Snapshots {
     }
     val inline = entryLines.map(parseEntryLine(p, _))
     Manifest(schema, ts, op, constraints,
-      inline ++ segParts.flatMap(_._2), segParts, partColH, retired)
+      inline ++ segParts.flatMap(_._2), segParts, partColH, retired, props)
   }
 
   /** header fields only (ts, op, the `#stats` rollup, and the
@@ -828,6 +841,16 @@ object Snapshots {
     if (retired.isEmpty) ""
     else " retired=" + retired.map(
       java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
+
+  /** ` props=k=v,k=v` (each side URL-encoded) — absent when the table
+    * carries no properties, so property-free manifests stay
+    * byte-identical */
+  private def propsKv(props: Map[String, String]): String =
+    if (props.isEmpty) ""
+    else " props=" + props.toSeq.sortBy(_._1).map { case (k, v) =>
+      java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+        java.net.URLEncoder.encode(v, "UTF-8")
+    }.mkString(",")
 
   /** the `#stats` rollup header — what makes [[history]] a header-only
     * read per version */
@@ -1512,6 +1535,23 @@ object Snapshots {
     else s.conf.getOption("spark.graft.snapshot.dvMaxFraction")
       .map(_.toDouble).getOrElse(0.2)
 
+  /** the TABLE-aware gate: the `graft.dv.enabled` / `graft.dv.maxFraction`
+    * TABLE PROPERTIES (set via [[setTableProperty]]) override the
+    * session conf — a curated lake can turn masks on for its hot
+    * upsert tables without every session opting in (Delta's
+    * `delta.enableDeletionVectors` shape). Property absent -> the
+    * session rule above. */
+  private def dvMaxFraction(s: SparkSession, m: Manifest): Double =
+    m.props.get(PropDvEnabled) match {
+      case Some(v) if v.equalsIgnoreCase("true") =>
+        m.props.get(PropDvMaxFraction).map(_.toDouble)
+          .orElse(s.conf.getOption("spark.graft.snapshot.dvMaxFraction")
+            .map(_.toDouble))
+          .getOrElse(0.2)
+      case Some(_) => 0.0 // explicitly disabled for this table
+      case None => dvMaxFraction(s)
+    }
+
   /** scheme-independent identity of a MANIFEST entry path (listStatus's
     * raw form, e.g. `part=a b`, `part=p%2520q` exactly as on disk) */
   private def normPath(p: String): String = new Path(p).toUri.getPath
@@ -2105,7 +2145,8 @@ object Snapshots {
             m.schema.map(sc => SchemaHeader + sc.json),
             Some(MetaHeader + s"ts=${commitTs(Some(m))} op=append " +
               s"partCol=${java.net.URLEncoder.encode(spec.encode, "UTF-8")}" +
-              retiredKv(m.retired) + minReaderKv(entries, spec.isLegacy) +
+              retiredKv(m.retired) + propsKv(m.props) +
+              minReaderKv(entries, spec.isLegacy) +
               s" txnApp=${java.net.URLEncoder.encode(appId, "UTF-8")} " +
               s"txnBatch=$batchId"),
             Some(statsHeader(entries))).flatten ++
@@ -2437,6 +2478,7 @@ object Snapshots {
         s"partCol=${java.net.URLEncoder.encode(
           PartSpec.parse(partCol).encode, "UTF-8")}" +
         retiredKv((mC.retired ++ mT.retired).distinct) +
+        propsKv(mC.props) +
         minReaderKv(entries, PartSpec.parse(partCol).isLegacy)),
       Some(statsHeader(entries))).flatten ++
       mT.constraints.map { case (n, q) => ConstraintHeader + n + "\t" + q } ++
@@ -2596,7 +2638,8 @@ object Snapshots {
   private def commitHeaderState(s: SparkSession, dir: String, cur: Long,
       m: Manifest, schema: Option[StructType],
       constraints: Seq[(String, String)], retired: Seq[String],
-      opName: String): Long = {
+      opName: String, propsOverride: Option[Map[String, String]] = None)
+      : Long = {
     val v = cur + 1
     val fs = fsOf(s, dir)
     val (segRefs, inline) = packEntries(s, fs, dir, v, m.entries, m.segParts)
@@ -2606,6 +2649,7 @@ object Snapshots {
         m.partCol.map(pc =>
           s" partCol=${java.net.URLEncoder.encode(pc, "UTF-8")}")
           .getOrElse("") + retiredKv(retired) +
+        propsKv(propsOverride.getOrElse(m.props)) +
         minReaderKv(m.entries,
           m.partCol.forall(pc => PartSpec.parse(pc).isLegacy))),
       Some(statsHeader(m.entries))).flatten ++
@@ -2835,7 +2879,7 @@ object Snapshots {
       val schema = schemaOf(s, m)
       val (affected, carried) = splitByPredicate(s, where, partCol, schema, m.entries)
       if (affected.isEmpty) cur
-      else if (dvMaxFraction(s) > 0.0)
+      else if (dvMaxFraction(s, m) > 0.0)
         deleteWithDv(s, dir, partCol, where, m, schema, affected, carried, cur)
       else {
         val survivors = scanEntries(s, partCol, schema, affected)
@@ -2863,7 +2907,7 @@ object Snapshots {
   private def deleteWithDv(s: SparkSession, dir: String, partCol: String,
       where: org.apache.spark.sql.Column, m: Manifest, schema: StructType,
       affected: Seq[Entry], carried: Seq[Entry], cur: Long): Long = {
-    val dvMax = dvMaxFraction(s)
+    val dvMax = dvMaxFraction(s, m)
     val hit = coalesce(where, lit(false))
     val liveHits = dvLiveHits(s, partCol, schema, affected, hit)
     val (touched, clean) = affected.partition(e => liveHits(e)._2 > 0)
@@ -2914,7 +2958,7 @@ object Snapshots {
         s"Snapshots: SET references unknown column(s) ${unknown.mkString(", ")}")
       val (affected, carried) = splitByPredicate(s, where, partCol, schema, m.entries)
       if (affected.isEmpty) cur
-      else if (dvMaxFraction(s) > 0.0)
+      else if (dvMaxFraction(s, m) > 0.0)
         updateWithDv(s, dir, partCol, where, set, m, schema, affected,
           carried, cur)
       else {
@@ -2954,7 +2998,7 @@ object Snapshots {
       set: Map[String, org.apache.spark.sql.Column], m: Manifest,
       schema: StructType, affected: Seq[Entry], carried: Seq[Entry],
       cur: Long): Long = {
-    val dvMax = dvMaxFraction(s)
+    val dvMax = dvMaxFraction(s, m)
     val hit = coalesce(where, lit(false))
     val liveHits = dvLiveHits(s, partCol, schema, affected, hit)
     val (touched, clean) = affected.partition(e => liveHits(e)._2 > 0)
@@ -3055,11 +3099,6 @@ object Snapshots {
       keyCols: Seq[String], source: DataFrame, matched: Seq[MergeAction],
       insertUnmatched: Boolean, attempts: Int = 5,
       bySource: Seq[MergeAction] = Nil): Long = {
-    require(dvMaxFraction(s) > 0.0,
-      "Snapshots: mergeRows needs spark.graft.snapshot.dvEnabled=true — " +
-        "row-grain MERGE rests on deletion-vector row addressability " +
-        "(the canonical UPDATE SET * / INSERT * shapes run without it " +
-        "via merge())")
     require(keyCols.nonEmpty && keyCols.distinct.size == keyCols.size,
       "Snapshots: mergeRows needs >= 1 distinct key column")
     require(matched.nonEmpty || insertUnmatched || bySource.nonEmpty,
@@ -3076,6 +3115,13 @@ object Snapshots {
     require(cur >= 1,
       s"Snapshots: mergeRows needs a committed table at $dir")
     val m = readManifest(s, dir, cur)
+    // the DV gate is TABLE-AWARE (graft.dv.enabled table property or
+    // the session conf) — checked here where the manifest is in hand
+    require(dvMaxFraction(s, m) > 0.0,
+      "Snapshots: mergeRows needs deletion vectors — set the " +
+        "spark.graft.snapshot.dvEnabled session conf or the " +
+        "graft.dv.enabled table property (the canonical UPDATE SET * / " +
+        "INSERT * shapes run without it via merge())")
     val schema = schemaOf(s, m)
     keyCols.foreach { keyCol =>
       require(schema.fieldNames.contains(keyCol),
@@ -3246,6 +3292,52 @@ object Snapshots {
     throw new IllegalStateException(
       s"Snapshots: DML lost $attempts consecutive optimistic races at " +
         s"$dir — a hotter writer is live; back off or coordinate", last)
+  }
+
+  /** The honored TABLE-PROPERTY keys ([[setTableProperty]]); unknown
+    * keys are carried verbatim (a deployment can stamp its own
+    * metadata, like Delta's userMetadata). */
+  val PropDvEnabled = "graft.dv.enabled"
+  val PropDvMaxFraction = "graft.dv.maxFraction"
+  /** comma-separated LOGICAL column names [[append]]/[[commit]] record
+    * per-file blooms for when the caller passes none explicitly */
+  val PropBloomColumns = "graft.bloom.columns"
+
+  /** the table's current properties — metadata only, one manifest read */
+  def tableProperties(s: SparkSession, dir: String): Map[String, String] = {
+    val cur = currentVersion(s, dir)
+    require(cur >= 1, s"Snapshots: no committed table at $dir")
+    readManifest(s, dir, cur).props
+  }
+
+  /** SET a table property — a METADATA-ONLY version (entries carry
+    * verbatim, op = set_property); the property rides every later
+    * commit's meta header until [[removeTableProperty]]. Honored keys:
+    * [[PropDvEnabled]]/[[PropDvMaxFraction]] (per-table deletion-vector
+    * gate overriding the session conf) and [[PropBloomColumns]]
+    * (default bloom columns for appends); anything else carries
+    * verbatim as deployment metadata. */
+  def setTableProperty(s: SparkSession, dir: String, key: String,
+      value: String): Long = {
+    require(key.nonEmpty && !key.exists(c => c == '\t' || c == '\n') &&
+      !value.exists(c => c == '\t' || c == '\n'),
+      "Snapshots: property key/value cannot be empty or carry tab/newline")
+    val cur = currentVersion(s, dir)
+    require(cur >= 1, s"Snapshots: no committed table at $dir")
+    val m = readManifest(s, dir, cur)
+    commitHeaderState(s, dir, cur, m, m.schema, m.constraints, m.retired,
+      "set_property", propsOverride = Some(m.props + (key -> value)))
+  }
+
+  /** UNSET a table property (no-op version if absent — the version
+    * still lands so the audit history records the intent) */
+  def removeTableProperty(s: SparkSession, dir: String,
+      key: String): Long = {
+    val cur = currentVersion(s, dir)
+    require(cur >= 1, s"Snapshots: no committed table at $dir")
+    val m = readManifest(s, dir, cur)
+    commitHeaderState(s, dir, cur, m, m.schema, m.constraints, m.retired,
+      "unset_property", propsOverride = Some(m.props - key))
   }
 
   /** DESCRIBE HISTORY — one row per SURVIVING version, ascending:
@@ -4032,10 +4124,19 @@ object Snapshots {
         Map.empty[String, Map[String, (String, String)]]
       else collectStats(s, filesOf.flatMap(_._2).map(_.getPath),
         dataDir, dataSchema, statsColumns, taskStats)
+    // bloom columns: the explicit argument wins; otherwise the
+    // `graft.bloom.columns` TABLE PROPERTY supplies the default, so a
+    // table declared bloom-indexed keeps its filters across appends
+    // without every writer passing the list
+    val effBloomCols =
+      if (bloomColumns.nonEmpty) bloomColumns
+      else prevManifest.flatMap(_.props.get(PropBloomColumns)).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        .filter(dataSchema.fieldNames.contains)
     val bloomStats: Map[String, Map[String, (String, String)]] =
-      if (bloomColumns.isEmpty || partDirs.isEmpty) Map.empty
+      if (effBloomCols.isEmpty || partDirs.isEmpty) Map.empty
       else collectBlooms(s, filesOf.flatMap(_._2).map(_.getPath.toString),
-        dataSchema, bloomColumns)
+        dataSchema, effBloomCols)
     val filesByDir = filesOf.toMap
     val written = partDirs
       .flatMap { case (leaf, rawValues) =>
@@ -4202,7 +4303,9 @@ object Snapshots {
       SchemaHeader + headerSchema.json,
       MetaHeader + s"ts=${commitTs(prevManifest)} op=$op " +
         s"partCol=${java.net.URLEncoder.encode(spec.encode, "UTF-8")}" +
-        retiredKv(retired) + minReaderKv(entries, spec.isLegacy) +
+        retiredKv(retired) +
+        propsKv(prevManifest.map(_.props).getOrElse(Map.empty)) +
+        minReaderKv(entries, spec.isLegacy) +
         txn.map { case (app, b) =>
           s" txnApp=${java.net.URLEncoder.encode(app, "UTF-8")} txnBatch=$b"
         }.getOrElse(""),

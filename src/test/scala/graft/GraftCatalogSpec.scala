@@ -295,6 +295,36 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].head() == 83L, "the refused epoch must land nothing")
   }
 
+  test("TBLPROPERTIES flow through DDL: SET/UNSET and create-time stamping") {
+    val dir = seed("db10", "t1")
+    spark.sql("ALTER TABLE graft.db10.t1 SET TBLPROPERTIES " +
+      "('graft.dv.enabled' = 'true', 'team.owner' = 'data-eng')")
+    val props = Snapshots.tableProperties(spark, dir)
+    assert(props("graft.dv.enabled") == "true" &&
+      props("team.owner") == "data-eng")
+    // the catalog surfaces them (SHOW TBLPROPERTIES reads this map)
+    val shown = spark.sql("SHOW TBLPROPERTIES graft.db10.t1")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("graft.dv.enabled").contains("true"))
+    // and the per-table DV gate is live through SQL DML by name —
+    // no session conf set anywhere in this suite
+    val before = Snapshots.currentVersion(spark, dir)
+    Snapshots.sql(spark, "DELETE FROM graft.db10.t1 WHERE k = 5")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$dir/_manifests/v${before + 1}%08d.txt")),
+      "UTF-8").contains("minReader=2"),
+      "the table-property DV gate must mask through the SQL surface")
+    spark.sql("ALTER TABLE graft.db10.t1 UNSET TBLPROPERTIES " +
+      "('team.owner')")
+    assert(!Snapshots.tableProperties(spark, dir).contains("team.owner"))
+    // create-time stamping: graft.* TBLPROPERTIES land on the new table
+    spark.sql("CREATE TABLE graft.db10.t2 (part STRING, k BIGINT) " +
+      "PARTITIONED BY (part) " +
+      "TBLPROPERTIES ('graft.bloom.columns' = 'k')")
+    assert(Snapshots.tableProperties(spark, s"$wh/db10/t2")
+      .get("graft.bloom.columns").contains("k"))
+  }
+
   test("CREATE TABLE AS SELECT lands schema + data in one statement") {
     val dir = s"$wh/db9/t9"
     spark.sql("CREATE TABLE graft.db9.t9 PARTITIONED BY (part) AS " +

@@ -221,6 +221,45 @@ class SnapshotPartSpecSpec extends SparkSpec {
       "carried blooms must keep pruning after an append")
   }
 
+  test("table properties: per-table DV gate and default bloom columns") {
+    val dir = tempTable()
+    val df = (0L until 200L).map(k => (s"p${k % 2}", k, k * 10L))
+      .toDF("part", "k", "v").repartitionByRange(2, col("part"))
+    Snapshots.commit(spark, dir, df, "part", statsColumns = Seq("k"))
+    // WITHOUT the session conf, DV DML rewrites; with the TABLE
+    // property it masks — the per-table gate (Delta's
+    // enableDeletionVectors shape)
+    assert(spark.conf.getOption("spark.graft.snapshot.dvEnabled").isEmpty)
+    val vP = Snapshots.setTableProperty(spark, dir,
+      Snapshots.PropDvEnabled, "true")
+    assert(Snapshots.tableProperties(spark, dir) ==
+      Map(Snapshots.PropDvEnabled -> "true"))
+    def files(v: Long): Set[String] =
+      manifestText(dir, v).split("\n").filterNot(_.startsWith("#"))
+        .map(_.split("\t")(1)).toSet
+    val vD = Snapshots.delete(spark, dir, "part", col("k") === 7L)
+    assert(files(vD) == files(vP),
+      "a table-property-gated needle delete must mask, not rewrite")
+    assert(manifestText(dir, vD).contains("minReader=2"))
+    assert(Snapshots.read(spark, dir, "part", vD).count() == 199L)
+    // the property rides every later commit; removing it restores the
+    // rewrite path
+    Snapshots.removeTableProperty(spark, dir, Snapshots.PropDvEnabled)
+    val vD2 = Snapshots.delete(spark, dir, "part", col("k") === 8L)
+    assert(files(vD2) != files(vD), "property removed -> rewrite again")
+    // default bloom columns: an append records filters without the
+    // caller passing bloomColumns
+    val dir2 = tempTable()
+    Snapshots.commit(spark, dir2,
+      Seq(("p0", 1L, "aa")).toDF("part", "k", "digest"), "part")
+    Snapshots.setTableProperty(spark, dir2,
+      Snapshots.PropBloomColumns, "digest")
+    val vA = Snapshots.append(spark, dir2,
+      Seq(("p0", 2L, "bb")).toDF("part", "k", "digest"), "part")
+    assert(manifestText(dir2, vA).contains("digest%23bf="),
+      "the bloom-columns property must default the append's filters")
+  }
+
   test("OPTIMIZE re-records blooms for columns the replaced files carried") {
     val dir = tempTable()
     val df = (0L until 400L).map { i =>
