@@ -1532,10 +1532,47 @@ object Graft {
   def modularity(labels: DataFrame, edges: DataFrame): DataFrame =
     modularityCtx(labels, undCtx(edges))
 
+  /** A (v, lbl) frame that is ALREADY a materialized checkpoint (the
+    * output contract of labelPropCtx / louvainMoveCtx /
+    * communityMergeCtx) can be consumed as-is; anything else
+    * re-materializes. Skipping the redundant re-checkpoint matters in
+    * the multi-stage pipelines, where every stage's output used to be
+    * materialized AGAIN by the next stage's entry — one full wasted
+    * pass of the node-sized label table per stage (r18 measured the
+    * sf0.1 wall of these latency-bound queries as ~0.3 s per
+    * eliminated job). */
+  private def labelsReady(df: DataFrame): Boolean =
+    df.columns.sameElements(Array("v", "lbl")) &&
+      org.apache.spark.sql.graftbridge.Bridge.isCheckpointedRdd(df)
+
+  /** Exact Q NUMERATOR of a labeling over the shared context — the
+    * 1-row BIGINT aggregate the multi-stage pipelines gate on
+    * (identical by construction to [[modularityCtx]]'s q_num: the sum
+    * runs over every community, including singletons; only the
+    * per-community report and its checkpoints are skipped). */
+  private[graft] def qNumOf(labels: DataFrame, ctx: UndCtx): DataFrame = {
+    val und = ctx.und
+    val lab = labels.select(col("v"), col("lbl"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val comm = lab.join(ctx.deg, Seq("v"), "left")
+      .select(col("lbl"), coalesce(col("deg"), lit(0L)).as("d"))
+      .groupBy("lbl").agg(sum("d").as("deg_sum"))
+    val intra = und
+      .join(lab.select(col("v").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(lab.select(col("v").as("b"), col("lbl").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_intra"))
+    comm.join(intra, Seq("lbl"), "left").crossJoin(broadcast(m))
+      .agg(sum(expr("4 * m * coalesce(e_intra, 0L) - deg_sum * deg_sum"))
+        .as("q_num"))
+  }
+
   private[graft] def modularityCtx(labels: DataFrame,
       ctx: UndCtx): DataFrame = {
     val und = ctx.und
-    val lab = labels.select(col("v"), col("lbl")).localCheckpoint()
+    val lab =
+      if (labelsReady(labels)) labels
+      else labels.select(col("v"), col("lbl")).localCheckpoint()
     val deg = ctx.deg.select(col("v").as("a"), col("deg").as("d"))
     val comm = lab.join(deg, lab("v") === deg("a"), "left")
       .select(col("lbl"), coalesce(col("d"), lit(0L)).as("d"))
@@ -1614,8 +1651,10 @@ object Graft {
         .agg(sum(expr("4 * m * coalesce(e_intra, 0L) - deg_sum * deg_sum"))
           .as("q"))
     }
-    var lab = labels.select(col("v"), col("lbl"))
-      .repartition(col("v")).loopCheckpoint()
+    var lab =
+      if (labelsReady(labels)) labels
+      else labels.select(col("v"), col("lbl"))
+        .repartition(col("v")).loopCheckpoint()
     // Q(lab) THREADS through the loop as a checkpointed 1-row frame
     // instead of being recomputed by every gate: the gate needs
     // q_old = Q(current labels), which is exactly what the previous
@@ -1671,9 +1710,11 @@ object Graft {
         .select(col("v"), col("nlbl"), col("cur"))
         .loopCheckpoint() // feeds the proposal AND the move count
       // actual moves this sweep (node-sized); zero moves => proposal ==
-      // lab, so the gate's edge-sized qNum can be skipped exactly then
+      // lab, so the gate's edge-sized qNum can be skipped exactly then.
+      // NOT checkpointed: `best` already is, so this 1-row aggregate
+      // rides the gate's own materialization instead of costing a job.
       val moved = best.filter(col("nlbl") =!= col("cur"))
-        .agg(count(lit(1)).as("n_moved")).loopCheckpoint()
+        .agg(count(lit(1)).as("n_moved"))
       val hasMoves = moved.select((col("n_moved") > 0).as("has_moves"))
       val proposed = lab.join(best.select("v", "nlbl"), Seq("v"), "left")
         .select(col("v"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
@@ -1743,8 +1784,10 @@ object Graft {
     val und = ctx.und
     val deg = ctx.deg
     val m = und.agg(count(lit(1)).as("m"))
-    var lab = labels.select(col("v"), col("lbl"))
-      .repartition(col("v")).loopCheckpoint()
+    var lab =
+      if (labelsReady(labels)) labels
+      else labels.select(col("v"), col("lbl"))
+        .repartition(col("v")).loopCheckpoint()
     // Convergence ledger (r12): the merge round is ONE deterministic
     // function of the labels, so a single round selecting zero merges
     // proves every later round is the identity — the loop stops

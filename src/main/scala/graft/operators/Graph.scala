@@ -336,15 +336,16 @@ object Graph {
         .select(col("a"),
           (h60(concat(lit("pr:"), col("a").cast("string"), lit(":"),
             col("k").cast("string"))) % col("n")).as("b"))
-        .localCheckpoint() // seed, refine, and score all read it
       // ONE undirected-context derivation feeds seed, refine, and both
       // modularity reports — the pipeline shape a 100 TB job uses
+      // (undCtx materializes the canonical edge set itself, so `raw`
+      // needs no checkpoint of its own — it is read exactly once)
       val ctx = graft.api.Graft.undCtx(raw)
       val seed = graft.api.Graft.labelPropCtx(
         docs.select(col("doc_id").as("v")), ctx, LpRounds)
       val refined = graft.api.Graft.louvainMoveCtx(seed, ctx, LvRounds)
-      val seedQ = graft.api.Graft.modularityCtx(seed, ctx)
-        .select(col("q_num").as("q_num_seed")).distinct()
+      val seedQ = graft.api.Graft.qNumOf(seed, ctx)
+        .select(col("q_num").as("q_num_seed"))
       graft.api.Graft.modularityCtx(refined, ctx)
         .crossJoin(broadcast(seedQ))
         .withColumn("improved", col("q_num") >= col("q_num_seed"))
@@ -371,14 +372,14 @@ object Graph {
         .select(col("a"),
           (h60(concat(lit("pr:"), col("a").cast("string"), lit(":"),
             col("k").cast("string"))) % col("n")).as("b"))
-        .localCheckpoint() // seed, merge, and score all read it
-      // shared undirected context, as in q_graph_louvain
+      // shared undirected context, as in q_graph_louvain (raw is read
+      // exactly once — by undCtx's own materialization)
       val ctx = graft.api.Graft.undCtx(raw)
       val seed = graft.api.Graft.labelPropCtx(
         docs.select(col("doc_id").as("v")), ctx, LpRounds)
       val merged = graft.api.Graft.communityMergeCtx(seed, ctx, CnmRounds)
-      val seedQ = graft.api.Graft.modularityCtx(seed, ctx)
-        .select(col("q_num").as("q_num_seed")).distinct()
+      val seedQ = graft.api.Graft.qNumOf(seed, ctx)
+        .select(col("q_num").as("q_num_seed"))
       graft.api.Graft.modularityCtx(merged, ctx)
         .crossJoin(broadcast(seedQ))
         .withColumn("improved", col("q_num") >= col("q_num_seed"))
@@ -404,16 +405,15 @@ object Graph {
         .select(col("a"),
           (h60(concat(lit("pr:"), col("a").cast("string"), lit(":"),
             col("k").cast("string"))) % col("n")).as("b"))
-        .localCheckpoint()
       val ctx = graft.api.Graft.undCtx(raw)
       val seed = graft.api.Graft.labelPropCtx(
         docs.select(col("doc_id").as("v")), ctx, LpRounds)
       val moved = graft.api.Graft.louvainMoveCtx(seed, ctx, MlLvRounds)
       val merged = graft.api.Graft.communityMergeCtx(moved, ctx, MlCnmRounds)
-      val seedQ = graft.api.Graft.modularityCtx(seed, ctx)
-        .select(col("q_num").as("q_num_seed")).distinct()
-      val movedQ = graft.api.Graft.modularityCtx(moved, ctx)
-        .select(col("q_num").as("q_num_moved")).distinct()
+      val seedQ = graft.api.Graft.qNumOf(seed, ctx)
+        .select(col("q_num").as("q_num_seed"))
+      val movedQ = graft.api.Graft.qNumOf(moved, ctx)
+        .select(col("q_num").as("q_num_moved"))
       graft.api.Graft.modularityCtx(merged, ctx)
         .crossJoin(broadcast(seedQ))
         .crossJoin(broadcast(movedQ))

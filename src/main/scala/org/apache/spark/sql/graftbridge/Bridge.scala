@@ -71,6 +71,15 @@ object Bridge {
     }
   }
 
+  /** true iff the frame IS a materialized checkpoint (its analyzed plan
+    * is the bare [[LogicalRDD]] a localCheckpoint leaves behind, no
+    * projection on top) — the test an iterative pipeline uses to skip
+    * re-materializing a stage output the previous stage already
+    * checkpointed */
+  def isCheckpointedRdd(df: DataFrame): Boolean =
+    df.asInstanceOf[Dataset[Row]].queryExecution.analyzed
+      .isInstanceOf[LogicalRDD]
+
   /** the exact inverse of the %XX escaping Spark's partitioned writer
     * applies to partition directory names (java.net.URLDecoder is NOT:
     * it also turns literal '+' into a space, which the writer never
