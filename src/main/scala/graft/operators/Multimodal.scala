@@ -1048,6 +1048,36 @@ object Multimodal {
     ((id % 4) * 16 + 16).toInt, ((id % 3) * 8 + 8).toInt,
     ((id * 7 + j * 13) % 256).toInt, ((id * 11 + j * 29) % 256).toInt)
 
+  /** ImageIO's default stream cache is a TEMP FILE per decode
+    * (`ImageIO.read(InputStream)` wraps the stream in a
+    * FileCacheImageInputStream when useCache is on) — for the in-memory
+    * byte-array frames every JPEG decode pays a disk round-trip.
+    * One JVM-wide flip to the memory cache; referenced from every
+    * decode closure so each executor JVM flips exactly once. */
+  private[operators] lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Per-thread reused JPEG reader: `ImageIO.read` instantiates a fresh
+    * reader (registry scan + plugin construction) PER FRAME, and at
+    * ~1.5 KB frames that fixed cost dwarfs the pixel work. `setInput`
+    * fully resets the reader between frames. */
+  private val jpegReaderTl = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+  }
+
+  /** Decode one JPEG byte range with the thread's reused reader; a
+    * malformed payload throws (callers keep their Try fence — the same
+    * contributes-nothing posture as `ImageIO.read` returning null). */
+  private[operators] def decodeJpeg(bytes: Array[Byte], off: Int,
+      len: Int): java.awt.image.BufferedImage = {
+    imageIoMemCache
+    val rd = jpegReaderTl.get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes, off, len))
+    try { rd.setInput(iis, true, true); rd.read(0) } finally iis.close()
+  }
+
   /** Encode one half-and-half grayscale frame as a REAL baseline JPEG
     * via javax.imageio (quality 1.0, explicit mode). */
   private[operators] def jpegHalfFrame(w: Int, h: Int, g1: Int, g2: Int): Array[Byte] = {
@@ -1062,15 +1092,24 @@ object Multimodal {
       }
       y += 1
     }
-    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val wr = jpegWriterTl.get()
     val p = wr.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(1.0f)
     val bos = new java.io.ByteArrayOutputStream()
-    wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    wr.setOutput(ios)
     wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
-    wr.dispose()
+    ios.flush()
     bos.toByteArray
+  }
+
+  /** Per-thread reused JPEG writer — the encode-side twin of
+    * [[jpegReaderTl]] (a fresh writer per 1.5 KB frame was the fixed
+    * cost, not the DCT). `setOutput` resets the writer per frame. */
+  private val jpegWriterTl = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
   }
 
   /** MJPEG-grade video assets: the SAME canonical MP4 container as
@@ -1152,6 +1191,7 @@ object Multimodal {
     val s = va.sparkSession
     import s.implicits._
     va.as[(Long, Array[Byte])].flatMap { case (id, data) =>
+      imageIoMemCache
       def safe[T](p: => Option[T]): Option[T] =
         try p catch { case scala.util.control.NonFatal(_) => None }
       safe(mp4SampleRanges(data)).getOrElse(Seq.empty)
@@ -1159,9 +1199,7 @@ object Multimodal {
           safe {
             if (off < 0 || off + size > data.length) None
             else {
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(
-                  data.slice(off.toInt, (off + size).toInt)))
+              val img = decodeJpeg(data, off.toInt, size.toInt)
               if (img == null) None
               else {
                 val (w, h) = (img.getWidth, img.getHeight)
@@ -1205,6 +1243,7 @@ object Multimodal {
     val s = va.sparkSession
     import s.implicits._
     va.as[(Long, Array[Byte])].flatMap { case (id, data) =>
+      imageIoMemCache
       def safe[T](p: => Option[T]): Option[T] =
         try p catch { case scala.util.control.NonFatal(_) => None }
       safe(mp4SampleRanges(data)).getOrElse(Seq.empty)
@@ -1212,9 +1251,7 @@ object Multimodal {
           safe {
             if (off < 0 || off + size > data.length) None
             else {
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(
-                  data.slice(off.toInt, (off + size).toInt)))
+              val img = decodeJpeg(data, off.toInt, size.toInt)
               if (img == null || img.getWidth < 8 || img.getHeight < 8) None
               else {
                 val (w, h) = (img.getWidth, img.getHeight)
