@@ -219,11 +219,18 @@ object Graft {
     * (ties by id). */
   def containmentPairs(shRaw: DataFrame, threshold: Double,
       maxDf: Long = 64L): DataFrame = {
-    val sh = shRaw.localCheckpoint() // feeds index, complement, counts
-    val rare = sh.groupBy("lang", "shingle")
-      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-      .select("lang", "shingle")
-    val idx = sh.join(rare, Seq("lang", "shingle"), "left_semi")
+    // Document frequency rides each shingle row via ONE window count,
+    // so the rare index and its hot complement are FILTERS over the
+    // same materialization — the previous shape re-aggregated the df
+    // list and ran two joins (semi + anti) of the full shingle
+    // relation against it (one exchange+sort here vs three exchanges;
+    // r18 measured 2.5 -> 1.9 s warm at sf0.1).
+    val sh = shRaw
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy("lang", "shingle")))
+      .localCheckpoint() // feeds index, complement, counts
+    val idx = sh.filter(col("df") <= maxDf)
+      .select("doc_id", "lang", "shingle")
     // The rare/hot split PARTITIONS each doc's shingle set, so the
     // exact intersection decomposes: inter = inter_rare + inter_hot.
     // inter_rare falls out of the candidate join's own (i, j) count —
@@ -243,7 +250,8 @@ object Graft {
     // counted only for already-found candidates — candidate docs share
     // a language, and hotness is per (lang, shingle), so the per-pair
     // rare/hot partition is consistent and the sum is the exact |A∩B|.
-    val hot = sh.join(rare, Seq("lang", "shingle"), "left_anti")
+    val hot = sh.filter(col("df") > maxDf)
+      .select("doc_id", "lang", "shingle")
     val interHot = interIdx.select("i", "j")
       .join(hot.select(col("doc_id").as("i"), col("shingle")), Seq("i"))
       .join(hot.select(col("doc_id").as("j"), col("shingle")),

@@ -1623,15 +1623,19 @@ object Streaming {
       srcDir: String, glob: String,
       maxFilesPerTrigger: Int): (DataFrame, Int) = withStatePartitions(s, 8) {
     val docs = graft.sources.Tables.documents(s, d)
+    // document frequency rides each corpus shingle row via one window
+    // count, so the rare index and its hot complement are FILTERS of
+    // the same materialization (the containmentPairs r18 shape) instead
+    // of semi/anti joins against a re-aggregated df list
     val corp = graft.operators.Dedup
       .shingleRows(docs.filter(col("doc_id") % 3 === 0))
-      .localCheckpoint() // feeds rare, idx, hot
-    val rare = corp.groupBy("lang", "shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 64).select("lang", "shingle")
-    val idx = corp.join(rare, Seq("lang", "shingle"), "left_semi")
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang", "shingle")))
+      .localCheckpoint() // feeds idx, hot
+    val idx = corp.filter(col("df") <= 64)
       .select(col("doc_id").as("j"), col("lang"), col("shingle"))
       .localCheckpoint()
-    val hot = corp.join(rare, Seq("lang", "shingle"), "left_anti")
+    val hot = corp.filter(col("df") > 64)
       .select(col("doc_id").as("j"), col("lang"), col("shingle"))
       .localCheckpoint()
     val kept = new BatchAcc[DataFrame](null)
