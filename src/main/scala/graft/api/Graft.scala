@@ -90,15 +90,20 @@ object Graft {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** distinct word n-gram shingles per doc (docs with < n tokens drop) */
+  /** distinct word n-gram shingles per doc (docs with < n tokens drop).
+    * `dedup = false` skips the per-(doc, shingle) distinct — the right
+    * call when the consumer only tests EXISTENCE (a semi join, an
+    * any-shared drop rule) and the distinct's full shuffle of the
+    * shingle relation would be pure cost. */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("l"))
+      n: Int = 3, dedup: Boolean = true): DataFrame = {
+    val raw = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("l"))
       .filter(size(col("l")) >= n)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("l")) - (n - 1)),
           i => concat_ws(" ", slice(col("l"), i, lit(n))))).as("shingle"))
-      .distinct()
+    if (dedup) raw.distinct() else raw
+  }
 
   /** MinHash LSH band keys from an exploded `(doc_id, shingle)` relation
     * (distinct per pair): `bands` rows per doc of `(doc_id, band,

@@ -2060,20 +2060,36 @@ FROM packed
         threshold = 0.5)
       val nearIds = keepEx
         .join(pairs.select(col("j").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-      val sh13 = Graft.shingleSet(docs, "doc_id", "text", n = 13).localCheckpoint()
-      val evalSh = sh13.filter(col("doc_id") % 50 === 0).select("shingle").distinct()
-      val contam = sh13.filter(col("doc_id") % 50 =!= 0)
+      // Decontamination is existence-only here (drop on ANY shared
+      // 13-gram), so neither side needs the per-(doc, shingle) distinct
+      // or a full-corpus shingle materialization: the eval side
+      // explodes only the 2% eval split (the filter pushes below the
+      // tokenize), and the corpus side streams its grams straight into
+      // the broadcast semi join — the q_dedup_decontaminate_ngram
+      // shape, minus even its distinct (that query COUNTS shared grams;
+      // this one only tests membership).
+      val evalSh = Graft.shingleSet(docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 13).select("shingle").distinct()
+      val contam = Graft.shingleSet(docs.filter(col("doc_id") % 50 =!= 0),
+          "doc_id", "text", n = 13, dedup = false)
         .join(broadcast(evalSh), Seq("shingle"), "left_semi")
         .select("doc_id").distinct()
-      val rep = Graft.repetitionRatio(docs, "doc_id", "text")
-        .select(col("doc_id"), col("rep_ratio").as("rr"))
-      val qual = base
+      // the repetition ratio only gates docs that survive every other
+      // filter — tokenize/explode THOSE, not the corpus (the rr <= 0.2
+      // verdict of a doc already dropped is never read)
+      val preQual = base
         .join(nearIds, Seq("doc_id"), "left_semi")
         .filter(col("doc_id") % 50 =!= 0)
         .join(contam, Seq("doc_id"), "left_anti")
+        .filter(col("n_chars").between(100, 2000) && col("clean") === 1)
+        .select("doc_id", "lang", "n_tokens")
+      val rep = Graft.repetitionRatio(
+          docs.join(preQual.select("doc_id"), Seq("doc_id"), "left_semi"),
+          "doc_id", "text")
+        .select(col("doc_id"), col("rep_ratio").as("rr"))
+      val qual = preQual
         .join(rep, "doc_id")
-        .filter(col("n_chars").between(100, 2000) && col("clean") === 1
-          && col("rr") <= 0.2)
+        .filter(col("rr") <= 0.2)
         .select("doc_id", "lang", "n_tokens")
       val bud = Graft.budgetCap(qual, "doc_id", "lang", "n_tokens", budget = 20000L)
         .filter(col("kept")).select("doc_id", "lang", "n_tokens")
