@@ -19,7 +19,7 @@ object Profile {
     val doExplain = args.contains("explain")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions()(_))
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,7 +27,13 @@ object Profile {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.streaming.stopTimeout", "30s")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B harness: semicolon-separated k=v pairs, e.g.
+    // SPARK_GRAFT_CONF_EXTRA='spark.sql.join.preferSortMergeJoin=false'
+    sys.env.get("SPARK_GRAFT_CONF_EXTRA").foreach(
+      _.split(';').filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { t =>
