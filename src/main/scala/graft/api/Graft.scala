@@ -1562,8 +1562,15 @@ object Graft {
     * 1-row BIGINT aggregate the multi-stage pipelines gate on
     * (identical by construction to [[modularityCtx]]'s q_num: the sum
     * runs over every community, including singletons; only the
-    * per-community report and its checkpoints are skipped). */
-  private[graft] def qNumOf(labels: DataFrame, ctx: UndCtx): DataFrame = {
+    * per-community report and its checkpoints are skipped).
+    *
+    * Always exactly ONE row, matching the oracle's scalar `qcte`
+    * aggregate — including for an all-singleton labeling, where the
+    * pre-r18 formulation (modularityCtx + distinct over its
+    * n_members >= 2 report) was EMPTY and thus diverged from the
+    * declared oracle. The r18 change was an intentional alignment,
+    * not just a job-count optimization. */
+  private[graft] def qNumCtx(labels: DataFrame, ctx: UndCtx): DataFrame = {
     val und = ctx.und
     val lab = labels.select(col("v"), col("lbl"))
     val m = und.agg(count(lit(1)).as("m"))

@@ -344,7 +344,7 @@ object Graph {
       val seed = graft.api.Graft.labelPropCtx(
         docs.select(col("doc_id").as("v")), ctx, LpRounds)
       val refined = graft.api.Graft.louvainMoveCtx(seed, ctx, LvRounds)
-      val seedQ = graft.api.Graft.qNumOf(seed, ctx)
+      val seedQ = graft.api.Graft.qNumCtx(seed, ctx)
         .select(col("q_num").as("q_num_seed"))
       graft.api.Graft.modularityCtx(refined, ctx)
         .crossJoin(broadcast(seedQ))
@@ -378,7 +378,7 @@ object Graph {
       val seed = graft.api.Graft.labelPropCtx(
         docs.select(col("doc_id").as("v")), ctx, LpRounds)
       val merged = graft.api.Graft.communityMergeCtx(seed, ctx, CnmRounds)
-      val seedQ = graft.api.Graft.qNumOf(seed, ctx)
+      val seedQ = graft.api.Graft.qNumCtx(seed, ctx)
         .select(col("q_num").as("q_num_seed"))
       graft.api.Graft.modularityCtx(merged, ctx)
         .crossJoin(broadcast(seedQ))
@@ -410,9 +410,9 @@ object Graph {
         docs.select(col("doc_id").as("v")), ctx, LpRounds)
       val moved = graft.api.Graft.louvainMoveCtx(seed, ctx, MlLvRounds)
       val merged = graft.api.Graft.communityMergeCtx(moved, ctx, MlCnmRounds)
-      val seedQ = graft.api.Graft.qNumOf(seed, ctx)
+      val seedQ = graft.api.Graft.qNumCtx(seed, ctx)
         .select(col("q_num").as("q_num_seed"))
-      val movedQ = graft.api.Graft.qNumOf(moved, ctx)
+      val movedQ = graft.api.Graft.qNumCtx(moved, ctx)
         .select(col("q_num").as("q_num_moved"))
       graft.api.Graft.modularityCtx(merged, ctx)
         .crossJoin(broadcast(seedQ))

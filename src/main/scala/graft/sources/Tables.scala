@@ -20,28 +20,33 @@ object Tables {
     * and every pipelined map-side step (tokenize, explode, hashing,
     * partial aggregation) runs on ONE core at any local[N] (measured
     * r18: the 15-sum decimal aggregate of q_quality_corr saturated a
-    * single task while 31 cores idled). When the planned scan has
-    * materially fewer splits than the session's cores and the file is
-    * big enough for map-side work to matter, repartition right after
-    * the read. Scale posture: at production scale inputs carry many row
-    * groups, `parts * 2 >= cores` holds, and the reader stays
-    * zero-shuffle — the shuffle only ever pays for itself where the
-    * alternative is a serial map side. Both knobs are confs, not
-    * constants: `spark.graft.scan.parallelize` (default true) and
-    * `spark.graft.scan.parallelizeMinBytes` (default 256 KiB — below
-    * it a table is broadcast-sized and the exchange would just tax
-    * broadcast builds).
+    * single task while 31 cores idled).
+    *
+    * Posture (r19, reversing r18): OPT-IN PER CALL SITE, default OFF.
+    * r18 shipped this on-by-default for every read ≥256 KiB and the
+    * blanket round-robin exchange taxed ~50 cheap single-pass queries
+    * (+17 s beyond box weather in the driver's own low-load run —
+    * q_sort_limit shuffled all of orders before a top-10, q_scalar_math
+    * paid +0.6 s to project lineitem). The exchange only pays for
+    * itself where the map side above the scan is measurably CPU-bound;
+    * those call sites pass `fanOut = true` (each cites its A/B). The
+    * `spark.graft.scan.parallelize` conf remains as a global override
+    * for experiments (unset → call-site choice; true/false → force).
+    *
+    * Scale posture: at production scale inputs carry many row groups,
+    * `parts * 2 > cores` holds, and even opted-in reads stay
+    * zero-shuffle — the heuristic only fires where the alternative is
+    * a serial map side. `spark.graft.scan.parallelizeMinBytes`
+    * (default 256 KiB) keeps broadcast-sized tables out.
     *
     * Determinism: every registry query is partition-layout-independent
     * by repo discipline (portable h60 hashing, exact decimal sums,
-    * fully tie-broken windows; saltedJoin and q_parity_sort state their
-    * layout-invariance proofs inline), so round-robin placement cannot
-    * perturb any result — re-verified against the full DuckDB oracle
-    * after this change. */
+    * fully tie-broken windows), so round-robin placement cannot perturb
+    * any result — re-verified against the full DuckDB oracle. */
   private def scanParallel(spark: SparkSession, df: DataFrame,
-      sizeBytes: Long): DataFrame = {
+      sizeBytes: Long, fanOut: Boolean): DataFrame = {
     val on = spark.conf.getOption("spark.graft.scan.parallelize")
-      .forall(_.toBoolean)
+      .flatMap(_.toBooleanOption).getOrElse(fanOut)
     val minBytes = spark.conf.getOption("spark.graft.scan.parallelizeMinBytes")
       .map(_.toLong).getOrElse(256L << 10)
     if (!on || sizeBytes < minBytes) df
@@ -52,11 +57,26 @@ object Tables {
     }
   }
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** On-disk bytes of a parquet path: file length, or the sum of
+    * part-file lengths when the path is a directory (the standard
+    * Spark-written layout — a bare File.length() there reads ~4 KiB
+    * and would silently disable the fan-out heuristic). */
+  private def parquetBytes(path: String): Long =
+    try {
+      val f = new java.io.File(path)
+      if (f.isDirectory)
+        f.listFiles().iterator.filter(_.isFile)
+          .filterNot(_.getName.startsWith("_")).map(_.length()).sum
+      else f.length()
+    } catch { case _: Throwable => 0L }
+
+  def table(spark: SparkSession, dir: String, name: String,
+      fanOut: Boolean = false): DataFrame = {
     val path = s"$dir/$name.parquet"
     val df = spark.read.parquet(path)
-    val len = try new java.io.File(path).length() catch { case _: Throwable => 0L }
-    scanParallel(spark, df, len)
+    if (!fanOut &&
+        spark.conf.getOption("spark.graft.scan.parallelize").isEmpty) df
+    else scanParallel(spark, df, parquetBytes(path), fanOut)
   }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")

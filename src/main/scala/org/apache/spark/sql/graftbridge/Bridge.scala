@@ -73,12 +73,21 @@ object Bridge {
 
   /** true iff the frame IS a materialized checkpoint (its analyzed plan
     * is the bare [[LogicalRDD]] a localCheckpoint leaves behind, no
-    * projection on top) — the test an iterative pipeline uses to skip
+    * projection on top, AND the underlying RDD is actually checkpointed
+    * or persisted) — the test an iterative pipeline uses to skip
     * re-materializing a stage output the previous stage already
-    * checkpointed */
+    * checkpointed. The RDD-level check matters for the public
+    * louvainMove/communityMerge/modularity entry points: a caller's
+    * `spark.createDataFrame(rdd)` frame is ALSO a bare LogicalRDD, but
+    * lazily recomputed (possibly nondeterministically) — it must still
+    * get the materializing fence. */
   def isCheckpointedRdd(df: DataFrame): Boolean =
-    df.asInstanceOf[Dataset[Row]].queryExecution.analyzed
-      .isInstanceOf[LogicalRDD]
+    df.asInstanceOf[Dataset[Row]].queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        lr.rdd.isCheckpointed ||
+          lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+      case _ => false
+    }
 
   /** the exact inverse of the %XX escaping Spark's partitioned writer
     * applies to partition directory names (java.net.URLDecoder is NOT:
